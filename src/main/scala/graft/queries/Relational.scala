@@ -1,0 +1,391 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational query core (SURVEY.md §2B).
+  *
+  * Each query is a declarative DataFrame plan (Catalyst handles
+  * pushdown, pruning, join strategy) paired with ANSI SQL the DuckDB
+  * oracle runs on the same parquet tables. Column names and numeric
+  * casts match exactly on both sides (see Tables for the decimal
+  * determinism scheme). Every top-k / window ORDER BY carries a unique
+  * key so results are total-ordered and reproducible.
+  *
+  * Scale notes: dimension tables (region/nation/customer/supplier/part)
+  * are broadcast explicitly; fact-fact joins shuffle on their keys and
+  * rely on AQE for skew. Aggregations are plain groupBy().agg() so the
+  * planner emits partial (map-side) aggregation.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q1-style pricing summary: filter + groupBy + multi-agg. */
+  def q1Agg: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= tstamp("2000-12-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        revenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax")))
+          .cast(DoubleType).as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2))) * (CAST(1 AS DECIMAL(9,2)) + CAST(l_tax AS DECIMAL(9,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Q3-style shipping priority: 3-way join + agg + deterministic top-k. */
+  def q3TopK: Q = (s, dir) => {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < tstamp("1997-01-01"))
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > tstamp("1997-01-01"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+      .orderBy(col("rev").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS rev
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY rev DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Q4-style: EXISTS → left-semi join + agg. */
+  def q4Exists: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= tstamp("1996-01-01") && col("o_orderdate") < tstamp("1997-01-01"))
+    val l = t(s, dir, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Q5-style: 6-way star join, revenue by nation. Dimensions broadcast. */
+  def q5Join5: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= tstamp("1996-01-01") && col("o_orderdate") < tstamp("1998-01-01"))
+    val l = t(s, dir, "lineitem")
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(su),
+        l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS rev
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  /** Q6-style: selective range filter + single agg (pushdown showcase). */
+  def q6FilterAgg: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= tstamp("1997-01-01") && col("l_shipdate") < tstamp("1998-01-01")
+        && col("l_discount") >= 0.03 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).cast(DoubleType).as("rev"),
+        count(lit(1)).as("n"))
+  }
+
+  val q6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS rev,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Window functions: first 3 shipments per supplier with running quantity. */
+  def q7Window: Q = (s, dir) => {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("run_qty",
+        sum(dec(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(DoubleType))
+      .filter(col("rn") <= 3)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "rn", "run_qty")
+  }
+
+  val q7Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, rn, run_qty FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_qty
+      |  FROM lineitem) sub
+      |WHERE rn <= 3""".stripMargin
+
+  /** ROLLUP grouping sets. */
+  def q8Rollup: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  val q8Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** NOT EXISTS → left-anti join: customers with no recent orders. */
+  def q9Anti: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") >= tstamp("2000-01-01"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val q9Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** count(distinct) per group. */
+  def q10Distinct: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"))
+  }
+
+  val q10Sql: String =
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY o_orderstatus""".stripMargin
+
+  /** HAVING threshold on an exact decimal sum. */
+  def q11Having: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(dec(col("l_quantity"))).as("qty_dec"), count(lit(1)).as("n_lines"))
+      .filter(col("qty_dec") > 150)
+      .select(col("l_partkey"), col("qty_dec").cast(DoubleType).as("total_qty"), col("n_lines"))
+  }
+
+  val q11Sql: String =
+    """SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS total_qty,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY l_partkey
+      |HAVING SUM(CAST(l_quantity AS DECIMAL(9,2))) > 150""".stripMargin
+
+  /** CASE-WHEN conditional aggregation over a join. */
+  def q12Case: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= tstamp("1997-01-01") && col("l_shipdate") < tstamp("1998-01-01"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(when(col("o_totalprice") > 200000, lit(1))).as("n_big"),
+        count(when(col("o_totalprice") <= 200000, lit(1))).as("n_small"))
+  }
+
+  val q12Sql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_big,
+      |  COUNT(CASE WHEN o_totalprice <= 200000 THEN 1 END) AS n_small
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Left outer join + distribution of counts (TPC-H Q13 shape). */
+  def q13Outer: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_cust"))
+  }
+
+  val q13Sql: String =
+    """SELECT n_orders, COUNT(*) AS n_cust FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) sub
+      |GROUP BY n_orders""".stripMargin
+
+  /** Multi-column sort + limit (passthrough doubles — no arithmetic). */
+  def q14SortLimit: Q = (s, dir) => {
+    t(s, dir, "part")
+      .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .limit(20)
+  }
+
+  val q14Sql: String =
+    """SELECT p_partkey, p_name, p_brand, p_retailprice
+      |FROM part
+      |ORDER BY p_retailprice DESC, p_partkey
+      |LIMIT 20""".stripMargin
+
+  /** UNION ALL of two projections + agg over the union. */
+  def q15Union: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .select(lit("orders").as("src"), dec(col("o_totalprice")).as("amount"))
+    val l = t(s, dir, "lineitem")
+      .select(lit("lineitem").as("src"), dec(col("l_extendedprice")).as("amount"))
+    o.unionAll(l)
+      .groupBy("src")
+      .agg(sum(col("amount")).cast(DoubleType).as("total"), count(lit(1)).as("n"))
+  }
+
+  val q15Sql: String =
+    """SELECT src, CAST(SUM(amount) AS DOUBLE) AS total, COUNT(*) AS n FROM (
+      |  SELECT 'orders' AS src, CAST(o_totalprice AS DECIMAL(9,2)) AS amount FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem' AS src, CAST(l_extendedprice AS DECIMAL(9,2)) AS amount FROM lineitem) u
+      |GROUP BY src""".stripMargin
+
+  /** Scalar-subquery threshold (broadcast single-row join, no collect).
+    * l_quantity is integer-valued so the double AVG is exact in both
+    * engines. */
+  def q16ScalarSubq: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+    val a = l.agg(avg(col("l_quantity")).as("avg_qty"))
+    l.join(broadcast(a))
+      .filter(col("l_quantity") < col("avg_qty"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+  }
+
+  val q16Sql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS total
+      |FROM lineitem
+      |WHERE l_quantity < (SELECT AVG(l_quantity) FROM lineitem)""".stripMargin
+
+  /** Event-time tumbling hourly window (batch form of the streaming agg). */
+  def q17EventsHourly: Q = (s, dir) => {
+    events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+  }
+
+  val q17Sql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY date_trunc('hour', ts), event_type""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity) via window lag +
+    * running sum — the batch twin of stream_sessionize. */
+  def q18Sessionize: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+  }
+
+  val q18Sql: String =
+    """SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts FROM (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |      CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |      THEN 1 ELSE 0 END AS new_sess
+      |    FROM events) g) s
+      |GROUP BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_topk" -> q3TopK,
+    "q4_exists" -> q4Exists,
+    "q5_join5" -> q5Join5,
+    "q6_filter_agg" -> q6FilterAgg,
+    "q7_window" -> q7Window,
+    "q8_rollup" -> q8Rollup,
+    "q9_anti" -> q9Anti,
+    "q10_distinct" -> q10Distinct,
+    "q11_having" -> q11Having,
+    "q12_case" -> q12Case,
+    "q13_outer" -> q13Outer,
+    "q14_sort_limit" -> q14SortLimit,
+    "q15_union" -> q15Union,
+    "q16_scalar_subq" -> q16ScalarSubq,
+    "q17_events_hourly" -> q17EventsHourly,
+    "q18_sessionize" -> q18Sessionize)
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "q3_topk" -> q3Sql,
+    "q4_exists" -> q4Sql,
+    "q5_join5" -> q5Sql,
+    "q6_filter_agg" -> q6Sql,
+    "q7_window" -> q7Sql,
+    "q8_rollup" -> q8Sql,
+    "q9_anti" -> q9Sql,
+    "q10_distinct" -> q10Sql,
+    "q11_having" -> q11Sql,
+    "q12_case" -> q12Sql,
+    "q13_outer" -> q13Sql,
+    "q14_sort_limit" -> q14Sql,
+    "q15_union" -> q15Sql,
+    "q16_scalar_subq" -> q16Sql,
+    "q17_events_hourly" -> q17Sql,
+    "q18_sessionize" -> q18Sql)
+}
