@@ -1,0 +1,173 @@
+package graft.functions
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for the training-data pipeline
+  * (SURVEY.md §2C): token counting, quality scoring, language ID,
+  * document fingerprinting, exact dedup.
+  *
+  * Everything here is built from codegen'd `functions._` and
+  * higher-order array functions — no UDFs — so the plans stay inside
+  * whole-stage codegen and scale linearly with document count (pure
+  * map-side work except the final dedup groupBy, which shuffles on the
+  * 128-bit fingerprint: effectively uniform keys, no skew).
+  *
+  * Every operator has an exact DuckDB oracle: the heuristics are
+  * deliberately expressed with functions whose semantics match between
+  * Spark (Java regex) and DuckDB (RE2) on the ASCII patterns used.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stoplist = Seq("the", "a", "of", "and", "in", "to", "is", "on")
+  private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  /** Normalized text: lowercase, trimmed, whitespace collapsed. */
+  private val normExpr = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+  private val normSqlDuck = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Whitespace + BPE-ish regex token counting. */
+  def textTokenCount: Q = (s, dir) => {
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast(LongType).as("n_chars_calc"),
+      size(split(col("text"), " ")).cast(LongType).as("n_ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast(LongType).as("n_re_tokens"))
+  }
+
+  val textTokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens
+      |FROM documents""".stripMargin
+
+  /** Quality scoring: length/stopword/word-shape ratios + composite
+    * score. All ratios are single double divisions (deterministic). */
+  def textQuality: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .withColumn("n_words", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("n_stop",
+        expr(s"size(filter(split(text, ' '), w -> w IN (${sqlList(stoplist)})))")
+          .cast(LongType))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        ((length(col("text")) - (col("n_words") - 1)) / col("n_words")).as("avg_word_len"),
+        (col("n_stop") / col("n_words")).as("stop_ratio"),
+        (least(col("n_words") / 50.0, lit(1.0)) * 0.4
+          + (col("n_stop") / col("n_words")) * 0.3
+          + least(((length(col("text")) - (col("n_words") - 1)) / col("n_words")) / 8.0, lit(1.0)) * 0.3
+          ).as("quality_score"))
+  }
+
+  val textQualitySql: String =
+    s"""SELECT doc_id, n_words,
+       |  (length(text) - (n_words - 1)) / n_words AS avg_word_len,
+       |  n_stop / n_words AS stop_ratio,
+       |  least(n_words / 50.0, 1.0) * 0.4
+       |    + (n_stop / n_words) * 0.3
+       |    + least(((length(text) - (n_words - 1)) / n_words) / 8.0, 1.0) * 0.3 AS quality_score
+       |FROM (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(stoplist)}))) AS BIGINT) AS n_stop
+       |  FROM documents) sub""".stripMargin
+
+  /** Stopword-marker language ID: count marker-word hits per language,
+    * argmax with a fixed preference order, 'und' when nothing hits. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans"),
+    "es" -> Seq("el", "los", "las", "una", "por", "como"),
+    "zh" -> Seq("de5", "shi4", "le5"))
+
+  def textLangId: Q = (s, dir) => {
+    val base = markers.foldLeft(t(s, dir, "documents")) { case (df, (lg, ws)) =>
+      df.withColumn(s"c_$lg",
+        expr(s"size(filter(split(text, ' '), w -> w IN (${sqlList(ws)})))").cast(LongType))
+    }
+    val best = markers.map { case (lg, _) => col(s"c_$lg") }.reduce(greatest(_, _))
+    val pred = markers.foldRight(lit("und")) { case ((lg, _), acc) =>
+      when(col(s"c_$lg") > 0 && col(s"c_$lg") === best, lit(lg)).otherwise(acc)
+    }
+    // foldRight keeps 'en' as the outermost WHEN → ties prefer en,de,fr,es,zh
+    base.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+  }
+
+  val textLangIdSql: String = {
+    val counts = markers.map { case (lg, ws) =>
+      s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(ws)}))) AS BIGINT) AS c_$lg"
+    }.mkString(",\n    ")
+    val best = "greatest(" + markers.map { case (lg, _) => s"c_$lg" }.mkString(", ") + ")"
+    val cases = markers.map { case (lg, _) =>
+      s"WHEN c_$lg > 0 AND c_$lg = $best THEN '$lg'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id, lang,
+       |  CASE $cases ELSE 'und' END AS pred_lang
+       |FROM (
+       |  SELECT doc_id, lang, $counts
+       |  FROM documents) sub""".stripMargin
+  }
+
+  /** Document fingerprints: md5 of normalized text + the minimum
+    * word-3-gram shingle hash (the seed of the MinHash scheme). */
+  def textFingerprint: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .withColumn("norm", expr(normExpr))
+      .withColumn("ws", split(col("norm"), " "))
+      .select(
+        col("doc_id"),
+        md5(col("norm")).as("fp_md5"),
+        when(size(col("ws")) >= 3,
+          array_min(expr(
+            "transform(sequence(1, size(ws) - 2), i -> md5(concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2))))")))
+          .otherwise(md5(col("norm"))).as("fp_shingle_min"))
+  }
+
+  val textFingerprintSql: String =
+    s"""SELECT doc_id,
+       |  md5(norm) AS fp_md5,
+       |  CASE WHEN len(ws) >= 3
+       |    THEN list_min(list_transform(generate_series(1, len(ws) - 2),
+       |      i -> md5(ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])))
+       |    ELSE md5(norm) END AS fp_shingle_min
+       |FROM (
+       |  SELECT doc_id, $normSqlDuck AS norm,
+       |    string_split($normSqlDuck, ' ') AS ws
+       |  FROM documents) sub""".stripMargin
+
+  /** Exact dedup: group by normalized-text fingerprint, keep the
+    * minimum doc_id per group. Shuffles on the md5 key (uniform). */
+  def dedupExact: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .select(col("doc_id"), md5(expr(normExpr)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
+  }
+
+  val dedupExactSql: String =
+    s"""SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+       |FROM (SELECT doc_id, md5($normSqlDuck) AS fp FROM documents) sub
+       |GROUP BY fp""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "text_tokencount" -> textTokenCount,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangId,
+    "text_fingerprint" -> textFingerprint,
+    "dedup_exact" -> dedupExact)
+
+  val oracles: Map[String, String] = Map(
+    "text_tokencount" -> textTokenCountSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangIdSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "dedup_exact" -> dedupExactSql)
+}
