@@ -15,11 +15,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.functions.TextOps.queries
+      graft.functions.TextOps.queries ++
+      graft.operators.Dedup.queries ++
+      graft.operators.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
-      graft.functions.TextOps.oracles
+      graft.functions.TextOps.oracles ++
+      graft.operators.Dedup.oracles ++
+      graft.operators.Similarity.oracles
 }

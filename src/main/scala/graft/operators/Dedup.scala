@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Near-duplicate detection for the training-data pipeline
+  * (SURVEY.md §2C): MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale posture: never O(n²). Candidate pairs come from equi-joins on
+  * LSH bucket keys (band hashes / fingerprint bands / rare shingles),
+  * so the shuffle is keyed by bucket and the pair count is bounded by
+  * per-bucket membership, not by the corpus size. Verification
+  * (Jaccard / hamming) runs only on candidates.
+  *
+  * All hashing is md5-based so the DuckDB oracle can replay the exact
+  * same pipeline — even the MinHash signatures are oracle-checked.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val H = 8 // minhash functions
+  private val BANDS = 4 // bands of 2 rows each
+
+  /** (doc_id, sh): distinct word n-gram shingles per document. */
+  private def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val concatExpr = (1 to n).map(j => s"element_at(ws, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")")
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), i -> $concatExpr))")).as("sh"))
+  }
+
+  /** DuckDB twin of [[shingles]]. */
+  private def shinglesSql(n: Int): String = {
+    val concatExpr = (1 to n).map(j => s"ws[i + ${j - 1}]").mkString(" || ' ' || ")
+    s"""SELECT DISTINCT doc_id, sh FROM (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - ${n - 1}),
+       |    i -> $concatExpr)) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |  WHERE len(ws) >= $n)""".stripMargin
+  }
+
+  /** MinHash + LSH banding + verified Jaccard on candidates.
+    * sig_i = min over shingles of the first 16 hex chars of
+    * md5("i:" ++ shingle); band hash = md5(sig_2b ++ sig_2b+1). */
+  def dedupMinhashLsh: Q = (s, dir) => {
+    val sh = shingles(t(s, dir, "documents"), 3)
+    val sigAggs = (0 until H).map(i =>
+      min(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 16)).as(s"h$i"))
+    val sigs = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until BANDS).map(b =>
+      struct(lit(b).as("band"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh")))
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("s"))
+      .select(col("doc_id"), col("s.band").as("band"), col("s.bh").as("bh"))
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    withJaccard(cand, sh)
+  }
+
+  /** Attach verified Jaccard over shingle sets to candidate pairs.
+    * Intersections are computed candidates-only (cand ⋈ shingles ⋈
+    * shingles on equal shingle), never all-pairs. */
+  private def withJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.toDF("id_a", "sh"), "id_a")
+      .join(sh.toDF("id_b", "sh"), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnt.toDF("id_a", "n_a"), "id_a")
+      .join(cnt.toDF("id_b", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
+
+  private def jaccardSql(candCte: String, shingleN: Int): String =
+    s"""WITH sh AS (${shinglesSql(shingleN)}),
+       |$candCte,
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+       |  GROUP BY c.id_a, c.id_b)
+       |SELECT i.id_a, i.id_b, i.n_inter,
+       |  i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter) AS jaccard
+       |FROM inter i
+       |JOIN cnt ca ON ca.doc_id = i.id_a
+       |JOIN cnt cb ON cb.doc_id = i.id_b""".stripMargin
+
+  val dedupMinhashLshSql: String = {
+    val sigCols = (0 until H)
+      .map(i => s"min(substr(md5('$i:' || sh), 1, 16)) AS h$i").mkString(", ")
+    val bandSelects = (0 until BANDS)
+      .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
+      .mkString("\n  UNION ALL ")
+    val candCte =
+      s"""sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+    jaccardSql(candCte, 3)
+  }
+
+  /** Word-4-gram Jaccard: candidates = pairs sharing at least one
+    * 4-gram (inverted-index self-join on the shingle). */
+  def dedupNgramJaccard: Q = (s, dir) => {
+    val sh = shingles(t(s, dir, "documents"), 4)
+    val cand = sh.toDF("id_a", "sh").join(sh.toDF("id_b", "sh"), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    withJaccard(cand, sh)
+  }
+
+  val dedupNgramJaccardSql: String = {
+    val candCte =
+      """cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id)""".stripMargin
+    jaccardSql(candCte, 4)
+  }
+
+  private val SIMHASH_DIMS = 32
+
+  /** 32-dim SimHash from md5 hex digits: dimension d votes +1 when hex
+    * digit d of md5(word) is >= '8', else -1; bit d is set when the
+    * vote sum is positive. Near-dup candidates share one of four 8-bit
+    * fingerprint bands; pairs are kept when hamming distance <= 3. */
+  def dedupSimhash: Q = (s, dir) => {
+    val base = t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n", size(col("ws")).cast(LongType))
+    val withCnt = (0 until SIMHASH_DIMS).foldLeft(base) { (df, d) =>
+      df.withColumn(s"cnt$d",
+        expr(s"size(filter(ws, w -> substring(md5(w), ${d + 1}, 1) >= '8'))").cast(LongType))
+    }
+    val fp = (0 until SIMHASH_DIMS).map(d =>
+      when(col(s"cnt$d") * 2 > col("n"), lit(1L << d)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val fps = withCnt.select(col("doc_id"), fp.as("fp"))
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band"), (shiftright(col("fp"), 8 * b).bitwiseAND(lit(255L))).as("bv")))
+    val bands = fps
+      .select(col("doc_id"), col("fp"), explode(array(bandCols: _*)).as("s"))
+      .select(col("doc_id"), col("fp"), col("s.band").as("band"), col("s.bv").as("bv"))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast(LongType))
+      .filter(col("hamming") <= 3)
+  }
+
+  val dedupSimhashSql: String = {
+    val cnts = (0 until SIMHASH_DIMS).map(d =>
+      s"CAST(len(list_filter(ws, w -> substr(md5(w), ${d + 1}, 1) >= '8')) AS BIGINT) AS cnt$d")
+      .mkString(",\n    ")
+    val fpExpr = (0 until SIMHASH_DIMS).map(d =>
+      s"CASE WHEN cnt$d * 2 > n THEN CAST(${1L << d} AS BIGINT) ELSE 0 END").mkString(" + ")
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, fp, $b AS band, (fp >> ${8 * b}) & 255 AS bv FROM fps")
+      .mkString("\n  UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+       |    $cnts
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |fps AS (SELECT doc_id, $fpExpr AS fp FROM base),
+       |bands AS (
+       |  $bandSelects)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fp_a, b.fp AS fp_b,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_simhash" -> dedupSimhash)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_simhash" -> dedupSimhashSql)
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search + embedding near-dup over `embeddings`
+  * (SURVEY.md §2C).
+  *
+  * Dot products run through `zip_with`/`aggregate` higher-order
+  * functions (codegen'd, no UDF). Cross-engine float parity: ranks are
+  * taken over round(cos, 9) with a vec_id tiebreak and reported values
+  * are round(cos, 6), so sub-ulp fold-order differences between Spark
+  * and the DuckDB oracle cannot flip results.
+  *
+  * Scale posture: the query set is broadcast (small side), so
+  * brute-force scoring is map-side over the big table; only the
+  * per-query candidate rows shuffle into the window top-k. The LSH
+  * variant buckets both sides by an 8-bit sign signature first, so at
+  * 100 TB each query scores only its bucket (~1/256 of the corpus).
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val DIMS = 64
+  private val NQUERIES = 10
+
+  /** embedding as array<double> plus its L2 norm. */
+  private def withVec(df: DataFrame): DataFrame =
+    df.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")))
+
+  /** 8-bit sign-signature bucket over the first 8 dimensions. */
+  private def bucketCol: Column =
+    (0 until 8).map(d =>
+      when(element_at(col("v"), d + 1) >= 0d, lit(1L << d)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  private val bucketSql: String =
+    (0 until 8).map(d => s"CASE WHEN embedding[${d + 1}] >= 0 THEN CAST(${1L << d} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+  private val dotSqlDuck: String =
+    s"list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(qa.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
+
+  private val normSqlDuck: String =
+    s"sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  /** Exact brute-force cosine top-5 for the first 10 vectors. */
+  def simTopKBruteforce: Q = (s, dir) => {
+    val emb = withVec(t(s, dir, "embeddings"))
+    val q = emb.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(dotExpr("qv", "v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(round(col("cos"), 9).desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rank"))
+  }
+
+  val simTopKBruteforceSql: String =
+    s"""SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT qa.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    round($dotSqlDuck / (qa.nrm * e.nrm), 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY qa.vec_id
+       |      ORDER BY round($dotSqlDuck / (qa.nrm * e.nrm), 9) DESC, e.vec_id) AS rank
+       |  FROM (SELECT vec_id, embedding, $normSqlDuck AS nrm FROM embeddings WHERE vec_id < $NQUERIES) qa
+       |  JOIN (SELECT vec_id, embedding, $normSqlDuck AS nrm FROM embeddings) e
+       |    ON e.vec_id <> qa.vec_id) sub
+       |WHERE rank <= 5""".stripMargin
+
+  /** LSH-bucketed approximate top-3: queries only score vectors in
+    * their own sign bucket. */
+  def simLshBucketed: Q = (s, dir) => {
+    val emb = withVec(t(s, dir, "embeddings")).withColumn("bkt", bucketCol)
+    val q = emb.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("bkt").as("qbkt"))
+    val scored = emb.join(broadcast(q),
+      col("bkt") === col("qbkt") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(dotExpr("qv", "v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(round(col("cos"), 9).desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rank"))
+  }
+
+  val simLshBucketedSql: String =
+    s"""SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT qa.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    round($dotSqlDuck / (qa.nrm * e.nrm), 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY qa.vec_id
+       |      ORDER BY round($dotSqlDuck / (qa.nrm * e.nrm), 9) DESC, e.vec_id) AS rank
+       |  FROM (SELECT vec_id, embedding, $normSqlDuck AS nrm, $bucketSql AS bkt
+       |        FROM embeddings WHERE vec_id < $NQUERIES) qa
+       |  JOIN (SELECT vec_id, embedding, $normSqlDuck AS nrm, $bucketSql AS bkt
+       |        FROM embeddings) e
+       |    ON e.bkt = qa.bkt AND e.vec_id <> qa.vec_id) sub
+       |WHERE rank <= 3""".stripMargin
+
+  /** Embedding near-duplicate pairs: candidates share the 8-bit sign
+    * bucket; cosine >= 0.3 (rounded) flags a near-dup. */
+  def dedupEmbedding: Q = (s, dir) => {
+    val emb = withVec(t(s, dir, "embeddings")).withColumn("bkt", bucketCol)
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"), col("bkt"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
+      col("bkt").as("bkt_b"))
+    a.join(b, col("bkt") === col("bkt_b") && col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(expr(dotExpr("va", "vb")) / (col("na") * col("nb")), 6))
+      .select(col("id_a"), col("id_b"), col("cos_sim"),
+        (col("cos_sim") >= 0.3).as("is_near_dup"))
+  }
+
+  val dedupEmbeddingSql: String = {
+    val dot =
+      s"list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round($dot / (a.nrm * b.nrm), 6) AS cos_sim,
+       |  round($dot / (a.nrm * b.nrm), 6) >= 0.3 AS is_near_dup
+       |FROM (SELECT vec_id, embedding, $normSqlDuck AS nrm, $bucketSql AS bkt FROM embeddings) a
+       |JOIN (SELECT vec_id, embedding, $normSqlDuck AS nrm, $bucketSql AS bkt FROM embeddings) b
+       |  ON a.bkt = b.bkt AND a.vec_id < b.vec_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_topk_bruteforce" -> simTopKBruteforce,
+    "sim_lsh_bucketed" -> simLshBucketed,
+    "dedup_embedding" -> dedupEmbedding)
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_bruteforce" -> simTopKBruteforceSql,
+    "sim_lsh_bucketed" -> simLshBucketedSql,
+    "dedup_embedding" -> dedupEmbeddingSql)
+}
