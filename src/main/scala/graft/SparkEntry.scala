@@ -17,7 +17,9 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.functions.TextOps.queries ++
       graft.operators.Dedup.queries ++
-      graft.operators.Similarity.queries
+      graft.operators.Similarity.queries ++
+      graft.operators.GridOps.queries ++
+      graft.sources.netcdf.NcQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -25,5 +27,7 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.functions.TextOps.oracles ++
       graft.operators.Dedup.oracles ++
-      graft.operators.Similarity.oracles
+      graft.operators.Similarity.oracles ++
+      graft.operators.GridOps.oracles ++
+      graft.sources.netcdf.NcQueries.oracles
 }

@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Chunked-grid model: the Spark-native analogue of the reference's
+  * in-memory streamed variable (SURVEY.md §3). One row per chunk:
+  * (variable, chunk_idx, origin, shape, values), streamed dimension
+  * chunked at `chunkSize` — the `chunk_dimension`/`chunk_size_mb`
+  * pairing of `NetCDF4StreamerVariable`.
+  *
+  * All grid operators are per-chunk (map-side) or partial-aggregating;
+  * no operator ever materializes a whole variable in one task.
+  * Chunk construction here derives the stream index with a global
+  * row_number for oracle determinism; at 100 TB the index comes from
+  * the data itself (timestamps, file offsets — e.g. the netcdf3
+  * source's `record` column), which keeps the groupBy fully parallel.
+  */
+object GridOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tabular → chunked grid (`streamPandasData` analogue). */
+  def tableToGrid(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      valueCol: Column,
+      varName: String,
+      chunkSize: Int): DataFrame = {
+    val w = Window.orderBy(orderCols: _*)
+    df.select(orderCols :+ valueCol.cast(DoubleType).as("v"): _*)
+      .withColumn("idx", row_number().over(w).cast(LongType) - 1)
+      .select("idx", "v")
+      .groupBy(floor(col("idx") / chunkSize).as("chunk_idx"))
+      .agg(expr("transform(array_sort(collect_list(struct(idx, v))), s -> s.v)").as("values"),
+        min(col("idx")).as("origin"))
+      .select(lit(varName).as("variable"), col("chunk_idx"), col("origin"),
+        size(col("values")).cast(LongType).as("shape"), col("values"))
+  }
+
+  /** Chunked grid → tabular (`yieldPandasData` analogue): global
+    * stream index + value, reconstructed per chunk (map-side explode). */
+  def gridToTable(grid: DataFrame): DataFrame =
+    grid.select(col("variable"), col("origin"), posexplode(col("values")).as(Seq("pos", "value")))
+      .select(col("variable"), (col("origin") + col("pos")).as("idx"), col("value"))
+
+  /** isel-style slice [lo, hi) along the streamed dimension with chunk
+    * pruning: whole chunks outside the range are skipped before any
+    * explode. */
+  def slice(grid: DataFrame, lo: Long, hi: Long): DataFrame =
+    gridToTable(grid.filter(col("origin") < hi && col("origin") + col("shape") > lo))
+      .filter(col("idx") >= lo && col("idx") < hi)
+
+  /** Per-variable stats from chunk rows only (partial-aggregating:
+    * each chunk contributes its local min/max/sum/count). */
+  def stats(grid: DataFrame): DataFrame =
+    grid
+      .select(col("variable"), col("shape"),
+        expr("array_min(values)").as("cmin"),
+        expr("array_max(values)").as("cmax"),
+        expr("aggregate(values, CAST(0 AS DECIMAL(28,2)), (acc, x) -> CAST(acc + CAST(x AS DECIMAL(9,2)) AS DECIMAL(28,2)))").as("csum"))
+      .groupBy("variable")
+      .agg(sum(col("shape")).as("n"),
+        min(col("cmin")).as("vmin"),
+        max(col("cmax")).as("vmax"),
+        sum(col("csum")).cast(DoubleType).as("vsum"))
+
+  // ------------------------------------------------------------ queries
+
+  private val CHUNK = 512
+
+  private def liOrdered(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+
+  private val orderCols = Seq(col("l_orderkey"), col("l_linenumber"))
+
+  private def qtyGrid(s: SparkSession, dir: String): DataFrame =
+    tableToGrid(liOrdered(s, dir), orderCols, col("l_quantity"), "l_quantity", CHUNK)
+
+  /** Chunk rows with an order-sensitive content hash (int-cast values
+    * joined by ',' then md5) — proves chunk content AND order. */
+  def gridTableToGrid: Q = (s, dir) => {
+    qtyGrid(s, dir).select(
+      col("variable"), col("chunk_idx"), col("origin"), col("shape"),
+      md5(concat_ws(",", expr("transform(values, x -> CAST(CAST(x AS INT) AS STRING))")))
+        .as("values_hash"),
+      expr("CAST(aggregate(values, CAST(0 AS DECIMAL(28,2)), (acc, x) -> CAST(acc + CAST(x AS DECIMAL(9,2)) AS DECIMAL(28,2))) AS DOUBLE)")
+        .as("sum_val"))
+  }
+
+  private val orderedCte =
+    """o AS (SELECT l_quantity AS v,
+      |  row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS idx
+      |  FROM lineitem)""".stripMargin
+
+  val gridTableToGridSql: String =
+    s"""WITH $orderedCte
+       |SELECT 'l_quantity' AS variable, idx // $CHUNK AS chunk_idx,
+       |  MIN(idx) AS origin, COUNT(*) AS shape,
+       |  md5(string_agg(CAST(CAST(v AS INT) AS VARCHAR), ',' ORDER BY idx)) AS values_hash,
+       |  CAST(SUM(CAST(v AS DECIMAL(9,2))) AS DOUBLE) AS sum_val
+       |FROM o GROUP BY idx // $CHUNK""".stripMargin
+
+  /** Chunk iteration over a second variable at a different chunk size
+    * (`yieldNumpyData(single_entity=False)`): one row per chunk with
+    * cent-exact content hash. */
+  def gridChunkIter: Q = (s, dir) => {
+    tableToGrid(liOrdered(s, dir), orderCols, col("l_extendedprice"), "l_extendedprice", 256)
+      .select(col("variable"), col("chunk_idx"), col("origin"), col("shape"),
+        md5(concat_ws(",",
+          expr("transform(values, x -> CAST(CAST(round(x * 100) AS BIGINT) AS STRING))")))
+          .as("values_hash"))
+  }
+
+  val gridChunkIterSql: String =
+    """WITH o AS (SELECT l_extendedprice AS v,
+      |  row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS idx
+      |  FROM lineitem)
+      |SELECT 'l_extendedprice' AS variable, idx // 256 AS chunk_idx,
+      |  MIN(idx) AS origin, COUNT(*) AS shape,
+      |  md5(string_agg(CAST(CAST(round(v * 100) AS BIGINT) AS VARCHAR), ',' ORDER BY idx)) AS values_hash
+      |FROM o GROUP BY idx // 256""".stripMargin
+
+  /** Slice [1000, 2500) of the chunked quantity grid. */
+  def gridSlice: Q = (s, dir) =>
+    slice(qtyGrid(s, dir), 1000L, 2500L).drop("variable")
+
+  val gridSliceSql: String =
+    s"""WITH $orderedCte
+       |SELECT idx, v AS value FROM o WHERE idx >= 1000 AND idx < 2500""".stripMargin
+
+  /** Full grid → table reconstruction (exact value passthrough). */
+  def gridGridToTable: Q = (s, dir) =>
+    gridToTable(qtyGrid(s, dir)).drop("variable")
+
+  val gridGridToTableSql: String =
+    s"""WITH $orderedCte
+       |SELECT idx, v AS value FROM o""".stripMargin
+
+  /** Distributed per-variable stats over two chunked variables. */
+  def gridStats: Q = (s, dir) => {
+    val g1 = qtyGrid(s, dir)
+    val g2 = tableToGrid(liOrdered(s, dir), orderCols, col("l_extendedprice"), "l_extendedprice", CHUNK)
+    stats(g1.unionAll(g2))
+  }
+
+  val gridStatsSql: String =
+    """SELECT variable, COUNT(*) AS n, MIN(v) AS vmin, MAX(v) AS vmax,
+      |  CAST(SUM(CAST(v AS DECIMAL(9,2))) AS DOUBLE) AS vsum
+      |FROM (
+      |  SELECT 'l_quantity' AS variable, l_quantity AS v FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_extendedprice' AS variable, l_extendedprice AS v FROM lineitem) u
+      |GROUP BY variable""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "grid_table_to_grid" -> gridTableToGrid,
+    "grid_chunk_iter" -> gridChunkIter,
+    "grid_slice" -> gridSlice,
+    "grid_grid_to_table" -> gridGridToTable,
+    "grid_stats" -> gridStats)
+
+  val oracles: Map[String, String] = Map(
+    "grid_table_to_grid" -> gridTableToGridSql,
+    "grid_chunk_iter" -> gridChunkIterSql,
+    "grid_slice" -> gridSliceSql,
+    "grid_grid_to_table" -> gridGridToTableSql,
+    "grid_stats" -> gridStatsSql)
+}

@@ -1,0 +1,216 @@
+package graft.sources.netcdf
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.SparkContext
+
+/** DataSourceV2 for directories of classic NetCDF files:
+  * `spark.read.format("netcdf3").load(dir)`.
+  *
+  * One InputPartition per chunk-aligned record range of each part file
+  * — the distributed generalization of the reference's chunked
+  * `yieldNumpyData` iteration. Supports
+  *  - variable pruning (SupportsPushDownRequiredColumns): only the
+  *    requested variables are decoded from each record;
+  *  - record-range predicate pushdown (SupportsPushDownFilters) on the
+  *    virtual `record` column (the global record index): >,>=,<,<=,=
+  *    bounds prune whole chunks/files at planning time, so a slice of
+  *    a 100 TB variable touches only the covering byte ranges.
+  *
+  * The write side lives in [[NcIO]] (a distributed job that streams
+  * each partition into its own part file through a chunk buffer).
+  *
+  * Options: `chunkBytes` (read buffer, default 4 MiB),
+  * `recordsPerPartition` (override split granularity).
+  */
+class NetCDF3Source extends TableProvider with sources.DataSourceRegister {
+
+  override def shortName(): String = "netcdf3"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = options.get("path")
+    require(dir != null, "netcdf3 requires a path")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(SparkContext.getOrCreate().hadoopConfiguration)
+    val files = NetCDF3Util.listNcFiles(fs, p)
+    require(files.nonEmpty, s"no .nc files under $dir")
+    val meta = NcFormat.readMeta(fs, files.head)
+    StructType(StructField("record", LongType, nullable = false) +:
+      meta.sparkSchema.fields.toSeq)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new NetCDF3Table(schema, properties.get("path"))
+}
+
+object NetCDF3Util {
+  def listNcFiles(fs: FileSystem, dir: Path): Seq[Path] = {
+    if (!fs.exists(dir)) return Seq.empty
+    val st = fs.getFileStatus(dir)
+    if (st.isFile) Seq(dir)
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".nc"))
+      .map(_.getPath)
+      .sortBy(_.getName)
+  }
+}
+
+class NetCDF3Table(tableSchema: StructType, dir: String) extends Table with SupportsRead {
+
+  override def name(): String = s"netcdf3:$dir"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NcScanBuilder(tableSchema, dir, options.asScala.toMap)
+}
+
+class NcScanBuilder(fullSchema: StructType, dir: String, options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var lower: Long = 0L
+  private var upper: Long = Long.MaxValue
+  private var pushed: Array[sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept exact record-index bounds; everything else stays post-scan. */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    def bound(v: Any): Option[Long] = v match {
+      case n: Number => Some(n.longValue())
+      case _ => None
+    }
+    val (accepted, rest) = filters.partition {
+      case sources.GreaterThan("record", v) => bound(v).isDefined
+      case sources.GreaterThanOrEqual("record", v) => bound(v).isDefined
+      case sources.LessThan("record", v) => bound(v).isDefined
+      case sources.LessThanOrEqual("record", v) => bound(v).isDefined
+      case sources.EqualTo("record", v) => bound(v).isDefined
+      case _ => false
+    }
+    accepted.foreach {
+      case sources.GreaterThan("record", v) => lower = math.max(lower, bound(v).get + 1)
+      case sources.GreaterThanOrEqual("record", v) => lower = math.max(lower, bound(v).get)
+      case sources.LessThan("record", v) => upper = math.min(upper, bound(v).get)
+      case sources.LessThanOrEqual("record", v) => upper = math.min(upper, bound(v).get + 1)
+      case sources.EqualTo("record", v) =>
+        lower = math.max(lower, bound(v).get); upper = math.min(upper, bound(v).get + 1)
+      case _ =>
+    }
+    pushed = accepted
+    rest
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan = new NcScan(required, dir, lower, upper, options)
+}
+
+case class NcInputPartition(
+    file: String,
+    localStart: Long, // record range within the file
+    localEnd: Long,
+    fileOffset: Long, // global index of the file's record 0
+    chunkBytes: Int) extends InputPartition
+
+class NcScan(required: StructType, dir: String, lower: Long, upper: Long,
+    options: Map[String, String]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val hi = if (upper == Long.MaxValue) "inf" else upper.toString
+    s"netcdf3 $dir records=[$lower,$hi) vars=[${required.fieldNames.mkString(",")}]"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val chunkBytes = options.getOrElse("chunkbytes", (4 << 20).toString).toInt
+    val p = new Path(dir)
+    val fs = p.getFileSystem(SparkContext.getOrCreate().hadoopConfiguration)
+    val files = NetCDF3Util.listNcFiles(fs, p)
+    var offset = 0L
+    val parts = Array.newBuilder[InputPartition]
+    files.foreach { f =>
+      val meta = NcFormat.readMeta(fs, f)
+      val lo = math.max(lower, offset)
+      val hi = math.min(upper, offset + meta.numRecs)
+      if (lo < hi) {
+        val perPart = options.get("recordsperpartition").map(_.toLong)
+          .getOrElse(math.max(1L, chunkBytes.toLong * 4 / math.max(meta.recSize, 1L)))
+        var s = lo
+        while (s < hi) {
+          val e = math.min(s + perPart, hi)
+          parts += NcInputPartition(f.toString, s - offset, e - offset, offset, chunkBytes)
+          s = e
+        }
+      }
+      offset += meta.numRecs
+    }
+    parts.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NcReaderFactory(required)
+}
+
+class NcReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new NcPartitionReader(partition.asInstanceOf[NcInputPartition], required)
+}
+
+class NcPartitionReader(part: NcInputPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val path = new Path(part.file)
+  private val fs = path.getFileSystem(new Configuration())
+  private val meta = NcFormat.readMeta(fs, path)
+  private val varNames = required.fieldNames.filterNot(_ == "record").toSeq
+  private val reader = new NcFormat.RangeReader(
+    fs, path, meta, part.localStart, part.localEnd, varNames, part.chunkBytes)
+
+  private var inChunk = 0
+  private var chunkSize = 0
+  private val row =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.size)
+
+  override def next(): Boolean = {
+    if (inChunk >= chunkSize) {
+      if (!reader.hasNext) return false
+      chunkSize = reader.loadChunk()
+      inChunk = 0
+    }
+    var out = 0
+    var slot = 0
+    required.fieldNames.foreach { fn =>
+      if (fn == "record") {
+        row.update(out, part.fileOffset + reader.chunkStartRecord + inChunk)
+      } else {
+        row.update(out, reader.getValue(slot, inChunk))
+        slot += 1
+      }
+      out += 1
+    }
+    inChunk += 1
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.sources.netcdf.NcIO
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class NcSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def li = spark.read.parquet(s"$sf/lineitem.parquet")
+    .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice").cast("float").as("price_f"))
+
+  test("nc roundtrip preserves rows and values") {
+    val dir = "/tmp/graft_nc_spec/roundtrip"
+    val src = li.repartition(4)
+    NcIO.write(src, dir)
+    val back = spark.read.format("graft.sources.netcdf.NetCDF3Source").load(dir)
+    assert(back.count() == src.count())
+    assert(back.columns.toSet == Set("record", "l_orderkey", "l_linenumber", "l_quantity", "price_f"))
+    val a = src.agg(sum("l_orderkey"), sum("l_quantity"), sum("l_linenumber")).head()
+    val b = back.agg(sum("l_orderkey"), sum("l_quantity"), sum("l_linenumber")).head()
+    assert(a == b)
+    // dtype fidelity
+    assert(back.schema("l_orderkey").dataType.typeName == "long")
+    assert(back.schema("price_f").dataType.typeName == "float")
+    assert(back.schema("l_quantity").dataType.typeName == "double")
+  }
+
+  test("record-range pushdown prunes and returns the exact slice") {
+    val dir = "/tmp/graft_nc_spec/slice"
+    NcIO.write(li.repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber"), dir)
+    val back = spark.read.format("graft.sources.netcdf.NetCDF3Source").load(dir)
+    val sliced = back.filter(col("record") >= 100L && col("record") < 200L)
+    assert(sliced.count() == 100)
+    assert(sliced.agg(min("record"), max("record")).head() ==
+      org.apache.spark.sql.Row(100L, 199L))
+    // pushdown visible in the plan
+    val plan = sliced.queryExecution.executedPlan.toString
+    assert(plan.contains("netcdf3"), plan.take(500))
+  }
+
+  test("variable pruning reads only requested vars") {
+    val dir = "/tmp/graft_nc_spec/prune"
+    NcIO.write(li.repartition(2), dir)
+    val back = spark.read.format("graft.sources.netcdf.NetCDF3Source").load(dir)
+      .select("l_quantity")
+    assert(back.schema.fieldNames.toSeq == Seq("l_quantity"))
+    val expected = li.agg(sum("l_quantity")).head().getDouble(0)
+    assert(back.agg(sum("l_quantity")).head().getDouble(0) == expected)
+  }
+
+  test("chunked multi-partition read covers all records exactly once") {
+    val dir = "/tmp/graft_nc_spec/chunks"
+    NcIO.write(li.repartition(3), dir, chunkBytes = 1 << 12)
+    val back = spark.read.format("graft.sources.netcdf.NetCDF3Source")
+      .option("recordsPerPartition", "97")
+      .load(dir)
+    assert(back.select("record").distinct().count() == li.count())
+    assert(back.count() == li.count())
+  }
+}
