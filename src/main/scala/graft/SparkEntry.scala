@@ -19,7 +19,9 @@ object SparkEntry {
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
       graft.operators.GridOps.queries ++
-      graft.sources.netcdf.NcQueries.queries
+      graft.sources.netcdf.NcQueries.queries ++
+      graft.streaming.Streams.queries ++
+      graft.operators.MmPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -29,5 +31,7 @@ object SparkEntry {
       graft.operators.Dedup.oracles ++
       graft.operators.Similarity.oracles ++
       graft.operators.GridOps.oracles ++
-      graft.sources.netcdf.NcQueries.oracles
+      graft.sources.netcdf.NcQueries.oracles ++
+      graft.streaming.Streams.oracles ++
+      graft.operators.MmPipeline.oracles
 }

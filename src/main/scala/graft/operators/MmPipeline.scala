@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column pipeline (SURVEY.md §2C): treat media as opaque
+  * binary columns with typed metadata, decode in batched partition-local
+  * calls, emit typed features.
+  *
+  * The Spark-side plumbing is real: binary payload column + mime
+  * metadata, `Dataset[MmInput]` → `mapPartitions` with explicit
+  * batching (the shape a native codec binding needs: one JNI/library
+  * call per batch, not per row) → typed `Dataset[MmFeatures]`. The
+  * codec itself is a clearly-marked deterministic STUB — this
+  * container has no image/audio libraries — computing pseudo-features
+  * from payload bytes, so the whole pipeline stays oracle-checkable.
+  *
+  * Scale posture: decode is embarrassingly parallel map-side work; the
+  * batch size bounds peak memory per task, and no shuffle occurs until
+  * after features are extracted (features are ~bytes, payloads ~MB —
+  * shuffling features instead of payloads is the point).
+  */
+object MmPipeline {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  case class MmInput(doc_id: Long, payload: Array[Byte], mime: String)
+  case class MmFeatures(doc_id: Long, width: Int, height: Int, channels: Int,
+      mean_intensity: Double)
+
+  /** Batched decode boundary — a real deployment binds an image codec
+    * here (one native call per batch). */
+  trait MmCodec extends Serializable {
+    def decodeBatch(batch: Seq[MmInput]): Seq[MmFeatures]
+  }
+
+  /** STUB codec: deterministic pseudo-decode from payload bytes
+    * (stands in for `???` — no media libraries in this container). */
+  object StubCodec extends MmCodec {
+    override def decodeBatch(batch: Seq[MmInput]): Seq[MmFeatures] =
+      batch.map { in =>
+        val len = in.payload.length
+        val first = if (len > 0) in.payload(0) & 0xff else 0
+        val last = if (len > 0) in.payload(len - 1) & 0xff else 0
+        MmFeatures(
+          in.doc_id,
+          width = 64 + len % 512,
+          height = 64 + (first * 31 + last) % 512,
+          channels = 3,
+          mean_intensity =
+            if (len == 0) 0d
+            else in.payload.map(b => (b & 0xff).toLong).sum.toDouble / len)
+      }
+  }
+
+  val BATCH_SIZE = 64
+
+  /** The pipeline: payload column → batched decode → typed features. */
+  def decodePipeline(input: Dataset[MmInput], codec: MmCodec = StubCodec): Dataset[MmFeatures] = {
+    import input.sparkSession.implicits._
+    input.mapPartitions(_.grouped(BATCH_SIZE).flatMap(codec.decodeBatch))
+  }
+
+  /** Driver-contract query: documents' text bytes stand in for media
+    * payloads; the oracle replays the stub arithmetic in SQL (ASCII
+    * text ⇒ bytes == character codes). */
+  def mmDecodePipeline: Q = (s, dir) => {
+    import s.implicits._
+    val input = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("image/stub").as("mime"))
+      .as[MmInput]
+    decodePipeline(input).toDF()
+  }
+
+  val mmDecodePipelineSql: String =
+    """SELECT doc_id,
+      |  64 + length(text) % 512 AS width,
+      |  64 + (ascii(substr(text, 1, 1)) * 31 + ascii(substr(text, length(text), 1))) % 512 AS height,
+      |  3 AS channels,
+      |  list_sum(list_transform(generate_series(1, length(text)), i -> ascii(substr(text, i, 1)))) / length(text) AS mean_intensity
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, Q] = Map("mm_decode_pipeline" -> mmDecodePipeline)
+  val oracles: Map[String, String] = Map("mm_decode_pipeline" -> mmDecodePipelineSql)
+}

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators (SURVEY.md §2D).
+  *
+  * Each operator is defined once against an unbounded DataFrame
+  * (`readStream`-compatible: watermark + event-time semantics) and has
+  * a batch twin in [[queries]] that the driver's DuckDB oracle checks.
+  * StreamingSpec drives the streaming forms through a memory sink with
+  * `processAllAvailable()`.
+  *
+  * Scale posture: all three are keyed-state operators — state is
+  * partitioned by the grouping key across executors, watermarks bound
+  * state size, and `flatMapGroupsWithState` holds one small session
+  * buffer per active user, not per event.
+  */
+object Streams {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // -------------------------------------------------- streaming forms
+
+  /** Tumbling 1-hour event-time window aggregation with a 10-minute
+    * watermark. */
+  def windowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Streaming dedup: first event per (user_id, event_type) within the
+    * watermark horizon. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+
+  case class Ev(user_id: Long, event_id: Long, us: Long)
+  case class Session(user_id: Long, session_start_us: Long, n_events: Long)
+
+  /** Gap-based sessionization (30-minute inactivity) via
+    * flatMapGroupsWithState: per-user state holds only the open
+    * session; closed sessions are emitted as they complete. */
+  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = 1800L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[Ev], state: GroupState[(Long, Long, Long)]) => {
+          // state = (sessionStartUs, lastUs, count)
+          var st = state.getOption.getOrElse((-1L, -1L, 0L))
+          val closed = Seq.newBuilder[Session]
+          evs.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            st match {
+              case (-1L, _, _) => st = (e.us, e.us, 1L)
+              case (start, last, n) if e.us - last > gapUs =>
+                closed += Session(user, start, n)
+                st = (e.us, e.us, 1L)
+              case (start, _, n) => st = (start, e.us, n + 1L)
+            }
+          }
+          state.update(st)
+          closed.result().iterator
+        })
+  }
+
+  // ------------------------------------------------------- batch twins
+
+  /** Batch twin of [[windowAgg]] (same window() construct, no
+    * watermark needed on bounded input). */
+  def streamWindowAgg: Q = (s, dir) => {
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+  }
+
+  val streamWindowAggSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY date_trunc('hour', ts), event_type""".stripMargin
+
+  /** Batch twin of [[dedup]]: deterministic "first" = min event_id. */
+  def streamDedup: Q = (s, dir) => {
+    events(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n_events"))
+  }
+
+  val streamDedupSql: String =
+    """SELECT user_id, event_type, MIN(event_id) AS first_event_id,
+      |  COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY user_id, event_type""".stripMargin
+
+  /** Batch twin of [[sessionize]]: per-user session summary derived
+    * from the same 30-minute-gap session definition. */
+  def streamSessionize: Q = (s, dir) => {
+    graft.queries.Relational.q18Sessionize(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).as("total_events"))
+  }
+
+  val streamSessionizeSql: String =
+    """WITH sess AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events FROM (
+      |    SELECT user_id, ts,
+      |      CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |    FROM (
+      |      SELECT user_id, event_id, ts,
+      |        CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |             OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |        THEN 1 ELSE 0 END AS new_sess
+      |      FROM events) g) s
+      |  GROUP BY user_id, session_id)
+      |SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
+      |  CAST(SUM(n_events) AS BIGINT) AS total_events
+      |FROM sess GROUP BY user_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "stream_window_agg" -> streamWindowAgg,
+    "stream_dedup" -> streamDedup,
+    "stream_sessionize" -> streamSessionize)
+
+  val oracles: Map[String, String] = Map(
+    "stream_window_agg" -> streamWindowAggSql,
+    "stream_dedup" -> streamDedupSql,
+    "stream_sessionize" -> streamSessionizeSql)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the real streaming operators (readStream → transform →
+  * memory sink) and checks them against their batch twins. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def eventsBatch = Tables.events(spark, sf)
+
+  /** FileStreamSource needs a directory: stage the events file into a
+    * temp dir once, then stream it. */
+  private lazy val streamDir: String = {
+    val dir = java.nio.file.Paths.get("/tmp/graft_stream_events")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  /** Stream the events table as parquet-backed file stream with the
+    * post-conversion schema. */
+  private def eventsStream = {
+    // stream the raw files, then apply the same ns→µs conversion
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(streamDir)
+    if (raw.schema("ts").dataType.typeName == "long")
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  test("stream_window_agg matches its batch twin through a memory sink") {
+    val q = Streams.windowAgg(eventsStream)
+      .writeStream.outputMode("complete").format("memory").queryName("swa")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("swa")
+    val batch = Streams.streamWindowAgg(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stream_dedup emits one first-event row per key") {
+    val q = Streams.dedup(eventsStream)
+      .writeStream.outputMode("append").format("memory").queryName("sdd")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sdd")
+    val batchKeys = Streams.streamDedup(spark, sf)
+    assert(streamed.count() == batchKeys.count())
+    // streamed keeps exactly one row per (user_id, event_type)
+    assert(streamed.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).isEmpty)
+  }
+
+  test("stream_sessionize emits closed sessions consistent with the batch twin") {
+    import spark.implicits._
+    val evs = eventsStream
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+      .as[Streams.Ev]
+    val q = Streams.sessionize(evs)
+      .writeStream.outputMode("append").format("memory").queryName("ssz")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssz")
+    // every user's open (last) session stays in state: emitted = total - 1 per user
+    val batch = queries.Relational.q18Sessionize(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+    val expected = batch.agg(sum(col("n_sessions") - 1)).head().getLong(0)
+    assert(streamed.count() == expected)
+  }
+}
