@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuning tool: run one SparkEntry query by name, print wall time and
+  * the AQE-final formatted plan. Usage:
+  *   runMain graft.Explain <queryName> [sfDir] [explain|noexplain]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val showPlan = args.length <= 2 || args(2) == "explain"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    val t0 = System.nanoTime()
+    val n = df.count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    // second run to separate JIT/warmup from steady state
+    val t1 = System.nanoTime()
+    df.count()
+    val dt2 = (System.nanoTime() - t1) / 1e9
+    println(f"[explain] $name rows=$n cold=$dt%.2fs warm=$dt2%.2fs")
+    if (showPlan) println(df.queryExecution.executedPlan.toString.take(12000))
+    spark.stop()
+  }
+}

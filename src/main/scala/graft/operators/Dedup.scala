@@ -144,9 +144,12 @@ object Dedup {
     val base = t(s, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .withColumn("n", size(col("ws")).cast(LongType))
+      // hash each word once; the 32 per-dimension counts then only
+      // inspect hex digits of the precomputed hashes
+      .withColumn("hs", expr("transform(ws, w -> md5(w))"))
     val withCnt = (0 until SIMHASH_DIMS).foldLeft(base) { (df, d) =>
       df.withColumn(s"cnt$d",
-        expr(s"size(filter(ws, w -> substring(md5(w), ${d + 1}, 1) >= '8'))").cast(LongType))
+        expr(s"size(filter(hs, h -> substring(h, ${d + 1}, 1) >= '8'))").cast(LongType))
     }
     val fp = (0 until SIMHASH_DIMS).map(d =>
       when(col(s"cnt$d") * 2 > col("n"), lit(1L << d)).otherwise(lit(0L)))
@@ -163,14 +166,14 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
-      .distinct()
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast(LongType))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= 3) // prune before the distinct shuffle:
+      .distinct() // band buckets can be dense, hamming survivors are few
   }
 
   val dedupSimhashSql: String = {
     val cnts = (0 until SIMHASH_DIMS).map(d =>
-      s"CAST(len(list_filter(ws, w -> substr(md5(w), ${d + 1}, 1) >= '8')) AS BIGINT) AS cnt$d")
+      s"CAST(len(list_filter(hs, h -> substr(h, ${d + 1}, 1) >= '8')) AS BIGINT) AS cnt$d")
       .mkString(",\n    ")
     val fpExpr = (0 until SIMHASH_DIMS).map(d =>
       s"CASE WHEN cnt$d * 2 > n THEN CAST(${1L << d} AS BIGINT) ELSE 0 END").mkString(" + ")
@@ -180,7 +183,8 @@ object Dedup {
     s"""WITH base AS (
        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
        |    $cnts
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |  FROM (SELECT doc_id, ws, list_transform(ws, w -> md5(w)) AS hs
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
        |fps AS (SELECT doc_id, $fpExpr AS fp FROM base),
        |bands AS (
        |  $bandSelects)

@@ -50,7 +50,11 @@ object MmPipeline {
           channels = 3,
           mean_intensity =
             if (len == 0) 0d
-            else in.payload.map(b => (b & 0xff).toLong).sum.toDouble / len)
+            else {
+              var s = 0L; var i = 0
+              while (i < len) { s += in.payload(i) & 0xff; i += 1 }
+              s.toDouble / len
+            })
       }
   }
 
