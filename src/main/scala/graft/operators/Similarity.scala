@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables._
+import graft.functions.VectorExpressions.{vec_dot, vec_norm}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -9,8 +10,10 @@ import org.apache.spark.sql.types._
 /** Similarity search + embedding near-dup over `embeddings`
   * (SURVEY.md §2C).
   *
-  * Dot products run through `zip_with`/`aggregate` higher-order
-  * functions (codegen'd, no UDF). Cross-engine float parity: ranks are
+  * Dot products run through the native codegen'd
+  * [[graft.functions.VectorExpressions.DotProduct]] kernel (same
+  * sequential fold as the HOF/oracle formulation, so results are
+  * bit-identical). Cross-engine float parity: ranks are
   * taken over round(cos, 9) with a vec_id tiebreak and reported values
   * are round(cos, 6), so sub-ulp fold-order differences between Spark
   * and the DuckDB oracle cannot flip results.
@@ -28,10 +31,11 @@ object Similarity {
   private val DIMS = 64
   private val NQUERIES = 10
 
-  /** embedding as array<double> plus its L2 norm. */
+  /** embedding as array<double> plus its L2 norm (codegen'd kernel —
+    * same sequential fold as the HOF/oracle formulation). */
   private def withVec(df: DataFrame): DataFrame =
     df.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")))
+      .withColumn("nrm", vec_norm(col("v")))
 
   /** 8-bit sign-signature bucket over the first 8 dimensions. */
   private def bucketCol: Column =
@@ -43,8 +47,6 @@ object Similarity {
     (0 until 8).map(d => s"CASE WHEN embedding[${d + 1}] >= 0 THEN CAST(${1L << d} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
 
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
   private val dotSqlDuck: String =
     s"list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(qa.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
@@ -58,7 +60,7 @@ object Similarity {
     val q = emb.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", expr(dotExpr("qv", "v")) / (col("qn") * col("nrm")))
+      .withColumn("cos", vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
     val w = Window.partitionBy("query_id").orderBy(round(col("cos"), 9).desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w).cast(LongType))
@@ -87,7 +89,7 @@ object Similarity {
         col("bkt").as("qbkt"))
     val scored = emb.join(broadcast(q),
       col("bkt") === col("qbkt") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", expr(dotExpr("qv", "v")) / (col("qn") * col("nrm")))
+      .withColumn("cos", vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
     val w = Window.partitionBy("query_id").orderBy(round(col("cos"), 9).desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w).cast(LongType))
@@ -117,7 +119,7 @@ object Similarity {
     val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
       col("bkt").as("bkt_b"))
     a.join(b, col("bkt") === col("bkt_b") && col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(expr(dotExpr("va", "vb")) / (col("na") * col("nb")), 6))
+      .withColumn("cos_sim", round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .select(col("id_a"), col("id_b"), col("cos_sim"),
         (col("cos_sim") >= 0.3).as("is_near_dup"))
   }
