@@ -54,19 +54,24 @@ object Similarity {
   private val normSqlDuck: String =
     s"sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
-  /** Exact brute-force cosine top-5 for the first 10 vectors. */
+  /** Exact brute-force cosine top-5 for the first 10 vectors.
+    * Scoring is map-side (queries broadcast); ranking uses the bounded
+    * [[graft.functions.TopK]] aggregate, so only <=k rows per query
+    * reach the shuffle — the 100 TB-safe shape (a window row_number
+    * would shuffle every scored candidate). */
   def simTopKBruteforce: Q = (s, dir) => {
     val emb = withVec(t(s, dir, "embeddings"))
     val q = emb.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-    val w = Window.partitionBy("query_id").orderBy(round(col("cos"), 9).desc, col("vec_id"))
     scored
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cos_sim"), col("rank"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topk(5)(
+        round(col("cos"), 9), col("vec_id"), round(col("cos"), 6)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("neighbor_id"),
+        col("e._3").as("cos_sim"), (col("pos") + 1).cast(LongType).as("rank"))
   }
 
   val simTopKBruteforceSql: String =
