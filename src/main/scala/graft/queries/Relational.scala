@@ -351,7 +351,27 @@ object Relational {
       |    FROM events) g) s
       |GROUP BY user_id, session_id""".stripMargin
 
+  /** Semi-structured extraction: pull the numeric `k` field out of the
+    * JSON props string (regex-based so the oracle is engine-neutral)
+    * and aggregate it per event type. */
+  def q19JsonExtract: Q = (s, dir) => {
+    events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast(LongType))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+  }
+
+  val q19Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS min_k,
+      |  MAX(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q19_json_extract" -> q19JsonExtract,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3TopK,
     "q4_exists" -> q4Exists,
@@ -371,6 +391,7 @@ object Relational {
     "q18_sessionize" -> q18Sessionize)
 
   val oracles: Map[String, String] = Map(
+    "q19_json_extract" -> q19Sql,
     "q1_agg" -> q1Sql,
     "q3_topk" -> q3Sql,
     "q4_exists" -> q4Sql,
