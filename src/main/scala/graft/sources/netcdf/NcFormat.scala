@@ -92,7 +92,14 @@ object NcFormat {
       if (recordVars.size == 1) recordVars.head.slabSize(dims)
       else recordVars.map(v => { val s = v.slabSize(dims); s + pad4(s) }).sum
     def sparkSchema: StructType =
-      StructType(recordVars.map(v => StructField(v.name, sparkTypeOf(v.ncType))))
+      StructType(recordVars.map { v =>
+        val extra = v.dimIds.drop(1).map(i => dims(i).length).product
+        val dt =
+          if (v.ncType == NC_CHAR) StringType
+          else if (v.dimIds.size > 1 && extra > 1) ArrayType(sparkTypeOf(v.ncType), containsNull = false)
+          else sparkTypeOf(v.ncType)
+        StructField(v.name, dt)
+      })
   }
 
   // ---------------------------------------------------------------- read
@@ -168,18 +175,47 @@ object NcFormat {
 
   // --------------------------------------------------------------- write
 
-  /** Streaming writer for one .nc part file: all columns become scalar
-    * record variables along the unlimited `record` dimension. Rows are
-    * appended through a chunk buffer of `chunkBytes` (the analogue of
-    * the reference's chunk_size_mb budget); numRecs is patched into the
-    * header on close, so the record count need not be known up front —
-    * exactly the reference's streamNumpyData contract. */
-  final class Writer(path: String, schema: StructType, chunkBytes: Int = 4 << 20) {
-    private val ncTypes = schema.fields.map(f => ncTypeOf(f.dataType))
-    private val version = if (ncTypes.contains(NC_INT64)) 5 else 2
+  /** Per-column layout spec: scalar numeric, fixed-length numeric
+    * array (an extra dimension of length `extra`), or fixed-width
+    * NC_CHAR string. */
+  case class VarSpec(name: String, ncType: Int, extra: Int, isString: Boolean, isArray: Boolean) {
+    def slab: Int = extra * typeSize(ncType)
+  }
+
+  def varSpecOf(f: StructField, arrayLens: Map[String, Int], stringWidth: Int): VarSpec =
+    f.dataType match {
+      case StringType =>
+        VarSpec(f.name, NC_CHAR, stringWidth, isString = true, isArray = false)
+      case ArrayType(et, _) =>
+        val len = arrayLens.getOrElse(f.name, throw new IllegalArgumentException(
+          s"array column ${f.name} needs a declared fixed length"))
+        VarSpec(f.name, ncTypeOf(et), len, isString = false, isArray = true)
+      case dt => VarSpec(f.name, ncTypeOf(dt), 1, isString = false, isArray = false)
+    }
+
+  /** Streaming writer for one .nc part file: every column becomes a
+    * record variable along the unlimited `record` dimension — scalar
+    * numerics as rank-1 vars, fixed-length arrays as rank-2 vars over
+    * a per-column length dimension (the reference's N-D variables),
+    * strings as rank-2 NC_CHAR vars. Rows are appended through a chunk
+    * buffer of `chunkBytes` (the analogue of the reference's
+    * chunk_size_mb budget); numRecs is patched into the header on
+    * close, so the record count need not be known up front — exactly
+    * the reference's streamNumpyData contract. */
+  final class Writer(path: String, schema: StructType, chunkBytes: Int = 4 << 20,
+      arrayLens: Map[String, Int] = Map.empty, stringWidth: Int = 32) {
+    private val specs: Array[VarSpec] =
+      schema.fields.map(f => varSpecOf(f, arrayLens, stringWidth))
+    private val version = if (specs.exists(_.ncType == NC_INT64)) 5 else 2
     private val single = schema.size == 1
     private val slabPad: Array[Int] =
-      ncTypes.map(t => if (single) 0 else pad4(typeSize(t).toLong).toInt)
+      specs.map(v => if (single) 0 else pad4(v.slab.toLong).toInt)
+    // extra dims follow the record dim: one per array/string column
+    private val extraDims: Seq[(String, Long)] = specs.toSeq
+      .filter(v => v.isArray || v.isString)
+      .map(v => (s"${v.name}_dim", v.extra.toLong))
+    private val dimIdOf: Map[String, Int] =
+      extraDims.zipWithIndex.map { case ((n, _), i) => n -> (i + 1) }.toMap
     private var numRecs = 0L
     private val headerBytes = buildHeader()
     private val out = new DataOutputStream(new BufferedOutputStream(
@@ -201,20 +237,23 @@ object NcFormat {
       }
       d.writeBytes("CDF"); d.writeByte(version)
       nn(0L) // numRecs placeholder (patched on close)
-      // dim_list: single unlimited dim `record`
-      d.writeInt(TAG_DIM); nn(1L); name("record"); nn(0L)
+      // dim_list: unlimited `record` + one fixed dim per array/string var
+      d.writeInt(TAG_DIM); nn(1L + extraDims.size)
+      name("record"); nn(0L)
+      extraDims.foreach { case (dn, dl) => name(dn); nn(dl) }
       // gatt_list: absent
       d.writeInt(0); nn(0L)
       // var_list
       d.writeInt(TAG_VAR); nn(schema.size.toLong)
-      // two passes: sizes depend only on names/types, so compute the
-      // header length first, then assign begins
-      val varHeaderLen = schema.fields.zipWithIndex.map { case (f, _) =>
-        val nb = f.name.getBytes(StandardCharsets.UTF_8).length
-        val nnW = if (version == 5) 8 else 4
+      // two passes: sizes depend only on names/types/ranks, so compute
+      // the header length first, then assign begins
+      val nnW = if (version == 5) 8 else 4
+      val varHeaderLen = specs.map { v =>
+        val nb = v.name.getBytes(StandardCharsets.UTF_8).length
+        val rank = if (v.isArray || v.isString) 2 else 1
         nnW + nb + pad4(nb.toLong).toInt + // name
           nnW + // rank
-          nnW + // dimid
+          rank * nnW + // dimids
           (4 + nnW) + // absent vatt_list
           4 + // nc_type
           nnW + // vsize
@@ -222,15 +261,18 @@ object NcFormat {
       }.sum
       val headerLen = buf.size() + varHeaderLen
       var begin = headerLen + pad4(headerLen.toLong)
-      schema.fields.zipWithIndex.foreach { case (f, i) =>
-        name(f.name)
-        nn(1L) // rank
-        nn(0L) // dimid 0 = record
+      specs.zipWithIndex.foreach { case (v, i) =>
+        name(v.name)
+        if (v.isArray || v.isString) {
+          nn(2L); nn(0L); nn(dimIdOf(s"${v.name}_dim").toLong)
+        } else {
+          nn(1L); nn(0L)
+        }
         d.writeInt(0); nn(0L) // absent vatt_list
-        d.writeInt(ncTypes(i))
-        nn(typeSize(ncTypes(i)).toLong + slabPad(i))
+        d.writeInt(v.ncType)
+        nn(v.slab.toLong + slabPad(i))
         d.writeLong(begin)
-        begin += typeSize(ncTypes(i)) + slabPad(i)
+        begin += v.slab + slabPad(i)
       }
       // NOTE: record var begins point at each var's slab offset within
       // record 0; successive records advance by recSize.
@@ -238,16 +280,36 @@ object NcFormat {
       bytes ++ new Array[Byte](pad4(bytes.length.toLong).toInt)
     }
 
+    private def writeScalar(ncType: Int, v: Any): Unit = ncType match {
+      case NC_DOUBLE => out.writeDouble(v.asInstanceOf[Double])
+      case NC_FLOAT => out.writeFloat(v.asInstanceOf[Float])
+      case NC_INT => out.writeInt(v.asInstanceOf[Int])
+      case NC_INT64 => out.writeLong(v.asInstanceOf[Long])
+      case NC_SHORT => out.writeShort(v.asInstanceOf[Short].toInt)
+      case NC_BYTE => out.writeByte(v.asInstanceOf[Byte].toInt)
+      case NC_CHAR => out.writeByte(v.asInstanceOf[Byte].toInt)
+    }
+
+    /** Append one record. `get(i)` must return: scalar columns — the
+      * boxed value; array columns — Array[_] of exactly the declared
+      * length; string columns — Array[Byte] (UTF-8), truncated/padded
+      * to the declared width. */
     def writeRow(get: Int => Any): Unit = {
       var i = 0
-      while (i < ncTypes.length) {
-        ncTypes(i) match {
-          case NC_DOUBLE => out.writeDouble(get(i).asInstanceOf[Double])
-          case NC_FLOAT => out.writeFloat(get(i).asInstanceOf[Float])
-          case NC_INT => out.writeInt(get(i).asInstanceOf[Int])
-          case NC_INT64 => out.writeLong(get(i).asInstanceOf[Long])
-          case NC_SHORT => out.writeShort(get(i).asInstanceOf[Short].toInt)
-          case NC_BYTE => out.writeByte(get(i).asInstanceOf[Byte].toInt)
+      while (i < specs.length) {
+        val v = specs(i)
+        if (v.isString) {
+          val b = get(i).asInstanceOf[Array[Byte]]
+          val n = math.min(b.length, v.extra)
+          out.write(b, 0, n)
+          (n until v.extra).foreach(_ => out.writeByte(0))
+        } else if (v.isArray) {
+          val arr = get(i).asInstanceOf[Array[_]]
+          require(arr.length == v.extra,
+            s"array column ${v.name}: row has ${arr.length} elements, declared ${v.extra}")
+          arr.foreach(e => writeScalar(v.ncType, e))
+        } else {
+          writeScalar(v.ncType, get(i))
         }
         (0 until slabPad(i)).foreach(_ => out.writeByte(0))
         i += 1
@@ -333,18 +395,27 @@ object NcFormat {
       }
     }
 
-    /** Read slot `slot` of in-chunk record `i` boxed in its own type. */
+    /** Read slot `slot` of in-chunk record `i` boxed in its own type.
+      * NC_CHAR slabs come back as Array[Byte] (zero-trimmed by the
+      * caller); multi-element numeric slabs as Array[_]. */
     def getValue(slot: Int, i: Int): Any = {
       val (v, off) = slots(slot)
       val base = (i * recSize + off).toInt
-      v.ncType match {
-        case NC_DOUBLE => ByteBuffer.wrap(buf, base, 8).getDouble
-        case NC_FLOAT => ByteBuffer.wrap(buf, base, 4).getFloat
-        case NC_INT => ByteBuffer.wrap(buf, base, 4).getInt
-        case NC_INT64 => ByteBuffer.wrap(buf, base, 8).getLong
-        case NC_SHORT => ByteBuffer.wrap(buf, base, 2).getShort
-        case NC_BYTE => buf(base)
+      val nElems = (v.slabSize(meta.dims) / typeSize(v.ncType)).toInt
+      def scalar(pos: Int): Any = v.ncType match {
+        case NC_DOUBLE => ByteBuffer.wrap(buf, pos, 8).getDouble
+        case NC_FLOAT => ByteBuffer.wrap(buf, pos, 4).getFloat
+        case NC_INT => ByteBuffer.wrap(buf, pos, 4).getInt
+        case NC_INT64 => ByteBuffer.wrap(buf, pos, 8).getLong
+        case NC_SHORT => ByteBuffer.wrap(buf, pos, 2).getShort
+        case NC_BYTE | NC_CHAR => buf(pos)
       }
+      if (v.ncType == NC_CHAR) {
+        java.util.Arrays.copyOfRange(buf, base, base + nElems)
+      } else if (nElems > 1) {
+        val ts = typeSize(v.ncType)
+        Array.tabulate[Any](nElems)(k => scalar(base + k * ts))
+      } else scalar(base)
     }
 
     def close(): Unit = raf.close()

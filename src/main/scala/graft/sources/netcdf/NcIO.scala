@@ -14,17 +14,30 @@ import org.apache.spark.sql.types._
   * record count patched on close).
   *
   * Files land under `dir/` via a local spool + temp-name rename, so
-  * task retries cannot leave torn files. All numeric Spark column
-  * types are supported; every column becomes a scalar record variable
-  * along the unlimited `record` dimension.
+  * task retries cannot leave torn files. Numeric columns become scalar
+  * record variables; fixed-length array columns become rank-2
+  * (record × N) variables (the reference's N-D case — N inferred from
+  * the first row); string columns become fixed-width NC_CHAR
+  * variables, all along the unlimited `record` dimension.
   */
 object NcIO {
 
-  def write(df: DataFrame, dir: String, chunkBytes: Int = 4 << 20): Unit = {
+  def write(df: DataFrame, dir: String, chunkBytes: Int = 4 << 20,
+      stringWidth: Int = 32): Unit = {
     val schema = df.schema
     require(!schema.fieldNames.contains("record"),
       "column name `record` is reserved for the netcdf3 record index")
-    schema.fields.foreach(f => NcFormat.ncTypeOf(f.dataType)) // validate types early
+    // fixed-length array columns: infer the length from the first row
+    // (the classic format needs dimension sizes in the header)
+    val arrayCols = schema.fields.collect { case f if f.dataType.isInstanceOf[ArrayType] => f.name }
+    val arrayLens: Map[String, Int] =
+      if (arrayCols.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{col, size}
+        val head = df.select(arrayCols.map(c => size(col(c)).as(c)).toSeq: _*).head()
+        arrayCols.zipWithIndex.map { case (c, i) => c -> head.getInt(i) }.toMap
+      }
+    schema.fields.foreach(f => NcFormat.varSpecOf(f, arrayLens, stringWidth)) // validate early
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new Path(dir)
@@ -34,7 +47,7 @@ object NcIO {
 
     val rdd = df.queryExecution.toRdd // RDD[InternalRow], no extra copy
     rdd.mapPartitionsWithIndex { (pid, rows) =>
-      writePartition(schema, dir, pid, rows, chunkBytes)
+      writePartition(schema, dir, pid, rows, chunkBytes, arrayLens, stringWidth)
       Iterator.single(pid)
     }.count() // run the job
     ()
@@ -45,7 +58,9 @@ object NcIO {
       dir: String,
       pid: Int,
       rows: Iterator[InternalRow],
-      chunkBytes: Int): Unit = {
+      chunkBytes: Int,
+      arrayLens: Map[String, Int],
+      stringWidth: Int): Unit = {
     val getters: Array[InternalRow => Any] =
       schema.fields.zipWithIndex.map { case (f, i) =>
         f.dataType match {
@@ -55,11 +70,20 @@ object NcIO {
           case LongType => (r: InternalRow) => r.getLong(i)
           case ShortType => (r: InternalRow) => r.getShort(i)
           case ByteType => (r: InternalRow) => r.getByte(i)
+          case StringType => (r: InternalRow) => r.getUTF8String(i).getBytes
+          case ArrayType(DoubleType, _) => (r: InternalRow) =>
+            r.getArray(i).toDoubleArray.asInstanceOf[Array[_]]
+          case ArrayType(FloatType, _) => (r: InternalRow) =>
+            r.getArray(i).toFloatArray.asInstanceOf[Array[_]]
+          case ArrayType(IntegerType, _) => (r: InternalRow) =>
+            r.getArray(i).toIntArray.asInstanceOf[Array[_]]
+          case ArrayType(LongType, _) => (r: InternalRow) =>
+            r.getArray(i).toLongArray.asInstanceOf[Array[_]]
           case other => throw new IllegalArgumentException(s"unsupported $other")
         }
       }
     val local = java.io.File.createTempFile(f"nc-part-$pid%05d", ".nc")
-    val writer = new NcFormat.Writer(local.getPath, schema, chunkBytes)
+    val writer = new NcFormat.Writer(local.getPath, schema, chunkBytes, arrayLens, stringWidth)
     try {
       rows.foreach { r =>
         writer.writeRow(i => getters(i)(r))

@@ -67,11 +67,58 @@ object NcQueries {
       |  FROM lineitem) sub
       |WHERE rn - 1 >= 1000 AND rn - 1 < 2000""".stripMargin
 
+  /** N-D variable roundtrip: the 64-dim embedding becomes a rank-2
+    * (record × 64) float variable. Float storage is bit-exact, so the
+    * oracle (reading the original parquet) must agree on every
+    * decimal-cast element sum. */
+  def ncNdarrayRoundtrip: Q = (s, dir) => {
+    val out = scratch(dir, "ndarray")
+    NcIO.write(
+      t(s, dir, "embeddings").select(col("vec_id"), col("embedding"), col("label")),
+      out)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("label").cast(LongType)).as("sum_label"),
+        sum(expr(
+          "aggregate(embedding, CAST(0 AS DECIMAL(28,8)), (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) AS DECIMAL(12,8)) AS DECIMAL(28,8)))"))
+          .cast(DoubleType).as("sum_emb"))
+  }
+
+  val ncNdarrayRoundtripSql: String =
+    """SELECT COUNT(*) AS n, SUM(CAST(label AS BIGINT)) AS sum_label,
+      |  CAST(SUM(sum_row) AS DOUBLE) AS sum_emb FROM (
+      |  SELECT label,
+      |    list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,8)))) AS sum_row
+      |  FROM embeddings) sub""".stripMargin
+
+  /** NC_CHAR string-variable roundtrip: lang (width-8 char variable)
+    * survives write+read and groups identically. */
+  def ncStringRoundtrip: Q = (s, dir) => {
+    val out = scratch(dir, "strings")
+    NcIO.write(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+      out, stringWidth = 8)
+    s.read.format(SRC).load(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+  }
+
+  val ncStringRoundtripSql: String =
+    """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars, MIN(doc_id) AS min_doc
+      |FROM documents
+      |GROUP BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "nc_write_read_roundtrip" -> ncWriteReadRoundtrip,
-    "nc_read_prune" -> ncReadPrune)
+    "nc_read_prune" -> ncReadPrune,
+    "nc_ndarray_roundtrip" -> ncNdarrayRoundtrip,
+    "nc_string_roundtrip" -> ncStringRoundtrip)
 
   val oracles: Map[String, String] = Map(
     "nc_write_read_roundtrip" -> ncWriteReadRoundtripSql,
-    "nc_read_prune" -> ncReadPruneSql)
+    "nc_read_prune" -> ncReadPruneSql,
+    "nc_ndarray_roundtrip" -> ncNdarrayRoundtripSql,
+    "nc_string_roundtrip" -> ncStringRoundtripSql)
 }

@@ -198,11 +198,21 @@ class NcPartitionReader(part: NcInputPartition, required: StructType)
     }
     var out = 0
     var slot = 0
-    required.fieldNames.foreach { fn =>
-      if (fn == "record") {
+    required.fields.foreach { f =>
+      if (f.name == "record") {
         row.update(out, part.fileOffset + reader.chunkStartRecord + inChunk)
       } else {
-        row.update(out, reader.getValue(slot, inChunk))
+        val v = reader.getValue(slot, inChunk) match {
+          case b: Array[Byte] if f.dataType == StringType =>
+            // NC_CHAR slab: trim trailing NULs
+            var n = b.length
+            while (n > 0 && b(n - 1) == 0) n -= 1
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(b, 0, n)
+          case a: Array[Any] =>
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
+          case other => other
+        }
+        row.update(out, v)
         slot += 1
       }
       out += 1
