@@ -21,7 +21,8 @@ object SparkEntry {
       graft.operators.GridOps.queries ++
       graft.sources.netcdf.NcQueries.queries ++
       graft.streaming.Streams.queries ++
-      graft.operators.MmPipeline.queries
+      graft.operators.MmPipeline.queries ++
+      graft.operators.Salted.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.operators.GridOps.oracles ++
       graft.sources.netcdf.NcQueries.oracles ++
       graft.streaming.Streams.oracles ++
-      graft.operators.MmPipeline.oracles
+      graft.operators.MmPipeline.oracles ++
+      graft.operators.Salted.oracles
 }

@@ -23,17 +23,29 @@ object GridOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Tabular → chunked grid (`streamPandasData` analogue). */
+  /** Tabular → chunked grid (`streamPandasData` analogue).
+    *
+    * The global stream index comes from `orderBy` (a parallel
+    * range-partitioned sort) + RDD `zipWithIndex` (one extra count job
+    * for partition offsets) — NOT a single-partition window, so index
+    * assignment stays distributed at any scale. */
   def tableToGrid(
       df: DataFrame,
       orderCols: Seq[Column],
       valueCol: Column,
       varName: String,
       chunkSize: Int): DataFrame = {
-    val w = Window.orderBy(orderCols: _*)
-    df.select(orderCols :+ valueCol.cast(DoubleType).as("v"): _*)
-      .withColumn("idx", row_number().over(w).cast(LongType) - 1)
-      .select("idx", "v")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(orderCols :+ valueCol.cast(DoubleType).as("v"): _*)
+      .orderBy(orderCols: _*)
+      .select("v")
+    val indexed = sorted.as[Double].rdd
+      .zipWithIndex()
+      .map { case (v, idx) => (idx, v) }
+      .toDF("idx", "v")
+    indexed
       .groupBy(floor(col("idx") / chunkSize).as("chunk_idx"))
       .agg(expr("transform(array_sort(collect_list(struct(idx, v))), s -> s.v)").as("values"),
         min(col("idx")).as("origin"))

@@ -140,13 +140,74 @@ object Similarity {
        |  ON a.bkt = b.bkt AND a.vec_id < b.vec_id""".stripMargin
   }
 
+  private val NCENTS = 16
+  private val NPROBE = 2
+
+  /** IVF (inverted-file) approximate top-3: a deterministic coarse
+    * quantizer (centroids = the first 16 vectors — in production a
+    * kmeans model) assigns every vector to its nearest-centroid cell;
+    * each query probes its 2 nearest cells and scores only their
+    * members. Assignment is a broadcast join + per-vector argmax (keys
+    * are unique, so the window is skew-free); at 100 TB each query
+    * touches ~NPROBE/NCENTS of the corpus. */
+  def simIvf: Q = (s, dir) => {
+    val emb = withVec(t(s, dir, "embeddings"))
+    val cents = emb.filter(col("vec_id") < NCENTS)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    def nearestCells(df: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val scored = df.join(broadcast(cents))
+        .withColumn("ccos", vec_dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      val w = Window.partitionBy(idCol).orderBy(round(col("ccos"), 9).desc, col("cent_id"))
+      scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= keep)
+        .drop("cv", "cn", "ccos", "crn")
+    }
+    val cells = nearestCells(emb, "vec_id", 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+    val probes = nearestCells(emb.filter(col("vec_id") < NQUERIES), "vec_id", NPROBE)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cent_id").as("cell"))
+    probes.join(cells, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topk(3)(
+        round(col("cos"), 9), col("vec_id"), round(col("cos"), 6)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("neighbor_id"),
+        col("e._3").as("cos_sim"), (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
+  val simIvfSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, $normSqlDuck AS nrm FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cn FROM e WHERE vec_id < $NCENTS),
+       |assign AS (
+       |  SELECT vec_id, embedding, nrm, cent_id, row_number() OVER (
+       |      PARTITION BY vec_id
+       |      ORDER BY round(list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(embedding[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE))) / (nrm * cn), 9) DESC,
+       |        cent_id) AS crn
+       |  FROM e CROSS JOIN cents),
+       |cells AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM assign WHERE crn = 1),
+       |probes AS (SELECT vec_id AS query_id, embedding AS qemb, nrm AS qn, cent_id AS cell
+       |  FROM assign WHERE vec_id < $NQUERIES AND crn <= $NPROBE),
+       |scored AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(p.qemb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / (p.qn * c.nrm), 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY round(list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(p.qemb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / (p.qn * c.nrm), 9) DESC,
+       |        c.vec_id) AS rank
+       |  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+       |FROM scored WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sim_topk_bruteforce" -> simTopKBruteforce,
     "sim_lsh_bucketed" -> simLshBucketed,
+    "sim_ivf" -> simIvf,
     "dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> simTopKBruteforceSql,
     "sim_lsh_bucketed" -> simLshBucketedSql,
+    "sim_ivf" -> simIvfSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }
