@@ -110,15 +110,45 @@ object NcQueries {
       |FROM documents
       |GROUP BY lang""".stripMargin
 
+  /** End-to-end micro-batch ingest: lineitem → chunked .nc part files
+    * → Structured Streaming read through the netcdf3 source → complete-
+    * mode aggregation in a memory sink. The oracle aggregates the
+    * original parquet, so a match proves the streaming path delivers
+    * every record exactly once. */
+  def streamNcIngest: Q = (s, dir) => {
+    val out = scratch(dir, "stream_ingest")
+    NcIO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .repartition(3),
+      out)
+    val stream = s.readStream.format(SRC).load(out)
+    val agg = stream.agg(
+      count(lit(1)).as("n"),
+      sum(col("l_orderkey")).as("sum_key"),
+      dsum(col("l_quantity")).as("sum_qty"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_nc_ingest").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_nc_ingest")
+  }
+
+  val streamNcIngestSql: String =
+    """SELECT COUNT(*) AS n, SUM(l_orderkey) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "nc_write_read_roundtrip" -> ncWriteReadRoundtrip,
     "nc_read_prune" -> ncReadPrune,
     "nc_ndarray_roundtrip" -> ncNdarrayRoundtrip,
-    "nc_string_roundtrip" -> ncStringRoundtrip)
+    "nc_string_roundtrip" -> ncStringRoundtrip,
+    "stream_nc_ingest" -> streamNcIngest)
 
   val oracles: Map[String, String] = Map(
     "nc_write_read_roundtrip" -> ncWriteReadRoundtripSql,
     "nc_read_prune" -> ncReadPruneSql,
     "nc_ndarray_roundtrip" -> ncNdarrayRoundtripSql,
-    "nc_string_roundtrip" -> ncStringRoundtripSql)
+    "nc_string_roundtrip" -> ncStringRoundtripSql,
+    "stream_nc_ingest" -> streamNcIngestSql)
 }

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -74,7 +75,7 @@ class NetCDF3Table(tableSchema: StructType, dir: String) extends Table with Supp
   override def name(): String = s"netcdf3:$dir"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NcScanBuilder(tableSchema, dir, options.asScala.toMap)
@@ -159,6 +160,66 @@ class NcScan(required: StructType, dir: String, lower: Long, upper: Long,
           val e = math.min(s + perPart, hi)
           parts += NcInputPartition(f.toString, s - offset, e - offset, offset, chunkBytes)
           s = e
+        }
+      }
+      offset += meta.numRecs
+    }
+    parts.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NcReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new NcMicroBatchStream(dir, required, options)
+}
+
+/** Offset = number of part files ingested. Part files are immutable
+  * (NcIO lands them with a temp rename) and the streaming contract is
+  * that new files sort after already-seen ones (e.g. timestamped
+  * names), mirroring the reference's append-only streamed variable. */
+case class NcOffset(fileCount: Int) extends Offset {
+  override def json(): String = "{\"fileCount\":" + fileCount + "}"
+}
+
+/** Micro-batch stream over a growing directory of .nc part files: each
+  * batch covers the files that appeared since the last offset, split
+  * into chunk-aligned record-range partitions exactly like the batch
+  * scan. The virtual `record` column stays globally consistent: each
+  * file's base index is the cumulative record count of all files
+  * before it in sorted order. */
+class NcMicroBatchStream(dir: String, required: StructType, options: Map[String, String])
+    extends MicroBatchStream {
+
+  private def fs =
+    new Path(dir).getFileSystem(SparkContext.getOrCreate().hadoopConfiguration)
+  private def files: Seq[Path] = NetCDF3Util.listNcFiles(fs, new Path(dir))
+
+  override def initialOffset(): Offset = NcOffset(0)
+  override def latestOffset(): Offset = NcOffset(files.size)
+  override def deserializeOffset(json: String): Offset =
+    NcOffset("\\d+".r.findFirstIn(json).map(_.toInt).getOrElse(0))
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[NcOffset].fileCount
+    val e = end.asInstanceOf[NcOffset].fileCount
+    val chunkBytes = options.getOrElse("chunkbytes", (4 << 20).toString).toInt
+    val fsys = fs
+    val all = files
+    var offset = 0L
+    val parts = Array.newBuilder[InputPartition]
+    all.zipWithIndex.foreach { case (f, idx) =>
+      val meta = NcFormat.readMeta(fsys, f)
+      if (idx >= s && idx < e && meta.numRecs > 0) {
+        val perPart = options.get("recordsperpartition").map(_.toLong)
+          .getOrElse(math.max(1L, chunkBytes.toLong * 4 / math.max(meta.recSize, 1L)))
+        var r = 0L
+        while (r < meta.numRecs) {
+          val rEnd = math.min(r + perPart, meta.numRecs)
+          parts += NcInputPartition(f.toString, r, rEnd, offset, chunkBytes)
+          r = rEnd
         }
       }
       offset += meta.numRecs

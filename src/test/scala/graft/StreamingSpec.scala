@@ -60,6 +60,44 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("count") > 1).isEmpty)
   }
 
+  test("netcdf3 micro-batch stream ingests files incrementally") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = "/tmp/graft_nc_stream/src"
+    val dir = "/tmp/graft_nc_stream/in"
+    // produce two single-part .nc files with distinct value ranges
+    graft.sources.netcdf.NcIO.write(
+      spark.range(0, 100).select(col("id").cast("double").as("x")).repartition(1), src)
+    Files.createDirectories(Paths.get(dir))
+    Paths.get(dir).toFile.listFiles().foreach(_.delete())
+    Files.copy(Paths.get(s"$src/part-00000.nc"), Paths.get(s"$dir/batch-a.nc"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream
+      .format("graft.sources.netcdf.NetCDF3Source")
+      .load(dir)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ncstream").start()
+    q.processAllAvailable()
+    assert(spark.table("ncstream").count() == 100)
+    // second file arrives: only the delta is ingested, record ids extend
+    graft.sources.netcdf.NcIO.write(
+      spark.range(100, 150).select(col("id").cast("double").as("x")).repartition(1), src)
+    Files.copy(Paths.get(s"$src/part-00000.nc"), Paths.get(s"$dir/batch-b.nc"),
+      StandardCopyOption.REPLACE_EXISTING)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ncstream")
+    assert(out.count() == 150)
+    assert(out.select("record").distinct().count() == 150)
+    assert(out.agg(min("x"), max("x")).head() == org.apache.spark.sql.Row(0.0, 149.0))
+  }
+
+  test("stream_nc_ingest query is rerunnable in one session (bench runs it twice)") {
+    val r1 = graft.sources.netcdf.NcQueries.streamNcIngest(spark, sf).collect()
+    val r2 = graft.sources.netcdf.NcQueries.streamNcIngest(spark, sf).collect()
+    assert(r1.sameElements(r2))
+    assert(r1.head.getLong(0) > 0)
+  }
+
   test("stream_sessionize emits closed sessions consistent with the batch twin") {
     import spark.implicits._
     val evs = eventsStream
