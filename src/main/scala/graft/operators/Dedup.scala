@@ -48,7 +48,10 @@ object Dedup {
     * sig_i = min over shingles of the first 16 hex chars of
     * md5("i:" ++ shingle); band hash = md5(sig_2b ++ sig_2b+1). */
   def dedupMinhashLsh: Q = (s, dir) => {
-    val sh = shingles(t(s, dir, "documents"), 3)
+    // the shingle set feeds 4 plan branches (signatures, both sides of
+    // the candidate join via bands, and the Jaccard intersection);
+    // Spark recomputes each branch, so cache the md5-heavy base
+    val sh = shingles(t(s, dir, "documents"), 3).cache()
     val sigAggs = (0 until H).map(i =>
       min(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 16)).as(s"h$i"))
     val sigs = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
@@ -57,6 +60,7 @@ object Dedup {
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("s"))
       .select(col("doc_id"), col("s.band").as("band"), col("s.bh").as("bh"))
+      .cache() // both sides of the self-join
     val cand = bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
@@ -118,7 +122,7 @@ object Dedup {
   /** Word-4-gram Jaccard: candidates = pairs sharing at least one
     * 4-gram (inverted-index self-join on the shingle). */
   def dedupNgramJaccard: Q = (s, dir) => {
-    val sh = shingles(t(s, dir, "documents"), 4)
+    val sh = shingles(t(s, dir, "documents"), 4).cache()
     val cand = sh.toDF("id_a", "sh").join(sh.toDF("id_b", "sh"), "sh")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -154,7 +158,7 @@ object Dedup {
     val fp = (0 until SIMHASH_DIMS).map(d =>
       when(col(s"cnt$d") * 2 > col("n"), lit(1L << d)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val fps = withCnt.select(col("doc_id"), fp.as("fp"))
+    val fps = withCnt.select(col("doc_id"), fp.as("fp")).cache()
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"), (shiftright(col("fp"), 8 * b).bitwiseAND(lit(255L))).as("bv")))
     val bands = fps
