@@ -22,7 +22,8 @@ object SparkEntry {
       graft.sources.netcdf.NcQueries.queries ++
       graft.streaming.Streams.queries ++
       graft.operators.MmPipeline.queries ++
-      graft.operators.Salted.queries
+      graft.operators.Salted.queries ++
+      graft.operators.DedupClusters.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.sources.netcdf.NcQueries.oracles ++
       graft.streaming.Streams.oracles ++
       graft.operators.MmPipeline.oracles ++
-      graft.operators.Salted.oracles
+      graft.operators.Salted.oracles ++
+      graft.operators.DedupClusters.oracles
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup cluster formation (SURVEY.md §2C): connected components over
+  * the near-duplicate pair graph, mapping every document to a
+  * canonical representative (the minimum doc_id reachable through
+  * near-dup edges) plus the cluster size.
+  *
+  * Spark side: iterative min-label propagation — per round, every
+  * node takes the min label among itself and its neighbors; converges
+  * in O(component diameter) rounds. Each round is one distributed
+  * join + groupBy; the driver only checks the per-round convergence
+  * count (the classic Pregel-style loop, no data ever collects to the
+  * driver). Near-dup components are tiny in practice, so a bounded
+  * round count with a convergence break is the 100 TB-safe shape.
+  *
+  * Oracle: DuckDB recursive CTE computing min reachable id over the
+  * same edge set.
+  */
+object DedupClusters {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Connected components: nodes (id) + undirected edges (a, b) →
+    * (id, canonical). */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // symmetric neighbor list
+    val sym = edges.selectExpr("a AS src", "b AS dst")
+      .unionAll(edges.selectExpr("b AS src", "a AS dst"))
+      .cache()
+    var labels = nodes.selectExpr("id", "id AS label").cache()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val viaNeighbors = sym
+        .join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select("id", "label").unionAll(viaNeighbors)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      val prev = labels
+      labels = next
+      prev.unpersist()
+      converged = changed == 0
+      round += 1
+    }
+    labels.withColumnRenamed("label", "canonical")
+  }
+
+  /** Clusters from MinHash-LSH candidate pairs with verified
+    * Jaccard >= 0.2 as the edge set. */
+  def dedupClusters: Q = (s, dir) => {
+    val nodes = t(s, dir, "documents").select(col("doc_id").as("id"))
+    val edges = Dedup.dedupMinhashLsh(s, dir)
+      .filter(col("jaccard") >= 0.2)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val cc = connectedComponents(nodes, edges)
+    val sizes = cc.groupBy("canonical").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "canonical")
+      .select(col("id").as("doc_id"), col("canonical").as("canonical_id"),
+        col("cluster_size"))
+  }
+
+  val dedupClustersSql: String = {
+    // reuse the full minhash pipeline SQL as the edge CTE (a nested
+    // WITH...SELECT is a valid CTE body)
+    val pairSql = Dedup.dedupMinhashLshSql
+    s"""WITH RECURSIVE pairs AS ($pairSql),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.2),
+       |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+       |reach(v, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT sym.b, reach.r FROM sym JOIN reach ON reach.v = sym.a),
+       |cc AS (SELECT v AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY v),
+       |sizes AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM cc GROUP BY canonical_id)
+       |SELECT cc.doc_id, cc.canonical_id, sizes.cluster_size
+       |FROM cc JOIN sizes USING (canonical_id)""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map("dedup_clusters" -> dedupClusters)
+  val oracles: Map[String, String] = Map("dedup_clusters" -> dedupClustersSql)
+}

@@ -370,8 +370,29 @@ object Relational {
       |FROM events
       |GROUP BY event_type""".stripMargin
 
+  /** Correlated per-key threshold (TPC-H Q17 shape): lineitems whose
+    * quantity is below 20% of their part's average quantity — the
+    * correlated subquery decorrelates into a per-key agg + join. */
+  def q21Correlated: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+    val perPart = l.groupBy(col("l_partkey").as("pk"))
+      .agg((sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1)) * 0.5).as("threshold"))
+    l.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("threshold"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+  }
+
+  val q21Sql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS total
+      |FROM lineitem l
+      |WHERE l_quantity < (
+      |  SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) * 0.5
+      |  FROM lineitem WHERE l_partkey = l.l_partkey)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q19_json_extract" -> q19JsonExtract,
+    "q21_correlated" -> q21Correlated,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3TopK,
     "q4_exists" -> q4Exists,
@@ -392,6 +413,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q19_json_extract" -> q19Sql,
+    "q21_correlated" -> q21Sql,
     "q1_agg" -> q1Sql,
     "q3_topk" -> q3Sql,
     "q4_exists" -> q4Sql,
