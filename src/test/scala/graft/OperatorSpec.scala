@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.TopK
+import graft.operators.DedupClusters
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-case units for the custom aggregation/graph operators (the
+  * oracle gate covers their happy paths). */
+class OperatorSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("TopK returns fewer than k when input is small, ordered correctly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0.9, 10L), (1L, 0.7, 11L), (2L, 0.5, 20L))
+      .toDF("key", "score", "id")
+    val out = df.groupBy("key")
+      .agg(TopK.topk(5)(col("score"), col("id"), col("score")).as("top"))
+      .select(col("key"), expr("transform(top, e -> e._2)").as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == Seq(10L, 11L))
+    assert(out(2L) == Seq(20L))
+  }
+
+  test("TopK ties break by ascending id") {
+    import spark.implicits._
+    val df = Seq((1L, 0.5, 7L), (1L, 0.5, 3L), (1L, 0.5, 9L)).toDF("key", "score", "id")
+    val ids = df.groupBy("key")
+      .agg(TopK.topk(2)(col("score"), col("id"), col("score")).as("top"))
+      .select(expr("transform(top, e -> e._2)")).head().getSeq[Long](0)
+    assert(ids == Seq(3L, 7L))
+  }
+
+  test("connectedComponents handles chains, isolated nodes, and cycles") {
+    import spark.implicits._
+    val nodes = (1L to 10L).toDF("id")
+    // chain 1-2-3-4, cycle 5-6-7-5, isolated 8,9,10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (7L, 5L))
+      .toDF("a", "b")
+    val cc = DedupClusters.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(cc(_) == 1L))
+    assert((5L to 7L).forall(cc(_) == 5L))
+    assert((8L to 10L).forall(i => cc(i) == i))
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val plain = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(Tables.dsum(col("value")).as("total"), count(lit(1)).as("n"))
+    val salted = graft.operators.Salted.q20SaltedAgg(spark, sf)
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+}
