@@ -381,6 +381,24 @@ object NcFormat {
 
     def chunkStartRecord: Long = bufStart
 
+    /** nc_type of slot `slot` (for typed columnar fills). */
+    def slotType(slot: Int): Int = slots(slot)._1.ncType
+
+    /** Whether slot `slot` is a scalar (single-element slab). */
+    def slotIsScalar(slot: Int): Boolean = {
+      val (v, _) = slots(slot)
+      v.ncType != NC_CHAR && v.slabSize(meta.dims) == typeSize(v.ncType)
+    }
+
+    private def slotBase(slot: Int, i: Int): Int = (i * recSize + slots(slot)._2).toInt
+
+    def getDoubleAt(slot: Int, i: Int): Double = ByteBuffer.wrap(buf, slotBase(slot, i), 8).getDouble
+    def getFloatAt(slot: Int, i: Int): Float = ByteBuffer.wrap(buf, slotBase(slot, i), 4).getFloat
+    def getIntAt(slot: Int, i: Int): Int = ByteBuffer.wrap(buf, slotBase(slot, i), 4).getInt
+    def getLongAt(slot: Int, i: Int): Long = ByteBuffer.wrap(buf, slotBase(slot, i), 8).getLong
+    def getShortAt(slot: Int, i: Int): Short = ByteBuffer.wrap(buf, slotBase(slot, i), 2).getShort
+    def getByteAt(slot: Int, i: Int): Byte = buf(slotBase(slot, i))
+
     /** Read slot `slot` of in-chunk record `i` as a double (widening). */
     def getDouble(slot: Int, i: Int): Double = {
       val (v, off) = slots(slot)

@@ -234,6 +234,77 @@ class NcMicroBatchStream(dir: String, required: StructType, options: Map[String,
 class NcReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new NcPartitionReader(partition.asInstanceOf[NcInputPartition], required)
+
+  /** Scalar-numeric projections decode straight into column vectors —
+    * one typed fill loop per variable per chunk, no per-row branching.
+    * Array/string variables fall back to the row reader. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    required.fields.forall(f => f.name == "record" || (f.dataType match {
+      case DoubleType | FloatType | IntegerType | LongType | ShortType | ByteType => true
+      case _ => false
+    }))
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new NcColumnarReader(partition.asInstanceOf[NcInputPartition], required)
+}
+
+/** Vectorized reader: each loaded chunk becomes one ColumnarBatch. */
+class NcColumnarReader(part: NcInputPartition, required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val path = new Path(part.file)
+  private val fs = path.getFileSystem(new Configuration())
+  private val meta = NcFormat.readMeta(fs, path)
+  private val varNames = required.fieldNames.filterNot(_ == "record").toSeq
+  private val reader = new NcFormat.RangeReader(
+    fs, path, meta, part.localStart, part.localEnd, varNames, part.chunkBytes)
+
+  private val vectors: Array[OnHeapColumnVector] =
+    required.fields.map(f => new OnHeapColumnVector(reader.recordsPerChunk, f.dataType))
+  private val batch = new ColumnarBatch(vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector])
+
+  override def next(): Boolean = {
+    if (!reader.hasNext) return false
+    val n = reader.loadChunk()
+    val base = part.fileOffset + reader.chunkStartRecord
+    var out = 0
+    var slot = 0
+    required.fields.foreach { f =>
+      val v = vectors(out)
+      v.reset()
+      if (f.name == "record") {
+        var i = 0
+        while (i < n) { v.putLong(i, base + i); i += 1 }
+      } else {
+        import NcFormat._
+        reader.slotType(slot) match {
+          case NC_DOUBLE =>
+            var i = 0; while (i < n) { v.putDouble(i, reader.getDoubleAt(slot, i)); i += 1 }
+          case NC_FLOAT =>
+            var i = 0; while (i < n) { v.putFloat(i, reader.getFloatAt(slot, i)); i += 1 }
+          case NC_INT =>
+            var i = 0; while (i < n) { v.putInt(i, reader.getIntAt(slot, i)); i += 1 }
+          case NC_INT64 =>
+            var i = 0; while (i < n) { v.putLong(i, reader.getLongAt(slot, i)); i += 1 }
+          case NC_SHORT =>
+            var i = 0; while (i < n) { v.putShort(i, reader.getShortAt(slot, i)); i += 1 }
+          case NC_BYTE =>
+            var i = 0; while (i < n) { v.putByte(i, reader.getByteAt(slot, i)); i += 1 }
+        }
+        slot += 1
+      }
+      out += 1
+    }
+    batch.setNumRows(n)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = { batch.close(); reader.close() }
 }
 
 class NcPartitionReader(part: NcInputPartition, required: StructType)

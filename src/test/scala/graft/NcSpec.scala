@@ -50,6 +50,19 @@ class NcSpec extends AnyFunSuite {
     assert(back.agg(sum("l_quantity")).head().getDouble(0) == expected)
   }
 
+  test("numeric projections read through the columnar path") {
+    val dir = "/tmp/graft_nc_spec/columnar"
+    NcIO.write(li.repartition(2), dir)
+    val df = spark.read.format("graft.sources.netcdf.NetCDF3Source").load(dir)
+      .select("record", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan.take(600))
+    assert(df.count() == li.count())
+    // row path (string/array fallback) and columnar path agree
+    val sum1 = df.agg(sum("l_quantity")).head().getDouble(0)
+    assert(sum1 == li.agg(sum("l_quantity")).head().getDouble(0))
+  }
+
   test("chunked multi-partition read covers all records exactly once") {
     val dir = "/tmp/graft_nc_spec/chunks"
     NcIO.write(li.repartition(3), dir, chunkBytes = 1 << 12)
