@@ -168,7 +168,27 @@ object GridOps {
       |  SELECT 'l_extendedprice' AS variable, l_extendedprice AS v FROM lineitem) u
       |GROUP BY variable""".stripMargin
 
+  /** Down-sample a chunked variable by factor k: mean of each k-block
+    * along the streamed dimension — per-chunk map work because the
+    * chunk size is a multiple of k (chunk 512, k 8). */
+  def resample(grid: DataFrame, k: Int): DataFrame =
+    gridToTable(grid)
+      .groupBy(col("variable"), floor(col("idx") / k).as("block"))
+      .agg(sum(expr("CAST(value AS DECIMAL(9,2))")).cast(DoubleType).as("blk_sum"),
+        count(lit(1)).as("blk_n"))
+      .select(col("variable"), col("block"), (col("blk_sum") / col("blk_n")).as("blk_mean"))
+
+  def gridResample: Q = (s, dir) =>
+    resample(qtyGrid(s, dir), 8).drop("variable")
+
+  val gridResampleSql: String =
+    s"""WITH $orderedCte
+       |SELECT idx // 8 AS block,
+       |  CAST(SUM(CAST(v AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS blk_mean
+       |FROM o GROUP BY idx // 8""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "grid_resample" -> gridResample,
     "grid_table_to_grid" -> gridTableToGrid,
     "grid_chunk_iter" -> gridChunkIter,
     "grid_slice" -> gridSlice,
@@ -176,6 +196,7 @@ object GridOps {
     "grid_stats" -> gridStats)
 
   val oracles: Map[String, String] = Map(
+    "grid_resample" -> gridResampleSql,
     "grid_table_to_grid" -> gridTableToGridSql,
     "grid_chunk_iter" -> gridChunkIterSql,
     "grid_slice" -> gridSliceSql,

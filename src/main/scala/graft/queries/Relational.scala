@@ -390,9 +390,40 @@ object Relational {
       |  SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) * 0.5
       |  FROM lineitem WHERE l_partkey = l.l_partkey)""".stripMargin
 
+  /** Per-type z-score outliers. Every input to the float math is an
+    * exact decimal-derived double (mean, E[x²]) and /, *, sqrt are
+    * exactly-rounded IEEE ops, so z-scores are bit-identical across
+    * engines with no rounding crutch. */
+  def q22ZscoreOutliers: Q = (s, dir) => {
+    val e = events(s, dir)
+    val stats = e.groupBy(col("event_type").as("et"))
+      .agg(
+        (sum(dec(col("value"))).cast(DoubleType) / count(lit(1))).as("mean"),
+        (sum((dec(col("value")) * dec(col("value"))).cast(DecimalType(28, 4)))
+          .cast(DoubleType) / count(lit(1))).as("ex2"))
+      .withColumn("std", sqrt(col("ex2") - col("mean") * col("mean")))
+    e.join(broadcast(stats), col("event_type") === col("et"))
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+  }
+
+  val q22Sql: String =
+    """SELECT event_id, event_type, value,
+      |  (value - mean) / std AS z
+      |FROM events e
+      |JOIN (
+      |  SELECT event_type AS et,
+      |    CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS mean,
+      |    sqrt(CAST(SUM(CAST(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2)) AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)
+      |      - (CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*)) * (CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*))) AS std
+      |  FROM events GROUP BY event_type) st ON e.event_type = st.et
+      |WHERE abs((value - mean) / std) > 2.5""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q19_json_extract" -> q19JsonExtract,
     "q21_correlated" -> q21Correlated,
+    "q22_zscore_outliers" -> q22ZscoreOutliers,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3TopK,
     "q4_exists" -> q4Exists,
@@ -414,6 +445,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q19_json_extract" -> q19Sql,
     "q21_correlated" -> q21Sql,
+    "q22_zscore_outliers" -> q22Sql,
     "q1_agg" -> q1Sql,
     "q3_topk" -> q3Sql,
     "q4_exists" -> q4Sql,
