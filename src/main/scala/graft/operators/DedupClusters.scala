@@ -26,7 +26,7 @@ object DedupClusters {
 
   /** Connected components: nodes (id) + undirected edges (a, b) →
     * (id, canonical). */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 64): DataFrame = {
     // symmetric neighbor list
     val sym = edges.selectExpr("a AS src", "b AS dst")
       .unionAll(edges.selectExpr("b AS src", "a AS dst"))
@@ -49,6 +49,11 @@ object DedupClusters {
       converged = changed == 0
       round += 1
     }
+    // propagation needs O(component diameter) rounds; failing loudly
+    // beats silently mislabeled clusters
+    require(converged,
+      s"connectedComponents did not converge within $maxRounds rounds — " +
+        "a component's diameter exceeds the bound; raise maxRounds")
     labels.withColumnRenamed("label", "canonical")
   }
 

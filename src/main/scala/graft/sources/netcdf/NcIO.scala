@@ -34,8 +34,11 @@ object NcIO {
       if (arrayCols.isEmpty) Map.empty
       else {
         import org.apache.spark.sql.functions.{col, size}
-        val head = df.select(arrayCols.map(c => size(col(c)).as(c)).toSeq: _*).head()
-        arrayCols.zipWithIndex.map { case (c, i) => c -> head.getInt(i) }.toMap
+        val rows = df.select(arrayCols.map(c => size(col(c)).as(c)).toSeq: _*).take(1)
+        require(rows.nonEmpty,
+          s"cannot infer fixed lengths for array columns ${arrayCols.mkString(", ")} " +
+            "from an empty DataFrame")
+        arrayCols.zipWithIndex.map { case (c, i) => c -> rows.head.getInt(i) }.toMap
       }
     schema.fields.foreach(f => NcFormat.varSpecOf(f, arrayLens, stringWidth)) // validate early
     val spark = df.sparkSession
