@@ -21,8 +21,15 @@ object TopK {
 
   type Entry = (Double, Long, Double) // (sortKey, id, payload)
 
+  /** NaN sort keys rank FIRST (as the largest value), matching SQL
+    * ORDER BY ... DESC semantics in Spark and DuckDB — Scala's default
+    * Double ordering would bury NaN last and silently diverge from the
+    * window-function formulation on e.g. zero-norm cosine inputs. */
+  private def rankKey(s: Double): Double =
+    if (s.isNaN) Double.PositiveInfinity else s
+
   private def ord: Ordering[Entry] =
-    Ordering.by[Entry, (Double, Long)] { case (s, id, _) => (-s, id) }
+    Ordering.by[Entry, (Double, Long)] { case (s, id, _) => (-rankKey(s), id) }
 
   class TopKAggregator(k: Int) extends Aggregator[Entry, Seq[Entry], Seq[Entry]] {
     override def zero: Seq[Entry] = Seq.empty

@@ -16,6 +16,13 @@ import org.apache.spark.sql.types._
   *
   * All hashing is md5-based so the DuckDB oracle can replay the exact
   * same pipeline — even the MinHash signatures are oracle-checked.
+  *
+  * Cache note: the md5-heavy base DataFrames are `.cache()`d because
+  * each feeds several plan branches (self-join sides recompute
+  * uncached subtrees). The returned queries are lazy, so the operator
+  * cannot unpersist them itself; Spark's storage pool is LRU-evictable
+  * under pressure, and CacheManager dedupes repeat invocations by
+  * canonicalized plan, so retention is bounded per distinct query.
   */
 object Dedup {
 

@@ -104,19 +104,32 @@ object NcFormat {
 
   // ---------------------------------------------------------------- read
 
-  private class Parser(raf: FSDataInputStream, version: Int) {
-    private def u32(): Long = {
-      val v = raf.readInt().toLong
-      if (v < 0) throw new EOFException("negative NON_NEG")
-      v
+  /** The spec's numrecs sentinel for files written in streaming mode
+    * (record count unknown): derive the count from the file length. */
+  val NUMRECS_STREAMING: Long = 0xFFFFFFFFL
+
+  /** skipBytes may skip fewer bytes than asked (buffered remote
+    * streams) — loop until done. */
+  private def skipFully(in: FSDataInputStream, n: Int): Unit = {
+    var left = n
+    while (left > 0) {
+      val skipped = in.skipBytes(left)
+      if (skipped <= 0) throw new EOFException(s"failed to skip $left bytes")
+      left -= skipped
     }
+  }
+
+  private class Parser(raf: FSDataInputStream, version: Int) {
+    // 32-bit fields are unsigned in the classic spec (begin offsets in
+    // a CDF-1 file can exceed 2 GiB) — mask, don't sign-extend
+    private def u32(): Long = raf.readInt().toLong & 0xFFFFFFFFL
     def nonNeg(): Long = if (version == 5) raf.readLong() else u32()
     def offset(): Long = if (version == 1) u32() else raf.readLong()
     def name(): String = {
       val n = nonNeg().toInt
       val bytes = new Array[Byte](n)
       raf.readFully(bytes)
-      raf.skipBytes(pad4(n.toLong).toInt)
+      skipFully(raf, pad4(n.toLong).toInt)
       new String(bytes, StandardCharsets.UTF_8)
     }
   }
@@ -156,7 +169,13 @@ object NcFormat {
         val isRecord = dimIds.headOption.exists(i => dims(i).isRecord)
         NcVarMeta(vname, ncType, dimIds, vsize, begin, isRecord)
       }
-      NcMeta(version, numRecs, dims, vars)
+      val meta = NcMeta(version, numRecs, dims, vars)
+      if (version != 5 && numRecs == NUMRECS_STREAMING && meta.recSize > 0) {
+        // streaming-mode file: the writer never patched numrecs
+        val dataStart = meta.recordVars.map(_.begin).minOption.getOrElse(0L)
+        val fileLen = fs.getFileStatus(path).getLen
+        meta.copy(numRecs = math.max(0L, (fileLen - dataStart) / meta.recSize))
+      } else meta
     } finally raf.close()
   }
 
@@ -169,7 +188,7 @@ object NcFormat {
       val t = raf.readInt()
       val nelems = p.nonNeg()
       val bytes = nelems * typeSize(t)
-      raf.skipBytes((bytes + pad4(bytes)).toInt)
+      skipFully(raf, (bytes + pad4(bytes)).toInt)
     }
   }
 

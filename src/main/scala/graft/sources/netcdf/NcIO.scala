@@ -23,15 +23,19 @@ import org.apache.spark.sql.types._
 object NcIO {
 
   def write(df: DataFrame, dir: String, chunkBytes: Int = 4 << 20,
-      stringWidth: Int = 32): Unit = {
+      stringWidth: Int = 32, arrayLens: Map[String, Int] = Map.empty): Unit = {
     val schema = df.schema
     require(!schema.fieldNames.contains("record"),
       "column name `record` is reserved for the netcdf3 record index")
     // fixed-length array columns: infer the length from the first row
     // (the classic format needs dimension sizes in the header)
-    val arrayCols = schema.fields.collect { case f if f.dataType.isInstanceOf[ArrayType] => f.name }
-    val arrayLens: Map[String, Int] =
-      if (arrayCols.isEmpty) Map.empty
+    // prefer caller-declared lengths: the inference fallback costs one
+    // extra execution of the upstream plan (take(1))
+    val arrayCols = schema.fields
+      .collect { case f if f.dataType.isInstanceOf[ArrayType] => f.name }
+      .filterNot(arrayLens.contains)
+    val allLens: Map[String, Int] = arrayLens ++ (
+      if (arrayCols.isEmpty) Map.empty[String, Int]
       else {
         import org.apache.spark.sql.functions.{col, size}
         val rows = df.select(arrayCols.map(c => size(col(c)).as(c)).toSeq: _*).take(1)
@@ -39,8 +43,8 @@ object NcIO {
           s"cannot infer fixed lengths for array columns ${arrayCols.mkString(", ")} " +
             "from an empty DataFrame")
         arrayCols.zipWithIndex.map { case (c, i) => c -> rows.head.getInt(i) }.toMap
-      }
-    schema.fields.foreach(f => NcFormat.varSpecOf(f, arrayLens, stringWidth)) // validate early
+      })
+    schema.fields.foreach(f => NcFormat.varSpecOf(f, allLens, stringWidth)) // validate early
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new Path(dir)
@@ -48,9 +52,10 @@ object NcIO {
     if (fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
 
+    val serConf = new SerializableHadoopConf(hconf)
     val rdd = df.queryExecution.toRdd // RDD[InternalRow], no extra copy
     rdd.mapPartitionsWithIndex { (pid, rows) =>
-      writePartition(schema, dir, pid, rows, chunkBytes, arrayLens, stringWidth)
+      writePartition(schema, dir, pid, rows, chunkBytes, allLens, stringWidth, serConf)
       Iterator.single(pid)
     }.count() // run the job
     ()
@@ -63,7 +68,8 @@ object NcIO {
       rows: Iterator[InternalRow],
       chunkBytes: Int,
       arrayLens: Map[String, Int],
-      stringWidth: Int): Unit = {
+      stringWidth: Int,
+      serConf: SerializableHadoopConf): Unit = {
     val getters: Array[InternalRow => Any] =
       schema.fields.zipWithIndex.map { case (f, i) =>
         f.dataType match {
@@ -87,14 +93,24 @@ object NcIO {
       }
     val local = java.io.File.createTempFile(f"nc-part-$pid%05d", ".nc")
     val writer = new NcFormat.Writer(local.getPath, schema, chunkBytes, arrayLens, stringWidth)
+    val nFields = schema.size
     try {
       rows.foreach { r =>
+        // classic NetCDF has no null encoding: fail loudly rather than
+        // silently persisting nulls as zeros/empty strings
+        var i = 0
+        while (i < nFields) {
+          if (r.isNullAt(i)) throw new IllegalArgumentException(
+            s"null in column ${schema.fields(i).name}: the classic NetCDF format has no " +
+              "null encoding — fill or filter nulls before NcIO.write")
+          i += 1
+        }
         writer.writeRow(i => getters(i)(r))
       }
       writer.close()
       val dest = new Path(dir, f"part-$pid%05d.nc")
       val tmp = new Path(dir, f".part-$pid%05d-${java.util.UUID.randomUUID()}.nc.tmp")
-      val fs = dest.getFileSystem(new Configuration())
+      val fs = dest.getFileSystem(serConf.value)
       fs.copyFromLocalFile(true, true, new Path(local.getPath), tmp)
       if (fs.exists(dest)) fs.delete(dest, false)
       if (!fs.rename(tmp, dest)) throw new java.io.IOException(s"rename to $dest failed")

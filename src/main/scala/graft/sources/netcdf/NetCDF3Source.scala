@@ -134,6 +134,10 @@ case class NcInputPartition(
 class NcScan(required: StructType, dir: String, lower: Long, upper: Long,
     options: Map[String, String]) extends Scan with Batch {
 
+  // captured on the driver at scan build time, shipped to executors
+  private val serConf =
+    new SerializableHadoopConf(SparkContext.getOrCreate().hadoopConfiguration)
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
@@ -168,10 +172,10 @@ class NcScan(required: StructType, dir: String, lower: Long, upper: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NcReaderFactory(required)
+    new NcReaderFactory(required, serConf)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new NcMicroBatchStream(dir, required, options)
+    new NcMicroBatchStream(dir, required, options, serConf)
 }
 
 /** Offset = number of part files ingested. Part files are immutable
@@ -188,12 +192,17 @@ case class NcOffset(fileCount: Int) extends Offset {
   * scan. The virtual `record` column stays globally consistent: each
   * file's base index is the cumulative record count of all files
   * before it in sorted order. */
-class NcMicroBatchStream(dir: String, required: StructType, options: Map[String, String])
-    extends MicroBatchStream {
+class NcMicroBatchStream(dir: String, required: StructType, options: Map[String, String],
+    serConf: SerializableHadoopConf) extends MicroBatchStream {
 
   private def fs =
     new Path(dir).getFileSystem(SparkContext.getOrCreate().hadoopConfiguration)
   private def files: Seq[Path] = NetCDF3Util.listNcFiles(fs, new Path(dir))
+  // part files are immutable: header metadata is read once per file,
+  // so per-batch planning is O(new files), not O(all files)
+  private val metaCache = scala.collection.mutable.HashMap.empty[String, NcFormat.NcMeta]
+  private def metaOf(f: Path): NcFormat.NcMeta =
+    metaCache.getOrElseUpdate(f.toString, NcFormat.readMeta(fs, f))
 
   override def initialOffset(): Offset = NcOffset(0)
   override def latestOffset(): Offset = NcOffset(files.size)
@@ -206,12 +215,11 @@ class NcMicroBatchStream(dir: String, required: StructType, options: Map[String,
     val s = start.asInstanceOf[NcOffset].fileCount
     val e = end.asInstanceOf[NcOffset].fileCount
     val chunkBytes = options.getOrElse("chunkbytes", (4 << 20).toString).toInt
-    val fsys = fs
     val all = files
     var offset = 0L
     val parts = Array.newBuilder[InputPartition]
     all.zipWithIndex.foreach { case (f, idx) =>
-      val meta = NcFormat.readMeta(fsys, f)
+      val meta = metaOf(f)
       if (idx >= s && idx < e && meta.numRecs > 0) {
         val perPart = options.get("recordsperpartition").map(_.toLong)
           .getOrElse(math.max(1L, chunkBytes.toLong * 4 / math.max(meta.recSize, 1L)))
@@ -228,12 +236,13 @@ class NcMicroBatchStream(dir: String, required: StructType, options: Map[String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NcReaderFactory(required)
+    new NcReaderFactory(required, serConf)
 }
 
-class NcReaderFactory(required: StructType) extends PartitionReaderFactory {
+class NcReaderFactory(required: StructType, serConf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new NcPartitionReader(partition.asInstanceOf[NcInputPartition], required)
+    new NcPartitionReader(partition.asInstanceOf[NcInputPartition], required, serConf)
 
   /** Scalar-numeric projections decode straight into column vectors —
     * one typed fill loop per variable per chunk, no per-row branching.
@@ -246,18 +255,19 @@ class NcReaderFactory(required: StructType) extends PartitionReaderFactory {
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new NcColumnarReader(partition.asInstanceOf[NcInputPartition], required)
+    new NcColumnarReader(partition.asInstanceOf[NcInputPartition], required, serConf)
 }
 
 /** Vectorized reader: each loaded chunk becomes one ColumnarBatch. */
-class NcColumnarReader(part: NcInputPartition, required: StructType)
+class NcColumnarReader(part: NcInputPartition, required: StructType,
+    serConf: SerializableHadoopConf)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
 
   private val path = new Path(part.file)
-  private val fs = path.getFileSystem(new Configuration())
+  private val fs = path.getFileSystem(serConf.value)
   private val meta = NcFormat.readMeta(fs, path)
   private val varNames = required.fieldNames.filterNot(_ == "record").toSeq
   private val reader = new NcFormat.RangeReader(
@@ -307,11 +317,12 @@ class NcColumnarReader(part: NcInputPartition, required: StructType)
   override def close(): Unit = { batch.close(); reader.close() }
 }
 
-class NcPartitionReader(part: NcInputPartition, required: StructType)
+class NcPartitionReader(part: NcInputPartition, required: StructType,
+    serConf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val path = new Path(part.file)
-  private val fs = path.getFileSystem(new Configuration())
+  private val fs = path.getFileSystem(serConf.value)
   private val meta = NcFormat.readMeta(fs, path)
   private val varNames = required.fieldNames.filterNot(_ == "record").toSeq
   private val reader = new NcFormat.RangeReader(

@@ -15,9 +15,10 @@ import org.apache.spark.sql.types._
   * `processAllAvailable()`.
   *
   * Scale posture: all three are keyed-state operators — state is
-  * partitioned by the grouping key across executors, watermarks bound
-  * state size, and `flatMapGroupsWithState` holds one small session
-  * buffer per active user, not per event.
+  * partitioned by the grouping key across executors; watermarks bound
+  * the window/dedup state, and the sessionizer's processing-time
+  * timeout clears idle users, so it holds one small session buffer
+  * per *active* user, not per event or per user ever seen.
   */
 object Streams {
 
@@ -42,33 +43,50 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
 
-  case class Ev(user_id: Long, event_id: Long, us: Long)
+  case class Ev(user_id: Long, event_id: Long, us: Long, ts: java.sql.Timestamp)
   case class Session(user_id: Long, session_start_us: Long, n_events: Long)
 
   /** Gap-based sessionization (30-minute inactivity) via
     * flatMapGroupsWithState: per-user state holds only the open
-    * session; closed sessions are emitted as they complete. */
+    * session; closed sessions are emitted as they complete, and an
+    * EVENT-TIME timeout flushes (and clears) each user's final open
+    * session once the watermark passes last-event + gap — so state
+    * stays bounded by the number of *active* users. Event-time (not
+    * processing-time) timeouts matter twice over: they are replayable,
+    * and they only fire on watermark advancement, so a drained source
+    * quiesces instead of scheduling timer batches forever. */
   def sessionize(events: Dataset[Ev]): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = 1800L * 1000000L
     events
+      .withWatermark("ts", "30 minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, evs: Iterator[Ev], state: GroupState[(Long, Long, Long)]) => {
-          // state = (sessionStartUs, lastUs, count)
-          var st = state.getOption.getOrElse((-1L, -1L, 0L))
-          val closed = Seq.newBuilder[Session]
-          evs.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
-            st match {
-              case (-1L, _, _) => st = (e.us, e.us, 1L)
-              case (start, last, n) if e.us - last > gapUs =>
-                closed += Session(user, start, n)
-                st = (e.us, e.us, 1L)
-              case (start, _, n) => st = (start, e.us, n + 1L)
+          if (state.hasTimedOut) {
+            // watermark passed last-event + gap: close the open session
+            val out = state.getOption.map { case (start, _, n) => Session(user, start, n) }
+            state.remove()
+            out.iterator
+          } else {
+            // state = (sessionStartUs, lastUs, count)
+            var st = state.getOption.getOrElse((-1L, -1L, 0L))
+            val closed = Seq.newBuilder[Session]
+            evs.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+              st match {
+                case (-1L, _, _) => st = (e.us, e.us, 1L)
+                case (start, last, n) if e.us - last > gapUs =>
+                  closed += Session(user, start, n)
+                  st = (e.us, e.us, 1L)
+                case (start, _, n) => st = (start, e.us, n + 1L)
+              }
             }
+            state.update(st)
+            val timeoutMs = st._2 / 1000L + 1800L * 1000L
+            state.setTimeoutTimestamp(
+              math.max(timeoutMs, state.getCurrentWatermarkMs() + 1))
+            closed.result().iterator
           }
-          state.update(st)
-          closed.result().iterator
         })
   }
 

@@ -101,17 +101,24 @@ class StreamingSpec extends AnyFunSuite {
   test("stream_sessionize emits closed sessions consistent with the batch twin") {
     import spark.implicits._
     val evs = eventsStream
-      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"), col("ts"))
       .as[Streams.Ev]
     val q = Streams.sessionize(evs)
       .writeStream.outputMode("append").format("memory").queryName("ssz")
       .trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("ssz")
-    // every user's open (last) session stays in state: emitted = total - 1 per user
+      .select(col("user_id"), col("session_start_us"), col("n_events"))
+    // batch twin's sessions keyed by (user, start µs, count)
     val batch = queries.Relational.q18Sessionize(spark, sf)
-      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
-    val expected = batch.agg(sum(col("n_sessions") - 1)).head().getLong(0)
-    assert(streamed.count() == expected)
+      .select(col("user_id"), expr("unix_micros(start_ts)").as("session_start_us"),
+        col("n_events"))
+    // every emitted session must exist in the batch result...
+    assert(streamed.exceptAll(batch).isEmpty)
+    // ...and at least every session closed by a successor was emitted
+    // (event-time timeouts may flush more once the watermark passes)
+    val totalSessions = batch.count()
+    val nUsers = batch.select("user_id").distinct().count()
+    assert(streamed.count() >= totalSessions - nUsers)
   }
 }
