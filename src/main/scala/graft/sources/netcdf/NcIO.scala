@@ -1,6 +1,5 @@
 package graft.sources.netcdf
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
