@@ -23,7 +23,8 @@ object SparkEntry {
       graft.streaming.Streams.queries ++
       graft.operators.MmPipeline.queries ++
       graft.operators.Salted.queries ++
-      graft.operators.DedupClusters.queries
+      graft.operators.DedupClusters.queries ++
+      graft.operators.PipelineKeepList.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.streaming.Streams.oracles ++
       graft.operators.MmPipeline.oracles ++
       graft.operators.Salted.oracles ++
-      graft.operators.DedupClusters.oracles
+      graft.operators.DedupClusters.oracles ++
+      graft.operators.PipelineKeepList.oracles
 }
