@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality floor for the approximate ANN paths: how much of the exact
+  * brute-force top-k do LSH and IVF recover on the sf0.001 embeddings?
+  * (Loose floors — the corpus is small random vectors, the point is a
+  * regression tripwire, not a tuning target.) */
+class RecallSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("query_id"), col("neighbor_id"))
+
+  lazy private val exact = pairs(Similarity.simTopKBruteforce(spark, sf)).cache()
+
+  test("sign-LSH results are a subset of scored candidates and overlap the exact top-k") {
+    val lsh = pairs(Similarity.simLshBucketed(spark, sf))
+    val hits = lsh.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(lsh.count() > 0)
+    // every LSH neighbor that IS in the exact top-5 counts as a hit;
+    // with 256 sign buckets on random data expect at least some overlap
+    assert(hits >= 1, s"sign-LSH recovered $hits of the exact top-k pairs")
+  }
+
+  test("IVF nprobe=2 recovers a nontrivial share of the exact top-k") {
+    val ivf = pairs(Similarity.simIvf(spark, sf))
+    val hits = ivf.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(ivf.count() > 0)
+    assert(hits >= 1, s"IVF recovered $hits of the exact top-k pairs")
+  }
+}
