@@ -67,7 +67,11 @@ object NcFormat {
       dimIds: Seq[Int],
       vsize: Long,
       begin: Long,
-      isRecord: Boolean) {
+      isRecord: Boolean,
+      /** per-file value range from the `actual_range` attribute (the
+        * CF convention) — graft's writer records it so scans can skip
+        * whole files against pushed value filters (zone maps). */
+      range: Option[(Double, Double)] = None) {
     /** Bytes of one record slab before inter-record padding. */
     def slabSize(dims: Seq[NcDimMeta]): Long = {
       val fixedCount = dimIds.drop(if (isRecord) 1 else 0)
@@ -162,12 +166,12 @@ object NcFormat {
         val vname = p.name()
         val rank = p.nonNeg().toInt
         val dimIds = (0 until rank).map(_ => p.nonNeg().toInt)
-        skipAttrs(raf, p)
+        val range = readAttrsForRange(raf, p)
         val ncType = raf.readInt()
         val vsize = p.nonNeg()
         val begin = p.offset()
         val isRecord = dimIds.headOption.exists(i => dims(i).isRecord)
-        NcVarMeta(vname, ncType, dimIds, vsize, begin, isRecord)
+        NcVarMeta(vname, ncType, dimIds, vsize, begin, isRecord, range)
       }
       val meta = NcMeta(version, numRecs, dims, vars)
       if (version != 5 && numRecs == NUMRECS_STREAMING && meta.recSize > 0) {
@@ -180,16 +184,44 @@ object NcFormat {
   }
 
   private def skipAttrs(raf: FSDataInputStream, p: Parser): Unit = {
+    readAttrsForRange(raf, p)
+    ()
+  }
+
+  /** Walk an att_list; if a 2-element numeric `actual_range` attribute
+    * is present, return its (min, max) widened to doubles. For NC_INT64
+    * the double widening is padded by one ulp each way so zone-map
+    * pruning stays conservative beyond 2^53. */
+  private def readAttrsForRange(
+      raf: FSDataInputStream, p: Parser): Option[(Double, Double)] = {
     val tag = raf.readInt()
     val n = p.nonNeg().toInt
     require(tag == TAG_ATT || (tag == 0 && n == 0), "bad att_list")
+    var range: Option[(Double, Double)] = None
     (0 until n).foreach { _ =>
-      p.name()
+      val aname = p.name()
       val t = raf.readInt()
       val nelems = p.nonNeg()
-      val bytes = nelems * typeSize(t)
-      skipFully(raf, (bytes + pad4(bytes)).toInt)
+      if (aname == "actual_range" && nelems == 2 && t != NC_CHAR) {
+        def one(): Double = t match {
+          case NC_DOUBLE => raf.readDouble()
+          case NC_FLOAT => raf.readFloat().toDouble
+          case NC_INT => raf.readInt().toDouble
+          case NC_INT64 => raf.readLong().toDouble
+          case NC_SHORT => raf.readShort().toDouble
+          case NC_BYTE => raf.readByte().toDouble
+        }
+        val lo = one(); val hi = one()
+        range =
+          if (t == NC_INT64) Some((math.nextDown(lo), math.nextUp(hi)))
+          else Some((lo, hi))
+        skipFully(raf, pad4(2L * typeSize(t)).toInt)
+      } else {
+        val bytes = nelems * typeSize(t)
+        skipFully(raf, (bytes + pad4(bytes)).toInt)
+      }
     }
+    range
   }
 
   // --------------------------------------------------------------- write
@@ -236,6 +268,19 @@ object NcFormat {
     private val dimIdOf: Map[String, Int] =
       extraDims.zipWithIndex.map { case ((n, _), i) => n -> (i + 1) }.toMap
     private var numRecs = 0L
+    // zone-map tracking for scalar numeric vars: exact Long range for
+    // the integer family, Double range for float/double
+    private val isTracked: Array[Boolean] =
+      specs.map(v => !v.isArray && !v.isString)
+    private val isIntFamily: Array[Boolean] =
+      specs.map(v => v.ncType == NC_BYTE || v.ncType == NC_SHORT
+        || v.ncType == NC_INT || v.ncType == NC_INT64)
+    private val minL = Array.fill(specs.length)(Long.MaxValue)
+    private val maxL = Array.fill(specs.length)(Long.MinValue)
+    private val minD = Array.fill(specs.length)(Double.PositiveInfinity)
+    private val maxD = Array.fill(specs.length)(Double.NegativeInfinity)
+    /** absolute offset of each tracked var's actual_range value bytes */
+    private val rangeValueOffset = Array.fill(specs.length)(-1L)
     private val headerBytes = buildHeader()
     private val out = new DataOutputStream(new BufferedOutputStream(
       new FileOutputStream(path), chunkBytes))
@@ -267,13 +312,23 @@ object NcFormat {
       // two passes: sizes depend only on names/types/ranks, so compute
       // the header length first, then assign begins
       val nnW = if (version == 5) 8 else 4
-      val varHeaderLen = specs.map { v =>
+      // scalar numeric vars carry a 2-element actual_range attribute
+      // (CF convention) whose value bytes are patched on close
+      val rangeAttrLen: Int => Int = i =>
+        if (!isTracked(i)) 0
+        else {
+          val valueBytes = 2 * typeSize(specs(i).ncType)
+          (nnW + 12 + pad4(12L).toInt) + // name "actual_range"
+            4 + nnW + // nc_type + nelems
+            valueBytes + pad4(valueBytes.toLong).toInt
+        }
+      val varHeaderLen = specs.zipWithIndex.map { case (v, i) =>
         val nb = v.name.getBytes(StandardCharsets.UTF_8).length
         val rank = if (v.isArray || v.isString) 2 else 1
         nnW + nb + pad4(nb.toLong).toInt + // name
           nnW + // rank
           rank * nnW + // dimids
-          (4 + nnW) + // absent vatt_list
+          (4 + nnW) + rangeAttrLen(i) + // vatt_list
           4 + // nc_type
           nnW + // vsize
           8 // begin (CDF-2/5)
@@ -287,7 +342,17 @@ object NcFormat {
         } else {
           nn(1L); nn(0L)
         }
-        d.writeInt(0); nn(0L) // absent vatt_list
+        if (isTracked(i)) {
+          d.writeInt(TAG_ATT); nn(1L)
+          name("actual_range")
+          d.writeInt(v.ncType); nn(2L)
+          rangeValueOffset(i) = buf.size().toLong
+          val valueBytes = 2 * typeSize(v.ncType)
+          (0 until valueBytes + pad4(valueBytes.toLong).toInt)
+            .foreach(_ => d.writeByte(0)) // placeholder, patched on close
+        } else {
+          d.writeInt(0); nn(0L) // absent vatt_list
+        }
         d.writeInt(v.ncType)
         nn(v.slab.toLong + slabPad(i))
         d.writeLong(begin)
@@ -328,7 +393,25 @@ object NcFormat {
             s"array column ${v.name}: row has ${arr.length} elements, declared ${v.extra}")
           arr.foreach(e => writeScalar(v.ncType, e))
         } else {
-          writeScalar(v.ncType, get(i))
+          val value = get(i)
+          if (isIntFamily(i)) {
+            val l = value match {
+              case x: Byte => x.toLong
+              case x: Short => x.toLong
+              case x: Int => x.toLong
+              case x: Long => x
+            }
+            if (l < minL(i)) minL(i) = l
+            if (l > maxL(i)) maxL(i) = l
+          } else {
+            val dv = value match {
+              case x: Float => x.toDouble
+              case x: Double => x
+            }
+            if (dv < minD(i)) minD(i) = dv
+            if (dv > maxD(i)) maxD(i) = dv
+          }
+          writeScalar(v.ncType, value)
         }
         (0 until slabPad(i)).foreach(_ => out.writeByte(0))
         i += 1
@@ -342,6 +425,26 @@ object NcFormat {
       try {
         raf.seek(4)
         raf.write(nonNegBytes(numRecs))
+        // patch the per-var actual_range zone maps (only when records
+        // were written; zero-record files keep the zero placeholder and
+        // are pruned by numRecs anyway)
+        if (numRecs > 0) {
+          specs.indices.foreach { i =>
+            if (isTracked(i)) {
+              raf.seek(rangeValueOffset(i))
+              specs(i).ncType match {
+                case NC_DOUBLE => raf.writeDouble(minD(i)); raf.writeDouble(maxD(i))
+                case NC_FLOAT =>
+                  raf.writeFloat(minD(i).toFloat); raf.writeFloat(maxD(i).toFloat)
+                case NC_INT => raf.writeInt(minL(i).toInt); raf.writeInt(maxL(i).toInt)
+                case NC_INT64 => raf.writeLong(minL(i)); raf.writeLong(maxL(i))
+                case NC_SHORT =>
+                  raf.writeShort(minL(i).toInt); raf.writeShort(maxL(i).toInt)
+                case NC_BYTE => raf.writeByte(minL(i).toInt); raf.writeByte(maxL(i).toInt)
+              }
+            }
+          }
+        }
       } finally raf.close()
     }
   }

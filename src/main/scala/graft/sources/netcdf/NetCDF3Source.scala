@@ -88,15 +88,29 @@ class NcScanBuilder(fullSchema: StructType, dir: String, options: Map[String, St
   private var lower: Long = 0L
   private var upper: Long = Long.MaxValue
   private var pushed: Array[sources.Filter] = Array.empty
+  /** per-variable closed value bounds for zone-map file pruning */
+  private var valueBounds: Map[String, (Double, Double)] = Map.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Accept exact record-index bounds; everything else stays post-scan. */
+  /** Accept exact record-index bounds. Value comparisons on data
+    * columns are *observed* for zone-map file pruning (actual_range
+    * attributes) but returned to Spark for re-evaluation, so pruning
+    * only has to be conservative, never exact. */
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     def bound(v: Any): Option[Long] = v match {
       case n: Number => Some(n.longValue())
       case _ => None
+    }
+    def dbl(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case _ => None
+    }
+    def tighten(colName: String, lo: Double, hi: Double): Unit = {
+      val (clo, chi) = valueBounds.getOrElse(colName,
+        (Double.NegativeInfinity, Double.PositiveInfinity))
+      valueBounds += colName -> (math.max(clo, lo), math.min(chi, hi))
     }
     val (accepted, rest) = filters.partition {
       case sources.GreaterThan("record", v) => bound(v).isDefined
@@ -115,13 +129,22 @@ class NcScanBuilder(fullSchema: StructType, dir: String, options: Map[String, St
         lower = math.max(lower, bound(v).get); upper = math.min(upper, bound(v).get + 1)
       case _ =>
     }
+    rest.foreach {
+      case sources.GreaterThan(c, v) => dbl(v).foreach(x => tighten(c, x, Double.PositiveInfinity))
+      case sources.GreaterThanOrEqual(c, v) => dbl(v).foreach(x => tighten(c, x, Double.PositiveInfinity))
+      case sources.LessThan(c, v) => dbl(v).foreach(x => tighten(c, Double.NegativeInfinity, x))
+      case sources.LessThanOrEqual(c, v) => dbl(v).foreach(x => tighten(c, Double.NegativeInfinity, x))
+      case sources.EqualTo(c, v) => dbl(v).foreach(x => tighten(c, x, x))
+      case _ =>
+    }
     pushed = accepted
     rest
   }
 
   override def pushedFilters(): Array[sources.Filter] = pushed
 
-  override def build(): Scan = new NcScan(required, dir, lower, upper, options)
+  override def build(): Scan =
+    new NcScan(required, dir, lower, upper, valueBounds, options)
 }
 
 case class NcInputPartition(
@@ -132,6 +155,7 @@ case class NcInputPartition(
     chunkBytes: Int) extends InputPartition
 
 class NcScan(required: StructType, dir: String, lower: Long, upper: Long,
+    valueBounds: Map[String, (Double, Double)],
     options: Map[String, String]) extends Scan with Batch {
 
   // captured on the driver at scan build time, shipped to executors
@@ -154,9 +178,15 @@ class NcScan(required: StructType, dir: String, lower: Long, upper: Long,
     val parts = Array.newBuilder[InputPartition]
     files.foreach { f =>
       val meta = NcFormat.readMeta(fs, f)
+      // zone-map skip: the whole file is prunable when any filtered
+      // variable's actual_range is disjoint from the filter bounds
+      val zonePruned = valueBounds.exists { case (colName, (lo, hi)) =>
+        meta.recordVars.find(_.name == colName).flatMap(_.range)
+          .exists { case (fMin, fMax) => fMin > hi || fMax < lo }
+      }
       val lo = math.max(lower, offset)
       val hi = math.min(upper, offset + meta.numRecs)
-      if (lo < hi) {
+      if (!zonePruned && lo < hi) {
         val perPart = options.get("recordsperpartition").map(_.toLong)
           .getOrElse(math.max(1L, chunkBytes.toLong * 4 / math.max(meta.recSize, 1L)))
         var s = lo

@@ -70,6 +70,37 @@ class NcFormatSpec extends AnyFunSuite {
     assert(back.agg(sum(col("s").cast("long"))).head().getLong(0) == (0 until 101).sum)
   }
 
+  test("zone maps prune part files on pushed value filters") {
+    val dir = "/tmp/graft_nc_fmt/zonemap"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    // range partitioning gives part files with near-disjoint quantity ranges
+    NcIO.write(li.repartitionByRange(4, col("l_quantity")), dir)
+    val back = spark.read.format(SRC).load(dir)
+    val fullParts = back.rdd.getNumPartitions
+    val filtered = back.filter(col("l_quantity") > 45.0)
+    assert(filtered.rdd.getNumPartitions < fullParts,
+      s"expected zone-map pruning below $fullParts partitions")
+    // pruning must stay correct: same rows as the parquet source
+    val expected = li.filter(col("l_quantity") > 45.0).count()
+    assert(filtered.count() == expected)
+    // a filter beyond the global max prunes everything
+    assert(back.filter(col("l_quantity") > 1e6).rdd.getNumPartitions == 0)
+  }
+
+  test("actual_range attributes roundtrip through the header") {
+    val dir = "/tmp/graft_nc_fmt/ranges"
+    NcIO.write(
+      spark.range(10, 110).select(col("id").cast("double").as("x"), col("id").as("l")),
+      dir)
+    val files = graft.sources.netcdf.NetCDF3Util.listNcFiles(fs, new Path(dir))
+    val ranges = files.map(NcFormat.readMeta(fs, _))
+      .flatMap(_.recordVars.filter(_.name == "x").flatMap(_.range))
+    assert(ranges.nonEmpty)
+    assert(ranges.map(_._1).min == 10.0)
+    assert(ranges.map(_._2).max == 109.0)
+  }
+
   test("record column is globally consecutive across part files") {
     val dir = "/tmp/graft_nc_fmt/multi"
     NcIO.write(spark.range(1000).select(col("id").cast("double").as("x")).repartition(7), dir)
