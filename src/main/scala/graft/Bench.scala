@@ -29,7 +29,7 @@ object Bench {
     }
     System.gc() // let ContextCleaner drop warmup broadcasts/shuffles
     // best-of-2 per query: one timing sample is dominated by JIT tails
-    // and host noise in a 39-plan session; the min is the steady state
+    // and host noise in a 50-plan session; the min is the steady state
     val results = SparkEntry.queries.map { case (name, fn) =>
       val samples = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

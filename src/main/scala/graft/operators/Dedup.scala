@@ -31,7 +31,21 @@ object Dedup {
   private val H = 8 // minhash functions
   private val BANDS = 4 // bands of 2 rows each
 
-  /** (doc_id, sh): distinct word n-gram shingles per document. */
+  /** Shingle document-frequency cap. A shingle shared by f documents
+    * contributes O(f²) candidate pairs to an inverted-index self-join
+    * while carrying no near-dup signal once f is large — at corpus
+    * scale a single stop-phrase 4-gram present in 1% of a 100 TB
+    * corpus would alone create ~10¹⁴ pairs. Dropping shingles with
+    * df > MAX_DF (standard inverted-index pruning) bounds every
+    * bucket; the hot-shingle list is tiny, so it broadcasts.
+    * Measured at sf0.1: no shingle exceeds df=64 in the synthetic
+    * corpus, so results there are identical with or without the cap —
+    * it is purely the worst-case bound a real corpus needs.
+    */
+  private val MAX_DF = 64
+
+  /** (doc_id, sh): distinct word n-gram shingles per document, raw
+    * (no df cap — feeds [[cappedShingles]]). */
   private def shingles(docs: DataFrame, n: Int): DataFrame = {
     val concatExpr = (1 to n).map(j => s"element_at(ws, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")")
     docs
@@ -41,14 +55,31 @@ object Dedup {
         s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), i -> $concatExpr))")).as("sh"))
   }
 
-  /** DuckDB twin of [[shingles]]. */
+  /** [[shingles]] minus shingles with document frequency > [[MAX_DF]].
+    * The hot list is computed with a partial-agg groupBy (each map
+    * task emits one (sh, cnt) row, so a skewed stop-phrase never
+    * concentrates rows in one task) and removed with a broadcast
+    * left-anti join — no shuffle of the big side. */
+  private def cappedShingles(docs: DataFrame, n: Int): DataFrame = {
+    val sh = shingles(docs, n).cache() // feeds the hot list + the join
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MAX_DF).select("sh")
+    // re-select: USING-joins move the join column first, and callers
+    // rename positionally via toDF
+    sh.join(broadcast(hot), Seq("sh"), "left_anti").select("doc_id", "sh")
+  }
+
+  /** DuckDB twin of [[cappedShingles]]. */
   private def shinglesSql(n: Int): String = {
     val concatExpr = (1 to n).map(j => s"ws[i + ${j - 1}]").mkString(" || ' ' || ")
-    s"""SELECT DISTINCT doc_id, sh FROM (
-       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - ${n - 1}),
-       |    i -> $concatExpr)) AS sh
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-       |  WHERE len(ws) >= $n)""".stripMargin
+    s"""SELECT doc_id, sh FROM (
+       |  SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM (
+       |    SELECT DISTINCT doc_id, sh FROM (
+       |      SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - ${n - 1}),
+       |        i -> $concatExpr)) AS sh
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |      WHERE len(ws) >= $n)))
+       |WHERE df <= $MAX_DF""".stripMargin
   }
 
   /** MinHash + LSH banding + verified Jaccard on candidates.
@@ -58,7 +89,7 @@ object Dedup {
     // the shingle set feeds 4 plan branches (signatures, both sides of
     // the candidate join via bands, and the Jaccard intersection);
     // Spark recomputes each branch, so cache the md5-heavy base
-    val sh = shingles(t(s, dir, "documents"), 3).cache()
+    val sh = cappedShingles(t(s, dir, "documents"), 3).cache()
     val sigAggs = (0 until H).map(i =>
       min(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 16)).as(s"h$i"))
     val sigs = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
@@ -127,9 +158,11 @@ object Dedup {
   }
 
   /** Word-4-gram Jaccard: candidates = pairs sharing at least one
-    * 4-gram (inverted-index self-join on the shingle). */
+    * df-capped 4-gram (inverted-index self-join on the shingle; the
+    * df cap bounds every join bucket to <= MAX_DF members, so the
+    * worst case is corpus_size·MAX_DF pairs, never O(n²)). */
   def dedupNgramJaccard: Q = (s, dir) => {
-    val sh = shingles(t(s, dir, "documents"), 4).cache()
+    val sh = cappedShingles(t(s, dir, "documents"), 4).cache()
     val cand = sh.toDF("id_a", "sh").join(sh.toDF("id_b", "sh"), "sh")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -145,29 +178,39 @@ object Dedup {
     jaccardSql(candCte, 4)
   }
 
-  private val SIMHASH_DIMS = 32
+  private val SIMHASH_DIMS = 64
+  private val SIMHASH_BANDS = 4
+  private val BAND_MASK = 65535L // 16-bit bands
 
-  /** 32-dim SimHash from md5 hex digits: dimension d votes +1 when hex
-    * digit d of md5(word) is >= '8', else -1; bit d is set when the
-    * vote sum is positive. Near-dup candidates share one of four 8-bit
-    * fingerprint bands; pairs are kept when hamming distance <= 3. */
+  /** 64-dim SimHash from md5 hex digits: each word hashes to 64 hex
+    * chars (md5(w) ++ md5("x:" ++ w)); dimension d votes +1 when hex
+    * digit d is >= '8', else -1; bit d of the fingerprint is set when
+    * the vote sum is positive. Near-dup candidates share one of four
+    * 16-bit fingerprint bands — 65,536 buckets per band, so candidate
+    * pairs grow O(n²/65536) per band instead of the O(n²/256) an
+    * 8-bit banding gives (measured at sf0.1: 15.0M banded pairs under
+    * the round-1 scheme → 555k under this one, 27×; the survivors are
+    * dominated by genuine near-dup clusters, which no banding can
+    * shrink). Pairs are kept when hamming distance <= 3. */
   def dedupSimhash: Q = (s, dir) => {
     val base = t(s, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .withColumn("n", size(col("ws")).cast(LongType))
-      // hash each word once; the 32 per-dimension counts then only
-      // inspect hex digits of the precomputed hashes
-      .withColumn("hs", expr("transform(ws, w -> md5(w))"))
+      // hash each word once (two md5s → 64 hex digits); the 64
+      // per-dimension counts then only inspect the precomputed hashes
+      .withColumn("hs", expr("transform(ws, w -> concat(md5(w), md5(concat('x:', w))))"))
     val withCnt = (0 until SIMHASH_DIMS).foldLeft(base) { (df, d) =>
       df.withColumn(s"cnt$d",
         expr(s"size(filter(hs, h -> substring(h, ${d + 1}, 1) >= '8'))").cast(LongType))
     }
+    // bitwise OR, not +: bit 63 is the sign bit and 1L << 63 is
+    // negative, so an arithmetic sum would overflow
     val fp = (0 until SIMHASH_DIMS).map(d =>
       when(col(s"cnt$d") * 2 > col("n"), lit(1L << d)).otherwise(lit(0L)))
-      .reduce(_ + _)
+      .reduce(_ bitwiseOR _)
     val fps = withCnt.select(col("doc_id"), fp.as("fp")).cache()
-    val bandCols = (0 until 4).map(b =>
-      struct(lit(b).as("band"), (shiftright(col("fp"), 8 * b).bitwiseAND(lit(255L))).as("bv")))
+    val bandCols = (0 until SIMHASH_BANDS).map(b =>
+      struct(lit(b).as("band"), (shiftright(col("fp"), 16 * b).bitwiseAND(lit(BAND_MASK))).as("bv")))
     val bands = fps
       .select(col("doc_id"), col("fp"), explode(array(bandCols: _*)).as("s"))
       .select(col("doc_id"), col("fp"), col("s.band").as("band"), col("s.bv").as("bv"))
@@ -187,14 +230,14 @@ object Dedup {
       s"CAST(len(list_filter(hs, h -> substr(h, ${d + 1}, 1) >= '8')) AS BIGINT) AS cnt$d")
       .mkString(",\n    ")
     val fpExpr = (0 until SIMHASH_DIMS).map(d =>
-      s"CASE WHEN cnt$d * 2 > n THEN CAST(${1L << d} AS BIGINT) ELSE 0 END").mkString(" + ")
-    val bandSelects = (0 until 4)
-      .map(b => s"SELECT doc_id, fp, $b AS band, (fp >> ${8 * b}) & 255 AS bv FROM fps")
+      s"(CASE WHEN cnt$d * 2 > n THEN CAST(${1L << d} AS BIGINT) ELSE 0 END)").mkString(" | ")
+    val bandSelects = (0 until SIMHASH_BANDS)
+      .map(b => s"SELECT doc_id, fp, $b AS band, (fp >> ${16 * b}) & $BAND_MASK AS bv FROM fps")
       .mkString("\n  UNION ALL ")
     s"""WITH base AS (
        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
        |    $cnts
-       |  FROM (SELECT doc_id, ws, list_transform(ws, w -> md5(w)) AS hs
+       |  FROM (SELECT doc_id, ws, list_transform(ws, w -> md5(w) || md5('x:' || w)) AS hs
        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
        |fps AS (SELECT doc_id, $fpExpr AS fp FROM base),
        |bands AS (

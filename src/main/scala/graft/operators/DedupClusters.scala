@@ -31,7 +31,13 @@ object DedupClusters {
     val sym = edges.selectExpr("a AS src", "b AS dst")
       .unionAll(edges.selectExpr("b AS src", "a AS dst"))
       .cache()
-    var labels = nodes.selectExpr("id", "id AS label").cache()
+    // localCheckpoint (eager) materializes each round's labels AND
+    // truncates the logical lineage: without it round k's plan carries
+    // all k-1 prior joins, so planning cost grows per round and a
+    // cache eviction at scale would recompute the whole chain. (On a
+    // real cluster with executor loss, prefer reliable checkpoint()
+    // with a checkpoint dir — same call shape.)
+    var labels = nodes.selectExpr("id", "id AS label").localCheckpoint()
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -40,12 +46,10 @@ object DedupClusters {
         .select(col("dst").as("id"), col("label"))
       val next = labels.select("id", "label").unionAll(viaNeighbors)
         .groupBy("id").agg(min(col("label")).as("label"))
-        .cache()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
-      val prev = labels
       labels = next
-      prev.unpersist()
       converged = changed == 0
       round += 1
     }

@@ -116,14 +116,42 @@ object Similarity {
        |    ON e.bkt = qa.bkt AND e.vec_id <> qa.vec_id) sub
        |WHERE rank <= 3""".stripMargin
 
-  /** Embedding near-duplicate pairs: candidates share the 8-bit sign
-    * bucket; cosine >= 0.3 (rounded) flags a near-dup. */
+  private val EMB_BANDS = 4 // 4 independent 16-bit sign bands cover all 64 dims
+
+  /** Sign bits of dims [16b, 16b+16) packed into a 16-bit band value. */
+  private def signBand(b: Int): Column =
+    (0 until 16).map(d =>
+      when(element_at(col("v"), 16 * b + d + 1) >= 0d, lit(1L << d)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  private def signBandSql(b: Int): String =
+    (0 until 16).map(d =>
+      s"CASE WHEN embedding[${16 * b + d + 1}] >= 0 THEN CAST(${1L << d} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+
+  /** Embedding near-duplicate pairs: candidates share at least one of
+    * four independent 16-bit sign bands (65,536 buckets per band — a
+    * single 8-bit bucket grows candidates O(n²/256); per-band
+    * collisions here are ~1/65536, while near-identical vectors agree
+    * on every band, so recall goes UP). Candidate pairs are deduped
+    * across bands, then cosine-verified; >= 0.3 (rounded) flags a
+    * near-dup. */
   def dedupEmbedding: Q = (s, dir) => {
-    val emb = withVec(t(s, dir, "embeddings")).withColumn("bkt", bucketCol)
-    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"), col("bkt"))
-    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
-      col("bkt").as("bkt_b"))
-    a.join(b, col("bkt") === col("bkt_b") && col("id_a") < col("id_b"))
+    val emb = withVec(t(s, dir, "embeddings")).cache() // feeds bands + both verify sides
+    val bandCols = (0 until EMB_BANDS).map(b =>
+      struct(lit(b).as("band"), signBand(b).as("bv")))
+    val bands = emb.select(col("vec_id"), explode(array(bandCols: _*)).as("s"))
+      .select(col("vec_id"), col("s.band").as("band"), col("s.bv").as("bv"))
+      .cache() // both sides of the self-join
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .withColumn("cos_sim", round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .select(col("id_a"), col("id_b"), col("cos_sim"),
         (col("cos_sim") >= 0.3).as("is_near_dup"))
@@ -132,12 +160,21 @@ object Similarity {
   val dedupEmbeddingSql: String = {
     val dot =
       s"list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
-    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    val bandSelects = (0 until EMB_BANDS)
+      .map(b => s"SELECT vec_id, $b AS band, ${signBandSql(b)} AS bv FROM embeddings")
+      .mkString("\n  UNION ALL ")
+    s"""WITH bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT ba.vec_id AS id_a, bb.vec_id AS id_b
+       |  FROM bands ba JOIN bands bb
+       |    ON ba.band = bb.band AND ba.bv = bb.bv AND ba.vec_id < bb.vec_id)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |  round($dot / (a.nrm * b.nrm), 6) AS cos_sim,
        |  round($dot / (a.nrm * b.nrm), 6) >= 0.3 AS is_near_dup
-       |FROM (SELECT vec_id, embedding, $normSqlDuck AS nrm, $bucketSql AS bkt FROM embeddings) a
-       |JOIN (SELECT vec_id, embedding, $normSqlDuck AS nrm, $bucketSql AS bkt FROM embeddings) b
-       |  ON a.bkt = b.bkt AND a.vec_id < b.vec_id""".stripMargin
+       |FROM cand c
+       |JOIN (SELECT vec_id, embedding, $normSqlDuck AS nrm FROM embeddings) a ON a.vec_id = c.id_a
+       |JOIN (SELECT vec_id, embedding, $normSqlDuck AS nrm FROM embeddings) b ON b.vec_id = c.id_b""".stripMargin
   }
 
   private val NCENTS = 16

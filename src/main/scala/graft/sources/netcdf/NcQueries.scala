@@ -16,14 +16,20 @@ object NcQueries {
 
   private val SRC = "graft.sources.netcdf.NetCDF3Source"
 
-  /** Scratch dir keyed by sf dir so concurrent scales don't collide. */
-  private def scratch(dir: String, tag: String): String =
-    s"/tmp/graft_nc/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$tag"
+  /** Scratch dir keyed by (applicationId, sf dir): no two Spark
+    * processes can ever share a path, so a concurrent/overlapping run
+    * (driver retry, bench/verify overlap) cannot delete-then-rewrite a
+    * directory another JVM is mid-read of. Stable within a session so
+    * bench re-runs reuse their own files.
+    */
+  private def scratch(s: SparkSession, dir: String, tag: String): String =
+    s"/tmp/graft_nc/${s.sparkContext.applicationId}/" +
+      s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$tag"
 
   /** Write 4 lineitem variables to chunked NetCDF part files (4-way
     * parallel), read them back through the DSv2, aggregate. */
   def ncWriteReadRoundtrip: Q = (s, dir) => {
-    val out = scratch(dir, "roundtrip")
+    val out = scratch(s, dir, "roundtrip")
     NcIO.write(
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
@@ -47,7 +53,7 @@ object NcQueries {
   /** Variable pruning + record-range pushdown: write sorted, read only
     * records [1000, 2000) of two variables. */
   def ncReadPrune: Q = (s, dir) => {
-    val out = scratch(dir, "sorted")
+    val out = scratch(s, dir, "sorted")
     NcIO.write(
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
@@ -72,7 +78,7 @@ object NcQueries {
     * oracle (reading the original parquet) must agree on every
     * decimal-cast element sum. */
   def ncNdarrayRoundtrip: Q = (s, dir) => {
-    val out = scratch(dir, "ndarray")
+    val out = scratch(s, dir, "ndarray")
     NcIO.write(
       t(s, dir, "embeddings").select(col("vec_id"), col("embedding"), col("label")),
       out)
@@ -95,7 +101,7 @@ object NcQueries {
   /** NC_CHAR string-variable roundtrip: lang (width-8 char variable)
     * survives write+read and groups identically. */
   def ncStringRoundtrip: Q = (s, dir) => {
-    val out = scratch(dir, "strings")
+    val out = scratch(s, dir, "strings")
     NcIO.write(
       t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
       out, stringWidth = 8)
@@ -116,7 +122,7 @@ object NcQueries {
     * original parquet, so a match proves the streaming path delivers
     * every record exactly once. */
   def streamNcIngest: Q = (s, dir) => {
-    val out = scratch(dir, "stream_ingest")
+    val out = scratch(s, dir, "stream_ingest")
     NcIO.write(
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))

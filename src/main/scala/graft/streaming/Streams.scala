@@ -16,9 +16,10 @@ import org.apache.spark.sql.types._
   *
   * Scale posture: all three are keyed-state operators — state is
   * partitioned by the grouping key across executors; watermarks bound
-  * the window/dedup state, and the sessionizer's processing-time
-  * timeout clears idle users, so it holds one small session buffer
-  * per *active* user, not per event or per user ever seen.
+  * the window/dedup state, and the sessionizer's event-time timeout
+  * (watermark-driven, so processAllAvailable cannot hang) clears idle
+  * users, so it holds one small session buffer per *active* user, not
+  * per event or per user ever seen.
   */
 object Streams {
 
