@@ -179,28 +179,48 @@ object Similarity {
 
   private val NCENTS = 16
   private val NPROBE = 2
+  private val KMEANS_ITERS = 2
 
-  /** IVF (inverted-file) approximate top-3: a deterministic coarse
-    * quantizer (centroids = the first 16 vectors — in production a
-    * kmeans model) assigns every vector to its nearest-centroid cell;
-    * each query probes its 2 nearest cells and scores only their
-    * members. Assignment is a broadcast join + per-vector argmax (keys
-    * are unique, so the window is skew-free); at 100 TB each query
-    * touches ~NPROBE/NCENTS of the corpus. */
+  /** IVF (inverted-file) approximate top-3: a k-means coarse quantizer
+    * assigns every vector to its nearest-centroid cell; each query
+    * probes its 2 nearest cells and scores only their members.
+    *
+    * The quantizer is trained with [[KMEANS_ITERS]] distributed Lloyd
+    * iterations (init = the first NCENTS vectors, fully deterministic):
+    * assignment is a broadcast join + per-vector argmax (keys are
+    * unique, so the window is skew-free), and the centroid update is a
+    * partial-agg groupBy over (cell, dim) — at 100 TB each iteration
+    * is one map-side-combined shuffle of NCENTS·DIMS partial sums per
+    * task, nothing driver-side. Per-dim means go through DECIMAL
+    * (exact, associative — immune to partial-agg ordering) then cast
+    * to double, so Spark's parallel sums and the oracle's
+    * single-threaded replay produce bit-identical centroids; cell
+    * ranks are over round(cos, 9) with a cent_id tiebreak. A centroid
+    * that loses all members drops out (mirrored in the oracle). At
+    * query time each probe touches ~NPROBE/NCENTS of the corpus. */
   def simIvf: Q = (s, dir) => {
-    val emb = withVec(t(s, dir, "embeddings"))
-    val cents = emb.filter(col("vec_id") < NCENTS)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    def nearestCells(df: DataFrame, idCol: String, keep: Int): DataFrame = {
+    val emb = withVec(t(s, dir, "embeddings")).cache() // KMEANS_ITERS+2 assignment passes
+    def nearestCells(df: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
       val scored = df.join(broadcast(cents))
         .withColumn("ccos", vec_dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      val w = Window.partitionBy(idCol).orderBy(round(col("ccos"), 9).desc, col("cent_id"))
+      val w = Window.partitionBy("vec_id").orderBy(round(col("ccos"), 9).desc, col("cent_id"))
       scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= keep)
         .drop("cv", "cn", "ccos", "crn")
     }
-    val cells = nearestCells(emb, "vec_id", 1)
+    var cents = emb.filter(col("vec_id") < NCENTS)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    for (_ <- 0 until KMEANS_ITERS) {
+      cents = nearestCells(emb, cents, 1)
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cent_id", "pos")
+        .agg((sum(col("x").cast(DecimalType(27, 12))).cast(DoubleType) / count(lit(1))).as("m"))
+        .groupBy("cent_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("cv"))
+        .withColumn("cn", vec_norm(col("cv")))
+    }
+    val cells = nearestCells(emb, cents, 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
-    val probes = nearestCells(emb.filter(col("vec_id") < NQUERIES), "vec_id", NPROBE)
+    val probes = nearestCells(emb.filter(col("vec_id") < NQUERIES), cents, NPROBE)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("cent_id").as("cell"))
     probes.join(cells, "cell")
@@ -214,15 +234,37 @@ object Similarity {
         col("e._3").as("cos_sim"), (col("pos") + 1).cast(LongType).as("rank"))
   }
 
-  val simIvfSql: String =
+  val simIvfSql: String = {
+    // one Lloyd assignment CTE: rank centroids (CTE `cname`, columns
+    // cent_id/cv/cn with cv already DOUBLE) per vector of e
+    def assignCte(aname: String, cname: String) =
+      s"""$aname AS (
+         |  SELECT vec_id, embedding, nrm, cent_id, row_number() OVER (
+         |      PARTITION BY vec_id
+         |      ORDER BY round(list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(embedding[i] AS DOUBLE) * cv[i])) / (nrm * cn), 9) DESC,
+         |        cent_id) AS crn
+         |  FROM e CROSS JOIN $cname)""".stripMargin
+    // centroid update from assignment `aname`: per-(cell, dim) DECIMAL
+    // mean, reassembled into an ordered vector (same decimal-exact
+    // arithmetic as the Spark side, so centroids are bit-identical)
+    def centCte(cname: String, aname: String) =
+      s"""${cname}_m AS (
+         |  SELECT cent_id, pos,
+         |    CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM (SELECT cent_id, embedding FROM $aname WHERE crn = 1)
+         |    CROSS JOIN generate_series(1, $DIMS) t(pos)
+         |  GROUP BY cent_id, pos),
+         |$cname AS (
+         |  SELECT cent_id, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+         |  FROM (SELECT cent_id, list(m ORDER BY pos) AS cv FROM ${cname}_m GROUP BY cent_id))""".stripMargin
+    val iters = (0 until KMEANS_ITERS)
+      .map(k => s"${assignCte(s"a$k", s"c$k")},\n${centCte(s"c${k + 1}", s"a$k")}")
+      .mkString(",\n")
     s"""WITH e AS (SELECT vec_id, embedding, $normSqlDuck AS nrm FROM embeddings),
-       |cents AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cn FROM e WHERE vec_id < $NCENTS),
-       |assign AS (
-       |  SELECT vec_id, embedding, nrm, cent_id, row_number() OVER (
-       |      PARTITION BY vec_id
-       |      ORDER BY round(list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(embedding[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE))) / (nrm * cn), 9) DESC,
-       |        cent_id) AS crn
-       |  FROM e CROSS JOIN cents),
+       |c0 AS (SELECT vec_id AS cent_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv, nrm AS cn
+       |  FROM e WHERE vec_id < $NCENTS),
+       |$iters,
+       |${assignCte("assign", s"c$KMEANS_ITERS")},
        |cells AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM assign WHERE crn = 1),
        |probes AS (SELECT vec_id AS query_id, embedding AS qemb, nrm AS qn, cent_id AS cell
        |  FROM assign WHERE vec_id < $NQUERIES AND crn <= $NPROBE),
@@ -235,6 +277,7 @@ object Similarity {
        |  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id)
        |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
        |FROM scored WHERE rank <= 3""".stripMargin
+  }
 
   val queries: Map[String, Q] = Map(
     "sim_topk_bruteforce" -> simTopKBruteforce,

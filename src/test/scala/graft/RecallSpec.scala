@@ -19,6 +19,7 @@ class RecallSpec extends AnyFunSuite {
   test("sign-LSH results are a subset of scored candidates and overlap the exact top-k") {
     val lsh = pairs(Similarity.simLshBucketed(spark, sf))
     val hits = lsh.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    info(s"LSH hits: $hits of ${lsh.count()} returned")
     assert(lsh.count() > 0)
     // every LSH neighbor that IS in the exact top-5 counts as a hit;
     // with 256 sign buckets on random data expect at least some overlap
@@ -28,7 +29,11 @@ class RecallSpec extends AnyFunSuite {
   test("IVF nprobe=2 recovers a nontrivial share of the exact top-k") {
     val ivf = pairs(Similarity.simIvf(spark, sf))
     val hits = ivf.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    info(s"IVF hits: $hits of ${ivf.count()} returned (exact set: ${exact.count()})")
     assert(ivf.count() > 0)
-    assert(hits >= 1, s"IVF recovered $hits of the exact top-k pairs")
+    // with the trained (2-Lloyd-iteration) quantizer all 30 returned
+    // neighbors sit in the exact top-5 at sf0.001; 20 leaves margin
+    // for data regeneration while still catching a recall collapse
+    assert(hits >= 20, s"IVF recovered $hits of the exact top-k pairs")
   }
 }
