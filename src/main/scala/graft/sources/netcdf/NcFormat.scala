@@ -61,6 +61,11 @@ object NcFormat {
 
   private def pad4(n: Long): Long = (4 - n % 4) % 4
 
+  /** One parsed attribute: NC_CHAR attrs carry `text`, numeric attrs
+    * carry `nums` widened to doubles (exact for everything except
+    * int64 beyond 2^53 — zone-map consumers re-pad, see below). */
+  case class NcAttr(name: String, ncType: Int, text: String, nums: Seq[Double])
+
   case class NcVarMeta(
       name: String,
       ncType: Int,
@@ -71,7 +76,9 @@ object NcFormat {
       /** per-file value range from the `actual_range` attribute (the
         * CF convention) — graft's writer records it so scans can skip
         * whole files against pushed value filters (zone maps). */
-      range: Option[(Double, Double)] = None) {
+      range: Option[(Double, Double)] = None,
+      /** full vatt_list (user attributes + actual_range). */
+      atts: Seq[NcAttr] = Nil) {
     /** Bytes of one record slab before inter-record padding. */
     def slabSize(dims: Seq[NcDimMeta]): Long = {
       val fixedCount = dimIds.drop(if (isRecord) 1 else 0)
@@ -88,7 +95,10 @@ object NcFormat {
       version: Int,
       numRecs: Long,
       dims: Seq[NcDimMeta],
-      vars: Seq[NcVarMeta]) {
+      vars: Seq[NcVarMeta],
+      /** global attribute list. */
+      gatts: Seq[NcAttr] = Nil) {
+    val fixedVars: Seq[NcVarMeta] = vars.filterNot(_.isRecord)
     val recordVars: Seq[NcVarMeta] = vars.filter(_.isRecord)
     /** Byte stride between consecutive records (sum of padded slabs;
       * the single-small-record-var special case skips padding). */
@@ -156,8 +166,7 @@ object NcFormat {
       val nDims = p.nonNeg().toInt
       require(dimTag == TAG_DIM || (dimTag == 0 && nDims == 0), "bad dim_list")
       val dims = (0 until nDims).map(_ => NcDimMeta(p.name(), p.nonNeg()))
-      // gatt_list (skipped: parsed and discarded)
-      skipAttrs(raf, p)
+      val gatts = readAttrList(raf, p)
       // var_list
       val varTag = raf.readInt()
       val nVars = p.nonNeg().toInt
@@ -166,14 +175,14 @@ object NcFormat {
         val vname = p.name()
         val rank = p.nonNeg().toInt
         val dimIds = (0 until rank).map(_ => p.nonNeg().toInt)
-        val range = readAttrsForRange(raf, p)
+        val atts = readAttrList(raf, p)
         val ncType = raf.readInt()
         val vsize = p.nonNeg()
         val begin = p.offset()
         val isRecord = dimIds.headOption.exists(i => dims(i).isRecord)
-        NcVarMeta(vname, ncType, dimIds, vsize, begin, isRecord, range)
+        NcVarMeta(vname, ncType, dimIds, vsize, begin, isRecord, rangeOf(atts), atts)
       }
-      val meta = NcMeta(version, numRecs, dims, vars)
+      val meta = NcMeta(version, numRecs, dims, vars, gatts)
       if (version != 5 && numRecs == NUMRECS_STREAMING && meta.recSize > 0) {
         // streaming-mode file: the writer never patched numrecs
         val dataStart = meta.recordVars.map(_.begin).minOption.getOrElse(0L)
@@ -183,46 +192,47 @@ object NcFormat {
     } finally raf.close()
   }
 
-  private def skipAttrs(raf: FSDataInputStream, p: Parser): Unit = {
-    readAttrsForRange(raf, p)
-    ()
-  }
-
-  /** Walk an att_list; if a 2-element numeric `actual_range` attribute
-    * is present, return its (min, max) widened to doubles. For NC_INT64
-    * the double widening is padded by one ulp each way so zone-map
-    * pruning stays conservative beyond 2^53. */
-  private def readAttrsForRange(
-      raf: FSDataInputStream, p: Parser): Option[(Double, Double)] = {
+  /** Parse a full att_list: NC_CHAR values as UTF-8 text, numeric
+    * values widened to doubles. */
+  private def readAttrList(raf: FSDataInputStream, p: Parser): Seq[NcAttr] = {
     val tag = raf.readInt()
     val n = p.nonNeg().toInt
     require(tag == TAG_ATT || (tag == 0 && n == 0), "bad att_list")
-    var range: Option[(Double, Double)] = None
-    (0 until n).foreach { _ =>
+    (0 until n).map { _ =>
       val aname = p.name()
       val t = raf.readInt()
-      val nelems = p.nonNeg()
-      if (aname == "actual_range" && nelems == 2 && t != NC_CHAR) {
-        def one(): Double = t match {
-          case NC_DOUBLE => raf.readDouble()
-          case NC_FLOAT => raf.readFloat().toDouble
-          case NC_INT => raf.readInt().toDouble
-          case NC_INT64 => raf.readLong().toDouble
-          case NC_SHORT => raf.readShort().toDouble
-          case NC_BYTE => raf.readByte().toDouble
+      val nelems = p.nonNeg().toInt
+      val attr =
+        if (t == NC_CHAR) {
+          val bytes = new Array[Byte](nelems)
+          raf.readFully(bytes)
+          NcAttr(aname, t, new String(bytes, StandardCharsets.UTF_8), Nil)
+        } else {
+          def one(): Double = t match {
+            case NC_DOUBLE => raf.readDouble()
+            case NC_FLOAT => raf.readFloat().toDouble
+            case NC_INT => raf.readInt().toDouble
+            case NC_INT64 => raf.readLong().toDouble
+            case NC_SHORT => raf.readShort().toDouble
+            case NC_BYTE => raf.readByte().toDouble
+          }
+          NcAttr(aname, t, null, (0 until nelems).map(_ => one()))
         }
-        val lo = one(); val hi = one()
-        range =
-          if (t == NC_INT64) Some((math.nextDown(lo), math.nextUp(hi)))
-          else Some((lo, hi))
-        skipFully(raf, pad4(2L * typeSize(t)).toInt)
-      } else {
-        val bytes = nelems * typeSize(t)
-        skipFully(raf, (bytes + pad4(bytes)).toInt)
-      }
+      skipFully(raf, pad4(nelems.toLong * typeSize(t)).toInt)
+      attr
     }
-    range
   }
+
+  /** Zone-map range from a parsed att_list: the CF `actual_range`
+    * attribute when present. For NC_INT64 the double widening is
+    * padded by one ulp each way so pruning stays conservative beyond
+    * 2^53. */
+  private def rangeOf(atts: Seq[NcAttr]): Option[(Double, Double)] =
+    atts.collectFirst {
+      case a if a.name == "actual_range" && a.ncType != NC_CHAR && a.nums.size == 2 =>
+        if (a.ncType == NC_INT64) (math.nextDown(a.nums(0)), math.nextUp(a.nums(1)))
+        else (a.nums(0), a.nums(1))
+    }
 
   // --------------------------------------------------------------- write
 
@@ -252,19 +262,33 @@ object NcFormat {
     * buffer of `chunkBytes` (the analogue of the reference's
     * chunk_size_mb budget); numRecs is patched into the header on
     * close, so the record count need not be known up front — exactly
-    * the reference's streamNumpyData contract. */
+    * the reference's streamNumpyData contract.
+    *
+    * `gatts` / `vatts` are user NC_CHAR attributes (global and
+    * per-variable — the reference surfaces netCDF4 file/variable
+    * metadata the same way); `fixedVars` are non-record NC_DOUBLE
+    * coordinate variables, each over its own fixed dimension, whose
+    * data is laid out between the header and the record data exactly
+    * as the classic spec requires. */
   final class Writer(path: String, schema: StructType, chunkBytes: Int = 4 << 20,
-      arrayLens: Map[String, Int] = Map.empty, stringWidth: Int = 32) {
+      arrayLens: Map[String, Int] = Map.empty, stringWidth: Int = 32,
+      gatts: Seq[(String, String)] = Nil,
+      vatts: Map[String, Seq[(String, String)]] = Map.empty,
+      fixedVars: Seq[(String, Array[Double])] = Nil) {
     private val specs: Array[VarSpec] =
       schema.fields.map(f => varSpecOf(f, arrayLens, stringWidth))
+    require(vatts.keySet.subsetOf(schema.fieldNames.toSet),
+      s"vatts for unknown columns: ${vatts.keySet -- schema.fieldNames}")
     private val version = if (specs.exists(_.ncType == NC_INT64)) 5 else 2
     private val single = schema.size == 1
     private val slabPad: Array[Int] =
       specs.map(v => if (single) 0 else pad4(v.slab.toLong).toInt)
-    // extra dims follow the record dim: one per array/string column
+    // extra dims follow the record dim: one per array/string column,
+    // then one per fixed variable
     private val extraDims: Seq[(String, Long)] = specs.toSeq
       .filter(v => v.isArray || v.isString)
-      .map(v => (s"${v.name}_dim", v.extra.toLong))
+      .map(v => (s"${v.name}_dim", v.extra.toLong)) ++
+      fixedVars.map { case (n, vs) => (s"${n}_dim", vs.length.toLong) }
     private val dimIdOf: Map[String, Int] =
       extraDims.zipWithIndex.map { case ((n, _), i) => n -> (i + 1) }.toMap
     private var numRecs = 0L
@@ -285,6 +309,12 @@ object NcFormat {
     private val out = new DataOutputStream(new BufferedOutputStream(
       new FileOutputStream(path), chunkBytes))
     out.write(headerBytes)
+    // fixed (non-record) variable data sits between the header and the
+    // record data, each slab padded to a 4-byte boundary
+    fixedVars.foreach { case (_, vs) =>
+      vs.foreach(out.writeDouble)
+      (0 until pad4(8L * vs.length).toInt).foreach(_ => out.writeByte(0))
+    }
 
     private def nonNegBytes(v: Long): Array[Byte] =
       if (version == 5) ByteBuffer.allocate(8).putLong(v).array()
@@ -293,48 +323,69 @@ object NcFormat {
     private def buildHeader(): Array[Byte] = {
       val buf = new java.io.ByteArrayOutputStream()
       val d = new DataOutputStream(buf)
+      val nnW = if (version == 5) 8 else 4
       def nn(v: Long): Unit = d.write(nonNegBytes(v))
       def name(s: String): Unit = {
         val b = s.getBytes(StandardCharsets.UTF_8)
         nn(b.length.toLong); d.write(b)
         (0 until pad4(b.length.toLong).toInt).foreach(_ => d.writeByte(0))
       }
+      def utf8Len(s: String): Int = s.getBytes(StandardCharsets.UTF_8).length
+      def nameLen(s: String): Int = { val nb = utf8Len(s); nnW + nb + pad4(nb.toLong).toInt }
+      // one user NC_CHAR attribute: name + nc_type + nelems + padded value
+      def charAttrLen(kv: (String, String)): Int =
+        nameLen(kv._1) + 4 + nnW + { val vb = utf8Len(kv._2); vb + pad4(vb.toLong).toInt }
+      def writeCharAttr(kv: (String, String)): Unit = {
+        name(kv._1)
+        d.writeInt(NC_CHAR)
+        val b = kv._2.getBytes(StandardCharsets.UTF_8)
+        nn(b.length.toLong); d.write(b)
+        (0 until pad4(b.length.toLong).toInt).foreach(_ => d.writeByte(0))
+      }
       d.writeBytes("CDF"); d.writeByte(version)
       nn(0L) // numRecs placeholder (patched on close)
-      // dim_list: unlimited `record` + one fixed dim per array/string var
+      // dim_list: unlimited `record` + one fixed dim per array/string
+      // var + one per fixed variable
       d.writeInt(TAG_DIM); nn(1L + extraDims.size)
       name("record"); nn(0L)
       extraDims.foreach { case (dn, dl) => name(dn); nn(dl) }
-      // gatt_list: absent
-      d.writeInt(0); nn(0L)
-      // var_list
-      d.writeInt(TAG_VAR); nn(schema.size.toLong)
-      // two passes: sizes depend only on names/types/ranks, so compute
-      // the header length first, then assign begins
-      val nnW = if (version == 5) 8 else 4
+      // gatt_list: user global attributes
+      if (gatts.isEmpty) { d.writeInt(0); nn(0L) }
+      else { d.writeInt(TAG_ATT); nn(gatts.size.toLong); gatts.foreach(writeCharAttr) }
+      // var_list: record vars then fixed coordinate vars
+      d.writeInt(TAG_VAR); nn(schema.size.toLong + fixedVars.size)
+      // two passes: sizes depend only on names/types/ranks/attrs, so
+      // compute the header length first, then assign begins
       // scalar numeric vars carry a 2-element actual_range attribute
       // (CF convention) whose value bytes are patched on close
       val rangeAttrLen: Int => Int = i =>
         if (!isTracked(i)) 0
         else {
           val valueBytes = 2 * typeSize(specs(i).ncType)
-          (nnW + 12 + pad4(12L).toInt) + // name "actual_range"
-            4 + nnW + // nc_type + nelems
-            valueBytes + pad4(valueBytes.toLong).toInt
+          nameLen("actual_range") + 4 + nnW + valueBytes + pad4(valueBytes.toLong).toInt
         }
+      val userAttrs: Int => Seq[(String, String)] = i => vatts.getOrElse(specs(i).name, Nil)
       val varHeaderLen = specs.zipWithIndex.map { case (v, i) =>
-        val nb = v.name.getBytes(StandardCharsets.UTF_8).length
         val rank = if (v.isArray || v.isString) 2 else 1
-        nnW + nb + pad4(nb.toLong).toInt + // name
+        nameLen(v.name) +
           nnW + // rank
           rank * nnW + // dimids
-          (4 + nnW) + rangeAttrLen(i) + // vatt_list
+          (4 + nnW) + userAttrs(i).map(charAttrLen).sum + rangeAttrLen(i) + // vatt_list
           4 + // nc_type
           nnW + // vsize
           8 // begin (CDF-2/5)
       }.sum
-      val headerLen = buf.size() + varHeaderLen
+      val fixedHeaderLen = fixedVars.map { case (n, _) =>
+        nameLen(n) + nnW + nnW + (4 + nnW) + 4 + nnW + 8
+      }.sum
+      val headerLen = buf.size() + varHeaderLen + fixedHeaderLen
       var begin = headerLen + pad4(headerLen.toLong)
+      // fixed variable data precedes record data
+      val fixedBegins = fixedVars.map { case (_, vs) =>
+        val b = begin
+        begin += { val sz = 8L * vs.length; sz + pad4(sz) }
+        b
+      }
       specs.zipWithIndex.foreach { case (v, i) =>
         name(v.name)
         if (v.isArray || v.isString) {
@@ -342,21 +393,32 @@ object NcFormat {
         } else {
           nn(1L); nn(0L)
         }
-        if (isTracked(i)) {
-          d.writeInt(TAG_ATT); nn(1L)
-          name("actual_range")
-          d.writeInt(v.ncType); nn(2L)
-          rangeValueOffset(i) = buf.size().toLong
-          val valueBytes = 2 * typeSize(v.ncType)
-          (0 until valueBytes + pad4(valueBytes.toLong).toInt)
-            .foreach(_ => d.writeByte(0)) // placeholder, patched on close
-        } else {
-          d.writeInt(0); nn(0L) // absent vatt_list
+        val nAtts = userAttrs(i).size + (if (isTracked(i)) 1 else 0)
+        if (nAtts == 0) { d.writeInt(0); nn(0L) } // absent vatt_list
+        else {
+          d.writeInt(TAG_ATT); nn(nAtts.toLong)
+          userAttrs(i).foreach(writeCharAttr)
+          if (isTracked(i)) {
+            name("actual_range")
+            d.writeInt(v.ncType); nn(2L)
+            rangeValueOffset(i) = buf.size().toLong
+            val valueBytes = 2 * typeSize(v.ncType)
+            (0 until valueBytes + pad4(valueBytes.toLong).toInt)
+              .foreach(_ => d.writeByte(0)) // placeholder, patched on close
+          }
         }
         d.writeInt(v.ncType)
         nn(v.slab.toLong + slabPad(i))
         d.writeLong(begin)
         begin += v.slab + slabPad(i)
+      }
+      fixedVars.zip(fixedBegins).foreach { case ((n, vs), b) =>
+        name(n)
+        nn(1L); nn(dimIdOf(s"${n}_dim").toLong)
+        d.writeInt(0); nn(0L) // no vatts on coordinate vars
+        d.writeInt(NC_DOUBLE)
+        nn({ val sz = 8L * vs.length; sz + pad4(sz) })
+        d.writeLong(b)
       }
       // NOTE: record var begins point at each var's slab offset within
       // record 0; successive records advance by recSize.

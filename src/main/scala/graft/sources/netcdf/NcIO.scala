@@ -22,7 +22,10 @@ import org.apache.spark.sql.types._
 object NcIO {
 
   def write(df: DataFrame, dir: String, chunkBytes: Int = 4 << 20,
-      stringWidth: Int = 32, arrayLens: Map[String, Int] = Map.empty): Unit = {
+      stringWidth: Int = 32, arrayLens: Map[String, Int] = Map.empty,
+      gatts: Seq[(String, String)] = Nil,
+      vatts: Map[String, Seq[(String, String)]] = Map.empty,
+      fixedVars: Seq[(String, Array[Double])] = Nil): Unit = {
     val schema = df.schema
     require(!schema.fieldNames.contains("record"),
       "column name `record` is reserved for the netcdf3 record index")
@@ -54,10 +57,65 @@ object NcIO {
     val serConf = new SerializableHadoopConf(hconf)
     val rdd = df.queryExecution.toRdd // RDD[InternalRow], no extra copy
     rdd.mapPartitionsWithIndex { (pid, rows) =>
-      writePartition(schema, dir, pid, rows, chunkBytes, allLens, stringWidth, serConf)
+      writePartition(schema, dir, pid, rows, chunkBytes, allLens, stringWidth, serConf,
+        gatts, vatts, fixedVars)
       Iterator.single(pid)
     }.count() // run the job
     ()
+  }
+
+  /** All attributes across the part files of `dir`, one row per
+    * (file, var, attr, element): global attrs under var_name GLOBAL,
+    * NC_CHAR values in sval, numeric elements in dval. Header-only
+    * reads (metadata scale — no record data is touched); callers
+    * aggregate across part files (e.g. min/max of per-file
+    * actual_range). */
+  def readAttrs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".nc")).sortBy(_.getName)
+    val rows = parts.toSeq.flatMap { f =>
+      val meta = NcFormat.readMeta(fs, f)
+      def attRows(varName: String, atts: Seq[NcFormat.NcAttr]) = atts.flatMap { a =>
+        if (a.ncType == NcFormat.NC_CHAR)
+          Seq((f.getName, varName, a.name, 0L, a.text, Option.empty[Double]))
+        else a.nums.zipWithIndex.map { case (x, i) =>
+          (f.getName, varName, a.name, i.toLong, null: String, Some(x))
+        }
+      }
+      attRows("GLOBAL", meta.gatts) ++
+        meta.vars.flatMap(v => attRows(v.name, v.atts))
+    }
+    rows.toDF("file", "var_name", "attr_name", "idx", "sval", "dval")
+  }
+
+  /** A fixed (non-record) variable of `dir`'s first part file as
+    * (idx, value) rows. Fixed vars are coordinate-scale (bounded by a
+    * fixed dimension, identical in every part file), so a single
+    * header+slab read is the right shape — record data streams through
+    * the DSv2 instead. */
+  def readFixedVar(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String): DataFrame = {
+    import spark.implicits._
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".nc")).sortBy(_.getName).headOption
+      .getOrElse(throw new IllegalArgumentException(s"no .nc part files in $dir"))
+    val meta = NcFormat.readMeta(fs, part)
+    val v = meta.fixedVars.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no fixed variable $name in $part (have: ${meta.fixedVars.map(_.name).mkString(", ")})"))
+    require(v.ncType == NcFormat.NC_DOUBLE, s"fixed var $name is not NC_DOUBLE")
+    val n = v.dimIds.map(i => meta.dims(i).length).product.toInt
+    val in = fs.open(part)
+    val values = try {
+      in.seek(v.begin)
+      (0 until n).map(_ => in.readDouble())
+    } finally in.close()
+    values.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("idx", "value")
   }
 
   private def writePartition(
@@ -68,7 +126,10 @@ object NcIO {
       chunkBytes: Int,
       arrayLens: Map[String, Int],
       stringWidth: Int,
-      serConf: SerializableHadoopConf): Unit = {
+      serConf: SerializableHadoopConf,
+      gatts: Seq[(String, String)],
+      vatts: Map[String, Seq[(String, String)]],
+      fixedVars: Seq[(String, Array[Double])]): Unit = {
     val getters: Array[InternalRow => Any] =
       schema.fields.zipWithIndex.map { case (f, i) =>
         f.dataType match {
@@ -91,7 +152,8 @@ object NcIO {
         }
       }
     val local = java.io.File.createTempFile(f"nc-part-$pid%05d", ".nc")
-    val writer = new NcFormat.Writer(local.getPath, schema, chunkBytes, arrayLens, stringWidth)
+    val writer = new NcFormat.Writer(local.getPath, schema, chunkBytes, arrayLens,
+      stringWidth, gatts, vatts, fixedVars)
     val nFields = schema.size
     try {
       rows.foreach { r =>

@@ -116,6 +116,73 @@ object NcQueries {
       |FROM documents
       |GROUP BY lang""".stripMargin
 
+  /** Attribute round-trip: write with user global + per-variable
+    * NC_CHAR attributes (plus the writer's automatic per-variable
+    * actual_range zone maps), read every attribute back from the part
+    * file headers, and aggregate across files — actual_range as
+    * (min of mins, max of maxs), user attrs identical in each part.
+    * The oracle recomputes the ranges from the source parquet, so a
+    * match proves both the attribute encoding and the zone-map values
+    * are correct. */
+  def ncAttrsRoundtrip: Q = (s, dir) => {
+    val out = scratch(s, dir, "attrs")
+    NcIO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .repartition(2),
+      out,
+      gatts = Seq("title" -> "graft lineitem export", "institution" -> "graft"),
+      vatts = Map(
+        "l_quantity" -> Seq("units" -> "count"),
+        "l_extendedprice" -> Seq("units" -> "USD")))
+    NcIO.readAttrs(s, out)
+      .groupBy("var_name", "attr_name", "idx")
+      .agg(min(col("sval")).as("sval"),
+        min(col("dval")).as("mn"), max(col("dval")).as("mx"))
+      // actual_range element 0 is a min, element 1 a max; user attrs
+      // are file-invariant so min == the value
+      .select(col("var_name"), col("attr_name"), col("idx"), col("sval"),
+        when(col("idx") === 0, col("mn")).otherwise(col("mx")).as("dval"))
+  }
+
+  val ncAttrsRoundtripSql: String =
+    """SELECT * FROM (
+      |  SELECT 'GLOBAL' AS var_name, 'title' AS attr_name, CAST(0 AS BIGINT) AS idx,
+      |    'graft lineitem export' AS sval, CAST(NULL AS DOUBLE) AS dval
+      |  UNION ALL SELECT 'GLOBAL', 'institution', 0, 'graft', NULL
+      |  UNION ALL SELECT 'l_quantity', 'units', 0, 'count', NULL
+      |  UNION ALL SELECT 'l_extendedprice', 'units', 0, 'USD', NULL
+      |  UNION ALL SELECT 'l_orderkey', 'actual_range', 0, NULL, CAST(MIN(l_orderkey) AS DOUBLE) FROM lineitem
+      |  UNION ALL SELECT 'l_orderkey', 'actual_range', 1, NULL, CAST(MAX(l_orderkey) AS DOUBLE) FROM lineitem
+      |  UNION ALL SELECT 'l_quantity', 'actual_range', 0, NULL, MIN(l_quantity) FROM lineitem
+      |  UNION ALL SELECT 'l_quantity', 'actual_range', 1, NULL, MAX(l_quantity) FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', 'actual_range', 0, NULL, MIN(l_extendedprice) FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', 'actual_range', 1, NULL, MAX(l_extendedprice) FROM lineitem)""".stripMargin
+
+  /** Fixed (non-record) variable round-trip: a coordinate variable is
+    * laid out between header and record data, replicated per part
+    * file; the record variables stream as usual. The result joins the
+    * coordinate values with an aggregate over the record data, so a
+    * match proves both layouts coexist correctly in one file. */
+  def ncFixedRoundtrip: Q = (s, dir) => {
+    val out = scratch(s, dir, "fixed")
+    NcIO.write(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")).repartition(2),
+      out,
+      fixedVars = Seq("depth_levels" -> Array(1.25, 2.5, 3.75, 5.0)))
+    val fixed = NcIO.readFixedVar(s, out, "depth_levels")
+    val agg = s.read.format(SRC).load(out)
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    fixed.crossJoin(agg)
+  }
+
+  val ncFixedRoundtripSql: String =
+    """SELECT CAST(idx AS BIGINT) AS idx, CAST(value AS DOUBLE) AS value, n, sum_qty
+      |FROM (VALUES (0, 1.25), (1, 2.5), (2, 3.75), (3, 5.0)) t(idx, value)
+      |CROSS JOIN (SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem)""".stripMargin
+
   /** End-to-end micro-batch ingest: lineitem → chunked .nc part files
     * → Structured Streaming read through the netcdf3 source → complete-
     * mode aggregation in a memory sink. The oracle aggregates the
@@ -149,6 +216,8 @@ object NcQueries {
     "nc_read_prune" -> ncReadPrune,
     "nc_ndarray_roundtrip" -> ncNdarrayRoundtrip,
     "nc_string_roundtrip" -> ncStringRoundtrip,
+    "nc_attrs_roundtrip" -> ncAttrsRoundtrip,
+    "nc_fixed_roundtrip" -> ncFixedRoundtrip,
     "stream_nc_ingest" -> streamNcIngest)
 
   val oracles: Map[String, String] = Map(
@@ -156,5 +225,7 @@ object NcQueries {
     "nc_read_prune" -> ncReadPruneSql,
     "nc_ndarray_roundtrip" -> ncNdarrayRoundtripSql,
     "nc_string_roundtrip" -> ncStringRoundtripSql,
+    "nc_attrs_roundtrip" -> ncAttrsRoundtripSql,
+    "nc_fixed_roundtrip" -> ncFixedRoundtripSql,
     "stream_nc_ingest" -> streamNcIngestSql)
 }

@@ -101,6 +101,51 @@ class NcFormatSpec extends AnyFunSuite {
     assert(ranges.map(_._2).max == 109.0)
   }
 
+  test("user attributes (global + per-variable) roundtrip through the header") {
+    val dir = "/tmp/graft_nc_fmt/attrs"
+    NcIO.write(
+      spark.range(20).select(col("id").cast("double").as("x")).repartition(2),
+      dir,
+      gatts = Seq("title" -> "unit test", "history" -> "written by NcFormatSpec"),
+      vatts = Map("x" -> Seq("units" -> "m/s", "long_name" -> "speed")))
+    val files = graft.sources.netcdf.NetCDF3Util.listNcFiles(fs, new Path(dir))
+    val metas = files.map(NcFormat.readMeta(fs, _))
+    metas.foreach { m =>
+      assert(m.gatts.map(a => a.name -> a.text) ==
+        Seq("title" -> "unit test", "history" -> "written by NcFormatSpec"))
+      val xAtts = m.recordVars.find(_.name == "x").get.atts
+      assert(xAtts.filter(_.ncType == NcFormat.NC_CHAR).map(a => a.name -> a.text) ==
+        Seq("units" -> "m/s", "long_name" -> "speed"))
+      // user attrs coexist with the automatic zone-map attr
+      assert(xAtts.exists(_.name == "actual_range"))
+    }
+    // data unaffected by the extra header bytes
+    val back = spark.read.format(SRC).load(dir)
+    assert(back.agg(sum("x")).head().getDouble(0) == (0 until 20).sum.toDouble)
+  }
+
+  test("fixed (non-record) variables coexist with record data") {
+    val dir = "/tmp/graft_nc_fmt/fixed"
+    val levels = Array(0.5, 1.5, 2.5)
+    NcIO.write(
+      spark.range(100).select(col("id").cast("double").as("x"), col("id").as("l"))
+        .repartition(2),
+      dir, fixedVars = Seq("levels" -> levels))
+    val files = graft.sources.netcdf.NetCDF3Util.listNcFiles(fs, new Path(dir))
+    files.map(NcFormat.readMeta(fs, _)).foreach { m =>
+      val fv = m.fixedVars.find(_.name == "levels").get
+      assert(!fv.isRecord)
+      assert(m.dims(fv.dimIds.head).length == 3)
+    }
+    val got = NcIO.readFixedVar(spark, dir, "levels")
+      .orderBy("idx").collect().map(_.getDouble(1))
+    assert(got.toSeq == levels.toSeq)
+    // record data is laid out after the fixed slabs and still reads back
+    val back = spark.read.format(SRC).load(dir)
+    assert(back.count() == 100)
+    assert(back.agg(sum("l")).head().getLong(0) == (0 until 100).map(_.toLong).sum)
+  }
+
   test("record column is globally consecutive across part files") {
     val dir = "/tmp/graft_nc_fmt/multi"
     NcIO.write(spark.range(1000).select(col("id").cast("double").as("x")).repartition(7), dir)
