@@ -576,6 +576,27 @@ object NcFormat {
 
     private def slotBase(slot: Int, i: Int): Int = (i * recSize + slots(slot)._2).toInt
 
+    /** Element count of slot `slot`'s per-record slab. */
+    def slotElems(slot: Int): Int = {
+      val (v, _) = slots(slot)
+      (v.slabSize(meta.dims) / typeSize(v.ncType)).toInt
+    }
+
+    /** Raw chunk buffer + slab offset, for zero-copy columnar fills of
+      * NC_CHAR slabs (the caller trims trailing NULs). */
+    def rawBuf: Array[Byte] = buf
+    def slotOffset(slot: Int, i: Int): Int = slotBase(slot, i)
+
+    // element accessors for multi-element (rank-2) numeric slabs
+    def getDoubleElem(slot: Int, i: Int, k: Int): Double =
+      ByteBuffer.wrap(buf, slotBase(slot, i) + 8 * k, 8).getDouble
+    def getFloatElem(slot: Int, i: Int, k: Int): Float =
+      ByteBuffer.wrap(buf, slotBase(slot, i) + 4 * k, 4).getFloat
+    def getIntElem(slot: Int, i: Int, k: Int): Int =
+      ByteBuffer.wrap(buf, slotBase(slot, i) + 4 * k, 4).getInt
+    def getLongElem(slot: Int, i: Int, k: Int): Long =
+      ByteBuffer.wrap(buf, slotBase(slot, i) + 8 * k, 8).getLong
+
     def getDoubleAt(slot: Int, i: Int): Double = ByteBuffer.wrap(buf, slotBase(slot, i), 8).getDouble
     def getFloatAt(slot: Int, i: Int): Float = ByteBuffer.wrap(buf, slotBase(slot, i), 4).getFloat
     def getIntAt(slot: Int, i: Int): Int = ByteBuffer.wrap(buf, slotBase(slot, i), 4).getInt

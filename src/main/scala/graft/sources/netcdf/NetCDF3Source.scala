@@ -274,12 +274,17 @@ class NcReaderFactory(required: StructType, serConf: SerializableHadoopConf)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new NcPartitionReader(partition.asInstanceOf[NcInputPartition], required, serConf)
 
-  /** Scalar-numeric projections decode straight into column vectors —
-    * one typed fill loop per variable per chunk, no per-row branching.
-    * Array/string variables fall back to the row reader. */
+  /** All variable shapes decode straight into column vectors — one
+    * typed fill loop per variable per chunk, no per-row branching:
+    * scalars via direct puts, NC_CHAR strings via zero-copy
+    * putByteArray from the chunk buffer, rank-2 numeric arrays via
+    * child-vector appends. The row reader remains only as a fallback
+    * for types the fill loops don't cover. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
     required.fields.forall(f => f.name == "record" || (f.dataType match {
       case DoubleType | FloatType | IntegerType | LongType | ShortType | ByteType => true
+      case StringType => true
+      case ArrayType(DoubleType | FloatType | IntegerType | LongType, _) => true
       case _ => false
     }))
 
@@ -321,7 +326,54 @@ class NcColumnarReader(part: NcInputPartition, required: StructType,
         while (i < n) { v.putLong(i, base + i); i += 1 }
       } else {
         import NcFormat._
-        reader.slotType(slot) match {
+        val m = reader.slotElems(slot)
+        if (reader.slotType(slot) == NC_CHAR) {
+          // NC_CHAR slab → string: zero-copy from the chunk buffer,
+          // trailing NULs trimmed (fixed-width padding)
+          val buf = reader.rawBuf
+          var i = 0
+          while (i < n) {
+            val base = reader.slotOffset(slot, i)
+            var len = m
+            while (len > 0 && buf(base + len - 1) == 0) len -= 1
+            v.putByteArray(i, buf, base, len)
+            i += 1
+          }
+        } else if (m > 1) {
+          // rank-2 numeric slab → array column: elements append into
+          // the child vector, offsets are the regular i*m stride
+          val child = v.arrayData()
+          reader.slotType(slot) match {
+            case NC_DOUBLE =>
+              var i = 0
+              while (i < n) {
+                var k = 0
+                while (k < m) { child.appendDouble(reader.getDoubleElem(slot, i, k)); k += 1 }
+                v.putArray(i, i * m, m); i += 1
+              }
+            case NC_FLOAT =>
+              var i = 0
+              while (i < n) {
+                var k = 0
+                while (k < m) { child.appendFloat(reader.getFloatElem(slot, i, k)); k += 1 }
+                v.putArray(i, i * m, m); i += 1
+              }
+            case NC_INT =>
+              var i = 0
+              while (i < n) {
+                var k = 0
+                while (k < m) { child.appendInt(reader.getIntElem(slot, i, k)); k += 1 }
+                v.putArray(i, i * m, m); i += 1
+              }
+            case NC_INT64 =>
+              var i = 0
+              while (i < n) {
+                var k = 0
+                while (k < m) { child.appendLong(reader.getLongElem(slot, i, k)); k += 1 }
+                v.putArray(i, i * m, m); i += 1
+              }
+          }
+        } else reader.slotType(slot) match {
           case NC_DOUBLE =>
             var i = 0; while (i < n) { v.putDouble(i, reader.getDoubleAt(slot, i)); i += 1 }
           case NC_FLOAT =>

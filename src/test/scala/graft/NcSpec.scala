@@ -63,6 +63,37 @@ class NcSpec extends AnyFunSuite {
     assert(sum1 == li.agg(sum("l_quantity")).head().getDouble(0))
   }
 
+  test("string and array projections read through the columnar path") {
+    val dir = "/tmp/graft_nc_spec/columnar_sa"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    NcIO.write(docs.repartition(2), dir, stringWidth = 8)
+    val back = spark.read.format("graft.sources.netcdf.NetCDF3Source").load(dir)
+      .select("doc_id", "lang")
+    assert(back.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      back.queryExecution.executedPlan.toString.take(600))
+    val gotLangs = back.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expLangs = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotLangs == expLangs)
+
+    val embDir = "/tmp/graft_nc_spec/columnar_arr"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    NcIO.write(emb.repartition(2), embDir)
+    val backE = spark.read.format("graft.sources.netcdf.NetCDF3Source").load(embDir)
+      .select("vec_id", "embedding")
+    assert(backE.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      backE.queryExecution.executedPlan.toString.take(600))
+    // per-row fold is deterministic; the cross-row sum goes through
+    // DECIMAL so partition order can't flip a ulp
+    val sumExpr = expr("CAST(CAST(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)) AS DECIMAL(30,10)) AS DECIMAL(30,10))")
+    val got = backE.agg(sum(sumExpr)).head().getDecimal(0)
+    val exp = emb.agg(sum(sumExpr)).head().getDecimal(0)
+    assert(got == exp)
+  }
+
   test("chunked multi-partition read covers all records exactly once") {
     val dir = "/tmp/graft_nc_spec/chunks"
     NcIO.write(li.repartition(3), dir, chunkBytes = 1 << 12)
