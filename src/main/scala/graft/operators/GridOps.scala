@@ -167,6 +167,35 @@ object GridOps {
       |  SELECT 'l_extendedprice' AS variable, l_extendedprice AS v FROM lineitem) u
       |GROUP BY variable""".stripMargin
 
+  /** Chunk-dimension selection (the reference's `chunk_dimension`
+    * argument): re-chunk a rank-2 (record × N) variable so iteration
+    * streams along the SECOND axis instead of the record axis. Chunks
+    * tile BOTH axes ([recBlock × dimBlock] cells) with values laid out
+    * dim-major — the 100 TB generalization: a single second-axis slab
+    * spans every record, so bounded 2-D tiles are the only shape whose
+    * rows stay O(recBlock·dimBlock) regardless of corpus size. One
+    * shuffle, keyed by (rec_chunk, dim_chunk) — cardinality
+    * totalElems / (recBlock·dimBlock), skew-free by construction. */
+  def rechunkByDim(
+      df: DataFrame,
+      recCol: Column,
+      arrCol: Column,
+      varName: String,
+      recBlock: Int,
+      dimBlock: Int): DataFrame =
+    df.select(recCol.cast(LongType).as("rec"), posexplode(arrCol).as(Seq("pos", "x")))
+      .groupBy(floor(col("rec") / recBlock).as("rec_chunk"),
+        floor(col("pos") / dimBlock).as("dim_chunk"))
+      .agg(
+        min(col("rec")).as("rec_origin"),
+        min(col("pos").cast(LongType)).as("dim_origin"),
+        countDistinct(col("rec")).as("shape_rec"),
+        countDistinct(col("pos")).as("shape_dim"),
+        // dim-major: struct sort by (pos, rec) = stream along axis 1
+        expr("transform(array_sort(collect_list(struct(pos, rec, x))), s -> s.x)")
+          .as("values"))
+      .withColumn("variable", lit(varName))
+
   /** Down-sample a chunked variable by factor k: mean of each k-block
     * along the streamed dimension — per-chunk map work because the
     * chunk size is a multiple of k (chunk 512, k 8). */
@@ -186,7 +215,42 @@ object GridOps {
        |  CAST(SUM(CAST(v AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS blk_mean
        |FROM o GROUP BY idx // 8""".stripMargin
 
+  /** Chunk-dimension selection over the rank-2 embeddings variable
+    * (500+ records × 64 dims → [256 × 16] dim-major tiles). The check
+    * re-derives each element's tile-local ordinal from the ACTUAL
+    * array order (posexplode of the built values) and weights a
+    * decimal sum with it, so any misplaced element — wrong tile, wrong
+    * dim-major position — changes wsum; the oracle recomputes the
+    * ordinal from the closed form (pos - dim0)·nrecs + (rec - rec0). */
+  def gridRechunkDim: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, e -> CAST(e AS DOUBLE))").as("v"))
+    rechunkByDim(emb, col("vec_id"), col("v"), "embedding", 256, 16)
+      .select(col("rec_chunk"), col("dim_chunk"), col("rec_origin"), col("dim_origin"),
+        col("shape_rec"), col("shape_dim"), posexplode(col("values")).as(Seq("lp", "x")))
+      .groupBy("rec_chunk", "dim_chunk", "rec_origin", "dim_origin", "shape_rec", "shape_dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("lp").cast(DecimalType(10, 0)) * col("x").cast(DecimalType(12, 8)))
+          .cast(DoubleType).as("wsum"))
+  }
+
+  val gridRechunkDimSql: String =
+    """WITH el AS (
+      |  SELECT vec_id AS rec, pos - 1 AS pos, CAST(embedding[pos] AS DOUBLE) AS x
+      |  FROM embeddings CROSS JOIN generate_series(1, 64) t(pos)),
+      |sz AS (SELECT rec // 256 AS rec_chunk, COUNT(DISTINCT rec) AS nrc
+      |       FROM el GROUP BY rec // 256)
+      |SELECT e.rec // 256 AS rec_chunk, e.pos // 16 AS dim_chunk,
+      |  MIN(e.rec) AS rec_origin, MIN(e.pos) AS dim_origin,
+      |  s.nrc AS shape_rec, COUNT(DISTINCT e.pos) AS shape_dim,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST((e.pos - (e.pos // 16) * 16) * s.nrc + (e.rec - (e.rec // 256) * 256) AS DECIMAL(10,0))
+      |    * CAST(e.x AS DECIMAL(12,8))) AS DOUBLE) AS wsum
+      |FROM el e JOIN sz s ON s.rec_chunk = e.rec // 256
+      |GROUP BY e.rec // 256, e.pos // 16, s.nrc""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "grid_rechunk_dim" -> gridRechunkDim,
     "grid_resample" -> gridResample,
     "grid_table_to_grid" -> gridTableToGrid,
     "grid_chunk_iter" -> gridChunkIter,
@@ -195,6 +259,7 @@ object GridOps {
     "grid_stats" -> gridStats)
 
   val oracles: Map[String, String] = Map(
+    "grid_rechunk_dim" -> gridRechunkDimSql,
     "grid_resample" -> gridResampleSql,
     "grid_table_to_grid" -> gridTableToGridSql,
     "grid_chunk_iter" -> gridChunkIterSql,

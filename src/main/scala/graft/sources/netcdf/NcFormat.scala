@@ -1,8 +1,9 @@
 package graft.sources.netcdf
 
-import java.io.{BufferedOutputStream, DataOutputStream, EOFException, FileOutputStream, RandomAccessFile}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, FileOutputStream, RandomAccessFile}
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
 
 import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
 import org.apache.spark.sql.types._
@@ -122,9 +123,9 @@ object NcFormat {
     * (record count unknown): derive the count from the file length. */
   val NUMRECS_STREAMING: Long = 0xFFFFFFFFL
 
-  /** skipBytes may skip fewer bytes than asked (buffered remote
-    * streams) — loop until done. */
-  private def skipFully(in: FSDataInputStream, n: Int): Unit = {
+  /** skipBytes may skip fewer bytes than asked (buffered remote or
+    * decompressing streams) — loop until done. */
+  private def skipFully(in: DataInputStream, n: Int): Unit = {
     var left = n
     while (left > 0) {
       val skipped = in.skipBytes(left)
@@ -133,7 +134,19 @@ object NcFormat {
     }
   }
 
-  private class Parser(raf: FSDataInputStream, version: Int) {
+  /** Whether a path is a gzip-compressed part file (.nc.gz — whole-file
+    * compression; the classic format itself has no codec slot). */
+  def isGzip(path: Path): Boolean = path.getName.endsWith(".gz")
+
+  /** Open a part file for sequential decoding: plain files come back
+    * as the seekable FSDataInputStream; .nc.gz files as a buffered
+    * decompressing stream (forward-only). */
+  def openData(fs: FileSystem, path: Path): DataInputStream =
+    if (isGzip(path))
+      new DataInputStream(new BufferedInputStream(new GZIPInputStream(fs.open(path)), 1 << 16))
+    else fs.open(path)
+
+  private class Parser(raf: DataInputStream, version: Int) {
     // 32-bit fields are unsigned in the classic spec (begin offsets in
     // a CDF-1 file can exceed 2 GiB) — mask, don't sign-extend
     private def u32(): Long = raf.readInt().toLong & 0xFFFFFFFFL
@@ -148,9 +161,10 @@ object NcFormat {
     }
   }
 
-  /** Parse the header of a classic NetCDF file (any Hadoop FS). */
+  /** Parse the header of a classic NetCDF file (any Hadoop FS; .nc.gz
+    * part files are decompressed on the fly). */
   def readMeta(fs: FileSystem, path: Path): NcMeta = {
-    val raf = fs.open(path)
+    val raf = openData(fs, path)
     try {
       val magic = new Array[Byte](4)
       raf.readFully(magic)
@@ -185,6 +199,9 @@ object NcFormat {
       val meta = NcMeta(version, numRecs, dims, vars, gatts)
       if (version != 5 && numRecs == NUMRECS_STREAMING && meta.recSize > 0) {
         // streaming-mode file: the writer never patched numrecs
+        require(!isGzip(path),
+          s"$path: streaming-mode numrecs cannot be derived for a compressed file " +
+            "(compressed length != data length); patch numrecs before compressing")
         val dataStart = meta.recordVars.map(_.begin).minOption.getOrElse(0L)
         val fileLen = fs.getFileStatus(path).getLen
         meta.copy(numRecs = math.max(0L, (fileLen - dataStart) / meta.recSize))
@@ -194,7 +211,7 @@ object NcFormat {
 
   /** Parse a full att_list: NC_CHAR values as UTF-8 text, numeric
     * values widened to doubles. */
-  private def readAttrList(raf: FSDataInputStream, p: Parser): Seq[NcAttr] = {
+  private def readAttrList(raf: DataInputStream, p: Parser): Seq[NcAttr] = {
     val tag = raf.readInt()
     val n = p.nonNeg().toInt
     require(tag == TAG_ATT || (tag == 0 && n == 0), "bad att_list")
@@ -526,7 +543,23 @@ object NcFormat {
       wanted: Seq[String],
       chunkBytes: Int = 4 << 20) {
 
-    private val raf = fs.open(path)
+    private val raf = openData(fs, path)
+    // chunk loads move strictly forward through the record range, so a
+    // decompressing (forward-only) stream works: seeks become skips.
+    private var pos = 0L
+    private def seekTo(target: Long): Unit = raf match {
+      case s: FSDataInputStream => s.seek(target); pos = target
+      case _ =>
+        require(target >= pos,
+          s"$path: compressed NetCDF input is forward-only (at $pos, asked $target)")
+        var left = target - pos
+        while (left > 0) {
+          val sk = raf.skip(left)
+          if (sk <= 0) throw new EOFException(s"failed to skip to $target in $path")
+          left -= sk
+        }
+        pos = target
+    }
     private val recSize = meta.recSize
     val recordsPerChunk: Int = math.max(1L, chunkBytes / math.max(recSize, 1L)).toInt
 
@@ -555,8 +588,9 @@ object NcFormat {
       val n = math.min(recordsPerChunk.toLong, r1 - next).toInt
       val bytes = (n * recSize).toInt
       if (buf.length < bytes) buf = new Array[Byte](bytes)
-      raf.seek(dataStart + next * recSize)
+      seekTo(dataStart + next * recSize)
       raf.readFully(buf, 0, bytes)
+      pos += bytes
       bufStart = next
       bufCount = n
       next += n

@@ -25,7 +25,13 @@ object NcIO {
       stringWidth: Int = 32, arrayLens: Map[String, Int] = Map.empty,
       gatts: Seq[(String, String)] = Nil,
       vatts: Map[String, Seq[(String, String)]] = Map.empty,
-      fixedVars: Seq[(String, Array[Double])] = Nil): Unit = {
+      fixedVars: Seq[(String, Array[Double])] = Nil,
+      /** gzip each part file (.nc.gz) after the numrecs/zone-map
+        * patches — whole-file compression, the storage-cost lever at
+        * 100 TB. Compressed parts are not record-splittable (one scan
+        * partition per file), so pair `compress` with enough write
+        * partitions to keep read parallelism. */
+      compress: Boolean = false): Unit = {
     val schema = df.schema
     require(!schema.fieldNames.contains("record"),
       "column name `record` is reserved for the netcdf3 record index")
@@ -58,7 +64,7 @@ object NcIO {
     val rdd = df.queryExecution.toRdd // RDD[InternalRow], no extra copy
     rdd.mapPartitionsWithIndex { (pid, rows) =>
       writePartition(schema, dir, pid, rows, chunkBytes, allLens, stringWidth, serConf,
-        gatts, vatts, fixedVars)
+        gatts, vatts, fixedVars, compress)
       Iterator.single(pid)
     }.count() // run the job
     ()
@@ -110,9 +116,14 @@ object NcIO {
         s"no fixed variable $name in $part (have: ${meta.fixedVars.map(_.name).mkString(", ")})"))
     require(v.ncType == NcFormat.NC_DOUBLE, s"fixed var $name is not NC_DOUBLE")
     val n = v.dimIds.map(i => meta.dims(i).length).product.toInt
-    val in = fs.open(part)
+    val in = NcFormat.openData(fs, part)
     val values = try {
-      in.seek(v.begin)
+      var left = v.begin
+      while (left > 0) {
+        val sk = in.skip(left)
+        require(sk > 0, s"failed to skip to fixed var $name in $part")
+        left -= sk
+      }
       (0 until n).map(_ => in.readDouble())
     } finally in.close()
     values.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("idx", "value")
@@ -129,7 +140,8 @@ object NcIO {
       serConf: SerializableHadoopConf,
       gatts: Seq[(String, String)],
       vatts: Map[String, Seq[(String, String)]],
-      fixedVars: Seq[(String, Array[Double])]): Unit = {
+      fixedVars: Seq[(String, Array[Double])],
+      compress: Boolean): Unit = {
     val getters: Array[InternalRow => Any] =
       schema.fields.zipWithIndex.map { case (f, i) =>
         f.dataType match {
@@ -169,12 +181,32 @@ object NcIO {
         writer.writeRow(i => getters(i)(r))
       }
       writer.close()
-      val dest = new Path(dir, f"part-$pid%05d.nc")
-      val tmp = new Path(dir, f".part-$pid%05d-${java.util.UUID.randomUUID()}.nc.tmp")
+      // compression happens after close(): numrecs and the zone-map
+      // attrs are random-access patches, impossible inside a gzip
+      // stream, so the uncompressed spool is the patch target
+      val upload =
+        if (!compress) local
+        else {
+          val gz = java.io.File.createTempFile(f"nc-part-$pid%05d", ".nc.gz")
+          val in = new java.io.FileInputStream(local)
+          val out = new java.util.zip.GZIPOutputStream(
+            new java.io.BufferedOutputStream(new java.io.FileOutputStream(gz), 1 << 16))
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+          } finally { in.close(); out.close() }
+          gz
+        }
+      val ext = if (compress) "nc.gz" else "nc"
+      val dest = new Path(dir, f"part-$pid%05d.$ext")
+      val tmp = new Path(dir, f".part-$pid%05d-${java.util.UUID.randomUUID()}.$ext.tmp")
       val fs = dest.getFileSystem(serConf.value)
-      fs.copyFromLocalFile(true, true, new Path(local.getPath), tmp)
-      if (fs.exists(dest)) fs.delete(dest, false)
-      if (!fs.rename(tmp, dest)) throw new java.io.IOException(s"rename to $dest failed")
+      try {
+        fs.copyFromLocalFile(true, true, new Path(upload.getPath), tmp)
+        if (fs.exists(dest)) fs.delete(dest, false)
+        if (!fs.rename(tmp, dest)) throw new java.io.IOException(s"rename to $dest failed")
+      } finally if (upload ne local) upload.delete()
     } finally local.delete()
   }
 }

@@ -183,6 +183,33 @@ object NcQueries {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty
       |  FROM lineitem)""".stripMargin
 
+  /** Compressed roundtrip: gzip part files (.nc.gz, whole-file
+    * compression — the storage-cost lever at 100 TB) written 4-way
+    * parallel, read back through the DSv2's forward-only decompressing
+    * path (one scan partition per .gz file), aggregated. Oracle =
+    * the original parquet, so a match proves the compressed path is
+    * lossless end to end. */
+  def ncGzipRoundtrip: Q = (s, dir) => {
+    val out = scratch(s, dir, "gzip")
+    NcIO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
+        .repartition(4),
+      out, compress = true)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_discount")).as("sum_disc"))
+  }
+
+  val ncGzipRoundtripSql: String =
+    """SELECT COUNT(*) AS n, SUM(l_orderkey) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sum_disc
+      |FROM lineitem""".stripMargin
+
   /** End-to-end micro-batch ingest: lineitem → chunked .nc part files
     * → Structured Streaming read through the netcdf3 source → complete-
     * mode aggregation in a memory sink. The oracle aggregates the
@@ -218,6 +245,7 @@ object NcQueries {
     "nc_string_roundtrip" -> ncStringRoundtrip,
     "nc_attrs_roundtrip" -> ncAttrsRoundtrip,
     "nc_fixed_roundtrip" -> ncFixedRoundtrip,
+    "nc_gzip_roundtrip" -> ncGzipRoundtrip,
     "stream_nc_ingest" -> streamNcIngest)
 
   val oracles: Map[String, String] = Map(
@@ -227,5 +255,6 @@ object NcQueries {
     "nc_string_roundtrip" -> ncStringRoundtripSql,
     "nc_attrs_roundtrip" -> ncAttrsRoundtripSql,
     "nc_fixed_roundtrip" -> ncFixedRoundtripSql,
+    "nc_gzip_roundtrip" -> ncGzipRoundtripSql,
     "stream_nc_ingest" -> streamNcIngestSql)
 }

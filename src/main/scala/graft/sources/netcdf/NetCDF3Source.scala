@@ -64,7 +64,8 @@ object NetCDF3Util {
     val st = fs.getFileStatus(dir)
     if (st.isFile) Seq(dir)
     else fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".nc"))
+      .filter(s => s.isFile &&
+        (s.getPath.getName.endsWith(".nc") || s.getPath.getName.endsWith(".nc.gz")))
       .map(_.getPath)
       .sortBy(_.getName)
   }
@@ -187,13 +188,20 @@ class NcScan(required: StructType, dir: String, lower: Long, upper: Long,
       val lo = math.max(lower, offset)
       val hi = math.min(upper, offset + meta.numRecs)
       if (!zonePruned && lo < hi) {
-        val perPart = options.get("recordsperpartition").map(_.toLong)
-          .getOrElse(math.max(1L, chunkBytes.toLong * 4 / math.max(meta.recSize, 1L)))
-        var s = lo
-        while (s < hi) {
-          val e = math.min(s + perPart, hi)
-          parts += NcInputPartition(f.toString, s - offset, e - offset, offset, chunkBytes)
-          s = e
+        if (NcFormat.isGzip(f)) {
+          // gzip part files decompress sequentially — not splittable;
+          // one partition per file (zone maps + record bounds still
+          // prune whole files / trailing records)
+          parts += NcInputPartition(f.toString, lo - offset, hi - offset, offset, chunkBytes)
+        } else {
+          val perPart = options.get("recordsperpartition").map(_.toLong)
+            .getOrElse(math.max(1L, chunkBytes.toLong * 4 / math.max(meta.recSize, 1L)))
+          var s = lo
+          while (s < hi) {
+            val e = math.min(s + perPart, hi)
+            parts += NcInputPartition(f.toString, s - offset, e - offset, offset, chunkBytes)
+            s = e
+          }
         }
       }
       offset += meta.numRecs
@@ -251,13 +259,17 @@ class NcMicroBatchStream(dir: String, required: StructType, options: Map[String,
     all.zipWithIndex.foreach { case (f, idx) =>
       val meta = metaOf(f)
       if (idx >= s && idx < e && meta.numRecs > 0) {
-        val perPart = options.get("recordsperpartition").map(_.toLong)
-          .getOrElse(math.max(1L, chunkBytes.toLong * 4 / math.max(meta.recSize, 1L)))
-        var r = 0L
-        while (r < meta.numRecs) {
-          val rEnd = math.min(r + perPart, meta.numRecs)
-          parts += NcInputPartition(f.toString, r, rEnd, offset, chunkBytes)
-          r = rEnd
+        if (NcFormat.isGzip(f)) {
+          parts += NcInputPartition(f.toString, 0L, meta.numRecs, offset, chunkBytes)
+        } else {
+          val perPart = options.get("recordsperpartition").map(_.toLong)
+            .getOrElse(math.max(1L, chunkBytes.toLong * 4 / math.max(meta.recSize, 1L)))
+          var r = 0L
+          while (r < meta.numRecs) {
+            val rEnd = math.min(r + perPart, meta.numRecs)
+            parts += NcInputPartition(f.toString, r, rEnd, offset, chunkBytes)
+            r = rEnd
+          }
         }
       }
       offset += meta.numRecs

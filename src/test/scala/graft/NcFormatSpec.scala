@@ -146,6 +146,24 @@ class NcFormatSpec extends AnyFunSuite {
     assert(back.agg(sum("l")).head().getLong(0) == (0 until 100).map(_.toLong).sum)
   }
 
+  test("gzip part files roundtrip through the forward-only path") {
+    val dir = "/tmp/graft_nc_fmt/gz"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    NcIO.write(li.repartition(3), dir, compress = true)
+    val files = graft.sources.netcdf.NetCDF3Util.listNcFiles(fs, new Path(dir))
+    assert(files.nonEmpty && files.forall(_.getName.endsWith(".nc.gz")))
+    val back = spark.read.format(SRC).load(dir)
+    assert(back.rdd.getNumPartitions == 3, "gz files must not be split")
+    assert(back.count() == li.count())
+    assert(back.agg(sum("l_orderkey")).head().getLong(0)
+      == li.agg(sum("l_orderkey")).head().getLong(0))
+    // record-range pushdown still slices exactly (sequential skip)
+    assert(back.filter(col("record") >= 10 && col("record") < 500).count() == 490)
+    // zone maps prune whole compressed files without decompressing data
+    assert(back.filter(col("l_quantity") > 1e6).rdd.getNumPartitions == 0)
+  }
+
   test("record column is globally consecutive across part files") {
     val dir = "/tmp/graft_nc_fmt/multi"
     NcIO.write(spark.range(1000).select(col("id").cast("double").as("x")).repartition(7), dir)

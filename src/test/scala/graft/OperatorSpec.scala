@@ -45,6 +45,25 @@ class OperatorSpec extends AnyFunSuite {
     assert((8L to 10L).forall(i => cc(i) == i))
   }
 
+  test("rechunkByDim lays out 2-D tiles dim-major with correct origins") {
+    import spark.implicits._
+    import graft.operators.GridOps
+    // 4 records x 4 dims, value = rec*10 + pos; tiles of [2 x 2]
+    val df = (0L until 4L).map(r => (r, (0 until 4).map(p => (r * 10 + p).toDouble).toArray))
+      .toDF("rec", "arr")
+    val tiles = GridOps.rechunkByDim(df, col("rec"), col("arr"), "t", 2, 2)
+      .collect()
+      .map(r => (r.getAs[Long]("rec_chunk"), r.getAs[Long]("dim_chunk")) ->
+        ((r.getAs[Long]("rec_origin"), r.getAs[Long]("dim_origin")),
+          r.getSeq[Double](r.fieldIndex("values"))))
+      .toMap
+    assert(tiles.size == 4)
+    // tile (0,0): recs {0,1} x pos {0,1}, dim-major => (p0,r0),(p0,r1),(p1,r0),(p1,r1)
+    assert(tiles((0L, 0L)) == ((0L, 0L), Seq(0.0, 10.0, 1.0, 11.0)))
+    // tile (1,1): recs {2,3} x pos {2,3}
+    assert(tiles((1L, 1L)) == ((2L, 2L), Seq(22.0, 32.0, 23.0, 33.0)))
+  }
+
   test("salted aggregation equals plain aggregation") {
     val plain = Tables.events(spark, sf)
       .groupBy("event_type")
