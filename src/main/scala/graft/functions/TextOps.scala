@@ -157,7 +157,69 @@ object TextOps {
        |FROM (SELECT doc_id, md5($normSqlDuck) AS fp FROM documents) sub
        |GROUP BY fp""".stripMargin
 
+  /** Corpus-level top terms by document frequency: per-document
+    * distinct words (map-side array_distinct — a word repeated in one
+    * doc counts once), partial-agg'd counts keyed by word, then a
+    * deterministic top-20 (df desc, word asc). The ordered limit plans
+    * as TakeOrderedAndProject over the partial aggregation, so only
+    * each task's local top rows reach the driver-side merge — the same
+    * 100 TB shape as q3's top-k. */
+  def textTopTerms: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("word"))
+      .limit(20)
+  }
+
+  val textTopTermsSql: String =
+    """SELECT word, COUNT(*) AS df FROM (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents)
+      |WHERE word <> ''
+      |GROUP BY word
+      |ORDER BY df DESC, word
+      |LIMIT 20""".stripMargin
+
+  /** Deterministic stratified sampling for corpus curation: per-stratum
+    * (language) keep rates expressed as hex-prefix thresholds over
+    * md5(salt ++ doc_id) — two hex digits = 256 uniform buckets, so
+    * '20' keeps 32/256 = 12.5%. No RNG: the same row set is kept on
+    * every run, every engine, any partitioning — the reproducibility
+    * property a 100 TB curation pipeline needs (and the oracle can
+    * replay exactly). Pure map-side filter; nothing shuffles. */
+  private val sampleRates: Seq[(String, String)] = Seq(
+    "en" -> "20", // 12.5% of the dominant stratum
+    "de" -> "80", // 50%
+    "fr" -> "80", // 50%
+    "es" -> "40", // 25%
+    "zh" -> "ff") // ~100% of the rare stratum (255/256)
+  private val SAMPLE_SALT = "graft-sample-v1:"
+
+  def pipelineSampleStratified: Q = (s, dir) => {
+    val bucket = substring(md5(concat(lit(SAMPLE_SALT), col("doc_id").cast(StringType))), 1, 2)
+    val threshold = sampleRates.foldRight(lit("00")) { case ((lg, th), acc) =>
+      when(col("lang") === lg, lit(th)).otherwise(acc)
+    }
+    t(s, dir, "documents")
+      .filter(bucket < threshold)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+  }
+
+  val pipelineSampleStratifiedSql: String = {
+    val cases = sampleRates.map { case (lg, th) => s"WHEN lang = '$lg' THEN '$th'" }
+      .mkString("\n    ")
+    s"""SELECT doc_id, lang, substr(md5('$SAMPLE_SALT' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+       |FROM documents
+       |WHERE substr(md5('$SAMPLE_SALT' || CAST(doc_id AS VARCHAR)), 1, 2)
+       |  < CASE $cases ELSE '00' END""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_topterms" -> textTopTerms,
+    "pipeline_sample_stratified" -> pipelineSampleStratified,
     "text_tokencount" -> textTokenCount,
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,
@@ -165,6 +227,8 @@ object TextOps {
     "dedup_exact" -> dedupExact)
 
   val oracles: Map[String, String] = Map(
+    "text_topterms" -> textTopTermsSql,
+    "pipeline_sample_stratified" -> pipelineSampleStratifiedSql,
     "text_tokencount" -> textTokenCountSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangIdSql,
