@@ -86,6 +86,52 @@ object MmPipeline {
       |  list_sum(list_transform(generate_series(1, length(text)), i -> ascii(substr(text, i, 1)))) / length(text) AS mean_intensity
       |FROM documents""".stripMargin
 
-  val queries: Map[String, Q] = Map("mm_decode_pipeline" -> mmDecodePipeline)
-  val oracles: Map[String, String] = Map("mm_decode_pipeline" -> mmDecodePipelineSql)
+  case class MmFrame(doc_id: Long, frame_idx: Long, mean_intensity: Double)
+
+  /** Frame sampling for video-like payloads: fixed-size frame windows
+    * (`frameBytes`), keeping every `stride`-th frame. Same batched
+    * partition-local shape as the decoder — a real deployment binds a
+    * demuxer here; the stub treats consecutive byte windows as frames.
+    * Map-side only: a 100 TB corpus fans out to frame rows without any
+    * shuffle, and the stride bounds the fan-out factor. */
+  def frameSample(input: Dataset[MmInput], frameBytes: Int, stride: Int): Dataset[MmFrame] = {
+    import input.sparkSession.implicits._
+    input.mapPartitions(_.flatMap { in =>
+      val nFrames = in.payload.length / frameBytes
+      (0 until nFrames by stride).iterator.map { j =>
+        var s = 0L
+        var i = j * frameBytes
+        val end = i + frameBytes
+        while (i < end) { s += in.payload(i) & 0xff; i += 1 }
+        MmFrame(in.doc_id, j.toLong, s.toDouble / frameBytes)
+      }
+    })
+  }
+
+  /** Driver-contract query: 256-byte frames, stride 4. */
+  def mmFrameSample: Q = (s, dir) => {
+    import s.implicits._
+    val input = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("video/stub").as("mime"))
+      .as[MmInput]
+    frameSample(input, 256, 4).toDF()
+  }
+
+  val mmFrameSampleSql: String =
+    """WITH fr AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(CAST(0 AS BIGINT), CAST(length(text) // 256 AS BIGINT) - 1)) AS frame_idx
+      |  FROM documents)
+      |SELECT doc_id, frame_idx,
+      |  list_sum(list_transform(generate_series(frame_idx * 256 + 1, frame_idx * 256 + 256),
+      |    i -> ascii(substr(text, CAST(i AS INT), 1)))) / 256.0 AS mean_intensity
+      |FROM fr WHERE frame_idx % 4 = 0""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "mm_decode_pipeline" -> mmDecodePipeline,
+    "mm_frame_sample" -> mmFrameSample)
+  val oracles: Map[String, String] = Map(
+    "mm_decode_pipeline" -> mmDecodePipelineSql,
+    "mm_frame_sample" -> mmFrameSampleSql)
 }
