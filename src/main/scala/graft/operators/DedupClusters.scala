@@ -31,22 +31,25 @@ object DedupClusters {
     val sym = edges.selectExpr("a AS src", "b AS dst")
       .unionAll(edges.selectExpr("b AS src", "a AS dst"))
       .cache()
-    // localCheckpoint (eager) materializes each round's labels AND
+    // Checkpoint (eager) materializes each round's labels AND
     // truncates the logical lineage: without it round k's plan carries
     // all k-1 prior joins, so planning cost grows per round and a
-    // cache eviction at scale would recompute the whole chain. (On a
-    // real cluster with executor loss, prefer reliable checkpoint()
-    // with a checkpoint dir — same call shape.)
-    var labels = nodes.selectExpr("id", "id AS label").localCheckpoint()
+    // cache eviction at scale would recompute the whole chain. When
+    // the session has a checkpoint dir configured we use the reliable
+    // variant (survives executor loss on a cluster); otherwise
+    // executor-local (the right default for local mode).
+    val ckpt: DataFrame => DataFrame = df =>
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    var labels = ckpt(nodes.selectExpr("id", "id AS label"))
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
       val viaNeighbors = sym
         .join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels.select("id", "label").unionAll(viaNeighbors)
-        .groupBy("id").agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      val next = ckpt(labels.select("id", "label").unionAll(viaNeighbors)
+        .groupBy("id").agg(min(col("label")).as("label")))
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
       labels = next

@@ -198,7 +198,11 @@ object Similarity {
     * ranks are over round(cos, 9) with a cent_id tiebreak. A centroid
     * that loses all members drops out (mirrored in the oracle). At
     * query time each probe touches ~NPROBE/NCENTS of the corpus. */
-  def simIvf: Q = (s, dir) => {
+  def simIvf: Q = (s, dir) => ivfTopK(s, dir, NPROBE, 3)
+
+  /** Parameterized IVF search (nprobe sweepable — RecallSpec sweeps
+    * recall vs the exact top-k across nprobe settings). */
+  private[graft] def ivfTopK(s: SparkSession, dir: String, nprobe: Int, k: Int): DataFrame = {
     val emb = withVec(t(s, dir, "embeddings")).cache() // KMEANS_ITERS+2 assignment passes
     def nearestCells(df: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
       val scored = df.join(broadcast(cents))
@@ -220,14 +224,14 @@ object Similarity {
     }
     val cells = nearestCells(emb, cents, 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
-    val probes = nearestCells(emb.filter(col("vec_id") < NQUERIES), cents, NPROBE)
+    val probes = nearestCells(emb.filter(col("vec_id") < NQUERIES), cents, nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("cent_id").as("cell"))
     probes.join(cells, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .groupBy("query_id")
-      .agg(graft.functions.TopK.topk(3)(
+      .agg(graft.functions.TopK.topk(k)(
         round(col("cos"), 9), col("vec_id"), round(col("cos"), 6)).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("query_id"), col("e._2").as("neighbor_id"),

@@ -164,6 +164,21 @@ class NcFormatSpec extends AnyFunSuite {
     assert(back.filter(col("l_quantity") > 1e6).rdd.getNumPartitions == 0)
   }
 
+  test("micro-batch streaming ingests gzip part files") {
+    val dir = "/tmp/graft_nc_fmt/gz_stream"
+    NcIO.write(
+      spark.range(300).select(col("id").cast("double").as("x")).repartition(2),
+      dir, compress = true)
+    val q = spark.readStream.format(SRC).load(dir)
+      .agg(count(lit(1)).as("n"), sum("x").as("s"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_gz_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val row = spark.table("graft_gz_stream").head()
+    assert(row.getLong(0) == 300)
+    assert(row.getDouble(1) == (0 until 300).sum.toDouble)
+  }
+
   test("record column is globally consecutive across part files") {
     val dir = "/tmp/graft_nc_fmt/multi"
     NcIO.write(spark.range(1000).select(col("id").cast("double").as("x")).repartition(7), dir)

@@ -26,6 +26,21 @@ class RecallSpec extends AnyFunSuite {
     assert(hits >= 1, s"sign-LSH recovered $hits of the exact top-k pairs")
   }
 
+  test("IVF recall sweeps monotonically with nprobe") {
+    // recall here = fraction of returned top-3 pairs that sit in the
+    // exact top-5 — widening the probe set can only add candidates, so
+    // hits must not decrease
+    val hitsAt = Seq(1, 2, 4).map { np =>
+      val ivf = pairs(Similarity.ivfTopK(spark, sf, np, 3))
+      val h = ivf.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+      info(s"nprobe=$np: $h hits of ${ivf.count()} returned")
+      np -> h
+    }.toMap
+    assert(hitsAt(2) >= hitsAt(1))
+    assert(hitsAt(4) >= hitsAt(2))
+    assert(hitsAt(4) >= 20, s"nprobe=4 should be near-exact, got ${hitsAt(4)}")
+  }
+
   test("IVF nprobe=2 recovers a nontrivial share of the exact top-k") {
     val ivf = pairs(Similarity.simIvf(spark, sf))
     val hits = ivf.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
