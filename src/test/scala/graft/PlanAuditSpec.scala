@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression net: pins the physical-plan properties the
+  * 100 TB posture depends on (SURVEY.md §4), so a refactor that
+  * silently drops a pushdown, un-broadcasts a dimension join, or
+  * introduces an all-pairs join fails CI instead of shipping.
+  * Plans are compiled against sf0.001; nothing here asserts timings.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no CartesianProduct anywhere in the query inventory") {
+    // every pair-generating operator must join on a bucket/band/key;
+    // an unkeyed cartesian is the one shape that cannot scale
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filter(name => planOf(name).contains("CartesianProduct"))
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("q6 pushes its range filter and prunes columns at the scan") {
+    val p = planOf("q6_filter_agg")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined,
+      "l_shipdate filter not pushed to parquet")
+    assert("ReadSchema: [^\\n]*l_quantity".r.findFirstIn(p).isDefined)
+    // the 11-column table must not be read in full
+    assert(!p.contains("l_comment"), "scan reads unprojected columns")
+  }
+
+  test("q5 star join broadcasts its dimension tables") {
+    val p = planOf("q5_join5")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 4, s"expected >=4 broadcast joins, found $bhj")
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to SMJ")
+  }
+
+  test("top-k queries plan TakeOrderedAndProject, not a global sort") {
+    Seq("q3_topk", "text_topterms", "q14_sort_limit").foreach { name =>
+      val p = planOf(name)
+      assert(p.contains("TakeOrderedAndProject"), s"$name plans a global sort:\n${p.take(400)}")
+    }
+  }
+
+  test("ANN ranking is a bounded partial aggregate, not a window") {
+    val p = planOf("sim_topk_bruteforce")
+    assert(p.contains("partial_topkaggregator"),
+      "brute-force top-k lost its map-side partial aggregation")
+    assert(p.toLowerCase.contains("dotproduct"),
+      "vector scoring not using the codegen'd DotProduct kernel")
+  }
+
+  test("aggregations keep map-side partial aggregation") {
+    Seq("q1_agg", "text_topterms", "dedup_exact").foreach { name =>
+      val p = planOf(name)
+      assert(p.contains("partial_"), s"$name lost partial aggregation")
+    }
+  }
+}
