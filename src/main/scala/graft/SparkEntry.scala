@@ -24,7 +24,8 @@ object SparkEntry {
       graft.operators.MmPipeline.queries ++
       graft.operators.Salted.queries ++
       graft.operators.DedupClusters.queries ++
-      graft.operators.PipelineKeepList.queries
+      graft.operators.PipelineKeepList.queries ++
+      graft.operators.TemporalJoins.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.operators.MmPipeline.oracles ++
       graft.operators.Salted.oracles ++
       graft.operators.DedupClusters.oracles ++
-      graft.operators.PipelineKeepList.oracles
+      graft.operators.PipelineKeepList.oracles ++
+      graft.operators.TemporalJoins.oracles
 }
