@@ -25,7 +25,8 @@ object SparkEntry {
       graft.operators.Salted.queries ++
       graft.operators.DedupClusters.queries ++
       graft.operators.PipelineKeepList.queries ++
-      graft.operators.TemporalJoins.queries
+      graft.operators.TemporalJoins.queries ++
+      graft.functions.Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.operators.Salted.oracles ++
       graft.operators.DedupClusters.oracles ++
       graft.operators.PipelineKeepList.oracles ++
-      graft.operators.TemporalJoins.oracles
+      graft.operators.TemporalJoins.oracles ++
+      graft.functions.Sketches.oracles
 }
