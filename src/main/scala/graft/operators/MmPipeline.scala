@@ -128,10 +128,52 @@ object MmPipeline {
       |    i -> ascii(substr(text, CAST(i AS INT), 1)))) / 256.0 AS mean_intensity
       |FROM fr WHERE frame_idx % 4 = 0""".stripMargin
 
+  case class MmResized(doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, scale: Double)
+
+  /** Resize planning: fit each decoded image into a target box
+    * preserving aspect ratio (the metadata half of a resize — the
+    * pixel resample would run inside the same batched codec boundary
+    * as decode). Integer floor arithmetic keeps the oracle exact. */
+  def resizeTo(decoded: Dataset[MmFeatures], target: Int): Dataset[MmResized] = {
+    import decoded.sparkSession.implicits._
+    decoded.map { f =>
+      val longSide = math.max(f.width, f.height)
+      val scale = target.toDouble / longSide
+      // floor; the short side never rounds to 0 because width,height >= 64
+      val ow = (f.width * target) / longSide
+      val oh = (f.height * target) / longSide
+      MmResized(f.doc_id, f.width, f.height, ow, oh, scale)
+    }
+  }
+
+  /** Driver-contract query: decode then plan a 224-box resize. */
+  def mmResize: Q = (s, dir) => {
+    import s.implicits._
+    val input = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("image/stub").as("mime"))
+      .as[MmInput]
+    resizeTo(decodePipeline(input), 224).toDF()
+  }
+
+  val mmResizeSql: String =
+    """SELECT doc_id, width, height,
+      |  (width * 224) // greatest(width, height) AS out_w,
+      |  (height * 224) // greatest(width, height) AS out_h,
+      |  224.0 / greatest(width, height) AS scale
+      |FROM (
+      |  SELECT doc_id,
+      |    64 + length(text) % 512 AS width,
+      |    64 + (ascii(substr(text, 1, 1)) * 31 + ascii(substr(text, length(text), 1))) % 512 AS height
+      |  FROM documents)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm_decode_pipeline" -> mmDecodePipeline,
-    "mm_frame_sample" -> mmFrameSample)
+    "mm_frame_sample" -> mmFrameSample,
+    "mm_resize" -> mmResize)
   val oracles: Map[String, String] = Map(
     "mm_decode_pipeline" -> mmDecodePipelineSql,
-    "mm_frame_sample" -> mmFrameSampleSql)
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_resize" -> mmResizeSql)
 }
