@@ -26,6 +26,7 @@ object SparkEntry {
       graft.operators.DedupClusters.queries ++
       graft.operators.PipelineKeepList.queries ++
       graft.operators.TemporalJoins.queries ++
+      graft.operators.Contamination.queries ++
       graft.functions.Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.operators.DedupClusters.oracles ++
       graft.operators.PipelineKeepList.oracles ++
       graft.operators.TemporalJoins.oracles ++
+      graft.operators.Contamination.oracles ++
       graft.functions.Sketches.oracles
 }

@@ -55,6 +55,37 @@ object Sketches {
        |  exact_distinct
        |FROM agg CROSS JOIN ex""".stripMargin
 
-  val queries: Map[String, Q] = Map("sketch_kmv_distinct" -> sketchKmvDistinct)
-  val oracles: Map[String, String] = Map("sketch_kmv_distinct" -> sketchKmvDistinctSql)
+  /** Exact grouped quantiles: p25/p50/p75/p95 of l_quantity per return
+    * flag, linear interpolation at rank p·(n-1) — the same definition
+    * DuckDB's quantile_cont uses, and l_quantity is integer-valued, so
+    * the interpolation arithmetic is bit-identical cross-engine.
+    *
+    * Scale note: Spark's exact `percentile` buffers a value→count map
+    * per group — fine for bounded-cardinality domains like quantities,
+    * prices-in-cents, or token counts (the common pipeline cases). For
+    * unbounded continuous domains the 100 TB path is
+    * `percentile_approx` (t-digest, constant memory); it is not
+    * cross-engine replayable, which is why the oracle-checked query
+    * uses the exact form. */
+  def sketchQuantile: Q = (s, dir) =>
+    t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      expr("percentile(l_quantity, 0.25D)").as("p25"),
+      expr("percentile(l_quantity, 0.5D)").as("p50"),
+      expr("percentile(l_quantity, 0.75D)").as("p75"),
+      expr("percentile(l_quantity, 0.95D)").as("p95"))
+
+  val sketchQuantileSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  quantile_cont(l_quantity, 0.95) AS p95
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "sketch_kmv_distinct" -> sketchKmvDistinct,
+    "sketch_quantile" -> sketchQuantile)
+  val oracles: Map[String, String] = Map(
+    "sketch_kmv_distinct" -> sketchKmvDistinctSql,
+    "sketch_quantile" -> sketchQuantileSql)
 }

@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -217,7 +218,121 @@ object TextOps {
        |  < CASE $cases ELSE '00' END""".stripMargin
   }
 
+  /** PII scrubbing + denylist redaction. The PII patterns (email,
+    * IPv4, US-style phone) are the real-world payload — chosen so the
+    * Java-regex and RE2 semantics coincide (ASCII classes, `\b`,
+    * bounded repetition); on this synthetic corpus they are a
+    * documented no-op (the corpus has no digits), while the denylist
+    * hits constantly, so the oracle exercises both the fire and
+    * no-fire paths. Pure map-side string work: no shuffle at all, the
+    * exact shape a 100 TB scrub pass needs (and why it composes with
+    * any downstream op for free). */
+  private val piiPatterns = Seq( // (pattern, replacement) — applied in order
+    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b" -> "<PHONE>")
+  private val termPattern = "\\b(customer|order)\\b" // stand-in sensitive-term denylist
+
+  def textRedact: Q = (s, dir) => {
+    val redacted = (piiPatterns :+ (termPattern -> "<TERM>"))
+      .foldLeft(col("text")) { case (c, (re, repl)) => regexp_replace(c, re, repl) }
+    val nPii = piiPatterns.map { case (re, _) =>
+      size(expr(s"regexp_extract_all(text, '${re.replace("\\", "\\\\")}', 0)")).cast(LongType)
+    }.reduce(_ + _)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      redacted.as("clean_text"),
+      nPii.as("n_pii"),
+      size(expr(s"regexp_extract_all(text, '${termPattern.replace("\\", "\\\\")}', 0)"))
+        .cast(LongType).as("n_terms"))
+  }
+
+  val textRedactSql: String = {
+    val redacted = (piiPatterns :+ (termPattern -> "<TERM>"))
+      .foldLeft("text") { case (c, (re, repl)) => s"regexp_replace($c, '$re', '$repl', 'g')" }
+    val nPii = piiPatterns.map { case (re, _) =>
+      s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT)"
+    }.mkString(" + ")
+    s"""SELECT doc_id,
+       |  $redacted AS clean_text,
+       |  $nPii AS n_pii,
+       |  CAST(len(regexp_extract_all(text, '$termPattern')) AS BIGINT) AS n_terms
+       |FROM documents""".stripMargin
+  }
+
+  /** Inverse-document-frequency-weighted language ID — the §7 upgrade
+    * over [[textLangId]]'s raw marker counts: a marker word's vote is
+    * weighted by how RARE it is in this corpus, so ubiquitous markers
+    * ("the" in a mostly-English crawl) stop drowning out decisive ones.
+    * Weights are fixed-point longs — `1e6 / (df + 1)` by integer
+    * division — so every partial sum is exact integer arithmetic:
+    * engine-independent, partial-agg-order-independent, no float drift
+    * (a double idf·count sum would hash-mismatch across fold orders).
+    *
+    * Scale shape: two broadcast joins (marker table ~30 rows; df table
+    * ≤ marker count) around map-side explodes; the per-doc score
+    * groupBy shuffles uniform (doc_id, lang) keys; the final argmax
+    * window partitions by doc_id (unique keys, skew-free). */
+  def textLangIdWeighted: Q = (s, dir) => {
+    import s.implicits._
+    val markerDf = broadcast(
+      markers.flatMap { case (lg, ws) => ws.map(w => (w, lg)) }.toDF("word", "mlang"))
+    val docs = t(s, dir, "documents")
+    val words = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("word"))
+    val hits = words.join(markerDf, "word") // broadcast
+    // document frequency of each marker word (distinct docs containing it)
+    val dfTab = hits.select("word", "doc_id").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = hits
+      .groupBy(col("doc_id"), col("lang"), col("mlang"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(dfTab), "word")
+      // `div`, not `/`: Spark's `/` on longs is double division, and a
+      // double quotient that rounds up across an integer boundary would
+      // diverge from the oracle's exact `//`
+      .withColumn("w_score", expr("cnt * 1000000L div (df + 1L)"))
+      .groupBy(col("doc_id"), col("lang"), col("mlang"))
+      .agg(sum(col("w_score")).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("mlang"))
+    val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("mlang"), col("score"))
+    docs.select("doc_id", "lang").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("mlang"), lit("und")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  val textLangIdWeightedSql: String = {
+    val markerRows = markers.flatMap { case (lg, ws) => ws.map(w => s"('$w', '$lg')") }
+      .mkString(", ")
+    s"""WITH mk(word, mlang) AS (VALUES $markerRows),
+       |words AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
+       |hits AS (SELECT w.doc_id, w.lang, w.word, mk.mlang FROM words w JOIN mk ON mk.word = w.word),
+       |dftab AS (
+       |  SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT word, doc_id FROM hits) GROUP BY word),
+       |scored AS (
+       |  SELECT h.doc_id, h.lang, h.mlang,
+       |    SUM(CAST(h.cnt * 1000000 // (d.df + 1) AS BIGINT)) AS score
+       |  FROM (SELECT doc_id, lang, mlang, word, COUNT(*) AS cnt
+       |        FROM hits GROUP BY doc_id, lang, mlang, word) h
+       |  JOIN dftab d ON d.word = h.word
+       |  GROUP BY h.doc_id, h.lang, h.mlang),
+       |best AS (
+       |  SELECT doc_id, mlang, score FROM (
+       |    SELECT doc_id, mlang, score, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY score DESC, mlang) AS rn
+       |    FROM scored) WHERE rn = 1)
+       |SELECT d.doc_id, d.lang,
+       |  coalesce(b.mlang, 'und') AS pred_lang,
+       |  coalesce(b.score, 0) AS score
+       |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_redact" -> textRedact,
+    "text_langid_weighted" -> textLangIdWeighted,
     "text_topterms" -> textTopTerms,
     "pipeline_sample_stratified" -> pipelineSampleStratified,
     "text_tokencount" -> textTokenCount,
@@ -227,6 +342,8 @@ object TextOps {
     "dedup_exact" -> dedupExact)
 
   val oracles: Map[String, String] = Map(
+    "text_redact" -> textRedactSql,
+    "text_langid_weighted" -> textLangIdWeightedSql,
     "text_topterms" -> textTopTermsSql,
     "pipeline_sample_stratified" -> pipelineSampleStratifiedSql,
     "text_tokencount" -> textTokenCountSql,

@@ -45,8 +45,9 @@ object Dedup {
   private val MAX_DF = 64
 
   /** (doc_id, sh): distinct word n-gram shingles per document, raw
-    * (no df cap — feeds [[cappedShingles]]). */
-  private def shingles(docs: DataFrame, n: Int): DataFrame = {
+    * (no df cap — feeds [[cappedShingles]]; [[Contamination]] reuses
+    * it for benchmark-overlap shingling). */
+  private[operators] def shingles(docs: DataFrame, n: Int): DataFrame = {
     val concatExpr = (1 to n).map(j => s"element_at(ws, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")")
     docs
       .withColumn("ws", split(col("text"), " "))
