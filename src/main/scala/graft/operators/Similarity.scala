@@ -283,13 +283,187 @@ object Similarity {
        |FROM scored WHERE rank <= 3""".stripMargin
   }
 
+  private val PQ_M = 4 // subspaces
+  private val PQ_SUB = DIMS / PQ_M // dims per subspace
+  private val PQ_CODES = 16 // codebook entries per subspace
+  private val PQ_CAND = 8 // ADC candidates per query before exact re-rank
+
+  /** Product-quantization ADC search — the §7 refinement over
+    * [[simIvf]]: vectors are encoded as [[PQ_M]] one-byte codes (each
+    * subspace quantized to its nearest codebook entry by L2), queries
+    * score the WHOLE corpus through a per-query lookup table
+    * (asymmetric distance computation: approx dot = Σ_m
+    * qdot[m][code_m]), and only the [[PQ_CAND]] best approximate
+    * candidates per query get exact cosine re-ranking.
+    *
+    * Why this is the 100 TB shape: the scan side touches 4 bytes per
+    * vector instead of 256 (64 floats) — a 64× scan-bandwidth cut —
+    * and every per-vector step is map-side (codebooks and ADC tables
+    * broadcast, ≤ PQ_M·PQ_CODES rows each). Code assignment is a
+    * `min_by` partial aggregate, NOT a row_number window: each task
+    * combines its local argmin before the shuffle, so only one row
+    * per (vector, subspace) key moves. Candidate selection uses the
+    * bounded [[graft.functions.TopK]] aggregate (≤ PQ_CAND rows per
+    * query reach the shuffle); the exact re-rank touches
+    * queries·PQ_CAND rows total.
+    *
+    * Codebooks: init = sub-slices of the first [[PQ_CODES]] vectors,
+    * refined by one distributed Lloyd round with DECIMAL(27,12) means
+    * (exact, partial-agg-order-free — bit-identical to the oracle's
+    * single-threaded replay). All ranks are over round(·, 9) with id
+    * tiebreaks so sub-ulp fold-order drift cannot flip results. */
+  def simPqAdc: Q = (s, dir) => {
+    val emb = withVec(t(s, dir, "embeddings")).cache() // 2 assign passes + re-rank
+    val sqDist = expr(
+      "aggregate(zip_with(sub, bv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)")
+    // scored: one row per (vector, subspace, code) with the sub-slice
+    // and its squared L2 distance to that code's centroid
+    def scored(book: DataFrame): DataFrame =
+      emb.join(broadcast(book))
+        .withColumn("sub", expr(s"slice(v, m * $PQ_SUB + 1, $PQ_SUB)"))
+        .withColumn("dist", sqDist)
+    val mCol = explode(array((0 until PQ_M).map(lit): _*)).as("m")
+    val init = emb.filter(col("vec_id") < PQ_CODES)
+      .select(col("vec_id").as("code"), col("v"), mCol)
+      .select(col("m"), col("code"), expr(s"slice(v, m * $PQ_SUB + 1, $PQ_SUB)").as("bv"))
+    // one Lloyd round: tall argmin (min_by — partial-agg'd, no window
+    // shuffle), then per-(m, code, pos) decimal-exact means
+    val assigned = scored(init)
+      .groupBy("vec_id", "m")
+      .agg(min_by(struct(col("code"), col("sub")),
+        struct(round(col("dist"), 9), col("code"))).as("best"))
+      .select(col("m"), col("best.code").as("code"), posexplode(col("best.sub")).as(Seq("p", "x")))
+    val book = assigned
+      .groupBy("m", "code", "p")
+      .agg((sum(col("x").cast(DecimalType(27, 12))).cast(DoubleType) / count(lit(1))).as("mv"))
+      .groupBy("m", "code")
+      .agg(expr("transform(array_sort(collect_list(struct(p, mv))), q -> q.mv)").as("bv"))
+    // encode: all PQ_M argmins in ONE partial-agg pass over the corpus
+    // (min of a (dist, code) struct is the lexicographic argmin)
+    val codesWide = scored(book)
+      .groupBy("vec_id")
+      .agg((0 until PQ_M).map(m =>
+        min(when(col("m") === m, struct(round(col("dist"), 9).as("d"), col("code").as("c"))))
+          .as(s"b$m")).head,
+        (1 until PQ_M).map(m =>
+          min(when(col("m") === m, struct(round(col("dist"), 9).as("d"), col("code").as("c"))))
+            .as(s"b$m")): _*)
+      .select(col("vec_id") +: (0 until PQ_M).map(m => col(s"b$m.c").as(s"code$m")): _*)
+    // per-query ADC tables: qdot of each query sub-slice with each
+    // codebook entry (PQ_M·PQ_CODES rows per query — broadcast)
+    val qd = emb.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("v"))
+      .join(broadcast(book)) // book carries the subspace index m
+      .withColumn("qd", vec_dot(expr(s"slice(v, m * $PQ_SUB + 1, $PQ_SUB)"), col("bv")))
+    def qdm(m: Int) = qd.filter(col("m") === m)
+      .select(col("query_id"), col("code").as(s"code$m"), col("qd").as(s"qd$m"))
+    // approx score: 4 broadcast lookups + a fixed-order double sum
+    // (left-to-right, same order as the oracle's q0+q1+q2+q3)
+    val appr = (1 until PQ_M)
+      .foldLeft(codesWide.join(broadcast(qdm(0)), "code0")) { (df, m) =>
+        df.join(broadcast(qdm(m)), Seq("query_id", s"code$m"))
+      }
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx", (0 until PQ_M).map(m => col(s"qd$m")).reduce(_ + _))
+    val cand = appr.groupBy("query_id")
+      .agg(graft.functions.TopK.topk(PQ_CAND)(
+        round(col("approx"), 9), col("vec_id"), round(col("approx"), 6)).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e._2").as("neighbor_id"))
+    // exact cosine re-rank of queries·PQ_CAND candidates
+    val qv = emb.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val exact = emb.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(qv), "query_id")
+      .withColumn("cos", vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(round(col("cos"), 9).desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rank"))
+  }
+
+  val simPqAdcSql: String = {
+    def subElem(m: Int, alias: String, i: String) =
+      s"CAST($alias.embedding[${m * PQ_SUB} + $i] AS DOUBLE)"
+    def distExpr(m: Int) =
+      s"list_sum(list_transform(generate_series(1, $PQ_SUB), i -> (${subElem(m, "e", "i")} - b.bv[i]) * (${subElem(m, "e", "i")} - b.bv[i])))"
+    val inits = (0 until PQ_M).map(m =>
+      s"""b0_$m AS (
+         |  SELECT vec_id AS code,
+         |    list_transform(generate_series(1, $PQ_SUB), i -> ${subElem(m, "e", "i")}) AS bv
+         |  FROM e WHERE vec_id < $PQ_CODES)""".stripMargin)
+    def assignCte(name: String, m: Int, bname: String) =
+      s"""$name AS (
+         |  SELECT e.vec_id, e.embedding, b.code, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${distExpr(m)}, 9), b.code) AS rn
+         |  FROM e CROSS JOIN $bname b)""".stripMargin
+    val refines = (0 until PQ_M).map { m =>
+      s"""cb${m}_m AS (
+         |  SELECT code, pos,
+         |    CAST(SUM(CAST(CAST(embedding[${m * PQ_SUB} + pos] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mv
+         |  FROM (SELECT code, embedding FROM a0_$m WHERE rn = 1)
+         |    CROSS JOIN generate_series(1, $PQ_SUB) t(pos)
+         |  GROUP BY code, pos),
+         |cb_$m AS (SELECT code, list(mv ORDER BY pos) AS bv FROM cb${m}_m GROUP BY code)""".stripMargin
+    }
+    val codeJoins = (1 until PQ_M)
+      .map(m => s"JOIN enc_$m c$m ON c$m.vec_id = c0.vec_id AND c$m.rn = 1")
+      .mkString("\n  ")
+    val qds = (0 until PQ_M).map(m =>
+      s"""qd_$m AS (
+         |  SELECT e.vec_id AS query_id, b.code,
+         |    list_sum(list_transform(generate_series(1, $PQ_SUB), i -> ${subElem(m, "e", "i")} * b.bv[i])) AS qd
+         |  FROM e CROSS JOIN cb_$m b WHERE e.vec_id < $NQUERIES)""".stripMargin)
+    val apprJoins = (1 until PQ_M)
+      .map(m => s"JOIN qd_$m q$m ON q$m.query_id = q0.query_id AND q$m.code = c.code$m")
+      .mkString("\n  ")
+    val exactDot =
+      s"list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(qa.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))"
+    s"""WITH e AS (SELECT vec_id, embedding, $normSqlDuck AS nrm FROM embeddings),
+       |${inits.mkString(",\n")},
+       |${(0 until PQ_M).map(m => assignCte(s"a0_$m", m, s"b0_$m")).mkString(",\n")},
+       |${refines.mkString(",\n")},
+       |${(0 until PQ_M).map(m => assignCte(s"enc_$m", m, s"cb_$m")).mkString(",\n")},
+       |codes AS (
+       |  SELECT c0.vec_id, ${(0 until PQ_M).map(m => s"c$m.code AS code$m").mkString(", ")}
+       |  FROM enc_0 c0
+       |  $codeJoins
+       |  WHERE c0.rn = 1),
+       |${qds.mkString(",\n")},
+       |appr AS (
+       |  SELECT q0.query_id, c.vec_id,
+       |    ${(0 until PQ_M).map(m => s"q$m.qd").mkString(" + ")} AS approx
+       |  FROM codes c
+       |  JOIN qd_0 q0 ON q0.code = c.code0
+       |  $apprJoins
+       |  WHERE c.vec_id <> q0.query_id),
+       |cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY round(approx, 9) DESC, vec_id) AS arn
+       |    FROM appr) WHERE arn <= $PQ_CAND),
+       |scored AS (
+       |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |    round($exactDot / (qa.nrm * x.nrm), 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY cd.query_id
+       |      ORDER BY round($exactDot / (qa.nrm * x.nrm), 9) DESC, cd.vec_id) AS rank
+       |  FROM cand cd
+       |  JOIN e qa ON qa.vec_id = cd.query_id
+       |  JOIN e x ON x.vec_id = cd.vec_id)
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+       |FROM scored WHERE rank <= 3""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_pq_adc" -> simPqAdc,
     "sim_topk_bruteforce" -> simTopKBruteforce,
     "sim_lsh_bucketed" -> simLshBucketed,
     "sim_ivf" -> simIvf,
     "dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
+    "sim_pq_adc" -> simPqAdcSql,
     "sim_topk_bruteforce" -> simTopKBruteforceSql,
     "sim_lsh_bucketed" -> simLshBucketedSql,
     "sim_ivf" -> simIvfSql,

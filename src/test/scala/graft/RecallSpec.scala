@@ -41,6 +41,17 @@ class RecallSpec extends AnyFunSuite {
     assert(hitsAt(4) >= 20, s"nprobe=4 should be near-exact, got ${hitsAt(4)}")
   }
 
+  test("PQ-ADC re-ranked top-3 overlaps the exact top-k") {
+    val pq = pairs(Similarity.simPqAdc(spark, sf))
+    val hits = pq.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    info(s"PQ hits: $hits of ${pq.count()} returned")
+    assert(pq.count() > 0)
+    // 4×16-code product quantization of 64-dim random vectors is a
+    // coarse approximation; the ADC top-8 + exact re-rank should still
+    // land a meaningful share of the exact top-5
+    assert(hits >= 10, s"PQ-ADC recovered $hits of the exact top-k pairs")
+  }
+
   test("IVF nprobe=2 recovers a nontrivial share of the exact top-k") {
     val ivf = pairs(Similarity.simIvf(spark, sf))
     val hits = ivf.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
