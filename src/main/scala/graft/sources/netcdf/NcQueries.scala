@@ -210,6 +210,40 @@ object NcQueries {
       |  CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sum_disc
       |FROM lineitem""".stripMargin
 
+  /** Write-side range bucketing for maximal zone-map selectivity:
+    * `repartitionByRange` on the filter column gives every part file a
+    * DISJOINT `actual_range`, so a selective read prunes all but the
+    * covering file(s) from the scan — at 100 TB, sorting on the
+    * dominant filter key at write time turns zone maps from a
+    * best-effort skip into near-partition-pruning (the classic
+    * sort-on-ingest lever; ZonemapSortSpec asserts the file-skip
+    * count). The oracle aggregates the same slice from the original
+    * parquet, proving the pruned read returns exactly the right rows. */
+  def ncSortedSkip: Q = (s, dir) => {
+    val out = scratch(s, dir, "sorted_skip")
+    NcIO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"),
+      out)
+    s.read.format(SRC).load(out)
+      .filter(col("l_orderkey") >= 1000L && col("l_orderkey") < 2000L)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+  }
+
+  val ncSortedSkipSql: String =
+    """SELECT COUNT(*) AS n, SUM(l_orderkey) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+      |FROM lineitem
+      |WHERE l_orderkey >= 1000 AND l_orderkey < 2000""".stripMargin
+
   /** End-to-end micro-batch ingest: lineitem → chunked .nc part files
     * → Structured Streaming read through the netcdf3 source → complete-
     * mode aggregation in a memory sink. The oracle aggregates the
@@ -246,6 +280,7 @@ object NcQueries {
     "nc_attrs_roundtrip" -> ncAttrsRoundtrip,
     "nc_fixed_roundtrip" -> ncFixedRoundtrip,
     "nc_gzip_roundtrip" -> ncGzipRoundtrip,
+    "nc_sorted_skip" -> ncSortedSkip,
     "stream_nc_ingest" -> streamNcIngest)
 
   val oracles: Map[String, String] = Map(
@@ -256,5 +291,6 @@ object NcQueries {
     "nc_attrs_roundtrip" -> ncAttrsRoundtripSql,
     "nc_fixed_roundtrip" -> ncFixedRoundtripSql,
     "nc_gzip_roundtrip" -> ncGzipRoundtripSql,
+    "nc_sorted_skip" -> ncSortedSkipSql,
     "stream_nc_ingest" -> streamNcIngestSql)
 }

@@ -88,6 +88,24 @@ class NcFormatSpec extends AnyFunSuite {
     assert(back.filter(col("l_quantity") > 1e6).rdd.getNumPartitions == 0)
   }
 
+  test("sorted range-bucketed write: point filter reads at most one covering file") {
+    val dir = "/tmp/graft_nc_fmt/sorted_skip"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    // sort-on-ingest: 8 part files with fully DISJOINT key ranges
+    NcIO.write(li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey"), dir)
+    val back = spark.read.format(SRC).load(dir)
+    assert(back.rdd.getNumPartitions >= 8)
+    val k = li.agg(max(col("l_orderkey"))).head().getLong(0) / 2
+    val filtered = back.filter(col("l_orderkey") === k)
+    // disjoint zone maps: a point filter is covered by exactly one file
+    // (a second only if k sits on a range-partition boundary)
+    assert(filtered.rdd.getNumPartitions <= 2,
+      s"expected <=2 of ${back.rdd.getNumPartitions} partitions after skip")
+    assert(filtered.count() == li.filter(col("l_orderkey") === k).count())
+  }
+
   test("actual_range attributes roundtrip through the header") {
     val dir = "/tmp/graft_nc_fmt/ranges"
     NcIO.write(
