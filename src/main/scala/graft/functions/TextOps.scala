@@ -330,7 +330,72 @@ object TextOps {
        |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id""".stripMargin
   }
 
+  /** Sequence packing for pretraining batches: documents are packed
+    * contiguously (straddle allowed) into fixed token-budget bins,
+    * per source shard — each doc gets the bin and offset where it
+    * starts. Packing is planned with a running token total, which is
+    * only tractable at 100 TB because the window partitions by shard:
+    * every source packs independently and in parallel, and no global
+    * order exists to serialize on (a corpus-global cumsum would funnel
+    * everything through one partition — the classic window anti-shape
+    * this avoids). All integer arithmetic, so the plan is exact and
+    * engine-independent. */
+  private val PACK_BUDGET = 2048 // tokens per packed sequence
+
+  def pipelinePackSequences: Q = (s, dir) => {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div ${PACK_BUDGET}L").as("bin_id"),
+        expr(s"(cum - n_tokens) % ${PACK_BUDGET}L").as("bin_offset"))
+  }
+
+  val pipelinePackSequencesSql: String =
+    s"""SELECT doc_id, source, n_tokens,
+       |  (cum - n_tokens) // $PACK_BUDGET AS bin_id,
+       |  (cum - n_tokens) % $PACK_BUDGET AS bin_offset
+       |FROM (
+       |  SELECT doc_id, source, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |    FROM documents))""".stripMargin
+
+  /** Intra-document repetition (Gopher-style quality signal): the
+    * fraction of word-3-gram occurrences that are repeats of an
+    * earlier 3-gram in the same document. Pure map-side array work —
+    * no shuffle, composes with any keep-list filter for free. */
+  def textRepetition: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("grams", expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
+      .select(col("doc_id"),
+        size(col("grams")).cast(LongType).as("n_grams"),
+        size(array_distinct(col("grams"))).cast(LongType).as("n_distinct"),
+        ((size(col("grams")) - size(array_distinct(col("grams"))))
+          / size(col("grams")).cast(DoubleType)).as("rep_ratio"))
+  }
+
+  val textRepetitionSql: String =
+    """SELECT doc_id,
+      |  CAST(len(grams) AS BIGINT) AS n_grams,
+      |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+      |  (len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE) AS rep_ratio
+      |FROM (
+      |  SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
+      |    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]) AS grams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "pipeline_pack_sequences" -> pipelinePackSequences,
+    "text_repetition" -> textRepetition,
     "text_redact" -> textRedact,
     "text_langid_weighted" -> textLangIdWeighted,
     "text_topterms" -> textTopTerms,
@@ -342,6 +407,8 @@ object TextOps {
     "dedup_exact" -> dedupExact)
 
   val oracles: Map[String, String] = Map(
+    "pipeline_pack_sequences" -> pipelinePackSequencesSql,
+    "text_repetition" -> textRepetitionSql,
     "text_redact" -> textRedactSql,
     "text_langid_weighted" -> textLangIdWeightedSql,
     "text_topterms" -> textTopTermsSql,
