@@ -204,17 +204,32 @@ object Similarity {
     * recall vs the exact top-k across nprobe settings). */
   private[graft] def ivfTopK(s: SparkSession, dir: String, nprobe: Int, k: Int): DataFrame = {
     val emb = withVec(t(s, dir, "embeddings")).cache() // KMEANS_ITERS+2 assignment passes
-    def nearestCells(df: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
-      val scored = df.join(broadcast(cents))
+    def scoredCells(df: DataFrame, cents: DataFrame): DataFrame =
+      df.join(broadcast(cents))
         .withColumn("ccos", vec_dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+    // corpus-wide argmax assignment: a min_by partial aggregate, NOT a
+    // row_number window — each task combines its local best before the
+    // shuffle, so one row per vector moves instead of NCENTS rows
+    // (negated key + cent_id tiebreak ≡ the oracle's ORDER BY
+    // round(ccos,9) DESC, cent_id)
+    def nearestCell(df: DataFrame, cents: DataFrame): DataFrame =
+      scoredCells(df, cents)
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("cent_id"), col("v"), col("nrm")),
+          struct(-round(col("ccos"), 9), col("cent_id"))).as("best"))
+        .select(col("vec_id"), col("best.cent_id").as("cent_id"),
+          col("best.v").as("v"), col("best.nrm").as("nrm"))
+    // multi-cell probe ranking (queries only — a handful of rows)
+    def nearestCells(df: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
       val w = Window.partitionBy("vec_id").orderBy(round(col("ccos"), 9).desc, col("cent_id"))
-      scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= keep)
+      scoredCells(df, cents)
+        .withColumn("crn", row_number().over(w)).filter(col("crn") <= keep)
         .drop("cv", "cn", "ccos", "crn")
     }
     var cents = emb.filter(col("vec_id") < NCENTS)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
     for (_ <- 0 until KMEANS_ITERS) {
-      cents = nearestCells(emb, cents, 1)
+      cents = nearestCell(emb, cents)
         .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cent_id", "pos")
         .agg((sum(col("x").cast(DecimalType(27, 12))).cast(DoubleType) / count(lit(1))).as("m"))
@@ -222,7 +237,7 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("cv"))
         .withColumn("cn", vec_norm(col("cv")))
     }
-    val cells = nearestCells(emb, cents, 1)
+    val cells = nearestCell(emb, cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
     val probes = nearestCells(emb.filter(col("vec_id") < NQUERIES), cents, nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
