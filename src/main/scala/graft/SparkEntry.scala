@@ -27,7 +27,8 @@ object SparkEntry {
       graft.operators.PipelineKeepList.queries ++
       graft.operators.TemporalJoins.queries ++
       graft.operators.Contamination.queries ++
-      graft.functions.Sketches.queries
+      graft.functions.Sketches.queries ++
+      graft.functions.Bpe.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.operators.PipelineKeepList.oracles ++
       graft.operators.TemporalJoins.oracles ++
       graft.operators.Contamination.oracles ++
-      graft.functions.Sketches.oracles
+      graft.functions.Sketches.oracles ++
+      graft.functions.Bpe.oracles
 }

@@ -314,7 +314,7 @@ object TextOps {
        |  SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT word, doc_id FROM hits) GROUP BY word),
        |scored AS (
        |  SELECT h.doc_id, h.lang, h.mlang,
-       |    SUM(CAST(h.cnt * 1000000 // (d.df + 1) AS BIGINT)) AS score
+       |    CAST(SUM(h.cnt * 1000000 // (d.df + 1)) AS BIGINT) AS score
        |  FROM (SELECT doc_id, lang, mlang, word, COUNT(*) AS cnt
        |        FROM hits GROUP BY doc_id, lang, mlang, word) h
        |  JOIN dftab d ON d.word = h.word
@@ -326,7 +326,7 @@ object TextOps {
        |    FROM scored) WHERE rn = 1)
        |SELECT d.doc_id, d.lang,
        |  coalesce(b.mlang, 'und') AS pred_lang,
-       |  coalesce(b.score, 0) AS score
+       |  CAST(coalesce(b.score, 0) AS BIGINT) AS score
        |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id""".stripMargin
   }
 
@@ -342,28 +342,78 @@ object TextOps {
     * engine-independent. */
   private val PACK_BUDGET = 2048 // tokens per packed sequence
 
-  def pipelinePackSequences: Q = (s, dir) => {
+  /** Pack plan with running totals: (doc_id, source, n_tokens, cum)
+    * where n_tokens is the document's BPE subword count (r3: re-pointed
+    * from whitespace counts to [[Bpe.docTokenCounts]] — a token-budget
+    * pipeline packs what the model will actually see) and cum its
+    * per-shard running total. */
+  private def packPlanCum(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "documents")
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+    t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(Bpe.docTokenCounts(s, dir).select("doc_id", "n_tokens"), Seq("doc_id"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
+  }
+
+  /** DuckDB twin of [[packPlanCum]] — append to [[Bpe.duckDocTokensCtes]]. */
+  private val packPlanCte: String =
+    """pack_plan AS (
+      |  SELECT d.doc_id, d.source, t.n_tokens,
+      |    CAST(SUM(t.n_tokens) OVER (PARTITION BY d.source ORDER BY d.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM documents d JOIN bpe_doc_tokens t USING (doc_id))""".stripMargin
+
+  def pipelinePackSequences: Q = (s, dir) => {
+    packPlanCum(s, dir)
       .select(col("doc_id"), col("source"), col("n_tokens"),
         expr(s"(cum - n_tokens) div ${PACK_BUDGET}L").as("bin_id"),
         expr(s"(cum - n_tokens) % ${PACK_BUDGET}L").as("bin_offset"))
   }
 
   val pipelinePackSequencesSql: String =
-    s"""SELECT doc_id, source, n_tokens,
-       |  (cum - n_tokens) // $PACK_BUDGET AS bin_id,
-       |  (cum - n_tokens) % $PACK_BUDGET AS bin_offset
-       |FROM (
-       |  SELECT doc_id, source, n_tokens,
-       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM (SELECT doc_id, source,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-       |    FROM documents))""".stripMargin
+    s"""WITH ${Bpe.duckDocTokensCtes},
+       |$packPlanCte
+       |SELECT doc_id, source, n_tokens,
+       |  CAST((cum - n_tokens) // $PACK_BUDGET AS BIGINT) AS bin_id,
+       |  CAST((cum - n_tokens) % $PACK_BUDGET AS BIGINT) AS bin_offset
+       |FROM pack_plan""".stripMargin
+
+  /** Packed-bin materialization: explode each planned document into
+    * the (bin_id, slice) pieces that realize the packing — a document
+    * occupying shard-token interval [cum - n_tokens, cum) contributes
+    * one slice per bin it straddles. Downstream, a writer groups by
+    * (source, bin_id) and concatenates slices at bin_offset to emit
+    * fixed-budget training sequences. Map-side explode over the plan
+    * (`sequence` spans are tiny: a doc touches ⌈n_tokens/budget⌉+1
+    * bins), so the shuffle — if the writer needs one — is keyed by
+    * bin, never by corpus order. Every bin's slice lengths sum to the
+    * budget except each shard's final bin (asserted in BpeSpec). */
+  def pipelinePackBins: Q = (s, dir) => {
+    val B = PACK_BUDGET
+    packPlanCum(s, dir)
+      .filter(col("n_tokens") > 0L)
+      .withColumn("start", col("cum") - col("n_tokens"))
+      .withColumn("bin_id", explode(expr(s"sequence(start div ${B}L, (cum - 1L) div ${B}L)")))
+      .select(col("source"), col("bin_id"), col("doc_id"),
+        greatest(col("bin_id") * B - col("start"), lit(0L)).as("slice_start"),
+        (least(col("cum"), (col("bin_id") + 1) * B) -
+          greatest(col("start"), col("bin_id") * B)).as("slice_len"),
+        (greatest(col("start"), col("bin_id") * B) - col("bin_id") * B).as("bin_offset"))
+  }
+
+  val pipelinePackBinsSql: String =
+    s"""WITH ${Bpe.duckDocTokensCtes},
+       |$packPlanCte,
+       |exploded AS (
+       |  SELECT source, doc_id, n_tokens, cum,
+       |    unnest(generate_series((cum - n_tokens) // $PACK_BUDGET, (cum - 1) // $PACK_BUDGET)) AS bin_id
+       |  FROM pack_plan WHERE n_tokens > 0)
+       |SELECT source, CAST(bin_id AS BIGINT) AS bin_id, doc_id,
+       |  CAST(greatest(bin_id * $PACK_BUDGET - (cum - n_tokens), 0) AS BIGINT) AS slice_start,
+       |  CAST(least(cum, (bin_id + 1) * $PACK_BUDGET) -
+       |    greatest(cum - n_tokens, bin_id * $PACK_BUDGET) AS BIGINT) AS slice_len,
+       |  CAST(greatest(cum - n_tokens, bin_id * $PACK_BUDGET) - bin_id * $PACK_BUDGET AS BIGINT) AS bin_offset
+       |FROM exploded""".stripMargin
 
   /** Intra-document repetition (Gopher-style quality signal): the
     * fraction of word-3-gram occurrences that are repeats of an
@@ -395,6 +445,7 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "pipeline_pack_sequences" -> pipelinePackSequences,
+    "pipeline_pack_bins" -> pipelinePackBins,
     "text_repetition" -> textRepetition,
     "text_redact" -> textRedact,
     "text_langid_weighted" -> textLangIdWeighted,
@@ -408,6 +459,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "pipeline_pack_sequences" -> pipelinePackSequencesSql,
+    "pipeline_pack_bins" -> pipelinePackBinsSql,
     "text_repetition" -> textRepetitionSql,
     "text_redact" -> textRedactSql,
     "text_langid_weighted" -> textLangIdWeightedSql,

@@ -76,25 +76,46 @@ object NcIO {
     * reads (metadata scale — no record data is touched); callers
     * aggregate across part files (e.g. min/max of per-file
     * actual_range). */
+  /** Attr rows of one part file: (file, var, attr, element idx, sval, dval). */
+  private def attrRowsOf(fs: org.apache.hadoop.fs.FileSystem,
+      f: Path): Seq[(String, String, String, Long, String, Option[Double])] = {
+    val meta = NcFormat.readMeta(fs, f)
+    def attRows(varName: String, atts: Seq[NcFormat.NcAttr]) = atts.flatMap { a =>
+      if (a.ncType == NcFormat.NC_CHAR)
+        Seq((f.getName, varName, a.name, 0L, a.text, Option.empty[Double]))
+      else a.nums.zipWithIndex.map { case (x, i) =>
+        (f.getName, varName, a.name, i.toLong, null: String, Some(x))
+      }
+    }
+    attRows("GLOBAL", meta.gatts) ++ meta.vars.flatMap(v => attRows(v.name, v.atts))
+  }
+
+  /** Above ~100 part files the per-file header reads fan out to
+    * executors — at 100 TB (10⁵-10⁶ parts) a sequential driver loop
+    * would serialize on metadata; below that the driver loop avoids a
+    * job launch. */
+  private val DRIVER_ATTR_FILES = 100
+
   def readAttrs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(p).map(_.getPath)
       .filter(_.getName.endsWith(".nc")).sortBy(_.getName)
-    val rows = parts.toSeq.flatMap { f =>
-      val meta = NcFormat.readMeta(fs, f)
-      def attRows(varName: String, atts: Seq[NcFormat.NcAttr]) = atts.flatMap { a =>
-        if (a.ncType == NcFormat.NC_CHAR)
-          Seq((f.getName, varName, a.name, 0L, a.text, Option.empty[Double]))
-        else a.nums.zipWithIndex.map { case (x, i) =>
-          (f.getName, varName, a.name, i.toLong, null: String, Some(x))
+    if (parts.length <= DRIVER_ATTR_FILES) {
+      parts.toSeq.flatMap(f => attrRowsOf(fs, f))
+        .toDF("file", "var_name", "attr_name", "idx", "sval", "dval")
+    } else {
+      val serConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+      val names = parts.map(_.toString).toSeq
+      val slices = math.max(1, math.min(names.length / 16, 4096))
+      spark.sparkContext.parallelize(names, slices)
+        .flatMap { n =>
+          val path = new Path(n)
+          attrRowsOf(path.getFileSystem(serConf.value), path)
         }
-      }
-      attRows("GLOBAL", meta.gatts) ++
-        meta.vars.flatMap(v => attRows(v.name, v.atts))
+        .toDF("file", "var_name", "attr_name", "idx", "sval", "dval")
     }
-    rows.toDF("file", "var_name", "attr_name", "idx", "sval", "dval")
   }
 
   /** A fixed (non-record) variable of `dir`'s first part file as
@@ -142,44 +163,77 @@ object NcIO {
       vatts: Map[String, Seq[(String, String)]],
       fixedVars: Seq[(String, Array[Double])],
       compress: Boolean): Unit = {
-    val getters: Array[InternalRow => Any] =
-      schema.fields.zipWithIndex.map { case (f, i) =>
-        f.dataType match {
-          case DoubleType => (r: InternalRow) => r.getDouble(i)
-          case FloatType => (r: InternalRow) => r.getFloat(i)
-          case IntegerType => (r: InternalRow) => r.getInt(i)
-          case LongType => (r: InternalRow) => r.getLong(i)
-          case ShortType => (r: InternalRow) => r.getShort(i)
-          case ByteType => (r: InternalRow) => r.getByte(i)
-          case StringType => (r: InternalRow) => r.getUTF8String(i).getBytes
-          case ArrayType(DoubleType, _) => (r: InternalRow) =>
-            r.getArray(i).toDoubleArray.asInstanceOf[Array[_]]
-          case ArrayType(FloatType, _) => (r: InternalRow) =>
-            r.getArray(i).toFloatArray.asInstanceOf[Array[_]]
-          case ArrayType(IntegerType, _) => (r: InternalRow) =>
-            r.getArray(i).toIntArray.asInstanceOf[Array[_]]
-          case ArrayType(LongType, _) => (r: InternalRow) =>
-            r.getArray(i).toLongArray.asInstanceOf[Array[_]]
-          case other => throw new IllegalArgumentException(s"unsupported $other")
-        }
-      }
-    val local = java.io.File.createTempFile(f"nc-part-$pid%05d", ".nc")
-    val writer = new NcFormat.Writer(local.getPath, schema, chunkBytes, arrayLens,
-      stringWidth, gatts, vatts, fixedVars)
-    val nFields = schema.size
+    val pf = new NcPartFile(schema, dir, f"part-$pid%05d", chunkBytes, arrayLens,
+      stringWidth, serConf, gatts, vatts, fixedVars, compress)
     try {
-      rows.foreach { r =>
-        // classic NetCDF has no null encoding: fail loudly rather than
-        // silently persisting nulls as zeros/empty strings
-        var i = 0
-        while (i < nFields) {
-          if (r.isNullAt(i)) throw new IllegalArgumentException(
-            s"null in column ${schema.fields(i).name}: the classic NetCDF format has no " +
-              "null encoding — fill or filter nulls before NcIO.write")
-          i += 1
-        }
-        writer.writeRow(i => getters(i)(r))
+      rows.foreach(pf.write)
+      pf.commit()
+    } catch { case t: Throwable => pf.abort(); throw t }
+  }
+}
+
+/** Row-at-a-time part-file writer shared by the [[NcIO]] RDD job and
+  * the DSv2 batch/streaming write paths ([[NcWrite]]): rows spool
+  * locally through the chunked [[NcFormat.Writer]], and `commit()`
+  * (optionally gzips and) uploads to `dir/<baseName>.nc[.gz]` via a
+  * temp-name rename, so task retries and re-executed streaming epochs
+  * can never leave torn files — re-runs of the same (partition, epoch)
+  * replace the same destination atomically.
+  */
+private[netcdf] final class NcPartFile(
+    schema: StructType,
+    dir: String,
+    baseName: String,
+    chunkBytes: Int,
+    arrayLens: Map[String, Int],
+    stringWidth: Int,
+    serConf: SerializableHadoopConf,
+    gatts: Seq[(String, String)],
+    vatts: Map[String, Seq[(String, String)]],
+    fixedVars: Seq[(String, Array[Double])],
+    compress: Boolean) {
+
+  private val getters: Array[InternalRow => Any] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case DoubleType => (r: InternalRow) => r.getDouble(i)
+        case FloatType => (r: InternalRow) => r.getFloat(i)
+        case IntegerType => (r: InternalRow) => r.getInt(i)
+        case LongType => (r: InternalRow) => r.getLong(i)
+        case ShortType => (r: InternalRow) => r.getShort(i)
+        case ByteType => (r: InternalRow) => r.getByte(i)
+        case StringType => (r: InternalRow) => r.getUTF8String(i).getBytes
+        case ArrayType(DoubleType, _) => (r: InternalRow) =>
+          r.getArray(i).toDoubleArray.asInstanceOf[Array[_]]
+        case ArrayType(FloatType, _) => (r: InternalRow) =>
+          r.getArray(i).toFloatArray.asInstanceOf[Array[_]]
+        case ArrayType(IntegerType, _) => (r: InternalRow) =>
+          r.getArray(i).toIntArray.asInstanceOf[Array[_]]
+        case ArrayType(LongType, _) => (r: InternalRow) =>
+          r.getArray(i).toLongArray.asInstanceOf[Array[_]]
+        case other => throw new IllegalArgumentException(s"unsupported $other")
       }
+    }
+  private val local = java.io.File.createTempFile(baseName, ".nc")
+  private val writer = new NcFormat.Writer(local.getPath, schema, chunkBytes, arrayLens,
+    stringWidth, gatts, vatts, fixedVars)
+  private val nFields = schema.size
+
+  def write(r: InternalRow): Unit = {
+    // classic NetCDF has no null encoding: fail loudly rather than
+    // silently persisting nulls as zeros/empty strings
+    var i = 0
+    while (i < nFields) {
+      if (r.isNullAt(i)) throw new IllegalArgumentException(
+        s"null in column ${schema.fields(i).name}: the classic NetCDF format has no " +
+          "null encoding — fill or filter nulls before writing")
+      i += 1
+    }
+    writer.writeRow(i => getters(i)(r))
+  }
+
+  def commit(): Unit = {
+    try {
       writer.close()
       // compression happens after close(): numrecs and the zone-map
       // attrs are random-access patches, impossible inside a gzip
@@ -187,7 +241,7 @@ object NcIO {
       val upload =
         if (!compress) local
         else {
-          val gz = java.io.File.createTempFile(f"nc-part-$pid%05d", ".nc.gz")
+          val gz = java.io.File.createTempFile(baseName, ".nc.gz")
           val in = new java.io.FileInputStream(local)
           val out = new java.util.zip.GZIPOutputStream(
             new java.io.BufferedOutputStream(new java.io.FileOutputStream(gz), 1 << 16))
@@ -199,8 +253,8 @@ object NcIO {
           gz
         }
       val ext = if (compress) "nc.gz" else "nc"
-      val dest = new Path(dir, f"part-$pid%05d.$ext")
-      val tmp = new Path(dir, f".part-$pid%05d-${java.util.UUID.randomUUID()}.$ext.tmp")
+      val dest = new Path(dir, s"$baseName.$ext")
+      val tmp = new Path(dir, s".$baseName-${java.util.UUID.randomUUID()}.$ext.tmp")
       val fs = dest.getFileSystem(serConf.value)
       try {
         fs.copyFromLocalFile(true, true, new Path(upload.getPath), tmp)
@@ -209,4 +263,6 @@ object NcIO {
       } finally if (upload ne local) upload.delete()
     } finally local.delete()
   }
+
+  def abort(): Unit = local.delete()
 }

@@ -44,8 +44,11 @@ object NcQueries {
           .as("sum_disc_price"))
   }
 
+  // DuckDB's SUM(BIGINT) yields HUGEINT (INT128), which the driver's
+  // checker formats differently than Spark's BIGINT — every integer
+  // SUM in these oracles must be CAST back to BIGINT (r2 verdict §1).
   val ncWriteReadRoundtripSql: String =
-    """SELECT COUNT(*) AS n, SUM(l_orderkey) AS sum_key,
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS sum_disc_price
       |FROM lineitem""".stripMargin
@@ -92,7 +95,7 @@ object NcQueries {
   }
 
   val ncNdarrayRoundtripSql: String =
-    """SELECT COUNT(*) AS n, SUM(CAST(label AS BIGINT)) AS sum_label,
+    """SELECT COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS sum_label,
       |  CAST(SUM(sum_row) AS DOUBLE) AS sum_emb FROM (
       |  SELECT label,
       |    list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,8)))) AS sum_row
@@ -112,7 +115,7 @@ object NcQueries {
   }
 
   val ncStringRoundtripSql: String =
-    """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars, MIN(doc_id) AS min_doc
+    """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS min_doc
       |FROM documents
       |GROUP BY lang""".stripMargin
 
@@ -205,7 +208,7 @@ object NcQueries {
   }
 
   val ncGzipRoundtripSql: String =
-    """SELECT COUNT(*) AS n, SUM(l_orderkey) AS sum_key,
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sum_disc
       |FROM lineitem""".stripMargin
@@ -238,11 +241,73 @@ object NcQueries {
   }
 
   val ncSortedSkipSql: String =
-    """SELECT COUNT(*) AS n, SUM(l_orderkey) AS sum_key,
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
       |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
       |FROM lineitem
       |WHERE l_orderkey >= 1000 AND l_orderkey < 2000""".stripMargin
+
+  /** Standard-surface write roundtrip: the same lossless path as
+    * nc_write_read_roundtrip but through the DSv2 write
+    * (`df.write.format("netcdf3").mode("overwrite").save(dir)`) —
+    * proving a user needs no library call to create NetCDF data, the
+    * reference's `createStreamerVariable` semantics hang off Spark's
+    * own writer API. */
+  def ncDsv2WriteRoundtrip: Q = (s, dir) => {
+    val out = scratch(s, dir, "dsv2_write")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .repartition(4)
+      .write.format(SRC).mode("overwrite").save(out)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val ncDsv2WriteRoundtripSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem""".stripMargin
+
+  /** Streaming NetCDF *sink* (the reference's headline streaming-write
+    * semantics as a `writeStream` surface): netcdf3 → netcdf3 streaming
+    * copy. Source part files stream in micro-batches through the DSv2
+    * reader, and each epoch appends `part-e<epoch>-<pid>.nc` files at
+    * the sink; the batch read-back must agree with the original parquet,
+    * proving the sink's append path is lossless and exactly-once. */
+  def streamNcSink: Q = (s, dir) => {
+    val src = scratch(s, dir, "sink_src")
+    val out = scratch(s, dir, "sink_out")
+    val ckpt = scratch(s, dir, "sink_ckpt")
+    NcIO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
+        .repartition(3),
+      src)
+    val q = s.readStream.format(SRC).load(src)
+      .drop("record") // virtual read column; `record` is reserved on write
+      .writeStream.format(SRC)
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_discount")).as("sum_disc"))
+  }
+
+  val streamNcSinkSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sum_disc
+      |FROM lineitem""".stripMargin
 
   /** End-to-end micro-batch ingest: lineitem → chunked .nc part files
     * → Structured Streaming read through the netcdf3 source → complete-
@@ -268,7 +333,7 @@ object NcQueries {
   }
 
   val streamNcIngestSql: String =
-    """SELECT COUNT(*) AS n, SUM(l_orderkey) AS sum_key,
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem""".stripMargin
 
@@ -281,7 +346,9 @@ object NcQueries {
     "nc_fixed_roundtrip" -> ncFixedRoundtrip,
     "nc_gzip_roundtrip" -> ncGzipRoundtrip,
     "nc_sorted_skip" -> ncSortedSkip,
-    "stream_nc_ingest" -> streamNcIngest)
+    "nc_dsv2_write_roundtrip" -> ncDsv2WriteRoundtrip,
+    "stream_nc_ingest" -> streamNcIngest,
+    "stream_nc_sink" -> streamNcSink)
 
   val oracles: Map[String, String] = Map(
     "nc_write_read_roundtrip" -> ncWriteReadRoundtripSql,
@@ -292,5 +359,7 @@ object NcQueries {
     "nc_fixed_roundtrip" -> ncFixedRoundtripSql,
     "nc_gzip_roundtrip" -> ncGzipRoundtripSql,
     "nc_sorted_skip" -> ncSortedSkipSql,
-    "stream_nc_ingest" -> streamNcIngestSql)
+    "nc_dsv2_write_roundtrip" -> ncDsv2WriteRoundtripSql,
+    "stream_nc_ingest" -> streamNcIngestSql,
+    "stream_nc_sink" -> streamNcSinkSql)
 }

@@ -7,10 +7,11 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -45,11 +46,19 @@ class NetCDF3Source extends TableProvider with sources.DataSourceRegister {
     val p = new Path(dir)
     val fs = p.getFileSystem(SparkContext.getOrCreate().hadoopConfiguration)
     val files = NetCDF3Util.listNcFiles(fs, p)
-    require(files.nonEmpty, s"no .nc files under $dir")
+    // A write target may not exist yet (Spark resolves the sink table
+    // before the first commit): an empty schema here is never used —
+    // the WriteBuilder takes the query's schema from LogicalWriteInfo.
+    if (files.isEmpty) return new StructType()
     val meta = NcFormat.readMeta(fs, files.head)
     StructType(StructField("record", LongType, nullable = false) +:
       meta.sparkSchema.fields.toSeq)
   }
+
+  /** Writes hand the query's schema straight to [[getTable]] (no
+    * directory to infer from when creating a dataset), reads without a
+    * user schema still go through [[inferSchema]]. */
+  override def supportsExternalMetadata(): Boolean = true
 
   override def getTable(
       schema: StructType,
@@ -69,17 +78,47 @@ object NetCDF3Util {
       .map(_.getPath)
       .sortBy(_.getName)
   }
+
+  /** Autotuned records-per-partition when the `recordsPerPartition`
+    * option is absent: split the corpus into ≈3× `parallelism` scan
+    * partitions (enough slots that stragglers rebalance, few enough
+    * that per-task overhead stays negligible), clamped to
+    *  - at least one chunk (the IO unit — smaller splits would re-read
+    *    the same chunk from two tasks), rounded up to whole chunks;
+    *  - at most `spark.sql.files.maxPartitionBytes` worth of records,
+    *    matching the parquet scan's split ceiling, so one task never
+    *    owns an unbounded record range on a huge corpus.
+    * Sizing from file *metadata* (total records × record size) keeps
+    * this O(#files) at plan time — no data is read. */
+  def autotunePerPart(totalRecs: Long, recSize: Long, chunkBytes: Int,
+      maxPartBytes: Long, parallelism: Int): Long = {
+    val rs = math.max(recSize, 1L)
+    val chunkRecs = math.max(1L, chunkBytes / rs)
+    val maxRecs = math.max(chunkRecs, maxPartBytes / rs)
+    val target = math.max(1L, totalRecs / math.max(1L, 3L * parallelism))
+    val chunks = math.max(1L, (target + chunkRecs - 1) / chunkRecs)
+    math.min(chunks * chunkRecs, maxRecs)
+  }
+
+  def maxPartitionBytes: Long =
+    org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
 }
 
-class NetCDF3Table(tableSchema: StructType, dir: String) extends Table with SupportsRead {
+class NetCDF3Table(tableSchema: StructType, dir: String)
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"netcdf3:$dir"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NcScanBuilder(tableSchema, dir, options.asScala.toMap)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new NcWriteBuilder(info.schema(), dir, info.options().asScala.toMap)
 }
 
 class NcScanBuilder(fullSchema: StructType, dir: String, options: Map[String, String])
@@ -175,10 +214,18 @@ class NcScan(required: StructType, dir: String, lower: Long, upper: Long,
     val p = new Path(dir)
     val fs = p.getFileSystem(SparkContext.getOrCreate().hadoopConfiguration)
     val files = NetCDF3Util.listNcFiles(fs, p)
+    val metas = files.map(f => f -> NcFormat.readMeta(fs, f))
+    val perPart = options.get("recordsperpartition").map(_.toLong).getOrElse {
+      NetCDF3Util.autotunePerPart(
+        metas.map(_._2.numRecs).sum,
+        metas.headOption.map(_._2.recSize).getOrElse(1L),
+        chunkBytes,
+        NetCDF3Util.maxPartitionBytes,
+        SparkContext.getOrCreate().defaultParallelism)
+    }
     var offset = 0L
     val parts = Array.newBuilder[InputPartition]
-    files.foreach { f =>
-      val meta = NcFormat.readMeta(fs, f)
+    metas.foreach { case (f, meta) =>
       // zone-map skip: the whole file is prunable when any filtered
       // variable's actual_range is disjoint from the filter bounds
       val zonePruned = valueBounds.exists { case (colName, (lo, hi)) =>
@@ -194,8 +241,6 @@ class NcScan(required: StructType, dir: String, lower: Long, upper: Long,
           // prune whole files / trailing records)
           parts += NcInputPartition(f.toString, lo - offset, hi - offset, offset, chunkBytes)
         } else {
-          val perPart = options.get("recordsperpartition").map(_.toLong)
-            .getOrElse(math.max(1L, chunkBytes.toLong * 4 / math.max(meta.recSize, 1L)))
           var s = lo
           while (s < hi) {
             val e = math.min(s + perPart, hi)
@@ -254,6 +299,19 @@ class NcMicroBatchStream(dir: String, required: StructType, options: Map[String,
     val e = end.asInstanceOf[NcOffset].fileCount
     val chunkBytes = options.getOrElse("chunkbytes", (4 << 20).toString).toInt
     val all = files
+    // autotune over this batch's files only: each micro-batch targets
+    // ≈3× cores partitions for the records it actually ingests
+    val batchMetas = all.zipWithIndex.collect {
+      case (f, idx) if idx >= s && idx < e => metaOf(f)
+    }
+    val perPart = options.get("recordsperpartition").map(_.toLong).getOrElse {
+      NetCDF3Util.autotunePerPart(
+        batchMetas.map(_.numRecs).sum,
+        batchMetas.headOption.map(_.recSize).getOrElse(1L),
+        chunkBytes,
+        NetCDF3Util.maxPartitionBytes,
+        SparkContext.getOrCreate().defaultParallelism)
+    }
     var offset = 0L
     val parts = Array.newBuilder[InputPartition]
     all.zipWithIndex.foreach { case (f, idx) =>
@@ -262,8 +320,6 @@ class NcMicroBatchStream(dir: String, required: StructType, options: Map[String,
         if (NcFormat.isGzip(f)) {
           parts += NcInputPartition(f.toString, 0L, meta.numRecs, offset, chunkBytes)
         } else {
-          val perPart = options.get("recordsperpartition").map(_.toLong)
-            .getOrElse(math.max(1L, chunkBytes.toLong * 4 / math.max(meta.recSize, 1L)))
           var r = 0L
           while (r < meta.numRecs) {
             val rEnd = math.min(r + perPart, meta.numRecs)

@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.{Bpe, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def countOf(words: String*): Seq[Int] = {
+    import spark.implicits._
+    words.toDF("w").selectExpr(Bpe.sparkCountExpr("w")).collect().map(_.getInt(0)).toSeq
+  }
+
+  test("known merges produce expected token counts") {
+    // "the": t h e → th e → the (1 token)
+    // "that": t h a t → th a t → th at → 2 tokens ("th at"; no rule merges th+at)
+    // "ing": i n g → in g → ing (1)
+    // "zzz": no rules apply → 3 char tokens
+    // "standing": s t a n d i n g → st an d in g → st and ing? "an d"→and
+    //   needs tokens an,d adjacent: st an d ing → "an d"→and fires → st and ing (3)
+    assert(countOf("the", "that", "ing", "zzz", "standing") ==
+      Seq(1, 2, 1, 3, 3))
+  }
+
+  test("merged tokens never re-merge across boundaries") {
+    // "abab": a b a b → ab ab via the "a b" rule, needing the 2-pass
+    // replace (pass 1 consumes the shared separator) — 2 tokens, not 3
+    assert(countOf("abab") == Seq(2))
+    // "thethe": t h e t h e → th e th e → the the → 2
+    assert(countOf("thethe") == Seq(2))
+  }
+
+  test("bpe compresses the corpus vs whitespace-char baseline") {
+    val df = Bpe.textTokencountBpe(spark, sf)
+    val row = df.agg(sum("n_ws_tokens"), sum("n_bpe_tokens")).head()
+    val (ws, bpe) = (row.getLong(0), row.getLong(1))
+    assert(bpe > ws, "subword count must exceed word count")
+    // and far fewer tokens than characters (merges actually fire)
+    val chars = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(sum(length(col("text")))).head().getLong(0)
+    assert(bpe < chars * 3 / 4, s"bpe=$bpe chars=$chars — merges not firing?")
+  }
+
+  test("pack bins: every non-final bin is filled to the exact budget") {
+    val bins = TextOps.queries("pipeline_pack_bins")(spark, sf)
+    val perBin = bins.groupBy("source", "bin_id")
+      .agg(sum("slice_len").as("filled"))
+    val lastBin = perBin.groupBy("source").agg(max("bin_id").as("last"))
+    val nonFinal = perBin.join(lastBin, "source").filter(col("bin_id") < col("last"))
+    val bad = nonFinal.filter(col("filled") =!= 2048).count()
+    assert(bad == 0, s"$bad non-final bins not exactly at budget")
+    assert(nonFinal.count() > 0, "expected multiple bins per source at sf0.001")
+  }
+
+  test("pack bins tile each document exactly once") {
+    val bins = TextOps.queries("pipeline_pack_bins")(spark, sf)
+    val perDoc = bins.groupBy("doc_id").agg(sum("slice_len").as("covered"))
+    val toks = Bpe.docTokenCounts(spark, sf).select(col("doc_id"), col("n_tokens"))
+    val mismatches = perDoc.join(toks, "doc_id")
+      .filter(col("covered") =!= col("n_tokens")).count()
+    assert(mismatches == 0)
+  }
+}

@@ -59,8 +59,21 @@ def main():
             f"SELECT * FROM read_parquet({files!r})").fetchall()
         got_cols = [d[0] for d in con.description]
         try:
-            exp = con.execute(oracle[name]).fetchall()
-            exp_cols = [d[0] for d in con.description]
+            rel = con.sql(oracle[name])
+            # HUGEINT tripwire: DuckDB widens SUM(BIGINT) to INT128,
+            # which the driver's checker stringifies differently than
+            # Spark's BIGINT even when values are equal (r2 root cause
+            # of all 8 hash-fails). fetchall() converts HUGEINT to a
+            # Python int and masks it, so fail on the declared type.
+            bad = [c for c, t in zip(rel.columns, rel.types)
+                   if str(t) in ("HUGEINT", "INT128", "UHUGEINT", "UINT128")]
+            if bad:
+                print(f"FAIL {name}: oracle yields HUGEINT column(s) "
+                      f"{bad} — CAST the SUM/expression to BIGINT")
+                n_fail += 1
+                continue
+            exp = rel.fetchall()
+            exp_cols = rel.columns
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
