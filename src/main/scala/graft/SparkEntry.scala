@@ -28,7 +28,8 @@ object SparkEntry {
       graft.operators.TemporalJoins.queries ++
       graft.operators.Contamination.queries ++
       graft.functions.Sketches.queries ++
-      graft.functions.Bpe.queries
+      graft.functions.Bpe.queries ++
+      graft.operators.CrossShard.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -47,5 +48,6 @@ object SparkEntry {
       graft.operators.TemporalJoins.oracles ++
       graft.operators.Contamination.oracles ++
       graft.functions.Sketches.oracles ++
-      graft.functions.Bpe.oracles
+      graft.functions.Bpe.oracles ++
+      graft.operators.CrossShard.oracles
 }

@@ -26,7 +26,17 @@ object DedupClusters {
 
   /** Connected components: nodes (id) + undirected edges (a, b) →
     * (id, canonical). */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 64): DataFrame =
+    connectedComponentsLabeled(nodes.selectExpr("id", "id AS label"), edges, maxRounds)
+
+  /** Min-label propagation from caller-supplied initial labels
+    * (id, label): each component converges to its minimum label.
+    * Callers encode their canonical-preference order into the label
+    * (e.g. [[CrossShard]] packs shard priority above doc_id), so
+    * "which duplicate wins" is a pure label ordering — the propagation
+    * loop itself never changes. */
+  def connectedComponentsLabeled(nodesLabeled: DataFrame, edges: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
     // symmetric neighbor list
     val sym = edges.selectExpr("a AS src", "b AS dst")
       .unionAll(edges.selectExpr("b AS src", "a AS dst"))
@@ -41,7 +51,7 @@ object DedupClusters {
     val ckpt: DataFrame => DataFrame = df =>
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
-    var labels = ckpt(nodes.selectExpr("id", "id AS label"))
+    var labels = ckpt(nodesLabeled.select("id", "label"))
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
