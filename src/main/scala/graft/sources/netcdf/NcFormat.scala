@@ -138,6 +138,41 @@ object NcFormat {
     * compression; the classic format itself has no codec slot). */
   def isGzip(path: Path): Boolean = path.getName.endsWith(".gz")
 
+  /** Whether a path is a chunk-compressed part file (.ncz): a graft
+    * extension carrying a spec-standard UNCOMPRESSED classic header
+    * (metadata, zone-map attrs and the numrecs patch all work
+    * unchanged) while the record data is stored as independently
+    * deflate-compressed blocks of `recordsPerBlock` records, indexed
+    * by a footer — the NetCDF4/HDF5 chunked-storage model re-expressed
+    * on the classic container. Unlike .nc.gz, a .ncz file is
+    * SPLITTABLE: the scan seeks straight to the block covering any
+    * record range, so compression no longer costs read parallelism or
+    * record-range pushdown. */
+  def isChunked(path: Path): Boolean = path.getName.endsWith(".ncz")
+
+  /** .ncz footer magic ("GRFZ"). Tail layout, all big-endian:
+    * ... blocks ... | footer | footerStart: long | magic: int
+    * footer = nBlocks: int, recordsPerBlock: long,
+    *          then per block (fileOffset: long, compLen: int, nRecs: int). */
+  val NCZ_MAGIC = 0x4752465A
+
+  case class NczIndex(recordsPerBlock: Long, blocks: Array[(Long, Int, Int)])
+
+  def readNczIndex(fs: FileSystem, path: Path): NczIndex = {
+    val len = fs.getFileStatus(path).getLen
+    val in = fs.open(path)
+    try {
+      in.seek(len - 12)
+      val footerStart = in.readLong()
+      val magic = in.readInt()
+      require(magic == NCZ_MAGIC, s"$path: missing .ncz block-index footer")
+      in.seek(footerStart)
+      val n = in.readInt()
+      val rpb = in.readLong()
+      NczIndex(rpb, Array.fill(n)((in.readLong(), in.readInt(), in.readInt())))
+    } finally in.close()
+  }
+
   /** Open a part file for sequential decoding: plain files come back
     * as the seekable FSDataInputStream; .nc.gz files as a buffered
     * decompressing stream (forward-only). */
@@ -199,7 +234,7 @@ object NcFormat {
       val meta = NcMeta(version, numRecs, dims, vars, gatts)
       if (version != 5 && numRecs == NUMRECS_STREAMING && meta.recSize > 0) {
         // streaming-mode file: the writer never patched numrecs
-        require(!isGzip(path),
+        require(!isGzip(path) && !isChunked(path),
           s"$path: streaming-mode numrecs cannot be derived for a compressed file " +
             "(compressed length != data length); patch numrecs before compressing")
         val dataStart = meta.recordVars.map(_.begin).minOption.getOrElse(0L)
@@ -291,7 +326,11 @@ object NcFormat {
       arrayLens: Map[String, Int] = Map.empty, stringWidth: Int = 32,
       gatts: Seq[(String, String)] = Nil,
       vatts: Map[String, Seq[(String, String)]] = Map.empty,
-      fixedVars: Seq[(String, Array[Double])] = Nil) {
+      fixedVars: Seq[(String, Array[Double])] = Nil,
+      /** store record data as independently deflated blocks with an
+        * index footer (.ncz — see [[isChunked]]); the header (and its
+        * close-time numrecs/zone-map patches) stays uncompressed. */
+      compressChunks: Boolean = false) {
     private val specs: Array[VarSpec] =
       schema.fields.map(f => varSpecOf(f, arrayLens, stringWidth))
     require(vatts.keySet.subsetOf(schema.fieldNames.toSet),
@@ -327,10 +366,46 @@ object NcFormat {
       new FileOutputStream(path), chunkBytes))
     out.write(headerBytes)
     // fixed (non-record) variable data sits between the header and the
-    // record data, each slab padded to a 4-byte boundary
+    // record data, each slab padded to a 4-byte boundary (uncompressed
+    // in .ncz too — coordinate-scale data, and readFixedVar seeks to it)
     fixedVars.foreach { case (_, vs) =>
       vs.foreach(out.writeDouble)
       (0 until pad4(8L * vs.length).toInt).foreach(_ => out.writeByte(0))
+    }
+
+    // --- chunk-compressed (.ncz) record sink ---
+    private val recSizeW: Long =
+      specs.zipWithIndex.map { case (v, i) => v.slab.toLong + slabPad(i) }.sum
+    private val recordsPerBlock: Int =
+      math.max(1L, chunkBytes / math.max(recSizeW, 1L)).toInt
+    private val blockBytes = if (compressChunks) new java.io.ByteArrayOutputStream(chunkBytes) else null
+    private val blockOut = if (compressChunks) new DataOutputStream(blockBytes) else null
+    /** record bytes go to the block buffer when compressing, straight
+      * to the file otherwise */
+    private def rec: DataOutputStream = if (compressChunks) blockOut else out
+    private var blockRecs = 0
+    private val blockIndex = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+    private var filePos: Long = headerBytes.length.toLong +
+      fixedVars.map { case (_, vs) => val sz = 8L * vs.length; sz + pad4(sz) }.sum
+
+    private def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val tmp = new Array[Byte](64 << 10)
+      val baos = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      while (!d.finished()) { val n = d.deflate(tmp); baos.write(tmp, 0, n) }
+      d.end()
+      baos.toByteArray
+    }
+
+    private def flushBlock(): Unit = if (blockRecs > 0) {
+      blockOut.flush()
+      val comp = deflate(blockBytes.toByteArray)
+      out.write(comp)
+      blockIndex += ((filePos, comp.length, blockRecs))
+      filePos += comp.length
+      blockBytes.reset()
+      blockRecs = 0
     }
 
     private def nonNegBytes(v: Long): Array[Byte] =
@@ -444,13 +519,13 @@ object NcFormat {
     }
 
     private def writeScalar(ncType: Int, v: Any): Unit = ncType match {
-      case NC_DOUBLE => out.writeDouble(v.asInstanceOf[Double])
-      case NC_FLOAT => out.writeFloat(v.asInstanceOf[Float])
-      case NC_INT => out.writeInt(v.asInstanceOf[Int])
-      case NC_INT64 => out.writeLong(v.asInstanceOf[Long])
-      case NC_SHORT => out.writeShort(v.asInstanceOf[Short].toInt)
-      case NC_BYTE => out.writeByte(v.asInstanceOf[Byte].toInt)
-      case NC_CHAR => out.writeByte(v.asInstanceOf[Byte].toInt)
+      case NC_DOUBLE => rec.writeDouble(v.asInstanceOf[Double])
+      case NC_FLOAT => rec.writeFloat(v.asInstanceOf[Float])
+      case NC_INT => rec.writeInt(v.asInstanceOf[Int])
+      case NC_INT64 => rec.writeLong(v.asInstanceOf[Long])
+      case NC_SHORT => rec.writeShort(v.asInstanceOf[Short].toInt)
+      case NC_BYTE => rec.writeByte(v.asInstanceOf[Byte].toInt)
+      case NC_CHAR => rec.writeByte(v.asInstanceOf[Byte].toInt)
     }
 
     /** Append one record. `get(i)` must return: scalar columns — the
@@ -464,8 +539,8 @@ object NcFormat {
         if (v.isString) {
           val b = get(i).asInstanceOf[Array[Byte]]
           val n = math.min(b.length, v.extra)
-          out.write(b, 0, n)
-          (n until v.extra).foreach(_ => out.writeByte(0))
+          rec.write(b, 0, n)
+          (n until v.extra).foreach(_ => rec.writeByte(0))
         } else if (v.isArray) {
           val arr = get(i).asInstanceOf[Array[_]]
           require(arr.length == v.extra,
@@ -492,13 +567,28 @@ object NcFormat {
           }
           writeScalar(v.ncType, value)
         }
-        (0 until slabPad(i)).foreach(_ => out.writeByte(0))
+        (0 until slabPad(i)).foreach(_ => rec.writeByte(0))
         i += 1
       }
       numRecs += 1
+      if (compressChunks) {
+        blockRecs += 1
+        if (blockRecs == recordsPerBlock) flushBlock()
+      }
     }
 
     def close(): Unit = {
+      if (compressChunks) {
+        flushBlock() // partial tail block
+        val footerStart = filePos
+        out.writeInt(blockIndex.size)
+        out.writeLong(recordsPerBlock.toLong)
+        blockIndex.foreach { case (off, clen, nrecs) =>
+          out.writeLong(off); out.writeInt(clen); out.writeInt(nrecs)
+        }
+        out.writeLong(footerStart)
+        out.writeInt(NCZ_MAGIC)
+      }
       out.close()
       val raf = new RandomAccessFile(path, "rw")
       try {
@@ -561,7 +651,13 @@ object NcFormat {
         pos = target
     }
     private val recSize = meta.recSize
-    val recordsPerChunk: Int = math.max(1L, chunkBytes / math.max(recSize, 1L)).toInt
+    /** .ncz: block-index footer; chunk loads become (seek, readFully
+      * compLen, inflate) per block — random access into compressed
+      * data, which is what makes the file splittable. */
+    private val nczIdx: NczIndex = if (isChunked(path)) readNczIndex(fs, path) else null
+    val recordsPerChunk: Int =
+      if (nczIdx != null) nczIdx.recordsPerBlock.toInt
+      else math.max(1L, chunkBytes / math.max(recSize, 1L)).toInt
 
     /** (var, offsetWithinRecord) for requested vars, in request order. */
     private val slots: Seq[(NcVarMeta, Long)] = {
@@ -584,13 +680,50 @@ object NcFormat {
     def hasNext: Boolean = next < r1
 
     /** Load the next chunk; returns the number of records loaded. */
-    def loadChunk(): Int = {
+    def loadChunk(): Int = if (nczIdx != null) loadNczBlock() else {
       val n = math.min(recordsPerChunk.toLong, r1 - next).toInt
       val bytes = (n * recSize).toInt
       if (buf.length < bytes) buf = new Array[Byte](bytes)
       seekTo(dataStart + next * recSize)
       raf.readFully(buf, 0, bytes)
       pos += bytes
+      bufStart = next
+      bufCount = n
+      next += n
+      n
+    }
+
+    /** .ncz chunk load: inflate the block covering `next` and expose
+      * its in-range records. A partition whose bounds are not
+      * block-aligned re-inflates only its two boundary blocks (the
+      * autotuned split size is a multiple of the chunk size, so with
+      * matching chunkBytes the bounds align and nothing is re-read). */
+    private def loadNczBlock(): Int = {
+      val rpb = nczIdx.recordsPerBlock
+      val b = (next / rpb).toInt
+      val (off, clen, nrecs) = nczIdx.blocks(b)
+      val comp = new Array[Byte](clen)
+      seekTo(off)
+      raf.readFully(comp)
+      pos += clen
+      val rawLen = nrecs * recSize.toInt
+      if (buf.length < rawLen) buf = new Array[Byte](rawLen)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(comp)
+      var filled = 0
+      while (filled < rawLen && !inf.finished()) {
+        val n = inf.inflate(buf, filled, rawLen - filled)
+        if (n == 0 && inf.needsInput()) throw new EOFException(s"truncated .ncz block $b in $path")
+        filled += n
+      }
+      inf.end()
+      require(filled == rawLen, s"$path block $b: inflated $filled of $rawLen bytes")
+      val startInBlock = (next - b * rpb).toInt
+      val n = math.min(nrecs.toLong - startInBlock, r1 - next).toInt
+      // shift the in-range records to the front so slot offsets (which
+      // assume the chunk starts at record `bufStart`) stay uniform
+      if (startInBlock > 0)
+        System.arraycopy(buf, startInBlock * recSize.toInt, buf, 0, n * recSize.toInt)
       bufStart = next
       bufCount = n
       next += n

@@ -31,7 +31,15 @@ object NcIO {
         * 100 TB. Compressed parts are not record-splittable (one scan
         * partition per file), so pair `compress` with enough write
         * partitions to keep read parallelism. */
-      compress: Boolean = false): Unit = {
+      compress: Boolean = false,
+      /** per-chunk compression (.ncz): deflate-compressed record
+        * blocks behind an uncompressed classic header + block index —
+        * keeps the file SPLITTABLE and record-range/zone-map pruning
+        * intact (the NetCDF4/HDF5 chunked-storage model). Prefer this
+        * over `compress` whenever readers matter. */
+      compressChunks: Boolean = false): Unit = {
+    require(!(compress && compressChunks),
+      "choose one of compress (.nc.gz) or compressChunks (.ncz)")
     val schema = df.schema
     require(!schema.fieldNames.contains("record"),
       "column name `record` is reserved for the netcdf3 record index")
@@ -64,7 +72,7 @@ object NcIO {
     val rdd = df.queryExecution.toRdd // RDD[InternalRow], no extra copy
     rdd.mapPartitionsWithIndex { (pid, rows) =>
       writePartition(schema, dir, pid, rows, chunkBytes, allLens, stringWidth, serConf,
-        gatts, vatts, fixedVars, compress)
+        gatts, vatts, fixedVars, compress, compressChunks)
       Iterator.single(pid)
     }.count() // run the job
     ()
@@ -101,7 +109,10 @@ object NcIO {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(p).map(_.getPath)
-      .filter(_.getName.endsWith(".nc")).sortBy(_.getName)
+      .filter { f =>
+        val n = f.getName
+        n.endsWith(".nc") || n.endsWith(".nc.gz") || n.endsWith(".ncz")
+      }.sortBy(_.getName)
     if (parts.length <= DRIVER_ATTR_FILES) {
       parts.toSeq.flatMap(f => attrRowsOf(fs, f))
         .toDF("file", "var_name", "attr_name", "idx", "sval", "dval")
@@ -162,9 +173,10 @@ object NcIO {
       gatts: Seq[(String, String)],
       vatts: Map[String, Seq[(String, String)]],
       fixedVars: Seq[(String, Array[Double])],
-      compress: Boolean): Unit = {
+      compress: Boolean,
+      compressChunks: Boolean): Unit = {
     val pf = new NcPartFile(schema, dir, f"part-$pid%05d", chunkBytes, arrayLens,
-      stringWidth, serConf, gatts, vatts, fixedVars, compress)
+      stringWidth, serConf, gatts, vatts, fixedVars, compress, compressChunks)
     try {
       rows.foreach(pf.write)
       pf.commit()
@@ -191,7 +203,8 @@ private[netcdf] final class NcPartFile(
     gatts: Seq[(String, String)],
     vatts: Map[String, Seq[(String, String)]],
     fixedVars: Seq[(String, Array[Double])],
-    compress: Boolean) {
+    compress: Boolean,
+    compressChunks: Boolean = false) {
 
   private val getters: Array[InternalRow => Any] =
     schema.fields.zipWithIndex.map { case (f, i) =>
@@ -216,7 +229,7 @@ private[netcdf] final class NcPartFile(
     }
   private val local = java.io.File.createTempFile(baseName, ".nc")
   private val writer = new NcFormat.Writer(local.getPath, schema, chunkBytes, arrayLens,
-    stringWidth, gatts, vatts, fixedVars)
+    stringWidth, gatts, vatts, fixedVars, compressChunks)
   private val nFields = schema.size
 
   def write(r: InternalRow): Unit = {
@@ -252,7 +265,7 @@ private[netcdf] final class NcPartFile(
           } finally { in.close(); out.close() }
           gz
         }
-      val ext = if (compress) "nc.gz" else "nc"
+      val ext = if (compressChunks) "ncz" else if (compress) "nc.gz" else "nc"
       val dest = new Path(dir, s"$baseName.$ext")
       val tmp = new Path(dir, s".$baseName-${java.util.UUID.randomUUID()}.$ext.tmp")
       val fs = dest.getFileSystem(serConf.value)

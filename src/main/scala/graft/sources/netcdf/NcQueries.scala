@@ -247,6 +247,36 @@ object NcQueries {
       |FROM lineitem
       |WHERE l_orderkey >= 1000 AND l_orderkey < 2000""".stripMargin
 
+  /** Chunk-compressed (.ncz) roundtrip under a selective read: range-
+    * bucketed sorted write with per-block deflate, then a value-filtered
+    * aggregate — proving in one query that splittable compression keeps
+    * (a) losslessness, (b) zone-map file pruning, and (c) block-seek
+    * record access. The oracle aggregates the same slice from the
+    * original parquet. */
+  def ncNczRoundtrip: Q = (s, dir) => {
+    val out = scratch(s, dir, "ncz")
+    NcIO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"),
+      out, compressChunks = true)
+    s.read.format(SRC).load(out)
+      .filter(col("l_orderkey") >= 1000L && col("l_orderkey") < 3000L)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val ncNczRoundtripSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_orderkey >= 1000 AND l_orderkey < 3000""".stripMargin
+
   /** Standard-surface write roundtrip: the same lossless path as
     * nc_write_read_roundtrip but through the DSv2 write
     * (`df.write.format("netcdf3").mode("overwrite").save(dir)`) —
@@ -347,6 +377,7 @@ object NcQueries {
     "nc_gzip_roundtrip" -> ncGzipRoundtrip,
     "nc_sorted_skip" -> ncSortedSkip,
     "nc_dsv2_write_roundtrip" -> ncDsv2WriteRoundtrip,
+    "nc_ncz_roundtrip" -> ncNczRoundtrip,
     "stream_nc_ingest" -> streamNcIngest,
     "stream_nc_sink" -> streamNcSink)
 
@@ -360,6 +391,7 @@ object NcQueries {
     "nc_gzip_roundtrip" -> ncGzipRoundtripSql,
     "nc_sorted_skip" -> ncSortedSkipSql,
     "nc_dsv2_write_roundtrip" -> ncDsv2WriteRoundtripSql,
+    "nc_ncz_roundtrip" -> ncNczRoundtripSql,
     "stream_nc_ingest" -> streamNcIngestSql,
     "stream_nc_sink" -> streamNcSinkSql)
 }

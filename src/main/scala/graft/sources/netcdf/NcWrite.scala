@@ -31,6 +31,9 @@ class NcWriteBuilder(schema: StructType, dir: String, options: Map[String, Strin
   require(dir != null, "netcdf3 write requires a path")
   require(!schema.fieldNames.contains("record"),
     "column name `record` is reserved for the netcdf3 record index")
+  require(!(options.get("compress").exists(_.toBoolean) &&
+      options.get("compresschunks").exists(_.toBoolean)),
+    "choose one of compress (.nc.gz) or compressChunks (.ncz)")
   private var truncateFirst = false
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -130,6 +133,7 @@ private[netcdf] class NcDataWriter(schema: StructType, dir: String, baseName: St
   private val chunkBytes = options.getOrElse("chunkbytes", (4 << 20).toString).toInt
   private val stringWidth = options.getOrElse("stringwidth", "32").toInt
   private val compress = options.get("compress").exists(_.toBoolean)
+  private val compressChunks = options.get("compresschunks").exists(_.toBoolean)
   private val declaredLens = NcWriteConf.arrayLens(options)
   private var pf: NcPartFile = null
   private var nRecs = 0L
@@ -141,7 +145,7 @@ private[netcdf] class NcDataWriter(schema: StructType, dir: String, baseName: St
           f.name -> record.getArray(i).numElements()
       }
       pf = new NcPartFile(schema, dir, baseName, chunkBytes, lens, stringWidth,
-        serConf, Nil, Map.empty, Nil, compress)
+        serConf, Nil, Map.empty, Nil, compress, compressChunks)
     }
     pf.write(record)
     nRecs += 1

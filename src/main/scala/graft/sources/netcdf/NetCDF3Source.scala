@@ -73,8 +73,10 @@ object NetCDF3Util {
     val st = fs.getFileStatus(dir)
     if (st.isFile) Seq(dir)
     else fs.listStatus(dir).toSeq
-      .filter(s => s.isFile &&
-        (s.getPath.getName.endsWith(".nc") || s.getPath.getName.endsWith(".nc.gz")))
+      .filter(s => s.isFile && {
+        val n = s.getPath.getName
+        n.endsWith(".nc") || n.endsWith(".nc.gz") || n.endsWith(".ncz")
+      })
       .map(_.getPath)
       .sortBy(_.getName)
   }
