@@ -68,14 +68,20 @@ object Bpe {
     * n_tokens is the summed BPE count. Distinct-word tokenize + join
     * back — the vocabulary is the unit of tokenization work. */
   def docTokenCounts(s: SparkSession, dir: String): DataFrame = {
+    // the exploded word list feeds two branches (vocab + the
+    // occurrence join), and the per-doc result feeds three inventory
+    // queries (tokencount_bpe, pack_sequences, pack_bins) —
+    // CacheManager dedupes the repeats by canonicalized plan
     val words = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w0"))
       .select(col("doc_id"), lower(col("w0")).as("w"))
+      .cache()
     val vocab = words.select("w").distinct()
       .withColumn("n_bpe", expr(sparkCountExpr("w")).cast(LongType))
     words.join(vocab, "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_ws"), sum("n_bpe").as("n_tokens"))
+      .cache()
   }
 
   /** DuckDB CTE bodies mirroring [[docTokenCounts]]; interpolate into

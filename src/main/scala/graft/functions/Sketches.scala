@@ -82,10 +82,81 @@ object Sketches {
       |  quantile_cont(l_quantity, 0.95) AS p95
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Cross-shard mergeable sketch: one KMV per source shard, merged
+    * into a union-cardinality estimate — the sketch property that
+    * makes distributed distinct counting cheap (ship k hashes per
+    * shard, not the key sets; dedup across 100 TB of shards costs
+    * k·shards rows of traffic).
+    *
+    * Scale shape: per-shard k-min sets come from the bounded [[TopK]]
+    * aggregator (constant sort key → ordered by hash ascending), so
+    * each task ships at most k rows per shard — the window-function
+    * formulation would shuffle EVERY distinct hash. The merge is an
+    * explode + re-take-k over k·shards rows (driver-scale). Output:
+    * one row per shard plus the merged ALL row, each with the exact
+    * count alongside (validation column — sampled or dropped in a
+    * real 100 TB run, as with sketch_kmv_distinct). */
+  def sketchKmvMerge: Q = (s, dir) => {
+    val hd = t(s, dir, "documents")
+      .select(col("source"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast(LongType).as("h"))
+      .distinct()
+      .cache() // feeds the sketch and both exact-count branches
+    val mins = hd.groupBy("source")
+      .agg(TopK.topk(K)(lit(0.0), col("h"), lit(0.0)).as("m"))
+      .cache() // feeds per-shard rows and the merge
+    val perSrc = mins.select(col("source").as("scope"),
+      size(col("m")).cast(LongType).as("k"),
+      expr("element_at(m, size(m))._2").as("hk"))
+    val merged = mins.select(explode(col("m")).as("e"))
+      .select(col("e._2").as("h")).distinct()
+      .orderBy("h").limit(K)
+      .agg(count(lit(1)).as("k"), max(col("h")).as("hk"))
+      .select(lit("ALL").as("scope"), col("k"), col("hk"))
+    val exact = hd.groupBy(col("source").as("scope"))
+      .agg(count(lit(1)).as("exact_distinct"))
+      .unionByName(hd.select("h").distinct()
+        .agg(count(lit(1)).as("exact_distinct"))
+        .select(lit("ALL").as("scope"), col("exact_distinct")))
+    perSrc.unionByName(merged)
+      .join(exact, "scope")
+      .select(col("scope"), col("k"), col("hk"),
+        ((col("k") - 1).cast(DoubleType) * expr(SPACE) / col("hk").cast(DoubleType))
+          .as("est_distinct"),
+        col("exact_distinct"))
+  }
+
+  val sketchKmvMergeSql: String =
+    s"""WITH hd AS (
+       |  SELECT DISTINCT source, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+       |  FROM documents),
+       |mins AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM hd) WHERE rn <= $K),
+       |persrc AS (
+       |  SELECT source AS scope, CAST(COUNT(*) AS BIGINT) AS k, MAX(h) AS hk
+       |  FROM mins GROUP BY source),
+       |mtop AS (SELECT h FROM (SELECT DISTINCT h FROM mins) ORDER BY h LIMIT $K),
+       |mrow AS (SELECT 'ALL' AS scope, CAST(COUNT(*) AS BIGINT) AS k, MAX(h) AS hk FROM mtop),
+       |sk AS (SELECT * FROM persrc UNION ALL SELECT * FROM mrow),
+       |exsrc AS (
+       |  SELECT source AS scope, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+       |  FROM hd GROUP BY source),
+       |exall AS (
+       |  SELECT 'ALL' AS scope, CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_distinct FROM hd),
+       |ex AS (SELECT * FROM exsrc UNION ALL SELECT * FROM exall)
+       |SELECT sk.scope, sk.k, sk.hk,
+       |  CAST(sk.k - 1 AS DOUBLE) * $SPACE / CAST(sk.hk AS DOUBLE) AS est_distinct,
+       |  ex.exact_distinct
+       |FROM sk JOIN ex USING (scope)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sketch_kmv_distinct" -> sketchKmvDistinct,
+    "sketch_kmv_merge" -> sketchKmvMerge,
     "sketch_quantile" -> sketchQuantile)
   val oracles: Map[String, String] = Map(
     "sketch_kmv_distinct" -> sketchKmvDistinctSql,
+    "sketch_kmv_merge" -> sketchKmvMergeSql,
     "sketch_quantile" -> sketchQuantileSql)
 }
