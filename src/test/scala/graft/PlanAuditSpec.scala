@@ -59,4 +59,35 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(p.contains("partial_"), s"$name lost partial aggregation")
     }
   }
+
+  test("BPE tokenization joins occurrences to a broadcast vocabulary") {
+    // the vocab side is vocabulary-sized (sublinear in corpus) — if it
+    // ever becomes a sort-merge join, tokenization shuffles the corpus
+    val p = planOf("text_tokencount_bpe")
+    assert(p.contains("BroadcastHashJoin"), "vocab join not broadcast")
+    assert(p.contains("partial_"), "per-doc token sum lost partial aggregation")
+  }
+
+  test("pack planning windows partition by shard, never globally") {
+    Seq("pipeline_pack_sequences", "pipeline_pack_bins").foreach { name =>
+      val p = planOf(name)
+      // a Window over [source] is per-shard parallel; an empty
+      // partition spec would funnel the corpus through one task
+      assert("Window .*partitionBy".r.findFirstIn(p).isEmpty ||
+        p.contains("source"), s"$name window lost its shard partitioning")
+      assert(!p.contains("SinglePartition"),
+        s"$name plans a single-partition (global) exchange:\n${p.take(600)}")
+    }
+  }
+
+  test("KMV sketches rank via bounded partial TopK, not a window") {
+    val p = planOf("sketch_kmv_merge")
+    assert(p.contains("partial_topkaggregator"),
+      "per-shard k-min sets lost the bounded partial aggregation")
+  }
+
+  test("cross-shard dedup broadcasts the shard-priority table") {
+    val p = planOf("dedup_crossshard")
+    assert(p.contains("BroadcastHashJoin"), "priority join not broadcast")
+  }
 }
