@@ -206,6 +206,90 @@ object GridOps {
         count(lit(1)).as("blk_n"))
       .select(col("variable"), col("block"), (col("blk_sum") / col("blk_n")).as("blk_mean"))
 
+  /** Trailing rolling mean (width w) along the streamed dimension,
+    * computed CHUNK-LOCALLY with a halo exchange: each chunk receives
+    * the previous chunk's last w-1 values (a join whose right side is
+    * w-1 doubles per chunk — O(chunks) tiny rows), then the whole
+    * window computation is one map-side `transform`. The naive
+    * formulation — explode to rows + a global ORDER BY window — would
+    * range-shuffle the entire variable; this shape moves only halos,
+    * which is the 100 TB-correct plan for any sliding-window op over a
+    * chunked stream (the reference's windowed reads over a streamed
+    * variable). Sums are decimal-exact so chunk boundaries cannot
+    * perturb float association. */
+  def rollingMean(grid: DataFrame, w: Int): DataFrame = {
+    val h = w - 1
+    val halo = grid.select((col("chunk_idx") + 1).as("chunk_idx"),
+      expr(s"slice(values, -least($h, size(values)), least($h, size(values)))").as("halo"))
+    grid.join(halo, Seq("chunk_idx"), "left")
+      .withColumn("halo", coalesce(col("halo"), expr("CAST(array() AS ARRAY<DOUBLE>)")))
+      .withColumn("full", concat(col("halo"), col("values")))
+      .withColumn("hl", size(col("halo")))
+      .select(col("variable"), col("origin"),
+        posexplode(expr(
+          s"""transform(values, (x, i) -> CAST(aggregate(
+             |  slice(full, greatest(1, hl + i + 1 - $h), hl + i + 2 - greatest(1, hl + i + 1 - $h)),
+             |  CAST(0 AS DECIMAL(28,2)),
+             |  (acc, y) -> CAST(acc + CAST(y AS DECIMAL(9,2)) AS DECIMAL(28,2))) AS DOUBLE)
+             |  / (hl + i + 2 - greatest(1, hl + i + 1 - $h)))""".stripMargin))
+          .as(Seq("pos", "roll_mean")))
+      .select((col("origin") + col("pos")).as("idx"), col("roll_mean"))
+  }
+
+  /** Linear interpolation upsampling ×k along the streamed dimension,
+    * chunk-local with a HEAD halo: each chunk receives the next
+    * chunk's first value (one double per chunk), so every in-chunk
+    * target — including ones straddling the chunk boundary — is a
+    * map-side array lookup. Target j samples position j/k; fractions
+    * p%k / k are exact binary doubles, and both engines evaluate the
+    * identical v_lo*(1-f) + v_hi*f form, so results are bit-equal. */
+  def interpolate(grid: DataFrame, k: Int): DataFrame = {
+    val head = grid.select((col("chunk_idx") - 1).as("chunk_idx"),
+      expr("try_element_at(values, 1)").as("next_head"))
+    grid.join(head, Seq("chunk_idx"), "left")
+      .withColumn("full",
+        when(col("next_head").isNotNull, concat(col("values"), array(col("next_head"))))
+          .otherwise(col("values")))
+      .select(col("origin"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(values) * $k - 1), p -> named_struct(
+             |  'keep', p % $k = 0 OR p div $k + 2 <= size(full),
+             |  'ival', try_element_at(full, CAST(p div $k AS INT) + 1)
+             |          * (CAST(1 AS DOUBLE) - (p % $k) / CAST($k AS DOUBLE))
+             |        + coalesce(try_element_at(full, CAST(p div $k AS INT) + 2),
+             |                   try_element_at(full, CAST(p div $k AS INT) + 1))
+             |          * ((p % $k) / CAST($k AS DOUBLE))))""".stripMargin))
+          .as(Seq("p", "s")))
+      .filter(col("s.keep"))
+      .select((col("origin") * k + col("p")).as("tidx"), col("s.ival").as("ival"))
+  }
+
+  private val ROLL_W = 7
+
+  def gridRollingMean: Q = (s, dir) =>
+    rollingMean(qtyGrid(s, dir), ROLL_W)
+
+  val gridRollingMeanSql: String =
+    s"""WITH $orderedCte
+       |SELECT idx,
+       |  CAST(SUM(CAST(v AS DECIMAL(9,2))) OVER w AS DOUBLE)
+       |    / COUNT(*) OVER w AS roll_mean
+       |FROM o
+       |WINDOW w AS (ORDER BY idx ROWS BETWEEN ${ROLL_W - 1} PRECEDING AND CURRENT ROW)""".stripMargin
+
+  def gridInterpolate: Q = (s, dir) =>
+    interpolate(qtyGrid(s, dir), 4)
+
+  val gridInterpolateSql: String =
+    s"""WITH $orderedCte,
+       |t AS (SELECT idx * 4 + f.p AS j FROM o CROSS JOIN generate_series(0, 3) f(p)
+       |      WHERE idx * 4 + f.p <= (SELECT 4 * (COUNT(*) - 1) FROM o))
+       |SELECT t.j AS tidx,
+       |  lo.v * (1.0 - (t.j % 4) / 4.0)
+       |    + COALESCE(hi.v, lo.v) * ((t.j % 4) / 4.0) AS ival
+       |FROM t JOIN o lo ON lo.idx = t.j // 4
+       |LEFT JOIN o hi ON hi.idx = t.j // 4 + 1""".stripMargin
+
   def gridResample: Q = (s, dir) =>
     resample(qtyGrid(s, dir), 8).drop("variable")
 
@@ -250,6 +334,8 @@ object GridOps {
       |GROUP BY e.rec // 256, e.pos // 16, s.nrc""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "grid_rolling_mean" -> gridRollingMean,
+    "grid_interpolate" -> gridInterpolate,
     "grid_rechunk_dim" -> gridRechunkDim,
     "grid_resample" -> gridResample,
     "grid_table_to_grid" -> gridTableToGrid,
@@ -259,6 +345,8 @@ object GridOps {
     "grid_stats" -> gridStats)
 
   val oracles: Map[String, String] = Map(
+    "grid_rolling_mean" -> gridRollingMeanSql,
+    "grid_interpolate" -> gridInterpolateSql,
     "grid_rechunk_dim" -> gridRechunkDimSql,
     "grid_resample" -> gridResampleSql,
     "grid_table_to_grid" -> gridTableToGridSql,

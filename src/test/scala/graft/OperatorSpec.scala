@@ -64,6 +64,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(tiles((1L, 1L)) == ((2L, 2L), Seq(22.0, 32.0, 23.0, 33.0)))
   }
 
+  test("rollingMean windows straddle chunk boundaries via the halo") {
+    import spark.implicits._
+    import graft.operators.GridOps
+    // values 1..10 chunked at 4: [1,2,3,4] [5,6,7,8] [9,10]
+    val grid = Seq(
+      ("v", 0L, 0L, 4L, Seq(1.0, 2.0, 3.0, 4.0)),
+      ("v", 1L, 4L, 4L, Seq(5.0, 6.0, 7.0, 8.0)),
+      ("v", 2L, 8L, 2L, Seq(9.0, 10.0)))
+      .toDF("variable", "chunk_idx", "origin", "shape", "values")
+    val out = GridOps.rollingMean(grid, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == 10)
+    assert(out(0L) == 1.0 && out(1L) == 1.5) // partial windows at stream start
+    assert(out(3L) == 3.0)                   // in-chunk full window
+    assert(out(4L) == 4.0 && out(5L) == 5.0) // windows reach into previous chunk
+    assert(out(8L) == 8.0 && out(9L) == 9.0) // short final chunk
+  }
+
+  test("interpolate upsamples across chunk boundaries via the head halo") {
+    import spark.implicits._
+    import graft.operators.GridOps
+    val grid = Seq(
+      ("v", 0L, 0L, 4L, Seq(1.0, 2.0, 3.0, 4.0)),
+      ("v", 1L, 4L, 2L, Seq(5.0, 6.0)))
+      .toDF("variable", "chunk_idx", "origin", "shape", "values")
+    val out = GridOps.interpolate(grid, 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 6 source points -> targets j = 0..10 (2*(6-1))
+    assert(out.size == 11)
+    assert(out(0L) == 1.0 && out(1L) == 1.5)
+    assert(out(7L) == 4.5)  // straddles the chunk-0/chunk-1 boundary
+    assert(out(10L) == 6.0) // final source point, no out-of-range target
+    assert(!out.contains(11L))
+  }
+
   test("salted aggregation equals plain aggregation") {
     val plain = Tables.events(spark, sf)
       .groupBy("event_type")
