@@ -29,7 +29,8 @@ object SparkEntry {
       graft.operators.Contamination.queries ++
       graft.functions.Sketches.queries ++
       graft.functions.Bpe.queries ++
-      graft.operators.CrossShard.queries
+      graft.operators.CrossShard.queries ++
+      graft.operators.BloomKeep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.operators.Contamination.oracles ++
       graft.functions.Sketches.oracles ++
       graft.functions.Bpe.oracles ++
-      graft.operators.CrossShard.oracles
+      graft.operators.CrossShard.oracles ++
+      graft.operators.BloomKeep.oracles
 }

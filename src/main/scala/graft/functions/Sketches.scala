@@ -151,12 +151,72 @@ object Sketches {
        |  ex.exact_distinct
        |FROM sk JOIN ex USING (scope)""".stripMargin
 
+  /** Approximate quantiles from a mergeable equi-width HISTOGRAM
+    * sketch — the constant-memory companion to [[sketchQuantile]] for
+    * unbounded continuous domains (exact `percentile` buffers a
+    * value→count map per group; a 64-bin histogram buffers 64 longs
+    * regardless of scale). Unlike a t-digest, bin counts are integers
+    * and the estimator is a closed-form double expression, so the
+    * DuckDB oracle replays the estimate bit-for-bit.
+    *
+    * Scale shape: one min/max/count pass (partial agg), one bin-count
+    * pass (map-side partial agg onto ≤64 keys), then all sketch math
+    * — cumulative counts, bin selection, interpolation — runs on the
+    * 64-row histogram (the cumulative window's single partition holds
+    * 64 rows, not data). Merging shards = adding bin counts, the same
+    * groupBy that builds it. Estimator: for target rank r = p·n,
+    * choose the first bin with cum ≥ r and interpolate
+    * lo + w·(bin + (r - cum_before)/cnt). */
+  def sketchHistogramQuantile: Q = (s, dir) => {
+    val x = events(s, dir).select(col("value").cast(DoubleType).as("x"))
+    val st = x.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+        count(lit(1)).as("n"))
+      .withColumn("w", expr("(hi - lo) / CAST(64 AS DOUBLE)"))
+    val hist = x.crossJoin(broadcast(st))
+      .select(expr("CAST(least(floor((x - lo) / w), CAST(63 AS DOUBLE)) AS BIGINT)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val cum = hist.select(col("bin"), col("cnt"),
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+        .orderBy("bin").rowsBetween(Long.MinValue, 0)).as("cum"))
+    import s.implicits._
+    val qs = Seq(0.25, 0.5, 0.75, 0.95).toDF("p")
+    val sel = cum.crossJoin(broadcast(st)).crossJoin(broadcast(qs))
+      .filter(expr("CAST(cum AS DOUBLE) >= p * CAST(n AS DOUBLE)"))
+      .groupBy("p").agg(min(col("bin")).as("bin"))
+    sel.join(cum, "bin").crossJoin(broadcast(st))
+      .select(col("p"), col("bin"), col("cnt"), col("cum"),
+        expr("""lo + w * (CAST(bin AS DOUBLE)
+               |  + (p * CAST(n AS DOUBLE) - (CAST(cum AS DOUBLE) - CAST(cnt AS DOUBLE)))
+               |    / CAST(cnt AS DOUBLE))""".stripMargin).as("est_q"))
+  }
+
+  val sketchHistogramQuantileSql: String =
+    """WITH x AS (SELECT value AS x FROM events),
+      |st AS (SELECT MIN(x) AS lo, MAX(x) AS hi, COUNT(*) AS n,
+      |              (MAX(x) - MIN(x)) / CAST(64 AS DOUBLE) AS w FROM x),
+      |b AS (SELECT CAST(LEAST(FLOOR((x.x - st.lo) / st.w), CAST(63 AS DOUBLE)) AS BIGINT) AS bin,
+      |             COUNT(*) AS cnt
+      |      FROM x CROSS JOIN st GROUP BY 1),
+      |c AS (SELECT bin, cnt, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM b),
+      |q AS (SELECT UNNEST([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+      |                     CAST(0.75 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS p),
+      |sel AS (SELECT q.p, MIN(c.bin) AS bin
+      |        FROM q, c, st WHERE CAST(c.cum AS DOUBLE) >= q.p * CAST(st.n AS DOUBLE)
+      |        GROUP BY q.p)
+      |SELECT sel.p, sel.bin, c.cnt, c.cum,
+      |  st.lo + st.w * (CAST(sel.bin AS DOUBLE)
+      |    + (sel.p * CAST(st.n AS DOUBLE) - (CAST(c.cum AS DOUBLE) - CAST(c.cnt AS DOUBLE)))
+      |      / CAST(c.cnt AS DOUBLE)) AS est_q
+      |FROM sel JOIN c ON c.bin = sel.bin CROSS JOIN st""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sketch_kmv_distinct" -> sketchKmvDistinct,
     "sketch_kmv_merge" -> sketchKmvMerge,
-    "sketch_quantile" -> sketchQuantile)
+    "sketch_quantile" -> sketchQuantile,
+    "sketch_histogram_quantile" -> sketchHistogramQuantile)
   val oracles: Map[String, String] = Map(
     "sketch_kmv_distinct" -> sketchKmvDistinctSql,
     "sketch_kmv_merge" -> sketchKmvMergeSql,
-    "sketch_quantile" -> sketchQuantileSql)
+    "sketch_quantile" -> sketchQuantileSql,
+    "sketch_histogram_quantile" -> sketchHistogramQuantileSql)
 }

@@ -99,6 +99,14 @@ class OperatorSpec extends AnyFunSuite {
     assert(!out.contains(11L))
   }
 
+  test("bloom filter has no false negatives over its build keys") {
+    import spark.implicits._
+    import graft.operators.BloomKeep
+    val keys = (1L to 1000L).toDF("doc_id")
+    val bloom = BloomKeep.buildBloom(keys, "doc_id", 1000L)
+    assert(keys.filter(BloomKeep.mightContain(bloom, "doc_id")).count() == 1000L)
+  }
+
   test("salted aggregation equals plain aggregation") {
     val plain = Tables.events(spark, sf)
       .groupBy("event_type")

@@ -90,4 +90,9 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = planOf("dedup_crossshard")
     assert(p.contains("BroadcastHashJoin"), "priority join not broadcast")
   }
+
+  test("bloom keep-list prunes the corpus map-side before the exact semi-join") {
+    val p = planOf("pipeline_keep_bloom")
+    assert(p.contains("might_contain"), "bloom pre-filter missing from the plan")
+  }
 }
