@@ -54,6 +54,62 @@ object PipelineKeepList {
        |  AND d.doc_id IN (SELECT doc_id FROM exact_keep)
        |  AND d.doc_id IN (SELECT doc_id FROM canon)""".stripMargin
 
-  val queries: Map[String, Q] = Map("pipeline_keep_list" -> pipelineKeepList)
-  val oracles: Map[String, String] = Map("pipeline_keep_list" -> pipelineKeepListSql)
+  private val REP_MAX = 0.2
+
+  /** Per-document keep/drop decision with REASONS — the auditable form
+    * of a curation filter (a 100 TB run keeps the drop ledger for
+    * filter-rate monitoring; a bare keep-list can't tell you WHY the
+    * corpus shrank). Composes four already-oracle-checked signals:
+    * quality score, Gopher repetition, language ID, benchmark
+    * contamination. Every signal join is per-doc_id (left joins, the
+    * sparse contamination side pre-filtered to flagged docs), so the
+    * ledger costs the same shuffle shape as the keep-list itself.
+    * Signals that don't apply (rep_ratio of a <3-word doc) skip their
+    * check via null semantics — identically in both engines. */
+  def pipelineQualityFilter: Q = (s, dir) => {
+    val q = TextOps.textQuality(s, dir).select("doc_id", "quality_score")
+    val rep = TextOps.textRepetition(s, dir).select("doc_id", "rep_ratio")
+    val lid = TextOps.textLangId(s, dir).select("doc_id", "pred_lang")
+    val cont = Contamination.pipelineContamination(s, dir)
+      .filter(col("flagged")).select("doc_id", "flagged")
+    t(s, dir, "documents").select("doc_id")
+      .join(q, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .join(lid, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .withColumn("drop_reasons", concat_ws(",",
+        when(col("quality_score") < QUALITY_MIN, lit("quality")),
+        when(col("rep_ratio") > REP_MAX, lit("repetition")),
+        when(col("pred_lang") === "und", lit("langid")),
+        when(col("flagged"), lit("contaminated"))))
+      .select(col("doc_id"), col("drop_reasons"),
+        (col("drop_reasons") === "").as("keep"))
+  }
+
+  val pipelineQualityFilterSql: String =
+    s"""WITH q AS (${TextOps.textQualitySql}),
+       |rep AS (${TextOps.textRepetitionSql}),
+       |lid AS (${TextOps.textLangIdSql}),
+       |cont AS (${Contamination.pipelineContaminationSql}),
+       |led AS (
+       |  SELECT d.doc_id,
+       |    concat_ws(',',
+       |      CASE WHEN q.quality_score < $QUALITY_MIN THEN 'quality' END,
+       |      CASE WHEN rep.rep_ratio > $REP_MAX THEN 'repetition' END,
+       |      CASE WHEN lid.pred_lang = 'und' THEN 'langid' END,
+       |      CASE WHEN c2.flagged THEN 'contaminated' END) AS drop_reasons
+       |  FROM documents d
+       |  LEFT JOIN q ON q.doc_id = d.doc_id
+       |  LEFT JOIN rep ON rep.doc_id = d.doc_id
+       |  LEFT JOIN lid ON lid.doc_id = d.doc_id
+       |  LEFT JOIN (SELECT doc_id, flagged FROM cont WHERE flagged) c2
+       |    ON c2.doc_id = d.doc_id)
+       |SELECT doc_id, drop_reasons, drop_reasons = '' AS keep FROM led""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "pipeline_keep_list" -> pipelineKeepList,
+    "pipeline_quality_filter" -> pipelineQualityFilter)
+  val oracles: Map[String, String] = Map(
+    "pipeline_keep_list" -> pipelineKeepListSql,
+    "pipeline_quality_filter" -> pipelineQualityFilterSql)
 }

@@ -91,6 +91,29 @@ object Streams {
         })
   }
 
+  /** Watermarked stream-stream interval join (view→click attribution
+    * within 1 day): both sides carry watermarks and the join condition
+    * bounds event time in BOTH directions, so Spark derives a state
+    * eviction horizon for each side — the join buffers ~1 day of keyed
+    * state per stream instead of the full history. This is the
+    * streaming analogue of [[graft.operators.TemporalJoins]]' range
+    * join, and the state-bounding join condition is what makes it
+    * runnable forever on an unbounded 100 TB/day firehose. */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    views.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 1 DAY"))
+      .select(col("user_id"), col("view_id"), col("click_id"))
+  }
+
   // ------------------------------------------------------- batch twins
 
   /** Batch twin of [[windowAgg]] (same window() construct, no
@@ -149,13 +172,37 @@ object Streams {
       |  CAST(SUM(n_events) AS BIGINT) AS total_events
       |FROM sess GROUP BY user_id""".stripMargin
 
+  /** Batch twin of [[intervalJoin]]: identical join condition on the
+    * bounded table. */
+  def streamIntervalJoin: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    views.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 1 DAY"))
+      .select(col("user_id"), col("view_id"), col("click_id"))
+  }
+
+  val streamIntervalJoinSql: String =
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+      |FROM events v JOIN events c ON c.user_id = v.user_id
+      | AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 DAY""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "stream_window_agg" -> streamWindowAgg,
     "stream_dedup" -> streamDedup,
-    "stream_sessionize" -> streamSessionize)
+    "stream_sessionize" -> streamSessionize,
+    "stream_interval_join" -> streamIntervalJoin)
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,
-    "stream_sessionize" -> streamSessionizeSql)
+    "stream_sessionize" -> streamSessionizeSql,
+    "stream_interval_join" -> streamIntervalJoinSql)
 }

@@ -98,6 +98,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(r1.head.getLong(0) > 0)
   }
 
+  test("stream_interval_join matches its batch twin through a memory sink") {
+    val q = Streams.intervalJoin(eventsStream)
+      .writeStream.outputMode("append").format("memory").queryName("sij")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sij")
+    val batch = Streams.streamIntervalJoin(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stream_sessionize emits closed sessions consistent with the batch twin") {
     import spark.implicits._
     val evs = eventsStream
