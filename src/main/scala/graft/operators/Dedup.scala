@@ -250,13 +250,70 @@ object Dedup {
        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
   }
 
+  /** Content-defined chunking dedup (the rsync/LBFS device, md5-gear):
+    * a position p starts a new chunk when md5 of the 8-char window at p
+    * begins with hex '0' — boundaries move WITH the content (~1/16
+    * rate, mean chunk ≈16 chars), so an insertion early in a document
+    * shifts chunk offsets without changing the chunks after it; exact
+    * dedup on chunk hashes then catches shared SUBSTRINGS that
+    * doc-level fingerprints miss. Reports every chunk repeated across
+    * the corpus with its occurrence/document counts and repeated mass.
+    *
+    * Scale shape: boundary detection and chunk hashing are pure
+    * map-side array work per document; the only shuffle groups by
+    * ch_hash — uniform md5 keys, skew-free, partial-agg'd. (Real CDC
+    * uses a rolling gear hash for O(1) per position instead of md5's
+    * O(w); md5 keeps the operator oracle-replayable, the shapes are
+    * identical.) */
+  def dedupCdc: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .filter(length(col("text")) >= 2)
+      .withColumn("bnds", expr(
+        """concat(array(1),
+          |  filter(sequence(2, greatest(length(text), 2)),
+          |    p -> substring(md5(substring(text, p, 8)), 1, 1) = '0'),
+          |  array(length(text) + 1))""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(bnds) - 1), i -> named_struct(
+          |  'h', md5(substring(text, element_at(bnds, i),
+          |           element_at(bnds, i + 1) - element_at(bnds, i))),
+          |  'len', element_at(bnds, i + 1) - element_at(bnds, i)))""".stripMargin)).as("c"))
+      .groupBy(col("c.h").as("ch_hash"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("c.len")).as("dup_chars"))
+      .filter(col("n_occ") > 1)
+  }
+
+  val dedupCdcSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 2),
+      |b AS (
+      |  SELECT doc_id, text,
+      |    list_concat(list_concat([1],
+      |      list_filter(generate_series(2, n),
+      |        p -> substr(md5(substr(text, p, 8)), 1, 1) = '0')),
+      |      [n + 1]) AS bnds
+      |  FROM base),
+      |ch AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(bnds) - 1),
+      |    i -> struct_pack(h := md5(substr(text, bnds[i], bnds[i + 1] - bnds[i])),
+      |                     len := bnds[i + 1] - bnds[i]))) AS c
+      |  FROM b)
+      |SELECT c.h AS ch_hash, COUNT(*) AS n_occ,
+      |  COUNT(DISTINCT doc_id) AS n_docs,
+      |  CAST(SUM(c.len) AS BIGINT) AS dup_chars
+      |FROM ch GROUP BY c.h HAVING COUNT(*) > 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
-    "dedup_simhash" -> dedupSimhash)
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_cdc" -> dedupCdc)
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
-    "dedup_simhash" -> dedupSimhashSql)
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_cdc" -> dedupCdcSql)
 }
