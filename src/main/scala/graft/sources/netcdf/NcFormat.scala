@@ -330,11 +330,17 @@ object NcFormat {
       /** store record data as independently deflated blocks with an
         * index footer (.ncz — see [[isChunked]]); the header (and its
         * close-time numrecs/zone-map patches) stays uncompressed. */
-      compressChunks: Boolean = false) {
+      compressChunks: Boolean = false,
+      /** typed NC_DOUBLE per-variable attributes (value vectors) —
+        * the CF-conventions metadata slots (scale_factor, add_offset,
+        * valid_range, …) are typed numerics, not text. */
+      dvatts: Map[String, Seq[(String, Array[Double])]] = Map.empty) {
     private val specs: Array[VarSpec] =
       schema.fields.map(f => varSpecOf(f, arrayLens, stringWidth))
     require(vatts.keySet.subsetOf(schema.fieldNames.toSet),
       s"vatts for unknown columns: ${vatts.keySet -- schema.fieldNames}")
+    require(dvatts.keySet.subsetOf(schema.fieldNames.toSet),
+      s"dvatts for unknown columns: ${dvatts.keySet -- schema.fieldNames}")
     private val version = if (specs.exists(_.ncType == NC_INT64)) 5 else 2
     private val single = schema.size == 1
     private val slabPad: Array[Int] =
@@ -434,6 +440,15 @@ object NcFormat {
         nn(b.length.toLong); d.write(b)
         (0 until pad4(b.length.toLong).toInt).foreach(_ => d.writeByte(0))
       }
+      // one typed NC_DOUBLE attribute: 8-byte elements need no padding
+      def dblAttrLen(kv: (String, Array[Double])): Int =
+        nameLen(kv._1) + 4 + nnW + 8 * kv._2.length
+      def writeDblAttr(kv: (String, Array[Double])): Unit = {
+        name(kv._1)
+        d.writeInt(NC_DOUBLE)
+        nn(kv._2.length.toLong)
+        kv._2.foreach(d.writeDouble)
+      }
       d.writeBytes("CDF"); d.writeByte(version)
       nn(0L) // numRecs placeholder (patched on close)
       // dim_list: unlimited `record` + one fixed dim per array/string
@@ -457,12 +472,15 @@ object NcFormat {
           nameLen("actual_range") + 4 + nnW + valueBytes + pad4(valueBytes.toLong).toInt
         }
       val userAttrs: Int => Seq[(String, String)] = i => vatts.getOrElse(specs(i).name, Nil)
+      val userDblAttrs: Int => Seq[(String, Array[Double])] =
+        i => dvatts.getOrElse(specs(i).name, Nil)
       val varHeaderLen = specs.zipWithIndex.map { case (v, i) =>
         val rank = if (v.isArray || v.isString) 2 else 1
         nameLen(v.name) +
           nnW + // rank
           rank * nnW + // dimids
-          (4 + nnW) + userAttrs(i).map(charAttrLen).sum + rangeAttrLen(i) + // vatt_list
+          (4 + nnW) + userAttrs(i).map(charAttrLen).sum +
+          userDblAttrs(i).map(dblAttrLen).sum + rangeAttrLen(i) + // vatt_list
           4 + // nc_type
           nnW + // vsize
           8 // begin (CDF-2/5)
@@ -485,11 +503,12 @@ object NcFormat {
         } else {
           nn(1L); nn(0L)
         }
-        val nAtts = userAttrs(i).size + (if (isTracked(i)) 1 else 0)
+        val nAtts = userAttrs(i).size + userDblAttrs(i).size + (if (isTracked(i)) 1 else 0)
         if (nAtts == 0) { d.writeInt(0); nn(0L) } // absent vatt_list
         else {
           d.writeInt(TAG_ATT); nn(nAtts.toLong)
           userAttrs(i).foreach(writeCharAttr)
+          userDblAttrs(i).foreach(writeDblAttr)
           if (isTracked(i)) {
             name("actual_range")
             d.writeInt(v.ncType); nn(2L)

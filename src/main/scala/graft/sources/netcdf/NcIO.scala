@@ -37,7 +37,10 @@ object NcIO {
         * keeps the file SPLITTABLE and record-range/zone-map pruning
         * intact (the NetCDF4/HDF5 chunked-storage model). Prefer this
         * over `compress` whenever readers matter. */
-      compressChunks: Boolean = false): Unit = {
+      compressChunks: Boolean = false,
+      /** typed NC_DOUBLE per-variable attributes — CF-conventions
+        * numeric metadata (scale_factor, add_offset, valid_range…). */
+      dvatts: Map[String, Seq[(String, Array[Double])]] = Map.empty): Unit = {
     require(!(compress && compressChunks),
       "choose one of compress (.nc.gz) or compressChunks (.ncz)")
     val schema = df.schema
@@ -72,10 +75,40 @@ object NcIO {
     val rdd = df.queryExecution.toRdd // RDD[InternalRow], no extra copy
     rdd.mapPartitionsWithIndex { (pid, rows) =>
       writePartition(schema, dir, pid, rows, chunkBytes, allLens, stringWidth, serConf,
-        gatts, vatts, fixedVars, compress, compressChunks)
+        gatts, vatts, fixedVars, compress, compressChunks, dvatts)
       Iterator.single(pid)
     }.count() // run the job
     ()
+  }
+
+  /** Total records in a netcdf3 dir — header metadata only, no record
+    * data is read (one small read per part file). */
+  def recordCount(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(_.getPath)
+      .filter { f =>
+        val n = f.getName
+        n.endsWith(".nc") || n.endsWith(".nc.gz") || n.endsWith(".ncz")
+      }
+      .map(f => NcFormat.readMeta(fs, f).numRecs).sum
+  }
+
+  /** MFDataset-style multi-file aggregation: present several netcdf3
+    * dirs as ONE dataset along a contiguous record dimension, each
+    * dir's records re-based by the cumulative record counts of the
+    * dirs before it. Offsets come from [[recordCount]] header reads
+    * (metadata-scale, like a parquet footer list), so the union plan
+    * stays a pure scan union — no shuffle, no count jobs; all
+    * per-file pruning/pushdown of the DSv2 still applies under the
+    * record-shift projection. */
+  def multifile(spark: org.apache.spark.sql.SparkSession, dirs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val offsets = dirs.map(recordCount(spark, _)).scanLeft(0L)(_ + _)
+    dirs.zip(offsets).map { case (d, off) =>
+      spark.read.format("graft.sources.netcdf.NetCDF3Source").load(d)
+        .withColumn("record", col("record") + lit(off))
+    }.reduce(_.unionByName(_))
   }
 
   /** All attributes across the part files of `dir`, one row per
@@ -174,9 +207,10 @@ object NcIO {
       vatts: Map[String, Seq[(String, String)]],
       fixedVars: Seq[(String, Array[Double])],
       compress: Boolean,
-      compressChunks: Boolean): Unit = {
+      compressChunks: Boolean,
+      dvatts: Map[String, Seq[(String, Array[Double])]]): Unit = {
     val pf = new NcPartFile(schema, dir, f"part-$pid%05d", chunkBytes, arrayLens,
-      stringWidth, serConf, gatts, vatts, fixedVars, compress, compressChunks)
+      stringWidth, serConf, gatts, vatts, fixedVars, compress, compressChunks, dvatts)
     try {
       rows.foreach(pf.write)
       pf.commit()
@@ -204,7 +238,8 @@ private[netcdf] final class NcPartFile(
     vatts: Map[String, Seq[(String, String)]],
     fixedVars: Seq[(String, Array[Double])],
     compress: Boolean,
-    compressChunks: Boolean = false) {
+    compressChunks: Boolean = false,
+    dvatts: Map[String, Seq[(String, Array[Double])]] = Map.empty) {
 
   private val getters: Array[InternalRow => Any] =
     schema.fields.zipWithIndex.map { case (f, i) =>
@@ -229,7 +264,7 @@ private[netcdf] final class NcPartFile(
     }
   private val local = java.io.File.createTempFile(baseName, ".nc")
   private val writer = new NcFormat.Writer(local.getPath, schema, chunkBytes, arrayLens,
-    stringWidth, gatts, vatts, fixedVars, compressChunks)
+    stringWidth, gatts, vatts, fixedVars, compressChunks, dvatts)
   private val nFields = schema.size
 
   def write(r: InternalRow): Unit = {

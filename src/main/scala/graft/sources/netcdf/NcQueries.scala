@@ -367,7 +367,89 @@ object NcQueries {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem""".stripMargin
 
+  /** CF-conventions packed variable: l_quantity stored as NC_SHORT
+    * (4× narrower than NC_DOUBLE) with typed NC_DOUBLE
+    * `scale_factor`/`add_offset` attributes, unpacked on read as
+    * packed·scale + offset — the netCDF4 auto mask-and-scale
+    * contract. scale=0.25 represents the integral quantities exactly,
+    * so unpacked values are bit-identical to the originals and the
+    * oracle (over the source parquet) must agree on every aggregate.
+    * The scale/offset applied at read time come from the FILE HEADERS
+    * (readAttrs), not from the writer's literals — the roundtrip
+    * proves typed-attribute encoding end to end. */
+  def ncScaleOffset: Q = (s, dir) => {
+    val out = scratch(s, dir, "packed")
+    NcIO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          round(col("l_quantity") / 0.25).cast(ShortType).as("l_quantity_packed"))
+        .repartition(2),
+      out,
+      dvatts = Map("l_quantity_packed" -> Seq(
+        "scale_factor" -> Array(0.25), "add_offset" -> Array(0.0))))
+    val attrs = NcIO.readAttrs(s, out)
+      .filter(col("var_name") === "l_quantity_packed" &&
+        col("attr_name").isin("scale_factor", "add_offset"))
+      .select("attr_name", "dval").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    s.read.format(SRC).load(out)
+      .select(col("l_orderkey"),
+        (col("l_quantity_packed").cast(DoubleType) * attrs("scale_factor")
+          + attrs("add_offset")).as("l_quantity"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+  }
+
+  val ncScaleOffsetSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      |FROM lineitem""".stripMargin
+
+  /** MFDataset-style multi-file union: two shard dirs (even/odd order
+    * keys, each written sorted) presented as ONE dataset along a
+    * contiguous record dimension via [[NcIO.multifile]] — offsets from
+    * header metadata only. The record-ordinal-weighted decimal sum
+    * proves every record of every shard landed at exactly its re-based
+    * index. */
+  def ncMultifileUnion: Q = (s, dir) => {
+    val outA = scratch(s, dir, "mfa")
+    val outB = scratch(s, dir, "mfb")
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+        col("l_quantity"))
+    NcIO.write(li.filter(col("l_orderkey") % 2 === 0).repartition(1)
+      .sortWithinPartitions("l_orderkey", "l_linenumber"), outA)
+    NcIO.write(li.filter(col("l_orderkey") % 2 === 1).repartition(1)
+      .sortWithinPartitions("l_orderkey", "l_linenumber"), outB)
+    NcIO.multifile(s, Seq(outA, outB))
+      .agg(count(lit(1)).as("n"),
+        max(col("record")).as("max_record"),
+        sum(col("record").cast(DecimalType(18, 0)) * dec(col("l_quantity")))
+          .cast(DoubleType).as("wsum"))
+  }
+
+  val ncMultifileUnionSql: String =
+    """WITH a AS (
+      |  SELECT l_quantity,
+      |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS record
+      |  FROM lineitem WHERE l_orderkey % 2 = 0),
+      |b AS (
+      |  SELECT l_quantity,
+      |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+      |      + (SELECT COUNT(*) FROM a) AS record
+      |  FROM lineitem WHERE l_orderkey % 2 = 1),
+      |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+      |SELECT COUNT(*) AS n, MAX(record) AS max_record,
+      |  CAST(SUM(CAST(record AS DECIMAL(18,0)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS wsum
+      |FROM u""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "nc_scale_offset" -> ncScaleOffset,
+    "nc_multifile_union" -> ncMultifileUnion,
     "nc_write_read_roundtrip" -> ncWriteReadRoundtrip,
     "nc_read_prune" -> ncReadPrune,
     "nc_ndarray_roundtrip" -> ncNdarrayRoundtrip,
@@ -382,6 +464,8 @@ object NcQueries {
     "stream_nc_sink" -> streamNcSink)
 
   val oracles: Map[String, String] = Map(
+    "nc_scale_offset" -> ncScaleOffsetSql,
+    "nc_multifile_union" -> ncMultifileUnionSql,
     "nc_write_read_roundtrip" -> ncWriteReadRoundtripSql,
     "nc_read_prune" -> ncReadPruneSql,
     "nc_ndarray_roundtrip" -> ncNdarrayRoundtripSql,

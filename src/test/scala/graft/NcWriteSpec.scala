@@ -91,4 +91,41 @@ class NcWriteSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("record"))
   }
+
+  test("typed NC_DOUBLE attributes roundtrip through the header") {
+    import graft.sources.netcdf.NcIO
+    val dir = "/tmp/graft_nc_spec/dvatts"
+    NcIO.write(
+      spark.range(0, 10).select(col("id").cast("double").as("x")).repartition(1),
+      dir,
+      vatts = Map("x" -> Seq("units" -> "kelvin")),
+      dvatts = Map("x" -> Seq("scale_factor" -> Array(0.5),
+        "valid_range" -> Array(-1.0, 99.5))))
+    val attrs = NcIO.readAttrs(spark, dir)
+      .filter(col("var_name") === "x").collect()
+      .map(r => (r.getString(2), r.getLong(3)) ->
+        (Option(r.getString(4)), Option(r.get(5)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(attrs(("units", 0L))._1.contains("kelvin"))
+    assert(attrs(("scale_factor", 0L))._2.contains(0.5))
+    assert(attrs(("valid_range", 0L))._2.contains(-1.0))
+    assert(attrs(("valid_range", 1L))._2.contains(99.5))
+    // the automatic zone-map attr still present alongside user attrs
+    assert(attrs.contains(("actual_range", 0L)))
+  }
+
+  test("multifile rebases records contiguously across dirs") {
+    import graft.sources.netcdf.NcIO
+    val dirA = "/tmp/graft_nc_spec/mf_a"
+    val dirB = "/tmp/graft_nc_spec/mf_b"
+    NcIO.write(spark.range(0, 7).select(col("id").cast("double").as("x"))
+      .repartition(1).sortWithinPartitions("x"), dirA)
+    NcIO.write(spark.range(7, 12).select(col("id").cast("double").as("x"))
+      .repartition(1).sortWithinPartitions("x"), dirB)
+    assert(NcIO.recordCount(spark, dirA) == 7L)
+    val mf = NcIO.multifile(spark, Seq(dirA, dirB))
+    assert(mf.count() == 12)
+    // record ids are 0..11 with each value at its own index
+    assert(mf.filter(col("record").cast("double") === col("x")).count() == 12)
+  }
 }
