@@ -184,6 +184,47 @@ object TextOps {
       |ORDER BY df DESC, word
       |LIMIT 20""".stripMargin
 
+  private val VOCAB_K = 512
+
+  /** Out-of-vocabulary rate per document against the corpus's own
+    * top-[[VOCAB_K]] vocabulary — the tokenizer-health signal of a
+    * curation pipeline (rising OOV = drifting corpus or wrong vocab).
+    * The vocabulary is a deterministic ordered limit (count desc,
+    * word asc → TakeOrderedAndProject over a partial agg, driver
+    * merges each task's top rows) and is BROADCAST to the per-token
+    * membership join — vocabulary-sized, so the corpus side never
+    * shuffles; the per-doc aggregation partial-aggregates on doc_id. */
+  def textOovRate: Q = (s, dir) => {
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(VOCAB_K)
+      .select(col("w"), lit(1).as("in_v"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1).otherwise(0)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov") / col("n_tokens").cast(DoubleType)).as("oov_rate"))
+  }
+
+  val textOovRateSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |v AS (
+       |  SELECT w, 1 AS in_v FROM (
+       |    SELECT w, COUNT(*) AS cnt FROM w GROUP BY w
+       |    ORDER BY cnt DESC, w LIMIT $VOCAB_K) t)
+       |SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN v.in_v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(SUM(CASE WHEN v.in_v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+       |FROM w LEFT JOIN v ON v.w = w.w
+       |GROUP BY w.doc_id""".stripMargin
+
   /** Deterministic stratified sampling for corpus curation: per-stratum
     * (language) keep rates expressed as hex-prefix thresholds over
     * md5(salt ++ doc_id) — two hex digits = 256 uniform buckets, so
@@ -450,6 +491,7 @@ object TextOps {
     "text_redact" -> textRedact,
     "text_langid_weighted" -> textLangIdWeighted,
     "text_topterms" -> textTopTerms,
+    "text_oov_rate" -> textOovRate,
     "pipeline_sample_stratified" -> pipelineSampleStratified,
     "text_tokencount" -> textTokenCount,
     "text_quality" -> textQuality,
@@ -464,6 +506,7 @@ object TextOps {
     "text_redact" -> textRedactSql,
     "text_langid_weighted" -> textLangIdWeightedSql,
     "text_topterms" -> textTopTermsSql,
+    "text_oov_rate" -> textOovRateSql,
     "pipeline_sample_stratified" -> pipelineSampleStratifiedSql,
     "text_tokencount" -> textTokenCountSql,
     "text_quality" -> textQualitySql,

@@ -264,6 +264,38 @@ object GridOps {
       .select((col("origin") * k + col("p")).as("tidx"), col("s.ival").as("ival"))
   }
 
+  /** First difference along the streamed dimension (delta encoding /
+    * d/dt of a time-series variable): chunk-local with a ONE-element
+    * tail halo — the minimal case of the [[rollingMean]] halo pattern.
+    * idx 0 has no predecessor and is omitted, exactly like SQL's
+    * lag()-based formulation (which would range-shuffle the variable;
+    * this ships one double per chunk). */
+  def lagDiff(grid: DataFrame): DataFrame = {
+    val halo = grid.select((col("chunk_idx") + 1).as("chunk_idx"),
+      expr("try_element_at(values, size(values))").as("prev"))
+    grid.join(halo, Seq("chunk_idx"), "left")
+      .withColumn("full",
+        when(col("prev").isNotNull, concat(array(col("prev")), col("values")))
+          .otherwise(col("values")))
+      .withColumn("hl", when(col("prev").isNotNull, lit(1)).otherwise(lit(0)))
+      .select(col("origin"), col("hl"),
+        posexplode(expr(
+          """CASE WHEN size(full) < 2 THEN CAST(array() AS ARRAY<DOUBLE>)
+            |ELSE transform(sequence(1, size(full) - 1),
+            |  j -> try_element_at(full, j + 1) - try_element_at(full, j)) END""".stripMargin))
+          .as(Seq("pos", "delta")))
+      .select((col("origin") - col("hl") + col("pos") + 1).as("idx"), col("delta"))
+  }
+
+  def gridLagDiff: Q = (s, dir) =>
+    lagDiff(qtyGrid(s, dir))
+
+  val gridLagDiffSql: String =
+    s"""WITH $orderedCte
+       |SELECT idx, v - prev AS delta FROM (
+       |  SELECT idx, v, lag(v) OVER (ORDER BY idx) AS prev FROM o) sub
+       |WHERE prev IS NOT NULL""".stripMargin
+
   private val ROLL_W = 7
 
   def gridRollingMean: Q = (s, dir) =>
@@ -334,6 +366,7 @@ object GridOps {
       |GROUP BY e.rec // 256, e.pos // 16, s.nrc""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "grid_lag_diff" -> gridLagDiff,
     "grid_rolling_mean" -> gridRollingMean,
     "grid_interpolate" -> gridInterpolate,
     "grid_rechunk_dim" -> gridRechunkDim,
@@ -345,6 +378,7 @@ object GridOps {
     "grid_stats" -> gridStats)
 
   val oracles: Map[String, String] = Map(
+    "grid_lag_diff" -> gridLagDiffSql,
     "grid_rolling_mean" -> gridRollingMeanSql,
     "grid_interpolate" -> gridInterpolateSql,
     "grid_rechunk_dim" -> gridRechunkDimSql,

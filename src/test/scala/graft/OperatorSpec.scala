@@ -82,6 +82,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(8L) == 8.0 && out(9L) == 9.0) // short final chunk
   }
 
+  test("lagDiff differences across chunk boundaries and omits idx 0") {
+    import spark.implicits._
+    import graft.operators.GridOps
+    val grid = Seq(
+      ("v", 0L, 0L, 4L, Seq(1.0, 3.0, 6.0, 10.0)),
+      ("v", 1L, 4L, 2L, Seq(15.0, 21.0)))
+      .toDF("variable", "chunk_idx", "origin", "shape", "values")
+    val out = GridOps.lagDiff(grid)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == 5 && !out.contains(0L))
+    assert(out(1L) == 2.0 && out(3L) == 4.0)
+    assert(out(4L) == 5.0) // straddles the chunk boundary via the halo
+    assert(out(5L) == 6.0)
+  }
+
   test("interpolate upsamples across chunk boundaries via the head halo") {
     import spark.implicits._
     import graft.operators.GridOps
