@@ -305,15 +305,81 @@ object Dedup {
       |  CAST(SUM(c.len) AS BIGINT) AS dup_chars
       |FROM ch GROUP BY c.h HAVING COUNT(*) > 1""".stripMargin
 
+  /** Incremental (index-vs-batch) near-dup detection — the ingest
+    * scenario: an ARRIVING shard (sources src0/src1) is checked
+    * against the EXISTING corpus without re-pairing the existing
+    * corpus with itself. Same MinHash signatures and banding as
+    * [[dedupMinhashLsh]], but the band join is ONE-DIRECTIONAL
+    * (new × existing) — at 100 TB the existing side's band index is
+    * precomputed and the per-batch cost is |batch| band lookups, not
+    * a corpus self-join. Each new doc reports its best verified match
+    * (max Jaccard, min existing id on ties) via a lexicographic
+    * struct-max — a partial aggregate, not a window. */
+  def dedupIncremental: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val sh = cappedShingles(docs, 3).cache()
+    val sigAggs = (0 until H).map(i =>
+      min(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 16)).as(s"h$i"))
+    val sigs = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until BANDS).map(b =>
+      struct(lit(b).as("band"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh")))
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("s"))
+      .select(col("doc_id"), col("s.band").as("band"), col("s.bh").as("bh"))
+      .cache() // split into the new and existing sides below
+    val newIds = docs.filter(col("source").isin("src0", "src1")).select("doc_id")
+    val bandsNew = bands.join(broadcast(newIds), Seq("doc_id"), "left_semi")
+    val bandsOld = bands.join(broadcast(newIds), Seq("doc_id"), "left_anti")
+    val cand = bandsNew.alias("a")
+      .join(bandsOld.alias("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    withJaccard(cand, sh)
+      .groupBy(col("id_a").as("new_id"))
+      .agg(max(struct(col("jaccard"), (-col("id_b")).as("nb"),
+        col("id_b"), col("n_inter"))).as("m"))
+      .select(col("new_id"), col("m.id_b").as("match_id"),
+        col("m.n_inter").as("n_inter"), col("m.jaccard").as("jaccard"))
+  }
+
+  val dedupIncrementalSql: String = {
+    val sigCols = (0 until H)
+      .map(i => s"min(substr(md5('$i:' || sh), 1, 16)) AS h$i").mkString(", ")
+    val bandSelects = (0 until BANDS)
+      .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
+      .mkString("\n  UNION ALL ")
+    val candCte =
+      s"""sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |newids AS (SELECT doc_id FROM documents WHERE source IN ('src0', 'src1')),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |  WHERE a.doc_id IN (SELECT doc_id FROM newids)
+         |    AND b.doc_id NOT IN (SELECT doc_id FROM newids))""".stripMargin
+    s"""WITH pairs AS (
+       |${jaccardSql(candCte, 3)}
+       |)
+       |SELECT id_a AS new_id, id_b AS match_id, n_inter, jaccard
+       |FROM (
+       |  SELECT p.*, row_number() OVER (PARTITION BY id_a ORDER BY jaccard DESC, id_b) AS rn
+       |  FROM pairs p) q
+       |WHERE rn = 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
-    "dedup_cdc" -> dedupCdc)
+    "dedup_cdc" -> dedupCdc,
+    "dedup_incremental" -> dedupIncremental)
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_simhash" -> dedupSimhashSql,
-    "dedup_cdc" -> dedupCdcSql)
+    "dedup_cdc" -> dedupCdcSql,
+    "dedup_incremental" -> dedupIncrementalSql)
 }

@@ -106,10 +106,52 @@ object PipelineKeepList {
        |    ON c2.doc_id = d.doc_id)
        |SELECT doc_id, drop_reasons, drop_reasons = '' AS keep FROM led""".stripMargin
 
+  /** Temperature-adjusted data-mixing weights per source shard
+    * (α = 0.5 up-samples rare sources, the standard multi-corpus
+    * sampling device): token-mass shares, then
+    * w_i = share_i^α / Σ share_j^α. Two tiny aggregates (per-source,
+    * then the totals — broadcast back); everything heavy is one
+    * partial-agg'd token-count pass over the corpus. The α-powered
+    * terms are floor-quantized to 1e-15 before the normalizing sum so
+    * the denominator is an INTEGER sum — bit-identical cross-engine
+    * regardless of float summation order. */
+  def pipelineMixWeights: Q = (s, dir) => {
+    val tok = t(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+    val tot = tok.agg(sum(col("n_tokens")).as("tot"))
+    val sh = tok.crossJoin(broadcast(tot))
+      .withColumn("share", expr("CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)"))
+      .withColumn("sqf", expr("CAST(floor(sqrt(share) * 1e15) AS BIGINT)"))
+    val den = sh.agg(sum(col("sqf")).as("den"))
+    sh.crossJoin(broadcast(den))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("share"),
+        expr("CAST(sqf AS DOUBLE) / CAST(den AS DOUBLE)").as("mix_weight"))
+  }
+
+  val pipelineMixWeightsSql: String =
+    """WITH tok AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM tok),
+      |sh AS (
+      |  SELECT tok.*,
+      |    CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e15) AS BIGINT) AS sqf
+      |  FROM tok CROSS JOIN tot),
+      |den AS (SELECT CAST(SUM(sqf) AS BIGINT) AS den FROM sh)
+      |SELECT source, n_docs, n_tokens, share,
+      |  CAST(sqf AS DOUBLE) / CAST(den AS DOUBLE) AS mix_weight
+      |FROM sh CROSS JOIN den""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pipeline_keep_list" -> pipelineKeepList,
-    "pipeline_quality_filter" -> pipelineQualityFilter)
+    "pipeline_quality_filter" -> pipelineQualityFilter,
+    "pipeline_mix_weights" -> pipelineMixWeights)
   val oracles: Map[String, String] = Map(
     "pipeline_keep_list" -> pipelineKeepListSql,
-    "pipeline_quality_filter" -> pipelineQualityFilterSql)
+    "pipeline_quality_filter" -> pipelineQualityFilterSql,
+    "pipeline_mix_weights" -> pipelineMixWeightsSql)
 }

@@ -95,4 +95,27 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = planOf("pipeline_keep_bloom")
     assert(p.contains("might_contain"), "bloom pre-filter missing from the plan")
   }
+
+  test("OOV-rate vocabulary membership join is broadcast") {
+    // vocab is bounded (top-512) — a sort-merge join here would
+    // shuffle every token of the corpus
+    val p = planOf("text_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), "vocab join not broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "vocab limit lost bounded top-k")
+  }
+
+  test("halo grid ops never window over the data after grid construction") {
+    // tableToGrid's one range-sort is inherent to building the demo
+    // grid; the halo operators themselves must add joins, not windows
+    Seq("grid_rolling_mean", "grid_interpolate", "grid_lag_diff").foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("RunningWindowFunction"),
+        s"$name plans a running window over the variable")
+    }
+  }
+
+  test("incremental dedup splits band sides with broadcast semi/anti joins") {
+    val p = planOf("dedup_incremental")
+    assert(p.contains("BroadcastHashJoin"), "new-shard id joins not broadcast")
+  }
 }
