@@ -394,6 +394,28 @@ object Relational {
     * exact decimal-derived double (mean, E[x²]) and /, *, sqrt are
     * exactly-rounded IEEE ops, so z-scores are bit-identical across
     * engines with no rounding crutch. */
+  /** Explicit GROUPING SETS (beyond q8's ROLLUP): per-type, per-bucket
+    * and grand-total aggregates in ONE pass over events — Spark
+    * expands the sets into a single Expand + hash aggregate (no
+    * N-pass union), the same shape DuckDB plans. grouping_id
+    * disambiguates the all-null grand-total row from genuine nulls. */
+  def q25GroupingSets: Q = (s, dir) => {
+    events(s, dir)
+      .withColumn("user_bucket", col("user_id") % 10)
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("user_bucket")), Seq()),
+        col("event_type"), col("user_bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"),
+        grouping_id().as("gid"))
+  }
+
+  val q25Sql: String =
+    """SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS total_value,
+      |  GROUPING(event_type, user_id % 10) AS gid
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())""".stripMargin
+
   def q22ZscoreOutliers: Q = (s, dir) => {
     val e = events(s, dir)
     val stats = e.groupBy(col("event_type").as("et"))
@@ -424,6 +446,7 @@ object Relational {
     "q19_json_extract" -> q19JsonExtract,
     "q21_correlated" -> q21Correlated,
     "q22_zscore_outliers" -> q22ZscoreOutliers,
+    "q25_grouping_sets" -> q25GroupingSets,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3TopK,
     "q4_exists" -> q4Exists,
@@ -446,6 +469,7 @@ object Relational {
     "q19_json_extract" -> q19Sql,
     "q21_correlated" -> q21Sql,
     "q22_zscore_outliers" -> q22Sql,
+    "q25_grouping_sets" -> q25Sql,
     "q1_agg" -> q1Sql,
     "q3_topk" -> q3Sql,
     "q4_exists" -> q4Sql,

@@ -447,9 +447,49 @@ object NcQueries {
       |  CAST(SUM(CAST(record AS DECIMAL(18,0)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS wsum
       |FROM u""".stripMargin
 
+  /** The 100 TB grid-construction path (GridOps.tableToGrid's
+    * scaladoc): when the stream index already EXISTS in the data —
+    * here the netcdf3 source's `record` column — chunked-grid
+    * construction needs NO global sort and NO zipWithIndex count job:
+    * one hash shuffle on chunk_idx, order restored per chunk from the
+    * index itself. Output matches grid_table_to_grid's shape and the
+    * SAME oracle: the sorted write fixes record order = (l_orderkey,
+    * l_linenumber) order. */
+  def gridFromSourceIndex: Q = (s, dir) => {
+    val out = scratch(s, dir, "gridsrc")
+    NcIO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+          col("l_quantity"))
+        .repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber"),
+      out)
+    s.read.format(SRC).load(out)
+      .select(col("record"), col("l_quantity").as("v"))
+      .groupBy(expr("record div 512").as("chunk_idx"))
+      .agg(min(col("record")).as("origin"),
+        count(lit(1)).as("shape"),
+        md5(concat_ws(",", expr(
+          "transform(array_sort(collect_list(struct(record, v))), e -> CAST(CAST(e.v AS INT) AS STRING))")))
+          .as("values_hash"),
+        expr("CAST(SUM(CAST(v AS DECIMAL(9,2))) AS DOUBLE)").as("sum_val"))
+      .select(lit("l_quantity").as("variable"), col("chunk_idx"), col("origin"),
+        col("shape"), col("values_hash"), col("sum_val"))
+  }
+
+  val gridFromSourceIndexSql: String =
+    """WITH o AS (SELECT l_quantity AS v,
+      |  row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS idx
+      |  FROM lineitem)
+      |SELECT 'l_quantity' AS variable, idx // 512 AS chunk_idx,
+      |  MIN(idx) AS origin, COUNT(*) AS shape,
+      |  md5(string_agg(CAST(CAST(v AS INT) AS VARCHAR), ',' ORDER BY idx)) AS values_hash,
+      |  CAST(SUM(CAST(v AS DECIMAL(9,2))) AS DOUBLE) AS sum_val
+      |FROM o GROUP BY idx // 512""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "nc_scale_offset" -> ncScaleOffset,
     "nc_multifile_union" -> ncMultifileUnion,
+    "grid_from_source_index" -> gridFromSourceIndex,
     "nc_write_read_roundtrip" -> ncWriteReadRoundtrip,
     "nc_read_prune" -> ncReadPrune,
     "nc_ndarray_roundtrip" -> ncNdarrayRoundtrip,
@@ -466,6 +506,7 @@ object NcQueries {
   val oracles: Map[String, String] = Map(
     "nc_scale_offset" -> ncScaleOffsetSql,
     "nc_multifile_union" -> ncMultifileUnionSql,
+    "grid_from_source_index" -> gridFromSourceIndexSql,
     "nc_write_read_roundtrip" -> ncWriteReadRoundtripSql,
     "nc_read_prune" -> ncReadPruneSql,
     "nc_ndarray_roundtrip" -> ncNdarrayRoundtripSql,

@@ -118,4 +118,13 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = planOf("dedup_incremental")
     assert(p.contains("BroadcastHashJoin"), "new-shard id joins not broadcast")
   }
+
+  test("source-index grid construction needs no global sort") {
+    // the whole point vs tableToGrid: the stream index comes from the
+    // data, so the read-side plan must hash-shuffle only
+    val p = planOf("grid_from_source_index")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      "grid_from_source_index plans a global range sort")
+    assert(p.contains("partial_"), "chunk aggregation lost its partial phase")
+  }
 }
