@@ -554,7 +554,66 @@ object Similarity {
        |FROM scored WHERE rank <= 3""".stripMargin
   }
 
+  private val KNN_K = 3
+
+  /** Corpus k-NN GRAPH (every vector's 3 nearest banded neighbors) —
+    * the building block of embedding-based cluster dedup and
+    * diversity sampling. Candidates come from the same four 16-bit
+    * sign bands as [[dedupEmbedding]] but DIRECTED (both (a,b) and
+    * (b,a)), so each node ranks its own neighborhood; ranking uses
+    * the bounded [[graft.functions.TopK]] partial aggregate — each
+    * task ships at most k rows per node to the shuffle, where the
+    * window formulation would shuffle every scored candidate edge. */
+  def simKnnGraph: Q = (s, dir) => {
+    val emb = withVec(t(s, dir, "embeddings")).cache() // bands + both score sides
+    val bandCols = (0 until EMB_BANDS).map(b =>
+      struct(lit(b).as("band"), signBand(b).as("bv")))
+    val bands = emb.select(col("vec_id"), explode(array(bandCols: _*)).as("s"))
+      .select(col("vec_id"), col("s.band").as("band"), col("s.bv").as("bv"))
+      .cache() // both sides of the self-join
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("src"), col("v").as("vs"), col("nrm").as("ns")), "src")
+      .join(emb.select(col("vec_id").as("dst"), col("v").as("vd"), col("nrm").as("nd")), "dst")
+      .withColumn("cos_sim", round(vec_dot(col("vs"), col("vd")) / (col("ns") * col("nd")), 6))
+    scored.groupBy("src")
+      .agg(graft.functions.TopK.topk(KNN_K)(col("cos_sim"), col("dst"), col("cos_sim")).as("top"))
+      .select(col("src"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("src"), (col("pos") + 1).as("rank"),
+        col("e._2").as("dst"), col("e._1").as("cos_sim"))
+  }
+
+  val simKnnGraphSql: String = {
+    val dot =
+      s"list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    val bandSelects = (0 until EMB_BANDS)
+      .map(b => s"SELECT vec_id, $b AS band, ${signBandSql(b)} AS bv FROM embeddings")
+      .mkString("\n  UNION ALL ")
+    s"""WITH bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT ba.vec_id AS src, bb.vec_id AS dst
+       |  FROM bands ba JOIN bands bb
+       |    ON ba.band = bb.band AND ba.bv = bb.bv AND ba.vec_id <> bb.vec_id),
+       |scored AS (
+       |  SELECT c.src, c.dst, round($dot / (a.nrm * b.nrm), 6) AS cos_sim
+       |  FROM cand c
+       |  JOIN (SELECT vec_id, embedding, $normSqlDuck AS nrm FROM embeddings) a ON a.vec_id = c.src
+       |  JOIN (SELECT vec_id, embedding, $normSqlDuck AS nrm FROM embeddings) b ON b.vec_id = c.dst)
+       |SELECT src, CAST(rank AS INT) AS rank, dst, cos_sim FROM (
+       |  SELECT src, dst, cos_sim,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS rank
+       |  FROM scored) q
+       |WHERE rank <= $KNN_K""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_knn_graph" -> simKnnGraph,
     "sim_sq_int8" -> simSqInt8,
     "sim_pq_adc" -> simPqAdc,
     "sim_topk_bruteforce" -> simTopKBruteforce,
@@ -563,6 +622,7 @@ object Similarity {
     "dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_graph" -> simKnnGraphSql,
     "sim_sq_int8" -> simSqInt8Sql,
     "sim_pq_adc" -> simPqAdcSql,
     "sim_topk_bruteforce" -> simTopKBruteforceSql,

@@ -94,6 +94,23 @@ object NcIO {
       .map(f => NcFormat.readMeta(fs, f).numRecs).sum
   }
 
+  /** Compact a netcdf3 dir's many small part files into `parts` larger
+    * ones, preserving record order — the maintenance companion of the
+    * streaming sink (per-epoch part files accumulate; small files cost
+    * a scan partition each and metadata reads per file). Range
+    * partitioning on `record` keeps partition i strictly before
+    * partition i+1, so the rewritten dir presents the identical record
+    * sequence; one range shuffle of the data, no driver involvement. */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String, dstDir: String,
+      parts: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("graft.sources.netcdf.NetCDF3Source").load(srcDir)
+    val dataCols = df.columns.filterNot(_ == "record").map(col(_)).toSeq
+    write(df.repartitionByRange(parts, col("record"))
+      .sortWithinPartitions("record")
+      .select(dataCols: _*), dstDir)
+  }
+
   /** MFDataset-style multi-file aggregation: present several netcdf3
     * dirs as ONE dataset along a contiguous record dimension, each
     * dir's records re-based by the cumulative record counts of the

@@ -486,9 +486,39 @@ object NcQueries {
       |  CAST(SUM(CAST(v AS DECIMAL(9,2))) AS DOUBLE) AS sum_val
       |FROM o GROUP BY idx // 512""".stripMargin
 
+  /** Small-file compaction roundtrip: 8 range-ordered small parts (a
+    * streaming sink's epoch residue) compacted to 2 large parts via
+    * [[NcIO.compact]]; the record-ordinal-weighted checksum proves the
+    * rewritten dir presents the IDENTICAL record sequence. */
+  def ncCompact: Q = (s, dir) => {
+    val small = scratch(s, dir, "compact_small")
+    val big = scratch(s, dir, "compact_big")
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+        col("l_quantity"))
+    NcIO.write(li.repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+      .select("l_orderkey", "l_linenumber", "l_quantity"), small)
+    NcIO.compact(s, small, big, parts = 2)
+    s.read.format(SRC).load(big)
+      .agg(count(lit(1)).as("n"),
+        max(col("record")).as("max_record"),
+        sum(col("record").cast(DecimalType(18, 0)) * dec(col("l_quantity")))
+          .cast(DoubleType).as("wsum"))
+  }
+
+  val ncCompactSql: String =
+    """WITH o AS (SELECT l_quantity AS v,
+      |  row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS record
+      |  FROM lineitem)
+      |SELECT COUNT(*) AS n, MAX(record) AS max_record,
+      |  CAST(SUM(CAST(record AS DECIMAL(18,0)) * CAST(v AS DECIMAL(9,2))) AS DOUBLE) AS wsum
+      |FROM o""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "nc_scale_offset" -> ncScaleOffset,
     "nc_multifile_union" -> ncMultifileUnion,
+    "nc_compact" -> ncCompact,
     "grid_from_source_index" -> gridFromSourceIndex,
     "nc_write_read_roundtrip" -> ncWriteReadRoundtrip,
     "nc_read_prune" -> ncReadPrune,
@@ -506,6 +536,7 @@ object NcQueries {
   val oracles: Map[String, String] = Map(
     "nc_scale_offset" -> ncScaleOffsetSql,
     "nc_multifile_union" -> ncMultifileUnionSql,
+    "nc_compact" -> ncCompactSql,
     "grid_from_source_index" -> gridFromSourceIndexSql,
     "nc_write_read_roundtrip" -> ncWriteReadRoundtripSql,
     "nc_read_prune" -> ncReadPruneSql,

@@ -114,6 +114,22 @@ class NcWriteSpec extends AnyFunSuite {
     assert(attrs.contains(("actual_range", 0L)))
   }
 
+  test("compact preserves the record sequence in fewer files") {
+    import graft.sources.netcdf.NcIO
+    val small = "/tmp/graft_nc_spec/compact_small"
+    val big = "/tmp/graft_nc_spec/compact_big"
+    NcIO.write(spark.range(0, 1000).select(col("id").cast("double").as("x"))
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      .select("x"), small)
+    assert(new java.io.File(small).listFiles().count(_.getName.endsWith(".nc")) == 8)
+    NcIO.compact(spark, small, big, parts = 2)
+    assert(new java.io.File(big).listFiles().count(_.getName.endsWith(".nc")) == 2)
+    val back = spark.read.format(SRC).load(big)
+    assert(back.count() == 1000)
+    // every value sits at its own record index — order fully preserved
+    assert(back.filter(col("record").cast("double") === col("x")).count() == 1000)
+  }
+
   test("multifile rebases records contiguously across dirs") {
     import graft.sources.netcdf.NcIO
     val dirA = "/tmp/graft_nc_spec/mf_a"
