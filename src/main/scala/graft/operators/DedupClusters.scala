@@ -106,6 +106,49 @@ object DedupClusters {
        |FROM cc JOIN sizes USING (canonical_id)""".stripMargin
   }
 
-  val queries: Map[String, Q] = Map("dedup_clusters" -> dedupClusters)
-  val oracles: Map[String, String] = Map("dedup_clusters" -> dedupClustersSql)
+  /** Embedding-space cluster dedup driven by the corpus k-NN graph
+    * ([[Similarity.simKnnGraph]]): edges are k-NN entries with
+    * cos_sim >= 0.3 (the same near-dup bar as dedup_embedding), made
+    * undirected, then min-label connected components over all vec_ids.
+    * Composing the BOUNDED k-NN graph (<= k edges per node from banded
+    * candidates) instead of the all-pairs near-dup set keeps the edge
+    * count O(n·k) no matter how dense the similarity neighborhoods get
+    * — the 100 TB-safe cluster-formation shape for embeddings. */
+  def dedupKnnClusters: Q = (s, dir) => {
+    val nodes = t(s, dir, "embeddings").select(col("vec_id").as("id"))
+    val edges = Similarity.simKnnGraph(s, dir)
+      .filter(col("cos_sim") >= 0.3)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val cc = connectedComponents(nodes, edges)
+    val sizes = cc.groupBy("canonical").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "canonical")
+      .select(col("id").as("vec_id"), col("canonical").as("canonical_id"),
+        col("cluster_size"))
+  }
+
+  val dedupKnnClustersSql: String = {
+    val knnSql = Similarity.simKnnGraphSql
+    s"""WITH RECURSIVE knn AS ($knnSql),
+       |edges AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM knn WHERE cos_sim >= 0.3),
+       |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+       |reach(v, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT sym.b, reach.r FROM sym JOIN reach ON reach.v = sym.a),
+       |cc AS (SELECT v AS vec_id, MIN(r) AS canonical_id FROM reach GROUP BY v),
+       |sizes AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM cc GROUP BY canonical_id)
+       |SELECT cc.vec_id, cc.canonical_id, sizes.cluster_size
+       |FROM cc JOIN sizes USING (canonical_id)""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_clusters" -> dedupClusters,
+    "dedup_knn_clusters" -> dedupKnnClusters)
+  val oracles: Map[String, String] = Map(
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_knn_clusters" -> dedupKnnClustersSql)
 }

@@ -206,25 +206,47 @@ object GridOps {
         count(lit(1)).as("blk_n"))
       .select(col("variable"), col("block"), (col("blk_sum") / col("blk_n")).as("blk_mean"))
 
+  /** Generic halo exchange — THE primitive under every chunk-local
+    * sliding-window op ([[rollingMean]], [[interpolate]], [[lagDiff]]):
+    * attach the previous chunk's last `tailN` values as `halo_tail`
+    * and/or the next chunk's first `headN` values as `halo_head` to
+    * each chunk row (empty arrays at the corpus boundaries). Each halo
+    * is a self-join whose right side is O(chunks) tiny rows — the ONLY
+    * data movement any windowed op over a chunked stream needs, where
+    * the naive explode + global ORDER BY window would range-shuffle
+    * the entire variable. Halos must not exceed the minimum chunk size
+    * (a window reaching past the adjacent chunk would need deeper
+    * neighbors). */
+  def haloExchange(grid: DataFrame, tailN: Int, headN: Int): DataFrame = {
+    val empty = expr("CAST(array() AS ARRAY<DOUBLE>)")
+    val withTail =
+      if (tailN <= 0) grid.withColumn("halo_tail", empty)
+      else {
+        val h = grid.select((col("chunk_idx") + 1).as("chunk_idx"),
+          expr(s"slice(values, -least($tailN, size(values)), least($tailN, size(values)))")
+            .as("halo_tail"))
+        grid.join(h, Seq("chunk_idx"), "left")
+          .withColumn("halo_tail", coalesce(col("halo_tail"), empty))
+      }
+    if (headN <= 0) withTail.withColumn("halo_head", empty)
+    else {
+      val h = grid.select((col("chunk_idx") - 1).as("chunk_idx"),
+        expr(s"slice(values, 1, least($headN, size(values)))").as("halo_head"))
+      withTail.join(h, Seq("chunk_idx"), "left")
+        .withColumn("halo_head", coalesce(col("halo_head"), empty))
+    }
+  }
+
   /** Trailing rolling mean (width w) along the streamed dimension,
-    * computed CHUNK-LOCALLY with a halo exchange: each chunk receives
-    * the previous chunk's last w-1 values (a join whose right side is
-    * w-1 doubles per chunk — O(chunks) tiny rows), then the whole
-    * window computation is one map-side `transform`. The naive
-    * formulation — explode to rows + a global ORDER BY window — would
-    * range-shuffle the entire variable; this shape moves only halos,
-    * which is the 100 TB-correct plan for any sliding-window op over a
-    * chunked stream (the reference's windowed reads over a streamed
-    * variable). Sums are decimal-exact so chunk boundaries cannot
-    * perturb float association. */
+    * computed CHUNK-LOCALLY via [[haloExchange]] (tail halo of w-1
+    * values), then one map-side `transform` per chunk. Sums are
+    * decimal-exact so chunk boundaries cannot perturb float
+    * association. */
   def rollingMean(grid: DataFrame, w: Int): DataFrame = {
     val h = w - 1
-    val halo = grid.select((col("chunk_idx") + 1).as("chunk_idx"),
-      expr(s"slice(values, -least($h, size(values)), least($h, size(values)))").as("halo"))
-    grid.join(halo, Seq("chunk_idx"), "left")
-      .withColumn("halo", coalesce(col("halo"), expr("CAST(array() AS ARRAY<DOUBLE>)")))
-      .withColumn("full", concat(col("halo"), col("values")))
-      .withColumn("hl", size(col("halo")))
+    haloExchange(grid, h, 0)
+      .withColumn("full", concat(col("halo_tail"), col("values")))
+      .withColumn("hl", size(col("halo_tail")))
       .select(col("variable"), col("origin"),
         posexplode(expr(
           s"""transform(values, (x, i) -> CAST(aggregate(
@@ -244,12 +266,8 @@ object GridOps {
     * p%k / k are exact binary doubles, and both engines evaluate the
     * identical v_lo*(1-f) + v_hi*f form, so results are bit-equal. */
   def interpolate(grid: DataFrame, k: Int): DataFrame = {
-    val head = grid.select((col("chunk_idx") - 1).as("chunk_idx"),
-      expr("try_element_at(values, 1)").as("next_head"))
-    grid.join(head, Seq("chunk_idx"), "left")
-      .withColumn("full",
-        when(col("next_head").isNotNull, concat(col("values"), array(col("next_head"))))
-          .otherwise(col("values")))
+    haloExchange(grid, 0, 1)
+      .withColumn("full", concat(col("values"), col("halo_head")))
       .select(col("origin"),
         posexplode(expr(
           s"""transform(sequence(0, size(values) * $k - 1), p -> named_struct(
@@ -271,13 +289,9 @@ object GridOps {
     * lag()-based formulation (which would range-shuffle the variable;
     * this ships one double per chunk). */
   def lagDiff(grid: DataFrame): DataFrame = {
-    val halo = grid.select((col("chunk_idx") + 1).as("chunk_idx"),
-      expr("try_element_at(values, size(values))").as("prev"))
-    grid.join(halo, Seq("chunk_idx"), "left")
-      .withColumn("full",
-        when(col("prev").isNotNull, concat(array(col("prev")), col("values")))
-          .otherwise(col("values")))
-      .withColumn("hl", when(col("prev").isNotNull, lit(1)).otherwise(lit(0)))
+    haloExchange(grid, 1, 0)
+      .withColumn("full", concat(col("halo_tail"), col("values")))
+      .withColumn("hl", size(col("halo_tail")))
       .select(col("origin"), col("hl"),
         posexplode(expr(
           """CASE WHEN size(full) < 2 THEN CAST(array() AS ARRAY<DOUBLE>)

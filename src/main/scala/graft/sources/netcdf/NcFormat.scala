@@ -334,7 +334,11 @@ object NcFormat {
       /** typed NC_DOUBLE per-variable attributes (value vectors) —
         * the CF-conventions metadata slots (scale_factor, add_offset,
         * valid_range, …) are typed numerics, not text. */
-      dvatts: Map[String, Seq[(String, Array[Double])]] = Map.empty) {
+      dvatts: Map[String, Seq[(String, Array[Double])]] = Map.empty,
+      /** typed NC_DOUBLE GLOBAL attributes (value vectors) — file-level
+        * numeric metadata (geospatial bounds, grid spacing, version
+        * numbers), the global counterpart of [[dvatts]]. */
+      dgatts: Seq[(String, Array[Double])] = Nil) {
     private val specs: Array[VarSpec] =
       schema.fields.map(f => varSpecOf(f, arrayLens, stringWidth))
     require(vatts.keySet.subsetOf(schema.fieldNames.toSet),
@@ -456,9 +460,13 @@ object NcFormat {
       d.writeInt(TAG_DIM); nn(1L + extraDims.size)
       name("record"); nn(0L)
       extraDims.foreach { case (dn, dl) => name(dn); nn(dl) }
-      // gatt_list: user global attributes
-      if (gatts.isEmpty) { d.writeInt(0); nn(0L) }
-      else { d.writeInt(TAG_ATT); nn(gatts.size.toLong); gatts.foreach(writeCharAttr) }
+      // gatt_list: user global attributes (NC_CHAR text + typed NC_DOUBLE)
+      if (gatts.isEmpty && dgatts.isEmpty) { d.writeInt(0); nn(0L) }
+      else {
+        d.writeInt(TAG_ATT); nn((gatts.size + dgatts.size).toLong)
+        gatts.foreach(writeCharAttr)
+        dgatts.foreach(writeDblAttr)
+      }
       // var_list: record vars then fixed coordinate vars
       d.writeInt(TAG_VAR); nn(schema.size.toLong + fixedVars.size)
       // two passes: sizes depend only on names/types/ranks/attrs, so

@@ -40,7 +40,10 @@ object NcIO {
       compressChunks: Boolean = false,
       /** typed NC_DOUBLE per-variable attributes — CF-conventions
         * numeric metadata (scale_factor, add_offset, valid_range…). */
-      dvatts: Map[String, Seq[(String, Array[Double])]] = Map.empty): Unit = {
+      dvatts: Map[String, Seq[(String, Array[Double])]] = Map.empty,
+      /** typed NC_DOUBLE GLOBAL attributes — file-level numeric
+        * metadata (bounds, grid spacing, version vectors). */
+      dgatts: Seq[(String, Array[Double])] = Nil): Unit = {
     require(!(compress && compressChunks),
       "choose one of compress (.nc.gz) or compressChunks (.ncz)")
     val schema = df.schema
@@ -75,7 +78,7 @@ object NcIO {
     val rdd = df.queryExecution.toRdd // RDD[InternalRow], no extra copy
     rdd.mapPartitionsWithIndex { (pid, rows) =>
       writePartition(schema, dir, pid, rows, chunkBytes, allLens, stringWidth, serConf,
-        gatts, vatts, fixedVars, compress, compressChunks, dvatts)
+        gatts, vatts, fixedVars, compress, compressChunks, dvatts, dgatts)
       Iterator.single(pid)
     }.count() // run the job
     ()
@@ -109,6 +112,43 @@ object NcIO {
     write(df.repartitionByRange(parts, col("record"))
       .sortWithinPartitions("record")
       .select(dataCols: _*), dstDir)
+  }
+
+  /** In-place [[compact]]: rewrite `dir`'s parts into `parts` larger
+    * files through a sibling temp dir, then swap directories (old dir
+    * parked at `.old` until the new one is in place, so a failure
+    * mid-swap can be rolled back and readers never see a half-written
+    * dir under the original name). */
+  def compactInPlace(spark: org.apache.spark.sql.SparkSession, dir: String,
+      parts: Int): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir + s".compact-${java.util.UUID.randomUUID()}")
+    compact(spark, dir, tmp.toString, parts)
+    val old = new Path(dir + ".old")
+    fs.delete(old, true)
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compactInPlace: failed to park $dir")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // roll back
+      throw new java.io.IOException(s"compactInPlace: failed to swap in $tmp")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Size-threshold maintenance hook for streaming sinks: when `dir`
+    * has accumulated more than `maxFiles` part files (per-epoch sink
+    * residue), compact them in place to `parts` files. Returns whether
+    * compaction ran. Call between epochs (e.g. from a foreachBatch
+    * body after the epoch's write) — never while a batch is mid-write
+    * to the same dir. */
+  def compactIfNeeded(spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxFiles: Int, parts: Int): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = fs.listStatus(p).map(_.getPath.getName)
+      .count(f => f.endsWith(".nc") || f.endsWith(".nc.gz") || f.endsWith(".ncz"))
+    if (n > maxFiles) { compactInPlace(spark, dir, parts); true } else false
   }
 
   /** MFDataset-style multi-file aggregation: present several netcdf3
@@ -225,9 +265,10 @@ object NcIO {
       fixedVars: Seq[(String, Array[Double])],
       compress: Boolean,
       compressChunks: Boolean,
-      dvatts: Map[String, Seq[(String, Array[Double])]]): Unit = {
+      dvatts: Map[String, Seq[(String, Array[Double])]],
+      dgatts: Seq[(String, Array[Double])]): Unit = {
     val pf = new NcPartFile(schema, dir, f"part-$pid%05d", chunkBytes, arrayLens,
-      stringWidth, serConf, gatts, vatts, fixedVars, compress, compressChunks, dvatts)
+      stringWidth, serConf, gatts, vatts, fixedVars, compress, compressChunks, dvatts, dgatts)
     try {
       rows.foreach(pf.write)
       pf.commit()
@@ -256,7 +297,8 @@ private[netcdf] final class NcPartFile(
     fixedVars: Seq[(String, Array[Double])],
     compress: Boolean,
     compressChunks: Boolean = false,
-    dvatts: Map[String, Seq[(String, Array[Double])]] = Map.empty) {
+    dvatts: Map[String, Seq[(String, Array[Double])]] = Map.empty,
+    dgatts: Seq[(String, Array[Double])] = Nil) {
 
   private val getters: Array[InternalRow => Any] =
     schema.fields.zipWithIndex.map { case (f, i) =>
@@ -281,7 +323,7 @@ private[netcdf] final class NcPartFile(
     }
   private val local = java.io.File.createTempFile(baseName, ".nc")
   private val writer = new NcFormat.Writer(local.getPath, schema, chunkBytes, arrayLens,
-    stringWidth, gatts, vatts, fixedVars, compressChunks, dvatts)
+    stringWidth, gatts, vatts, fixedVars, compressChunks, dvatts, dgatts)
   private val nFields = schema.size
 
   def write(r: InternalRow): Unit = {

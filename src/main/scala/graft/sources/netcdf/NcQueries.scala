@@ -22,7 +22,7 @@ object NcQueries {
     * directory another JVM is mid-read of. Stable within a session so
     * bench re-runs reuse their own files.
     */
-  private def scratch(s: SparkSession, dir: String, tag: String): String =
+  private[netcdf] def scratch(s: SparkSession, dir: String, tag: String): String =
     s"/tmp/graft_nc/${s.sparkContext.applicationId}/" +
       s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$tag"
 
@@ -161,6 +161,42 @@ object NcQueries {
       |  UNION ALL SELECT 'l_quantity', 'actual_range', 1, NULL, MAX(l_quantity) FROM lineitem
       |  UNION ALL SELECT 'l_extendedprice', 'actual_range', 0, NULL, MIN(l_extendedprice) FROM lineitem
       |  UNION ALL SELECT 'l_extendedprice', 'actual_range', 1, NULL, MAX(l_extendedprice) FROM lineitem)""".stripMargin
+
+  /** Typed NC_DOUBLE GLOBAL attribute round-trip: file-level numeric
+    * metadata (bounds vectors, grid spacing, version numbers) written
+    * alongside an NC_CHAR text attribute into every part file's
+    * gatt_list, read back from the headers. n_files proves each
+    * attribute landed in BOTH part files; min/max of dval prove the
+    * numeric values are file-invariant and bit-exact. */
+  def ncGlobalAttrs: Q = (s, dir) => {
+    val out = scratch(s, dir, "gattrs")
+    NcIO.write(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")).repartition(2),
+      out,
+      gatts = Seq("title" -> "graft global-attr export"),
+      dgatts = Seq(
+        "geospatial_bounds" -> Array(-90.0, 90.0),
+        "grid_spacing" -> Array(0.25),
+        "format_version" -> Array(2.0, 1.0)))
+    NcIO.readAttrs(s, out)
+      .filter(col("var_name") === "GLOBAL")
+      .groupBy("attr_name", "idx")
+      .agg(countDistinct(col("file")).as("n_files"),
+        min(col("sval")).as("sval"),
+        min(col("dval")).as("dval_min"),
+        max(col("dval")).as("dval_max"))
+  }
+
+  val ncGlobalAttrsSql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST('title' AS VARCHAR), CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+      |   CAST('graft global-attr export' AS VARCHAR), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+      |  ('geospatial_bounds', 0, 2, NULL, -90.0, -90.0),
+      |  ('geospatial_bounds', 1, 2, NULL, 90.0, 90.0),
+      |  ('grid_spacing', 0, 2, NULL, 0.25, 0.25),
+      |  ('format_version', 0, 2, NULL, 2.0, 2.0),
+      |  ('format_version', 1, 2, NULL, 1.0, 1.0))
+      |  t(attr_name, idx, n_files, sval, dval_min, dval_max)""".stripMargin
 
   /** Fixed (non-record) variable round-trip: a coordinate variable is
     * laid out between header and record data, replicated per part
@@ -334,6 +370,50 @@ object NcQueries {
   }
 
   val streamNcSinkSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sum_disc
+      |FROM lineitem""".stripMargin
+
+  /** Streaming sink + automatic compaction: the source is rate-limited
+    * to ONE part file per trigger (`maxFilesPerTrigger` admission
+    * control), so the sink accumulates per-epoch small files — the
+    * real residue of a long-running streaming write — and the
+    * [[NcIO.compactIfNeeded]] maintenance hook (the foreachBatch-shaped
+    * trigger) then rewrites them in place into 2 large parts. The
+    * read-back must still match the original parquet: multi-epoch
+    * ingest, threshold trigger, and in-place dir swap are all lossless. */
+  def streamCompactAuto: Q = (s, dir) => {
+    val src = scratch(s, dir, "compauto_src")
+    val out = scratch(s, dir, "compauto_out")
+    val ckpt = scratch(s, dir, "compauto_ckpt")
+    NcIO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
+        .repartition(3),
+      src)
+    val q = s.readStream.format(SRC)
+      .option("maxfilespertrigger", "1")
+      .option("recordsperpartition", "8192") // several sink files per epoch
+      .load(src)
+      .drop("record")
+      .writeStream.format(SRC)
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val compacted = NcIO.compactIfNeeded(s, out, maxFiles = 4, parts = 2)
+    require(compacted, s"expected >4 per-epoch part files in $out — " +
+      "rate-limited ingest should have left one file set per epoch")
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_discount")).as("sum_disc"))
+  }
+
+  val streamCompactAutoSql: String =
     """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sum_disc
@@ -525,13 +605,15 @@ object NcQueries {
     "nc_ndarray_roundtrip" -> ncNdarrayRoundtrip,
     "nc_string_roundtrip" -> ncStringRoundtrip,
     "nc_attrs_roundtrip" -> ncAttrsRoundtrip,
+    "nc_global_attrs" -> ncGlobalAttrs,
     "nc_fixed_roundtrip" -> ncFixedRoundtrip,
     "nc_gzip_roundtrip" -> ncGzipRoundtrip,
     "nc_sorted_skip" -> ncSortedSkip,
     "nc_dsv2_write_roundtrip" -> ncDsv2WriteRoundtrip,
     "nc_ncz_roundtrip" -> ncNczRoundtrip,
     "stream_nc_ingest" -> streamNcIngest,
-    "stream_nc_sink" -> streamNcSink)
+    "stream_nc_sink" -> streamNcSink,
+    "stream_compact_auto" -> streamCompactAuto)
 
   val oracles: Map[String, String] = Map(
     "nc_scale_offset" -> ncScaleOffsetSql,
@@ -543,11 +625,13 @@ object NcQueries {
     "nc_ndarray_roundtrip" -> ncNdarrayRoundtripSql,
     "nc_string_roundtrip" -> ncStringRoundtripSql,
     "nc_attrs_roundtrip" -> ncAttrsRoundtripSql,
+    "nc_global_attrs" -> ncGlobalAttrsSql,
     "nc_fixed_roundtrip" -> ncFixedRoundtripSql,
     "nc_gzip_roundtrip" -> ncGzipRoundtripSql,
     "nc_sorted_skip" -> ncSortedSkipSql,
     "nc_dsv2_write_roundtrip" -> ncDsv2WriteRoundtripSql,
     "nc_ncz_roundtrip" -> ncNczRoundtripSql,
     "stream_nc_ingest" -> streamNcIngestSql,
-    "stream_nc_sink" -> streamNcSinkSql)
+    "stream_nc_sink" -> streamNcSinkSql,
+    "stream_compact_auto" -> streamCompactAutoSql)
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
@@ -278,7 +278,7 @@ case class NcOffset(fileCount: Int) extends Offset {
   * file's base index is the cumulative record count of all files
   * before it in sorted order. */
 class NcMicroBatchStream(dir: String, required: StructType, options: Map[String, String],
-    serConf: SerializableHadoopConf) extends MicroBatchStream {
+    serConf: SerializableHadoopConf) extends MicroBatchStream with SupportsAdmissionControl {
 
   private def fs =
     new Path(dir).getFileSystem(SparkContext.getOrCreate().hadoopConfiguration)
@@ -291,6 +291,27 @@ class NcMicroBatchStream(dir: String, required: StructType, options: Map[String,
 
   override def initialOffset(): Offset = NcOffset(0)
   override def latestOffset(): Offset = NcOffset(files.size)
+
+  /** Rate limiting (`maxFilesPerTrigger` option): cap how many new
+    * part files each micro-batch admits — the standard back-pressure
+    * lever when a burst of files lands on a continuously-ingesting
+    * stream (without it, one giant catch-up batch monopolizes the
+    * cluster and checkpoint progress becomes all-or-nothing). */
+  override def getDefaultReadLimit: ReadLimit =
+    options.get("maxfilespertrigger")
+      .map(n => ReadLimit.maxFiles(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[NcOffset].fileCount
+    limit match {
+      case mf: ReadMaxFiles => NcOffset(math.min(files.size, s + mf.maxFiles()))
+      case _ => NcOffset(files.size)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = NcOffset(files.size)
+
   override def deserializeOffset(json: String): Offset =
     NcOffset("\\d+".r.findFirstIn(json).map(_.toInt).getOrElse(0))
   override def commit(end: Offset): Unit = ()
