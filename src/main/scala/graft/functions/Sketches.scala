@@ -209,12 +209,67 @@ object Sketches {
       |      / CAST(c.cnt AS DOUBLE)) AS est_q
       |FROM sel JOIN c ON c.bin = sel.bin CROSS JOIN st""".stripMargin
 
+  private val CMS_D = 4
+  private val CMS_W = 512
+
+  /** Count-min sketch: frequency estimation for heavy hitters in
+    * D×W = 4×512 longs of state, mergeable by cell-wise addition —
+    * the constant-memory companion to the exact [[graft.functions
+    * .TextOps]] top-terms (exact counting holds the full vocabulary;
+    * the CMS holds 2k cells no matter the vocabulary size). Each
+    * token increments one bucket per hash row (md5-derived, so the
+    * DuckDB oracle replays the exact sketch); a point query takes the
+    * MIN over its D cells — an upper bound on the true count, never
+    * under. The query reports the top-10 exact terms alongside their
+    * CMS estimates, so the gate checks both the sketch contents and
+    * the estimator.
+    *
+    * Scale shape: building the sketch is one map-side-combined
+    * groupBy onto ≤ D·W keys (partial aggs shrink every task's
+    * contribution to ≤2k rows); the probe side is driver-scale and
+    * the sketch itself is broadcast to the probe join. */
+  def sketchCms: Q = (s, dir) => {
+    def buckets = array((0 until CMS_D).map(d =>
+      conv(substring(md5(concat(lit(s"$d:"), col("tok"))), 1, 8), 16, 10)
+        .cast(LongType) % CMS_W): _*)
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok")).cache() // sketch + probes
+    val sketch = toks.select(posexplode(buckets).as(Seq("d", "bucket")))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
+    val probes = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok").asc).limit(10)
+    probes.select(col("tok"), col("exact_n"), posexplode(buckets).as(Seq("d", "bucket")))
+      .join(broadcast(sketch), Seq("d", "bucket"))
+      .groupBy("tok", "exact_n").agg(min(col("cnt")).as("est_n"))
+  }
+
+  val sketchCmsSql: String = {
+    def bucketSql(tokRef: String) =
+      s"CAST('0x' || substr(md5(CAST(g.d AS VARCHAR) || ':' || $tokRef), 1, 8) AS BIGINT) % $CMS_W"
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |keyed AS (
+       |  SELECT g.d, ${bucketSql("toks.tok")} AS bucket
+       |  FROM toks CROSS JOIN generate_series(0, ${CMS_D - 1}) g(d)),
+       |sketch AS (SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+       |           FROM keyed GROUP BY d, bucket),
+       |probes AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+       |           FROM toks GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT 10),
+       |pk AS (
+       |  SELECT p.tok, p.exact_n, g.d, ${bucketSql("p.tok")} AS bucket
+       |  FROM probes p CROSS JOIN generate_series(0, ${CMS_D - 1}) g(d))
+       |SELECT pk.tok, pk.exact_n, MIN(s.cnt) AS est_n
+       |FROM pk JOIN sketch s USING (d, bucket)
+       |GROUP BY pk.tok, pk.exact_n""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "sketch_cms" -> sketchCms,
     "sketch_kmv_distinct" -> sketchKmvDistinct,
     "sketch_kmv_merge" -> sketchKmvMerge,
     "sketch_quantile" -> sketchQuantile,
     "sketch_histogram_quantile" -> sketchHistogramQuantile)
   val oracles: Map[String, String] = Map(
+    "sketch_cms" -> sketchCmsSql,
     "sketch_kmv_distinct" -> sketchKmvDistinctSql,
     "sketch_kmv_merge" -> sketchKmvMergeSql,
     "sketch_quantile" -> sketchQuantileSql,

@@ -484,7 +484,124 @@ object TextOps {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
       |  WHERE len(ws) >= 3)""".stripMargin
 
+  /** Quality-decile bucketing WITHOUT a global sort — how you decile
+    * 100 TB: (1) one partial-agg stats pass over the quality score,
+    * (2) a 64-bin mergeable histogram (map-side agg onto ≤64 keys),
+    * (3) the nine decile boundaries interpolated from the 64-row
+    * histogram (the [[Sketches.sketchHistogramQuantile]] estimator),
+    * (4) boundary vector BROADCAST and each doc's bucket = count of
+    * boundaries ≤ its score (a map-side array scan), (5) per-bucket
+    * stats. The ntile() formulation would range-shuffle every row;
+    * here the corpus is touched by exactly three scans, all
+    * partial-aggregating, and nothing wider than 64 rows ever sits in
+    * one place. */
+  def pipelineQualityBuckets: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .withColumn("n_words", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("n_stop",
+        expr(s"size(filter(split(text, ' '), w -> w IN (${sqlList(stoplist)})))")
+          .cast(LongType))
+      .select(col("doc_id"), col("n_words"),
+        (least(col("n_words") / 50.0, lit(1.0)) * 0.4
+          + (col("n_stop") / col("n_words")) * 0.3
+          + least(((length(col("text")) - (col("n_words") - 1)) / col("n_words")) / 8.0,
+            lit(1.0)) * 0.3).as("score"))
+      .cache() // stats + histogram + assignment passes
+    val st = docs.agg(min(col("score")).as("lo"), max(col("score")).as("hi"),
+        count(lit(1)).as("n"))
+      .withColumn("w", expr("(hi - lo) / CAST(64 AS DOUBLE)"))
+    val hist = docs.crossJoin(broadcast(st))
+      .select(expr("CAST(least(floor((score - lo) / w), CAST(63 AS DOUBLE)) AS BIGINT)")
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val cum = hist.select(col("bin"), col("cnt"),
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+        .orderBy("bin").rowsBetween(Long.MinValue, 0)).as("cum"))
+    import s.implicits._
+    val qs = (1 to 9).map(_ / 10.0).toDF("p")
+    val sel = cum.crossJoin(broadcast(st)).crossJoin(broadcast(qs))
+      .filter(expr("CAST(cum AS DOUBLE) >= p * CAST(n AS DOUBLE)"))
+      .groupBy("p").agg(min(col("bin")).as("bin"))
+    val bounds = sel.join(cum, "bin").crossJoin(broadcast(st))
+      .select(expr("""lo + w * (CAST(bin AS DOUBLE)
+                     |  + (p * CAST(n AS DOUBLE) - (CAST(cum AS DOUBLE) - CAST(cnt AS DOUBLE)))
+                     |    / CAST(cnt AS DOUBLE))""".stripMargin).as("q"))
+      .agg(sort_array(collect_list(col("q"))).as("bs"))
+    docs.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr("CAST(size(filter(bs, b -> b <= score)) AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"),
+        sum(col("n_words")).as("total_words"))
+  }
+
+  val pipelineQualityBucketsSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, n_words,
+       |    least(n_words / 50.0, 1.0) * 0.4
+       |      + (n_stop / n_words) * 0.3
+       |      + least(((length(text) - (n_words - 1)) / n_words) / 8.0, 1.0) * 0.3 AS score
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |      CAST(len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(stoplist)}))) AS BIGINT) AS n_stop
+       |    FROM documents) sub),
+       |st AS (SELECT MIN(score) AS lo, MAX(score) AS hi, COUNT(*) AS n,
+       |              (MAX(score) - MIN(score)) / CAST(64 AS DOUBLE) AS w FROM docs),
+       |b AS (SELECT CAST(LEAST(FLOOR((docs.score - st.lo) / st.w), CAST(63 AS DOUBLE)) AS BIGINT) AS bin,
+       |             COUNT(*) AS cnt
+       |      FROM docs CROSS JOIN st GROUP BY 1),
+       |c AS (SELECT bin, cnt, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM b),
+       |q AS (SELECT UNNEST([CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE), CAST(0.3 AS DOUBLE),
+       |                     CAST(0.4 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
+       |                     CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p),
+       |sel AS (SELECT q.p, MIN(c.bin) AS bin
+       |        FROM q, c, st WHERE CAST(c.cum AS DOUBLE) >= q.p * CAST(st.n AS DOUBLE)
+       |        GROUP BY q.p),
+       |bq AS (SELECT st.lo + st.w * (CAST(sel.bin AS DOUBLE)
+       |         + (sel.p * CAST(st.n AS DOUBLE) - (CAST(c.cum AS DOUBLE) - CAST(c.cnt AS DOUBLE)))
+       |           / CAST(c.cnt AS DOUBLE)) AS q
+       |       FROM sel JOIN c ON c.bin = sel.bin CROSS JOIN st),
+       |bs AS (SELECT list(q ORDER BY q) AS bs FROM bq)
+       |SELECT CAST(len(list_filter(bs.bs, bb -> bb <= docs.score)) AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_docs, MIN(docs.score) AS min_score, MAX(docs.score) AS max_score,
+       |  CAST(SUM(docs.n_words) AS BIGINT) AS total_words
+       |FROM docs CROSS JOIN bs
+       |GROUP BY 1""".stripMargin
+
+  /** Lexical-diversity signals: type-token ratio (distinct / total
+    * whitespace tokens) and hapax ratio (share of types occurring
+    * exactly once) — standard quality features for filtering
+    * low-diversity (spammy, template-generated) documents. One
+    * explode + two partial-agg groupBys; ratios are single double
+    * divisions rounded to 6 so both engines agree bit-for-bit. */
+  def textTtr: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast(DoubleType) / col("n_tokens"), 6).as("ttr"),
+        round(col("n_hapax").cast(DoubleType) / col("n_types"), 6).as("hapax_ratio"))
+  }
+
+  val textTtrSql: String =
+    """SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  round(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr,
+      |  round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS hapax_ratio
+      |FROM (
+      |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok)
+      |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "pipeline_quality_buckets" -> pipelineQualityBuckets,
+    "text_ttr" -> textTtr,
     "pipeline_pack_sequences" -> pipelinePackSequences,
     "pipeline_pack_bins" -> pipelinePackBins,
     "text_repetition" -> textRepetition,
@@ -500,6 +617,8 @@ object TextOps {
     "dedup_exact" -> dedupExact)
 
   val oracles: Map[String, String] = Map(
+    "pipeline_quality_buckets" -> pipelineQualityBucketsSql,
+    "text_ttr" -> textTtrSql,
     "pipeline_pack_sequences" -> pipelinePackSequencesSql,
     "pipeline_pack_bins" -> pipelinePackBinsSql,
     "text_repetition" -> textRepetitionSql,

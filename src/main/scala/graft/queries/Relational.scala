@@ -416,6 +416,56 @@ object Relational {
       |FROM events
       |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())""".stripMargin
 
+  /** PIVOT: return-flag categories become columns in one grouped pass
+    * — Spark's `pivot` with an explicit value list compiles to a
+    * single hash aggregate over CASE projections (no per-category
+    * scan, no join), the identical shape to the oracle's CASE sums.
+    * Combos absent from the data (e.g. linestatus O × flag A) are NULL
+    * on both sides. */
+  def q26Pivot: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum(col("l_quantity")))
+      .withColumnRenamed("A", "qty_a")
+      .withColumnRenamed("N", "qty_n")
+      .withColumnRenamed("R", "qty_r")
+
+  val q26Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(9,2)) END) AS DOUBLE) AS qty_a,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(9,2)) END) AS DOUBLE) AS qty_n,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(9,2)) END) AS DOUBLE) AS qty_r
+      |FROM lineitem
+      |GROUP BY l_linestatus""".stripMargin
+
+  /** Time-RANGE window frame (vs q7's ROWS frame): per-user trailing
+    * 1-hour event count and value sum, the standard "activity in the
+    * last hour" feature. The frame is bounded by event-TIME distance,
+    * not row count, and ties at the same microsecond are peers in both
+    * engines, so results are order-insensitive. Exact integer
+    * microseconds (unix_micros ↔ epoch_us) keep the frame arithmetic
+    * bit-equal. Scale: the window partitions by user_id — per-key
+    * state only, the shuffle is the same hash partitioning any
+    * per-user aggregation needs. */
+  def q27RangeWindow: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-3600000000L, 0)
+    events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("n_prev_hour", count(lit(1)).over(w))
+      .withColumn("val_prev_hour", sum(dec(col("value"))).over(w).cast(DoubleType))
+      .select("event_id", "user_id", "ts_us", "n_prev_hour", "val_prev_hour")
+  }
+
+  val q27Sql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |  COUNT(*) OVER w AS n_prev_hour,
+      |  CAST(SUM(CAST(value AS DECIMAL(9,2))) OVER w AS DOUBLE) AS val_prev_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   def q22ZscoreOutliers: Q = (s, dir) => {
     val e = events(s, dir)
     val stats = e.groupBy(col("event_type").as("et"))
@@ -463,7 +513,9 @@ object Relational {
     "q15_union" -> q15Union,
     "q16_scalar_subq" -> q16ScalarSubq,
     "q17_events_hourly" -> q17EventsHourly,
-    "q18_sessionize" -> q18Sessionize)
+    "q18_sessionize" -> q18Sessionize,
+    "q26_pivot" -> q26Pivot,
+    "q27_range_window" -> q27RangeWindow)
 
   val oracles: Map[String, String] = Map(
     "q19_json_extract" -> q19Sql,
@@ -486,5 +538,7 @@ object Relational {
     "q15_union" -> q15Sql,
     "q16_scalar_subq" -> q16Sql,
     "q17_events_hourly" -> q17Sql,
-    "q18_sessionize" -> q18Sql)
+    "q18_sessionize" -> q18Sql,
+    "q26_pivot" -> q26Sql,
+    "q27_range_window" -> q27Sql)
 }

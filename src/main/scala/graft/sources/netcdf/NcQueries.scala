@@ -339,6 +339,37 @@ object NcQueries {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
       |FROM lineitem""".stripMargin
 
+  /** DSv2 append-mode write: two separate `.mode("append")` jobs land
+    * disjoint halves (even/odd order keys) into ONE dir — the
+    * incremental-ingest surface (each batch's part files coexist;
+    * task-level temp renames keep retries atomic). The read-back
+    * aggregate over the union must match the whole table. Same-name
+    * parts REPLACE by design (retry idempotence), so each append job
+    * passes a distinct `partPrefix`. */
+  def ncAppendRoundtrip: Q = (s, dir) => {
+    val out = scratch(s, dir, "append")
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    li.filter(col("l_orderkey") % 2 === 0).repartition(2)
+      .write.format(SRC).mode("overwrite").save(out)
+    li.filter(col("l_orderkey") % 2 === 1).repartition(2)
+      .write.format(SRC).mode("append")
+      .option("partprefix", "b")
+      .save(out)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val ncAppendRoundtripSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem""".stripMargin
+
   /** Streaming NetCDF *sink* (the reference's headline streaming-write
     * semantics as a `writeStream` surface): netcdf3 → netcdf3 streaming
     * copy. Source part files stream in micro-batches through the DSv2
@@ -394,7 +425,6 @@ object NcQueries {
       src)
     val q = s.readStream.format(SRC)
       .option("maxfilespertrigger", "1")
-      .option("recordsperpartition", "8192") // several sink files per epoch
       .load(src)
       .drop("record")
       .writeStream.format(SRC)
@@ -402,9 +432,18 @@ object NcQueries {
       .option("checkpointLocation", ckpt)
       .start()
     try q.processAllAvailable() finally q.stop()
-    val compacted = NcIO.compactIfNeeded(s, out, maxFiles = 4, parts = 2)
-    require(compacted, s"expected >4 per-epoch part files in $out — " +
-      "rate-limited ingest should have left one file set per epoch")
+    // 3 rate-limited epochs leave >= 3 files at any sf (each epoch
+    // appends >= 1 part), so a threshold of 2 trips the hook on the
+    // first run; re-runs in the same session (bench best-of-2, plan
+    // audits) find the checkpointed stream adds nothing and the dir
+    // already at its 2 compacted files. The invariant either way:
+    // after the hook, the dir is within the file budget.
+    NcIO.compactIfNeeded(s, out, maxFiles = 2, parts = 2)
+    val outFs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val nParts = outFs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .count(_.getPath.getName.endsWith(".nc"))
+    require(nParts <= 2, s"compaction hook left $nParts part files in $out")
     s.read.format(SRC).load(out)
       .agg(
         count(lit(1)).as("n"),
@@ -610,6 +649,7 @@ object NcQueries {
     "nc_gzip_roundtrip" -> ncGzipRoundtrip,
     "nc_sorted_skip" -> ncSortedSkip,
     "nc_dsv2_write_roundtrip" -> ncDsv2WriteRoundtrip,
+    "nc_append_roundtrip" -> ncAppendRoundtrip,
     "nc_ncz_roundtrip" -> ncNczRoundtrip,
     "stream_nc_ingest" -> streamNcIngest,
     "stream_nc_sink" -> streamNcSink,
@@ -630,6 +670,7 @@ object NcQueries {
     "nc_gzip_roundtrip" -> ncGzipRoundtripSql,
     "nc_sorted_skip" -> ncSortedSkipSql,
     "nc_dsv2_write_roundtrip" -> ncDsv2WriteRoundtripSql,
+    "nc_append_roundtrip" -> ncAppendRoundtripSql,
     "nc_ncz_roundtrip" -> ncNczRoundtripSql,
     "stream_nc_ingest" -> streamNcIngestSql,
     "stream_nc_sink" -> streamNcSinkSql,

@@ -114,12 +114,19 @@ private[netcdf] case class NcWriterFactory(schema: StructType, dir: String,
     options: Map[String, String], serConf: SerializableHadoopConf)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
+  /** Optional `partPrefix` option: distinguishes part names across
+    * separate append jobs into the same dir (same-name parts REPLACE
+    * by design — that is what makes task/epoch retries idempotent — so
+    * independent appends must not share names). */
+  private def prefix: String = options.get("partprefix").map(p => s"$p-").getOrElse("")
+
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new NcDataWriter(schema, dir, f"part-$partitionId%05d", options, serConf)
+    new NcDataWriter(schema, dir, s"part-$prefix" + f"$partitionId%05d", options, serConf)
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new NcDataWriter(schema, dir, f"part-e$epochId%05d-$partitionId%05d", options, serConf)
+    new NcDataWriter(schema, dir, s"part-$prefix" + f"e$epochId%05d-$partitionId%05d",
+      options, serConf)
 }
 
 /** One part file per non-empty task. The underlying [[NcPartFile]] is

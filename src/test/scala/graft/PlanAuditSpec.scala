@@ -127,4 +127,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "grid_from_source_index plans a global range sort")
     assert(p.contains("partial_"), "chunk aggregation lost its partial phase")
   }
+
+  test("CMS probes rank via TakeOrderedAndProject and join the broadcast sketch") {
+    val p = planOf("sketch_cms")
+    assert(p.contains("TakeOrderedAndProject"),
+      "probe selection plans a global sort")
+    assert(p.contains("BroadcastHashJoin"), "sketch lookup not broadcast")
+    assert(p.contains("partial_"), "sketch build lost map-side combine")
+  }
+
+  test("quality-decile bucketing never range-shuffles the corpus") {
+    // the ntile() formulation would plan a rangepartitioning exchange
+    // over every row; the histogram-boundary formulation must not
+    val p = planOf("pipeline_quality_buckets")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      "quality bucketing plans a corpus-wide range sort")
+    assert(p.contains("partial_"), "bucket stats lost partial aggregation")
+  }
+
+  test("knn-cluster dedup ranks neighbors via the bounded TopK aggregate") {
+    val p = planOf("dedup_knn_clusters")
+    assert(p.contains("partial_topkaggregator"),
+      "k-NN edge ranking lost its bounded partial aggregation")
+  }
 }
