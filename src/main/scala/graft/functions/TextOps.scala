@@ -495,18 +495,26 @@ object TextOps {
     * here the corpus is touched by exactly three scans, all
     * partial-aggregating, and nothing wider than 64 rows ever sits in
     * one place. */
-  def pipelineQualityBuckets: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
+  /** (doc_id, source, n_words, score) with the composite quality
+    * score — shared base of the decile operators. */
+  private def qualityDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .withColumn("n_words", size(split(col("text"), " ")).cast(LongType))
       .withColumn("n_stop",
         expr(s"size(filter(split(text, ' '), w -> w IN (${sqlList(stoplist)})))")
           .cast(LongType))
-      .select(col("doc_id"), col("n_words"),
+      .select(col("doc_id"), col("source"), col("n_words"),
         (least(col("n_words") / 50.0, lit(1.0)) * 0.4
           + (col("n_stop") / col("n_words")) * 0.3
           + least(((length(col("text")) - (col("n_words") - 1)) / col("n_words")) / 8.0,
             lit(1.0)) * 0.3).as("score"))
-      .cache() // stats + histogram + assignment passes
+
+  /** One-row DataFrame holding the 9 decile boundaries of `score` as a
+    * sorted array `bs`, estimated from a 64-bin mergeable histogram
+    * (the sketchHistogramQuantile closed form — constant state, no
+    * global sort). */
+  private def decileBounds(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     val st = docs.agg(min(col("score")).as("lo"), max(col("score")).as("hi"),
         count(lit(1)).as("n"))
       .withColumn("w", expr("(hi - lo) / CAST(64 AS DOUBLE)"))
@@ -522,12 +530,16 @@ object TextOps {
     val sel = cum.crossJoin(broadcast(st)).crossJoin(broadcast(qs))
       .filter(expr("CAST(cum AS DOUBLE) >= p * CAST(n AS DOUBLE)"))
       .groupBy("p").agg(min(col("bin")).as("bin"))
-    val bounds = sel.join(cum, "bin").crossJoin(broadcast(st))
+    sel.join(cum, "bin").crossJoin(broadcast(st))
       .select(expr("""lo + w * (CAST(bin AS DOUBLE)
                      |  + (p * CAST(n AS DOUBLE) - (CAST(cum AS DOUBLE) - CAST(cnt AS DOUBLE)))
                      |    / CAST(cnt AS DOUBLE))""".stripMargin).as("q"))
       .agg(sort_array(collect_list(col("q"))).as("bs"))
-    docs.crossJoin(broadcast(bounds))
+  }
+
+  def pipelineQualityBuckets: Q = (s, dir) => {
+    val docs = qualityDocs(s, dir).cache() // stats + histogram + assignment passes
+    docs.crossJoin(broadcast(decileBounds(docs)))
       .withColumn("bucket", expr("CAST(size(filter(bs, b -> b <= score)) AS BIGINT)"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),
@@ -569,6 +581,77 @@ object TextOps {
        |FROM docs CROSS JOIN bs
        |GROUP BY 1""".stripMargin
 
+  /** Per-decile hex thresholds for the md5-bucket sampler: decile b
+    * keeps ~b/10 of its docs (floor(256·b/10) as two hex chars, the
+    * same string-comparison device as pipeline_sample_stratified). */
+  private val decileThresholds: Seq[String] = (0 to 9).map(b => f"${b * 256 / 10}%02x")
+
+  /** Quality-weighted sampling: compose the decile assignment
+    * ([[pipelineQualityBuckets]]'s boundary machinery) with the
+    * deterministic md5-threshold sampler — higher-quality deciles keep
+    * a larger fraction (decile b keeps ≈b/10), the standard
+    * quality-curriculum downsampling move. Per (source, decile) cell
+    * the plan reports corpus size, the integer target floor(n·b/10),
+    * and the count actually selected by the hash threshold — both
+    * engines materialize the identical sample set, so the gate checks
+    * the selection itself, not just its size. Everything is map-side
+    * after the broadcast boundary join; one groupBy on (source,
+    * bucket) ends the plan. */
+  def pipelineSampleByQuality: Q = (s, dir) => {
+    val docs = qualityDocs(s, dir).cache()
+    val thr = decileThresholds.map(t => s"'$t'").mkString(", ")
+    docs.crossJoin(broadcast(decileBounds(docs)))
+      .withColumn("bucket", expr("CAST(size(filter(bs, b -> b <= score)) AS BIGINT)"))
+      .withColumn("sampled",
+        expr(s"substring(md5(concat('qs:', CAST(doc_id AS STRING))), 1, 2)") <
+          expr(s"element_at(array($thr), CAST(bucket AS INT) + 1)"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(count(*) * first(bucket) div 10 AS BIGINT)").as("target_n"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("sampled_n"))
+  }
+
+  val pipelineSampleByQualitySql: String = {
+    val thr = decileThresholds.map(t => s"'$t'").mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |    least(n_words / 50.0, 1.0) * 0.4
+       |      + (n_stop / n_words) * 0.3
+       |      + least(((length(text) - (n_words - 1)) / n_words) / 8.0, 1.0) * 0.3 AS score
+       |  FROM (
+       |    SELECT doc_id, source, text,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |      CAST(len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(stoplist)}))) AS BIGINT) AS n_stop
+       |    FROM documents) sub),
+       |st AS (SELECT MIN(score) AS lo, MAX(score) AS hi, COUNT(*) AS n,
+       |              (MAX(score) - MIN(score)) / CAST(64 AS DOUBLE) AS w FROM docs),
+       |b AS (SELECT CAST(LEAST(FLOOR((docs.score - st.lo) / st.w), CAST(63 AS DOUBLE)) AS BIGINT) AS bin,
+       |             COUNT(*) AS cnt
+       |      FROM docs CROSS JOIN st GROUP BY 1),
+       |c AS (SELECT bin, cnt, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM b),
+       |q AS (SELECT UNNEST([CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE), CAST(0.3 AS DOUBLE),
+       |                     CAST(0.4 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
+       |                     CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p),
+       |sel AS (SELECT q.p, MIN(c.bin) AS bin
+       |        FROM q, c, st WHERE CAST(c.cum AS DOUBLE) >= q.p * CAST(st.n AS DOUBLE)
+       |        GROUP BY q.p),
+       |bq AS (SELECT st.lo + st.w * (CAST(sel.bin AS DOUBLE)
+       |         + (sel.p * CAST(st.n AS DOUBLE) - (CAST(c.cum AS DOUBLE) - CAST(c.cnt AS DOUBLE)))
+       |           / CAST(c.cnt AS DOUBLE)) AS q
+       |       FROM sel JOIN c ON c.bin = sel.bin CROSS JOIN st),
+       |bs AS (SELECT list(q ORDER BY q) AS bs FROM bq),
+       |assigned AS (
+       |  SELECT docs.doc_id, docs.source, docs.score,
+       |    CAST(len(list_filter(bs.bs, bb -> bb <= docs.score)) AS BIGINT) AS bucket
+       |  FROM docs CROSS JOIN bs)
+       |SELECT source, bucket, COUNT(*) AS n_docs,
+       |  CAST(COUNT(*) * bucket // 10 AS BIGINT) AS target_n,
+       |  CAST(SUM(CASE WHEN substr(md5('qs:' || CAST(doc_id AS VARCHAR)), 1, 2)
+       |    < ([$thr])[CAST(bucket AS INT) + 1] THEN 1 ELSE 0 END) AS BIGINT) AS sampled_n
+       |FROM assigned
+       |GROUP BY source, bucket""".stripMargin
+  }
+
   /** Lexical-diversity signals: type-token ratio (distinct / total
     * whitespace tokens) and hapax ratio (share of types occurring
     * exactly once) — standard quality features for filtering
@@ -601,6 +684,7 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "pipeline_quality_buckets" -> pipelineQualityBuckets,
+    "pipeline_sample_by_quality" -> pipelineSampleByQuality,
     "text_ttr" -> textTtr,
     "pipeline_pack_sequences" -> pipelinePackSequences,
     "pipeline_pack_bins" -> pipelinePackBins,
@@ -618,6 +702,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "pipeline_quality_buckets" -> pipelineQualityBucketsSql,
+    "pipeline_sample_by_quality" -> pipelineSampleByQualitySql,
     "text_ttr" -> textTtrSql,
     "pipeline_pack_sequences" -> pipelinePackSequencesSql,
     "pipeline_pack_bins" -> pipelinePackBinsSql,

@@ -301,6 +301,45 @@ object GridOps {
       .select((col("origin") - col("hl") + col("pos") + 1).as("idx"), col("delta"))
   }
 
+  /** Bounded forward-fill along the streamed dimension: missing values
+    * (sentinel -1) take the nearest preceding present value within
+    * window w, chunk-locally via [[haloExchange]] (tail halo of w-1
+    * values) — the standard gap-repair op for sensor/time-series
+    * variables, and the third distinct consumer of the halo
+    * combinator (mean, diff, fill). A position with no donor in its
+    * window stays null. */
+  def fillForward(grid: DataFrame, w: Int): DataFrame = {
+    val h = w - 1
+    haloExchange(grid, h, 0)
+      .withColumn("full", concat(col("halo_tail"), col("values")))
+      .withColumn("hl", size(col("halo_tail")))
+      .select(col("origin"),
+        posexplode(expr(
+          s"""transform(values, (x, i) -> try_element_at(
+             |  filter(slice(full, greatest(1, hl + i + 1 - $h),
+             |               hl + i + 2 - greatest(1, hl + i + 1 - $h)),
+             |         y -> y >= 0), -1))""".stripMargin))
+          .as(Seq("pos", "filled")))
+      .select((col("origin") + col("pos")).as("idx"), col("filled"))
+  }
+
+  /** Quantity grid with value 49 as the synthetic missing sentinel
+    * (-1): exercises fill-forward against the lag-window oracle. */
+  def gridFillForward: Q = (s, dir) => {
+    val g = qtyGrid(s, dir)
+      .withColumn("values",
+        expr("transform(values, v -> CASE WHEN CAST(v AS INT) = 49 THEN CAST(-1 AS DOUBLE) ELSE v END)"))
+    fillForward(g, 8)
+  }
+
+  val gridFillForwardSql: String =
+    s"""WITH $orderedCte,
+       |m AS (SELECT idx, CASE WHEN CAST(v AS INT) = 49 THEN NULL ELSE v END AS v FROM o)
+       |SELECT idx,
+       |  last_value(v IGNORE NULLS) OVER (ORDER BY idx
+       |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS filled
+       |FROM m""".stripMargin
+
   def gridLagDiff: Q = (s, dir) =>
     lagDiff(qtyGrid(s, dir))
 
@@ -380,6 +419,7 @@ object GridOps {
       |GROUP BY e.rec // 256, e.pos // 16, s.nrc""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "grid_fill_forward" -> gridFillForward,
     "grid_lag_diff" -> gridLagDiff,
     "grid_rolling_mean" -> gridRollingMean,
     "grid_interpolate" -> gridInterpolate,
@@ -392,6 +432,7 @@ object GridOps {
     "grid_stats" -> gridStats)
 
   val oracles: Map[String, String] = Map(
+    "grid_fill_forward" -> gridFillForwardSql,
     "grid_lag_diff" -> gridLagDiffSql,
     "grid_rolling_mean" -> gridRollingMeanSql,
     "grid_interpolate" -> gridInterpolateSql,

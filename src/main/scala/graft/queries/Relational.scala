@@ -466,6 +466,34 @@ object Relational {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** INTERSECT / EXCEPT set operations: nations that supply parts but
+    * have no customers, and nations doing both — the ANSI set-op
+    * surface (DISTINCT semantics on both engines). Spark plans these
+    * as left-semi / left-anti hash joins over the distinct keys, the
+    * same shuffle any distinct needs; dimension-scale inputs here. */
+  def q28IntersectExcept: Q = (s, dir) => {
+    val supNations = t(s, dir, "supplier").join(t(s, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"))
+    val custNations = t(s, dir, "customer").join(t(s, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"))
+    supNations.intersect(custNations).withColumn("op", lit("both"))
+      .unionAll(supNations.except(custNations).withColumn("op", lit("supplier_only")))
+      .select(col("op"), col("n_name"))
+  }
+
+  val q28Sql: String =
+    """SELECT 'both' AS op, n_name FROM (
+      |  SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  INTERSECT
+      |  SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey)
+      |UNION ALL
+      |SELECT 'supplier_only' AS op, n_name FROM (
+      |  SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  EXCEPT
+      |  SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey)""".stripMargin
+
   def q22ZscoreOutliers: Q = (s, dir) => {
     val e = events(s, dir)
     val stats = e.groupBy(col("event_type").as("et"))
@@ -515,7 +543,8 @@ object Relational {
     "q17_events_hourly" -> q17EventsHourly,
     "q18_sessionize" -> q18Sessionize,
     "q26_pivot" -> q26Pivot,
-    "q27_range_window" -> q27RangeWindow)
+    "q27_range_window" -> q27RangeWindow,
+    "q28_intersect_except" -> q28IntersectExcept)
 
   val oracles: Map[String, String] = Map(
     "q19_json_extract" -> q19Sql,
@@ -540,5 +569,6 @@ object Relational {
     "q17_events_hourly" -> q17Sql,
     "q18_sessionize" -> q18Sql,
     "q26_pivot" -> q26Sql,
-    "q27_range_window" -> q27Sql)
+    "q27_range_window" -> q27Sql,
+    "q28_intersect_except" -> q28Sql)
 }

@@ -153,7 +153,13 @@ object NcFormat {
   /** .ncz footer magic ("GRFZ"). Tail layout, all big-endian:
     * ... blocks ... | footer | footerStart: long | magic: int
     * footer = nBlocks: int, recordsPerBlock: long,
-    *          then per block (fileOffset: long, compLen: int, nRecs: int). */
+    *          then per block (fileOffset: long, compLen: int, nRecs: int).
+    * A NEGATIVE compLen marks a STORED (uncompressed) block of
+    * -compLen bytes: the writer keeps a block raw when deflate fails
+    * to shrink it (already-compressed or high-entropy payloads), so
+    * incompressible data costs zero inflation overhead on read and
+    * never grows on disk. Older files (all-positive lens) read
+    * unchanged. */
   val NCZ_MAGIC = 0x4752465A
 
   case class NczIndex(recordsPerBlock: Long, blocks: Array[(Long, Int, Int)])
@@ -410,10 +416,19 @@ object NcFormat {
 
     private def flushBlock(): Unit = if (blockRecs > 0) {
       blockOut.flush()
-      val comp = deflate(blockBytes.toByteArray)
-      out.write(comp)
-      blockIndex += ((filePos, comp.length, blockRecs))
-      filePos += comp.length
+      val raw = blockBytes.toByteArray
+      val comp = deflate(raw)
+      // store-vs-deflate per block: keep raw when deflate doesn't
+      // shrink (negative compLen in the index marks a stored block)
+      if (comp.length < raw.length) {
+        out.write(comp)
+        blockIndex += ((filePos, comp.length, blockRecs))
+        filePos += comp.length
+      } else {
+        out.write(raw)
+        blockIndex += ((filePos, -raw.length, blockRecs))
+        filePos += raw.length
+      }
       blockBytes.reset()
       blockRecs = 0
     }
@@ -729,22 +744,30 @@ object NcFormat {
       val rpb = nczIdx.recordsPerBlock
       val b = (next / rpb).toInt
       val (off, clen, nrecs) = nczIdx.blocks(b)
-      val comp = new Array[Byte](clen)
-      seekTo(off)
-      raf.readFully(comp)
-      pos += clen
       val rawLen = nrecs * recSize.toInt
       if (buf.length < rawLen) buf = new Array[Byte](rawLen)
-      val inf = new java.util.zip.Inflater()
-      inf.setInput(comp)
-      var filled = 0
-      while (filled < rawLen && !inf.finished()) {
-        val n = inf.inflate(buf, filled, rawLen - filled)
-        if (n == 0 && inf.needsInput()) throw new EOFException(s"truncated .ncz block $b in $path")
-        filled += n
+      if (clen < 0) {
+        // stored block (incompressible): raw bytes, no inflation
+        require(-clen == rawLen, s"$path block $b: stored ${-clen} != $rawLen bytes")
+        seekTo(off)
+        raf.readFully(buf, 0, rawLen)
+        pos += rawLen
+      } else {
+        val comp = new Array[Byte](clen)
+        seekTo(off)
+        raf.readFully(comp)
+        pos += clen
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(comp)
+        var filled = 0
+        while (filled < rawLen && !inf.finished()) {
+          val n = inf.inflate(buf, filled, rawLen - filled)
+          if (n == 0 && inf.needsInput()) throw new EOFException(s"truncated .ncz block $b in $path")
+          filled += n
+        }
+        inf.end()
+        require(filled == rawLen, s"$path block $b: inflated $filled of $rawLen bytes")
       }
-      inf.end()
-      require(filled == rawLen, s"$path block $b: inflated $filled of $rawLen bytes")
       val startInBlock = (next - b * rpb).toInt
       val n = math.min(nrecs.toLong - startInBlock, r1 - next).toInt
       // shift the in-range records to the front so slot offsets (which

@@ -58,28 +58,84 @@ object NcSel {
     * (ties: smaller coordinate value, then smaller record index), as a
     * one-row DataFrame of the full record plus `dist`. */
   def nearest(spark: SparkSession, dir: String, coordVar: String,
+      target: Double): DataFrame =
+    nearestAll(spark, dir, coordVar, Seq(target)).drop("target")
+
+  /** Multi-target [[nearest]] in ONE scan: per-target guaranteed
+    * distances come from the same header metadata pass, the scan
+    * filter is the OR of the per-target windows (zone maps still
+    * prune files outside every window), and each surviving record is
+    * fanned out only to the targets whose window contains it — then
+    * one groupBy(target) min_by partial aggregate ranks all targets
+    * at once. N nearest-neighbor lookups cost one corpus pass instead
+    * of N. */
+  def nearestAll(spark: SparkSession, dir: String, coordVar: String,
+      targets: Seq[Double]): DataFrame = {
+    require(targets.nonEmpty, "nearestAll needs at least one target")
+    val ranges = coordRanges(spark, dir, coordVar)
+    require(ranges.nonEmpty, s"no zone-map ranges for $coordVar in $dir")
+    val windows = targets.map { t =>
+      // endpoint distance, NOT 0 on containment: actual_range bounds
+      // are real values, containment only says a closer one MIGHT exist
+      val d = ranges.map { case (mn, mx) =>
+        math.min(math.abs(t - mn), math.abs(t - mx))
+      }.min
+      (t, t - d, math.nextUp(t + d))
+    }
+    val c = col(coordVar).cast(DoubleType)
+    val anyWindow = windows.map { case (_, lo, hi) => c >= lo && c < hi }.reduce(_ || _)
+    val scan = spark.read.format(SRC).load(dir).filter(anyWindow)
+    val fanned = scan.select(col("*"), explode(array(windows.map { case (t, lo, hi) =>
+      when(c >= lo && c < hi, lit(t)).otherwise(lit(null).cast(DoubleType))
+    }: _*)).as("target"))
+      .filter(col("target").isNotNull)
+      .withColumn("dist", abs(c - col("target")))
+    val cols = scan.columns
+    val all = struct((cols :+ "dist").map(col): _*)
+    val ord = struct(col("dist"), c, col("record"))
+    fanned.groupBy("target").agg(min_by(all, ord).as("best"))
+      .select(col("target"), col("best.*"))
+  }
+
+  /** Value interpolation at `target`: find the bracketing records
+    * (greatest coord ≤ t, least coord > t — ties resolved toward the
+    * smaller record index) and linearly interpolate `valueVar`
+    * between them; clamp to the single bracket at the corpus edges.
+    * Pruning mirrors [[nearestAll]]: per-side guaranteed distances
+    * from the zone-map endpoints bound a [t−Db, t+Da] window, and the
+    * bracket search is two null-skipping MIN aggregates over
+    * conditional structs — one pruned scan, no sort. */
+  def interp(spark: SparkSession, dir: String, coordVar: String, valueVar: String,
       target: Double): DataFrame = {
     val ranges = coordRanges(spark, dir, coordVar)
     require(ranges.nonEmpty, s"no zone-map ranges for $coordVar in $dir")
-    // both endpoints are actual values, so every file guarantees a
-    // record within min(|t-min|, |t-max|) of the target — NOT 0 when
-    // the target merely falls inside the range (containment only says
-    // a closer value is possible, not that one exists)
-    val d = ranges.map { case (mn, mx) =>
-      math.min(math.abs(target - mn), math.abs(target - mx))
-    }.min
-    val scan = range(spark, dir, coordVar, target - d, math.nextUp(target + d))
-      .withColumn("dist", abs(col(coordVar).cast(DoubleType) - target))
-    val cols = scan.columns
-    val all = struct(cols.map(col): _*)
-    val ord = struct(col("dist"), col(coordVar).cast(DoubleType), col("record"))
-    scan.agg(min_by(all, ord).as("best")).select(col("best.*"))
+    // guaranteed below-distance: any file whose min ≤ t has a real
+    // value ≤ t at distance ≤ t − (max ≤ t ? max : min); same above
+    val db = ranges.collect { case (mn, mx) if mn <= target =>
+      target - (if (mx <= target) mx else mn)
+    }.minOption
+    val da = ranges.collect { case (mn, mx) if mx > target =>
+      (if (mn > target) mn else mx) - target
+    }.minOption
+    val lo = db.map(target - _).getOrElse(target)
+    val hi = da.map(d => math.nextUp(target + d)).getOrElse(math.nextUp(target))
+    val c = col(coordVar).cast(DoubleType)
+    val scan = spark.read.format(SRC).load(dir).filter(c >= lo && c < hi)
+    val v = col(valueVar).cast(DoubleType)
+    val below = min(when(c <= target, struct((lit(target) - c).as("d"), col("record"),
+      c.as("c"), v.as("v")))).as("lo")
+    val above = min(when(c > target, struct((c - lit(target)).as("d"), col("record"),
+      c.as("c"), v.as("v")))).as("hi")
+    scan.agg(below, above)
+      .select(lit(target).as("target"),
+        col("lo.c").as("c_lo"), col("lo.v").as("v_lo"),
+        col("hi.c").as("c_hi"), col("hi.v").as("v_hi"),
+        when(col("hi.c").isNull, col("lo.v"))
+          .when(col("lo.c").isNull, col("hi.v"))
+          .otherwise(col("lo.v") + (col("hi.v") - col("lo.v"))
+            * (lit(target) - col("lo.c")) / (col("hi.c") - col("lo.c")))
+          .as("ival"))
   }
-
-  private def selNearestOne(s: SparkSession, out: String, target: Double): DataFrame =
-    nearest(s, out, "l_orderkey", target)
-      .select(lit(target).as("target"), col("record"), col("l_orderkey"),
-        col("l_quantity"), col("dist"))
 
   /** Driver-contract query: range-bucketed sorted write (disjoint
     * per-file zone maps), then nearest-record selection for three
@@ -87,7 +143,8 @@ object NcSel {
     * integer keys (tie broken toward the smaller coordinate), one far
     * beyond the corpus maximum (nearest = last record of the max key).
     * The oracle replays each selection as an ORDER BY abs-distance
-    * LIMIT 1 over the globally sorted rows. */
+    * LIMIT 1 over the globally sorted rows. All three targets resolve
+    * in ONE pruned scan via [[nearestAll]]. */
   def ncSelCoord: (SparkSession, String) => DataFrame = (s, dir) => {
     import graft.Tables.t
     val out = NcQueries.scratch(s, dir, "sel_coord")
@@ -98,7 +155,9 @@ object NcSel {
         .repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
         .sortWithinPartitions("l_orderkey", "l_linenumber"),
       out)
-    Seq(1234.0, 1500.5, 1.0e9).map(selNearestOne(s, out, _)).reduce(_.unionAll(_))
+    nearestAll(s, out, "l_orderkey", Seq(1234.0, 1500.5, 1.0e9))
+      .select(col("target"), col("record"), col("l_orderkey"), col("l_quantity"),
+        col("dist"))
   }
 
   val ncSelCoordSql: String =
@@ -110,7 +169,46 @@ object NcSel {
       |  SELECT record, l_orderkey, l_quantity, abs(l_orderkey - t.target) AS dist
       |  FROM o ORDER BY abs(l_orderkey - t.target), l_orderkey, record LIMIT 1) b""".stripMargin
 
+  /** Interpolating selection over the same range-bucketed sorted
+    * write: four targets — below the corpus minimum (clamps to the
+    * first bracket), an exact coordinate hit (interpolation degenerates
+    * to the exact value), a mid-gap target (true linear blend), and
+    * beyond the maximum (clamps high). The oracle replays each bracket
+    * as two LATERAL ORDER-BY-LIMIT-1 lookups. */
+  def ncSelInterp: (SparkSession, String) => DataFrame = (s, dir) => {
+    import graft.Tables.t
+    val out = NcQueries.scratch(s, dir, "sel_interp")
+    NcIO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast(org.apache.spark.sql.types.LongType)
+          .as("l_linenumber"), col("l_quantity"))
+        .repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber"),
+      out)
+    Seq(-5.0, 1234.0, 1500.5, 1.0e9)
+      .map(interp(s, out, "l_orderkey", "l_quantity", _))
+      .reduce(_.unionAll(_))
+  }
+
+  val ncSelInterpSql: String =
+    """WITH o AS (SELECT l_orderkey, l_quantity,
+      |  row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS record
+      |  FROM lineitem),
+      |t(target) AS (VALUES (-5.0), (1234.0), (1500.5), (1.0e9))
+      |SELECT t.target, lo.c AS c_lo, lo.v AS v_lo, hi.c AS c_hi, hi.v AS v_hi,
+      |  CASE WHEN hi.c IS NULL THEN lo.v
+      |       WHEN lo.c IS NULL THEN hi.v
+      |       ELSE lo.v + (hi.v - lo.v) * (t.target - lo.c) / (hi.c - lo.c) END AS ival
+      |FROM t
+      |LEFT JOIN LATERAL (
+      |  SELECT CAST(l_orderkey AS DOUBLE) AS c, l_quantity AS v FROM o
+      |  WHERE l_orderkey <= t.target ORDER BY l_orderkey DESC, record LIMIT 1) lo ON true
+      |LEFT JOIN LATERAL (
+      |  SELECT CAST(l_orderkey AS DOUBLE) AS c, l_quantity AS v FROM o
+      |  WHERE l_orderkey > t.target ORDER BY l_orderkey, record LIMIT 1) hi ON true""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("nc_sel_coord" -> ncSelCoord)
-  val oracles: Map[String, String] = Map("nc_sel_coord" -> ncSelCoordSql)
+    Map("nc_sel_coord" -> ncSelCoord, "nc_sel_interp" -> ncSelInterp)
+  val oracles: Map[String, String] =
+    Map("nc_sel_coord" -> ncSelCoordSql, "nc_sel_interp" -> ncSelInterpSql)
 }

@@ -98,4 +98,38 @@ class NczSpec extends AnyFunSuite {
     val s2 = back.select(sum(expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + x)"))).head()
     assert(back.count() == emb.count() && s1 == s2)
   }
+
+  test("incompressible blocks are stored raw (negative index len) and roundtrip") {
+    import graft.sources.netcdf.NcFormat
+    val dir = "/tmp/graft_nc_spec/ncz_stored"
+    // high-entropy payload: ONLY md5-derived longs, full 64 bits each,
+    // under per-column string namespaces — numeric salts (id + k)
+    // would make column B of row i EQUAL column A of row i+k, feeding
+    // LZ77 enough repeats to halve the block (verified: 2.2x)
+    def h(ns: String) =
+      s"shiftleft(CAST(CONV(SUBSTRING(md5(concat('$ns:', CAST(id AS STRING))), 1, 15), 16, 10) AS BIGINT), 4)" +
+        s" | CAST(CONV(SUBSTRING(md5(concat('$ns:', CAST(id AS STRING))), 16, 1), 16, 10) AS BIGINT)"
+    val noisy = spark.range(0, 5000).selectExpr(
+      s"${h("a")} AS h1", s"${h("b")} AS h2", s"${h("c")} AS h3")
+    NcIO.write(noisy.repartition(1), dir, compressChunks = true)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new Path(dir)).map(_.getPath)
+      .find(_.getName.endsWith(".ncz")).get
+    val idx = NcFormat.readNczIndex(fs, part)
+    assert(idx.blocks.exists(_._2 < 0),
+      "expected at least one stored (negative-length) block for high-entropy data")
+    val back = spark.read.format(SRC).load(dir)
+    assert(back.count() == 5000)
+    def s(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(col("h1").cast("decimal(38,0)")), sum(col("h2").cast("decimal(38,0)")),
+        sum(col("h3").cast("decimal(38,0)"))).head()
+    assert(s(noisy) == s(back))
+    // and compressible data still deflates (both paths coexist)
+    val dir2 = "/tmp/graft_nc_spec/ncz_mixed_codec"
+    NcIO.write(li.repartition(1), dir2, compressChunks = true)
+    val part2 = fs.listStatus(new Path(dir2)).map(_.getPath)
+      .find(_.getName.endsWith(".ncz")).get
+    assert(NcFormat.readNczIndex(fs, part2).blocks.exists(_._2 > 0),
+      "compressible lineitem blocks should still deflate")
+  }
 }

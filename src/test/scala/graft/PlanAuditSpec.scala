@@ -145,8 +145,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "bucket stats lost partial aggregation")
   }
 
-  test("knn-cluster dedup ranks neighbors via the bounded TopK aggregate") {
-    val p = planOf("dedup_knn_clusters")
+  test("knn graph ranks neighbors via the bounded TopK aggregate") {
+    // dedup_knn_clusters' own final plan is a checkpointed-RDD scan
+    // (the CC loop truncates lineage by design), so the bounded-edge
+    // property is pinned on the edge-producing query it composes
+    val p = planOf("sim_knn_graph")
     assert(p.contains("partial_topkaggregator"),
       "k-NN edge ranking lost its bounded partial aggregation")
   }
