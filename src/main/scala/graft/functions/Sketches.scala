@@ -262,14 +262,58 @@ object Sketches {
        |GROUP BY pk.tok, pk.exact_n""".stripMargin
   }
 
+  /** Streaming CMS build: the identical D×W sketch accumulated by a
+    * Structured Streaming aggregation (complete mode — the sketch IS
+    * the running state, ≤2k cells regardless of stream length) over a
+    * file stream of the corpus, probed batch-side after the stream
+    * drains. The final rows must equal the batch [[sketchCms]] exactly
+    * — same oracle — proving the sketch is stream-accumulable with no
+    * semantic drift (the mergeability claim, exercised through Spark's
+    * own incremental execution). */
+  def streamCms: Q = (s, dir) => {
+    def buckets = array((0 until CMS_D).map(d =>
+      conv(substring(md5(concat(lit(s"$d:"), col("tok"))), 1, 8), 16, 10)
+        .cast(LongType) % CMS_W): _*)
+    val docsPath = s"$dir/documents.parquet"
+    // the file-stream source requires a DIRECTORY: stage the (small)
+    // corpus file into an app-scoped scratch dir once per session
+    val stageDir = s"/tmp/graft_cms/${s.sparkContext.applicationId}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val hconf = s.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(stageDir, "documents.parquet")
+    val fs = dst.getFileSystem(hconf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(stageDir))
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(docsPath), fs, dst, false, true, hconf)
+    val sch = s.read.parquet(docsPath).schema
+    val sketchStream = s.readStream.schema(sch).parquet(stageDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(posexplode(buckets).as(Seq("d", "bucket")))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
+    val q = sketchStream.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_cms").start()
+    try q.processAllAvailable() finally q.stop()
+    val sketch = s.table("graft_stream_cms")
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val probes = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok").asc).limit(10)
+    probes.select(col("tok"), col("exact_n"), posexplode(buckets).as(Seq("d", "bucket")))
+      .join(broadcast(sketch), Seq("d", "bucket"))
+      .groupBy("tok", "exact_n").agg(min(col("cnt")).as("est_n"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sketch_cms" -> sketchCms,
+    "stream_cms" -> streamCms,
     "sketch_kmv_distinct" -> sketchKmvDistinct,
     "sketch_kmv_merge" -> sketchKmvMerge,
     "sketch_quantile" -> sketchQuantile,
     "sketch_histogram_quantile" -> sketchHistogramQuantile)
   val oracles: Map[String, String] = Map(
     "sketch_cms" -> sketchCmsSql,
+    "stream_cms" -> sketchCmsSql, // identical output to the batch build
+
     "sketch_kmv_distinct" -> sketchKmvDistinctSql,
     "sketch_kmv_merge" -> sketchKmvMergeSql,
     "sketch_quantile" -> sketchQuantileSql,

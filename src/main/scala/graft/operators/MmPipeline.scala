@@ -168,12 +168,50 @@ object MmPipeline {
       |    64 + (ascii(substr(text, 1, 1)) * 31 + ascii(substr(text, length(text), 1))) % 512 AS height
       |  FROM documents)""".stripMargin
 
+  /** Perceptual-bucket near-dup detection over DECODED features — the
+    * media analogue of text near-dup: coarse feature quantization
+    * (width/64, height/64, mean_intensity/4) buckets visually-similar
+    * payloads, then groups with ≥2 members report size and canonical
+    * doc. In a real deployment the features are a perceptual hash from
+    * the codec; the stub's pseudo-features keep the plumbing
+    * oracle-checkable. Shuffle carries only (bucket key, doc_id) — the
+    * whole point of deduping features instead of payloads. */
+  def mmDedupFeatures: Q = (s, dir) => {
+    import s.implicits._
+    val input = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("image/stub").as("mime"))
+      .as[MmInput]
+    decodePipeline(input).toDF()
+      .groupBy((col("width") / 64).cast("bigint").as("wb"),
+        (col("height") / 64).cast("bigint").as("hb"),
+        floor(col("mean_intensity") / 4).cast("bigint").as("ib"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  val mmDedupFeaturesSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    64 + length(text) % 512 AS width,
+      |    64 + (ascii(substr(text, 1, 1)) * 31 + ascii(substr(text, length(text), 1))) % 512 AS height,
+      |    list_sum(list_transform(generate_series(1, length(text)), i -> ascii(substr(text, i, 1)))) / length(text) AS mean_intensity
+      |  FROM documents)
+      |SELECT CAST(width // 64 AS BIGINT) AS wb, CAST(height // 64 AS BIGINT) AS hb,
+      |  CAST(FLOOR(mean_intensity / 4) AS BIGINT) AS ib,
+      |  COUNT(*) AS n_docs, MIN(doc_id) AS canonical
+      |FROM f
+      |GROUP BY 1, 2, 3
+      |HAVING COUNT(*) >= 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm_decode_pipeline" -> mmDecodePipeline,
     "mm_frame_sample" -> mmFrameSample,
-    "mm_resize" -> mmResize)
+    "mm_resize" -> mmResize,
+    "mm_dedup_features" -> mmDedupFeatures)
   val oracles: Map[String, String] = Map(
     "mm_decode_pipeline" -> mmDecodePipelineSql,
     "mm_frame_sample" -> mmFrameSampleSql,
-    "mm_resize" -> mmResizeSql)
+    "mm_resize" -> mmResizeSql,
+    "mm_dedup_features" -> mmDedupFeaturesSql)
 }

@@ -494,6 +494,31 @@ object Relational {
       |  EXCEPT
       |  SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey)""".stripMargin
 
+  /** Latest record per key — the most common table-maintenance query
+    * (current state from an event log). The scale-correct plan is a
+    * max_by PARTIAL AGGREGATE (each task ships one candidate row per
+    * key), not the row_number()-window formulation, which range-sorts
+    * every partition's full event history. Tie-break (ts, event_id)
+    * makes the winner total-ordered; the oracle replays the window
+    * form, proving the two formulations agree. */
+  def q29LatestPerKey: Q = (s, dir) =>
+    events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_id"), col("ts_us"), col("event_type"), col("value")),
+        struct(col("ts_us"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("last.event_id").as("event_id"),
+        col("last.ts_us").as("ts_us"), col("last.event_type").as("event_type"),
+        col("last.value").as("value"))
+
+  val q29Sql: String =
+    """SELECT user_id, event_id, ts_us, event_type, value FROM (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events) sub WHERE rn = 1""".stripMargin
+
   def q22ZscoreOutliers: Q = (s, dir) => {
     val e = events(s, dir)
     val stats = e.groupBy(col("event_type").as("et"))
@@ -544,7 +569,8 @@ object Relational {
     "q18_sessionize" -> q18Sessionize,
     "q26_pivot" -> q26Pivot,
     "q27_range_window" -> q27RangeWindow,
-    "q28_intersect_except" -> q28IntersectExcept)
+    "q28_intersect_except" -> q28IntersectExcept,
+    "q29_latest_per_key" -> q29LatestPerKey)
 
   val oracles: Map[String, String] = Map(
     "q19_json_extract" -> q19Sql,
@@ -570,5 +596,6 @@ object Relational {
     "q18_sessionize" -> q18Sql,
     "q26_pivot" -> q26Sql,
     "q27_range_window" -> q27Sql,
-    "q28_intersect_except" -> q28Sql)
+    "q28_intersect_except" -> q28Sql,
+    "q29_latest_per_key" -> q29Sql)
 }
