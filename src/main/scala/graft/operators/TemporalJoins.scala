@@ -72,6 +72,32 @@ object TemporalJoins {
 
   private val HOUR_US = 3600L * 1000000L
 
+  /** As-of join with a TOLERANCE bound (pandas merge_asof(tolerance=…)
+    * semantics): the matched most-recent click is kept only when it
+    * falls within 1 hour of the error — older matches null out, while
+    * the error row itself survives. A pure map-side post-filter on the
+    * [[asofJoin]] composition, so the scale shape is unchanged. */
+  def asofTolerance: Q = (s, dir) => {
+    val in = asofJoin(s, dir)
+      .withColumn("in_tol", col("click_ts").isNotNull &&
+        (unix_micros(col("err_ts")) - unix_micros(col("click_ts")) <= HOUR_US))
+    in.select(col("event_id"), col("user_id"), col("err_ts"),
+      when(col("in_tol"), col("click_id")).as("click_id"),
+      when(col("in_tol"), col("click_ts")).as("click_ts"),
+      when(col("in_tol"), col("click_value")).as("click_value"))
+  }
+
+  val asofToleranceSql: String =
+    s"""WITH asof AS ($asofJoinSql)
+       |SELECT event_id, user_id, err_ts,
+       |  CASE WHEN epoch_us(err_ts) - epoch_us(click_ts) <= ${HOUR_US}
+       |       THEN click_id END AS click_id,
+       |  CASE WHEN epoch_us(err_ts) - epoch_us(click_ts) <= ${HOUR_US}
+       |       THEN click_ts END AS click_ts,
+       |  CASE WHEN epoch_us(err_ts) - epoch_us(click_ts) <= ${HOUR_US}
+       |       THEN click_value END AS click_value
+       |FROM asof""".stripMargin
+
   /** For every error event: count + value sum of the user's events in
     * the preceding hour [err_ts - 1h, err_ts). */
   def rangeJoin: Q = (s, dir) => {
@@ -109,9 +135,11 @@ object TemporalJoins {
 
   val queries: Map[String, Q] = Map(
     "q23_asof_join" -> asofJoin,
-    "q24_range_join" -> rangeJoin)
+    "q24_range_join" -> rangeJoin,
+    "q30_asof_tolerance" -> asofTolerance)
 
   val oracles: Map[String, String] = Map(
     "q23_asof_join" -> asofJoinSql,
-    "q24_range_join" -> rangeJoinSql)
+    "q24_range_join" -> rangeJoinSql,
+    "q30_asof_tolerance" -> asofToleranceSql)
 }

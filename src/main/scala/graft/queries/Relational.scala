@@ -519,6 +519,33 @@ object Relational {
       |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
       |  FROM events) sub WHERE rn = 1""".stripMargin
 
+  /** Null-semantics coverage: NULL as a grouping key plus a NULL-SAFE
+    * join (`<=>` ↔ IS NOT DISTINCT FROM) — the NULL group from each
+    * side must join to the other's NULL group instead of dropping, the
+    * difference between `=` and null-safe equality that silently loses
+    * rows in real pipelines. */
+  def q31NullSafeJoin: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val a = li.select(expr("nullif(l_linestatus, 'O')").as("ls_a"), col("l_quantity"))
+      .groupBy("ls_a").agg(count(lit(1)).as("n_a"), dsum(col("l_quantity")).as("qty_a"))
+    val b = li.select(expr("nullif(l_linestatus, 'F')").as("ls_b"), col("l_extendedprice"))
+      .groupBy("ls_b").agg(count(lit(1)).as("n_b"), dsum(col("l_extendedprice")).as("price_b"))
+    a.join(b, col("ls_a") <=> col("ls_b"), "full_outer")
+      .select(col("ls_a"), col("ls_b"), col("n_a"), col("qty_a"), col("n_b"), col("price_b"))
+  }
+
+  val q31Sql: String =
+    """WITH a AS (
+      |  SELECT NULLIF(l_linestatus, 'O') AS ls_a, COUNT(*) AS n_a,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS qty_a
+      |  FROM lineitem GROUP BY 1),
+      |b AS (
+      |  SELECT NULLIF(l_linestatus, 'F') AS ls_b, COUNT(*) AS n_b,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS price_b
+      |  FROM lineitem GROUP BY 1)
+      |SELECT ls_a, ls_b, n_a, qty_a, n_b, price_b
+      |FROM a FULL OUTER JOIN b ON a.ls_a IS NOT DISTINCT FROM b.ls_b""".stripMargin
+
   def q22ZscoreOutliers: Q = (s, dir) => {
     val e = events(s, dir)
     val stats = e.groupBy(col("event_type").as("et"))
@@ -570,7 +597,8 @@ object Relational {
     "q26_pivot" -> q26Pivot,
     "q27_range_window" -> q27RangeWindow,
     "q28_intersect_except" -> q28IntersectExcept,
-    "q29_latest_per_key" -> q29LatestPerKey)
+    "q29_latest_per_key" -> q29LatestPerKey,
+    "q31_null_safe_join" -> q31NullSafeJoin)
 
   val oracles: Map[String, String] = Map(
     "q19_json_extract" -> q19Sql,
@@ -597,5 +625,6 @@ object Relational {
     "q26_pivot" -> q26Sql,
     "q27_range_window" -> q27Sql,
     "q28_intersect_except" -> q28Sql,
-    "q29_latest_per_key" -> q29Sql)
+    "q29_latest_per_key" -> q29Sql,
+    "q31_null_safe_join" -> q31Sql)
 }
