@@ -38,10 +38,30 @@ object Bench {
       }
       name -> samples.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    // The harness keeps only the last ~2000 chars of stdout, so the
+    // JSON line must fit there or it is unparseable. Emit the total
+    // over ALL queries plus per-query times for the slowest queries
+    // that fit a conservative char budget; the complete per-query map
+    // goes to bench_full.json next to the repo for SURVEY §6.
+    val bySlowest = results.toSeq.sortBy(-_._2)
+    val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","queries":{"""
+    val budget = 1600
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = header.length + 2
+    bySlowest.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + fmt(v)
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    }
+    val fullQs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","queries":$fullQs}"""
+    try {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => }
+    println(header + entries.mkString(",") + "}}")
     spark.stop()
   }
 }

@@ -31,7 +31,9 @@ object SparkEntry {
       graft.functions.Sketches.queries ++
       graft.functions.Bpe.queries ++
       graft.operators.CrossShard.queries ++
-      graft.operators.BloomKeep.queries
+      graft.operators.BloomKeep.queries ++
+      graft.operators.SamplePlan.queries ++
+      graft.operators.Boilerplate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -53,5 +55,7 @@ object SparkEntry {
       graft.functions.Sketches.oracles ++
       graft.functions.Bpe.oracles ++
       graft.operators.CrossShard.oracles ++
-      graft.operators.BloomKeep.oracles
+      graft.operators.BloomKeep.oracles ++
+      graft.operators.SamplePlan.oracles ++
+      graft.operators.Boilerplate.oracles
 }

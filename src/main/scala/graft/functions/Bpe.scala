@@ -107,9 +107,65 @@ object Bpe {
        |SELECT doc_id, n_ws AS n_ws_tokens, n_tokens AS n_bpe_tokens
        |FROM bpe_doc_tokens""".stripMargin
 
+  /** Spark-SQL expression: the BPE token ARRAY of word column `w`
+    * (the merge chain of [[sparkCountExpr]] without the final count). */
+  def sparkTokensExpr(w: String): String = {
+    val spaced = s"concat(' ', regexp_replace($w, '(.)', '$$1 '))"
+    val chain = merges.foldLeft(spaced) { case (acc, (p, r)) =>
+      s"replace(replace($acc, ' $p ', ' $r '), ' $p ', ' $r ')"
+    }
+    s"filter(split($chain, ' '), x -> x != '')"
+  }
+
+  /** Same token array in DuckDB SQL. */
+  def duckTokensExpr(w: String): String = {
+    val spaced = s"' ' || regexp_replace($w, '(.)', '\\1 ', 'g')"
+    val chain = merges.foldLeft(spaced) { case (acc, (p, r)) =>
+      s"replace(replace($acc, ' $p ', ' $r '), ' $p ', ' $r ')"
+    }
+    s"list_filter(string_split($chain, ' '), x -> x != '')"
+  }
+
+  /** Token-SEQUENCE materialization (the actual tokenizer product,
+    * beyond counts): every document's full BPE token stream in word
+    * order, gated as an order-sensitive md5 over the joined stream —
+    * any merge applied differently, any word out of order, any token
+    * dropped changes the hash. The id mapping itself is a broadcast
+    * dictionary lookup away (vocab is small by construction) and adds
+    * nothing the hash doesn't already pin. Work stays vocabulary-
+    * sized: tokenization runs once per DISTINCT word, then joins back
+    * to positioned occurrences; the per-doc regroup shuffles (doc_id,
+    * pos, tokens) — tokens of one word, never whole documents. */
+  def textTokensBpe: Q = (s, dir) => {
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .select(col("doc_id"), col("pos"), lower(col("w0")).as("w"))
+    val vocab = words.select("w").distinct()
+      .withColumn("toks", expr(sparkTokensExpr("w")))
+    words.join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(sum(size(col("toks"))).cast(LongType).as("n_tokens"),
+        md5(concat_ws(" ", flatten(expr(
+          "transform(array_sort(collect_list(struct(pos, toks))), x -> x.toks)"))))
+          .as("seq_hash"))
+  }
+
+  val textTokensBpeSql: String =
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |wp AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM base),
+       |words AS (SELECT doc_id, pos, lower(ws[pos]) AS w FROM wp),
+       |vocab AS (SELECT w, ${duckTokensExpr("w")} AS toks
+       |          FROM (SELECT DISTINCT w FROM words)),
+       |j AS (SELECT doc_id, pos, toks FROM words JOIN vocab USING (w))
+       |SELECT doc_id, CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(flatten(list(toks ORDER BY pos)), ' ')) AS seq_hash
+       |FROM j GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "text_tokencount_bpe" -> textTokencountBpe)
+    "text_tokencount_bpe" -> textTokencountBpe,
+    "text_tokens_bpe" -> textTokensBpe)
 
   val oracles: Map[String, String] = Map(
-    "text_tokencount_bpe" -> textTokencountBpeSql)
+    "text_tokencount_bpe" -> textTokencountBpeSql,
+    "text_tokens_bpe" -> textTokensBpeSql)
 }

@@ -303,9 +303,81 @@ object Sketches {
       .groupBy("tok", "exact_n").agg(min(col("cnt")).as("est_n"))
   }
 
+  /** Streaming heavy hitters (the CMS × heap composition): the D×W
+    * count-min sketch is accumulated as a complete-mode Structured
+    * Streaming aggregation over a file stream of the events table
+    * (running state = the ≤2k-cell sketch, bounded for any stream
+    * length), then every candidate is probed against the BROADCAST
+    * final sketch and kept iff its estimate clears the support
+    * threshold est·128 ≥ N — the classic φ = 1/128 heavy-hitter
+    * query, reported with exact counts alongside so the gate checks
+    * estimator and threshold together. Candidates here are the
+    * distinct keys (bounded: ~150 users); on an unbounded key domain
+    * the candidate set itself rides along in the stream as a
+    * per-micro-batch top-k heap merged in foreachBatch — the sketch
+    * side (the state bound) is what this query pins. Output is
+    * integer-only: CMS cells and counts replay exactly in DuckDB. */
+  def streamHeavyHitters: Q = (s, dir) => {
+    def buckets(c: org.apache.spark.sql.Column) = array((0 until CMS_D).map(d =>
+      conv(substring(md5(concat(lit(s"$d:"), c)), 1, 8), 16, 10)
+        .cast(LongType) % CMS_W): _*)
+    val evPath = s"$dir/events.parquet"
+    val stageDir = s"/tmp/graft_hh/${s.sparkContext.applicationId}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val hconf = s.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(stageDir, "events.parquet")
+    val fs = dst.getFileSystem(hconf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(stageDir))
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(evPath), fs, dst, false, true, hconf)
+    val sch = s.read.parquet(evPath).schema
+    val sketchStream = s.readStream.schema(sch).parquet(stageDir)
+      .select(col("user_id").cast(StringType).as("u"))
+      .select(posexplode(buckets(col("u"))).as(Seq("d", "bucket")))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
+    val q = sketchStream.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_hh").start()
+    try q.processAllAvailable() finally q.stop()
+    val sketch = s.table("graft_stream_hh")
+    val ev = t(s, dir, "events").select(col("user_id").cast(StringType).as("u"))
+    val tot = ev.agg(count(lit(1)).as("n_total"))
+    val probes = ev.groupBy("u").agg(count(lit(1)).as("exact_n"))
+    probes.select(col("u"), col("exact_n"), posexplode(buckets(col("u"))).as(Seq("d", "bucket")))
+      .join(broadcast(sketch), Seq("d", "bucket"))
+      .groupBy("u", "exact_n").agg(min(col("cnt")).as("est_n"))
+      .crossJoin(broadcast(tot))
+      .filter(col("est_n") * 128 >= col("n_total"))
+      .select(col("u").cast(LongType).as("user_id"), col("exact_n"),
+        col("est_n"), col("n_total"))
+  }
+
+  val streamHeavyHittersSql: String = {
+    def bucketSql(uRef: String) =
+      s"CAST('0x' || substr(md5(CAST(g.d AS VARCHAR) || ':' || $uRef), 1, 8) AS BIGINT) % $CMS_W"
+    s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS u FROM events),
+       |keyed AS (
+       |  SELECT g.d, ${bucketSql("ev.u")} AS bucket
+       |  FROM ev CROSS JOIN generate_series(0, ${CMS_D - 1}) g(d)),
+       |sketch AS (SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+       |           FROM keyed GROUP BY d, bucket),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM ev),
+       |probes AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS exact_n
+       |           FROM ev GROUP BY u),
+       |pk AS (
+       |  SELECT p.u, p.exact_n, g.d, ${bucketSql("p.u")} AS bucket
+       |  FROM probes p CROSS JOIN generate_series(0, ${CMS_D - 1}) g(d)),
+       |est AS (SELECT pk.u, pk.exact_n, MIN(s.cnt) AS est_n
+       |        FROM pk JOIN sketch s USING (d, bucket)
+       |        GROUP BY pk.u, pk.exact_n)
+       |SELECT CAST(u AS BIGINT) AS user_id, exact_n, est_n, n_total
+       |FROM est CROSS JOIN tot
+       |WHERE est_n * 128 >= n_total""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "sketch_cms" -> sketchCms,
     "stream_cms" -> streamCms,
+    "stream_heavy_hitters" -> streamHeavyHitters,
     "sketch_kmv_distinct" -> sketchKmvDistinct,
     "sketch_kmv_merge" -> sketchKmvMerge,
     "sketch_quantile" -> sketchQuantile,
@@ -313,6 +385,7 @@ object Sketches {
   val oracles: Map[String, String] = Map(
     "sketch_cms" -> sketchCmsSql,
     "stream_cms" -> sketchCmsSql, // identical output to the batch build
+    "stream_heavy_hitters" -> streamHeavyHittersSql,
 
     "sketch_kmv_distinct" -> sketchKmvDistinctSql,
     "sketch_kmv_merge" -> sketchKmvMergeSql,

@@ -497,7 +497,7 @@ object TextOps {
     * one place. */
   /** (doc_id, source, n_words, score) with the composite quality
     * score — shared base of the decile operators. */
-  private def qualityDocs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def qualityDocs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("n_words", size(split(col("text"), " ")).cast(LongType))
       .withColumn("n_stop",
@@ -513,7 +513,7 @@ object TextOps {
     * sorted array `bs`, estimated from a 64-bin mergeable histogram
     * (the sketchHistogramQuantile closed form — constant state, no
     * global sort). */
-  private def decileBounds(docs: DataFrame): DataFrame = {
+  private[graft] def decileBounds(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     val st = docs.agg(min(col("score")).as("lo"), max(col("score")).as("hi"),
         count(lit(1)).as("n"))

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Segment-level boilerplate removal (SURVEY.md §2C): the CCNet /
+  * RefinedWeb "line dedup" step — text is split into fixed segments
+  * (newline-delimited lines in a real crawl; fixed 8-token windows on
+  * this corpus, the segmentation is a parameter), and any segment
+  * whose exact content appears in ≥ DF_MIN distinct documents is
+  * removed from EVERY document (headers, footers, nav menus,
+  * cookie banners). This differs from document-level dedup: no doc is
+  * dropped, but the shared substring mass is — the residual text is
+  * what a trainer should see.
+  */
+object Boilerplate {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val SEG = 8
+  private val DF_MIN = 2
+
+  /** Per-doc boilerplate scrub ledger: segment count, kept count, and
+    * an order-sensitive md5 of the residual (kept segments joined in
+    * document order) — the gate checks the exact reconstructed text,
+    * not just counts.
+    *
+    * Scale shape: segmentation is a pure map-side array transform (no
+    * explode-regroup — `slice` windows over the token array); the df
+    * count shuffles (seg_hash, doc_id) pairs — hashes, never segment
+    * text; and the boilerplate set (df ≥ DF_MIN) is BROADCAST to a
+    * left join, so the corpus side never shuffles for the scrub
+    * itself. When the boilerplate vocabulary outgrows a broadcast,
+    * swap the broadcast join for the Bloom pre-prune of
+    * [[BloomKeep]] — the semantics are the same anti-membership
+    * test. */
+  def textSegmentDedup: Q = (s, dir) => {
+    val segs = t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, (size(toks) - 1) div $SEG), " +
+          s"i -> concat_ws(' ', slice(toks, i * $SEG + 1, $SEG)))"))
+        .as(Seq("seg", "seg_text")))
+      .withColumn("seg_hash", md5(col("seg_text")))
+      .cache() // df pass + scrub pass
+    val boiler = segs.groupBy("seg_hash")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= DF_MIN)
+    segs.join(broadcast(boiler), Seq("seg_hash"), "left")
+      .withColumn("keep", col("df").isNull)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(expr("concat_ws(' ', transform(filter(" +
+          "array_sort(collect_list(struct(seg, seg_text, keep))), " +
+          "x -> x.keep), x -> x.seg_text))")).as("residual_hash"))
+  }
+
+  val textSegmentDedupSql: String =
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sg AS (SELECT doc_id, toks,
+       |         unnest(range(0, CAST((len(toks) - 1) // $SEG AS BIGINT) + 1)) AS seg
+       |       FROM base),
+       |st AS (SELECT doc_id, seg,
+       |         array_to_string(list_slice(toks, seg * $SEG + 1, seg * $SEG + $SEG), ' ') AS seg_text
+       |       FROM sg),
+       |dfc AS (SELECT md5(seg_text) AS h, COUNT(DISTINCT doc_id) AS df
+       |        FROM st GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= $DF_MIN),
+       |mk AS (SELECT st.doc_id, st.seg, st.seg_text, dfc.df IS NULL AS keep
+       |       FROM st LEFT JOIN dfc ON dfc.h = md5(st.seg_text))
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  md5(coalesce(string_agg(CASE WHEN keep THEN seg_text END, ' ' ORDER BY seg), ''))
+       |    AS residual_hash
+       |FROM mk GROUP BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map("text_segment_dedup" -> textSegmentDedup)
+  val oracles: Map[String, String] = Map("text_segment_dedup" -> textSegmentDedupSql)
+}

@@ -418,7 +418,69 @@ object GridOps {
       |FROM el e JOIN sz s ON s.rec_chunk = e.rec // 256
       |GROUP BY e.rec // 256, e.pos // 16, s.nrc""".stripMargin
 
+  /** Climatology anomaly (xarray's `ds.groupby("time.hour") -
+    * ds.groupby("time.hour").mean()` — seasonal-cycle removal): each
+    * streamed-dim position belongs to a phase (idx mod 24); the
+    * per-phase mean over the whole variable is the climatology, and
+    * the anomaly is the value minus its phase's mean. Two passes:
+    * a 24-row partial-agg climatology (cent-exact DECIMAL sums),
+    * BROADCAST back to a map-side join — the corpus never shuffles.
+    * The anomaly is computed from integers (value·n − Σ, in cents)
+    * and divided once, so both engines agree bit-for-bit at round 6. */
+  def gridClimatology: Q = (s, dir) => {
+    val tab = gridToTable(qtyGrid(s, dir))
+      .withColumn("phase", expr("idx % 24"))
+      .withColumn("vc", expr("CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT)"))
+    val clim = tab.groupBy("phase")
+      .agg(sum(col("vc")).as("sum_c"), count(lit(1)).as("n_p"))
+    tab.join(broadcast(clim), Seq("phase"))
+      .select(col("idx"), col("phase"), col("value"),
+        round((col("vc") * col("n_p") - col("sum_c")) / (col("n_p") * lit(100.0)), 6)
+          .as("anom"))
+  }
+
+  val gridClimatologySql: String =
+    s"""WITH $orderedCte,
+       |tb AS (SELECT idx, idx % 24 AS phase, v,
+       |         CAST(CAST(v AS DECIMAL(9,2)) * 100 AS BIGINT) AS vc FROM o),
+       |clim AS (SELECT phase, CAST(SUM(vc) AS BIGINT) AS sum_c,
+       |           CAST(COUNT(*) AS BIGINT) AS n_p FROM tb GROUP BY phase)
+       |SELECT tb.idx, tb.phase, tb.v AS value,
+       |  round((tb.vc * clim.n_p - clim.sum_c) / (clim.n_p * 100.0), 6) AS anom
+       |FROM tb JOIN clim USING (phase)""".stripMargin
+
+  /** 2-D tile coarsening over the rank-2 embeddings variable (xarray
+    * `coarsen(rec=50, dim=8).mean()`): block means (plus min/max) per
+    * [50-record × 8-dim] tile. One partial-agg groupBy on the derived
+    * tile key — each task pre-aggregates its elements to ≤ n_tiles
+    * rows before the shuffle, and the tile sums are DECIMAL-exact so
+    * float association order cannot split the gate. */
+  def gridCoarsen2d: Q = (s, dir) => {
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(
+        expr("transform(embedding, e -> CAST(e AS DOUBLE))")).as(Seq("pos", "x")))
+      .withColumn("rec_blk", expr("vec_id div 50"))
+      .withColumn("dim_blk", expr("pos div 8"))
+      .groupBy("rec_blk", "dim_blk")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("x").cast(DecimalType(12, 8))).cast(DoubleType) / count(lit(1)))
+          .as("blk_mean"),
+        min(col("x")).as("blk_min"), max(col("x")).as("blk_max"))
+  }
+
+  val gridCoarsen2dSql: String =
+    """WITH el AS (
+      |  SELECT vec_id, pos - 1 AS pos, CAST(embedding[pos] AS DOUBLE) AS x
+      |  FROM embeddings CROSS JOIN generate_series(1, 64) t(pos))
+      |SELECT vec_id // 50 AS rec_blk, pos // 8 AS dim_blk,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(x AS DECIMAL(12,8))) AS DOUBLE) / COUNT(*) AS blk_mean,
+      |  MIN(x) AS blk_min, MAX(x) AS blk_max
+      |FROM el GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "grid_coarsen_2d" -> gridCoarsen2d,
+    "grid_climatology" -> gridClimatology,
     "grid_fill_forward" -> gridFillForward,
     "grid_lag_diff" -> gridLagDiff,
     "grid_rolling_mean" -> gridRollingMean,
@@ -432,6 +494,8 @@ object GridOps {
     "grid_stats" -> gridStats)
 
   val oracles: Map[String, String] = Map(
+    "grid_coarsen_2d" -> gridCoarsen2dSql,
+    "grid_climatology" -> gridClimatologySql,
     "grid_fill_forward" -> gridFillForwardSql,
     "grid_lag_diff" -> gridLagDiffSql,
     "grid_rolling_mean" -> gridRollingMeanSql,

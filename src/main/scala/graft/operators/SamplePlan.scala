@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.Tables._
+import graft.functions.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Write-side quality partitioning and the composed per-source ×
+  * per-decile sampling plan (SURVEY.md §2C) — the two operators that
+  * turn the quality/mixing SIGNALS (quality deciles, temperature mix
+  * weights) into physical ACTIONS: a bucketed file layout and a
+  * deterministic sample selection.
+  */
+object SamplePlan {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def scratch(s: SparkSession, dir: String, tag: String): String =
+    s"/tmp/graft_plan/${s.sparkContext.applicationId}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"/$tag"
+
+  /** Equi-depth quality repartitioner (the WRITE side of
+    * pipeline_quality_buckets): documents are bucketed by the
+    * histogram-estimated decile boundaries (broadcast 9-element
+    * vector, map-side array scan — no global sort, unlike
+    * `repartitionByRange` whose sampling pass is nondeterministic),
+    * shuffled once on the bucket key, and written
+    * `partitionBy("bucket")` so each quality decile lands in its own
+    * directory of roughly n/10 docs. Downstream curriculum readers
+    * then get partition PRUNING for quality-range scans ("read only
+    * deciles ≥ 7") instead of a full-corpus filter — the file-layout
+    * analogue of predicate pushdown, and the reason to bucket at
+    * write time at 100 TB. The gate re-reads the written layout and
+    * aggregates per bucket, proving the roundtrip lossless (oracle =
+    * the pure-query decile aggregation). */
+  def pipelinePartitionQuality: Q = (s, dir) => {
+    val docs = TextOps.qualityDocs(s, dir).cache() // stats + histogram + assignment
+    val assigned = docs.crossJoin(broadcast(TextOps.decileBounds(docs)))
+      .withColumn("bucket", expr("CAST(size(filter(bs, b -> b <= score)) AS BIGINT)"))
+      .select(col("doc_id"), col("source"), col("n_words"), col("score"), col("bucket"))
+    val out = scratch(s, dir, "pquality")
+    assigned.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("bucket").cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"),
+        sum(col("n_words")).as("total_words"))
+      .select(col("bucket"), col("n_docs"), col("min_score"), col("max_score"),
+        col("total_words"))
+  }
+
+  // DuckDB cannot see the partitioned files Spark wrote, so the oracle
+  // is the pure-query decile aggregation — byte-identical output proves
+  // the write+read roundtrip lost nothing.
+  val pipelinePartitionQualitySql: String = TextOps.pipelineQualityBucketsSql
+
+  /** Decimal-exact composed sampling plan: temperature mix weights
+    * (per SOURCE, [[PipelineKeepList.pipelineMixWeights]]'s α = 0.5
+    * device) × quality-decile keep rates (per DECILE, b/10) → one
+    * selection probability per (source, decile) cell, applied with
+    * the RNG-free md5-threshold sampler. All arithmetic that decides
+    * membership is INTEGER: the source weight is quantized to ppm
+    * (wq = sqf ÷ (den ÷ 10⁶), the same floor-quantized α-power terms
+    * as mix_weights), and doc_id is kept iff
+    * h32·10⁷ < wq·bucket·2³² where h32 is the first 8 md5 hex chars —
+    * a BIGINT comparison with no float rounding anywhere, so both
+    * engines materialize the identical sample SET (the gate checks
+    * selected counts per cell against the integer target
+    * n·wq·b ÷ 10⁷). Scale shape: two tiny broadcast aggregates
+    * (per-source masses, the ppm weights) and one broadcast boundary
+    * vector; everything corpus-sized is map-side until the final
+    * (source, bucket) partial agg. */
+  def pipelineSamplePlan: Q = (s, dir) => {
+    val docs = TextOps.qualityDocs(s, dir).cache()
+    val assigned = docs.crossJoin(broadcast(TextOps.decileBounds(docs)))
+      .withColumn("bucket", expr("CAST(size(filter(bs, b -> b <= score)) AS BIGINT)"))
+    val tok = assigned.groupBy("source").agg(sum(col("n_words")).as("n_tokens"))
+    val tot = tok.agg(sum(col("n_tokens")).as("tot"))
+    val sh = tok.crossJoin(broadcast(tot))
+      .withColumn("sqf",
+        expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e15) AS BIGINT)"))
+    val den = sh.agg(sum(col("sqf")).as("den"))
+    val wq = sh.crossJoin(broadcast(den))
+      .select(col("source"), expr("sqf div (den div 1000000)").as("wq"))
+    assigned.join(broadcast(wq), "source")
+      .withColumn("h32",
+        expr("CAST(conv(substring(md5(concat('sp:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("selected", expr("h32 * 10000000 < wq * bucket * 4294967296"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), max(col("wq")).as("wq"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("selected_n"))
+      .select(col("source"), col("bucket"), col("n_docs"), col("wq"),
+        expr("(n_docs * wq * bucket) div 10000000").as("target_n"),
+        col("selected_n"))
+  }
+
+  val pipelineSamplePlanSql: String = {
+    val stop = Seq("the", "a", "of", "and", "in", "to", "is", "on")
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, n_words,
+       |    least(n_words / 50.0, 1.0) * 0.4
+       |      + (n_stop / n_words) * 0.3
+       |      + least(((length(text) - (n_words - 1)) / n_words) / 8.0, 1.0) * 0.3 AS score
+       |  FROM (
+       |    SELECT doc_id, source, text,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |      CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stop))) AS BIGINT) AS n_stop
+       |    FROM documents) sub),
+       |st AS (SELECT MIN(score) AS lo, MAX(score) AS hi, COUNT(*) AS n,
+       |              (MAX(score) - MIN(score)) / CAST(64 AS DOUBLE) AS w FROM docs),
+       |b AS (SELECT CAST(LEAST(FLOOR((docs.score - st.lo) / st.w), CAST(63 AS DOUBLE)) AS BIGINT) AS bin,
+       |             COUNT(*) AS cnt
+       |      FROM docs CROSS JOIN st GROUP BY 1),
+       |c AS (SELECT bin, cnt, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM b),
+       |q AS (SELECT UNNEST([CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE), CAST(0.3 AS DOUBLE),
+       |                     CAST(0.4 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
+       |                     CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p),
+       |sel AS (SELECT q.p, MIN(c.bin) AS bin
+       |        FROM q, c, st WHERE CAST(c.cum AS DOUBLE) >= q.p * CAST(st.n AS DOUBLE)
+       |        GROUP BY q.p),
+       |bq AS (SELECT st.lo + st.w * (CAST(sel.bin AS DOUBLE)
+       |         + (sel.p * CAST(st.n AS DOUBLE) - (CAST(c.cum AS DOUBLE) - CAST(c.cnt AS DOUBLE)))
+       |           / CAST(c.cnt AS DOUBLE)) AS q
+       |       FROM sel JOIN c ON c.bin = sel.bin CROSS JOIN st),
+       |bs AS (SELECT list(q ORDER BY q) AS bs FROM bq),
+       |assigned AS (
+       |  SELECT docs.doc_id, docs.source, docs.n_words,
+       |    CAST(len(list_filter(bs.bs, bb -> bb <= docs.score)) AS BIGINT) AS bucket
+       |  FROM docs CROSS JOIN bs),
+       |tok AS (SELECT source, CAST(SUM(n_words) AS BIGINT) AS n_tokens
+       |        FROM assigned GROUP BY source),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM tok),
+       |sh AS (SELECT source,
+       |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e15) AS BIGINT) AS sqf
+       |       FROM tok CROSS JOIN tot),
+       |den AS (SELECT CAST(SUM(sqf) AS BIGINT) AS den FROM sh),
+       |wq AS (SELECT source, CAST(sqf // (den // 1000000) AS BIGINT) AS wq
+       |       FROM sh CROSS JOIN den),
+       |seld AS (
+       |  SELECT a.source, a.bucket, w.wq,
+       |    CAST('0x' || substr(md5('sp:' || CAST(a.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |      * 10000000 < w.wq * a.bucket * 4294967296 AS selected
+       |  FROM assigned a JOIN wq w USING (source))
+       |SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(MAX(wq) AS BIGINT) AS wq,
+       |  CAST(COUNT(*) * MAX(wq) * bucket // 10000000 AS BIGINT) AS target_n,
+       |  CAST(SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT) AS selected_n
+       |FROM seld
+       |GROUP BY source, bucket""".stripMargin
+  }
+
+  private val SHARDS = 1000L
+
+  /** Largest-remainder token-budget allocation: turn the ppm mix
+    * weights into an EXACT integer division of a shard budget
+    * (Σ alloc = budget, always — floor-only allocation leaves shards
+    * on the table, naive rounding overshoots). base_i =
+    * S·wq_i div 10⁶; the leftover L = S − Σ base goes one shard each
+    * to the L sources with the largest remainder (ties by source
+    * name) — Hamilton's method, all BIGINT. The ranking window runs
+    * over n_sources rows (already reduced from the corpus by the
+    * token-mass aggregate), so the "global window" is metadata-sized
+    * — the corpus itself never sees a window. */
+  def pipelineTokenBudget: Q = (s, dir) => {
+    val tok = t(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("ntok"))
+      .groupBy("source").agg(sum(col("ntok")).as("n_tokens"))
+    val tot = tok.agg(sum(col("n_tokens")).as("tot"))
+    val sh = tok.crossJoin(broadcast(tot))
+      .withColumn("sqf",
+        expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e15) AS BIGINT)"))
+    val den = sh.agg(sum(col("sqf")).as("den"))
+    val wq = sh.crossJoin(broadcast(den))
+      .select(col("source"), col("n_tokens"), expr("sqf div (den div 1000000)").as("wq"))
+    val alloc = wq
+      .withColumn("base", expr(s"($SHARDS * wq) div 1000000"))
+      .withColumn("rem", expr(s"($SHARDS * wq) % 1000000"))
+    val baseSum = alloc.agg(sum(col("base")).as("base_sum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source").asc)
+    alloc.crossJoin(broadcast(baseSum))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("extra",
+        when(col("rk") <= lit(SHARDS) - col("base_sum"), 1L).otherwise(0L))
+      .select(col("source"), col("n_tokens"), col("wq"), col("base"), col("rem"),
+        col("extra"), (col("base") + col("extra")).as("alloc_shards"))
+  }
+
+  val pipelineTokenBudgetSql: String =
+    s"""WITH tok AS (
+       |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM tok),
+       |sh AS (SELECT source, n_tokens,
+       |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e15) AS BIGINT) AS sqf
+       |       FROM tok CROSS JOIN tot),
+       |den AS (SELECT CAST(SUM(sqf) AS BIGINT) AS den FROM sh),
+       |wq AS (SELECT source, n_tokens, CAST(sqf // (den // 1000000) AS BIGINT) AS wq
+       |       FROM sh CROSS JOIN den),
+       |alloc AS (SELECT source, n_tokens, wq,
+       |            CAST(($SHARDS * wq) // 1000000 AS BIGINT) AS base,
+       |            CAST(($SHARDS * wq) % 1000000 AS BIGINT) AS rem
+       |          FROM wq),
+       |bs AS (SELECT CAST(SUM(base) AS BIGINT) AS base_sum FROM alloc),
+       |rk AS (SELECT alloc.*, bs.base_sum,
+       |         row_number() OVER (ORDER BY rem DESC, source) AS rk
+       |       FROM alloc CROSS JOIN bs)
+       |SELECT source, n_tokens, wq, base, rem,
+       |  CAST(CASE WHEN rk <= $SHARDS - base_sum THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       |  CAST(base + CASE WHEN rk <= $SHARDS - base_sum THEN 1 ELSE 0 END AS BIGINT)
+       |    AS alloc_shards
+       |FROM rk""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "pipeline_partition_quality" -> pipelinePartitionQuality,
+    "pipeline_sample_plan" -> pipelineSamplePlan,
+    "pipeline_token_budget" -> pipelineTokenBudget)
+  val oracles: Map[String, String] = Map(
+    "pipeline_partition_quality" -> pipelinePartitionQualitySql,
+    "pipeline_sample_plan" -> pipelineSamplePlanSql,
+    "pipeline_token_budget" -> pipelineTokenBudgetSql)
+}

@@ -612,7 +612,43 @@ object Similarity {
        |WHERE rank <= $KNN_K""".stripMargin
   }
 
+  /** Maximum-inner-product top-5 (MIPS — the dense-retrieval /
+    * recommender scoring, where a long vector CAN outrank a better-
+    * aligned short one, so cosine top-k is the wrong operator):
+    * broadcast queries, codegen'd dot products, and the bounded TopK
+    * partial aggregate — ≤k rows per query per task reach the
+    * shuffle. For sub-linear candidate generation at 100 TB, MIPS
+    * reduces to cosine by the public norm-augmentation device (append
+    * sqrt(M² − ‖x‖²) with M = max corpus norm; query gets 0) and then
+    * any of the cosine ANN paths here (sign-LSH bands, IVF, PQ)
+    * applies; this query pins the exact scoring those paths re-rank
+    * with. */
+  def simMipsTopK: Q = (s, dir) => {
+    val emb = withVec(t(s, dir, "embeddings"))
+    val q = emb.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("ip", vec_dot(col("qv"), col("v")))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topk(5)(
+        round(col("ip"), 9), col("vec_id"), round(col("ip"), 6)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("neighbor_id"),
+        col("e._3").as("inner_product"), (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
+  val simMipsTopKSql: String =
+    s"""SELECT query_id, neighbor_id, inner_product, rank FROM (
+       |  SELECT qa.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    round($dotSqlDuck, 6) AS inner_product,
+       |    row_number() OVER (PARTITION BY qa.vec_id
+       |      ORDER BY round($dotSqlDuck, 9) DESC, e.vec_id) AS rank
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $NQUERIES) qa
+       |  JOIN embeddings e ON e.vec_id <> qa.vec_id) sub
+       |WHERE rank <= 5""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sim_mips_topk" -> simMipsTopK,
     "sim_knn_graph" -> simKnnGraph,
     "sim_sq_int8" -> simSqInt8,
     "sim_pq_adc" -> simPqAdc,
@@ -622,6 +658,7 @@ object Similarity {
     "dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
+    "sim_mips_topk" -> simMipsTopKSql,
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_sq_int8" -> simSqInt8Sql,
     "sim_pq_adc" -> simPqAdcSql,

@@ -88,7 +88,7 @@ object TemporalJoins {
   }
 
   val asofToleranceSql: String =
-    s"""WITH asof AS ($asofJoinSql)
+    s"""WITH asof_base AS ($asofJoinSql)
        |SELECT event_id, user_id, err_ts,
        |  CASE WHEN epoch_us(err_ts) - epoch_us(click_ts) <= ${HOUR_US}
        |       THEN click_id END AS click_id,
@@ -96,7 +96,7 @@ object TemporalJoins {
        |       THEN click_ts END AS click_ts,
        |  CASE WHEN epoch_us(err_ts) - epoch_us(click_ts) <= ${HOUR_US}
        |       THEN click_value END AS click_value
-       |FROM asof""".stripMargin
+       |FROM asof_base""".stripMargin
 
   /** For every error event: count + value sum of the user's events in
     * the preceding hour [err_ts - 1h, err_ts). */

@@ -572,7 +572,80 @@ object Relational {
       |  FROM events GROUP BY event_type) st ON e.event_type = st.et
       |WHERE abs((value - mean) / std) > 2.5""".stripMargin
 
+  /** Ordered event funnel (view → click → purchase, each strictly
+    * after the previous): the product-analytics sequence query. The
+    * min-chain formulation — earliest view, earliest click AFTER that
+    * view, earliest purchase AFTER that click — is three partial
+    * aggregates joined on user_id (the same shuffle key throughout,
+    * so co-partitioning carries across stages); no per-user event
+    * arrays are ever collected, which is what keeps a power-user with
+    * millions of events from blowing up a task at 100 TB. */
+  def q32Funnel: Q = (s, dir) => {
+    val ev = events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("view_ts"))
+    val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("ts") > col("view_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(col("ts") > col("click_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("purchase_ts"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_ts"), col("click_ts"), col("purchase_ts"),
+        (lit(1L) + when(col("click_ts").isNotNull, 1L).otherwise(0L)
+          + when(col("purchase_ts").isNotNull, 1L).otherwise(0L)).as("funnel_stage"))
+  }
+
+  val q32Sql: String =
+    """WITH v AS (SELECT user_id, MIN(ts) AS view_ts FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS click_ts
+      |      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.view_ts
+      |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      |      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.click_ts
+      |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+      |  CAST(1 + CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END
+      |         + CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS funnel_stage
+      |FROM v LEFT JOIN c ON c.user_id = v.user_id
+      |LEFT JOIN p ON p.user_id = v.user_id""".stripMargin
+
+  /** Cohort retention (signup-day cohorts × day offset 0..7): the
+    * product-analytics retention matrix. The cohort table is per-user
+    * (one partial-agg pass over signups); joining it back to the
+    * event stream is an equi-join on user_id — NOT broadcast, because
+    * at 100 TB the cohort side is corpus-sized; both sides shuffle
+    * once on the same key. Day arithmetic is integer (date diff),
+    * counts are exact distincts per (cohort_day, day_offset) cell. */
+  def q33Retention: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_day"))
+    ev.join(cohort, Seq("user_id"))
+      .withColumn("day_offset", datediff(to_date(col("ts")), col("cohort_day")).cast(LongType))
+      .filter(col("day_offset").between(0, 7))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+  }
+
+  val q33Sql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id)
+      |SELECT c.cohort_day,
+      |  CAST(datediff('day', c.cohort_day, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+      |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events e JOIN cohort c USING (user_id)
+      |WHERE datediff('day', c.cohort_day, CAST(e.ts AS DATE)) BETWEEN 0 AND 7
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q33_retention" -> q33Retention,
+    "q32_funnel" -> q32Funnel,
     "q19_json_extract" -> q19JsonExtract,
     "q21_correlated" -> q21Correlated,
     "q22_zscore_outliers" -> q22ZscoreOutliers,
@@ -601,6 +674,8 @@ object Relational {
     "q31_null_safe_join" -> q31NullSafeJoin)
 
   val oracles: Map[String, String] = Map(
+    "q33_retention" -> q33Sql,
+    "q32_funnel" -> q32Sql,
     "q19_json_extract" -> q19Sql,
     "q21_correlated" -> q21Sql,
     "q22_zscore_outliers" -> q22Sql,

@@ -634,7 +634,44 @@ object NcQueries {
       |  CAST(SUM(CAST(record AS DECIMAL(18,0)) * CAST(v AS DECIMAL(9,2))) AS DOUBLE) AS wsum
       |FROM o""".stripMargin
 
+  /** Strided index selection (xarray `isel(time=slice(lo, hi, step))`
+    * — decimation): the [lo, hi) record-range filter pushes down to
+    * the source's record ranges (part files and chunks wholly outside
+    * never open/decompress), and the stride survives as a map-side
+    * `record % step` — no row ever leaves its partition. When
+    * step ≥ chunk size the modulus could prune whole chunks too;
+    * documented, not special-cased (the range pushdown is what moves
+    * the 100 TB needle). Deterministic record numbering comes from the
+    * same single-writer ordered layout as [[gridFromSourceIndex]]. */
+  def ncIselStride: Q = (s, dir) => {
+    val out = scratch(s, dir, "stride")
+    NcIO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+          col("l_quantity"))
+        .repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber"),
+      out)
+    s.read.format(SRC).load(out)
+      .filter(col("record") >= 1000L && col("record") < 9000L &&
+        col("record") % 4 === 0)
+      .agg(count(lit(1)).as("n"),
+        sum(col("record")).as("sum_rec"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("record")).as("min_rec"),
+        max(col("record")).as("max_rec"))
+  }
+
+  val ncIselStrideSql: String =
+    """WITH o AS (SELECT l_quantity AS v,
+      |  row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS idx
+      |  FROM lineitem)
+      |SELECT COUNT(*) AS n, CAST(SUM(idx) AS BIGINT) AS sum_rec,
+      |  CAST(SUM(CAST(v AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  MIN(idx) AS min_rec, MAX(idx) AS max_rec
+      |FROM o WHERE idx >= 1000 AND idx < 9000 AND idx % 4 = 0""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "nc_isel_stride" -> ncIselStride,
     "nc_scale_offset" -> ncScaleOffset,
     "nc_multifile_union" -> ncMultifileUnion,
     "nc_compact" -> ncCompact,
@@ -656,6 +693,7 @@ object NcQueries {
     "stream_compact_auto" -> streamCompactAuto)
 
   val oracles: Map[String, String] = Map(
+    "nc_isel_stride" -> ncIselStrideSql,
     "nc_scale_offset" -> ncScaleOffsetSql,
     "nc_multifile_union" -> ncMultifileUnionSql,
     "nc_compact" -> ncCompactSql,

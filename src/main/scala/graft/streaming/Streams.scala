@@ -194,13 +194,99 @@ object Streams {
       | AND v.event_type = 'view' AND c.event_type = 'click'
       | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 DAY""".stripMargin
 
+  /** Streaming mix-weights twin: the per-source token masses are
+    * accumulated as a complete-mode Structured Streaming aggregation
+    * over a file stream of the corpus (running state = one row per
+    * source — bounded however long the stream runs), then the
+    * temperature-weight tail math (α-power, ppm floor quantization,
+    * integer denominator — [[graft.operators.PipelineKeepList
+    * .pipelineMixWeights]]) runs batch-side on the drained totals.
+    * Output and oracle are identical to the batch build: the token
+    * masses are exactly stream-accumulable, so a 100 TB ingest can
+    * maintain its mixing weights incrementally instead of rescanning
+    * the corpus per refresh. */
+  def streamMixWeights: Q = (s, dir) => {
+    val docsPath = s"$dir/documents.parquet"
+    val stageDir = s"/tmp/graft_smw/${s.sparkContext.applicationId}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val hconf = s.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(stageDir, "documents.parquet")
+    val fs = dst.getFileSystem(hconf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(stageDir))
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(docsPath), fs, dst, false, true, hconf)
+    val sch = s.read.parquet(docsPath).schema
+    val agg = s.readStream.schema(sch).parquet(stageDir)
+      .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_mw").start()
+    try q.processAllAvailable() finally q.stop()
+    val tok = s.table("graft_stream_mw")
+    val tot = tok.agg(sum(col("n_tokens")).as("tot"))
+    val sh = tok.crossJoin(broadcast(tot))
+      .withColumn("share", expr("CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)"))
+      .withColumn("sqf", expr("CAST(floor(sqrt(share) * 1e15) AS BIGINT)"))
+    val den = sh.agg(sum(col("sqf")).as("den"))
+    sh.crossJoin(broadcast(den))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("share"),
+        expr("CAST(sqf AS DOUBLE) / CAST(den AS DOUBLE)").as("mix_weight"))
+  }
+
+  /** Streaming top-terms twin: per-token OCCURRENCE counts accumulated
+    * as a complete-mode streaming aggregation over a file stream of
+    * the corpus (state = one row per distinct token — vocabulary-
+    * sized, sub-linear in corpus length; for UNBOUNDED key domains the
+    * bounded-state path is stream_cms / stream_heavy_hitters), then
+    * top-20 by (count desc, token asc) batch-side after the drain —
+    * a TakeOrderedAndProject over the drained totals, never a global
+    * sort. Counts are occurrence-based, complementing the document-
+    * frequency ranking of text_topterms. */
+  def streamTopTerms: Q = (s, dir) => {
+    val docsPath = s"$dir/documents.parquet"
+    val stageDir = s"/tmp/graft_stt/${s.sparkContext.applicationId}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val hconf = s.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(stageDir, "documents.parquet")
+    val fs = dst.getFileSystem(hconf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(stageDir))
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(docsPath), fs, dst, false, true, hconf)
+    val sch = s.read.parquet(docsPath).schema
+    val agg = s.readStream.schema(sch).parquet(stageDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_tt").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_tt")
+      .orderBy(col("n").desc, col("tok").asc).limit(20)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("tok").asc))
+        .cast(LongType))
+  }
+
+  val streamTopTermsSql: String =
+    """SELECT tok, n, rank FROM (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n,
+      |    row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rank
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok)
+      |WHERE rank <= 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stream_topterms" -> streamTopTerms,
+    "stream_mix_weights" -> streamMixWeights,
     "stream_window_agg" -> streamWindowAgg,
     "stream_dedup" -> streamDedup,
     "stream_sessionize" -> streamSessionize,
     "stream_interval_join" -> streamIntervalJoin)
 
   val oracles: Map[String, String] = Map(
+    // identical output to the batch mix-weights build
+    "stream_mix_weights" -> graft.operators.PipelineKeepList.pipelineMixWeightsSql,
+    "stream_topterms" -> streamTopTermsSql,
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,
     "stream_sessionize" -> streamSessionizeSql,

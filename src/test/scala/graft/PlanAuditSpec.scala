@@ -153,4 +153,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_topkaggregator"),
       "k-NN edge ranking lost its bounded partial aggregation")
   }
+
+  test("boilerplate scrub joins the broadcast boilerplate set, not a shuffle") {
+    val p = planOf("text_segment_dedup")
+    assert(p.contains("BroadcastHashJoin"), "boilerplate-set join not broadcast")
+    assert(p.contains("partial_"), "segment df count lost map-side combine")
+  }
+
+  test("sample plan broadcasts weights and boundaries; corpus stays map-side") {
+    Seq("pipeline_sample_plan", "pipeline_token_budget").foreach { name =>
+      val p = planOf(name)
+      assert(p.contains("partial_"), s"$name lost partial aggregation")
+      assert(!p.toLowerCase.contains("rangepartitioning"),
+        s"$name plans a corpus-wide range sort")
+    }
+    // the per-(source,decile) membership test must see broadcast sides
+    assert(planOf("pipeline_sample_plan").contains("BroadcastHashJoin")
+      || planOf("pipeline_sample_plan").contains("BroadcastNestedLoopJoin"),
+      "weight/boundary join not broadcast")
+  }
+
+  test("climatology broadcasts the 24-row phase table") {
+    val p = planOf("grid_climatology")
+    assert(p.contains("BroadcastHashJoin"), "climatology join not broadcast")
+  }
+
+  test("MIPS top-k is a bounded partial aggregate over broadcast queries") {
+    val p = planOf("sim_mips_topk")
+    assert(p.contains("partial_topkaggregator"),
+      "MIPS ranking lost its bounded partial aggregation")
+    assert(p.toLowerCase.contains("dotproduct"),
+      "MIPS scoring not using the codegen'd DotProduct kernel")
+  }
+
+  test("funnel and retention stay on one user_id shuffle key, no cartesian") {
+    Seq("q32_funnel", "q33_retention").foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans an unkeyed join")
+      assert(p.contains("partial_"), s"$name lost partial aggregation")
+    }
+  }
 }
