@@ -22,10 +22,22 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // a 130-query single-JVM session accumulates broadcast blocks
+      // and shuffle state that ContextCleaner only drops after a
+      // driver GC; with a large heap GC is rare, so state piles up
+      // until multi-second full-GC cliffs stall whatever query is
+      // running. Spark's own periodic-GC lever (default 30min —
+      // longer than the whole bench) keeps cleanup continuous.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => }
+      // cached plans are per-query working state, not cross-query
+      // shared data: every lookup in CacheManager linearly compares
+      // canonicalized plans, so letting 100+ giant cached trees pile
+      // up degrades PLANNING super-linearly across a long session
+      spark.sharedState.cacheManager.clearCache()
     }
     System.gc() // let ContextCleaner drop warmup broadcasts/shuffles
     // best-of-2 per query: one timing sample is dominated by JIT tails
@@ -36,6 +48,7 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      spark.sharedState.cacheManager.clearCache()
       name -> samples.min
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -76,7 +76,10 @@ object SamplePlan {
     val docs = TextOps.qualityDocs(s, dir).cache()
     val assigned = docs.crossJoin(broadcast(TextOps.decileBounds(docs)))
       .withColumn("bucket", expr("CAST(size(filter(bs, b -> b <= score)) AS BIGINT)"))
-    val tok = assigned.groupBy("source").agg(sum(col("n_words")).as("n_tokens"))
+    // token masses need only (source, n_words) — derive them from the
+    // cached docs base, NOT from `assigned`, so the decile machinery
+    // is not replayed inside the broadcast weight branch
+    val tok = docs.groupBy("source").agg(sum(col("n_words")).as("n_tokens"))
     val tot = tok.agg(sum(col("n_tokens")).as("tot"))
     val sh = tok.crossJoin(broadcast(tot))
       .withColumn("sqf",
@@ -131,7 +134,7 @@ object SamplePlan {
        |    CAST(len(list_filter(bs.bs, bb -> bb <= docs.score)) AS BIGINT) AS bucket
        |  FROM docs CROSS JOIN bs),
        |tok AS (SELECT source, CAST(SUM(n_words) AS BIGINT) AS n_tokens
-       |        FROM assigned GROUP BY source),
+       |        FROM docs GROUP BY source),
        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM tok),
        |sh AS (SELECT source,
        |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e15) AS BIGINT) AS sqf

@@ -647,7 +647,39 @@ object Similarity {
        |  JOIN embeddings e ON e.vec_id <> qa.vec_id) sub
        |WHERE rank <= 5""".stripMargin
 
+  /** Recall@3 evaluation AS AN OPERATOR (the ANN-tuning loop a real
+    * user runs daily): exact cosine top-3 (ground truth) left-joined
+    * to the sign-LSH bucketed top-3, per-query hit counts and recall.
+    * Both sides replay deterministically in DuckDB, so the gate
+    * checks the evaluation itself — the harness that decides nprobe/
+    * band settings is as oracle-checkable as the search paths it
+    * tunes. Cost shape: both sides are the already-audited bounded
+    * top-k plans; the join key (query_id, neighbor_id) is k·queries
+    * rows per side. */
+  def simRecallEval: Q = (s, dir) => {
+    val exact = simTopKBruteforce(s, dir).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val lsh = simLshBucketed(s, dir)
+      .select(col("query_id").as("lq"), col("neighbor_id").as("ln"))
+    exact.join(lsh,
+      col("query_id") === col("lq") && col("neighbor_id") === col("ln"), "left")
+      .groupBy("query_id")
+      .agg(count(col("ln")).as("n_hits"),
+        round(count(col("ln")) / 3.0, 6).as("recall"))
+  }
+
+  val simRecallEvalSql: String =
+    s"""WITH ex AS ($simTopKBruteforceSql),
+       |ls AS ($simLshBucketedSql)
+       |SELECT ex.query_id, CAST(COUNT(ls.neighbor_id) AS BIGINT) AS n_hits,
+       |  round(COUNT(ls.neighbor_id) / 3.0, 6) AS recall
+       |FROM ex LEFT JOIN ls
+       |  ON ls.query_id = ex.query_id AND ls.neighbor_id = ex.neighbor_id
+       |WHERE ex.rank <= 3
+       |GROUP BY ex.query_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sim_recall_eval" -> simRecallEval,
     "sim_mips_topk" -> simMipsTopK,
     "sim_knn_graph" -> simKnnGraph,
     "sim_sq_int8" -> simSqInt8,
@@ -658,6 +690,7 @@ object Similarity {
     "dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
+    "sim_recall_eval" -> simRecallEvalSql,
     "sim_mips_topk" -> simMipsTopKSql,
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_sq_int8" -> simSqInt8Sql,

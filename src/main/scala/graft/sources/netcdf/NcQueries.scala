@@ -670,7 +670,100 @@ object NcQueries {
       |  MIN(idx) AS min_rec, MAX(idx) AS max_rec
       |FROM o WHERE idx >= 1000 AND idx < 9000 AND idx % 4 = 0""".stripMargin
 
+  /** CF _FillValue masking (the classic format's missing-data
+    * convention, NUG §"Attribute Conventions"): the writer has no
+    * null encoding — missing values are written AS the declared
+    * `_FillValue` sentinel (NC_FILL_DOUBLE = 9.96920996838869e+36,
+    * the spec default) with the attribute recorded NC_DOUBLE-typed;
+    * the reader fetches the attribute (one header read) and masks
+    * sentinel → null map-side before aggregating. Here "missing" is
+    * every l_quantity = 1.00 record, so the oracle can re-derive the
+    * mask from the original parquet; the gate checks the missing
+    * count AND that masked values stay out of the aggregates. */
+  def ncFillvalueMask: Q = (s, dir) => {
+    val FILL = 9.96920996838869e+36 // NC_FILL_DOUBLE (public NetCDF spec)
+    val out = scratch(s, dir, "fillmask")
+    NcIO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          when(col("l_quantity") === 1.0, lit(FILL))
+            .otherwise(col("l_quantity")).as("l_quantity"))
+        .repartition(2),
+      out,
+      dvatts = Map("l_quantity" -> Seq("_FillValue" -> Array(FILL))))
+    val fill = NcIO.readAttrs(s, out)
+      .filter(col("var_name") === "l_quantity" && col("attr_name") === "_FillValue")
+      .select("dval").distinct().collect().head.getDouble(0)
+    s.read.format(SRC).load(out)
+      .select(col("l_orderkey"),
+        when(col("l_quantity") === fill, lit(null).cast(DoubleType))
+          .otherwise(col("l_quantity")).as("qty"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("qty").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("qty")).as("sum_qty"),
+        min(col("qty")).as("min_qty"), max(col("qty")).as("max_qty"))
+  }
+
+  val ncFillvalueMaskSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN l_quantity = 1.00 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CASE WHEN l_quantity <> 1.00
+      |    THEN CAST(l_quantity AS DECIMAL(9,2)) END) AS DOUBLE) AS sum_qty,
+      |  MIN(CASE WHEN l_quantity <> 1.00 THEN l_quantity END) AS min_qty,
+      |  MAX(CASE WHEN l_quantity <> 1.00 THEN l_quantity END) AS max_qty
+      |FROM lineitem""".stripMargin
+
+  /** CF time-coordinate decode (the "units: hours since <epoch>"
+    * convention every NetCDF time axis uses): the time variable is
+    * written as NUMERIC offsets with its units recorded as a string
+    * attribute, and the READER derives the decode — multiplier parsed
+    * from the attribute, offsets turned back into timestamps map-side
+    * — rather than hard-coding a calendar. The daily rollup over the
+    * decoded axis must match the same rollup over the original
+    * parquet timestamps; both engines apply the identical
+    * divide→round→scale chain, so the decode is bit-deterministic
+    * even where hours-since-epoch is not exactly representable. */
+  def ncTimeDecode: Q = (s, dir) => {
+    val out = scratch(s, dir, "cftime")
+    NcIO.write(
+      graft.Tables.events(s, dir).select(
+        (unix_micros(col("ts")).cast(DoubleType) / lit(3.6e9)).as("time"),
+        col("value")),
+      out,
+      vatts = Map("time" -> Seq("units" -> "hours since 1970-01-01 00:00:00")))
+    val units = NcIO.readAttrs(s, out)
+      .filter(col("var_name") === "time" && col("attr_name") === "units")
+      .select("sval").distinct().collect().head.getString(0)
+    val multMicros: Long = units.split(" ")(0) match {
+      case "seconds" => 1000000L
+      case "minutes" => 60L * 1000000L
+      case "hours"   => 3600L * 1000000L
+      case "days"    => 86400L * 1000000L
+      case u => throw new IllegalArgumentException(s"unsupported CF unit: $u")
+    }
+    s.read.format(SRC).load(out)
+      .select(timestamp_micros(round(col("time") * multMicros.toDouble, 0)
+        .cast(LongType)).as("ts2"), col("value"))
+      .groupBy(to_date(col("ts2")).as("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+  }
+
+  val ncTimeDecodeSql: String =
+    """WITH enc AS (
+      |  SELECT CAST(epoch_us(ts) AS DOUBLE) / 3.6e9 AS time, value FROM events),
+      |dec AS (
+      |  SELECT make_timestamp(CAST(round(time * 3600000000.0, 0) AS BIGINT)) AS ts2,
+      |         value
+      |  FROM enc)
+      |SELECT CAST(ts2 AS DATE) AS day, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
+      |FROM dec GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "nc_time_decode" -> ncTimeDecode,
+    "nc_fillvalue_mask" -> ncFillvalueMask,
     "nc_isel_stride" -> ncIselStride,
     "nc_scale_offset" -> ncScaleOffset,
     "nc_multifile_union" -> ncMultifileUnion,
@@ -693,6 +786,8 @@ object NcQueries {
     "stream_compact_auto" -> streamCompactAuto)
 
   val oracles: Map[String, String] = Map(
+    "nc_time_decode" -> ncTimeDecodeSql,
+    "nc_fillvalue_mask" -> ncFillvalueMaskSql,
     "nc_isel_stride" -> ncIselStrideSql,
     "nc_scale_offset" -> ncScaleOffsetSql,
     "nc_multifile_union" -> ncMultifileUnionSql,
