@@ -495,19 +495,26 @@ object TextOps {
     * here the corpus is touched by exactly three scans, all
     * partial-aggregating, and nothing wider than 64 rows ever sits in
     * one place. */
-  /** (doc_id, source, n_words, score) with the composite quality
-    * score — shared base of the decile operators. */
-  private[graft] def qualityDocs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  /** Attach (n_words, score) to any DataFrame with a `text` column —
+    * the composite quality score, usable on batch AND streaming
+    * inputs (pure map-side expressions, no aggregation). */
+  private[graft] def withQualityScore(df: DataFrame): DataFrame =
+    df
       .withColumn("n_words", size(split(col("text"), " ")).cast(LongType))
       .withColumn("n_stop",
         expr(s"size(filter(split(text, ' '), w -> w IN (${sqlList(stoplist)})))")
           .cast(LongType))
-      .select(col("doc_id"), col("source"), col("n_words"),
-        (least(col("n_words") / 50.0, lit(1.0)) * 0.4
+      .withColumn("score",
+        least(col("n_words") / 50.0, lit(1.0)) * 0.4
           + (col("n_stop") / col("n_words")) * 0.3
           + least(((length(col("text")) - (col("n_words") - 1)) / col("n_words")) / 8.0,
-            lit(1.0)) * 0.3).as("score"))
+            lit(1.0)) * 0.3)
+
+  /** (doc_id, source, n_words, score) with the composite quality
+    * score — shared base of the decile operators. */
+  private[graft] def qualityDocs(s: SparkSession, dir: String): DataFrame =
+    withQualityScore(t(s, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("n_words"), col("score"))
 
   /** One-row DataFrame holding the 9 decile boundaries of `score` as a
     * sorted array `bs`, estimated from a 64-bin mergeable histogram

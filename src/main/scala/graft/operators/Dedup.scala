@@ -83,14 +83,11 @@ object Dedup {
        |WHERE df <= $MAX_DF""".stripMargin
   }
 
-  /** MinHash + LSH banding + verified Jaccard on candidates.
+  /** MinHash-LSH candidate pairs over a (cached) shingle base — the
+    * shared banding device of [[dedupMinhashLsh]] and [[dedupEval]]:
     * sig_i = min over shingles of the first 16 hex chars of
     * md5("i:" ++ shingle); band hash = md5(sig_2b ++ sig_2b+1). */
-  def dedupMinhashLsh: Q = (s, dir) => {
-    // the shingle set feeds 4 plan branches (signatures, both sides of
-    // the candidate join via bands, and the Jaccard intersection);
-    // Spark recomputes each branch, so cache the md5-heavy base
-    val sh = cappedShingles(t(s, dir, "documents"), 3).cache()
+  private def lshCandidates(sh: DataFrame): DataFrame = {
     val sigAggs = (0 until H).map(i =>
       min(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 16)).as(s"h$i"))
     val sigs = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
@@ -100,13 +97,20 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("s"))
       .select(col("doc_id"), col("s.band").as("band"), col("s.bh").as("bh"))
       .cache() // both sides of the self-join
-    val cand = bands.alias("a")
+    bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    withJaccard(cand, sh)
+  }
+
+  def dedupMinhashLsh: Q = (s, dir) => {
+    // the shingle set feeds 4 plan branches (signatures, both sides of
+    // the candidate join via bands, and the Jaccard intersection);
+    // Spark recomputes each branch, so cache the md5-heavy base
+    val sh = cappedShingles(t(s, dir, "documents"), 3).cache()
+    withJaccard(lshCandidates(sh), sh)
   }
 
   /** Attach verified Jaccard over shingle sets to candidate pairs.
@@ -141,22 +145,82 @@ object Dedup {
        |JOIN cnt ca ON ca.doc_id = i.id_a
        |JOIN cnt cb ON cb.doc_id = i.id_b""".stripMargin
 
-  val dedupMinhashLshSql: String = {
+  /** The sig/bands/cand CTE chain (expects a `sh` CTE in scope) —
+    * shared by [[dedupMinhashLshSql]] and [[dedupEvalSql]]. */
+  private val lshCandCteSql: String = {
     val sigCols = (0 until H)
       .map(i => s"min(substr(md5('$i:' || sh), 1, 16)) AS h$i").mkString(", ")
     val bandSelects = (0 until BANDS)
       .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
       .mkString("\n  UNION ALL ")
-    val candCte =
-      s"""sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
-    jaccardSql(candCte, 3)
+    s"""sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  val dedupMinhashLshSql: String = jaccardSql(lshCandCteSql, 3)
+
+  /** Banding-quality evaluation AS AN OPERATOR (the dedup-tuning
+    * twin of sim_recall_eval): ground-truth near-dup pairs are every
+    * pair with verified Jaccard ≥ 0.4 over the df-capped inverted
+    * index (pairs sharing ≥1 shingle — a KEYED join bounded by the
+    * df cap at ≤ MAX_DF ids per bucket, so the ground truth itself is
+    * never an all-pairs scan; J = 0 pairs share nothing and cannot be
+    * near-dups), and the candidate set is the MinHash band device.
+    * One row out: candidate/truth/hit counts with precision (how much
+    * verify work the bands waste) and recall (what the bands miss) —
+    * the two numbers that decide H and band count at 100 TB. */
+  def dedupEval: Q = (s, dir) => {
+    val sh = cappedShingles(t(s, dir, "documents"), 3).cache()
+    val truthCand = sh.toDF("id_a", "sh")
+      .join(sh.toDF("id_b", "sh"), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val truth = withJaccard(truthCand, sh)
+      .filter(round(col("jaccard"), 6) >= 0.4)
+      .select("id_a", "id_b").cache() // counted + probed
+    val cand = lshCandidates(sh).cache() // counted + probed
+    val hits = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+    cand.agg(count(lit(1)).as("n_cand"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_cand"), col("n_true"), col("n_hits"),
+        round(col("n_hits") / greatest(col("n_cand"), lit(1L)), 6).as("lsh_precision"),
+        round(col("n_hits") / greatest(col("n_true"), lit(1L)), 6).as("lsh_recall"))
+  }
+
+  val dedupEvalSql: String =
+    s"""WITH sh AS (${shinglesSql(3)}),
+       |$lshCandCteSql,
+       |tc AS (
+       |  SELECT DISTINCT sa.doc_id AS id_a, sb.doc_id AS id_b
+       |  FROM sh sa JOIN sh sb ON sb.sh = sa.sh AND sa.doc_id < sb.doc_id),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT t.id_a, t.id_b, COUNT(*) AS n_inter
+       |  FROM tc t
+       |  JOIN sh sa ON sa.doc_id = t.id_a
+       |  JOIN sh sb ON sb.doc_id = t.id_b AND sb.sh = sa.sh
+       |  GROUP BY t.id_a, t.id_b),
+       |truth AS (
+       |  SELECT i.id_a, i.id_b FROM inter i
+       |  JOIN cnt ca ON ca.doc_id = i.id_a
+       |  JOIN cnt cb ON cb.doc_id = i.id_b
+       |  WHERE round(i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter), 6) >= 0.4),
+       |hits AS (
+       |  SELECT c.id_a, c.id_b FROM cand c
+       |  JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b)
+       |SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+       |  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+       |  CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
+       |  round((SELECT COUNT(*) FROM hits)
+       |    / greatest((SELECT COUNT(*) FROM cand), 1), 6) AS lsh_precision,
+       |  round((SELECT COUNT(*) FROM hits)
+       |    / greatest((SELECT COUNT(*) FROM truth), 1), 6) AS lsh_recall""".stripMargin
 
   /** Word-4-gram Jaccard: candidates = pairs sharing at least one
     * df-capped 4-gram (inverted-index self-join on the shingle; the
@@ -374,12 +438,14 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
     "dedup_cdc" -> dedupCdc,
-    "dedup_incremental" -> dedupIncremental)
+    "dedup_incremental" -> dedupIncremental,
+    "dedup_eval" -> dedupEval)
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_cdc" -> dedupCdcSql,
-    "dedup_incremental" -> dedupIncrementalSql)
+    "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_eval" -> dedupEvalSql)
 }

@@ -275,7 +275,58 @@ object Streams {
       |  GROUP BY tok)
       |WHERE rank <= 20""".stripMargin
 
+  /** Streaming curation filter — the STATELESS (append-mode) shape of
+    * the pipeline: quality scoring and thresholding run as pure
+    * map-side expressions on a file stream, kept docs append to the
+    * sink with no aggregation state at all (contrast the complete-
+    * mode twins, whose state is the aggregate). This is the form a
+    * 100 TB ingest filter actually runs in — per-record decisions at
+    * the edge, unbounded throughput, nothing to evict. The drained
+    * sink is then rolled up per source; identical keep decisions to
+    * the batch scorer, so one oracle covers both engines AND both
+    * execution modes. */
+  def streamCurationFilter: Q = (s, dir) => {
+    val docsPath = s"$dir/documents.parquet"
+    val stageDir = s"/tmp/graft_scf/${s.sparkContext.applicationId}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val hconf = s.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(stageDir, "documents.parquet")
+    val fs = dst.getFileSystem(hconf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(stageDir))
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(docsPath), fs, dst, false, true, hconf)
+    val sch = s.read.parquet(docsPath).schema
+    val kept = graft.functions.TextOps.withQualityScore(
+      s.readStream.schema(sch).parquet(stageDir))
+      .filter(col("score") >= 0.5)
+      .select(col("doc_id"), col("source"), col("n_words"))
+    val q = kept.writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_cf").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_cf")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_words")).as("kept_words"))
+  }
+
+  val streamCurationFilterSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source, n_words,
+      |    least(n_words / 50.0, 1.0) * 0.4
+      |      + (n_stop / n_words) * 0.3
+      |      + least(((length(text) - (n_words - 1)) / n_words) / 8.0, 1.0) * 0.3 AS score
+      |  FROM (
+      |    SELECT doc_id, source, text,
+      |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |      CAST(len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the', 'a', 'of', 'and', 'in', 'to', 'is', 'on'))) AS BIGINT) AS n_stop
+      |    FROM documents) sub)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  CAST(SUM(n_words) AS BIGINT) AS kept_words
+      |FROM docs WHERE score >= 0.5
+      |GROUP BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stream_curation_filter" -> streamCurationFilter,
     "stream_topterms" -> streamTopTerms,
     "stream_mix_weights" -> streamMixWeights,
     "stream_window_agg" -> streamWindowAgg,
@@ -287,6 +338,7 @@ object Streams {
     // identical output to the batch mix-weights build
     "stream_mix_weights" -> graft.operators.PipelineKeepList.pipelineMixWeightsSql,
     "stream_topterms" -> streamTopTermsSql,
+    "stream_curation_filter" -> streamCurationFilterSql,
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,
     "stream_sessionize" -> streamSessionizeSql,
