@@ -9,11 +9,35 @@ sfDir parquet tables, and compares: schema (sorted column names), row
 count, and a hash over sorted rows of stringified values.
 """
 import json
+import re
 import sys
 import glob
 import hashlib
 
 import duckdb
+
+# CTE/alias names that are (or are likely to become) reserved words in
+# DuckDB. The local pin may accept them while the driver's newer DuckDB
+# rejects them at parse time — exactly how round 3's only red happened
+# (`WITH asof AS (...)` parsed under 1.0.0, died under the driver's
+# build). Linting here keeps that failure class out of the oracles
+# regardless of either side's DuckDB version.
+RESERVED_CTE_NAMES = {
+    "asof", "pivot", "unpivot", "qualify", "positional", "semi", "anti",
+    "window", "offset", "limit", "order", "group", "select", "from",
+    "where", "join", "using", "natural", "exclude", "glob", "grouping",
+    "lateral", "summarize", "describe", "sample", "values", "table",
+}
+CTE_RE = re.compile(r"(?i)(?:\bwith\b|,)\s*([a-z_][a-z0-9_]*)\s+as\s*\(")
+
+
+def lint_reserved(name, sql):
+    bad = sorted({m.group(1).lower() for m in CTE_RE.finditer(sql)}
+                 & RESERVED_CTE_NAMES)
+    if bad:
+        print(f"FAIL {name}: CTE name(s) {bad} are DuckDB reserved words "
+              "(or reserved in newer DuckDB) — rename them")
+    return not bad
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -50,6 +74,9 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if not lint_reserved(name, oracle[name]):
+            n_fail += 1
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
