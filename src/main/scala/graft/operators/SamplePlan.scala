@@ -217,12 +217,73 @@ object SamplePlan {
        |    AS alloc_shards
        |FROM rk""".stripMargin
 
+  /** Reproducible interleaved training order WITHOUT a global sort
+    * (epoch shuffling for pretraining): each doc gets a deterministic
+    * per-source ordinal (md5-ordered window, PARTITIONED by source —
+    * parallel per shard), and the global position is the round-robin
+    * formula pos = (ord−1)·n_sources + src_idx. The total order
+    * exists as a computed KEY, so readers range-scan or seek by pos
+    * with nothing ever funneled through one task; sources interleave
+    * 1:1, which is the α=1 uniform special case of the mix-weight
+    * schedule (weighted interleave = repeat a source's slot
+    * alloc_shards times — pipeline_token_budget's output plugs in
+    * directly). The gate checks the head of the order
+    * (TakeOrderedAndProject — bounded) plus per-source position
+    * stats, so a single misplaced document moves a gated number. */
+  def pipelineTrainOrder: Q = (s, dir) => {
+    val srcIdx = t(s, dir, "documents").select("source").distinct()
+      .withColumn("src_idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("source")).cast(LongType))
+    val nSrc = srcIdx.agg(count(lit(1)).as("n_sources"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(concat(lit("ord:"), col("doc_id").cast(StringType))), col("doc_id"))
+    val positioned = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(srcIdx), "source")
+      .crossJoin(broadcast(nSrc))
+      .withColumn("ord", row_number().over(w).cast(LongType))
+      .withColumn("pos", (col("ord") - 1L) * col("n_sources") + col("src_idx") - 1L)
+    val head = positioned.orderBy("pos").limit(20)
+      .select(col("pos"), col("source"), col("doc_id"))
+    // summary rows share the head's schema: pos = -1 marks them, and
+    // the count/min/max triple is packed into the doc_id column so one
+    // gated result covers both the order's head and its global shape
+    val stats = positioned.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), min(col("pos")).as("min_pos"),
+        max(col("pos")).as("max_pos"))
+      .select(lit(-1L).as("pos"), col("source"),
+        (col("n_docs") * 1000000L + col("min_pos") * 1000L + col("max_pos") % 1000L)
+          .as("doc_id"))
+    head.unionByName(stats)
+  }
+
+  val pipelineTrainOrderSql: String =
+    """WITH srcs AS (
+      |  SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS src_idx
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM srcs),
+      |pos AS (
+      |  SELECT d.doc_id, d.source,
+      |    (CAST(row_number() OVER (PARTITION BY d.source
+      |       ORDER BY md5('ord:' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS BIGINT) - 1)
+      |      * ns.n_sources + s.src_idx - 1 AS pos
+      |  FROM documents d JOIN srcs s USING (source) CROSS JOIN ns)
+      |SELECT pos, source, doc_id FROM (
+      |  SELECT pos, source, doc_id FROM pos ORDER BY pos LIMIT 20)
+      |UNION ALL
+      |SELECT CAST(-1 AS BIGINT) AS pos, source,
+      |  CAST(COUNT(*) * 1000000 + MIN(pos) * 1000 + MAX(pos) % 1000 AS BIGINT) AS doc_id
+      |FROM pos GROUP BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pipeline_partition_quality" -> pipelinePartitionQuality,
     "pipeline_sample_plan" -> pipelineSamplePlan,
-    "pipeline_token_budget" -> pipelineTokenBudget)
+    "pipeline_token_budget" -> pipelineTokenBudget,
+    "pipeline_train_order" -> pipelineTrainOrder)
   val oracles: Map[String, String] = Map(
     "pipeline_partition_quality" -> pipelinePartitionQualitySql,
     "pipeline_sample_plan" -> pipelineSamplePlanSql,
-    "pipeline_token_budget" -> pipelineTokenBudgetSql)
+    "pipeline_token_budget" -> pipelineTokenBudgetSql,
+    "pipeline_train_order" -> pipelineTrainOrderSql)
 }
