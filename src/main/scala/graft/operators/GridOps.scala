@@ -478,7 +478,48 @@ object GridOps {
       |  MIN(x) AS blk_min, MAX(x) AS blk_max
       |FROM el GROUP BY 1, 2""".stripMargin
 
+  /** Cross-variable elementwise algebra (xarray's `a * b` — the core
+    * of any derived-variable computation: revenue = qty·price here,
+    * anomaly·weight, u²+v² wind speed in the climate case): two
+    * variables on the SAME chunking align with ONE equi-join on
+    * chunk_idx, and the arithmetic is a map-side `zip_with` over
+    * whole chunk arrays — elements never explode into rows, so the
+    * shuffle carries one row per chunk regardless of chunk size. The
+    * per-chunk product hash is cent×cent-exact (DECIMAL → 1e-4 units
+    * as BIGINT), so a single misaligned element anywhere flips a
+    * gated value. */
+  def gridElementwise: Q = (s, dir) => {
+    val a = qtyGrid(s, dir)
+    val b = tableToGrid(liOrdered(s, dir), orderCols,
+      col("l_extendedprice"), "l_extendedprice", CHUNK)
+    a.select(col("chunk_idx"), col("origin"), col("shape"), col("values").as("va"))
+      .join(b.select(col("chunk_idx"), col("values").as("vb")), Seq("chunk_idx"))
+      .withColumn("prod", expr(
+        "zip_with(va, vb, (x, y) -> CAST(x AS DECIMAL(9,2)) * CAST(y AS DECIMAL(9,2)))"))
+      .select(lit("qty_x_price").as("variable"), col("chunk_idx"), col("origin"),
+        col("shape"),
+        md5(concat_ws(",", expr(
+          "transform(prod, p -> CAST(CAST(p * 10000 AS BIGINT) AS STRING))")))
+          .as("values_hash"),
+        expr("CAST(aggregate(prod, CAST(0 AS DECIMAL(28,4)), " +
+          "(acc, x) -> CAST(acc + x AS DECIMAL(28,4))) AS DOUBLE)").as("sum_prod"))
+  }
+
+  val gridElementwiseSql: String =
+    s"""WITH o AS (SELECT l_quantity AS v1, l_extendedprice AS v2,
+       |  row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS idx
+       |  FROM lineitem),
+       |p AS (SELECT idx, CAST(v1 AS DECIMAL(9,2)) * CAST(v2 AS DECIMAL(9,2)) AS prod
+       |      FROM o)
+       |SELECT 'qty_x_price' AS variable, idx // $CHUNK AS chunk_idx,
+       |  MIN(idx) AS origin, COUNT(*) AS shape,
+       |  md5(string_agg(CAST(CAST(prod * 10000 AS BIGINT) AS VARCHAR), ',' ORDER BY idx))
+       |    AS values_hash,
+       |  CAST(SUM(prod) AS DOUBLE) AS sum_prod
+       |FROM p GROUP BY idx // $CHUNK""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "grid_elementwise" -> gridElementwise,
     "grid_coarsen_2d" -> gridCoarsen2d,
     "grid_climatology" -> gridClimatology,
     "grid_fill_forward" -> gridFillForward,
@@ -494,6 +535,7 @@ object GridOps {
     "grid_stats" -> gridStats)
 
   val oracles: Map[String, String] = Map(
+    "grid_elementwise" -> gridElementwiseSql,
     "grid_coarsen_2d" -> gridCoarsen2dSql,
     "grid_climatology" -> gridClimatologySql,
     "grid_fill_forward" -> gridFillForwardSql,
