@@ -276,14 +276,70 @@ object SamplePlan {
       |  CAST(COUNT(*) * 1000000 + MIN(pos) * 1000 + MAX(pos) % 1000 AS BIGINT) AS doc_id
       |FROM pos GROUP BY source""".stripMargin
 
+  /** WEIGHTED training order — stride scheduling over the
+    * [[pipelineTokenBudget]] allocations (the full curriculum
+    * scheduler): source s with a_s of the 1000 shards appears a_s/1000
+    * of the time, interleaved evenly, via the classic stride key
+    * pos_key = (ord·10⁶ div a_s)·1000 + src_idx — a source's k-th doc
+    * schedules at pass k/a_s, so twice the allocation means twice the
+    * frequency at perfectly regular spacing. Like
+    * [[pipelineTrainOrder]], the total order is a map-side computed
+    * KEY (all BIGINT — ord·10⁶ before the integer division keeps the
+    * stride exact), never a materialized global sort; zero-allocation
+    * sources fall to the end of every pass via the greatest(a,1)
+    * guard rather than dividing by zero. */
+  def pipelineTrainOrderWeighted: Q = (s, dir) => {
+    val alloc = pipelineTokenBudget(s, dir).select(col("source"), col("alloc_shards"))
+    val srcIdx = t(s, dir, "documents").select("source").distinct()
+      .withColumn("src_idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("source")).cast(LongType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(concat(lit("ord:"), col("doc_id").cast(StringType))), col("doc_id"))
+    val positioned = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(alloc), "source")
+      .join(broadcast(srcIdx), "source")
+      .withColumn("ord", row_number().over(w).cast(LongType))
+      .withColumn("pos_key",
+        expr("(ord * 1000000 div greatest(alloc_shards, 1)) * 1000 + src_idx"))
+    val head = positioned.orderBy("pos_key").limit(20)
+      .select(col("pos_key"), col("source"), col("doc_id"))
+    val stats = positioned.groupBy("source")
+      .agg(count(lit(1)).as("n")) // summary rows: pos_key = -1, doc_id = count
+      .select(lit(-1L).as("pos_key"), col("source"), col("n").as("doc_id"))
+    head.unionByName(stats)
+  }
+
+  val pipelineTrainOrderWeightedSql: String =
+    s"""WITH tb AS ($pipelineTokenBudgetSql),
+       |srcs AS (
+       |  SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS src_idx
+       |  FROM (SELECT DISTINCT source FROM documents)),
+       |pk AS (
+       |  SELECT d.doc_id, d.source,
+       |    (CAST(row_number() OVER (PARTITION BY d.source
+       |       ORDER BY md5('ord:' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS BIGINT)
+       |       * 1000000 // greatest(tb.alloc_shards, 1)) * 1000 + s.src_idx AS pos_key
+       |  FROM documents d
+       |  JOIN tb USING (source)
+       |  JOIN srcs s USING (source))
+       |SELECT pos_key, source, doc_id FROM (
+       |  SELECT pos_key, source, doc_id FROM pk ORDER BY pos_key LIMIT 20)
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS pos_key, source, CAST(COUNT(*) AS BIGINT) AS doc_id
+       |FROM pk GROUP BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pipeline_partition_quality" -> pipelinePartitionQuality,
     "pipeline_sample_plan" -> pipelineSamplePlan,
     "pipeline_token_budget" -> pipelineTokenBudget,
-    "pipeline_train_order" -> pipelineTrainOrder)
+    "pipeline_train_order" -> pipelineTrainOrder,
+    "pipeline_train_order_weighted" -> pipelineTrainOrderWeighted)
   val oracles: Map[String, String] = Map(
     "pipeline_partition_quality" -> pipelinePartitionQualitySql,
     "pipeline_sample_plan" -> pipelineSamplePlanSql,
     "pipeline_token_budget" -> pipelineTokenBudgetSql,
-    "pipeline_train_order" -> pipelineTrainOrderSql)
+    "pipeline_train_order" -> pipelineTrainOrderSql,
+    "pipeline_train_order_weighted" -> pipelineTrainOrderWeightedSql)
 }
