@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses ONE JSON line from the tail of `sbt runMain
+// graft.Bench` stdout. With the default output strategy sbt re-logs the
+// forked process's stdout through its logger as `[info] {...}`, which
+// breaks any parser expecting the raw line. Emit forked stdout verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

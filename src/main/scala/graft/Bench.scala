@@ -9,12 +9,51 @@ import org.apache.spark.sql.SparkSession
   * codegen'd pipelines and Spark's shuffle/agg machinery, so the timed
   * numbers reflect steady-state throughput rather than first-query
   * class-loading — matching how a long-lived cluster session behaves.
+  *
+  * Stall defenses (the r4 driver bench session recorded an RpcTimeout
+  * mid-run and 44x slowdowns on queries with unchanged trivial plans):
+  *  - heartbeat/network timeout headroom so a full-GC pause cannot
+  *    kill the driver<->executor RPC in local mode;
+  *  - periodic GC at 60s (30s in r4 kept cleanup continuous but taxed
+  *    every query; 60s still bounds ContextCleaner backlog well below
+  *    full-GC-cliff territory);
+  *  - a watchdog: any query measuring >3x its previously recorded
+  *    warm time (from the last bench_full.json) gets ONE extra timing
+  *    sample after the main loop, when whatever transient stalled the
+  *    session has passed; the min is emitted.
   */
 object Bench {
+  private val fullPath = java.nio.file.Paths.get(
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/bench_full.json"))
+
+  /** Locale-pinned formatting: f"$v%.3f" follows the JVM default
+    * locale, so a comma-decimal locale (de_DE) would emit 0,530 and
+    * break the machine-parsed JSON line. */
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Per-query warm times from the previous run's bench_full.json, if
+    * present and recorded at the SAME scale factor — the watchdog
+    * baseline. Parsing is an exact-shape reader (keys and %.3f numbers
+    * only), not a JSON library. */
+  private def readBaseline(sfDir: String): Map[String, Double] = {
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(fullPath), "UTF-8")
+      if (!s.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+      else {
+        val q = """"([a-z0-9_]+)":([0-9]+\.[0-9]+)""".r
+        val inQueries = s.indexOf("\"queries\":")
+        if (inQueries < 0) Map.empty
+        else q.findAllMatchIn(s.substring(inQueries)).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val baseline = readBaseline(sfDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,13 +61,20 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // a 130-query single-JVM session accumulates broadcast blocks
+      // a 135-query single-JVM session accumulates broadcast blocks
       // and shuffle state that ContextCleaner only drops after a
       // driver GC; with a large heap GC is rare, so state piles up
       // until multi-second full-GC cliffs stall whatever query is
       // running. Spark's own periodic-GC lever (default 30min —
       // longer than the whole bench) keeps cleanup continuous.
-      .config("spark.cleaner.periodicGC.interval", "30s")
+      .config("spark.cleaner.periodicGC.interval", "60s")
+      // Full-GC pauses plus heartbeat defaults (10s interval, 120s
+      // network timeout) produced an RpcTimeout mid-bench in the r4
+      // driver session. Local-mode RPCs are in-process; give them
+      // headroom so a pause is a pause, not a session-killer.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.rpc.askTimeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries.foreach { case (_, fn) =>
@@ -40,24 +86,39 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
     }
     System.gc() // let ContextCleaner drop warmup broadcasts/shuffles
-    // best-of-2 per query: one timing sample is dominated by JIT tails
-    // and host noise in a 50-plan session; the min is the steady state
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val samples = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val t = (System.nanoTime() - t0) / 1e9
       spark.sharedState.cacheManager.clearCache()
-      name -> samples.min
+      t
+    }
+    // best-of-2 per query: one timing sample is dominated by JIT tails
+    // and host noise in a 135-plan session; the min is the steady state
+    var results: Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+      name -> (1 to 2).map(_ => timeOnce(fn)).min
+    }
+    // watchdog: a session-wide transient (GC cliff, RPC hiccup) can
+    // straddle both samples of whichever query was running. Any query
+    // >3x its recorded warm baseline (and >1s absolute, so micro-query
+    // jitter never triggers) gets one more sample now that the rest of
+    // the session has drained.
+    val suspect = results.filter { case (name, t) =>
+      baseline.get(name).exists(b => t > 1.0 && t > 3.0 * b)
+    }.keys.toSeq.sorted
+    if (suspect.nonEmpty) {
+      System.err.println(s"[bench-watchdog] re-timing ${suspect.size} outliers: ${suspect.mkString(",")}")
+      suspect.foreach { name =>
+        val t = timeOnce(SparkEntry.queries(name))
+        results += name -> math.min(results(name), t)
+      }
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    def fmt(v: Double): String = f"$v%.3f"
     // The harness keeps only the last ~2000 chars of stdout, so the
     // JSON line must fit there or it is unparseable. Emit the total
     // over ALL queries plus per-query times for the slowest queries
     // that fit a conservative char budget; the complete per-query map
-    // goes to bench_full.json next to the repo for SURVEY §6.
+    // goes to bench_full.json for SURVEY §6.
     val bySlowest = results.toSeq.sortBy(-_._2)
     val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","queries":{"""
     val budget = 1600
@@ -71,10 +132,16 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","queries":$fullQs}"""
     try {
-      val p = java.nio.file.Paths.get("bench_full.json")
-      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => }
-    println(header + entries.mkString(",") + "}}")
+      java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e")
+    }
+    val line = header + entries.mkString(",") + "}}"
+    println(line)
     spark.stop()
+    // Print the line once more AFTER spark.stop() so it is the last
+    // thing this process writes to stdout — Spark shutdown may log in
+    // between, and the driver parses from the tail of the capture.
+    println(line)
   }
 }

@@ -222,6 +222,115 @@ object Dedup {
        |  round((SELECT COUNT(*) FROM hits)
        |    / greatest((SELECT COUNT(*) FROM truth), 1), 6) AS lsh_recall""".stripMargin
 
+  /** Sweep width: band counts 1..8 at 2 rows per band → H up to 16. */
+  private val SWEEP_MAXB = 8
+
+  /** Banding-parameter SWEEP in one query — the [[dedupEval]] grid
+    * form the tuning loop wants at 100 TB: precision/recall for every
+    * (H = 2k, bands = k), k = 1..8, with band settings as DATA columns,
+    * not code. The device making one pass serve the whole grid: band b
+    * of the k-band config hashes the same (h_2b, h_2b+1) signature pair
+    * for EVERY k > b, so config k's candidate set is exactly the pairs
+    * whose minimum shared band index is < k. One 16-hash signature
+    * pass, one 8-band self-join annotated with min(band), one ground
+    * truth (computed once, reused by all 8 rows), and the per-config
+    * counts fall out of an 8×8 metadata-sized join — the corpus is
+    * scanned once, not 8 times. Recall is monotone nondecreasing in k
+    * by construction (candidate sets are nested) — pinned in
+    * Round5Spec. */
+  def dedupEvalSweep: Q = (s, dir) => {
+    val sh = cappedShingles(t(s, dir, "documents"), 3).cache()
+    val sigAggs = (0 until 2 * SWEEP_MAXB).map(i =>
+      min(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 16)).as(s"h$i"))
+    val sigs = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until SWEEP_MAXB).map(b =>
+      struct(lit(b).as("band"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh")))
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("s"))
+      .select(col("doc_id"), col("s.band").as("band"), col("s.bh").as("bh"))
+      .cache() // both sides of the self-join
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(min(col("a.band")).as("min_band"))
+      .cache() // counted per config + probed against truth
+    val truthCand = sh.toDF("id_a", "sh")
+      .join(sh.toDF("id_b", "sh"), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val truth = withJaccard(truthCand, sh)
+      .filter(round(col("jaccard"), 6) >= 0.4)
+      .select("id_a", "id_b")
+    val hitBand = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+    // per-min_band histograms first (≤8 rows each), so the config join
+    // below is metadata×metadata — the corpus never touches it
+    val candByBand = cand.groupBy("min_band").agg(count(lit(1)).as("nc"))
+    val hitsByBand = hitBand.groupBy("min_band").agg(count(lit(1)).as("nh"))
+    val ks = s.range(1, SWEEP_MAXB + 1).toDF("n_bands")
+    val nCand = ks.join(candByBand, col("min_band") < col("n_bands"), "left")
+      .groupBy("n_bands").agg(coalesce(sum("nc"), lit(0L)).as("n_cand"))
+    val nHits = ks.join(hitsByBand, col("min_band") < col("n_bands"), "left")
+      .groupBy("n_bands").agg(coalesce(sum("nh"), lit(0L)).as("n_hits"))
+    nCand.join(nHits, Seq("n_bands"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .select(
+        (col("n_bands") * 2).as("n_hash"),
+        col("n_bands"), col("n_cand"), col("n_true"), col("n_hits"),
+        round(col("n_hits") / greatest(col("n_cand"), lit(1L)), 6).as("lsh_precision"),
+        round(col("n_hits") / greatest(col("n_true"), lit(1L)), 6).as("lsh_recall"))
+  }
+
+  val dedupEvalSweepSql: String = {
+    val sigCols = (0 until 2 * SWEEP_MAXB)
+      .map(i => s"min(substr(md5('$i:' || sh), 1, 16)) AS h$i").mkString(", ")
+    val bandSelects = (0 until SWEEP_MAXB)
+      .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sh AS (${shinglesSql(3)}),
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, MIN(a.band) AS min_band
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |tc AS (
+       |  SELECT DISTINCT sa.doc_id AS id_a, sb.doc_id AS id_b
+       |  FROM sh sa JOIN sh sb ON sb.sh = sa.sh AND sa.doc_id < sb.doc_id),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT t.id_a, t.id_b, COUNT(*) AS n_inter
+       |  FROM tc t
+       |  JOIN sh sa ON sa.doc_id = t.id_a
+       |  JOIN sh sb ON sb.doc_id = t.id_b AND sb.sh = sa.sh
+       |  GROUP BY t.id_a, t.id_b),
+       |truth AS (
+       |  SELECT i.id_a, i.id_b FROM inter i
+       |  JOIN cnt ca ON ca.doc_id = i.id_a
+       |  JOIN cnt cb ON cb.doc_id = i.id_b
+       |  WHERE round(i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter), 6) >= 0.4),
+       |hits AS (
+       |  SELECT c.min_band FROM cand c
+       |  JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b),
+       |ks AS (SELECT n_bands FROM generate_series(1, $SWEEP_MAXB) t(n_bands)),
+       |cc AS (
+       |  SELECT k.n_bands, CAST(COUNT(c.min_band) AS BIGINT) AS n_cand
+       |  FROM ks k LEFT JOIN cand c ON c.min_band < k.n_bands GROUP BY 1),
+       |hc AS (
+       |  SELECT k.n_bands, CAST(COUNT(h.min_band) AS BIGINT) AS n_hits
+       |  FROM ks k LEFT JOIN hits h ON h.min_band < k.n_bands GROUP BY 1)
+       |SELECT CAST(cc.n_bands * 2 AS BIGINT) AS n_hash,
+       |  CAST(cc.n_bands AS BIGINT) AS n_bands, cc.n_cand,
+       |  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true, hc.n_hits,
+       |  round(hc.n_hits / greatest(cc.n_cand, 1), 6) AS lsh_precision,
+       |  round(hc.n_hits
+       |    / greatest((SELECT COUNT(*) FROM truth), 1), 6) AS lsh_recall
+       |FROM cc JOIN hc ON hc.n_bands = cc.n_bands""".stripMargin
+  }
+
   /** Word-4-gram Jaccard: candidates = pairs sharing at least one
     * df-capped 4-gram (inverted-index self-join on the shingle; the
     * df cap bounds every join bucket to <= MAX_DF members, so the
@@ -439,7 +548,8 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_cdc" -> dedupCdc,
     "dedup_incremental" -> dedupIncremental,
-    "dedup_eval" -> dedupEval)
+    "dedup_eval" -> dedupEval,
+    "dedup_eval_sweep" -> dedupEvalSweep)
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
@@ -447,5 +557,6 @@ object Dedup {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_cdc" -> dedupCdcSql,
     "dedup_incremental" -> dedupIncrementalSql,
-    "dedup_eval" -> dedupEvalSql)
+    "dedup_eval" -> dedupEvalSql,
+    "dedup_eval_sweep" -> dedupEvalSweepSql)
 }

@@ -162,22 +162,62 @@ object NcFormat {
     * unchanged. */
   val NCZ_MAGIC = 0x4752465A
 
-  case class NczIndex(recordsPerBlock: Long, blocks: Array[(Long, Int, Int)])
+  /** .ncz v2 footer magic ("GRF2"): per-VARIABLE block layout — the
+    * netCDF4 `createVariable(chunksizes=, zlib=)` model. Record data is
+    * var-major: each record variable's slabs are buffered and flushed
+    * as that variable's OWN block sequence (its own records-per-block
+    * budget, its own store/deflate codec), blocks of different
+    * variables interleaving in the file as their buffers fill; the
+    * footer records one block index per variable, in header var order:
+    *   nVars: int, then per var (recordsPerBlock: long, codec: byte
+    *   [0=store, 1=deflate], nBlocks: int, blocks as in v1),
+    *   then footerStart: long, magic: int.
+    * Beyond codec control, var-major blocks buy COLUMNAR PRUNING: a
+    * projected read inflates only the wanted variables' blocks, where
+    * the v1 interleaved layout decompresses every variable's bytes
+    * regardless of projection — at 100 TB a 2-of-20-column scan reads
+    * ~10% of the record data instead of all of it. */
+  val NCZ2_MAGIC = 0x47524632
 
-  def readNczIndex(fs: FileSystem, path: Path): NczIndex = {
+  case class NczIndex(recordsPerBlock: Long, blocks: Array[(Long, Int, Int)])
+  case class NczVarIndex(recordsPerBlock: Long, codec: Byte, blocks: Array[(Long, Int, Int)])
+  case class NczIndex2(vars: Array[NczVarIndex])
+
+  /** Parse a .ncz block-index footer, either layout version. */
+  def readNczAny(fs: FileSystem, path: Path): Either[NczIndex, NczIndex2] = {
     val len = fs.getFileStatus(path).getLen
     val in = fs.open(path)
     try {
       in.seek(len - 12)
       val footerStart = in.readLong()
       val magic = in.readInt()
-      require(magic == NCZ_MAGIC, s"$path: missing .ncz block-index footer")
       in.seek(footerStart)
-      val n = in.readInt()
-      val rpb = in.readLong()
-      NczIndex(rpb, Array.fill(n)((in.readLong(), in.readInt(), in.readInt())))
+      magic match {
+        case NCZ_MAGIC =>
+          val n = in.readInt()
+          val rpb = in.readLong()
+          Left(NczIndex(rpb, Array.fill(n)((in.readLong(), in.readInt(), in.readInt()))))
+        case NCZ2_MAGIC =>
+          val nVars = in.readInt()
+          Right(NczIndex2(Array.fill(nVars) {
+            val rpb = in.readLong()
+            val codec = in.readByte()
+            val nb = in.readInt()
+            NczVarIndex(rpb, codec, Array.fill(nb)((in.readLong(), in.readInt(), in.readInt())))
+          }))
+        case other =>
+          throw new IllegalArgumentException(
+            s"$path: missing .ncz block-index footer (magic 0x${other.toHexString})")
+      }
     } finally in.close()
   }
+
+  def readNczIndex(fs: FileSystem, path: Path): NczIndex =
+    readNczAny(fs, path) match {
+      case Left(idx) => idx
+      case Right(_) => throw new IllegalArgumentException(
+        s"$path is a per-variable (v2) .ncz file; use readNczAny")
+    }
 
   /** Open a part file for sequential decoding: plain files come back
     * as the seekable FSDataInputStream; .nc.gz files as a buffered
@@ -344,13 +384,33 @@ object NcFormat {
       /** typed NC_DOUBLE GLOBAL attributes (value vectors) — file-level
         * numeric metadata (geospatial bounds, grid spacing, version
         * numbers), the global counterpart of [[dvatts]]. */
-      dgatts: Seq[(String, Array[Double])] = Nil) {
+      dgatts: Seq[(String, Array[Double])] = Nil,
+      /** per-variable block-size budgets in bytes (netCDF4's
+        * `chunksizes=`): any named variable buffers its own blocks of
+        * ~this many bytes; others inherit `chunkBytes`. Non-empty maps
+        * switch the .ncz sink to the var-major v2 layout
+        * ([[NCZ2_MAGIC]]). Requires `compressChunks`. */
+      varChunkBytes: Map[String, Int] = Map.empty,
+      /** per-variable codec (netCDF4's `zlib=`): "deflate" (default —
+        * per-block store fallback when deflate doesn't shrink) or
+        * "store" (never run the Deflater: the right call for
+        * high-entropy columns, where at 100 TB attempted-then-discarded
+        * compression is pure wasted CPU). Requires `compressChunks`. */
+      varCodecs: Map[String, String] = Map.empty) {
     private val specs: Array[VarSpec] =
       schema.fields.map(f => varSpecOf(f, arrayLens, stringWidth))
     require(vatts.keySet.subsetOf(schema.fieldNames.toSet),
       s"vatts for unknown columns: ${vatts.keySet -- schema.fieldNames}")
     require(dvatts.keySet.subsetOf(schema.fieldNames.toSet),
       s"dvatts for unknown columns: ${dvatts.keySet -- schema.fieldNames}")
+    require(varChunkBytes.keySet.subsetOf(schema.fieldNames.toSet),
+      s"varChunkBytes for unknown columns: ${varChunkBytes.keySet -- schema.fieldNames}")
+    require(varCodecs.keySet.subsetOf(schema.fieldNames.toSet),
+      s"varCodecs for unknown columns: ${varCodecs.keySet -- schema.fieldNames}")
+    require(varCodecs.values.forall(Set("store", "deflate")),
+      s"varCodecs values must be store|deflate: ${varCodecs.values.toSet}")
+    require(compressChunks || (varChunkBytes.isEmpty && varCodecs.isEmpty),
+      "per-variable chunk/codec maps require compressChunks (.ncz)")
     private val version = if (specs.exists(_.ncType == NC_INT64)) 5 else 2
     private val single = schema.size == 1
     private val slabPad: Array[Int] =
@@ -390,15 +450,39 @@ object NcFormat {
     }
 
     // --- chunk-compressed (.ncz) record sink ---
-    private val recSizeW: Long =
-      specs.zipWithIndex.map { case (v, i) => v.slab.toLong + slabPad(i) }.sum
+    /** per-variable record stride (slab + inter-var pad), the unit both
+      * block layouts are built from */
+    private val strideW: Array[Int] =
+      specs.indices.map(i => specs(i).slab.toInt + slabPad(i)).toArray
+    private val recSizeW: Long = strideW.map(_.toLong).sum
     private val recordsPerBlock: Int =
       math.max(1L, chunkBytes / math.max(recSizeW, 1L)).toInt
-    private val blockBytes = if (compressChunks) new java.io.ByteArrayOutputStream(chunkBytes) else null
-    private val blockOut = if (compressChunks) new DataOutputStream(blockBytes) else null
-    /** record bytes go to the block buffer when compressing, straight
-      * to the file otherwise */
-    private def rec: DataOutputStream = if (compressChunks) blockOut else out
+    /** var-major v2 layout: engaged by any per-variable option */
+    private val v2: Boolean =
+      compressChunks && (varChunkBytes.nonEmpty || varCodecs.nonEmpty)
+    private val blockBytes =
+      if (compressChunks && !v2) new java.io.ByteArrayOutputStream(chunkBytes) else null
+    private val blockOut = if (compressChunks && !v2) new DataOutputStream(blockBytes) else null
+    // v2 state: one block buffer + budget + codec + index per variable
+    private val varRpb: Array[Int] = specs.indices.map { i =>
+      math.max(1L, varChunkBytes.getOrElse(specs(i).name, chunkBytes).toLong
+        / math.max(strideW(i).toLong, 1L)).toInt
+    }.toArray
+    private val varStore: Array[Boolean] =
+      specs.map(v => varCodecs.get(v.name).contains("store"))
+    private val varBlockBytes: Array[java.io.ByteArrayOutputStream] =
+      if (v2) Array.fill(specs.length)(new java.io.ByteArrayOutputStream(64 << 10)) else null
+    private val varBlockOut: Array[DataOutputStream] =
+      if (v2) varBlockBytes.map(new DataOutputStream(_)) else null
+    private val varBlockRecs: Array[Int] = if (v2) new Array[Int](specs.length) else null
+    private val varBlockIndex: Array[scala.collection.mutable.ArrayBuffer[(Long, Int, Int)]] =
+      if (v2) Array.fill(specs.length)(scala.collection.mutable.ArrayBuffer.empty) else null
+    /** variable currently being written by writeRow (v2 routing) */
+    private var curVar = 0
+    /** record bytes go to the current var's block buffer (v2), the
+      * shared block buffer (v1 .ncz), or straight to the file */
+    private def rec: DataOutputStream =
+      if (v2) varBlockOut(curVar) else if (compressChunks) blockOut else out
     private var blockRecs = 0
     private val blockIndex = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
     private var filePos: Long = headerBytes.length.toLong +
@@ -431,6 +515,25 @@ object NcFormat {
       }
       blockBytes.reset()
       blockRecs = 0
+    }
+
+    /** v2: flush variable `j`'s pending block. A "store" codec never
+      * runs the Deflater; "deflate" keeps the per-block raw fallback. */
+    private def flushVarBlock(j: Int): Unit = if (varBlockRecs(j) > 0) {
+      varBlockOut(j).flush()
+      val raw = varBlockBytes(j).toByteArray
+      val comp = if (varStore(j)) null else deflate(raw)
+      if (comp != null && comp.length < raw.length) {
+        out.write(comp)
+        varBlockIndex(j) += ((filePos, comp.length, varBlockRecs(j)))
+        filePos += comp.length
+      } else {
+        out.write(raw)
+        varBlockIndex(j) += ((filePos, -raw.length, varBlockRecs(j)))
+        filePos += raw.length
+      }
+      varBlockBytes(j).reset()
+      varBlockRecs(j) = 0
     }
 
     private def nonNegBytes(v: Long): Array[Byte] =
@@ -577,6 +680,7 @@ object NcFormat {
     def writeRow(get: Int => Any): Unit = {
       var i = 0
       while (i < specs.length) {
+        curVar = i
         val v = specs(i)
         if (v.isString) {
           val b = get(i).asInstanceOf[Array[Byte]]
@@ -613,14 +717,35 @@ object NcFormat {
         i += 1
       }
       numRecs += 1
-      if (compressChunks) {
+      if (v2) {
+        var j = 0
+        while (j < specs.length) {
+          varBlockRecs(j) += 1
+          if (varBlockRecs(j) == varRpb(j)) flushVarBlock(j)
+          j += 1
+        }
+      } else if (compressChunks) {
         blockRecs += 1
         if (blockRecs == recordsPerBlock) flushBlock()
       }
     }
 
     def close(): Unit = {
-      if (compressChunks) {
+      if (v2) {
+        specs.indices.foreach(flushVarBlock) // partial tail blocks
+        val footerStart = filePos
+        out.writeInt(specs.length)
+        specs.indices.foreach { j =>
+          out.writeLong(varRpb(j).toLong)
+          out.writeByte(if (varStore(j)) 0 else 1)
+          out.writeInt(varBlockIndex(j).size)
+          varBlockIndex(j).foreach { case (off, clen, nrecs) =>
+            out.writeLong(off); out.writeInt(clen); out.writeInt(nrecs)
+          }
+        }
+        out.writeLong(footerStart)
+        out.writeInt(NCZ2_MAGIC)
+      } else if (compressChunks) {
         flushBlock() // partial tail block
         val footerStart = filePos
         out.writeInt(blockIndex.size)
@@ -696,10 +821,14 @@ object NcFormat {
     /** .ncz: block-index footer; chunk loads become (seek, readFully
       * compLen, inflate) per block — random access into compressed
       * data, which is what makes the file splittable. */
-    private val nczIdx: NczIndex = if (isChunked(path)) readNczIndex(fs, path) else null
-    val recordsPerChunk: Int =
-      if (nczIdx != null) nczIdx.recordsPerBlock.toInt
-      else math.max(1L, chunkBytes / math.max(recSize, 1L)).toInt
+    /** v2 (per-variable) block index, when the footer is var-major. */
+    private var ncz2: NczIndex2 = null
+    private val nczIdx: NczIndex = if (isChunked(path)) {
+      readNczAny(fs, path) match {
+        case Left(v1) => v1
+        case Right(v2) => ncz2 = v2; null
+      }
+    } else null
 
     /** (var, offsetWithinRecord) for requested vars, in request order. */
     private val slots: Seq[(NcVarMeta, Long)] = {
@@ -712,6 +841,39 @@ object NcFormat {
       }.toMap
       wanted.map(offsets(_))
     }
+
+    /** v2 assembly plan per wanted var: (index into ncz2.vars — header
+      * var order, record stride, interleave offset within the record). */
+    private val v2Slots: Array[(Int, Int, Int)] = if (ncz2 == null) null else {
+      var off = 0L
+      val byName = meta.recordVars.zipWithIndex.map { case (v, j) =>
+        val s = v.slabSize(meta.dims)
+        val stride = if (meta.recordVars.size == 1) s else s + pad4(s)
+        val o = off
+        off += stride
+        v.name -> ((j, stride.toInt, o.toInt))
+      }.toMap
+      wanted.map(byName(_)).toArray
+    }
+    // one-block inflate cache per wanted var: sequential chunk loads
+    // re-slice the same var block until it is exhausted, so each block
+    // is read+inflated exactly once per partition interior
+    private val v2Cache: Array[Array[Byte]] =
+      if (ncz2 == null) null else new Array[Array[Byte]](wanted.size)
+    private val v2CacheBlock: Array[Int] =
+      if (ncz2 == null) null else Array.fill(wanted.size)(-1)
+
+    val recordsPerChunk: Int =
+      if (ncz2 != null) {
+        // the chunk grid follows the finest-chunked WANTED var (others
+        // are sliced from their cached larger blocks); count-only scans
+        // (no wanted vars) just need any bounded stride
+        val rs: Seq[Long] =
+          if (v2Slots.nonEmpty) v2Slots.toSeq.map(t => ncz2.vars(t._1).recordsPerBlock)
+          else ncz2.vars.toSeq.map(_.recordsPerBlock)
+        math.max(1L, rs.min).toInt
+      } else if (nczIdx != null) nczIdx.recordsPerBlock.toInt
+      else math.max(1L, chunkBytes / math.max(recSize, 1L)).toInt
     private val dataStart: Long = meta.recordVars.map(_.begin).minOption.getOrElse(0L)
 
     private var next = r0
@@ -722,7 +884,9 @@ object NcFormat {
     def hasNext: Boolean = next < r1
 
     /** Load the next chunk; returns the number of records loaded. */
-    def loadChunk(): Int = if (nczIdx != null) loadNczBlock() else {
+    def loadChunk(): Int =
+      if (ncz2 != null) loadNcz2Chunk()
+      else if (nczIdx != null) loadNczBlock() else {
       val n = math.min(recordsPerChunk.toLong, r1 - next).toInt
       val bytes = (n * recSize).toInt
       if (buf.length < bytes) buf = new Array[Byte](bytes)
@@ -778,6 +942,76 @@ object NcFormat {
       bufCount = n
       next += n
       n
+    }
+
+    /** v2 (per-variable blocks) chunk load: the chunk extent stops at
+      * the nearest wanted-var block boundary; each wanted var's covering
+      * block is read+inflated once (per-var cache) and its record slabs
+      * are interleaved into `buf` at the var's record offset, so every
+      * accessor keeps the uniform record-major layout. Variables NOT in
+      * the projection are never read — columnar pruning the interleaved
+      * v1 layout cannot do. */
+    private def loadNcz2Chunk(): Int = {
+      var n: Long = r1 - next
+      var s = 0
+      while (s < v2Slots.length) {
+        val rpb = ncz2.vars(v2Slots(s)._1).recordsPerBlock
+        val boundary = (next / rpb + 1L) * rpb
+        if (boundary - next < n) n = boundary - next
+        s += 1
+      }
+      if (n > recordsPerChunk) n = recordsPerChunk // count-only scans
+      val nI = n.toInt
+      val bytes = nI * recSize.toInt
+      if (buf.length < bytes) buf = new Array[Byte](bytes)
+      s = 0
+      while (s < v2Slots.length) {
+        val (vj, stride, slotOff) = v2Slots(s)
+        val vi = ncz2.vars(vj)
+        val rpb = vi.recordsPerBlock
+        val b = (next / rpb).toInt
+        if (v2CacheBlock(s) != b) {
+          val (off, clen, nrecs) = vi.blocks(b)
+          val rawLen = nrecs * stride
+          val raw = new Array[Byte](rawLen)
+          if (clen < 0) {
+            require(-clen == rawLen, s"$path var $vj block $b: stored ${-clen} != $rawLen bytes")
+            seekTo(off)
+            raf.readFully(raw, 0, rawLen)
+            pos += rawLen
+          } else {
+            val comp = new Array[Byte](clen)
+            seekTo(off)
+            raf.readFully(comp)
+            pos += clen
+            val inf = new java.util.zip.Inflater()
+            inf.setInput(comp)
+            var filled = 0
+            while (filled < rawLen && !inf.finished()) {
+              val k = inf.inflate(raw, filled, rawLen - filled)
+              if (k == 0 && inf.needsInput())
+                throw new EOFException(s"truncated .ncz var $vj block $b in $path")
+              filled += k
+            }
+            inf.end()
+            require(filled == rawLen, s"$path var $vj block $b: inflated $filled of $rawLen bytes")
+          }
+          v2Cache(s) = raw
+          v2CacheBlock(s) = b
+        }
+        val startInBlock = (next - b.toLong * rpb).toInt
+        val src = v2Cache(s)
+        var k = 0
+        while (k < nI) {
+          System.arraycopy(src, (startInBlock + k) * stride, buf, k * recSize.toInt + slotOff, stride)
+          k += 1
+        }
+        s += 1
+      }
+      bufStart = next
+      bufCount = nI
+      next += nI
+      nI
     }
 
     def chunkStartRecord: Long = bufStart

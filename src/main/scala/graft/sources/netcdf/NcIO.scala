@@ -43,7 +43,15 @@ object NcIO {
       dvatts: Map[String, Seq[(String, Array[Double])]] = Map.empty,
       /** typed NC_DOUBLE GLOBAL attributes — file-level numeric
         * metadata (bounds, grid spacing, version vectors). */
-      dgatts: Seq[(String, Array[Double])] = Nil): Unit = {
+      dgatts: Seq[(String, Array[Double])] = Nil,
+      /** per-variable block-size budget (bytes) for the .ncz sink —
+        * netCDF4's `createVariable(chunksizes=)`; unnamed variables
+        * inherit `chunkBytes`. Non-empty ⇒ var-major .ncz v2 layout. */
+      varChunkBytes: Map[String, Int] = Map.empty,
+      /** per-variable codec for the .ncz sink ("store" | "deflate") —
+        * netCDF4's `createVariable(zlib=)`. "store" skips the Deflater
+        * entirely for high-entropy columns. */
+      varCodecs: Map[String, String] = Map.empty): Unit = {
     require(!(compress && compressChunks),
       "choose one of compress (.nc.gz) or compressChunks (.ncz)")
     val schema = df.schema
@@ -78,7 +86,8 @@ object NcIO {
     val rdd = df.queryExecution.toRdd // RDD[InternalRow], no extra copy
     rdd.mapPartitionsWithIndex { (pid, rows) =>
       writePartition(schema, dir, pid, rows, chunkBytes, allLens, stringWidth, serConf,
-        gatts, vatts, fixedVars, compress, compressChunks, dvatts, dgatts)
+        gatts, vatts, fixedVars, compress, compressChunks, dvatts, dgatts,
+        varChunkBytes, varCodecs)
       Iterator.single(pid)
     }.count() // run the job
     ()
@@ -266,9 +275,12 @@ object NcIO {
       compress: Boolean,
       compressChunks: Boolean,
       dvatts: Map[String, Seq[(String, Array[Double])]],
-      dgatts: Seq[(String, Array[Double])]): Unit = {
+      dgatts: Seq[(String, Array[Double])],
+      varChunkBytes: Map[String, Int],
+      varCodecs: Map[String, String]): Unit = {
     val pf = new NcPartFile(schema, dir, f"part-$pid%05d", chunkBytes, arrayLens,
-      stringWidth, serConf, gatts, vatts, fixedVars, compress, compressChunks, dvatts, dgatts)
+      stringWidth, serConf, gatts, vatts, fixedVars, compress, compressChunks, dvatts, dgatts,
+      varChunkBytes, varCodecs)
     try {
       rows.foreach(pf.write)
       pf.commit()
@@ -298,7 +310,9 @@ private[netcdf] final class NcPartFile(
     compress: Boolean,
     compressChunks: Boolean = false,
     dvatts: Map[String, Seq[(String, Array[Double])]] = Map.empty,
-    dgatts: Seq[(String, Array[Double])] = Nil) {
+    dgatts: Seq[(String, Array[Double])] = Nil,
+    varChunkBytes: Map[String, Int] = Map.empty,
+    varCodecs: Map[String, String] = Map.empty) {
 
   private val getters: Array[InternalRow => Any] =
     schema.fields.zipWithIndex.map { case (f, i) =>
@@ -323,7 +337,8 @@ private[netcdf] final class NcPartFile(
     }
   private val local = java.io.File.createTempFile(baseName, ".nc")
   private val writer = new NcFormat.Writer(local.getPath, schema, chunkBytes, arrayLens,
-    stringWidth, gatts, vatts, fixedVars, compressChunks, dvatts, dgatts)
+    stringWidth, gatts, vatts, fixedVars, compressChunks, dvatts, dgatts,
+    varChunkBytes, varCodecs)
   private val nFields = schema.size
 
   def write(r: InternalRow): Unit = {

@@ -313,6 +313,46 @@ object NcQueries {
       |FROM lineitem
       |WHERE l_orderkey >= 1000 AND l_orderkey < 3000""".stripMargin
 
+  /** Per-variable codec/chunk-size map (.ncz v2) — netCDF4's
+    * `createVariable(..., chunksizes=, zlib=)` parity: each variable
+    * carries its OWN records-per-block budget and store/deflate codec,
+    * recorded per variable in the block-index footer and honored by the
+    * reader. The sorted l_orderkey deflates extremely well under a
+    * large block budget; l_extendedprice is declared "store" (dense
+    * decimal noise barely deflates — at 100 TB running the Deflater
+    * over such columns is pure wasted CPU); l_quantity keeps the
+    * default. Var-major blocks also buy COLUMNAR PRUNING: this
+    * projected, value-filtered read inflates only the three wanted
+    * variables' blocks — the uniform v1 layout decompresses every
+    * variable's bytes regardless of projection. The oracle aggregates
+    * the same slice from the original parquet, proving losslessness
+    * under mixed per-variable codecs. */
+  def ncVarCodec: Q = (s, dir) => {
+    val out = scratch(s, dir, "var_codec")
+    NcIO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"),
+      out, compressChunks = true,
+      varChunkBytes = Map("l_orderkey" -> (512 << 10), "l_quantity" -> (64 << 10)),
+      varCodecs = Map("l_orderkey" -> "deflate", "l_extendedprice" -> "store"))
+    s.read.format(SRC).load(out)
+      .filter(col("l_orderkey") >= 500L && col("l_orderkey") < 2500L)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val ncVarCodecSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_orderkey >= 500 AND l_orderkey < 2500""".stripMargin
+
   /** Standard-surface write roundtrip: the same lossless path as
     * nc_write_read_roundtrip but through the DSv2 write
     * (`df.write.format("netcdf3").mode("overwrite").save(dir)`) —
@@ -781,6 +821,7 @@ object NcQueries {
     "nc_dsv2_write_roundtrip" -> ncDsv2WriteRoundtrip,
     "nc_append_roundtrip" -> ncAppendRoundtrip,
     "nc_ncz_roundtrip" -> ncNczRoundtrip,
+    "nc_var_codec" -> ncVarCodec,
     "stream_nc_ingest" -> streamNcIngest,
     "stream_nc_sink" -> streamNcSink,
     "stream_compact_auto" -> streamCompactAuto)
@@ -805,6 +846,7 @@ object NcQueries {
     "nc_dsv2_write_roundtrip" -> ncDsv2WriteRoundtripSql,
     "nc_append_roundtrip" -> ncAppendRoundtripSql,
     "nc_ncz_roundtrip" -> ncNczRoundtripSql,
+    "nc_var_codec" -> ncVarCodecSql,
     "stream_nc_ingest" -> streamNcIngestSql,
     "stream_nc_sink" -> streamNcSinkSql,
     "stream_compact_auto" -> streamCompactAutoSql)

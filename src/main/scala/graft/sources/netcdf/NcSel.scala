@@ -54,6 +54,23 @@ object NcSel {
     }
   }
 
+  /** Window-bound slack: [[NcFormat.readMeta]] widens NC_INT64
+    * `actual_range` endpoints one ulp OUTWARD (conservative for
+    * pruning beyond 2^53 — a long need not roundtrip through double),
+    * which makes an endpoint-derived "guaranteed distance" up to one
+    * ulp SHORTER than the true distance; the window arithmetic below
+    * (t ± d) adds up to another ulp of rounding. Padding each bound by
+    * 3 ulps restores the containment guarantee, and enlarging a window
+    * can never change a min-by/bracket result — only which records are
+    * merely scanned. (Found at a clamp-edge target whose window missed
+    * the corpus maximum by exactly one ulp.) */
+  private def ulpsDown(x: Double, n: Int = 3): Double = {
+    var v = x; var i = 0; while (i < n) { v = math.nextDown(v); i += 1 }; v
+  }
+  private def ulpsUp(x: Double, n: Int = 3): Double = {
+    var v = x; var i = 0; while (i < n) { v = math.nextUp(v); i += 1 }; v
+  }
+
   /** The single record whose `coordVar` value is closest to `target`
     * (ties: smaller coordinate value, then smaller record index), as a
     * one-row DataFrame of the full record plus `dist`. */
@@ -80,7 +97,7 @@ object NcSel {
       val d = ranges.map { case (mn, mx) =>
         math.min(math.abs(t - mn), math.abs(t - mx))
       }.min
-      (t, t - d, math.nextUp(t + d))
+      (t, ulpsDown(t - d), ulpsUp(t + d))
     }
     val c = col(coordVar).cast(DoubleType)
     val anyWindow = windows.map { case (_, lo, hi) => c >= lo && c < hi }.reduce(_ || _)
@@ -117,8 +134,8 @@ object NcSel {
     val da = ranges.collect { case (mn, mx) if mx > target =>
       (if (mn > target) mn else mx) - target
     }.minOption
-    val lo = db.map(target - _).getOrElse(target)
-    val hi = da.map(d => math.nextUp(target + d)).getOrElse(math.nextUp(target))
+    val lo = db.map(d => ulpsDown(target - d)).getOrElse(target)
+    val hi = da.map(d => ulpsUp(target + d)).getOrElse(math.nextUp(target))
     val c = col(coordVar).cast(DoubleType)
     val scan = spark.read.format(SRC).load(dir).filter(c >= lo && c < hi)
     val v = col(valueVar).cast(DoubleType)
@@ -134,6 +151,61 @@ object NcSel {
           .when(col("lo.c").isNull, col("hi.v"))
           .otherwise(col("lo.v") + (col("hi.v") - col("lo.v"))
             * (lit(target) - col("lo.c")) / (col("hi.c") - col("lo.c")))
+          .as("ival"))
+  }
+
+  /** Multi-target [[interp]] in ONE scan — the [[nearestAll]] batching
+    * applied to interpolating selection: per-target per-SIDE guaranteed
+    * distances come from the same header metadata pass, the scan filter
+    * is the OR of the per-target bracket windows (zone maps prune files
+    * outside every window), each surviving record fans out only to the
+    * targets whose window contains it, and ONE groupBy(target) with two
+    * null-skipping conditional MIN aggregates resolves every bracket at
+    * once. N interpolating selections cost one pruned corpus pass
+    * instead of N — the xarray `sel(time=[...], method='linear')`
+    * vector form at cluster scale. */
+  def interpAll(spark: SparkSession, dir: String, coordVar: String, valueVar: String,
+      targets: Seq[Double]): DataFrame = {
+    require(targets.nonEmpty, "interpAll needs at least one target")
+    val ranges = coordRanges(spark, dir, coordVar)
+    require(ranges.nonEmpty, s"no zone-map ranges for $coordVar in $dir")
+    val windows = targets.map { t =>
+      // guaranteed below-distance: any file whose min ≤ t holds a real
+      // value ≤ t at distance ≤ t − (max ≤ t ? max : min); same above
+      val db = ranges.collect { case (mn, mx) if mn <= t =>
+        t - (if (mx <= t) mx else mn)
+      }.minOption
+      val da = ranges.collect { case (mn, mx) if mx > t =>
+        (if (mn > t) mn else mx) - t
+      }.minOption
+      val lo = db.map(d => ulpsDown(t - d)).getOrElse(t)
+      val hi = da.map(d => ulpsUp(t + d)).getOrElse(math.nextUp(t))
+      (t, lo, hi)
+    }
+    val c = col(coordVar).cast(DoubleType)
+    val anyWindow = windows.map { case (_, lo, hi) => c >= lo && c < hi }.reduce(_ || _)
+    val scan = spark.read.format(SRC).load(dir).filter(anyWindow)
+    val v = col(valueVar).cast(DoubleType)
+    val fanned = scan
+      .select(c.as("c"), v.as("v"), col("record"),
+        explode(array(windows.map { case (t, lo, hi) =>
+          when(c >= lo && c < hi, lit(t)).otherwise(lit(null).cast(DoubleType))
+        }: _*)).as("target"))
+      .filter(col("target").isNotNull)
+    val below = min(when(col("c") <= col("target"),
+      struct((col("target") - col("c")).as("d"), col("record"),
+        col("c").as("c"), col("v").as("v")))).as("lo")
+    val above = min(when(col("c") > col("target"),
+      struct((col("c") - col("target")).as("d"), col("record"),
+        col("c").as("c"), col("v").as("v")))).as("hi")
+    fanned.groupBy("target").agg(below, above)
+      .select(col("target"),
+        col("lo.c").as("c_lo"), col("lo.v").as("v_lo"),
+        col("hi.c").as("c_hi"), col("hi.v").as("v_hi"),
+        when(col("hi.c").isNull, col("lo.v"))
+          .when(col("lo.c").isNull, col("hi.v"))
+          .otherwise(col("lo.v") + (col("hi.v") - col("lo.v"))
+            * (col("target") - col("lo.c")) / (col("hi.c") - col("lo.c")))
           .as("ival"))
   }
 
@@ -173,8 +245,9 @@ object NcSel {
     * write: four targets — below the corpus minimum (clamps to the
     * first bracket), an exact coordinate hit (interpolation degenerates
     * to the exact value), a mid-gap target (true linear blend), and
-    * beyond the maximum (clamps high). The oracle replays each bracket
-    * as two LATERAL ORDER-BY-LIMIT-1 lookups. */
+    * beyond the maximum (clamps high). All four resolve in ONE pruned
+    * scan via [[interpAll]]. The oracle replays each bracket as two
+    * LATERAL ORDER-BY-LIMIT-1 lookups. */
   def ncSelInterp: (SparkSession, String) => DataFrame = (s, dir) => {
     import graft.Tables.t
     val out = NcQueries.scratch(s, dir, "sel_interp")
@@ -185,9 +258,7 @@ object NcSel {
         .repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
         .sortWithinPartitions("l_orderkey", "l_linenumber"),
       out)
-    Seq(-5.0, 1234.0, 1500.5, 1.0e9)
-      .map(interp(s, out, "l_orderkey", "l_quantity", _))
-      .reduce(_.unionAll(_))
+    interpAll(s, out, "l_orderkey", "l_quantity", Seq(-5.0, 1234.0, 1500.5, 1.0e9))
   }
 
   val ncSelInterpSql: String =
@@ -207,8 +278,51 @@ object NcSel {
       |  SELECT CAST(l_orderkey AS DOUBLE) AS c, l_quantity AS v FROM o
       |  WHERE l_orderkey > t.target ORDER BY l_orderkey, record LIMIT 1) hi ON true""".stripMargin
 
+  /** The vector form as its own gated row (xarray
+    * `sel(time=[...], method='linear')` with a LIST of targets): eight
+    * interpolating selections — mixing clamp-low, exact hits, mid-gap
+    * blends, inter-key fractions and clamp-high — in ONE pruned scan.
+    * The single-scan shape is what survives 100 TB: N targets cost one
+    * corpus pass whose filter is the union of N bracket windows, not N
+    * passes; the per-target fan-out rows are bounded by window density,
+    * and the two conditional-MIN partial aggregates ship one scalar
+    * struct pair per (partition, target). */
+  def ncSelInterpMulti: (SparkSession, String) => DataFrame = (s, dir) => {
+    import graft.Tables.t
+    val out = NcQueries.scratch(s, dir, "sel_interp_multi")
+    NcIO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast(org.apache.spark.sql.types.LongType)
+          .as("l_linenumber"), col("l_quantity"))
+        .repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber"),
+      out)
+    interpAll(s, out, "l_orderkey", "l_quantity",
+      Seq(-100.0, 3.0, 32.25, 451.0, 999.5, 1234.75, 4000.0, 2.0e9))
+  }
+
+  val ncSelInterpMultiSql: String =
+    """WITH o AS (SELECT l_orderkey, l_quantity,
+      |  row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS record
+      |  FROM lineitem),
+      |t(target) AS (VALUES (-100.0), (3.0), (32.25), (451.0), (999.5),
+      |  (1234.75), (4000.0), (2.0e9))
+      |SELECT t.target, lo.c AS c_lo, lo.v AS v_lo, hi.c AS c_hi, hi.v AS v_hi,
+      |  CASE WHEN hi.c IS NULL THEN lo.v
+      |       WHEN lo.c IS NULL THEN hi.v
+      |       ELSE lo.v + (hi.v - lo.v) * (t.target - lo.c) / (hi.c - lo.c) END AS ival
+      |FROM t
+      |LEFT JOIN LATERAL (
+      |  SELECT CAST(l_orderkey AS DOUBLE) AS c, l_quantity AS v FROM o
+      |  WHERE l_orderkey <= t.target ORDER BY l_orderkey DESC, record LIMIT 1) lo ON true
+      |LEFT JOIN LATERAL (
+      |  SELECT CAST(l_orderkey AS DOUBLE) AS c, l_quantity AS v FROM o
+      |  WHERE l_orderkey > t.target ORDER BY l_orderkey, record LIMIT 1) hi ON true""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("nc_sel_coord" -> ncSelCoord, "nc_sel_interp" -> ncSelInterp)
+    Map("nc_sel_coord" -> ncSelCoord, "nc_sel_interp" -> ncSelInterp,
+      "nc_sel_interp_multi" -> ncSelInterpMulti)
   val oracles: Map[String, String] =
-    Map("nc_sel_coord" -> ncSelCoordSql, "nc_sel_interp" -> ncSelInterpSql)
+    Map("nc_sel_coord" -> ncSelCoordSql, "nc_sel_interp" -> ncSelInterpSql,
+      "nc_sel_interp_multi" -> ncSelInterpMultiSql)
 }

@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators.Dedup
+import graft.sources.netcdf.{NcFormat, NcIO, NcSel}
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions: per-variable .ncz codecs (v2 layout), the
+  * banding-parameter sweep, and multi-target interpolating selection. */
+class Round5Spec extends AnyFunSuite {
+  import TestSession._
+
+  private val SRC = "graft.sources.netcdf.NetCDF3Source"
+  private def li = spark.read.parquet(s"$sf/lineitem.parquet")
+    .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+
+  test("ncz v2 footer records per-variable rpb and codec, and honors store") {
+    val dir = "/tmp/graft_nc_spec/nczv2_footer"
+    NcIO.write(li.repartition(1).sortWithinPartitions("l_orderkey"), dir,
+      compressChunks = true,
+      varChunkBytes = Map("l_orderkey" -> (64 << 10), "l_quantity" -> 4096),
+      varCodecs = Map("l_extendedprice" -> "store"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new Path(dir)).map(_.getPath)
+      .filter(_.getName.endsWith(".ncz")).head
+    val idx2 = NcFormat.readNczAny(fs, part) match {
+      case Right(v2) => v2
+      case Left(_) => fail("expected a v2 (per-variable) footer")
+    }
+    assert(idx2.vars.length == 3)
+    val Array(key, qty, price) = idx2.vars
+    // per-var block budgets: stride is 8 bytes for each double/long var
+    assert(key.recordsPerBlock == (64 << 10) / 8)
+    assert(qty.recordsPerBlock == 4096 / 8)
+    // the "store" var never deflates: every block stored (negative len)
+    assert(price.codec == 0)
+    assert(price.blocks.forall(_._2 < 0))
+    // the sorted key column deflates (codec byte 1, shrunken blocks)
+    assert(key.codec == 1)
+    assert(key.blocks.forall(_._2 > 0))
+  }
+
+  test("ncz v2 roundtrips every value under mixed codecs and block sizes") {
+    val dir = "/tmp/graft_nc_spec/nczv2_roundtrip"
+    NcIO.write(li.repartition(3), dir, compressChunks = true,
+      varChunkBytes = Map("l_orderkey" -> (32 << 10), "l_quantity" -> 8192),
+      varCodecs = Map("l_extendedprice" -> "store", "l_orderkey" -> "deflate"))
+    val back = spark.read.format(SRC).load(dir)
+    def sums(df: org.apache.spark.sql.DataFrame) = df.agg(
+      sum("l_orderkey"),
+      sum(col("l_quantity").cast("decimal(20,2)")),
+      sum(col("l_extendedprice").cast("decimal(20,2)"))).head()
+    assert(back.count() == li.count())
+    assert(sums(li) == sums(back))
+  }
+
+  test("ncz v2 single-column projection reads only that variable's blocks") {
+    val dir = "/tmp/graft_nc_spec/nczv2_prune"
+    NcIO.write(li.repartition(1).sortWithinPartitions("l_orderkey"), dir,
+      compressChunks = true,
+      varChunkBytes = Map("l_quantity" -> 2048, "l_orderkey" -> (16 << 10)))
+    // partial assembly: the wanted var's blocks slice into the record
+    // buffer while other vars stay untouched (and unread)
+    val got = spark.read.format(SRC).load(dir)
+      .agg(sum(col("l_quantity").cast("decimal(20,2)"))).head().getDecimal(0)
+    val want = li.agg(sum(col("l_quantity").cast("decimal(20,2)"))).head().getDecimal(0)
+    assert(got == want)
+  }
+
+  test("ncz v2 record-range slice is exact across per-var block boundaries") {
+    val dir = "/tmp/graft_nc_spec/nczv2_slice"
+    NcIO.write(li.repartition(1).sortWithinPartitions("l_orderkey"), dir,
+      chunkBytes = 4096, compressChunks = true,
+      varChunkBytes = Map("l_orderkey" -> 2048, "l_extendedprice" -> (16 << 10)))
+    val back = spark.read.format(SRC).option("chunkBytes", "4096").load(dir)
+    val sliced = back.filter(col("record") >= 100L && col("record") < 2100L)
+    assert(sliced.count() == 2000)
+    assert(sliced.agg(min("record"), max("record")).head() ==
+      org.apache.spark.sql.Row(100L, 2099L))
+    val expect = li.repartition(1).sortWithinPartitions("l_orderkey")
+      .limit(2100).orderBy(desc("l_orderkey")).limit(2000)
+      .agg(sum("l_orderkey")).head()
+    assert(sliced.agg(sum("l_orderkey")).head() == expect)
+  }
+
+  test("dedup_eval_sweep: recall and candidates are monotone in band count") {
+    val rows = Dedup.dedupEvalSweep(spark, sf).orderBy("n_bands").collect()
+    assert(rows.length == 8)
+    val nCand = rows.map(_.getAs[Long]("n_cand"))
+    val recall = rows.map(_.getAs[Double]("lsh_recall"))
+    assert(nCand.zip(nCand.tail).forall { case (a, b) => a <= b },
+      s"candidates not monotone: ${nCand.mkString(",")}")
+    assert(recall.zip(recall.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone: ${recall.mkString(",")}")
+    // n_true is the sweep-independent ground truth: constant across rows
+    assert(rows.map(_.getAs[Long]("n_true")).distinct.length == 1)
+  }
+
+  test("dedup_eval_sweep row k=4 reproduces dedup_eval (H=8, 4 bands)") {
+    val sweep4 = Dedup.dedupEvalSweep(spark, sf)
+      .filter(col("n_bands") === 4L)
+      .select("n_cand", "n_true", "n_hits").head()
+    val eval = Dedup.dedupEval(spark, sf)
+      .select("n_cand", "n_true", "n_hits").head()
+    assert(sweep4 == eval)
+  }
+
+  test("interpAll matches per-target interp on every bracket shape") {
+    val dir = "/tmp/graft_nc_spec/interp_all"
+    NcIO.write(
+      li.select(col("l_orderkey"), col("l_quantity"))
+        .repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"),
+      dir)
+    val targets = Seq(-3.0, 7.0, 1500.5, 5.0e8)
+    val batch = NcSel.interpAll(spark, dir, "l_orderkey", "l_quantity", targets)
+      .orderBy("target").collect()
+    val single = targets
+      .map(t => NcSel.interp(spark, dir, "l_orderkey", "l_quantity", t).head())
+    assert(batch.toSeq == single)
+  }
+}
