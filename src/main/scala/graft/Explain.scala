@@ -2,13 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Tuning tool: run one SparkEntry query by name, print wall time and
-  * the AQE-final formatted plan. Usage:
-  *   runMain graft.Explain <queryName> [sfDir] [explain|noexplain]
+/** Tuning tool: run one or more SparkEntry queries by name, print
+  * wall times (cold = first run incl. staging writes/JIT; warm =
+  * second count over the same DataFrame — staging already done, so
+  * the delta IS the staging/train cost) and the AQE-final formatted
+  * plan. Usage:
+  *   runMain graft.Explain <name[,name...]> [sfDir] [explain|noexplain]
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val showPlan = args.length <= 2 || args(2) == "explain"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -21,16 +24,19 @@ object Explain {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    val t0 = System.nanoTime()
-    val n = df.count()
-    val dt = (System.nanoTime() - t0) / 1e9
-    // second run to separate JIT/warmup from steady state
-    val t1 = System.nanoTime()
-    df.count()
-    val dt2 = (System.nanoTime() - t1) / 1e9
-    println(f"[explain] $name rows=$n cold=$dt%.2fs warm=$dt2%.2fs")
-    if (showPlan) println(df.queryExecution.executedPlan.toString.take(12000))
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // second run to separate JIT/warmup/staging from steady state
+      val t1 = System.nanoTime()
+      df.count()
+      val dt2 = (System.nanoTime() - t1) / 1e9
+      println(f"[explain] $name rows=$n cold=$dt%.2fs warm=$dt2%.2fs")
+      if (showPlan) println(df.queryExecution.executedPlan.toString.take(12000))
+      spark.sharedState.cacheManager.clearCache()
+    }
     spark.stop()
   }
 }

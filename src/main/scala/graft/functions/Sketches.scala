@@ -274,25 +274,18 @@ object Sketches {
     def buckets = array((0 until CMS_D).map(d =>
       conv(substring(md5(concat(lit(s"$d:"), col("tok"))), 1, 8), 16, 10)
         .cast(LongType) % CMS_W): _*)
-    val docsPath = s"$dir/documents.parquet"
-    // the file-stream source requires a DIRECTORY: stage the (small)
-    // corpus file into an app-scoped scratch dir once per session
-    val stageDir = s"/tmp/graft_cms/${s.sparkContext.applicationId}/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val hconf = s.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(stageDir, "documents.parquet")
-    val fs = dst.getFileSystem(hconf)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(stageDir))
-    org.apache.hadoop.fs.FileUtil.copy(
-      fs, new org.apache.hadoop.fs.Path(docsPath), fs, dst, false, true, hconf)
-    val sch = s.read.parquet(docsPath).schema
-    val sketchStream = s.readStream.schema(sch).parquet(stageDir)
-      .select(explode(split(col("text"), " ")).as("tok"))
-      .select(posexplode(buckets).as(Seq("d", "bucket")))
-      .groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
-    val q = sketchStream.writeStream.outputMode("complete")
-      .format("memory").queryName("graft_stream_cms").start()
-    try q.processAllAvailable() finally q.stop()
+    // the file-stream source requires a DIRECTORY: stage the corpus
+    // file into a scratch dir for the drain, deleted right after
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    graft.streaming.StreamStage.withStaged(s, "cms", dir, "documents.parquet") { stageDir =>
+      val sketchStream = s.readStream.schema(sch).parquet(stageDir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .select(posexplode(buckets).as(Seq("d", "bucket")))
+        .groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
+      val q = sketchStream.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_cms").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val sketch = s.table("graft_stream_cms")
     val toks = t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))
@@ -321,23 +314,16 @@ object Sketches {
     def buckets(c: org.apache.spark.sql.Column) = array((0 until CMS_D).map(d =>
       conv(substring(md5(concat(lit(s"$d:"), c)), 1, 8), 16, 10)
         .cast(LongType) % CMS_W): _*)
-    val evPath = s"$dir/events.parquet"
-    val stageDir = s"/tmp/graft_hh/${s.sparkContext.applicationId}/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val hconf = s.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(stageDir, "events.parquet")
-    val fs = dst.getFileSystem(hconf)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(stageDir))
-    org.apache.hadoop.fs.FileUtil.copy(
-      fs, new org.apache.hadoop.fs.Path(evPath), fs, dst, false, true, hconf)
-    val sch = s.read.parquet(evPath).schema
-    val sketchStream = s.readStream.schema(sch).parquet(stageDir)
-      .select(col("user_id").cast(StringType).as("u"))
-      .select(posexplode(buckets(col("u"))).as(Seq("d", "bucket")))
-      .groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
-    val q = sketchStream.writeStream.outputMode("complete")
-      .format("memory").queryName("graft_stream_hh").start()
-    try q.processAllAvailable() finally q.stop()
+    val sch = s.read.parquet(s"$dir/events.parquet").schema
+    graft.streaming.StreamStage.withStaged(s, "hh", dir, "events.parquet") { stageDir =>
+      val sketchStream = s.readStream.schema(sch).parquet(stageDir)
+        .select(col("user_id").cast(StringType).as("u"))
+        .select(posexplode(buckets(col("u"))).as(Seq("d", "bucket")))
+        .groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
+      val q = sketchStream.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_hh").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val sketch = s.table("graft_stream_hh")
     val ev = t(s, dir, "events").select(col("user_id").cast(StringType).as("u"))
     val tot = ev.agg(count(lit(1)).as("n_total"))

@@ -75,6 +75,49 @@ object Boilerplate {
        |    AS residual_hash
        |FROM mk GROUP BY doc_id""".stripMargin
 
-  val queries: Map[String, Q] = Map("text_segment_dedup" -> textSegmentDedup)
-  val oracles: Map[String, String] = Map("text_segment_dedup" -> textSegmentDedupSql)
+  /** The Bloom-fallback form of [[textSegmentDedup]] — for when the
+    * boilerplate vocabulary outgrows a broadcast (at 100 TB a crawl's
+    * shared-segment set can be billions of hashes). The anti-membership
+    * test decomposes exactly: a segment whose hash the Bloom filter
+    * does NOT contain is DEFINITELY not boilerplate — kept map-side,
+    * never joined; only the might-contain sliver (true boilerplate +
+    * false positives) reaches the exact join that removes false
+    * positives. The sketch changes the plan, never the answer: output
+    * is bit-identical to [[textSegmentDedup]] (same oracle; pinned in
+    * Round5Spec with the might_contain plan check). */
+  def textSegmentDedupBloom: Q = (s, dir) => {
+    val segs = t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, (size(toks) - 1) div $SEG), " +
+          s"i -> concat_ws(' ', slice(toks, i * $SEG + 1, $SEG)))"))
+        .as(Seq("seg", "seg_text")))
+      .withColumn("seg_hash", md5(col("seg_text")))
+      .cache() // df pass + both scrub branches
+    val boiler = segs.groupBy("seg_hash")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= DF_MIN)
+      .cache() // bloom build + exact join
+    val bloom = BloomKeep.buildBloom(boiler, "seg_hash", estimatedItems = 1000000L)
+    val flagged = segs.withColumn("mc", BloomKeep.mightContain(bloom, "seg_hash"))
+    val maybe = flagged.filter(col("mc"))
+      .join(boiler, Seq("seg_hash"), "left") // exactness: clear false positives
+      .select(col("doc_id"), col("seg"), col("seg_text"), col("df").isNull.as("keep"))
+    val cleared = flagged.filter(!col("mc"))
+      .select(col("doc_id"), col("seg"), col("seg_text"), lit(true).as("keep"))
+    maybe.unionByName(cleared)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(expr("concat_ws(' ', transform(filter(" +
+          "array_sort(collect_list(struct(seg, seg_text, keep))), " +
+          "x -> x.keep), x -> x.seg_text))")).as("residual_hash"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_segment_dedup" -> textSegmentDedup,
+    "text_segment_dedup_bloom" -> textSegmentDedupBloom)
+  val oracles: Map[String, String] = Map(
+    "text_segment_dedup" -> textSegmentDedupSql,
+    "text_segment_dedup_bloom" -> textSegmentDedupSql)
 }

@@ -206,23 +206,16 @@ object Streams {
     * maintain its mixing weights incrementally instead of rescanning
     * the corpus per refresh. */
   def streamMixWeights: Q = (s, dir) => {
-    val docsPath = s"$dir/documents.parquet"
-    val stageDir = s"/tmp/graft_smw/${s.sparkContext.applicationId}/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val hconf = s.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(stageDir, "documents.parquet")
-    val fs = dst.getFileSystem(hconf)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(stageDir))
-    org.apache.hadoop.fs.FileUtil.copy(
-      fs, new org.apache.hadoop.fs.Path(docsPath), fs, dst, false, true, hconf)
-    val sch = s.read.parquet(docsPath).schema
-    val agg = s.readStream.schema(sch).parquet(stageDir)
-      .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("ntok"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName("graft_stream_mw").start()
-    try q.processAllAvailable() finally q.stop()
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    StreamStage.withStaged(s, "smw", dir, "documents.parquet") { stageDir =>
+      val agg = s.readStream.schema(sch).parquet(stageDir)
+        .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("ntok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_mw").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val tok = s.table("graft_stream_mw")
     val tot = tok.agg(sum(col("n_tokens")).as("tot"))
     val sh = tok.crossJoin(broadcast(tot))
@@ -244,22 +237,15 @@ object Streams {
     * sort. Counts are occurrence-based, complementing the document-
     * frequency ranking of text_topterms. */
   def streamTopTerms: Q = (s, dir) => {
-    val docsPath = s"$dir/documents.parquet"
-    val stageDir = s"/tmp/graft_stt/${s.sparkContext.applicationId}/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val hconf = s.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(stageDir, "documents.parquet")
-    val fs = dst.getFileSystem(hconf)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(stageDir))
-    org.apache.hadoop.fs.FileUtil.copy(
-      fs, new org.apache.hadoop.fs.Path(docsPath), fs, dst, false, true, hconf)
-    val sch = s.read.parquet(docsPath).schema
-    val agg = s.readStream.schema(sch).parquet(stageDir)
-      .select(explode(split(col("text"), " ")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("n"))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName("graft_stream_tt").start()
-    try q.processAllAvailable() finally q.stop()
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    StreamStage.withStaged(s, "stt", dir, "documents.parquet") { stageDir =>
+      val agg = s.readStream.schema(sch).parquet(stageDir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_tt").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table("graft_stream_tt")
       .orderBy(col("n").desc, col("tok").asc).limit(20)
       .withColumn("rank", row_number().over(
@@ -286,23 +272,16 @@ object Streams {
     * the batch scorer, so one oracle covers both engines AND both
     * execution modes. */
   def streamCurationFilter: Q = (s, dir) => {
-    val docsPath = s"$dir/documents.parquet"
-    val stageDir = s"/tmp/graft_scf/${s.sparkContext.applicationId}/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val hconf = s.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(stageDir, "documents.parquet")
-    val fs = dst.getFileSystem(hconf)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(stageDir))
-    org.apache.hadoop.fs.FileUtil.copy(
-      fs, new org.apache.hadoop.fs.Path(docsPath), fs, dst, false, true, hconf)
-    val sch = s.read.parquet(docsPath).schema
-    val kept = graft.functions.TextOps.withQualityScore(
-      s.readStream.schema(sch).parquet(stageDir))
-      .filter(col("score") >= 0.5)
-      .select(col("doc_id"), col("source"), col("n_words"))
-    val q = kept.writeStream.outputMode("append")
-      .format("memory").queryName("graft_stream_cf").start()
-    try q.processAllAvailable() finally q.stop()
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    StreamStage.withStaged(s, "scf", dir, "documents.parquet") { stageDir =>
+      val kept = graft.functions.TextOps.withQualityScore(
+        s.readStream.schema(sch).parquet(stageDir))
+        .filter(col("score") >= 0.5)
+        .select(col("doc_id"), col("source"), col("n_words"))
+      val q = kept.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_cf").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table("graft_stream_cf")
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"), sum(col("n_words")).as("kept_words"))

@@ -48,8 +48,10 @@ class Round4Spec extends AnyFunSuite {
     // the synthetic corpus shares segments across docs at every sf
     assert(withDrops > 0, "some docs must lose boilerplate segments")
     // residual hash of an untouched doc equals the hash of all segments
-    val clean = out.filter(col("n_kept") === col("n_segments")).head()
-    assert(clean.getAs[String]("residual_hash").nonEmpty)
+    val untouched = out.filter(col("n_kept") === col("n_segments"))
+    assert(!untouched.isEmpty,
+      "expected at least one doc with no boilerplate segments at this sf")
+    assert(untouched.head().getAs[String]("residual_hash").nonEmpty)
   }
 
   test("stream_heavy_hitters estimates never undercount and clear the threshold") {

@@ -106,6 +106,18 @@ class Round5Spec extends AnyFunSuite {
     assert(sweep4 == eval)
   }
 
+  test("text_segment_dedup_bloom: map-side bloom prefilter, identical output") {
+    val bloom = graft.operators.Boilerplate.textSegmentDedupBloom(spark, sf)
+    // the sketch changes the plan, never the answer
+    val plain = graft.operators.Boilerplate.textSegmentDedup(spark, sf)
+    assert(bloom.orderBy("doc_id").collect().toSeq ==
+      plain.orderBy("doc_id").collect().toSeq)
+    // and the plan really carries the bloom membership test
+    val physical = bloom.queryExecution.executedPlan.toString
+    assert(physical.contains("might_contain"),
+      "expected a BloomFilterMightContain prefilter in the physical plan")
+  }
+
   test("interpAll matches per-target interp on every bracket shape") {
     val dir = "/tmp/graft_nc_spec/interp_all"
     NcIO.write(

@@ -28,11 +28,16 @@ RESERVED_CTE_NAMES = {
     "where", "join", "using", "natural", "exclude", "glob", "grouping",
     "lateral", "summarize", "describe", "sample", "values", "table",
 }
-CTE_RE = re.compile(r"(?i)(?:\bwith\b|,)\s*([a-z_][a-z0-9_]*)\s+as\s*\(")
+# the name may carry a parenthesized column list: WITH t(a, b) AS (...)
+CTE_RE = re.compile(
+    r"(?i)(?:\bwith\b|,)\s*([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+as\s*\(")
 
 
 def lint_reserved(name, sql):
-    bad = sorted({m.group(1).lower() for m in CTE_RE.finditer(sql)}
+    # strip single-quoted string literals first: a comma + word inside a
+    # literal (e.g. ', window (') must not false-flag as a CTE name
+    stripped = re.sub(r"'(?:[^']|'')*'", "''", sql)
+    bad = sorted({m.group(1).lower() for m in CTE_RE.finditer(stripped)}
                  & RESERVED_CTE_NAMES)
     if bad:
         print(f"FAIL {name}: CTE name(s) {bad} are DuckDB reserved words "
