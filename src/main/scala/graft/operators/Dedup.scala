@@ -176,13 +176,7 @@ object Dedup {
     * the two numbers that decide H and band count at 100 TB. */
   def dedupEval: Q = (s, dir) => {
     val sh = cappedShingles(t(s, dir, "documents"), 3).cache()
-    val truthCand = sh.toDF("id_a", "sh")
-      .join(sh.toDF("id_b", "sh"), Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val truth = withJaccard(truthCand, sh)
-      .filter(round(col("jaccard"), 6) >= 0.4)
-      .select("id_a", "id_b").cache() // counted + probed
+    val truth = truthPairs(sh).cache() // counted + probed
     val cand = lshCandidates(sh).cache() // counted + probed
     val hits = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
     cand.agg(count(lit(1)).as("n_cand"))
@@ -222,6 +216,28 @@ object Dedup {
        |  round((SELECT COUNT(*) FROM hits)
        |    / greatest((SELECT COUNT(*) FROM truth), 1), 6) AS lsh_recall""".stripMargin
 
+  /** Verified ground-truth near-dup pairs (J ≥ 0.4) over a df-capped
+    * shingle base, in ONE self-join: because shingle rows are distinct
+    * per doc, grouping the keyed self-join by pair counts the
+    * intersection directly — the pair set and n_inter fall out of the
+    * same aggregation. (The candidate-probe path [[withJaccard]] must
+    * join candidates back to shingles because its pairs arrive WITHOUT
+    * shingle context; the exhaustive truth has it for free, so
+    * materializing truthCand first and re-joining would run the same
+    * keyed join twice.) */
+  private def truthPairs(sh: DataFrame): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.toDF("id_a", "sh")
+      .join(sh.toDF("id_b", "sh"), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnt.toDF("id_a", "n_a"), "id_a")
+      .join(cnt.toDF("id_b", "n_b"), "id_b")
+      .filter(round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6) >= 0.4)
+      .select("id_a", "id_b")
+  }
+
   /** Sweep width: band counts 1..8 at 2 rows per band → H up to 16. */
   private val SWEEP_MAXB = 8
 
@@ -256,13 +272,7 @@ object Dedup {
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(min(col("a.band")).as("min_band"))
       .cache() // counted per config + probed against truth
-    val truthCand = sh.toDF("id_a", "sh")
-      .join(sh.toDF("id_b", "sh"), Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val truth = withJaccard(truthCand, sh)
-      .filter(round(col("jaccard"), 6) >= 0.4)
-      .select("id_a", "id_b")
+    val truth = truthPairs(sh)
     val hitBand = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
     // per-min_band histograms first (≤8 rows each), so the config join
     // below is metadata×metadata — the corpus never touches it
