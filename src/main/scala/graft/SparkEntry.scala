@@ -33,7 +33,9 @@ object SparkEntry {
       graft.operators.CrossShard.queries ++
       graft.operators.BloomKeep.queries ++
       graft.operators.SamplePlan.queries ++
-      graft.operators.Boilerplate.queries
+      graft.operators.Boilerplate.queries ++
+      graft.operators.ScaleJoins.queries ++
+      graft.operators.ShardManifest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -57,5 +59,7 @@ object SparkEntry {
       graft.operators.CrossShard.oracles ++
       graft.operators.BloomKeep.oracles ++
       graft.operators.SamplePlan.oracles ++
-      graft.operators.Boilerplate.oracles
+      graft.operators.Boilerplate.oracles ++
+      graft.operators.ScaleJoins.oracles ++
+      graft.operators.ShardManifest.oracles
 }

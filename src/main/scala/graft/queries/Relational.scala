@@ -416,6 +416,24 @@ object Relational {
       |FROM events
       |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())""".stripMargin
 
+  /** Full CUBE over (returnflag, linestatus): all four grouping
+    * combinations in ONE pass — like q25's GROUPING SETS, Spark plans
+    * a single Expand + hash aggregate (rows fan out 4× map-side, each
+    * partial-aggregated before the one shuffle), not four scans.
+    * grouping_id disambiguates subtotal nulls from data nulls. */
+  def q36Cube: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+
+  val q36Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  GROUPING(l_returnflag, l_linestatus) AS gid
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   /** PIVOT: return-flag categories become columns in one grouped pass
     * — Spark's `pivot` with an explicit value list compiles to a
     * single hash aggregate over CASE projections (no per-category
@@ -650,6 +668,7 @@ object Relational {
     "q21_correlated" -> q21Correlated,
     "q22_zscore_outliers" -> q22ZscoreOutliers,
     "q25_grouping_sets" -> q25GroupingSets,
+    "q36_cube" -> q36Cube,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3TopK,
     "q4_exists" -> q4Exists,
@@ -680,6 +699,7 @@ object Relational {
     "q21_correlated" -> q21Sql,
     "q22_zscore_outliers" -> q22Sql,
     "q25_grouping_sets" -> q25Sql,
+    "q36_cube" -> q36Sql,
     "q1_agg" -> q1Sql,
     "q3_topk" -> q3Sql,
     "q4_exists" -> q4Sql,

@@ -118,6 +118,64 @@ class Round5Spec extends AnyFunSuite {
       "expected a BloomFilterMightContain prefilter in the physical plan")
   }
 
+  test("q34_bucketed_join: bucketed SMJ has no exchange, matches plain join") {
+    val joined = graft.operators.ScaleJoins.bucketedJoin(spark, sf)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), "expected a sort-merge join")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n${plan.take(2000)}")
+    // layout changes the plan, never the answer
+    val plain = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+    val bucketed = graft.operators.ScaleJoins.q34BucketedJoin(spark, sf)
+      .select(col("o_orderpriority"), col("n_items").as("count"))
+    assert(bucketed.orderBy("o_orderpriority").collect().toSeq ==
+      plain.orderBy("o_orderpriority").collect().toSeq)
+  }
+
+  test("q35_skew_join_salted: no broadcast join, equals unsalted plan") {
+    val salted = graft.operators.ScaleJoins.q35SkewJoinSalted(spark, sf)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      "the salted demo must take the shuffled-join path")
+    // unsalted twin computed directly
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("value").cast("decimal(9,2)").as("v"))
+    val st = ev.groupBy("event_type")
+      .agg(sum("v").as("tot"), count(lit(1)).as("n"))
+    val plain = ev.join(st, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("v") * col("n") > col("tot"), 1L).otherwise(0L)).as("n_above"))
+    assert(salted.orderBy("event_type").collect().toSeq ==
+      plain.orderBy("event_type").collect().toSeq)
+  }
+
+  test("pipeline_shard_manifest: covers every doc exactly once") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val m = graft.operators.ShardManifest.pipelineShardManifest(spark, sf).cache()
+    val agg = m.agg(sum("n_docs").as("d"), min("min_doc_id"), max("max_doc_id")).head()
+    assert(agg.getAs[Long]("d") == docs.count(), "every doc in exactly one shard")
+    // digest is deterministic: recompute equals stored
+    val again = graft.operators.ShardManifest.pipelineShardManifest(spark, sf)
+    assert(m.orderBy("shard").collect().toSeq == again.orderBy("shard").collect().toSeq)
+  }
+
+  test("q36_cube: one Expand pass, 4 grouping combinations consistent") {
+    val out = graft.queries.Relational.q36Cube(spark, sf).cache()
+    assert(out.queryExecution.executedPlan.toString.contains("Expand"),
+      "CUBE should plan a single Expand + aggregate, not a union of scans")
+    val gids = out.select("gid").distinct().collect().map(_.getLong(0)).toSet
+    assert(gids == Set(0L, 1L, 2L, 3L))
+    // grand total row equals the sum over the finest grouping
+    val fine = out.filter(col("gid") === 0L)
+      .agg(sum("n")).head().getLong(0)
+    val total = out.filter(col("gid") === 3L).head().getAs[Long]("n")
+    assert(fine == total)
+  }
+
   test("interpAll matches per-target interp on every bracket shape") {
     val dir = "/tmp/graft_nc_spec/interp_all"
     NcIO.write(
