@@ -22,10 +22,21 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // match Bench's session hardening — without periodic GC a
+      // multi-query session accumulates ContextCleaner backlog until
+      // full-GC cliffs poison the timings (the round-4 pathology)
+      .config("spark.cleaner.periodicGC.interval", "60s")
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
+      // operators with eager staging (writes, iterative CC rounds) pay
+      // it at construction — timed separately as `build` so staging
+      // cost and query cost are distinguishable
+      val tb = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
+      val bt = (System.nanoTime() - tb) / 1e9
       val t0 = System.nanoTime()
       val n = df.count()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -33,7 +44,7 @@ object Explain {
       val t1 = System.nanoTime()
       df.count()
       val dt2 = (System.nanoTime() - t1) / 1e9
-      println(f"[explain] $name rows=$n cold=$dt%.2fs warm=$dt2%.2fs")
+      println(f"[explain] $name rows=$n build=$bt%.2fs cold=$dt%.2fs warm=$dt2%.2fs")
       if (showPlan) println(df.queryExecution.executedPlan.toString.take(12000))
       spark.sharedState.cacheManager.clearCache()
     }

@@ -35,7 +35,8 @@ object SparkEntry {
       graft.operators.SamplePlan.queries ++
       graft.operators.Boilerplate.queries ++
       graft.operators.ScaleJoins.queries ++
-      graft.operators.ShardManifest.queries
+      graft.operators.ShardManifest.queries ++
+      graft.operators.Winnowing.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -61,5 +62,6 @@ object SparkEntry {
       graft.operators.SamplePlan.oracles ++
       graft.operators.Boilerplate.oracles ++
       graft.operators.ScaleJoins.oracles ++
-      graft.operators.ShardManifest.oracles
+      graft.operators.ShardManifest.oracles ++
+      graft.operators.Winnowing.oracles
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+  * SIGMOD'03 — the MOSS device): hash every K-word gram, slide a
+  * W-gram window, keep each window's MINIMUM hash. The guarantee that
+  * makes it the standard plagiarism/contamination fingerprint: any
+  * shared run of at least W+K-1 words between two documents is
+  * guaranteed to select at least one common fingerprint (every length-W
+  * window inside the run is identical in both), while the expected
+  * density of selected fingerprints is only ~2/(W+1) — a fixed-rate
+  * sample with a positional coverage guarantee, which a global MinHash
+  * cannot give.
+  *
+  * Scale shape: entirely map-side per document (array expressions in
+  * whole-stage codegen, no explode — the per-doc gram arrays never
+  * shuffle); the output is one bounded row per doc. All hashing is md5
+  * hex (lexicographic min agrees across engines), so the DuckDB oracle
+  * replays the selection exactly. Docs shorter than K words carry no
+  * gram and are excluded in both engines. */
+object Winnowing {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 3 // words per gram
+  private val W = 4 // grams per winnow window
+
+  def textWinnowFingerprint: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= K)
+      .withColumn("ng", (size(col("ws")) - (K - 1)).cast(LongType))
+      .withColumn("hs", expr(
+        s"""transform(sequence(1, size(ws) - ${K - 1}),
+           |  i -> md5(concat_ws(' ', slice(ws, i, $K))))""".stripMargin))
+      .withColumn("fps", expr(
+        s"""array_sort(array_distinct(transform(
+           |  sequence(1, greatest(size(hs) - ${W - 1}, 1)),
+           |  i -> array_min(slice(hs, i, $W)))))""".stripMargin))
+      .select(col("doc_id"), col("ng").as("n_grams"),
+        size(col("fps")).cast(LongType).as("n_fps"),
+        md5(concat_ws(",", col("fps"))).as("fp_digest"))
+
+  val textWinnowFingerprintSql: String = {
+    val gram = (0 until K).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+    s"""WITH g AS (
+       |  SELECT doc_id, CAST(len(ws) - ${K - 1} AS BIGINT) AS ng,
+       |    list_transform(generate_series(1, len(ws) - ${K - 1}),
+       |      i -> md5($gram)) AS hs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |  WHERE len(ws) >= $K),
+       |w AS (
+       |  SELECT doc_id, ng,
+       |    list_sort(list_distinct(list_transform(
+       |      generate_series(1, greatest(ng - ${W - 1}, 1)),
+       |      i -> list_min(list_slice(hs, i, i + ${W - 1}))))) AS fps
+       |  FROM g)
+       |SELECT doc_id, ng AS n_grams, CAST(len(fps) AS BIGINT) AS n_fps,
+       |  md5(array_to_string(fps, ',')) AS fp_digest
+       |FROM w""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_winnow_fingerprint" -> textWinnowFingerprint)
+  val oracles: Map[String, String] = Map(
+    "text_winnow_fingerprint" -> textWinnowFingerprintSql)
+}

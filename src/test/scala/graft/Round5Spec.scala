@@ -176,6 +176,34 @@ class Round5Spec extends AnyFunSuite {
     assert(fine == total)
   }
 
+  test("winnowing: shared run of W+K-1 words guarantees a shared fingerprint") {
+    import spark.implicits._
+    // two docs sharing exactly a 6-word run (W+K-1 = 4+3-1 = 6) inside
+    // otherwise-disjoint text must select >= 1 common window-min hash
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight nine ten $shared eleven twelve")).toDF("doc_id", "text")
+    val dir = "/tmp/graft_winnow_spec"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fps = graft.operators.Winnowing.textWinnowFingerprint(spark, dir)
+    // recompute the raw fingerprint SETS (the op emits a digest) via
+    // the same expressions, then intersect
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("hs", expr(
+        "transform(sequence(1, size(ws) - 2), i -> md5(concat_ws(' ', slice(ws, i, 3))))"))
+      .withColumn("fps", expr(
+        "array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1)), i -> array_min(slice(hs, i, 4))))"))
+      .select("doc_id", "fps").collect()
+    val Seq(a, b) = raw.toSeq.sortBy(_.getLong(0))
+      .map(_.getAs[scala.collection.Seq[String]]("fps").toSet)
+    assert((a & b).nonEmpty, "winnowing coverage guarantee violated")
+    // and the gated op's digest is consistent with the raw set size
+    val n = fps.filter(col("doc_id") === 1L).head().getAs[Long]("n_fps")
+    assert(n == a.size)
+  }
+
   test("interpAll matches per-target interp on every bracket shape") {
     val dir = "/tmp/graft_nc_spec/interp_all"
     NcIO.write(
