@@ -36,7 +36,8 @@ object SparkEntry {
       graft.operators.Boilerplate.queries ++
       graft.operators.ScaleJoins.queries ++
       graft.operators.ShardManifest.queries ++
-      graft.operators.Winnowing.queries
+      graft.operators.Winnowing.queries ++
+      graft.operators.DatasetCard.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -63,5 +64,6 @@ object SparkEntry {
       graft.operators.Boilerplate.oracles ++
       graft.operators.ScaleJoins.oracles ++
       graft.operators.ShardManifest.oracles ++
-      graft.operators.Winnowing.oracles
+      graft.operators.Winnowing.oracles ++
+      graft.operators.DatasetCard.oracles
 }

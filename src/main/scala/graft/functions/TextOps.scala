@@ -24,8 +24,8 @@ object TextOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val stoplist = Seq("the", "a", "of", "and", "in", "to", "is", "on")
-  private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+  private[graft] val stoplist = Seq("the", "a", "of", "and", "in", "to", "is", "on")
+  private[graft] def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
   /** Normalized text: lowercase, trimmed, whitespace collapsed. */
   private val normExpr = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"

@@ -64,8 +64,75 @@ object Winnowing {
        |FROM w""".stripMargin
   }
 
+  /** Winnowing fingerprints appearing in more than MAX_DF documents
+    * are boilerplate (stop-phrases), not copy signal — and an
+    * inverted-index self-join on one contributes O(df²) pairs. Same
+    * bound and broadcast-anti removal as Dedup.MAX_DF. */
+  private val MAX_DF = 64
+
+  /** Minimum shared (df-capped) fingerprints for a candidate pair —
+    * one shared window-min can be chance; two distinct selections mean
+    * two independent shared runs (or one long one). */
+  private val MIN_SHARED = 2
+
+  /** Winnowing candidate pairs — the USE of the fingerprints: docs
+    * sharing ≥ MIN_SHARED df-capped fingerprints are substring-level
+    * near-dup candidates (each shared fingerprint certifies a shared
+    * word run, positionally — the thing Jaccard-over-shingles cannot
+    * certify). Pipeline: per-doc fingerprint arrays stay map-side,
+    * explode only the selected ~2/(W+1) density, df-cap with a
+    * broadcast anti-join, then ONE keyed self-join on fingerprint with
+    * per-bucket membership ≤ MAX_DF — never all-pairs. */
+  def dedupWinnowPairs: Q = (s, dir) => {
+    val fps = t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= K)
+      .withColumn("hs", expr(
+        s"""transform(sequence(1, size(ws) - ${K - 1}),
+           |  i -> md5(concat_ws(' ', slice(ws, i, $K))))""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(hs) - ${W - 1}, 1)),
+           |  i -> array_min(slice(hs, i, $W))))""".stripMargin)).as("fp"))
+      .cache() // df pass + both self-join sides
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MAX_DF).select("fp")
+    val capped = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    capped.toDF("fp", "id_a")
+      .join(capped.toDF("fp", "id_b"), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MIN_SHARED)
+  }
+
+  val dedupWinnowPairsSql: String = {
+    val gram = (0 until K).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+    s"""WITH g AS (
+       |  SELECT doc_id, len(ws) - ${K - 1} AS ng,
+       |    list_transform(generate_series(1, len(ws) - ${K - 1}),
+       |      i -> md5($gram)) AS hs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |  WHERE len(ws) >= $K),
+       |fps AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(ng - ${W - 1}, 1)),
+       |    i -> list_min(list_slice(hs, i, i + ${W - 1}))))) AS fp
+       |  FROM g),
+       |capped AS (
+       |  SELECT doc_id, fp FROM (
+       |    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM fps)
+       |  WHERE df <= $MAX_DF)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+       |FROM capped a JOIN capped b
+       |  ON b.fp = a.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= $MIN_SHARED""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
-    "text_winnow_fingerprint" -> textWinnowFingerprint)
+    "text_winnow_fingerprint" -> textWinnowFingerprint,
+    "dedup_winnow_pairs" -> dedupWinnowPairs)
   val oracles: Map[String, String] = Map(
-    "text_winnow_fingerprint" -> textWinnowFingerprintSql)
+    "text_winnow_fingerprint" -> textWinnowFingerprintSql,
+    "dedup_winnow_pairs" -> dedupWinnowPairsSql)
 }

@@ -204,6 +204,35 @@ class Round5Spec extends AnyFunSuite {
     assert(n == a.size)
   }
 
+  test("dedup_winnow_pairs: long shared run yields a pair, ids ordered") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight nine $shared ten eleven twelve"),
+      (3L, "totally different content with no overlap at all here")).toDF("doc_id", "text")
+    val dir = "/tmp/graft_winnow_pairs_spec"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = graft.operators.Winnowing.dedupWinnowPairs(spark, dir).collect()
+    assert(pairs.length == 1, s"expected exactly the (1,2) pair, got ${pairs.toSeq}")
+    val p = pairs.head
+    assert(p.getAs[Long]("id_a") == 1L && p.getAs[Long]("id_b") == 2L)
+    assert(p.getAs[Long]("n_shared") >= 2, "12 shared words select >= 2 window-mins")
+  }
+
+  test("pipeline_dataset_card: totals reconcile with the corpus") {
+    val card = graft.operators.DatasetCard.pipelineDatasetCard(spark, sf).cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val t = card.agg(sum("n_docs").as("d"), sum("n_tokens").as("tok")).head()
+    assert(t.getAs[Long]("d") == docs.count())
+    val tokTotal = docs.selectExpr("CAST(sum(size(split(text, ' '))) AS BIGINT) t")
+      .head().getAs[Long]("t")
+    assert(t.getAs[Long]("tok") == tokTotal)
+    // mean quality derivable and in [0, 1]
+    val q = card.selectExpr("quality_micro_sum / (n_docs * 1e6) AS mq").collect()
+    assert(q.forall(r => { val v = r.getAs[Double]("mq"); v >= 0.0 && v <= 1.0 }))
+  }
+
   test("interpAll matches per-target interp on every bracket shape") {
     val dir = "/tmp/graft_nc_spec/interp_all"
     NcIO.write(
