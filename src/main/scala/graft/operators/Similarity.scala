@@ -200,32 +200,32 @@ object Similarity {
     * query time each probe touches ~NPROBE/NCENTS of the corpus. */
   def simIvf: Q = (s, dir) => ivfTopK(s, dir, NPROBE, 3)
 
-  /** Parameterized IVF search (nprobe sweepable — RecallSpec sweeps
-    * recall vs the exact top-k across nprobe settings). */
-  private[graft] def ivfTopK(s: SparkSession, dir: String, nprobe: Int, k: Int): DataFrame = {
-    val emb = withVec(t(s, dir, "embeddings")).cache() // KMEANS_ITERS+2 assignment passes
-    def scoredCells(df: DataFrame, cents: DataFrame): DataFrame =
-      df.join(broadcast(cents))
-        .withColumn("ccos", vec_dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-    // corpus-wide argmax assignment: a min_by partial aggregate, NOT a
-    // row_number window — each task combines its local best before the
-    // shuffle, so one row per vector moves instead of NCENTS rows
-    // (negated key + cent_id tiebreak ≡ the oracle's ORDER BY
-    // round(ccos,9) DESC, cent_id)
-    def nearestCell(df: DataFrame, cents: DataFrame): DataFrame =
-      scoredCells(df, cents)
-        .groupBy("vec_id")
-        .agg(min_by(struct(col("cent_id"), col("v"), col("nrm")),
-          struct(-round(col("ccos"), 9), col("cent_id"))).as("best"))
-        .select(col("vec_id"), col("best.cent_id").as("cent_id"),
-          col("best.v").as("v"), col("best.nrm").as("nrm"))
-    // multi-cell probe ranking (queries only — a handful of rows)
-    def nearestCells(df: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(round(col("ccos"), 9).desc, col("cent_id"))
-      scoredCells(df, cents)
-        .withColumn("crn", row_number().over(w)).filter(col("crn") <= keep)
-        .drop("cv", "cn", "ccos", "crn")
-    }
+  private def scoredCells(df: DataFrame, cents: DataFrame): DataFrame =
+    df.join(broadcast(cents))
+      .withColumn("ccos", vec_dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+
+  // corpus-wide argmax assignment: a min_by partial aggregate, NOT a
+  // row_number window — each task combines its local best before the
+  // shuffle, so one row per vector moves instead of NCENTS rows
+  // (negated key + cent_id tiebreak ≡ the oracle's ORDER BY
+  // round(ccos,9) DESC, cent_id)
+  private def nearestCell(df: DataFrame, cents: DataFrame): DataFrame =
+    scoredCells(df, cents)
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cent_id"), col("v"), col("nrm")),
+        struct(-round(col("ccos"), 9), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("cent_id"),
+        col("best.v").as("v"), col("best.nrm").as("nrm"))
+
+  /** Full per-query cell ranking (queries only — a handful of rows). */
+  private def rankedCells(df: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(round(col("ccos"), 9).desc, col("cent_id"))
+    scoredCells(df, cents).withColumn("crn", row_number().over(w))
+  }
+
+  /** [[KMEANS_ITERS]] distributed Lloyd rounds from the first-NCENTS
+    * init; DECIMAL(27,12) means — exact, partial-agg-order-free. */
+  private def trainCentroids(emb: DataFrame): DataFrame = {
     var cents = emb.filter(col("vec_id") < NCENTS)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
     for (_ <- 0 until KMEANS_ITERS) {
@@ -237,6 +237,17 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("cv"))
         .withColumn("cn", vec_norm(col("cv")))
     }
+    cents
+  }
+
+  /** Parameterized IVF search (nprobe sweepable — RecallSpec sweeps
+    * recall vs the exact top-k across nprobe settings). */
+  private[graft] def ivfTopK(s: SparkSession, dir: String, nprobe: Int, k: Int): DataFrame = {
+    val emb = withVec(t(s, dir, "embeddings")).cache() // KMEANS_ITERS+2 assignment passes
+    def nearestCells(df: DataFrame, cents: DataFrame, keep: Int): DataFrame =
+      rankedCells(df, cents).filter(col("crn") <= keep)
+        .drop("cv", "cn", "ccos", "crn")
+    val cents = trainCentroids(emb)
     val cells = nearestCell(emb, cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
     val probes = nearestCells(emb.filter(col("vec_id") < NQUERIES), cents, nprobe)
@@ -253,37 +264,45 @@ object Similarity {
         col("e._3").as("cos_sim"), (col("pos") + 1).cast(LongType).as("rank"))
   }
 
-  val simIvfSql: String = {
-    // one Lloyd assignment CTE: rank centroids (CTE `cname`, columns
-    // cent_id/cv/cn with cv already DOUBLE) per vector of e
-    def assignCte(aname: String, cname: String) =
-      s"""$aname AS (
-         |  SELECT vec_id, embedding, nrm, cent_id, row_number() OVER (
-         |      PARTITION BY vec_id
-         |      ORDER BY round(list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(embedding[i] AS DOUBLE) * cv[i])) / (nrm * cn), 9) DESC,
-         |        cent_id) AS crn
-         |  FROM e CROSS JOIN $cname)""".stripMargin
-    // centroid update from assignment `aname`: per-(cell, dim) DECIMAL
-    // mean, reassembled into an ordered vector (same decimal-exact
-    // arithmetic as the Spark side, so centroids are bit-identical)
-    def centCte(cname: String, aname: String) =
-      s"""${cname}_m AS (
-         |  SELECT cent_id, pos,
-         |    CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m
-         |  FROM (SELECT cent_id, embedding FROM $aname WHERE crn = 1)
-         |    CROSS JOIN generate_series(1, $DIMS) t(pos)
-         |  GROUP BY cent_id, pos),
-         |$cname AS (
-         |  SELECT cent_id, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
-         |  FROM (SELECT cent_id, list(m ORDER BY pos) AS cv FROM ${cname}_m GROUP BY cent_id))""".stripMargin
+  // one Lloyd assignment CTE: rank centroids (CTE `cname`, columns
+  // cent_id/cv/cn with cv already DOUBLE) per vector of e
+  private def assignCte(aname: String, cname: String) =
+    s"""$aname AS (
+       |  SELECT vec_id, embedding, nrm, cent_id, row_number() OVER (
+       |      PARTITION BY vec_id
+       |      ORDER BY round(list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(embedding[i] AS DOUBLE) * cv[i])) / (nrm * cn), 9) DESC,
+       |        cent_id) AS crn
+       |  FROM e CROSS JOIN $cname)""".stripMargin
+
+  // centroid update from assignment `aname`: per-(cell, dim) DECIMAL
+  // mean, reassembled into an ordered vector (same decimal-exact
+  // arithmetic as the Spark side, so centroids are bit-identical)
+  private def centCte(cname: String, aname: String) =
+    s"""${cname}_m AS (
+       |  SELECT cent_id, pos,
+       |    CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM (SELECT cent_id, embedding FROM $aname WHERE crn = 1)
+       |    CROSS JOIN generate_series(1, $DIMS) t(pos)
+       |  GROUP BY cent_id, pos),
+       |$cname AS (
+       |  SELECT cent_id, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+       |  FROM (SELECT cent_id, list(m ORDER BY pos) AS cv FROM ${cname}_m GROUP BY cent_id))""".stripMargin
+
+  /** The shared WITH prefix of the IVF oracles: e → c0 → Lloyd rounds
+    * → final `assign` ranking. */
+  private def ivfPrefixSql: String = {
     val iters = (0 until KMEANS_ITERS)
       .map(k => s"${assignCte(s"a$k", s"c$k")},\n${centCte(s"c${k + 1}", s"a$k")}")
       .mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding, $normSqlDuck AS nrm FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding, $normSqlDuck AS nrm FROM embeddings),
        |c0 AS (SELECT vec_id AS cent_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv, nrm AS cn
        |  FROM e WHERE vec_id < $NCENTS),
        |$iters,
-       |${assignCte("assign", s"c$KMEANS_ITERS")},
+       |${assignCte("assign", s"c$KMEANS_ITERS")}""".stripMargin
+  }
+
+  val simIvfSql: String = {
+    s"""WITH ${ivfPrefixSql},
        |cells AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM assign WHERE crn = 1),
        |probes AS (SELECT vec_id AS query_id, embedding AS qemb, nrm AS qn, cent_id AS cell
        |  FROM assign WHERE vec_id < $NQUERIES AND crn <= $NPROBE),
@@ -678,7 +697,60 @@ object Similarity {
        |WHERE ex.rank <= 3
        |GROUP BY ex.query_id""".stripMargin
 
+  /** nprobe SWEEP in one query — the IVF twin of dedup_eval_sweep,
+    * and the tuning table the 100 TB recall/cost trade reads from:
+    * recall@3 for EVERY nprobe 1..NCENTS from ONE trained quantizer,
+    * one corpus assignment, and one exact ground truth. The device:
+    * probe sets nest (nprobe p probes the top-p cells), and because
+    * IVF scores candidates with TRUE cosines, an exact top-3 neighbor
+    * appears in the approximate top-3 iff its cell is probed — the
+    * only vectors that can outrank it are better exact neighbors. So
+    * recall@3(p) = |exact top-3 neighbors whose cell rank ≤ p| / 3·nq,
+    * and the whole curve falls out of ONE join of the ground truth to
+    * the per-query cell ranking — the corpus is scanned once, not
+    * NCENTS times. Monotone nondecreasing in p by construction
+    * (pinned in Round5Spec); the nprobe=NCENTS row must reach recall
+    * 1.0 (every cell probed = exhaustive). */
+  def simRecallSweep: Q = (s, dir) => {
+    val emb = withVec(t(s, dir, "embeddings")).cache()
+    val cents = trainCentroids(emb)
+    val cells = nearestCell(emb, cents)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id").as("cell"))
+    val qranks = rankedCells(emb.filter(col("vec_id") < NQUERIES), cents)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"), col("crn"))
+    val exact = simTopKBruteforce(s, dir).filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id")
+    val nrank = exact
+      .join(cells, "neighbor_id")
+      .join(qranks, Seq("query_id", "cell"))
+      .cache() // probed once per sweep row
+    val ks = s.range(1, NCENTS + 1).toDF("nprobe")
+    ks.join(nrank, col("crn") <= col("nprobe"), "left")
+      .groupBy("nprobe").agg(count(col("neighbor_id")).as("n_hits"))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_true"))))
+      .select(col("nprobe"), col("n_hits"), col("n_true"),
+        round(col("n_hits") / col("n_true"), 6).as("recall"))
+  }
+
+  val simRecallSweepSql: String =
+    s"""WITH ${ivfPrefixSql},
+       |ex AS (SELECT query_id, neighbor_id FROM ($simTopKBruteforceSql) WHERE rank <= 3),
+       |cells AS (SELECT vec_id AS neighbor_id, cent_id AS cell FROM assign WHERE crn = 1),
+       |nrank AS (
+       |  SELECT ex.query_id, ex.neighbor_id, a.crn
+       |  FROM ex
+       |  JOIN cells c ON c.neighbor_id = ex.neighbor_id
+       |  JOIN assign a ON a.vec_id = ex.query_id AND a.cent_id = c.cell),
+       |ks AS (SELECT np FROM generate_series(1, $NCENTS) t(np))
+       |SELECT CAST(k.np AS BIGINT) AS nprobe,
+       |  CAST(COUNT(n.neighbor_id) AS BIGINT) AS n_hits,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_true,
+       |  round(COUNT(n.neighbor_id) / (SELECT COUNT(*) FROM ex), 6) AS recall
+       |FROM ks k LEFT JOIN nrank n ON n.crn <= k.np
+       |GROUP BY k.np""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sim_recall_sweep" -> simRecallSweep,
     "sim_recall_eval" -> simRecallEval,
     "sim_mips_topk" -> simMipsTopK,
     "sim_knn_graph" -> simKnnGraph,
@@ -690,6 +762,7 @@ object Similarity {
     "dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
+    "sim_recall_sweep" -> simRecallSweepSql,
     "sim_recall_eval" -> simRecallEvalSql,
     "sim_mips_topk" -> simMipsTopKSql,
     "sim_knn_graph" -> simKnnGraphSql,

@@ -233,6 +233,17 @@ class Round5Spec extends AnyFunSuite {
     assert(q.forall(r => { val v = r.getAs[Double]("mq"); v >= 0.0 && v <= 1.0 }))
   }
 
+  test("sim_recall_sweep: recall monotone in nprobe, exhaustive probe = 1.0") {
+    val sweep = graft.operators.Similarity.simRecallSweep(spark, sf)
+      .orderBy("nprobe").collect()
+    assert(sweep.length == 16, "one row per nprobe 1..NCENTS")
+    val recalls = sweep.map(_.getAs[Double]("recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be nondecreasing in nprobe: ${recalls.toSeq}")
+    assert(recalls.last == 1.0,
+      "probing every cell is exhaustive search - recall must be exactly 1.0")
+  }
+
   test("interpAll matches per-target interp on every bracket shape") {
     val dir = "/tmp/graft_nc_spec/interp_all"
     NcIO.write(
