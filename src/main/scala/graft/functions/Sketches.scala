@@ -360,7 +360,70 @@ object Sketches {
        |WHERE est_n * 128 >= n_total""".stripMargin
   }
 
+  /** KMV set-operation estimation (Beyer et al., SIGMOD'07): the
+    * intersection of two audiences estimated from their k-min sketches
+    * ALONE — the union's k minima are the k smallest of the combined
+    * sketches, the Jaccard estimate is the fraction of those minima
+    * present in BOTH input sketches, and |A∩B| ≈ J·|A∪B|. At 100 TB
+    * the point is that the sketches are the ONLY thing that crosses
+    * shard boundaries (k 8-byte hashes per set, vs re-scanning either
+    * side for the exact answer); the exact intersection rides along
+    * here for the oracle's accuracy check. All selection is integer
+    * order statistics over md5 hashes — bit-identical cross-engine. */
+  def sketchKmvIntersect: Q = (s, dir) => {
+    val ev = events(s, dir)
+    def userHashes(typ: String) = ev.filter(col("event_type") === typ)
+      .select(conv(substring(md5(col("user_id").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType).as("h"))
+      .distinct()
+    val a = userHashes("click").orderBy("h").limit(K).cache()
+    val b = userHashes("view").orderBy("h").limit(K).cache()
+    val u = a.unionByName(b).distinct().orderBy("h").limit(K).cache()
+    val uk = u.agg(count(lit(1)).as("k"), max(col("h")).as("hk"))
+    val both = u.join(a, Seq("h"), "left_semi").join(b, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    val exact = ev.filter(col("event_type").isin("click", "view"))
+      .select("user_id", "event_type").distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === 2)
+      .agg(count(lit(1)).as("exact_intersect"))
+    uk.crossJoin(both).crossJoin(exact)
+      .select(col("k"), col("n_both"),
+        round(col("n_both") / col("k"), 6).as("jaccard_est"),
+        round((col("k") - 1).cast(DoubleType) * expr(SPACE) / col("hk").cast(DoubleType)
+          * (col("n_both") / col("k")), 3).as("est_intersect"),
+        col("exact_intersect"))
+  }
+
+  val sketchKmvIntersectSql: String =
+    s"""WITH a AS (
+       |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM events WHERE event_type = 'click' ORDER BY h LIMIT $K),
+       |b AS (
+       |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM events WHERE event_type = 'view' ORDER BY h LIMIT $K),
+       |u AS (
+       |  SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) t
+       |  ORDER BY h LIMIT $K),
+       |uk AS (SELECT COUNT(*) AS k, MAX(h) AS hk FROM u),
+       |nb AS (
+       |  SELECT COUNT(*) AS n_both FROM u
+       |  WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)),
+       |ex AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersect FROM (
+       |    SELECT user_id FROM (
+       |      SELECT DISTINCT user_id, event_type FROM events
+       |      WHERE event_type IN ('click', 'view')) t
+       |    GROUP BY user_id HAVING COUNT(*) = 2))
+       |SELECT k, n_both,
+       |  round(n_both / k, 6) AS jaccard_est,
+       |  round(CAST(k - 1 AS DOUBLE) * $SPACE / CAST(hk AS DOUBLE)
+       |    * (n_both / k), 3) AS est_intersect,
+       |  exact_intersect
+       |FROM uk CROSS JOIN nb CROSS JOIN ex""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sketch_kmv_intersect" -> sketchKmvIntersect,
     "sketch_cms" -> sketchCms,
     "stream_cms" -> streamCms,
     "stream_heavy_hitters" -> streamHeavyHitters,
@@ -369,6 +432,7 @@ object Sketches {
     "sketch_quantile" -> sketchQuantile,
     "sketch_histogram_quantile" -> sketchHistogramQuantile)
   val oracles: Map[String, String] = Map(
+    "sketch_kmv_intersect" -> sketchKmvIntersectSql,
     "sketch_cms" -> sketchCmsSql,
     "stream_cms" -> sketchCmsSql, // identical output to the batch build
     "stream_heavy_hitters" -> streamHeavyHittersSql,

@@ -244,6 +244,19 @@ class Round5Spec extends AnyFunSuite {
       "probing every cell is exhaustive search - recall must be exactly 1.0")
   }
 
+  test("sketch_kmv_intersect: estimate tracks the exact overlap") {
+    val r = graft.functions.Sketches.sketchKmvIntersect(spark, sf).head()
+    val j = r.getAs[Double]("jaccard_est")
+    assert(j >= 0.0 && j <= 1.0)
+    val est = r.getAs[Double]("est_intersect")
+    val exact = r.getAs[Long]("exact_intersect")
+    assert(exact > 0, "synthetic events must have click∩view users")
+    // k=256 minima over a small domain: the estimate must be in the
+    // right ballpark (KMV relative error ~1/sqrt(k) ≈ 6%; allow 3x)
+    assert(est > exact / 3.0 && est < exact * 3.0,
+      s"est_intersect=$est vs exact=$exact")
+  }
+
   test("interpAll matches per-target interp on every bracket shape") {
     val dir = "/tmp/graft_nc_spec/interp_all"
     NcIO.write(
