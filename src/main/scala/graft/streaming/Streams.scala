@@ -304,7 +304,34 @@ object Streams {
       |FROM docs WHERE score >= 0.5
       |GROUP BY source""".stripMargin
 
+  /** Streaming twin of pipeline_dataset_card: the per-(source, lang)
+    * release summary maintained INCREMENTALLY as corpus shards land —
+    * every aggregate (count, sums incl. the exact quantized quality
+    * sum, min/max) is a streaming-combinable partial, so complete-mode
+    * state is one row per (source, lang) regardless of corpus size,
+    * and a 100 TB ingest keeps its card current without rescans. Same
+    * oracle as the batch card — the engine and the execution mode both
+    * change, the answer does not. */
+  def streamDatasetCard: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    StreamStage.withStaged(s, "sdc", dir, "documents.parquet") { stageDir =>
+      val card = graft.functions.TextOps.withQualityScore(
+        s.readStream.schema(sch).parquet(stageDir))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_tokens"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(floor(col("score") * 1e6).cast(LongType)).as("quality_micro_sum"))
+      val q = card.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_dc").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table("graft_stream_dc")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_dataset_card" -> streamDatasetCard,
     "stream_curation_filter" -> streamCurationFilter,
     "stream_topterms" -> streamTopTerms,
     "stream_mix_weights" -> streamMixWeights,
@@ -314,6 +341,8 @@ object Streams {
     "stream_interval_join" -> streamIntervalJoin)
 
   val oracles: Map[String, String] = Map(
+    // identical output to the batch dataset-card build
+    "stream_dataset_card" -> graft.operators.DatasetCard.pipelineDatasetCardSql,
     // identical output to the batch mix-weights build
     "stream_mix_weights" -> graft.operators.PipelineKeepList.pipelineMixWeightsSql,
     "stream_topterms" -> streamTopTermsSql,
