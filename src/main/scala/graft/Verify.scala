@@ -19,9 +19,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // keep ContextCleaner continuous across the 130-query session
-      // (see Bench.scala — default 30min never fires in-session)
-      .config("spark.cleaner.periodicGC.interval", "30s")
+      // keep ContextCleaner continuous across the 149-query session
+      // (see Bench.scala — default 30min never fires in-session); 60s
+      // matches Bench: continuous cleanup without taxing every query
+      .config("spark.cleaner.periodicGC.interval", "60s")
+      // same RPC headroom as Bench: a full-GC pause must be a pause,
+      // not a session-killing heartbeat timeout
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
