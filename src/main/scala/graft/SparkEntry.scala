@@ -37,7 +37,8 @@ object SparkEntry {
       graft.operators.ScaleJoins.queries ++
       graft.operators.ShardManifest.queries ++
       graft.operators.Winnowing.queries ++
-      graft.operators.DatasetCard.queries
+      graft.operators.DatasetCard.queries ++
+      graft.operators.DatasetDiff.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -65,5 +66,6 @@ object SparkEntry {
       graft.operators.ScaleJoins.oracles ++
       graft.operators.ShardManifest.oracles ++
       graft.operators.Winnowing.oracles ++
-      graft.operators.DatasetCard.oracles
+      graft.operators.DatasetCard.oracles ++
+      graft.operators.DatasetDiff.oracles
 }

@@ -209,6 +209,43 @@ object TextOps {
         (col("n_oov") / col("n_tokens").cast(DoubleType)).as("oov_rate"))
   }
 
+  /** Per-doc mean corpus term frequency ("commonness") — the
+    * inverse-rarity quality signal: low mean_tf = jargon/noise-heavy
+    * doc, high = stopword soup. The corpus-vs-corpus token join is the
+    * skew case study: token keys are Zipfian, so a naive equi-join
+    * puts "the" on one reducer. Mitigation here is the canonical
+    * head/tail split — the top-[[VOCAB_K]] head of the frequency table
+    * (metadata-sized by construction) joins BROADCAST map-side, and
+    * only the long tail (cold keys, near-uniform by definition) takes
+    * the shuffle join; AQE skew handling backstops the residue. */
+  def textCommonness: Q = (s, dir) => {
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val freq = words.groupBy("w").agg(count(lit(1)).as("tf"))
+    val head = freq.orderBy(col("tf").desc, col("w")).limit(VOCAB_K)
+    val hot = words.join(broadcast(head), Seq("w"))
+    val cold = words.join(broadcast(head.select("w")), Seq("w"), "left_anti")
+      .join(freq, Seq("w"))
+    hot.unionByName(cold)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("tf")).as("sum_tf"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_tf"),
+        (col("sum_tf") / col("n_tokens").cast(DoubleType)).as("mean_tf"))
+  }
+
+  val textCommonnessSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> ''),
+      |f AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY w)
+      |SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(f.tf) AS BIGINT) AS sum_tf,
+      |  CAST(SUM(f.tf) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS mean_tf
+      |FROM w JOIN f ON f.w = w.w
+      |GROUP BY w.doc_id""".stripMargin
+
   val textOovRateSql: String =
     s"""WITH w AS (
        |  SELECT doc_id, w FROM (
@@ -700,6 +737,7 @@ object TextOps {
     "text_langid_weighted" -> textLangIdWeighted,
     "text_topterms" -> textTopTerms,
     "text_oov_rate" -> textOovRate,
+    "text_commonness" -> textCommonness,
     "pipeline_sample_stratified" -> pipelineSampleStratified,
     "text_tokencount" -> textTokenCount,
     "text_quality" -> textQuality,
@@ -718,6 +756,7 @@ object TextOps {
     "text_langid_weighted" -> textLangIdWeightedSql,
     "text_topterms" -> textTopTermsSql,
     "text_oov_rate" -> textOovRateSql,
+    "text_commonness" -> textCommonnessSql,
     "pipeline_sample_stratified" -> pipelineSampleStratifiedSql,
     "text_tokencount" -> textTokenCountSql,
     "text_quality" -> textQualitySql,

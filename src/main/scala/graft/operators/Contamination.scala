@@ -76,6 +76,38 @@ object Contamination {
        |FROM hits h JOIN totals t ON t.doc_id = h.doc_id""".stripMargin
   }
 
-  val queries: Map[String, Q] = Map("pipeline_contamination" -> pipelineContamination)
-  val oracles: Map[String, String] = Map("pipeline_contamination" -> pipelineContaminationSql)
+  /** Streaming twin of [[pipelineContamination]]: the corpus arrives
+    * as a file stream, shingling stays map-side on the stream, the hit
+    * test is the same stream-static BROADCAST join against the batch
+    * benchmark shingle set, and the per-doc tally is a complete-mode
+    * aggregation. Same output, same oracle — decontamination as an
+    * ingest-time filter instead of a batch pass. */
+  def streamContamination: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val benchSh = Dedup.shingles(docs.filter(isBench), N).select("sh").distinct()
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    graft.streaming.StreamStage.withStaged(s, "sct", dir, "documents.parquet") { stageDir =>
+      val corpSh = Dedup.shingles(
+        s.readStream.schema(sch).parquet(stageDir).filter(!isBench), N)
+      val agg = corpSh
+        .join(broadcast(benchSh.withColumn("hit", lit(1L))), Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_ct").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table("graft_stream_ct")
+      .filter(col("n_hit") > 0)
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        (col("n_hit") / col("n_sh")).as("contamination"),
+        (col("n_hit") / col("n_sh") >= FLAG_AT).as("flagged"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "pipeline_contamination" -> pipelineContamination,
+    "stream_contamination" -> streamContamination)
+  val oracles: Map[String, String] = Map(
+    "pipeline_contamination" -> pipelineContaminationSql,
+    "stream_contamination" -> pipelineContaminationSql)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -518,7 +519,61 @@ object GridOps {
        |  CAST(SUM(prod) AS DOUBLE) AS sum_prod
        |FROM p GROUP BY idx // $CHUNK""".stripMargin
 
+  /** Per-cell cumulative sum along the streamed dimension (xarray
+    * `cumsum(dim='time')` per spatial cell): the grid is viewed as
+    * (t = idx/24, cell = idx%24) and the running sum is a window
+    * PARTITIONED BY cell — parallelism = number of cells (lat×lon at
+    * real scale, so thousands of independent partitions), never a
+    * single global sort. Cent-integer accumulation keeps the running
+    * sums exact at any length. */
+  def gridCumsum: Q = (s, dir) => {
+    val tab = gridToTable(qtyGrid(s, dir))
+      .withColumn("cell", expr("idx % 24"))
+      .withColumn("vc", expr("CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT)"))
+    val w = Window.partitionBy(col("cell")).orderBy(col("idx"))
+    tab.withColumn("csum", round(sum(col("vc")).over(w) / 100.0, 2))
+      .select(col("idx"), col("cell"), col("value"), col("csum"))
+  }
+
+  val gridCumsumSql: String =
+    s"""WITH $orderedCte,
+       |tb AS (SELECT idx, idx % 24 AS cell, v,
+       |         CAST(CAST(v AS DECIMAL(9,2)) * 100 AS BIGINT) AS vc FROM o)
+       |SELECT idx, cell, v AS value,
+       |  round(SUM(vc) OVER (PARTITION BY cell ORDER BY idx) / 100.0, 2) AS csum
+       |FROM tb""".stripMargin
+
+  /** Area-weighted spatial reduction (xarray `weighted(w).mean(dim=
+    * ('lat','lon'))`): per time step t = idx/24, the weighted mean
+    * over cells with weight w(cell) = cell+1 — the stand-in for the
+    * cos(latitude) area weights that at real scale come from the
+    * coordinate variable. One partial-agg'd groupBy keyed by t; the
+    * weights ride along map-side (derived from the cell coordinate),
+    * so nothing is broadcast and nothing shuffles but the per-t
+    * partial sums. Integer-exact: cent values × integer weights. */
+  def gridWeightedMean: Q = (s, dir) => {
+    val tab = gridToTable(qtyGrid(s, dir))
+      .withColumn("t", expr("idx DIV 24"))
+      .withColumn("w", expr("idx % 24 + 1"))
+      .withColumn("vc", expr("CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT)"))
+    tab.groupBy("t")
+      .agg(sum(col("w") * col("vc")).as("swv"), sum(col("w")).as("sw"),
+        count(lit(1)).as("n_cells"))
+      .select(col("t"), col("n_cells"),
+        round(col("swv") / (col("sw") * 100.0), 6).as("wmean"))
+  }
+
+  val gridWeightedMeanSql: String =
+    s"""WITH $orderedCte,
+       |tb AS (SELECT idx // 24 AS t, idx % 24 + 1 AS w,
+       |         CAST(CAST(v AS DECIMAL(9,2)) * 100 AS BIGINT) AS vc FROM o)
+       |SELECT t, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |  round(SUM(w * vc) / (SUM(w) * 100.0), 6) AS wmean
+       |FROM tb GROUP BY t""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "grid_cumsum" -> gridCumsum,
+    "grid_weighted_mean" -> gridWeightedMean,
     "grid_elementwise" -> gridElementwise,
     "grid_coarsen_2d" -> gridCoarsen2d,
     "grid_climatology" -> gridClimatology,
@@ -535,6 +590,8 @@ object GridOps {
     "grid_stats" -> gridStats)
 
   val oracles: Map[String, String] = Map(
+    "grid_cumsum" -> gridCumsumSql,
+    "grid_weighted_mean" -> gridWeightedMeanSql,
     "grid_elementwise" -> gridElementwiseSql,
     "grid_coarsen_2d" -> gridCoarsen2dSql,
     "grid_climatology" -> gridClimatologySql,

@@ -749,7 +749,38 @@ object Similarity {
        |FROM ks k LEFT JOIN nrank n ON n.crn <= k.np
        |GROUP BY k.np""".stripMargin
 
+  private val RANGE_T = 0.25 // inner-product threshold for range search
+
+  /** Cosine/inner-product RANGE search: every corpus vector scoring
+    * >= [[RANGE_T]] against any query — the "all neighbors above a
+    * similarity bar" primitive (near-dup mining uses this, not top-k).
+    * The plan shape is the point: score map-side against the broadcast
+    * query set, filter map-side, emit. No aggregate, no window, ZERO
+    * shuffle — output volume is bounded by selectivity alone, so the
+    * operator scales embarrassingly with corpus size. (For non-unit
+    * vectors a per-file max-norm zone map would prune whole files
+    * below T/||q|| by Cauchy-Schwarz before any dot product; these
+    * embeddings are unit-norm so every file passes that gate.) */
+  def simRangeSearch: Q = (s, dir) => {
+    val emb = withVec(t(s, dir, "embeddings"))
+    val q = emb.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("ip", round(vec_dot(col("qv"), col("v")), 6))
+      .filter(col("ip") >= RANGE_T)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("ip").as("inner_product"))
+  }
+
+  val simRangeSearchSql: String =
+    s"""SELECT qa.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |  round($dotSqlDuck, 6) AS inner_product
+       |FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $NQUERIES) qa
+       |JOIN embeddings e ON e.vec_id <> qa.vec_id
+       |WHERE round($dotSqlDuck, 6) >= $RANGE_T""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sim_range_search" -> simRangeSearch,
     "sim_recall_sweep" -> simRecallSweep,
     "sim_recall_eval" -> simRecallEval,
     "sim_mips_topk" -> simMipsTopK,
@@ -762,6 +793,7 @@ object Similarity {
     "dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
+    "sim_range_search" -> simRangeSearchSql,
     "sim_recall_sweep" -> simRecallSweepSql,
     "sim_recall_eval" -> simRecallEvalSql,
     "sim_mips_topk" -> simMipsTopKSql,

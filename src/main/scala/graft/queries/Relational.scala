@@ -661,7 +661,35 @@ object Relational {
       |WHERE datediff('day', c.cohort_day, CAST(e.ts AS DATE)) BETWEEN 0 AND 7
       |GROUP BY 1, 2""".stripMargin
 
+  /** Per-key mode (most frequent event_type per user) WITHOUT a
+    * window: two partial-agg'd groupBys and a `min_by` over
+    * (-count, type). The window formulation (`row_number` over a
+    * per-user sort) range-shuffles every event row; this shape
+    * shuffles only the (user, type) count pairs — at 100 TB that is
+    * |users|·|types| rows instead of |events|. Tie-break is
+    * deterministic: highest count, then lexicographically first type. */
+  def q37Mode: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(min_by(
+        struct(col("event_type"), col("n_events")),
+        struct((-col("n_events")).as("neg_n"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.event_type").as("mode_type"),
+        col("m.n_events").as("n_events"))
+
+  val q37Sql: String =
+    """SELECT user_id, mode_type, n_events FROM (
+      |  SELECT user_id, event_type AS mode_type, n_events,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY n_events DESC, event_type) AS rn
+      |  FROM (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      |        FROM events GROUP BY 1, 2)) sub
+      |WHERE rn = 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q37_mode" -> q37Mode,
     "q33_retention" -> q33Retention,
     "q32_funnel" -> q32Funnel,
     "q19_json_extract" -> q19JsonExtract,
@@ -693,6 +721,7 @@ object Relational {
     "q31_null_safe_join" -> q31NullSafeJoin)
 
   val oracles: Map[String, String] = Map(
+    "q37_mode" -> q37Sql,
     "q33_retention" -> q33Sql,
     "q32_funnel" -> q32Sql,
     "q19_json_extract" -> q19Sql,
