@@ -493,6 +493,47 @@ object TextOps {
        |  CAST(greatest(cum - n_tokens, bin_id * $PACK_BUDGET) - bin_id * $PACK_BUDGET AS BIGINT) AS bin_offset
        |FROM exploded""".stripMargin
 
+  /** Per-bin ATTENTION-MASK metadata for the packed sequences: the
+    * ordered document-boundary list (as an order-sensitive digest),
+    * segment count, fill, and padding tail — what a packed-sequence
+    * trainer needs to reset attention at document boundaries without
+    * re-reading any text. One partial-agg'd groupBy over the
+    * pack_bins assignment; the per-bin collect is bounded by
+    * docs-per-bin (budget/min-doc-len), never corpus-sized. */
+  def pipelinePackMask: Q = (s, dir) => {
+    val B = PACK_BUDGET
+    pipelinePackBins(s, dir)
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("slice_len")).as("fill"),
+        md5(concat_ws(",", expr(
+          "transform(array_sort(collect_list(struct(bin_offset, slice_len))), " +
+            "x -> concat(CAST(x.bin_offset AS STRING), ':', CAST(x.slice_len AS STRING)))")))
+          .as("mask_md5"))
+      .select(col("source"), col("bin_id"), col("n_segments"), col("fill"),
+        (lit(B) - col("fill")).as("n_pad"), col("mask_md5"))
+  }
+
+  val pipelinePackMaskSql: String =
+    s"""WITH ${Bpe.duckDocTokensCtes},
+       |$packPlanCte,
+       |exploded AS (
+       |  SELECT source, doc_id, n_tokens, cum,
+       |    unnest(generate_series((cum - n_tokens) // $PACK_BUDGET, (cum - 1) // $PACK_BUDGET)) AS bin_id
+       |  FROM pack_plan WHERE n_tokens > 0),
+       |pb AS (
+       |  SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
+       |    CAST(least(cum, (bin_id + 1) * $PACK_BUDGET) -
+       |      greatest(cum - n_tokens, bin_id * $PACK_BUDGET) AS BIGINT) AS slice_len,
+       |    CAST(greatest(cum - n_tokens, bin_id * $PACK_BUDGET) - bin_id * $PACK_BUDGET AS BIGINT) AS bin_offset
+       |  FROM exploded)
+       |SELECT source, bin_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |  CAST(SUM(slice_len) AS BIGINT) AS fill,
+       |  CAST($PACK_BUDGET - SUM(slice_len) AS BIGINT) AS n_pad,
+       |  md5(string_agg(CAST(bin_offset AS VARCHAR) || ':' || CAST(slice_len AS VARCHAR),
+       |    ',' ORDER BY bin_offset)) AS mask_md5
+       |FROM pb GROUP BY source, bin_id""".stripMargin
+
   /** Intra-document repetition (Gopher-style quality signal): the
     * fraction of word-3-gram occurrences that are repeats of an
     * earlier 3-gram in the same document. Pure map-side array work —
@@ -738,6 +779,7 @@ object TextOps {
     "text_topterms" -> textTopTerms,
     "text_oov_rate" -> textOovRate,
     "text_commonness" -> textCommonness,
+    "pipeline_pack_mask" -> pipelinePackMask,
     "pipeline_sample_stratified" -> pipelineSampleStratified,
     "text_tokencount" -> textTokenCount,
     "text_quality" -> textQuality,
@@ -757,6 +799,7 @@ object TextOps {
     "text_topterms" -> textTopTermsSql,
     "text_oov_rate" -> textOovRateSql,
     "text_commonness" -> textCommonnessSql,
+    "pipeline_pack_mask" -> pipelinePackMaskSql,
     "pipeline_sample_stratified" -> pipelineSampleStratifiedSql,
     "text_tokencount" -> textTokenCountSql,
     "text_quality" -> textQualitySql,

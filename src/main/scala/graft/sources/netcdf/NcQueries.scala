@@ -801,7 +801,43 @@ object NcQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
       |FROM dec GROUP BY 1""".stripMargin
 
+  /** netCDF4 GROUP hierarchy (`createGroup`/`groups[...]` parity) over
+    * the flat classic namespace: variables carry path names
+    * ("obs/qty", "fc/price"), and reading `.option("group", "fc")`
+    * scopes the table to that group at HEADER level — the other
+    * group's variables never enter the schema, so column pruning is
+    * structural, and under the .ncz v2 var-major layout (used here)
+    * their compressed blocks are never even inflated. Write once with
+    * two groups, read back one, aggregate it. */
+  def ncGroups: Q = (s, dir) => {
+    val out = scratch(s, dir, "groups")
+    NcIO.write(
+      t(s, dir, "lineitem").select(
+        col("l_orderkey").as("obs/key"),
+        col("l_quantity").as("obs/qty"),
+        col("l_extendedprice").as("fc/price"),
+        col("l_discount").as("fc/disc")).repartition(4),
+      out,
+      compressChunks = true,
+      varChunkBytes = Map("fc/price" -> (256 << 10)))
+    val fc = s.read.format(SRC).option("group", "fc").load(out)
+    require(!fc.columns.exists(_.startsWith("obs/")),
+      "group scoping leaked another group's variables into the schema")
+    fc.agg(
+      count(lit(1)).as("n"),
+      dsum(col("fc/price")).as("sum_price"),
+      sum(dec(col("fc/price")) * oneMinus(col("fc/disc"))).cast(DoubleType)
+        .as("sum_disc_price"))
+  }
+
+  val ncGroupsSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS sum_disc_price
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "nc_groups" -> ncGroups,
     "nc_time_decode" -> ncTimeDecode,
     "nc_fillvalue_mask" -> ncFillvalueMask,
     "nc_isel_stride" -> ncIselStride,
@@ -827,6 +863,7 @@ object NcQueries {
     "stream_compact_auto" -> streamCompactAuto)
 
   val oracles: Map[String, String] = Map(
+    "nc_groups" -> ncGroupsSql,
     "nc_time_decode" -> ncTimeDecodeSql,
     "nc_fillvalue_mask" -> ncFillvalueMaskSql,
     "nc_isel_stride" -> ncIselStrideSql,

@@ -51,8 +51,20 @@ class NetCDF3Source extends TableProvider with sources.DataSourceRegister {
     // the WriteBuilder takes the query's schema from LogicalWriteInfo.
     if (files.isEmpty) return new StructType()
     val meta = NcFormat.readMeta(fs, files.head)
-    StructType(StructField("record", LongType, nullable = false) +:
+    val full = StructType(StructField("record", LongType, nullable = false) +:
       meta.sparkSchema.fields.toSeq)
+    // netCDF4 GROUP hierarchy over the flat classic namespace:
+    // variables are path-named ("fc/t2m"), and `.option("group","fc")`
+    // scopes the table to one group — a pure header-level schema
+    // filter, so Catalyst's column pruning (and, under the .ncz v2
+    // var-major layout, block-level I/O skipping) does the rest.
+    Option(options.get("group")) match {
+      case None => full
+      case Some(g) =>
+        val pfx = g.stripSuffix("/") + "/"
+        StructType(full.fields.filter(f =>
+          f.name == "record" || f.name.startsWith(pfx)))
+    }
   }
 
   /** Writes hand the query's schema straight to [[getTable]] (no

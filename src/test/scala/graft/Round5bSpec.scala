@@ -61,6 +61,30 @@ class Round5bSpec extends AnyFunSuite {
     assert(by.getOrElse("removed", 0L) > 0, "removal slice empty at this sf")
   }
 
+  test("nc_groups: group option scopes the schema and composes with pruning") {
+    // run the query once to materialize the grouped dataset
+    SparkEntry.queries("nc_groups")(spark, sf).collect()
+    val out = "/tmp/graft_nc/" + spark.sparkContext.applicationId +
+      s"/${sf.replaceAll("[^A-Za-z0-9.]", "_")}/groups"
+    val fc = spark.read.format("graft.sources.netcdf.NetCDF3Source")
+      .option("group", "fc").load(out)
+    assert(fc.columns.toSet == Set("record", "fc/price", "fc/disc"))
+    // projection within the group prunes further (header-level scan schema)
+    val p = fc.select(col("fc/price")).queryExecution.executedPlan.toString
+    assert(!p.contains("fc/disc") && !p.contains("obs/"),
+      "group scan reads variables outside the projection")
+  }
+
+  test("pipeline_pack_mask: every non-final bin per source is exactly full") {
+    val out = SparkEntry.queries("pipeline_pack_mask")(spark, sf).cache()
+    val lastBin = out.groupBy("source").agg(max("bin_id").as("last"))
+    val nonFinal = out.join(lastBin, Seq("source"))
+      .filter(col("bin_id") =!= col("last"))
+    assert(nonFinal.filter(col("n_pad") =!= 0).count() == 0,
+      "a non-final bin has padding — packing left a hole")
+    assert(out.filter(col("n_segments") < 1).count() == 0)
+  }
+
   test("stream_contamination equals the batch decontamination pass") {
     val stream = SparkEntry.queries("stream_contamination")(spark, sf)
     val batch = SparkEntry.queries("pipeline_contamination")(spark, sf)
