@@ -27,6 +27,69 @@ object Sketches {
   /** 15 hex chars = 60 bits; hash space size 2^60 (exact as a double). */
   private val SPACE = "1152921504606846976.0"
 
+  /** 2^60 as an exact integer, for the all-BIGINT bucket-min estimator. */
+  private val SPACE_L = 1152921504606846976L
+  private val NB = 64 // stochastic-averaging buckets
+
+  /** Bucket-min cardinality sketch (stochastic averaging): hash every
+    * row, keep ONE minimum per h%NB bucket, estimate distinct count as
+    * Σ_b (2^60 div (min_b+1) − 1). Unlike bottom-k KMV (heap, awkward
+    * to maintain incrementally) the state is a FIXED NB-row vector
+    * maintained by a plain min aggregate — trivially mergeable across
+    * shards and directly expressible as a streaming aggregation (see
+    * [[streamKmv]], which shares this oracle). No distinct shuffle
+    * anywhere: the sketch consumes the raw stream. All-BIGINT floor
+    * arithmetic keeps both engines bit-identical. */
+  def sketchBucketMin: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val h = ev.select(
+      conv(substring(md5(col("user_id").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType).as("h"))
+    val bm = h.groupBy((col("h") % NB).as("bucket")).agg(min(col("h")).as("mn"))
+    val est = bm.agg(count(lit(1)).as("n_buckets"),
+      sum(expr(s"${SPACE_L}L DIV (mn + 1) - 1")).as("est_distinct"))
+    val ex = ev.select("user_id").distinct()
+      .agg(count(lit(1)).as("exact_distinct"))
+    est.crossJoin(ex)
+  }
+
+  val sketchBucketMinSql: String =
+    s"""WITH h AS (
+       |  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM events),
+       |bm AS (SELECT h % $NB AS bucket, MIN(h) AS mn FROM h GROUP BY 1),
+       |est AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |    CAST(SUM($SPACE_L // (mn + 1) - 1) AS BIGINT) AS est_distinct FROM bm),
+       |ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct FROM events)
+       |SELECT n_buckets, est_distinct, exact_distinct
+       |FROM est CROSS JOIN ex""".stripMargin
+
+  /** Streaming twin of [[sketchBucketMin]]: the NB bucket minima
+    * maintained as a complete-mode streaming aggregation over the
+    * event file stream — running state is exactly NB rows for ANY
+    * stream length, the property bottom-k KMV cannot offer. Estimator
+    * and exact count run batch-side on the drained minima; output and
+    * oracle identical to the batch build. */
+  def streamKmv: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/events.parquet").schema
+    graft.streaming.StreamStage.withStaged(s, "kmv", dir, "events.parquet") { stageDir =>
+      val bm = s.readStream.schema(sch).parquet(stageDir)
+        .select(conv(substring(md5(col("user_id").cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType).as("h"))
+        .groupBy((col("h") % NB).as("bucket")).agg(min(col("h")).as("mn"))
+      val q = bm.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_kmv").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val est = s.table("graft_stream_kmv")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr(s"${SPACE_L}L DIV (mn + 1) - 1")).as("est_distinct"))
+    val ex = events(s, dir).select("user_id").distinct()
+      .agg(count(lit(1)).as("exact_distinct"))
+    est.crossJoin(ex)
+  }
+
   def sketchKmvDistinct: Q = (s, dir) => {
     val hashes = t(s, dir, "lineitem")
       .select(conv(substring(md5(col("l_orderkey").cast(StringType)), 1, 15), 16, 10)
@@ -424,6 +487,8 @@ object Sketches {
 
   val queries: Map[String, Q] = Map(
     "sketch_kmv_intersect" -> sketchKmvIntersect,
+    "sketch_bucket_min" -> sketchBucketMin,
+    "stream_kmv" -> streamKmv,
     "sketch_cms" -> sketchCms,
     "stream_cms" -> streamCms,
     "stream_heavy_hitters" -> streamHeavyHitters,
@@ -433,6 +498,8 @@ object Sketches {
     "sketch_histogram_quantile" -> sketchHistogramQuantile)
   val oracles: Map[String, String] = Map(
     "sketch_kmv_intersect" -> sketchKmvIntersectSql,
+    "sketch_bucket_min" -> sketchBucketMinSql,
+    "stream_kmv" -> sketchBucketMinSql, // identical output to the batch build
     "sketch_cms" -> sketchCmsSql,
     "stream_cms" -> sketchCmsSql, // identical output to the batch build
     "stream_heavy_hitters" -> streamHeavyHittersSql,

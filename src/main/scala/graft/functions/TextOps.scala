@@ -158,6 +158,41 @@ object TextOps {
        |FROM (SELECT doc_id, md5($normSqlDuck) AS fp FROM documents) sub
        |GROUP BY fp""".stripMargin
 
+  /** Per-doc character diversity as Simpson/Gini impurity over the
+    * letter distribution: gini = (n² − Σc²)/n² — 0 for "aaaa…" spam,
+    * →1 for varied text. The log-free diversity index: Shannon entropy
+    * needs floating logs whose last ulp differs across engines, while
+    * this is all-BIGINT until one final integer-derived division.
+    * Letter counts come from 26 codegen'd length(replace(…)) pairs —
+    * pure map-side, no explode, ZERO shuffle for the whole signal. */
+  def textCharDiversity: Q = (s, dir) => {
+    val counts = ('a' to 'z').map(ch =>
+      (length(col("text")) - length(expr(s"replace(text, '$ch', '')")))
+        .cast(LongType))
+    val n = counts.reduce(_ + _)
+    val sumSq = counts.map(c => c * c).reduce(_ + _)
+    t(s, dir, "documents").select(
+      col("doc_id"), n.as("n_letters"), sumSq.as("sum_sq"),
+      when(n > 0, ((n * n - sumSq).cast(DoubleType)) / (n * n).cast(DoubleType))
+        .otherwise(lit(0.0)).as("gini"))
+  }
+
+  val textCharDiversitySql: String = {
+    val cs = ('a' to 'z').map(ch =>
+      s"CAST(length(text) - length(replace(text, '$ch', '')) AS BIGINT)")
+    val n = cs.mkString(" + ")
+    val sq = cs.map(c => s"($c) * ($c)").mkString(" + ")
+    s"""SELECT doc_id, n_letters, sum_sq,
+       |  CASE WHEN n_letters > 0
+       |    THEN CAST(n_letters * n_letters - sum_sq AS DOUBLE)
+       |      / CAST(n_letters * n_letters AS DOUBLE)
+       |    ELSE 0.0 END AS gini
+       |FROM (
+       |  SELECT doc_id, CAST($n AS BIGINT) AS n_letters,
+       |    CAST($sq AS BIGINT) AS sum_sq
+       |  FROM documents) sub""".stripMargin
+  }
+
   /** Corpus-level top terms by document frequency: per-document
     * distinct words (map-side array_distinct — a word repeated in one
     * doc counts once), partial-agg'd counts keyed by word, then a
@@ -780,6 +815,7 @@ object TextOps {
     "text_oov_rate" -> textOovRate,
     "text_commonness" -> textCommonness,
     "pipeline_pack_mask" -> pipelinePackMask,
+    "text_char_diversity" -> textCharDiversity,
     "pipeline_sample_stratified" -> pipelineSampleStratified,
     "text_tokencount" -> textTokenCount,
     "text_quality" -> textQuality,
@@ -800,6 +836,7 @@ object TextOps {
     "text_oov_rate" -> textOovRateSql,
     "text_commonness" -> textCommonnessSql,
     "pipeline_pack_mask" -> pipelinePackMaskSql,
+    "text_char_diversity" -> textCharDiversitySql,
     "pipeline_sample_stratified" -> pipelineSampleStratifiedSql,
     "text_tokencount" -> textTokenCountSql,
     "text_quality" -> textQualitySql,

@@ -85,6 +85,21 @@ class Round5bSpec extends AnyFunSuite {
     assert(out.filter(col("n_segments") < 1).count() == 0)
   }
 
+  test("sketch_bucket_min estimates within 30% of the exact count") {
+    val r = SparkEntry.queries("sketch_bucket_min")(spark, sf).head()
+    val est = r.getAs[Long]("est_distinct").toDouble
+    val exact = r.getAs[Long]("exact_distinct").toDouble
+    assert(exact > 0 && math.abs(est - exact) / exact < 0.30,
+      s"bucket-min estimate $est too far from exact $exact")
+  }
+
+  test("text_char_diversity is map-only with gini in [0, 1]") {
+    val p = planOf("text_char_diversity")
+    assert(!p.contains("Exchange"), "char diversity acquired a shuffle")
+    val out = SparkEntry.queries("text_char_diversity")(spark, sf)
+    assert(out.filter(col("gini") < 0 || col("gini") > 1).count() == 0)
+  }
+
   test("stream_contamination equals the batch decontamination pass") {
     val stream = SparkEntry.queries("stream_contamination")(spark, sf)
     val batch = SparkEntry.queries("pipeline_contamination")(spark, sf)
