@@ -49,6 +49,49 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
   }
 
+  /** The driver keeps only the last ~2000 chars of stdout, so the
+    * emitted JSON line must fit there or it is unparseable (rounds
+    * 1-4's `parsed:null`). The total covers ALL queries; per-query
+    * times are included slowest-first only while they fit a
+    * conservative char budget. Failed queries (value -1 sentinel) are
+    * surfaced in an "errors" array ahead of any timings — a regression
+    * must never read as a speedup. Factored out of main so BenchSpec
+    * can pin the budget at 200-query scale. */
+  private[graft] val budget = 1600
+
+  private def header(results: Map[String, Double], sfDir: String): String = {
+    val good = results.values.filter(_ >= 0)
+    val total = if (good.nonEmpty) good.sum else 0.0
+    val errs = results.filter(_._2 < 0).keys.toSeq.sorted
+    // the error list itself is bounded (12 names + n_err count) so a
+    // mass failure cannot push the line past the stdout tail either
+    val errPart =
+      if (errs.isEmpty) ""
+      else "\"n_err\":" + errs.size + ",\"errors\":" +
+        errs.take(12).map("\"" + _ + "\"").mkString("[", ",", "]") + ","
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir",$errPart"queries":{"""
+  }
+
+  private[graft] def emitLine(results: Map[String, Double], sfDir: String): String = {
+    val h = header(results, sfDir)
+    val bySlowest = results.toSeq.sortBy(-_._2)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = h.length + 2
+    bySlowest.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + fmt(v)
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    }
+    h + entries.mkString(",") + "}}"
+  }
+
+  /** Complete per-query map for bench_full.json / SURVEY §6. */
+  private[graft] def emitFullLine(results: Map[String, Double], sfDir: String): String = {
+    val fullQs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    header(results, sfDir).dropRight("\"queries\":{".length) +
+      "\"queries\":" + fullQs + "}"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -86,17 +129,27 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
     }
     System.gc() // let ContextCleaner drop warmup broadcasts/shuffles
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed query must NOT masquerade as a fast one: time-to-crash
+    // is often near zero, so a regression that breaks a query would
+    // otherwise read as a speedup. NaN marks the failed sample; a
+    // query with no successful sample is emitted as the -1 sentinel
+    // and listed in "errors".
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          false
+      }
       val t = (System.nanoTime() - t0) / 1e9
       spark.sharedState.cacheManager.clearCache()
-      t
+      if (ok) t else Double.NaN
     }
     // best-of-2 per query: one timing sample is dominated by JIT tails
     // and host noise in a 135-plan session; the min is the steady state
     var results: Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      name -> (1 to 2).map(_ => timeOnce(fn)).min
+      val samples = (1 to 2).map(_ => timeOnce(name, fn)).filterNot(_.isNaN)
+      name -> (if (samples.nonEmpty) samples.min else -1.0)
     }
     // watchdog: a session-wide transient (GC cliff, RPC hiccup) can
     // straddle both samples of whichever query was running. Any query
@@ -109,34 +162,17 @@ object Bench {
     if (suspect.nonEmpty) {
       System.err.println(s"[bench-watchdog] re-timing ${suspect.size} outliers: ${suspect.mkString(",")}")
       suspect.foreach { name =>
-        val t = timeOnce(SparkEntry.queries(name))
-        results += name -> math.min(results(name), t)
+        val t = timeOnce(name, SparkEntry.queries(name))
+        if (!t.isNaN) results += name -> math.min(results(name), t)
       }
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // The harness keeps only the last ~2000 chars of stdout, so the
-    // JSON line must fit there or it is unparseable. Emit the total
-    // over ALL queries plus per-query times for the slowest queries
-    // that fit a conservative char budget; the complete per-query map
-    // goes to bench_full.json for SURVEY §6.
-    val bySlowest = results.toSeq.sortBy(-_._2)
-    val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","queries":{"""
-    val budget = 1600
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    var used = header.length + 2
-    bySlowest.foreach { case (k, v) =>
-      val e = "\"" + k + "\":" + fmt(v)
-      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
-    }
-    val fullQs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","queries":$fullQs}"""
+    val fullLine = emitFullLine(results, sfDir)
     try {
       java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
     } catch {
       case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e")
     }
-    val line = header + entries.mkString(",") + "}}"
+    val line = emitLine(results, sfDir)
     println(line)
     spark.stop()
     // Print the line once more AFTER spark.stop() so it is the last

@@ -163,7 +163,10 @@ object TextOps {
     * →1 for varied text. The log-free diversity index: Shannon entropy
     * needs floating logs whose last ulp differs across engines, while
     * this is all-BIGINT until one final integer-derived division.
-    * Letter counts come from 26 codegen'd length(replace(…)) pairs —
+    * Letter counts come from 26 codegen'd length(replace(…)) pairs
+    * over the LOWERCASED text (so "AAAA" spam and mixed-case prose
+    * score the same as their lowercase forms; the signal stays ASCII
+    * a-z — non-Latin scripts fall to n_letters=0 by contract) —
     * pure map-side, no explode, ZERO shuffle for the whole signal. */
   def textCharDiversity: Q = (s, dir) => {
     val counts = ('a' to 'z').map(ch =>
@@ -171,10 +174,12 @@ object TextOps {
         .cast(LongType))
     val n = counts.reduce(_ + _)
     val sumSq = counts.map(c => c * c).reduce(_ + _)
-    t(s, dir, "documents").select(
-      col("doc_id"), n.as("n_letters"), sumSq.as("sum_sq"),
-      when(n > 0, ((n * n - sumSq).cast(DoubleType)) / (n * n).cast(DoubleType))
-        .otherwise(lit(0.0)).as("gini"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+      .select(
+        col("doc_id"), n.as("n_letters"), sumSq.as("sum_sq"),
+        when(n > 0, ((n * n - sumSq).cast(DoubleType)) / (n * n).cast(DoubleType))
+          .otherwise(lit(0.0)).as("gini"))
   }
 
   val textCharDiversitySql: String = {
@@ -190,7 +195,7 @@ object TextOps {
        |FROM (
        |  SELECT doc_id, CAST($n AS BIGINT) AS n_letters,
        |    CAST($sq AS BIGINT) AS sum_sq
-       |  FROM documents) sub""".stripMargin
+       |  FROM (SELECT doc_id, lower(text) AS text FROM documents) lowered) sub""".stripMargin
   }
 
   /** Corpus-level top terms by document frequency: per-document

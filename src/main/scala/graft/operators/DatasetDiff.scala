@@ -36,14 +36,20 @@ object DatasetDiff {
   private def bucket =
     substring(md5(concat(lit(SALT), col("doc_id").cast(StringType))), 1, 2)
 
-  /** Deterministic synthetic "next crawl" of the documents table. */
+  /** Deterministic synthetic "next crawl" of the documents table.
+    * Clone ids offset by max(doc_id)+1 (a 1-row broadcast scalar, not
+    * a fixed constant) so the added slice is provably disjoint from
+    * surviving ids at ANY corpus size — a fixed offset could collide
+    * with real ids and silently corrupt the full-outer join keys. */
   private def v2(docs: DataFrame): DataFrame = {
     val b = docs.withColumn("bk", bucket)
     val survivors = b.filter(col("bk") >= RM_TH)
       .withColumn("text",
         when(col("bk") < CH_TH, upper(col("text"))).otherwise(col("text")))
     val clones = b.filter(col("bk") >= ADD_TH)
-      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      .crossJoin(broadcast(docs.agg(max(col("doc_id")).as("_mx"))))
+      .withColumn("doc_id", col("doc_id") + col("_mx") + lit(1L))
+      .drop("_mx")
     survivors.unionByName(clones).drop("bk")
   }
 
@@ -76,7 +82,8 @@ object DatasetDiff {
        |    md5(CASE WHEN bk < '$CH_TH' THEN upper(text) ELSE text END) AS fp
        |  FROM b WHERE bk >= '$RM_TH'
        |  UNION ALL
-       |  SELECT doc_id + 10000000, source, md5(text) FROM b WHERE bk >= '$ADD_TH')
+       |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), source, md5(text)
+       |  FROM b WHERE bk >= '$ADD_TH')
        |SELECT COALESCE(v1.source, v2.source) AS source,
        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
        |       WHEN v2.doc_id IS NULL THEN 'removed'

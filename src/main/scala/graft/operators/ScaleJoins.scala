@@ -34,27 +34,48 @@ object ScaleJoins {
 
   private val BUCKETS = 8
 
+  /** One-shot JVM-exit cleanup of this app's bucketed scratch root —
+    * the layout is a per-session demo artifact, and without the hook
+    * corpus-sized copies would accumulate under java.io.tmpdir across
+    * sessions (the same leak the stream staging dirs had before r5). */
+  private val cleanupArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def armCleanup(root: java.io.File): Unit =
+    if (cleanupArmed.compareAndSet(false, true)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+        }
+        rm(root)
+      }))
+    }
+
   /** Write orders+lineitem bucketed by orderkey (once per app+dir) and
     * return the exchange-free joined view. The layout lands under
-    * java.io.tmpdir as external-table paths; same-app re-invocations
-    * overwrite idempotently. */
+    * java.io.tmpdir as external-table paths, deleted by a JVM-exit
+    * hook; table names carry a dir tag so two dirs in one session get
+    * distinct catalog entries instead of relying on overwrite-with-
+    * new-location semantics. Same-app re-invocations overwrite
+    * idempotently. */
   private[graft] def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/" +
-      s"${s.sparkContext.applicationId}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val appRoot = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/${s.sparkContext.applicationId}")
+    armCleanup(appRoot)
+    val tag = (dir.hashCode & 0x7fffffff).toHexString
+    val wh = s"$appRoot/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
     t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
       .write.bucketBy(BUCKETS, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$wh/orders").mode("overwrite")
-      .saveAsTable("graft_b_orders")
+      .saveAsTable(s"graft_b_orders_$tag")
     t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
       .write.bucketBy(BUCKETS, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$wh/lineitem").mode("overwrite")
-      .saveAsTable("graft_b_lineitem")
+      .saveAsTable(s"graft_b_lineitem_$tag")
     // merge hint: at bench scale the orders side fits the broadcast
     // threshold, which would hide the exchange-free bucketed SMJ this
     // operator exists to demonstrate (and at 100 TB neither side
     // broadcasts anyway)
-    s.table("graft_b_lineitem").hint("merge")
-      .join(s.table("graft_b_orders").hint("merge"),
+    s.table(s"graft_b_lineitem_$tag").hint("merge")
+      .join(s.table(s"graft_b_orders_$tag").hint("merge"),
         col("l_orderkey") === col("o_orderkey"))
   }
 
