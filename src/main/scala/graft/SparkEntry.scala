@@ -20,6 +20,7 @@ object SparkEntry {
       graft.operators.Similarity.queries ++
       graft.operators.GridOps.queries ++
       graft.sources.netcdf.NcQueries.queries ++
+      graft.sources.netcdf.Nc4Queries.queries ++
       graft.sources.netcdf.NcSel.queries ++
       graft.streaming.Streams.queries ++
       graft.operators.MmPipeline.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
       graft.operators.Similarity.oracles ++
       graft.operators.GridOps.oracles ++
       graft.sources.netcdf.NcQueries.oracles ++
+      graft.sources.netcdf.Nc4Queries.oracles ++
       graft.sources.netcdf.NcSel.oracles ++
       graft.streaming.Streams.oracles ++
       graft.operators.MmPipeline.oracles ++

@@ -1,0 +1,1054 @@
+package graft.sources.netcdf
+
+import java.io.{ByteArrayOutputStream, DataInputStream, EOFException}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{Deflater, Inflater}
+
+import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
+import org.apache.spark.sql.types._
+
+/** From-scratch read/write subset of the HDF5 file format — the
+  * container every real `netCDF4.Dataset` file actually is. The
+  * reference library wraps netCDF4/HDF5, so a user's existing files
+  * on disk are HDF5; this module implements, from the PUBLIC format
+  * spec (HDF5 File Format Specification v3.0, support.hdfgroup.org),
+  * exactly the subset netCDF-4 uses:
+  *
+  *  - superblock v0 (the netCDF4 library's default "earliest" format)
+  *    and v2 (the 1.8+ "latest" format) — read both, write either;
+  *  - object headers v1 (prefix + typed messages) and v2 (`OHDR`,
+  *    Jenkins-lookup3-checksummed) including message continuations;
+  *  - groups: old-style symbol tables (B-tree v1 `TREE` + local
+  *    `HEAP` + `SNOD` nodes) and new-style compact Link messages;
+  *  - datasets: Dataspace (v1/v2), Datatype (fixed-point, IEEE float,
+  *    fixed string classes), Fill Value, Data Layout v3 (chunked +
+  *    contiguous), Filter Pipeline (v1/v2) with the deflate filter;
+  *  - chunk index: B-tree v1 raw-data-chunk nodes (type 1), walked
+  *    recursively, keys carrying per-chunk logical offsets — which is
+  *    what makes record-range pruning possible without reading data.
+  *
+  * Out of scope (documented, not hidden): variable-length string
+  * datatypes, fractal-heap dense groups/attributes, B-tree v2 chunk
+  * indexes, szip/shuffle filters, big-endian files. The writer exists
+  * to produce honest fixtures (and is a real, if minimal, HDF5
+  * writer); the READ path is the user-facing capability.
+  *
+  * Scale posture: `readMeta` touches only superblock + object headers
+  * + chunk B-trees (metadata, O(#chunks) bytes); data reads are
+  * per-chunk positioned reads of exactly the stored byte ranges that
+  * cover the requested record window, inflated per chunk. A 100 TB
+  * variable is billions of chunks read by independent tasks — the
+  * same chunked-storage contract the .ncz sink implements.
+  */
+object Hdf5Format {
+
+  val UNDEF: Long = -1L // 0xFFFFFFFFFFFFFFFF — the spec's undefined address
+
+  // ---------------------------------------------------------------
+  // data model
+  // ---------------------------------------------------------------
+
+  /** Datatype subset: class 0 (fixed-point, signed LE), class 1 (IEEE
+    * float LE), class 3 (fixed-width string). `elemSize` in bytes. */
+  sealed abstract class H5Kind(val h5Class: Int, val elemSize: Int) {
+    def sparkType: DataType = this match {
+      case KLong => LongType
+      case KInt => IntegerType
+      case KDouble => DoubleType
+      case KFloat => FloatType
+      case _: KString => StringType
+      case _: KFloatArr => ArrayType(FloatType, containsNull = false)
+      case _: KDoubleArr => ArrayType(DoubleType, containsNull = false)
+      case _: KLongArr => ArrayType(LongType, containsNull = false)
+    }
+    def rowElems: Int = this match {
+      case KFloatArr(k) => k
+      case KDoubleArr(k) => k
+      case KLongArr(k) => k
+      case _ => 1
+    }
+    def rowBytes: Long = elemSize.toLong * rowElems
+  }
+  case object KLong extends H5Kind(0, 8)
+  case object KInt extends H5Kind(0, 4)
+  case object KDouble extends H5Kind(1, 8)
+  case object KFloat extends H5Kind(1, 4)
+  case class KString(width: Int) extends H5Kind(3, width)
+  case class KFloatArr(k: Int) extends H5Kind(1, 4)
+  case class KDoubleArr(k: Int) extends H5Kind(1, 8)
+  case class KLongArr(k: Int) extends H5Kind(0, 8)
+
+  case class H5Attr(name: String, text: Option[String], nums: Array[Double])
+
+  /** One stored chunk: logical start record, file offset, stored
+    * (possibly compressed) byte count, filter mask (bit 0 set = the
+    * deflate filter was SKIPPED for this chunk). */
+  case class H5Chunk(startRec: Long, addr: Long, storedSize: Int, filterMask: Int)
+
+  case class H5Var(
+      name: String,
+      kind: H5Kind,
+      numRecs: Long,
+      chunkRecs: Int,
+      deflate: Boolean,
+      /** contiguous layout: data address instead of chunks */
+      contiguousAddr: Long,
+      chunks: Array[H5Chunk],
+      attrs: Seq[H5Attr]) {
+    def chunkBytes: Int = (kind.rowBytes * chunkRecs).toInt
+  }
+
+  case class H5Meta(vars: Seq[H5Var], rootAttrs: Seq[H5Attr]) {
+    def numRecs: Long = if (vars.isEmpty) 0L else vars.map(_.numRecs).max
+    def recSize: Long = math.max(1L, vars.map(_.kind.rowBytes).sum)
+    def sparkSchema: StructType =
+      StructType(vars.map(v => StructField(v.name, v.kind.sparkType, nullable = false)))
+  }
+
+  def isHdf5(path: Path): Boolean = {
+    val n = path.getName
+    n.endsWith(".nc4") || n.endsWith(".h5") || n.endsWith(".hdf5")
+  }
+
+  // ---------------------------------------------------------------
+  // Jenkins lookup3 (public-domain hash, Bob Jenkins 2006) — the
+  // checksum HDF5 applies to v2 superblocks and v2 object headers.
+  // Only the WRITE path needs a correct value (readers here do not
+  // verify); implemented faithfully anyway (hashlittle, init 0).
+  // ---------------------------------------------------------------
+  private[graft] def lookup3(data: Array[Byte], initval: Int = 0): Int = {
+    def u8(i: Int): Int = data(i) & 0xff
+    var a = 0xdeadbeef + data.length + initval
+    var b = a
+    var c = a
+    var off = 0
+    var len = data.length
+    while (len > 12) {
+      a += u8(off) | (u8(off + 1) << 8) | (u8(off + 2) << 16) | (u8(off + 3) << 24)
+      b += u8(off + 4) | (u8(off + 5) << 8) | (u8(off + 6) << 16) | (u8(off + 7) << 24)
+      c += u8(off + 8) | (u8(off + 9) << 8) | (u8(off + 10) << 16) | (u8(off + 11) << 24)
+      // mix
+      a -= c; a ^= Integer.rotateLeft(c, 4); c += b
+      b -= a; b ^= Integer.rotateLeft(a, 6); a += c
+      c -= b; c ^= Integer.rotateLeft(b, 8); b += a
+      a -= c; a ^= Integer.rotateLeft(c, 16); c += b
+      b -= a; b ^= Integer.rotateLeft(a, 19); a += c
+      c -= b; c ^= Integer.rotateLeft(b, 4); b += a
+      off += 12; len -= 12
+    }
+    if (len == 0) return c
+    // last partial block (switch fallthrough in the reference code)
+    if (len >= 12) c += u8(off + 11) << 24
+    if (len >= 11) c += u8(off + 10) << 16
+    if (len >= 10) c += u8(off + 9) << 8
+    if (len >= 9) c += u8(off + 8)
+    if (len >= 8) b += u8(off + 7) << 24
+    if (len >= 7) b += u8(off + 6) << 16
+    if (len >= 6) b += u8(off + 5) << 8
+    if (len >= 5) b += u8(off + 4)
+    if (len >= 4) a += u8(off + 3) << 24
+    if (len >= 3) a += u8(off + 2) << 16
+    if (len >= 2) a += u8(off + 1) << 8
+    if (len >= 1) a += u8(off)
+    // final
+    c ^= b; c -= Integer.rotateLeft(b, 14)
+    a ^= c; a -= Integer.rotateLeft(c, 11)
+    b ^= a; b -= Integer.rotateLeft(a, 25)
+    c ^= b; c -= Integer.rotateLeft(b, 16)
+    a ^= c; a -= Integer.rotateLeft(c, 4)
+    b ^= a; b -= Integer.rotateLeft(a, 14)
+    c ^= b; c -= Integer.rotateLeft(b, 24)
+    c
+  }
+
+  // ---------------------------------------------------------------
+  // byte-building helpers (all HDF5 metadata is little-endian)
+  // ---------------------------------------------------------------
+  private final class Buf {
+    private val out = new ByteArrayOutputStream(256)
+    def size: Int = out.size()
+    def u8(v: Int): this.type = { out.write(v & 0xff); this }
+    def u16(v: Int): this.type = { u8(v); u8(v >> 8) }
+    def u32(v: Int): this.type = { u16(v); u16(v >> 16) }
+    def u64(v: Long): this.type = { u32(v.toInt); u32((v >> 32).toInt) }
+    def bytes(b: Array[Byte]): this.type = { out.write(b); this }
+    def zeros(n: Int): this.type = { var i = 0; while (i < n) { out.write(0); i += 1 }; this }
+    def padTo8(): this.type = { while (size % 8 != 0) out.write(0); this }
+    def result(): Array[Byte] = out.toByteArray
+  }
+
+  private def pad8(n: Int): Int = (n + 7) & ~7
+
+  /** Datatype message body for a kind (spec IV.A.2.d). */
+  private def datatypeBytes(kind: H5Kind): Array[Byte] = {
+    val b = new Buf
+    kind match {
+      case KLong | KInt | KLongArr(_) =>
+        // class 0 fixed-point, v1; bitfield byte0 bit3 = signed
+        b.u8(0x10).u8(0x08).u8(0).u8(0).u32(kind.elemSize)
+        b.u16(0).u16(kind.elemSize * 8) // bit offset, precision
+      case KDouble | KDoubleArr(_) =>
+        b.u8(0x11).u8(0x20).u8(0x3f).u8(0).u32(8)
+        b.u16(0).u16(64).u8(52).u8(11).u8(0).u8(52).u32(1023)
+      case KFloat | KFloatArr(_) =>
+        b.u8(0x11).u8(0x20).u8(0x1f).u8(0).u32(4)
+        b.u16(0).u16(32).u8(23).u8(8).u8(0).u8(23).u32(127)
+      case KString(w) =>
+        // class 3 fixed string, NUL-padded, ASCII
+        b.u8(0x13).u8(0).u8(0).u8(0).u32(w)
+    }
+    b.result()
+  }
+
+  /** Dataspace message body, v1 (spec IV.A.2.b). */
+  private def dataspaceBytes(dims: Seq[Long], withMax: Boolean): Array[Byte] = {
+    val b = new Buf
+    b.u8(1).u8(dims.size).u8(if (withMax) 1 else 0).u8(0).u32(0)
+    dims.foreach(b.u64)
+    if (withMax) dims.foreach(b.u64)
+    b.result()
+  }
+
+  /** Attribute message body, v1 (spec IV.A.2.m): header, then name /
+    * datatype / dataspace each padded to 8, then raw data. */
+  private def attributeBytes(a: H5Attr): Array[Byte] = {
+    val name = a.name.getBytes("UTF-8")
+    val (dt, ds, data) = a.text match {
+      case Some(s) =>
+        val v = s.getBytes("UTF-8")
+        (datatypeBytes(KString(math.max(1, v.length))), dataspaceBytes(Nil, withMax = false), v)
+      case None =>
+        val d = new Buf; a.nums.foreach(x => d.u64(java.lang.Double.doubleToLongBits(x)))
+        (datatypeBytes(KDouble), dataspaceBytes(Seq(a.nums.length.toLong), withMax = false), d.result())
+    }
+    val b = new Buf
+    b.u8(1).u8(0).u16(name.length + 1).u16(dt.length).u16(ds.length)
+    b.bytes(name).u8(0).padTo8()
+    b.bytes(dt).padTo8()
+    b.bytes(ds).padTo8()
+    b.bytes(data)
+    b.result()
+  }
+
+  // message type ids (spec IV.A.2)
+  private val MSG_DATASPACE = 0x0001
+  private val MSG_LINK_INFO = 0x0002
+  private val MSG_DATATYPE = 0x0003
+  private val MSG_FILL_OLD = 0x0004
+  private val MSG_FILL = 0x0005
+  private val MSG_LINK = 0x0006
+  private val MSG_LAYOUT = 0x0008
+  private val MSG_GROUP_INFO = 0x000A
+  private val MSG_FILTER = 0x000B
+  private val MSG_ATTRIBUTE = 0x000C
+  private val MSG_CONTINUATION = 0x0010
+  private val MSG_SYMBOL_TABLE = 0x0011
+
+  // ---------------------------------------------------------------
+  // writer
+  // ---------------------------------------------------------------
+
+  /** Per-variable accumulation during a streaming write: rows buffer
+    * into a raw chunk; full chunks deflate immediately, so resident
+    * state is one raw chunk + the compressed chunk list. */
+  private final class VarState(val name: String, val kind: H5Kind,
+      val chunkRecs: Int, val deflate: Boolean, val attrs: Seq[H5Attr]) {
+    val raw = new Array[Byte]((kind.rowBytes * chunkRecs).toInt)
+    val bb: ByteBuffer = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    var inChunk = 0
+    var numRecs = 0L
+    val stored = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Int)] // (bytes, filterMask)
+
+    def flushChunk(): Unit = if (inChunk > 0) {
+      // edge chunks are stored FULL-SIZE (zero-padded) — the HDF5
+      // chunked-storage contract; logical dims bound what readers use
+      java.util.Arrays.fill(raw, (kind.rowBytes * inChunk).toInt, raw.length, 0.toByte)
+      if (deflate) {
+        val d = new Deflater(6)
+        d.setInput(raw); d.finish()
+        val out = new ByteArrayOutputStream(raw.length / 2)
+        val tmp = new Array[Byte](8192)
+        while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+        d.end()
+        val comp = out.toByteArray
+        // per-chunk codec escape: an incompressible chunk is stored
+        // raw with the filter masked out (spec: filter mask bit i set
+        // = filter i skipped) — same device as the .ncz store codec
+        if (comp.length < raw.length) stored += ((comp, 0))
+        else stored += ((raw.clone(), 1))
+      } else stored += ((raw.clone(), 0))
+      inChunk = 0
+      bb.position(0)
+    }
+
+    def putValue(v: Any): Unit = {
+      kind match {
+        case KLong => bb.putLong(v match { case n: Number => n.longValue(); case _ => 0L })
+        case KInt => bb.putInt(v match { case n: Number => n.intValue(); case _ => 0 })
+        case KDouble => bb.putDouble(v match { case n: Number => n.doubleValue(); case _ => 0.0 })
+        case KFloat => bb.putFloat(v match { case n: Number => n.floatValue(); case _ => 0f })
+        case KString(w) =>
+          val sb = v match {
+            case b: Array[Byte] => b
+            case s => s.toString.getBytes("UTF-8")
+          }
+          val n = math.min(sb.length, w)
+          bb.put(sb, 0, n)
+          var i = n; while (i < w) { bb.put(0.toByte); i += 1 }
+        case KFloatArr(k) =>
+          val a = v.asInstanceOf[Array[Float]]
+          var i = 0; while (i < k) { bb.putFloat(if (i < a.length) a(i) else 0f); i += 1 }
+        case KDoubleArr(k) =>
+          val a = v.asInstanceOf[Array[Double]]
+          var i = 0; while (i < k) { bb.putDouble(if (i < a.length) a(i) else 0.0); i += 1 }
+        case KLongArr(k) =>
+          val a = v.asInstanceOf[Array[Long]]
+          var i = 0; while (i < k) { bb.putLong(if (i < a.length) a(i) else 0L); i += 1 }
+      }
+      inChunk += 1
+      numRecs += 1
+      if (inChunk == chunkRecs) flushChunk()
+    }
+  }
+
+  /** Streaming single-file HDF5 writer. `h5ver = 0` emits the netCDF4
+    * library's default layout (superblock v0, v1 object headers,
+    * symbol-table root group); `h5ver = 2` emits the 1.8+ layout
+    * (superblock v2, `OHDR` v2 headers, compact Link messages, real
+    * lookup3 checksums). Rows stream in; `finish()` assembles the
+    * file: metadata addresses are computed in one sizing pass, so
+    * nothing is patched after the fact. */
+  final class Hdf5Writer(
+      schema: StructType,
+      chunkRecs: Int = 4096,
+      deflate: Boolean = true,
+      stringWidth: Int = 32,
+      arrayLens: Map[String, Int] = Map.empty,
+      h5ver: Int = 0,
+      rootAttrs: Seq[(String, String)] = Seq(
+        "_NCProperties" -> "version=2,netcdf=4.9.2,hdf5=1.12.2"),
+      varAttrs: Map[String, Seq[H5Attr]] = Map.empty) {
+    require(h5ver == 0 || h5ver == 2, s"h5ver must be 0 or 2, got $h5ver")
+
+    private def kindOf(f: StructField): H5Kind = f.dataType match {
+      case LongType => KLong
+      case IntegerType => KInt
+      case DoubleType => KDouble
+      case FloatType => KFloat
+      case StringType => KString(stringWidth)
+      case ArrayType(FloatType, _) => KFloatArr(arrayLens(f.name))
+      case ArrayType(DoubleType, _) => KDoubleArr(arrayLens(f.name))
+      case ArrayType(LongType, _) => KLongArr(arrayLens(f.name))
+      case other => throw new IllegalArgumentException(s"unsupported HDF5 type $other")
+    }
+
+    private val vars: Array[VarState] = schema.fields.map(f =>
+      new VarState(f.name, kindOf(f), chunkRecs, deflate,
+        varAttrs.getOrElse(f.name, Nil)))
+
+    def writeRow(get: Int => Any): Unit = {
+      var i = 0
+      while (i < vars.length) { vars(i).putValue(get(i)); i += 1 }
+    }
+
+    /** The dataset's message set — shared by the v1 and v2 header
+      * framings; sizes are address-independent, so the same builder
+      * serves the sizing pass (btreeAddr = 0) and the render pass. */
+    private def datasetMsgs(v: VarState, btreeAddr: Long): Seq[(Int, Array[Byte])] = {
+      val dims: Seq[Long] = v.kind match {
+        case KFloatArr(k) => Seq(v.numRecs, k)
+        case KDoubleArr(k) => Seq(v.numRecs, k)
+        case KLongArr(k) => Seq(v.numRecs, k)
+        case _ => Seq(v.numRecs)
+      }
+      val msgs = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+      msgs += MSG_DATASPACE -> dataspaceBytes(dims, withMax = true)
+      msgs += MSG_DATATYPE -> datatypeBytes(v.kind)
+      // fill value v2, not defined, late allocation
+      msgs += MSG_FILL -> Array[Byte](2, 2, 2, 0)
+      if (v.deflate) {
+        val f = new Buf
+        f.u8(1).u8(1).zeros(6) // filter pipeline v1, one filter
+        f.u16(1).u16(0).u16(0).u16(1).u32(6) // deflate, no name, mandatory, level 6
+        msgs += MSG_FILTER -> f.result()
+      }
+      val lay = new Buf
+      lay.u8(3).u8(2).u8(dims.size + 1).u64(btreeAddr) // layout v3, chunked
+      val chunkDims: Seq[Int] = v.kind match {
+        case KFloatArr(k) => Seq(v.chunkRecs, k)
+        case KDoubleArr(k) => Seq(v.chunkRecs, k)
+        case KLongArr(k) => Seq(v.chunkRecs, k)
+        case _ => Seq(v.chunkRecs)
+      }
+      chunkDims.foreach(lay.u32)
+      lay.u32(v.kind.elemSize)
+      msgs += MSG_LAYOUT -> lay.result()
+      v.attrs.foreach(a => msgs += MSG_ATTRIBUTE -> attributeBytes(a))
+      msgs.toSeq
+    }
+
+    private def datasetHeaderV1(v: VarState, btreeAddr: Long): Array[Byte] =
+      objectHeaderV1(datasetMsgs(v, btreeAddr))
+
+    /** v1 object header: 12-byte prefix + 4 pad + message block, each
+      * message 8-byte header + 8-padded body (spec IV.A.1.a). */
+    private def objectHeaderV1(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+      val body = new Buf
+      msgs.foreach { case (tpe, data) =>
+        body.u16(tpe).u16(pad8(data.length)).u8(0).zeros(3)
+        body.bytes(data).padTo8()
+      }
+      val blk = body.result()
+      val b = new Buf
+      b.u8(1).u8(0).u16(msgs.size).u32(1).u32(blk.length).zeros(4)
+      b.bytes(blk)
+      b.result()
+    }
+
+    /** v2 object header (`OHDR`): flags=0x02 (4-byte chunk0 size, no
+      * times, no creation order), lookup3 checksum over the whole
+      * header (spec IV.A.1.b). */
+    private def objectHeaderV2(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+      val body = new Buf
+      msgs.foreach { case (tpe, data) =>
+        body.u8(tpe).u16(data.length).u8(0)
+        body.bytes(data)
+      }
+      val blk = body.result()
+      val b = new Buf
+      b.bytes("OHDR".getBytes("ASCII")).u8(2).u8(0x02).u32(blk.length)
+      b.bytes(blk)
+      val pre = b.result()
+      val out = new Buf
+      out.bytes(pre).u32(lookup3(pre))
+      out.result()
+    }
+
+    private def datasetHeaderV2(v: VarState, btreeAddr: Long): Array[Byte] =
+      objectHeaderV2(datasetMsgs(v, btreeAddr))
+
+    /** Chunk B-tree v1, single level-0 node (type 1): entries carry
+      * (stored size, filter mask, logical offsets) keys and chunk
+      * addresses; the trailing key marks one-past-the-end
+      * (spec III.A.1). */
+    private def chunkBtree(v: VarState, chunkAddrs: Seq[Long]): Array[Byte] = {
+      val rank = v.kind match {
+        case KFloatArr(_) | KDoubleArr(_) | KLongArr(_) => 2
+        case _ => 1
+      }
+      val b = new Buf
+      b.bytes("TREE".getBytes("ASCII")).u8(1).u8(0).u16(v.stored.size)
+      b.u64(UNDEF).u64(UNDEF)
+      def key(idx: Int, size: Int, mask: Int): Unit = {
+        b.u32(size).u32(mask)
+        b.u64(idx.toLong * v.chunkRecs)
+        if (rank == 2) b.u64(0)
+        b.u64(0) // element-size dimension offset
+      }
+      v.stored.zipWithIndex.foreach { case ((bytes, mask), i) =>
+        key(i, bytes.length, mask)
+        b.u64(chunkAddrs(i))
+      }
+      key(v.stored.size, 0, 0)
+      b.result()
+    }
+
+    /** Assemble and return the complete file. */
+    def finish(): Array[Byte] = {
+      vars.foreach(_.flushChunk())
+      val rootAttrMsgs: Seq[(Int, Array[Byte])] =
+        rootAttrs.map { case (k, s) => MSG_ATTRIBUTE -> attributeBytes(H5Attr(k, Some(s), Array.empty)) }
+
+      if (h5ver == 0) finishV0(rootAttrMsgs) else finishV2(rootAttrMsgs)
+    }
+
+    private def finishV0(rootAttrMsgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+      // ---- local heap: name data segment (offset 0 = empty string)
+      val heapData = new Buf
+      heapData.zeros(8)
+      val nameOffsets = vars.map { v =>
+        val off = heapData.size
+        heapData.bytes(v.name.getBytes("UTF-8")).u8(0).padTo8()
+        off.toLong
+      }
+      val heapSeg = heapData.result()
+
+      // ---- sizing pass: addresses laid out sequentially
+      val SUPER = 96
+      // root object header: symbol table message + root attrs
+      val stabMsg = new Buf // placeholder-free: sized now, rendered later
+      stabMsg.u64(0L).u64(0L)
+      val rootMsgs0: Seq[(Int, Array[Byte])] =
+        (MSG_SYMBOL_TABLE -> stabMsg.result()) +: rootAttrMsgs
+      val rootHdrSize = objectHeaderV1(rootMsgs0).length
+      val rootHdrAddr = SUPER.toLong
+      val heapAddr = rootHdrAddr + rootHdrSize
+      val heapTotal = 32 + heapSeg.length
+      val btreeAddr = heapAddr + heapTotal
+      val btreeSize = 24 + 3 * 8 // one entry: key0, child0, key1
+      val snodAddr = btreeAddr + btreeSize
+      val snodSize = 8 + vars.length * 40
+      var cursor = snodAddr + snodSize
+
+      val varHdrAddrs = new Array[Long](vars.length)
+      val varBtreeAddrs = new Array[Long](vars.length)
+      val varChunkAddrs = new Array[Seq[Long]](vars.length)
+      vars.zipWithIndex.foreach { case (v, i) =>
+        varHdrAddrs(i) = cursor
+        cursor += datasetHeaderV1(v, 0L).length // size is address-independent
+        val addrs = v.stored.map { case (bytes, _) =>
+          val a = cursor; cursor += bytes.length; a
+        }.toSeq
+        varChunkAddrs(i) = addrs
+        varBtreeAddrs(i) = cursor
+        cursor += chunkBtree(v, addrs).length
+      }
+      val eof = cursor
+
+      // ---- render
+      val out = new Buf
+      // superblock v0 (spec II.A.1)
+      out.bytes(Array[Byte](0x89.toByte, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a))
+      out.u8(0).u8(0).u8(0).u8(0).u8(0) // versions + reserved
+      out.u8(8).u8(8).u8(0) // sizeof offsets/lengths
+      out.u16(4).u16(16) // group leaf/internal K
+      out.u32(0) // consistency flags
+      out.u64(0L).u64(UNDEF).u64(eof).u64(UNDEF)
+      // root symbol table entry: cache type 0 → header's STAB message rules
+      out.u64(0L).u64(rootHdrAddr).u32(0).u32(0).zeros(16)
+      require(out.size == SUPER, s"superblock size ${out.size}")
+      // root object header
+      val stab = new Buf
+      stab.u64(btreeAddr).u64(heapAddr)
+      out.bytes(objectHeaderV1((MSG_SYMBOL_TABLE -> stab.result()) +: rootAttrMsgs))
+      // local heap (spec III.D)
+      out.bytes("HEAP".getBytes("ASCII")).u8(0).zeros(3)
+      out.u64(heapSeg.length.toLong).u64(UNDEF).u64(heapAddr + 32)
+      out.bytes(heapSeg)
+      // group B-tree v1, one leaf entry → the SNOD (spec III.A.1);
+      // entries (and the rightmost key) order by link NAME
+      val order = vars.indices.sortBy(i => vars(i).name)
+      out.bytes("TREE".getBytes("ASCII")).u8(0).u8(0).u16(1)
+      out.u64(UNDEF).u64(UNDEF)
+      out.u64(0L) // key0: empty-string heap offset (sorts first)
+      out.u64(snodAddr)
+      out.u64(nameOffsets(order.last)) // key1: greatest name in child
+      // SNOD (spec III.C), entries sorted by link name
+      out.bytes("SNOD".getBytes("ASCII")).u8(1).u8(0).u16(vars.length)
+      order.foreach { i =>
+        out.u64(nameOffsets(i)).u64(varHdrAddrs(i)).u32(0).u32(0).zeros(16)
+      }
+      // datasets
+      vars.zipWithIndex.foreach { case (v, i) =>
+        out.bytes(datasetHeaderV1(v, varBtreeAddrs(i)))
+        v.stored.foreach { case (bytes, _) => out.bytes(bytes) }
+        out.bytes(chunkBtree(v, varChunkAddrs(i)))
+      }
+      val res = out.result()
+      require(res.length == eof, s"layout drift: ${res.length} != $eof")
+      res
+    }
+
+    private def finishV2(rootAttrMsgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+      val SUPER = 48
+      // link messages: v1, flags=0 (1-byte name length, hard link)
+      def linkMsg(name: String, addr: Long): Array[Byte] = {
+        val nb = name.getBytes("UTF-8")
+        val b = new Buf
+        b.u8(1).u8(0).u8(nb.length).bytes(nb).u64(addr)
+        b.result()
+      }
+      // sizing: root header size depends only on message sizes
+      def rootMsgs(addrs: Seq[Long]): Seq[(Int, Array[Byte])] =
+        vars.zipWithIndex.map { case (v, i) => MSG_LINK -> linkMsg(v.name, addrs(i)) }.toSeq ++
+          rootAttrMsgs
+      val rootHdrSize = objectHeaderV2(rootMsgs(vars.map(_ => 0L).toSeq)).length
+      var cursor = SUPER.toLong + rootHdrSize
+      val varHdrAddrs = new Array[Long](vars.length)
+      val varBtreeAddrs = new Array[Long](vars.length)
+      val varChunkAddrs = new Array[Seq[Long]](vars.length)
+      vars.zipWithIndex.foreach { case (v, i) =>
+        varHdrAddrs(i) = cursor
+        cursor += datasetHeaderV2(v, 0L).length
+        val addrs = v.stored.map { case (bytes, _) =>
+          val a = cursor; cursor += bytes.length; a
+        }.toSeq
+        varChunkAddrs(i) = addrs
+        varBtreeAddrs(i) = cursor
+        cursor += chunkBtree(v, addrs).length
+      }
+      val eof = cursor
+
+      val out = new Buf
+      // superblock v2 (spec II.A.2): checksummed
+      val sb = new Buf
+      sb.bytes(Array[Byte](0x89.toByte, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a))
+      sb.u8(2).u8(8).u8(8).u8(0)
+      sb.u64(0L).u64(UNDEF).u64(eof).u64(SUPER.toLong + 0) // root header follows
+      val sbBytes = sb.result()
+      out.bytes(sbBytes).u32(lookup3(sbBytes))
+      require(out.size == SUPER, s"superblock v2 size ${out.size}")
+      out.bytes(objectHeaderV2(rootMsgs(varHdrAddrs.toSeq)))
+      vars.zipWithIndex.foreach { case (v, i) =>
+        out.bytes(datasetHeaderV2(v, varBtreeAddrs(i)))
+        v.stored.foreach { case (bytes, _) => out.bytes(bytes) }
+        out.bytes(chunkBtree(v, varChunkAddrs(i)))
+      }
+      val res = out.result()
+      require(res.length == eof, s"layout drift: ${res.length} != $eof")
+      res
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // reader
+  // ---------------------------------------------------------------
+
+  private final class R(in: FSDataInputStream) {
+    def seek(pos: Long): Unit = in.seek(pos)
+    def pos: Long = in.getPos
+    def readFully(b: Array[Byte]): Array[Byte] = { in.readFully(b, 0, b.length); b }
+    def bytesAt(addr: Long, n: Int): Array[Byte] = {
+      val b = new Array[Byte](n); in.readFully(addr, b, 0, n); b
+    }
+  }
+
+  private final class BB(val data: Array[Byte]) {
+    var off = 0
+    def u8(): Int = { val v = data(off) & 0xff; off += 1; v }
+    def u16(): Int = u8() | (u8() << 8)
+    def u32(): Long = (u16() | (u16() << 16)).toLong & 0xffffffffL
+    def u64(): Long = u32() | (u32() << 32)
+    def skip(n: Int): Unit = off += n
+    def remaining: Int = data.length - off
+    def slice(n: Int): Array[Byte] = { val b = java.util.Arrays.copyOfRange(data, off, off + n); off += n; b }
+  }
+
+  /** All (type, body) messages of an object header, following both v1
+    * and v2 framing and continuation blocks. */
+  private def readMessages(r: R, addr: Long): Seq[(Int, Array[Byte])] = {
+    val first = r.bytesAt(addr, 16)
+    val msgs = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    if (first(0) == 1) {
+      // v1: prefix then hdrSize bytes of messages at addr+16
+      val h = new BB(first)
+      h.skip(2)
+      var nmsgs = h.u16()
+      h.skip(4)
+      val hdrSize = h.u32().toInt
+      var blocks = List((addr + 16, hdrSize))
+      while (blocks.nonEmpty && nmsgs > 0) {
+        val (ba, bl) = blocks.head
+        blocks = blocks.tail
+        val b = new BB(r.bytesAt(ba, bl))
+        while (b.remaining >= 8 && nmsgs > 0) {
+          val tpe = b.u16()
+          val sz = b.u16()
+          b.skip(4)
+          if (sz > b.remaining) { nmsgs = 0 }
+          else {
+            val body = b.slice(sz)
+            nmsgs -= 1
+            if (tpe == MSG_CONTINUATION) {
+              val c = new BB(body)
+              blocks = (c.u64(), c.u64().toInt) :: blocks
+            } else msgs += tpe -> body
+          }
+        }
+      }
+    } else if (first(0) == 'O' && first(1) == 'H' && first(2) == 'D' && first(3) == 'R') {
+      val flags = first(5) & 0xff
+      var p = addr + 6
+      if ((flags & 0x20) != 0) p += 16 // times
+      if ((flags & 0x10) != 0) p += 4 // attr phase-change
+      val szLen = 1 << (flags & 3)
+      val szB = new BB(r.bytesAt(p, szLen))
+      val chunk0 = szLen match {
+        case 1 => szB.u8().toLong
+        case 2 => szB.u16().toLong
+        case 4 => szB.u32()
+        case 8 => szB.u64()
+      }
+      p += szLen
+      var blocks = List((p, chunk0.toInt, false))
+      while (blocks.nonEmpty) {
+        val (ba, bl, isOchk) = blocks.head
+        blocks = blocks.tail
+        val raw = r.bytesAt(ba, bl)
+        val b = new BB(raw)
+        if (isOchk) b.skip(4) // 'OCHK' signature
+        val limit = if (isOchk) bl - 4 else bl // trailing checksum in OCHK
+        // v2 message header: type(1), size(2), flags(1) [+2 creation order]
+        val mh = 4 + (if ((flags & 0x04) != 0) 2 else 0)
+        while (limit - b.off >= mh) {
+          val tpe = b.u8()
+          val sz = b.u16()
+          b.skip(mh - 3)
+          if (sz > limit - b.off) b.off = limit
+          else {
+            val body = b.slice(sz)
+            if (tpe == MSG_CONTINUATION) {
+              val c = new BB(body)
+              blocks = (c.u64(), c.u64().toInt, true) :: blocks
+            } else msgs += tpe -> body
+          }
+        }
+      }
+    } else throw new java.io.IOException(s"not an object header at $addr")
+    msgs.toSeq
+  }
+
+  /** (name → object header address) links of a group header: old-style
+    * symbol table or new-style compact Link messages. */
+  private def readLinks(r: R, msgs: Seq[(Int, Array[Byte])]): Seq[(String, Long)] = {
+    val links = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    msgs.foreach {
+      case (MSG_LINK, body) =>
+        val b = new BB(body)
+        val ver = b.u8()
+        val flags = b.u8()
+        if (ver == 1) {
+          val linkType = if ((flags & 0x08) != 0) b.u8() else 0
+          if ((flags & 0x04) != 0) b.skip(8)
+          if ((flags & 0x10) != 0) b.skip(1)
+          val nameLen = (flags & 3) match {
+            case 0 => b.u8().toLong
+            case 1 => b.u16().toLong
+            case 2 => b.u32()
+            case 3 => b.u64()
+          }
+          val name = new String(b.slice(nameLen.toInt), "UTF-8")
+          if (linkType == 0) links += name -> b.u64()
+        }
+      case (MSG_SYMBOL_TABLE, body) =>
+        val b = new BB(body)
+        val btreeAddr = b.u64()
+        val heapAddr = b.u64()
+        // local heap: data segment address at header offset 24
+        val hh = new BB(r.bytesAt(heapAddr, 32))
+        hh.skip(8)
+        val segSize = hh.u64()
+        hh.skip(8)
+        val segAddr = hh.u64()
+        val seg = r.bytesAt(segAddr, segSize.toInt)
+        def nameAt(off: Long): String = {
+          var e = off.toInt
+          while (e < seg.length && seg(e) != 0) e += 1
+          new String(seg, off.toInt, e - off.toInt, "UTF-8")
+        }
+        def walk(nodeAddr: Long): Unit = {
+          val hdr = new BB(r.bytesAt(nodeAddr, 24))
+          hdr.skip(4)
+          val nodeType = hdr.u8()
+          val level = hdr.u8()
+          val entries = hdr.u16()
+          require(nodeType == 0, s"expected group B-tree node, got type $nodeType")
+          // keys/children: (2*entries+1) keys of 8, entries children of 8
+          val body = new BB(r.bytesAt(nodeAddr + 24, (2 * entries + 1) * 8))
+          body.u64() // key0
+          (0 until entries).foreach { _ =>
+            val child = body.u64()
+            body.u64() // next key
+            if (level > 0) walk(child)
+            else {
+              val sh = new BB(r.bytesAt(child, 8))
+              sh.skip(6)
+              val nsym = sh.u16()
+              val se = new BB(r.bytesAt(child + 8, nsym * 40))
+              (0 until nsym).foreach { _ =>
+                val nameOff = se.u64()
+                val hdrAddr = se.u64()
+                se.skip(24)
+                links += nameAt(nameOff) -> hdrAddr
+              }
+            }
+          }
+        }
+        walk(btreeAddr)
+      case _ =>
+    }
+    links.toSeq
+  }
+
+  private def readAttr(body: Array[Byte]): Option[H5Attr] = {
+    val b = new BB(body)
+    val ver = b.u8()
+    if (ver != 1 && ver != 3) return None
+    val flags = b.u8() // v1: reserved (0)
+    if (ver == 1 && flags != 0) return None // shared datatypes unsupported
+    val nameSize = b.u16()
+    val dtSize = b.u16()
+    val dsSize = b.u16()
+    if (ver == 3) b.skip(1) // name charset
+    val p8 = ver == 1
+    def take(n: Int): Array[Byte] = {
+      val raw = b.slice(if (p8) pad8(n) else n)
+      java.util.Arrays.copyOf(raw, n)
+    }
+    val nameB = take(nameSize)
+    var nl = nameB.length
+    while (nl > 0 && nameB(nl - 1) == 0) nl -= 1
+    val name = new String(nameB, 0, nl, "UTF-8")
+    val dt = new BB(take(dtSize))
+    val clsVer = dt.u8()
+    val cls = clsVer & 0x0f
+    dt.skip(3)
+    val elemSize = dt.u32().toInt
+    val ds = new BB(take(dsSize))
+    ds.skip(1)
+    val rank = ds.u8()
+    val dsFlags = ds.u8()
+    ds.skip(if ((ds.data(0) & 0xff) >= 2) 1 else 5) // v2: type byte; v1: reserved
+    val dims = (0 until rank).map(_ => ds.u64())
+    val n = dims.product max 1L
+    cls match {
+      case 3 =>
+        val raw = b.slice(math.min(elemSize, b.remaining))
+        var e = raw.length
+        while (e > 0 && raw(e - 1) == 0) e -= 1
+        Some(H5Attr(name, Some(new String(raw, 0, e, "UTF-8")), Array.empty))
+      case 1 if elemSize == 8 =>
+        val vals = new Array[Double](n.toInt)
+        val vb = ByteBuffer.wrap(b.slice(math.min(8 * n.toInt, b.remaining)))
+          .order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < vals.length && vb.remaining() >= 8) { vals(i) = vb.getDouble; i += 1 }
+        Some(H5Attr(name, None, vals))
+      case _ =>
+        val _ = dsFlags
+        None // other attribute types: ignored, not load-bearing
+    }
+  }
+
+  /** Parse one dataset's object header into an H5Var. */
+  private def readDataset(r: R, name: String, addr: Long): Option[H5Var] = {
+    val msgs = readMessages(r, addr)
+    var dims: Seq[Long] = Nil
+    var kindCls = -1
+    var elemSize = 0
+    var signed = true
+    var strWidth = 0
+    var chunkRecs = 0
+    var btreeAddr = UNDEF
+    var contiguous = UNDEF
+    var deflate = false
+    val attrs = scala.collection.mutable.ArrayBuffer.empty[H5Attr]
+    msgs.foreach {
+      case (MSG_DATASPACE, body) =>
+        val b = new BB(body)
+        val ver = b.u8()
+        val rank = b.u8()
+        val flags = b.u8()
+        if (ver >= 2) b.skip(1) else b.skip(5)
+        val _ = flags
+        dims = (0 until rank).map(_ => b.u64())
+      case (MSG_DATATYPE, body) =>
+        val b = new BB(body)
+        val clsVer = b.u8()
+        kindCls = clsVer & 0x0f
+        val bf0 = b.u8()
+        b.skip(2)
+        elemSize = b.u32().toInt
+        if ((bf0 & 1) != 0)
+          throw new java.io.IOException("big-endian HDF5 datatypes unsupported")
+        signed = kindCls != 0 || (bf0 & 0x08) != 0
+        if (kindCls == 3) strWidth = elemSize
+      case (MSG_LAYOUT, body) =>
+        val b = new BB(body)
+        val ver = b.u8()
+        require(ver == 3, s"only data layout v3 supported, got v$ver")
+        val cls = b.u8()
+        if (cls == 2) {
+          val rank = b.u8()
+          btreeAddr = b.u64()
+          val cdims = (0 until rank).map(_ => b.u32().toInt)
+          chunkRecs = cdims.head
+        } else if (cls == 1) {
+          contiguous = b.u64()
+        } else throw new java.io.IOException("compact layout unsupported")
+      case (MSG_FILTER, body) =>
+        val b = new BB(body)
+        val ver = b.u8()
+        val nf = b.u8()
+        if (ver == 1) b.skip(6)
+        (0 until nf).foreach { _ =>
+          val id = b.u16()
+          val nameLen = if (ver == 1 || id >= 256) b.u16() else 0
+          b.skip(2) // flags
+          val ncd = b.u16()
+          if (nameLen > 0) b.skip(if (ver == 1) pad8(nameLen) else nameLen)
+          b.skip(4 * ncd)
+          if (ver == 1 && ncd % 2 == 1) b.skip(4)
+          if (id == 1) deflate = true
+          else if (id != 0)
+            throw new java.io.IOException(s"unsupported HDF5 filter id $id")
+        }
+      case (MSG_ATTRIBUTE, body) => readAttr(body).foreach(attrs += _)
+      case _ =>
+    }
+    if (dims.isEmpty || kindCls < 0) return None
+    val kind: H5Kind = (kindCls, elemSize, dims.size) match {
+      case (0, 8, 1) => KLong
+      case (0, 4, 1) => KInt
+      case (1, 8, 1) => KDouble
+      case (1, 4, 1) => KFloat
+      case (3, w, 1) => KString(w)
+      case (1, 4, 2) => KFloatArr(dims(1).toInt)
+      case (1, 8, 2) => KDoubleArr(dims(1).toInt)
+      case (0, 8, 2) => KLongArr(dims(1).toInt)
+      case other => throw new java.io.IOException(s"unsupported dataset shape $other for $name")
+    }
+    val _ = signed
+    val chunks: Array[H5Chunk] =
+      if (btreeAddr == UNDEF) Array.empty
+      else {
+        val acc = scala.collection.mutable.ArrayBuffer.empty[H5Chunk]
+        val keyDims = dims.size + 1
+        def walk(nodeAddr: Long): Unit = {
+          val hdr = new BB(r.bytesAt(nodeAddr, 24))
+          hdr.skip(4)
+          val nodeType = hdr.u8()
+          val level = hdr.u8()
+          val entries = hdr.u16()
+          require(nodeType == 1, s"expected chunk B-tree node, got type $nodeType")
+          val keySize = 8 + keyDims * 8
+          val body = new BB(r.bytesAt(nodeAddr + 24, entries * (keySize + 8) + keySize))
+          (0 until entries).foreach { _ =>
+            val size = body.u32().toInt
+            val mask = body.u32().toInt
+            val startRec = body.u64()
+            (1 until keyDims).foreach(_ => body.u64())
+            val child = body.u64()
+            if (level > 0) walk(child)
+            else acc += H5Chunk(startRec, child, size, mask)
+          }
+        }
+        walk(btreeAddr)
+        acc.sortBy(_.startRec).toArray
+      }
+    Some(H5Var(name, kind, dims.head, math.max(1, chunkRecs), deflate,
+      contiguous, chunks, attrs.toSeq))
+  }
+
+  /** File metadata: superblock (v0-v3) → root group → datasets. Only
+    * headers and chunk B-trees are read. */
+  def readMeta(fs: FileSystem, path: Path): H5Meta = {
+    val in = fs.open(path)
+    try {
+      val r = new R(in)
+      val sig = r.bytesAt(0L, 9)
+      require((sig(0) & 0xff) == 0x89 && sig(1) == 'H' && sig(2) == 'D' && sig(3) == 'F',
+        s"$path is not an HDF5 file")
+      val ver = sig(8) & 0xff
+      val rootHdrAddr = ver match {
+        case 0 | 1 =>
+          val b = new BB(r.bytesAt(0, 100))
+          // sig(8) versions(5) sizes(3) K(4) flags(4); v1 inserts
+          // indexed-storage K + reserved (4) before the flags
+          b.skip(if (ver == 1) 28 else 24)
+          b.skip(8 * 4) // base, free-space, EOF, driver-info
+          b.u64() // root symbol-table entry: link name offset (ignored)
+          b.u64() // object header address
+        case 2 | 3 =>
+          val b = new BB(r.bytesAt(0, 48))
+          b.skip(12) // sig(8) ver(1) sizeoff(1) sizelen(1) flags(1)
+          b.skip(24) // base, extension, EOF
+          b.u64() // root group object header address
+        case v => throw new java.io.IOException(s"unsupported superblock version $v")
+      }
+      val rootMsgs = readMessages(r, rootHdrAddr)
+      val rootAttrs = rootMsgs.collect { case (MSG_ATTRIBUTE, body) => body }
+        .flatMap(readAttr)
+      val links = readLinks(r, rootMsgs)
+      val vars = links.sortBy(_._1).flatMap { case (nm, a) => readDataset(r, nm, a) }
+      H5Meta(vars, rootAttrs)
+    } finally in.close()
+  }
+
+  /** Range reader for one variable: loads + inflates exactly the
+    * chunks covering [r0, r1), exposing per-record typed accessors.
+    * One instance per (task, variable); chunks stream through a single
+    * reusable raw buffer. */
+  final class VarReader(fs: FileSystem, path: Path, v: H5Var, r0: Long, r1: Long) {
+    private val in = fs.open(path)
+    /** Contiguous layout is presented as synthetic raw "chunks" of
+      * bounded slab size, so a huge unchunked variable never needs a
+      * whole-variable buffer; real chunked vars use the B-tree list. */
+    private val slabRecs: Int =
+      if (v.contiguousAddr == UNDEF) v.chunkRecs
+      else math.max(1, ((4 << 20) / v.kind.rowBytes).toInt)
+    private val covering: Array[H5Chunk] =
+      if (v.contiguousAddr == UNDEF)
+        v.chunks.filter(c => c.startRec < r1 && c.startRec + v.chunkRecs > r0)
+      else {
+        val acc = scala.collection.mutable.ArrayBuffer.empty[H5Chunk]
+        var s = (r0 / slabRecs) * slabRecs
+        while (s < r1 && s < v.numRecs) {
+          val n = math.min(slabRecs.toLong, v.numRecs - s)
+          acc += H5Chunk(s, v.contiguousAddr + s * v.kind.rowBytes,
+            (n * v.kind.rowBytes).toInt, 1)
+          s += slabRecs
+        }
+        acc.toArray
+      }
+    private var ci = 0
+    private val raw = new Array[Byte]((v.kind.rowBytes * slabRecs).toInt)
+    private val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    private var chunkStart = 0L
+    private var chunkEnd = Long.MinValue
+
+    /** total stored bytes this reader will fetch — the I/O-pruning
+      * evidence the spec asserts on */
+    def plannedStoredBytes: Long = covering.map(_.storedSize.toLong).sum
+
+    private def loadChunk(c: H5Chunk): Unit = {
+      val stored = new Array[Byte](c.storedSize)
+      in.readFully(c.addr, stored, 0, stored.length)
+      if (v.deflate && (c.filterMask & 1) == 0) {
+        val inf = new Inflater()
+        inf.setInput(stored)
+        var off = 0
+        while (off < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          if (n == 0 && inf.needsInput()) throw new EOFException("truncated deflate chunk")
+          off += n
+        }
+        inf.end()
+        chunkEnd = c.startRec + slabRecs
+      } else {
+        require(stored.length <= raw.length,
+          s"stored chunk ${stored.length} > buffer ${raw.length}")
+        System.arraycopy(stored, 0, raw, 0, stored.length)
+        chunkEnd = c.startRec + stored.length / v.kind.rowBytes
+      }
+      chunkStart = c.startRec
+    }
+
+    /** Position the buffer on the chunk containing `rec`. */
+    private def ensure(rec: Long): Int = {
+      if (rec < chunkStart || rec >= chunkEnd) {
+        while (ci < covering.length && covering(ci).startRec + slabRecs <= rec) ci += 1
+        require(ci < covering.length && covering(ci).startRec <= rec,
+          s"record $rec outside covering chunks of ${v.name}")
+        loadChunk(covering(ci))
+      }
+      ((rec - chunkStart) * v.kind.rowBytes).toInt
+    }
+
+    def getLong(rec: Long): Long = bb.getLong(ensure(rec))
+    def getInt(rec: Long): Int = bb.getInt(ensure(rec))
+    def getDouble(rec: Long): Double = bb.getDouble(ensure(rec))
+    def getFloat(rec: Long): Float = bb.getFloat(ensure(rec))
+    def getString(rec: Long): Array[Byte] = {
+      val off = ensure(rec)
+      var len = v.kind.elemSize
+      while (len > 0 && raw(off + len - 1) == 0) len -= 1
+      java.util.Arrays.copyOfRange(raw, off, off + len)
+    }
+    def getFloatElem(rec: Long, k: Int): Float = bb.getFloat(ensure(rec) + 4 * k)
+    def getDoubleElem(rec: Long, k: Int): Double = bb.getDouble(ensure(rec) + 8 * k)
+    def getLongElem(rec: Long, k: Int): Long = bb.getLong(ensure(rec) + 8 * k)
+
+    def close(): Unit = in.close()
+  }
+}

@@ -1,0 +1,260 @@
+package graft.sources.netcdf
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** READ-ONLY DataSourceV2 over netCDF-4/HDF5 files:
+  * `spark.read.format("netcdf4").load(dirOrFile)`.
+  *
+  * This is the engine's window onto the reference's actual on-disk
+  * world: `netCDF4.Dataset` files ARE HDF5 containers, so a user
+  * switching from the reference brings directories of .nc4/.h5 files,
+  * not classic CDF. The scan surface mirrors [[NetCDF3Source]]:
+  *
+  *  - variable (column) pruning: unselected datasets' chunks are
+  *    never read, never inflated — HDF5 stores each variable's chunks
+  *    separately, so projection is physical I/O skipping;
+  *  - record-range pushdown on the virtual `record` column: bounds
+  *    prune scan partitions at plan time and, inside a partition, the
+  *    chunk B-tree keys bound which stored byte ranges are fetched;
+  *  - multiple files in one directory union along the record axis in
+  *    name order (MFDataset semantics), offsets from header metadata.
+  *
+  * Write support is deliberately absent here: [[Hdf5IO.write]] exists
+  * to produce fixtures (and is a real minimal HDF5 writer), but the
+  * load-bearing direction for a migrating user is reading their
+  * existing files into the engine.
+  */
+class NetCDF4Source extends TableProvider with sources.DataSourceRegister {
+
+  override def shortName(): String = "netcdf4"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = options.get("path")
+    require(dir != null, "netcdf4 requires a path")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(SparkContext.getOrCreate().hadoopConfiguration)
+    val files = NetCDF4Util.listFiles(fs, p)
+    require(files.nonEmpty, s"no .nc4/.h5 files under $dir")
+    val meta = Hdf5Format.readMeta(fs, files.head)
+    StructType(StructField("record", LongType, nullable = false) +:
+      meta.sparkSchema.fields.toSeq)
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new NetCDF4Table(schema, properties.get("path"))
+}
+
+object NetCDF4Util {
+  def listFiles(fs: FileSystem, dir: Path): Seq[Path] = {
+    if (!fs.exists(dir)) return Seq.empty
+    val st = fs.getFileStatus(dir)
+    if (st.isFile) Seq(dir)
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && Hdf5Format.isHdf5(s.getPath))
+      .map(_.getPath)
+      .sortBy(_.getName)
+  }
+}
+
+class NetCDF4Table(tableSchema: StructType, dir: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"netcdf4:$dir"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new Nc4ScanBuilder(tableSchema, dir, options.asScala.toMap)
+}
+
+class Nc4ScanBuilder(fullSchema: StructType, dir: String, options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var lower: Long = 0L
+  private var upper: Long = Long.MaxValue
+  private var pushed: Array[sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    def bound(v: Any): Option[Long] = v match {
+      case n: Number => Some(n.longValue())
+      case _ => None
+    }
+    val (accepted, rest) = filters.partition {
+      case sources.GreaterThan("record", v) => bound(v).isDefined
+      case sources.GreaterThanOrEqual("record", v) => bound(v).isDefined
+      case sources.LessThan("record", v) => bound(v).isDefined
+      case sources.LessThanOrEqual("record", v) => bound(v).isDefined
+      case sources.EqualTo("record", v) => bound(v).isDefined
+      case _ => false
+    }
+    accepted.foreach {
+      case sources.GreaterThan("record", v) => lower = math.max(lower, bound(v).get + 1)
+      case sources.GreaterThanOrEqual("record", v) => lower = math.max(lower, bound(v).get)
+      case sources.LessThan("record", v) => upper = math.min(upper, bound(v).get)
+      case sources.LessThanOrEqual("record", v) => upper = math.min(upper, bound(v).get + 1)
+      case sources.EqualTo("record", v) =>
+        lower = math.max(lower, bound(v).get); upper = math.min(upper, bound(v).get + 1)
+      case _ =>
+    }
+    pushed = accepted
+    rest
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan = new Nc4Scan(required, dir, lower, upper, options)
+}
+
+case class Nc4InputPartition(
+    file: String,
+    localStart: Long,
+    localEnd: Long,
+    fileOffset: Long) extends InputPartition
+
+class Nc4Scan(required: StructType, dir: String, lower: Long, upper: Long,
+    options: Map[String, String]) extends Scan with Batch {
+
+  private val serConf =
+    new SerializableHadoopConf(SparkContext.getOrCreate().hadoopConfiguration)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val hi = if (upper == Long.MaxValue) "inf" else upper.toString
+    s"netcdf4 $dir records=[$lower,$hi) vars=[${required.fieldNames.mkString(",")}]"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(SparkContext.getOrCreate().hadoopConfiguration)
+    val files = NetCDF4Util.listFiles(fs, p)
+    val metas = files.map(f => f -> Hdf5Format.readMeta(fs, f))
+    // split granularity: reuse the netcdf3 autotuner (≈3× cores
+    // partitions, chunk-floor, maxPartitionBytes ceiling), aligning
+    // to the largest selected chunk so boundary chunks are re-read by
+    // at most one neighbor task
+    val varNames = required.fieldNames.filterNot(_ == "record").toSet
+    val perPart = options.get("recordsperpartition").map(_.toLong).getOrElse {
+      val selected = metas.headOption.map(_._2.vars.filter(v =>
+        varNames.isEmpty || varNames.contains(v.name))).getOrElse(Nil)
+      val chunkRecs = if (selected.isEmpty) 1 else selected.map(_.chunkRecs).max
+      val recSize = math.max(1L, selected.map(_.kind.rowBytes).sum)
+      NetCDF3Util.autotunePerPart(
+        metas.map(_._2.numRecs).sum,
+        recSize,
+        (chunkRecs * recSize).min(Int.MaxValue.toLong).toInt,
+        NetCDF3Util.maxPartitionBytes,
+        SparkContext.getOrCreate().defaultParallelism)
+    }
+    var offset = 0L
+    val parts = Array.newBuilder[InputPartition]
+    metas.foreach { case (f, meta) =>
+      val lo = math.max(lower, offset)
+      val hi = math.min(upper, offset + meta.numRecs)
+      var s = lo
+      while (s < hi) {
+        val e = math.min(s + perPart, hi)
+        parts += Nc4InputPartition(f.toString, s - offset, e - offset, offset)
+        s = e
+      }
+      offset += meta.numRecs
+    }
+    parts.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new Nc4ReaderFactory(required, serConf)
+}
+
+class Nc4ReaderFactory(required: StructType, serConf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new Nc4PartitionReader(partition.asInstanceOf[Nc4InputPartition], required, serConf)
+}
+
+class Nc4PartitionReader(part: Nc4InputPartition, required: StructType,
+    serConf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val path = new Path(part.file)
+  private val fs = path.getFileSystem(serConf.value)
+  private val meta = Hdf5Format.readMeta(fs, path)
+  private val varNames = required.fieldNames.filterNot(_ == "record").toSeq
+  // only the REQUIRED variables get a reader: pruning at the I/O level
+  private val readers: Array[Hdf5Format.VarReader] = varNames.map { n =>
+    val v = meta.vars.find(_.name == n)
+      .getOrElse(throw new java.io.IOException(s"variable $n not in ${part.file}"))
+    new Hdf5Format.VarReader(fs, path, v, part.localStart, part.localEnd)
+  }.toArray
+  private val kinds: Array[Hdf5Format.H5Kind] = varNames.map { n =>
+    meta.vars.find(_.name == n).get.kind
+  }.toArray
+
+  private var rec = part.localStart
+  private val row =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.size)
+
+  override def next(): Boolean = {
+    if (rec >= part.localEnd) return false
+    var out = 0
+    var slot = 0
+    required.fields.foreach { f =>
+      if (f.name == "record") {
+        row.update(out, part.fileOffset + rec)
+      } else {
+        import Hdf5Format._
+        val r = readers(slot)
+        val v: Any = kinds(slot) match {
+          case KLong => r.getLong(rec)
+          case KInt => r.getInt(rec)
+          case KDouble => r.getDouble(rec)
+          case KFloat => r.getFloat(rec)
+          case _: KString =>
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(r.getString(rec))
+          case KFloatArr(k) =>
+            val a = new Array[Any](k)
+            var i = 0; while (i < k) { a(i) = r.getFloatElem(rec, i); i += 1 }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
+          case KDoubleArr(k) =>
+            val a = new Array[Any](k)
+            var i = 0; while (i < k) { a(i) = r.getDoubleElem(rec, i); i += 1 }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
+          case KLongArr(k) =>
+            val a = new Array[Any](k)
+            var i = 0; while (i < k) { a(i) = r.getLongElem(rec, i); i += 1 }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
+        }
+        row.update(out, v)
+        slot += 1
+      }
+      out += 1
+    }
+    rec += 1
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = readers.foreach(_.close())
+}

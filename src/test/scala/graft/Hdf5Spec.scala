@@ -1,0 +1,145 @@
+package graft
+
+import graft.sources.netcdf.{Hdf5Format, Hdf5IO, NetCDF4Util}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The HDF5/netCDF-4 subset: both superblock generations roundtrip,
+  * chunk B-trees prune by record range, projection prunes at the
+  * stored-chunk level, deflate behaves per chunk, and the lookup3
+  * checksum matches the published reference vector. */
+class Hdf5Spec extends AnyFunSuite {
+  import TestSession._
+
+  private val SRC = "graft.sources.netcdf.NetCDF4Source"
+  private def fs = new Path("/tmp").getFileSystem(new Configuration())
+
+  private def mixedDf(n: Int) = {
+    val schema = StructType(Seq(
+      StructField("lk", LongType), StructField("iv", IntegerType),
+      StructField("dv", DoubleType), StructField("fv", FloatType),
+      StructField("sv", StringType), StructField("emb", ArrayType(FloatType, false))))
+    val rows = (0 until n).map(k => Row(
+      k.toLong * 1000000007L, k, k + 0.25, (k * 2).toFloat,
+      s"doc-$k", Array.fill(8)(k.toFloat / 3f).toSeq))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("lookup3 matches the published reference vector") {
+    // from Bob Jenkins' lookup3.c self-test: hashlittle("Four score and
+    // seven years ago", 30, 0) = 0x17770551
+    val v = Hdf5Format.lookup3("Four score and seven years ago".getBytes("ASCII"))
+    assert(v == 0x17770551, f"got 0x$v%08x")
+    assert(Hdf5Format.lookup3(Array.emptyByteArray) == 0xdeadbeef)
+  }
+
+  for (ver <- Seq(0, 2)) {
+    test(s"mixed-type roundtrip through superblock v$ver") {
+      val dir = s"/tmp/graft_h5/round$ver"
+      val df = mixedDf(3000)
+      Hdf5IO.write(df, dir, chunkRecs = 256, deflate = true, h5ver = ver,
+        arrayLens = Map("emb" -> 8))
+      val back = spark.read.format(SRC).load(dir)
+      assert(back.count() == 3000)
+      assert(back.schema("lk").dataType == LongType)
+      assert(back.schema("iv").dataType == IntegerType)
+      assert(back.schema("sv").dataType == StringType)
+      assert(back.schema("emb").dataType == ArrayType(FloatType, containsNull = false))
+      val exp = df.agg(sum("lk"), sum("iv"), sum("dv"), sum("fv")).head()
+      val got = back.agg(sum("lk"), sum("iv"), sum("dv"), sum("fv")).head()
+      assert(exp == got)
+      // strings + arrays content-exact
+      val s0 = back.filter(col("sv") === "doc-42").select("lk", "emb").head()
+      assert(s0.getLong(0) == 42L * 1000000007L)
+      assert(s0.getSeq[Float](1) == Seq.fill(8)(14f))
+    }
+  }
+
+  test("record-range pushdown prunes partitions and chunk reads") {
+    val dir = "/tmp/graft_h5/prune"
+    Hdf5IO.write(
+      spark.range(100000).select(col("id").cast(DoubleType).as("x"),
+        (col("id") * 2).cast(DoubleType).as("y")).coalesce(1),
+      dir, chunkRecs = 1000, deflate = true)
+    val all = spark.read.format(SRC).load(dir)
+    val sliced = all.filter(col("record") >= 50000L && col("record") < 51000L)
+      .select("record", "x")
+    assert(sliced.count() == 1000)
+    assert(sliced.agg(sum("x")).head().getDouble(0) == (50000L until 51000L).map(_.toDouble).sum)
+    // plan shows the pushed record range and the pruned variable list
+    val plan = sliced.queryExecution.executedPlan.toString
+    assert(plan.contains("records=[50000,51000)"), plan)
+    assert(plan.contains("vars=[record,x]") && !plan.contains("y"), plan)
+    // partition count: 1000 records of a 100k-file → far fewer splits
+    val allParts = all.rdd.getNumPartitions
+    val slicedParts = sliced.rdd.getNumPartitions
+    assert(slicedParts < allParts, s"$slicedParts !< $allParts")
+  }
+
+  test("projection reads only the selected variable's stored chunks") {
+    val dir = "/tmp/graft_h5/proj"
+    Hdf5IO.write(
+      spark.range(10000).select(col("id").cast(DoubleType).as("a"),
+        (col("id") + 1).cast(DoubleType).as("b")).coalesce(1),
+      dir, chunkRecs = 500, deflate = true)
+    val f = NetCDF4Util.listFiles(fs, new Path(dir)).head
+    val meta = Hdf5Format.readMeta(fs, f)
+    val va = meta.vars.find(_.name == "a").get
+    val vb = meta.vars.find(_.name == "b").get
+    // a VarReader over a record window fetches only covering chunks
+    val ra = new Hdf5Format.VarReader(fs, f, va, 0L, 1000L)
+    val raFull = new Hdf5Format.VarReader(fs, f, va, 0L, 10000L)
+    assert(ra.plannedStoredBytes < raFull.plannedStoredBytes)
+    ra.close(); raFull.close()
+    // per-variable chunk trees: b's chunks are disjoint byte ranges
+    // from a's, so projecting a never touches b's stored bytes
+    val aRanges = va.chunks.map(c => (c.addr, c.addr + c.storedSize)).toSet
+    val bRanges = vb.chunks.map(c => (c.addr, c.addr + c.storedSize)).toSet
+    assert(aRanges.intersect(bRanges).isEmpty)
+    assert(va.chunks.nonEmpty && vb.chunks.nonEmpty)
+  }
+
+  test("incompressible chunks store raw with the filter masked out") {
+    val dir = "/tmp/graft_h5/mask"
+    // xxhash64 longs are full-entropy 8-byte values: deflate cannot
+    // shrink a chunk of them below its raw size
+    Hdf5IO.write(
+      spark.range(4000).select(xxhash64(col("id")).as("noise")).coalesce(1),
+      dir, chunkRecs = 512, deflate = true)
+    val f = NetCDF4Util.listFiles(fs, new Path(dir)).head
+    val meta = Hdf5Format.readMeta(fs, f)
+    val v = meta.vars.head
+    assert(v.deflate)
+    assert(v.chunks.exists(_.filterMask == 1), "expected raw-stored chunks")
+    // and the values still roundtrip exactly
+    val back = spark.read.format(SRC).load(dir)
+    assert(back.count() == 4000)
+  }
+
+  test("multi-file union assigns contiguous global record offsets") {
+    val dir = "/tmp/graft_h5/multi"
+    Hdf5IO.write(
+      spark.range(5000).select(col("id").cast(DoubleType).as("x")).repartition(4),
+      dir, chunkRecs = 300)
+    val back = spark.read.format(SRC).load(dir)
+    assert(back.count() == 5000)
+    val recs = back.agg(count(lit(1)), countDistinct(col("record")),
+      min("record"), max("record")).head()
+    assert(recs.getLong(0) == 5000 && recs.getLong(1) == 5000)
+    assert(recs.getLong(2) == 0L && recs.getLong(3) == 4999L)
+    assert(back.agg(sum("x")).head().getDouble(0) == (0L until 5000L).map(_.toDouble).sum)
+  }
+
+  test("root attributes carry netCDF-4 properties; var attrs roundtrip") {
+    val dir = "/tmp/graft_h5/attrs"
+    Hdf5IO.write(spark.range(100).select(col("id").cast(DoubleType).as("x")).coalesce(1), dir)
+    val f = NetCDF4Util.listFiles(fs, new Path(dir)).head
+    val meta = Hdf5Format.readMeta(fs, f)
+    val nc = meta.rootAttrs.find(_.name == "_NCProperties")
+    assert(nc.exists(_.text.exists(_.startsWith("version=2,netcdf="))))
+  }
+}
