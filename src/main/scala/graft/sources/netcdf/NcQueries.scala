@@ -801,6 +801,113 @@ object NcQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
       |FROM dec GROUP BY 1""".stripMargin
 
+  /** CF CALENDAR-aware time decode (r6) — the attribute pair every
+    * real climate file carries: `units: days since <epoch>` plus
+    * `calendar: standard|noleap|360_day` (CF conventions §4.4; model
+    * output is routinely on the fake calendars, and xarray users'
+    * time axes come from exactly this decode). Three time variables
+    * share the same stored day offsets but each carries its OWN
+    * calendar attribute; the reader fetches (units, calendar) from
+    * the file headers and DISPATCHES the decode per variable:
+    *
+    *  - `standard` → real proleptic-Gregorian date arithmetic;
+    *  - `noleap` (365_day) → fixed 365-day years, month lengths from
+    *    the cumulative-day table — pure integer arithmetic;
+    *  - `360_day` → twelve 30-day months — pure integer arithmetic.
+    *
+    * All decode math is map-side integer expressions (no shuffle
+    * before the final 1-row aggregate); the oracle replays the same
+    * arithmetic in DuckDB, so a single wrong month boundary breaks
+    * the hash. Output is a wide digest row: per calendar, min/max/sum
+    * of the decoded y*10000+m*100+d. */
+  def ncTimeCalendar: Q = (s, dir) => {
+    val out = scratch(s, dir, "cfcal")
+    val days = floor(unix_micros(col("ts")).cast(DoubleType) / lit(8.64e10))
+      .cast(DoubleType)
+    NcIO.write(
+      graft.Tables.events(s, dir).select(
+        days.as("time_std"), days.as("time_noleap"), days.as("time_360")),
+      out,
+      vatts = Map(
+        "time_std" -> Seq("units" -> "days since 1970-01-01", "calendar" -> "standard"),
+        "time_noleap" -> Seq("units" -> "days since 1970-01-01", "calendar" -> "noleap"),
+        "time_360" -> Seq("units" -> "days since 1970-01-01", "calendar" -> "360_day")))
+    // header-only metadata read: (var → units/calendar), driving the
+    // per-variable decode dispatch below
+    val attrs = NcIO.readAttrs(s, out)
+      .filter(col("attr_name").isin("units", "calendar"))
+      .select("var_name", "attr_name", "sval").distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (v, rows) =>
+        v -> rows.map(r => r.getString(1) -> r.getString(2)).toMap
+      }
+    def decodeExpr(varName: String): String = {
+      val a = attrs(varName)
+      val units = a("units")
+      require(units.startsWith("days since 1970-01-01"),
+        s"unsupported CF epoch in '$units'")
+      val d = s"cast($varName as bigint)"
+      a.getOrElse("calendar", "standard") match {
+        case "standard" | "gregorian" | "proleptic_gregorian" =>
+          s"cast(year(date_add(date'1970-01-01', cast($varName as int))) * 10000 + " +
+            s"month(date_add(date'1970-01-01', cast($varName as int))) * 100 + " +
+            s"day(date_add(date'1970-01-01', cast($varName as int))) as bigint)"
+        case "noleap" | "365_day" =>
+          val cum = Seq(0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334)
+          val month = (1 to 11).map(m =>
+            s"WHEN $d % 365 < ${cum(m)} THEN $m").mkString("CASE ", " ", " ELSE 12 END")
+          val mstart = (1 to 11).map(m =>
+            s"WHEN $d % 365 < ${cum(m)} THEN ${cum(m - 1)}").mkString("CASE ", " ", " ELSE 334 END")
+          s"(1970 + $d div 365) * 10000 + ($month) * 100 + ($d % 365 - ($mstart) + 1)"
+        case "360_day" =>
+          s"(1970 + $d div 360) * 10000 + (1 + ($d % 360) div 30) * 100 + (1 + ($d % 360) % 30)"
+        case c => throw new IllegalArgumentException(s"unsupported CF calendar: $c")
+      }
+    }
+    s.read.format(SRC).load(out)
+      .selectExpr(
+        s"${decodeExpr("time_std")} as std_ymd",
+        s"${decodeExpr("time_noleap")} as noleap_ymd",
+        s"${decodeExpr("time_360")} as c360_ymd")
+      .agg(
+        count(lit(1)).as("n"),
+        min("std_ymd").as("std_min"), max("std_ymd").as("std_max"),
+        sum("std_ymd").as("std_sum"),
+        min("noleap_ymd").as("noleap_min"), max("noleap_ymd").as("noleap_max"),
+        sum("noleap_ymd").as("noleap_sum"),
+        min("c360_ymd").as("c360_min"), max("c360_ymd").as("c360_max"),
+        sum("c360_ymd").as("c360_sum"))
+  }
+
+  val ncTimeCalendarSql: String = {
+    val cum = Seq(0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334)
+    val month = (1 to 11).map(m =>
+      s"WHEN d % 365 < ${cum(m)} THEN $m").mkString("CASE ", " ", " ELSE 12 END")
+    val mstart = (1 to 11).map(m =>
+      s"WHEN d % 365 < ${cum(m)} THEN ${cum(m - 1)}").mkString("CASE ", " ", " ELSE 334 END")
+    s"""WITH enc AS (
+       |  SELECT CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 8.64e10) AS BIGINT) AS d
+       |  FROM events),
+       |decoded AS (
+       |  SELECT
+       |    year(DATE '1970-01-01' + CAST(d AS INTEGER)) * 10000 +
+       |      month(DATE '1970-01-01' + CAST(d AS INTEGER)) * 100 +
+       |      day(DATE '1970-01-01' + CAST(d AS INTEGER)) AS std_ymd,
+       |    (1970 + d // 365) * 10000 + ($month) * 100 +
+       |      (d % 365 - ($mstart) + 1) AS noleap_ymd,
+       |    (1970 + d // 360) * 10000 + (1 + (d % 360) // 30) * 100 +
+       |      (1 + (d % 360) % 30) AS c360_ymd
+       |  FROM enc)
+       |SELECT COUNT(*) AS n,
+       |  CAST(MIN(std_ymd) AS BIGINT) AS std_min, CAST(MAX(std_ymd) AS BIGINT) AS std_max,
+       |  CAST(SUM(std_ymd) AS BIGINT) AS std_sum,
+       |  CAST(MIN(noleap_ymd) AS BIGINT) AS noleap_min, CAST(MAX(noleap_ymd) AS BIGINT) AS noleap_max,
+       |  CAST(SUM(noleap_ymd) AS BIGINT) AS noleap_sum,
+       |  CAST(MIN(c360_ymd) AS BIGINT) AS c360_min, CAST(MAX(c360_ymd) AS BIGINT) AS c360_max,
+       |  CAST(SUM(c360_ymd) AS BIGINT) AS c360_sum
+       |FROM decoded""".stripMargin
+  }
+
   /** netCDF4 GROUP hierarchy (`createGroup`/`groups[...]` parity) over
     * the flat classic namespace: variables carry path names
     * ("obs/qty", "fc/price"), and reading `.option("group", "fc")`
@@ -858,6 +965,7 @@ object NcQueries {
     "nc_append_roundtrip" -> ncAppendRoundtrip,
     "nc_ncz_roundtrip" -> ncNczRoundtrip,
     "nc_var_codec" -> ncVarCodec,
+    "nc_time_calendar" -> ncTimeCalendar,
     "stream_nc_ingest" -> streamNcIngest,
     "stream_nc_sink" -> streamNcSink,
     "stream_compact_auto" -> streamCompactAuto)
@@ -884,6 +992,7 @@ object NcQueries {
     "nc_append_roundtrip" -> ncAppendRoundtripSql,
     "nc_ncz_roundtrip" -> ncNczRoundtripSql,
     "nc_var_codec" -> ncVarCodecSql,
+    "nc_time_calendar" -> ncTimeCalendarSql,
     "stream_nc_ingest" -> streamNcIngestSql,
     "stream_nc_sink" -> streamNcSinkSql,
     "stream_compact_auto" -> streamCompactAutoSql)
