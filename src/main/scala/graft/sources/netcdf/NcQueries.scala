@@ -22,7 +22,7 @@ object NcQueries {
     * directory another JVM is mid-read of. Stable within a session so
     * bench re-runs reuse their own files.
     */
-  private[netcdf] def scratch(s: SparkSession, dir: String, tag: String): String =
+  private[graft] def scratch(s: SparkSession, dir: String, tag: String): String =
     s"/tmp/graft_nc/${s.sparkContext.applicationId}/" +
       s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$tag"
 
