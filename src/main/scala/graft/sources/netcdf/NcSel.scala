@@ -114,6 +114,93 @@ object NcSel {
       .select(col("target"), col("best.*"))
   }
 
+  /** Per-file zone-map range PAIRS for two coordinate variables in
+    * one metadata pass (files with either range missing are skipped —
+    * conservative: they are simply never prunable). */
+  private def coordRangePairs(spark: SparkSession, dir: String,
+      v1: String, v2: String): Seq[((Double, Double), (Double, Double))] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).map(_.getPath).filter { f =>
+      val n = f.getName
+      n.endsWith(".nc") || n.endsWith(".nc.gz") || n.endsWith(".ncz")
+    }
+    parts.toSeq.flatMap { f =>
+      val meta = NcFormat.readMeta(fs, f)
+      if (meta.numRecs == 0L) None
+      else for {
+        r1 <- meta.vars.find(_.name == v1).flatMap(_.range)
+        r2 <- meta.vars.find(_.name == v2).flatMap(_.range)
+      } yield (r1, r2)
+    }
+  }
+
+  /** 2-D nearest selection over CURVILINEAR coordinates (xarray
+    * `sel()` on lat(y,x)/lon(y,x) coordinate pairs — the ocean/
+    * atmosphere grid case where neither coordinate is an axis): for
+    * each (lat, lon) target, the record minimizing Euclidean
+    * distance² in coordinate space.
+    *
+    * The candidate window is metadata-bounded in BOTH coords by a
+    * witness argument: each part file's `actual_range` endpoints are
+    * ACTUAL values, so some record in file i sits at lat distance
+    * d_lat(i) = min |t_lat − endpoint|, and that record's lon lies
+    * inside the file's lon range, hence within d_lon_max(i) of t_lon.
+    * U = min over files of √(d_lat(i)² + d_lon_max(i)²) is therefore
+    * an ACHIEVED distance bound, and the true nearest must satisfy
+    * |lat − t_lat| ≤ U AND |lon − t_lon| ≤ U. The scan filter is the
+    * OR of those per-target boxes under an AND-able global envelope
+    * (pushed, so lat/lon zone maps prune whole part files); surviving
+    * records fan out only to covering targets, and one
+    * groupBy(target) min_by partial aggregate ranks everything —
+    * no sort, no all-pairs, N targets in ONE pruned pass. */
+  def nearest2d(spark: SparkSession, dir: String, latVar: String, lonVar: String,
+      targets: Seq[(Double, Double)]): DataFrame = {
+    require(targets.nonEmpty, "nearest2d needs at least one target")
+    val pairs = coordRangePairs(spark, dir, latVar, lonVar)
+    require(pairs.nonEmpty, s"no zone-map ranges for ($latVar, $lonVar) in $dir")
+    val windows = targets.zipWithIndex.map { case ((tla, tlo), i) =>
+      val u = pairs.map { case ((lamn, lamx), (lomn, lomx)) =>
+        val dlat = math.min(math.abs(tla - lamn), math.abs(tla - lamx))
+        val dlon = math.max(math.abs(tlo - lomn), math.abs(tlo - lomx))
+        math.sqrt(dlat * dlat + dlon * dlon)
+      }.min
+      (i.toLong, tla, tlo, u)
+    }
+    val la = col(latVar).cast(DoubleType)
+    val lo = col(lonVar).cast(DoubleType)
+    // AND-able envelope of all target boxes: this is what reaches the
+    // scan's pushed filters and the per-file zone maps
+    val laLo = ulpsDown(windows.map(w => w._2 - w._4).min)
+    val laHi = ulpsUp(windows.map(w => w._2 + w._4).max)
+    val loLo = ulpsDown(windows.map(w => w._3 - w._4).min)
+    val loHi = ulpsUp(windows.map(w => w._3 + w._4).max)
+    val scan = spark.read.format(SRC).load(dir)
+      .filter(la >= laLo && la <= laHi && lo >= loLo && lo <= loHi)
+    val cols = scan.columns
+    val fanned = scan.select(col("*"), explode(array(windows.map { case (i, tla, tlo, u) =>
+      when(la >= ulpsDown(tla - u) && la <= ulpsUp(tla + u)
+        && lo >= ulpsDown(tlo - u) && lo <= ulpsUp(tlo + u), lit(i))
+        .otherwise(lit(null).cast(org.apache.spark.sql.types.LongType))
+    }: _*)).as("tid"))
+      .filter(col("tid").isNotNull)
+    val tlaC = element_at(array(windows.map(w => lit(w._2)): _*),
+      col("tid").cast(org.apache.spark.sql.types.IntegerType) + 1)
+    val tloC = element_at(array(windows.map(w => lit(w._3)): _*),
+      col("tid").cast(org.apache.spark.sql.types.IntegerType) + 1)
+    val scored = fanned
+      .withColumn("t_lat", tlaC)
+      .withColumn("t_lon", tloC)
+      .withColumn("dist2",
+        (la - col("t_lat")) * (la - col("t_lat"))
+          + (lo - col("t_lon")) * (lo - col("t_lon")))
+    val all = struct((cols :+ "dist2").map(col): _*)
+    val ord = struct(col("dist2"), col("record"))
+    scored.groupBy("tid", "t_lat", "t_lon")
+      .agg(min_by(all, ord).as("best"))
+      .select(col("tid"), col("t_lat"), col("t_lon"), col("best.*"))
+  }
+
   /** Value interpolation at `target`: find the bracketing records
     * (greatest coord ≤ t, least coord > t — ties resolved toward the
     * smaller record index) and linearly interpolate `valueVar`
@@ -319,10 +406,68 @@ object NcSel {
       |  SELECT CAST(l_orderkey AS DOUBLE) AS c, l_quantity AS v FROM o
       |  WHERE l_orderkey > t.target ORDER BY l_orderkey, record LIMIT 1) hi ON true""".stripMargin
 
+  /** 2-D curvilinear selection as a gated query: a y×300 grid whose
+    * lat(y,x) = y + (7x mod 13)/100 and lon(y,x) = x + (11y mod 17)/100
+    * (curved, axis-free — exact rational arithmetic so both engines
+    * build the identical grid), cell values from the sorted lineitem
+    * quantity sequence. The grid is written range-bucketed on the cell
+    * index, so each part file covers a tight lat band and the
+    * [[nearest2d]] witness bound has real teeth. Three targets:
+    * mid-grid, the (0,0) corner, and one absurdly far away (the whole
+    * corpus becomes the window — the clamp case). The oracle replays
+    * each selection as ORDER BY dist², record LIMIT 1 over the
+    * regenerated grid. */
+  def ncSelCoord2d: (SparkSession, String) => DataFrame = (s, dir) => {
+    import graft.Tables.t
+    val sortedOut = NcQueries.scratch(s, dir, "coord2d_sorted")
+    NcIO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast(org.apache.spark.sql.types.LongType)
+          .as("l_linenumber"), col("l_quantity"))
+        .repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber"),
+      sortedOut)
+    val cells = s.read.format(SRC).load(sortedOut).select(
+      col("record").as("cell"),
+      expr("record div 300").as("y"),
+      expr("record % 300").as("x"),
+      expr("cast(record div 300 as double) + cast(((record % 300) * 7) % 13 as double) / 100.0")
+        .as("lat"),
+      expr("cast(record % 300 as double) + cast(((record div 300) * 11) % 17 as double) / 100.0")
+        .as("lon"),
+      col("l_quantity").as("val"))
+    val gridOut = NcQueries.scratch(s, dir, "coord2d_grid")
+    NcIO.write(
+      cells.repartitionByRange(8, col("cell")).sortWithinPartitions("cell").drop("cell"),
+      gridOut)
+    nearest2d(s, gridOut, "lat", "lon",
+      Seq((57.3, 123.45), (0.0, 0.0), (1.0e9, -5.0)))
+  }
+
+  val ncSelCoord2dSql: String =
+    """WITH o AS (SELECT l_quantity AS v,
+      |  row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS idx
+      |  FROM lineitem),
+      |cells AS (SELECT idx AS record, idx // 300 AS y, idx % 300 AS x,
+      |  CAST(idx // 300 AS DOUBLE) + CAST((idx % 300) * 7 % 13 AS DOUBLE) / 100.0 AS lat,
+      |  CAST(idx % 300 AS DOUBLE) + CAST((idx // 300) * 11 % 17 AS DOUBLE) / 100.0 AS lon,
+      |  v AS val FROM o),
+      |tg(tid, t_lat, t_lon) AS (VALUES
+      |  (CAST(0 AS BIGINT), CAST(57.3 AS DOUBLE), CAST(123.45 AS DOUBLE)),
+      |  (1, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      |  (2, CAST(1.0e9 AS DOUBLE), CAST(-5.0 AS DOUBLE)))
+      |SELECT tg.tid, tg.t_lat, tg.t_lon, b.record, b.y, b.x, b.lat, b.lon, b.val, b.dist2
+      |FROM tg CROSS JOIN LATERAL (
+      |  SELECT record, y, x, lat, lon, val,
+      |    (lat - tg.t_lat) * (lat - tg.t_lat) + (lon - tg.t_lon) * (lon - tg.t_lon) AS dist2
+      |  FROM cells ORDER BY dist2, record LIMIT 1) b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("nc_sel_coord" -> ncSelCoord, "nc_sel_interp" -> ncSelInterp,
-      "nc_sel_interp_multi" -> ncSelInterpMulti)
+      "nc_sel_interp_multi" -> ncSelInterpMulti,
+      "nc_sel_coord2d" -> ncSelCoord2d)
   val oracles: Map[String, String] =
     Map("nc_sel_coord" -> ncSelCoordSql, "nc_sel_interp" -> ncSelInterpSql,
-      "nc_sel_interp_multi" -> ncSelInterpMultiSql)
+      "nc_sel_interp_multi" -> ncSelInterpMultiSql,
+      "nc_sel_coord2d" -> ncSelCoord2dSql)
 }

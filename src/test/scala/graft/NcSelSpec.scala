@@ -54,6 +54,47 @@ class NcSelSpec extends AnyFunSuite {
     assert(r.getAs[Long]("coord") == 200L, "equidistant 200/210 must pick 200")
   }
 
+  test("nearest2d finds the true 2-D nearest with a pruned scan + bounded min_by") {
+    import spark.implicits._
+    val dir = "/tmp/graft_ncsel/grid2d"
+    // 40×25 curvilinear grid, range-bucketed on the cell index so each
+    // part file covers a tight lat band
+    val cells = (0 until 1000).map { c =>
+      val y = c / 25; val x = c % 25
+      (c.toLong, y.toLong, x.toLong,
+        y + (x * 7 % 13) / 100.0, x + (y * 11 % 17) / 100.0, c * 1.5)
+    }.toDF("cell", "y", "x", "lat", "lon", "val")
+    NcIO.write(
+      cells.repartitionByRange(5, col("cell")).sortWithinPartitions("cell").drop("cell"),
+      dir)
+    val got = NcSel.nearest2d(spark, dir, "lat", "lon", Seq((20.3, 11.8), (0.0, 0.0)))
+      .orderBy("tid").collect()
+    // brute-force truth
+    val truth = Seq((20.3, 11.8), (0.0, 0.0)).map { case (tla, tlo) =>
+      cells.collect().map { r =>
+        val d2 = (r.getDouble(3) - tla) * (r.getDouble(3) - tla) +
+          (r.getDouble(4) - tlo) * (r.getDouble(4) - tlo)
+        (d2, r.getLong(0))
+      }.minBy(identity)
+    }
+    got.zip(truth).foreach { case (row, (d2, cell)) =>
+      assert(row.getAs[Long]("record") == cell, row)
+      assert(math.abs(row.getAs[Double]("dist2") - d2) == 0.0, row)
+    }
+    // plan: one scan, a partial-agg'd min_by, no sort/window/cartesian
+    val df = NcSel.nearest2d(spark, dir, "lat", "lon", Seq((20.3, 11.8)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BatchScan".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("partial_min_by") || plan.contains("partial_"), plan)
+    assert(!plan.toLowerCase.contains("rangepartitioning"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // a tight target's envelope prunes part files via the lat zone maps
+    val tight = NcSel.nearest2d(spark, dir, "lat", "lon", Seq((20.3, 11.8)))
+    val all = spark.read.format(SRC).load(dir)
+    assert(tight.rdd.getNumPartitions < all.rdd.getNumPartitions,
+      s"${tight.rdd.getNumPartitions} !< ${all.rdd.getNumPartitions}")
+  }
+
   test("compactIfNeeded fires only above the file threshold and keeps content") {
     val dir = "/tmp/graft_nc_spec/compact_hook"
     writeSorted(dir, 6) // 6 part files
