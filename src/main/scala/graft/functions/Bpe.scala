@@ -108,13 +108,42 @@ object Bpe {
        |FROM bpe_doc_tokens""".stripMargin
 
   /** Spark-SQL expression: the BPE token ARRAY of word column `w`
-    * (the merge chain of [[sparkCountExpr]] without the final count). */
-  def sparkTokensExpr(w: String): String = {
+    * (the merge chain of [[sparkCountExpr]] without the final count).
+    * Parameterized over the merge table so a table loaded from a
+    * released merges file drives the SAME operator. */
+  def sparkTokensExpr(w: String, table: Seq[(String, String)] = merges): String = {
     val spaced = s"concat(' ', regexp_replace($w, '(.)', '$$1 '))"
-    val chain = merges.foldLeft(spaced) { case (acc, (p, r)) =>
+    val chain = table.foldLeft(spaced) { case (acc, (p, r)) =>
       s"replace(replace($acc, ' $p ', ' $r '), ' $p ', ' $r ')"
     }
     s"filter(split($chain, ' '), x -> x != '')"
+  }
+
+  /** Parse a released merges file (the HuggingFace/GPT-2 `merges.txt`
+    * shape: optional `#version` header, then one `a b` pair per line
+    * in rank order — line order IS merge priority). Read driver-side
+    * through the Hadoop FS (a merges file is tokenizer metadata,
+    * thousands of lines, not data); tokens are validated against a
+    * conservative charset so a hostile file cannot splice into the
+    * generated SQL expression chain. */
+  def loadMerges(s: SparkSession, path: String): Seq[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val parts = l.split(" ")
+          require(parts.length == 2, s"malformed merge rule '$l'")
+          require(parts.forall(_.matches("[A-Za-z0-9_']+")),
+            s"merge tokens outside the safe charset in '$l'")
+          s"${parts(0)} ${parts(1)}" -> (parts(0) + parts(1))
+        }
+        .toList
+    } finally in.close()
   }
 
   /** Same token array in DuckDB SQL. */
@@ -136,18 +165,45 @@ object Bpe {
     * sized: tokenization runs once per DISTINCT word, then joins back
     * to positioned occurrences; the per-doc regroup shuffles (doc_id,
     * pos, tokens) — tokens of one word, never whole documents. */
-  def textTokensBpe: Q = (s, dir) => {
+  def textTokensBpe: Q = textTokensBpeWith(merges)
+
+  private def textTokensBpeWith(table: Seq[(String, String)]): Q = (s, dir) => {
     val words = t(s, dir, "documents")
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
       .select(col("doc_id"), col("pos"), lower(col("w0")).as("w"))
     val vocab = words.select("w").distinct()
-      .withColumn("toks", expr(sparkTokensExpr("w")))
+      .withColumn("toks", expr(sparkTokensExpr("w", table)))
     words.join(vocab, "w")
       .groupBy("doc_id")
       .agg(sum(size(col("toks"))).cast(LongType).as("n_tokens"),
         md5(concat_ws(" ", flatten(expr(
           "transform(array_sort(collect_list(struct(pos, toks))), x -> x.toks)"))))
           .as("seq_hash"))
+  }
+
+  /** Tokenizer ARTIFACTS FROM FILE (r6): the same token-sequence
+    * operator, but the merge table arrives as a released-format
+    * `merges.txt` read from storage — the pure-data-plumbing step a
+    * real pipeline does when it loads a published tokenizer. The
+    * fixture file is staged by the query itself (this container has
+    * no released tokenizer to check in), carries a `#version` header
+    * and the standard one-pair-per-line rank order, and round-trips
+    * through [[loadMerges]] into [[textTokensBpeWith]]; the oracle is
+    * the fixed-table oracle, so a parse that reorders, drops, or
+    * mangles one rule breaks every seq_hash. */
+  def textTokensBpeFile: Q = (s, dir) => {
+    val mdir = graft.sources.netcdf.NcQueries.scratch(s, dir, "bpe_merges")
+    val mpath = s"$mdir/merges.txt"
+    val p = new org.apache.hadoop.fs.Path(mpath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      out.write("#version: 0.2\n".getBytes("UTF-8"))
+      merges.foreach { case (pair, _) => out.write((pair + "\n").getBytes("UTF-8")) }
+    } finally out.close()
+    val loaded = loadMerges(s, mpath)
+    require(loaded == merges, "merges.txt roundtrip drifted from the staged table")
+    textTokensBpeWith(loaded)(s, dir)
   }
 
   val textTokensBpeSql: String =
@@ -163,9 +219,11 @@ object Bpe {
 
   val queries: Map[String, Q] = Map(
     "text_tokencount_bpe" -> textTokencountBpe,
-    "text_tokens_bpe" -> textTokensBpe)
+    "text_tokens_bpe" -> textTokensBpe,
+    "text_tokens_bpe_file" -> textTokensBpeFile)
 
   val oracles: Map[String, String] = Map(
     "text_tokencount_bpe" -> textTokencountBpeSql,
-    "text_tokens_bpe" -> textTokensBpeSql)
+    "text_tokens_bpe" -> textTokensBpeSql,
+    "text_tokens_bpe_file" -> textTokensBpeSql)
 }

@@ -42,6 +42,34 @@ class BpeSpec extends AnyFunSuite {
     assert(bpe < chars * 3 / 4, s"bpe=$bpe chars=$chars — merges not firing?")
   }
 
+  test("loadMerges parses the released merges.txt shape in rank order") {
+    val path = "/tmp/graft_bpe/merges_test.txt"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write("#version: 0.2\nt h\nin g\n\nth e\n".getBytes("UTF-8"))
+    out.close()
+    val loaded = Bpe.loadMerges(spark, path)
+    // header and blank lines skipped, LINE ORDER preserved (= rank)
+    assert(loaded == Seq("t h" -> "th", "in g" -> "ing", "th e" -> "the"))
+    // malformed / injection-shaped rules rejected
+    val bad = fs.create(p, true)
+    bad.write("a b c\n".getBytes("UTF-8")); bad.close()
+    intercept[IllegalArgumentException](Bpe.loadMerges(spark, path))
+    val inj = fs.create(p, true)
+    inj.write("a', '') -- x\n".getBytes("UTF-8")); inj.close()
+    intercept[IllegalArgumentException](Bpe.loadMerges(spark, path))
+  }
+
+  test("file-loaded merge table tokenizes identically to the built-in table") {
+    import spark.implicits._
+    val got = Seq("the", "interesting", "standing").toDF("w")
+      .selectExpr(Bpe.sparkTokensExpr("w", Bpe.merges)).collect()
+    val builtin = Seq("the", "interesting", "standing").toDF("w")
+      .selectExpr(Bpe.sparkTokensExpr("w")).collect()
+    assert(got.map(_.toString).toSeq == builtin.map(_.toString).toSeq)
+  }
+
   test("pack bins: every non-final bin is filled to the exact budget") {
     val bins = TextOps.queries("pipeline_pack_bins")(spark, sf)
     val perBin = bins.groupBy("source", "bin_id")
