@@ -71,6 +71,125 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** binary → array<float> decode (little-endian IEEE-754 packed
+    * float32, the wire/storage format embedding stores actually ship):
+    * a codegen'd UnaryExpression, so ingestion-side decode fuses into
+    * the scan's whole-stage-codegen Project — pure map-side, no UDF
+    * serialization, no boxing. Length derives from the payload
+    * (bytes/4), so no dims argument can disagree with the data. */
+  case class FloatsFromBinary(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_unpack requires binary input, got $t")
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      val n = b.length / 4
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        val bits = (b(4 * i) & 0xff) | ((b(4 * i + 1) & 0xff) << 8) |
+          ((b(4 * i + 2) & 0xff) << 16) | ((b(4 * i + 3) & 0xff) << 24)
+        out(i) = java.lang.Float.intBitsToFloat(bits)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val out = ctx.freshName("out")
+        val bits = ctx.freshName("bits")
+        s"""
+           |int $n = $b.length / 4;
+           |float[] $out = new float[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  int $bits = ($b[4 * $i] & 0xff) | (($b[4 * $i + 1] & 0xff) << 8) |
+           |    (($b[4 * $i + 2] & 0xff) << 16) | (($b[4 * $i + 3] & 0xff) << 24);
+           |  $out[$i] = java.lang.Float.intBitsToFloat($bits);
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): FloatsFromBinary =
+      copy(child = newChild)
+  }
+
+  /** array<float> → binary encode (the staging twin of
+    * [[FloatsFromBinary]]; same little-endian float32 packing). */
+  case class FloatsToBinary(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+    override def dataType: DataType = BinaryType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_pack requires array<float> input, got $t")
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      val out = new Array[Byte](4 * n)
+      var i = 0
+      while (i < n) {
+        val bits = java.lang.Float.floatToIntBits(a.getFloat(i))
+        out(4 * i) = bits.toByte
+        out(4 * i + 1) = (bits >> 8).toByte
+        out(4 * i + 2) = (bits >> 16).toByte
+        out(4 * i + 3) = (bits >> 24).toByte
+        i += 1
+      }
+      out
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val out = ctx.freshName("out")
+        val bits = ctx.freshName("bits")
+        s"""
+           |int $n = $a.numElements();
+           |byte[] $out = new byte[4 * $n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  int $bits = java.lang.Float.floatToIntBits($a.getFloat($i));
+           |  $out[4 * $i] = (byte) $bits;
+           |  $out[4 * $i + 1] = (byte) ($bits >> 8);
+           |  $out[4 * $i + 2] = (byte) ($bits >> 16);
+           |  $out[4 * $i + 3] = (byte) ($bits >> 24);
+           |}
+           |${ev.value} = $out;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): FloatsToBinary =
+      copy(child = newChild)
+  }
+
+  /** Column API: decode packed little-endian float32 binary. */
+  def vec_unpack(bin: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      FloatsFromBinary(org.apache.spark.sql.GraftBridge.expression(bin)))
+
+  /** Column API: pack array<float> into little-endian float32 binary. */
+  def vec_pack(arr: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      FloatsToBinary(org.apache.spark.sql.GraftBridge.expression(arr)))
+
   /** Column API: dot product of two array<double> columns. */
   def vec_dot(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftBridge.column(

@@ -54,13 +54,16 @@ object Similarity {
   private val normSqlDuck: String =
     s"sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
-  /** Exact brute-force cosine top-5 for the first 10 vectors.
-    * Scoring is map-side (queries broadcast); ranking uses the bounded
+  /** Exact brute-force cosine top-5 for the first 10 vectors, over
+    * any (vec_id, embedding) source — shared by the parquet-table
+    * query and the binary-decode ingestion variant, so "decode then
+    * search" provably runs the IDENTICAL downstream plan. Scoring is
+    * map-side (queries broadcast); ranking uses the bounded
     * [[graft.functions.TopK]] aggregate, so only <=k rows per query
     * reach the shuffle — the 100 TB-safe shape (a window row_number
     * would shuffle every scored candidate). */
-  def simTopKBruteforce: Q = (s, dir) => {
-    val emb = withVec(t(s, dir, "embeddings"))
+  private def topkBruteforceOver(emb0: DataFrame): DataFrame = {
+    val emb = withVec(emb0)
     val q = emb.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -72,6 +75,35 @@ object Similarity {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("query_id"), col("e._2").as("neighbor_id"),
         col("e._3").as("cos_sim"), (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
+  def simTopKBruteforce: Q = (s, dir) =>
+    topkBruteforceOver(t(s, dir, "embeddings"))
+
+  /** Embedding ingestion realism (r6): the ANN family running over
+    * embeddings READ FROM STORAGE as a packed binary column — the
+    * wire format embedding stores actually ship (N × float32 LE blobs
+    * beside an id), not a pre-parsed array column. Staging packs the
+    * table's vectors via the codegen'd
+    * [[graft.functions.VectorExpressions.FloatsToBinary]] and lands
+    * parquet (vec_id, emb_bin BINARY); the query decodes with
+    * [[graft.functions.VectorExpressions.FloatsFromBinary]] — a
+    * map-side expression fused into the scan's codegen Project, no
+    * UDF — and then runs the EXACT brute-force pipeline unchanged.
+    * float32 pack/unpack is bit-lossless, so the oracle is
+    * sim_topk_bruteforce's oracle over the original table; Round6Spec
+    * pins the decode in-plan and the downstream shuffle count equal
+    * to the array-column variant's. */
+  def simFromBinary: Q = (s, dir) => {
+    val out = graft.sources.netcdf.NcQueries.scratch(s, dir, "emb_bin")
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorExpressions.vec_pack(
+          expr("transform(embedding, x -> cast(x as float))")).as("emb_bin"))
+      .write.mode("overwrite").parquet(out)
+    topkBruteforceOver(
+      s.read.parquet(out).select(col("vec_id"),
+        graft.functions.VectorExpressions.vec_unpack(col("emb_bin")).as("embedding")))
   }
 
   val simTopKBruteforceSql: String =
@@ -788,6 +820,7 @@ object Similarity {
     "sim_sq_int8" -> simSqInt8,
     "sim_pq_adc" -> simPqAdc,
     "sim_topk_bruteforce" -> simTopKBruteforce,
+    "sim_from_binary" -> simFromBinary,
     "sim_lsh_bucketed" -> simLshBucketed,
     "sim_ivf" -> simIvf,
     "dedup_embedding" -> dedupEmbedding)
@@ -801,6 +834,7 @@ object Similarity {
     "sim_sq_int8" -> simSqInt8Sql,
     "sim_pq_adc" -> simPqAdcSql,
     "sim_topk_bruteforce" -> simTopKBruteforceSql,
+    "sim_from_binary" -> simTopKBruteforceSql,
     "sim_lsh_bucketed" -> simLshBucketedSql,
     "sim_ivf" -> simIvfSql,
     "dedup_embedding" -> dedupEmbeddingSql)
