@@ -39,7 +39,8 @@ object SparkEntry {
       graft.operators.ShardManifest.queries ++
       graft.operators.Winnowing.queries ++
       graft.operators.DatasetCard.queries ++
-      graft.operators.DatasetDiff.queries
+      graft.operators.DatasetDiff.queries ++
+      graft.operators.NgramLm.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -69,5 +70,6 @@ object SparkEntry {
       graft.operators.ShardManifest.oracles ++
       graft.operators.Winnowing.oracles ++
       graft.operators.DatasetCard.oracles ++
-      graft.operators.DatasetDiff.oracles
+      graft.operators.DatasetDiff.oracles ++
+      graft.operators.NgramLm.oracles
 }

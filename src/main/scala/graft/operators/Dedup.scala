@@ -552,12 +552,68 @@ object Dedup {
        |WHERE rn = 1""".stripMargin
   }
 
+  /** Streaming twin of [[dedupIncremental]] (r6) — MinHash signature
+    * maintenance AT INGEST: the arriving shard is a file stream,
+    * shingling + the df-cap are map-side ON the stream (the hot-list
+    * is corpus metadata shipped as a broadcast artifact, exactly like
+    * stream_contamination's benchmark shingle set), and the per-doc
+    * signature index is a complete-mode aggregation whose state is
+    * ONE row per arriving doc — bounded by shard size, not corpus
+    * size. Banding + the one-directional join against the existing
+    * corpus's band index + Jaccard verification run batch-side on the
+    * drained signatures (the stream_topterms convention: streaming
+    * maintains the state, the bounded tail math replays per refresh).
+    * Output and oracle identical to the batch form, so the gate
+    * proves the incrementally-built signatures match the batch-built
+    * ones byte for byte. */
+  def streamDedupIncremental: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val sh = cappedShingles(docs, 3).cache()
+    val hotList = shingles(docs, 3).groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MAX_DF).select("sh")
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    val sigAggs = (0 until H).map(i =>
+      min(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 16)).as(s"h$i"))
+    graft.streaming.StreamStage.withStaged(s, "sdi", dir, "documents.parquet") { stageDir =>
+      val arriving = s.readStream.schema(sch).parquet(stageDir)
+        .filter(col("source").isin("src0", "src1"))
+      val shStream = shingles(arriving, 3)
+        .join(broadcast(hotList), Seq("sh"), "left_anti")
+      val sigs = shStream.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+      val q = sigs.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_sdi").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val bandCols = (0 until BANDS).map(b =>
+      struct(lit(b).as("band"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh")))
+    def toBands(sigs: DataFrame) = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("s"))
+      .select(col("doc_id"), col("s.band").as("band"), col("s.bh").as("bh"))
+    val bandsNew = toBands(s.table("graft_stream_sdi"))
+    val newIds = docs.filter(col("source").isin("src0", "src1")).select("doc_id")
+    val bandsOld = toBands(
+      sh.join(broadcast(newIds), Seq("doc_id"), "left_anti")
+        .groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*))
+    val cand = bandsNew.alias("a")
+      .join(bandsOld.alias("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    withJaccard(cand, sh)
+      .groupBy(col("id_a").as("new_id"))
+      .agg(max(struct(col("jaccard"), (-col("id_b")).as("nb"),
+        col("id_b"), col("n_inter"))).as("m"))
+      .select(col("new_id"), col("m.id_b").as("match_id"),
+        col("m.n_inter").as("n_inter"), col("m.jaccard").as("jaccard"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
     "dedup_cdc" -> dedupCdc,
     "dedup_incremental" -> dedupIncremental,
+    "stream_dedup_incremental" -> streamDedupIncremental,
     "dedup_eval" -> dedupEval,
     "dedup_eval_sweep" -> dedupEvalSweep)
 
@@ -567,6 +623,7 @@ object Dedup {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_cdc" -> dedupCdcSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "stream_dedup_incremental" -> dedupIncrementalSql,
     "dedup_eval" -> dedupEvalSql,
     "dedup_eval_sweep" -> dedupEvalSweepSql)
 }

@@ -625,7 +625,71 @@ object GridOps {
        |  round(SUM(w * vc) / (SUM(w) * 100.0), 6) AS wmean
        |FROM tb GROUP BY t""".stripMargin
 
+  /** Bilinear 2-D interpolation at fractional grid points (xarray
+    * `interp(y=..., x=...)` on a regular y×300 grid over the indexed
+    * variable): each target reads its FOUR surrounding cells by exact
+    * index key — the corner table (4·N rows, metadata-sized) joins
+    * BROADCAST against the indexed variable, so N point
+    * interpolations cost one pruned equi-join, never a scan per
+    * target and never a window. Corner weights use fractions exact in
+    * binary (.25/.5/.75), and the blend is one fixed-association
+    * expression, so both engines produce bit-equal results. Corner
+    * values ride along in the output — a wrong corner pick breaks the
+    * gate even where the blend happens to agree. */
+  def gridInterp2d: Q = (s, dir) => {
+    import s.implicits._
+    val NX = 300
+    val targets = Seq((0L, 3.25, 17.5), (1L, 7.0, 42.75), (2L, 12.5, 150.25))
+    val corners = targets.flatMap { case (tid, yq, xq) =>
+      val y0 = math.floor(yq).toLong
+      val x0 = math.floor(xq).toLong
+      val fy = yq - y0
+      val fx = xq - x0
+      for (dy <- 0 to 1; dx <- 0 to 1) yield {
+        val w = (if (dy == 0) 1.0 - fy else fy) * (if (dx == 0) 1.0 - fx else fx)
+        (tid, yq, xq, (y0 + dy) * NX + (x0 + dx), dy * 2 + dx, w)
+      }
+    }.toDF("tid", "yq", "xq", "idx", "corner", "w")
+    def cv(k: Int) = max(when(col("corner") === k, col("v")))
+    def cw(k: Int) = max(when(col("corner") === k, col("w")))
+    indexedQty(s, dir).join(broadcast(corners), "idx")
+      .groupBy("tid", "yq", "xq")
+      .agg(cv(0).as("v00"), cv(1).as("v01"), cv(2).as("v10"), cv(3).as("v11"),
+        cw(0).as("w00"), cw(1).as("w01"), cw(2).as("w10"), cw(3).as("w11"))
+      .select(col("tid"), col("yq"), col("xq"),
+        col("v00"), col("v01"), col("v10"), col("v11"),
+        (((col("w00") * col("v00") + col("w01") * col("v01"))
+          + col("w10") * col("v10")) + col("w11") * col("v11")).as("ival"))
+  }
+
+  val gridInterp2dSql: String =
+    s"""WITH $orderedCte,
+       |tg(tid, yq, xq) AS (VALUES
+       |  (CAST(0 AS BIGINT), CAST(3.25 AS DOUBLE), CAST(17.5 AS DOUBLE)),
+       |  (1, CAST(7.0 AS DOUBLE), CAST(42.75 AS DOUBLE)),
+       |  (2, CAST(12.5 AS DOUBLE), CAST(150.25 AS DOUBLE))),
+       |corners AS (
+       |  SELECT tid, yq, xq,
+       |    (CAST(FLOOR(yq) AS BIGINT) + dy) * 300 + CAST(FLOOR(xq) AS BIGINT) + dx AS idx,
+       |    dy * 2 + dx AS corner,
+       |    (CASE WHEN dy = 0 THEN 1.0 - (yq - FLOOR(yq)) ELSE yq - FLOOR(yq) END)
+       |      * (CASE WHEN dx = 0 THEN 1.0 - (xq - FLOOR(xq)) ELSE xq - FLOOR(xq) END) AS w
+       |  FROM tg CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) d(dy, dx)),
+       |j AS (SELECT c.tid, c.yq, c.xq, c.corner, c.w, o.v
+       |      FROM corners c JOIN o ON o.idx = c.idx)
+       |SELECT tid, yq, xq,
+       |  MAX(CASE WHEN corner = 0 THEN v END) AS v00,
+       |  MAX(CASE WHEN corner = 1 THEN v END) AS v01,
+       |  MAX(CASE WHEN corner = 2 THEN v END) AS v10,
+       |  MAX(CASE WHEN corner = 3 THEN v END) AS v11,
+       |  ((MAX(CASE WHEN corner = 0 THEN w END) * MAX(CASE WHEN corner = 0 THEN v END)
+       |    + MAX(CASE WHEN corner = 1 THEN w END) * MAX(CASE WHEN corner = 1 THEN v END))
+       |    + MAX(CASE WHEN corner = 2 THEN w END) * MAX(CASE WHEN corner = 2 THEN v END))
+       |    + MAX(CASE WHEN corner = 3 THEN w END) * MAX(CASE WHEN corner = 3 THEN v END) AS ival
+       |FROM j GROUP BY tid, yq, xq""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "grid_interp2d" -> gridInterp2d,
     "grid_cumsum" -> gridCumsum,
     "grid_weighted_mean" -> gridWeightedMean,
     "grid_elementwise" -> gridElementwise,
@@ -644,6 +708,7 @@ object GridOps {
     "grid_stats" -> gridStats)
 
   val oracles: Map[String, String] = Map(
+    "grid_interp2d" -> gridInterp2dSql,
     "grid_cumsum" -> gridCumsumSql,
     "grid_weighted_mean" -> gridWeightedMeanSql,
     "grid_elementwise" -> gridElementwiseSql,

@@ -17,7 +17,8 @@ object Hdf5IO {
 
   def write(df: DataFrame, dir: String, chunkRecs: Int = 4096,
       deflate: Boolean = true, h5ver: Int = 0, stringWidth: Int = 32,
-      arrayLens: Map[String, Int] = Map.empty): Unit = {
+      arrayLens: Map[String, Int] = Map.empty,
+      varAttrs: Map[String, Seq[Hdf5Format.H5Attr]] = Map.empty): Unit = {
     val schema = df.schema
     require(!schema.fieldNames.contains("record"),
       "column name `record` is reserved for the netcdf4 record index")
@@ -44,7 +45,7 @@ object Hdf5IO {
       }
     df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val w = new Hdf5Format.Hdf5Writer(schema, chunkRecs, deflate,
-        stringWidth, arrayLens, h5ver)
+        stringWidth, arrayLens, h5ver, varAttrs = varAttrs)
       rows.foreach { r =>
         var i = 0
         while (i < schema.size) {
@@ -65,6 +66,32 @@ object Hdf5IO {
       Iterator.single(pid)
     }.count()
     ()
+  }
+
+  /** Every attribute of every file in the dir as rows (var_name,
+    * attr_name, idx, sval, dval) — the netCDF-4 metadata surface
+    * (`Dataset.ncattrs` / `Variable.ncattrs` parity). Root-group
+    * attributes report under var_name 'GLOBAL'. A header-only
+    * metadata pass; mirrors [[NcIO.readAttrs]] for the classic
+    * format. */
+  def readAttrs(spark: SparkSession, dir: String): DataFrame = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = NetCDF4Util.listFiles(fs, p).flatMap { f =>
+      val meta = Hdf5Format.readMeta(fs, f)
+      def attRows(varName: String, atts: Seq[Hdf5Format.H5Attr]) = atts.flatMap { a =>
+        a.text match {
+          case Some(s) => Seq((varName, a.name, 0L, Option(s), Option.empty[Double]))
+          case None => a.nums.zipWithIndex.map { case (d, i) =>
+            (varName, a.name, i.toLong, Option.empty[String], Some(d))
+          }.toSeq
+        }
+      }
+      attRows("GLOBAL", meta.rootAttrs) ++
+        meta.vars.flatMap(v => attRows(v.name, v.attrs))
+    }
+    import spark.implicits._
+    rows.toDF("var_name", "attr_name", "idx", "sval", "dval")
   }
 }
 
@@ -136,10 +163,42 @@ object Nc4Queries {
       |  FROM lineitem) sub
       |WHERE rn - 1 >= 1000 AND rn - 1 < 2000""".stripMargin
 
+  /** netCDF-4 attribute surface: write with per-variable string AND
+    * double-array attributes (`Variable.setncattr` parity — the typed
+    * attribute messages live in each dataset's object header), read
+    * every attribute back from the HDF5 headers across a multi-file
+    * dir, distinct-collapse (attributes are file-invariant). The
+    * oracle is the expected constant table, so one wrong byte in the
+    * attribute message encode/decode chain breaks the hash. */
+  def nc4Attrs: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5attrs")
+    Hdf5IO.write(
+      t(s, dir, "lineitem").select(col("l_quantity"), col("l_extendedprice"))
+        .repartition(2),
+      out,
+      varAttrs = Map(
+        "l_quantity" -> Seq(Hdf5Format.H5Attr("units", Some("count"), Array.empty)),
+        "l_extendedprice" -> Seq(
+          Hdf5Format.H5Attr("units", Some("USD"), Array.empty),
+          Hdf5Format.H5Attr("valid_range", None, Array(0.0, 200000.0)))))
+    Hdf5IO.readAttrs(s, out).distinct()
+  }
+
+  val nc4AttrsSql: String =
+    """SELECT * FROM (
+      |  SELECT 'GLOBAL' AS var_name, '_NCProperties' AS attr_name, CAST(0 AS BIGINT) AS idx,
+      |    'version=2,netcdf=4.9.2,hdf5=1.12.2' AS sval, CAST(NULL AS DOUBLE) AS dval
+      |  UNION ALL SELECT 'l_quantity', 'units', 0, 'count', NULL
+      |  UNION ALL SELECT 'l_extendedprice', 'units', 0, 'USD', NULL
+      |  UNION ALL SELECT 'l_extendedprice', 'valid_range', 0, NULL, 0.0
+      |  UNION ALL SELECT 'l_extendedprice', 'valid_range', 1, NULL, 200000.0)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "nc4_read_roundtrip" -> nc4ReadRoundtrip,
-    "nc4_read_prune" -> nc4ReadPrune)
+    "nc4_read_prune" -> nc4ReadPrune,
+    "nc4_attrs" -> nc4Attrs)
   val oracles: Map[String, String] = Map(
     "nc4_read_roundtrip" -> nc4ReadRoundtripSql,
-    "nc4_read_prune" -> nc4ReadPruneSql)
+    "nc4_read_prune" -> nc4ReadPruneSql,
+    "nc4_attrs" -> nc4AttrsSql)
 }
