@@ -96,6 +96,10 @@ object Hdf5Format {
       chunks: Array[H5Chunk],
       attrs: Seq[H5Attr]) {
     def chunkBytes: Int = (kind.rowBytes * chunkRecs).toInt
+    /** CF `actual_range` zone map, when the writer recorded one. */
+    def range: Option[(Double, Double)] =
+      attrs.find(a => a.name == "actual_range" && a.nums.length == 2)
+        .map(a => (a.nums(0), a.nums(1)))
   }
 
   case class H5Meta(vars: Seq[H5Var], rootAttrs: Seq[H5Attr]) {
@@ -258,6 +262,14 @@ object Hdf5Format {
     var inChunk = 0
     var numRecs = 0L
     val stored = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Int)] // (bytes, filterMask)
+    // running per-variable value range for scalar numerics — becomes
+    // the CF `actual_range` attribute (the zone map the scan prunes by)
+    var vMin = Double.PositiveInfinity
+    var vMax = Double.NegativeInfinity
+    private def track(d: Double): Unit = {
+      if (d < vMin) vMin = d
+      if (d > vMax) vMax = d
+    }
 
     def flushChunk(): Unit = if (inChunk > 0) {
       // edge chunks are stored FULL-SIZE (zero-padded) — the HDF5
@@ -283,10 +295,18 @@ object Hdf5Format {
 
     def putValue(v: Any): Unit = {
       kind match {
-        case KLong => bb.putLong(v match { case n: Number => n.longValue(); case _ => 0L })
-        case KInt => bb.putInt(v match { case n: Number => n.intValue(); case _ => 0 })
-        case KDouble => bb.putDouble(v match { case n: Number => n.doubleValue(); case _ => 0.0 })
-        case KFloat => bb.putFloat(v match { case n: Number => n.floatValue(); case _ => 0f })
+        case KLong =>
+          val x = v match { case n: Number => n.longValue(); case _ => 0L }
+          track(x.toDouble); bb.putLong(x)
+        case KInt =>
+          val x = v match { case n: Number => n.intValue(); case _ => 0 }
+          track(x.toDouble); bb.putInt(x)
+        case KDouble =>
+          val x = v match { case n: Number => n.doubleValue(); case _ => 0.0 }
+          track(x); bb.putDouble(x)
+        case KFloat =>
+          val x = v match { case n: Number => n.floatValue(); case _ => 0f }
+          track(x.toDouble); bb.putFloat(x)
         case KString(w) =>
           val sb = v match {
             case b: Array[Byte] => b
@@ -383,7 +403,19 @@ object Hdf5Format {
       chunkDims.foreach(lay.u32)
       lay.u32(v.kind.elemSize)
       msgs += MSG_LAYOUT -> lay.result()
-      v.attrs.foreach(a => msgs += MSG_ATTRIBUTE -> attributeBytes(a))
+      // automatic CF actual_range zone map for scalar numerics — what
+      // makes value filters prunable at file level on the read side.
+      // INT64 endpoints widen one ulp OUTWARD (a long need not
+      // roundtrip through double above 2^53; the r5 zone-map lesson)
+      val autoRange: Seq[H5Attr] = v.kind match {
+        case KLong if v.numRecs > 0 =>
+          Seq(H5Attr("actual_range", None,
+            Array(math.nextDown(v.vMin), math.nextUp(v.vMax))))
+        case KInt | KDouble | KFloat if v.numRecs > 0 =>
+          Seq(H5Attr("actual_range", None, Array(v.vMin, v.vMax)))
+        case _ => Nil
+      }
+      (v.attrs ++ autoRange).foreach(a => msgs += MSG_ATTRIBUTE -> attributeBytes(a))
       msgs.toSeq
     }
 

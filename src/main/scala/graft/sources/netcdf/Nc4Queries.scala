@@ -167,9 +167,11 @@ object Nc4Queries {
     * double-array attributes (`Variable.setncattr` parity — the typed
     * attribute messages live in each dataset's object header), read
     * every attribute back from the HDF5 headers across a multi-file
-    * dir, distinct-collapse (attributes are file-invariant). The
-    * oracle is the expected constant table, so one wrong byte in the
-    * attribute message encode/decode chain breaks the hash. */
+    * dir. User attrs are file-invariant (min == the value); the
+    * writer's automatic per-file `actual_range` zone maps aggregate
+    * as (min of mins, max of maxs) = the corpus range, which the
+    * oracle recomputes from the source parquet — so the gate checks
+    * the attribute codec AND the zone-map values in one query. */
   def nc4Attrs: Q = (s, dir) => {
     val out = NcQueries.scratch(s, dir, "h5attrs")
     Hdf5IO.write(
@@ -181,7 +183,14 @@ object Nc4Queries {
         "l_extendedprice" -> Seq(
           Hdf5Format.H5Attr("units", Some("USD"), Array.empty),
           Hdf5Format.H5Attr("valid_range", None, Array(0.0, 200000.0)))))
-    Hdf5IO.readAttrs(s, out).distinct()
+    Hdf5IO.readAttrs(s, out)
+      .groupBy("var_name", "attr_name", "idx")
+      .agg(min(col("sval")).as("sval"),
+        min(col("dval")).as("mn"), max(col("dval")).as("mx"))
+      .select(col("var_name"), col("attr_name"), col("idx"), col("sval"),
+        when(col("attr_name") === "actual_range",
+          when(col("idx") === 0, col("mn")).otherwise(col("mx")))
+          .otherwise(col("mn")).as("dval"))
   }
 
   val nc4AttrsSql: String =
@@ -191,14 +200,52 @@ object Nc4Queries {
       |  UNION ALL SELECT 'l_quantity', 'units', 0, 'count', NULL
       |  UNION ALL SELECT 'l_extendedprice', 'units', 0, 'USD', NULL
       |  UNION ALL SELECT 'l_extendedprice', 'valid_range', 0, NULL, 0.0
-      |  UNION ALL SELECT 'l_extendedprice', 'valid_range', 1, NULL, 200000.0)""".stripMargin
+      |  UNION ALL SELECT 'l_extendedprice', 'valid_range', 1, NULL, 200000.0
+      |  UNION ALL SELECT 'l_quantity', 'actual_range', 0, NULL, MIN(l_quantity) FROM lineitem
+      |  UNION ALL SELECT 'l_quantity', 'actual_range', 1, NULL, MAX(l_quantity) FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', 'actual_range', 0, NULL, MIN(l_extendedprice) FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', 'actual_range', 1, NULL, MAX(l_extendedprice) FROM lineitem)""".stripMargin
+
+  /** Write-side range bucketing for the HDF5 source (the nc_sorted_skip
+    * twin): `repartitionByRange` on the filter key gives the 8 part
+    * files disjoint automatic `actual_range` zone maps, so a selective
+    * value filter plans only the covering file(s) — Hdf5Spec pins the
+    * partition count. The filter itself is re-evaluated by Spark
+    * (pruning is conservative); the oracle aggregates the same slice
+    * from the original parquet. */
+  def nc4SortedSkip: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5sorted_skip")
+    Hdf5IO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"),
+      out, chunkRecs = 1024)
+    s.read.format(SRC).load(out)
+      .filter(col("l_orderkey") >= 1000L && col("l_orderkey") < 2000L)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+  }
+
+  val nc4SortedSkipSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+      |FROM lineitem
+      |WHERE l_orderkey >= 1000 AND l_orderkey < 2000""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "nc4_read_roundtrip" -> nc4ReadRoundtrip,
     "nc4_read_prune" -> nc4ReadPrune,
-    "nc4_attrs" -> nc4Attrs)
+    "nc4_attrs" -> nc4Attrs,
+    "nc4_sorted_skip" -> nc4SortedSkip)
   val oracles: Map[String, String] = Map(
     "nc4_read_roundtrip" -> nc4ReadRoundtripSql,
     "nc4_read_prune" -> nc4ReadPruneSql,
-    "nc4_attrs" -> nc4AttrsSql)
+    "nc4_attrs" -> nc4AttrsSql,
+    "nc4_sorted_skip" -> nc4SortedSkipSql)
 }

@@ -92,14 +92,29 @@ class Nc4ScanBuilder(fullSchema: StructType, dir: String, options: Map[String, S
   private var lower: Long = 0L
   private var upper: Long = Long.MaxValue
   private var pushed: Array[sources.Filter] = Array.empty
+  /** per-variable closed value bounds for actual_range file pruning */
+  private var valueBounds: Map[String, (Double, Double)] = Map.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Accept exact record-index bounds; OBSERVE value comparisons on
+    * data columns for zone-map file pruning (the writer's automatic
+    * `actual_range` attributes) while returning them to Spark for
+    * re-evaluation — pruning only has to be conservative. */
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     def bound(v: Any): Option[Long] = v match {
       case n: Number => Some(n.longValue())
       case _ => None
+    }
+    def dbl(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case _ => None
+    }
+    def tighten(colName: String, lo: Double, hi: Double): Unit = {
+      val (clo, chi) = valueBounds.getOrElse(colName,
+        (Double.NegativeInfinity, Double.PositiveInfinity))
+      valueBounds += colName -> (math.max(clo, lo), math.min(chi, hi))
     }
     val (accepted, rest) = filters.partition {
       case sources.GreaterThan("record", v) => bound(v).isDefined
@@ -118,13 +133,21 @@ class Nc4ScanBuilder(fullSchema: StructType, dir: String, options: Map[String, S
         lower = math.max(lower, bound(v).get); upper = math.min(upper, bound(v).get + 1)
       case _ =>
     }
+    rest.foreach {
+      case sources.GreaterThan(c, v) => dbl(v).foreach(x => tighten(c, x, Double.PositiveInfinity))
+      case sources.GreaterThanOrEqual(c, v) => dbl(v).foreach(x => tighten(c, x, Double.PositiveInfinity))
+      case sources.LessThan(c, v) => dbl(v).foreach(x => tighten(c, Double.NegativeInfinity, x))
+      case sources.LessThanOrEqual(c, v) => dbl(v).foreach(x => tighten(c, Double.NegativeInfinity, x))
+      case sources.EqualTo(c, v) => dbl(v).foreach(x => tighten(c, x, x))
+      case _ =>
+    }
     pushed = accepted
     rest
   }
 
   override def pushedFilters(): Array[sources.Filter] = pushed
 
-  override def build(): Scan = new Nc4Scan(required, dir, lower, upper, options)
+  override def build(): Scan = new Nc4Scan(required, dir, lower, upper, valueBounds, options)
 }
 
 case class Nc4InputPartition(
@@ -134,6 +157,7 @@ case class Nc4InputPartition(
     fileOffset: Long) extends InputPartition
 
 class Nc4Scan(required: StructType, dir: String, lower: Long, upper: Long,
+    valueBounds: Map[String, (Double, Double)],
     options: Map[String, String]) extends Scan with Batch {
 
   private val serConf =
@@ -171,13 +195,21 @@ class Nc4Scan(required: StructType, dir: String, lower: Long, upper: Long,
     var offset = 0L
     val parts = Array.newBuilder[InputPartition]
     metas.foreach { case (f, meta) =>
+      // zone-map skip: the whole file is prunable when any filtered
+      // variable's actual_range attribute is disjoint from the bounds
+      val zonePruned = valueBounds.exists { case (colName, (lo, hi)) =>
+        meta.vars.find(_.name == colName).flatMap(_.range)
+          .exists { case (fMin, fMax) => fMin > hi || fMax < lo }
+      }
       val lo = math.max(lower, offset)
       val hi = math.min(upper, offset + meta.numRecs)
-      var s = lo
-      while (s < hi) {
-        val e = math.min(s + perPart, hi)
-        parts += Nc4InputPartition(f.toString, s - offset, e - offset, offset)
-        s = e
+      if (!zonePruned) {
+        var s = lo
+        while (s < hi) {
+          val e = math.min(s + perPart, hi)
+          parts += Nc4InputPartition(f.toString, s - offset, e - offset, offset)
+          s = e
+        }
       }
       offset += meta.numRecs
     }

@@ -134,6 +134,30 @@ class Hdf5Spec extends AnyFunSuite {
     assert(back.agg(sum("x")).head().getDouble(0) == (0L until 5000L).map(_.toDouble).sum)
   }
 
+  test("value filters prune part files via automatic actual_range zone maps") {
+    val dir = "/tmp/graft_h5/zskip"
+    Hdf5IO.write(
+      spark.range(80000).select(col("id").cast(DoubleType).as("k"),
+        (col("id") * 3).cast(DoubleType).as("p"))
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      dir, chunkRecs = 1000)
+    val all = spark.read.format(SRC).load(dir)
+    assert(all.rdd.getNumPartitions >= 8)
+    val sliced = all.filter(col("k") >= 30000.0 && col("k") < 31000.0)
+    assert(sliced.count() == 1000)
+    // disjoint per-file ranges: the slice covers at most 2 of 8 files
+    val touched = sliced.rdd.getNumPartitions
+    assert(touched < all.rdd.getNumPartitions / 2,
+      s"zone maps did not prune: $touched of ${all.rdd.getNumPartitions}")
+    // a filter outside every file's range plans zero partitions
+    val none = all.filter(col("k") >= 1.0e9)
+    assert(none.rdd.getNumPartitions == 0 || none.count() == 0)
+    assert(none.count() == 0)
+    // long variables widen endpoints outward (conservative above 2^53)
+    val meta = Hdf5Format.readMeta(fs, NetCDF4Util.listFiles(fs, new Path(dir)).head)
+    assert(meta.vars.forall(_.range.isDefined))
+  }
+
   test("root attributes carry netCDF-4 properties; var attrs roundtrip") {
     val dir = "/tmp/graft_h5/attrs"
     Hdf5IO.write(spark.range(100).select(col("id").cast(DoubleType).as("x")).coalesce(1), dir)
