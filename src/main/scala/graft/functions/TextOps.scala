@@ -662,6 +662,77 @@ object TextOps {
       .agg(sort_array(collect_list(col("q"))).as("bs"))
   }
 
+  /** Streaming QUALITY-HISTOGRAM twin (r6): the corpus quality
+    * distribution maintained incrementally as shards land. The
+    * composite score is a convex combination of [0,1] signals, so the
+    * domain is FIXED — bin = min(floor(score·64), 63) needs no prior
+    * stats pass, which is precisely what makes the histogram a
+    * legitimate streaming aggregate: complete-mode state is ≤64 rows
+    * for ANY stream length (the data-derived-bounds batch form cannot
+    * stream — its bin width depends on a finished min/max pass).
+    * Decile boundaries interpolate batch-side from the drained 64-row
+    * histogram (the sketchHistogramQuantile closed form; the window
+    * runs over ≤64 rows, never the corpus). A 100 TB ingest keeps its
+    * quality deciles current per micro-batch instead of rescanning. */
+  def streamQualityHistogram: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    graft.streaming.StreamStage.withStaged(s, "sqh", dir, "documents.parquet") { stageDir =>
+      val docs = withQualityScore(s.readStream.schema(sch).parquet(stageDir))
+      val hist = docs
+        .select(expr(
+          "CAST(least(CAST(floor(score * CAST(64 AS DOUBLE)) AS DOUBLE), CAST(63 AS DOUBLE)) AS BIGINT)")
+          .as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      val q = hist.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_qh").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val s2 = s
+    import s2.implicits._
+    val hist = s.table("graft_stream_qh")
+    val st = hist.agg(sum(col("cnt")).as("n"))
+    val cum = hist.select(col("bin"), col("cnt"),
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+        .orderBy("bin").rowsBetween(Long.MinValue, 0)).as("cum"))
+    val qs = (1 to 9).map(_ / 10.0).toDF("p")
+    val sel = cum.crossJoin(broadcast(st)).crossJoin(broadcast(qs))
+      .filter(expr("CAST(cum AS DOUBLE) >= p * CAST(n AS DOUBLE)"))
+      .groupBy("p").agg(min(col("bin")).as("bin"))
+    sel.join(cum, "bin").crossJoin(broadcast(st))
+      .select(col("p"), col("bin"),
+        expr("""(CAST(bin AS DOUBLE)
+               |  + (p * CAST(n AS DOUBLE) - (CAST(cum AS DOUBLE) - CAST(cnt AS DOUBLE)))
+               |    / CAST(cnt AS DOUBLE)) / CAST(64 AS DOUBLE)""".stripMargin).as("est_q"))
+  }
+
+  val streamQualityHistogramSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    least(n_words / 50.0, 1.0) * 0.4
+       |      + (n_stop / n_words) * 0.3
+       |      + least(((length(text) - (n_words - 1)) / n_words) / 8.0, 1.0) * 0.3 AS score
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |      CAST(len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(stoplist)}))) AS BIGINT) AS n_stop
+       |    FROM documents) sub),
+       |b AS (SELECT CAST(LEAST(FLOOR(score * CAST(64 AS DOUBLE)), CAST(63 AS DOUBLE)) AS BIGINT) AS bin,
+       |             COUNT(*) AS cnt
+       |      FROM docs GROUP BY 1),
+       |st AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM b),
+       |c AS (SELECT bin, cnt, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM b),
+       |q AS (SELECT UNNEST([CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE), CAST(0.3 AS DOUBLE),
+       |                     CAST(0.4 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
+       |                     CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p),
+       |sel AS (SELECT q.p, MIN(c.bin) AS bin
+       |        FROM q, c, st WHERE CAST(c.cum AS DOUBLE) >= q.p * CAST(st.n AS DOUBLE)
+       |        GROUP BY q.p)
+       |SELECT sel.p, sel.bin,
+       |  (CAST(sel.bin AS DOUBLE)
+       |    + (sel.p * CAST(st.n AS DOUBLE) - (CAST(c.cum AS DOUBLE) - CAST(c.cnt AS DOUBLE)))
+       |      / CAST(c.cnt AS DOUBLE)) / CAST(64 AS DOUBLE) AS est_q
+       |FROM sel JOIN c ON c.bin = sel.bin CROSS JOIN st""".stripMargin
+
   def pipelineQualityBuckets: Q = (s, dir) => {
     val docs = qualityDocs(s, dir).cache() // stats + histogram + assignment passes
     docs.crossJoin(broadcast(decileBounds(docs)))
@@ -809,6 +880,7 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "pipeline_quality_buckets" -> pipelineQualityBuckets,
+    "stream_quality_histogram" -> streamQualityHistogram,
     "pipeline_sample_by_quality" -> pipelineSampleByQuality,
     "text_ttr" -> textTtr,
     "pipeline_pack_sequences" -> pipelinePackSequences,
@@ -830,6 +902,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "pipeline_quality_buckets" -> pipelineQualityBucketsSql,
+    "stream_quality_histogram" -> streamQualityHistogramSql,
     "pipeline_sample_by_quality" -> pipelineSampleByQualitySql,
     "text_ttr" -> textTtrSql,
     "pipeline_pack_sequences" -> pipelinePackSequencesSql,
