@@ -861,6 +861,7 @@ object Hdf5Format {
     var signed = true
     var strWidth = 0
     var chunkRecs = 0
+    var chunkDims: Seq[Int] = Nil
     var btreeAddr = UNDEF
     var contiguous = UNDEF
     var deflate = false
@@ -895,6 +896,7 @@ object Hdf5Format {
           btreeAddr = b.u64()
           val cdims = (0 until rank).map(_ => b.u32().toInt)
           chunkRecs = cdims.head
+          chunkDims = cdims
         } else if (cls == 1) {
           contiguous = b.u64()
         } else throw new java.io.IOException("compact layout unsupported")
@@ -919,6 +921,14 @@ object Hdf5Format {
       case _ =>
     }
     if (dims.isEmpty || kindCls < 0) return None
+    // the range reader models chunks as whole-row slabs along the
+    // record dimension; a wild file chunked ALSO along the second
+    // dimension (chunk dims [r, k', esize] with k' < k) would decode
+    // garbage silently — fail loudly instead (documented subset)
+    if (chunkDims.length == 3 && dims.length == 2)
+      require(chunkDims(1).toLong == dims(1),
+        s"partial-width 2-D chunking unsupported for $name: " +
+          s"chunk dim ${chunkDims(1)} < variable dim ${dims(1)}")
     val kind: H5Kind = (kindCls, elemSize, dims.size) match {
       case (0, 8, 1) => KLong
       case (0, 4, 1) => KInt

@@ -238,14 +238,45 @@ object Nc4Queries {
       |FROM lineitem
       |WHERE l_orderkey >= 1000 AND l_orderkey < 2000""".stripMargin
 
+  /** Micro-batch Structured Streaming ingest of a netCDF-4 dir
+    * (incremental file ingest, exactly-once records — the reference's
+    * chunk-streaming semantics over its actual on-disk format):
+    * offset = immutable-file count, the global record index rebased
+    * from header metadata per batch; a complete-mode aggregate drains
+    * the staged dir and must equal the batch aggregate over parquet. */
+  def nc4StreamIngest: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5stream_ingest")
+    Hdf5IO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .repartition(3),
+      out, chunkRecs = 4096)
+    val stream = s.readStream.format(SRC).load(out)
+    val agg = stream.agg(
+      count(lit(1)).as("n"),
+      sum(col("l_orderkey")).as("sum_key"),
+      dsum(col("l_quantity")).as("sum_qty"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_nc4_ingest").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_nc4_ingest")
+  }
+
+  val nc4StreamIngestSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "nc4_read_roundtrip" -> nc4ReadRoundtrip,
     "nc4_read_prune" -> nc4ReadPrune,
     "nc4_attrs" -> nc4Attrs,
-    "nc4_sorted_skip" -> nc4SortedSkip)
+    "nc4_sorted_skip" -> nc4SortedSkip,
+    "nc4_stream_ingest" -> nc4StreamIngest)
   val oracles: Map[String, String] = Map(
     "nc4_read_roundtrip" -> nc4ReadRoundtripSql,
     "nc4_read_prune" -> nc4ReadPruneSql,
     "nc4_attrs" -> nc4AttrsSql,
-    "nc4_sorted_skip" -> nc4SortedSkipSql)
+    "nc4_sorted_skip" -> nc4SortedSkipSql,
+    "nc4_stream_ingest" -> nc4StreamIngestSql)
 }

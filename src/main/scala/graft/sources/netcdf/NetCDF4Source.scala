@@ -79,7 +79,7 @@ class NetCDF4Table(tableSchema: StructType, dir: String)
   override def name(): String = s"netcdf4:$dir"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new Nc4ScanBuilder(tableSchema, dir, options.asScala.toMap)
@@ -211,6 +211,53 @@ class Nc4Scan(required: StructType, dir: String, lower: Long, upper: Long,
           s = e
         }
       }
+      offset += meta.numRecs
+    }
+    parts.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new Nc4ReaderFactory(required, serConf)
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new Nc4MicroBatchStream(dir, required, options, serConf)
+}
+
+/** Micro-batch stream over a growing directory of .nc4/.h5 files —
+  * the netCDF-4 twin of [[NcMicroBatchStream]]: offset = file count,
+  * files immutable, new files sort after seen ones; each batch covers
+  * the files that appeared since the last offset, with the global
+  * `record` index rebased from header metadata only. */
+class Nc4MicroBatchStream(dir: String, required: StructType,
+    options: Map[String, String], serConf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def fs =
+    new Path(dir).getFileSystem(SparkContext.getOrCreate().hadoopConfiguration)
+  private def files: Seq[Path] = NetCDF4Util.listFiles(fs, new Path(dir))
+  private val metaCache = scala.collection.mutable.HashMap.empty[String, Hdf5Format.H5Meta]
+  private def metaOf(f: Path): Hdf5Format.H5Meta =
+    metaCache.getOrElseUpdate(f.toString, Hdf5Format.readMeta(fs, f))
+
+  override def initialOffset(): Offset = NcOffset(0)
+  override def latestOffset(): Offset = NcOffset(files.size)
+  override def deserializeOffset(json: String): Offset =
+    NcOffset("\\d+".r.findFirstIn(json).map(_.toInt).getOrElse(0))
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[NcOffset].fileCount
+    val e = end.asInstanceOf[NcOffset].fileCount
+    var offset = 0L
+    val parts = Array.newBuilder[InputPartition]
+    files.zipWithIndex.foreach { case (f, idx) =>
+      val meta = metaOf(f)
+      if (idx >= s && idx < e && meta.numRecs > 0)
+        parts += Nc4InputPartition(f.toString, 0L, meta.numRecs, offset)
       offset += meta.numRecs
     }
     parts.result()
