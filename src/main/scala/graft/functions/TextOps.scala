@@ -743,8 +743,10 @@ object TextOps {
         sum(col("n_words")).as("total_words"))
   }
 
-  val pipelineQualityBucketsSql: String =
-    s"""WITH docs AS (
+  /** The decile-boundary CTE chain ([[decileBounds]]'s DuckDB twin) —
+    * shared by the quality-bucket and curriculum oracles. */
+  private val decileCtesSqlDuck: String =
+    s"""docs AS (
        |  SELECT doc_id, n_words,
        |    least(n_words / 50.0, 1.0) * 0.4
        |      + (n_stop / n_words) * 0.3
@@ -770,12 +772,95 @@ object TextOps {
        |         + (sel.p * CAST(st.n AS DOUBLE) - (CAST(c.cum AS DOUBLE) - CAST(c.cnt AS DOUBLE)))
        |           / CAST(c.cnt AS DOUBLE)) AS q
        |       FROM sel JOIN c ON c.bin = sel.bin CROSS JOIN st),
-       |bs AS (SELECT list(q ORDER BY q) AS bs FROM bq)
+       |bs AS (SELECT list(q ORDER BY q) AS bs FROM bq)""".stripMargin
+
+  val pipelineQualityBucketsSql: String =
+    s"""WITH $decileCtesSqlDuck
        |SELECT CAST(len(list_filter(bs.bs, bb -> bb <= docs.score)) AS BIGINT) AS bucket,
        |  COUNT(*) AS n_docs, MIN(docs.score) AS min_score, MAX(docs.score) AS max_score,
        |  CAST(SUM(docs.n_words) AS BIGINT) AS total_words
        |FROM docs CROSS JOIN bs
        |GROUP BY 1""".stripMargin
+
+  /** Multi-phase training CURRICULUM schedule (r6): the standard
+    * quality-annealing plan — later training phases restrict to
+    * higher quality deciles (phase 0 sees everything, phase 1 drops
+    * the bottom 3 deciles, phase 2 keeps the top 3). Composes the
+    * broadcast decile boundaries with a map-side membership test per
+    * (doc, phase); per-phase doc/token mass + keep share is one
+    * partial-agg'd groupBy over 3·corpus fanned rows. What the
+    * trainer's data loader reads to plan each phase's token budget. */
+  def pipelineCurriculum: Q = (s, dir) => {
+    val s2 = s
+    import s2.implicits._
+    val docs = qualityDocs(s, dir).cache()
+    val bucketed = docs.crossJoin(broadcast(decileBounds(docs)))
+      .withColumn("bucket", expr("CAST(size(filter(bs, b -> b <= score)) AS BIGINT)"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val phases = Seq((0L, 0L), (1L, 3L), (2L, 7L)).toDF("phase", "floor_decile")
+    bucketed.crossJoin(broadcast(phases))
+      .filter(col("bucket") >= col("floor_decile"))
+      .groupBy("phase", "floor_decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_words"))
+      .crossJoin(broadcast(total))
+      .select(col("phase"), col("floor_decile"), col("n_docs"), col("total_words"),
+        (col("n_docs").cast(DoubleType) / col("n_total")).as("keep_share"))
+  }
+
+  val pipelineCurriculumSql: String =
+    s"""WITH $decileCtesSqlDuck,
+       |bucketed AS (
+       |  SELECT docs.doc_id, docs.n_words,
+       |    CAST(len(list_filter(bs.bs, bb -> bb <= docs.score)) AS BIGINT) AS bucket
+       |  FROM docs CROSS JOIN bs),
+       |tot AS (SELECT COUNT(*) AS n_total FROM docs),
+       |ph(phase, floor_decile) AS (VALUES
+       |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT)), (1, 3), (2, 7))
+       |SELECT ph.phase, ph.floor_decile,
+       |  COUNT(*) AS n_docs, CAST(SUM(b.n_words) AS BIGINT) AS total_words,
+       |  CAST(COUNT(*) AS DOUBLE) / tot.n_total AS keep_share
+       |FROM bucketed b CROSS JOIN ph CROSS JOIN tot
+       |WHERE b.bucket >= ph.floor_decile
+       |GROUP BY ph.phase, ph.floor_decile, tot.n_total""".stripMargin
+
+  /** Feature-hashed document embeddings (r6 — the HashingVectorizer/
+    * Vowpal device): each token maps to one of 256 buckets by md5 hex
+    * prefix (string buckets — no integer conversion, so both engines
+    * agree without a conv() dependency), per-doc bucket counts form a
+    * sparse vector. Emitted as exact integers (nnz, Σcnt²), the L2
+    * norm (IEEE sqrt is correctly rounded — deterministic), and an
+    * order-sensitive fingerprint over the sorted sparse entries, so a
+    * single miscounted bucket breaks the hash. Map-side explode + two
+    * partial-agg groupBys; at 100 TB this is how you get fixed-width
+    * features from text WITHOUT a vocabulary build or a training
+    * pass — the cheap embedding the ANN/dedup family can consume. */
+  def textHashEmbedding: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), ' '), w -> w != '')")).as("w"))
+      .withColumn("bucket", substring(md5(col("w")), 1, 2))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nnz"),
+        sum(col("cnt") * col("cnt")).as("sum_sq"),
+        sqrt(sum(col("cnt") * col("cnt")).cast(DoubleType)).as("l2"),
+        md5(concat_ws(",", expr(
+          "transform(array_sort(collect_list(struct(bucket, cnt))), x -> concat(x.bucket, ':', x.cnt))")))
+          .as("vec_fp"))
+  }
+
+  val textHashEmbeddingSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), w -> w != '')) AS w
+      |  FROM documents),
+      |bt AS (
+      |  SELECT doc_id, substr(md5(w), 1, 2) AS bucket, COUNT(*) AS cnt
+      |  FROM toks GROUP BY doc_id, substr(md5(w), 1, 2))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nnz,
+      |  CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq,
+      |  sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)) AS l2,
+      |  md5(string_agg(bucket || ':' || cnt, ',' ORDER BY bucket)) AS vec_fp
+      |FROM bt GROUP BY doc_id""".stripMargin
 
   /** Per-decile hex thresholds for the md5-bucket sampler: decile b
     * keeps ~b/10 of its docs (floor(256·b/10) as two hex chars, the
@@ -881,6 +966,8 @@ object TextOps {
   val queries: Map[String, Q] = Map(
     "pipeline_quality_buckets" -> pipelineQualityBuckets,
     "stream_quality_histogram" -> streamQualityHistogram,
+    "pipeline_curriculum" -> pipelineCurriculum,
+    "text_hash_embedding" -> textHashEmbedding,
     "pipeline_sample_by_quality" -> pipelineSampleByQuality,
     "text_ttr" -> textTtr,
     "pipeline_pack_sequences" -> pipelinePackSequences,
@@ -903,6 +990,8 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "pipeline_quality_buckets" -> pipelineQualityBucketsSql,
     "stream_quality_histogram" -> streamQualityHistogramSql,
+    "pipeline_curriculum" -> pipelineCurriculumSql,
+    "text_hash_embedding" -> textHashEmbeddingSql,
     "pipeline_sample_by_quality" -> pipelineSampleByQualitySql,
     "text_ttr" -> textTtrSql,
     "pipeline_pack_sequences" -> pipelinePackSequencesSql,
