@@ -494,33 +494,76 @@ object Hdf5Format {
       if (h5ver == 0) finishV0(rootAttrMsgs) else finishV2(rootAttrMsgs)
     }
 
+    /** v0 layout with REAL HDF5 groups (netCDF4 `createGroup` parity):
+      * '/'-pathed variable names become one level of old-style
+      * subgroups — each group (root included) carries its own local
+      * heap + B-tree v1 + SNOD, and the root's SNOD links subgroup
+      * object headers next to root-level datasets. */
     private def finishV0(rootAttrMsgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
-      // ---- local heap: name data segment (offset 0 = empty string)
-      val heapData = new Buf
-      heapData.zeros(8)
-      val nameOffsets = vars.map { v =>
-        val off = heapData.size
-        heapData.bytes(v.name.getBytes("UTF-8")).u8(0).padTo8()
-        off.toLong
+      // ---- group tree from '/'-pathed names (one level deep)
+      val groupNames = scala.collection.mutable.LinkedHashSet.empty[String]
+      val groupVarIdx = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+      val rootVarIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def linkName(i: Int): String = {
+        val n = vars(i).name
+        val si = n.indexOf('/')
+        if (si < 0) n else n.substring(si + 1)
       }
-      val heapSeg = heapData.result()
+      vars.zipWithIndex.foreach { case (v, i) =>
+        val si = v.name.indexOf('/')
+        if (si < 0) rootVarIdx += i
+        else {
+          require(v.name.indexOf('/', si + 1) < 0,
+            s"only one group level supported, got ${v.name}")
+          val g = v.name.substring(0, si)
+          groupNames += g
+          groupVarIdx.getOrElseUpdate(g, scala.collection.mutable.ArrayBuffer()) += i
+        }
+      }
+      val groups = groupNames.toSeq
+
+      /** heap segment + per-name offsets for one group's link names */
+      def heapOf(names: Seq[String]): (Array[Byte], Map[String, Long]) = {
+        val hd = new Buf
+        hd.zeros(8)
+        val offs = names.map { n =>
+          val off = hd.size
+          hd.bytes(n.getBytes("UTF-8")).u8(0).padTo8()
+          n -> off.toLong
+        }.toMap
+        (hd.result(), offs)
+      }
+
+      val BTREE_SIZE = 24 + 3 * 8 // one leaf entry: key0, child0, key1
+      val SUBHDR_SIZE = objectHeaderV1(Seq(
+        MSG_SYMBOL_TABLE -> new Buf().u64(0L).u64(0L).result())).length
 
       // ---- sizing pass: addresses laid out sequentially
       val SUPER = 96
-      // root object header: symbol table message + root attrs
-      val stabMsg = new Buf // placeholder-free: sized now, rendered later
-      stabMsg.u64(0L).u64(0L)
-      val rootMsgs0: Seq[(Int, Array[Byte])] =
-        (MSG_SYMBOL_TABLE -> stabMsg.result()) +: rootAttrMsgs
-      val rootHdrSize = objectHeaderV1(rootMsgs0).length
+      val rootChildNames = rootVarIdx.map(linkName).toSeq ++ groups
+      val (rootHeapSeg, rootHeapOffs) = heapOf(rootChildNames)
+      val rootHdrSize = objectHeaderV1(
+        (MSG_SYMBOL_TABLE -> new Buf().u64(0L).u64(0L).result()) +: rootAttrMsgs).length
       val rootHdrAddr = SUPER.toLong
-      val heapAddr = rootHdrAddr + rootHdrSize
-      val heapTotal = 32 + heapSeg.length
-      val btreeAddr = heapAddr + heapTotal
-      val btreeSize = 24 + 3 * 8 // one entry: key0, child0, key1
-      val snodAddr = btreeAddr + btreeSize
-      val snodSize = 8 + vars.length * 40
-      var cursor = snodAddr + snodSize
+      val rootHeapAddr = rootHdrAddr + rootHdrSize
+      val rootBtreeAddr = rootHeapAddr + 32 + rootHeapSeg.length
+      val rootSnodAddr = rootBtreeAddr + BTREE_SIZE
+      var cursor = rootSnodAddr + 8 + rootChildNames.size * 40
+
+      // subgroup structures
+      case class GroupLayout(hdrAddr: Long, heapAddr: Long, btreeAddr: Long,
+        snodAddr: Long, heapSeg: Array[Byte], heapOffs: Map[String, Long])
+      val glay = groups.map { g =>
+        val names = groupVarIdx(g).map(linkName).toSeq
+        val (seg, offs) = heapOf(names)
+        val hdrAddr = cursor
+        val heapAddr = hdrAddr + SUBHDR_SIZE
+        val btreeAddr = heapAddr + 32 + seg.length
+        val snodAddr = btreeAddr + BTREE_SIZE
+        cursor = snodAddr + 8 + names.size * 40
+        g -> GroupLayout(hdrAddr, heapAddr, btreeAddr, snodAddr, seg, offs)
+      }.toMap
 
       val varHdrAddrs = new Array[Long](vars.length)
       val varBtreeAddrs = new Array[Long](vars.length)
@@ -537,6 +580,29 @@ object Hdf5Format {
       }
       val eof = cursor
 
+      /** render one group's heap + btree + snod given child links */
+      def renderGroup(out: Buf, heapAddr: Long, btreeAddr: Long, snodAddr: Long,
+          heapSeg: Array[Byte], heapOffs: Map[String, Long],
+          children: Seq[(String, Long)]): Unit = {
+        val _ = btreeAddr
+        // local heap (spec III.D)
+        out.bytes("HEAP".getBytes("ASCII")).u8(0).zeros(3)
+        out.u64(heapSeg.length.toLong).u64(UNDEF).u64(heapAddr + 32)
+        out.bytes(heapSeg)
+        // group B-tree v1, one leaf entry → the SNOD (spec III.A.1)
+        val sorted = children.sortBy(_._1)
+        out.bytes("TREE".getBytes("ASCII")).u8(0).u8(0).u16(1)
+        out.u64(UNDEF).u64(UNDEF)
+        out.u64(0L) // key0: empty-string heap offset (sorts first)
+        out.u64(snodAddr)
+        out.u64(heapOffs(sorted.last._1)) // key1: greatest name in child
+        // SNOD (spec III.C), entries sorted by link name
+        out.bytes("SNOD".getBytes("ASCII")).u8(1).u8(0).u16(children.size)
+        sorted.foreach { case (nm, addr) =>
+          out.u64(heapOffs(nm)).u64(addr).u32(0).u32(0).zeros(16)
+        }
+      }
+
       // ---- render
       val out = new Buf
       // superblock v0 (spec II.A.1)
@@ -551,24 +617,22 @@ object Hdf5Format {
       require(out.size == SUPER, s"superblock size ${out.size}")
       // root object header
       val stab = new Buf
-      stab.u64(btreeAddr).u64(heapAddr)
+      stab.u64(rootBtreeAddr).u64(rootHeapAddr)
       out.bytes(objectHeaderV1((MSG_SYMBOL_TABLE -> stab.result()) +: rootAttrMsgs))
-      // local heap (spec III.D)
-      out.bytes("HEAP".getBytes("ASCII")).u8(0).zeros(3)
-      out.u64(heapSeg.length.toLong).u64(UNDEF).u64(heapAddr + 32)
-      out.bytes(heapSeg)
-      // group B-tree v1, one leaf entry → the SNOD (spec III.A.1);
-      // entries (and the rightmost key) order by link NAME
-      val order = vars.indices.sortBy(i => vars(i).name)
-      out.bytes("TREE".getBytes("ASCII")).u8(0).u8(0).u16(1)
-      out.u64(UNDEF).u64(UNDEF)
-      out.u64(0L) // key0: empty-string heap offset (sorts first)
-      out.u64(snodAddr)
-      out.u64(nameOffsets(order.last)) // key1: greatest name in child
-      // SNOD (spec III.C), entries sorted by link name
-      out.bytes("SNOD".getBytes("ASCII")).u8(1).u8(0).u16(vars.length)
-      order.foreach { i =>
-        out.u64(nameOffsets(i)).u64(varHdrAddrs(i)).u32(0).u32(0).zeros(16)
+      val rootChildren: Seq[(String, Long)] =
+        rootVarIdx.map(i => linkName(i) -> varHdrAddrs(i)).toSeq ++
+          groups.map(g => g -> glay(g).hdrAddr)
+      renderGroup(out, rootHeapAddr, rootBtreeAddr, rootSnodAddr,
+        rootHeapSeg, rootHeapOffs, rootChildren)
+      // subgroups: object header (STAB only) + their own heap/btree/snod
+      groups.foreach { g =>
+        val gl = glay(g)
+        require(out.size == gl.hdrAddr, s"group $g layout drift")
+        val gstab = new Buf
+        gstab.u64(gl.btreeAddr).u64(gl.heapAddr)
+        out.bytes(objectHeaderV1(Seq(MSG_SYMBOL_TABLE -> gstab.result())))
+        renderGroup(out, gl.heapAddr, gl.btreeAddr, gl.snodAddr, gl.heapSeg, gl.heapOffs,
+          groupVarIdx(g).map(i => linkName(i) -> varHdrAddrs(i)).toSeq)
       }
       // datasets
       vars.zipWithIndex.foreach { case (v, i) =>
@@ -582,6 +646,8 @@ object Hdf5Format {
     }
 
     private def finishV2(rootAttrMsgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+      require(vars.forall(_.name.indexOf('/') < 0),
+        "grouped ('/'-pathed) variables are supported in the v0 layout only")
       val SUPER = 48
       // link messages: v1, flags=0 (1-byte name length, hard link)
       def linkMsg(name: String, addr: Long): Array[Byte] = {
@@ -1001,9 +1067,17 @@ object Hdf5Format {
       val rootMsgs = readMessages(r, rootHdrAddr)
       val rootAttrs = rootMsgs.collect { case (MSG_ATTRIBUTE, body) => body }
         .flatMap(readAttr)
-      val links = readLinks(r, rootMsgs)
-      val vars = links.sortBy(_._1).flatMap { case (nm, a) => readDataset(r, nm, a) }
-      H5Meta(vars, rootAttrs)
+      // recursive group walk: a link whose header carries no dataspace
+      // is a (sub)group — its datasets surface under "group/name" path
+      // names, the same flat-path presentation the classic source uses
+      def walk(prefix: String, msgs: Seq[(Int, Array[Byte])]): Seq[H5Var] =
+        readLinks(r, msgs).sortBy(_._1).flatMap { case (nm, a) =>
+          readDataset(r, prefix + nm, a) match {
+            case Some(v) => Seq(v)
+            case None => walk(prefix + nm + "/", readMessages(r, a))
+          }
+        }
+      H5Meta(walk("", rootMsgs), rootAttrs)
     } finally in.close()
   }
 

@@ -267,16 +267,53 @@ object Nc4Queries {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem""".stripMargin
 
+  /** REAL HDF5 group hierarchy (`createGroup`/`groups[...]` parity —
+    * every structured netCDF-4 product ships groups): '/'-pathed
+    * variables land in genuine old-style subgroups (each with its own
+    * local heap + B-tree + SNOD linked from the root group), the
+    * reader walks the tree recursively, and `.option("group","fc")`
+    * scopes the table at header level — the other group's datasets
+    * never enter the schema, and since HDF5 stores per-variable chunk
+    * trees their stored bytes are never touched. Same oracle as the
+    * classic-format nc_groups: both formats' group semantics must
+    * agree with each other and with parquet. */
+  def nc4Groups: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5groups")
+    Hdf5IO.write(
+      t(s, dir, "lineitem").select(
+        col("l_orderkey").as("obs/key"),
+        col("l_quantity").as("obs/qty"),
+        col("l_extendedprice").as("fc/price"),
+        col("l_discount").as("fc/disc")).repartition(4),
+      out, chunkRecs = 4096)
+    val fc = s.read.format(SRC).option("group", "fc").load(out)
+    require(!fc.columns.exists(_.startsWith("obs/")),
+      "group scoping leaked another group's variables into the schema")
+    fc.agg(
+      count(lit(1)).as("n"),
+      dsum(col("fc/price")).as("sum_price"),
+      sum(dec(col("fc/price")) * oneMinus(col("fc/disc"))).cast(DoubleType)
+        .as("sum_disc_price"))
+  }
+
+  val nc4GroupsSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS sum_disc_price
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "nc4_read_roundtrip" -> nc4ReadRoundtrip,
     "nc4_read_prune" -> nc4ReadPrune,
     "nc4_attrs" -> nc4Attrs,
     "nc4_sorted_skip" -> nc4SortedSkip,
-    "nc4_stream_ingest" -> nc4StreamIngest)
+    "nc4_stream_ingest" -> nc4StreamIngest,
+    "nc4_groups" -> nc4Groups)
   val oracles: Map[String, String] = Map(
     "nc4_read_roundtrip" -> nc4ReadRoundtripSql,
     "nc4_read_prune" -> nc4ReadPruneSql,
     "nc4_attrs" -> nc4AttrsSql,
     "nc4_sorted_skip" -> nc4SortedSkipSql,
-    "nc4_stream_ingest" -> nc4StreamIngestSql)
+    "nc4_stream_ingest" -> nc4StreamIngestSql,
+    "nc4_groups" -> nc4GroupsSql)
 }

@@ -48,8 +48,20 @@ class NetCDF4Source extends TableProvider with sources.DataSourceRegister {
     val files = NetCDF4Util.listFiles(fs, p)
     require(files.nonEmpty, s"no .nc4/.h5 files under $dir")
     val meta = Hdf5Format.readMeta(fs, files.head)
-    StructType(StructField("record", LongType, nullable = false) +:
+    val full = StructType(StructField("record", LongType, nullable = false) +:
       meta.sparkSchema.fields.toSeq)
+    // netCDF-4 GROUP scoping: datasets surface under "group/name" path
+    // names from the real HDF5 group walk, and `.option("group", g)`
+    // restricts the table at header level — the other groups'
+    // variables never enter the schema, so group selection is
+    // structural column pruning (their chunks are never read)
+    Option(options.get("group")) match {
+      case None => full
+      case Some(g) =>
+        val pfx = g.stripSuffix("/") + "/"
+        StructType(full.fields.filter(f =>
+          f.name == "record" || f.name.startsWith(pfx)))
+    }
   }
 
   override def supportsExternalMetadata(): Boolean = true

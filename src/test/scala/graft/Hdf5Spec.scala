@@ -158,6 +158,27 @@ class Hdf5Spec extends AnyFunSuite {
     assert(meta.vars.forall(_.range.isDefined))
   }
 
+  test("'/'-pathed variables land in real HDF5 subgroups and group-scope the schema") {
+    val dir = "/tmp/graft_h5/groups"
+    Hdf5IO.write(
+      spark.range(2000).select(
+        col("id").cast(DoubleType).as("a/x"),
+        (col("id") * 2).cast(DoubleType).as("a/y"),
+        (col("id") + 7).cast(DoubleType).as("b/z"),
+        col("id").cast(DoubleType).as("plain")).coalesce(1),
+      dir, chunkRecs = 500)
+    val f = NetCDF4Util.listFiles(fs, new Path(dir)).head
+    val meta = Hdf5Format.readMeta(fs, f)
+    assert(meta.vars.map(_.name).sorted == Seq("a/x", "a/y", "b/z", "plain"))
+    // group scoping: only group a's variables (+ record) in the schema
+    val ga = spark.read.format(SRC).option("group", "a").load(dir)
+    assert(ga.columns.toSet == Set("record", "a/x", "a/y"), ga.columns.mkString(","))
+    assert(ga.agg(sum("a/x")).head().getDouble(0) == (0L until 2000L).map(_.toDouble).sum)
+    // full read still sees everything, values intact across groups
+    val all = spark.read.format(SRC).load(dir)
+    assert(all.agg(sum("b/z")).head().getDouble(0) == (0L until 2000L).map(i => (i + 7).toDouble).sum)
+  }
+
   test("root attributes carry netCDF-4 properties; var attrs roundtrip") {
     val dir = "/tmp/graft_h5/attrs"
     Hdf5IO.write(spark.range(100).select(col("id").cast(DoubleType).as("x")).coalesce(1), dir)
