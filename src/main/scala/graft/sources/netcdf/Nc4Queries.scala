@@ -302,7 +302,51 @@ object Nc4Queries {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS sum_disc_price
       |FROM lineitem""".stripMargin
 
+  /** CF time decode driven by HDF5 attributes (the netCDF-4 twin of
+    * nc_time_decode): the time axis is written as numeric offsets
+    * plus a `units` STRING attribute in the dataset's object header;
+    * the reader fetches the attribute (one header-metadata pass) to
+    * derive the multiplier and reconstructs timestamps map-side.
+    * Same oracle as the classic-format query. */
+  def nc4TimeDecode: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5cftime")
+    Hdf5IO.write(
+      graft.Tables.events(s, dir).select(
+        (unix_micros(col("ts")).cast(DoubleType) / lit(3.6e9)).as("time"),
+        col("value")),
+      out,
+      varAttrs = Map("time" -> Seq(
+        Hdf5Format.H5Attr("units", Some("hours since 1970-01-01 00:00:00"), Array.empty))))
+    val units = Hdf5IO.readAttrs(s, out)
+      .filter(col("var_name") === "time" && col("attr_name") === "units")
+      .select("sval").distinct().collect().head.getString(0)
+    val multMicros: Long = units.split(" ")(0) match {
+      case "seconds" => 1000000L
+      case "minutes" => 60L * 1000000L
+      case "hours" => 3600L * 1000000L
+      case "days" => 86400L * 1000000L
+      case u => throw new IllegalArgumentException(s"unsupported CF unit: $u")
+    }
+    s.read.format(SRC).load(out)
+      .select(timestamp_micros(round(col("time") * multMicros.toDouble, 0)
+        .cast(LongType)).as("ts2"), col("value"))
+      .groupBy(to_date(col("ts2")).as("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+  }
+
+  val nc4TimeDecodeSql: String =
+    """WITH enc AS (
+      |  SELECT CAST(epoch_us(ts) AS DOUBLE) / 3.6e9 AS time, value FROM events),
+      |dec AS (
+      |  SELECT make_timestamp(CAST(round(time * 3600000000.0, 0) AS BIGINT)) AS ts2,
+      |         value
+      |  FROM enc)
+      |SELECT CAST(ts2 AS DATE) AS day, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
+      |FROM dec GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "nc4_time_decode" -> nc4TimeDecode,
     "nc4_read_roundtrip" -> nc4ReadRoundtrip,
     "nc4_read_prune" -> nc4ReadPrune,
     "nc4_attrs" -> nc4Attrs,
@@ -310,6 +354,7 @@ object Nc4Queries {
     "nc4_stream_ingest" -> nc4StreamIngest,
     "nc4_groups" -> nc4Groups)
   val oracles: Map[String, String] = Map(
+    "nc4_time_decode" -> nc4TimeDecodeSql,
     "nc4_read_roundtrip" -> nc4ReadRoundtripSql,
     "nc4_read_prune" -> nc4ReadPruneSql,
     "nc4_attrs" -> nc4AttrsSql,
