@@ -54,6 +54,7 @@ object Hdf5Format {
     def sparkType: DataType = this match {
       case KLong => LongType
       case KInt => IntegerType
+      case KShort => ShortType
       case KDouble => DoubleType
       case KFloat => FloatType
       case _: KString => StringType
@@ -71,6 +72,7 @@ object Hdf5Format {
   }
   case object KLong extends H5Kind(0, 8)
   case object KInt extends H5Kind(0, 4)
+  case object KShort extends H5Kind(0, 2)
   case object KDouble extends H5Kind(1, 8)
   case object KFloat extends H5Kind(1, 4)
   case class KString(width: Int) extends H5Kind(3, width)
@@ -187,7 +189,7 @@ object Hdf5Format {
   private def datatypeBytes(kind: H5Kind): Array[Byte] = {
     val b = new Buf
     kind match {
-      case KLong | KInt | KLongArr(_) =>
+      case KLong | KInt | KShort | KLongArr(_) =>
         // class 0 fixed-point, v1; bitfield byte0 bit3 = signed
         b.u8(0x10).u8(0x08).u8(0).u8(0).u32(kind.elemSize)
         b.u16(0).u16(kind.elemSize * 8) // bit offset, precision
@@ -301,6 +303,9 @@ object Hdf5Format {
         case KInt =>
           val x = v match { case n: Number => n.intValue(); case _ => 0 }
           track(x.toDouble); bb.putInt(x)
+        case KShort =>
+          val x = v match { case n: Number => n.shortValue(); case _ => 0.toShort }
+          track(x.toDouble); bb.putShort(x)
         case KDouble =>
           val x = v match { case n: Number => n.doubleValue(); case _ => 0.0 }
           track(x); bb.putDouble(x)
@@ -353,6 +358,7 @@ object Hdf5Format {
     private def kindOf(f: StructField): H5Kind = f.dataType match {
       case LongType => KLong
       case IntegerType => KInt
+      case ShortType => KShort
       case DoubleType => KDouble
       case FloatType => KFloat
       case StringType => KString(stringWidth)
@@ -411,7 +417,7 @@ object Hdf5Format {
         case KLong if v.numRecs > 0 =>
           Seq(H5Attr("actual_range", None,
             Array(math.nextDown(v.vMin), math.nextUp(v.vMax))))
-        case KInt | KDouble | KFloat if v.numRecs > 0 =>
+        case KInt | KShort | KDouble | KFloat if v.numRecs > 0 =>
           Seq(H5Attr("actual_range", None, Array(v.vMin, v.vMax)))
         case _ => Nil
       }
@@ -998,6 +1004,7 @@ object Hdf5Format {
     val kind: H5Kind = (kindCls, elemSize, dims.size) match {
       case (0, 8, 1) => KLong
       case (0, 4, 1) => KInt
+      case (0, 2, 1) => KShort
       case (1, 8, 1) => KDouble
       case (1, 4, 1) => KFloat
       case (3, w, 1) => KString(w)
@@ -1153,6 +1160,7 @@ object Hdf5Format {
 
     def getLong(rec: Long): Long = bb.getLong(ensure(rec))
     def getInt(rec: Long): Int = bb.getInt(ensure(rec))
+    def getShort(rec: Long): Short = bb.getShort(ensure(rec))
     def getDouble(rec: Long): Double = bb.getDouble(ensure(rec))
     def getFloat(rec: Long): Float = bb.getFloat(ensure(rec))
     def getString(rec: Long): Array[Byte] = {

@@ -35,6 +35,7 @@ object Hdf5IO {
           case DoubleType => (r: InternalRow) => r.getDouble(i)
           case FloatType => (r: InternalRow) => r.getFloat(i)
           case IntegerType => (r: InternalRow) => r.getInt(i)
+          case ShortType => (r: InternalRow) => r.getShort(i)
           case LongType => (r: InternalRow) => r.getLong(i)
           case StringType => (r: InternalRow) => r.getUTF8String(i).getBytes
           case ArrayType(FloatType, _) => (r: InternalRow) => r.getArray(i).toFloatArray
@@ -345,7 +346,47 @@ object Nc4Queries {
       |  CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
       |FROM dec GROUP BY 1""".stripMargin
 
+  /** netCDF-4 mask-and-scale parity (`set_auto_maskandscale` — THE
+    * netCDF4 convenience every real file leans on): l_quantity packed
+    * into NC_SHORT storage (4× narrower) with typed `scale_factor` /
+    * `add_offset` double attributes in the dataset's object header;
+    * the reader fetches the factors FROM the file and unpacks
+    * map-side. Exact scale 0.25 makes the roundtrip bit-identical. */
+  def nc4ScaleOffset: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5packed")
+    Hdf5IO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          round(col("l_quantity") / 0.25).cast(ShortType).as("l_quantity_packed"))
+        .repartition(2),
+      out,
+      varAttrs = Map("l_quantity_packed" -> Seq(
+        Hdf5Format.H5Attr("scale_factor", None, Array(0.25)),
+        Hdf5Format.H5Attr("add_offset", None, Array(0.0)))))
+    val attrs = Hdf5IO.readAttrs(s, out)
+      .filter(col("var_name") === "l_quantity_packed" &&
+        col("attr_name").isin("scale_factor", "add_offset"))
+      .select("attr_name", "dval").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    s.read.format(SRC).load(out)
+      .select(col("l_orderkey"),
+        (col("l_quantity_packed").cast(DoubleType) * attrs("scale_factor")
+          + attrs("add_offset")).as("l_quantity"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+  }
+
+  val nc4ScaleOffsetSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "nc4_scale_offset" -> nc4ScaleOffset,
     "nc4_time_decode" -> nc4TimeDecode,
     "nc4_read_roundtrip" -> nc4ReadRoundtrip,
     "nc4_read_prune" -> nc4ReadPrune,
@@ -354,6 +395,7 @@ object Nc4Queries {
     "nc4_stream_ingest" -> nc4StreamIngest,
     "nc4_groups" -> nc4Groups)
   val oracles: Map[String, String] = Map(
+    "nc4_scale_offset" -> nc4ScaleOffsetSql,
     "nc4_time_decode" -> nc4TimeDecodeSql,
     "nc4_read_roundtrip" -> nc4ReadRoundtripSql,
     "nc4_read_prune" -> nc4ReadPruneSql,

@@ -320,6 +320,7 @@ class Nc4PartitionReader(part: Nc4InputPartition, required: StructType,
         val v: Any = kinds(slot) match {
           case KLong => r.getLong(rec)
           case KInt => r.getInt(rec)
+          case KShort => r.getShort(rec)
           case KDouble => r.getDouble(rec)
           case KFloat => r.getFloat(rec)
           case _: KString =>
