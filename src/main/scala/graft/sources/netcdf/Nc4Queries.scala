@@ -385,7 +385,50 @@ object Nc4Queries {
       |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
       |FROM lineitem""".stripMargin
 
+  /** CF `_FillValue` missing-data roundtrip over HDF5 (NUG attribute
+    * conventions): nulls persisted AS the declared NC_FILL_DOUBLE
+    * sentinel, the attribute recorded as a typed double in the
+    * dataset header; the reader fetches it from one header read and
+    * masks sentinel → null map-side — masked values provably stay out
+    * of every aggregate. */
+  def nc4FillvalueMask: Q = (s, dir) => {
+    val FILL = 9.96920996838869e+36 // NC_FILL_DOUBLE (public NetCDF spec)
+    val out = NcQueries.scratch(s, dir, "h5fillmask")
+    Hdf5IO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          when(col("l_quantity") === 1.0, lit(FILL))
+            .otherwise(col("l_quantity")).as("l_quantity"))
+        .repartition(2),
+      out,
+      varAttrs = Map("l_quantity" -> Seq(
+        Hdf5Format.H5Attr("_FillValue", None, Array(FILL)))))
+    val fill = Hdf5IO.readAttrs(s, out)
+      .filter(col("var_name") === "l_quantity" && col("attr_name") === "_FillValue")
+      .select("dval").distinct().collect().head.getDouble(0)
+    s.read.format(SRC).load(out)
+      .select(col("l_orderkey"),
+        when(col("l_quantity") === fill, lit(null).cast(DoubleType))
+          .otherwise(col("l_quantity")).as("qty"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("qty").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("qty")).as("sum_qty"),
+        min(col("qty")).as("min_qty"), max(col("qty")).as("max_qty"))
+  }
+
+  val nc4FillvalueMaskSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN l_quantity = 1.00 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CASE WHEN l_quantity <> 1.00
+      |    THEN CAST(l_quantity AS DECIMAL(9,2)) END) AS DOUBLE) AS sum_qty,
+      |  MIN(CASE WHEN l_quantity <> 1.00 THEN l_quantity END) AS min_qty,
+      |  MAX(CASE WHEN l_quantity <> 1.00 THEN l_quantity END) AS max_qty
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "nc4_fillvalue_mask" -> nc4FillvalueMask,
     "nc4_scale_offset" -> nc4ScaleOffset,
     "nc4_time_decode" -> nc4TimeDecode,
     "nc4_read_roundtrip" -> nc4ReadRoundtrip,
@@ -395,6 +438,7 @@ object Nc4Queries {
     "nc4_stream_ingest" -> nc4StreamIngest,
     "nc4_groups" -> nc4Groups)
   val oracles: Map[String, String] = Map(
+    "nc4_fillvalue_mask" -> nc4FillvalueMaskSql,
     "nc4_scale_offset" -> nc4ScaleOffsetSql,
     "nc4_time_decode" -> nc4TimeDecodeSql,
     "nc4_read_roundtrip" -> nc4ReadRoundtripSql,
