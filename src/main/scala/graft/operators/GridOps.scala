@@ -688,7 +688,44 @@ object GridOps {
        |    + MAX(CASE WHEN corner = 3 THEN w END) * MAX(CASE WHEN corner = 3 THEN v END) AS ival
        |FROM j GROUP BY tid, yq, xq""".stripMargin
 
+  /** Conservative REGRIDDING by coordinate binning (xarray-regrid /
+    * ESMF "conservative" mode, first order): a CURVILINEAR source
+    * grid — lat(y,x) = y + (7x mod 13)/10, lon(y,x) = x + (11y mod
+    * 17)/10, jitter > 1 so cells genuinely cross target boundaries —
+    * mapped onto a regular 4°×5° target lattice by VALUE (floor of
+    * the coordinates, NOT the index: this is what distinguishes
+    * regridding from grid_coarsen_2d's index tiling). Target-cell
+    * assignment is pure map-side arithmetic, the reduction ONE
+    * partial-agg groupBy on (ty, tx) with decimal-exact sums — the
+    * shape that regrids a 100 TB variable in a single pass. */
+  def gridRegridBin: Q = (s, dir) => {
+    indexedQty(s, dir).selectExpr(
+      "cast(floor((cast(idx div 300 as double) + cast(((idx % 300) * 7) % 13 as double) / 10.0) / 4.0) as bigint) as ty",
+      "cast(floor((cast(idx % 300 as double) + cast(((idx div 300) * 11) % 17 as double) / 10.0) / 5.0) as bigint) as tx",
+      "v")
+      .groupBy("ty", "tx")
+      .agg(count(lit(1)).as("n_cells"),
+        expr("cast(sum(cast(v as decimal(9,2))) as double)").as("sum_val"),
+        (expr("cast(sum(cast(v as decimal(9,2))) as double)") / count(lit(1)))
+          .as("mean_val"))
+  }
+
+  val gridRegridBinSql: String =
+    s"""WITH $orderedCte,
+       |cells AS (
+       |  SELECT v,
+       |    CAST(idx // 300 AS DOUBLE) + CAST((idx % 300) * 7 % 13 AS DOUBLE) / 10.0 AS lat,
+       |    CAST(idx % 300 AS DOUBLE) + CAST((idx // 300) * 11 % 17 AS DOUBLE) / 10.0 AS lon
+       |  FROM o)
+       |SELECT CAST(FLOOR(lat / 4.0) AS BIGINT) AS ty,
+       |  CAST(FLOOR(lon / 5.0) AS BIGINT) AS tx,
+       |  COUNT(*) AS n_cells,
+       |  CAST(SUM(CAST(v AS DECIMAL(9,2))) AS DOUBLE) AS sum_val,
+       |  CAST(SUM(CAST(v AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS mean_val
+       |FROM cells GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "grid_regrid_bin" -> gridRegridBin,
     "grid_interp2d" -> gridInterp2d,
     "grid_cumsum" -> gridCumsum,
     "grid_weighted_mean" -> gridWeightedMean,
@@ -708,6 +745,7 @@ object GridOps {
     "grid_stats" -> gridStats)
 
   val oracles: Map[String, String] = Map(
+    "grid_regrid_bin" -> gridRegridBinSql,
     "grid_interp2d" -> gridInterp2dSql,
     "grid_cumsum" -> gridCumsumSql,
     "grid_weighted_mean" -> gridWeightedMeanSql,
