@@ -696,7 +696,68 @@ object Dedup {
       |JOIN tot tb ON tb.doc_id = sh.id_b
       |WHERE CAST(sh.smin AS DOUBLE) / (ta.tot + tb.tot - sh.smin) >= 0.4""".stripMargin
 
+  /** Deterministic train/val/test split WITH a near-dup LEAKAGE audit
+    * (r6) — the ablation-hygiene op every training-data release needs:
+    * the split is an md5-threshold bucket (RNG-free, partitioning-
+    * independent, ~90/5/5 via hex-prefix thresholds 0xe6/0xf3), and
+    * the audit counts verified near-dup pairs (the MinHash-LSH
+    * J ≥ 0.4 pairs — the same machinery the dedup family gates) that
+    * STRADDLE split boundaries: a straddling pair is eval
+    * contamination that survives document-level splitting, exactly
+    * what SemDeDup/benchmark-decontamination papers warn about. One
+    * row: per-split sizes, total verified pairs, leaking pairs. */
+  def pipelineSplitLeakage: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val bucket = substring(md5(concat(lit("graft-split:"),
+      col("doc_id").cast(org.apache.spark.sql.types.StringType))), 1, 2)
+    val sp = docs.select(col("doc_id"),
+      when(bucket < "e6", "train").when(bucket < "f3", "val")
+        .otherwise("test").as("split"))
+    val sh = cappedShingles(docs, 3).cache()
+    val pairs = withJaccard(lshCandidates(sh), sh)
+      .filter(round(col("jaccard"), 6) >= 0.4)
+    val leak = pairs
+      .join(sp.toDF("id_a", "split_a"), "id_a")
+      .join(sp.toDF("id_b", "split_b"), "id_b")
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+          .as("n_leak_pairs"))
+    sp.agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .crossJoin(broadcast(leak))
+  }
+
+  val pipelineSplitLeakageSql: String = {
+    val candCte = lshCandCteSql
+    s"""WITH pairs AS (
+       |${jaccardSql(candCte, 3)}
+       |),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+       |         WHEN substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |leak AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+       |    CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT) AS n_leak_pairs
+       |  FROM pairs p
+       |  JOIN sp sa ON sa.doc_id = p.id_a
+       |  JOIN sp sb ON sb.doc_id = p.id_b
+       |  WHERE round(p.jaccard, 6) >= 0.4),
+       |cnt AS (
+       |  SELECT CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |    CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       |    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+       |  FROM sp)
+       |SELECT cnt.n_train, cnt.n_val, cnt.n_test, leak.n_dup_pairs, leak.n_leak_pairs
+       |FROM cnt CROSS JOIN leak""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_split_leakage" -> pipelineSplitLeakage,
     "dedup_sparse_features" -> dedupSparseFeatures,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -708,6 +769,7 @@ object Dedup {
     "dedup_eval_sweep" -> dedupEvalSweep)
 
   val oracles: Map[String, String] = Map(
+    "pipeline_split_leakage" -> pipelineSplitLeakageSql,
     "dedup_sparse_features" -> dedupSparseFeaturesSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
