@@ -730,6 +730,16 @@ object Hdf5Format {
 
   /** All (type, body) messages of an object header, following both v1
     * and v2 framing and continuation blocks. */
+  /** Test probe: parse an object header's messages from a file —
+    * exercises the v1/v2 framing INCLUDING continuation blocks, which
+    * this repo's writer never emits (single-block headers) but wild
+    * files produced by the HDF5 library routinely do. */
+  private[graft] def readMessagesAt(fs: FileSystem, path: Path,
+      addr: Long): Seq[(Int, Array[Byte])] = {
+    val in = fs.open(path)
+    try readMessages(new R(in), addr) finally in.close()
+  }
+
   private def readMessages(r: R, addr: Long): Seq[(Int, Array[Byte])] = {
     val first = r.bytesAt(addr, 16)
     val msgs = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]

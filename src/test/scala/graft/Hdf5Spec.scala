@@ -179,6 +179,42 @@ class Hdf5Spec extends AnyFunSuite {
     assert(all.agg(sum("b/z")).head().getDouble(0) == (0L until 2000L).map(i => (i + 7).toDouble).sum)
   }
 
+  test("v1 object headers with continuation blocks parse (wild-file path)") {
+    // hand-assemble what the HDF5 library emits when a header outgrows
+    // its first block: prefix + [dataspace msg][continuation msg] with
+    // the datatype message living in a separate continuation block
+    import java.io.ByteArrayOutputStream
+    val out = new ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def u32(v: Int): Unit = { u16(v); u16(v >> 16) }
+    def u64(v: Long): Unit = { u32(v.toInt); u32((v >> 32).toInt) }
+    // continuation target block at offset 64: one datatype message
+    val contAddr = 80L
+    val contLen = 8 + 16 // msg header + fixed-point datatype padded
+    // header at 0: v1 prefix, 2 messages, block size = dataspace(8+24) + continuation(8+16)
+    u8(1); u8(0); u16(3); u32(1); u32(32 + 24); u32(0) // ver, nmsgs=3, refcount, hdrsize, pad
+    // dataspace msg: rank-1 dims [5], maxdims
+    u16(0x0001); u16(24); u32(0)
+    u8(1); u8(1); u8(1); u8(0); u32(0); u64(5L); u64(5L)
+    // continuation msg
+    u16(0x0010); u16(16); u32(0)
+    u64(contAddr); u64(contLen.toLong)
+    while (out.size() < contAddr) u8(0)
+    // continuation block: datatype message (int64 LE signed)
+    u16(0x0003); u16(16); u32(0)
+    u8(0x10); u8(0x08); u8(0); u8(0); u32(8); u16(0); u16(64); u32(0)
+    val p = new Path("/tmp/graft_h5/cont_hdr.bin")
+    val os = fs.create(p, true)
+    os.write(out.toByteArray); os.close()
+    val msgs = Hdf5Format.readMessagesAt(fs, p, 0L)
+    val types = msgs.map(_._1)
+    assert(types.contains(0x0001) && types.contains(0x0003), types.toString)
+    assert(!types.contains(0x0010), "continuation should be followed, not surfaced")
+    val ds = msgs.find(_._1 == 0x0001).get._2
+    assert((ds(1) & 0xff) == 1) // rank 1 survived
+  }
+
   test("root attributes carry netCDF-4 properties; var attrs roundtrip") {
     val dir = "/tmp/graft_h5/attrs"
     Hdf5IO.write(spark.range(100).select(col("id").cast(DoubleType).as("x")).coalesce(1), dir)
