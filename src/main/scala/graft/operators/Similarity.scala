@@ -349,6 +349,48 @@ object Similarity {
        |FROM scored WHERE rank <= 3""".stripMargin
   }
 
+  /** SemDeDup (Abbas et al. 2023, public) — SEMANTIC dedup at the
+    * embedding level: cluster the corpus with the coarse quantizer
+    * (the same deterministic DECIMAL-Lloyd trainer the IVF family
+    * gates), then WITHIN each cell drop every vector that has a
+    * lower-id near-identical neighbor (round(cos, 9) ≥ 0.99). The
+    * within-cell restriction is the published method's own
+    * approximation AND the scale bound: pair generation is an
+    * equi-join on the cell key (corpus²/NCENTS expected pairs, never
+    * all-pairs; at 100 TB NCENTS grows with the corpus so cells stay
+    * bounded), scoring is the codegen'd dot kernel, and the keep rule
+    * (survive iff no lower-id duplicate) is deterministic without a
+    * CC pass at this threshold. Output: every vector with its cell
+    * and keep flag — the curation ledger form. */
+  def dedupSemantic: Q = (s, dir) => {
+    val T = 0.99
+    val emb = withVec(t(s, dir, "embeddings")).cache()
+    val cents = trainCentroids(emb)
+    val cells = nearestCell(emb, cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+      .cache()
+    val dropped = cells.alias("a")
+      .join(cells.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", vec_dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(round(col("cos"), 9) >= T)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    cells.select("vec_id", "cell")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup").isNull.as("kept"))
+  }
+
+  val dedupSemanticSql: String =
+    s"""WITH ${ivfPrefixSql},
+       |cellsv AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM assign WHERE crn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM cellsv a JOIN cellsv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm), 9) >= 0.99)
+       |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, d.vec_id IS NULL AS kept
+       |FROM cellsv c LEFT JOIN dropped d ON d.vec_id = c.vec_id""".stripMargin
+
   private val PQ_M = 4 // subspaces
   private val PQ_SUB = DIMS / PQ_M // dims per subspace
   private val PQ_CODES = 16 // codebook entries per subspace
@@ -821,6 +863,7 @@ object Similarity {
     "sim_pq_adc" -> simPqAdc,
     "sim_topk_bruteforce" -> simTopKBruteforce,
     "sim_from_binary" -> simFromBinary,
+    "dedup_semantic" -> dedupSemantic,
     "sim_lsh_bucketed" -> simLshBucketed,
     "sim_ivf" -> simIvf,
     "dedup_embedding" -> dedupEmbedding)
@@ -835,6 +878,7 @@ object Similarity {
     "sim_pq_adc" -> simPqAdcSql,
     "sim_topk_bruteforce" -> simTopKBruteforceSql,
     "sim_from_binary" -> simTopKBruteforceSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "sim_lsh_bucketed" -> simLshBucketedSql,
     "sim_ivf" -> simIvfSql,
     "dedup_embedding" -> dedupEmbeddingSql)
