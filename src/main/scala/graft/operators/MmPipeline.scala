@@ -128,6 +128,78 @@ object MmPipeline {
       |    i -> ascii(substr(text, CAST(i AS INT), 1)))) / 256.0 AS mean_intensity
       |FROM fr WHERE frame_idx % 4 = 0""".stripMargin
 
+  case class MmScenes(doc_id: Long, n_frames: Long, n_scenes: Long,
+      boundaries_fp: String)
+
+  /** Scene-change detection over the frame stream (r6 — the shot-
+    * boundary pass a video curation pipeline runs before sampling
+    * keyframes): a boundary is an adjacent-frame feature jump
+    * |m_j − m_{j−1}| > threshold over the stub demuxer's per-frame
+    * mean intensity. Entirely partition-local SINGLE-pass state (one
+    * running previous-frame feature per payload — no window, no
+    * shuffle, no frame materialization); per-doc output carries the
+    * boundary-index fingerprint, so one misplaced boundary breaks the
+    * gate. Frame means are integer-sum/256 — exact binary doubles, so
+    * the threshold compare is engine-independent. */
+  def sceneDetect(input: Dataset[MmInput], frameBytes: Int, threshold: Double): Dataset[MmScenes] = {
+    import input.sparkSession.implicits._
+    input.mapPartitions(_.flatMap { in =>
+      val nFrames = in.payload.length / frameBytes
+      if (nFrames == 0) Iterator.empty
+      else {
+        val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var prev = 0.0
+        var j = 0
+        while (j < nFrames) {
+          var s = 0L
+          var i = j * frameBytes
+          val end = i + frameBytes
+          while (i < end) { s += in.payload(i) & 0xff; i += 1 }
+          val m = s.toDouble / frameBytes
+          if (j > 0 && math.abs(m - prev) > threshold) bounds += j
+          prev = m
+          j += 1
+        }
+        val joined = bounds.mkString(",")
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(joined.getBytes("UTF-8"))
+        val fp = d.map(b => f"$b%02x").mkString
+        Iterator.single(MmScenes(in.doc_id, nFrames.toLong, bounds.size + 1L, fp))
+      }
+    })
+  }
+
+  /** Driver-contract query: 256-byte frames, jump threshold 8.0. */
+  def mmSceneDetect: Q = (s, dir) => {
+    import s.implicits._
+    val input = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("video/stub").as("mime"))
+      .as[MmInput]
+    sceneDetect(input, 256, 8.0).toDF()
+  }
+
+  val mmSceneDetectSql: String =
+    """WITH fr AS (
+      |  SELECT doc_id, frame_idx,
+      |    list_sum(list_transform(generate_series(frame_idx * 256 + 1, frame_idx * 256 + 256),
+      |      i -> ascii(substr(text, CAST(i AS INT), 1)))) / 256.0 AS m
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      unnest(generate_series(CAST(0 AS BIGINT), CAST(length(text) // 256 AS BIGINT) - 1)) AS frame_idx
+      |    FROM documents)),
+      |d AS (SELECT doc_id, frame_idx, m,
+      |        lag(m) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pm FROM fr),
+      |b AS (SELECT doc_id, frame_idx FROM d WHERE pm IS NOT NULL AND abs(m - pm) > 8.0),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames FROM fr GROUP BY doc_id),
+      |bs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bounds,
+      |         md5(string_agg(CAST(frame_idx AS VARCHAR), ',' ORDER BY frame_idx)) AS fp
+      |       FROM b GROUP BY doc_id)
+      |SELECT a.doc_id, a.n_frames,
+      |  COALESCE(bs.n_bounds, 0) + 1 AS n_scenes,
+      |  COALESCE(bs.fp, md5('')) AS boundaries_fp
+      |FROM agg a LEFT JOIN bs ON bs.doc_id = a.doc_id""".stripMargin
+
   case class MmResized(doc_id: Long, width: Int, height: Int,
       out_w: Int, out_h: Int, scale: Double)
 
@@ -207,11 +279,13 @@ object MmPipeline {
   val queries: Map[String, Q] = Map(
     "mm_decode_pipeline" -> mmDecodePipeline,
     "mm_frame_sample" -> mmFrameSample,
+    "mm_scene_detect" -> mmSceneDetect,
     "mm_resize" -> mmResize,
     "mm_dedup_features" -> mmDedupFeatures)
   val oracles: Map[String, String] = Map(
     "mm_decode_pipeline" -> mmDecodePipelineSql,
     "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_scene_detect" -> mmSceneDetectSql,
     "mm_resize" -> mmResizeSql,
     "mm_dedup_features" -> mmDedupFeaturesSql)
 }
