@@ -200,6 +200,29 @@ object MmPipeline {
       |  COALESCE(bs.fp, md5('')) AS boundaries_fp
       |FROM agg a LEFT JOIN bs ON bs.doc_id = a.doc_id""".stripMargin
 
+  /** STATELESS streaming twin of [[mmSceneDetect]] (r6): scene
+    * boundaries computed AT INGEST — the per-payload single-pass
+    * detector is pure map-side work, so the streaming form is an
+    * append-mode query with ZERO aggregation state (the
+    * stream_curation_filter shape); media lands, its shot boundaries
+    * are in the catalog before the micro-batch commits. Same output,
+    * same oracle as the batch form. */
+  def streamSceneDetect: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    graft.streaming.StreamStage.withStaged(s, "ssd", dir, "documents.parquet") { stageDir =>
+      import s.implicits._
+      val input = s.readStream.schema(sch).parquet(stageDir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"),
+          lit("video/stub").as("mime"))
+        .as[MmInput]
+      val q = sceneDetect(input, 256, 8.0).toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_ssd").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table("graft_stream_ssd")
+  }
+
   case class MmResized(doc_id: Long, width: Int, height: Int,
       out_w: Int, out_h: Int, scale: Double)
 
@@ -280,12 +303,14 @@ object MmPipeline {
     "mm_decode_pipeline" -> mmDecodePipeline,
     "mm_frame_sample" -> mmFrameSample,
     "mm_scene_detect" -> mmSceneDetect,
+    "stream_scene_detect" -> streamSceneDetect,
     "mm_resize" -> mmResize,
     "mm_dedup_features" -> mmDedupFeatures)
   val oracles: Map[String, String] = Map(
     "mm_decode_pipeline" -> mmDecodePipelineSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_scene_detect" -> mmSceneDetectSql,
+    "stream_scene_detect" -> mmSceneDetectSql,
     "mm_resize" -> mmResizeSql,
     "mm_dedup_features" -> mmDedupFeaturesSql)
 }

@@ -427,7 +427,40 @@ object Nc4Queries {
       |  MAX(CASE WHEN l_quantity <> 1.00 THEN l_quantity END) AS max_qty
       |FROM lineitem""".stripMargin
 
+  /** Strided index selection over HDF5 (xarray `isel(slice(lo, hi,
+    * step))` — decimation): the [lo, hi) record range pushes down to
+    * scan partitions and the chunk B-tree walk; the stride is a
+    * map-side `record % step` — no row leaves its partition. Same
+    * oracle as the classic form. */
+  def nc4IselStride: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5stride")
+    Hdf5IO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+          col("l_quantity"))
+        .repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber"),
+      out, chunkRecs = 1024)
+    s.read.format(SRC).load(out)
+      .filter(col("record") >= 1000L && col("record") < 9000L &&
+        col("record") % 4 === 0)
+      .agg(count(lit(1)).as("n"),
+        sum(col("record")).as("sum_rec"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("record")).as("min_rec"),
+        max(col("record")).as("max_rec"))
+  }
+
+  val nc4IselStrideSql: String =
+    """WITH o AS (SELECT l_quantity AS v,
+      |  row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS idx
+      |  FROM lineitem)
+      |SELECT COUNT(*) AS n, CAST(SUM(idx) AS BIGINT) AS sum_rec,
+      |  CAST(SUM(CAST(v AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  MIN(idx) AS min_rec, MAX(idx) AS max_rec
+      |FROM o WHERE idx >= 1000 AND idx < 9000 AND idx % 4 = 0""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "nc4_isel_stride" -> nc4IselStride,
     "nc4_fillvalue_mask" -> nc4FillvalueMask,
     "nc4_scale_offset" -> nc4ScaleOffset,
     "nc4_time_decode" -> nc4TimeDecode,
@@ -438,6 +471,7 @@ object Nc4Queries {
     "nc4_stream_ingest" -> nc4StreamIngest,
     "nc4_groups" -> nc4Groups)
   val oracles: Map[String, String] = Map(
+    "nc4_isel_stride" -> nc4IselStrideSql,
     "nc4_fillvalue_mask" -> nc4FillvalueMaskSql,
     "nc4_scale_offset" -> nc4ScaleOffsetSql,
     "nc4_time_decode" -> nc4TimeDecodeSql,
