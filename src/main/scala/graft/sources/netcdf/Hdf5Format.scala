@@ -22,14 +22,16 @@ import org.apache.spark.sql.types._
   *    `HEAP` + `SNOD` nodes) and new-style compact Link messages;
   *  - datasets: Dataspace (v1/v2), Datatype (fixed-point, IEEE float,
   *    fixed string classes), Fill Value, Data Layout v3 (chunked +
-  *    contiguous), Filter Pipeline (v1/v2) with the deflate filter;
+  *    contiguous), Filter Pipeline (v1/v2) with the deflate and
+  *    shuffle filters (ids 1 + 2 — the `zlib=True, shuffle=True`
+  *    default pipeline of the netCDF4 library);
   *  - chunk index: B-tree v1 raw-data-chunk nodes (type 1), walked
   *    recursively, keys carrying per-chunk logical offsets — which is
   *    what makes record-range pruning possible without reading data.
   *
   * Out of scope (documented, not hidden): variable-length string
   * datatypes, fractal-heap dense groups/attributes, B-tree v2 chunk
-  * indexes, szip/shuffle filters, big-endian files. The writer exists
+  * indexes, szip/fletcher32 filters, big-endian files. The writer exists
   * to produce honest fixtures (and is a real, if minimal, HDF5
   * writer); the READ path is the user-facing capability.
   *
@@ -96,7 +98,10 @@ object Hdf5Format {
       /** contiguous layout: data address instead of chunks */
       contiguousAddr: Long,
       chunks: Array[H5Chunk],
-      attrs: Seq[H5Attr]) {
+      attrs: Seq[H5Attr],
+      /** byte-shuffle filter (id 2) precedes deflate in the pipeline —
+        * the netCDF4 library's `shuffle=True` default */
+      shuffle: Boolean = false) {
     def chunkBytes: Int = (kind.rowBytes * chunkRecs).toInt
     /** CF `actual_range` zone map, when the writer recorded one. */
     def range: Option[(Double, Double)] =
@@ -114,6 +119,37 @@ object Hdf5Format {
   def isHdf5(path: Path): Boolean = {
     val n = path.getName
     n.endsWith(".nc4") || n.endsWith(".h5") || n.endsWith(".hdf5")
+  }
+
+  // ---------------------------------------------------------------
+  // HDF5 shuffle filter (id 2): byte transpose at ELEMENT granularity
+  // — all byte-0s of every element, then all byte-1s, … — which groups
+  // similar-magnitude bytes and is why netCDF4 defaults shuffle=True
+  // before deflate. Pure permutation: output length == input length.
+  // ---------------------------------------------------------------
+  private[graft] def shuffleBytes(src: Array[Byte], elemSize: Int): Array[Byte] = {
+    val n = src.length / elemSize
+    val dst = new Array[Byte](src.length)
+    var j = 0
+    var k = 0
+    while (j < elemSize) {
+      var i = 0
+      while (i < n) { dst(k) = src(i * elemSize + j); k += 1; i += 1 }
+      j += 1
+    }
+    dst
+  }
+
+  private[graft] def deshuffleBytes(src: Array[Byte], dst: Array[Byte],
+      len: Int, elemSize: Int): Unit = {
+    val n = len / elemSize
+    var j = 0
+    var k = 0
+    while (j < elemSize) {
+      var i = 0
+      while (i < n) { dst(i * elemSize + j) = src(k); k += 1; i += 1 }
+      j += 1
+    }
   }
 
   // ---------------------------------------------------------------
@@ -258,7 +294,8 @@ object Hdf5Format {
     * into a raw chunk; full chunks deflate immediately, so resident
     * state is one raw chunk + the compressed chunk list. */
   private final class VarState(val name: String, val kind: H5Kind,
-      val chunkRecs: Int, val deflate: Boolean, val attrs: Seq[H5Attr]) {
+      val chunkRecs: Int, val deflate: Boolean, val attrs: Seq[H5Attr],
+      val shuffle: Boolean = false) {
     val raw = new Array[Byte]((kind.rowBytes * chunkRecs).toInt)
     val bb: ByteBuffer = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     var inChunk = 0
@@ -277,9 +314,14 @@ object Hdf5Format {
       // edge chunks are stored FULL-SIZE (zero-padded) — the HDF5
       // chunked-storage contract; logical dims bound what readers use
       java.util.Arrays.fill(raw, (kind.rowBytes * inChunk).toInt, raw.length, 0.toByte)
+      // pipeline order on write: shuffle (if on) then deflate; the
+      // filter mask's bit i refers to pipeline position i, so when
+      // shuffle occupies slot 0 the deflate skip-bit moves to bit 1
+      val pre = if (shuffle) shuffleBytes(raw, kind.elemSize) else raw
+      val deflateSkipBit = if (shuffle) 2 else 1
       if (deflate) {
         val d = new Deflater(6)
-        d.setInput(raw); d.finish()
+        d.setInput(pre); d.finish()
         val out = new ByteArrayOutputStream(raw.length / 2)
         val tmp = new Array[Byte](8192)
         while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
@@ -287,10 +329,11 @@ object Hdf5Format {
         val comp = out.toByteArray
         // per-chunk codec escape: an incompressible chunk is stored
         // raw with the filter masked out (spec: filter mask bit i set
-        // = filter i skipped) — same device as the .ncz store codec
+        // = filter i skipped) — same device as the .ncz store codec;
+        // the shuffle transform stays applied (it never grows bytes)
         if (comp.length < raw.length) stored += ((comp, 0))
-        else stored += ((raw.clone(), 1))
-      } else stored += ((raw.clone(), 0))
+        else stored += ((pre.clone(), deflateSkipBit))
+      } else stored += ((pre.clone(), 0))
       inChunk = 0
       bb.position(0)
     }
@@ -352,7 +395,8 @@ object Hdf5Format {
       h5ver: Int = 0,
       rootAttrs: Seq[(String, String)] = Seq(
         "_NCProperties" -> "version=2,netcdf=4.9.2,hdf5=1.12.2"),
-      varAttrs: Map[String, Seq[H5Attr]] = Map.empty) {
+      varAttrs: Map[String, Seq[H5Attr]] = Map.empty,
+      shuffle: Boolean = false) {
     require(h5ver == 0 || h5ver == 2, s"h5ver must be 0 or 2, got $h5ver")
 
     private def kindOf(f: StructField): H5Kind = f.dataType match {
@@ -370,7 +414,7 @@ object Hdf5Format {
 
     private val vars: Array[VarState] = schema.fields.map(f =>
       new VarState(f.name, kindOf(f), chunkRecs, deflate,
-        varAttrs.getOrElse(f.name, Nil)))
+        varAttrs.getOrElse(f.name, Nil), shuffle))
 
     def writeRow(get: Int => Any): Unit = {
       var i = 0
@@ -392,10 +436,19 @@ object Hdf5Format {
       msgs += MSG_DATATYPE -> datatypeBytes(v.kind)
       // fill value v2, not defined, late allocation
       msgs += MSG_FILL -> Array[Byte](2, 2, 2, 0)
-      if (v.deflate) {
+      if (v.deflate || v.shuffle) {
+        val nf = (if (v.shuffle) 1 else 0) + (if (v.deflate) 1 else 0)
         val f = new Buf
-        f.u8(1).u8(1).zeros(6) // filter pipeline v1, one filter
-        f.u16(1).u16(0).u16(0).u16(1).u32(6) // deflate, no name, mandatory, level 6
+        f.u8(1).u8(nf).zeros(6) // filter pipeline v1
+        if (v.shuffle) {
+          // shuffle (id 2), no name, mandatory, 1 client value = element
+          // size in bytes; odd client-value count pads 4 bytes (spec)
+          f.u16(2).u16(0).u16(0).u16(1).u32(v.kind.elemSize).u32(0)
+        }
+        if (v.deflate) {
+          f.u16(1).u16(0).u16(0).u16(1).u32(6) // deflate, no name, mandatory, level 6
+          if (v.shuffle) f.u32(0) // odd-count pad for the deflate entry too
+        }
         msgs += MSG_FILTER -> f.result()
       }
       val lay = new Buf
@@ -947,6 +1000,7 @@ object Hdf5Format {
     var btreeAddr = UNDEF
     var contiguous = UNDEF
     var deflate = false
+    var shuffle = false
     val attrs = scala.collection.mutable.ArrayBuffer.empty[H5Attr]
     msgs.foreach {
       case (MSG_DATASPACE, body) =>
@@ -987,7 +1041,7 @@ object Hdf5Format {
         val ver = b.u8()
         val nf = b.u8()
         if (ver == 1) b.skip(6)
-        (0 until nf).foreach { _ =>
+        (0 until nf).foreach { fi =>
           val id = b.u16()
           val nameLen = if (ver == 1 || id >= 256) b.u16() else 0
           b.skip(2) // flags
@@ -996,7 +1050,13 @@ object Hdf5Format {
           b.skip(4 * ncd)
           if (ver == 1 && ncd % 2 == 1) b.skip(4)
           if (id == 1) deflate = true
-          else if (id != 0)
+          else if (id == 2) {
+            // the range reader assumes netCDF4's pipeline order
+            // (shuffle slot 0, deflate after) for filter-mask bits
+            require(fi == 0 && !deflate,
+              s"shuffle filter must precede deflate in the pipeline for $name")
+            shuffle = true
+          } else if (id != 0)
             throw new java.io.IOException(s"unsupported HDF5 filter id $id")
         }
       case (MSG_ATTRIBUTE, body) => readAttr(body).foreach(attrs += _)
@@ -1052,7 +1112,7 @@ object Hdf5Format {
         acc.sortBy(_.startRec).toArray
       }
     Some(H5Var(name, kind, dims.head, math.max(1, chunkRecs), deflate,
-      contiguous, chunks, attrs.toSeq))
+      contiguous, chunks, attrs.toSeq, shuffle = shuffle))
   }
 
   /** File metadata: superblock (v0-v3) → root group → datasets. Only
@@ -1126,6 +1186,10 @@ object Hdf5Format {
       }
     private var ci = 0
     private val raw = new Array[Byte]((v.kind.rowBytes * slabRecs).toInt)
+    /** scratch for shuffled chunks: inflate lands here, the byte
+      * transpose writes into `raw` */
+    private val shufBuf: Array[Byte] =
+      if (v.shuffle) new Array[Byte](raw.length) else Array.emptyByteArray
     private val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     private var chunkStart = 0L
     private var chunkEnd = Long.MinValue
@@ -1135,23 +1199,32 @@ object Hdf5Format {
     def plannedStoredBytes: Long = covering.map(_.storedSize.toLong).sum
 
     private def loadChunk(c: H5Chunk): Unit = {
+      // filter-mask bit positions follow pipeline order: shuffle (when
+      // present) is slot 0 and deflate shifts to slot 1
+      val deflateSkipBit = if (v.shuffle) 2 else 1
       val stored = new Array[Byte](c.storedSize)
       in.readFully(c.addr, stored, 0, stored.length)
-      if (v.deflate && (c.filterMask & 1) == 0) {
+      if (v.deflate && (c.filterMask & deflateSkipBit) == 0) {
+        val dst = if (v.shuffle) shufBuf else raw
         val inf = new Inflater()
         inf.setInput(stored)
         var off = 0
-        while (off < raw.length && !inf.finished()) {
-          val n = inf.inflate(raw, off, raw.length - off)
+        while (off < dst.length && !inf.finished()) {
+          val n = inf.inflate(dst, off, dst.length - off)
           if (n == 0 && inf.needsInput()) throw new EOFException("truncated deflate chunk")
           off += n
         }
         inf.end()
+        if (v.shuffle && (c.filterMask & 1) == 0)
+          deshuffleBytes(shufBuf, raw, raw.length, v.kind.elemSize)
+        else if (v.shuffle) System.arraycopy(shufBuf, 0, raw, 0, raw.length)
         chunkEnd = c.startRec + slabRecs
       } else {
         require(stored.length <= raw.length,
           s"stored chunk ${stored.length} > buffer ${raw.length}")
-        System.arraycopy(stored, 0, raw, 0, stored.length)
+        if (v.shuffle && (c.filterMask & 1) == 0)
+          deshuffleBytes(stored, raw, stored.length, v.kind.elemSize)
+        else System.arraycopy(stored, 0, raw, 0, stored.length)
         chunkEnd = c.startRec + stored.length / v.kind.rowBytes
       }
       chunkStart = c.startRec

@@ -18,7 +18,8 @@ object Hdf5IO {
   def write(df: DataFrame, dir: String, chunkRecs: Int = 4096,
       deflate: Boolean = true, h5ver: Int = 0, stringWidth: Int = 32,
       arrayLens: Map[String, Int] = Map.empty,
-      varAttrs: Map[String, Seq[Hdf5Format.H5Attr]] = Map.empty): Unit = {
+      varAttrs: Map[String, Seq[Hdf5Format.H5Attr]] = Map.empty,
+      shuffle: Boolean = false): Unit = {
     val schema = df.schema
     require(!schema.fieldNames.contains("record"),
       "column name `record` is reserved for the netcdf4 record index")
@@ -46,7 +47,7 @@ object Hdf5IO {
       }
     df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val w = new Hdf5Format.Hdf5Writer(schema, chunkRecs, deflate,
-        stringWidth, arrayLens, h5ver, varAttrs = varAttrs)
+        stringWidth, arrayLens, h5ver, varAttrs = varAttrs, shuffle = shuffle)
       rows.foreach { r =>
         var i = 0
         while (i < schema.size) {
@@ -135,6 +136,41 @@ object Nc4Queries {
     """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS sum_disc_price
+      |FROM lineitem""".stripMargin
+
+  /** The netCDF4 library's DEFAULT compression pipeline — shuffle
+    * (filter id 2, byte transpose at element granularity) THEN
+    * deflate — written and read back through the from-spec codec
+    * against the 1.8+ layout (superblock v2 + OHDR). `createVariable(
+    * zlib=True, shuffle=True)` is what nearly every compressed wild
+    * file on disk actually used, so a reader without filter-id-2
+    * support fails on most real compressed netCDF-4 data. The oracle
+    * aggregates the same columns from parquet: one transposed byte
+    * anywhere breaks the hash. */
+  def nc4ShuffleRoundtrip: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5shuffle")
+    Hdf5IO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_tax"))
+        .repartition(3),
+      out, chunkRecs = 2048, deflate = true, h5ver = 2, shuffle = true)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        sum(col("l_partkey")).as("sum_part"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_tax")).as("sum_tax"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+  }
+
+  val nc4ShuffleRoundtripSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(l_partkey) AS BIGINT) AS sum_part,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_tax AS DECIMAL(9,2))) AS DOUBLE) AS sum_tax,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
       |FROM lineitem""".stripMargin
 
   /** Variable pruning + record-range pushdown against the 1.8+ HDF5
@@ -460,6 +496,7 @@ object Nc4Queries {
       |FROM o WHERE idx >= 1000 AND idx < 9000 AND idx % 4 = 0""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "nc4_shuffle_roundtrip" -> nc4ShuffleRoundtrip,
     "nc4_isel_stride" -> nc4IselStride,
     "nc4_fillvalue_mask" -> nc4FillvalueMask,
     "nc4_scale_offset" -> nc4ScaleOffset,
@@ -471,6 +508,7 @@ object Nc4Queries {
     "nc4_stream_ingest" -> nc4StreamIngest,
     "nc4_groups" -> nc4Groups)
   val oracles: Map[String, String] = Map(
+    "nc4_shuffle_roundtrip" -> nc4ShuffleRoundtripSql,
     "nc4_isel_stride" -> nc4IselStrideSql,
     "nc4_fillvalue_mask" -> nc4FillvalueMaskSql,
     "nc4_scale_offset" -> nc4ScaleOffsetSql,

@@ -120,6 +120,48 @@ class Hdf5Spec extends AnyFunSuite {
     assert(back.count() == 4000)
   }
 
+  test("shuffle+deflate pipeline roundtrips exactly (both superblock generations)") {
+    // the netCDF4 library's default: createVariable(zlib=True, shuffle=True)
+    for (ver <- Seq(0, 2)) {
+      val dir = s"/tmp/graft_h5/shuffle$ver"
+      val df = mixedDf(3000)
+      Hdf5IO.write(df, dir, chunkRecs = 256, deflate = true, h5ver = ver,
+        arrayLens = Map("emb" -> 8), shuffle = true)
+      val f = NetCDF4Util.listFiles(fs, new Path(dir)).head
+      val meta = Hdf5Format.readMeta(fs, f)
+      assert(meta.vars.forall(v => v.shuffle && v.deflate))
+      val back = spark.read.format(SRC).load(dir)
+      val exp = df.agg(sum("lk"), sum("iv"), sum("dv"), sum("fv")).head()
+      val got = back.agg(sum("lk"), sum("iv"), sum("dv"), sum("fv")).head()
+      assert(exp == got)
+      val s0 = back.filter(col("sv") === "doc-42").select("lk", "emb").head()
+      assert(s0.getLong(0) == 42L * 1000000007L)
+      assert(s0.getSeq[Float](1) == Seq.fill(8)(14f))
+    }
+  }
+
+  test("shuffle transpose is an exact inverse pair and helps compression") {
+    val src = (0 until 512 * 8).map(i => (i % 251).toByte).toArray
+    val shuf = Hdf5Format.shuffleBytes(src, 8)
+    assert(!java.util.Arrays.equals(shuf, src))
+    val back = new Array[Byte](src.length)
+    Hdf5Format.deshuffleBytes(shuf, back, src.length, 8)
+    assert(java.util.Arrays.equals(back, src))
+    // incompressible-as-longs data (counter in the LOW byte) becomes
+    // runs after the transpose — the reason the filter exists
+    val dir = "/tmp/graft_h5/shuffle_gain"
+    val dirPlain = "/tmp/graft_h5/shuffle_plain"
+    val df = spark.range(20000).select((col("id") * 1000003L).as("v")).coalesce(1)
+    Hdf5IO.write(df, dir, chunkRecs = 2048, deflate = true, shuffle = true)
+    Hdf5IO.write(df, dirPlain, chunkRecs = 2048, deflate = true)
+    def storedBytes(d: String): Long = {
+      val f = NetCDF4Util.listFiles(fs, new Path(d)).head
+      Hdf5Format.readMeta(fs, f).vars.flatMap(_.chunks).map(_.storedSize.toLong).sum
+    }
+    assert(storedBytes(dir) < storedBytes(dirPlain),
+      s"${storedBytes(dir)} !< ${storedBytes(dirPlain)}")
+  }
+
   test("multi-file union assigns contiguous global record offsets") {
     val dir = "/tmp/graft_h5/multi"
     Hdf5IO.write(
