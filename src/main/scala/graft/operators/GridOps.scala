@@ -724,7 +724,142 @@ object GridOps {
        |  CAST(SUM(CAST(v AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS mean_val
        |FROM cells GROUP BY 1, 2""".stripMargin
 
+  /** Symmetric stencil convolution along the streamed dimension
+    * (kernel [1, 2, 1]/4 — the binomial smoother; scipy/xarray
+    * `convolve`/`smooth` over a time axis): the fourth consumer of
+    * [[haloExchange]], with BOTH a one-element tail and head halo, so
+    * every interior position is a map-side array read — the corpus
+    * never shuffles, only one double per chunk edge moves. Boundary
+    * positions (no full window) are omitted, like [[lagDiff]]'s idx 0.
+    * Cent-integer weighting keeps the result one exact integer
+    * divided once, so both engines agree bit-for-bit. */
+  def gridConvolve: Q = (s, dir) => {
+    haloExchange(qtyGrid(s, dir), 1, 1)
+      .withColumn("full", concat(col("halo_tail"), col("values"), col("halo_head")))
+      .withColumn("hl", size(col("halo_tail")))
+      .select(col("origin"),
+        posexplode(expr(
+          """transform(values, (x, i) -> named_struct(
+            |  'keep', hl + i >= 1 AND hl + i + 2 <= size(full),
+            |  'cv', CASE WHEN hl + i >= 1 AND hl + i + 2 <= size(full)
+            |    THEN CAST(CAST(try_element_at(full, hl + i) AS DECIMAL(9,2)) * 100 AS BIGINT)
+            |      + 2 * CAST(CAST(try_element_at(full, hl + i + 1) AS DECIMAL(9,2)) * 100 AS BIGINT)
+            |      + CAST(CAST(try_element_at(full, hl + i + 2) AS DECIMAL(9,2)) * 100 AS BIGINT)
+            |    END))""".stripMargin))
+          .as(Seq("pos", "st")))
+      .filter(col("st.keep"))
+      .select((col("origin") + col("pos")).as("idx"),
+        (col("st.cv") / 400.0).as("smooth"))
+  }
+
+  val gridConvolveSql: String =
+    s"""WITH $orderedCte,
+       |c AS (SELECT idx, CAST(CAST(v AS DECIMAL(9,2)) * 100 AS BIGINT) AS vc FROM o),
+       |w AS (SELECT idx,
+       |        lag(vc) OVER (ORDER BY idx) AS lft, vc,
+       |        lead(vc) OVER (ORDER BY idx) AS rgt
+       |      FROM c)
+       |SELECT idx, (lft + 2 * vc + rgt) / 400.0 AS smooth
+       |FROM w WHERE lft IS NOT NULL AND rgt IS NOT NULL""".stripMargin
+
+  /** Per-cell linear DETRENDING (xarray/climpred `detrend(dim='time')`
+    * — remove each spatial cell's OLS time trend before anomaly
+    * analysis): the grid is viewed as (t = idx div 240, cell = idx %
+    * 240). Using the centered integer time u = 2t − (n−1) makes
+    * Σu = 0 EXACTLY, so the OLS fit decouples into mean + slope with
+    * ALL-BIGINT sufficient statistics (Σvc, Σu·vc, Σu² in cents) —
+    * no matrix solve, no floats until the single final division:
+    * fitted_c = (Σvc·Σu² + u·Σuvc·n) / (n·Σu²). One 240-row
+    * partial-agg pass broadcast back map-side — same two-pass
+    * zero-corpus-shuffle shape as [[gridClimatology]]. Magnitudes stay
+    * under 2^63 through sf0.1 with ~50× headroom (documented bound:
+    * n_cell ≤ 3000, vc ≤ 10^4). */
+  def gridDetrend: Q = (s, dir) => {
+    val tab = gridToTable(qtyGrid(s, dir))
+      .withColumn("cell", expr("idx % 240"))
+      .withColumn("t", expr("idx div 240"))
+      .withColumn("vc", expr("CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT)"))
+    val stats = tab.groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sv"),
+        sum(col("t") * col("vc")).as("stv"),
+        sum(col("t")).as("st"), sum(col("t") * col("t")).as("st2"))
+      // Σu·vc = 2Σt·vc − (n−1)Σvc ; Σu² = 4Σt² − 4(n−1)Σt + n(n−1)²
+      .select(col("cell"), col("n"), col("sv"),
+        (col("stv") * 2 - (col("n") - 1) * col("sv")).as("suv"),
+        (col("st2") * 4 - (col("n") - 1) * col("st") * 4
+          + col("n") * (col("n") - 1) * (col("n") - 1)).as("su2"))
+    tab.join(broadcast(stats), Seq("cell"))
+      .withColumn("u", col("t") * 2 - (col("n") - 1))
+      .select(col("idx"), col("cell"), col("value"),
+        round((col("sv") * col("su2") + col("u") * col("suv") * col("n"))
+          / (col("n") * col("su2") * lit(100.0)), 6).as("fitted"),
+        round(col("value") - (col("sv") * col("su2") + col("u") * col("suv") * col("n"))
+          / (col("n") * col("su2") * lit(100.0)), 6).as("resid"))
+  }
+
+  val gridDetrendSql: String =
+    s"""WITH $orderedCte,
+       |tb AS (SELECT idx, idx % 240 AS cell, idx // 240 AS t, v,
+       |         CAST(CAST(v AS DECIMAL(9,2)) * 100 AS BIGINT) AS vc FROM o),
+       |st AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(vc) AS BIGINT) AS sv,
+       |         CAST(2 * SUM(t * vc) - (COUNT(*) - 1) * SUM(vc) AS BIGINT) AS suv,
+       |         CAST(4 * SUM(t * t) - 4 * (COUNT(*) - 1) * SUM(t)
+       |           + COUNT(*) * (COUNT(*) - 1) * (COUNT(*) - 1) AS BIGINT) AS su2
+       |       FROM tb GROUP BY cell)
+       |SELECT tb.idx, tb.cell, tb.v AS value,
+       |  round((st.sv * st.su2 + (2 * tb.t - (st.n - 1)) * st.suv * st.n)
+       |    / (st.n * st.su2 * 100.0), 6) AS fitted,
+       |  round(tb.v - (st.sv * st.su2 + (2 * tb.t - (st.n - 1)) * st.suv * st.n)
+       |    / (st.n * st.su2 * 100.0), 6) AS resid
+       |FROM tb JOIN st USING (cell)""".stripMargin
+
+  /** Distributed argmin/argmax along the streamed dimension (xarray
+    * `argmin('time')`/`argmax` — WHERE the extreme is, not what): one
+    * partial-aggregating pass per variable where each task reduces its
+    * rows to a single (value, idx) candidate struct — lexicographic
+    * struct min gives "extreme value, then earliest index", a total
+    * order, so ties break deterministically on BOTH engines. Never a
+    * global sort, never a window. */
+  def gridArgminmax: Q = (s, dir) => {
+    val g1 = qtyGrid(s, dir)
+    val g2 = tableToGrid(liOrdered(s, dir), orderCols,
+      col("l_extendedprice"), "l_extendedprice", CHUNK)
+    gridToTable(g1.unionAll(g2))
+      .withColumn("vc", expr("CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT)"))
+      .groupBy("variable")
+      .agg(
+        min(struct(col("vc"), col("idx"))).as("mn"),
+        min(struct((-col("vc")).as("nvc"), col("idx"))).as("mx"))
+      .select(col("variable"),
+        (col("mn.vc") / 100.0).as("min_val"), col("mn.idx").as("min_idx"),
+        (-col("mx.nvc") / 100.0).as("max_val"), col("mx.idx").as("max_idx"))
+  }
+
+  val gridArgminmaxSql: String =
+    """WITH o AS (SELECT l_quantity AS q, l_extendedprice AS p,
+      |  row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS idx
+      |  FROM lineitem),
+      |t AS (
+      |  SELECT 'l_quantity' AS variable, idx,
+      |    CAST(CAST(q AS DECIMAL(9,2)) * 100 AS BIGINT) AS vc FROM o
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', idx,
+      |    CAST(CAST(p AS DECIMAL(9,2)) * 100 AS BIGINT) FROM o),
+      |ext AS (SELECT variable, MIN(vc) AS minc, MAX(vc) AS maxc
+      |        FROM t GROUP BY variable)
+      |SELECT t.variable,
+      |  MIN(ext.minc) / 100.0 AS min_val,
+      |  CAST(MIN(CASE WHEN t.vc = ext.minc THEN t.idx END) AS BIGINT) AS min_idx,
+      |  MIN(ext.maxc) / 100.0 AS max_val,
+      |  CAST(MIN(CASE WHEN t.vc = ext.maxc THEN t.idx END) AS BIGINT) AS max_idx
+      |FROM t JOIN ext ON ext.variable = t.variable
+      |GROUP BY t.variable""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "grid_convolve" -> gridConvolve,
+    "grid_detrend" -> gridDetrend,
+    "grid_argminmax" -> gridArgminmax,
     "grid_regrid_bin" -> gridRegridBin,
     "grid_interp2d" -> gridInterp2d,
     "grid_cumsum" -> gridCumsum,
@@ -745,6 +880,9 @@ object GridOps {
     "grid_stats" -> gridStats)
 
   val oracles: Map[String, String] = Map(
+    "grid_convolve" -> gridConvolveSql,
+    "grid_detrend" -> gridDetrendSql,
+    "grid_argminmax" -> gridArgminmaxSql,
     "grid_regrid_bin" -> gridRegridBinSql,
     "grid_interp2d" -> gridInterp2dSql,
     "grid_cumsum" -> gridCumsumSql,

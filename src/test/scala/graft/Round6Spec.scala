@@ -67,4 +67,34 @@ class Round6Spec extends AnyFunSuite {
       .head().getLong(0)
     assert(got360 == 19800618L, got360.toString)
   }
+
+  test("grid convolve/detrend/argminmax match direct single-node computation") {
+    val sf = "/root/testdata/sf0.001"
+    // convolve: interior positions only, [1,2,1]/4 over the ordered stream
+    val conv = SparkEntry.queries("grid_convolve")(spark, sf)
+      .orderBy("idx").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val vs = spark.read.parquet(s"$sf/lineitem.parquet")
+      .orderBy("l_orderkey", "l_linenumber")
+      .select(col("l_quantity").cast("double")).collect().map(_.getDouble(0))
+    assert(conv.length == vs.length - 2)
+    assert(conv.head._1 == 1L && conv.last._1 == vs.length - 2L)
+    val i = 57
+    val cents = (k: Int) => math.round(vs(k) * 100)
+    assert(conv(i - 1)._2 == (cents(i - 1) + 2 * cents(i) + cents(i + 1)) / 400.0)
+    // detrend: per-cell residuals sum to ~0 (OLS property) and
+    // fitted+resid reconstructs the value
+    val det = SparkEntry.queries("grid_detrend")(spark, sf)
+    val recon = det.selectExpr("max(abs(value - (fitted + resid)))").head().getDouble(0)
+    assert(recon < 2e-6, recon.toString)
+    val maxCellResid = det.groupBy("cell").agg(sum("resid").as("s"))
+      .selectExpr("max(abs(s))").head().getDouble(0)
+    assert(maxCellResid < 1e-3, maxCellResid.toString)
+    // argminmax: earliest index achieving each extreme
+    val am = SparkEntry.queries("grid_argminmax")(spark, sf)
+      .filter(col("variable") === "l_quantity").head()
+    val minV = vs.min
+    val maxV = vs.max
+    assert(am.getDouble(1) == minV && am.getLong(2) == vs.indexOf(minV).toLong)
+    assert(am.getDouble(3) == maxV && am.getLong(4) == vs.indexOf(maxV).toLong)
+  }
 }
