@@ -563,6 +563,189 @@ object Similarity {
        |FROM scored WHERE rank <= 3""".stripMargin
   }
 
+  /** IVF-PQ — the FAISS `IndexIVFPQ` composition and the actual
+    * billion-scale production shape: the coarse quantizer (the same
+    * deterministic DECIMAL-Lloyd trainer [[simIvf]] gates) partitions
+    * the corpus into cells, every vector stores only its cell id +
+    * [[PQ_M]] one-byte codes of its RESIDUAL r = v − centroid (the
+    * residual trick is what distinguishes IVF-PQ from flat PQ:
+    * residuals are centered near zero, so the same 16-entry codebooks
+    * quantize far finer), and a query probes its [[NPROBE]] nearest
+    * cells scoring approx q·v = q·c + Σ_m LUT[m][code_m] — one
+    * broadcast per-query table lookup per subspace, never a float
+    * vector read. Exact cosine re-ranks only the [[PQ_CAND]] best.
+    *
+    * Scale shape: probe restriction cuts the scan to ~NPROBE/NCENTS
+    * of the corpus AND each scanned vector costs 4 code bytes, so the
+    * two savings multiply (the reason every production ANN service
+    * runs this composition). Residual codebooks are global (FAISS
+    * default) so the LUT is per-query, not per-(query, cell); the
+    * q·c term is per-probe and rides the probe row. Code assignment
+    * and candidate ranking reuse the min_by / bounded-TopK
+    * partial-agg shapes — nothing windows over the corpus. */
+  def simIvfPq: Q = (s, dir) => {
+    val emb = withVec(t(s, dir, "embeddings")).cache()
+    val cents = trainCentroids(emb)
+    // residuals against the assigned cell's centroid
+    val res = nearestCell(emb, cents)
+      .join(broadcast(cents), "cent_id")
+      .withColumn("rv", expr("zip_with(v, cv, (x, y) -> x - y)"))
+      .select(col("vec_id"), col("cent_id").as("cell"), col("nrm"), col("rv"))
+      .cache()
+    val sqDist = expr(
+      "aggregate(zip_with(sub, bv, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)")
+    def scored(book: DataFrame): DataFrame =
+      res.join(broadcast(book))
+        .withColumn("sub", expr(s"slice(rv, m * $PQ_SUB + 1, $PQ_SUB)"))
+        .withColumn("dist", sqDist)
+    val mCol = explode(array((0 until PQ_M).map(lit): _*)).as("m")
+    val init = res.filter(col("vec_id") < PQ_CODES)
+      .select(col("vec_id").as("code"), col("rv"), mCol)
+      .select(col("m"), col("code"), expr(s"slice(rv, m * $PQ_SUB + 1, $PQ_SUB)").as("bv"))
+    // one Lloyd round over residual space (decimal-exact means)
+    val assigned = scored(init)
+      .groupBy("vec_id", "m")
+      .agg(min_by(struct(col("code"), col("sub")),
+        struct(round(col("dist"), 9), col("code"))).as("best"))
+      .select(col("m"), col("best.code").as("code"), posexplode(col("best.sub")).as(Seq("p", "x")))
+    val book = assigned
+      .groupBy("m", "code", "p")
+      .agg((sum(col("x").cast(DecimalType(27, 12))).cast(DoubleType) / count(lit(1))).as("mv"))
+      .groupBy("m", "code")
+      .agg(expr("transform(array_sort(collect_list(struct(p, mv))), q -> q.mv)").as("bv"))
+    // encode: all PQ_M residual argmins in one partial-agg pass,
+    // carrying the cell id and norm for the ADC stage
+    val codesWide = scored(book)
+      .groupBy("vec_id", "cell", "nrm")
+      .agg((0 until PQ_M).map(m =>
+        min(when(col("m") === m, struct(round(col("dist"), 9).as("d"), col("code").as("c"))))
+          .as(s"b$m")).head,
+        (1 until PQ_M).map(m =>
+          min(when(col("m") === m, struct(round(col("dist"), 9).as("d"), col("code").as("c"))))
+            .as(s"b$m")): _*)
+      .select(col("vec_id") +: col("cell") +: col("nrm") +:
+        (0 until PQ_M).map(m => col(s"b$m.c").as(s"code$m")): _*)
+    // probes: nearest NPROBE cells per query, q·centroid riding along
+    val probes = rankedCells(emb.filter(col("vec_id") < NQUERIES), cents)
+      .filter(col("crn") <= NPROBE)
+      .withColumn("qc", vec_dot(col("v"), col("cv")))
+      .select(col("vec_id").as("query_id"), col("nrm").as("qn"),
+        col("cent_id").as("cell"), col("qc"))
+    // per-query residual LUTs: raw query sub-slice · codebook entry
+    val qd = emb.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("v"))
+      .join(broadcast(book))
+      .withColumn("qd", vec_dot(expr(s"slice(v, m * $PQ_SUB + 1, $PQ_SUB)"), col("bv")))
+    def qdm(m: Int) = qd.filter(col("m") === m)
+      .select(col("query_id"), col("code").as(s"code$m"), col("qd").as(s"qd$m"))
+    val appr = (1 until PQ_M)
+      .foldLeft(probes.join(codesWide, "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(broadcast(qdm(0)), Seq("query_id", "code0"))) { (df, m) =>
+        df.join(broadcast(qdm(m)), Seq("query_id", s"code$m"))
+      }
+      // fixed left-to-right association, mirrored by the oracle
+      .withColumn("approx",
+        ((0 until PQ_M).map(m => col(s"qd$m")).foldLeft(col("qc"))(_ + _))
+          / (col("qn") * col("nrm")))
+    val cand = appr.groupBy("query_id")
+      .agg(graft.functions.TopK.topk(PQ_CAND)(
+        round(col("approx"), 9), col("vec_id"), round(col("approx"), 6)).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e._2").as("neighbor_id"))
+    val qv = emb.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val exact = emb.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(qv), "query_id")
+      .withColumn("cos", vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(round(col("cos"), 9).desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rank"))
+  }
+
+  val simIvfPqSql: String = {
+    val cFinal = s"c$KMEANS_ITERS"
+    def rsub(m: Int, alias: String, i: String) = s"$alias.rv[${m * PQ_SUB} + $i]"
+    def distExpr(m: Int) =
+      s"list_sum(list_transform(generate_series(1, $PQ_SUB), i -> (${rsub(m, "r", "i")} - b.bv[i]) * (${rsub(m, "r", "i")} - b.bv[i])))"
+    val inits = (0 until PQ_M).map(m =>
+      s"""rb0_$m AS (
+         |  SELECT vec_id AS code,
+         |    list_transform(generate_series(1, $PQ_SUB), i -> ${rsub(m, "r", "i")}) AS bv
+         |  FROM cellsr r WHERE vec_id < $PQ_CODES)""".stripMargin)
+    def passCte(name: String, m: Int, bname: String) =
+      s"""$name AS (
+         |  SELECT r.vec_id, r.rv, r.cell, r.nrm, b.code, row_number() OVER (PARTITION BY r.vec_id
+         |      ORDER BY round(${distExpr(m)}, 9), b.code) AS rn
+         |  FROM cellsr r CROSS JOIN $bname b)""".stripMargin
+    val refines = (0 until PQ_M).map { m =>
+      s"""rcb${m}_m AS (
+         |  SELECT code, pos,
+         |    CAST(SUM(CAST(rv[${m * PQ_SUB} + pos] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mv
+         |  FROM (SELECT code, rv FROM ra0_$m WHERE rn = 1)
+         |    CROSS JOIN generate_series(1, $PQ_SUB) t(pos)
+         |  GROUP BY code, pos),
+         |rcb_$m AS (SELECT code, list(mv ORDER BY pos) AS bv FROM rcb${m}_m GROUP BY code)""".stripMargin
+    }
+    val codeJoins = (1 until PQ_M)
+      .map(m => s"JOIN renc_$m c$m ON c$m.vec_id = c0.vec_id AND c$m.rn = 1")
+      .mkString("\n  ")
+    val qds = (0 until PQ_M).map(m =>
+      s"""rqd_$m AS (
+         |  SELECT e.vec_id AS query_id, b.code,
+         |    list_sum(list_transform(generate_series(1, $PQ_SUB), i -> CAST(e.embedding[${m * PQ_SUB} + i] AS DOUBLE) * b.bv[i])) AS qd
+         |  FROM e CROSS JOIN rcb_$m b WHERE e.vec_id < $NQUERIES)""".stripMargin)
+    val apprJoins = (1 until PQ_M)
+      .map(m => s"JOIN rqd_$m q$m ON q$m.query_id = p.query_id AND q$m.code = c.code$m")
+      .mkString("\n  ")
+    val exactDot =
+      s"list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(qa.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))"
+    s"""WITH ${ivfPrefixSql},
+       |cellsr AS (
+       |  SELECT a.vec_id, a.nrm, a.cent_id AS cell,
+       |    list_transform(generate_series(1, $DIMS), i -> CAST(a.embedding[i] AS DOUBLE) - c.cv[i]) AS rv
+       |  FROM assign a JOIN $cFinal c ON c.cent_id = a.cent_id WHERE a.crn = 1),
+       |${inits.mkString(",\n")},
+       |${(0 until PQ_M).map(m => passCte(s"ra0_$m", m, s"rb0_$m")).mkString(",\n")},
+       |${refines.mkString(",\n")},
+       |${(0 until PQ_M).map(m => passCte(s"renc_$m", m, s"rcb_$m")).mkString(",\n")},
+       |rcodes AS (
+       |  SELECT c0.vec_id, c0.cell, c0.nrm, ${(0 until PQ_M).map(m => s"c$m.code AS code$m").mkString(", ")}
+       |  FROM renc_0 c0
+       |  $codeJoins
+       |  WHERE c0.rn = 1),
+       |probes AS (
+       |  SELECT a.vec_id AS query_id, a.nrm AS qn, a.cent_id AS cell,
+       |    list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(a.embedding[i] AS DOUBLE) * c.cv[i])) AS qc
+       |  FROM assign a JOIN $cFinal c ON c.cent_id = a.cent_id
+       |  WHERE a.vec_id < $NQUERIES AND a.crn <= $NPROBE),
+       |${qds.mkString(",\n")},
+       |appr AS (
+       |  SELECT p.query_id, c.vec_id,
+       |    (p.qc + ${(0 until PQ_M).map(m => s"q$m.qd").mkString(" + ")}) / (p.qn * c.nrm) AS approx
+       |  FROM probes p
+       |  JOIN rcodes c ON c.cell = p.cell AND c.vec_id <> p.query_id
+       |  JOIN rqd_0 q0 ON q0.query_id = p.query_id AND q0.code = c.code0
+       |  $apprJoins),
+       |cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY round(approx, 9) DESC, vec_id) AS arn
+       |    FROM appr) WHERE arn <= $PQ_CAND),
+       |scoredx AS (
+       |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |    round($exactDot / (qa.nrm * x.nrm), 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY cd.query_id
+       |      ORDER BY round($exactDot / (qa.nrm * x.nrm), 9) DESC, cd.vec_id) AS rank
+       |  FROM cand cd
+       |  JOIN e qa ON qa.vec_id = cd.query_id
+       |  JOIN e x ON x.vec_id = cd.vec_id)
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+       |FROM scoredx WHERE rank <= 3""".stripMargin
+  }
+
   /** Scalar-quantization (int8) ANN: every dimension is quantized to
     * a byte against per-dimension corpus [min, max] ranges — 1 byte/dim
     * = a 4× scan-bandwidth cut vs float32 with far better fidelity
@@ -861,6 +1044,7 @@ object Similarity {
     "sim_knn_graph" -> simKnnGraph,
     "sim_sq_int8" -> simSqInt8,
     "sim_pq_adc" -> simPqAdc,
+    "sim_ivf_pq" -> simIvfPq,
     "sim_topk_bruteforce" -> simTopKBruteforce,
     "sim_from_binary" -> simFromBinary,
     "dedup_semantic" -> dedupSemantic,
@@ -876,6 +1060,7 @@ object Similarity {
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_sq_int8" -> simSqInt8Sql,
     "sim_pq_adc" -> simPqAdcSql,
+    "sim_ivf_pq" -> simIvfPqSql,
     "sim_topk_bruteforce" -> simTopKBruteforceSql,
     "sim_from_binary" -> simTopKBruteforceSql,
     "dedup_semantic" -> dedupSemanticSql,

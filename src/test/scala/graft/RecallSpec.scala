@@ -52,6 +52,20 @@ class RecallSpec extends AnyFunSuite {
     assert(hits >= 10, s"PQ-ADC recovered $hits of the exact top-k pairs")
   }
 
+  test("IVF-PQ residual coding beats flat-PQ recall and overlaps the exact top-k") {
+    val ivfpq = pairs(Similarity.simIvfPq(spark, sf))
+    val hits = ivfpq.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val flatHits = pairs(Similarity.simPqAdc(spark, sf))
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    info(s"IVF-PQ hits: $hits vs flat-PQ $flatHits (exact set: ${exact.count()})")
+    assert(ivfpq.count() > 0)
+    // residuals center near zero so the same 4×16 codebooks quantize
+    // finer; the composition should at least not LOSE recall vs flat
+    // PQ even though it scans only nprobe cells
+    assert(hits >= 10, s"IVF-PQ recovered $hits of the exact top-k pairs")
+    assert(hits >= flatHits - 3, s"IVF-PQ $hits far below flat PQ $flatHits")
+  }
+
   test("IVF nprobe=2 recovers a nontrivial share of the exact top-k") {
     val ivf = pairs(Similarity.simIvf(spark, sf))
     val hits = ivf.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
