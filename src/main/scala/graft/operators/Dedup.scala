@@ -362,6 +362,55 @@ object Dedup {
     jaccardSql(candCte, 4)
   }
 
+  /** Directional CONTAINMENT dedup (Broder 1997's containment measure
+    * — the asymmetric twin of [[dedupNgramJaccard]]): c(A→B) =
+    * |A∩B| / |A| over 4-gram shingle sets. Jaccard is blind to
+    * sub-document duplication — a short doc wholly quoted inside a
+    * long one scores |A|/|B| ≈ 0 Jaccard but containment 1.0 — and
+    * real corpora are full of it (quote pages, boilerplate wrappers,
+    * excerpt farms). Candidates and intersection counts come from ONE
+    * inverted-index equi-join + partial-agg groupBy (bounded by the
+    * [[MAX_DF]] cap like every candidate generator here), per-doc set
+    * sizes broadcast back, and a pair is flagged when EITHER direction
+    * reaches 0.5. `jaccard_blind` marks the pairs symmetric Jaccard
+    * (< 0.5) would have missed — the operator's reason to exist. */
+  def dedupContainment: Q = (s, dir) => {
+    val sh = cappedShingles(t(s, dir, "documents"), 4).cache()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.toDF("id_a", "sh").join(sh.toDF("id_b", "sh"), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(cnt.toDF("id_a", "n_a")), "id_a")
+      .join(broadcast(cnt.toDF("id_b", "n_b")), "id_b")
+      .withColumn("cont_ab", col("n_inter") / col("n_a"))
+      .withColumn("cont_ba", col("n_inter") / col("n_b"))
+      .withColumn("jac", col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(greatest(col("cont_ab"), col("cont_ba")) >= 0.5)
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        round(col("cont_ab"), 6).as("cont_ab"),
+        round(col("cont_ba"), 6).as("cont_ba"),
+        round(col("jac"), 6).as("jaccard"),
+        (col("jac") < 0.5).as("jaccard_blind"))
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH sh AS (${shinglesSql(4)}),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+       |  FROM sh a JOIN sh b ON b.sh = a.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i.id_a, i.id_b, i.n_inter,
+       |  round(i.n_inter / ca.n_sh, 6) AS cont_ab,
+       |  round(i.n_inter / cb.n_sh, 6) AS cont_ba,
+       |  round(i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter), 6) AS jaccard,
+       |  (i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter)) < 0.5 AS jaccard_blind
+       |FROM inter i
+       |JOIN cnt ca ON ca.doc_id = i.id_a
+       |JOIN cnt cb ON cb.doc_id = i.id_b
+       |WHERE greatest(i.n_inter / ca.n_sh, i.n_inter / cb.n_sh) >= 0.5""".stripMargin
+
   private val SIMHASH_DIMS = 64
   private val SIMHASH_BANDS = 4
   private val BAND_MASK = 65535L // 16-bit bands
@@ -761,6 +810,7 @@ object Dedup {
     "dedup_sparse_features" -> dedupSparseFeatures,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_containment" -> dedupContainment,
     "dedup_simhash" -> dedupSimhash,
     "dedup_cdc" -> dedupCdc,
     "dedup_incremental" -> dedupIncremental,
@@ -773,6 +823,7 @@ object Dedup {
     "dedup_sparse_features" -> dedupSparseFeaturesSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_cdc" -> dedupCdcSql,
     "dedup_incremental" -> dedupIncrementalSql,

@@ -299,7 +299,55 @@ object MmPipeline {
       |GROUP BY 1, 2, 3
       |HAVING COUNT(*) >= 2""".stripMargin
 
+  /** WebDataset-style SHARD PACKING of multimodal payloads (the
+    * tar-shard layout every large-scale media trainer streams from):
+    * payloads are laid out per source in a deterministic salted-hash
+    * order and packed WHOLE (media members never split, unlike
+    * pipeline_pack_bins' token slices) into ~16 KiB shards by byte
+    * position: shard_id = start_byte div budget — an item whose start
+    * falls in shard k lands in shard k even if it overflows the
+    * boundary (next-fit semantics, no sequential scan needed). The
+    * manifest row (source, shard, member offset, size) is exactly the
+    * index a WebDataset reader seeks by. Scale shape: one cumulative
+    * window per source (parallel over sources), per-shard base offsets
+    * from a partial-agg groupBy joined back — payload BYTES never
+    * shuffle, only their sizes do. */
+  def mmPackShards: Q = (s, dir) => {
+    val B = 16384L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(concat(lit("shard:"), col("doc_id").cast("string"))), col("doc_id"))
+    val laid = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), length(col("text")).cast("long").as("nbytes"))
+      .withColumn("cum", sum(col("nbytes")).over(w))
+      .withColumn("start", col("cum") - col("nbytes"))
+      .withColumn("shard_id", expr(s"start div ${B}L"))
+    val bases = laid.groupBy("source", "shard_id")
+      .agg(min(col("start")).as("shard_base"))
+    laid.join(bases, Seq("source", "shard_id"))
+      .select(col("source"), col("shard_id"), col("doc_id"),
+        (col("start") - col("shard_base")).as("offset_bytes"), col("nbytes"))
+  }
+
+  val mmPackShardsSql: String =
+    """WITH laid AS (
+      |  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS nbytes,
+      |    SUM(CAST(length(text) AS BIGINT)) OVER (PARTITION BY source
+      |      ORDER BY md5('shard:' || CAST(doc_id AS VARCHAR)), doc_id) AS cum
+      |  FROM documents),
+      |pos AS (
+      |  SELECT source, doc_id, nbytes, CAST(cum - nbytes AS BIGINT) AS start,
+      |    CAST((cum - nbytes) // 16384 AS BIGINT) AS shard_id
+      |  FROM laid),
+      |bases AS (
+      |  SELECT source, shard_id, MIN(start) AS shard_base
+      |  FROM pos GROUP BY source, shard_id)
+      |SELECT p.source, p.shard_id, p.doc_id,
+      |  CAST(p.start - b.shard_base AS BIGINT) AS offset_bytes, p.nbytes
+      |FROM pos p JOIN bases b ON b.source = p.source AND b.shard_id = p.shard_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mm_pack_shards" -> mmPackShards,
     "mm_decode_pipeline" -> mmDecodePipeline,
     "mm_frame_sample" -> mmFrameSample,
     "mm_scene_detect" -> mmSceneDetect,
@@ -307,6 +355,7 @@ object MmPipeline {
     "mm_resize" -> mmResize,
     "mm_dedup_features" -> mmDedupFeatures)
   val oracles: Map[String, String] = Map(
+    "mm_pack_shards" -> mmPackShardsSql,
     "mm_decode_pipeline" -> mmDecodePipelineSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_scene_detect" -> mmSceneDetectSql,

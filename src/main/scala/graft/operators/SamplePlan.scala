@@ -230,7 +230,11 @@ object SamplePlan {
     * directly). The gate checks the head of the order
     * (TakeOrderedAndProject — bounded) plus per-source position
     * stats, so a single misplaced document moves a gated number. */
-  def pipelineTrainOrder: Q = (s, dir) => {
+  /** The interleaved train-order position computation shared by
+    * [[pipelineTrainOrder]] and [[pipelineResume]]: per-source salted-
+    * hash rank striped across sources — pos is a COMPUTED key, never a
+    * materialized global sort. */
+  private def trainOrderPositioned(s: SparkSession, dir: String): DataFrame = {
     val srcIdx = t(s, dir, "documents").select("source").distinct()
       .withColumn("src_idx", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("source")).cast(LongType))
@@ -238,12 +242,16 @@ object SamplePlan {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source")
       .orderBy(md5(concat(lit("ord:"), col("doc_id").cast(StringType))), col("doc_id"))
-    val positioned = t(s, dir, "documents")
+    t(s, dir, "documents")
       .select(col("doc_id"), col("source"))
       .join(broadcast(srcIdx), "source")
       .crossJoin(broadcast(nSrc))
       .withColumn("ord", row_number().over(w).cast(LongType))
       .withColumn("pos", (col("ord") - 1L) * col("n_sources") + col("src_idx") - 1L)
+  }
+
+  def pipelineTrainOrder: Q = (s, dir) => {
+    val positioned = trainOrderPositioned(s, dir)
     val head = positioned.orderBy("pos").limit(20)
       .select(col("pos"), col("source"), col("doc_id"))
     // summary rows share the head's schema: pos = -1 marks them, and
@@ -275,6 +283,86 @@ object SamplePlan {
       |SELECT CAST(-1 AS BIGINT) AS pos, source,
       |  CAST(COUNT(*) * 1000000 + MIN(pos) * 1000 + MAX(pos) % 1000 AS BIGINT) AS doc_id
       |FROM pos GROUP BY source""".stripMargin
+
+  /** CHECKPOINT RESUME of the interleaved train order (the "restart at
+    * step S" device every long pretraining run needs): because the
+    * [[trainOrderPositioned]] position is a computed key, resuming is
+    * a pure FILTER `pos >= S` — no state replay, no re-walk of the
+    * consumed prefix, and at 100 TB the skipped prefix's documents are
+    * never read past their key columns. Output: the next 20 scheduled
+    * documents after step 100 plus per-source remaining counts (the
+    * progress ledger a resume writes back). */
+  def pipelineResume: Q = (s, dir) => {
+    val S = 100L
+    val rem = trainOrderPositioned(s, dir).filter(col("pos") >= S)
+    val head = rem.orderBy("pos").limit(20)
+      .select(col("pos"), col("source"), col("doc_id"))
+    val stats = rem.groupBy("source")
+      .agg(count(lit(1)).as("n_rem"), min(col("pos")).as("min_pos"))
+      .select(lit(-1L).as("pos"), col("source"),
+        (col("n_rem") * 1000000L + col("min_pos") % 1000000L).as("doc_id"))
+    head.unionByName(stats)
+  }
+
+  val pipelineResumeSql: String =
+    """WITH srcs AS (
+      |  SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS src_idx
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM srcs),
+      |pos AS (
+      |  SELECT d.doc_id, d.source,
+      |    (CAST(row_number() OVER (PARTITION BY d.source
+      |       ORDER BY md5('ord:' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS BIGINT) - 1)
+      |      * ns.n_sources + s.src_idx - 1 AS pos
+      |  FROM documents d JOIN srcs s USING (source) CROSS JOIN ns),
+      |rem AS (SELECT * FROM pos WHERE pos >= 100)
+      |SELECT pos, source, doc_id FROM (
+      |  SELECT pos, source, doc_id FROM rem ORDER BY pos LIMIT 20)
+      |UNION ALL
+      |SELECT CAST(-1 AS BIGINT) AS pos, source,
+      |  CAST(COUNT(*) * 1000000 + MIN(pos) % 1000000 AS BIGINT) AS doc_id
+      |FROM rem GROUP BY source""".stripMargin
+
+  /** PER-EPOCH deterministic reshuffle (the multi-epoch data-order
+    * device: each epoch must see the corpus in a different but
+    * REPRODUCIBLE order, with no RNG state to checkpoint): epoch e's
+    * order key is md5("ep{e}:" ++ doc_id) — pure map-side, so epoch
+    * orders cost nothing until consumed, and any shard of any epoch
+    * can be regenerated independently (the elastic-training property).
+    * Gated output per epoch: the first 10 documents (a bounded
+    * TakeOrdered, proving the order itself) plus 256 hash-prefix
+    * bucket counts (proving the corpus-wide assignment without a
+    * global sort). */
+  def pipelineEpochReshuffle: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    (0 until 3).map { e =>
+      val ekey = md5(concat(lit(s"ep$e:"), col("doc_id").cast(StringType)))
+      val head = docs.withColumn("ekey", ekey)
+        .orderBy("ekey", "doc_id").limit(10)
+        .select(lit(e.toLong).as("epoch"), col("ekey"), col("doc_id"))
+      val buckets = docs.withColumn("b", substring(ekey, 1, 2))
+        .groupBy("b").agg(count(lit(1)).as("n"))
+        .select(lit(e.toLong).as("epoch"),
+          concat(lit("bucket:"), col("b")).as("ekey"), col("n").as("doc_id"))
+      head.unionByName(buckets)
+    }.reduce(_ unionByName _)
+  }
+
+  val pipelineEpochReshuffleSql: String = {
+    val parts = (0 until 3).map { e =>
+      s"""SELECT epoch, ekey, doc_id FROM (
+         |  SELECT CAST($e AS BIGINT) AS epoch,
+         |    md5('ep$e:' || CAST(doc_id AS VARCHAR)) AS ekey, doc_id
+         |  FROM documents ORDER BY ekey, doc_id LIMIT 10)
+         |UNION ALL
+         |SELECT CAST($e AS BIGINT) AS epoch,
+         |  'bucket:' || substr(md5('ep$e:' || CAST(doc_id AS VARCHAR)), 1, 2) AS ekey,
+         |  CAST(COUNT(*) AS BIGINT) AS doc_id
+         |FROM documents
+         |GROUP BY substr(md5('ep$e:' || CAST(doc_id AS VARCHAR)), 1, 2)""".stripMargin
+    }
+    parts.mkString("\nUNION ALL\n")
+  }
 
   /** WEIGHTED training order — stride scheduling over the
     * [[pipelineTokenBudget]] allocations (the full curriculum
@@ -331,12 +419,16 @@ object SamplePlan {
        |FROM pk GROUP BY source""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "pipeline_resume" -> pipelineResume,
+    "pipeline_epoch_reshuffle" -> pipelineEpochReshuffle,
     "pipeline_partition_quality" -> pipelinePartitionQuality,
     "pipeline_sample_plan" -> pipelineSamplePlan,
     "pipeline_token_budget" -> pipelineTokenBudget,
     "pipeline_train_order" -> pipelineTrainOrder,
     "pipeline_train_order_weighted" -> pipelineTrainOrderWeighted)
   val oracles: Map[String, String] = Map(
+    "pipeline_resume" -> pipelineResumeSql,
+    "pipeline_epoch_reshuffle" -> pipelineEpochReshuffleSql,
     "pipeline_partition_quality" -> pipelinePartitionQualitySql,
     "pipeline_sample_plan" -> pipelineSamplePlanSql,
     "pipeline_token_budget" -> pipelineTokenBudgetSql,
