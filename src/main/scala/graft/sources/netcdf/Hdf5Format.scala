@@ -101,7 +101,11 @@ object Hdf5Format {
       attrs: Seq[H5Attr],
       /** byte-shuffle filter (id 2) precedes deflate in the pipeline —
         * the netCDF4 library's `shuffle=True` default */
-      shuffle: Boolean = false) {
+      shuffle: Boolean = false,
+      /** fletcher32 checksum filter (id 3) — netCDF4's
+        * `fletcher32=True`, set FIRST in the pipeline (checksum covers
+        * the raw chunk; the 4-byte word rides through shuffle/deflate) */
+      fletcher: Boolean = false) {
     def chunkBytes: Int = (kind.rowBytes * chunkRecs).toInt
     /** CF `actual_range` zone map, when the writer recorded one. */
     def range: Option[(Double, Double)] =
@@ -137,6 +141,9 @@ object Hdf5Format {
       while (i < n) { dst(k) = src(i * elemSize + j); k += 1; i += 1 }
       j += 1
     }
+    // non-multiple tail (e.g. an appended fletcher32 word) stays put
+    var r = n * elemSize
+    while (r < src.length) { dst(r) = src(r); r += 1 }
     dst
   }
 
@@ -150,6 +157,45 @@ object Hdf5Format {
       while (i < n) { dst(i * elemSize + j) = src(k); k += 1; i += 1 }
       j += 1
     }
+    // HDF5 shuffle leaves a non-multiple tail (e.g. an appended
+    // fletcher32 word) unshuffled at the end
+    var r = n * elemSize
+    while (r < len) { dst(r) = src(r); r += 1 }
+  }
+
+  // ---------------------------------------------------------------
+  // HDF5 fletcher32 filter (id 3): the checksum netCDF4 enables with
+  // `fletcher32=True`. Faithful to the public H5_checksum_fletcher32
+  // (16-bit big-endian words, 360-word partial-sum folding, odd-byte
+  // pad) with the 4-byte value appended little-endian — netCDF4 sets
+  // it FIRST in the pipeline, so the checksum covers the RAW chunk.
+  // ---------------------------------------------------------------
+  private[graft] def fletcher32(data: Array[Byte], len: Int): Int = {
+    var sum1 = 0L
+    var sum2 = 0L
+    var off = 0
+    var words = len / 2
+    while (words > 0) {
+      var tlen = if (words > 360) 360 else words
+      words -= tlen
+      while (tlen > 0) {
+        sum1 += (((data(off) & 0xffL) << 8) | (data(off + 1) & 0xffL))
+        off += 2
+        sum2 += sum1
+        tlen -= 1
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >>> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >>> 16)
+    }
+    if (len % 2 == 1) {
+      sum1 += (data(off) & 0xffL) << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xffff) + (sum1 >>> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >>> 16)
+    }
+    sum1 = (sum1 & 0xffff) + (sum1 >>> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >>> 16)
+    ((sum2 << 16) | sum1).toInt
   }
 
   // ---------------------------------------------------------------
@@ -295,7 +341,7 @@ object Hdf5Format {
     * state is one raw chunk + the compressed chunk list. */
   private final class VarState(val name: String, val kind: H5Kind,
       val chunkRecs: Int, val deflate: Boolean, val attrs: Seq[H5Attr],
-      val shuffle: Boolean = false) {
+      val shuffle: Boolean = false, val fletcher: Boolean = false) {
     val raw = new Array[Byte]((kind.rowBytes * chunkRecs).toInt)
     val bb: ByteBuffer = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     var inChunk = 0
@@ -314,11 +360,22 @@ object Hdf5Format {
       // edge chunks are stored FULL-SIZE (zero-padded) — the HDF5
       // chunked-storage contract; logical dims bound what readers use
       java.util.Arrays.fill(raw, (kind.rowBytes * inChunk).toInt, raw.length, 0.toByte)
-      // pipeline order on write: shuffle (if on) then deflate; the
-      // filter mask's bit i refers to pipeline position i, so when
-      // shuffle occupies slot 0 the deflate skip-bit moves to bit 1
-      val pre = if (shuffle) shuffleBytes(raw, kind.elemSize) else raw
-      val deflateSkipBit = if (shuffle) 2 else 1
+      // pipeline order on write (netCDF4's call order): fletcher32,
+      // then shuffle, then deflate; the filter mask's bit i refers to
+      // pipeline position i, so the deflate skip-bit shifts right for
+      // each filter ahead of it
+      var pre: Array[Byte] = raw
+      if (fletcher) {
+        val withCk = java.util.Arrays.copyOf(raw, raw.length + 4)
+        val ck = fletcher32(raw, raw.length)
+        withCk(raw.length) = (ck & 0xff).toByte
+        withCk(raw.length + 1) = ((ck >>> 8) & 0xff).toByte
+        withCk(raw.length + 2) = ((ck >>> 16) & 0xff).toByte
+        withCk(raw.length + 3) = ((ck >>> 24) & 0xff).toByte
+        pre = withCk
+      }
+      if (shuffle) pre = shuffleBytes(pre, kind.elemSize)
+      val deflateSkipBit = 1 << ((if (fletcher) 1 else 0) + (if (shuffle) 1 else 0))
       if (deflate) {
         val d = new Deflater(6)
         d.setInput(pre); d.finish()
@@ -330,10 +387,11 @@ object Hdf5Format {
         // per-chunk codec escape: an incompressible chunk is stored
         // raw with the filter masked out (spec: filter mask bit i set
         // = filter i skipped) — same device as the .ncz store codec;
-        // the shuffle transform stays applied (it never grows bytes)
-        if (comp.length < raw.length) stored += ((comp, 0))
-        else stored += ((pre.clone(), deflateSkipBit))
-      } else stored += ((pre.clone(), 0))
+        // shuffle/fletcher stay applied (they never grow bytes beyond
+        // the fixed 4-byte checksum)
+        if (comp.length < pre.length) stored += ((comp, 0))
+        else stored += ((if (pre eq raw) raw.clone() else pre, deflateSkipBit))
+      } else stored += ((if (pre eq raw) raw.clone() else pre, 0))
       inChunk = 0
       bb.position(0)
     }
@@ -396,7 +454,8 @@ object Hdf5Format {
       rootAttrs: Seq[(String, String)] = Seq(
         "_NCProperties" -> "version=2,netcdf=4.9.2,hdf5=1.12.2"),
       varAttrs: Map[String, Seq[H5Attr]] = Map.empty,
-      shuffle: Boolean = false) {
+      shuffle: Boolean = false,
+      fletcher: Boolean = false) {
     require(h5ver == 0 || h5ver == 2, s"h5ver must be 0 or 2, got $h5ver")
 
     private def kindOf(f: StructField): H5Kind = f.dataType match {
@@ -414,7 +473,7 @@ object Hdf5Format {
 
     private val vars: Array[VarState] = schema.fields.map(f =>
       new VarState(f.name, kindOf(f), chunkRecs, deflate,
-        varAttrs.getOrElse(f.name, Nil), shuffle))
+        varAttrs.getOrElse(f.name, Nil), shuffle, fletcher))
 
     def writeRow(get: Int => Any): Unit = {
       var i = 0
@@ -436,10 +495,16 @@ object Hdf5Format {
       msgs += MSG_DATATYPE -> datatypeBytes(v.kind)
       // fill value v2, not defined, late allocation
       msgs += MSG_FILL -> Array[Byte](2, 2, 2, 0)
-      if (v.deflate || v.shuffle) {
-        val nf = (if (v.shuffle) 1 else 0) + (if (v.deflate) 1 else 0)
+      if (v.deflate || v.shuffle || v.fletcher) {
+        val nf = (if (v.fletcher) 1 else 0) + (if (v.shuffle) 1 else 0) +
+          (if (v.deflate) 1 else 0)
+        val multi = nf > 1
         val f = new Buf
         f.u8(1).u8(nf).zeros(6) // filter pipeline v1
+        if (v.fletcher) {
+          // fletcher32 (id 3), no name, mandatory, zero client values
+          f.u16(3).u16(0).u16(0).u16(0)
+        }
         if (v.shuffle) {
           // shuffle (id 2), no name, mandatory, 1 client value = element
           // size in bytes; odd client-value count pads 4 bytes (spec)
@@ -447,7 +512,7 @@ object Hdf5Format {
         }
         if (v.deflate) {
           f.u16(1).u16(0).u16(0).u16(1).u32(6) // deflate, no name, mandatory, level 6
-          if (v.shuffle) f.u32(0) // odd-count pad for the deflate entry too
+          if (multi) f.u32(0) // odd-count pad when not the sole entry
         }
         msgs += MSG_FILTER -> f.result()
       }
@@ -1001,6 +1066,7 @@ object Hdf5Format {
     var contiguous = UNDEF
     var deflate = false
     var shuffle = false
+    var fletcher = false
     val attrs = scala.collection.mutable.ArrayBuffer.empty[H5Attr]
     msgs.foreach {
       case (MSG_DATASPACE, body) =>
@@ -1049,13 +1115,17 @@ object Hdf5Format {
           if (nameLen > 0) b.skip(if (ver == 1) pad8(nameLen) else nameLen)
           b.skip(4 * ncd)
           if (ver == 1 && ncd % 2 == 1) b.skip(4)
+          // the range reader assumes netCDF4's pipeline call order
+          // (fletcher32, shuffle, deflate) for filter-mask bit slots
           if (id == 1) deflate = true
           else if (id == 2) {
-            // the range reader assumes netCDF4's pipeline order
-            // (shuffle slot 0, deflate after) for filter-mask bits
-            require(fi == 0 && !deflate,
+            require(!deflate,
               s"shuffle filter must precede deflate in the pipeline for $name")
             shuffle = true
+          } else if (id == 3) {
+            require(fi == 0 && !deflate && !shuffle,
+              s"fletcher32 filter must lead the pipeline for $name")
+            fletcher = true
           } else if (id != 0)
             throw new java.io.IOException(s"unsupported HDF5 filter id $id")
         }
@@ -1112,7 +1182,7 @@ object Hdf5Format {
         acc.sortBy(_.startRec).toArray
       }
     Some(H5Var(name, kind, dims.head, math.max(1, chunkRecs), deflate,
-      contiguous, chunks, attrs.toSeq, shuffle = shuffle))
+      contiguous, chunks, attrs.toSeq, shuffle = shuffle, fletcher = fletcher))
   }
 
   /** File metadata: superblock (v0-v3) → root group → datasets. Only
@@ -1186,10 +1256,17 @@ object Hdf5Format {
       }
     private var ci = 0
     private val raw = new Array[Byte]((v.kind.rowBytes * slabRecs).toInt)
-    /** scratch for shuffled chunks: inflate lands here, the byte
-      * transpose writes into `raw` */
-    private val shufBuf: Array[Byte] =
-      if (v.shuffle) new Array[Byte](raw.length) else Array.emptyByteArray
+    /** trailing bytes beyond the data itself (the fletcher32 word) */
+    private val extra = if (v.fletcher) 4 else 0
+    /** scratch buffers for filtered chunks: inflate lands in `workA`;
+      * the shuffle transpose needs a second distinct buffer only when
+      * fletcher32 also rides (otherwise `raw` serves as the target) */
+    private val workA: Array[Byte] =
+      if (v.shuffle || v.fletcher) new Array[Byte](raw.length + extra)
+      else Array.emptyByteArray
+    private val workB: Array[Byte] =
+      if (v.shuffle && v.fletcher) new Array[Byte](raw.length + extra)
+      else Array.emptyByteArray
     private val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     private var chunkStart = 0L
     private var chunkEnd = Long.MinValue
@@ -1199,13 +1276,17 @@ object Hdf5Format {
     def plannedStoredBytes: Long = covering.map(_.storedSize.toLong).sum
 
     private def loadChunk(c: H5Chunk): Unit = {
-      // filter-mask bit positions follow pipeline order: shuffle (when
-      // present) is slot 0 and deflate shifts to slot 1
-      val deflateSkipBit = if (v.shuffle) 2 else 1
+      // filter-mask bit positions follow the pipeline call order
+      // (fletcher32, shuffle, deflate): each present leading filter
+      // shifts the later filters' skip-bits one slot right
+      val fletBit = 1
+      val shufBit = 1 << (if (v.fletcher) 1 else 0)
+      val deflateSkipBit =
+        1 << ((if (v.fletcher) 1 else 0) + (if (v.shuffle) 1 else 0))
       val stored = new Array[Byte](c.storedSize)
       in.readFully(c.addr, stored, 0, stored.length)
       if (v.deflate && (c.filterMask & deflateSkipBit) == 0) {
-        val dst = if (v.shuffle) shufBuf else raw
+        val dst = if (v.shuffle || v.fletcher) workA else raw
         val inf = new Inflater()
         inf.setInput(stored)
         var off = 0
@@ -1215,19 +1296,37 @@ object Hdf5Format {
           off += n
         }
         inf.end()
-        if (v.shuffle && (c.filterMask & 1) == 0)
-          deshuffleBytes(shufBuf, raw, raw.length, v.kind.elemSize)
-        else if (v.shuffle) System.arraycopy(shufBuf, 0, raw, 0, raw.length)
+        finishFilters(dst, dst.length, c.filterMask, shufBit, fletBit)
         chunkEnd = c.startRec + slabRecs
       } else {
-        require(stored.length <= raw.length,
-          s"stored chunk ${stored.length} > buffer ${raw.length}")
-        if (v.shuffle && (c.filterMask & 1) == 0)
-          deshuffleBytes(stored, raw, stored.length, v.kind.elemSize)
-        else System.arraycopy(stored, 0, raw, 0, stored.length)
-        chunkEnd = c.startRec + stored.length / v.kind.rowBytes
+        require(stored.length <= raw.length + extra,
+          s"stored chunk ${stored.length} > buffer ${raw.length + extra}")
+        finishFilters(stored, stored.length, c.filterMask, shufBit, fletBit)
+        chunkEnd = c.startRec + (stored.length - extra) / v.kind.rowBytes
       }
       chunkStart = c.startRec
+    }
+
+    /** Invert the shuffle and fletcher32 stages of a chunk sitting in
+      * `src` (post-inflate), landing the payload in `raw`. */
+    private def finishFilters(src: Array[Byte], len: Int, mask: Int,
+        shufBit: Int, fletBit: Int): Unit = {
+      var cur = src
+      if (v.shuffle && (mask & shufBit) == 0) {
+        val dst = if (v.fletcher) workB else raw
+        deshuffleBytes(cur, dst, len, v.kind.elemSize)
+        cur = dst
+      }
+      if (v.fletcher && (mask & fletBit) == 0) {
+        val dataLen = len - 4
+        val exp = fletcher32(cur, dataLen)
+        val got = (cur(dataLen) & 0xff) | ((cur(dataLen + 1) & 0xff) << 8) |
+          ((cur(dataLen + 2) & 0xff) << 16) | ((cur(dataLen + 3) & 0xff) << 24)
+        if (exp != got) throw new java.io.IOException(
+          f"fletcher32 mismatch in ${v.name}: stored 0x$got%08x computed 0x$exp%08x")
+      }
+      if (!(cur eq raw))
+        System.arraycopy(cur, 0, raw, 0, math.min(cur.length - extra, raw.length))
     }
 
     /** Position the buffer on the chunk containing `rec`. */

@@ -19,7 +19,7 @@ object Hdf5IO {
       deflate: Boolean = true, h5ver: Int = 0, stringWidth: Int = 32,
       arrayLens: Map[String, Int] = Map.empty,
       varAttrs: Map[String, Seq[Hdf5Format.H5Attr]] = Map.empty,
-      shuffle: Boolean = false): Unit = {
+      shuffle: Boolean = false, fletcher: Boolean = false): Unit = {
     val schema = df.schema
     require(!schema.fieldNames.contains("record"),
       "column name `record` is reserved for the netcdf4 record index")
@@ -47,7 +47,8 @@ object Hdf5IO {
       }
     df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val w = new Hdf5Format.Hdf5Writer(schema, chunkRecs, deflate,
-        stringWidth, arrayLens, h5ver, varAttrs = varAttrs, shuffle = shuffle)
+        stringWidth, arrayLens, h5ver, varAttrs = varAttrs, shuffle = shuffle,
+        fletcher = fletcher)
       rows.foreach { r =>
         var i = 0
         while (i < schema.size) {
@@ -171,6 +172,37 @@ object Nc4Queries {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_tax AS DECIMAL(9,2))) AS DOUBLE) AS sum_tax,
       |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      |FROM lineitem""".stripMargin
+
+  /** The COMPLETE netCDF4 filter stack — `createVariable(zlib=True,
+    * shuffle=True, fletcher32=True)`: fletcher32 checksums the raw
+    * chunk (pipeline slot 0, netCDF4's call order), shuffle transposes
+    * data + riding checksum word, deflate compresses the result; the
+    * reader inverts in reverse order and VERIFIES every chunk's
+    * checksum (a mismatch throws, never silent corruption). Aggregate
+    * hash-matched against parquet. */
+  def nc4FletcherRoundtrip: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5fletcher")
+    Hdf5IO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
+        .repartition(3),
+      out, chunkRecs = 2048, deflate = true, h5ver = 0, shuffle = true,
+      fletcher = true)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_discount")).as("sum_disc"),
+        max(col("l_orderkey")).as("max_key"))
+  }
+
+  val nc4FletcherRoundtripSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sum_disc,
+      |  MAX(l_orderkey) AS max_key
       |FROM lineitem""".stripMargin
 
   /** Variable pruning + record-range pushdown against the 1.8+ HDF5
@@ -496,6 +528,7 @@ object Nc4Queries {
       |FROM o WHERE idx >= 1000 AND idx < 9000 AND idx % 4 = 0""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "nc4_fletcher_roundtrip" -> nc4FletcherRoundtrip,
     "nc4_shuffle_roundtrip" -> nc4ShuffleRoundtrip,
     "nc4_isel_stride" -> nc4IselStride,
     "nc4_fillvalue_mask" -> nc4FillvalueMask,
@@ -508,6 +541,7 @@ object Nc4Queries {
     "nc4_stream_ingest" -> nc4StreamIngest,
     "nc4_groups" -> nc4Groups)
   val oracles: Map[String, String] = Map(
+    "nc4_fletcher_roundtrip" -> nc4FletcherRoundtripSql,
     "nc4_shuffle_roundtrip" -> nc4ShuffleRoundtripSql,
     "nc4_isel_stride" -> nc4IselStrideSql,
     "nc4_fillvalue_mask" -> nc4FillvalueMaskSql,
