@@ -18,15 +18,19 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 only
-    * reads as a raw long (spark.sql.legacy.parquet.nanosAsLong=true —
-    * set in Verify/Bench/tests). Convert ns → µs timestamp here so
-    * every query sees a proper event-time column; the truncation
-    * matches DuckDB's epoch_us semantics for positive epochs. */
+  /** events.parquet's `ts` physical type has varied across testdata
+    * generations: TIMESTAMP(NANOS) (Spark 4 reads it as a raw long
+    * under spark.sql.legacy.parquet.nanosAsLong=true, set in
+    * Verify/Bench/tests) and TIMESTAMP(MICROS) without the UTC-adjusted
+    * flag (Spark 4 infers TIMESTAMP_NTZ). Normalize both to a session-tz
+    * TIMESTAMP here — sessions run UTC, so the NTZ reinterpretation and
+    * the ns → µs truncation both yield the exact instants the DuckDB
+    * oracle computes from the same parquet. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = t(spark, dir, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

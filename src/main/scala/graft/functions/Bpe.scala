@@ -114,10 +114,20 @@ object Bpe {
   def sparkTokensExpr(w: String, table: Seq[(String, String)] = merges): String = {
     val spaced = s"concat(' ', regexp_replace($w, '(.)', '$$1 '))"
     val chain = table.foldLeft(spaced) { case (acc, (p, r)) =>
-      s"replace(replace($acc, ' $p ', ' $r '), ' $p ', ' $r ')"
+      s"replace(replace($acc, ' ${sqlQuote(p)} ', ' ${sqlQuote(r)} '), " +
+        s"' ${sqlQuote(p)} ', ' ${sqlQuote(r)} ')"
     }
     s"filter(split($chain, ' '), x -> x != '')"
   }
+
+  /** Escape a merge token for splicing into a single-quoted Spark SQL
+    * string literal. The [[loadMerges]] charset allows the apostrophe
+    * (real released merges files are full of `'s`-style rules), so the
+    * splice point — not the charset — carries the anti-injection
+    * guard: quote and backslash are escaped, everything else in the
+    * validated charset is literal-safe. */
+  private def sqlQuote(t: String): String =
+    t.replace("\\", "\\\\").replace("'", "\\'")
 
   /** Parse a released merges file (the HuggingFace/GPT-2 `merges.txt`
     * shape: optional `#version` header, then one `a b` pair per line
@@ -149,8 +159,10 @@ object Bpe {
   /** Same token array in DuckDB SQL. */
   def duckTokensExpr(w: String): String = {
     val spaced = s"' ' || regexp_replace($w, '(.)', '\\1 ', 'g')"
+    // DuckDB escapes a quote inside a literal by doubling it
+    def q(t: String) = t.replace("'", "''")
     val chain = merges.foldLeft(spaced) { case (acc, (p, r)) =>
-      s"replace(replace($acc, ' $p ', ' $r '), ' $p ', ' $r ')"
+      s"replace(replace($acc, ' ${q(p)} ', ' ${q(r)} '), ' ${q(p)} ', ' ${q(r)} ')"
     }
     s"list_filter(string_split($chain, ' '), x -> x != '')"
   }

@@ -61,7 +61,10 @@ object ScaleJoins {
       s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/${s.sparkContext.applicationId}")
     armCleanup(appRoot)
     val tag = (dir.hashCode & 0x7fffffff).toHexString
-    val wh = s"$appRoot/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    // the tag rides the PATH too: two dirs that sanitize to the same
+    // string (/x/a-b vs /x/a_b) must not share bucketed files, or the
+    // second write silently replaces the first table's data
+    val wh = s"$appRoot/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$tag"
     t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
       .write.bucketBy(BUCKETS, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$wh/orders").mode("overwrite")

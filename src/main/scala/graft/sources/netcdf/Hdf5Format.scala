@@ -498,7 +498,6 @@ object Hdf5Format {
       if (v.deflate || v.shuffle || v.fletcher) {
         val nf = (if (v.fletcher) 1 else 0) + (if (v.shuffle) 1 else 0) +
           (if (v.deflate) 1 else 0)
-        val multi = nf > 1
         val f = new Buf
         f.u8(1).u8(nf).zeros(6) // filter pipeline v1
         if (v.fletcher) {
@@ -512,7 +511,9 @@ object Hdf5Format {
         }
         if (v.deflate) {
           f.u16(1).u16(0).u16(0).u16(1).u32(6) // deflate, no name, mandatory, level 6
-          if (multi) f.u32(0) // odd-count pad when not the sole entry
+          f.u32(0) // spec-mandated pad after an ODD client-value count,
+          // unconditionally — v1 headers' 8-byte message padding used to
+          // mask its absence, but v2 OHDR framing is byte-exact
         }
         msgs += MSG_FILTER -> f.result()
       }

@@ -852,15 +852,24 @@ object NcQueries {
           s"cast(year(date_add(date'1970-01-01', cast($varName as int))) * 10000 + " +
             s"month(date_add(date'1970-01-01', cast($varName as int))) * 100 + " +
             s"day(date_add(date'1970-01-01', cast($varName as int))) as bigint)"
+        // integer calendars use the canonical POSITIVE residue (pmod)
+        // and a floor-division derived from it — `$d - pmod($d, n)` is
+        // exactly divisible by n, so `div` on it is floor-division for
+        // negative (pre-epoch) offsets too, matching the oracle's
+        // identical construction instead of diverging on trunc-vs-floor
         case "noleap" | "365_day" =>
+          val r = s"pmod($d, 365)"
+          val q = s"(($d - pmod($d, 365)) div 365)"
           val cum = Seq(0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334)
           val month = (1 to 11).map(m =>
-            s"WHEN $d % 365 < ${cum(m)} THEN $m").mkString("CASE ", " ", " ELSE 12 END")
+            s"WHEN $r < ${cum(m)} THEN $m").mkString("CASE ", " ", " ELSE 12 END")
           val mstart = (1 to 11).map(m =>
-            s"WHEN $d % 365 < ${cum(m)} THEN ${cum(m - 1)}").mkString("CASE ", " ", " ELSE 334 END")
-          s"(1970 + $d div 365) * 10000 + ($month) * 100 + ($d % 365 - ($mstart) + 1)"
+            s"WHEN $r < ${cum(m)} THEN ${cum(m - 1)}").mkString("CASE ", " ", " ELSE 334 END")
+          s"(1970 + $q) * 10000 + ($month) * 100 + ($r - ($mstart) + 1)"
         case "360_day" =>
-          s"(1970 + $d div 360) * 10000 + (1 + ($d % 360) div 30) * 100 + (1 + ($d % 360) % 30)"
+          val r = s"pmod($d, 360)"
+          val q = s"(($d - pmod($d, 360)) div 360)"
+          s"(1970 + $q) * 10000 + (1 + $r div 30) * 100 + (1 + $r % 30)"
         case c => throw new IllegalArgumentException(s"unsupported CF calendar: $c")
       }
     }

@@ -27,13 +27,18 @@ class StreamingSpec extends AnyFunSuite {
   /** Stream the events table as parquet-backed file stream with the
     * post-conversion schema. */
   private def eventsStream = {
-    // stream the raw files, then apply the same ns→µs conversion
+    // stream the raw files, then apply the same ts normalization the
+    // batch loader (Tables.events) does: nanos-long → µs timestamp, or
+    // NTZ → session-tz (UTC) timestamp, depending on the testdata
+    // generation's parquet physical type
     val raw = spark.readStream
       .schema(spark.read.parquet(s"$sf/events.parquet").schema)
       .parquet(streamDir)
-    if (raw.schema("ts").dataType.typeName == "long")
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType.typeName match {
+      case "long" => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   test("stream_window_agg matches its batch twin through a memory sink") {
