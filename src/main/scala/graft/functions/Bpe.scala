@@ -49,7 +49,8 @@ object Bpe {
   def sparkCountExpr(w: String): String = {
     val spaced = s"concat(' ', regexp_replace($w, '(.)', '$$1 '))"
     val chain = merges.foldLeft(spaced) { case (acc, (p, r)) =>
-      s"replace(replace($acc, ' $p ', ' $r '), ' $p ', ' $r ')"
+      s"replace(replace($acc, ' ${sqlQuote(p)} ', ' ${sqlQuote(r)} '), " +
+        s"' ${sqlQuote(p)} ', ' ${sqlQuote(r)} ')"
     }
     s"size(filter(split($chain, ' '), x -> x != ''))"
   }
@@ -59,7 +60,8 @@ object Bpe {
   def duckCountExpr(w: String): String = {
     val spaced = s"' ' || regexp_replace($w, '(.)', '\\1 ', 'g')"
     val chain = merges.foldLeft(spaced) { case (acc, (p, r)) =>
-      s"replace(replace($acc, ' $p ', ' $r '), ' $p ', ' $r ')"
+      s"replace(replace($acc, ' ${duckQuote(p)} ', ' ${duckQuote(r)} '), " +
+        s"' ${duckQuote(p)} ', ' ${duckQuote(r)} ')"
     }
     s"len(list_filter(string_split($chain, ' '), x -> x != ''))"
   }
@@ -129,6 +131,13 @@ object Bpe {
   private def sqlQuote(t: String): String =
     t.replace("\\", "\\\\").replace("'", "\\'")
 
+  /** DuckDB twin of [[sqlQuote]]: a quote inside a literal is escaped
+    * by doubling it. Every splice point that interpolates a merge
+    * token into generated SQL — count-side or token-side, hardcoded
+    * table or loaded file — routes through one of these two guards. */
+  private def duckQuote(t: String): String =
+    t.replace("'", "''")
+
   /** Parse a released merges file (the HuggingFace/GPT-2 `merges.txt`
     * shape: optional `#version` header, then one `a b` pair per line
     * in rank order — line order IS merge priority). Read driver-side
@@ -159,10 +168,9 @@ object Bpe {
   /** Same token array in DuckDB SQL. */
   def duckTokensExpr(w: String): String = {
     val spaced = s"' ' || regexp_replace($w, '(.)', '\\1 ', 'g')"
-    // DuckDB escapes a quote inside a literal by doubling it
-    def q(t: String) = t.replace("'", "''")
     val chain = merges.foldLeft(spaced) { case (acc, (p, r)) =>
-      s"replace(replace($acc, ' ${q(p)} ', ' ${q(r)} '), ' ${q(p)} ', ' ${q(r)} ')"
+      s"replace(replace($acc, ' ${duckQuote(p)} ', ' ${duckQuote(r)} '), " +
+        s"' ${duckQuote(p)} ', ' ${duckQuote(r)} ')"
     }
     s"list_filter(string_split($chain, ' '), x -> x != '')"
   }

@@ -891,22 +891,32 @@ object NcQueries {
   val ncTimeCalendarSql: String = {
     val cum = Seq(0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334)
     val month = (1 to 11).map(m =>
-      s"WHEN d % 365 < ${cum(m)} THEN $m").mkString("CASE ", " ", " ELSE 12 END")
+      s"WHEN r365 < ${cum(m)} THEN $m").mkString("CASE ", " ", " ELSE 12 END")
     val mstart = (1 to 11).map(m =>
-      s"WHEN d % 365 < ${cum(m)} THEN ${cum(m - 1)}").mkString("CASE ", " ", " ELSE 334 END")
+      s"WHEN r365 < ${cum(m)} THEN ${cum(m - 1)}").mkString("CASE ", " ", " ELSE 334 END")
+    // DuckDB's `%` keeps the dividend's sign and `//` truncates, so the
+    // positive residue is built by hand — ((d % n) + n) % n — and the
+    // floor quotient as (d - r) // n, which is exact division on a
+    // multiple of n. Same construction as the Spark side's pmod + div,
+    // so pre-epoch (negative-offset) days decode identically.
     s"""WITH enc AS (
        |  SELECT CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 8.64e10) AS BIGINT) AS d
        |  FROM events),
+       |res AS (
+       |  SELECT d,
+       |    ((d % 365) + 365) % 365 AS r365,
+       |    ((d % 360) + 360) % 360 AS r360
+       |  FROM enc),
        |decoded AS (
        |  SELECT
        |    year(DATE '1970-01-01' + CAST(d AS INTEGER)) * 10000 +
        |      month(DATE '1970-01-01' + CAST(d AS INTEGER)) * 100 +
        |      day(DATE '1970-01-01' + CAST(d AS INTEGER)) AS std_ymd,
-       |    (1970 + d // 365) * 10000 + ($month) * 100 +
-       |      (d % 365 - ($mstart) + 1) AS noleap_ymd,
-       |    (1970 + d // 360) * 10000 + (1 + (d % 360) // 30) * 100 +
-       |      (1 + (d % 360) % 30) AS c360_ymd
-       |  FROM enc)
+       |    (1970 + (d - r365) // 365) * 10000 + ($month) * 100 +
+       |      (r365 - ($mstart) + 1) AS noleap_ymd,
+       |    (1970 + (d - r360) // 360) * 10000 + (1 + r360 // 30) * 100 +
+       |      (1 + r360 % 30) AS c360_ymd
+       |  FROM res)
        |SELECT COUNT(*) AS n,
        |  CAST(MIN(std_ymd) AS BIGINT) AS std_min, CAST(MAX(std_ymd) AS BIGINT) AS std_max,
        |  CAST(SUM(std_ymd) AS BIGINT) AS std_sum,
