@@ -139,6 +139,109 @@ object Nc4Queries {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS sum_disc_price
       |FROM lineitem""".stripMargin
 
+  /** The reference's headline capability as the standard Spark write
+    * surface: `df.write.format("netcdf4").save(dir)` streams rows
+    * through the chunked HDF5 pipeline with the netCDF4 library's
+    * default filters (shuffle + deflate — `createVariable(zlib=True,
+    * shuffle=True)` parity), then the DSv2 scan reads it back and the
+    * aggregate is gated against parquet. The encode is
+    * `createStreamerVariable` + `streamNumpyData` re-expressed as a
+    * Spark sink: each task buffers one chunk per variable, retires it
+    * through fletcher/shuffle/deflate, and lands a self-contained
+    * part file — no library call, no driver funnel, N tasks = N files
+    * written in parallel. */
+  def nc4WriteRoundtrip: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5dsv2_write")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .repartition(4)
+      .write.format(SRC).mode("overwrite")
+      .option("chunkrecs", "4096")
+      .option("shuffle", "true")
+      .save(out)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount"))).cast(DoubleType)
+          .as("sum_disc_price"))
+  }
+
+  // same lossless computation as the read-direction roundtrip — the
+  // write surface must agree with parquet through the identical oracle
+  val nc4WriteRoundtripSql: String = nc4ReadRoundtripSql
+
+  /** DSv2 append-mode netCDF-4 write: two separate jobs land disjoint
+    * halves (even/odd order keys) into ONE dir — incremental ingest,
+    * each batch's part files coexisting under distinct `partPrefix`es
+    * (same-name parts replace by design: task-retry idempotence). The
+    * second job writes the OTHER on-disk generation (superblock v2 +
+    * OHDR, `h5ver=2`) into the same dir, so the read-back union also
+    * proves the scan handles mixed-generation directories — exactly
+    * what a real archive accumulates across library upgrades. */
+  def nc4Dsv2WriteRoundtrip: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5append")
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    li.filter(col("l_orderkey") % 2 === 0).repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("fletcher", "true").save(out)
+    li.filter(col("l_orderkey") % 2 === 1).repartition(2)
+      .write.format(SRC).mode("append")
+      .option("partprefix", "b")
+      .option("h5ver", "2").option("shuffle", "true")
+      .save(out)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val nc4Dsv2WriteRoundtripSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem""".stripMargin
+
+  /** Streaming netCDF-4 *sink* (`writeStream.format("netcdf4")`):
+    * netcdf4 → netcdf4 streaming copy. Part files stream in
+    * micro-batches through the DSv2 reader; each epoch appends
+    * `part-e<epoch>-<pid>.nc4` files — deterministic names, replace
+    * on replay, exactly-once without a commit log (the classic twin
+    * is stream_nc_sink). Batch read-back gated against parquet. */
+  def streamNc4Sink: Q = (s, dir) => {
+    val src = NcQueries.scratch(s, dir, "h5sink_src")
+    val out = NcQueries.scratch(s, dir, "h5sink_out")
+    val ckpt = NcQueries.scratch(s, dir, "h5sink_ckpt")
+    Hdf5IO.write(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
+        .repartition(3),
+      src)
+    val q = s.readStream.format(SRC).load(src)
+      .drop("record") // virtual read column; `record` is reserved on write
+      .writeStream.format(SRC)
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_discount")).as("sum_disc"))
+  }
+
+  val streamNc4SinkSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sum_disc
+      |FROM lineitem""".stripMargin
+
   /** The netCDF4 library's DEFAULT compression pipeline — shuffle
     * (filter id 2, byte transpose at element granularity) THEN
     * deflate — written and read back through the from-spec codec
@@ -535,6 +638,9 @@ object Nc4Queries {
     "nc4_scale_offset" -> nc4ScaleOffset,
     "nc4_time_decode" -> nc4TimeDecode,
     "nc4_read_roundtrip" -> nc4ReadRoundtrip,
+    "nc4_write_roundtrip" -> nc4WriteRoundtrip,
+    "nc4_dsv2_write_roundtrip" -> nc4Dsv2WriteRoundtrip,
+    "stream_nc4_sink" -> streamNc4Sink,
     "nc4_read_prune" -> nc4ReadPrune,
     "nc4_attrs" -> nc4Attrs,
     "nc4_sorted_skip" -> nc4SortedSkip,
@@ -548,6 +654,9 @@ object Nc4Queries {
     "nc4_scale_offset" -> nc4ScaleOffsetSql,
     "nc4_time_decode" -> nc4TimeDecodeSql,
     "nc4_read_roundtrip" -> nc4ReadRoundtripSql,
+    "nc4_write_roundtrip" -> nc4WriteRoundtripSql,
+    "nc4_dsv2_write_roundtrip" -> nc4Dsv2WriteRoundtripSql,
+    "stream_nc4_sink" -> streamNc4SinkSql,
     "nc4_read_prune" -> nc4ReadPruneSql,
     "nc4_attrs" -> nc4AttrsSql,
     "nc4_sorted_skip" -> nc4SortedSkipSql,

@@ -7,15 +7,17 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.SparkContext
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** READ-ONLY DataSourceV2 over netCDF-4/HDF5 files:
-  * `spark.read.format("netcdf4").load(dirOrFile)`.
+/** DataSourceV2 over netCDF-4/HDF5 files:
+  * `spark.read.format("netcdf4").load(dirOrFile)` and
+  * `df.write.format("netcdf4").save(dir)` (see [[Nc4WriteBuilder]]).
   *
   * This is the engine's window onto the reference's actual on-disk
   * world: `netCDF4.Dataset` files ARE HDF5 containers, so a user
@@ -31,10 +33,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - multiple files in one directory union along the record axis in
   *    name order (MFDataset semantics), offsets from header metadata.
   *
-  * Write support is deliberately absent here: [[Hdf5IO.write]] exists
-  * to produce fixtures (and is a real minimal HDF5 writer), but the
-  * load-bearing direction for a migrating user is reading their
-  * existing files into the engine.
+  * The write direction ([[Nc4WriteBuilder]]) streams rows through the
+  * same from-spec [[Hdf5Format.Hdf5Writer]] that [[Hdf5IO.write]] uses
+  * for fixtures: chunked, optionally deflate+shuffle+fletcher-filtered
+  * netCDF-4 part files, one per task — the reference's
+  * `createStreamerVariable`/`streamNumpyData` chunk-streaming write as
+  * a Spark sink.
   */
 class NetCDF4Source extends TableProvider with sources.DataSourceRegister {
 
@@ -86,15 +90,20 @@ object NetCDF4Util {
 }
 
 class NetCDF4Table(tableSchema: StructType, dir: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"netcdf4:$dir"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new Nc4ScanBuilder(tableSchema, dir, options.asScala.toMap)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new Nc4WriteBuilder(info.schema(), dir, info.options().asScala.toMap)
 }
 
 class Nc4ScanBuilder(fullSchema: StructType, dir: String, options: Map[String, String])

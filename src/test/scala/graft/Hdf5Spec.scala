@@ -265,4 +265,56 @@ class Hdf5Spec extends AnyFunSuite {
     val nc = meta.rootAttrs.find(_.name == "_NCProperties")
     assert(nc.exists(_.text.exists(_.startsWith("version=2,netcdf="))))
   }
+
+  test("DSv2 write surface roundtrips mixed types with shuffle+deflate") {
+    val dir = "/tmp/graft_h5/dsv2_write"
+    val df = mixedDf(3000)
+    df.write.format(SRC).mode("overwrite")
+      .option("chunkrecs", "256")
+      .option("shuffle", "true")
+      .option("arraylens", "emb=8")
+      .save(dir)
+    // 2 input partitions → 2 part files, each a real filtered HDF5 file
+    val files = NetCDF4Util.listFiles(fs, new Path(dir))
+    assert(files.size == 2, files.map(_.getName).toString)
+    val meta = Hdf5Format.readMeta(fs, files.head)
+    assert(meta.vars.forall(v => v.deflate && v.shuffle))
+    val back = spark.read.format(SRC).load(dir)
+    val exp = df.agg(sum("lk"), sum("iv"), sum("dv"), sum("fv")).head()
+    val got = back.agg(sum("lk"), sum("iv"), sum("dv"), sum("fv")).head()
+    assert(exp == got)
+    val s0 = back.filter(col("sv") === "doc-42").select("lk", "emb").head()
+    assert(s0.getLong(0) == 42L * 1000000007L)
+    assert(s0.getSeq[Float](1) == Seq.fill(8)(14f))
+  }
+
+  test("DSv2 append mode accumulates part files; overwrite truncates") {
+    val dir = "/tmp/graft_h5/dsv2_append"
+    val a = spark.range(0, 500).select(col("id").cast(DoubleType).as("x")).coalesce(1)
+    val b = spark.range(500, 800).select(col("id").cast(DoubleType).as("x")).coalesce(1)
+    a.write.format(SRC).mode("overwrite").save(dir)
+    b.write.format(SRC).mode("append").option("partprefix", "b")
+      .option("h5ver", "2").save(dir)
+    val back = spark.read.format(SRC).load(dir)
+    assert(back.count() == 800)
+    assert(back.agg(sum("x")).head().getDouble(0) == (0 until 800).map(_.toDouble).sum)
+    // overwrite truncates the mixed-generation dir back to one job's parts
+    a.write.format(SRC).mode("overwrite").save(dir)
+    assert(spark.read.format(SRC).load(dir).count() == 500)
+  }
+
+  test("writer rejects nulls and the reserved record column") {
+    val dir = "/tmp/graft_h5/dsv2_reject"
+    val withNull = spark.range(10)
+      .select(when(col("id") < 5, col("id")).cast(DoubleType).as("x"))
+    val e = intercept[Exception] {
+      withNull.coalesce(1).write.format(SRC).mode("overwrite").save(dir)
+    }
+    assert(e.getMessage != null)
+    val reserved = spark.range(10).select(col("id").as("record"))
+    val e2 = intercept[Exception] {
+      reserved.write.format(SRC).mode("overwrite").save(dir)
+    }
+    assert(e2.getMessage.contains("record"))
+  }
 }

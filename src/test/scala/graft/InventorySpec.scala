@@ -23,14 +23,18 @@ class InventorySpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
-  test("inventory matches SURVEY §2 keys") {
+  test("inventory matches SURVEY §2 keys (set equality, both directions)") {
     val survey = scala.io.Source.fromFile("/root/repo/SURVEY.md", "UTF-8").mkString
     val keyRe = """\| `([a-z0-9_]+)` \|""".r
     val surveyKeys = keyRe.findAllMatchIn(survey).map(_.group(1)).toSet
     val queryKeys = SparkEntry.queries.keySet
     // every SURVEY §2 key must be implemented...
     val missing = surveyKeys -- queryKeys
-    // ...except rows that document streaming-only forms exercised in specs
     assert(missing.isEmpty, s"SURVEY keys without queries: $missing")
+    // ...and every registered query must have its SURVEY §2 row — an
+    // implemented-but-undocumented key is inventory drift too (the
+    // r6/r7 nc4_fletcher_roundtrip lesson)
+    val undocumented = queryKeys -- surveyKeys
+    assert(undocumented.isEmpty, s"queries without SURVEY rows: $undocumented")
   }
 }
