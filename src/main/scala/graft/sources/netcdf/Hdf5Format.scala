@@ -51,7 +51,9 @@ object Hdf5Format {
   // ---------------------------------------------------------------
 
   /** Datatype subset: class 0 (fixed-point, signed LE), class 1 (IEEE
-    * float LE), class 3 (fixed-width string). `elemSize` in bytes. */
+    * float LE), class 3 (fixed-width string), class 9 (variable-length
+    * string — the netCDF-4 `str` dtype; elements are 16-byte global
+    * heap references). `elemSize` in bytes. */
   sealed abstract class H5Kind(val h5Class: Int, val elemSize: Int) {
     def sparkType: DataType = this match {
       case KLong => LongType
@@ -60,6 +62,7 @@ object Hdf5Format {
       case KDouble => DoubleType
       case KFloat => FloatType
       case _: KString => StringType
+      case KVlenStr => StringType
       case _: KFloatArr => ArrayType(FloatType, containsNull = false)
       case _: KDoubleArr => ArrayType(DoubleType, containsNull = false)
       case _: KLongArr => ArrayType(LongType, containsNull = false)
@@ -78,6 +81,10 @@ object Hdf5Format {
   case object KDouble extends H5Kind(1, 8)
   case object KFloat extends H5Kind(1, 4)
   case class KString(width: Int) extends H5Kind(3, width)
+  /** netCDF-4 vlen string: chunks store 16-byte global-heap references
+    * (u32 byte length, u64 collection address, u32 object index); the
+    * string bytes live in GCOL collections. */
+  case object KVlenStr extends H5Kind(9, 16)
   case class KFloatArr(k: Int) extends H5Kind(1, 4)
   case class KDoubleArr(k: Int) extends H5Kind(1, 8)
   case class KLongArr(k: Int) extends H5Kind(0, 8)
@@ -284,6 +291,14 @@ object Hdf5Format {
       case KString(w) =>
         // class 3 fixed string, NUL-padded, ASCII
         b.u8(0x13).u8(0).u8(0).u8(0).u32(w)
+      case KVlenStr =>
+        // class 9 vlen, v1; bitfield: type=string (bits 0-3 = 1),
+        // NUL-pad (bits 4-7 = 0), charset UTF-8 (bits 8-11 = 1);
+        // element = 16-byte global heap reference. Properties carry
+        // the base type: 1-byte NUL-padded string (what the netCDF4
+        // library emits for `str` variables).
+        b.u8(0x19).u8(0x01).u8(0x01).u8(0).u32(16)
+        b.u8(0x13).u8(0).u8(0).u8(0).u32(1)
     }
     b.result()
   }
@@ -347,6 +362,9 @@ object Hdf5Format {
     var inChunk = 0
     var numRecs = 0L
     val stored = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Int)] // (bytes, filterMask)
+    /** vlen string payloads accumulate raw; their 16-byte heap refs
+      * are materialized at finish() once the GCOL base is known */
+    val vlenValues = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     // running per-variable value range for scalar numerics — becomes
     // the CF `actual_range` attribute (the zone map the scan prunes by)
     var vMin = Double.PositiveInfinity
@@ -421,6 +439,14 @@ object Hdf5Format {
           val n = math.min(sb.length, w)
           bb.put(sb, 0, n)
           var i = n; while (i < w) { bb.put(0.toByte); i += 1 }
+        case KVlenStr =>
+          val sb = v match {
+            case b: Array[Byte] => b
+            case s => s.toString.getBytes("UTF-8")
+          }
+          vlenValues += sb
+          numRecs += 1
+          return // refs flow through flushVlenRefs at finish()
         case KFloatArr(k) =>
           val a = v.asInstanceOf[Array[Float]]
           var i = 0; while (i < k) { bb.putFloat(if (i < a.length) a(i) else 0f); i += 1 }
@@ -434,6 +460,18 @@ object Hdf5Format {
       inChunk += 1
       numRecs += 1
       if (inChunk == chunkRecs) flushChunk()
+    }
+
+    /** Push materialized global-heap references through the normal
+      * chunk pipeline (fletcher/shuffle/deflate apply to the 16-byte
+      * refs exactly as to fixed elements). */
+    def flushVlenRefs(refs: Seq[(Int, Long, Int)]): Unit = {
+      refs.foreach { case (len, addr, idx) =>
+        bb.putInt(len).putLong(addr).putInt(idx)
+        inChunk += 1
+        if (inChunk == chunkRecs) flushChunk()
+      }
+      flushChunk()
     }
   }
 
@@ -455,7 +493,8 @@ object Hdf5Format {
         "_NCProperties" -> "version=2,netcdf=4.9.2,hdf5=1.12.2"),
       varAttrs: Map[String, Seq[H5Attr]] = Map.empty,
       shuffle: Boolean = false,
-      fletcher: Boolean = false) {
+      fletcher: Boolean = false,
+      vlenStrings: Boolean = false) {
     require(h5ver == 0 || h5ver == 2, s"h5ver must be 0 or 2, got $h5ver")
 
     private def kindOf(f: StructField): H5Kind = f.dataType match {
@@ -464,7 +503,7 @@ object Hdf5Format {
       case ShortType => KShort
       case DoubleType => KDouble
       case FloatType => KFloat
-      case StringType => KString(stringWidth)
+      case StringType => if (vlenStrings) KVlenStr else KString(stringWidth)
       case ArrayType(FloatType, _) => KFloatArr(arrayLens(f.name))
       case ArrayType(DoubleType, _) => KDoubleArr(arrayLens(f.name))
       case ArrayType(LongType, _) => KLongArr(arrayLens(f.name))
@@ -619,6 +658,61 @@ object Hdf5Format {
       if (h5ver == 0) finishV0(rootAttrMsgs) else finishV2(rootAttrMsgs)
     }
 
+    private final val GCOL_MAX = 64 << 10
+
+    /** Assemble GCOL global-heap collections for every vlen string
+      * value, starting at file offset `base`, and push each vlen var's
+      * materialized refs through its chunk pipeline. The heap sits at
+      * the HEAD of the variable region on purpose: its size depends
+      * only on the string payloads (already known), so reference
+      * addresses — which live inside the filtered chunks — are
+      * computable before the layout pass needs those chunks' stored
+      * sizes. Collections are ≥4 KiB (spec III.E; shortfall becomes a
+      * free-space pseudo-object 0) and close at ~64 KiB so one huge
+      * corpus never builds one huge collection. */
+    private def materializeVlen(base: Long): Array[Byte] = {
+      if (!vars.exists(_.kind == KVlenStr)) return Array.emptyByteArray
+      val heap = new Buf
+      var collStart = 0
+      var objs = new Buf
+      var nObjs = 0
+      def closeColl(): Unit = if (nObjs > 0) {
+        val used = 16 + objs.size
+        val total =
+          if (used >= 4096) used
+          else if (4096 - used >= 16) 4096
+          else used + 16
+        heap.bytes("GCOL".getBytes("ASCII")).u8(1).zeros(3).u64(total.toLong)
+        heap.bytes(objs.result())
+        val free = total - used
+        if (free > 0) {
+          // free-space pseudo-object 0; its size includes its own
+          // 16-byte header and terminates the object walk
+          heap.u16(0).u16(0).u32(0).u64(free.toLong)
+          heap.zeros(free - 16)
+        }
+        collStart = heap.size
+        objs = new Buf
+        nObjs = 0
+      }
+      vars.foreach { v =>
+        if (v.kind == KVlenStr) {
+          val refs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int)]
+          v.vlenValues.foreach { bytes =>
+            val objSize = 16 + pad8(bytes.length)
+            if (nObjs > 0 && 16 + objs.size + objSize + 16 > GCOL_MAX) closeColl()
+            nObjs += 1
+            objs.u16(nObjs).u16(1).u32(0).u64(bytes.length.toLong)
+            objs.bytes(bytes).padTo8()
+            refs += ((bytes.length, base + collStart, nObjs))
+          }
+          v.flushVlenRefs(refs.toSeq)
+        }
+      }
+      closeColl()
+      heap.result()
+    }
+
     /** v0 layout with REAL HDF5 groups (netCDF4 `createGroup` parity):
       * '/'-pathed variable names become one level of old-style
       * subgroups — each group (root included) carries its own local
@@ -690,6 +784,13 @@ object Hdf5Format {
         g -> GroupLayout(hdrAddr, heapAddr, btreeAddr, snodAddr, seg, offs)
       }.toMap
 
+      // vlen global heap at the head of the var region (see
+      // materializeVlen): refs resolve, vlen chunks filter, and only
+      // then does the per-var layout below read their stored sizes
+      val gcolAddr = cursor
+      val gcolSeg = materializeVlen(gcolAddr)
+      cursor += gcolSeg.length
+
       val varHdrAddrs = new Array[Long](vars.length)
       val varBtreeAddrs = new Array[Long](vars.length)
       val varChunkAddrs = new Array[Seq[Long]](vars.length)
@@ -759,6 +860,10 @@ object Hdf5Format {
         renderGroup(out, gl.heapAddr, gl.btreeAddr, gl.snodAddr, gl.heapSeg, gl.heapOffs,
           groupVarIdx(g).map(i => linkName(i) -> varHdrAddrs(i)).toSeq)
       }
+      if (gcolSeg.nonEmpty) {
+        require(out.size == gcolAddr, s"gcol layout drift: ${out.size} != $gcolAddr")
+        out.bytes(gcolSeg)
+      }
       // datasets
       vars.zipWithIndex.foreach { case (v, i) =>
         out.bytes(datasetHeaderV1(v, varBtreeAddrs(i)))
@@ -787,6 +892,10 @@ object Hdf5Format {
           rootAttrMsgs
       val rootHdrSize = objectHeaderV2(rootMsgs(vars.map(_ => 0L).toSeq)).length
       var cursor = SUPER.toLong + rootHdrSize
+      // vlen global heap ahead of the var region (see materializeVlen)
+      val gcolAddr = cursor
+      val gcolSeg = materializeVlen(gcolAddr)
+      cursor += gcolSeg.length
       val varHdrAddrs = new Array[Long](vars.length)
       val varBtreeAddrs = new Array[Long](vars.length)
       val varChunkAddrs = new Array[Seq[Long]](vars.length)
@@ -812,6 +921,10 @@ object Hdf5Format {
       out.bytes(sbBytes).u32(lookup3(sbBytes))
       require(out.size == SUPER, s"superblock v2 size ${out.size}")
       out.bytes(objectHeaderV2(rootMsgs(varHdrAddrs.toSeq)))
+      if (gcolSeg.nonEmpty) {
+        require(out.size == gcolAddr, s"gcol layout drift: ${out.size} != $gcolAddr")
+        out.bytes(gcolSeg)
+      }
       vars.zipWithIndex.foreach { case (v, i) =>
         out.bytes(datasetHeaderV2(v, varBtreeAddrs(i)))
         v.stored.foreach { case (bytes, _) => out.bytes(bytes) }
@@ -1085,10 +1198,15 @@ object Hdf5Format {
         val bf0 = b.u8()
         b.skip(2)
         elemSize = b.u32().toInt
-        if ((bf0 & 1) != 0)
+        // bit 0 is the byte-order flag only for the atomic classes;
+        // for class 9 (variable-length) bits 0-3 are the vlen TYPE
+        if (kindCls <= 1 && (bf0 & 1) != 0)
           throw new java.io.IOException("big-endian HDF5 datatypes unsupported")
         signed = kindCls != 0 || (bf0 & 0x08) != 0
         if (kindCls == 3) strWidth = elemSize
+        if (kindCls == 9 && (bf0 & 0x0f) != 1)
+          throw new java.io.IOException(
+            s"vlen SEQUENCE datatypes unsupported for $name (only vlen strings)")
       case (MSG_LAYOUT, body) =>
         val b = new BB(body)
         val ver = b.u8()
@@ -1149,6 +1267,7 @@ object Hdf5Format {
       case (1, 8, 1) => KDouble
       case (1, 4, 1) => KFloat
       case (3, w, 1) => KString(w)
+      case (9, 16, 1) => KVlenStr
       case (1, 4, 2) => KFloatArr(dims(1).toInt)
       case (1, 8, 2) => KDoubleArr(dims(1).toInt)
       case (0, 8, 2) => KLongArr(dims(1).toInt)
@@ -1351,6 +1470,54 @@ object Hdf5Format {
       var len = v.kind.elemSize
       while (len > 0 && raw(off + len - 1) == 0) len -= 1
       java.util.Arrays.copyOfRange(raw, off, off + len)
+    }
+
+    /** Parsed GCOL collections, cached per collection address — a
+      * collection serves many refs (it packs ~4-64 KiB of payloads),
+      * so each is fetched and walked once per reader. */
+    private val gcols = scala.collection.mutable.HashMap.empty[Long, Map[Int, Array[Byte]]]
+
+    private def gcol(addr: Long): Map[Int, Array[Byte]] =
+      gcols.getOrElseUpdate(addr, {
+        val hdr = new Array[Byte](16)
+        in.readFully(addr, hdr, 0, 16)
+        require(hdr(0) == 'G' && hdr(1) == 'C' && hdr(2) == 'O' && hdr(3) == 'L',
+          s"bad global heap signature at $addr in ${v.name}")
+        val hb = new BB(hdr)
+        hb.skip(8)
+        val total = hb.u64()
+        val body = new Array[Byte]((total - 16).toInt)
+        in.readFully(addr + 16, body, 0, body.length)
+        val b = new BB(body)
+        val objs = scala.collection.mutable.HashMap.empty[Int, Array[Byte]]
+        var off = 0
+        var done = false
+        while (!done && off + 16 <= body.length) {
+          val idx = b.u16()
+          b.skip(6) // refcount + reserved
+          val size = b.u64().toInt
+          if (idx == 0) done = true // free-space pseudo-object ends the walk
+          else {
+            objs(idx) = java.util.Arrays.copyOfRange(body, off + 16, off + 16 + size)
+            val skip = pad8(size)
+            b.skip(skip)
+            off += 16 + skip
+          }
+        }
+        objs.toMap
+      })
+
+    /** Resolve a vlen-string element: 16-byte ref (length, collection
+      * address, object index) → heap payload bytes. */
+    def getVlenString(rec: Long): Array[Byte] = {
+      val off = ensure(rec)
+      val len = bb.getInt(off)
+      val addr = bb.getLong(off + 4)
+      val idx = bb.getInt(off + 12)
+      if (len == 0 || addr == 0L || addr == UNDEF) return Array.emptyByteArray
+      val bytes = gcol(addr).getOrElse(idx,
+        throw new java.io.IOException(s"global heap object $idx missing at $addr for ${v.name}"))
+      if (bytes.length == len) bytes else java.util.Arrays.copyOf(bytes, len)
     }
     def getFloatElem(rec: Long, k: Int): Float = bb.getFloat(ensure(rec) + 4 * k)
     def getDoubleElem(rec: Long, k: Int): Double = bb.getDouble(ensure(rec) + 8 * k)

@@ -19,7 +19,8 @@ object Hdf5IO {
       deflate: Boolean = true, h5ver: Int = 0, stringWidth: Int = 32,
       arrayLens: Map[String, Int] = Map.empty,
       varAttrs: Map[String, Seq[Hdf5Format.H5Attr]] = Map.empty,
-      shuffle: Boolean = false, fletcher: Boolean = false): Unit = {
+      shuffle: Boolean = false, fletcher: Boolean = false,
+      vlenStrings: Boolean = false): Unit = {
     val schema = df.schema
     require(!schema.fieldNames.contains("record"),
       "column name `record` is reserved for the netcdf4 record index")
@@ -48,7 +49,7 @@ object Hdf5IO {
     df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val w = new Hdf5Format.Hdf5Writer(schema, chunkRecs, deflate,
         stringWidth, arrayLens, h5ver, varAttrs = varAttrs, shuffle = shuffle,
-        fletcher = fletcher)
+        fletcher = fletcher, vlenStrings = vlenStrings)
       rows.foreach { r =>
         var i = 0
         while (i < schema.size) {
@@ -241,6 +242,43 @@ object Nc4Queries {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sum_disc
       |FROM lineitem""".stripMargin
+
+  /** Vlen STRING variables (r8 — the netCDF-4 `str` dtype, HDF5
+    * datatype class 9 + global heap; the most common non-numeric
+    * type in wild files): full variable-length document text written
+    * through the DSv2 `vlenStrings` path — chunks hold 16-byte
+    * global-heap references, payloads land in ≥4 KiB GCOL
+    * collections — and read back through the global-heap walk. The
+    * gate is content-exact: an xor of per-document md5 prefixes plus
+    * the summed length, so one clipped, reordered-within-doc, or
+    * corrupted byte anywhere in heap encode/decode breaks the hash
+    * (a fixed-width path would truncate and fail immediately). */
+  def nc4StringRoundtrip: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5vlen")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("vlenstrings", "true")
+      .option("chunkrecs", "128")
+      .save(out)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("text"))).cast(LongType).as("sum_len"),
+        expr("bit_xor(cast(conv(substr(md5(text), 1, 15), 16, 10) as bigint))")
+          .as("xor_md5"),
+        countDistinct(col("lang")).as("n_lang"),
+        min(col("doc_id")).as("min_doc"))
+  }
+
+  val nc4StringRoundtripSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+      |  bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS xor_md5,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_lang,
+      |  MIN(doc_id) AS min_doc
+      |FROM documents""".stripMargin
 
   /** The netCDF4 library's DEFAULT compression pipeline — shuffle
     * (filter id 2, byte transpose at element granularity) THEN
@@ -641,6 +679,7 @@ object Nc4Queries {
     "nc4_write_roundtrip" -> nc4WriteRoundtrip,
     "nc4_dsv2_write_roundtrip" -> nc4Dsv2WriteRoundtrip,
     "stream_nc4_sink" -> streamNc4Sink,
+    "nc4_string_roundtrip" -> nc4StringRoundtrip,
     "nc4_read_prune" -> nc4ReadPrune,
     "nc4_attrs" -> nc4Attrs,
     "nc4_sorted_skip" -> nc4SortedSkip,
@@ -657,6 +696,7 @@ object Nc4Queries {
     "nc4_write_roundtrip" -> nc4WriteRoundtripSql,
     "nc4_dsv2_write_roundtrip" -> nc4Dsv2WriteRoundtripSql,
     "stream_nc4_sink" -> streamNc4SinkSql,
+    "nc4_string_roundtrip" -> nc4StringRoundtripSql,
     "nc4_read_prune" -> nc4ReadPruneSql,
     "nc4_attrs" -> nc4AttrsSql,
     "nc4_sorted_skip" -> nc4SortedSkipSql,

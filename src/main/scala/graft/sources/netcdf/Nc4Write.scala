@@ -35,7 +35,10 @@ import org.apache.spark.sql.types._
   * false), `fletcher` (fletcher32 checksum filter, default false),
   * `h5ver` (0 = netCDF4-library default layout: superblock v0 +
   * symbol-table groups; 2 = HDF5 1.8+ layout: superblock v2 + OHDR),
-  * `stringWidth` (fixed string width, default 32), `arrayLens`
+  * `stringWidth` (fixed string width, default 32), `vlenStrings`
+  * (store StringType as netCDF-4 vlen `str` — 16-byte global-heap
+  * refs in chunks, payloads in GCOL collections — instead of fixed
+  * width; default false), `arrayLens`
   * (`col=len,...` for array columns; omitted lengths infer from each
   * task's first row), `partPrefix` (distinguishes independent append
   * jobs — same-name parts replace by design).
@@ -122,6 +125,7 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
   private val fletcher = options.get("fletcher").exists(_.toBoolean)
   private val h5ver = options.getOrElse("h5ver", "0").toInt
   private val stringWidth = options.getOrElse("stringwidth", "32").toInt
+  private val vlenStrings = options.get("vlenstrings").exists(_.toBoolean)
   private val declaredLens = NcWriteConf.arrayLens(options)
 
   private val getters: Array[InternalRow => Any] =
@@ -150,7 +154,8 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
           f.name -> record.getArray(i).numElements()
       }
       w = new Hdf5Format.Hdf5Writer(schema, chunkRecs, deflate, stringWidth,
-        lens, h5ver, shuffle = shuffle, fletcher = fletcher)
+        lens, h5ver, shuffle = shuffle, fletcher = fletcher,
+        vlenStrings = vlenStrings)
     }
     var i = 0
     while (i < schema.size) {

@@ -334,6 +334,8 @@ class Nc4PartitionReader(part: Nc4InputPartition, required: StructType,
           case KFloat => r.getFloat(rec)
           case _: KString =>
             org.apache.spark.unsafe.types.UTF8String.fromBytes(r.getString(rec))
+          case KVlenStr =>
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(r.getVlenString(rec))
           case KFloatArr(k) =>
             val a = new Array[Any](k)
             var i = 0; while (i < k) { a(i) = r.getFloatElem(rec, i); i += 1 }

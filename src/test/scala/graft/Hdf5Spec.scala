@@ -303,6 +303,52 @@ class Hdf5Spec extends AnyFunSuite {
     assert(spark.read.format(SRC).load(dir).count() == 500)
   }
 
+  for (ver <- Seq(0, 2)) {
+    test(s"vlen strings roundtrip through the global heap (superblock v$ver)") {
+      val dir = s"/tmp/graft_h5/vlen$ver"
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("txt", StringType)))
+      // mixed lengths: empty, short, multi-KB (forces several GCOL
+      // collections at the 64 KiB close threshold), plus non-ASCII
+      val rows = (0 until 400).map { k =>
+        val s = k % 7 match {
+          case 0 => ""
+          case 1 => "héllo wörld " + k
+          case _ => ("x" * (k * 37 % 4000)) + s"#$k"
+        }
+        Row(k.toLong, s)
+      }
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      df.write.format(SRC).mode("overwrite")
+        .option("vlenstrings", "true")
+        .option("chunkrecs", "64")
+        .option("h5ver", ver.toString)
+        .option("shuffle", "true")
+        .save(dir)
+      val back = spark.read.format(SRC).load(dir)
+      assert(back.schema("txt").dataType == StringType)
+      assert(back.count() == 400)
+      // content-exact: join back to the source by doc_id, all equal
+      val joined = back.select(col("doc_id"), col("txt").as("got"))
+        .join(df.select(col("doc_id"), col("txt").as("exp")), "doc_id")
+      assert(joined.filter(col("got") =!= col("exp")).count() == 0)
+      assert(back.filter(col("txt") === "").count() == df.filter(col("txt") === "").count())
+    }
+  }
+
+  test("vlen fixture writer and record pushdown compose") {
+    val dir = "/tmp/graft_h5/vlen_fix"
+    Hdf5IO.write(
+      spark.range(1000).select(col("id"),
+        concat(lit("doc-"), col("id")).as("s")).coalesce(1),
+      dir, chunkRecs = 100, vlenStrings = true)
+    val got = spark.read.format(SRC).load(dir)
+      .filter(col("record") >= 500L && col("record") < 510L)
+      .select("s").collect().map(_.getString(0)).sorted
+    assert(got.toSeq == (500 until 510).map(i => s"doc-$i").sorted)
+  }
+
   test("writer rejects nulls and the reserved record column") {
     val dir = "/tmp/graft_h5/dsv2_reject"
     val withNull = spark.range(10)
