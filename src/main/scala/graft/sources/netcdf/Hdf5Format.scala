@@ -63,6 +63,8 @@ object Hdf5Format {
       case KFloat => FloatType
       case _: KString => StringType
       case KVlenStr => StringType
+      case KCompound(ms, _) =>
+        StructType(ms.map { case (n, k, _) => StructField(n, k.sparkType, nullable = false) })
       case _: KFloatArr => ArrayType(FloatType, containsNull = false)
       case _: KDoubleArr => ArrayType(DoubleType, containsNull = false)
       case _: KLongArr => ArrayType(LongType, containsNull = false)
@@ -85,6 +87,12 @@ object Hdf5Format {
     * (u32 byte length, u64 collection address, u32 object index); the
     * string bytes live in GCOL collections. */
   case object KVlenStr extends H5Kind(9, 16)
+  /** HDF5 compound datatype (class 6) → Spark struct: members are
+    * (name, scalar kind, byte offset) within a `size`-byte element.
+    * Nested compounds/arrays are out of the subset (rejected loudly
+    * at parse). */
+  case class KCompound(members: Seq[(String, H5Kind, Int)], size: Int)
+    extends H5Kind(6, size)
   case class KFloatArr(k: Int) extends H5Kind(1, 4)
   case class KDoubleArr(k: Int) extends H5Kind(1, 8)
   case class KLongArr(k: Int) extends H5Kind(0, 8)
@@ -299,6 +307,23 @@ object Hdf5Format {
         // library emits for `str` variables).
         b.u8(0x19).u8(0x01).u8(0x01).u8(0).u32(16)
         b.u8(0x13).u8(0).u8(0).u8(0).u32(1)
+      case KCompound(ms, size) =>
+        // class 6 compound, v1; bitfield = member count. Each member:
+        // NUL-terminated name padded to 8, byte offset, dimensionality
+        // block (scalar: rank 0), then the member's datatype message.
+        b.u8(0x16).u8(ms.size & 0xff).u8((ms.size >> 8) & 0xff).u8(0).u32(size)
+        ms.foreach { case (n, k, off) =>
+          // the name FIELD pads to a multiple of 8 of its own length
+          // (spec) — not to buffer alignment: prior members' datatype
+          // messages need not be 8-multiples
+          val nb = n.getBytes("UTF-8")
+          b.bytes(nb).u8(0).zeros((8 - ((nb.length + 1) % 8)) % 8)
+          b.u32(off)
+          b.u8(0).zeros(3) // rank 0 + reserved
+          b.u32(0).u32(0) // permutation + reserved
+          b.u32(0).u32(0).u32(0).u32(0) // dim sizes
+          b.bytes(datatypeBytes(k))
+        }
     }
     b.result()
   }
@@ -447,6 +472,30 @@ object Hdf5Format {
           vlenValues += sb
           numRecs += 1
           return // refs flow through flushVlenRefs at finish()
+        case KCompound(ms, _) =>
+          val arr = v.asInstanceOf[Array[Any]]
+          var i = 0
+          while (i < ms.length) {
+            val x = arr(i)
+            ms(i)._2 match {
+              case KLong => bb.putLong(x match { case n: Number => n.longValue(); case _ => 0L })
+              case KInt => bb.putInt(x match { case n: Number => n.intValue(); case _ => 0 })
+              case KShort => bb.putShort(x match { case n: Number => n.shortValue(); case _ => 0.toShort })
+              case KDouble => bb.putDouble(x match { case n: Number => n.doubleValue(); case _ => 0.0 })
+              case KFloat => bb.putFloat(x match { case n: Number => n.floatValue(); case _ => 0f })
+              case KString(w) =>
+                val sb = x match {
+                  case b: Array[Byte] => b
+                  case s => s.toString.getBytes("UTF-8")
+                }
+                val n = math.min(sb.length, w)
+                bb.put(sb, 0, n)
+                var j = n; while (j < w) { bb.put(0.toByte); j += 1 }
+              case other => throw new IllegalArgumentException(
+                s"unsupported nested kind $other in compound $name")
+            }
+            i += 1
+          }
         case KFloatArr(k) =>
           val a = v.asInstanceOf[Array[Float]]
           var i = 0; while (i < k) { bb.putFloat(if (i < a.length) a(i) else 0f); i += 1 }
@@ -494,8 +543,10 @@ object Hdf5Format {
       varAttrs: Map[String, Seq[H5Attr]] = Map.empty,
       shuffle: Boolean = false,
       fletcher: Boolean = false,
-      vlenStrings: Boolean = false) {
+      vlenStrings: Boolean = false,
+      denseRoot: Boolean = false) {
     require(h5ver == 0 || h5ver == 2, s"h5ver must be 0 or 2, got $h5ver")
+    require(!denseRoot || h5ver == 2, "dense root groups require the 1.8+ layout (h5ver=2)")
 
     private def kindOf(f: StructField): H5Kind = f.dataType match {
       case LongType => KLong
@@ -507,6 +558,26 @@ object Hdf5Format {
       case ArrayType(FloatType, _) => KFloatArr(arrayLens(f.name))
       case ArrayType(DoubleType, _) => KDoubleArr(arrayLens(f.name))
       case ArrayType(LongType, _) => KLongArr(arrayLens(f.name))
+      case st: StructType =>
+        // Spark struct → HDF5 compound (class 6), members packed in
+        // field order with no alignment gaps
+        var off = 0
+        val ms = st.fields.toSeq.map { mf =>
+          val mk: H5Kind = mf.dataType match {
+            case LongType => KLong
+            case IntegerType => KInt
+            case ShortType => KShort
+            case DoubleType => KDouble
+            case FloatType => KFloat
+            case StringType => KString(stringWidth)
+            case o => throw new IllegalArgumentException(
+              s"unsupported compound member type $o for ${f.name}.${mf.name}")
+          }
+          val m = (mf.name, mk, off)
+          off += mk.elemSize
+          m
+        }
+        KCompound(ms, off)
       case other => throw new IllegalArgumentException(s"unsupported HDF5 type $other")
     }
 
@@ -886,16 +957,92 @@ object Hdf5Format {
         b.u8(1).u8(0).u8(nb.length).bytes(nb).u64(addr)
         b.result()
       }
+      // dense-root geometry (all address-independent): one FRHP +
+      // one root DIRECT block holding every serialized link body +
+      // a depth-0 v2 B-tree (type 5) over (name-hash, heap id)
+      val denseBodiesLen = vars.map(v => linkMsg(v.name, 0L).length).sum
+      val denseBlockSize: Long =
+        if (!denseRoot) 0L
+        else { var s = 512L; while (s < 17 + denseBodiesLen) s <<= 1; s }
+      val denseSize: Long =
+        if (!denseRoot) 0L
+        else 146 + denseBlockSize + 38 + (6 + vars.length * 11 + 4)
+
       // sizing: root header size depends only on message sizes
-      def rootMsgs(addrs: Seq[Long]): Seq[(Int, Array[Byte])] =
-        vars.zipWithIndex.map { case (v, i) => MSG_LINK -> linkMsg(v.name, addrs(i)) }.toSeq ++
-          rootAttrMsgs
-      val rootHdrSize = objectHeaderV2(rootMsgs(vars.map(_ => 0L).toSeq)).length
+      def rootMsgs(addrs: Seq[Long], fheapAddr: Long): Seq[(Int, Array[Byte])] =
+        if (denseRoot) {
+          // Link Info v0, no creation-order tracking: fractal heap
+          // address + name-index v2 B-tree address
+          val b = new Buf
+          b.u8(0).u8(0).u64(fheapAddr).u64(fheapAddr + 146 + denseBlockSize)
+          (MSG_LINK_INFO -> b.result()) +: rootAttrMsgs
+        } else
+          vars.zipWithIndex.map { case (v, i) => MSG_LINK -> linkMsg(v.name, addrs(i)) }.toSeq ++
+            rootAttrMsgs
+      val rootHdrSize = objectHeaderV2(rootMsgs(vars.map(_ => 0L).toSeq, 0L)).length
       var cursor = SUPER.toLong + rootHdrSize
       // vlen global heap ahead of the var region (see materializeVlen)
       val gcolAddr = cursor
       val gcolSeg = materializeVlen(gcolAddr)
       cursor += gcolSeg.length
+      val denseAddr = cursor
+      cursor += denseSize
+
+      /** Render the dense-root segment at `fheapAddr` given final
+        * dataset header addresses. */
+      def denseSeg(addrs: Seq[Long], fheapAddr: Long): Array[Byte] = {
+        val bodies = vars.zipWithIndex.map { case (v, i) => linkMsg(v.name, addrs(i)) }
+        val fhdbAddr = fheapAddr + 146
+        val btLeafAddr = fhdbAddr + denseBlockSize + 38
+        val b = new Buf
+        // FRHP (spec III.G): heap id = 1 flag + 4 offset (32-bit max
+        // heap size) + 2 length (4096 max managed object) = 7 bytes
+        val frhp = new Buf
+        frhp.bytes("FRHP".getBytes("ASCII")).u8(0)
+        frhp.u16(7).u16(0).u8(0)
+        frhp.u32(4096)
+        frhp.u64(0L).u64(UNDEF) // next huge id, huge-object B-tree
+        frhp.u64(denseBlockSize - 17 - denseBodiesLen).u64(UNDEF) // free space, fs manager
+        frhp.u64(denseBlockSize).u64(denseBlockSize) // managed space, allocated
+        frhp.u64(denseBlockSize) // direct-block iterator offset
+        frhp.u64(bodies.size.toLong)
+        frhp.u64(0L).u64(0L).u64(0L).u64(0L) // huge/tiny size+count
+        frhp.u16(4).u64(denseBlockSize).u64(math.max(64L << 10, denseBlockSize))
+        frhp.u16(32).u16(1) // max heap size (bits), starting rows
+        frhp.u64(fhdbAddr).u16(0) // root block is a DIRECT block
+        val frhpBytes = frhp.result()
+        b.bytes(frhpBytes).u32(lookup3(frhpBytes))
+        require(b.size == 146, s"FRHP size ${b.size}")
+        // FHDB root direct block: header + link bodies, zero-padded
+        val dbl = new Buf
+        dbl.bytes("FHDB".getBytes("ASCII")).u8(0).u64(fheapAddr).u32(0)
+        bodies.foreach(dbl.bytes(_))
+        while (dbl.size < denseBlockSize) dbl.u8(0)
+        b.bytes(dbl.result())
+        // heap ids in insertion order; B-tree records sort by hash
+        var off = 17L
+        val recs = vars.zipWithIndex.map { case (v, i) =>
+          val o = off
+          off += bodies(i).length
+          (lookup3(v.name.getBytes("UTF-8")), o, bodies(i).length)
+        }
+        val hd = new Buf
+        hd.bytes("BTHD".getBytes("ASCII")).u8(0).u8(5)
+        hd.u32(512).u16(11).u16(0).u8(100).u8(40)
+        hd.u64(btLeafAddr).u16(recs.size).u64(recs.size.toLong)
+        val hdBytes = hd.result()
+        b.bytes(hdBytes).u32(lookup3(hdBytes))
+        val lf = new Buf
+        lf.bytes("BTLF".getBytes("ASCII")).u8(0).u8(5)
+        recs.sortBy { case (h, _, _) => h.toLong & 0xffffffffL }.foreach {
+          case (h, o, l) => lf.u32(h).u8(0).u32(o.toInt).u16(l)
+        }
+        val lfBytes = lf.result()
+        b.bytes(lfBytes).u32(lookup3(lfBytes))
+        require(b.size == denseSize, s"dense segment size ${b.size} != $denseSize")
+        b.result()
+      }
+
       val varHdrAddrs = new Array[Long](vars.length)
       val varBtreeAddrs = new Array[Long](vars.length)
       val varChunkAddrs = new Array[Seq[Long]](vars.length)
@@ -920,10 +1067,14 @@ object Hdf5Format {
       val sbBytes = sb.result()
       out.bytes(sbBytes).u32(lookup3(sbBytes))
       require(out.size == SUPER, s"superblock v2 size ${out.size}")
-      out.bytes(objectHeaderV2(rootMsgs(varHdrAddrs.toSeq)))
+      out.bytes(objectHeaderV2(rootMsgs(varHdrAddrs.toSeq, denseAddr)))
       if (gcolSeg.nonEmpty) {
         require(out.size == gcolAddr, s"gcol layout drift: ${out.size} != $gcolAddr")
         out.bytes(gcolSeg)
+      }
+      if (denseRoot) {
+        require(out.size == denseAddr, s"dense layout drift: ${out.size} != $denseAddr")
+        out.bytes(denseSeg(varHdrAddrs.toSeq, denseAddr))
       }
       vars.zipWithIndex.foreach { case (v, i) =>
         out.bytes(datasetHeaderV2(v, varBtreeAddrs(i)))
@@ -958,6 +1109,69 @@ object Hdf5Format {
     def skip(n: Int): Unit = off += n
     def remaining: Int = data.length - off
     def slice(n: Int): Array[Byte] = { val b = java.util.Arrays.copyOfRange(data, off, off + n); off += n; b }
+  }
+
+  /** Parse one nested (compound-member) datatype message in place —
+    * scalar subset only (LE int 2/4/8, IEEE float 4/8, fixed string). */
+  private def parseMemberDt(b: BB, ctx: String): H5Kind = {
+    val clsVer = b.u8()
+    val cls = clsVer & 0x0f
+    val bf0 = b.u8()
+    b.skip(2)
+    val size = b.u32().toInt
+    if (cls <= 1 && (bf0 & 1) != 0)
+      throw new java.io.IOException(s"big-endian compound member unsupported in $ctx")
+    (cls, size) match {
+      case (0, 8) => b.skip(4); KLong
+      case (0, 4) => b.skip(4); KInt
+      case (0, 2) => b.skip(4); KShort
+      case (1, 8) => b.skip(12); KDouble
+      case (1, 4) => b.skip(12); KFloat
+      case (3, w) => KString(w)
+      case other => throw new java.io.IOException(
+        s"unsupported compound member datatype $other in $ctx")
+    }
+  }
+
+  /** Test hook: parse a full class-6 datatype MESSAGE body (prefix +
+    * members) — lets specs pin the v2/v3 wild-file member framings the
+    * in-repo writer does not emit. */
+  private[graft] def parseCompoundMessage(body: Array[Byte]): Seq[(String, H5Kind, Int)] = {
+    val b = new BB(body)
+    val clsVer = b.u8()
+    require((clsVer & 0x0f) == 6, s"not a compound datatype: class ${clsVer & 0x0f}")
+    val bf0 = b.u8(); val bf1 = b.u8(); b.skip(1)
+    val size = b.u32().toInt
+    parseCompoundMembers(b, clsVer >> 4, bf0 | (bf1 << 8), size, "test")
+  }
+
+  /** Compound (class 6) member list: all three on-disk message
+    * versions — v1 (8-padded names + dimensionality block), v2
+    * (8-padded names, no dims), v3 (unpadded names, minimal-byte
+    * offsets — what HDF5 1.8+ writers emit). */
+  private def parseCompoundMembers(b: BB, ver: Int, nMembers: Int,
+      elemSize: Int, ctx: String): Seq[(String, H5Kind, Int)] = {
+    require(ver >= 1 && ver <= 3, s"compound datatype v$ver unsupported in $ctx")
+    (0 until nMembers).map { _ =>
+      val start = b.off
+      var len = 0
+      while (b.data(start + len) != 0) len += 1
+      val name = new String(b.data, start, len, "UTF-8")
+      // the name FIELD pads to 8 bytes of its own length in v1/v2
+      if (ver <= 2) b.skip(((len + 1 + 7) / 8) * 8)
+      else b.skip(len + 1)
+      val off =
+        if (ver <= 2) b.u32().toInt
+        else {
+          var nb = 1
+          while (nb < 8 && (1L << (8 * nb)) < elemSize) nb += 1
+          var v = 0L
+          (0 until nb).foreach(i => v |= (b.u8().toLong << (8 * i)))
+          v.toInt
+        }
+      if (ver == 1) b.skip(28) // dimensionality block (scalar members)
+      (name, parseMemberDt(b, s"$ctx.$name"), off)
+    }
   }
 
   /** All (type, body) messages of an object header, following both v1
@@ -1046,26 +1260,144 @@ object Hdf5Format {
 
   /** (name → object header address) links of a group header: old-style
     * symbol table or new-style compact Link messages. */
+  /** DENSE group links (HDF5 ≥1.8 `Link Info` storage — what the
+    * library switches to above its compact-link threshold, so
+    * many-variable wild files are unreadable without it): the Link
+    * Info message carries a FRACTAL HEAP holding the serialized link
+    * messages and a v2 B-TREE (record type 5) indexing them by name
+    * hash. The walk is header-only like the rest of readMeta: B-tree
+    * leaf records → managed heap IDs → heap offsets → link bodies.
+    *
+    * Subset bounds (loud, never silent): unfiltered heaps, root
+    * direct block or one level of indirect→direct blocks (the
+    * doubling table), B-tree depth ≤ 1 — ample for any realistic
+    * variable count; beyond that the reader names what it met. */
+  private def readDenseLinks(r: R, body: Array[Byte]): Seq[(String, Long)] = {
+    val li = new BB(body)
+    val liVer = li.u8()
+    require(liVer == 0, s"link info message v$liVer unsupported")
+    val liFlags = li.u8()
+    if ((liFlags & 1) != 0) li.skip(8) // max creation index
+    val fheapAddr = li.u64()
+    val nameBtAddr = li.u64()
+    if (fheapAddr == UNDEF || nameBtAddr == UNDEF) return Nil // empty dense group
+
+    // ---- fractal heap header (spec III.G)
+    val fh = new BB(r.bytesAt(fheapAddr, 146))
+    require(fh.u8() == 'F' && fh.u8() == 'R' && fh.u8() == 'H' && fh.u8() == 'P',
+      s"bad fractal heap signature at $fheapAddr")
+    fh.skip(1) // version
+    val heapIdLen = fh.u16()
+    val ioFilterLen = fh.u16()
+    require(ioFilterLen == 0, "filtered fractal heaps unsupported")
+    fh.skip(1) // flags (checksummed direct blocks do not move object offsets)
+    val maxManaged = fh.u32()
+    fh.skip(12 * 8) // huge/tiny/free-space bookkeeping
+    val tableWidth = fh.u16()
+    val startBlockSize = fh.u64()
+    val maxDirectSize = fh.u64()
+    val maxHeapBits = fh.u16()
+    fh.skip(2) // starting # rows
+    val rootBlockAddr = fh.u64()
+    val curRows = fh.u16()
+    val offSize = (maxHeapBits + 7) / 8
+    var lenSize = 1
+    while (lenSize < 8 && (1L << (8 * lenSize)) < maxManaged) lenSize += 1
+    require(1 + offSize + lenSize == heapIdLen,
+      s"heap id length $heapIdLen != 1+$offSize+$lenSize")
+
+    // managed heap space → file position. Root is either one direct
+    // block (curRows == 0) or an indirect block whose rows follow the
+    // doubling table: rows 0,1 at startBlockSize, row i≥2 at
+    // startBlockSize << (i-1). Block offsets include block headers,
+    // so position = blockAddr + (objOff - blockOff), header-agnostic.
+    def filePos(objOff: Long): Long =
+      if (curRows == 0) rootBlockAddr + objOff
+      else {
+        val ib = new BB(r.bytesAt(rootBlockAddr, 13 + offSize + curRows * tableWidth * 8))
+        require(ib.u8() == 'F' && ib.u8() == 'H' && ib.u8() == 'I' && ib.u8() == 'B',
+          s"bad indirect block signature at $rootBlockAddr")
+        ib.skip(1 + 8 + offSize) // version, heap header address, block offset
+        var row = 0
+        var blockOff = 0L
+        while (row < curRows) {
+          val rowSize = if (row < 2) startBlockSize else startBlockSize << (row - 1)
+          require(rowSize <= maxDirectSize,
+            s"nested indirect fractal-heap blocks unsupported (row $row)")
+          var col = 0
+          while (col < tableWidth) {
+            val childAddr = ib.u64()
+            if (childAddr != UNDEF && objOff >= blockOff && objOff < blockOff + rowSize)
+              return childAddr + (objOff - blockOff)
+            blockOff += rowSize
+            col += 1
+          }
+          row += 1
+        }
+        throw new java.io.IOException(s"heap offset $objOff beyond mapped direct blocks")
+      }
+
+    // ---- v2 B-tree, record type 5 (link name): hash(4) + heap id
+    val bt = new BB(r.bytesAt(nameBtAddr, 38))
+    require(bt.u8() == 'B' && bt.u8() == 'T' && bt.u8() == 'H' && bt.u8() == 'D',
+      s"bad v2 B-tree signature at $nameBtAddr")
+    bt.skip(1) // version
+    val btType = bt.u8()
+    require(btType == 5, s"expected link-name B-tree (type 5), got $btType")
+    bt.skip(4) // node size
+    val recSize = bt.u16()
+    val depth = bt.u16()
+    bt.skip(2) // split/merge percents
+    val btRootAddr = bt.u64()
+    val rootNRecs = bt.u16()
+    require(depth == 0, s"v2 B-tree depth $depth unsupported (leaf-root only)")
+    require(recSize == 4 + heapIdLen, s"type-5 record size $recSize != ${4 + heapIdLen}")
+
+    val leaf = new BB(r.bytesAt(btRootAddr, 6 + rootNRecs * recSize))
+    require(leaf.u8() == 'B' && leaf.u8() == 'T' && leaf.u8() == 'L' && leaf.u8() == 'F',
+      s"bad v2 B-tree leaf signature at $btRootAddr")
+    leaf.skip(2) // version, type
+    (0 until rootNRecs).flatMap { _ =>
+      leaf.skip(4) // name hash
+      val idFlags = leaf.u8()
+      require((idFlags & 0x30) == 0, s"non-managed heap id (flags $idFlags) unsupported")
+      var objOff = 0L
+      (0 until offSize).foreach(i => objOff |= (leaf.u8().toLong << (8 * i)))
+      var objLen = 0L
+      (0 until lenSize).foreach(i => objLen |= (leaf.u8().toLong << (8 * i)))
+      parseLinkBody(r.bytesAt(filePos(objOff), objLen.toInt))
+    }
+  }
+
+  /** One serialized Link message body (v1) → (name, header address)
+    * for hard links; soft/external links yield None. The same framing
+    * appears inline in object headers AND as fractal-heap objects in
+    * dense groups. */
+  private def parseLinkBody(body: Array[Byte]): Option[(String, Long)] = {
+    val b = new BB(body)
+    val ver = b.u8()
+    val flags = b.u8()
+    if (ver != 1) return None
+    val linkType = if ((flags & 0x08) != 0) b.u8() else 0
+    if ((flags & 0x04) != 0) b.skip(8)
+    if ((flags & 0x10) != 0) b.skip(1)
+    val nameLen = (flags & 3) match {
+      case 0 => b.u8().toLong
+      case 1 => b.u16().toLong
+      case 2 => b.u32()
+      case 3 => b.u64()
+    }
+    val name = new String(b.slice(nameLen.toInt), "UTF-8")
+    if (linkType == 0) Some(name -> b.u64()) else None
+  }
+
   private def readLinks(r: R, msgs: Seq[(Int, Array[Byte])]): Seq[(String, Long)] = {
     val links = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     msgs.foreach {
       case (MSG_LINK, body) =>
-        val b = new BB(body)
-        val ver = b.u8()
-        val flags = b.u8()
-        if (ver == 1) {
-          val linkType = if ((flags & 0x08) != 0) b.u8() else 0
-          if ((flags & 0x04) != 0) b.skip(8)
-          if ((flags & 0x10) != 0) b.skip(1)
-          val nameLen = (flags & 3) match {
-            case 0 => b.u8().toLong
-            case 1 => b.u16().toLong
-            case 2 => b.u32()
-            case 3 => b.u64()
-          }
-          val name = new String(b.slice(nameLen.toInt), "UTF-8")
-          if (linkType == 0) links += name -> b.u64()
-        }
+        parseLinkBody(body).foreach(links += _)
+      case (MSG_LINK_INFO, body) =>
+        links ++= readDenseLinks(r, body)
       case (MSG_SYMBOL_TABLE, body) =>
         val b = new BB(body)
         val btreeAddr = b.u64()
@@ -1171,6 +1503,7 @@ object Hdf5Format {
     val msgs = readMessages(r, addr)
     var dims: Seq[Long] = Nil
     var kindCls = -1
+    var compMembers: Seq[(String, H5Kind, Int)] = Nil
     var elemSize = 0
     var signed = true
     var strWidth = 0
@@ -1196,7 +1529,8 @@ object Hdf5Format {
         val clsVer = b.u8()
         kindCls = clsVer & 0x0f
         val bf0 = b.u8()
-        b.skip(2)
+        val bf1 = b.u8()
+        b.skip(1)
         elemSize = b.u32().toInt
         // bit 0 is the byte-order flag only for the atomic classes;
         // for class 9 (variable-length) bits 0-3 are the vlen TYPE
@@ -1207,6 +1541,9 @@ object Hdf5Format {
         if (kindCls == 9 && (bf0 & 0x0f) != 1)
           throw new java.io.IOException(
             s"vlen SEQUENCE datatypes unsupported for $name (only vlen strings)")
+        if (kindCls == 6)
+          compMembers = parseCompoundMembers(b, clsVer >> 4,
+            bf0 | (bf1 << 8), elemSize, name)
       case (MSG_LAYOUT, body) =>
         val b = new BB(body)
         val ver = b.u8()
@@ -1268,6 +1605,7 @@ object Hdf5Format {
       case (1, 4, 1) => KFloat
       case (3, w, 1) => KString(w)
       case (9, 16, 1) => KVlenStr
+      case (6, sz, 1) => KCompound(compMembers, sz)
       case (1, 4, 2) => KFloatArr(dims(1).toInt)
       case (1, 8, 2) => KDoubleArr(dims(1).toInt)
       case (0, 8, 2) => KLongArr(dims(1).toInt)
@@ -1506,6 +1844,34 @@ object Hdf5Format {
         }
         objs.toMap
       })
+
+    /** Compound element → member values in declaration order (fixed
+      * strings arrive NUL-trimmed as byte arrays). */
+    def getCompound(rec: Long): Array[Any] = {
+      val base = ensure(rec)
+      val ms = v.kind.asInstanceOf[KCompound].members
+      val out = new Array[Any](ms.length)
+      var i = 0
+      while (i < ms.length) {
+        val (_, k, moff) = ms(i)
+        val o = base + moff
+        out(i) = k match {
+          case KLong => bb.getLong(o)
+          case KInt => bb.getInt(o)
+          case KShort => bb.getShort(o)
+          case KDouble => bb.getDouble(o)
+          case KFloat => bb.getFloat(o)
+          case KString(w) =>
+            var len = w
+            while (len > 0 && raw(o + len - 1) == 0) len -= 1
+            java.util.Arrays.copyOfRange(raw, o, o + len)
+          case other => throw new java.io.IOException(
+            s"unsupported nested kind $other in compound ${v.name}")
+        }
+        i += 1
+      }
+      out
+    }
 
     /** Resolve a vlen-string element: 16-byte ref (length, collection
       * address, object index) → heap payload bytes. */

@@ -20,7 +20,7 @@ object Hdf5IO {
       arrayLens: Map[String, Int] = Map.empty,
       varAttrs: Map[String, Seq[Hdf5Format.H5Attr]] = Map.empty,
       shuffle: Boolean = false, fletcher: Boolean = false,
-      vlenStrings: Boolean = false): Unit = {
+      vlenStrings: Boolean = false, denseRoot: Boolean = false): Unit = {
     val schema = df.schema
     require(!schema.fieldNames.contains("record"),
       "column name `record` is reserved for the netcdf4 record index")
@@ -43,13 +43,34 @@ object Hdf5IO {
           case ArrayType(FloatType, _) => (r: InternalRow) => r.getArray(i).toFloatArray
           case ArrayType(DoubleType, _) => (r: InternalRow) => r.getArray(i).toDoubleArray
           case ArrayType(LongType, _) => (r: InternalRow) => r.getArray(i).toLongArray
+          case st: StructType => (r: InternalRow) => {
+            val row = r.getStruct(i, st.size)
+            val a = new Array[Any](st.size)
+            var j = 0
+            while (j < st.size) {
+              if (row.isNullAt(j)) throw new IllegalArgumentException(
+                s"null in compound member ${schema.fields(i).name}.${st.fields(j).name}")
+              a(j) = st.fields(j).dataType match {
+                case LongType => row.getLong(j)
+                case IntegerType => row.getInt(j)
+                case ShortType => row.getShort(j)
+                case DoubleType => row.getDouble(j)
+                case FloatType => row.getFloat(j)
+                case StringType => row.getUTF8String(j).getBytes
+                case o => throw new IllegalArgumentException(
+                  s"unsupported compound member type $o")
+              }
+              j += 1
+            }
+            a
+          }
           case other => throw new IllegalArgumentException(s"unsupported HDF5 type $other")
         }
       }
     df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val w = new Hdf5Format.Hdf5Writer(schema, chunkRecs, deflate,
         stringWidth, arrayLens, h5ver, varAttrs = varAttrs, shuffle = shuffle,
-        fletcher = fletcher, vlenStrings = vlenStrings)
+        fletcher = fletcher, vlenStrings = vlenStrings, denseRoot = denseRoot)
       rows.foreach { r =>
         var i = 0
         while (i < schema.size) {
@@ -279,6 +300,94 @@ object Nc4Queries {
       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_lang,
       |  MIN(doc_id) AS min_doc
       |FROM documents""".stripMargin
+
+  /** COMPOUND datatypes (r8 — HDF5 class 6, netCDF-4
+    * `createCompoundType`: the struct-of-fields record type CF
+    * trajectory/station files and instrument logs use): a Spark
+    * struct column writes as one packed compound variable (members at
+    * declared offsets inside each element, int + float + fixed-string
+    * mixed), the reader parses the member list from the datatype
+    * message (all three on-disk versions) and surfaces a genuine
+    * StructType column; members aggregate after the roundtrip and
+    * must hash-match parquet — one wrong member offset or width
+    * breaks it. */
+  def nc4Compound: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5compound")
+    t(s, dir, "lineitem")
+      .select(
+        struct(
+          col("l_orderkey").as("okey"),
+          col("l_quantity").as("qty"),
+          col("l_returnflag").as("rflag")).as("li"),
+        col("l_extendedprice"))
+      .repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("shuffle", "true")
+      .save(out)
+    s.read.format(SRC).load(out)
+      .groupBy(col("li.rflag").as("rflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("li.okey")).as("sum_key"),
+        dsum(col("li.qty")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val nc4CompoundSql: String =
+    """SELECT l_returnflag AS rflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** DENSE groups (r8 — HDF5 ≥1.8 `Link Info` storage: fractal heap
+    * + v2 B-tree, what the library switches to above its compact-link
+    * threshold, so MANY-VARIABLE wild files are unreadable without
+    * it): nine lineitem variables written through the DSv2 with a
+    * dense root group (`densegroups=true`, 1.8+ layout), read back by
+    * the B-tree-leaf → heap-id → link-body walk, aggregated and
+    * hash-gated against parquet. One wrong heap offset, hash-sorted
+    * record, or link framing byte loses a variable and breaks the
+    * gate. */
+  def nc4DenseGroups: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5dense")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber").cast(LongType).as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"))
+      .repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("densegroups", "true")
+      .option("h5ver", "2")
+      .save(out)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        sum(col("l_partkey")).as("sum_part"),
+        sum(col("l_suppkey")).as("sum_supp"),
+        sum(col("l_linenumber")).as("sum_line"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_discount")).as("sum_disc"),
+        dsum(col("l_tax")).as("sum_tax"),
+        countDistinct(col("l_returnflag")).as("n_flags"))
+  }
+
+  val nc4DenseGroupsSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(l_partkey) AS BIGINT) AS sum_part,
+      |  CAST(SUM(l_suppkey) AS BIGINT) AS sum_supp,
+      |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sum_disc,
+      |  CAST(SUM(CAST(l_tax AS DECIMAL(9,2))) AS DOUBLE) AS sum_tax,
+      |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags
+      |FROM lineitem""".stripMargin
 
   /** The netCDF4 library's DEFAULT compression pipeline — shuffle
     * (filter id 2, byte transpose at element granularity) THEN
@@ -680,6 +789,8 @@ object Nc4Queries {
     "nc4_dsv2_write_roundtrip" -> nc4Dsv2WriteRoundtrip,
     "stream_nc4_sink" -> streamNc4Sink,
     "nc4_string_roundtrip" -> nc4StringRoundtrip,
+    "nc4_compound" -> nc4Compound,
+    "nc4_dense_groups" -> nc4DenseGroups,
     "nc4_read_prune" -> nc4ReadPrune,
     "nc4_attrs" -> nc4Attrs,
     "nc4_sorted_skip" -> nc4SortedSkip,
@@ -697,6 +808,8 @@ object Nc4Queries {
     "nc4_dsv2_write_roundtrip" -> nc4Dsv2WriteRoundtripSql,
     "stream_nc4_sink" -> streamNc4SinkSql,
     "nc4_string_roundtrip" -> nc4StringRoundtripSql,
+    "nc4_compound" -> nc4CompoundSql,
+    "nc4_dense_groups" -> nc4DenseGroupsSql,
     "nc4_read_prune" -> nc4ReadPruneSql,
     "nc4_attrs" -> nc4AttrsSql,
     "nc4_sorted_skip" -> nc4SortedSkipSql,

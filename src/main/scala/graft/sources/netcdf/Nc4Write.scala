@@ -126,6 +126,7 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
   private val h5ver = options.getOrElse("h5ver", "0").toInt
   private val stringWidth = options.getOrElse("stringwidth", "32").toInt
   private val vlenStrings = options.get("vlenstrings").exists(_.toBoolean)
+  private val denseGroups = options.get("densegroups").exists(_.toBoolean)
   private val declaredLens = NcWriteConf.arrayLens(options)
 
   private val getters: Array[InternalRow => Any] =
@@ -140,6 +141,27 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
         case ArrayType(FloatType, _) => (r: InternalRow) => r.getArray(i).toFloatArray
         case ArrayType(DoubleType, _) => (r: InternalRow) => r.getArray(i).toDoubleArray
         case ArrayType(LongType, _) => (r: InternalRow) => r.getArray(i).toLongArray
+        case st: StructType => (r: InternalRow) => {
+          val row = r.getStruct(i, st.size)
+          val a = new Array[Any](st.size)
+          var j = 0
+          while (j < st.size) {
+            if (row.isNullAt(j)) throw new IllegalArgumentException(
+              s"null in compound member ${f.name}.${st.fields(j).name}")
+            a(j) = st.fields(j).dataType match {
+              case LongType => row.getLong(j)
+              case IntegerType => row.getInt(j)
+              case ShortType => row.getShort(j)
+              case DoubleType => row.getDouble(j)
+              case FloatType => row.getFloat(j)
+              case StringType => row.getUTF8String(j).getBytes
+              case o => throw new IllegalArgumentException(
+                s"unsupported compound member type $o")
+            }
+            j += 1
+          }
+          a
+        }
         case other => throw new IllegalArgumentException(s"unsupported HDF5 type $other")
       }
     }
@@ -155,7 +177,7 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
       }
       w = new Hdf5Format.Hdf5Writer(schema, chunkRecs, deflate, stringWidth,
         lens, h5ver, shuffle = shuffle, fletcher = fletcher,
-        vlenStrings = vlenStrings)
+        vlenStrings = vlenStrings, denseRoot = denseGroups)
     }
     var i = 0
     while (i < schema.size) {

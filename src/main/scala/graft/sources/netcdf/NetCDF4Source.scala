@@ -311,6 +311,22 @@ class Nc4PartitionReader(part: Nc4InputPartition, required: StructType,
   private val kinds: Array[Hdf5Format.H5Kind] = varNames.map { n =>
     meta.vars.find(_.name == n).get.kind
   }.toArray
+  /** Catalyst's nested-schema pruning hands a REQUIRED struct that may
+    * be a subset (and reorder) of the file's compound member list —
+    * map each required member to its file-member index by NAME, so the
+    * emitted row matches the pruned schema, not the file layout. */
+  private val structProj: Array[Array[Int]] = varNames.zipWithIndex.map { case (n, j) =>
+    (kinds(j), required(required.fieldIndex(n)).dataType) match {
+      case (kc: Hdf5Format.KCompound, st: StructType) =>
+        st.fields.map { mf =>
+          val k = kc.members.indexWhere(_._1 == mf.name)
+          if (k < 0) throw new java.io.IOException(
+            s"compound member ${mf.name} not in $n of ${part.file}")
+          k
+        }
+      case _ => null
+    }
+  }.toArray
 
   private var rec = part.localStart
   private val row =
@@ -336,6 +352,20 @@ class Nc4PartitionReader(part: Nc4InputPartition, required: StructType,
             org.apache.spark.unsafe.types.UTF8String.fromBytes(r.getString(rec))
           case KVlenStr =>
             org.apache.spark.unsafe.types.UTF8String.fromBytes(r.getVlenString(rec))
+          case KCompound(_, _) =>
+            val vals = r.getCompound(rec)
+            val proj = structProj(slot)
+            val a = new Array[Any](proj.length)
+            var i = 0
+            while (i < proj.length) {
+              a(i) = vals(proj(i)) match {
+                case b: Array[Byte] =>
+                  org.apache.spark.unsafe.types.UTF8String.fromBytes(b)
+                case x => x
+              }
+              i += 1
+            }
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(a)
           case KFloatArr(k) =>
             val a = new Array[Any](k)
             var i = 0; while (i < k) { a(i) = r.getFloatElem(rec, i); i += 1 }
