@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 SMOKE bench (r8 verdict item 8): one scaling datapoint for the
+  * heaviest key per family, at ~10× the driver's largest testdata.
+  *
+  * The driver ships sf0.1 at most, so the probe input is synthesized
+  * from it: each table unions 10 replicas with entity keys shifted by
+  * a replica stride (so joins/groups gain new entities instead of
+  * multiplying per-key row counts), document text carries a replica
+  * marker (so near-dup structure does not multiply 10×), and
+  * embeddings get a deterministic sub-1e-3 perturbation (so cos≈1
+  * duplicate pairs do not explode). This measures SCALING SHAPE, not
+  * correctness — the oracle gate stays on the driver's own parquet.
+  *
+  * Output: BENCH_sf1_smoke.json with per-query seconds at 10× next to
+  * the same session's sf0.1 seconds and the resulting ratio — ~10×
+  * data through ~linear operators should land near 10 on a fixed
+  * local[N]; materially super-linear ratios are the finding. */
+object BenchSf1 {
+
+  private val KEYS = Seq(
+    "pipeline_keep_list", "dedup_simhash", "sim_sq_int8", "dedup_crossshard",
+    "dedup_clusters", "stream_dedup_incremental", "dedup_eval",
+    "dedup_minhash_lsh", "sim_ivf_pq", "grid_interpolate", "q5_join5",
+    "q17_events_hourly")
+
+  /** Key columns shifted per table: replica r adds r·stride so every
+    * replica contributes DISTINCT entities. */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "nation" -> Nil,
+    "region" -> Nil)
+
+  def replicate(spark: SparkSession, srcDir: String, dstDir: String, copies: Int): Unit = {
+    keyCols.foreach { case (table, keys) =>
+      val base =
+        if (table == "events") Tables.events(spark, srcDir)
+        else Tables.t(spark, srcDir, table)
+      val out =
+        if (keys.isEmpty) base // dims stay as-is (broadcast side)
+        else {
+          val strides: Map[String, Long] = keys.map { k =>
+            k -> (base.agg(max(col(k))).head().getLong(0) + 1L)
+          }.toMap
+          val reps = (0 until copies).map { r =>
+            var df = base
+            strides.foreach { case (k, s) =>
+              df = df.withColumn(k, col(k) + lit(r.toLong * s))
+            }
+            if (table == "documents" && r > 0)
+              df = df.withColumn("text", concat(col("text"), lit(s" #replica$r")))
+            if (table == "embeddings")
+              df = df.withColumn("embedding",
+                expr(s"transform(embedding, (x, i) -> x + cast(pmod(hash(vec_id, i, $r), 997) as float) * 1e-6f)"))
+            df
+          }
+          reps.reduce(_ unionByName _)
+        }
+      out.write.mode("overwrite").parquet(s"$dstDir/$table.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dstDir = "/tmp/graft_sf1_synth"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.cleaner.periodicGC.interval", "60s")
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    replicate(spark, srcDir, dstDir, 10)
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(name)(spark, dir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[sf1-smoke] $name FAILED: ${e.getMessage}"); false
+      }
+      spark.sharedState.cacheManager.clearCache()
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    // warm both dirs once (JIT + file listing), then one timed pass each
+    KEYS.foreach(k => time(k, srcDir))
+    val small = KEYS.map(k => k -> time(k, srcDir)).toMap
+    val big = KEYS.map(k => k -> time(k, dstDir)).toMap
+    def fmt(d: Double) = if (d < 0) "-1" else f"$d%.3f"
+    val rows = KEYS.map { k =>
+      val ratio = if (small(k) > 0 && big(k) > 0) big(k) / small(k) else -1.0
+      s""""$k":{"sf01_sec":${fmt(small(k))},"x10_sec":${fmt(big(k))},"ratio":${fmt(ratio)}}"""
+    }
+    val json = s"""{"metric":"sf1_smoke","input":"10x replicated $srcDir","copies":10,""" +
+      s""""queries":{${rows.mkString(",")}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_sf1_smoke.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

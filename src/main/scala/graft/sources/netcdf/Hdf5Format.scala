@@ -544,9 +544,14 @@ object Hdf5Format {
       shuffle: Boolean = false,
       fletcher: Boolean = false,
       vlenStrings: Boolean = false,
-      denseRoot: Boolean = false) {
+      denseRoot: Boolean = false,
+      chunkIndex: String = "btree1") {
     require(h5ver == 0 || h5ver == 2, s"h5ver must be 0 or 2, got $h5ver")
     require(!denseRoot || h5ver == 2, "dense root groups require the 1.8+ layout (h5ver=2)")
+    require(chunkIndex == "btree1" || chunkIndex == "fixedarray",
+      s"chunkIndex must be btree1 or fixedarray, got $chunkIndex")
+    require(chunkIndex == "btree1" || h5ver == 2,
+      "fixed-array chunk indexes require the 1.8+/1.10 layout (h5ver=2)")
 
     private def kindOf(f: StructField): H5Kind = f.dataType match {
       case LongType => KLong
@@ -628,15 +633,24 @@ object Hdf5Format {
         msgs += MSG_FILTER -> f.result()
       }
       val lay = new Buf
-      lay.u8(3).u8(2).u8(dims.size + 1).u64(btreeAddr) // layout v3, chunked
       val chunkDims: Seq[Int] = v.kind match {
         case KFloatArr(k) => Seq(v.chunkRecs, k)
         case KDoubleArr(k) => Seq(v.chunkRecs, k)
         case KLongArr(k) => Seq(v.chunkRecs, k)
         case _ => Seq(v.chunkRecs)
       }
-      chunkDims.foreach(lay.u32)
-      lay.u32(v.kind.elemSize)
+      if (chunkIndex == "fixedarray") {
+        // layout v4 (HDF5 ≥1.10): chunk dims EXCLUDE the element dim;
+        // index type 3 = fixed array + its page-bits creation param
+        lay.u8(4).u8(2).u8(0).u8(chunkDims.size).u8(4)
+        chunkDims.foreach(lay.u32)
+        lay.u8(3).u8(FA_PAGE_BITS)
+        lay.u64(btreeAddr)
+      } else {
+        lay.u8(3).u8(2).u8(dims.size + 1).u64(btreeAddr) // layout v3, chunked
+        chunkDims.foreach(lay.u32)
+        lay.u32(v.kind.elemSize)
+      }
       msgs += MSG_LAYOUT -> lay.result()
       // automatic CF actual_range zone map for scalar numerics — what
       // makes value filters prunable at file level on the read side.
@@ -719,6 +733,46 @@ object Hdf5Format {
       key(v.stored.size, 0, 0)
       b.result()
     }
+
+    private final val FA_PAGE_BITS = 12 // unpaged up to 4096 chunks/var
+
+    /** Fixed Array chunk index (HDF5 ≥1.10 layout-v4 alternative to
+      * the v1 B-tree): FAHD header + one unpaged FADB data block of
+      * per-chunk elements (addr, plus size+mask when filtered). FADB
+      * follows FAHD directly, so only the index's own address
+      * (`selfAddr`, 0 in the sizing pass — sizes are address-free)
+      * feeds the header's data-block pointer. */
+    private def fixedArrayIndex(v: VarState, chunkAddrs: Seq[Long],
+        selfAddr: Long): Array[Byte] = {
+      val filtered = v.deflate || v.shuffle || v.fletcher
+      val entrySize = if (filtered) 16 else 8
+      val n = v.stored.size
+      require(n <= (1 << FA_PAGE_BITS),
+        s"fixed array writer is unpaged: $n chunks > ${1 << FA_PAGE_BITS}")
+      val b = new Buf
+      val hd = new Buf
+      hd.bytes("FAHD".getBytes("ASCII")).u8(0)
+      hd.u8(if (filtered) 1 else 0).u8(entrySize).u8(FA_PAGE_BITS)
+      hd.u64(n.toLong)
+      hd.u64(selfAddr + 28) // FADB directly follows the 28-byte FAHD
+      val hdBytes = hd.result()
+      b.bytes(hdBytes).u32(lookup3(hdBytes))
+      require(b.size == 28, s"FAHD size ${b.size}")
+      val db = new Buf
+      db.bytes("FADB".getBytes("ASCII")).u8(0)
+      db.u8(if (filtered) 1 else 0).u64(selfAddr)
+      v.stored.zipWithIndex.foreach { case ((bytes, mask), i) =>
+        db.u64(chunkAddrs(i))
+        if (filtered) db.u32(bytes.length).u32(mask)
+      }
+      val dbBytes = db.result()
+      b.bytes(dbBytes).u32(lookup3(dbBytes))
+      b.result()
+    }
+
+    private def chunkIndexBytes(v: VarState, addrs: Seq[Long], selfAddr: Long): Array[Byte] =
+      if (chunkIndex == "fixedarray") fixedArrayIndex(v, addrs, selfAddr)
+      else chunkBtree(v, addrs)
 
     /** Assemble and return the complete file. */
     def finish(): Array[Byte] = {
@@ -873,7 +927,7 @@ object Hdf5Format {
         }.toSeq
         varChunkAddrs(i) = addrs
         varBtreeAddrs(i) = cursor
-        cursor += chunkBtree(v, addrs).length
+        cursor += chunkIndexBytes(v, addrs, 0L).length
       }
       val eof = cursor
 
@@ -939,7 +993,7 @@ object Hdf5Format {
       vars.zipWithIndex.foreach { case (v, i) =>
         out.bytes(datasetHeaderV1(v, varBtreeAddrs(i)))
         v.stored.foreach { case (bytes, _) => out.bytes(bytes) }
-        out.bytes(chunkBtree(v, varChunkAddrs(i)))
+        out.bytes(chunkIndexBytes(v, varChunkAddrs(i), varBtreeAddrs(i)))
       }
       val res = out.result()
       require(res.length == eof, s"layout drift: ${res.length} != $eof")
@@ -1054,7 +1108,7 @@ object Hdf5Format {
         }.toSeq
         varChunkAddrs(i) = addrs
         varBtreeAddrs(i) = cursor
-        cursor += chunkBtree(v, addrs).length
+        cursor += chunkIndexBytes(v, addrs, 0L).length
       }
       val eof = cursor
 
@@ -1079,7 +1133,7 @@ object Hdf5Format {
       vars.zipWithIndex.foreach { case (v, i) =>
         out.bytes(datasetHeaderV2(v, varBtreeAddrs(i)))
         v.stored.foreach { case (bytes, _) => out.bytes(bytes) }
-        out.bytes(chunkBtree(v, varChunkAddrs(i)))
+        out.bytes(chunkIndexBytes(v, varChunkAddrs(i), varBtreeAddrs(i)))
       }
       val res = out.result()
       require(res.length == eof, s"layout drift: ${res.length} != $eof")
@@ -1260,6 +1314,46 @@ object Hdf5Format {
 
   /** (name → object header address) links of a group header: old-style
     * symbol table or new-style compact Link messages. */
+  /** Fixed Array chunk index (HDF5 ≥1.10, spec III.K — the index the
+    * library emits for chunked datasets with no unlimited dimension):
+    * FAHD header → FADB data block of per-chunk elements, unpaged
+    * subset (entries ≤ 2^pageBits — ample for any single part file;
+    * paged blocks rejected loudly). Elements are chunk addresses,
+    * plus (size, filter mask) when the dataset is filtered. */
+  private def readFixedArrayChunks(r: R, addr: Long, chunkRecs: Int,
+      filtered: Boolean, rawChunkBytes: Long, name: String): Array[H5Chunk] = {
+    val h = new BB(r.bytesAt(addr, 28))
+    require(h.u8() == 'F' && h.u8() == 'A' && h.u8() == 'H' && h.u8() == 'D',
+      s"bad fixed array signature at $addr for $name")
+    h.skip(1) // version
+    val clientId = h.u8()
+    require((clientId == 0) == !filtered,
+      s"fixed array client id $clientId inconsistent with filter pipeline of $name")
+    val entrySize = h.u8()
+    val pageBits = h.u8()
+    val nEntries = h.u64()
+    val dblkAddr = h.u64()
+    require(nEntries <= (1L << pageBits),
+      s"paged fixed array data blocks unsupported for $name ($nEntries entries)")
+    // FADB: sig + version + client id + header address, then elements
+    val db = new BB(r.bytesAt(dblkAddr, 14 + (nEntries * entrySize).toInt))
+    require(db.u8() == 'F' && db.u8() == 'A' && db.u8() == 'D' && db.u8() == 'B',
+      s"bad fixed array data block signature at $dblkAddr for $name")
+    db.skip(2 + 8)
+    val szBytes = entrySize - 12 // filtered element: addr(8) + size + mask(4)
+    (0L until nEntries).flatMap { i =>
+      val cAddr = db.u64()
+      val (sz, mask) =
+        if (filtered) {
+          var s = 0L
+          (0 until szBytes).foreach(k => s |= (db.u8().toLong << (8 * k)))
+          (s.toInt, db.u32().toInt)
+        } else (rawChunkBytes.toInt, 0) // unfiltered chunks store full-size
+      if (cAddr == UNDEF) Nil // unallocated chunk (sparse write)
+      else Seq(H5Chunk(i * chunkRecs, cAddr, sz, mask))
+    }.toArray
+  }
+
   /** DENSE group links (HDF5 ≥1.8 `Link Info` storage — what the
     * library switches to above its compact-link threshold, so
     * many-variable wild files are unreadable without it): the Link
@@ -1511,6 +1605,11 @@ object Hdf5Format {
     var chunkDims: Seq[Int] = Nil
     var btreeAddr = UNDEF
     var contiguous = UNDEF
+    var layoutV4 = false
+    var chunkIdxType = 0
+    var idxPageBits = 0
+    var singleChunkSize = 0L
+    var singleChunkMask = 0
     var deflate = false
     var shuffle = false
     var fletcher = false
@@ -1547,14 +1646,39 @@ object Hdf5Format {
       case (MSG_LAYOUT, body) =>
         val b = new BB(body)
         val ver = b.u8()
-        require(ver == 3, s"only data layout v3 supported, got v$ver")
+        require(ver == 3 || ver == 4, s"only data layout v3/v4 supported, got v$ver")
         val cls = b.u8()
-        if (cls == 2) {
+        if (ver == 3 && cls == 2) {
           val rank = b.u8()
           btreeAddr = b.u64()
           val cdims = (0 until rank).map(_ => b.u32().toInt)
           chunkRecs = cdims.head
           chunkDims = cdims
+        } else if (ver == 4 && cls == 2) {
+          // HDF5 ≥1.10 chunked layout: chunk dims EXCLUDE the element
+          // dim, then a typed chunk index replaces the v1 B-tree
+          val flags = b.u8()
+          val rank = b.u8()
+          val encLen = b.u8()
+          val cdims = (0 until rank).map { _ =>
+            var v = 0L
+            (0 until encLen).foreach(i => v |= (b.u8().toLong << (8 * i)))
+            v.toInt
+          }
+          chunkRecs = cdims.head
+          chunkDims = cdims
+          layoutV4 = true
+          chunkIdxType = b.u8()
+          chunkIdxType match {
+            case 1 => // single chunk: filtered variant carries size+mask
+              if ((flags & 2) != 0) { singleChunkSize = b.u64(); singleChunkMask = b.u32().toInt }
+            case 2 => // implicit: contiguous unfiltered chunk run
+            case 3 => idxPageBits = b.u8()
+            case 4 => b.skip(5) // extensible array creation params (unsupported below)
+            case 5 => b.skip(6) // v2 B-tree node size + split/merge (unsupported below)
+            case t => throw new java.io.IOException(s"unknown chunk index type $t for $name")
+          }
+          btreeAddr = b.u64() // the index structure's address
         } else if (cls == 1) {
           contiguous = b.u64()
         } else throw new java.io.IOException("compact layout unsupported")
@@ -1593,7 +1717,8 @@ object Hdf5Format {
     // record dimension; a wild file chunked ALSO along the second
     // dimension (chunk dims [r, k', esize] with k' < k) would decode
     // garbage silently — fail loudly instead (documented subset)
-    if (chunkDims.length == 3 && dims.length == 2)
+    // (v3 chunk dims carry a trailing element-size dim; v4 dims do not)
+    if ((chunkDims.length == 3 || (layoutV4 && chunkDims.length == 2)) && dims.length == 2)
       require(chunkDims(1).toLong == dims(1),
         s"partial-width 2-D chunking unsupported for $name: " +
           s"chunk dim ${chunkDims(1)} < variable dim ${dims(1)}")
@@ -1612,8 +1737,33 @@ object Hdf5Format {
       case other => throw new java.io.IOException(s"unsupported dataset shape $other for $name")
     }
     val _ = signed
+    val filtered = deflate || shuffle || fletcher
+    val rowBytesOf: Long = {
+      val elems = if (dims.length == 2) dims(1) else 1L
+      elemSize.toLong * elems
+    }
+    val chunkBytesOf: Long = rowBytesOf * math.max(1, chunkRecs)
+    val nChunksOf: Long =
+      if (chunkRecs <= 0) 0L else (dims.head + chunkRecs - 1) / chunkRecs
     val chunks: Array[H5Chunk] =
       if (btreeAddr == UNDEF) Array.empty
+      else if (layoutV4) chunkIdxType match {
+        // HDF5 ≥1.10 chunk indexes, in increasing structure: the
+        // address field points at the chunk itself (1), a bare run
+        // (2), or a Fixed Array (3). Extensible arrays / v2 B-trees
+        // (unlimited-dim writers) are out of the subset — loudly.
+        case 1 =>
+          val sz = if (singleChunkSize > 0) singleChunkSize.toInt else chunkBytesOf.toInt
+          Array(H5Chunk(0L, btreeAddr, sz, singleChunkMask))
+        case 2 =>
+          require(!filtered, s"implicit chunk index with filters for $name")
+          (0L until nChunksOf).map(i =>
+            H5Chunk(i * chunkRecs, btreeAddr + i * chunkBytesOf, chunkBytesOf.toInt, 0)).toArray
+        case 3 =>
+          readFixedArrayChunks(r, btreeAddr, chunkRecs, filtered, chunkBytesOf, name)
+        case t => throw new java.io.IOException(
+          s"chunk index type $t (extensible array / v2 B-tree) unsupported for $name")
+      }
       else {
         val acc = scala.collection.mutable.ArrayBuffer.empty[H5Chunk]
         val keyDims = dims.size + 1

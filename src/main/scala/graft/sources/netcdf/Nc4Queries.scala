@@ -20,7 +20,8 @@ object Hdf5IO {
       arrayLens: Map[String, Int] = Map.empty,
       varAttrs: Map[String, Seq[Hdf5Format.H5Attr]] = Map.empty,
       shuffle: Boolean = false, fletcher: Boolean = false,
-      vlenStrings: Boolean = false, denseRoot: Boolean = false): Unit = {
+      vlenStrings: Boolean = false, denseRoot: Boolean = false,
+      chunkIndex: String = "btree1"): Unit = {
     val schema = df.schema
     require(!schema.fieldNames.contains("record"),
       "column name `record` is reserved for the netcdf4 record index")
@@ -70,7 +71,8 @@ object Hdf5IO {
     df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val w = new Hdf5Format.Hdf5Writer(schema, chunkRecs, deflate,
         stringWidth, arrayLens, h5ver, varAttrs = varAttrs, shuffle = shuffle,
-        fletcher = fletcher, vlenStrings = vlenStrings, denseRoot = denseRoot)
+        fletcher = fletcher, vlenStrings = vlenStrings, denseRoot = denseRoot,
+        chunkIndex = chunkIndex)
       rows.foreach { r =>
         var i = 0
         while (i < schema.size) {
@@ -387,6 +389,41 @@ object Nc4Queries {
       |  CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sum_disc,
       |  CAST(SUM(CAST(l_tax AS DECIMAL(9,2))) AS DOUBLE) AS sum_tax,
       |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags
+      |FROM lineitem""".stripMargin
+
+  /** HDF5 ≥1.10 chunk indexes (r8 — data layout message v4: what
+    * current-generation writers emit for chunked datasets with no
+    * unlimited dimension, so post-2016 wild files are unreadable
+    * without it): the writer emits a FIXED ARRAY index (FAHD header +
+    * unpaged FADB element block, filtered elements carrying
+    * size+mask) instead of the v1 B-tree, behind the DSv2
+    * `chunkindex=fixedarray` option; the reader dispatches on the
+    * layout version — v3 → B-tree walk, v4 → single-chunk / implicit
+    * / fixed-array mapping — and the roundtrip aggregate must
+    * hash-match parquet through the shuffle+deflate pipeline. */
+  def nc4FixedArray: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5fixedarr")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("chunkindex", "fixedarray")
+      .option("shuffle", "true")
+      .option("chunkrecs", "1024")
+      .save(out)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val nc4FixedArraySql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
       |FROM lineitem""".stripMargin
 
   /** The netCDF4 library's DEFAULT compression pipeline — shuffle
@@ -791,6 +828,7 @@ object Nc4Queries {
     "nc4_string_roundtrip" -> nc4StringRoundtrip,
     "nc4_compound" -> nc4Compound,
     "nc4_dense_groups" -> nc4DenseGroups,
+    "nc4_fixed_array" -> nc4FixedArray,
     "nc4_read_prune" -> nc4ReadPrune,
     "nc4_attrs" -> nc4Attrs,
     "nc4_sorted_skip" -> nc4SortedSkip,
@@ -810,6 +848,7 @@ object Nc4Queries {
     "nc4_string_roundtrip" -> nc4StringRoundtripSql,
     "nc4_compound" -> nc4CompoundSql,
     "nc4_dense_groups" -> nc4DenseGroupsSql,
+    "nc4_fixed_array" -> nc4FixedArraySql,
     "nc4_read_prune" -> nc4ReadPruneSql,
     "nc4_attrs" -> nc4AttrsSql,
     "nc4_sorted_skip" -> nc4SortedSkipSql,

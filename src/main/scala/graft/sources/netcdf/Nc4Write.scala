@@ -127,6 +127,7 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
   private val stringWidth = options.getOrElse("stringwidth", "32").toInt
   private val vlenStrings = options.get("vlenstrings").exists(_.toBoolean)
   private val denseGroups = options.get("densegroups").exists(_.toBoolean)
+  private val chunkIndex = options.getOrElse("chunkindex", "btree1")
   private val declaredLens = NcWriteConf.arrayLens(options)
 
   private val getters: Array[InternalRow => Any] =
@@ -177,7 +178,8 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
       }
       w = new Hdf5Format.Hdf5Writer(schema, chunkRecs, deflate, stringWidth,
         lens, h5ver, shuffle = shuffle, fletcher = fletcher,
-        vlenStrings = vlenStrings, denseRoot = denseGroups)
+        vlenStrings = vlenStrings, denseRoot = denseGroups,
+        chunkIndex = chunkIndex)
     }
     var i = 0
     while (i < schema.size) {

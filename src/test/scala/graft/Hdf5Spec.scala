@@ -403,6 +403,27 @@ class Hdf5Spec extends AnyFunSuite {
     assert(back.filter(org.apache.spark.sql.functions.col("record") < 100L).count() == 100)
   }
 
+  test("fixed-array chunk index (layout v4) roundtrips and prunes by record range") {
+    val dir = "/tmp/graft_h5/fixedarr"
+    val df = spark.range(10000).select(col("id").as("k"),
+      (col("id") + 0.5).cast(DoubleType).as("x"))
+    df.coalesce(1).write.format(SRC).mode("overwrite")
+      .option("h5ver", "2").option("chunkindex", "fixedarray")
+      .option("chunkrecs", "1000").option("shuffle", "true").save(dir)
+    val f = NetCDF4Util.listFiles(fs, new Path(dir)).head
+    val meta = Hdf5Format.readMeta(fs, f)
+    assert(meta.vars.forall(_.chunks.length == 10), meta.vars.map(_.chunks.length).toString)
+    val back = spark.read.format(SRC).load(dir)
+    assert(back.count() == 10000)
+    val exp = df.agg(sum("k"), sum("x")).head()
+    val got = back.agg(sum("k"), sum("x")).head()
+    assert(exp == got)
+    // record-range pushdown composes with the v4 index
+    val win = back.filter(col("record") >= 2500L && col("record") < 3500L)
+    assert(win.count() == 1000)
+    assert(win.agg(sum("k")).head().getLong(0) == (2500L until 3500L).sum)
+  }
+
   test("writer rejects nulls and the reserved record column") {
     val dir = "/tmp/graft_h5/dsv2_reject"
     val withNull = spark.range(10)
