@@ -57,12 +57,19 @@ object DedupClusters {
     while (round < maxRounds && !converged) {
       val viaNeighbors = sym
         .join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = ckpt(labels.select("id", "label").unionAll(viaNeighbors)
-        .groupBy("id").agg(min(col("label")).as("label")))
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next
+        .select(col("dst").as("id"), col("label"),
+          lit(null).cast(labels.schema("label").dataType).as("old"))
+      // each id's PREVIOUS label rides through the same min-label
+      // aggregation (exactly one non-null `old` per id), so
+      // convergence detection is a filter over the checkpointed round
+      // result — no separate corpus-sized old-vs-new join per round
+      val next = ckpt(labels
+        .select(col("id"), col("label"), col("label").as("old"))
+        .unionAll(viaNeighbors)
+        .groupBy("id")
+        .agg(min(col("label")).as("label"), max(col("old")).as("old")))
+      val changed = next.filter(col("label") =!= col("old")).limit(1).count()
+      labels = next.select("id", "label")
       converged = changed == 0
       round += 1
     }
