@@ -548,8 +548,8 @@ object Hdf5Format {
       chunkIndex: String = "btree1") {
     require(h5ver == 0 || h5ver == 2, s"h5ver must be 0 or 2, got $h5ver")
     require(!denseRoot || h5ver == 2, "dense root groups require the 1.8+ layout (h5ver=2)")
-    require(chunkIndex == "btree1" || chunkIndex == "fixedarray",
-      s"chunkIndex must be btree1 or fixedarray, got $chunkIndex")
+    require(chunkIndex == "btree1" || chunkIndex == "fixedarray" || chunkIndex == "btree2",
+      s"chunkIndex must be btree1, fixedarray, or btree2, got $chunkIndex")
     require(chunkIndex == "btree1" || h5ver == 2,
       "fixed-array chunk indexes require the 1.8+/1.10 layout (h5ver=2)")
 
@@ -645,6 +645,12 @@ object Hdf5Format {
         lay.u8(4).u8(2).u8(0).u8(chunkDims.size).u8(4)
         chunkDims.foreach(lay.u32)
         lay.u8(3).u8(FA_PAGE_BITS)
+        lay.u64(btreeAddr)
+      } else if (chunkIndex == "btree2") {
+        // index type 5 = v2 B-tree + node size / split / merge params
+        lay.u8(4).u8(2).u8(0).u8(chunkDims.size).u8(4)
+        chunkDims.foreach(lay.u32)
+        lay.u8(5).u32(2048).u8(100).u8(40)
         lay.u64(btreeAddr)
       } else {
         lay.u8(3).u8(2).u8(dims.size + 1).u64(btreeAddr) // layout v3, chunked
@@ -770,9 +776,44 @@ object Hdf5Format {
       b.result()
     }
 
+    /** v2 B-tree chunk index: BTHD + one leaf of type-10/11 records
+      * (scaled-offset ascending = insertion order). */
+    private def btree2Index(v: VarState, chunkAddrs: Seq[Long],
+        selfAddr: Long): Array[Byte] = {
+      val filtered = v.deflate || v.shuffle || v.fletcher
+      val rank = v.kind match {
+        case KFloatArr(_) | KDoubleArr(_) | KLongArr(_) => 2
+        case _ => 1
+      }
+      val recSize = if (filtered) 8 + 4 + 4 + 8 * rank else 8 + 8 * rank
+      val n = v.stored.size
+      val b = new Buf
+      val hd = new Buf
+      hd.bytes("BTHD".getBytes("ASCII")).u8(0).u8(if (filtered) 11 else 10)
+      hd.u32(2048).u16(recSize).u16(0).u8(100).u8(40)
+      hd.u64(selfAddr + 38).u16(n).u64(n.toLong)
+      val hdBytes = hd.result()
+      b.bytes(hdBytes).u32(lookup3(hdBytes))
+      require(b.size == 38, s"BTHD size ${b.size}")
+      val lf = new Buf
+      lf.bytes("BTLF".getBytes("ASCII")).u8(0).u8(if (filtered) 11 else 10)
+      v.stored.zipWithIndex.foreach { case ((bytes, mask), i) =>
+        lf.u64(chunkAddrs(i))
+        if (filtered) lf.u32(bytes.length).u32(mask)
+        lf.u64(i.toLong) // scaled offset along the record dim
+        if (rank == 2) lf.u64(0)
+      }
+      val lfBytes = lf.result()
+      b.bytes(lfBytes).u32(lookup3(lfBytes))
+      b.result()
+    }
+
     private def chunkIndexBytes(v: VarState, addrs: Seq[Long], selfAddr: Long): Array[Byte] =
-      if (chunkIndex == "fixedarray") fixedArrayIndex(v, addrs, selfAddr)
-      else chunkBtree(v, addrs)
+      chunkIndex match {
+        case "fixedarray" => fixedArrayIndex(v, addrs, selfAddr)
+        case "btree2" => btree2Index(v, addrs, selfAddr)
+        case _ => chunkBtree(v, addrs)
+      }
 
     /** Assemble and return the complete file. */
     def finish(): Array[Byte] = {
@@ -1354,6 +1395,50 @@ object Hdf5Format {
     }.toArray
   }
 
+  /** v2 B-tree chunk index (HDF5 ≥1.10, record types 10/11 — the
+    * index the library emits for chunked datasets with >1 unlimited
+    * dimension): depth-0 (leaf-root) subset like the dense-link
+    * B-tree. Type 10 records are (address, scaled offsets); type 11
+    * adds (chunk size, filter mask) with the size width derivable
+    * from the record size. Scaled offset 0 × chunk dim = start
+    * record. */
+  private def readBtree2Chunks(r: R, addr: Long, chunkRecs: Int, rank: Int,
+      filtered: Boolean, rawChunkBytes: Long, name: String): Array[H5Chunk] = {
+    val bt = new BB(r.bytesAt(addr, 38))
+    require(bt.u8() == 'B' && bt.u8() == 'T' && bt.u8() == 'H' && bt.u8() == 'D',
+      s"bad v2 B-tree signature at $addr for $name")
+    bt.skip(1)
+    val btType = bt.u8()
+    require(btType == 10 || btType == 11,
+      s"expected chunk B-tree record type 10/11, got $btType for $name")
+    require((btType == 11) == filtered,
+      s"v2 B-tree record type $btType inconsistent with filter pipeline of $name")
+    bt.skip(4)
+    val recSize = bt.u16()
+    val depth = bt.u16()
+    bt.skip(2)
+    val rootAddr = bt.u64()
+    val rootNRecs = bt.u16()
+    require(depth == 0, s"v2 chunk B-tree depth $depth unsupported (leaf-root only)")
+    val szLen = recSize - 8 - 4 - 8 * rank // type 11 chunk-size width
+    val leaf = new BB(r.bytesAt(rootAddr, 6 + rootNRecs * recSize))
+    require(leaf.u8() == 'B' && leaf.u8() == 'T' && leaf.u8() == 'L' && leaf.u8() == 'F',
+      s"bad v2 B-tree leaf signature at $rootAddr for $name")
+    leaf.skip(2)
+    (0 until rootNRecs).map { _ =>
+      val cAddr = leaf.u64()
+      val (sz, mask) =
+        if (filtered) {
+          var s = 0L
+          (0 until szLen).foreach(k => s |= (leaf.u8().toLong << (8 * k)))
+          (s.toInt, leaf.u32().toInt)
+        } else (rawChunkBytes.toInt, 0)
+      val scaled0 = leaf.u64()
+      (1 until rank).foreach(_ => leaf.u64())
+      H5Chunk(scaled0 * chunkRecs, cAddr, sz, mask)
+    }.sortBy(_.startRec).toArray
+  }
+
   /** DENSE group links (HDF5 ≥1.8 `Link Info` storage — what the
     * library switches to above its compact-link threshold, so
     * many-variable wild files are unreadable without it): the Link
@@ -1761,8 +1846,11 @@ object Hdf5Format {
             H5Chunk(i * chunkRecs, btreeAddr + i * chunkBytesOf, chunkBytesOf.toInt, 0)).toArray
         case 3 =>
           readFixedArrayChunks(r, btreeAddr, chunkRecs, filtered, chunkBytesOf, name)
+        case 5 =>
+          readBtree2Chunks(r, btreeAddr, chunkRecs, chunkDims.length,
+            filtered, chunkBytesOf, name)
         case t => throw new java.io.IOException(
-          s"chunk index type $t (extensible array / v2 B-tree) unsupported for $name")
+          s"chunk index type $t (extensible array) unsupported for $name")
       }
       else {
         val acc = scala.collection.mutable.ArrayBuffer.empty[H5Chunk]

@@ -426,6 +426,36 @@ object Nc4Queries {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
       |FROM lineitem""".stripMargin
 
+  /** v2 B-TREE chunk index (r8 — layout-v4 index type 5, record
+    * types 10/11: what HDF5 ≥1.10 emits for chunked data with
+    * multiple unlimited dims): same roundtrip gate as the fixed-array
+    * key but through BTHD/BTLF chunk records — filtered type-11
+    * records carry (size, mask) ahead of the scaled offsets, and one
+    * wrong record framing byte scrambles every chunk address. */
+  def nc4Btree2Chunks: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5btree2")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
+      .repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("chunkindex", "btree2")
+      .option("chunkrecs", "2048")
+      .save(out)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_discount")).as("sum_disc"))
+  }
+
+  val nc4Btree2ChunksSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sum_disc
+      |FROM lineitem""".stripMargin
+
   /** The netCDF4 library's DEFAULT compression pipeline — shuffle
     * (filter id 2, byte transpose at element granularity) THEN
     * deflate — written and read back through the from-spec codec
@@ -829,6 +859,7 @@ object Nc4Queries {
     "nc4_compound" -> nc4Compound,
     "nc4_dense_groups" -> nc4DenseGroups,
     "nc4_fixed_array" -> nc4FixedArray,
+    "nc4_btree2_chunks" -> nc4Btree2Chunks,
     "nc4_read_prune" -> nc4ReadPrune,
     "nc4_attrs" -> nc4Attrs,
     "nc4_sorted_skip" -> nc4SortedSkip,
@@ -849,6 +880,7 @@ object Nc4Queries {
     "nc4_compound" -> nc4CompoundSql,
     "nc4_dense_groups" -> nc4DenseGroupsSql,
     "nc4_fixed_array" -> nc4FixedArraySql,
+    "nc4_btree2_chunks" -> nc4Btree2ChunksSql,
     "nc4_read_prune" -> nc4ReadPruneSql,
     "nc4_attrs" -> nc4AttrsSql,
     "nc4_sorted_skip" -> nc4SortedSkipSql,

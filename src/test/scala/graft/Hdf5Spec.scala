@@ -424,6 +424,22 @@ class Hdf5Spec extends AnyFunSuite {
     assert(win.agg(sum("k")).head().getLong(0) == (2500L until 3500L).sum)
   }
 
+  test("v2 B-tree chunk index (layout v4 type 5) roundtrips filtered and unfiltered") {
+    for ((deflate, tag) <- Seq((true, "f"), (false, "raw"))) {
+      val dir = s"/tmp/graft_h5/btree2_$tag"
+      val df = spark.range(5000).select(col("id").as("k"),
+        (col("id") * 3).cast(DoubleType).as("x"))
+      df.coalesce(1).write.format(SRC).mode("overwrite")
+        .option("h5ver", "2").option("chunkindex", "btree2")
+        .option("chunkrecs", "600").option("deflate", deflate.toString).save(dir)
+      val back = spark.read.format(SRC).load(dir)
+      assert(back.count() == 5000)
+      assert(back.agg(sum("k"), sum("x")).head() == df.agg(sum("k"), sum("x")).head())
+      val win = back.filter(col("record") >= 1200L && col("record") < 1300L)
+      assert(win.agg(sum("k")).head().getLong(0) == (1200L until 1300L).sum)
+    }
+  }
+
   test("writer rejects nulls and the reserved record column") {
     val dir = "/tmp/graft_h5/dsv2_reject"
     val withNull = spark.range(10)
