@@ -371,6 +371,7 @@ object Hdf5Format {
   private val MSG_ATTRIBUTE = 0x000C
   private val MSG_CONTINUATION = 0x0010
   private val MSG_SYMBOL_TABLE = 0x0011
+  private val MSG_ATTR_INFO = 0x0015
 
   // ---------------------------------------------------------------
   // writer
@@ -545,13 +546,16 @@ object Hdf5Format {
       fletcher: Boolean = false,
       vlenStrings: Boolean = false,
       denseRoot: Boolean = false,
-      chunkIndex: String = "btree1") {
+      chunkIndex: String = "btree1",
+      denseAttrs: Boolean = false) {
     require(h5ver == 0 || h5ver == 2, s"h5ver must be 0 or 2, got $h5ver")
     require(!denseRoot || h5ver == 2, "dense root groups require the 1.8+ layout (h5ver=2)")
     require(chunkIndex == "btree1" || chunkIndex == "fixedarray" || chunkIndex == "btree2",
       s"chunkIndex must be btree1, fixedarray, or btree2, got $chunkIndex")
     require(chunkIndex == "btree1" || h5ver == 2,
       "fixed-array chunk indexes require the 1.8+/1.10 layout (h5ver=2)")
+    require(!denseAttrs || h5ver == 2,
+      "dense attribute storage requires the 1.8+ layout (h5ver=2)")
 
     private def kindOf(f: StructField): H5Kind = f.dataType match {
       case LongType => KLong
@@ -598,7 +602,8 @@ object Hdf5Format {
     /** The dataset's message set — shared by the v1 and v2 header
       * framings; sizes are address-independent, so the same builder
       * serves the sizing pass (btreeAddr = 0) and the render pass. */
-    private def datasetMsgs(v: VarState, btreeAddr: Long): Seq[(Int, Array[Byte])] = {
+    private def datasetMsgs(v: VarState, btreeAddr: Long,
+        attrInfoAddr: Long = UNDEF): Seq[(Int, Array[Byte])] = {
       val dims: Seq[Long] = v.kind match {
         case KFloatArr(k) => Seq(v.numRecs, k)
         case KDoubleArr(k) => Seq(v.numRecs, k)
@@ -658,10 +663,24 @@ object Hdf5Format {
         lay.u32(v.kind.elemSize)
       }
       msgs += MSG_LAYOUT -> lay.result()
-      // automatic CF actual_range zone map for scalar numerics — what
-      // makes value filters prunable at file level on the read side.
-      // INT64 endpoints widen one ulp OUTWARD (a long need not
-      // roundtrip through double above 2^53; the r5 zone-map lesson)
+      if (denseAttrs && allAttrs(v).nonEmpty) {
+        // Attribute Info v0, no creation-order tracking: fractal heap
+        // + name-index v2 B-tree replace the inline attribute messages
+        val ai = new Buf
+        ai.u8(0).u8(0).u64(attrInfoAddr)
+        ai.u64(attrInfoAddr + 146 + denseAttrGeom(v)._1)
+        msgs += MSG_ATTR_INFO -> ai.result()
+      } else
+        allAttrs(v).foreach(a => msgs += MSG_ATTRIBUTE -> attributeBytes(a))
+      msgs.toSeq
+    }
+
+    /** Declared attributes + the automatic CF actual_range zone map
+      * for scalar numerics — what makes value filters prunable at
+      * file level on the read side. INT64 endpoints widen one ulp
+      * OUTWARD (a long need not roundtrip through double above 2^53;
+      * the r5 zone-map lesson). */
+    private def allAttrs(v: VarState): Seq[H5Attr] = {
       val autoRange: Seq[H5Attr] = v.kind match {
         case KLong if v.numRecs > 0 =>
           Seq(H5Attr("actual_range", None,
@@ -670,8 +689,73 @@ object Hdf5Format {
           Seq(H5Attr("actual_range", None, Array(v.vMin, v.vMax)))
         case _ => Nil
       }
-      (v.attrs ++ autoRange).foreach(a => msgs += MSG_ATTRIBUTE -> attributeBytes(a))
-      msgs.toSeq
+      v.attrs ++ autoRange
+    }
+
+    /** Dense-attribute segment geometry: (direct block size, total
+      * segment size) — address-free, so the sizing pass can lay out
+      * var regions before any address exists. */
+    private def denseAttrGeom(v: VarState): (Long, Long) = {
+      val bodiesLen = allAttrs(v).map(attributeBytes(_).length).sum
+      var bs = 512L
+      while (bs < 17 + bodiesLen) bs <<= 1
+      (bs, 146 + bs + 38 + (6 + allAttrs(v).size * 17 + 4))
+    }
+
+    /** Render one variable's dense-attribute segment at `selfAddr`:
+      * FRHP (8-byte padded heap ids, the dense-attr convention) + one
+      * direct block of serialized attribute messages + a type-8 v2
+      * B-tree (heap id, message flags, creation order, name hash). */
+    private def denseAttrSegment(v: VarState, selfAddr: Long): Array[Byte] = {
+      val bodies = allAttrs(v).map(a => a.name -> attributeBytes(a))
+      val (blockSize, segSize) = denseAttrGeom(v)
+      val fhdbAddr = selfAddr + 146
+      val btLeafAddr = fhdbAddr + blockSize + 38
+      val b = new Buf
+      val frhp = new Buf
+      frhp.bytes("FRHP".getBytes("ASCII")).u8(0)
+      frhp.u16(8).u16(0).u8(0) // 8-byte ids (1+4+2 encoded + 1 pad)
+      frhp.u32(4096)
+      frhp.u64(0L).u64(UNDEF)
+      frhp.u64(blockSize - 17 - bodies.map(_._2.length).sum).u64(UNDEF)
+      frhp.u64(blockSize).u64(blockSize)
+      frhp.u64(blockSize)
+      frhp.u64(bodies.size.toLong)
+      frhp.u64(0L).u64(0L).u64(0L).u64(0L)
+      frhp.u16(4).u64(blockSize).u64(math.max(64L << 10, blockSize))
+      frhp.u16(32).u16(1)
+      frhp.u64(fhdbAddr).u16(0)
+      val frhpBytes = frhp.result()
+      b.bytes(frhpBytes).u32(lookup3(frhpBytes))
+      require(b.size == 146, s"FRHP size ${b.size}")
+      val dbl = new Buf
+      dbl.bytes("FHDB".getBytes("ASCII")).u8(0).u64(selfAddr).u32(0)
+      bodies.foreach { case (_, body) => dbl.bytes(body) }
+      while (dbl.size < blockSize) dbl.u8(0)
+      b.bytes(dbl.result())
+      var off = 17L
+      val recs = bodies.zipWithIndex.map { case ((name, body), i) =>
+        val o = off
+        off += body.length
+        (lookup3(name.getBytes("UTF-8")), o, body.length, i)
+      }
+      val hd = new Buf
+      hd.bytes("BTHD".getBytes("ASCII")).u8(0).u8(8)
+      hd.u32(512).u16(17).u16(0).u8(100).u8(40)
+      hd.u64(btLeafAddr).u16(recs.size).u64(recs.size.toLong)
+      val hdBytes = hd.result()
+      b.bytes(hdBytes).u32(lookup3(hdBytes))
+      val lf = new Buf
+      lf.bytes("BTLF".getBytes("ASCII")).u8(0).u8(8)
+      recs.sortBy { case (h, _, _, _) => h.toLong & 0xffffffffL }.foreach {
+        case (h, o, l, i) =>
+          lf.u8(0).u32(o.toInt).u16(l).u8(0) // padded 8-byte managed id
+          lf.u8(0).u32(i).u32(h) // message flags, creation order, hash
+      }
+      val lfBytes = lf.result()
+      b.bytes(lfBytes).u32(lookup3(lfBytes))
+      require(b.size == segSize, s"dense attr segment ${b.size} != $segSize")
+      b.result()
     }
 
     private def datasetHeaderV1(v: VarState, btreeAddr: Long): Array[Byte] =
@@ -711,8 +795,9 @@ object Hdf5Format {
       out.result()
     }
 
-    private def datasetHeaderV2(v: VarState, btreeAddr: Long): Array[Byte] =
-      objectHeaderV2(datasetMsgs(v, btreeAddr))
+    private def datasetHeaderV2(v: VarState, btreeAddr: Long,
+        attrInfoAddr: Long = UNDEF): Array[Byte] =
+      objectHeaderV2(datasetMsgs(v, btreeAddr, attrInfoAddr))
 
     /** Chunk B-tree v1, single level-0 node (type 1): entries carry
       * (stored size, filter mask, logical offsets) keys and chunk
@@ -1139,11 +1224,14 @@ object Hdf5Format {
       }
 
       val varHdrAddrs = new Array[Long](vars.length)
+      val varAttrAddrs = new Array[Long](vars.length)
       val varBtreeAddrs = new Array[Long](vars.length)
       val varChunkAddrs = new Array[Seq[Long]](vars.length)
       vars.zipWithIndex.foreach { case (v, i) =>
         varHdrAddrs(i) = cursor
         cursor += datasetHeaderV2(v, 0L).length
+        varAttrAddrs(i) = cursor
+        if (denseAttrs && allAttrs(v).nonEmpty) cursor += denseAttrGeom(v)._2
         val addrs = v.stored.map { case (bytes, _) =>
           val a = cursor; cursor += bytes.length; a
         }.toSeq
@@ -1172,7 +1260,12 @@ object Hdf5Format {
         out.bytes(denseSeg(varHdrAddrs.toSeq, denseAddr))
       }
       vars.zipWithIndex.foreach { case (v, i) =>
-        out.bytes(datasetHeaderV2(v, varBtreeAddrs(i)))
+        out.bytes(datasetHeaderV2(v, varBtreeAddrs(i), varAttrAddrs(i)))
+        if (denseAttrs && allAttrs(v).nonEmpty) {
+          require(out.size == varAttrAddrs(i),
+            s"dense attr layout drift: ${out.size} != ${varAttrAddrs(i)}")
+          out.bytes(denseAttrSegment(v, varAttrAddrs(i)))
+        }
         v.stored.foreach { case (bytes, _) => out.bytes(bytes) }
         out.bytes(chunkIndexBytes(v, varChunkAddrs(i), varBtreeAddrs(i)))
       }
@@ -1451,46 +1544,43 @@ object Hdf5Format {
     * direct block or one level of indirect→direct blocks (the
     * doubling table), B-tree depth ≤ 1 — ample for any realistic
     * variable count; beyond that the reader names what it met. */
-  private def readDenseLinks(r: R, body: Array[Byte]): Seq[(String, Long)] = {
-    val li = new BB(body)
-    val liVer = li.u8()
-    require(liVer == 0, s"link info message v$liVer unsupported")
-    val liFlags = li.u8()
-    if ((liFlags & 1) != 0) li.skip(8) // max creation index
-    val fheapAddr = li.u64()
-    val nameBtAddr = li.u64()
-    if (fheapAddr == UNDEF || nameBtAddr == UNDEF) return Nil // empty dense group
-
-    // ---- fractal heap header (spec III.G)
-    val fh = new BB(r.bytesAt(fheapAddr, 146))
+  /** Fractal heap access (spec III.G): header parse + managed-object
+    * resolution, shared by dense links and dense attributes. Root is
+    * either one direct block (curRows == 0) or an indirect block whose
+    * rows follow the doubling table: rows 0,1 at startBlockSize, row
+    * i≥2 at startBlockSize << (i-1). Block offsets include block
+    * headers, so position = blockAddr + (objOff - blockOff),
+    * header-agnostic. */
+  private final class FractalHeap(r: R, fheapAddr: Long) {
+    private val fh = new BB(r.bytesAt(fheapAddr, 146))
     require(fh.u8() == 'F' && fh.u8() == 'R' && fh.u8() == 'H' && fh.u8() == 'P',
       s"bad fractal heap signature at $fheapAddr")
-    fh.skip(1) // version
-    val heapIdLen = fh.u16()
-    val ioFilterLen = fh.u16()
+    locally { fh.skip(1) } // version
+    val heapIdLen: Int = fh.u16()
+    private val ioFilterLen = fh.u16()
     require(ioFilterLen == 0, "filtered fractal heaps unsupported")
-    fh.skip(1) // flags (checksummed direct blocks do not move object offsets)
-    val maxManaged = fh.u32()
-    fh.skip(12 * 8) // huge/tiny/free-space bookkeeping
-    val tableWidth = fh.u16()
-    val startBlockSize = fh.u64()
-    val maxDirectSize = fh.u64()
-    val maxHeapBits = fh.u16()
-    fh.skip(2) // starting # rows
-    val rootBlockAddr = fh.u64()
-    val curRows = fh.u16()
-    val offSize = (maxHeapBits + 7) / 8
-    var lenSize = 1
-    while (lenSize < 8 && (1L << (8 * lenSize)) < maxManaged) lenSize += 1
-    require(1 + offSize + lenSize == heapIdLen,
-      s"heap id length $heapIdLen != 1+$offSize+$lenSize")
+    locally { fh.skip(1) } // flags (checksums do not move object offsets)
+    private val maxManaged = fh.u32()
+    locally { fh.skip(12 * 8) } // huge/tiny/free-space bookkeeping
+    private val tableWidth = fh.u16()
+    private val startBlockSize = fh.u64()
+    private val maxDirectSize = fh.u64()
+    private val maxHeapBits = fh.u16()
+    locally { fh.skip(2) } // starting # rows
+    private val rootBlockAddr = fh.u64()
+    private val curRows = fh.u16()
+    val offSize: Int = (maxHeapBits + 7) / 8
+    val lenSize: Int = {
+      var n = 1
+      while (n < 8 && (1L << (8 * n)) < maxManaged) n += 1
+      n
+    }
+    // ids may be padded past the encoded fields (dense-attribute heaps
+    // declare 8-byte ids over the same 1+offset+length encoding)
+    require(1 + offSize + lenSize <= heapIdLen,
+      s"heap id length $heapIdLen < 1+$offSize+$lenSize")
 
-    // managed heap space → file position. Root is either one direct
-    // block (curRows == 0) or an indirect block whose rows follow the
-    // doubling table: rows 0,1 at startBlockSize, row i≥2 at
-    // startBlockSize << (i-1). Block offsets include block headers,
-    // so position = blockAddr + (objOff - blockOff), header-agnostic.
-    def filePos(objOff: Long): Long =
+    private def filePos(objOff: Long): Long =
       if (curRows == 0) rootBlockAddr + objOff
       else {
         val ib = new BB(r.bytesAt(rootBlockAddr, 13 + offSize + curRows * tableWidth * 8))
@@ -1516,13 +1606,29 @@ object Hdf5Format {
         throw new java.io.IOException(s"heap offset $objOff beyond mapped direct blocks")
       }
 
-    // ---- v2 B-tree, record type 5 (link name): hash(4) + heap id
-    val bt = new BB(r.bytesAt(nameBtAddr, 38))
+    /** Resolve a managed heap ID (as laid out in B-tree v2 records)
+      * read from `b` to the object's bytes. */
+    def objectAt(b: BB): Array[Byte] = {
+      val idFlags = b.u8()
+      require((idFlags & 0x30) == 0, s"non-managed heap id (flags $idFlags) unsupported")
+      var objOff = 0L
+      (0 until offSize).foreach(i => objOff |= (b.u8().toLong << (8 * i)))
+      var objLen = 0L
+      (0 until lenSize).foreach(i => objLen |= (b.u8().toLong << (8 * i)))
+      b.skip(heapIdLen - 1 - offSize - lenSize) // id padding, if any
+      r.bytesAt(filePos(objOff), objLen.toInt)
+    }
+  }
+
+  /** A depth-0 v2 B-tree's leaf records, raw: (recordSize, count,
+    * BB positioned at the first record). */
+  private def btree2Leaf(r: R, addr: Long, expectType: Int): (Int, Int, BB) = {
+    val bt = new BB(r.bytesAt(addr, 38))
     require(bt.u8() == 'B' && bt.u8() == 'T' && bt.u8() == 'H' && bt.u8() == 'D',
-      s"bad v2 B-tree signature at $nameBtAddr")
+      s"bad v2 B-tree signature at $addr")
     bt.skip(1) // version
     val btType = bt.u8()
-    require(btType == 5, s"expected link-name B-tree (type 5), got $btType")
+    require(btType == expectType, s"expected B-tree record type $expectType, got $btType")
     bt.skip(4) // node size
     val recSize = bt.u16()
     val depth = bt.u16()
@@ -1530,21 +1636,56 @@ object Hdf5Format {
     val btRootAddr = bt.u64()
     val rootNRecs = bt.u16()
     require(depth == 0, s"v2 B-tree depth $depth unsupported (leaf-root only)")
-    require(recSize == 4 + heapIdLen, s"type-5 record size $recSize != ${4 + heapIdLen}")
-
     val leaf = new BB(r.bytesAt(btRootAddr, 6 + rootNRecs * recSize))
     require(leaf.u8() == 'B' && leaf.u8() == 'T' && leaf.u8() == 'L' && leaf.u8() == 'F',
       s"bad v2 B-tree leaf signature at $btRootAddr")
     leaf.skip(2) // version, type
-    (0 until rootNRecs).flatMap { _ =>
+    (recSize, rootNRecs, leaf)
+  }
+
+  private def readDenseLinks(r: R, body: Array[Byte]): Seq[(String, Long)] = {
+    val li = new BB(body)
+    val liVer = li.u8()
+    require(liVer == 0, s"link info message v$liVer unsupported")
+    val liFlags = li.u8()
+    if ((liFlags & 1) != 0) li.skip(8) // max creation index
+    val fheapAddr = li.u64()
+    val nameBtAddr = li.u64()
+    if (fheapAddr == UNDEF || nameBtAddr == UNDEF) return Nil // empty dense group
+    val heap = new FractalHeap(r, fheapAddr)
+    // record type 5 (link name): hash(4) + heap id
+    val (recSize, n, leaf) = btree2Leaf(r, nameBtAddr, 5)
+    require(recSize == 4 + heap.heapIdLen,
+      s"type-5 record size $recSize != ${4 + heap.heapIdLen}")
+    (0 until n).flatMap { _ =>
       leaf.skip(4) // name hash
-      val idFlags = leaf.u8()
-      require((idFlags & 0x30) == 0, s"non-managed heap id (flags $idFlags) unsupported")
-      var objOff = 0L
-      (0 until offSize).foreach(i => objOff |= (leaf.u8().toLong << (8 * i)))
-      var objLen = 0L
-      (0 until lenSize).foreach(i => objLen |= (leaf.u8().toLong << (8 * i)))
-      parseLinkBody(r.bytesAt(filePos(objOff), objLen.toInt))
+      parseLinkBody(heap.objectAt(leaf))
+    }
+  }
+
+  /** DENSE attributes (Attribute Info message 0x0015 — where HDF5
+    * ≥1.8 objects park attributes past the compact threshold, so
+    * heavily-annotated wild files lose metadata without it): same
+    * fractal-heap + v2 B-tree machinery as dense links, record type 8
+    * (heap id + message flags + creation order + name hash), heap
+    * objects = serialized attribute messages. */
+  private def readDenseAttrs(r: R, body: Array[Byte]): Seq[H5Attr] = {
+    val ai = new BB(body)
+    val aiVer = ai.u8()
+    require(aiVer == 0, s"attribute info message v$aiVer unsupported")
+    val aiFlags = ai.u8()
+    if ((aiFlags & 1) != 0) ai.skip(2) // max creation index
+    val fheapAddr = ai.u64()
+    val nameBtAddr = ai.u64()
+    if (fheapAddr == UNDEF || nameBtAddr == UNDEF) return Nil
+    val heap = new FractalHeap(r, fheapAddr)
+    val (recSize, n, leaf) = btree2Leaf(r, nameBtAddr, 8)
+    require(recSize == heap.heapIdLen + 1 + 4 + 4,
+      s"type-8 record size $recSize != ${heap.heapIdLen + 9}")
+    (0 until n).flatMap { _ =>
+      val bytes = heap.objectAt(leaf)
+      leaf.skip(1 + 4 + 4) // message flags, creation order, name hash
+      readAttr(bytes)
     }
   }
 
@@ -1795,6 +1936,7 @@ object Hdf5Format {
             throw new java.io.IOException(s"unsupported HDF5 filter id $id")
         }
       case (MSG_ATTRIBUTE, body) => readAttr(body).foreach(attrs += _)
+      case (MSG_ATTR_INFO, body) => attrs ++= readDenseAttrs(r, body)
       case _ =>
     }
     if (dims.isEmpty || kindCls < 0) return None
@@ -1909,7 +2051,9 @@ object Hdf5Format {
       }
       val rootMsgs = readMessages(r, rootHdrAddr)
       val rootAttrs = rootMsgs.collect { case (MSG_ATTRIBUTE, body) => body }
-        .flatMap(readAttr)
+        .flatMap(readAttr) ++
+        rootMsgs.collect { case (MSG_ATTR_INFO, body) => body }
+          .flatMap(readDenseAttrs(r, _))
       // recursive group walk: a link whose header carries no dataspace
       // is a (sub)group — its datasets surface under "group/name" path
       // names, the same flat-path presentation the classic source uses

@@ -21,7 +21,7 @@ object Hdf5IO {
       varAttrs: Map[String, Seq[Hdf5Format.H5Attr]] = Map.empty,
       shuffle: Boolean = false, fletcher: Boolean = false,
       vlenStrings: Boolean = false, denseRoot: Boolean = false,
-      chunkIndex: String = "btree1"): Unit = {
+      chunkIndex: String = "btree1", denseAttrs: Boolean = false): Unit = {
     val schema = df.schema
     require(!schema.fieldNames.contains("record"),
       "column name `record` is reserved for the netcdf4 record index")
@@ -72,7 +72,7 @@ object Hdf5IO {
       val w = new Hdf5Format.Hdf5Writer(schema, chunkRecs, deflate,
         stringWidth, arrayLens, h5ver, varAttrs = varAttrs, shuffle = shuffle,
         fletcher = fletcher, vlenStrings = vlenStrings, denseRoot = denseRoot,
-        chunkIndex = chunkIndex)
+        chunkIndex = chunkIndex, denseAttrs = denseAttrs)
       rows.foreach { r =>
         var i = 0
         while (i < schema.size) {
@@ -455,6 +455,37 @@ object Nc4Queries {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sum_disc
       |FROM lineitem""".stripMargin
+
+  /** DENSE attributes (r8 — Attribute Info message 0x0015: where
+    * HDF5 ≥1.8 objects park attributes past the compact threshold, so
+    * heavily-annotated wild files silently lose metadata without it):
+    * one variable carries 11 attributes through the dense path —
+    * fractal heap of serialized attribute messages + type-8 v2 B-tree
+    * name index, written by this repo's own dense-attr writer — and
+    * the metadata surface (readAttrs) must reproduce the exact
+    * attribute table including the automatic zone-map range. */
+  def nc4DenseAttrs: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5denseattrs")
+    Hdf5IO.write(
+      t(s, dir, "lineitem").select(col("l_quantity")).repartition(1),
+      out, h5ver = 2, denseAttrs = true,
+      varAttrs = Map("l_quantity" ->
+        ((0 until 10).map(i => Hdf5Format.H5Attr(s"a$i", None, Array(i * 1.5))) :+
+          Hdf5Format.H5Attr("units", Some("count"), Array.empty))))
+    Hdf5IO.readAttrs(s, out)
+  }
+
+  val nc4DenseAttrsSql: String = {
+    val named = (0 until 10).map(i =>
+      s"UNION ALL SELECT 'l_quantity', 'a$i', 0, NULL, ${i * 1.5}").mkString("\n  ")
+    s"""SELECT * FROM (
+       |  SELECT 'GLOBAL' AS var_name, '_NCProperties' AS attr_name, CAST(0 AS BIGINT) AS idx,
+       |    'version=2,netcdf=4.9.2,hdf5=1.12.2' AS sval, CAST(NULL AS DOUBLE) AS dval
+       |  UNION ALL SELECT 'l_quantity', 'units', 0, 'count', NULL
+       |  $named
+       |  UNION ALL SELECT 'l_quantity', 'actual_range', 0, NULL, MIN(l_quantity) FROM lineitem
+       |  UNION ALL SELECT 'l_quantity', 'actual_range', 1, NULL, MAX(l_quantity) FROM lineitem)""".stripMargin
+  }
 
   /** The netCDF4 library's DEFAULT compression pipeline — shuffle
     * (filter id 2, byte transpose at element granularity) THEN
@@ -860,6 +891,7 @@ object Nc4Queries {
     "nc4_dense_groups" -> nc4DenseGroups,
     "nc4_fixed_array" -> nc4FixedArray,
     "nc4_btree2_chunks" -> nc4Btree2Chunks,
+    "nc4_dense_attrs" -> nc4DenseAttrs,
     "nc4_read_prune" -> nc4ReadPrune,
     "nc4_attrs" -> nc4Attrs,
     "nc4_sorted_skip" -> nc4SortedSkip,
@@ -881,6 +913,7 @@ object Nc4Queries {
     "nc4_dense_groups" -> nc4DenseGroupsSql,
     "nc4_fixed_array" -> nc4FixedArraySql,
     "nc4_btree2_chunks" -> nc4Btree2ChunksSql,
+    "nc4_dense_attrs" -> nc4DenseAttrsSql,
     "nc4_read_prune" -> nc4ReadPruneSql,
     "nc4_attrs" -> nc4AttrsSql,
     "nc4_sorted_skip" -> nc4SortedSkipSql,
