@@ -550,8 +550,10 @@ object Hdf5Format {
       denseAttrs: Boolean = false) {
     require(h5ver == 0 || h5ver == 2, s"h5ver must be 0 or 2, got $h5ver")
     require(!denseRoot || h5ver == 2, "dense root groups require the 1.8+ layout (h5ver=2)")
-    require(chunkIndex == "btree1" || chunkIndex == "fixedarray" || chunkIndex == "btree2",
-      s"chunkIndex must be btree1, fixedarray, or btree2, got $chunkIndex")
+    require(Seq("btree1", "fixedarray", "btree2", "single", "implicit").contains(chunkIndex),
+      s"chunkIndex must be btree1, fixedarray, btree2, single, or implicit; got $chunkIndex")
+    require(chunkIndex != "implicit" || (!deflate && !shuffle && !fletcher),
+      "implicit chunk indexes admit no filter pipeline (HDF5 contract)")
     require(chunkIndex == "btree1" || h5ver == 2,
       "fixed-array chunk indexes require the 1.8+/1.10 layout (h5ver=2)")
     require(!denseAttrs || h5ver == 2,
@@ -656,6 +658,27 @@ object Hdf5Format {
         lay.u8(4).u8(2).u8(0).u8(chunkDims.size).u8(4)
         chunkDims.foreach(lay.u32)
         lay.u8(5).u32(2048).u8(100).u8(40)
+        lay.u64(btreeAddr)
+      } else if (chunkIndex == "single") {
+        // index type 1 = single chunk: the address IS the chunk; the
+        // filtered variant carries (stored size, filter mask) inline
+        require(v.stored.size <= 1,
+          s"single-chunk index needs chunkRecs >= numRecs for ${v.name}")
+        val filtered = v.deflate || v.shuffle || v.fletcher
+        lay.u8(4).u8(2).u8(if (filtered) 2 else 0).u8(chunkDims.size).u8(4)
+        chunkDims.foreach(lay.u32)
+        lay.u8(1)
+        if (filtered) {
+          lay.u64(v.stored.headOption.map(_._1.length.toLong).getOrElse(0L))
+          lay.u32(v.stored.headOption.map(_._2).getOrElse(0))
+        }
+        lay.u64(btreeAddr)
+      } else if (chunkIndex == "implicit") {
+        // index type 2 = implicit: an unfiltered contiguous chunk run
+        // starting at the address — no index structure at all
+        lay.u8(4).u8(2).u8(0).u8(chunkDims.size).u8(4)
+        chunkDims.foreach(lay.u32)
+        lay.u8(2)
         lay.u64(btreeAddr)
       } else {
         lay.u8(3).u8(2).u8(dims.size + 1).u64(btreeAddr) // layout v3, chunked
@@ -897,8 +920,16 @@ object Hdf5Format {
       chunkIndex match {
         case "fixedarray" => fixedArrayIndex(v, addrs, selfAddr)
         case "btree2" => btree2Index(v, addrs, selfAddr)
+        case "single" | "implicit" => Array.emptyByteArray // address points at the data
         case _ => chunkBtree(v, addrs)
       }
+
+    /** The address the layout message carries: an index structure for
+      * indexed types, the first chunk itself for single/implicit. */
+    private def layoutAddr(chunkAddrs: Seq[Long], indexAddr: Long): Long =
+      if (chunkIndex == "single" || chunkIndex == "implicit")
+        chunkAddrs.headOption.getOrElse(UNDEF)
+      else indexAddr
 
     /** Assemble and return the complete file. */
     def finish(): Array[Byte] = {
@@ -1117,7 +1148,7 @@ object Hdf5Format {
       }
       // datasets
       vars.zipWithIndex.foreach { case (v, i) =>
-        out.bytes(datasetHeaderV1(v, varBtreeAddrs(i)))
+        out.bytes(datasetHeaderV1(v, layoutAddr(varChunkAddrs(i), varBtreeAddrs(i))))
         v.stored.foreach { case (bytes, _) => out.bytes(bytes) }
         out.bytes(chunkIndexBytes(v, varChunkAddrs(i), varBtreeAddrs(i)))
       }
@@ -1260,7 +1291,7 @@ object Hdf5Format {
         out.bytes(denseSeg(varHdrAddrs.toSeq, denseAddr))
       }
       vars.zipWithIndex.foreach { case (v, i) =>
-        out.bytes(datasetHeaderV2(v, varBtreeAddrs(i), varAttrAddrs(i)))
+        out.bytes(datasetHeaderV2(v, layoutAddr(varChunkAddrs(i), varBtreeAddrs(i)), varAttrAddrs(i)))
         if (denseAttrs && allAttrs(v).nonEmpty) {
           require(out.size == varAttrAddrs(i),
             s"dense attr layout drift: ${out.size} != ${varAttrAddrs(i)}")

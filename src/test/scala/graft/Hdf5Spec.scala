@@ -440,6 +440,35 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
+  test("single-chunk and implicit chunk indexes (layout v4 types 1/2) roundtrip") {
+    // single chunk, filtered: the layout message carries size + mask
+    val d1 = "/tmp/graft_h5/single"
+    val df = spark.range(3000).select(col("id").as("k"),
+      (col("id") * 1.5).as("x"))
+    df.coalesce(1).write.format(SRC).mode("overwrite")
+      .option("h5ver", "2").option("chunkindex", "single")
+      .option("chunkrecs", "4096").option("shuffle", "true").save(d1)
+    val b1 = spark.read.format(SRC).load(d1)
+    assert(b1.count() == 3000)
+    assert(b1.agg(sum("k"), sum("x")).head() == df.agg(sum("k"), sum("x")).head())
+    // implicit: unfiltered contiguous chunk run, no index structure
+    val d2 = "/tmp/graft_h5/implicit"
+    df.coalesce(1).write.format(SRC).mode("overwrite")
+      .option("h5ver", "2").option("chunkindex", "implicit")
+      .option("chunkrecs", "500").option("deflate", "false").save(d2)
+    val b2 = spark.read.format(SRC).load(d2)
+    assert(b2.count() == 3000)
+    assert(b2.agg(sum("k"), sum("x")).head() == df.agg(sum("k"), sum("x")).head())
+    val win = b2.filter(col("record") >= 700L && col("record") < 800L)
+    assert(win.agg(sum("k")).head().getLong(0) == (700L until 800L).sum)
+    // the implicit + filter combination is rejected at the writer
+    val e = intercept[Exception] {
+      df.coalesce(1).write.format(SRC).mode("overwrite")
+        .option("h5ver", "2").option("chunkindex", "implicit").save("/tmp/graft_h5/implbad")
+    }
+    assert(e.getMessage != null)
+  }
+
   test("writer rejects nulls and the reserved record column") {
     val dir = "/tmp/graft_h5/dsv2_reject"
     val withNull = spark.range(10)
