@@ -41,7 +41,11 @@ import org.apache.spark.sql.types._
   * width; default false), `arrayLens`
   * (`col=len,...` for array columns; omitted lengths infer from each
   * task's first row), `partPrefix` (distinguishes independent append
-  * jobs — same-name parts replace by design).
+  * jobs — same-name parts replace by design), `densegroups` (dense
+  * root-group link storage: fractal heap + v2 B-tree, h5ver=2),
+  * `denseattrs` (dense per-variable attribute storage, h5ver=2),
+  * `chunkindex` (`btree1` | `fixedarray` | `btree2` | `single` |
+  * `implicit` — the on-disk chunk index generation).
   */
 class Nc4WriteBuilder(schema: StructType, dir: String, options: Map[String, String])
     extends WriteBuilder with SupportsTruncate {
@@ -128,6 +132,7 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
   private val vlenStrings = options.get("vlenstrings").exists(_.toBoolean)
   private val denseGroups = options.get("densegroups").exists(_.toBoolean)
   private val chunkIndex = options.getOrElse("chunkindex", "btree1")
+  private val denseAttrs = options.get("denseattrs").exists(_.toBoolean)
   private val declaredLens = NcWriteConf.arrayLens(options)
 
   private val getters: Array[InternalRow => Any] =
@@ -179,7 +184,7 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
       w = new Hdf5Format.Hdf5Writer(schema, chunkRecs, deflate, stringWidth,
         lens, h5ver, shuffle = shuffle, fletcher = fletcher,
         vlenStrings = vlenStrings, denseRoot = denseGroups,
-        chunkIndex = chunkIndex)
+        chunkIndex = chunkIndex, denseAttrs = denseAttrs)
     }
     var i = 0
     while (i < schema.size) {
