@@ -101,8 +101,59 @@ object Hdf5Format {
 
   /** One stored chunk: logical start record, file offset, stored
     * (possibly compressed) byte count, filter mask (bit 0 set = the
-    * deflate filter was SKIPPED for this chunk). */
-  case class H5Chunk(startRec: Long, addr: Long, storedSize: Int, filterMask: Int)
+    * deflate filter was SKIPPED for this chunk), and — for rank-2
+    * variables chunked along BOTH dims (the netCDF4 library's default
+    * layout) — the tile's first column. Full-width chunks have
+    * startCol 0. */
+  case class H5Chunk(startRec: Long, addr: Long, storedSize: Int, filterMask: Int,
+      startCol: Int = 0)
+
+  /** Extensible-array geometry (HDF5 spec III.J — the ≥1.10 chunk
+    * index for ONE unlimited dimension, i.e. exactly the shape of a
+    * record-streamed variable): superblock s holds 2^(s/2) data
+    * blocks of minElmts·2^((s+1)/2) elements each (so superblock s
+    * covers minElmts·2^s elements); the index block stores the first
+    * idxElmts elements inline, directly addresses the data blocks of
+    * the first 2·log2(minPtrs) superblocks (2·(minPtrs−1) blocks),
+    * and holds secondary-block pointers for the rest. Shared by the
+    * reader and writer so one addressing law serves both. */
+  private[netcdf] final case class EaGeom(
+      maxBits: Int, idxElmts: Int, minPtrs: Int, minElmts: Int, pageBits: Int) {
+    require(Integer.bitCount(minElmts) == 1 && Integer.bitCount(minPtrs) == 1,
+      s"extensible-array minElmts/minPtrs must be powers of two ($minElmts, $minPtrs)")
+    val nSblks: Int = 2 * (maxBits - Integer.numberOfTrailingZeros(minElmts))
+    /** first superblock whose data blocks live behind a secondary block */
+    val firstSblk: Int = 2 * Integer.numberOfTrailingZeros(minPtrs)
+    val nDblkAddrs: Int = 2 * (minPtrs - 1)
+    val nSblkAddrs: Int = nSblks - firstSblk
+    /** Int accessors serve only superblocks within the unpaged bound
+      * (dblkNelmts ≤ 2^pageBits); span arithmetic over the FULL
+      * superblock range must use the Long forms — the Int shift
+      * overflows from s ≈ 53 (minElmts·2^27), and round 8 learned the
+      * hard way that a wrapped span can turn a 300-chunk index into a
+      * 2 GB render. */
+    def ndblks(s: Int): Int = 1 << (s / 2)
+    def dblkNelmts(s: Int): Int = minElmts << ((s + 1) / 2)
+    def ndblksL(s: Int): Long = 1L << (s / 2)
+    def dblkNelmtsL(s: Int): Long = minElmts.toLong << ((s + 1) / 2)
+    /** block offsets are stored in ceil(maxBits/8) bytes */
+    val arrOffSize: Int = (maxBits + 7) / 8
+    def iblkSize(elemSize: Int): Int =
+      6 + 8 + idxElmts * elemSize + (nDblkAddrs + nSblkAddrs) * 8 + 4
+    def dblkSize(s: Int, elemSize: Int): Int =
+      6 + 8 + arrOffSize + dblkNelmts(s) * elemSize + 4
+    def sblkSize(s: Int): Int = 6 + 8 + arrOffSize + ndblks(s) * 8 + 4
+    /** element capacity before the first PAGED data block (the subset
+      * bound — paged blocks are rejected loudly on both sides) */
+    def unpagedCapacity: Long = {
+      var cap = idxElmts.toLong
+      var s = 0
+      while (s < nSblks && dblkNelmts(s) <= (1 << pageBits)) {
+        cap += ndblks(s).toLong * dblkNelmts(s); s += 1
+      }
+      cap
+    }
+  }
 
   case class H5Var(
       name: String,
@@ -120,7 +171,11 @@ object Hdf5Format {
       /** fletcher32 checksum filter (id 3) — netCDF4's
         * `fletcher32=True`, set FIRST in the pipeline (checksum covers
         * the raw chunk; the 4-byte word rides through shuffle/deflate) */
-      fletcher: Boolean = false) {
+      fletcher: Boolean = false,
+      /** rank-2 tile width when the variable is chunked along BOTH
+        * dims (netCDF4's default layout chunks every dim); 0 = chunks
+        * span the full second dimension */
+      chunkCols: Int = 0) {
     def chunkBytes: Int = (kind.rowBytes * chunkRecs).toInt
     /** CF `actual_range` zone map, when the writer recorded one. */
     def range: Option[(Double, Double)] =
@@ -382,7 +437,20 @@ object Hdf5Format {
     * state is one raw chunk + the compressed chunk list. */
   private final class VarState(val name: String, val kind: H5Kind,
       val chunkRecs: Int, val deflate: Boolean, val attrs: Seq[H5Attr],
-      val shuffle: Boolean = false, val fletcher: Boolean = false) {
+      val shuffle: Boolean = false, val fletcher: Boolean = false,
+      val chunkCols: Int = 0) {
+    /** second-dim width for rank-2 kinds (0 for scalars) */
+    val width: Int = kind match {
+      case KFloatArr(k) => k
+      case KDoubleArr(k) => k
+      case KLongArr(k) => k
+      case _ => 0
+    }
+    /** partial-width tiling is in effect (netCDF4's default rank-2
+      * layout: chunks along BOTH dims) */
+    val tiled: Boolean = width > 0 && chunkCols > 0 && chunkCols < width
+    /** column tiles per row block */
+    val nColBlocks: Int = if (tiled) (width + chunkCols - 1) / chunkCols else 1
     val raw = new Array[Byte]((kind.rowBytes * chunkRecs).toInt)
     val bb: ByteBuffer = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     var inChunk = 0
@@ -400,22 +468,20 @@ object Hdf5Format {
       if (d > vMax) vMax = d
     }
 
-    def flushChunk(): Unit = if (inChunk > 0) {
-      // edge chunks are stored FULL-SIZE (zero-padded) — the HDF5
-      // chunked-storage contract; logical dims bound what readers use
-      java.util.Arrays.fill(raw, (kind.rowBytes * inChunk).toInt, raw.length, 0.toByte)
-      // pipeline order on write (netCDF4's call order): fletcher32,
-      // then shuffle, then deflate; the filter mask's bit i refers to
-      // pipeline position i, so the deflate skip-bit shifts right for
-      // each filter ahead of it
-      var pre: Array[Byte] = raw
+    /** Run one raw chunk through the write pipeline (netCDF4's call
+      * order: fletcher32, then shuffle, then deflate; the filter
+      * mask's bit i refers to pipeline position i, so the deflate
+      * skip-bit shifts right for each filter ahead of it) and append
+      * the stored form. `mustClone` marks `pre` as a shared buffer. */
+    private def encodeChunk(preIn: Array[Byte], mustClone: Boolean): Unit = {
+      var pre: Array[Byte] = preIn
       if (fletcher) {
-        val withCk = java.util.Arrays.copyOf(raw, raw.length + 4)
-        val ck = fletcher32(raw, raw.length)
-        withCk(raw.length) = (ck & 0xff).toByte
-        withCk(raw.length + 1) = ((ck >>> 8) & 0xff).toByte
-        withCk(raw.length + 2) = ((ck >>> 16) & 0xff).toByte
-        withCk(raw.length + 3) = ((ck >>> 24) & 0xff).toByte
+        val withCk = java.util.Arrays.copyOf(preIn, preIn.length + 4)
+        val ck = fletcher32(preIn, preIn.length)
+        withCk(preIn.length) = (ck & 0xff).toByte
+        withCk(preIn.length + 1) = ((ck >>> 8) & 0xff).toByte
+        withCk(preIn.length + 2) = ((ck >>> 16) & 0xff).toByte
+        withCk(preIn.length + 3) = ((ck >>> 24) & 0xff).toByte
         pre = withCk
       }
       if (shuffle) pre = shuffleBytes(pre, kind.elemSize)
@@ -423,7 +489,7 @@ object Hdf5Format {
       if (deflate) {
         val d = new Deflater(6)
         d.setInput(pre); d.finish()
-        val out = new ByteArrayOutputStream(raw.length / 2)
+        val out = new ByteArrayOutputStream(preIn.length / 2)
         val tmp = new Array[Byte](8192)
         while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
         d.end()
@@ -434,8 +500,36 @@ object Hdf5Format {
         // shuffle/fletcher stay applied (they never grow bytes beyond
         // the fixed 4-byte checksum)
         if (comp.length < pre.length) stored += ((comp, 0))
-        else stored += ((if (pre eq raw) raw.clone() else pre, deflateSkipBit))
-      } else stored += ((if (pre eq raw) raw.clone() else pre, 0))
+        else stored += ((if ((pre eq preIn) && mustClone) pre.clone() else pre, deflateSkipBit))
+      } else stored += ((if ((pre eq preIn) && mustClone) pre.clone() else pre, 0))
+    }
+
+    def flushChunk(): Unit = if (inChunk > 0) {
+      // edge chunks are stored FULL-SIZE (zero-padded) — the HDF5
+      // chunked-storage contract; logical dims bound what readers use
+      java.util.Arrays.fill(raw, (kind.rowBytes * inChunk).toInt, raw.length, 0.toByte)
+      if (tiled) {
+        // partial-width rank-2 layout: the full-width row block splits
+        // into [chunkRecs × chunkCols] column tiles (edge tiles
+        // zero-padded to full width per the chunked-storage contract),
+        // appended in row-major (row block, then column) order — the
+        // same order every chunk index linearizes scaled offsets in
+        val esz = kind.elemSize
+        val rowB = (width * esz).toInt
+        val tileRowB = chunkCols * esz
+        var j = 0
+        while (j < nColBlocks) {
+          val tile = new Array[Byte](chunkRecs * tileRowB)
+          val wB = math.min(chunkCols, width - j * chunkCols) * esz
+          var r = 0
+          while (r < inChunk) {
+            System.arraycopy(raw, r * rowB + j * tileRowB, tile, r * tileRowB, wB)
+            r += 1
+          }
+          encodeChunk(tile, mustClone = false)
+          j += 1
+        }
+      } else encodeChunk(raw, mustClone = true)
       inChunk = 0
       bb.position(0)
     }
@@ -547,11 +641,24 @@ object Hdf5Format {
       vlenStrings: Boolean = false,
       denseRoot: Boolean = false,
       chunkIndex: String = "btree1",
-      denseAttrs: Boolean = false) {
+      denseAttrs: Boolean = false,
+      chunkCols: Int = 0,
+      layout: String = "chunked") {
     require(h5ver == 0 || h5ver == 2, s"h5ver must be 0 or 2, got $h5ver")
+    require(chunkCols >= 0, s"chunkCols must be >= 0, got $chunkCols")
+    require(chunkCols == 0 || chunkIndex != "single",
+      "partial-width tiling produces several chunks per row block — single-chunk index excluded")
+    require(layout == "chunked" || layout == "contiguous",
+      s"layout must be chunked or contiguous, got $layout")
+    /** contiguous (class 1) data layout — what the netCDF4 library
+      * emits for small and coordinate variables; the HDF5 contract
+      * admits no filter pipeline outside chunked storage */
+    private val contiguousLayout = layout == "contiguous"
+    require(!contiguousLayout || (!deflate && !shuffle && !fletcher && !vlenStrings && chunkCols == 0),
+      "contiguous layout admits no filters, vlen strings, or tiling (HDF5 contract)")
     require(!denseRoot || h5ver == 2, "dense root groups require the 1.8+ layout (h5ver=2)")
-    require(Seq("btree1", "fixedarray", "btree2", "single", "implicit").contains(chunkIndex),
-      s"chunkIndex must be btree1, fixedarray, btree2, single, or implicit; got $chunkIndex")
+    require(Seq("btree1", "fixedarray", "btree2", "single", "implicit", "extarray").contains(chunkIndex),
+      s"chunkIndex must be btree1, fixedarray, btree2, single, implicit, or extarray; got $chunkIndex")
     require(chunkIndex != "implicit" || (!deflate && !shuffle && !fletcher),
       "implicit chunk indexes admit no filter pipeline (HDF5 contract)")
     require(chunkIndex == "btree1" || h5ver == 2,
@@ -594,7 +701,7 @@ object Hdf5Format {
 
     private val vars: Array[VarState] = schema.fields.map(f =>
       new VarState(f.name, kindOf(f), chunkRecs, deflate,
-        varAttrs.getOrElse(f.name, Nil), shuffle, fletcher))
+        varAttrs.getOrElse(f.name, Nil), shuffle, fletcher, chunkCols))
 
     def writeRow(get: Int => Any): Unit = {
       var i = 0
@@ -641,12 +748,17 @@ object Hdf5Format {
       }
       val lay = new Buf
       val chunkDims: Seq[Int] = v.kind match {
-        case KFloatArr(k) => Seq(v.chunkRecs, k)
-        case KDoubleArr(k) => Seq(v.chunkRecs, k)
-        case KLongArr(k) => Seq(v.chunkRecs, k)
+        case KFloatArr(k) => Seq(v.chunkRecs, if (v.tiled) v.chunkCols else k)
+        case KDoubleArr(k) => Seq(v.chunkRecs, if (v.tiled) v.chunkCols else k)
+        case KLongArr(k) => Seq(v.chunkRecs, if (v.tiled) v.chunkCols else k)
         case _ => Seq(v.chunkRecs)
       }
-      if (chunkIndex == "fixedarray") {
+      if (contiguousLayout) {
+        // layout v3 class 1: data address + logical byte count (the
+        // on-disk run may carry the final row block's zero padding
+        // beyond the logical size — readers bound by the dataspace)
+        lay.u8(3).u8(1).u64(btreeAddr).u64(v.numRecs * v.kind.rowBytes)
+      } else if (chunkIndex == "fixedarray") {
         // layout v4 (HDF5 ≥1.10): chunk dims EXCLUDE the element dim;
         // index type 3 = fixed array + its page-bits creation param
         lay.u8(4).u8(2).u8(0).u8(chunkDims.size).u8(4)
@@ -679,6 +791,16 @@ object Hdf5Format {
         lay.u8(4).u8(2).u8(0).u8(chunkDims.size).u8(4)
         chunkDims.foreach(lay.u32)
         lay.u8(2)
+        lay.u64(btreeAddr)
+      } else if (chunkIndex == "extarray") {
+        // index type 4 = extensible array + its five creation params
+        // (max bits, index elements, min pointers, min elements, page
+        // bits) — the index the library emits for ONE unlimited dim
+        lay.u8(4).u8(2).u8(0).u8(chunkDims.size).u8(4)
+        chunkDims.foreach(lay.u32)
+        lay.u8(4)
+        lay.u8(EA_MAX_BITS).u8(EA_IDX_ELMTS).u8(EA_MIN_PTRS)
+        lay.u8(EA_MIN_ELMTS).u8(EA_PAGE_BITS)
         lay.u64(btreeAddr)
       } else {
         lay.u8(3).u8(2).u8(dims.size + 1).u64(btreeAddr) // layout v3, chunked
@@ -836,8 +958,9 @@ object Hdf5Format {
       b.u64(UNDEF).u64(UNDEF)
       def key(idx: Int, size: Int, mask: Int): Unit = {
         b.u32(size).u32(mask)
-        b.u64(idx.toLong * v.chunkRecs)
-        if (rank == 2) b.u64(0)
+        // row-major tile order: chunk idx → (row block, column tile)
+        b.u64((idx.toLong / v.nColBlocks) * v.chunkRecs)
+        if (rank == 2) b.u64(if (v.tiled) (idx.toLong % v.nColBlocks) * v.chunkCols else 0L)
         b.u64(0) // element-size dimension offset
       }
       v.stored.zipWithIndex.foreach { case ((bytes, mask), i) =>
@@ -849,6 +972,15 @@ object Hdf5Format {
     }
 
     private final val FA_PAGE_BITS = 12 // unpaged up to 4096 chunks/var
+
+    // extensible-array creation params: library-like defaults except a
+    // 13-bit page so data blocks stay unpaged through superblock 18 —
+    // idx 4 + Σ_{s≤18} 16·2^s ≈ 8.4M chunks/var before the loud bound
+    private final val EA_MAX_BITS = 32
+    private final val EA_IDX_ELMTS = 4
+    private final val EA_MIN_PTRS = 4
+    private final val EA_MIN_ELMTS = 16
+    private final val EA_PAGE_BITS = 13
 
     /** Fixed Array chunk index (HDF5 ≥1.10 layout-v4 alternative to
       * the v1 B-tree): FAHD header + one unpaged FADB data block of
@@ -908,26 +1040,151 @@ object Hdf5Format {
       v.stored.zipWithIndex.foreach { case ((bytes, mask), i) =>
         lf.u64(chunkAddrs(i))
         if (filtered) lf.u32(bytes.length).u32(mask)
-        lf.u64(i.toLong) // scaled offset along the record dim
-        if (rank == 2) lf.u64(0)
+        lf.u64(i.toLong / v.nColBlocks) // scaled offset along the record dim
+        if (rank == 2) lf.u64(if (v.tiled) i.toLong % v.nColBlocks else 0L)
       }
       val lfBytes = lf.result()
       b.bytes(lfBytes).u32(lookup3(lfBytes))
       b.result()
     }
 
+    /** Extensible Array chunk index (layout-v4 type 4 — HDF5 ≥1.10's
+      * index for chunked data with ONE unlimited dimension, the exact
+      * shape of a record-streamed variable): EAHD header + EAIB index
+      * block (first EA_IDX_ELMTS elements inline, direct data-block
+      * pointers for superblocks 0..firstSblk−1, secondary-block
+      * pointers beyond) + unpaged EADB data blocks, with EASB
+      * secondary blocks once the direct region is exhausted. All
+      * blocks are emitted in one contiguous blob whose internal
+      * addresses derive from `selfAddr` (0 in the sizing pass — the
+      * layout is size-deterministic given the chunk count), and every
+      * v2-structure checksum is a real lookup3 over the block body. */
+    private def extensibleArrayIndex(v: VarState, chunkAddrs: Seq[Long],
+        selfAddr: Long): Array[Byte] = {
+      val filtered = v.deflate || v.shuffle || v.fletcher
+      val elemSize = if (filtered) 16 else 8 // addr + (size u32 + mask u32)
+      val g = EaGeom(EA_MAX_BITS, EA_IDX_ELMTS, EA_MIN_PTRS, EA_MIN_ELMTS, EA_PAGE_BITS)
+      val n = v.stored.size
+      require(n <= g.unpagedCapacity,
+        s"extensible-array writer is unpaged: $n chunks > ${g.unpagedCapacity} for ${v.name}")
+      // plan: which data blocks / secondary blocks are allocated
+      // (a block is allocated iff its element range starts before n)
+      final case class Db(s: Int, startElem: Long)
+      var pos: Long = g.idxElmts
+      val directDbs = Seq.tabulate(g.firstSblk) { s =>
+        Seq.fill(g.ndblks(s)) {
+          val p = if (pos < n) Some(Db(s, pos)) else None
+          pos += g.dblkNelmts(s); p
+        }
+      }.flatten
+      // allocation is monotone: once pos reaches n no later superblock
+      // allocates, so planning stops outright — iterating the full
+      // 56-superblock table would also need Long-safe spans (the Int
+      // dblkNelmts shift overflows from s ≈ 53)
+      val sblks: Seq[Option[(Int, Long, Seq[Option[Db]])]] =
+        (g.firstSblk until g.nSblks).map { s =>
+          if (pos >= n) None
+          else {
+            val sblkStart = pos
+            Some((s, sblkStart, Seq.fill(g.ndblks(s)) {
+              val p = if (pos < n) Some(Db(s, pos)) else None
+              pos += g.dblkNelmts(s); p
+            }))
+          }
+        }
+      // address assignment: EAHD | EAIB | direct DBs | (EASB | its DBs)*
+      val iblkAddr = selfAddr + 72
+      var cur = iblkAddr + g.iblkSize(elemSize)
+      val directAddrs: Seq[Long] = directDbs.map {
+        case Some(db) => val a = cur; cur += g.dblkSize(db.s, elemSize); a
+        case None => UNDEF
+      }
+      val sblkAddrs: Seq[(Long, Seq[Long])] = sblks.map {
+        case Some((s, _, dbs)) =>
+          val sa = cur; cur += g.sblkSize(s)
+          val das = dbs.map {
+            case Some(db) => val a = cur; cur += g.dblkSize(db.s, elemSize); a
+            case None => UNDEF
+          }
+          (sa, das)
+        case None => (UNDEF, Nil)
+      }
+      def elem(b: Buf, i: Long): Unit =
+        if (i < n) {
+          b.u64(chunkAddrs(i.toInt))
+          if (filtered) b.u32(v.stored(i.toInt)._1.length).u32(v.stored(i.toInt)._2)
+        } else { b.u64(UNDEF); if (filtered) b.u32(0).u32(0) }
+      def blockOff(b: Buf, off: Long): Unit =
+        (0 until g.arrOffSize).foreach(k => b.u8(((off >> (8 * k)) & 0xff).toInt))
+      val out = new Buf
+      // EAHD: params, then statistics (allocated secondary/data block
+      // counts and byte totals, max index set, realized elements)
+      val nDbAlloc = directAddrs.count(_ != UNDEF) +
+        sblkAddrs.flatMap(_._2).count(_ != UNDEF)
+      val dbBytes = directDbs.flatten.map(db => g.dblkSize(db.s, elemSize).toLong).sum +
+        sblks.flatten.flatMap(_._3.flatten).map(db => g.dblkSize(db.s, elemSize).toLong).sum
+      val nSbAlloc = sblks.count(_.isDefined)
+      val sbBytes = sblks.flatten.map { case (s, _, _) => g.sblkSize(s).toLong }.sum
+      val hd = new Buf
+      hd.bytes("EAHD".getBytes("ASCII")).u8(0).u8(if (filtered) 1 else 0)
+      hd.u8(elemSize).u8(EA_MAX_BITS).u8(EA_IDX_ELMTS)
+      hd.u8(EA_MIN_ELMTS).u8(EA_MIN_PTRS).u8(EA_PAGE_BITS)
+      hd.u64(nSbAlloc.toLong).u64(sbBytes).u64(nDbAlloc.toLong).u64(dbBytes)
+      hd.u64(n.toLong).u64(n.toLong)
+      hd.u64(iblkAddr)
+      val hdBytes = hd.result()
+      out.bytes(hdBytes).u32(lookup3(hdBytes))
+      require(out.size == 72, s"EAHD size ${out.size}")
+      // EAIB
+      val ib = new Buf
+      ib.bytes("EAIB".getBytes("ASCII")).u8(0).u8(if (filtered) 1 else 0)
+      ib.u64(selfAddr)
+      (0 until g.idxElmts).foreach(i => elem(ib, i.toLong))
+      directAddrs.foreach(ib.u64)
+      sblkAddrs.foreach { case (sa, _) => ib.u64(sa) }
+      val ibBytes = ib.result()
+      out.bytes(ibBytes).u32(lookup3(ibBytes))
+      // direct data blocks
+      def dataBlock(db: Db): Unit = {
+        val b = new Buf
+        b.bytes("EADB".getBytes("ASCII")).u8(0).u8(if (filtered) 1 else 0)
+        b.u64(selfAddr)
+        blockOff(b, db.startElem)
+        (0 until g.dblkNelmts(db.s)).foreach(i => elem(b, db.startElem + i))
+        val bb = b.result()
+        out.bytes(bb).u32(lookup3(bb))
+      }
+      directDbs.flatten.foreach(dataBlock)
+      sblks.flatten.zip(sblkAddrs.filter(_._1 != UNDEF)).foreach {
+        case ((s, sblkStart, dbs), (_, das)) =>
+          val b = new Buf
+          b.bytes("EASB".getBytes("ASCII")).u8(0).u8(if (filtered) 1 else 0)
+          b.u64(selfAddr)
+          blockOff(b, sblkStart)
+          das.foreach(b.u64)
+          val bb = b.result()
+          out.bytes(bb).u32(lookup3(bb))
+          val _ = s
+          dbs.flatten.foreach(dataBlock)
+      }
+      out.result()
+    }
+
     private def chunkIndexBytes(v: VarState, addrs: Seq[Long], selfAddr: Long): Array[Byte] =
-      chunkIndex match {
+      if (contiguousLayout) Array.emptyByteArray // address points at the data run
+      else chunkIndex match {
         case "fixedarray" => fixedArrayIndex(v, addrs, selfAddr)
         case "btree2" => btree2Index(v, addrs, selfAddr)
+        case "extarray" => extensibleArrayIndex(v, addrs, selfAddr)
         case "single" | "implicit" => Array.emptyByteArray // address points at the data
         case _ => chunkBtree(v, addrs)
       }
 
     /** The address the layout message carries: an index structure for
-      * indexed types, the first chunk itself for single/implicit. */
+      * indexed types, the first chunk itself for single/implicit and
+      * the contiguous run (per-var chunk payloads are consecutive). */
     private def layoutAddr(chunkAddrs: Seq[Long], indexAddr: Long): Long =
-      if (chunkIndex == "single" || chunkIndex == "implicit")
+      if (contiguousLayout || chunkIndex == "single" || chunkIndex == "implicit")
         chunkAddrs.headOption.getOrElse(UNDEF)
       else indexAddr
 
@@ -1486,6 +1743,7 @@ object Hdf5Format {
     * paged blocks rejected loudly). Elements are chunk addresses,
     * plus (size, filter mask) when the dataset is filtered. */
   private def readFixedArrayChunks(r: R, addr: Long, chunkRecs: Int,
+      nCB: Int, chunkCols: Int,
       filtered: Boolean, rawChunkBytes: Long, name: String): Array[H5Chunk] = {
     val h = new BB(r.bytesAt(addr, 28))
     require(h.u8() == 'F' && h.u8() == 'A' && h.u8() == 'H' && h.u8() == 'D',
@@ -1515,8 +1773,100 @@ object Hdf5Format {
           (s.toInt, db.u32().toInt)
         } else (rawChunkBytes.toInt, 0) // unfiltered chunks store full-size
       if (cAddr == UNDEF) Nil // unallocated chunk (sparse write)
-      else Seq(H5Chunk(i * chunkRecs, cAddr, sz, mask))
+      else Seq(H5Chunk((i / nCB) * chunkRecs, cAddr, sz, mask,
+        ((i % nCB) * chunkCols).toInt))
     }.toArray
+  }
+
+  /** Extensible Array chunk index (HDF5 ≥1.10, spec III.J — the index
+    * the library emits for chunked datasets with ONE unlimited
+    * dimension, i.e. the record-streamed shape): EAHD header → EAIB
+    * index block (inline elements, direct data-block pointers,
+    * secondary-block pointers) → EASB secondary blocks → unpaged EADB
+    * data blocks. The element→position law is the [[EaGeom]]
+    * superblock doubling table re-derived from the header's own
+    * creation params, so wild-file parameter choices (not just this
+    * writer's) resolve correctly; paged data blocks — only reached
+    * past ~65k chunks per file under library defaults — are rejected
+    * loudly. UNDEF addresses at any level are unallocated (sparse)
+    * regions and simply skip their element span. */
+  private def readExtensibleArrayChunks(r: R, addr: Long, chunkRecs: Int,
+      nCB: Int, chunkCols: Int,
+      filtered: Boolean, rawChunkBytes: Long, nChunks: Long,
+      name: String): Array[H5Chunk] = {
+    val h = new BB(r.bytesAt(addr, 72))
+    require(h.u8() == 'E' && h.u8() == 'A' && h.u8() == 'H' && h.u8() == 'D',
+      s"bad extensible array signature at $addr for $name")
+    h.skip(1) // version
+    val clientId = h.u8()
+    require((clientId == 0) == !filtered,
+      s"extensible array client id $clientId inconsistent with filter pipeline of $name")
+    val elemSize = h.u8()
+    val maxBits = h.u8(); val idxElmts = h.u8(); val minElmts = h.u8()
+    val minPtrs = h.u8(); val pageBits = h.u8()
+    h.skip(6 * 8) // statistics (block counts/sizes, max index, nelmts)
+    val iblkAddr = h.u64()
+    val g = EaGeom(maxBits, idxElmts, minPtrs, minElmts, pageBits)
+    val szBytes = elemSize - 12 // filtered element: addr(8) + size + mask(4)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[H5Chunk]
+    def elemAt(b: BB, posIdx: Long): Unit = {
+      val cAddr = b.u64()
+      val (sz, mask) =
+        if (filtered) {
+          var s = 0L
+          (0 until szBytes).foreach(k => s |= (b.u8().toLong << (8 * k)))
+          (s.toInt, b.u32().toInt)
+        } else (rawChunkBytes.toInt, 0)
+      if (cAddr != UNDEF) acc += H5Chunk((posIdx / nCB) * chunkRecs, cAddr, sz, mask,
+        ((posIdx % nCB) * chunkCols).toInt)
+    }
+    def readDb(dbAddr: Long, s: Int, startPos: Long): Unit = {
+      val ne = g.dblkNelmts(s)
+      require(ne <= (1 << pageBits),
+        s"paged extensible-array data block unsupported for $name (superblock $s: $ne elements)")
+      val db = new BB(r.bytesAt(dbAddr, g.dblkSize(s, elemSize)))
+      require(db.u8() == 'E' && db.u8() == 'A' && db.u8() == 'D' && db.u8() == 'B',
+        s"bad extensible array data block signature at $dbAddr for $name")
+      db.skip(2 + 8 + g.arrOffSize) // version, client, header addr, block offset
+      var i = 0
+      while (i < ne) { elemAt(db, startPos + i); i += 1 }
+    }
+    val ib = new BB(r.bytesAt(iblkAddr, g.iblkSize(elemSize)))
+    require(ib.u8() == 'E' && ib.u8() == 'A' && ib.u8() == 'I' && ib.u8() == 'B',
+      s"bad extensible array index block signature at $iblkAddr for $name")
+    ib.skip(2 + 8)
+    var pos = 0L
+    (0 until idxElmts).foreach { _ => elemAt(ib, pos); pos += 1 }
+    val directAddrs = (0 until g.nDblkAddrs).map(_ => ib.u64())
+    val sblkAddrs = (0 until g.nSblkAddrs).map(_ => ib.u64())
+    var slot = 0
+    (0 until g.firstSblk).foreach { s =>
+      (0 until g.ndblks(s)).foreach { _ =>
+        val a = directAddrs(slot); slot += 1
+        if (a != UNDEF) readDb(a, s, pos)
+        pos += g.dblkNelmts(s)
+      }
+    }
+    (g.firstSblk until g.nSblks).foreach { s =>
+      if (pos < nChunks) {
+        val sa = sblkAddrs(s - g.firstSblk)
+        if (sa == UNDEF) pos += g.ndblksL(s) * g.dblkNelmtsL(s)
+        else {
+          require(g.dblkNelmtsL(s) <= (1L << pageBits),
+            s"paged extensible-array superblock $s unsupported for $name")
+          val sb = new BB(r.bytesAt(sa, g.sblkSize(s)))
+          require(sb.u8() == 'E' && sb.u8() == 'A' && sb.u8() == 'S' && sb.u8() == 'B',
+            s"bad extensible array secondary block signature at $sa for $name")
+          sb.skip(2 + 8 + g.arrOffSize)
+          (0 until g.ndblks(s)).foreach { _ =>
+            val a = sb.u64()
+            if (a != UNDEF) readDb(a, s, pos)
+            pos += g.dblkNelmts(s)
+          }
+        }
+      }
+    }
+    acc.toArray
   }
 
   /** v2 B-tree chunk index (HDF5 ≥1.10, record types 10/11 — the
@@ -1527,6 +1877,7 @@ object Hdf5Format {
     * from the record size. Scaled offset 0 × chunk dim = start
     * record. */
   private def readBtree2Chunks(r: R, addr: Long, chunkRecs: Int, rank: Int,
+      chunkCols: Int,
       filtered: Boolean, rawChunkBytes: Long, name: String): Array[H5Chunk] = {
     val bt = new BB(r.bytesAt(addr, 38))
     require(bt.u8() == 'B' && bt.u8() == 'T' && bt.u8() == 'H' && bt.u8() == 'D',
@@ -1558,9 +1909,10 @@ object Hdf5Format {
           (s.toInt, leaf.u32().toInt)
         } else (rawChunkBytes.toInt, 0)
       val scaled0 = leaf.u64()
-      (1 until rank).foreach(_ => leaf.u64())
-      H5Chunk(scaled0 * chunkRecs, cAddr, sz, mask)
-    }.sortBy(_.startRec).toArray
+      val scaled1 = if (rank > 1) leaf.u64() else 0L
+      (2 until rank).foreach(_ => leaf.u64())
+      H5Chunk(scaled0 * chunkRecs, cAddr, sz, mask, (scaled1 * chunkCols).toInt)
+    }.sortBy(c => (c.startRec, c.startCol)).toArray
   }
 
   /** DENSE group links (HDF5 ≥1.8 `Link Info` storage — what the
@@ -1931,8 +2283,8 @@ object Hdf5Format {
               if ((flags & 2) != 0) { singleChunkSize = b.u64(); singleChunkMask = b.u32().toInt }
             case 2 => // implicit: contiguous unfiltered chunk run
             case 3 => idxPageBits = b.u8()
-            case 4 => b.skip(5) // extensible array creation params (unsupported below)
-            case 5 => b.skip(6) // v2 B-tree node size + split/merge (unsupported below)
+            case 4 => b.skip(5) // extensible array creation params (EAHD re-states them)
+            case 5 => b.skip(6) // v2 B-tree node size + split/merge params
             case t => throw new java.io.IOException(s"unknown chunk index type $t for $name")
           }
           btreeAddr = b.u64() // the index structure's address
@@ -1971,15 +2323,16 @@ object Hdf5Format {
       case _ =>
     }
     if (dims.isEmpty || kindCls < 0) return None
-    // the range reader models chunks as whole-row slabs along the
-    // record dimension; a wild file chunked ALSO along the second
-    // dimension (chunk dims [r, k', esize] with k' < k) would decode
-    // garbage silently — fail loudly instead (documented subset)
+    // a wild file chunked ALSO along the second dimension (chunk dims
+    // [r, k', esize] with k' < k — the netCDF4 library's DEFAULT
+    // rank-2 layout) tiles each row block into column tiles; record
+    // the tile width so the range reader assembles rows across tiles
     // (v3 chunk dims carry a trailing element-size dim; v4 dims do not)
-    if ((chunkDims.length == 3 || (layoutV4 && chunkDims.length == 2)) && dims.length == 2)
-      require(chunkDims(1).toLong == dims(1),
-        s"partial-width 2-D chunking unsupported for $name: " +
-          s"chunk dim ${chunkDims(1)} < variable dim ${dims(1)}")
+    val chunkColsOf: Int =
+      if ((chunkDims.length == 3 || (layoutV4 && chunkDims.length == 2)) &&
+          dims.length == 2 && chunkDims(1).toLong < dims(1))
+        chunkDims(1)
+      else 0
     val kind: H5Kind = (kindCls, elemSize, dims.size) match {
       case (0, 8, 1) => KLong
       case (0, 4, 1) => KInt
@@ -2000,30 +2353,43 @@ object Hdf5Format {
       val elems = if (dims.length == 2) dims(1) else 1L
       elemSize.toLong * elems
     }
-    val chunkBytesOf: Long = rowBytesOf * math.max(1, chunkRecs)
+    /** column tiles per row block (1 when chunks span the full width) */
+    val nCB: Int =
+      if (chunkColsOf > 0) ((dims(1) + chunkColsOf - 1) / chunkColsOf).toInt else 1
+    /** stored bytes of ONE chunk = one tile (full-width when untiled) */
+    val chunkBytesOf: Long =
+      (if (chunkColsOf > 0) elemSize.toLong * chunkColsOf else rowBytesOf) *
+        math.max(1, chunkRecs)
     val nChunksOf: Long =
-      if (chunkRecs <= 0) 0L else (dims.head + chunkRecs - 1) / chunkRecs
+      if (chunkRecs <= 0) 0L
+      else ((dims.head + chunkRecs - 1) / chunkRecs) * nCB
     val chunks: Array[H5Chunk] =
       if (btreeAddr == UNDEF) Array.empty
       else if (layoutV4) chunkIdxType match {
         // HDF5 ≥1.10 chunk indexes, in increasing structure: the
         // address field points at the chunk itself (1), a bare run
-        // (2), or a Fixed Array (3). Extensible arrays / v2 B-trees
-        // (unlimited-dim writers) are out of the subset — loudly.
+        // (2), a Fixed Array (3), an Extensible Array (4, one
+        // unlimited dim), or a v2 B-tree (5, several unlimited dims).
         case 1 =>
+          require(chunkColsOf == 0, s"single-chunk index with partial-width tiling for $name")
           val sz = if (singleChunkSize > 0) singleChunkSize.toInt else chunkBytesOf.toInt
           Array(H5Chunk(0L, btreeAddr, sz, singleChunkMask))
         case 2 =>
           require(!filtered, s"implicit chunk index with filters for $name")
           (0L until nChunksOf).map(i =>
-            H5Chunk(i * chunkRecs, btreeAddr + i * chunkBytesOf, chunkBytesOf.toInt, 0)).toArray
+            H5Chunk((i / nCB) * chunkRecs, btreeAddr + i * chunkBytesOf,
+              chunkBytesOf.toInt, 0, ((i % nCB) * chunkColsOf).toInt)).toArray
         case 3 =>
-          readFixedArrayChunks(r, btreeAddr, chunkRecs, filtered, chunkBytesOf, name)
+          readFixedArrayChunks(r, btreeAddr, chunkRecs, nCB, chunkColsOf,
+            filtered, chunkBytesOf, name)
+        case 4 =>
+          readExtensibleArrayChunks(r, btreeAddr, chunkRecs, nCB, chunkColsOf,
+            filtered, chunkBytesOf, nChunksOf, name)
         case 5 =>
           readBtree2Chunks(r, btreeAddr, chunkRecs, chunkDims.length,
-            filtered, chunkBytesOf, name)
+            chunkColsOf, filtered, chunkBytesOf, name)
         case t => throw new java.io.IOException(
-          s"chunk index type $t (extensible array) unsupported for $name")
+          s"unknown layout-v4 chunk index type $t for $name")
       }
       else {
         val acc = scala.collection.mutable.ArrayBuffer.empty[H5Chunk]
@@ -2041,17 +2407,19 @@ object Hdf5Format {
             val size = body.u32().toInt
             val mask = body.u32().toInt
             val startRec = body.u64()
-            (1 until keyDims).foreach(_ => body.u64())
+            val startCol = if (keyDims > 2) body.u64() else 0L
+            ((if (keyDims > 2) 2 else 1) until keyDims).foreach(_ => body.u64())
             val child = body.u64()
             if (level > 0) walk(child)
-            else acc += H5Chunk(startRec, child, size, mask)
+            else acc += H5Chunk(startRec, child, size, mask, startCol.toInt)
           }
         }
         walk(btreeAddr)
-        acc.sortBy(_.startRec).toArray
+        acc.sortBy(c => (c.startRec, c.startCol)).toArray
       }
     Some(H5Var(name, kind, dims.head, math.max(1, chunkRecs), deflate,
-      contiguous, chunks, attrs.toSeq, shuffle = shuffle, fletcher = fletcher))
+      contiguous, chunks, attrs.toSeq, shuffle = shuffle, fletcher = fletcher,
+      chunkCols = chunkColsOf))
   }
 
   /** File metadata: superblock (v0-v3) → root group → datasets. Only
@@ -2125,6 +2493,87 @@ object Hdf5Format {
         }
         acc.toArray
       }
+    // ---- partial-width (tiled) rank-2 layout: rows assemble across
+    // column tiles; the current row block's tiles decode lazily ----
+    private val width: Int = v.kind match {
+      case KFloatArr(k) => k
+      case KDoubleArr(k) => k
+      case KLongArr(k) => k
+      case _ => 0
+    }
+    private val tiled: Boolean = width > 0 && v.chunkCols > 0 && v.chunkCols < width
+    private val nCB: Int = if (tiled) (width + v.chunkCols - 1) / v.chunkCols else 1
+    private val tileRowBytes: Int = if (tiled) v.chunkCols * v.kind.elemSize else 0
+    private val tileLen: Int = tileRowBytes * v.chunkRecs
+    /** covering row blocks → column-indexed tile list (tiled mode) */
+    private val tilesByBlock: Map[Long, Array[H5Chunk]] =
+      if (!tiled) Map.empty
+      else v.chunks.filter(c => c.startRec < r1 && c.startRec + v.chunkRecs > r0)
+        .groupBy(_.startRec).map { case (sr, cs) =>
+          val arr = new Array[H5Chunk](nCB)
+          cs.foreach(c => arr(c.startCol / v.chunkCols) = c)
+          (sr / v.chunkRecs, arr)
+        }
+    private var curBlock: Long = -1L
+    private val tileBBs: Array[ByteBuffer] =
+      if (tiled) new Array[ByteBuffer](nCB) else null
+
+    /** Decode one stored tile into a fresh buffer (inverse pipeline:
+      * inflate, de-shuffle, fletcher verify) — the tiled twin of
+      * loadChunk, without the shared-buffer reuse. */
+    private def decodeTile(c: H5Chunk): Array[Byte] = {
+      val fletBit = 1
+      val shufBit = 1 << (if (v.fletcher) 1 else 0)
+      val deflateSkipBit =
+        1 << ((if (v.fletcher) 1 else 0) + (if (v.shuffle) 1 else 0))
+      val stored = new Array[Byte](c.storedSize)
+      in.readFully(c.addr, stored, 0, stored.length)
+      var cur: Array[Byte] = stored
+      if (v.deflate && (c.filterMask & deflateSkipBit) == 0) {
+        val dst = new Array[Byte](tileLen + extra)
+        val inf = new Inflater()
+        inf.setInput(stored)
+        var off = 0
+        while (off < dst.length && !inf.finished()) {
+          val n = inf.inflate(dst, off, dst.length - off)
+          if (n == 0 && inf.needsInput()) throw new EOFException("truncated deflate chunk")
+          off += n
+        }
+        inf.end()
+        cur = dst
+      }
+      if (v.shuffle && (c.filterMask & shufBit) == 0) {
+        val dst = new Array[Byte](cur.length)
+        deshuffleBytes(cur, dst, cur.length, v.kind.elemSize)
+        cur = dst
+      }
+      if (v.fletcher && (c.filterMask & fletBit) == 0) {
+        val dataLen = cur.length - 4
+        val exp = fletcher32(cur, dataLen)
+        val got = (cur(dataLen) & 0xff) | ((cur(dataLen + 1) & 0xff) << 8) |
+          ((cur(dataLen + 2) & 0xff) << 16) | ((cur(dataLen + 3) & 0xff) << 24)
+        if (exp != got) throw new java.io.IOException(
+          f"fletcher32 mismatch in ${v.name}: stored 0x$got%08x computed 0x$exp%08x")
+      }
+      cur
+    }
+
+    /** The decoded tile holding (rec, col-block j) in tiled mode;
+      * unallocated tiles (sparse wild files) read as the zero fill. */
+    private def tileBB(rec: Long, j: Int): ByteBuffer = {
+      val blk = rec / v.chunkRecs
+      if (blk != curBlock) {
+        java.util.Arrays.fill(tileBBs.asInstanceOf[Array[AnyRef]], null)
+        curBlock = blk
+      }
+      if (tileBBs(j) == null) {
+        val c = tilesByBlock.get(blk).flatMap(a => Option(a(j)))
+        val buf = c.map(decodeTile).getOrElse(new Array[Byte](tileLen))
+        tileBBs(j) = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+      }
+      tileBBs(j)
+    }
+
     private var ci = 0
     private val raw = new Array[Byte]((v.kind.rowBytes * slabRecs).toInt)
     /** trailing bytes beyond the data itself (the fletcher32 word) */
@@ -2298,9 +2747,17 @@ object Hdf5Format {
         throw new java.io.IOException(s"global heap object $idx missing at $addr for ${v.name}"))
       if (bytes.length == len) bytes else java.util.Arrays.copyOf(bytes, len)
     }
-    def getFloatElem(rec: Long, k: Int): Float = bb.getFloat(ensure(rec) + 4 * k)
-    def getDoubleElem(rec: Long, k: Int): Double = bb.getDouble(ensure(rec) + 8 * k)
-    def getLongElem(rec: Long, k: Int): Long = bb.getLong(ensure(rec) + 8 * k)
+    @inline private def tileOff(rec: Long, k: Int, j: Int, esz: Int): Int =
+      (rec % v.chunkRecs).toInt * tileRowBytes + (k - j * v.chunkCols) * esz
+    def getFloatElem(rec: Long, k: Int): Float =
+      if (tiled) { val j = k / v.chunkCols; tileBB(rec, j).getFloat(tileOff(rec, k, j, 4)) }
+      else bb.getFloat(ensure(rec) + 4 * k)
+    def getDoubleElem(rec: Long, k: Int): Double =
+      if (tiled) { val j = k / v.chunkCols; tileBB(rec, j).getDouble(tileOff(rec, k, j, 8)) }
+      else bb.getDouble(ensure(rec) + 8 * k)
+    def getLongElem(rec: Long, k: Int): Long =
+      if (tiled) { val j = k / v.chunkCols; tileBB(rec, j).getLong(tileOff(rec, k, j, 8)) }
+      else bb.getLong(ensure(rec) + 8 * k)
 
     def close(): Unit = in.close()
   }

@@ -2,7 +2,7 @@ package graft.sources.netcdf
 
 import graft.Tables._
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -456,6 +456,118 @@ object Nc4Queries {
       |  CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sum_disc
       |FROM lineitem""".stripMargin
 
+  /** CONTIGUOUS data layout (r8 — HDF5 class 1: what the netCDF4
+    * library emits for every non-chunked variable — coordinate
+    * variables and small fixed-dim data — so wild files mix
+    * contiguous and chunked datasets freely): `layout=contiguous`
+    * writes each variable as one unfiltered run (the HDF5 contract
+    * admits no filters outside chunked storage) addressed straight
+    * from the layout message; the scan reads it through synthetic
+    * bounded slabs — a 100 TB unchunked variable never needs a
+    * whole-variable buffer — with record pushdown intact; gate
+    * aggregates hash-match parquet. */
+  def nc4Contiguous: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5contig")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_tax"))
+      .repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("layout", "contiguous")
+      .save(out)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_tax")).as("sum_tax"))
+  }
+
+  val nc4ContiguousSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_tax AS DECIMAL(9,2))) AS DOUBLE) AS sum_tax
+      |FROM lineitem""".stripMargin
+
+  /** EXTENSIBLE ARRAY chunk index (r8 — layout-v4 index type 4: what
+    * HDF5 ≥1.10 emits for chunked data with ONE unlimited dimension,
+    * i.e. exactly the record-streamed shape every netCDF-4 time-series
+    * variable has, so current-generation wild files are unreadable
+    * without it): the small chunkrecs forces hundreds of chunks, so
+    * the walk exercises every EA level — inline index-block elements,
+    * directly-addressed data blocks, and EASB secondary blocks —
+    * through the shuffle+deflate filter pipeline; the reader
+    * re-derives the superblock doubling table from the EAHD's own
+    * creation params rather than trusting this writer's, and one
+    * wrong addressing step scrambles whole chunk spans. */
+  def nc4ExtensibleArray: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5extarr")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("chunkindex", "extarray")
+      .option("shuffle", "true")
+      .option("chunkrecs", "96")
+      .save(out)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val nc4ExtensibleArraySql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem""".stripMargin
+
+  /** PARTIAL-WIDTH 2-D chunking (r8 — `createVariable(chunksizes=
+    * (r, k'))` with k' < k, which is also what the library's DEFAULT
+    * chunking computes for rank-2 variables, so nearly every wild
+    * netCDF-4 2-D dataset is tiled along BOTH dims): the 64-wide
+    * embedding rows store as 24-column tiles (24|24|16 — the last an
+    * edge tile, zero-padded full-size per the chunked-storage
+    * contract), and the reader assembles each row across three
+    * separately-filtered tiles; per-element probes pin one column
+    * inside every tile including the edge, so a wrong column offset
+    * or stride anywhere breaks the hash. */
+  def nc4PartialChunks: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5tiled")
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("shuffle", "true")
+      .option("chunkrecs", "512")
+      .option("chunkcols", "24")
+      .save(out)
+    def esum(i: Int): Column =
+      sum(expr(s"CAST(CAST(element_at(embedding, $i) AS DOUBLE) AS DECIMAL(12,8))"))
+        .cast(DoubleType)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("vec_id")).as("sum_id"),
+        sum(expr(
+          "aggregate(embedding, CAST(0 AS DECIMAL(28,8)), (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) AS DECIMAL(12,8)) AS DECIMAL(28,8)))"))
+          .cast(DoubleType).as("sum_emb"),
+        esum(1).as("sum_e1"), esum(30).as("sum_e30"), esum(64).as("sum_e64"))
+  }
+
+  val nc4PartialChunksSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(list_sum(list_transform(embedding,
+      |    x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,8))))) AS DOUBLE) AS sum_emb,
+      |  CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(12,8))) AS DOUBLE) AS sum_e1,
+      |  CAST(SUM(CAST(CAST(embedding[30] AS DOUBLE) AS DECIMAL(12,8))) AS DOUBLE) AS sum_e30,
+      |  CAST(SUM(CAST(CAST(embedding[64] AS DOUBLE) AS DECIMAL(12,8))) AS DOUBLE) AS sum_e64
+      |FROM embeddings""".stripMargin
+
   /** DENSE attributes (r8 — Attribute Info message 0x0015: where
     * HDF5 ≥1.8 objects park attributes past the compact threshold, so
     * heavily-annotated wild files silently lose metadata without it):
@@ -891,6 +1003,9 @@ object Nc4Queries {
     "nc4_dense_groups" -> nc4DenseGroups,
     "nc4_fixed_array" -> nc4FixedArray,
     "nc4_btree2_chunks" -> nc4Btree2Chunks,
+    "nc4_extensible_array" -> nc4ExtensibleArray,
+    "nc4_partial_chunks" -> nc4PartialChunks,
+    "nc4_contiguous" -> nc4Contiguous,
     "nc4_dense_attrs" -> nc4DenseAttrs,
     "nc4_read_prune" -> nc4ReadPrune,
     "nc4_attrs" -> nc4Attrs,
@@ -913,6 +1028,9 @@ object Nc4Queries {
     "nc4_dense_groups" -> nc4DenseGroupsSql,
     "nc4_fixed_array" -> nc4FixedArraySql,
     "nc4_btree2_chunks" -> nc4Btree2ChunksSql,
+    "nc4_extensible_array" -> nc4ExtensibleArraySql,
+    "nc4_partial_chunks" -> nc4PartialChunksSql,
+    "nc4_contiguous" -> nc4ContiguousSql,
     "nc4_dense_attrs" -> nc4DenseAttrsSql,
     "nc4_read_prune" -> nc4ReadPruneSql,
     "nc4_attrs" -> nc4AttrsSql,

@@ -124,7 +124,10 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
     extends DataWriter[InternalRow] {
 
   private val chunkRecs = options.getOrElse("chunkrecs", "4096").toInt
-  private val deflate = options.get("deflate").forall(_.toBoolean)
+  // deflate defaults on (the library default) — except under the
+  // contiguous layout, whose HDF5 contract admits no filter pipeline
+  private val deflate = options.get("deflate").map(_.toBoolean)
+    .getOrElse(options.getOrElse("layout", "chunked") != "contiguous")
   private val shuffle = options.get("shuffle").exists(_.toBoolean)
   private val fletcher = options.get("fletcher").exists(_.toBoolean)
   private val h5ver = options.getOrElse("h5ver", "0").toInt
@@ -133,6 +136,8 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
   private val denseGroups = options.get("densegroups").exists(_.toBoolean)
   private val chunkIndex = options.getOrElse("chunkindex", "btree1")
   private val denseAttrs = options.get("denseattrs").exists(_.toBoolean)
+  private val chunkCols = options.getOrElse("chunkcols", "0").toInt
+  private val layout = options.getOrElse("layout", "chunked")
   private val declaredLens = NcWriteConf.arrayLens(options)
 
   private val getters: Array[InternalRow => Any] =
@@ -184,7 +189,8 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
       w = new Hdf5Format.Hdf5Writer(schema, chunkRecs, deflate, stringWidth,
         lens, h5ver, shuffle = shuffle, fletcher = fletcher,
         vlenStrings = vlenStrings, denseRoot = denseGroups,
-        chunkIndex = chunkIndex, denseAttrs = denseAttrs)
+        chunkIndex = chunkIndex, denseAttrs = denseAttrs, chunkCols = chunkCols,
+        layout = layout)
     }
     var i = 0
     while (i < schema.size) {

@@ -440,6 +440,106 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
+  test("extensible-array chunk index (layout v4 type 4) walks all three levels") {
+    for ((deflate, tag) <- Seq((true, "f"), (false, "raw"))) {
+      val dir = s"/tmp/graft_h5/extarr_$tag"
+      // 6000 records / 20-record chunks = 300 chunks: past the inline
+      // elements (4) AND the directly-addressed data blocks (240), so
+      // the walk must traverse an EASB secondary block to finish
+      val df = spark.range(6000).select(col("id").as("k"),
+        (col("id") * 2.5).cast(DoubleType).as("x"))
+      df.coalesce(1).write.format(SRC).mode("overwrite")
+        .option("h5ver", "2").option("chunkindex", "extarray")
+        .option("chunkrecs", "20").option("deflate", deflate.toString)
+        .option("shuffle", deflate.toString).save(dir)
+      val f = NetCDF4Util.listFiles(fs, new Path(dir)).head
+      val meta = Hdf5Format.readMeta(fs, f)
+      assert(meta.vars.forall(_.chunks.length == 300),
+        meta.vars.map(_.chunks.length).toString)
+      assert(meta.vars.forall(v => v.chunks.map(_.startRec).toSeq ==
+        (0 until 300).map(_ * 20L)), "chunk start records must be gapless and ordered")
+      val back = spark.read.format(SRC).load(dir)
+      assert(back.count() == 6000)
+      assert(back.agg(sum("k"), sum("x")).head() == df.agg(sum("k"), sum("x")).head())
+      // record-range pushdown composes with the EA index
+      val win = back.filter(col("record") >= 4900L && col("record") < 5100L)
+      assert(win.agg(sum("k")).head().getLong(0) == (4900L until 5100L).sum)
+    }
+    // tiny variable: every element fits inline in the index block
+    val d2 = "/tmp/graft_h5/extarr_inline"
+    val df2 = spark.range(50).select(col("id").as("k"))
+    df2.coalesce(1).write.format(SRC).mode("overwrite")
+      .option("h5ver", "2").option("chunkindex", "extarray")
+      .option("chunkrecs", "16").save(d2)
+    val b2 = spark.read.format(SRC).load(d2)
+    assert(b2.count() == 50)
+    assert(b2.agg(sum("k")).head() == df2.agg(sum("k")).head())
+  }
+
+  test("contiguous layout (class 1) roundtrips and slabs bound memory") {
+    for (h5ver <- Seq(0, 2)) {
+      val dir = s"/tmp/graft_h5/contig_$h5ver"
+      val df = spark.range(9000).select(col("id").as("k"),
+        (col("id") * 0.25).as("x"),
+        expr("transform(sequence(0, 5), i -> CAST(id * 6 + i AS DOUBLE))").as("vec"))
+      df.coalesce(1).write.format(SRC).mode("overwrite")
+        .option("layout", "contiguous").option("h5ver", h5ver.toString)
+        .option("chunkrecs", "1024").save(dir)
+      val f = NetCDF4Util.listFiles(fs, new Path(dir)).head
+      val meta = Hdf5Format.readMeta(fs, f)
+      assert(meta.vars.forall(v => v.contiguousAddr != Hdf5Format.UNDEF),
+        s"h5ver=$h5ver: contiguous address missing")
+      assert(meta.vars.forall(_.chunks.isEmpty))
+      val back = spark.read.format(SRC).load(dir)
+      assert(back.count() == 9000)
+      val exp = df.agg(sum("k"), sum("x"), sum(expr("vec[5]"))).head()
+      val got = back.agg(sum("k"), sum("x"), sum(expr("vec[5]"))).head()
+      assert(exp == got, s"h5ver=$h5ver: $exp vs $got")
+      // record-range pushdown composes with the synthetic slabs
+      val win = back.filter(col("record") >= 5000L && col("record") < 5200L)
+      assert(win.agg(sum("k")).head().getLong(0) == (5000L until 5200L).sum)
+    }
+  }
+
+  test("partial-width 2-D chunking (netCDF4 default layout) assembles rows across tiles") {
+    // width-10 rows with 4-wide tiles → 3 col tiles (the last an
+    // 2-wide edge tile, stored zero-padded per the chunked-storage
+    // contract); every chunk index type that admits several chunks
+    // must carry the column offsets correctly
+    for ((idx, deflate) <- Seq(("btree1", true), ("fixedarray", false),
+        ("extarray", true), ("btree2", true), ("implicit", false))) {
+      val dir = s"/tmp/graft_h5/tiled_$idx"
+      val df = spark.range(3000).select(col("id").as("k"),
+        expr("transform(sequence(0, 9), i -> CAST(id * 10 + i AS DOUBLE))").as("vec"))
+      val w0 = df.coalesce(1).write.format(SRC).mode("overwrite")
+        .option("chunkrecs", "256").option("chunkcols", "4")
+        .option("deflate", deflate.toString).option("shuffle", deflate.toString)
+      (if (idx == "btree1") w0 else w0.option("h5ver", "2").option("chunkindex", idx))
+        .save(dir)
+      val f = NetCDF4Util.listFiles(fs, new Path(dir)).head
+      val meta = Hdf5Format.readMeta(fs, f)
+      val v = meta.vars.find(_.name == "vec").get
+      assert(v.chunkCols == 4, s"$idx: chunkCols ${v.chunkCols}")
+      // ceil(3000/256)=12 row blocks × 3 col tiles = 36 chunks
+      assert(v.chunks.length == 36, s"$idx: ${v.chunks.length} chunks")
+      assert(v.chunks.map(c => (c.startRec, c.startCol)).toSet ==
+        (for (i <- 0 until 12; j <- 0 until 3) yield (i * 256L, j * 4)).toSet,
+        s"$idx: tile offsets")
+      val back = spark.read.format(SRC).load(dir)
+      assert(back.count() == 3000)
+      // element probes: interior tile, tile boundary, and the edge tile
+      val probes = Seq("vec[0]", "vec[3]", "vec[4]", "vec[7]", "vec[8]", "vec[9]")
+      val exp = df.agg(sum(expr(probes.head)), probes.tail.map(p => sum(expr(p))): _*).head()
+      val got = back.agg(sum(expr(probes.head)), probes.tail.map(p => sum(expr(p))): _*).head()
+      assert(exp == got, s"$idx: $exp vs $got")
+      // record pushdown composes with tiling
+      val win = back.filter(col("record") >= 1000L && col("record") < 1100L)
+      val expWin = df.filter(col("k") >= 1000L && col("k") < 1100L)
+        .agg(sum(expr("vec[9]"))).head()
+      assert(win.agg(sum(expr("vec[9]"))).head() == expWin, s"$idx: windowed")
+    }
+  }
+
   test("single-chunk and implicit chunk indexes (layout v4 types 1/2) roundtrip") {
     // single chunk, filtered: the layout message carries size + mask
     val d1 = "/tmp/graft_h5/single"
