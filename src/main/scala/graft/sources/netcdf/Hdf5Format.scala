@@ -175,7 +175,11 @@ object Hdf5Format {
       /** rank-2 tile width when the variable is chunked along BOTH
         * dims (netCDF4's default layout chunks every dim); 0 = chunks
         * span the full second dimension */
-      chunkCols: Int = 0) {
+      chunkCols: Int = 0,
+      /** compact layout (class 0): the data lives INSIDE the object
+        * header's layout message — ≤64 KiB by the format contract, so
+        * carrying it in the metadata is free */
+      compactData: Array[Byte] = Array.emptyByteArray) {
     def chunkBytes: Int = (kind.rowBytes * chunkRecs).toInt
     /** CF `actual_range` zone map, when the writer recorded one. */
     def range: Option[(Double, Double)] =
@@ -648,14 +652,17 @@ object Hdf5Format {
     require(chunkCols >= 0, s"chunkCols must be >= 0, got $chunkCols")
     require(chunkCols == 0 || chunkIndex != "single",
       "partial-width tiling produces several chunks per row block — single-chunk index excluded")
-    require(layout == "chunked" || layout == "contiguous",
-      s"layout must be chunked or contiguous, got $layout")
+    require(layout == "chunked" || layout == "contiguous" || layout == "compact",
+      s"layout must be chunked, contiguous, or compact, got $layout")
     /** contiguous (class 1) data layout — what the netCDF4 library
       * emits for small and coordinate variables; the HDF5 contract
       * admits no filter pipeline outside chunked storage */
     private val contiguousLayout = layout == "contiguous"
-    require(!contiguousLayout || (!deflate && !shuffle && !fletcher && !vlenStrings && chunkCols == 0),
-      "contiguous layout admits no filters, vlen strings, or tiling (HDF5 contract)")
+    /** compact (class 0): data inline in the object header, ≤64 KiB */
+    private val compactLayout = layout == "compact"
+    require(!(contiguousLayout || compactLayout) ||
+      (!deflate && !shuffle && !fletcher && !vlenStrings && chunkCols == 0),
+      s"$layout layout admits no filters, vlen strings, or tiling (HDF5 contract)")
     require(!denseRoot || h5ver == 2, "dense root groups require the 1.8+ layout (h5ver=2)")
     require(Seq("btree1", "fixedarray", "btree2", "single", "implicit", "extarray").contains(chunkIndex),
       s"chunkIndex must be btree1, fixedarray, btree2, single, implicit, or extarray; got $chunkIndex")
@@ -753,7 +760,22 @@ object Hdf5Format {
         case KLongArr(k) => Seq(v.chunkRecs, if (v.tiled) v.chunkCols else k)
         case _ => Seq(v.chunkRecs)
       }
-      if (contiguousLayout) {
+      if (compactLayout) {
+        // layout v3 class 0: the data itself rides in the message,
+        // trimmed to the logical size (the final buffered chunk is
+        // zero-padded past numRecs)
+        val logical = (v.numRecs * v.kind.rowBytes).toInt
+        require(logical <= 60000,
+          s"compact layout bound for ${v.name}: $logical bytes > 60000 — use contiguous or chunked")
+        val data = new Array[Byte](logical)
+        var off = 0
+        v.stored.foreach { case (bytes, _) =>
+          val nb = math.min(bytes.length, logical - off)
+          if (nb > 0) System.arraycopy(bytes, 0, data, off, nb)
+          off += nb
+        }
+        lay.u8(3).u8(0).u16(logical).bytes(data)
+      } else if (contiguousLayout) {
         // layout v3 class 1: data address + logical byte count (the
         // on-disk run may carry the final row block's zero padding
         // beyond the logical size — readers bound by the dataspace)
@@ -884,6 +906,11 @@ object Hdf5Format {
         off += body.length
         (lookup3(name.getBytes("UTF-8")), o, body.length, i)
       }
+      // single-leaf writer: stay inside the declared 512-byte node
+      // ((512-10)/17 = 29 records) — the reader handles depth-1 trees
+      // but this writer does not emit them for attributes
+      require(recs.size <= (512 - 10) / 17,
+        s"dense-attribute writer leaf bound: ${recs.size} attributes > 29")
       val hd = new Buf
       hd.bytes("BTHD".getBytes("ASCII")).u8(0).u8(8)
       hd.u32(512).u16(17).u16(0).u8(100).u8(40)
@@ -983,9 +1010,12 @@ object Hdf5Format {
     private final val EA_PAGE_BITS = 13
 
     /** Fixed Array chunk index (HDF5 ≥1.10 layout-v4 alternative to
-      * the v1 B-tree): FAHD header + one unpaged FADB data block of
-      * per-chunk elements (addr, plus size+mask when filtered). FADB
-      * follows FAHD directly, so only the index's own address
+      * the v1 B-tree): FAHD header + FADB data block of per-chunk
+      * elements (addr, plus size+mask when filtered). Past
+      * 2^FA_PAGE_BITS chunks the FADB goes PAGED per the spec: the
+      * block carries only an all-initialized page bitmap, and the
+      * element pages — each with its own lookup3 checksum — follow.
+      * FADB follows FAHD directly, so only the index's own address
       * (`selfAddr`, 0 in the sizing pass — sizes are address-free)
       * feeds the header's data-block pointer. */
     private def fixedArrayIndex(v: VarState, chunkAddrs: Seq[Long],
@@ -993,8 +1023,8 @@ object Hdf5Format {
       val filtered = v.deflate || v.shuffle || v.fletcher
       val entrySize = if (filtered) 16 else 8
       val n = v.stored.size
-      require(n <= (1 << FA_PAGE_BITS),
-        s"fixed array writer is unpaged: $n chunks > ${1 << FA_PAGE_BITS}")
+      val pageSize = 1 << FA_PAGE_BITS
+      require(n <= (1 << 24), s"fixed array writer bound: $n chunks > ${1 << 24}")
       val b = new Buf
       val hd = new Buf
       hd.bytes("FAHD".getBytes("ASCII")).u8(0)
@@ -1004,20 +1034,47 @@ object Hdf5Format {
       val hdBytes = hd.result()
       b.bytes(hdBytes).u32(lookup3(hdBytes))
       require(b.size == 28, s"FAHD size ${b.size}")
-      val db = new Buf
-      db.bytes("FADB".getBytes("ASCII")).u8(0)
-      db.u8(if (filtered) 1 else 0).u64(selfAddr)
-      v.stored.zipWithIndex.foreach { case ((bytes, mask), i) =>
+      def elem(db: Buf, i: Int): Unit = {
         db.u64(chunkAddrs(i))
-        if (filtered) db.u32(bytes.length).u32(mask)
+        if (filtered) db.u32(v.stored(i)._1.length).u32(v.stored(i)._2)
       }
-      val dbBytes = db.result()
-      b.bytes(dbBytes).u32(lookup3(dbBytes))
+      if (n <= pageSize) {
+        val db = new Buf
+        db.bytes("FADB".getBytes("ASCII")).u8(0)
+        db.u8(if (filtered) 1 else 0).u64(selfAddr)
+        (0 until n).foreach(i => elem(db, i))
+        val dbBytes = db.result()
+        b.bytes(dbBytes).u32(lookup3(dbBytes))
+      } else {
+        val npages = (n + pageSize - 1) / pageSize
+        val db = new Buf
+        db.bytes("FADB".getBytes("ASCII")).u8(0)
+        db.u8(if (filtered) 1 else 0).u64(selfAddr)
+        (0 until (npages + 7) / 8).foreach { k =>
+          var bits = 0
+          (0 until 8).foreach(j => if (k * 8 + j < npages) bits |= (1 << j))
+          db.u8(bits)
+        }
+        val dbBytes = db.result()
+        b.bytes(dbBytes).u32(lookup3(dbBytes))
+        (0 until npages).foreach { p =>
+          val pg = new Buf
+          (p * pageSize until math.min(n, (p + 1) * pageSize)).foreach(i => elem(pg, i))
+          val pgBytes = pg.result()
+          b.bytes(pgBytes).u32(lookup3(pgBytes))
+        }
+      }
       b.result()
     }
 
-    /** v2 B-tree chunk index: BTHD + one leaf of type-10/11 records
-      * (scaled-offset ascending = insertion order). */
+    private final val BT2_NODE = 2048
+
+    /** v2 B-tree chunk index: BTHD + type-10/11 records in ascending
+      * scaled-offset order. Fits one leaf when the record count
+      * respects the declared node size; beyond that the writer splits
+      * honestly into a depth-1 tree — BTIN internal root holding the
+      * separator records + child pointers, leaves after it — instead
+      * of over-stuffing a single leaf past its declared capacity. */
     private def btree2Index(v: VarState, chunkAddrs: Seq[Long],
         selfAddr: Long): Array[Byte] = {
       val filtered = v.deflate || v.shuffle || v.fletcher
@@ -1027,24 +1084,71 @@ object Hdf5Format {
       }
       val recSize = if (filtered) 8 + 4 + 4 + 8 * rank else 8 + 8 * rank
       val n = v.stored.size
-      val b = new Buf
-      val hd = new Buf
-      hd.bytes("BTHD".getBytes("ASCII")).u8(0).u8(if (filtered) 11 else 10)
-      hd.u32(2048).u16(recSize).u16(0).u8(100).u8(40)
-      hd.u64(selfAddr + 38).u16(n).u64(n.toLong)
-      val hdBytes = hd.result()
-      b.bytes(hdBytes).u32(lookup3(hdBytes))
-      require(b.size == 38, s"BTHD size ${b.size}")
-      val lf = new Buf
-      lf.bytes("BTLF".getBytes("ASCII")).u8(0).u8(if (filtered) 11 else 10)
-      v.stored.zipWithIndex.foreach { case ((bytes, mask), i) =>
-        lf.u64(chunkAddrs(i))
-        if (filtered) lf.u32(bytes.length).u32(mask)
-        lf.u64(i.toLong / v.nColBlocks) // scaled offset along the record dim
-        if (rank == 2) lf.u64(if (v.tiled) i.toLong % v.nColBlocks else 0L)
+      val typ = if (filtered) 11 else 10
+      val maxLeaf = (BT2_NODE - 10) / recSize
+      def record(out: Buf, i: Int): Unit = {
+        out.u64(chunkAddrs(i))
+        if (filtered) out.u32(v.stored(i)._1.length).u32(v.stored(i)._2)
+        out.u64(i.toLong / v.nColBlocks) // scaled offset along the record dim
+        if (rank == 2) out.u64(if (v.tiled) i.toLong % v.nColBlocks else 0L)
       }
-      val lfBytes = lf.result()
-      b.bytes(lfBytes).u32(lookup3(lfBytes))
+      def leaf(indices: Range): Array[Byte] = {
+        val lf = new Buf
+        lf.bytes("BTLF".getBytes("ASCII")).u8(0).u8(typ)
+        indices.foreach(i => record(lf, i))
+        val lfBytes = lf.result()
+        val out = new Buf
+        out.bytes(lfBytes).u32(lookup3(lfBytes))
+        out.result()
+      }
+      def header(depth: Int, rootAddr: Long, rootNRecs: Int): Array[Byte] = {
+        val hd = new Buf
+        hd.bytes("BTHD".getBytes("ASCII")).u8(0).u8(typ)
+        hd.u32(BT2_NODE).u16(recSize).u16(depth).u8(100).u8(40)
+        hd.u64(rootAddr).u16(rootNRecs).u64(n.toLong)
+        val hdBytes = hd.result()
+        val out = new Buf
+        out.bytes(hdBytes).u32(lookup3(hdBytes))
+        require(out.size == 38, s"BTHD size ${out.size}")
+        out.result()
+      }
+      val b = new Buf
+      if (n <= maxLeaf) {
+        b.bytes(header(0, selfAddr + 38, n))
+        b.bytes(leaf(0 until n))
+      } else {
+        // depth-1 split: k leaves hold n-(k-1) records, the k-1
+        // separators live in the internal root between child pointers
+        val nrecW =
+          if (maxLeaf < (1 << 8)) 1 else if (maxLeaf < (1 << 16)) 2 else 3
+        val k = ((n + 1) + maxLeaf) / (maxLeaf + 1) // ceil((n+1)/(maxLeaf+1))
+        require((k - 1) * recSize + k * (8 + nrecW) + 10 <= BT2_NODE,
+          s"v2 B-tree writer depth bound: $n chunks need depth > 1 for ${v.name}")
+        val inLeaves = n - (k - 1)
+        val base = inLeaves / k
+        val extra = inLeaves % k
+        // leaf c covers counts(c) consecutive records; the record
+        // after each non-final leaf is that child's separator
+        val counts = Seq.tabulate(k)(c => base + (if (c < extra) 1 else 0))
+        val starts = counts.scanLeft(0) { case (acc, c) => acc + c + 1 }
+        val inSize = 6 + (k - 1) * recSize + k * (8 + nrecW) + 4
+        val rootAddr = selfAddr + 38
+        val leafAddrs = counts.scanLeft(rootAddr + inSize) {
+          case (acc, c) => acc + 6 + c * recSize + 4
+        }
+        b.bytes(header(1, rootAddr, k - 1))
+        val in = new Buf
+        in.bytes("BTIN".getBytes("ASCII")).u8(0).u8(typ)
+        (0 until k - 1).foreach(c => record(in, starts(c) + counts(c)))
+        (0 until k).foreach { c =>
+          in.u64(leafAddrs(c))
+          (0 until nrecW).foreach(w => in.u8((counts(c) >> (8 * w)) & 0xff))
+        }
+        val inBytes = in.result()
+        require(inBytes.length + 4 == inSize, s"BTIN size ${inBytes.length + 4} != $inSize")
+        b.bytes(inBytes).u32(lookup3(inBytes))
+        (0 until k).foreach(c => b.bytes(leaf(starts(c) until (starts(c) + counts(c)))))
+      }
       b.result()
     }
 
@@ -1171,7 +1275,7 @@ object Hdf5Format {
     }
 
     private def chunkIndexBytes(v: VarState, addrs: Seq[Long], selfAddr: Long): Array[Byte] =
-      if (contiguousLayout) Array.emptyByteArray // address points at the data run
+      if (contiguousLayout || compactLayout) Array.emptyByteArray // no external index
       else chunkIndex match {
         case "fixedarray" => fixedArrayIndex(v, addrs, selfAddr)
         case "btree2" => btree2Index(v, addrs, selfAddr)
@@ -1336,9 +1440,11 @@ object Hdf5Format {
       vars.zipWithIndex.foreach { case (v, i) =>
         varHdrAddrs(i) = cursor
         cursor += datasetHeaderV1(v, 0L).length // size is address-independent
-        val addrs = v.stored.map { case (bytes, _) =>
-          val a = cursor; cursor += bytes.length; a
-        }.toSeq
+        val addrs =
+          if (compactLayout) Seq.empty[Long] // data rides in the header
+          else v.stored.map { case (bytes, _) =>
+            val a = cursor; cursor += bytes.length; a
+          }.toSeq
         varChunkAddrs(i) = addrs
         varBtreeAddrs(i) = cursor
         cursor += chunkIndexBytes(v, addrs, 0L).length
@@ -1406,7 +1512,8 @@ object Hdf5Format {
       // datasets
       vars.zipWithIndex.foreach { case (v, i) =>
         out.bytes(datasetHeaderV1(v, layoutAddr(varChunkAddrs(i), varBtreeAddrs(i))))
-        v.stored.foreach { case (bytes, _) => out.bytes(bytes) }
+        if (!compactLayout)
+          v.stored.foreach { case (bytes, _) => out.bytes(bytes) }
         out.bytes(chunkIndexBytes(v, varChunkAddrs(i), varBtreeAddrs(i)))
       }
       val res = out.result()
@@ -1494,6 +1601,11 @@ object Hdf5Format {
           off += bodies(i).length
           (lookup3(v.name.getBytes("UTF-8")), o, bodies(i).length)
         }
+        // single-leaf writer: stay inside the declared 512-byte node
+        // ((512-10)/11 = 45 records) — the reader handles depth-1
+        // trees but this writer does not emit them for links
+        require(recs.size <= (512 - 10) / 11,
+          s"dense-link writer leaf bound: ${recs.size} variables > 45")
         val hd = new Buf
         hd.bytes("BTHD".getBytes("ASCII")).u8(0).u8(5)
         hd.u32(512).u16(11).u16(0).u8(100).u8(40)
@@ -1520,9 +1632,11 @@ object Hdf5Format {
         cursor += datasetHeaderV2(v, 0L).length
         varAttrAddrs(i) = cursor
         if (denseAttrs && allAttrs(v).nonEmpty) cursor += denseAttrGeom(v)._2
-        val addrs = v.stored.map { case (bytes, _) =>
-          val a = cursor; cursor += bytes.length; a
-        }.toSeq
+        val addrs =
+          if (compactLayout) Seq.empty[Long] // data rides in the header
+          else v.stored.map { case (bytes, _) =>
+            val a = cursor; cursor += bytes.length; a
+          }.toSeq
         varChunkAddrs(i) = addrs
         varBtreeAddrs(i) = cursor
         cursor += chunkIndexBytes(v, addrs, 0L).length
@@ -1554,7 +1668,8 @@ object Hdf5Format {
             s"dense attr layout drift: ${out.size} != ${varAttrAddrs(i)}")
           out.bytes(denseAttrSegment(v, varAttrAddrs(i)))
         }
-        v.stored.foreach { case (bytes, _) => out.bytes(bytes) }
+        if (!compactLayout)
+          v.stored.foreach { case (bytes, _) => out.bytes(bytes) }
         out.bytes(chunkIndexBytes(v, varChunkAddrs(i), varBtreeAddrs(i)))
       }
       val res = out.result()
@@ -1738,10 +1853,13 @@ object Hdf5Format {
     * symbol table or new-style compact Link messages. */
   /** Fixed Array chunk index (HDF5 ≥1.10, spec III.K — the index the
     * library emits for chunked datasets with no unlimited dimension):
-    * FAHD header → FADB data block of per-chunk elements, unpaged
-    * subset (entries ≤ 2^pageBits — ample for any single part file;
-    * paged blocks rejected loudly). Elements are chunk addresses,
-    * plus (size, filter mask) when the dataset is filtered. */
+    * FAHD header → FADB data block of per-chunk elements. Past
+    * 2^pageBits entries the data block is PAGED — the FADB carries
+    * only an initialization bitmap and the element pages (each with
+    * its own checksum) follow it — which a year of hourly chunks in
+    * one wild file easily reaches. Elements are chunk addresses, plus
+    * (size, filter mask) when the dataset is filtered; uninitialized
+    * pages and UNDEF addresses are unallocated (sparse) chunks. */
   private def readFixedArrayChunks(r: R, addr: Long, chunkRecs: Int,
       nCB: Int, chunkCols: Int,
       filtered: Boolean, rawChunkBytes: Long, name: String): Array[H5Chunk] = {
@@ -1756,15 +1874,11 @@ object Hdf5Format {
     val pageBits = h.u8()
     val nEntries = h.u64()
     val dblkAddr = h.u64()
-    require(nEntries <= (1L << pageBits),
-      s"paged fixed array data blocks unsupported for $name ($nEntries entries)")
-    // FADB: sig + version + client id + header address, then elements
-    val db = new BB(r.bytesAt(dblkAddr, 14 + (nEntries * entrySize).toInt))
-    require(db.u8() == 'F' && db.u8() == 'A' && db.u8() == 'D' && db.u8() == 'B',
-      s"bad fixed array data block signature at $dblkAddr for $name")
-    db.skip(2 + 8)
+    require(nEntries <= (1L << 24),
+      s"fixed array too large for $name ($nEntries entries)")
     val szBytes = entrySize - 12 // filtered element: addr(8) + size + mask(4)
-    (0L until nEntries).flatMap { i =>
+    val acc = scala.collection.mutable.ArrayBuffer.empty[H5Chunk]
+    def elemAt(db: BB, i: Long): Unit = {
       val cAddr = db.u64()
       val (sz, mask) =
         if (filtered) {
@@ -1772,10 +1886,41 @@ object Hdf5Format {
           (0 until szBytes).foreach(k => s |= (db.u8().toLong << (8 * k)))
           (s.toInt, db.u32().toInt)
         } else (rawChunkBytes.toInt, 0) // unfiltered chunks store full-size
-      if (cAddr == UNDEF) Nil // unallocated chunk (sparse write)
-      else Seq(H5Chunk((i / nCB) * chunkRecs, cAddr, sz, mask,
-        ((i % nCB) * chunkCols).toInt))
-    }.toArray
+      if (cAddr != UNDEF) acc += H5Chunk((i / nCB) * chunkRecs, cAddr, sz, mask,
+        ((i % nCB) * chunkCols).toInt)
+    }
+    val pageSize = 1L << pageBits
+    if (nEntries <= pageSize) {
+      // unpaged: sig + version + client id + header address, elements
+      val db = new BB(r.bytesAt(dblkAddr, 14 + (nEntries * entrySize).toInt))
+      require(db.u8() == 'F' && db.u8() == 'A' && db.u8() == 'D' && db.u8() == 'B',
+        s"bad fixed array data block signature at $dblkAddr for $name")
+      db.skip(2 + 8)
+      (0L until nEntries).foreach(i => elemAt(db, i))
+    } else {
+      // paged: the FADB holds an initialization bitmap + checksum and
+      // the element pages (each page + its own checksum) follow it
+      val npages = ((nEntries + pageSize - 1) / pageSize).toInt
+      val bitmapBytes = (npages + 7) / 8
+      val total = 6 + 8 + bitmapBytes + 4 +
+        nEntries * entrySize + npages.toLong * 4
+      val db = new BB(r.bytesAt(dblkAddr, total.toInt))
+      require(db.u8() == 'F' && db.u8() == 'A' && db.u8() == 'D' && db.u8() == 'B',
+        s"bad fixed array data block signature at $dblkAddr for $name")
+      db.skip(2 + 8)
+      val bitmap = new Array[Int](bitmapBytes)
+      (0 until bitmapBytes).foreach(k => bitmap(k) = db.u8())
+      db.skip(4) // FADB checksum
+      var i = 0L
+      (0 until npages).foreach { p =>
+        val inPage = math.min(pageSize, nEntries - p.toLong * pageSize)
+        if ((bitmap(p / 8) & (1 << (p % 8))) != 0)
+          (0L until inPage).foreach { _ => elemAt(db, i); i += 1 }
+        else { db.skip((inPage * entrySize).toInt); i += inPage }
+        db.skip(4) // per-page checksum
+      }
+    }
+    acc.toArray
   }
 
   /** Extensible Array chunk index (HDF5 ≥1.10, spec III.J — the index
@@ -1871,46 +2016,26 @@ object Hdf5Format {
 
   /** v2 B-tree chunk index (HDF5 ≥1.10, record types 10/11 — the
     * index the library emits for chunked datasets with >1 unlimited
-    * dimension): depth-0 (leaf-root) subset like the dense-link
-    * B-tree. Type 10 records are (address, scaled offsets); type 11
-    * adds (chunk size, filter mask) with the size width derivable
-    * from the record size. Scaled offset 0 × chunk dim = start
-    * record. */
+    * dimension): depth-0 and depth-1 trees via [[btree2Records]].
+    * Type 10 records are (address, scaled offsets); type 11 adds
+    * (chunk size, filter mask) with the size width derivable from the
+    * record size. Scaled offset × chunk dim = start position. */
   private def readBtree2Chunks(r: R, addr: Long, chunkRecs: Int, rank: Int,
       chunkCols: Int,
       filtered: Boolean, rawChunkBytes: Long, name: String): Array[H5Chunk] = {
-    val bt = new BB(r.bytesAt(addr, 38))
-    require(bt.u8() == 'B' && bt.u8() == 'T' && bt.u8() == 'H' && bt.u8() == 'D',
-      s"bad v2 B-tree signature at $addr for $name")
-    bt.skip(1)
-    val btType = bt.u8()
-    require(btType == 10 || btType == 11,
-      s"expected chunk B-tree record type 10/11, got $btType for $name")
-    require((btType == 11) == filtered,
-      s"v2 B-tree record type $btType inconsistent with filter pipeline of $name")
-    bt.skip(4)
-    val recSize = bt.u16()
-    val depth = bt.u16()
-    bt.skip(2)
-    val rootAddr = bt.u64()
-    val rootNRecs = bt.u16()
-    require(depth == 0, s"v2 chunk B-tree depth $depth unsupported (leaf-root only)")
+    val (recSize, n, recs) = btree2Records(r, addr, if (filtered) 11 else 10)
     val szLen = recSize - 8 - 4 - 8 * rank // type 11 chunk-size width
-    val leaf = new BB(r.bytesAt(rootAddr, 6 + rootNRecs * recSize))
-    require(leaf.u8() == 'B' && leaf.u8() == 'T' && leaf.u8() == 'L' && leaf.u8() == 'F',
-      s"bad v2 B-tree leaf signature at $rootAddr for $name")
-    leaf.skip(2)
-    (0 until rootNRecs).map { _ =>
-      val cAddr = leaf.u64()
+    (0 until n).map { _ =>
+      val cAddr = recs.u64()
       val (sz, mask) =
         if (filtered) {
           var s = 0L
-          (0 until szLen).foreach(k => s |= (leaf.u8().toLong << (8 * k)))
-          (s.toInt, leaf.u32().toInt)
+          (0 until szLen).foreach(k => s |= (recs.u8().toLong << (8 * k)))
+          (s.toInt, recs.u32().toInt)
         } else (rawChunkBytes.toInt, 0)
-      val scaled0 = leaf.u64()
-      val scaled1 = if (rank > 1) leaf.u64() else 0L
-      (2 until rank).foreach(_ => leaf.u64())
+      val scaled0 = recs.u64()
+      val scaled1 = if (rank > 1) recs.u64() else 0L
+      (2 until rank).foreach(_ => recs.u64())
       H5Chunk(scaled0 * chunkRecs, cAddr, sz, mask, (scaled1 * chunkCols).toInt)
     }.sortBy(c => (c.startRec, c.startCol)).toArray
   }
@@ -2003,27 +2128,63 @@ object Hdf5Format {
     }
   }
 
-  /** A depth-0 v2 B-tree's leaf records, raw: (recordSize, count,
-    * BB positioned at the first record). */
-  private def btree2Leaf(r: R, addr: Long, expectType: Int): (Int, Int, BB) = {
+  /** A v2 B-tree's records, raw and concatenated in key order:
+    * (recordSize, count, BB positioned at the first record). Depth 0
+    * reads the root leaf directly; depth 1 walks the BTIN internal
+    * root, interleaving each child leaf's records with the root's own
+    * separator records (child0 < rec0 < child1 < …) — the shape any
+    * file reaches once its records outgrow one node. The child
+    * pointer's record-count width derives from the leaf capacity
+    * ((nodeSize − 10) / recSize), per the format spec's variable-size
+    * encoding. Deeper trees are rejected loudly. */
+  private def btree2Records(r: R, addr: Long, expectType: Int): (Int, Int, BB) = {
     val bt = new BB(r.bytesAt(addr, 38))
     require(bt.u8() == 'B' && bt.u8() == 'T' && bt.u8() == 'H' && bt.u8() == 'D',
       s"bad v2 B-tree signature at $addr")
     bt.skip(1) // version
     val btType = bt.u8()
     require(btType == expectType, s"expected B-tree record type $expectType, got $btType")
-    bt.skip(4) // node size
+    val nodeSize = bt.u32().toInt
     val recSize = bt.u16()
     val depth = bt.u16()
     bt.skip(2) // split/merge percents
     val btRootAddr = bt.u64()
     val rootNRecs = bt.u16()
-    require(depth == 0, s"v2 B-tree depth $depth unsupported (leaf-root only)")
-    val leaf = new BB(r.bytesAt(btRootAddr, 6 + rootNRecs * recSize))
-    require(leaf.u8() == 'B' && leaf.u8() == 'T' && leaf.u8() == 'L' && leaf.u8() == 'F',
-      s"bad v2 B-tree leaf signature at $btRootAddr")
-    leaf.skip(2) // version, type
-    (recSize, rootNRecs, leaf)
+    def leafBytes(a: Long, n: Int): Array[Byte] = {
+      val leaf = r.bytesAt(a, 6 + n * recSize)
+      require(leaf(0) == 'B' && leaf(1) == 'T' && leaf(2) == 'L' && leaf(3) == 'F',
+        s"bad v2 B-tree leaf signature at $a")
+      require((leaf(5) & 0xff) == expectType,
+        s"v2 B-tree leaf type ${leaf(5)} != $expectType at $a")
+      java.util.Arrays.copyOfRange(leaf, 6, 6 + n * recSize)
+    }
+    if (depth == 0) (recSize, rootNRecs, new BB(leafBytes(btRootAddr, rootNRecs)))
+    else {
+      require(depth == 1, s"v2 B-tree depth $depth unsupported (<= 1)")
+      val maxLeafRec = (nodeSize - 10) / recSize
+      val nrecW =
+        if (maxLeafRec < (1 << 8)) 1 else if (maxLeafRec < (1 << 16)) 2 else 3
+      val inSize = 6 + rootNRecs * recSize + (rootNRecs + 1) * (8 + nrecW) + 4
+      val inBytes = r.bytesAt(btRootAddr, inSize)
+      require(inBytes(0) == 'B' && inBytes(1) == 'T' && inBytes(2) == 'I' && inBytes(3) == 'N',
+        s"bad v2 B-tree internal node signature at $btRootAddr")
+      val ptrs = new BB(inBytes)
+      ptrs.skip(6 + rootNRecs * recSize) // to the child pointer block
+      val out = new java.io.ByteArrayOutputStream()
+      var total = 0
+      (0 to rootNRecs).foreach { c =>
+        val ca = ptrs.u64()
+        var cn = 0
+        (0 until nrecW).foreach(k => cn |= (ptrs.u8() << (8 * k)))
+        out.write(leafBytes(ca, cn))
+        total += cn
+        if (c < rootNRecs) {
+          out.write(inBytes, 6 + c * recSize, recSize)
+          total += 1
+        }
+      }
+      (recSize, total, new BB(out.toByteArray))
+    }
   }
 
   private def readDenseLinks(r: R, body: Array[Byte]): Seq[(String, Long)] = {
@@ -2037,7 +2198,7 @@ object Hdf5Format {
     if (fheapAddr == UNDEF || nameBtAddr == UNDEF) return Nil // empty dense group
     val heap = new FractalHeap(r, fheapAddr)
     // record type 5 (link name): hash(4) + heap id
-    val (recSize, n, leaf) = btree2Leaf(r, nameBtAddr, 5)
+    val (recSize, n, leaf) = btree2Records(r, nameBtAddr, 5)
     require(recSize == 4 + heap.heapIdLen,
       s"type-5 record size $recSize != ${4 + heap.heapIdLen}")
     (0 until n).flatMap { _ =>
@@ -2062,7 +2223,7 @@ object Hdf5Format {
     val nameBtAddr = ai.u64()
     if (fheapAddr == UNDEF || nameBtAddr == UNDEF) return Nil
     val heap = new FractalHeap(r, fheapAddr)
-    val (recSize, n, leaf) = btree2Leaf(r, nameBtAddr, 8)
+    val (recSize, n, leaf) = btree2Records(r, nameBtAddr, 8)
     require(recSize == heap.heapIdLen + 1 + 4 + 4,
       s"type-8 record size $recSize != ${heap.heapIdLen + 9}")
     (0 until n).flatMap { _ =>
@@ -2214,6 +2375,7 @@ object Hdf5Format {
     var chunkDims: Seq[Int] = Nil
     var btreeAddr = UNDEF
     var contiguous = UNDEF
+    var compactBytes: Array[Byte] = Array.emptyByteArray
     var layoutV4 = false
     var chunkIdxType = 0
     var idxPageBits = 0
@@ -2290,7 +2452,12 @@ object Hdf5Format {
           btreeAddr = b.u64() // the index structure's address
         } else if (cls == 1) {
           contiguous = b.u64()
-        } else throw new java.io.IOException("compact layout unsupported")
+        } else if (cls == 0) {
+          // compact (class 0): the data is inline, right here in the
+          // layout message — what small coordinate-style variables use
+          val sz = b.u16()
+          compactBytes = b.slice(sz)
+        } else throw new java.io.IOException(s"unknown layout class $cls for $name")
       case (MSG_FILTER, body) =>
         val b = new BB(body)
         val ver = b.u8()
@@ -2419,7 +2586,7 @@ object Hdf5Format {
       }
     Some(H5Var(name, kind, dims.head, math.max(1, chunkRecs), deflate,
       contiguous, chunks, attrs.toSeq, shuffle = shuffle, fletcher = fletcher,
-      chunkCols = chunkColsOf))
+      chunkCols = chunkColsOf, compactData = compactBytes))
   }
 
   /** File metadata: superblock (v0-v3) → root group → datasets. Only
@@ -2575,7 +2742,11 @@ object Hdf5Format {
     }
 
     private var ci = 0
-    private val raw = new Array[Byte]((v.kind.rowBytes * slabRecs).toInt)
+    /** compact variables (class 0) carry their whole payload in the
+      * metadata: the "chunk buffer" IS the inline data, pre-loaded */
+    private val raw =
+      if (v.compactData.nonEmpty) v.compactData
+      else new Array[Byte]((v.kind.rowBytes * slabRecs).toInt)
     /** trailing bytes beyond the data itself (the fletcher32 word) */
     private val extra = if (v.fletcher) 4 else 0
     /** scratch buffers for filtered chunks: inflate lands in `workA`;
@@ -2589,7 +2760,8 @@ object Hdf5Format {
       else Array.emptyByteArray
     private val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     private var chunkStart = 0L
-    private var chunkEnd = Long.MinValue
+    private var chunkEnd =
+      if (v.compactData.nonEmpty) v.numRecs else Long.MinValue
 
     /** total stored bytes this reader will fetch — the I/O-pruning
       * evidence the spec asserts on */

@@ -489,6 +489,40 @@ object Nc4Queries {
       |  CAST(SUM(CAST(l_tax AS DECIMAL(9,2))) AS DOUBLE) AS sum_tax
       |FROM lineitem""".stripMargin
 
+  /** COMPACT data layout (r8 — HDF5 class 0, the third and last
+    * layout class: the variable's entire payload rides INSIDE the
+    * object header's layout message, ≤64 KiB by contract — what tiny
+    * dimension-scale and lookup variables use in wild files, and the
+    * one layout where data is free at metadata-read time): the gate
+    * writes the nation dimension table compact — longs AND a
+    * fixed-width string column inline — and the read side must serve
+    * rows straight from the header bytes with no data I/O at all;
+    * string min/max pin the NUL-trim path through the inline buffer. */
+  def nc4CompactLayout: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5compact")
+    t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+      .repartition(1)
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("layout", "compact")
+      .option("stringwidth", "32")
+      .save(out)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_nationkey")).as("sum_nk"),
+        sum(col("n_regionkey")).as("sum_rk"),
+        min(col("n_name")).as("min_name"),
+        max(col("n_name")).as("max_name"))
+  }
+
+  val nc4CompactLayoutSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_nk,
+      |  CAST(SUM(n_regionkey) AS BIGINT) AS sum_rk,
+      |  MIN(n_name) AS min_name, MAX(n_name) AS max_name
+      |FROM nation""".stripMargin
+
   /** EXTENSIBLE ARRAY chunk index (r8 — layout-v4 index type 4: what
     * HDF5 ≥1.10 emits for chunked data with ONE unlimited dimension,
     * i.e. exactly the record-streamed shape every netCDF-4 time-series
@@ -1006,6 +1040,7 @@ object Nc4Queries {
     "nc4_extensible_array" -> nc4ExtensibleArray,
     "nc4_partial_chunks" -> nc4PartialChunks,
     "nc4_contiguous" -> nc4Contiguous,
+    "nc4_compact_layout" -> nc4CompactLayout,
     "nc4_dense_attrs" -> nc4DenseAttrs,
     "nc4_read_prune" -> nc4ReadPrune,
     "nc4_attrs" -> nc4Attrs,
@@ -1031,6 +1066,7 @@ object Nc4Queries {
     "nc4_extensible_array" -> nc4ExtensibleArraySql,
     "nc4_partial_chunks" -> nc4PartialChunksSql,
     "nc4_contiguous" -> nc4ContiguousSql,
+    "nc4_compact_layout" -> nc4CompactLayoutSql,
     "nc4_dense_attrs" -> nc4DenseAttrsSql,
     "nc4_read_prune" -> nc4ReadPruneSql,
     "nc4_attrs" -> nc4AttrsSql,

@@ -125,9 +125,9 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
 
   private val chunkRecs = options.getOrElse("chunkrecs", "4096").toInt
   // deflate defaults on (the library default) — except under the
-  // contiguous layout, whose HDF5 contract admits no filter pipeline
+  // contiguous/compact layouts, whose HDF5 contract admits no filters
   private val deflate = options.get("deflate").map(_.toBoolean)
-    .getOrElse(options.getOrElse("layout", "chunked") != "contiguous")
+    .getOrElse(options.getOrElse("layout", "chunked") == "chunked")
   private val shuffle = options.get("shuffle").exists(_.toBoolean)
   private val fletcher = options.get("fletcher").exists(_.toBoolean)
   private val h5ver = options.getOrElse("h5ver", "0").toInt

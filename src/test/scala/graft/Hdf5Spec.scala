@@ -440,6 +440,39 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
+  test("v2 B-tree depth-1 split and paged fixed array handle many chunks") {
+    // 250 chunks exceed one 2048-byte leaf (84 records at recSize 24)
+    // → honest depth-1 BTIN split with separators in the root
+    val d1 = "/tmp/graft_h5/btree2_deep"
+    val df = spark.range(5000).select(col("id").as("k"),
+      (col("id") * 7).cast(DoubleType).as("x"))
+    df.coalesce(1).write.format(SRC).mode("overwrite")
+      .option("h5ver", "2").option("chunkindex", "btree2")
+      .option("chunkrecs", "20").save(d1)
+    val m1 = Hdf5Format.readMeta(fs, NetCDF4Util.listFiles(fs, new Path(d1)).head)
+    assert(m1.vars.forall(_.chunks.length == 250), m1.vars.map(_.chunks.length).toString)
+    assert(m1.vars.forall(v => v.chunks.map(_.startRec).toSeq ==
+      (0 until 250).map(_ * 20L)), "depth-1 record order")
+    val b1 = spark.read.format(SRC).load(d1)
+    assert(b1.agg(sum("k"), sum("x")).head() == df.agg(sum("k"), sum("x")).head())
+    assert(b1.filter(col("record") >= 4000L && col("record") < 4100L)
+      .agg(sum("k")).head().getLong(0) == (4000L until 4100L).sum)
+    // 5000 chunks exceed the 2^12 fixed-array page → paged FADB with
+    // a bitmap and per-page checksums
+    val d2 = "/tmp/graft_h5/fixedarr_paged"
+    val df2 = spark.range(10000).select(col("id").as("k"))
+    df2.coalesce(1).write.format(SRC).mode("overwrite")
+      .option("h5ver", "2").option("chunkindex", "fixedarray")
+      .option("chunkrecs", "2").option("shuffle", "true").save(d2)
+    val m2 = Hdf5Format.readMeta(fs, NetCDF4Util.listFiles(fs, new Path(d2)).head)
+    assert(m2.vars.forall(_.chunks.length == 5000), m2.vars.map(_.chunks.length).toString)
+    val b2 = spark.read.format(SRC).load(d2)
+    assert(b2.count() == 10000)
+    assert(b2.agg(sum("k")).head() == df2.agg(sum("k")).head())
+    assert(b2.filter(col("record") >= 9000L && col("record") < 9100L)
+      .agg(sum("k")).head().getLong(0) == (9000L until 9100L).sum)
+  }
+
   test("extensible-array chunk index (layout v4 type 4) walks all three levels") {
     for ((deflate, tag) <- Seq((true, "f"), (false, "raw"))) {
       val dir = s"/tmp/graft_h5/extarr_$tag"
@@ -474,6 +507,35 @@ class Hdf5Spec extends AnyFunSuite {
     val b2 = spark.read.format(SRC).load(d2)
     assert(b2.count() == 50)
     assert(b2.agg(sum("k")).head() == df2.agg(sum("k")).head())
+  }
+
+  test("compact layout (class 0) serves data straight from the header") {
+    for (h5ver <- Seq(0, 2)) {
+      val dir = s"/tmp/graft_h5/compact_$h5ver"
+      val df = spark.range(200).select(col("id").as("k"),
+        (col("id") * 0.5).as("x"),
+        concat(lit("name-"), col("id")).as("s"))
+      df.coalesce(1).write.format(SRC).mode("overwrite")
+        .option("layout", "compact").option("h5ver", h5ver.toString)
+        .option("stringwidth", "16").save(dir)
+      val f = NetCDF4Util.listFiles(fs, new Path(dir)).head
+      val meta = Hdf5Format.readMeta(fs, f)
+      assert(meta.vars.forall(_.compactData.nonEmpty), s"h5ver=$h5ver: inline data missing")
+      assert(meta.vars.forall(_.chunks.isEmpty))
+      assert(meta.vars.find(_.name == "k").get.compactData.length == 200 * 8)
+      val back = spark.read.format(SRC).load(dir)
+      assert(back.count() == 200)
+      val exp = df.agg(sum("k"), sum("x"), min("s"), max("s")).head()
+      val got = back.agg(sum("k"), sum("x"), min("s"), max("s")).head()
+      assert(exp == got, s"h5ver=$h5ver: $exp vs $got")
+    }
+    // the 60 KB contract bound fails loudly, not with a corrupt file
+    val e = intercept[Exception] {
+      spark.range(10000).select(col("id").as("k"))
+        .coalesce(1).write.format(SRC).mode("overwrite")
+        .option("layout", "compact").save("/tmp/graft_h5/compact_big")
+    }
+    assert(e.getMessage != null)
   }
 
   test("contiguous layout (class 1) roundtrips and slabs bound memory") {
