@@ -40,7 +40,8 @@ object SparkEntry {
       graft.operators.Winnowing.queries ++
       graft.operators.DatasetCard.queries ++
       graft.operators.DatasetDiff.queries ++
-      graft.operators.NgramLm.queries
+      graft.operators.NgramLm.queries ++
+      graft.operators.Bm25.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -71,5 +72,6 @@ object SparkEntry {
       graft.operators.Winnowing.oracles ++
       graft.operators.DatasetCard.oracles ++
       graft.operators.DatasetDiff.oracles ++
-      graft.operators.NgramLm.oracles
+      graft.operators.NgramLm.oracles ++
+      graft.operators.Bm25.oracles
 }
