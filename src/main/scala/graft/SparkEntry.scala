@@ -41,7 +41,8 @@ object SparkEntry {
       graft.operators.DatasetCard.queries ++
       graft.operators.DatasetDiff.queries ++
       graft.operators.NgramLm.queries ++
-      graft.operators.Bm25.queries
+      graft.operators.Bm25.queries ++
+      graft.operators.HybridSearch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -73,5 +74,6 @@ object SparkEntry {
       graft.operators.DatasetCard.oracles ++
       graft.operators.DatasetDiff.oracles ++
       graft.operators.NgramLm.oracles ++
-      graft.operators.Bm25.oracles
+      graft.operators.Bm25.oracles ++
+      graft.operators.HybridSearch.oracles
 }

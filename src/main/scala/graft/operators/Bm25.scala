@@ -42,7 +42,7 @@ object Bm25 {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val N_QUERIES = 8
+  private[operators] val N_QUERIES = 8
   private val TERMS_PER_QUERY = 10
   private val TOP_K = 5
 
@@ -51,7 +51,11 @@ object Bm25 {
       .select(col("doc_id"),
         explode(expr("filter(split(lower(text), ' '), w -> w != '')")).as("w"))
 
-  def textBm25TopK: Q = (s, dir) => {
+  /** The centi-quantized BM25 score table (qid, doc_id, score) for
+    * the [[N_QUERIES]] probe documents — shared by the top-k gate and
+    * the hybrid-fusion operator, so "lexical branch of hybrid" is
+    * provably the same plan as the standalone retrieval. */
+  private[operators] def scoredLex(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(s, dir).cache() // feeds tf, df, lengths, and query terms
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val stats = dl.groupBy().agg(count(lit(1)).as("n_docs"),
@@ -70,7 +74,7 @@ object Bm25 {
       .withColumn("rn", row_number().over(qw))
       .filter(col("rn") <= TERMS_PER_QUERY)
       .select("qid", "w")
-    val scored = tf
+    tf
       .join(broadcast(qterms), "w") // inverted-index access: query postings only
       .join(df, "w")
       .join(dl, "doc_id")
@@ -82,14 +86,19 @@ object Bm25 {
           |((2200000 * tf) div (1000 * tf + 12 * nrm_c))""".stripMargin))
       .groupBy("qid", "doc_id")
       .agg(sum(col("part")).as("score"))
+  }
+
+  def textBm25TopK: Q = (s, dir) => {
     val rw = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(rw).cast(LongType))
+    scoredLex(s, dir).withColumn("rank", row_number().over(rw).cast(LongType))
       .filter(col("rank") <= TOP_K)
       .select(col("qid"), col("doc_id"), col("score"), col("rank"))
   }
 
-  val textBm25TopKSql: String =
-    s"""WITH toks AS (
+  /** The DuckDB CTE chain ending in `scored(qid, doc_id, score)` —
+    * shared verbatim by the top-k oracle and the hybrid oracle. */
+  private[operators] val scoredLexCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), w -> w != '')) AS w
        |  FROM documents),
        |dl AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
@@ -117,7 +126,10 @@ object Bm25 {
        |  JOIN dl l ON l.doc_id = f.doc_id
        |  CROSS JOIN stats s
        |  WHERE f.doc_id <> q.qid
-       |  GROUP BY q.qid, f.doc_id)
+       |  GROUP BY q.qid, f.doc_id)""".stripMargin
+
+  val textBm25TopKSql: String =
+    s"""WITH $scoredLexCtes
        |SELECT qid, doc_id, CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
        |FROM (
        |  SELECT qid, doc_id, score,
