@@ -25,7 +25,10 @@ object BenchSf1 {
     "pipeline_keep_list", "dedup_simhash", "sim_sq_int8", "dedup_crossshard",
     "dedup_clusters", "stream_dedup_incremental", "dedup_eval",
     "dedup_minhash_lsh", "sim_ivf_pq", "grid_interpolate", "q5_join5",
-    "q17_events_hourly")
+    "q17_events_hourly",
+    // r8 late additions: the retrieval pair and the heaviest of the
+    // new netCDF-4 roundtrips
+    "text_bm25_topk", "sim_hybrid_rrf", "nc4_extensible_array")
 
   /** Key columns shifted per table: replica r adds r·stride so every
     * replica contributes DISTINCT entities. */

@@ -138,21 +138,28 @@ object Hdf5Format {
     def dblkNelmtsL(s: Int): Long = minElmts.toLong << ((s + 1) / 2)
     /** block offsets are stored in ceil(maxBits/8) bytes */
     val arrOffSize: Int = (maxBits + 7) / 8
+    /** elements per data-block page; blocks above this go PAGED */
+    val pageNelmts: Int = 1 << pageBits
+    def dblkPaged(s: Int): Boolean = dblkNelmtsL(s) > pageNelmts
+    def dblkNpages(s: Int): Int = dblkNelmts(s) / pageNelmts
+    /** per-data-block page-init bitmap bytes (lives in the EASB) */
+    def pageInitSize(s: Int): Int = (dblkNpages(s) + 7) / 8
     def iblkSize(elemSize: Int): Int =
       6 + 8 + idxElmts * elemSize + (nDblkAddrs + nSblkAddrs) * 8 + 4
+    /** unpaged data block: prefix + elements + checksum */
     def dblkSize(s: Int, elemSize: Int): Int =
       6 + 8 + arrOffSize + dblkNelmts(s) * elemSize + 4
-    def sblkSize(s: Int): Int = 6 + 8 + arrOffSize + ndblks(s) * 8 + 4
-    /** element capacity before the first PAGED data block (the subset
-      * bound — paged blocks are rejected loudly on both sides) */
-    def unpagedCapacity: Long = {
-      var cap = idxElmts.toLong
-      var s = 0
-      while (s < nSblks && dblkNelmts(s) <= (1 << pageBits)) {
-        cap += ndblks(s).toLong * dblkNelmts(s); s += 1
-      }
-      cap
-    }
+    /** paged data block: bare prefix + checksum; pages follow it */
+    def dblkPrefixSize: Int = 6 + 8 + arrOffSize + 4
+    def pageBytes(elemSize: Int): Int = pageNelmts * elemSize + 4
+    /** full on-disk extent of a data block, either form */
+    def dblkExtent(s: Int, elemSize: Int): Int =
+      if (dblkPaged(s)) dblkPrefixSize + dblkNpages(s) * pageBytes(elemSize)
+      else dblkSize(s, elemSize)
+    def sblkSize(s: Int): Int =
+      6 + 8 + arrOffSize +
+        (if (dblkPaged(s)) ndblks(s) * pageInitSize(s) else 0) +
+        ndblks(s) * 8 + 4
   }
 
   case class H5Var(
@@ -647,7 +654,8 @@ object Hdf5Format {
       chunkIndex: String = "btree1",
       denseAttrs: Boolean = false,
       chunkCols: Int = 0,
-      layout: String = "chunked") {
+      layout: String = "chunked",
+      eaPageBits: Int = 13) {
     require(h5ver == 0 || h5ver == 2, s"h5ver must be 0 or 2, got $h5ver")
     require(chunkCols >= 0, s"chunkCols must be >= 0, got $chunkCols")
     require(chunkCols == 0 || chunkIndex != "single",
@@ -822,7 +830,7 @@ object Hdf5Format {
         chunkDims.foreach(lay.u32)
         lay.u8(4)
         lay.u8(EA_MAX_BITS).u8(EA_IDX_ELMTS).u8(EA_MIN_PTRS)
-        lay.u8(EA_MIN_ELMTS).u8(EA_PAGE_BITS)
+        lay.u8(EA_MIN_ELMTS).u8(eaPageBits)
         lay.u64(btreeAddr)
       } else {
         lay.u8(3).u8(2).u8(dims.size + 1).u64(btreeAddr) // layout v3, chunked
@@ -1000,14 +1008,14 @@ object Hdf5Format {
 
     private final val FA_PAGE_BITS = 12 // unpaged up to 4096 chunks/var
 
-    // extensible-array creation params: library-like defaults except a
-    // 13-bit page so data blocks stay unpaged through superblock 18 —
-    // idx 4 + Σ_{s≤18} 16·2^s ≈ 8.4M chunks/var before the loud bound
+    // extensible-array creation params: library-like defaults; the
+    // page size is the `eaPageBits` constructor param (default 13-bit
+    // pages — data blocks stay unpaged through superblock 18, ≈ 8.4M
+    // chunks/var — smaller values exercise the paged walk)
     private final val EA_MAX_BITS = 32
     private final val EA_IDX_ELMTS = 4
     private final val EA_MIN_PTRS = 4
     private final val EA_MIN_ELMTS = 16
-    private final val EA_PAGE_BITS = 13
 
     /** Fixed Array chunk index (HDF5 ≥1.10 layout-v4 alternative to
       * the v1 B-tree): FAHD header + FADB data block of per-chunk
@@ -1167,10 +1175,14 @@ object Hdf5Format {
         selfAddr: Long): Array[Byte] = {
       val filtered = v.deflate || v.shuffle || v.fletcher
       val elemSize = if (filtered) 16 else 8 // addr + (size u32 + mask u32)
-      val g = EaGeom(EA_MAX_BITS, EA_IDX_ELMTS, EA_MIN_PTRS, EA_MIN_ELMTS, EA_PAGE_BITS)
+      val g = EaGeom(EA_MAX_BITS, EA_IDX_ELMTS, EA_MIN_PTRS, EA_MIN_ELMTS, eaPageBits)
       val n = v.stored.size
-      require(n <= g.unpagedCapacity,
-        s"extensible-array writer is unpaged: $n chunks > ${g.unpagedCapacity} for ${v.name}")
+      require(n <= (1 << 24),
+        s"extensible-array writer bound: $n chunks > ${1 << 24} for ${v.name}")
+      // directly-addressed data blocks (superblocks < firstSblk) must
+      // stay unpaged — their page bitmaps would have nowhere to live
+      require(g.firstSblk == 0 || !g.dblkPaged(g.firstSblk - 1),
+        s"eaPageBits $eaPageBits pages the index block's direct data blocks")
       // plan: which data blocks / secondary blocks are allocated
       // (a block is allocated iff its element range starts before n)
       final case class Db(s: Int, startElem: Long)
@@ -1207,7 +1219,7 @@ object Hdf5Format {
         case Some((s, _, dbs)) =>
           val sa = cur; cur += g.sblkSize(s)
           val das = dbs.map {
-            case Some(db) => val a = cur; cur += g.dblkSize(db.s, elemSize); a
+            case Some(db) => val a = cur; cur += g.dblkExtent(db.s, elemSize); a
             case None => UNDEF
           }
           (sa, das)
@@ -1226,13 +1238,13 @@ object Hdf5Format {
       val nDbAlloc = directAddrs.count(_ != UNDEF) +
         sblkAddrs.flatMap(_._2).count(_ != UNDEF)
       val dbBytes = directDbs.flatten.map(db => g.dblkSize(db.s, elemSize).toLong).sum +
-        sblks.flatten.flatMap(_._3.flatten).map(db => g.dblkSize(db.s, elemSize).toLong).sum
+        sblks.flatten.flatMap(_._3.flatten).map(db => g.dblkExtent(db.s, elemSize).toLong).sum
       val nSbAlloc = sblks.count(_.isDefined)
       val sbBytes = sblks.flatten.map { case (s, _, _) => g.sblkSize(s).toLong }.sum
       val hd = new Buf
       hd.bytes("EAHD".getBytes("ASCII")).u8(0).u8(if (filtered) 1 else 0)
       hd.u8(elemSize).u8(EA_MAX_BITS).u8(EA_IDX_ELMTS)
-      hd.u8(EA_MIN_ELMTS).u8(EA_MIN_PTRS).u8(EA_PAGE_BITS)
+      hd.u8(EA_MIN_ELMTS).u8(EA_MIN_PTRS).u8(eaPageBits)
       hd.u64(nSbAlloc.toLong).u64(sbBytes).u64(nDbAlloc.toLong).u64(dbBytes)
       hd.u64(n.toLong).u64(n.toLong)
       hd.u64(iblkAddr)
@@ -1248,15 +1260,32 @@ object Hdf5Format {
       sblkAddrs.foreach { case (sa, _) => ib.u64(sa) }
       val ibBytes = ib.result()
       out.bytes(ibBytes).u32(lookup3(ibBytes))
-      // direct data blocks
+      // data blocks: unpaged inline elements, or — past 2^eaPageBits
+      // elements — a bare prefix followed by per-checksummed pages
       def dataBlock(db: Db): Unit = {
-        val b = new Buf
-        b.bytes("EADB".getBytes("ASCII")).u8(0).u8(if (filtered) 1 else 0)
-        b.u64(selfAddr)
-        blockOff(b, db.startElem)
-        (0 until g.dblkNelmts(db.s)).foreach(i => elem(b, db.startElem + i))
-        val bb = b.result()
-        out.bytes(bb).u32(lookup3(bb))
+        if (g.dblkPaged(db.s)) {
+          val b = new Buf
+          b.bytes("EADB".getBytes("ASCII")).u8(0).u8(if (filtered) 1 else 0)
+          b.u64(selfAddr)
+          blockOff(b, db.startElem)
+          val bb = b.result()
+          out.bytes(bb).u32(lookup3(bb))
+          (0 until g.dblkNpages(db.s)).foreach { p =>
+            val pg = new Buf
+            val base = db.startElem + p.toLong * g.pageNelmts
+            (0 until g.pageNelmts).foreach(i => elem(pg, base + i))
+            val pgBytes = pg.result()
+            out.bytes(pgBytes).u32(lookup3(pgBytes))
+          }
+        } else {
+          val b = new Buf
+          b.bytes("EADB".getBytes("ASCII")).u8(0).u8(if (filtered) 1 else 0)
+          b.u64(selfAddr)
+          blockOff(b, db.startElem)
+          (0 until g.dblkNelmts(db.s)).foreach(i => elem(b, db.startElem + i))
+          val bb = b.result()
+          out.bytes(bb).u32(lookup3(bb))
+        }
       }
       directDbs.flatten.foreach(dataBlock)
       sblks.flatten.zip(sblkAddrs.filter(_._1 != UNDEF)).foreach {
@@ -1265,10 +1294,22 @@ object Hdf5Format {
           b.bytes("EASB".getBytes("ASCII")).u8(0).u8(if (filtered) 1 else 0)
           b.u64(selfAddr)
           blockOff(b, sblkStart)
+          if (g.dblkPaged(s)) {
+            // per-data-block page-init bitmaps: every page of an
+            // ALLOCATED block is initialized (unset elements are
+            // UNDEF addresses); unallocated blocks' pages are not
+            dbs.foreach { d =>
+              val bits = if (d.isDefined) 0xff else 0x00
+              (0 until g.pageInitSize(s)).foreach { k =>
+                val rem = g.dblkNpages(s) - k * 8
+                val mask = if (rem >= 8) 0xff else (1 << rem) - 1
+                b.u8(bits & mask)
+              }
+            }
+          }
           das.foreach(b.u64)
           val bb = b.result()
           out.bytes(bb).u32(lookup3(bb))
-          val _ = s
           dbs.flatten.foreach(dataBlock)
       }
       out.result()
@@ -1931,10 +1972,13 @@ object Hdf5Format {
     * data blocks. The element→position law is the [[EaGeom]]
     * superblock doubling table re-derived from the header's own
     * creation params, so wild-file parameter choices (not just this
-    * writer's) resolve correctly; paged data blocks — only reached
-    * past ~65k chunks per file under library defaults — are rejected
-    * loudly. UNDEF addresses at any level are unallocated (sparse)
-    * regions and simply skip their element span. */
+    * writer's) resolve correctly. Data blocks past 2^pageBits
+    * elements are PAGED (reached past ~65k chunks per file under
+    * library defaults): the owning secondary block carries per-block
+    * page-init bitmaps ahead of the addresses, and each page ends in
+    * its own checksum. UNDEF addresses and uninitialized pages are
+    * unallocated (sparse) regions and simply skip their element
+    * span. */
   private def readExtensibleArrayChunks(r: R, addr: Long, chunkRecs: Int,
       nCB: Int, chunkCols: Int,
       filtered: Boolean, rawChunkBytes: Long, nChunks: Long,
@@ -1965,16 +2009,36 @@ object Hdf5Format {
       if (cAddr != UNDEF) acc += H5Chunk((posIdx / nCB) * chunkRecs, cAddr, sz, mask,
         ((posIdx % nCB) * chunkCols).toInt)
     }
-    def readDb(dbAddr: Long, s: Int, startPos: Long): Unit = {
+    /** One data block's elements. Unpaged blocks carry them inline;
+      * paged blocks (past 2^pageBits elements) are a bare prefix with
+      * per-checksummed pages following — `initBits` (from the owning
+      * secondary block's page bitmap) marks which pages exist;
+      * uninitialized pages are unallocated (fill) spans. */
+    def readDb(dbAddr: Long, s: Int, startPos: Long,
+        initBits: Array[Int]): Unit = {
       val ne = g.dblkNelmts(s)
-      require(ne <= (1 << pageBits),
-        s"paged extensible-array data block unsupported for $name (superblock $s: $ne elements)")
-      val db = new BB(r.bytesAt(dbAddr, g.dblkSize(s, elemSize)))
-      require(db.u8() == 'E' && db.u8() == 'A' && db.u8() == 'D' && db.u8() == 'B',
-        s"bad extensible array data block signature at $dbAddr for $name")
-      db.skip(2 + 8 + g.arrOffSize) // version, client, header addr, block offset
-      var i = 0
-      while (i < ne) { elemAt(db, startPos + i); i += 1 }
+      if (!g.dblkPaged(s)) {
+        val db = new BB(r.bytesAt(dbAddr, g.dblkSize(s, elemSize)))
+        require(db.u8() == 'E' && db.u8() == 'A' && db.u8() == 'D' && db.u8() == 'B',
+          s"bad extensible array data block signature at $dbAddr for $name")
+        db.skip(2 + 8 + g.arrOffSize) // version, client, header addr, block offset
+        var i = 0
+        while (i < ne) { elemAt(db, startPos + i); i += 1 }
+      } else {
+        val npages = g.dblkNpages(s)
+        val db = new BB(r.bytesAt(dbAddr, g.dblkExtent(s, elemSize)))
+        require(db.u8() == 'E' && db.u8() == 'A' && db.u8() == 'D' && db.u8() == 'B',
+          s"bad extensible array data block signature at $dbAddr for $name")
+        db.skip(2 + 8 + g.arrOffSize + 4) // prefix + its checksum
+        (0 until npages).foreach { p =>
+          val base = startPos + p.toLong * g.pageNelmts
+          if ((initBits(p / 8) & (1 << (p % 8))) != 0) {
+            var i = 0
+            while (i < g.pageNelmts) { elemAt(db, base + i); i += 1 }
+          } else db.skip(g.pageNelmts * elemSize)
+          db.skip(4) // page checksum
+        }
+      }
     }
     val ib = new BB(r.bytesAt(iblkAddr, g.iblkSize(elemSize)))
     require(ib.u8() == 'E' && ib.u8() == 'A' && ib.u8() == 'I' && ib.u8() == 'B',
@@ -1988,24 +2052,34 @@ object Hdf5Format {
     (0 until g.firstSblk).foreach { s =>
       (0 until g.ndblks(s)).foreach { _ =>
         val a = directAddrs(slot); slot += 1
-        if (a != UNDEF) readDb(a, s, pos)
+        if (a != UNDEF) {
+          require(!g.dblkPaged(s),
+            s"paged directly-addressed extensible-array data block for $name (superblock $s)")
+          readDb(a, s, pos, Array.empty)
+        }
         pos += g.dblkNelmts(s)
       }
     }
+    val allInit = Array.fill(32)(0xff) // unpaged blocks need no bitmap
     (g.firstSblk until g.nSblks).foreach { s =>
       if (pos < nChunks) {
         val sa = sblkAddrs(s - g.firstSblk)
         if (sa == UNDEF) pos += g.ndblksL(s) * g.dblkNelmtsL(s)
         else {
-          require(g.dblkNelmtsL(s) <= (1L << pageBits),
-            s"paged extensible-array superblock $s unsupported for $name")
           val sb = new BB(r.bytesAt(sa, g.sblkSize(s)))
           require(sb.u8() == 'E' && sb.u8() == 'A' && sb.u8() == 'S' && sb.u8() == 'B',
             s"bad extensible array secondary block signature at $sa for $name")
           sb.skip(2 + 8 + g.arrOffSize)
-          (0 until g.ndblks(s)).foreach { _ =>
+          // paged superblocks carry per-data-block page-init bitmaps
+          // AHEAD of the data block addresses
+          val bitmaps: IndexedSeq[Array[Int]] =
+            if (g.dblkPaged(s))
+              (0 until g.ndblks(s)).map(_ =>
+                Array.fill(g.pageInitSize(s))(sb.u8()))
+            else (0 until g.ndblks(s)).map(_ => allInit)
+          (0 until g.ndblks(s)).foreach { d =>
             val a = sb.u64()
-            if (a != UNDEF) readDb(a, s, pos)
+            if (a != UNDEF) readDb(a, s, pos, bitmaps(d))
             pos += g.dblkNelmts(s)
           }
         }

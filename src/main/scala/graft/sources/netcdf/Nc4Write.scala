@@ -138,6 +138,7 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
   private val denseAttrs = options.get("denseattrs").exists(_.toBoolean)
   private val chunkCols = options.getOrElse("chunkcols", "0").toInt
   private val layout = options.getOrElse("layout", "chunked")
+  private val eaPageBits = options.getOrElse("eapagebits", "13").toInt
   private val declaredLens = NcWriteConf.arrayLens(options)
 
   private val getters: Array[InternalRow => Any] =
@@ -190,7 +191,7 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
         lens, h5ver, shuffle = shuffle, fletcher = fletcher,
         vlenStrings = vlenStrings, denseRoot = denseGroups,
         chunkIndex = chunkIndex, denseAttrs = denseAttrs, chunkCols = chunkCols,
-        layout = layout)
+        layout = layout, eaPageBits = eaPageBits)
     }
     var i = 0
     while (i < schema.size) {

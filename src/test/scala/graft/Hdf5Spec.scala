@@ -507,6 +507,26 @@ class Hdf5Spec extends AnyFunSuite {
     val b2 = spark.read.format(SRC).load(d2)
     assert(b2.count() == 50)
     assert(b2.agg(sum("k")).head() == df2.agg(sum("k")).head())
+    // PAGED data blocks: 6-bit pages (64 elements) keep the direct
+    // region unpaged but page every secondary-block data block from
+    // superblock 5 on — 1500 chunks reach superblock 6, so the walk
+    // crosses bitmaps and per-page checksums in two paged superblocks
+    val d3 = "/tmp/graft_h5/extarr_paged"
+    val df3 = spark.range(6000).select(col("id").as("k"),
+      (col("id") * 1.25).as("x"))
+    df3.coalesce(1).write.format(SRC).mode("overwrite")
+      .option("h5ver", "2").option("chunkindex", "extarray")
+      .option("chunkrecs", "4").option("eapagebits", "6")
+      .option("shuffle", "true").save(d3)
+    val m3 = Hdf5Format.readMeta(fs, NetCDF4Util.listFiles(fs, new Path(d3)).head)
+    assert(m3.vars.forall(_.chunks.length == 1500), m3.vars.map(_.chunks.length).toString)
+    assert(m3.vars.forall(v => v.chunks.map(_.startRec).toSeq ==
+      (0 until 1500).map(_ * 4L)), "paged walk must be gapless and ordered")
+    val b3 = spark.read.format(SRC).load(d3)
+    assert(b3.count() == 6000)
+    assert(b3.agg(sum("k"), sum("x")).head() == df3.agg(sum("k"), sum("x")).head())
+    assert(b3.filter(col("record") >= 5000L && col("record") < 5200L)
+      .agg(sum("k")).head().getLong(0) == (5000L until 5200L).sum)
   }
 
   test("compact layout (class 0) serves data straight from the header") {
