@@ -63,6 +63,8 @@ object Hdf5Format {
       case KFloat => FloatType
       case _: KString => StringType
       case KVlenStr => StringType
+      case KVlenSeq(base) => ArrayType(base.sparkType, containsNull = false)
+      case KEnum(base, _) => base.sparkType
       case KCompound(ms, _) =>
         StructType(ms.map { case (n, k, _) => StructField(n, k.sparkType, nullable = false) })
       case _: KFloatArr => ArrayType(FloatType, containsNull = false)
@@ -87,12 +89,26 @@ object Hdf5Format {
     * (u32 byte length, u64 collection address, u32 object index); the
     * string bytes live in GCOL collections. */
   case object KVlenStr extends H5Kind(9, 16)
+  /** netCDF-4 vlen SEQUENCE (`createVLType` — RAGGED arrays, each
+    * record its own length): the same 16-byte heap-reference scheme
+    * as vlen strings, but the ref's length field counts base-type
+    * ELEMENTS and the heap payload is count·elemSize raw LE bytes.
+    * Scalar LE base kinds only (rejected loudly otherwise). */
+  case class KVlenSeq(base: H5Kind) extends H5Kind(9, 16)
   /** HDF5 compound datatype (class 6) → Spark struct: members are
     * (name, scalar kind, byte offset) within a `size`-byte element.
     * Nested compounds/arrays are out of the subset (rejected loudly
     * at parse). */
   case class KCompound(members: Seq[(String, H5Kind, Int)], size: Int)
     extends H5Kind(6, size)
+  /** HDF5 enumeration (class 8) — netCDF-4 `createEnumType`, the last
+    * of the library's user-defined-type trio: an integer base type
+    * plus a named-member table. Data reads as the base integers (the
+    * netCDF4 semantics — the mapping is metadata), and the member
+    * table surfaces as a synthetic `_enum_members` attribute so the
+    * metadata path can gate it. */
+  case class KEnum(base: H5Kind, members: Seq[(String, Long)])
+    extends H5Kind(8, base.elemSize)
   case class KFloatArr(k: Int) extends H5Kind(1, 4)
   case class KDoubleArr(k: Int) extends H5Kind(1, 8)
   case class KLongArr(k: Int) extends H5Kind(0, 8)
@@ -373,6 +389,25 @@ object Hdf5Format {
         // library emits for `str` variables).
         b.u8(0x19).u8(0x01).u8(0x01).u8(0).u32(16)
         b.u8(0x13).u8(0).u8(0).u8(0).u32(1)
+      case KVlenSeq(base) =>
+        // class 9 vlen, v1; bitfield: type=sequence (bits 0-3 = 0);
+        // properties carry the base datatype message
+        b.u8(0x19).u8(0x00).u8(0).u8(0).u32(16)
+        b.bytes(datatypeBytes(base))
+      case KEnum(base, ms) =>
+        // class 8 enum, v1; bitfield = member count; properties: base
+        // datatype message, then NUL-terminated names each padded to
+        // a multiple of 8 (v1/v2 framing), then base-sized LE values
+        b.u8(0x18).u8(ms.size & 0xff).u8((ms.size >> 8) & 0xff).u8(0)
+        b.u32(base.elemSize)
+        b.bytes(datatypeBytes(base))
+        ms.foreach { case (n, _) =>
+          val nb = n.getBytes("UTF-8")
+          b.bytes(nb).u8(0).zeros((8 - ((nb.length + 1) % 8)) % 8)
+        }
+        ms.foreach { case (_, value) =>
+          (0 until base.elemSize).foreach(k => b.u8(((value >> (8 * k)) & 0xff).toInt))
+        }
       case KCompound(ms, size) =>
         // class 6 compound, v1; bitfield = member count. Each member:
         // NUL-terminated name padded to 8, byte offset, dimensionality
@@ -578,6 +613,41 @@ object Hdf5Format {
           vlenValues += sb
           numRecs += 1
           return // refs flow through flushVlenRefs at finish()
+        case KVlenSeq(base) =>
+          // ragged array → raw LE payload bytes; length rides in the
+          // heap ref as an ELEMENT count at finish()
+          val elems: Seq[Any] = v match {
+            case a: Array[_] => a.toSeq
+            case s: Seq[_] => s
+            case null => Seq.empty
+            case x => Seq(x)
+          }
+          val pb = ByteBuffer.allocate(elems.length * base.elemSize)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          elems.foreach { e =>
+            base match {
+              case KLong => pb.putLong(e match { case n: Number => n.longValue(); case _ => 0L })
+              case KInt => pb.putInt(e match { case n: Number => n.intValue(); case _ => 0 })
+              case KShort => pb.putShort(e match { case n: Number => n.shortValue(); case _ => 0.toShort })
+              case KDouble => pb.putDouble(e match { case n: Number => n.doubleValue(); case _ => 0.0 })
+              case KFloat => pb.putFloat(e match { case n: Number => n.floatValue(); case _ => 0f })
+              case o => throw new IllegalArgumentException(
+                s"unsupported vlen sequence base $o for $name")
+            }
+          }
+          vlenValues += pb.array()
+          numRecs += 1
+          return // refs flow through flushVlenRefs at finish()
+        case KEnum(base, _) =>
+          val x = v match { case n: Number => n.longValue(); case _ => 0L }
+          track(x.toDouble)
+          base match {
+            case KInt => bb.putInt(x.toInt)
+            case KLong => bb.putLong(x)
+            case KShort => bb.putShort(x.toShort)
+            case o => throw new IllegalArgumentException(
+              s"unsupported enum base $o for $name")
+          }
         case KCompound(ms, _) =>
           val arr = v.asInstanceOf[Array[Any]]
           var i = 0
@@ -655,7 +725,11 @@ object Hdf5Format {
       denseAttrs: Boolean = false,
       chunkCols: Int = 0,
       layout: String = "chunked",
-      eaPageBits: Int = 13) {
+      eaPageBits: Int = 13,
+      vlenSeqs: Boolean = false,
+      /** column → enum member table (netCDF4 `createEnumType`): the
+        * named column (int/long/short) writes as a class-8 enum */
+      enumTypes: Map[String, Seq[(String, Long)]] = Map.empty) {
     require(h5ver == 0 || h5ver == 2, s"h5ver must be 0 or 2, got $h5ver")
     require(chunkCols >= 0, s"chunkCols must be >= 0, got $chunkCols")
     require(chunkCols == 0 || chunkIndex != "single",
@@ -669,8 +743,8 @@ object Hdf5Format {
     /** compact (class 0): data inline in the object header, ≤64 KiB */
     private val compactLayout = layout == "compact"
     require(!(contiguousLayout || compactLayout) ||
-      (!deflate && !shuffle && !fletcher && !vlenStrings && chunkCols == 0),
-      s"$layout layout admits no filters, vlen strings, or tiling (HDF5 contract)")
+      (!deflate && !shuffle && !fletcher && !vlenStrings && !vlenSeqs && chunkCols == 0),
+      s"$layout layout admits no filters, vlen data, or tiling (HDF5 contract)")
     require(!denseRoot || h5ver == 2, "dense root groups require the 1.8+ layout (h5ver=2)")
     require(Seq("btree1", "fixedarray", "btree2", "single", "implicit", "extarray").contains(chunkIndex),
       s"chunkIndex must be btree1, fixedarray, btree2, single, implicit, or extarray; got $chunkIndex")
@@ -682,12 +756,19 @@ object Hdf5Format {
       "dense attribute storage requires the 1.8+ layout (h5ver=2)")
 
     private def kindOf(f: StructField): H5Kind = f.dataType match {
+      case LongType if enumTypes.contains(f.name) => KEnum(KLong, enumTypes(f.name))
+      case IntegerType if enumTypes.contains(f.name) => KEnum(KInt, enumTypes(f.name))
+      case ShortType if enumTypes.contains(f.name) => KEnum(KShort, enumTypes(f.name))
       case LongType => KLong
       case IntegerType => KInt
       case ShortType => KShort
       case DoubleType => KDouble
       case FloatType => KFloat
       case StringType => if (vlenStrings) KVlenStr else KString(stringWidth)
+      case ArrayType(FloatType, _) if vlenSeqs => KVlenSeq(KFloat)
+      case ArrayType(DoubleType, _) if vlenSeqs => KVlenSeq(KDouble)
+      case ArrayType(LongType, _) if vlenSeqs => KVlenSeq(KLong)
+      case ArrayType(IntegerType, _) if vlenSeqs => KVlenSeq(KInt)
       case ArrayType(FloatType, _) => KFloatArr(arrayLens(f.name))
       case ArrayType(DoubleType, _) => KDoubleArr(arrayLens(f.name))
       case ArrayType(LongType, _) => KLongArr(arrayLens(f.name))
@@ -1354,8 +1435,14 @@ object Hdf5Format {
       * sizes. Collections are ≥4 KiB (spec III.E; shortfall becomes a
       * free-space pseudo-object 0) and close at ~64 KiB so one huge
       * corpus never builds one huge collection. */
+    /** true for both vlen flavors (strings and ragged sequences) */
+    private def isVlen(k: H5Kind): Boolean = k match {
+      case KVlenStr | KVlenSeq(_) => true
+      case _ => false
+    }
+
     private def materializeVlen(base: Long): Array[Byte] = {
-      if (!vars.exists(_.kind == KVlenStr)) return Array.emptyByteArray
+      if (!vars.exists(v => isVlen(v.kind))) return Array.emptyByteArray
       val heap = new Buf
       var collStart = 0
       var objs = new Buf
@@ -1380,7 +1467,12 @@ object Hdf5Format {
         nObjs = 0
       }
       vars.foreach { v =>
-        if (v.kind == KVlenStr) {
+        if (isVlen(v.kind)) {
+          // sequence refs carry ELEMENT counts; string refs byte counts
+          val refElems = v.kind match {
+            case KVlenSeq(b) => b.elemSize
+            case _ => 1
+          }
           val refs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int)]
           v.vlenValues.foreach { bytes =>
             val objSize = 16 + pad8(bytes.length)
@@ -1388,7 +1480,7 @@ object Hdf5Format {
             nObjs += 1
             objs.u16(nObjs).u16(1).u32(0).u64(bytes.length.toLong)
             objs.bytes(bytes).padTo8()
-            refs += ((bytes.length, base + collStart, nObjs))
+            refs += ((bytes.length / refElems, base + collStart, nObjs))
           }
           v.flushVlenRefs(refs.toSeq)
         }
@@ -2450,6 +2542,8 @@ object Hdf5Format {
     var btreeAddr = UNDEF
     var contiguous = UNDEF
     var compactBytes: Array[Byte] = Array.emptyByteArray
+    var vlenBase: Option[H5Kind] = None
+    var enumInfo: Option[(H5Kind, Seq[(String, Long)])] = None
     var layoutV4 = false
     var chunkIdxType = 0
     var idxPageBits = 0
@@ -2482,9 +2576,33 @@ object Hdf5Format {
           throw new java.io.IOException("big-endian HDF5 datatypes unsupported")
         signed = kindCls != 0 || (bf0 & 0x08) != 0
         if (kindCls == 3) strWidth = elemSize
-        if (kindCls == 9 && (bf0 & 0x0f) != 1)
-          throw new java.io.IOException(
-            s"vlen SEQUENCE datatypes unsupported for $name (only vlen strings)")
+        if (kindCls == 9) {
+          val vt = bf0 & 0x0f
+          if (vt == 0) // SEQUENCE: ragged arrays; base datatype follows
+            vlenBase = Some(parseMemberDt(b, s"$name (vlen base)"))
+          else if (vt != 1) throw new java.io.IOException(
+            s"unknown vlen type $vt for $name (sequence and string only)")
+        }
+        if (kindCls == 8) {
+          // enumeration: base datatype, then NUL-terminated names
+          // (8-padded before v3), then base-sized LE values
+          val nMembers = bf0 | (bf1 << 8)
+          val enumVer = clsVer >> 4
+          val base = parseMemberDt(b, s"$name (enum base)")
+          val names = (0 until nMembers).map { _ =>
+            val sb = new StringBuilder
+            var c = b.u8(); var used = 1
+            while (c != 0) { sb.append(c.toChar); c = b.u8(); used += 1 }
+            if (enumVer < 3) b.skip((8 - (used % 8)) % 8)
+            sb.toString
+          }
+          val values = (0 until nMembers).map { _ =>
+            var ev = 0L
+            (0 until base.elemSize).foreach(k => ev |= (b.u8().toLong << (8 * k)))
+            ev
+          }
+          enumInfo = Some((base, names.zip(values)))
+        }
         if (kindCls == 6)
           compMembers = parseCompoundMembers(b, clsVer >> 4,
             bf0 | (bf1 << 8), elemSize, name)
@@ -2581,7 +2699,12 @@ object Hdf5Format {
       case (1, 8, 1) => KDouble
       case (1, 4, 1) => KFloat
       case (3, w, 1) => KString(w)
-      case (9, 16, 1) => KVlenStr
+      case (9, 16, 1) => vlenBase.map(KVlenSeq.apply).getOrElse(KVlenStr)
+      case (8, sz, 1) =>
+        val (base, ms) = enumInfo.getOrElse(throw new java.io.IOException(
+          s"enum datatype without member table for $name"))
+        require(base.elemSize == sz, s"enum base size ${base.elemSize} != $sz for $name")
+        KEnum(base, ms)
       case (6, sz, 1) => KCompound(compMembers, sz)
       case (1, 4, 2) => KFloatArr(dims(1).toInt)
       case (1, 8, 2) => KDoubleArr(dims(1).toInt)
@@ -2658,8 +2781,15 @@ object Hdf5Format {
         walk(btreeAddr)
         acc.sortBy(c => (c.startRec, c.startCol)).toArray
       }
+    // the enum member table surfaces as a synthetic attribute so the
+    // metadata path (readAttrs) can gate it — derived from the
+    // datatype message, never stored as a real attribute
+    val attrsOut = attrs.toSeq ++ enumInfo.map { case (_, ms) =>
+      H5Attr("_enum_members",
+        Some(ms.map { case (n2, ev) => s"$n2=$ev" }.mkString(",")), Array.empty)
+    }
     Some(H5Var(name, kind, dims.head, math.max(1, chunkRecs), deflate,
-      contiguous, chunks, attrs.toSeq, shuffle = shuffle, fletcher = fletcher,
+      contiguous, chunks, attrsOut, shuffle = shuffle, fletcher = fletcher,
       chunkCols = chunkColsOf, compactData = compactBytes))
   }
 
@@ -2992,6 +3122,36 @@ object Hdf5Format {
       val bytes = gcol(addr).getOrElse(idx,
         throw new java.io.IOException(s"global heap object $idx missing at $addr for ${v.name}"))
       if (bytes.length == len) bytes else java.util.Arrays.copyOf(bytes, len)
+    }
+
+    /** Resolve a vlen-SEQUENCE element: the ref's length field counts
+      * base-type elements; payload decodes as a raw LE run. */
+    def getVlenSeq(rec: Long, base: H5Kind): Array[Any] = {
+      val off = ensure(rec)
+      val n = bb.getInt(off)
+      val addr = bb.getLong(off + 4)
+      val idx = bb.getInt(off + 12)
+      if (n == 0 || addr == 0L || addr == UNDEF) return Array.empty[Any]
+      val bytes = gcol(addr).getOrElse(idx,
+        throw new java.io.IOException(s"global heap object $idx missing at $addr for ${v.name}"))
+      require(bytes.length >= n * base.elemSize,
+        s"vlen sequence payload ${bytes.length} < ${n * base.elemSize} for ${v.name}")
+      val pb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) = base match {
+          case KLong => pb.getLong(i * 8)
+          case KInt => pb.getInt(i * 4)
+          case KShort => pb.getShort(i * 2)
+          case KDouble => pb.getDouble(i * 8)
+          case KFloat => pb.getFloat(i * 4)
+          case o => throw new java.io.IOException(
+            s"unsupported vlen sequence base $o for ${v.name}")
+        }
+        i += 1
+      }
+      out
     }
     @inline private def tileOff(rec: Long, k: Int, j: Int, esz: Int): Int =
       (rec % v.chunkRecs).toInt * tileRowBytes + (k - j * v.chunkCols) * esz

@@ -489,6 +489,84 @@ object Nc4Queries {
       |  CAST(SUM(CAST(l_tax AS DECIMAL(9,2))) AS DOUBLE) AS sum_tax
       |FROM lineitem""".stripMargin
 
+  /** VLEN SEQUENCES (r8 — netCDF-4 `createVLType`: RAGGED arrays,
+    * each record its own length — observation series, per-key event
+    * lists, anything a fixed second dimension cannot hold): per-order
+    * quantity lists (1..7 elements, genuinely ragged) write as HDF5
+    * class-9 sequence variables — 16-byte heap refs whose length
+    * field counts base elements, payloads as raw LE runs in the
+    * global heap — through the library-default deflate pipeline, and
+    * the read side surfaces a true ArrayType column; the gate sums
+    * element counts and DECIMAL-exact element values, so a wrong
+    * count or one lost element anywhere breaks the hash. */
+  def nc4VlenSeq: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5vlenseq")
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(col("l_quantity").cast(DoubleType)).as("qtys"))
+      .repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("vlenseqs", "true")
+      .save(out)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        sum(size(col("qtys"))).cast(LongType).as("n_elems"),
+        sum(expr(
+          "aggregate(qtys, CAST(0 AS DECIMAL(20,2)), (acc, x) -> CAST(acc + CAST(x AS DECIMAL(9,2)) AS DECIMAL(20,2)))"))
+          .cast(DoubleType).as("sum_q"),
+        max(size(col("qtys"))).cast(LongType).as("max_len"))
+  }
+
+  val nc4VlenSeqSql: String =
+    """WITH g AS (
+      |  SELECT l_orderkey, COUNT(*) AS cnt,
+      |    SUM(CAST(l_quantity AS DECIMAL(9,2))) AS qsum
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_elems,
+      |  CAST(SUM(qsum) AS DOUBLE) AS sum_q,
+      |  CAST(MAX(cnt) AS BIGINT) AS max_len
+      |FROM g""".stripMargin
+
+  /** ENUM datatypes (r8 — netCDF-4 `createEnumType`, completing the
+    * library's user-defined-type trio after compound and vlen: a
+    * flag/category variable whose integer codes carry a named-member
+    * table in the TYPE itself): l_linenumber writes as a class-8 enum
+    * (LINE1..LINE7), the reader parses base type + member table from
+    * the datatype message's own properties and serves the integers
+    * with netCDF4 semantics, and the member table surfaces as a
+    * synthetic `_enum_members` attribute riding in the gate row — so
+    * one wrong name byte or value in the member framing breaks the
+    * hash alongside the data aggregate. */
+  def nc4Enum: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5enum")
+    val members = (1 to 7).map(i => s"LINE$i=$i").mkString(",")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast(IntegerType).as("l_linenumber"))
+      .repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("enum.l_linenumber", members)
+      .save(out)
+    val agg = s.read.format(SRC).load(out)
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_key"),
+        sum(col("l_linenumber").cast(LongType)).as("sum_line"))
+    val memRow = Hdf5IO.readAttrs(s, out)
+      .filter(col("attr_name") === "_enum_members")
+      .select(col("sval").as("members")).distinct()
+    agg.crossJoin(broadcast(memRow))
+  }
+
+  val nc4EnumSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
+      |  'LINE1=1,LINE2=2,LINE3=3,LINE4=4,LINE5=5,LINE6=6,LINE7=7' AS members
+      |FROM lineitem""".stripMargin
+
   /** COMPACT data layout (r8 — HDF5 class 0, the third and last
     * layout class: the variable's entire payload rides INSIDE the
     * object header's layout message, ≤64 KiB by contract — what tiny
@@ -1041,6 +1119,8 @@ object Nc4Queries {
     "nc4_partial_chunks" -> nc4PartialChunks,
     "nc4_contiguous" -> nc4Contiguous,
     "nc4_compact_layout" -> nc4CompactLayout,
+    "nc4_vlen_seq" -> nc4VlenSeq,
+    "nc4_enum" -> nc4Enum,
     "nc4_dense_attrs" -> nc4DenseAttrs,
     "nc4_read_prune" -> nc4ReadPrune,
     "nc4_attrs" -> nc4Attrs,
@@ -1067,6 +1147,8 @@ object Nc4Queries {
     "nc4_partial_chunks" -> nc4PartialChunksSql,
     "nc4_contiguous" -> nc4ContiguousSql,
     "nc4_compact_layout" -> nc4CompactLayoutSql,
+    "nc4_vlen_seq" -> nc4VlenSeqSql,
+    "nc4_enum" -> nc4EnumSql,
     "nc4_dense_attrs" -> nc4DenseAttrsSql,
     "nc4_read_prune" -> nc4ReadPruneSql,
     "nc4_attrs" -> nc4AttrsSql,

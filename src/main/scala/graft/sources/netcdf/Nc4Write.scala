@@ -139,6 +139,17 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
   private val chunkCols = options.getOrElse("chunkcols", "0").toInt
   private val layout = options.getOrElse("layout", "chunked")
   private val eaPageBits = options.getOrElse("eapagebits", "13").toInt
+  private val vlenSeqs = options.get("vlenseqs").exists(_.toBoolean)
+  /** `enum.<col>` = "NAME=value,NAME=value" — the column writes as a
+    * class-8 enum with that member table */
+  private val enumTypes: Map[String, Seq[(String, Long)]] =
+    options.collect { case (k, spec) if k.startsWith("enum.") =>
+      k.stripPrefix("enum.") -> spec.split(',').toSeq.map { p =>
+        val i = p.lastIndexOf('=')
+        require(i > 0, s"bad enum member spec '$p' (want NAME=value)")
+        (p.substring(0, i).trim, p.substring(i + 1).trim.toLong)
+      }
+    }
   private val declaredLens = NcWriteConf.arrayLens(options)
 
   private val getters: Array[InternalRow => Any] =
@@ -153,6 +164,7 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
         case ArrayType(FloatType, _) => (r: InternalRow) => r.getArray(i).toFloatArray
         case ArrayType(DoubleType, _) => (r: InternalRow) => r.getArray(i).toDoubleArray
         case ArrayType(LongType, _) => (r: InternalRow) => r.getArray(i).toLongArray
+        case ArrayType(IntegerType, _) => (r: InternalRow) => r.getArray(i).toIntArray
         case st: StructType => (r: InternalRow) => {
           val row = r.getStruct(i, st.size)
           val a = new Array[Any](st.size)
@@ -191,7 +203,8 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
         lens, h5ver, shuffle = shuffle, fletcher = fletcher,
         vlenStrings = vlenStrings, denseRoot = denseGroups,
         chunkIndex = chunkIndex, denseAttrs = denseAttrs, chunkCols = chunkCols,
-        layout = layout, eaPageBits = eaPageBits)
+        layout = layout, eaPageBits = eaPageBits, vlenSeqs = vlenSeqs,
+        enumTypes = enumTypes)
     }
     var i = 0
     while (i < schema.size) {

@@ -352,6 +352,15 @@ class Nc4PartitionReader(part: Nc4InputPartition, required: StructType,
             org.apache.spark.unsafe.types.UTF8String.fromBytes(r.getString(rec))
           case KVlenStr =>
             org.apache.spark.unsafe.types.UTF8String.fromBytes(r.getVlenString(rec))
+          case KVlenSeq(base) =>
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              r.getVlenSeq(rec, base))
+          case KEnum(base, _) => base match {
+            case KLong => r.getLong(rec)
+            case KInt => r.getInt(rec)
+            case KShort => r.getShort(rec)
+            case o => throw new java.io.IOException(s"unsupported enum base $o")
+          }
           case KCompound(_, _) =>
             val vals = r.getCompound(rec)
             val proj = structProj(slot)

@@ -529,6 +529,61 @@ class Hdf5Spec extends AnyFunSuite {
       .agg(sum("k")).head().getLong(0) == (5000L until 5200L).sum)
   }
 
+  test("vlen sequences (ragged arrays) roundtrip through the global heap") {
+    for (h5ver <- Seq(0, 2)) {
+      val dir = s"/tmp/graft_h5/vlenseq_$h5ver"
+      // ragged doubles (1..7 elements, empty every 11th) + ragged longs
+      val df = spark.range(500).select(col("id").as("k"),
+        expr("""CASE WHEN id % 11 = 0 THEN CAST(array() AS array<double>)
+                ELSE transform(sequence(0, CAST(id % 7 AS INT)), i -> CAST(id * 10 + i AS DOUBLE)) END""").as("xs"),
+        expr("transform(sequence(0, CAST(id % 5 AS INT)), i -> id + i)").as("ls"))
+      df.coalesce(2).write.format(SRC).mode("overwrite")
+        .option("vlenseqs", "true").option("h5ver", h5ver.toString)
+        .option("chunkrecs", "64").option("shuffle", "true").save(dir)
+      val f = NetCDF4Util.listFiles(fs, new Path(dir)).head
+      val meta = Hdf5Format.readMeta(fs, f)
+      assert(meta.vars.find(_.name == "xs").get.kind ==
+        Hdf5Format.KVlenSeq(Hdf5Format.KDouble), "xs kind")
+      assert(meta.vars.find(_.name == "ls").get.kind ==
+        Hdf5Format.KVlenSeq(Hdf5Format.KLong), "ls kind")
+      val back = spark.read.format(SRC).load(dir)
+      assert(back.count() == 500)
+      val probes = Seq(sum(expr("size(xs)")), sum(expr("size(ls)")),
+        sum(expr("aggregate(xs, CAST(0 AS DOUBLE), (a, x) -> a + x)")),
+        sum(expr("aggregate(ls, CAST(0 AS BIGINT), (a, x) -> a + x)")),
+        sum(expr("element_at(ls, 1)")),
+        count(when(expr("size(xs) = 0"), 1)))
+      val exp = df.agg(probes.head, probes.tail: _*).head()
+      val got = back.agg(probes.head, probes.tail: _*).head()
+      assert(exp == got, s"h5ver=$h5ver: $exp vs $got")
+      // record pushdown composes with vlen refs
+      val win = back.filter(col("record") >= 100L && col("record") < 120L)
+      assert(win.count() == 20)
+    }
+  }
+
+  test("enum datatype (class 8) roundtrips codes and the member table") {
+    for (h5ver <- Seq(0, 2)) {
+      val dir = s"/tmp/graft_h5/enum_$h5ver"
+      val df = spark.range(300).select(col("id").as("k"),
+        (col("id") % 4 + 1).cast(IntegerType).as("status"))
+      df.coalesce(1).write.format(SRC).mode("overwrite")
+        .option("h5ver", h5ver.toString)
+        .option("enum.status", "NEW=1,OPEN=2,HELD=3,DONE=4")
+        .save(dir)
+      val meta = Hdf5Format.readMeta(fs, NetCDF4Util.listFiles(fs, new Path(dir)).head)
+      val v = meta.vars.find(_.name == "status").get
+      assert(v.kind == Hdf5Format.KEnum(Hdf5Format.KInt,
+        Seq("NEW" -> 1L, "OPEN" -> 2L, "HELD" -> 3L, "DONE" -> 4L)), v.kind.toString)
+      assert(v.attrs.exists(a => a.name == "_enum_members" &&
+        a.text.contains("NEW=1,OPEN=2,HELD=3,DONE=4")), v.attrs.map(_.name).toString)
+      val back = spark.read.format(SRC).load(dir)
+      assert(back.count() == 300)
+      assert(back.agg(sum("k"), sum("status")).head() ==
+        df.agg(sum("k"), sum("status")).head(), s"h5ver=$h5ver")
+    }
+  }
+
   test("compact layout (class 0) serves data straight from the header") {
     for (h5ver <- Seq(0, 2)) {
       val dir = s"/tmp/graft_h5/compact_$h5ver"
