@@ -100,8 +100,12 @@ object BenchSf1 {
       spark.sharedState.cacheManager.clearCache()
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    // warm both dirs once (JIT + file listing), then one timed pass each
+    // warm BOTH dirs once (JIT, file listing, and the once-per-
+    // (session, dir) staged artifacts — centroids, pair tables,
+    // fingerprints), then one timed pass each: the ratio then
+    // measures per-pass scaling, not staging-build-vs-staged-read
     KEYS.foreach(k => time(k, srcDir))
+    KEYS.foreach(k => time(k, dstDir))
     val small = KEYS.map(k => k -> time(k, srcDir)).toMap
     val big = KEYS.map(k => k -> time(k, dstDir)).toMap
     def fmt(d: Double) = if (d < 0) "-1" else f"$d%.3f"

@@ -202,7 +202,10 @@ object Hdf5Format {
       /** compact layout (class 0): the data lives INSIDE the object
         * header's layout message — ≤64 KiB by the format contract, so
         * carrying it in the metadata is free */
-      compactData: Array[Byte] = Array.emptyByteArray) {
+      compactData: Array[Byte] = Array.emptyByteArray,
+      /** big-endian numerics (datatype-message order bit): served by
+        * order-aware element accessors — POWER/SPARC-written files */
+      bigEndian: Boolean = false) {
     def chunkBytes: Int = (kind.rowBytes * chunkRecs).toInt
     /** CF `actual_range` zone map, when the writer recorded one. */
     def range: Option[(Double, Double)] =
@@ -365,18 +368,19 @@ object Hdf5Format {
   private def pad8(n: Int): Int = (n + 7) & ~7
 
   /** Datatype message body for a kind (spec IV.A.2.d). */
-  private def datatypeBytes(kind: H5Kind): Array[Byte] = {
+  private def datatypeBytes(kind: H5Kind, be: Boolean = false): Array[Byte] = {
     val b = new Buf
+    val obit = if (be) 1 else 0 // atomic-class byte-order flag (bit 0)
     kind match {
       case KLong | KInt | KShort | KLongArr(_) =>
         // class 0 fixed-point, v1; bitfield byte0 bit3 = signed
-        b.u8(0x10).u8(0x08).u8(0).u8(0).u32(kind.elemSize)
+        b.u8(0x10).u8(0x08 | obit).u8(0).u8(0).u32(kind.elemSize)
         b.u16(0).u16(kind.elemSize * 8) // bit offset, precision
       case KDouble | KDoubleArr(_) =>
-        b.u8(0x11).u8(0x20).u8(0x3f).u8(0).u32(8)
+        b.u8(0x11).u8(0x20 | obit).u8(0x3f).u8(0).u32(8)
         b.u16(0).u16(64).u8(52).u8(11).u8(0).u8(52).u32(1023)
       case KFloat | KFloatArr(_) =>
-        b.u8(0x11).u8(0x20).u8(0x1f).u8(0).u32(4)
+        b.u8(0x11).u8(0x20 | obit).u8(0x1f).u8(0).u32(4)
         b.u16(0).u16(32).u8(23).u8(8).u8(0).u8(23).u32(127)
       case KString(w) =>
         // class 3 fixed string, NUL-padded, ASCII
@@ -484,7 +488,7 @@ object Hdf5Format {
   private final class VarState(val name: String, val kind: H5Kind,
       val chunkRecs: Int, val deflate: Boolean, val attrs: Seq[H5Attr],
       val shuffle: Boolean = false, val fletcher: Boolean = false,
-      val chunkCols: Int = 0) {
+      val chunkCols: Int = 0, val bigEndian: Boolean = false) {
     /** second-dim width for rank-2 kinds (0 for scalars) */
     val width: Int = kind match {
       case KFloatArr(k) => k
@@ -498,7 +502,8 @@ object Hdf5Format {
     /** column tiles per row block */
     val nColBlocks: Int = if (tiled) (width + chunkCols - 1) / chunkCols else 1
     val raw = new Array[Byte]((kind.rowBytes * chunkRecs).toInt)
-    val bb: ByteBuffer = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val bb: ByteBuffer = ByteBuffer.wrap(raw).order(
+      if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     var inChunk = 0
     var numRecs = 0L
     val stored = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Int)] // (bytes, filterMask)
@@ -729,7 +734,10 @@ object Hdf5Format {
       vlenSeqs: Boolean = false,
       /** column → enum member table (netCDF4 `createEnumType`): the
         * named column (int/long/short) writes as a class-8 enum */
-      enumTypes: Map[String, Seq[(String, Long)]] = Map.empty) {
+      enumTypes: Map[String, Seq[(String, Long)]] = Map.empty,
+      /** emit big-endian numerics (honest fixtures for the BE read
+        * path — nothing modern writes BE, so this is gate plumbing) */
+      bigEndian: Boolean = false) {
     require(h5ver == 0 || h5ver == 2, s"h5ver must be 0 or 2, got $h5ver")
     require(chunkCols >= 0, s"chunkCols must be >= 0, got $chunkCols")
     require(chunkCols == 0 || chunkIndex != "single",
@@ -795,9 +803,16 @@ object Hdf5Format {
       case other => throw new IllegalArgumentException(s"unsupported HDF5 type $other")
     }
 
+    require(!bigEndian || schema.fields.forall(f => kindOf(f) match {
+      case KLong | KInt | KShort | KDouble | KFloat |
+           KFloatArr(_) | KDoubleArr(_) | KLongArr(_) => true
+      case _ => false
+    }), "big-endian output is numeric-only (strings/vlen/compound/enum stay LE)")
+
     private val vars: Array[VarState] = schema.fields.map(f =>
       new VarState(f.name, kindOf(f), chunkRecs, deflate,
-        varAttrs.getOrElse(f.name, Nil), shuffle, fletcher, chunkCols))
+        varAttrs.getOrElse(f.name, Nil), shuffle, fletcher, chunkCols,
+        bigEndian))
 
     def writeRow(get: Int => Any): Unit = {
       var i = 0
@@ -817,7 +832,7 @@ object Hdf5Format {
       }
       val msgs = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
       msgs += MSG_DATASPACE -> dataspaceBytes(dims, withMax = true)
-      msgs += MSG_DATATYPE -> datatypeBytes(v.kind)
+      msgs += MSG_DATATYPE -> datatypeBytes(v.kind, bigEndian)
       // fill value v2, not defined, late allocation
       msgs += MSG_FILL -> Array[Byte](2, 2, 2, 0)
       if (v.deflate || v.shuffle || v.fletcher) {
@@ -2544,6 +2559,7 @@ object Hdf5Format {
     var compactBytes: Array[Byte] = Array.emptyByteArray
     var vlenBase: Option[H5Kind] = None
     var enumInfo: Option[(H5Kind, Seq[(String, Long)])] = None
+    var bigEndian = false
     var layoutV4 = false
     var chunkIdxType = 0
     var idxPageBits = 0
@@ -2571,9 +2587,10 @@ object Hdf5Format {
         b.skip(1)
         elemSize = b.u32().toInt
         // bit 0 is the byte-order flag only for the atomic classes;
-        // for class 9 (variable-length) bits 0-3 are the vlen TYPE
-        if (kindCls <= 1 && (bf0 & 1) != 0)
-          throw new java.io.IOException("big-endian HDF5 datatypes unsupported")
+        // for class 9 (variable-length) bits 0-3 are the vlen TYPE.
+        // Big-endian numerics (POWER/SPARC-written wild files) are
+        // served by order-aware accessors in the range reader.
+        if (kindCls <= 1 && (bf0 & 1) != 0) bigEndian = true
         signed = kindCls != 0 || (bf0 & 0x08) != 0
         if (kindCls == 3) strWidth = elemSize
         if (kindCls == 9) {
@@ -2790,7 +2807,8 @@ object Hdf5Format {
     }
     Some(H5Var(name, kind, dims.head, math.max(1, chunkRecs), deflate,
       contiguous, chunks, attrsOut, shuffle = shuffle, fletcher = fletcher,
-      chunkCols = chunkColsOf, compactData = compactBytes))
+      chunkCols = chunkColsOf, compactData = compactBytes,
+      bigEndian = bigEndian))
   }
 
   /** File metadata: superblock (v0-v3) → root group → datasets. Only
@@ -2940,7 +2958,7 @@ object Hdf5Format {
       if (tileBBs(j) == null) {
         val c = tilesByBlock.get(blk).flatMap(a => Option(a(j)))
         val buf = c.map(decodeTile).getOrElse(new Array[Byte](tileLen))
-        tileBBs(j) = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+        tileBBs(j) = ByteBuffer.wrap(buf).order(ord)
       }
       tileBBs(j)
     }
@@ -2962,7 +2980,11 @@ object Hdf5Format {
     private val workB: Array[Byte] =
       if (v.shuffle && v.fletcher) new Array[Byte](raw.length + extra)
       else Array.emptyByteArray
-    private val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    /** element byte order — LE for everything the modern library
+      * writes, BE for POWER/SPARC-era wild files */
+    private val ord =
+      if (v.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    private val bb = ByteBuffer.wrap(raw).order(ord)
     private var chunkStart = 0L
     private var chunkEnd =
       if (v.compactData.nonEmpty) v.numRecs else Long.MinValue

@@ -531,6 +531,40 @@ object Nc4Queries {
       |  CAST(MAX(cnt) AS BIGINT) AS max_len
       |FROM g""".stripMargin
 
+  /** BIG-ENDIAN numerics (r8 — the datatype message's byte-order bit:
+    * files written on POWER/SPARC-era machines store every element
+    * byte-swapped, and nothing modern re-writes them): the writer
+    * emits an honest BE fixture (order bit set, elements big-endian
+    * through the shuffle+deflate pipeline — the shuffle transpose is
+    * order-agnostic), and the range reader serves it through
+    * order-aware accessors chosen per variable from the header; the
+    * roundtrip aggregate must hash-match parquet, and the spec pins
+    * the first stored element's raw bytes as genuinely byte-swapped
+    * so a both-sides-LE bug cannot self-cancel. */
+  def nc4BigEndian: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5bigend")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("bigendian", "true")
+      .option("shuffle", "true")
+      .save(out)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val nc4BigEndianSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem""".stripMargin
+
   /** ENUM datatypes (r8 — netCDF-4 `createEnumType`, completing the
     * library's user-defined-type trio after compound and vlen: a
     * flag/category variable whose integer codes carry a named-member
@@ -1121,6 +1155,7 @@ object Nc4Queries {
     "nc4_compact_layout" -> nc4CompactLayout,
     "nc4_vlen_seq" -> nc4VlenSeq,
     "nc4_enum" -> nc4Enum,
+    "nc4_bigendian" -> nc4BigEndian,
     "nc4_dense_attrs" -> nc4DenseAttrs,
     "nc4_read_prune" -> nc4ReadPrune,
     "nc4_attrs" -> nc4Attrs,
@@ -1149,6 +1184,7 @@ object Nc4Queries {
     "nc4_compact_layout" -> nc4CompactLayoutSql,
     "nc4_vlen_seq" -> nc4VlenSeqSql,
     "nc4_enum" -> nc4EnumSql,
+    "nc4_bigendian" -> nc4BigEndianSql,
     "nc4_dense_attrs" -> nc4DenseAttrsSql,
     "nc4_read_prune" -> nc4ReadPruneSql,
     "nc4_attrs" -> nc4AttrsSql,

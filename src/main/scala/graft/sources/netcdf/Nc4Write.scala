@@ -140,6 +140,7 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
   private val layout = options.getOrElse("layout", "chunked")
   private val eaPageBits = options.getOrElse("eapagebits", "13").toInt
   private val vlenSeqs = options.get("vlenseqs").exists(_.toBoolean)
+  private val bigEndian = options.get("bigendian").exists(_.toBoolean)
   /** `enum.<col>` = "NAME=value,NAME=value" — the column writes as a
     * class-8 enum with that member table */
   private val enumTypes: Map[String, Seq[(String, Long)]] =
@@ -204,7 +205,7 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
         vlenStrings = vlenStrings, denseRoot = denseGroups,
         chunkIndex = chunkIndex, denseAttrs = denseAttrs, chunkCols = chunkCols,
         layout = layout, eaPageBits = eaPageBits, vlenSeqs = vlenSeqs,
-        enumTypes = enumTypes)
+        enumTypes = enumTypes, bigEndian = bigEndian)
     }
     var i = 0
     while (i < schema.size) {
