@@ -737,7 +737,12 @@ object Hdf5Format {
       enumTypes: Map[String, Seq[(String, Long)]] = Map.empty,
       /** emit big-endian numerics (honest fixtures for the BE read
         * path — nothing modern writes BE, so this is gate plumbing) */
-      bigEndian: Boolean = false) {
+      bigEndian: Boolean = false,
+      /** COMMIT user-defined types (enum/compound/vlen-sequence) as
+        * named datatype objects linked from the root, with datasets
+        * referencing them via SHARED datatype messages — the layout
+        * the netCDF4 library actually writes for its user types */
+      commitTypes: Boolean = false) {
     require(h5ver == 0 || h5ver == 2, s"h5ver must be 0 or 2, got $h5ver")
     require(chunkCols >= 0, s"chunkCols must be >= 0, got $chunkCols")
     require(chunkCols == 0 || chunkIndex != "single",
@@ -762,6 +767,8 @@ object Hdf5Format {
       "fixed-array chunk indexes require the 1.8+/1.10 layout (h5ver=2)")
     require(!denseAttrs || h5ver == 2,
       "dense attribute storage requires the 1.8+ layout (h5ver=2)")
+    require(!commitTypes || (h5ver == 2 && !denseRoot),
+      "committed datatypes require the 1.8+ layout with compact root links")
 
     private def kindOf(f: StructField): H5Kind = f.dataType match {
       case LongType if enumTypes.contains(f.name) => KEnum(KLong, enumTypes(f.name))
@@ -823,7 +830,8 @@ object Hdf5Format {
       * framings; sizes are address-independent, so the same builder
       * serves the sizing pass (btreeAddr = 0) and the render pass. */
     private def datasetMsgs(v: VarState, btreeAddr: Long,
-        attrInfoAddr: Long = UNDEF): Seq[(Int, Array[Byte])] = {
+        attrInfoAddr: Long = UNDEF,
+        typeAddr: Long = UNDEF): Seq[(Int, Array[Byte])] = {
       val dims: Seq[Long] = v.kind match {
         case KFloatArr(k) => Seq(v.numRecs, k)
         case KDoubleArr(k) => Seq(v.numRecs, k)
@@ -832,7 +840,14 @@ object Hdf5Format {
       }
       val msgs = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
       msgs += MSG_DATASPACE -> dataspaceBytes(dims, withMax = true)
-      msgs += MSG_DATATYPE -> datatypeBytes(v.kind, bigEndian)
+      msgs += MSG_DATATYPE -> (
+        if (typeAddr != UNDEF) {
+          // shared v3 stub: the real datatype lives in the COMMITTED
+          // (named) type object — the library's user-type layout
+          val sh = new Buf
+          sh.u8(3).u8(2).u64(typeAddr)
+          sh.result()
+        } else datatypeBytes(v.kind, bigEndian))
       // fill value v2, not defined, late allocation
       msgs += MSG_FILL -> Array[Byte](2, 2, 2, 0)
       if (v.deflate || v.shuffle || v.fletcher) {
@@ -1054,11 +1069,14 @@ object Hdf5Format {
 
     /** v2 object header (`OHDR`): flags=0x02 (4-byte chunk0 size, no
       * times, no creation order), lookup3 checksum over the whole
-      * header (spec IV.A.1.b). */
-    private def objectHeaderV2(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+      * header (spec IV.A.1.b). Messages whose type is in
+      * `sharedTypes` get the SHARED flag (bit 1) — their body is a
+      * committed-object pointer, not the message itself. */
+    private def objectHeaderV2(msgs: Seq[(Int, Array[Byte])],
+        sharedTypes: Set[Int] = Set.empty): Array[Byte] = {
       val body = new Buf
       msgs.foreach { case (tpe, data) =>
-        body.u8(tpe).u16(data.length).u8(0)
+        body.u8(tpe).u16(data.length).u8(if (sharedTypes(tpe)) 2 else 0)
         body.bytes(data)
       }
       val blk = body.result()
@@ -1072,8 +1090,9 @@ object Hdf5Format {
     }
 
     private def datasetHeaderV2(v: VarState, btreeAddr: Long,
-        attrInfoAddr: Long = UNDEF): Array[Byte] =
-      objectHeaderV2(datasetMsgs(v, btreeAddr, attrInfoAddr))
+        attrInfoAddr: Long = UNDEF, typeAddr: Long = UNDEF): Array[Byte] =
+      objectHeaderV2(datasetMsgs(v, btreeAddr, attrInfoAddr, typeAddr),
+        if (typeAddr != UNDEF) Set(MSG_DATATYPE) else Set.empty)
 
     /** Chunk B-tree v1, single level-0 node (type 1): entries carry
       * (stored size, filter mask, logical offsets) keys and chunk
@@ -1691,8 +1710,21 @@ object Hdf5Format {
         if (!denseRoot) 0L
         else 146 + denseBlockSize + 38 + (6 + vars.length * 11 + 4)
 
+      // committed user-defined types: one named-type object per
+      // distinct kind, linked from the root; datasets reference them
+      // via shared datatype messages (the library's user-type layout)
+      val commitKinds: Seq[H5Kind] =
+        if (!commitTypes) Nil
+        else vars.map(_.kind).collect {
+          case k @ (KEnum(_, _) | KCompound(_, _) | KVlenSeq(_)) => k
+        }.distinct
+      val typeHdrs: Seq[Array[Byte]] =
+        commitKinds.map(k => objectHeaderV2(Seq(MSG_DATATYPE -> datatypeBytes(k))))
+      def typeName(i: Int): String = s"_type$i"
+
       // sizing: root header size depends only on message sizes
-      def rootMsgs(addrs: Seq[Long], fheapAddr: Long): Seq[(Int, Array[Byte])] =
+      def rootMsgs(addrs: Seq[Long], fheapAddr: Long,
+          typeAddrs: Seq[Long]): Seq[(Int, Array[Byte])] =
         if (denseRoot) {
           // Link Info v0, no creation-order tracking: fractal heap
           // address + name-index v2 B-tree address
@@ -1701,9 +1733,15 @@ object Hdf5Format {
           (MSG_LINK_INFO -> b.result()) +: rootAttrMsgs
         } else
           vars.zipWithIndex.map { case (v, i) => MSG_LINK -> linkMsg(v.name, addrs(i)) }.toSeq ++
+            typeAddrs.zipWithIndex.map { case (a, i) => MSG_LINK -> linkMsg(typeName(i), a) } ++
             rootAttrMsgs
-      val rootHdrSize = objectHeaderV2(rootMsgs(vars.map(_ => 0L).toSeq, 0L)).length
+      val rootHdrSize = objectHeaderV2(
+        rootMsgs(vars.map(_ => 0L).toSeq, 0L, commitKinds.map(_ => 0L))).length
       var cursor = SUPER.toLong + rootHdrSize
+      val typeAddrs: Seq[Long] = typeHdrs.map { th =>
+        val a = cursor; cursor += th.length; a
+      }
+      val typeAddrOf: Map[H5Kind, Long] = commitKinds.zip(typeAddrs).toMap
       // vlen global heap ahead of the var region (see materializeVlen)
       val gcolAddr = cursor
       val gcolSeg = materializeVlen(gcolAddr)
@@ -1777,7 +1815,8 @@ object Hdf5Format {
       val varChunkAddrs = new Array[Seq[Long]](vars.length)
       vars.zipWithIndex.foreach { case (v, i) =>
         varHdrAddrs(i) = cursor
-        cursor += datasetHeaderV2(v, 0L).length
+        cursor += datasetHeaderV2(v, 0L,
+          typeAddr = typeAddrOf.getOrElse(v.kind, UNDEF)).length
         varAttrAddrs(i) = cursor
         if (denseAttrs && allAttrs(v).nonEmpty) cursor += denseAttrGeom(v)._2
         val addrs =
@@ -1800,7 +1839,11 @@ object Hdf5Format {
       val sbBytes = sb.result()
       out.bytes(sbBytes).u32(lookup3(sbBytes))
       require(out.size == SUPER, s"superblock v2 size ${out.size}")
-      out.bytes(objectHeaderV2(rootMsgs(varHdrAddrs.toSeq, denseAddr)))
+      out.bytes(objectHeaderV2(rootMsgs(varHdrAddrs.toSeq, denseAddr, typeAddrs)))
+      typeHdrs.zip(typeAddrs).foreach { case (th, a) =>
+        require(out.size == a, s"named-type layout drift: ${out.size} != $a")
+        out.bytes(th)
+      }
       if (gcolSeg.nonEmpty) {
         require(out.size == gcolAddr, s"gcol layout drift: ${out.size} != $gcolAddr")
         out.bytes(gcolSeg)
@@ -1810,7 +1853,8 @@ object Hdf5Format {
         out.bytes(denseSeg(varHdrAddrs.toSeq, denseAddr))
       }
       vars.zipWithIndex.foreach { case (v, i) =>
-        out.bytes(datasetHeaderV2(v, layoutAddr(varChunkAddrs(i), varBtreeAddrs(i)), varAttrAddrs(i)))
+        out.bytes(datasetHeaderV2(v, layoutAddr(varChunkAddrs(i), varBtreeAddrs(i)),
+          varAttrAddrs(i), typeAddrOf.getOrElse(v.kind, UNDEF)))
         if (denseAttrs && allAttrs(v).nonEmpty) {
           require(out.size == varAttrAddrs(i),
             s"dense attr layout drift: ${out.size} != ${varAttrAddrs(i)}")
@@ -1925,9 +1969,37 @@ object Hdf5Format {
     try readMessages(new R(in), addr) finally in.close()
   }
 
-  private def readMessages(r: R, addr: Long): Seq[(Int, Array[Byte])] = {
+  /** A SHARED message (header flags bit 1): the body is a pointer at
+    * a COMMITTED (named) object — how the netCDF4 library stores
+    * every user-defined type (`createCompoundType`/`createVLType`/
+    * `createEnumType` commit the datatype and datasets reference it).
+    * Resolve by reading the named object's header (shared resolution
+    * off — one level, per the format) and substituting its message of
+    * the same type. */
+  private def resolveShared(r: R, tpe: Int, body: Array[Byte]): Array[Byte] = {
+    val b = new BB(body)
+    val ver = b.u8()
+    require(ver >= 1 && ver <= 3, s"shared message v$ver unsupported")
+    val stype = b.u8()
+    if (ver == 1) b.skip(6) // reserved
+    require(ver == 3 || stype != 1,
+      "shared-message-heap storage unsupported (committed objects only)")
+    require(ver != 3 || stype == 2,
+      s"shared message v3 type $stype unsupported (committed objects only)")
+    val target = b.u64()
+    readMessages(r, target, resolve = false).collectFirst {
+      case (t, bd) if t == tpe => bd
+    }.getOrElse(throw new java.io.IOException(
+      s"committed object at $target has no message of type $tpe"))
+  }
+
+  private def readMessages(r: R, addr: Long,
+      resolve: Boolean = true): Seq[(Int, Array[Byte])] = {
     val first = r.bytesAt(addr, 16)
     val msgs = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    def append(tpe: Int, body: Array[Byte], mflags: Int): Unit =
+      msgs += tpe -> (
+        if (resolve && (mflags & 2) != 0) resolveShared(r, tpe, body) else body)
     if (first(0) == 1) {
       // v1: prefix then hdrSize bytes of messages at addr+16
       val h = new BB(first)
@@ -1943,7 +2015,8 @@ object Hdf5Format {
         while (b.remaining >= 8 && nmsgs > 0) {
           val tpe = b.u16()
           val sz = b.u16()
-          b.skip(4)
+          val mflags = b.u8()
+          b.skip(3)
           if (sz > b.remaining) { nmsgs = 0 }
           else {
             val body = b.slice(sz)
@@ -1951,7 +2024,7 @@ object Hdf5Format {
             if (tpe == MSG_CONTINUATION) {
               val c = new BB(body)
               blocks = (c.u64(), c.u64().toInt) :: blocks
-            } else msgs += tpe -> body
+            } else append(tpe, body, mflags)
           }
         }
       }
@@ -1982,14 +2055,15 @@ object Hdf5Format {
         while (limit - b.off >= mh) {
           val tpe = b.u8()
           val sz = b.u16()
-          b.skip(mh - 3)
+          val mflags = b.u8()
+          b.skip(mh - 4)
           if (sz > limit - b.off) b.off = limit
           else {
             val body = b.slice(sz)
             if (tpe == MSG_CONTINUATION) {
               val c = new BB(body)
               blocks = (c.u64(), c.u64().toInt, true) :: blocks
-            } else msgs += tpe -> body
+            } else append(tpe, body, mflags)
           }
         }
       }

@@ -531,6 +531,61 @@ object Nc4Queries {
       |  CAST(MAX(cnt) AS BIGINT) AS max_len
       |FROM g""".stripMargin
 
+  /** COMMITTED (shared) datatypes (r8 — how the netCDF4 library
+    * ACTUALLY stores every user-defined type: `createEnumType` /
+    * `createCompoundType` / `createVLType` commit the type as a NAMED
+    * datatype object linked from the group, and datasets carry a
+    * SHARED datatype message (header flag bit 1, body = a pointer at
+    * the committed object) instead of an inline type — so real
+    * user-type files are unreadable without shared-message
+    * resolution): the writer emits the genuine layout behind
+    * `committypes=true` (named-type OHDRs + root links + shared v3
+    * stubs), the reader resolves shared messages transparently by
+    * substituting the committed object's own datatype message, and
+    * the gate routes an enum AND a ragged vlen column through the
+    * indirection — data aggregates and the resolved `_enum_members`
+    * table must hash-match. */
+  def nc4CommittedTypes: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5committed")
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(col("l_quantity").cast(DoubleType)).as("qtys"),
+        max(col("l_linenumber")).cast(IntegerType).as("max_line"))
+      .repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("vlenseqs", "true")
+      .option("committypes", "true")
+      .option("enum.max_line", (1 to 7).map(i => s"LINE$i=$i").mkString(","))
+      .save(out)
+    val agg = s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        sum(size(col("qtys"))).cast(LongType).as("n_elems"),
+        sum(expr(
+          "aggregate(qtys, CAST(0 AS DECIMAL(20,2)), (acc, x) -> CAST(acc + CAST(x AS DECIMAL(9,2)) AS DECIMAL(20,2)))"))
+          .cast(DoubleType).as("sum_q"),
+        sum(col("max_line").cast(LongType)).as("sum_maxline"))
+    val memRow = Hdf5IO.readAttrs(s, out)
+      .filter(col("attr_name") === "_enum_members")
+      .select(col("sval").as("members")).distinct()
+    agg.crossJoin(broadcast(memRow))
+  }
+
+  val nc4CommittedTypesSql: String =
+    """WITH g AS (
+      |  SELECT l_orderkey, COUNT(*) AS cnt,
+      |    SUM(CAST(l_quantity AS DECIMAL(9,2))) AS qsum,
+      |    MAX(l_linenumber) AS max_line
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_elems,
+      |  CAST(SUM(qsum) AS DOUBLE) AS sum_q,
+      |  CAST(SUM(max_line) AS BIGINT) AS sum_maxline,
+      |  'LINE1=1,LINE2=2,LINE3=3,LINE4=4,LINE5=5,LINE6=6,LINE7=7' AS members
+      |FROM g""".stripMargin
+
   /** BIG-ENDIAN numerics (r8 — the datatype message's byte-order bit:
     * files written on POWER/SPARC-era machines store every element
     * byte-swapped, and nothing modern re-writes them): the writer
@@ -1156,6 +1211,7 @@ object Nc4Queries {
     "nc4_vlen_seq" -> nc4VlenSeq,
     "nc4_enum" -> nc4Enum,
     "nc4_bigendian" -> nc4BigEndian,
+    "nc4_committed_types" -> nc4CommittedTypes,
     "nc4_dense_attrs" -> nc4DenseAttrs,
     "nc4_read_prune" -> nc4ReadPrune,
     "nc4_attrs" -> nc4Attrs,
@@ -1185,6 +1241,7 @@ object Nc4Queries {
     "nc4_vlen_seq" -> nc4VlenSeqSql,
     "nc4_enum" -> nc4EnumSql,
     "nc4_bigendian" -> nc4BigEndianSql,
+    "nc4_committed_types" -> nc4CommittedTypesSql,
     "nc4_dense_attrs" -> nc4DenseAttrsSql,
     "nc4_read_prune" -> nc4ReadPruneSql,
     "nc4_attrs" -> nc4AttrsSql,

@@ -141,6 +141,7 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
   private val eaPageBits = options.getOrElse("eapagebits", "13").toInt
   private val vlenSeqs = options.get("vlenseqs").exists(_.toBoolean)
   private val bigEndian = options.get("bigendian").exists(_.toBoolean)
+  private val commitTypes = options.get("committypes").exists(_.toBoolean)
   /** `enum.<col>` = "NAME=value,NAME=value" — the column writes as a
     * class-8 enum with that member table */
   private val enumTypes: Map[String, Seq[(String, Long)]] =
@@ -205,7 +206,7 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
         vlenStrings = vlenStrings, denseRoot = denseGroups,
         chunkIndex = chunkIndex, denseAttrs = denseAttrs, chunkCols = chunkCols,
         layout = layout, eaPageBits = eaPageBits, vlenSeqs = vlenSeqs,
-        enumTypes = enumTypes, bigEndian = bigEndian)
+        enumTypes = enumTypes, bigEndian = bigEndian, commitTypes = commitTypes)
     }
     var i = 0
     while (i < schema.size) {

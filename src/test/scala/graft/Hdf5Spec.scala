@@ -562,6 +562,34 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
+  test("committed (shared) datatypes resolve through named-type objects") {
+    val dir = "/tmp/graft_h5/committed"
+    val df = spark.range(400).select(col("id").as("k"),
+      (col("id") % 3 + 1).cast(IntegerType).as("cat"),
+      expr("transform(sequence(0, CAST(id % 4 AS INT)), i -> CAST(id + i AS DOUBLE))").as("xs"))
+    df.coalesce(1).write.format(SRC).mode("overwrite")
+      .option("h5ver", "2").option("vlenseqs", "true")
+      .option("committypes", "true")
+      .option("enum.cat", "A=1,B=2,C=3")
+      .save(dir)
+    val f = NetCDF4Util.listFiles(fs, new Path(dir)).head
+    val meta = Hdf5Format.readMeta(fs, f)
+    // the shared stubs resolved into the real kinds
+    assert(meta.vars.find(_.name == "cat").get.kind ==
+      Hdf5Format.KEnum(Hdf5Format.KInt, Seq("A" -> 1L, "B" -> 2L, "C" -> 3L)))
+    assert(meta.vars.find(_.name == "xs").get.kind ==
+      Hdf5Format.KVlenSeq(Hdf5Format.KDouble))
+    // the named-type objects themselves do not surface as variables
+    assert(meta.vars.map(_.name).toSet == Set("k", "cat", "xs"))
+    val back = spark.read.format(SRC).load(dir)
+    assert(back.count() == 400)
+    val exp = df.agg(sum("k"), sum("cat"), sum(expr("size(xs)")),
+      sum(expr("aggregate(xs, CAST(0 AS DOUBLE), (a, x) -> a + x)"))).head()
+    val got = back.agg(sum("k"), sum("cat"), sum(expr("size(xs)")),
+      sum(expr("aggregate(xs, CAST(0 AS DOUBLE), (a, x) -> a + x)"))).head()
+    assert(exp == got, s"$exp vs $got")
+  }
+
   test("big-endian numerics roundtrip; stored bytes are genuinely swapped") {
     val dir = "/tmp/graft_h5/bigend"
     val df = spark.range(2000).select(col("id").as("k"),
