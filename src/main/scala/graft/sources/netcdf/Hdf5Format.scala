@@ -299,6 +299,50 @@ object Hdf5Format {
   }
 
   // ---------------------------------------------------------------
+  // netCDF-4.9 quantization (`nc_def_var_quantize`; Zender 2016,
+  // "Bit Grooming", GMD 9:3199). A LOSSY pre-filter step the library
+  // applies before the HDF5 pipeline: the stored values ARE the
+  // quantized values, so the read side needs nothing — only the
+  // standard `_Quantize…` attribute marks the variable. BITGROOM
+  // keeps enough explicit mantissa bits for NSD decimal digits
+  // (ceil(nsd·log2 10)+1) and alternately SHAVES (→0) and SETS (→1)
+  // the tail bits of consecutive nonzero values so quantization error
+  // is unbiased across a variable; BITROUND keeps NSB explicit bits
+  // and rounds the mantissa — add half-ulp then truncate, the carry
+  // propagating into the exponent exactly as IEEE round-to-nearest.
+  // Zeros and non-finite values pass through untouched (the library's
+  // contract); the alternation ordinal advances per stored element.
+  // ---------------------------------------------------------------
+  private[graft] def groomKeepBits(nsd: Int): Int =
+    math.ceil(nsd * (math.log(10.0) / math.log(2.0))).toInt + 1
+
+  private[graft] def quantDouble(mode: String, prm: Int, x: Double, ord: Long): Double = {
+    if (x == 0.0 || java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return x
+    val keep = if (mode == "bitround") prm else groomKeepBits(prm)
+    val shift = 52 - keep
+    if (shift <= 0) return x
+    val bits = java.lang.Double.doubleToRawLongBits(x)
+    val out =
+      if (mode == "bitround") (bits + (1L << (shift - 1))) & (-1L << shift)
+      else if ((ord & 1L) == 0L) bits & (-1L << shift)
+      else bits | ((1L << shift) - 1)
+    java.lang.Double.longBitsToDouble(out)
+  }
+
+  private[graft] def quantFloat(mode: String, prm: Int, x: Float, ord: Long): Float = {
+    if (x == 0.0f || java.lang.Float.isNaN(x) || java.lang.Float.isInfinite(x)) return x
+    val keep = if (mode == "bitround") prm else groomKeepBits(prm)
+    val shift = 23 - keep
+    if (shift <= 0) return x
+    val bits = java.lang.Float.floatToRawIntBits(x)
+    val out =
+      if (mode == "bitround") (bits + (1 << (shift - 1))) & (-1 << shift)
+      else if ((ord & 1L) == 0L) bits & (-1 << shift)
+      else bits | ((1 << shift) - 1)
+    java.lang.Float.intBitsToFloat(out)
+  }
+
+  // ---------------------------------------------------------------
   // Jenkins lookup3 (public-domain hash, Bob Jenkins 2006) — the
   // checksum HDF5 applies to v2 superblocks and v2 object headers.
   // Only the WRITE path needs a correct value (readers here do not
@@ -488,7 +532,8 @@ object Hdf5Format {
   private final class VarState(val name: String, val kind: H5Kind,
       val chunkRecs: Int, val deflate: Boolean, val attrs: Seq[H5Attr],
       val shuffle: Boolean = false, val fletcher: Boolean = false,
-      val chunkCols: Int = 0, val bigEndian: Boolean = false) {
+      val chunkCols: Int = 0, val bigEndian: Boolean = false,
+      val quant: Option[(String, Int)] = None) {
     /** second-dim width for rank-2 kinds (0 for scalars) */
     val width: Int = kind match {
       case KFloatArr(k) => k
@@ -517,6 +562,19 @@ object Hdf5Format {
     private def track(d: Double): Unit = {
       if (d < vMin) vMin = d
       if (d > vMax) vMax = d
+    }
+
+    /** netCDF-4.9 quantization ordinal — one per STORED element (array
+      * elements each advance it), driving BitGroom's shave/set
+      * alternation */
+    private var qOrd = 0L
+    @inline private def qD(x: Double): Double = quant match {
+      case Some((m, p)) => val r = Hdf5Format.quantDouble(m, p, x, qOrd); qOrd += 1; r
+      case None => x
+    }
+    @inline private def qF(x: Float): Float = quant match {
+      case Some((m, p)) => val r = Hdf5Format.quantFloat(m, p, x, qOrd); qOrd += 1; r
+      case None => x
     }
 
     /** Run one raw chunk through the write pipeline (netCDF4's call
@@ -597,10 +655,10 @@ object Hdf5Format {
           val x = v match { case n: Number => n.shortValue(); case _ => 0.toShort }
           track(x.toDouble); bb.putShort(x)
         case KDouble =>
-          val x = v match { case n: Number => n.doubleValue(); case _ => 0.0 }
+          val x = qD(v match { case n: Number => n.doubleValue(); case _ => 0.0 })
           track(x); bb.putDouble(x)
         case KFloat =>
-          val x = v match { case n: Number => n.floatValue(); case _ => 0f }
+          val x = qF(v match { case n: Number => n.floatValue(); case _ => 0f })
           track(x.toDouble); bb.putFloat(x)
         case KString(w) =>
           val sb = v match {
@@ -679,10 +737,10 @@ object Hdf5Format {
           }
         case KFloatArr(k) =>
           val a = v.asInstanceOf[Array[Float]]
-          var i = 0; while (i < k) { bb.putFloat(if (i < a.length) a(i) else 0f); i += 1 }
+          var i = 0; while (i < k) { bb.putFloat(qF(if (i < a.length) a(i) else 0f)); i += 1 }
         case KDoubleArr(k) =>
           val a = v.asInstanceOf[Array[Double]]
-          var i = 0; while (i < k) { bb.putDouble(if (i < a.length) a(i) else 0.0); i += 1 }
+          var i = 0; while (i < k) { bb.putDouble(qD(if (i < a.length) a(i) else 0.0)); i += 1 }
         case KLongArr(k) =>
           val a = v.asInstanceOf[Array[Long]]
           var i = 0; while (i < k) { bb.putLong(if (i < a.length) a(i) else 0L); i += 1 }
@@ -742,7 +800,13 @@ object Hdf5Format {
         * named datatype objects linked from the root, with datasets
         * referencing them via SHARED datatype messages — the layout
         * the netCDF4 library actually writes for its user types */
-      commitTypes: Boolean = false) {
+      commitTypes: Boolean = false,
+      /** netCDF-4.9 `nc_def_var_quantize`: column → (mode, parameter)
+        * with mode "bitgroom" (parameter = significant DIGITS) or
+        * "bitround" (parameter = significant BITS); the data stores
+        * quantized and the standard `_Quantize…` attribute rides on
+        * the variable */
+      quantize: Map[String, (String, Int)] = Map.empty) {
     require(h5ver == 0 || h5ver == 2, s"h5ver must be 0 or 2, got $h5ver")
     require(chunkCols >= 0, s"chunkCols must be >= 0, got $chunkCols")
     require(chunkCols == 0 || chunkIndex != "single",
@@ -816,10 +880,29 @@ object Hdf5Format {
       case _ => false
     }), "big-endian output is numeric-only (strings/vlen/compound/enum stay LE)")
 
+    quantize.foreach { case (c, (m, p)) =>
+      require(m == "bitgroom" || m == "bitround",
+        s"quantize mode for $c must be bitgroom or bitround, got $m")
+      require(p >= 1, s"quantize parameter for $c must be >= 1, got $p")
+      require(schema.fields.exists(f => f.name == c && (kindOf(f) match {
+        case KDouble | KFloat | KDoubleArr(_) | KFloatArr(_) => true
+        case _ => false
+      })), s"quantize targets a float/double column, got $c")
+    }
+    /** the standard attribute `nc_def_var_quantize` leaves on the
+      * variable (numeric attrs serialize as doubles here — the codec's
+      * single numeric attr type; readers compare values, not types) */
+    private def quantAttr(col: String): Seq[H5Attr] = quantize.get(col).toSeq.map {
+      case ("bitround", nsb) =>
+        H5Attr("_QuantizeBitRoundNumberOfSignificantBits", None, Array(nsb.toDouble))
+      case (_, nsd) =>
+        H5Attr("_QuantizeBitGroomNumberOfSignificantDigits", None, Array(nsd.toDouble))
+    }
+
     private val vars: Array[VarState] = schema.fields.map(f =>
       new VarState(f.name, kindOf(f), chunkRecs, deflate,
-        varAttrs.getOrElse(f.name, Nil), shuffle, fletcher, chunkCols,
-        bigEndian))
+        varAttrs.getOrElse(f.name, Nil) ++ quantAttr(f.name), shuffle, fletcher, chunkCols,
+        bigEndian, quantize.get(f.name)))
 
     def writeRow(get: Int => Any): Unit = {
       var i = 0

@@ -620,6 +620,63 @@ object Nc4Queries {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
       |FROM lineitem""".stripMargin
 
+  /** netCDF-4.9 QUANTIZATION (r8 — `nc_def_var_quantize`, the
+    * library's lossy compression-ratio lever from Zender 2016 "Bit
+    * Grooming": the data itself stores quantized BEFORE the filter
+    * pipeline, marked only by the standard `_Quantize…` attribute).
+    * BitRound is a pure per-value function, so the gate recomputes it
+    * per element (gate-only UDF validator — never a hot path) and
+    * requires EXACT bit equality on every stored value; BitGroom
+    * alternates shave/set by per-file write ordinal, so the gate
+    * requires every value to equal one of the two published forms AND
+    * the shave/set counts to balance within one per part file —
+    * together with the pinned `_Quantize…` attribute values, a wrong
+    * keep-bit count, a broken alternation, or a missing marker
+    * attribute each break a distinct gate column. */
+  def nc4Quantize: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5quant")
+    // the un-quantized twin columns ride in the SAME file (lossless
+    // roundtrip), so the validators compare row-wise with no join key
+    t(s, dir, "lineitem")
+      .select(col("l_extendedprice"), col("l_extendedprice").as("q_price"),
+        col("l_discount"), col("l_discount").as("q_disc"))
+      .repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("shuffle", "true")
+      .option("quantize.q_price", "bitgroom:7")
+      .option("quantize.q_disc", "bitround:16")
+      .save(out)
+    val roundOk = udf((q: Double, x: Double) =>
+      q == Hdf5Format.quantDouble("bitround", 16, x, 0L))
+    val groomForm = udf((q: Double, x: Double) =>
+      if (q == Hdf5Format.quantDouble("bitgroom", 7, x, 0L)) 1
+      else if (q == Hdf5Format.quantDouble("bitgroom", 7, x, 1L)) -1
+      else 0)
+    val agg = s.read.format(SRC).load(out).agg(
+      count(lit(1)).as("n"),
+      bool_and(roundOk(col("q_disc"), col("l_discount"))).as("round_exact"),
+      bool_and(groomForm(col("q_price"), col("l_extendedprice")) =!= 0).as("groom_two_valued"),
+      (abs(sum(groomForm(col("q_price"), col("l_extendedprice")))) <= 2).as("groom_balanced"))
+    val marks = Hdf5IO.readAttrs(s, out)
+      .filter(col("attr_name").startsWith("_Quantize"))
+      .groupBy()
+      .agg(
+        max(when(col("var_name") === "q_price" &&
+          col("attr_name") === "_QuantizeBitGroomNumberOfSignificantDigits",
+          col("dval"))).as("groom_nsd"),
+        max(when(col("var_name") === "q_disc" &&
+          col("attr_name") === "_QuantizeBitRoundNumberOfSignificantBits",
+          col("dval"))).as("round_nsb"))
+    agg.crossJoin(broadcast(marks))
+  }
+
+  val nc4QuantizeSql: String =
+    """SELECT COUNT(*) AS n, TRUE AS round_exact, TRUE AS groom_two_valued,
+      |  TRUE AS groom_balanced, CAST(7 AS DOUBLE) AS groom_nsd,
+      |  CAST(16 AS DOUBLE) AS round_nsb
+      |FROM lineitem""".stripMargin
+
   /** ENUM datatypes (r8 — netCDF-4 `createEnumType`, completing the
     * library's user-defined-type trio after compound and vlen: a
     * flag/category variable whose integer codes carry a named-member
@@ -1212,6 +1269,7 @@ object Nc4Queries {
     "nc4_enum" -> nc4Enum,
     "nc4_bigendian" -> nc4BigEndian,
     "nc4_committed_types" -> nc4CommittedTypes,
+    "nc4_quantize" -> nc4Quantize,
     "nc4_dense_attrs" -> nc4DenseAttrs,
     "nc4_read_prune" -> nc4ReadPrune,
     "nc4_attrs" -> nc4Attrs,
@@ -1242,6 +1300,7 @@ object Nc4Queries {
     "nc4_enum" -> nc4EnumSql,
     "nc4_bigendian" -> nc4BigEndianSql,
     "nc4_committed_types" -> nc4CommittedTypesSql,
+    "nc4_quantize" -> nc4QuantizeSql,
     "nc4_dense_attrs" -> nc4DenseAttrsSql,
     "nc4_read_prune" -> nc4ReadPruneSql,
     "nc4_attrs" -> nc4AttrsSql,

@@ -153,6 +153,15 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
       }
     }
   private val declaredLens = NcWriteConf.arrayLens(options)
+  /** `quantize.<col>` = "bitgroom:NSD" | "bitround:NSB" — netCDF-4.9
+    * lossy quantization applied before the filter pipeline */
+  private val quantize: Map[String, (String, Int)] =
+    options.collect { case (k, spec) if k.startsWith("quantize.") =>
+      val i = spec.indexOf(':')
+      require(i > 0, s"bad quantize spec '$spec' (want mode:parameter)")
+      k.stripPrefix("quantize.") ->
+        ((spec.substring(0, i).trim.toLowerCase, spec.substring(i + 1).trim.toInt))
+    }
 
   private val getters: Array[InternalRow => Any] =
     schema.fields.zipWithIndex.map { case (f, i) =>
@@ -206,7 +215,8 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
         vlenStrings = vlenStrings, denseRoot = denseGroups,
         chunkIndex = chunkIndex, denseAttrs = denseAttrs, chunkCols = chunkCols,
         layout = layout, eaPageBits = eaPageBits, vlenSeqs = vlenSeqs,
-        enumTypes = enumTypes, bigEndian = bigEndian, commitTypes = commitTypes)
+        enumTypes = enumTypes, bigEndian = bigEndian, commitTypes = commitTypes,
+        quantize = quantize)
     }
     var i = 0
     while (i < schema.size) {

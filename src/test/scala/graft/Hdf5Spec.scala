@@ -590,6 +590,62 @@ class Hdf5Spec extends AnyFunSuite {
     assert(exp == got, s"$exp vs $got")
   }
 
+  test("netCDF-4.9 quantization: BitRound/BitGroom kernels and file roundtrip") {
+    import Hdf5Format.{quantDouble, quantFloat, groomKeepBits}
+    // hand-computed anchors for the published algorithms:
+    // BitRound nsb=4: 1.03125 = 1 + 2^-5 sits exactly halfway between
+    // the 4-bit-mantissa neighbors 1.0 and 1.0625 — add-half rounds up
+    assert(quantDouble("bitround", 4, 1.03125, 0L) == 1.0625)
+    assert(quantDouble("bitround", 4, 1.03124, 0L) == 1.0)
+    // mantissa overflow carries into the exponent: just-below-2 rounds to 2
+    assert(quantDouble("bitround", 4, 1.99999, 0L) == 2.0)
+    assert(quantFloat("bitround", 4, 1.03125f, 0L) == 1.0625f)
+    // BitGroom nsd=1 keeps ceil(3.32)+1 = 5 bits; shave floors to the
+    // 2^-5 grid, set fills the tail (just under the next grid step)
+    assert(groomKeepBits(1) == 5)
+    assert(quantDouble("bitgroom", 1, 1.6, 0L) == 1.59375)
+    assert(quantDouble("bitgroom", 1, 1.6, 1L) ==
+      java.lang.Double.longBitsToDouble(
+        java.lang.Double.doubleToRawLongBits(1.625) - 1))
+    // zeros and non-finite values pass through untouched
+    assert(quantDouble("bitgroom", 1, 0.0, 1L) == 0.0)
+    assert(quantDouble("bitround", 4, Double.NaN, 0L).isNaN)
+    assert(quantDouble("bitround", 4, Double.PositiveInfinity, 0L).isPosInfinity)
+    // sign rides through (shave/round operate on magnitude bits)
+    assert(quantDouble("bitgroom", 1, -1.6, 0L) == -1.59375)
+    assert(quantDouble("bitround", 4, -1.03125, 0L) == -1.0625)
+
+    // file roundtrip: one part file, write order pinned, so the
+    // BitGroom ordinal is exactly the row index
+    val dir = "/tmp/graft_h5/quant"
+    val df = spark.range(500).select(col("id").as("k"),
+      (col("id") * 0.013 + 1.0).as("g"),
+      (col("id") * 0.007 + 2.0).as("r"))
+    df.coalesce(1).sortWithinPartitions("k")
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("quantize.g", "bitgroom:3")
+      .option("quantize.r", "bitround:12")
+      .save(dir)
+    val back = spark.read.format(SRC).load(dir)
+      .select("k", "g", "r").collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(back.length == 500)
+    back.foreach { case (k, g, r) =>
+      assert(g == quantDouble("bitgroom", 3, k * 0.013 + 1.0, k),
+        s"bitgroom mismatch at row $k")
+      assert(r == quantDouble("bitround", 12, k * 0.007 + 2.0, 0L),
+        s"bitround mismatch at row $k")
+    }
+    // the standard marker attributes ride on the variables
+    val f = NetCDF4Util.listFiles(fs, new Path(dir)).head
+    val meta = Hdf5Format.readMeta(fs, f)
+    def attr(v: String, a: String): Option[Double] =
+      meta.vars.find(_.name == v).get.attrs.find(_.name == a).map(_.nums.head)
+    assert(attr("g", "_QuantizeBitGroomNumberOfSignificantDigits").contains(3.0))
+    assert(attr("r", "_QuantizeBitRoundNumberOfSignificantBits").contains(12.0))
+  }
+
   test("big-endian numerics roundtrip; stored bytes are genuinely swapped") {
     val dir = "/tmp/graft_h5/bigend"
     val df = spark.range(2000).select(col("id").as("k"),
