@@ -205,7 +205,13 @@ object Hdf5Format {
       compactData: Array[Byte] = Array.emptyByteArray,
       /** big-endian numerics (datatype-message order bit): served by
         * order-aware element accessors — POWER/SPARC-written files */
-      bigEndian: Boolean = false) {
+      bigEndian: Boolean = false,
+      /** rank ≥ 3: logical trailing dims (the array column flattens
+        * them row-major); empty for rank ≤ 2 */
+      tdims: Seq[Int] = Nil,
+      /** rank ≥ 3: chunk extent per trailing dim (tiles when any is
+        * partial — the library's default rank-3 layout) */
+      ctrail: Seq[Int] = Nil) {
     def chunkBytes: Int = (kind.rowBytes * chunkRecs).toInt
     /** CF `actual_range` zone map, when the writer recorded one. */
     def range: Option[(Double, Double)] =
@@ -226,6 +232,15 @@ object Hdf5Format {
   }
 
   // ---------------------------------------------------------------
+  /** Row-major strides: out(i) = Π dims(i+1..) (1 for the last dim). */
+  private def suffixProducts(dims: Array[Int]): Array[Int] = {
+    val s = new Array[Int](dims.length)
+    var acc = 1
+    var i = dims.length - 1
+    while (i >= 0) { s(i) = acc; acc *= dims(i); i -= 1 }
+    s
+  }
+
   // HDF5 shuffle filter (id 2): byte transpose at ELEMENT granularity
   // — all byte-0s of every element, then all byte-1s, … — which groups
   // similar-magnitude bytes and is why netCDF4 defaults shuffle=True
@@ -533,19 +548,48 @@ object Hdf5Format {
       val chunkRecs: Int, val deflate: Boolean, val attrs: Seq[H5Attr],
       val shuffle: Boolean = false, val fletcher: Boolean = false,
       val chunkCols: Int = 0, val bigEndian: Boolean = false,
-      val quant: Option[(String, Int)] = None) {
-    /** second-dim width for rank-2 kinds (0 for scalars) */
+      val quant: Option[(String, Int)] = None,
+      /** rank ≥ 3: logical trailing dims (the flattened array column
+        * unflattens row-major over these) — empty for rank ≤ 2 */
+      val tdims: Array[Int] = Array.emptyIntArray,
+      /** rank ≥ 3: chunk sizes along the trailing dims (full when not
+        * given) — the netCDF4 library's default chunking is partial
+        * in EVERY dim, so real rank-3 layouts tile in all of them */
+      val ctrailIn: Array[Int] = Array.emptyIntArray) {
+    /** flattened trailing width for array kinds (0 for scalars) */
     val width: Int = kind match {
       case KFloatArr(k) => k
       case KDoubleArr(k) => k
       case KLongArr(k) => k
       case _ => 0
     }
-    /** partial-width tiling is in effect (netCDF4's default rank-2
-      * layout: chunks along BOTH dims) */
-    val tiled: Boolean = width > 0 && chunkCols > 0 && chunkCols < width
-    /** column tiles per row block */
-    val nColBlocks: Int = if (tiled) (width + chunkCols - 1) / chunkCols else 1
+    require(tdims.isEmpty || tdims.product == width,
+      s"trailing dims ${tdims.mkString("x")} must flatten to $width for $name")
+    // ---- trailing-dim chunk geometry, general over rank: the rank-2
+    // partial-width layout is the one-trailing-dim (m = 1) case ----
+    /** logical trailing dims (rank-2 = the single array width) */
+    val trailD: Array[Int] =
+      if (tdims.nonEmpty) tdims else if (width > 0) Array(width) else Array.emptyIntArray
+    /** chunk extent per trailing dim */
+    val trailC: Array[Int] =
+      if (tdims.nonEmpty) { if (ctrailIn.nonEmpty) ctrailIn else tdims }
+      else if (width > 0) Array(if (chunkCols > 0) chunkCols else width)
+      else Array.emptyIntArray
+    require(trailC.length == trailD.length &&
+      trailC.zip(trailD).forall { case (c, d) => c >= 1 && c <= d },
+      s"trailing chunk dims ${trailC.mkString("x")} out of range for $name")
+    /** any trailing dim chunked partially → row blocks split into tiles */
+    val tiled: Boolean = trailC.zip(trailD).exists { case (c, d) => c < d }
+    /** tile counts per trailing dim, their row-major strides, and the
+      * element strides inside one flattened row / one tile row */
+    val nbs: Array[Int] = trailD.zip(trailC).map { case (d, c) => (d + c - 1) / c }
+    val nbStride: Array[Int] = suffixProducts(nbs)
+    val fstride: Array[Int] = suffixProducts(trailD)
+    val cstride: Array[Int] = suffixProducts(trailC)
+    /** tiles per row block (rank-2: column tiles) */
+    val nColBlocks: Int = if (tiled) nbs.product else 1
+    /** elements in one tile row */
+    val tileRowElems: Int = if (trailC.isEmpty) 0 else trailC.product
     val raw = new Array[Byte]((kind.rowBytes * chunkRecs).toInt)
     val bb: ByteBuffer = ByteBuffer.wrap(raw).order(
       if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
@@ -618,25 +662,59 @@ object Hdf5Format {
       // chunked-storage contract; logical dims bound what readers use
       java.util.Arrays.fill(raw, (kind.rowBytes * inChunk).toInt, raw.length, 0.toByte)
       if (tiled) {
-        // partial-width rank-2 layout: the full-width row block splits
-        // into [chunkRecs × chunkCols] column tiles (edge tiles
-        // zero-padded to full width per the chunked-storage contract),
-        // appended in row-major (row block, then column) order — the
-        // same order every chunk index linearizes scaled offsets in
+        // partial-width layout, general over rank: the full-width row
+        // block splits into trailing-dim tile boxes (edge tiles
+        // zero-padded to full size per the chunked-storage contract),
+        // appended in row-major tile order — the same order every
+        // chunk index linearizes scaled offsets in. Rank-2 partial
+        // width is the one-trailing-dim case (one contiguous run per
+        // row); deeper ranks gather one contiguous innermost run per
+        // outer-coordinate combination.
         val esz = kind.elemSize
-        val rowB = (width * esz).toInt
-        val tileRowB = chunkCols * esz
-        var j = 0
-        while (j < nColBlocks) {
+        val m = trailD.length
+        val rowB = width * esz
+        val tileRowB = tileRowElems * esz
+        val corner = new Array[Int](m)
+        val odo = new Array[Int](m) // odometer over dims 0..m-2
+        var t = 0
+        while (t < nColBlocks) {
+          var i = 0
+          while (i < m) { corner(i) = ((t / nbStride(i)) % nbs(i)) * trailC(i); i += 1 }
           val tile = new Array[Byte](chunkRecs * tileRowB)
-          val wB = math.min(chunkCols, width - j * chunkCols) * esz
+          val runElems = math.min(trailC(m - 1), trailD(m - 1) - corner(m - 1))
           var r = 0
           while (r < inChunk) {
-            System.arraycopy(raw, r * rowB + j * tileRowB, tile, r * tileRowB, wB)
+            java.util.Arrays.fill(odo, 0)
+            var more = true
+            while (more) {
+              // in-range outer coords only; out-of-range boxes stay zero
+              var srcOff = corner(m - 1)
+              var dstOff = 0
+              var inRange = true
+              var d = 0
+              while (d < m - 1) {
+                val j = corner(d) + odo(d)
+                if (j >= trailD(d)) inRange = false
+                srcOff += j * fstride(d)
+                dstOff += odo(d) * cstride(d)
+                d += 1
+              }
+              if (inRange && runElems > 0)
+                System.arraycopy(raw, r * rowB + srcOff * esz,
+                  tile, r * tileRowB + dstOff * esz, runElems * esz)
+              // advance the odometer (rightmost outer dim fastest)
+              var p = m - 2
+              more = p >= 0
+              while (p >= 0) {
+                odo(p) += 1
+                if (odo(p) < trailC(p)) p = -1
+                else { odo(p) = 0; p -= 1; if (p < 0) more = false }
+              }
+            }
             r += 1
           }
           encodeChunk(tile, mustClone = false)
-          j += 1
+          t += 1
         }
       } else encodeChunk(raw, mustClone = true)
       inChunk = 0
@@ -806,7 +884,16 @@ object Hdf5Format {
         * "bitround" (parameter = significant BITS); the data stores
         * quantized and the standard `_Quantize…` attribute rides on
         * the variable */
-      quantize: Map[String, (String, Int)] = Map.empty) {
+      quantize: Map[String, (String, Int)] = Map.empty,
+      /** rank ≥ 3 variables: column → trailing logical dims (the
+        * Spark array column flattens them row-major — a (time, lat,
+        * lon) variable is `trailDims = Seq(nLat, nLon)` with array
+        * length nLat·nLon). The record dim stays dim 0. */
+      trailDims: Map[String, Seq[Int]] = Map.empty,
+      /** rank ≥ 3 chunking: column → chunk extent per trailing dim
+        * (defaults to the full dims; partial extents tile every row
+        * block into boxes, the library's default rank-3 layout) */
+      trailChunks: Map[String, Seq[Int]] = Map.empty) {
     require(h5ver == 0 || h5ver == 2, s"h5ver must be 0 or 2, got $h5ver")
     require(chunkCols >= 0, s"chunkCols must be >= 0, got $chunkCols")
     require(chunkCols == 0 || chunkIndex != "single",
@@ -899,10 +986,25 @@ object Hdf5Format {
         H5Attr("_QuantizeBitGroomNumberOfSignificantDigits", None, Array(nsd.toDouble))
     }
 
+    trailChunks.keys.foreach(c => require(trailDims.contains(c),
+      s"trailChunks for $c needs matching trailDims"))
+    require(trailChunks.isEmpty || layout == "chunked",
+      "trailing-dim chunking needs chunked storage (HDF5 contract)")
+    trailDims.foreach { case (c, ds) =>
+      require(ds.nonEmpty && ds.forall(_ >= 1) && ds.length <= 7,
+        s"bad trailing dims ${ds.mkString("x")} for $c")
+      require(schema.fields.exists(f => f.name == c && (kindOf(f) match {
+        case KDoubleArr(_) | KFloatArr(_) | KLongArr(_) => true
+        case _ => false
+      })), s"trailDims targets a fixed-width numeric array column: $c")
+    }
+
     private val vars: Array[VarState] = schema.fields.map(f =>
       new VarState(f.name, kindOf(f), chunkRecs, deflate,
         varAttrs.getOrElse(f.name, Nil) ++ quantAttr(f.name), shuffle, fletcher, chunkCols,
-        bigEndian, quantize.get(f.name)))
+        bigEndian, quantize.get(f.name),
+        trailDims.getOrElse(f.name, Nil).toArray,
+        trailChunks.getOrElse(f.name, Nil).toArray))
 
     def writeRow(get: Int => Any): Unit = {
       var i = 0
@@ -916,9 +1018,8 @@ object Hdf5Format {
         attrInfoAddr: Long = UNDEF,
         typeAddr: Long = UNDEF): Seq[(Int, Array[Byte])] = {
       val dims: Seq[Long] = v.kind match {
-        case KFloatArr(k) => Seq(v.numRecs, k)
-        case KDoubleArr(k) => Seq(v.numRecs, k)
-        case KLongArr(k) => Seq(v.numRecs, k)
+        case KFloatArr(_) | KDoubleArr(_) | KLongArr(_) =>
+          v.numRecs +: v.trailD.toSeq.map(_.toLong)
         case _ => Seq(v.numRecs)
       }
       val msgs = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
@@ -957,9 +1058,8 @@ object Hdf5Format {
       }
       val lay = new Buf
       val chunkDims: Seq[Int] = v.kind match {
-        case KFloatArr(k) => Seq(v.chunkRecs, if (v.tiled) v.chunkCols else k)
-        case KDoubleArr(k) => Seq(v.chunkRecs, if (v.tiled) v.chunkCols else k)
-        case KLongArr(k) => Seq(v.chunkRecs, if (v.tiled) v.chunkCols else k)
+        case KFloatArr(_) | KDoubleArr(_) | KLongArr(_) =>
+          v.chunkRecs +: v.trailC.toSeq
         case _ => Seq(v.chunkRecs)
       }
       if (compactLayout) {
@@ -1182,18 +1282,20 @@ object Hdf5Format {
       * addresses; the trailing key marks one-past-the-end
       * (spec III.A.1). */
     private def chunkBtree(v: VarState, chunkAddrs: Seq[Long]): Array[Byte] = {
-      val rank = v.kind match {
-        case KFloatArr(_) | KDoubleArr(_) | KLongArr(_) => 2
-        case _ => 1
-      }
       val b = new Buf
       b.bytes("TREE".getBytes("ASCII")).u8(1).u8(0).u16(v.stored.size)
       b.u64(UNDEF).u64(UNDEF)
       def key(idx: Int, size: Int, mask: Int): Unit = {
         b.u32(size).u32(mask)
-        // row-major tile order: chunk idx → (row block, column tile)
+        // row-major tile order: chunk idx → (row block, trailing tile
+        // coords), one logical offset per dataset dim
         b.u64((idx.toLong / v.nColBlocks) * v.chunkRecs)
-        if (rank == 2) b.u64(if (v.tiled) (idx.toLong % v.nColBlocks) * v.chunkCols else 0L)
+        val t = (idx % v.nColBlocks).toInt
+        var i = 0
+        while (i < v.trailD.length) {
+          b.u64(((t / v.nbStride(i)) % v.nbs(i)).toLong * v.trailC(i))
+          i += 1
+        }
         b.u64(0) // element-size dimension offset
       }
       v.stored.zipWithIndex.foreach { case ((bytes, mask), i) =>
@@ -1284,10 +1386,7 @@ object Hdf5Format {
     private def btree2Index(v: VarState, chunkAddrs: Seq[Long],
         selfAddr: Long): Array[Byte] = {
       val filtered = v.deflate || v.shuffle || v.fletcher
-      val rank = v.kind match {
-        case KFloatArr(_) | KDoubleArr(_) | KLongArr(_) => 2
-        case _ => 1
-      }
+      val rank = 1 + v.trailD.length // dataspace dims (record + trailing)
       val recSize = if (filtered) 8 + 4 + 4 + 8 * rank else 8 + 8 * rank
       val n = v.stored.size
       val typ = if (filtered) 11 else 10
@@ -1296,7 +1395,12 @@ object Hdf5Format {
         out.u64(chunkAddrs(i))
         if (filtered) out.u32(v.stored(i)._1.length).u32(v.stored(i)._2)
         out.u64(i.toLong / v.nColBlocks) // scaled offset along the record dim
-        if (rank == 2) out.u64(if (v.tiled) i.toLong % v.nColBlocks else 0L)
+        val t = (i % v.nColBlocks).toInt
+        var d = 0
+        while (d < v.trailD.length) {
+          out.u64(((t / v.nbStride(d)) % v.nbs(d)).toLong)
+          d += 1
+        }
       }
       def leaf(indices: Range): Array[Byte] = {
         val lf = new Buf
@@ -2166,7 +2270,7 @@ object Hdf5Format {
     * (size, filter mask) when the dataset is filtered; uninitialized
     * pages and UNDEF addresses are unallocated (sparse) chunks. */
   private def readFixedArrayChunks(r: R, addr: Long, chunkRecs: Int,
-      nCB: Int, chunkCols: Int,
+      nCB: Int, cornerOfTile: Long => Int,
       filtered: Boolean, rawChunkBytes: Long, name: String): Array[H5Chunk] = {
     val h = new BB(r.bytesAt(addr, 28))
     require(h.u8() == 'F' && h.u8() == 'A' && h.u8() == 'H' && h.u8() == 'D',
@@ -2192,7 +2296,7 @@ object Hdf5Format {
           (s.toInt, db.u32().toInt)
         } else (rawChunkBytes.toInt, 0) // unfiltered chunks store full-size
       if (cAddr != UNDEF) acc += H5Chunk((i / nCB) * chunkRecs, cAddr, sz, mask,
-        ((i % nCB) * chunkCols).toInt)
+        cornerOfTile(i % nCB))
     }
     val pageSize = 1L << pageBits
     if (nEntries <= pageSize) {
@@ -2244,7 +2348,7 @@ object Hdf5Format {
     * unallocated (sparse) regions and simply skip their element
     * span. */
   private def readExtensibleArrayChunks(r: R, addr: Long, chunkRecs: Int,
-      nCB: Int, chunkCols: Int,
+      nCB: Int, cornerOfTile: Long => Int,
       filtered: Boolean, rawChunkBytes: Long, nChunks: Long,
       name: String): Array[H5Chunk] = {
     val h = new BB(r.bytesAt(addr, 72))
@@ -2271,7 +2375,7 @@ object Hdf5Format {
           (s.toInt, b.u32().toInt)
         } else (rawChunkBytes.toInt, 0)
       if (cAddr != UNDEF) acc += H5Chunk((posIdx / nCB) * chunkRecs, cAddr, sz, mask,
-        ((posIdx % nCB) * chunkCols).toInt)
+        cornerOfTile(posIdx % nCB))
     }
     /** One data block's elements. Unpaged blocks carry them inline;
       * paged blocks (past 2^pageBits elements) are a bare prefix with
@@ -2359,7 +2463,7 @@ object Hdf5Format {
     * (chunk size, filter mask) with the size width derivable from the
     * record size. Scaled offset × chunk dim = start position. */
   private def readBtree2Chunks(r: R, addr: Long, chunkRecs: Int, rank: Int,
-      chunkCols: Int,
+      cornerOfScaled: Array[Long] => Int,
       filtered: Boolean, rawChunkBytes: Long, name: String): Array[H5Chunk] = {
     val (recSize, n, recs) = btree2Records(r, addr, if (filtered) 11 else 10)
     val szLen = recSize - 8 - 4 - 8 * rank // type 11 chunk-size width
@@ -2372,9 +2476,10 @@ object Hdf5Format {
           (s.toInt, recs.u32().toInt)
         } else (rawChunkBytes.toInt, 0)
       val scaled0 = recs.u64()
-      val scaled1 = if (rank > 1) recs.u64() else 0L
-      (2 until rank).foreach(_ => recs.u64())
-      H5Chunk(scaled0 * chunkRecs, cAddr, sz, mask, (scaled1 * chunkCols).toInt)
+      val scaledTrail = new Array[Long](rank - 1)
+      var d = 0
+      while (d < rank - 1) { scaledTrail(d) = recs.u64(); d += 1 }
+      H5Chunk(scaled0 * chunkRecs, cAddr, sz, mask, cornerOfScaled(scaledTrail))
     }.sortBy(c => (c.startRec, c.startCol)).toArray
   }
 
@@ -2866,6 +2971,52 @@ object Hdf5Format {
           dims.length == 2 && chunkDims(1).toLong < dims(1))
         chunkDims(1)
       else 0
+    // ---- trailing-dim chunk geometry, general over rank: elements of
+    // a rank-N variable flatten row-major into one array column, so a
+    // chunk's logical corner has a well-defined flattened element
+    // offset; the rank-2 partial-width layout is the one-trailing-dim
+    // case. (time, lat, lon) with the library's default chunking —
+    // partial in EVERY dim — is the wild rank-3 shape this serves. ----
+    require(dims.length <= 8, s"rank ${dims.length} > 8 unsupported for $name")
+    val flatW: Long = if (dims.length >= 2) dims.tail.product else 1L
+    require(flatW <= Int.MaxValue,
+      s"flattened trailing width $flatW exceeds array-column bound for $name")
+    val trailAll: Array[Int] =
+      if (dims.length >= 2) dims.tail.map(_.toInt).toArray else Array.emptyIntArray
+    val ctrailAll: Array[Int] =
+      if (trailAll.isEmpty || chunkDims.isEmpty) trailAll // contiguous/compact: untiled
+      else {
+        val cd = if (layoutV4) chunkDims else chunkDims.dropRight(1)
+        require(cd.length == dims.length,
+          s"chunk rank ${cd.length} != dataset rank ${dims.length} for $name")
+        cd.tail.zip(trailAll).map { case (c, d) => math.max(1, math.min(c, d)) }.toArray
+      }
+    val fstrideAll: Array[Int] = suffixProducts(trailAll)
+    val nbsAll: Array[Int] =
+      trailAll.zip(ctrailAll).map { case (d, c) => (d + math.max(1, c) - 1) / math.max(1, c) }
+    val nbStrideAll: Array[Int] = suffixProducts(nbsAll)
+    /** tiles per row block (1 when chunks span the full trailing dims) */
+    val nCB: Int = if (nbsAll.isEmpty) 1 else nbsAll.product
+    /** flattened corner element offset of tile `t` (row-major tile order) */
+    val cornerOfTile: Long => Int = t => {
+      var corner = 0L
+      var i = 0
+      while (i < nbsAll.length) {
+        corner += ((t / nbStrideAll(i)) % nbsAll(i)) * ctrailAll(i).toLong * fstrideAll(i)
+        i += 1
+      }
+      corner.toInt
+    }
+    /** flattened corner from per-trailing-dim SCALED offsets (chunk units) */
+    val cornerOfScaled: Array[Long] => Int = s => {
+      var corner = 0L
+      var i = 0
+      while (i < s.length && i < ctrailAll.length) {
+        corner += s(i) * ctrailAll(i).toLong * fstrideAll(i)
+        i += 1
+      }
+      corner.toInt
+    }
     val kind: H5Kind = (kindCls, elemSize, dims.size) match {
       case (0, 8, 1) => KLong
       case (0, 4, 1) => KInt
@@ -2880,24 +3031,19 @@ object Hdf5Format {
         require(base.elemSize == sz, s"enum base size ${base.elemSize} != $sz for $name")
         KEnum(base, ms)
       case (6, sz, 1) => KCompound(compMembers, sz)
-      case (1, 4, 2) => KFloatArr(dims(1).toInt)
-      case (1, 8, 2) => KDoubleArr(dims(1).toInt)
-      case (0, 8, 2) => KLongArr(dims(1).toInt)
+      case (1, 4, n) if n >= 2 => KFloatArr(flatW.toInt)
+      case (1, 8, n) if n >= 2 => KDoubleArr(flatW.toInt)
+      case (0, 8, n) if n >= 2 => KLongArr(flatW.toInt)
       case other => throw new java.io.IOException(s"unsupported dataset shape $other for $name")
     }
     val _ = signed
     val filtered = deflate || shuffle || fletcher
-    val rowBytesOf: Long = {
-      val elems = if (dims.length == 2) dims(1) else 1L
-      elemSize.toLong * elems
-    }
-    /** column tiles per row block (1 when chunks span the full width) */
-    val nCB: Int =
-      if (chunkColsOf > 0) ((dims(1) + chunkColsOf - 1) / chunkColsOf).toInt else 1
+    val rowBytesOf: Long = elemSize.toLong * flatW
     /** stored bytes of ONE chunk = one tile (full-width when untiled) */
-    val chunkBytesOf: Long =
-      (if (chunkColsOf > 0) elemSize.toLong * chunkColsOf else rowBytesOf) *
-        math.max(1, chunkRecs)
+    val chunkBytesOf: Long = {
+      val tileElems = if (ctrailAll.isEmpty) 1L else ctrailAll.map(_.toLong).product
+      elemSize.toLong * tileElems * math.max(1, chunkRecs)
+    }
     val nChunksOf: Long =
       if (chunkRecs <= 0) 0L
       else ((dims.head + chunkRecs - 1) / chunkRecs) * nCB
@@ -2909,23 +3055,23 @@ object Hdf5Format {
         // (2), a Fixed Array (3), an Extensible Array (4, one
         // unlimited dim), or a v2 B-tree (5, several unlimited dims).
         case 1 =>
-          require(chunkColsOf == 0, s"single-chunk index with partial-width tiling for $name")
+          require(nCB == 1, s"single-chunk index with partial-width tiling for $name")
           val sz = if (singleChunkSize > 0) singleChunkSize.toInt else chunkBytesOf.toInt
           Array(H5Chunk(0L, btreeAddr, sz, singleChunkMask))
         case 2 =>
           require(!filtered, s"implicit chunk index with filters for $name")
           (0L until nChunksOf).map(i =>
             H5Chunk((i / nCB) * chunkRecs, btreeAddr + i * chunkBytesOf,
-              chunkBytesOf.toInt, 0, ((i % nCB) * chunkColsOf).toInt)).toArray
+              chunkBytesOf.toInt, 0, cornerOfTile(i % nCB))).toArray
         case 3 =>
-          readFixedArrayChunks(r, btreeAddr, chunkRecs, nCB, chunkColsOf,
+          readFixedArrayChunks(r, btreeAddr, chunkRecs, nCB, cornerOfTile,
             filtered, chunkBytesOf, name)
         case 4 =>
-          readExtensibleArrayChunks(r, btreeAddr, chunkRecs, nCB, chunkColsOf,
+          readExtensibleArrayChunks(r, btreeAddr, chunkRecs, nCB, cornerOfTile,
             filtered, chunkBytesOf, nChunksOf, name)
         case 5 =>
           readBtree2Chunks(r, btreeAddr, chunkRecs, chunkDims.length,
-            chunkColsOf, filtered, chunkBytesOf, name)
+            cornerOfScaled, filtered, chunkBytesOf, name)
         case t => throw new java.io.IOException(
           s"unknown layout-v4 chunk index type $t for $name")
       }
@@ -2945,11 +3091,18 @@ object Hdf5Format {
             val size = body.u32().toInt
             val mask = body.u32().toInt
             val startRec = body.u64()
-            val startCol = if (keyDims > 2) body.u64() else 0L
-            ((if (keyDims > 2) 2 else 1) until keyDims).foreach(_ => body.u64())
+            // trailing-dim logical offsets flatten row-major into the
+            // chunk's corner element offset (rank-2: the column start)
+            var corner = 0L
+            var d = 0
+            while (d < trailAll.length) {
+              corner += body.u64() * fstrideAll(d)
+              d += 1
+            }
+            body.u64() // element-size dimension offset (always 0)
             val child = body.u64()
             if (level > 0) walk(child)
-            else acc += H5Chunk(startRec, child, size, mask, startCol.toInt)
+            else acc += H5Chunk(startRec, child, size, mask, corner.toInt)
           }
         }
         walk(btreeAddr)
@@ -2965,7 +3118,9 @@ object Hdf5Format {
     Some(H5Var(name, kind, dims.head, math.max(1, chunkRecs), deflate,
       contiguous, chunks, attrsOut, shuffle = shuffle, fletcher = fletcher,
       chunkCols = chunkColsOf, compactData = compactBytes,
-      bigEndian = bigEndian))
+      bigEndian = bigEndian,
+      tdims = if (dims.length >= 3) trailAll.toSeq else Nil,
+      ctrail = if (dims.length >= 3) ctrailAll.toSeq else Nil))
   }
 
   /** File metadata: superblock (v0-v3) → root group → datasets. Only
@@ -3039,25 +3194,57 @@ object Hdf5Format {
         }
         acc.toArray
       }
-    // ---- partial-width (tiled) rank-2 layout: rows assemble across
-    // column tiles; the current row block's tiles decode lazily ----
+    // ---- partial-width (tiled) chunk layout, general over rank: rows
+    // assemble across trailing-dim tile boxes (rank-2 partial width is
+    // the one-trailing-dim case); the current row block's tiles decode
+    // lazily ----
     private val width: Int = v.kind match {
       case KFloatArr(k) => k
       case KDoubleArr(k) => k
       case KLongArr(k) => k
       case _ => 0
     }
-    private val tiled: Boolean = width > 0 && v.chunkCols > 0 && v.chunkCols < width
-    private val nCB: Int = if (tiled) (width + v.chunkCols - 1) / v.chunkCols else 1
-    private val tileRowBytes: Int = if (tiled) v.chunkCols * v.kind.elemSize else 0
+    /** trailing logical dims / chunk extents (rank-2 partial width
+      * folds into the same geometry via chunkCols) */
+    private val trailD: Array[Int] =
+      if (v.tdims.nonEmpty) v.tdims.toArray
+      else if (width > 0) Array(width) else Array.emptyIntArray
+    private val trailC: Array[Int] =
+      if (v.tdims.nonEmpty) v.ctrail.toArray
+      else if (width > 0) Array(if (v.chunkCols > 0) v.chunkCols else width)
+      else Array.emptyIntArray
+    private val tiled: Boolean =
+      trailD.nonEmpty && trailC.zip(trailD).exists { case (c, d) => c < d }
+    private val m: Int = trailD.length
+    private val nbs: Array[Int] =
+      trailD.zip(trailC).map { case (d, c) => (d + c - 1) / c }
+    private val nbStride: Array[Int] = suffixProducts(nbs)
+    private val fstride: Array[Int] = suffixProducts(trailD)
+    private val cstride: Array[Int] = suffixProducts(trailC)
+    private val nCB: Int = if (tiled) nbs.product else 1
+    private val tileRowBytes: Int =
+      if (tiled) trailC.product * v.kind.elemSize else 0
     private val tileLen: Int = tileRowBytes * v.chunkRecs
-    /** covering row blocks → column-indexed tile list (tiled mode) */
+    /** tile linear index of a chunk from its flattened corner offset */
+    private def tileIdxOfCorner(corner: Int): Int = {
+      var rem = corner
+      var t = 0
+      var i = 0
+      while (i < m) {
+        val c = rem / fstride(i)
+        rem -= c * fstride(i)
+        t += (c / trailC(i)) * nbStride(i)
+        i += 1
+      }
+      t
+    }
+    /** covering row blocks → tile-indexed chunk list (tiled mode) */
     private val tilesByBlock: Map[Long, Array[H5Chunk]] =
       if (!tiled) Map.empty
       else v.chunks.filter(c => c.startRec < r1 && c.startRec + v.chunkRecs > r0)
         .groupBy(_.startRec).map { case (sr, cs) =>
           val arr = new Array[H5Chunk](nCB)
-          cs.foreach(c => arr(c.startCol / v.chunkCols) = c)
+          cs.foreach(c => arr(tileIdxOfCorner(c.startCol)) = c)
           (sr / v.chunkRecs, arr)
         }
     private var curBlock: Long = -1L
@@ -3332,16 +3519,34 @@ object Hdf5Format {
       }
       out
     }
-    @inline private def tileOff(rec: Long, k: Int, j: Int, esz: Int): Int =
-      (rec % v.chunkRecs).toInt * tileRowBytes + (k - j * v.chunkCols) * esz
+    /** Locate element (rec, flattened k) in tiled mode: leaves the
+      * owning tile's buffer in `curTileBB` and returns the byte
+      * offset. Unflattens k row-major over the trailing dims — the
+      * rank-2 case reduces to (k / chunkCols, k % chunkCols). */
+    private var curTileBB: ByteBuffer = null
+    @inline private def tileLocate(rec: Long, k: Int): Int = {
+      var rem = k
+      var t = 0
+      var off = 0
+      var i = 0
+      while (i < m) {
+        val j = rem / fstride(i)
+        rem -= j * fstride(i)
+        t += (j / trailC(i)) * nbStride(i)
+        off += (j % trailC(i)) * cstride(i)
+        i += 1
+      }
+      curTileBB = tileBB(rec, t)
+      (rec % v.chunkRecs).toInt * tileRowBytes + off * v.kind.elemSize
+    }
     def getFloatElem(rec: Long, k: Int): Float =
-      if (tiled) { val j = k / v.chunkCols; tileBB(rec, j).getFloat(tileOff(rec, k, j, 4)) }
+      if (tiled) { val o = tileLocate(rec, k); curTileBB.getFloat(o) }
       else bb.getFloat(ensure(rec) + 4 * k)
     def getDoubleElem(rec: Long, k: Int): Double =
-      if (tiled) { val j = k / v.chunkCols; tileBB(rec, j).getDouble(tileOff(rec, k, j, 8)) }
+      if (tiled) { val o = tileLocate(rec, k); curTileBB.getDouble(o) }
       else bb.getDouble(ensure(rec) + 8 * k)
     def getLongElem(rec: Long, k: Int): Long =
-      if (tiled) { val j = k / v.chunkCols; tileBB(rec, j).getLong(tileOff(rec, k, j, 8)) }
+      if (tiled) { val o = tileLocate(rec, k); curTileBB.getLong(o) }
       else bb.getLong(ensure(rec) + 8 * k)
 
     def close(): Unit = in.close()

@@ -620,6 +620,50 @@ object Nc4Queries {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
       |FROM lineitem""".stripMargin
 
+  /** RANK-3 VARIABLES (r8 — the (time, lat, lon) shape that dominates
+    * wild netCDF files, previously a loud rank ≤ 2 reject): the
+    * embeddings matrix writes as a (rec, 8, 8) variable chunked
+    * (256, 3, 5) — PARTIAL in both trailing dims like the library's
+    * default rank-3 chunking, so every row assembles across 9 tile
+    * boxes including edge tiles — through shuffle+deflate; the reader
+    * unflattens row-major tile math per element. The gate hashes the
+    * whole-matrix DECIMAL element sum plus one pinned interior
+    * position (flattened k=13 → box (0,1)), so a transposed tile
+    * order, a wrong corner stride, or an edge-tile pad leak each
+    * break a distinct column. */
+  def nc4Rank3: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5rank3")
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast(IntegerType).as("label"))
+      .repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("shuffle", "true")
+      .option("chunkrecs", "256")
+      .option("traildims.embedding", "8,8")
+      .option("trailchunks.embedding", "3,5")
+      .save(out)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("vec_id")).as("sum_vec"),
+        sum(col("label").cast(LongType)).as("sum_label"),
+        sum(expr(
+          "aggregate(embedding, CAST(0 AS DECIMAL(28,8)), (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) AS DECIMAL(12,8)) AS DECIMAL(28,8)))"))
+          .cast(DoubleType).as("sum_emb"),
+        sum(expr("CAST(CAST(embedding[13] AS DOUBLE) AS DECIMAL(12,8))"))
+          .cast(DoubleType).as("sum_e13"))
+  }
+
+  val nc4Rank3Sql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS sum_vec,
+      |  CAST(SUM(label) AS BIGINT) AS sum_label,
+      |  CAST(SUM(list_sum(list_transform(embedding,
+      |    x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,8))))) AS DOUBLE) AS sum_emb,
+      |  CAST(SUM(CAST(CAST(embedding[14] AS DOUBLE) AS DECIMAL(12,8))) AS DOUBLE) AS sum_e13
+      |FROM embeddings""".stripMargin
+
   /** netCDF-4.9 QUANTIZATION (r8 — `nc_def_var_quantize`, the
     * library's lossy compression-ratio lever from Zender 2016 "Bit
     * Grooming": the data itself stores quantized BEFORE the filter
@@ -1270,6 +1314,7 @@ object Nc4Queries {
     "nc4_bigendian" -> nc4BigEndian,
     "nc4_committed_types" -> nc4CommittedTypes,
     "nc4_quantize" -> nc4Quantize,
+    "nc4_rank3" -> nc4Rank3,
     "nc4_dense_attrs" -> nc4DenseAttrs,
     "nc4_read_prune" -> nc4ReadPrune,
     "nc4_attrs" -> nc4Attrs,
@@ -1301,6 +1346,7 @@ object Nc4Queries {
     "nc4_bigendian" -> nc4BigEndianSql,
     "nc4_committed_types" -> nc4CommittedTypesSql,
     "nc4_quantize" -> nc4QuantizeSql,
+    "nc4_rank3" -> nc4Rank3Sql,
     "nc4_dense_attrs" -> nc4DenseAttrsSql,
     "nc4_read_prune" -> nc4ReadPruneSql,
     "nc4_attrs" -> nc4AttrsSql,

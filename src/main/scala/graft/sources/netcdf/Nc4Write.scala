@@ -162,6 +162,18 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
       k.stripPrefix("quantize.") ->
         ((spec.substring(0, i).trim.toLowerCase, spec.substring(i + 1).trim.toInt))
     }
+  /** `traildims.<col>` = "d1,d2,…" — the array column is a rank ≥ 3
+    * variable whose trailing dims flatten row-major; optional
+    * `trailchunks.<col>` = "c1,c2,…" tiles every row block into
+    * boxes (the library's default rank-3 layout) */
+  private val trailDims: Map[String, Seq[Int]] =
+    options.collect { case (k, spec) if k.startsWith("traildims.") =>
+      k.stripPrefix("traildims.") -> spec.split(',').toSeq.map(_.trim.toInt)
+    }
+  private val trailChunks: Map[String, Seq[Int]] =
+    options.collect { case (k, spec) if k.startsWith("trailchunks.") =>
+      k.stripPrefix("trailchunks.") -> spec.split(',').toSeq.map(_.trim.toInt)
+    }
 
   private val getters: Array[InternalRow => Any] =
     schema.fields.zipWithIndex.map { case (f, i) =>
@@ -216,7 +228,7 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
         chunkIndex = chunkIndex, denseAttrs = denseAttrs, chunkCols = chunkCols,
         layout = layout, eaPageBits = eaPageBits, vlenSeqs = vlenSeqs,
         enumTypes = enumTypes, bigEndian = bigEndian, commitTypes = commitTypes,
-        quantize = quantize)
+        quantize = quantize, trailDims = trailDims, trailChunks = trailChunks)
     }
     var i = 0
     while (i < schema.size) {

@@ -590,6 +590,56 @@ class Hdf5Spec extends AnyFunSuite {
     assert(exp == got, s"$exp vs $got")
   }
 
+  test("rank-3/rank-4 variables tile across trailing dims and roundtrip") {
+    // (rec, 6, 8) chunked (4, 3, 5): partial in BOTH trailing dims —
+    // edge tiles in each — through the full filter pipeline
+    val dir = "/tmp/graft_h5/rank3"
+    val df = spark.range(50).select(col("id").as("k"),
+      expr("transform(sequence(0, 47), i -> CAST(id * 100 + i AS DOUBLE))").as("v"))
+    df.coalesce(1).sortWithinPartitions("k")
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2").option("chunkrecs", "4")
+      .option("shuffle", "true").option("fletcher", "true")
+      .option("traildims.v", "6,8").option("trailchunks.v", "3,5")
+      .save(dir)
+    val f = NetCDF4Util.listFiles(fs, new Path(dir)).head
+    val meta = Hdf5Format.readMeta(fs, f)
+    val mv = meta.vars.find(_.name == "v").get
+    assert(mv.kind == Hdf5Format.KDoubleArr(48))
+    assert(mv.tdims == Seq(6, 8) && mv.ctrail == Seq(3, 5))
+    // 2 tiles x 2 tiles per row block, 13 row blocks
+    assert(mv.chunks.length == 13 * 4, s"${mv.chunks.length} chunks")
+    val back = spark.read.format(SRC).load(dir)
+    val exp = df.agg(sum("k"),
+      sum(expr("aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x)"))).head()
+    val got = back.agg(sum("k"),
+      sum(expr("aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x)"))).head()
+    assert(exp == got, s"$exp vs $got")
+    // per-element probes: flattened k = (j1, j2) row-major, incl. edge
+    // tiles (j1 >= 3, j2 >= 5) and the final partial row block
+    val probe = back.filter(col("k") === 49)
+      .select(expr("v[0]"), expr("v[22]"), expr("v[29]"), expr("v[47]")).head()
+    assert(probe == org.apache.spark.sql.Row(4900.0, 4922.0, 4929.0, 4947.0), s"$probe")
+
+    // rank-4 (rec, 2, 3, 4) via the v2 B-tree index, partial middle dim
+    val dir4 = "/tmp/graft_h5/rank4"
+    val df4 = spark.range(40).select(col("id").as("k"),
+      expr("transform(sequence(0, 23), i -> CAST(id * 1000 + i * 7 AS DOUBLE))").as("w"))
+    df4.coalesce(1).sortWithinPartitions("k")
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2").option("chunkrecs", "8")
+      .option("chunkindex", "btree2")
+      .option("traildims.w", "2,3,4").option("trailchunks.w", "2,2,4")
+      .save(dir4)
+    val back4 = spark.read.format(SRC).load(dir4)
+    val exp4 = df4.agg(sum(expr("aggregate(w, CAST(0 AS DOUBLE), (a, x) -> a + x)"))).head()
+    val got4 = back4.agg(sum(expr("aggregate(w, CAST(0 AS DOUBLE), (a, x) -> a + x)"))).head()
+    assert(exp4 == got4, s"$exp4 vs $got4")
+    val probe4 = back4.filter(col("k") === 39)
+      .select(expr("w[0]"), expr("w[11]"), expr("w[23]")).head()
+    assert(probe4 == org.apache.spark.sql.Row(39000.0, 39077.0, 39161.0), s"$probe4")
+  }
+
   test("netCDF-4.9 quantization: BitRound/BitGroom kernels and file roundtrip") {
     import Hdf5Format.{quantDouble, quantFloat, groomKeepBits}
     // hand-computed anchors for the published algorithms:
