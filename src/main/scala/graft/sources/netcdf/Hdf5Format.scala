@@ -211,7 +211,10 @@ object Hdf5Format {
       tdims: Seq[Int] = Nil,
       /** rank ≥ 3: chunk extent per trailing dim (tiles when any is
         * partial — the library's default rank-3 layout) */
-      ctrail: Seq[Int] = Nil) {
+      ctrail: Seq[Int] = Nil,
+      /** DEFINED fill value (element bytes): what UNALLOCATED chunks
+        * of a sparse variable read as (zeros when empty/undefined) */
+      fill: Array[Byte] = Array.emptyByteArray) {
     def chunkBytes: Int = (kind.rowBytes * chunkRecs).toInt
     /** CF `actual_range` zone map, when the writer recorded one. */
     def range: Option[(Double, Double)] =
@@ -555,7 +558,13 @@ object Hdf5Format {
       /** rank ≥ 3: chunk sizes along the trailing dims (full when not
         * given) — the netCDF4 library's default chunking is partial
         * in EVERY dim, so real rank-3 layouts tile in all of them */
-      val ctrailIn: Array[Int] = Array.emptyIntArray) {
+      val ctrailIn: Array[Int] = Array.emptyIntArray,
+      /** DEFINED fill value (element bytes, file byte order) — rides
+        * in the fill value message; with `sparse`, all-fill chunks
+        * are left UNALLOCATED, the library's behavior for regions
+        * never written */
+      val fillBytes: Array[Byte] = Array.emptyByteArray,
+      val sparse: Boolean = false) {
     /** flattened trailing width for array kinds (0 for scalars) */
     val width: Int = kind match {
       case KFloatArr(k) => k
@@ -626,7 +635,27 @@ object Hdf5Format {
       * mask's bit i refers to pipeline position i, so the deflate
       * skip-bit shifts right for each filter ahead of it) and append
       * the stored form. `mustClone` marks `pre` as a shared buffer. */
+    /** All-fill detector for sparse writes (fill = zeros when no
+      * defined value rides on the variable). */
+    private def isAllFill(buf: Array[Byte]): Boolean = {
+      if (fillBytes.isEmpty) {
+        var i = 0
+        while (i < buf.length) { if (buf(i) != 0) return false; i += 1 }
+      } else {
+        val es = fillBytes.length
+        var i = 0
+        while (i < buf.length) {
+          if (buf(i) != fillBytes(i % es)) return false
+          i += 1
+        }
+      }
+      true
+    }
+
     private def encodeChunk(preIn: Array[Byte], mustClone: Boolean): Unit = {
+      // sparse: an all-fill chunk stays UNALLOCATED — a null slot in
+      // the stored list keeps every later chunk's logical position
+      if (sparse && isAllFill(preIn)) { stored += ((null, 0)); return }
       var pre: Array[Byte] = preIn
       if (fletcher) {
         val withCk = java.util.Arrays.copyOf(preIn, preIn.length + 4)
@@ -893,7 +922,14 @@ object Hdf5Format {
       /** rank ≥ 3 chunking: column → chunk extent per trailing dim
         * (defaults to the full dims; partial extents tile every row
         * block into boxes, the library's default rank-3 layout) */
-      trailChunks: Map[String, Seq[Int]] = Map.empty) {
+      trailChunks: Map[String, Seq[Int]] = Map.empty,
+      /** column → DEFINED fill value, written in the fill value
+        * message (what unallocated chunks of that variable read as) */
+      fillValues: Map[String, Double] = Map.empty,
+      /** leave all-fill chunks UNALLOCATED (no data, no index entry) —
+        * the library's behavior for regions never written; readers
+        * serve the fill value for the gaps */
+      sparse: Boolean = false) {
     require(h5ver == 0 || h5ver == 2, s"h5ver must be 0 or 2, got $h5ver")
     require(chunkCols >= 0, s"chunkCols must be >= 0, got $chunkCols")
     require(chunkCols == 0 || chunkIndex != "single",
@@ -999,12 +1035,35 @@ object Hdf5Format {
       })), s"trailDims targets a fixed-width numeric array column: $c")
     }
 
+    require(!sparse || (layout == "chunked" && chunkIndex != "single" &&
+      chunkIndex != "implicit" && !vlenStrings && !vlenSeqs),
+      "sparse writes need a chunked layout with a gap-capable chunk index")
+    /** element-size fill pattern in file byte order (empty = undefined) */
+    private def fillBytesOf(f: StructField): Array[Byte] = fillValues.get(f.name) match {
+      case None => Array.emptyByteArray
+      case Some(d) =>
+        val k = kindOf(f)
+        val bb = ByteBuffer.allocate(k.elemSize).order(
+          if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+        k match {
+          case KDouble | KDoubleArr(_) => bb.putDouble(d)
+          case KFloat | KFloatArr(_) => bb.putFloat(d.toFloat)
+          case KLong | KLongArr(_) => bb.putLong(d.toLong)
+          case KInt => bb.putInt(d.toInt)
+          case KShort => bb.putShort(d.toShort)
+          case other => throw new IllegalArgumentException(
+            s"fill value for non-numeric kind $other on ${f.name}")
+        }
+        bb.array()
+    }
+
     private val vars: Array[VarState] = schema.fields.map(f =>
       new VarState(f.name, kindOf(f), chunkRecs, deflate,
         varAttrs.getOrElse(f.name, Nil) ++ quantAttr(f.name), shuffle, fletcher, chunkCols,
         bigEndian, quantize.get(f.name),
         trailDims.getOrElse(f.name, Nil).toArray,
-        trailChunks.getOrElse(f.name, Nil).toArray))
+        trailChunks.getOrElse(f.name, Nil).toArray,
+        fillBytesOf(f), sparse))
 
     def writeRow(get: Int => Any): Unit = {
       var i = 0
@@ -1032,8 +1091,16 @@ object Hdf5Format {
           sh.u8(3).u8(2).u64(typeAddr)
           sh.result()
         } else datatypeBytes(v.kind, bigEndian))
-      // fill value v2, not defined, late allocation
-      msgs += MSG_FILL -> Array[Byte](2, 2, 2, 0)
+      // fill value v2: defined when the variable carries one (what
+      // unallocated sparse chunks read as), else undefined
+      msgs += MSG_FILL -> (
+        if (v.fillBytes.isEmpty) Array[Byte](2, 2, 2, 0)
+        else {
+          val fb = new Buf
+          fb.u8(2).u8(2).u8(2).u8(1).u32(v.fillBytes.length)
+          fb.bytes(v.fillBytes)
+          fb.result()
+        })
       if (v.deflate || v.shuffle || v.fletcher) {
         val nf = (if (v.fletcher) 1 else 0) + (if (v.shuffle) 1 else 0) +
           (if (v.deflate) 1 else 0)
@@ -1282,8 +1349,11 @@ object Hdf5Format {
       * addresses; the trailing key marks one-past-the-end
       * (spec III.A.1). */
     private def chunkBtree(v: VarState, chunkAddrs: Seq[Long]): Array[Byte] = {
+      // sparse: unallocated (null) chunks simply have NO entry — the
+      // reader serves the fill value for uncovered blocks
+      val present = v.stored.zipWithIndex.filter(_._1._1 != null)
       val b = new Buf
-      b.bytes("TREE".getBytes("ASCII")).u8(1).u8(0).u16(v.stored.size)
+      b.bytes("TREE".getBytes("ASCII")).u8(1).u8(0).u16(present.size)
       b.u64(UNDEF).u64(UNDEF)
       def key(idx: Int, size: Int, mask: Int): Unit = {
         b.u32(size).u32(mask)
@@ -1298,7 +1368,7 @@ object Hdf5Format {
         }
         b.u64(0) // element-size dimension offset
       }
-      v.stored.zipWithIndex.foreach { case ((bytes, mask), i) =>
+      present.foreach { case ((bytes, mask), i) =>
         key(i, bytes.length, mask)
         b.u64(chunkAddrs(i))
       }
@@ -1343,8 +1413,13 @@ object Hdf5Format {
       b.bytes(hdBytes).u32(lookup3(hdBytes))
       require(b.size == 28, s"FAHD size ${b.size}")
       def elem(db: Buf, i: Int): Unit = {
-        db.u64(chunkAddrs(i))
-        if (filtered) db.u32(v.stored(i)._1.length).u32(v.stored(i)._2)
+        // sparse: unallocated chunks keep their positional element,
+        // marked by the undefined address (the reader skips them)
+        if (v.stored(i)._1 == null) { db.u64(UNDEF); if (filtered) db.u32(0).u32(0) }
+        else {
+          db.u64(chunkAddrs(i))
+          if (filtered) db.u32(v.stored(i)._1.length).u32(v.stored(i)._2)
+        }
       }
       if (n <= pageSize) {
         val db = new Buf
@@ -1388,10 +1463,15 @@ object Hdf5Format {
       val filtered = v.deflate || v.shuffle || v.fletcher
       val rank = 1 + v.trailD.length // dataspace dims (record + trailing)
       val recSize = if (filtered) 8 + 4 + 4 + 8 * rank else 8 + 8 * rank
-      val n = v.stored.size
+      // sparse: unallocated (null) chunks have NO record — positions
+      // below index through the PRESENT chunks only
+      val presentIdx: IndexedSeq[Int] =
+        v.stored.zipWithIndex.collect { case ((b, _), i) if b != null => i }.toIndexedSeq
+      val n = presentIdx.length
       val typ = if (filtered) 11 else 10
       val maxLeaf = (BT2_NODE - 10) / recSize
-      def record(out: Buf, i: Int): Unit = {
+      def record(out: Buf, p: Int): Unit = {
+        val i = presentIdx(p)
         out.u64(chunkAddrs(i))
         if (filtered) out.u32(v.stored(i)._1.length).u32(v.stored(i)._2)
         out.u64(i.toLong / v.nColBlocks) // scaled offset along the record dim
@@ -1528,7 +1608,7 @@ object Hdf5Format {
         case None => (UNDEF, Nil)
       }
       def elem(b: Buf, i: Long): Unit =
-        if (i < n) {
+        if (i < n && v.stored(i.toInt)._1 != null) {
           b.u64(chunkAddrs(i.toInt))
           if (filtered) b.u32(v.stored(i.toInt)._1.length).u32(v.stored(i.toInt)._2)
         } else { b.u64(UNDEF); if (filtered) b.u32(0).u32(0) }
@@ -1797,7 +1877,8 @@ object Hdf5Format {
         val addrs =
           if (compactLayout) Seq.empty[Long] // data rides in the header
           else v.stored.map { case (bytes, _) =>
-            val a = cursor; cursor += bytes.length; a
+            if (bytes == null) UNDEF // sparse: unallocated chunk
+            else { val a = cursor; cursor += bytes.length; a }
           }.toSeq
         varChunkAddrs(i) = addrs
         varBtreeAddrs(i) = cursor
@@ -1867,7 +1948,7 @@ object Hdf5Format {
       vars.zipWithIndex.foreach { case (v, i) =>
         out.bytes(datasetHeaderV1(v, layoutAddr(varChunkAddrs(i), varBtreeAddrs(i))))
         if (!compactLayout)
-          v.stored.foreach { case (bytes, _) => out.bytes(bytes) }
+          v.stored.foreach { case (bytes, _) => if (bytes != null) out.bytes(bytes) }
         out.bytes(chunkIndexBytes(v, varChunkAddrs(i), varBtreeAddrs(i)))
       }
       val res = out.result()
@@ -2009,7 +2090,8 @@ object Hdf5Format {
         val addrs =
           if (compactLayout) Seq.empty[Long] // data rides in the header
           else v.stored.map { case (bytes, _) =>
-            val a = cursor; cursor += bytes.length; a
+            if (bytes == null) UNDEF // sparse: unallocated chunk
+            else { val a = cursor; cursor += bytes.length; a }
           }.toSeq
         varChunkAddrs(i) = addrs
         varBtreeAddrs(i) = cursor
@@ -2048,7 +2130,7 @@ object Hdf5Format {
           out.bytes(denseAttrSegment(v, varAttrAddrs(i)))
         }
         if (!compactLayout)
-          v.stored.foreach { case (bytes, _) => out.bytes(bytes) }
+          v.stored.foreach { case (bytes, _) => if (bytes != null) out.bytes(bytes) }
         out.bytes(chunkIndexBytes(v, varChunkAddrs(i), varBtreeAddrs(i)))
       }
       val res = out.result()
@@ -2830,8 +2912,36 @@ object Hdf5Format {
     var deflate = false
     var shuffle = false
     var fletcher = false
+    var fillBytes: Array[Byte] = Array.emptyByteArray
     val attrs = scala.collection.mutable.ArrayBuffer.empty[H5Attr]
     msgs.foreach {
+      case (MSG_FILL, body) =>
+        // fill value message (spec IV.A.2.f): UNALLOCATED chunks of a
+        // sparse wild file read as this value (zeros when undefined) —
+        // the library only allocates chunks that were actually written
+        val b = new BB(body)
+        val ver = b.u8()
+        if (ver == 1 || ver == 2) {
+          b.skip(2) // space allocation time, fill write time
+          val defined = b.u8()
+          if ((defined == 1 || ver == 1) && b.remaining >= 4) {
+            val sz = b.u32().toInt
+            if (defined == 1 && sz > 0 && sz <= b.remaining) fillBytes = b.slice(sz)
+          }
+        } else if (ver == 3) {
+          val flags = b.u8()
+          if ((flags & 0x20) != 0) { // fill value defined
+            val sz = b.u32().toInt
+            if (sz > 0 && sz <= b.remaining) fillBytes = b.slice(sz)
+          }
+        }
+      case (MSG_FILL_OLD, body) =>
+        // pre-1.6 framing: bare size + value
+        val b = new BB(body)
+        if (b.remaining >= 4) {
+          val sz = b.u32().toInt
+          if (sz > 0 && sz <= b.remaining) fillBytes = b.slice(sz)
+        }
       case (MSG_DATASPACE, body) =>
         val b = new BB(body)
         val ver = b.u8()
@@ -3120,7 +3230,8 @@ object Hdf5Format {
       chunkCols = chunkColsOf, compactData = compactBytes,
       bigEndian = bigEndian,
       tdims = if (dims.length >= 3) trailAll.toSeq else Nil,
-      ctrail = if (dims.length >= 3) ctrailAll.toSeq else Nil))
+      ctrail = if (dims.length >= 3) ctrailAll.toSeq else Nil,
+      fill = if (fillBytes.length == elemSize) fillBytes else Array.emptyByteArray))
   }
 
   /** File metadata: superblock (v0-v3) → root group → datasets. Only
@@ -3291,8 +3402,23 @@ object Hdf5Format {
       cur
     }
 
-    /** The decoded tile holding (rec, col-block j) in tiled mode;
-      * unallocated tiles (sparse wild files) read as the zero fill. */
+    /** Tile the variable's fill pattern across `buf` (zeros when the
+      * fill value is undefined — freshly allocated buffers need no
+      * work then). */
+    private def fillBuf(buf: Array[Byte]): Array[Byte] = {
+      if (v.fill.nonEmpty) {
+        val es = v.fill.length
+        var o = 0
+        while (o + es <= buf.length) {
+          System.arraycopy(v.fill, 0, buf, o, es)
+          o += es
+        }
+      }
+      buf
+    }
+
+    /** The decoded tile holding (rec, tile j) in tiled mode;
+      * unallocated tiles (sparse wild files) read as the fill value. */
     private def tileBB(rec: Long, j: Int): ByteBuffer = {
       val blk = rec / v.chunkRecs
       if (blk != curBlock) {
@@ -3301,7 +3427,7 @@ object Hdf5Format {
       }
       if (tileBBs(j) == null) {
         val c = tilesByBlock.get(blk).flatMap(a => Option(a(j)))
-        val buf = c.map(decodeTile).getOrElse(new Array[Byte](tileLen))
+        val buf = c.map(decodeTile).getOrElse(fillBuf(new Array[Byte](tileLen)))
         tileBBs(j) = ByteBuffer.wrap(buf).order(ord)
       }
       tileBBs(j)
@@ -3391,13 +3517,22 @@ object Hdf5Format {
         System.arraycopy(cur, 0, raw, 0, math.min(cur.length - extra, raw.length))
     }
 
-    /** Position the buffer on the chunk containing `rec`. */
+    /** Position the buffer on the chunk containing `rec`. A record
+      * block with no allocated chunk (sparse wild file: the library
+      * only allocates chunks that were written) serves the variable's
+      * fill value — zeros when undefined, per the format contract. */
     private def ensure(rec: Long): Int = {
       if (rec < chunkStart || rec >= chunkEnd) {
         while (ci < covering.length && covering(ci).startRec + slabRecs <= rec) ci += 1
-        require(ci < covering.length && covering(ci).startRec <= rec,
-          s"record $rec outside covering chunks of ${v.name}")
-        loadChunk(covering(ci))
+        if (ci < covering.length && covering(ci).startRec <= rec)
+          loadChunk(covering(ci))
+        else {
+          // chunks are block-aligned, so the whole block is absent
+          java.util.Arrays.fill(raw, 0.toByte)
+          fillBuf(raw)
+          chunkStart = (rec / slabRecs) * slabRecs
+          chunkEnd = chunkStart + slabRecs
+        }
       }
       ((rec - chunkStart) * v.kind.rowBytes).toInt
     }

@@ -620,6 +620,54 @@ object Nc4Queries {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
       |FROM lineitem""".stripMargin
 
+  /** SPARSE VARIABLES + DEFINED FILL VALUES (r8 — the library only
+    * allocates chunks that were actually written, so wild files with
+    * partially-written or masked variables have UNALLOCATED chunk
+    * gaps that must read as the fill value message's value; and the
+    * writer's `sparse=true` reproduces that behavior, dropping
+    * all-fill chunks from data AND index): the gate writes a value
+    * with long fill runs (orderkey-block alternation → multi-chunk
+    * all-fill spans at chunkRecs=128), verifies on the driver that
+    * chunks really went unallocated (strictly fewer stored chunks
+    * than row blocks, metadata-sized check), and hash-gates the full
+    * roundtrip — a reader that served zeros instead of the fill, or
+    * a writer that mis-indexed the surviving chunks, breaks sum_v. */
+  def nc4SparseFill: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5sparse")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        expr("CAST(CASE WHEN (l_orderkey DIV 512) % 2 = 0 THEN -999 ELSE l_extendedprice END AS DOUBLE)")
+          .as("v"))
+      .repartition(2)
+      .sortWithinPartitions("l_orderkey")
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("chunkrecs", "128")
+      .option("shuffle", "true")
+      .option("sparse", "true")
+      .option("fillvalue.v", "-999")
+      .save(out)
+    val p = new Path(out)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sparseWin = NetCDF4Util.listFiles(fs, p).forall { f =>
+      val mv = Hdf5Format.readMeta(fs, f).vars.find(_.name == "v").get
+      mv.chunks.length < (mv.numRecs + 127) / 128
+    }
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("v")).as("sum_v"))
+      .withColumn("sparse_win", lit(sparseWin))
+  }
+
+  val nc4SparseFillSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(CASE WHEN (l_orderkey // 512) % 2 = 0 THEN -999
+      |    ELSE l_extendedprice END AS DECIMAL(9,2))) AS DOUBLE) AS sum_v,
+      |  TRUE AS sparse_win
+      |FROM lineitem""".stripMargin
+
   /** RANK-3 VARIABLES (r8 — the (time, lat, lon) shape that dominates
     * wild netCDF files, previously a loud rank ≤ 2 reject): the
     * embeddings matrix writes as a (rec, 8, 8) variable chunked
@@ -1315,6 +1363,7 @@ object Nc4Queries {
     "nc4_committed_types" -> nc4CommittedTypes,
     "nc4_quantize" -> nc4Quantize,
     "nc4_rank3" -> nc4Rank3,
+    "nc4_sparse_fill" -> nc4SparseFill,
     "nc4_dense_attrs" -> nc4DenseAttrs,
     "nc4_read_prune" -> nc4ReadPrune,
     "nc4_attrs" -> nc4Attrs,
@@ -1347,6 +1396,7 @@ object Nc4Queries {
     "nc4_committed_types" -> nc4CommittedTypesSql,
     "nc4_quantize" -> nc4QuantizeSql,
     "nc4_rank3" -> nc4Rank3Sql,
+    "nc4_sparse_fill" -> nc4SparseFillSql,
     "nc4_dense_attrs" -> nc4DenseAttrsSql,
     "nc4_read_prune" -> nc4ReadPruneSql,
     "nc4_attrs" -> nc4AttrsSql,

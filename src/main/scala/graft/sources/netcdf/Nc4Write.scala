@@ -174,6 +174,14 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
     options.collect { case (k, spec) if k.startsWith("trailchunks.") =>
       k.stripPrefix("trailchunks.") -> spec.split(',').toSeq.map(_.trim.toInt)
     }
+  /** `fillvalue.<col>` = numeric DEFINED fill value; `sparse=true`
+    * leaves all-fill chunks unallocated (the library's behavior for
+    * never-written regions — readers serve the fill for the gaps) */
+  private val fillValues: Map[String, Double] =
+    options.collect { case (k, spec) if k.startsWith("fillvalue.") =>
+      k.stripPrefix("fillvalue.") -> spec.trim.toDouble
+    }
+  private val sparse = options.get("sparse").exists(_.toBoolean)
 
   private val getters: Array[InternalRow => Any] =
     schema.fields.zipWithIndex.map { case (f, i) =>
@@ -228,7 +236,8 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
         chunkIndex = chunkIndex, denseAttrs = denseAttrs, chunkCols = chunkCols,
         layout = layout, eaPageBits = eaPageBits, vlenSeqs = vlenSeqs,
         enumTypes = enumTypes, bigEndian = bigEndian, commitTypes = commitTypes,
-        quantize = quantize, trailDims = trailDims, trailChunks = trailChunks)
+        quantize = quantize, trailDims = trailDims, trailChunks = trailChunks,
+        fillValues = fillValues, sparse = sparse)
     }
     var i = 0
     while (i < schema.size) {

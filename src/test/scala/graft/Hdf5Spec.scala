@@ -590,6 +590,45 @@ class Hdf5Spec extends AnyFunSuite {
     assert(exp == got, s"$exp vs $got")
   }
 
+  test("sparse variables: all-fill chunks stay unallocated; gaps read as the fill") {
+    // 1000 recs, chunkRecs=100: v is -5 (the defined fill) on blocks
+    // 2..7 → 6 of 10 chunks unallocated; w has fill UNDEFINED and
+    // zeros on the same blocks → gaps read as zeros
+    val df = spark.range(1000).select(col("id").as("k"),
+      expr("CAST(CASE WHEN id >= 200 AND id < 800 THEN -5 ELSE id END AS DOUBLE)").as("v"),
+      expr("CAST(CASE WHEN id >= 200 AND id < 800 THEN 0 ELSE id + 1 END AS DOUBLE)").as("w"))
+    for (idx <- Seq("btree1", "fixedarray", "btree2")) {
+      val dir = s"/tmp/graft_h5/sparse_$idx"
+      df.coalesce(1).sortWithinPartitions("k")
+        .write.format(SRC).mode("overwrite")
+        .option("h5ver", "2").option("chunkrecs", "100")
+        .option("chunkindex", idx)
+        .option("shuffle", "true")
+        .option("sparse", "true")
+        .option("fillvalue.v", "-5")
+        .save(dir)
+      val f = NetCDF4Util.listFiles(fs, new Path(dir)).head
+      val meta = Hdf5Format.readMeta(fs, f)
+      val (mv, mw) = (meta.vars.find(_.name == "v").get, meta.vars.find(_.name == "w").get)
+      assert(mv.chunks.length == 4, s"$idx: v has ${mv.chunks.length} chunks")
+      assert(mw.chunks.length == 4, s"$idx: w has ${mw.chunks.length} chunks")
+      // k is dense (no fill run) — all 10 chunks allocated
+      assert(meta.vars.find(_.name == "k").get.chunks.length == 10)
+      assert(java.nio.ByteBuffer.wrap(mv.fill)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getDouble == -5.0)
+      assert(mw.fill.isEmpty)
+      val back = spark.read.format(SRC).load(dir)
+      val exp = df.agg(sum("k"), sum("v"), sum("w")).head()
+      val got = back.agg(sum("k"), sum("v"), sum("w")).head()
+      assert(exp == got, s"$idx: $exp vs $got")
+      // probes inside and at the edges of the unallocated span
+      val probe = back.filter(col("k").isin(199, 200, 500, 799, 800))
+        .orderBy("k").select("v", "w").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      assert(probe.toSeq == Seq((199.0, 200.0), (-5.0, 0.0), (-5.0, 0.0),
+        (-5.0, 0.0), (800.0, 801.0)), s"$idx: ${probe.toSeq}")
+    }
+  }
+
   test("rank-3/rank-4 variables tile across trailing dims and roundtrip") {
     // (rec, 6, 8) chunked (4, 3, 5): partial in BOTH trailing dims —
     // edge tiles in each — through the full filter pipeline
