@@ -125,6 +125,77 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** int8 scalar-quantization round-trip (the FAISS SQ8 shape): per
+    * element, code = least(floor((v−mn)/(mx−mn)·256), 255) and the
+    * served value is the cell center mn + (code+0.5)·(mx−mn)/256 —
+    * one fused codegen loop per row, replacing two interpreted
+    * higher-order transforms in the scan's hot path. The arithmetic
+    * order is exactly the HOF/DuckDB formulation's, so results are
+    * bit-identical to the oracle. */
+  case class SqDequant(first: Expression, second: Expression, third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = children.forall(_.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sq_dequant requires array<double> inputs, got ${children.map(_.dataType)}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val mns = b.asInstanceOf[ArrayData]
+      val mxs = c.asInstanceOf[ArrayData]
+      val n = math.min(v.numElements(), math.min(mns.numElements(), mxs.numElements()))
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val mn = mns.getDouble(i)
+        val mx = mxs.getDouble(i)
+        val code =
+          if (mx > mn)
+            math.min(math.floor((v.getDouble(i) - mn) / (mx - mn) * 256.0), 255.0)
+          else 0.0
+        out(i) = mn + (code + 0.5) * (mx - mn) / 256.0
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, mns, mxs) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val out = ctx.freshName("out")
+        val mn = ctx.freshName("mn")
+        val mx = ctx.freshName("mx")
+        val code = ctx.freshName("code")
+        s"""
+           |int $n = java.lang.Math.min($v.numElements(),
+           |  java.lang.Math.min($mns.numElements(), $mxs.numElements()));
+           |double[] $out = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $mn = $mns.getDouble($i);
+           |  double $mx = $mxs.getDouble($i);
+           |  double $code = ($mx > $mn)
+           |    ? java.lang.Math.min(java.lang.Math.floor(($v.getDouble($i) - $mn) / ($mx - $mn) * 256.0), 255.0)
+           |    : 0.0;
+           |  $out[$i] = $mn + ($code + 0.5) * ($mx - $mn) / 256.0;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression): SqDequant =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
   /** array<float> → binary encode (the staging twin of
     * [[FloatsFromBinary]]; same little-endian float32 packing). */
   case class FloatsToBinary(child: Expression)
@@ -195,6 +266,12 @@ object VectorExpressions {
     org.apache.spark.sql.GraftBridge.column(
       DotProduct(org.apache.spark.sql.GraftBridge.expression(a),
         org.apache.spark.sql.GraftBridge.expression(b)))
+
+  def sq_dequant(v: Column, mns: Column, mxs: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      SqDequant(org.apache.spark.sql.GraftBridge.expression(v),
+        org.apache.spark.sql.GraftBridge.expression(mns),
+        org.apache.spark.sql.GraftBridge.expression(mxs)))
 
   /** L2 norm via the same codegen'd kernel. */
   def vec_norm(a: Column): Column = {

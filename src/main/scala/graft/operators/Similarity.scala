@@ -799,16 +799,15 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(pos, mn))), p -> p.mn)").as("mns"),
           expr("transform(array_sort(collect_list(struct(pos, mx))), p -> p.mx)").as("mxs"))
     }
+    // encode+dequantize in ONE fused codegen loop per row (the
+    // [[graft.functions.VectorExpressions.SqDequant]] kernel) — the
+    // interpreted higher-order-transform formulation spent the whole
+    // scan in lambda dispatch; arithmetic order is identical, so the
+    // result stays bit-for-bit the oracle's
     val scan = emb.crossJoin(broadcast(statsRow))
-      .withColumn("code", expr(
-        s"""transform(sequence(1, $DIMS), i -> CASE
-           |  WHEN element_at(mxs, i) > element_at(mns, i)
-           |  THEN least(floor((element_at(v, i) - element_at(mns, i))
-           |    / (element_at(mxs, i) - element_at(mns, i)) * 256.0), 255.0)
-           |  ELSE 0.0 END)""".stripMargin))
-      .withColumn("dq", expr(
-        s"transform(sequence(1, $DIMS), i -> element_at(mns, i) + (element_at(code, i) + 0.5) * (element_at(mxs, i) - element_at(mns, i)) / 256.0)"))
-      .select(col("vec_id"), col("dq"))
+      .select(col("vec_id"),
+        graft.functions.VectorExpressions.sq_dequant(
+          col("v"), col("mns"), col("mxs")).as("dq"))
     val q = emb.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val cand = scan.join(broadcast(q), col("vec_id") =!= col("query_id"))
