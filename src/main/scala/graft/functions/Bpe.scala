@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -237,13 +237,95 @@ object Bpe {
        |  md5(array_to_string(flatten(list(toks ORDER BY pos)), ' ')) AS seq_hash
        |FROM j GROUP BY doc_id""".stripMargin
 
+  /** BPE TRAINING (r8 — vocabulary INDUCTION, the capability the
+    * other three keys consume: learn the merge table ITSELF from the
+    * corpus, the `tokenizers.BpeTrainer` job every pipeline runs once
+    * before tokenizing anything). Scale shape: ONE corpus-scale pass
+    * builds the word-frequency table (partial-agg groupBy — the only
+    * stage that touches the 100 TB); the K training iterations then
+    * run over the VOCABULARY (sublinear), each counting adjacent
+    * token pairs weighted by word frequency in a partial-agg groupBy
+    * and collecting a single argmax row (count DESC, pair ASC
+    * tie-break — deterministic on both engines' binary collation).
+    * Learned rules apply as two-pass literal replaces (see the file
+    * doc for why two passes = the single-rule fixed point), so the
+    * DuckDB oracle replays the whole training loop as K chained CTEs
+    * of the same algorithm. */
+  def textBpeTrain: Q = textBpeTrainK(6)
+
+  private[graft] def textBpeTrainK(K: Int): Q = (s, dir) => {
+    val words = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .cache()
+    def segCol(merges: Seq[(String, String)]): Column = {
+      val base = concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
+      merges.foldLeft(base) { case (e, (a, b)) =>
+        val pat = lit(s" $a $b ")
+        val rep = lit(s" $a$b ")
+        replace(replace(e, pat, rep), pat, rep)
+      }
+    }
+    var ms = Vector.empty[(Long, String, String, Long)]
+    var i = 0
+    while (i < K) {
+      val toks = words
+        .select(col("f"),
+          split(trim(segCol(ms.map(m => (m._2, m._3)))), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val top = toks.select(col("f"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), j -> struct(element_at(toks, j) AS a, element_at(toks, j + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      require(top.nonEmpty, s"corpus exhausted after ${ms.length} merges (wanted $K)")
+      ms = ms :+ ((i + 1L, top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
+      i += 1
+    }
+    import s.implicits._
+    ms.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  val textBpeTrainSql: String = {
+    val K = 6
+    val sb = new StringBuilder
+    sb.append(
+      """WITH wfreq AS (
+        |  SELECT w, COUNT(*) AS f FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) uw
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |c0 AS (SELECT f, ' ' || array_to_string(regexp_split_to_array(w, ''), ' ') || ' ' AS r
+        |       FROM wfreq)""".stripMargin)
+    (1 to K).foreach { i =>
+      sb.append("\n").append(
+        s""",s$i AS (SELECT f, string_split(trim(r), ' ') AS toks FROM c${i - 1}),
+           |t$i AS (SELECT f, unnest(list_transform(generate_series(1, len(toks) - 1),
+           |    j -> struct_pack(a := toks[j], b := toks[j + 1]))) AS p
+           |  FROM s$i WHERE len(toks) >= 2),
+           |m$i AS (SELECT p.a AS a, p.b AS b, SUM(f) AS cnt FROM t$i
+           |  GROUP BY p.a, p.b ORDER BY cnt DESC, a, b LIMIT 1),
+           |c$i AS (SELECT f, replace(replace(r,
+           |    ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '),
+           |    ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS r
+           |  FROM c${i - 1} CROSS JOIN m$i m)""".stripMargin)
+    }
+    sb.append("\n").append((1 to K).map(i =>
+      s"SELECT $i AS merge_rank, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM m$i")
+      .mkString("", "\nUNION ALL ", ""))
+    sb.toString
+  }
+
   val queries: Map[String, Q] = Map(
     "text_tokencount_bpe" -> textTokencountBpe,
     "text_tokens_bpe" -> textTokensBpe,
-    "text_tokens_bpe_file" -> textTokensBpeFile)
+    "text_tokens_bpe_file" -> textTokensBpeFile,
+    "text_bpe_train" -> textBpeTrain)
 
   val oracles: Map[String, String] = Map(
     "text_tokencount_bpe" -> textTokencountBpeSql,
     "text_tokens_bpe" -> textTokensBpeSql,
-    "text_tokens_bpe_file" -> textTokensBpeSql)
+    "text_tokens_bpe_file" -> textTokensBpeSql,
+    "text_bpe_train" -> textBpeTrainSql)
 }

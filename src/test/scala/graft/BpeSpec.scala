@@ -42,6 +42,29 @@ class BpeSpec extends AnyFunSuite {
     assert(bpe < chars * 3 / 4, s"bpe=$bpe chars=$chars — merges not firing?")
   }
 
+  test("bpe training learns the hand-computed merge sequence") {
+    import spark.implicits._
+    val dir = "/tmp/graft_bpe_train"
+    // vocab: aaab (f=3), ab (f=1)
+    // iter 1: pairs (a,a)=6, (a,b)=4         → learn (a,a)
+    //   apply: 'a a a b' → 'aa a b' (the two-pass replace leaves the
+    //   odd trailing 'a' unmerged — the single-rule fixed point)
+    // iter 2: (aa,a)=3, (a,b)=3+1=4          → learn (a,b)
+    // iter 3: (aa,ab)=3, 'ab' fully merged   → learn (aa,ab)
+    Seq((0L, "aaab aaab aaab ab")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Bpe.textBpeTrainK(3)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, "a", "a", 6L), (2L, "a", "b", 4L), (3L, "aa", "ab", 3L)), s"$got")
+    // tie-break: equal counts resolve to the lexicographically
+    // smallest pair on both engines' binary collation
+    Seq((0L, "xy yx")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val tie = Bpe.textBpeTrainK(1)(spark, dir)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(tie == Seq(("x", "y")), s"$tie")
+  }
+
   test("loadMerges parses the released merges.txt shape in rank order") {
     val path = "/tmp/graft_bpe/merges_test.txt"
     val p = new org.apache.hadoop.fs.Path(path)
