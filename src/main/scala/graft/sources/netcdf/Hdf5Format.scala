@@ -525,6 +525,32 @@ object Hdf5Format {
     b.result()
   }
 
+  /** `DIMENSION_LIST` attribute body: dataspace [rank], datatype
+    * VLEN(class 9, sequence) of OBJECT REFERENCE (class 7, 8 bytes) —
+    * the netCDF-4 library's dimension-scale attachment. Each vlen
+    * element's heap payload lists the referenced scale object header
+    * addresses (exactly one scale per dim, the library's shape). */
+  private def dimListAttrBytes(refs: Seq[(Long, Int)]): Array[Byte] = {
+    val name = "DIMENSION_LIST".getBytes("UTF-8")
+    val dt = new Buf
+    dt.u8(0x19).u8(0x00).u8(0).u8(0).u32(16) // vlen v1, type=sequence
+    dt.u8(0x17).u8(0).u8(0).u8(0).u32(8) // base: object reference v1
+    val dtB = dt.result()
+    val dsB = dataspaceBytes(Seq(refs.length.toLong), withMax = false)
+    val b = new Buf
+    b.u8(1).u8(0).u16(name.length + 1).u16(dtB.length).u16(dsB.length)
+    b.bytes(name).u8(0).padTo8()
+    b.bytes(dtB).padTo8()
+    b.bytes(dsB).padTo8()
+    refs.foreach { case (gaddr, idx) => b.u32(1).u64(gaddr).u32(idx) }
+    b.result()
+  }
+
+  /** The netCDF library's marker NAME for a dim that has no
+    * coordinate variable (netCDF-4 hides such datasets from users). */
+  private[netcdf] def phonyDimName(len: Long): String =
+    s"This is a netCDF dimension but not a netCDF variable. $len"
+
   // message type ids (spec IV.A.2)
   private val MSG_DATASPACE = 0x0001
   private val MSG_LINK_INFO = 0x0002
@@ -929,7 +955,16 @@ object Hdf5Format {
       /** leave all-fill chunks UNALLOCATED (no data, no index entry) —
         * the library's behavior for regions never written; readers
         * serve the fill value for the gaps */
-      sparse: Boolean = false) {
+      sparse: Boolean = false,
+      /** column → netCDF DIMENSION NAMES (record dim first, then the
+        * trailing dims). Emits the library's dimension-scale layout:
+        * one scale dataset per dim — a named data column of that name
+        * becomes the COORDINATE variable (CLASS=DIMENSION_SCALE on
+        * itself), otherwise a PHONY dim dataset with the library's
+        * "not a netCDF variable" NAME marker and no allocated data —
+        * and a DIMENSION_LIST attribute of vlen object references on
+        * each data variable. */
+      dimScales: Map[String, Seq[String]] = Map.empty) {
     require(h5ver == 0 || h5ver == 2, s"h5ver must be 0 or 2, got $h5ver")
     require(chunkCols >= 0, s"chunkCols must be >= 0, got $chunkCols")
     require(chunkCols == 0 || chunkIndex != "single",
@@ -1038,6 +1073,22 @@ object Hdf5Format {
     require(!sparse || (layout == "chunked" && chunkIndex != "single" &&
       chunkIndex != "implicit" && !vlenStrings && !vlenSeqs),
       "sparse writes need a chunked layout with a gap-capable chunk index")
+    require(dimScales.isEmpty || (h5ver == 2 && !denseRoot && !denseAttrs),
+      "dimension scales need the 1.8+ layout with compact links/attrs")
+    dimScales.foreach { case (c, ds) =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"dimnames for unknown column $c"))
+      val wantRank = 1 + (kindOf(f) match {
+        case KFloatArr(_) | KDoubleArr(_) | KLongArr(_) =>
+          math.max(1, trailDims.getOrElse(c, Seq(0)).length)
+        case _ => 0
+      })
+      require(ds.length == wantRank && ds.forall(_.nonEmpty),
+        s"dimnames for $c must name $wantRank dims, got ${ds.mkString(",")}")
+    }
+    /** the coordinate variables: data columns that ARE a named dim */
+    private val coordCols: Set[String] =
+      dimScales.values.flatten.toSet.intersect(schema.fieldNames.toSet)
     /** element-size fill pattern in file byte order (empty = undefined) */
     private def fillBytesOf(f: StructField): Array[Byte] = fillValues.get(f.name) match {
       case None => Array.emptyByteArray
@@ -1057,13 +1108,20 @@ object Hdf5Format {
         bb.array()
     }
 
-    private val vars: Array[VarState] = schema.fields.map(f =>
+    private val vars: Array[VarState] = schema.fields.map { f =>
+      // a data column that IS a named dim is that dim's coordinate
+      // variable — it carries the dimension-scale CLASS marker itself
+      val scaleAttr =
+        if (coordCols(f.name)) Seq(H5Attr("CLASS", Some("DIMENSION_SCALE"), Array.empty))
+        else Nil
       new VarState(f.name, kindOf(f), chunkRecs, deflate,
-        varAttrs.getOrElse(f.name, Nil) ++ quantAttr(f.name), shuffle, fletcher, chunkCols,
+        varAttrs.getOrElse(f.name, Nil) ++ quantAttr(f.name) ++ scaleAttr,
+        shuffle, fletcher, chunkCols,
         bigEndian, quantize.get(f.name),
         trailDims.getOrElse(f.name, Nil).toArray,
         trailChunks.getOrElse(f.name, Nil).toArray,
-        fillBytesOf(f), sparse))
+        fillBytesOf(f), sparse)
+    }
 
     def writeRow(get: Int => Any): Unit = {
       var i = 0
@@ -1075,7 +1133,8 @@ object Hdf5Format {
       * serves the sizing pass (btreeAddr = 0) and the render pass. */
     private def datasetMsgs(v: VarState, btreeAddr: Long,
         attrInfoAddr: Long = UNDEF,
-        typeAddr: Long = UNDEF): Seq[(Int, Array[Byte])] = {
+        typeAddr: Long = UNDEF,
+        dimRefs: Seq[(Long, Int)] = Nil): Seq[(Int, Array[Byte])] = {
       val dims: Seq[Long] = v.kind match {
         case KFloatArr(_) | KDoubleArr(_) | KLongArr(_) =>
           v.numRecs +: v.trailD.toSeq.map(_.toLong)
@@ -1208,6 +1267,8 @@ object Hdf5Format {
         msgs += MSG_ATTR_INFO -> ai.result()
       } else
         allAttrs(v).foreach(a => msgs += MSG_ATTRIBUTE -> attributeBytes(a))
+      if (dimRefs.nonEmpty)
+        msgs += MSG_ATTRIBUTE -> dimListAttrBytes(dimRefs)
       msgs.toSeq
     }
 
@@ -1340,8 +1401,9 @@ object Hdf5Format {
     }
 
     private def datasetHeaderV2(v: VarState, btreeAddr: Long,
-        attrInfoAddr: Long = UNDEF, typeAddr: Long = UNDEF): Array[Byte] =
-      objectHeaderV2(datasetMsgs(v, btreeAddr, attrInfoAddr, typeAddr),
+        attrInfoAddr: Long = UNDEF, typeAddr: Long = UNDEF,
+        dimRefs: Seq[(Long, Int)] = Nil): Array[Byte] =
+      objectHeaderV2(datasetMsgs(v, btreeAddr, attrInfoAddr, typeAddr, dimRefs),
         if (typeAddr != UNDEF) Set(MSG_DATATYPE) else Set.empty)
 
     /** Chunk B-tree v1, single level-0 node (type 1): entries carry
@@ -1990,9 +2052,62 @@ object Hdf5Format {
         commitKinds.map(k => objectHeaderV2(Seq(MSG_DATATYPE -> datatypeBytes(k))))
       def typeName(i: Int): String = s"_type$i"
 
+      // ---- netCDF dimension scales: ordered dim table, per-dim
+      // length (record dim = numRecs, trailing dims from the array
+      // geometry), PHONY scale datasets for dims without a coordinate
+      // variable (contiguous layout, data address UNDEF — zero
+      // storage, the library's shape for never-written dims), and one
+      // global-heap collection holding the per-dim reference payloads
+      // the DIMENSION_LIST attributes point into ----
+      val dimNames: Seq[String] = dimScales.values.flatten.toSeq.distinct
+      val dimLen: Map[String, Long] = {
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        dimScales.foreach { case (c, ds) =>
+          val v = vars.find(_.name == c).get
+          ds.zipWithIndex.foreach { case (d, i) =>
+            val n = if (i == 0) v.numRecs else v.trailD(i - 1).toLong
+            require(m.getOrElse(d, n) == n,
+              s"dim $d length drift: ${m.getOrElse(d, n)} vs $n")
+            m(d) = n
+          }
+        }
+        m.toMap
+      }
+      def phonyDimHdr(len: Long): Array[Byte] = {
+        val l = new Buf
+        l.u8(3).u8(1).u64(UNDEF).u64(len * 8)
+        objectHeaderV2(Seq(
+          MSG_DATASPACE -> dataspaceBytes(Seq(len), withMax = true),
+          MSG_DATATYPE -> datatypeBytes(KDouble),
+          MSG_FILL -> Array[Byte](2, 2, 2, 0),
+          MSG_LAYOUT -> l.result(),
+          MSG_ATTRIBUTE -> attributeBytes(H5Attr("CLASS", Some("DIMENSION_SCALE"), Array.empty)),
+          MSG_ATTRIBUTE -> attributeBytes(H5Attr("NAME", Some(phonyDimName(len)), Array.empty))))
+      }
+      val phonyDims: Seq[String] = dimNames.filterNot(coordCols)
+      val phonyHdrs: Seq[Array[Byte]] = phonyDims.map(d => phonyDimHdr(dimLen(d)))
+      def dimGcolSeg(scaleAddrs: Seq[Long]): Array[Byte] = {
+        if (scaleAddrs.isEmpty) return Array.emptyByteArray
+        val objs = new Buf
+        scaleAddrs.zipWithIndex.foreach { case (a, i) =>
+          objs.u16(i + 1).u16(1).u32(0).u64(8L)
+          objs.u64(a) // the 8-byte object-reference payload
+        }
+        val used = 16 + objs.size
+        val total =
+          if (used >= 4096) used
+          else if (4096 - used >= 16) 4096 else used + 16
+        val b = new Buf
+        b.bytes("GCOL".getBytes("ASCII")).u8(1).zeros(3).u64(total.toLong)
+        b.bytes(objs.result())
+        val free = total - used
+        if (free > 0) { b.u16(0).u16(0).u32(0).u64(free.toLong); b.zeros(free - 16) }
+        b.result()
+      }
+
       // sizing: root header size depends only on message sizes
       def rootMsgs(addrs: Seq[Long], fheapAddr: Long,
-          typeAddrs: Seq[Long]): Seq[(Int, Array[Byte])] =
+          typeAddrs: Seq[Long], phonyAddrs: Seq[Long]): Seq[(Int, Array[Byte])] =
         if (denseRoot) {
           // Link Info v0, no creation-order tracking: fractal heap
           // address + name-index v2 B-tree address
@@ -2002,14 +2117,27 @@ object Hdf5Format {
         } else
           vars.zipWithIndex.map { case (v, i) => MSG_LINK -> linkMsg(v.name, addrs(i)) }.toSeq ++
             typeAddrs.zipWithIndex.map { case (a, i) => MSG_LINK -> linkMsg(typeName(i), a) } ++
+            phonyDims.zip(phonyAddrs).map { case (d, a) => MSG_LINK -> linkMsg(d, a) } ++
             rootAttrMsgs
       val rootHdrSize = objectHeaderV2(
-        rootMsgs(vars.map(_ => 0L).toSeq, 0L, commitKinds.map(_ => 0L))).length
+        rootMsgs(vars.map(_ => 0L).toSeq, 0L, commitKinds.map(_ => 0L),
+          phonyDims.map(_ => 0L))).length
       var cursor = SUPER.toLong + rootHdrSize
       val typeAddrs: Seq[Long] = typeHdrs.map { th =>
         val a = cursor; cursor += th.length; a
       }
       val typeAddrOf: Map[H5Kind, Long] = commitKinds.zip(typeAddrs).toMap
+      val phonyAddrs: Seq[Long] = phonyHdrs.map { h =>
+        val a = cursor; cursor += h.length; a
+      }
+      val dimGcolAddr = cursor
+      cursor += dimGcolSeg(dimNames.map(_ => 0L)).length
+      /** DIMENSION_LIST refs for one variable (coordinate variables
+        * are scales themselves — no list, per the library) */
+      def dimRefsFor(v: VarState): Seq[(Long, Int)] =
+        if (coordCols(v.name)) Nil
+        else dimScales.getOrElse(v.name, Nil).map(d =>
+          (dimGcolAddr, dimNames.indexOf(d) + 1))
       // vlen global heap ahead of the var region (see materializeVlen)
       val gcolAddr = cursor
       val gcolSeg = materializeVlen(gcolAddr)
@@ -2084,7 +2212,8 @@ object Hdf5Format {
       vars.zipWithIndex.foreach { case (v, i) =>
         varHdrAddrs(i) = cursor
         cursor += datasetHeaderV2(v, 0L,
-          typeAddr = typeAddrOf.getOrElse(v.kind, UNDEF)).length
+          typeAddr = typeAddrOf.getOrElse(v.kind, UNDEF),
+          dimRefs = dimRefsFor(v)).length
         varAttrAddrs(i) = cursor
         if (denseAttrs && allAttrs(v).nonEmpty) cursor += denseAttrGeom(v)._2
         val addrs =
@@ -2108,10 +2237,28 @@ object Hdf5Format {
       val sbBytes = sb.result()
       out.bytes(sbBytes).u32(lookup3(sbBytes))
       require(out.size == SUPER, s"superblock v2 size ${out.size}")
-      out.bytes(objectHeaderV2(rootMsgs(varHdrAddrs.toSeq, denseAddr, typeAddrs)))
+      out.bytes(objectHeaderV2(
+        rootMsgs(varHdrAddrs.toSeq, denseAddr, typeAddrs, phonyAddrs)))
       typeHdrs.zip(typeAddrs).foreach { case (th, a) =>
         require(out.size == a, s"named-type layout drift: ${out.size} != $a")
         out.bytes(th)
+      }
+      phonyHdrs.zip(phonyAddrs).foreach { case (ph, a) =>
+        require(out.size == a, s"phony-dim layout drift: ${out.size} != $a")
+        out.bytes(ph)
+      }
+      if (dimNames.nonEmpty) {
+        require(out.size == dimGcolAddr,
+          s"dim gcol layout drift: ${out.size} != $dimGcolAddr")
+        // each dim's reference payload: the scale object's header
+        // address — the coordinate VARIABLE's header when the dim has
+        // one, else the phony scale dataset
+        out.bytes(dimGcolSeg(dimNames.map { d =>
+          vars.indexWhere(_.name == d) match {
+            case -1 => phonyAddrs(phonyDims.indexOf(d))
+            case vi => varHdrAddrs(vi)
+          }
+        }))
       }
       if (gcolSeg.nonEmpty) {
         require(out.size == gcolAddr, s"gcol layout drift: ${out.size} != $gcolAddr")
@@ -2123,7 +2270,7 @@ object Hdf5Format {
       }
       vars.zipWithIndex.foreach { case (v, i) =>
         out.bytes(datasetHeaderV2(v, layoutAddr(varChunkAddrs(i), varBtreeAddrs(i)),
-          varAttrAddrs(i), typeAddrOf.getOrElse(v.kind, UNDEF)))
+          varAttrAddrs(i), typeAddrOf.getOrElse(v.kind, UNDEF), dimRefsFor(v)))
         if (denseAttrs && allAttrs(v).nonEmpty) {
           require(out.size == varAttrAddrs(i),
             s"dense attr layout drift: ${out.size} != ${varAttrAddrs(i)}")
@@ -2887,6 +3034,78 @@ object Hdf5Format {
     }
   }
 
+  /** Fetch one global-heap object's payload (standalone twin of the
+    * VarReader's cached gcol walk — metadata-path use only). */
+  private def gcolObject(r: R, addr: Long, idx: Int): Array[Byte] = {
+    val hdr = new BB(r.bytesAt(addr, 16))
+    require(hdr.u8() == 'G' && hdr.u8() == 'C' && hdr.u8() == 'O' && hdr.u8() == 'L',
+      s"bad global heap signature at $addr")
+    hdr.skip(4)
+    val total = hdr.u64()
+    val b = new BB(r.bytesAt(addr + 16, (total - 16).toInt))
+    while (b.remaining >= 16) {
+      val oid = b.u16()
+      b.skip(6)
+      val size = b.u64().toInt
+      if (oid == 0) throw new java.io.IOException(s"global heap object $idx missing at $addr")
+      val body = b.slice(pad8(size))
+      if (oid == idx) return java.util.Arrays.copyOf(body, size)
+    }
+    throw new java.io.IOException(s"global heap object $idx missing at $addr")
+  }
+
+  /** VLEN-of-OBJECT-REFERENCE attribute (`DIMENSION_LIST` — the
+    * netCDF-4 dimension-scale attachment): resolve each element's
+    * heap payload into the referenced object header ADDRESSES, served
+    * as nums (file offsets are well under 2^53). [[readMeta]] maps
+    * them to dataset names afterwards. */
+  private def readVlenRefAttr(r: R, body: Array[Byte]): Option[H5Attr] = {
+    val b = new BB(body)
+    val ver = b.u8()
+    if (ver != 1 && ver != 3) return None
+    val flags = b.u8()
+    if (ver == 1 && flags != 0) return None
+    val nameSize = b.u16()
+    val dtSize = b.u16()
+    val dsSize = b.u16()
+    if (ver == 3) b.skip(1)
+    val p8 = ver == 1
+    def take(n: Int): Array[Byte] = {
+      val raw = b.slice(if (p8) pad8(n) else n)
+      java.util.Arrays.copyOf(raw, n)
+    }
+    val nameB = take(nameSize)
+    var nl = nameB.length
+    while (nl > 0 && nameB(nl - 1) == 0) nl -= 1
+    val name = new String(nameB, 0, nl, "UTF-8")
+    val dt = new BB(take(dtSize))
+    val cls = dt.u8() & 0x0f
+    dt.skip(3)
+    dt.u32() // vlen element size (16)
+    if (cls != 9 || dt.remaining < 8) return None
+    val baseCls = dt.u8() & 0x0f
+    if (baseCls != 7) return None
+    val ds = new BB(take(dsSize))
+    ds.skip(1)
+    val rank = ds.u8()
+    ds.skip(1)
+    ds.skip(if ((ds.data(0) & 0xff) >= 2) 1 else 5)
+    val n = (0 until rank).map(_ => ds.u64()).product max 1L
+    val addrs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (0L until n).foreach { _ =>
+      if (b.remaining >= 16) {
+        val len = b.u32().toInt
+        val gaddr = b.u64()
+        val idx = b.u32().toInt
+        if (len > 0 && gaddr != 0L && gaddr != UNDEF) {
+          val payload = new BB(gcolObject(r, gaddr, idx))
+          (0 until len).foreach(_ => if (payload.remaining >= 8) addrs += payload.u64().toDouble)
+        }
+      }
+    }
+    Some(H5Attr(name, None, addrs.toArray))
+  }
+
   /** Parse one dataset's object header into an H5Var. */
   private def readDataset(r: R, name: String, addr: Long): Option[H5Var] = {
     val msgs = readMessages(r, addr)
@@ -3066,7 +3285,8 @@ object Hdf5Format {
           } else if (id != 0)
             throw new java.io.IOException(s"unsupported HDF5 filter id $id")
         }
-      case (MSG_ATTRIBUTE, body) => readAttr(body).foreach(attrs += _)
+      case (MSG_ATTRIBUTE, body) =>
+        readAttr(body).orElse(readVlenRefAttr(r, body)).foreach(attrs += _)
       case (MSG_ATTR_INFO, body) => attrs ++= readDenseAttrs(r, body)
       case _ =>
     }
@@ -3268,14 +3488,35 @@ object Hdf5Format {
       // recursive group walk: a link whose header carries no dataspace
       // is a (sub)group — its datasets surface under "group/name" path
       // names, the same flat-path presentation the classic source uses
+      val nameOfAddr = scala.collection.mutable.HashMap.empty[Long, String]
       def walk(prefix: String, msgs: Seq[(Int, Array[Byte])]): Seq[H5Var] =
         readLinks(r, msgs).sortBy(_._1).flatMap { case (nm, a) =>
+          nameOfAddr(a) = prefix + nm
           readDataset(r, prefix + nm, a) match {
             case Some(v) => Seq(v)
             case None => walk(prefix + nm + "/", readMessages(r, a))
           }
         }
-      H5Meta(walk("", rootMsgs), rootAttrs)
+      val raw = walk("", rootMsgs)
+      // netCDF dimension scales: resolve DIMENSION_LIST object
+      // references into a synthetic `_dims` name-list attribute, and
+      // HIDE pure dims (scales carrying the library's "not a netCDF
+      // variable" NAME marker) exactly as the library does —
+      // coordinate VARIABLES (scales without the marker) stay visible
+      val vars = raw
+        .filterNot(_.attrs.exists(a => a.name == "NAME" &&
+          a.text.exists(_.startsWith("This is a netCDF dimension"))))
+        .map { v =>
+          val dl = v.attrs.find(_.name == "DIMENSION_LIST")
+          dl match {
+            case Some(a) if a.nums.nonEmpty =>
+              val names = a.nums.toSeq.map(d => nameOfAddr.getOrElse(d.toLong, "?"))
+              v.copy(attrs = v.attrs.filterNot(_.name == "DIMENSION_LIST") :+
+                H5Attr("_dims", Some(names.mkString(",")), Array.empty))
+            case _ => v
+          }
+        }
+      H5Meta(vars, rootAttrs)
     } finally in.close()
   }
 

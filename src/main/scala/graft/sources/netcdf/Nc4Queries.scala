@@ -620,6 +620,57 @@ object Nc4Queries {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
       |FROM lineitem""".stripMargin
 
+  /** DIMENSION SCALES (r8 — the netCDF-4 DATA MODEL layer: every
+    * real netCDF-4 file names its dims via HDF5 dimension scales —
+    * scale datasets carrying CLASS=DIMENSION_SCALE, phony dims with
+    * the library's "not a netCDF variable" NAME marker, and a
+    * DIMENSION_LIST attribute of VLEN OBJECT REFERENCES on each data
+    * variable. Without parsing it, variables surface dimensionless):
+    * the writer emits the genuine layout behind `dimnames.<col>`
+    * (coordinate variables become scales themselves; phony dims get
+    * zero-storage datasets), the reader resolves the references
+    * through the global heap into a synthetic `_dims` name list and
+    * HIDES phony dims exactly as the library does. The gate routes a
+    * coordinate variable, a 1-D data var, and a rank-3 var through
+    * the layout and hashes all three resolved dim lists. */
+  def nc4DimScales: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5dims")
+    t(s, dir, "embeddings")
+      .select(col("vec_id").cast(DoubleType).as("row"), col("embedding"),
+        col("label").cast(IntegerType).as("label"))
+      .repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("traildims.embedding", "8,8")
+      .option("dimnames.row", "row")
+      .option("dimnames.label", "row")
+      .option("dimnames.embedding", "row,lat,lon")
+      .save(out)
+    val dims = Hdf5IO.readAttrs(s, out)
+      .filter(col("attr_name").isin("_dims", "CLASS"))
+      .groupBy()
+      .agg(
+        max(when(col("var_name") === "embedding" && col("attr_name") === "_dims",
+          col("sval"))).as("dims_emb"),
+        max(when(col("var_name") === "label" && col("attr_name") === "_dims",
+          col("sval"))).as("dims_label"),
+        max(when(col("var_name") === "row" && col("attr_name") === "CLASS",
+          col("sval"))).as("row_class"))
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("row")).cast(LongType).as("sum_row"),
+        sum(col("label").cast(LongType)).as("sum_label"))
+      .crossJoin(broadcast(dims))
+  }
+
+  val nc4DimScalesSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS sum_row,
+      |  CAST(SUM(label) AS BIGINT) AS sum_label,
+      |  'row,lat,lon' AS dims_emb, 'row' AS dims_label,
+      |  'DIMENSION_SCALE' AS row_class
+      |FROM embeddings""".stripMargin
+
   /** SPARSE VARIABLES + DEFINED FILL VALUES (r8 — the library only
     * allocates chunks that were actually written, so wild files with
     * partially-written or masked variables have UNALLOCATED chunk
@@ -1364,6 +1415,7 @@ object Nc4Queries {
     "nc4_quantize" -> nc4Quantize,
     "nc4_rank3" -> nc4Rank3,
     "nc4_sparse_fill" -> nc4SparseFill,
+    "nc4_dim_scales" -> nc4DimScales,
     "nc4_dense_attrs" -> nc4DenseAttrs,
     "nc4_read_prune" -> nc4ReadPrune,
     "nc4_attrs" -> nc4Attrs,
@@ -1397,6 +1449,7 @@ object Nc4Queries {
     "nc4_quantize" -> nc4QuantizeSql,
     "nc4_rank3" -> nc4Rank3Sql,
     "nc4_sparse_fill" -> nc4SparseFillSql,
+    "nc4_dim_scales" -> nc4DimScalesSql,
     "nc4_dense_attrs" -> nc4DenseAttrsSql,
     "nc4_read_prune" -> nc4ReadPruneSql,
     "nc4_attrs" -> nc4AttrsSql,

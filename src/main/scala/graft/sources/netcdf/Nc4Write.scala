@@ -182,6 +182,13 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
       k.stripPrefix("fillvalue.") -> spec.trim.toDouble
     }
   private val sparse = options.get("sparse").exists(_.toBoolean)
+  /** `dimnames.<col>` = "recdim,trail1,…" — netCDF dimension names;
+    * emits the library's dimension-scale layout (scale datasets +
+    * DIMENSION_LIST references) */
+  private val dimScales: Map[String, Seq[String]] =
+    options.collect { case (k, spec) if k.startsWith("dimnames.") =>
+      k.stripPrefix("dimnames.") -> spec.split(',').toSeq.map(_.trim)
+    }
 
   private val getters: Array[InternalRow => Any] =
     schema.fields.zipWithIndex.map { case (f, i) =>
@@ -237,7 +244,7 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
         layout = layout, eaPageBits = eaPageBits, vlenSeqs = vlenSeqs,
         enumTypes = enumTypes, bigEndian = bigEndian, commitTypes = commitTypes,
         quantize = quantize, trailDims = trailDims, trailChunks = trailChunks,
-        fillValues = fillValues, sparse = sparse)
+        fillValues = fillValues, sparse = sparse, dimScales = dimScales)
     }
     var i = 0
     while (i < schema.size) {

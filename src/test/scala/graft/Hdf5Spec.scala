@@ -590,6 +590,39 @@ class Hdf5Spec extends AnyFunSuite {
     assert(exp == got, s"$exp vs $got")
   }
 
+  test("dimension scales: DIMENSION_LIST resolves to names; phony dims hide") {
+    val dir = "/tmp/graft_h5/dimscales"
+    val df = spark.range(100).select(col("id").cast(DoubleType).as("time"),
+      (col("id") * 2).as("k"),
+      expr("transform(sequence(0, 11), i -> CAST(id * 12 + i AS DOUBLE))").as("grid"))
+    df.coalesce(1).sortWithinPartitions("time")
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("traildims.grid", "3,4")
+      .option("dimnames.time", "time")
+      .option("dimnames.k", "time")
+      .option("dimnames.grid", "time,lat,lon")
+      .save(dir)
+    val f = NetCDF4Util.listFiles(fs, new Path(dir)).head
+    val meta = Hdf5Format.readMeta(fs, f)
+    // phony dims (lat, lon) are hidden; time/k/grid surface
+    assert(meta.vars.map(_.name).toSet == Set("time", "k", "grid"))
+    def attr(v: String, a: String): Option[String] =
+      meta.vars.find(_.name == v).get.attrs.find(_.name == a).flatMap(_.text)
+    // 'time' is a coordinate variable — a scale itself, no dim list
+    assert(attr("time", "CLASS").contains("DIMENSION_SCALE"))
+    assert(attr("time", "_dims").isEmpty)
+    // data variables resolve their scale references to names
+    assert(attr("k", "_dims").contains("time"), s"${attr("k", "_dims")}")
+    assert(attr("grid", "_dims").contains("time,lat,lon"), s"${attr("grid", "_dims")}")
+    // data still roundtrips alongside the scale metadata
+    val back = spark.read.format(SRC).load(dir)
+    assert(back.agg(sum("k"), sum(expr(
+      "aggregate(grid, CAST(0 AS DOUBLE), (a, x) -> a + x)"))).head() ==
+      df.agg(sum("k"), sum(expr(
+        "aggregate(grid, CAST(0 AS DOUBLE), (a, x) -> a + x)"))).head())
+  }
+
   test("sparse variables: all-fill chunks stay unallocated; gaps read as the fill") {
     // 1000 recs, chunkRecs=100: v is -5 (the defined fill) on blocks
     // 2..7 → 6 of 10 chunks unallocated; w has fill UNDEFINED and
