@@ -671,6 +671,52 @@ object Nc4Queries {
       |  'DIMENSION_SCALE' AS row_class
       |FROM embeddings""".stripMargin
 
+  /** COORDINATE-VALUE SELECTION on netCDF-4 (r8 — the xarray `sel()`
+    * addressing real users reach for, now driven by the DIMENSION
+    * SCALES the file itself declares rather than a caller-supplied
+    * variable name): the gate DISCOVERS the record dim's coordinate
+    * variable from the scale metadata (the dataset with
+    * CLASS=DIMENSION_SCALE that is not a hidden phony dim), then
+    * range-selects on its VALUES — the filter pushes down to the
+    * nc4 source where per-file `actual_range` zone maps prune part
+    * files wholly outside the window, the same near-partition-pruning
+    * posture the classic `nc_sel_coord` key pins. The selection
+    * bounds land in the result row, so a discovery that picked the
+    * wrong variable breaks the hash, not just the plan. */
+  def nc4SelCoord: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5selcoord")
+    t(s, dir, "orders")
+      .select(col("o_orderkey").cast(DoubleType).as("row"),
+        col("o_totalprice"))
+      .repartitionByRange(4, col("row"))
+      .sortWithinPartitions("row")
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("dimnames.row", "row")
+      .option("dimnames.o_totalprice", "row")
+      .save(out)
+    // discover the coordinate variable from the file's own scale
+    // metadata (driver-side, header-sized — like the classic sel path)
+    val coord = Hdf5IO.readAttrs(s, out)
+      .filter(col("attr_name") === "CLASS" && col("sval") === "DIMENSION_SCALE")
+      .select(col("var_name")).distinct().collect()
+    require(coord.length == 1, s"expected one coordinate, got ${coord.length}")
+    val cn = coord(0).getString(0)
+    val (lo, hi) = (1000.0, 5000.0)
+    s.read.format(SRC).load(out)
+      .filter(col(cn) >= lo && col(cn) < hi)
+      .agg(count(lit(1)).as("n"),
+        sum(col(cn)).cast(LongType).as("sum_coord"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("coord", lit(cn))
+  }
+
+  val nc4SelCoordSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_coord,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  'row' AS coord
+      |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 5000""".stripMargin
+
   /** SPARSE VARIABLES + DEFINED FILL VALUES (r8 — the library only
     * allocates chunks that were actually written, so wild files with
     * partially-written or masked variables have UNALLOCATED chunk
@@ -1416,6 +1462,7 @@ object Nc4Queries {
     "nc4_rank3" -> nc4Rank3,
     "nc4_sparse_fill" -> nc4SparseFill,
     "nc4_dim_scales" -> nc4DimScales,
+    "nc4_sel_coord" -> nc4SelCoord,
     "nc4_dense_attrs" -> nc4DenseAttrs,
     "nc4_read_prune" -> nc4ReadPrune,
     "nc4_attrs" -> nc4Attrs,
@@ -1450,6 +1497,7 @@ object Nc4Queries {
     "nc4_rank3" -> nc4Rank3Sql,
     "nc4_sparse_fill" -> nc4SparseFillSql,
     "nc4_dim_scales" -> nc4DimScalesSql,
+    "nc4_sel_coord" -> nc4SelCoordSql,
     "nc4_dense_attrs" -> nc4DenseAttrsSql,
     "nc4_read_prune" -> nc4ReadPruneSql,
     "nc4_attrs" -> nc4AttrsSql,
