@@ -1069,6 +1069,113 @@ object Similarity {
        |JOIN embeddings e ON e.vec_id <> qa.vec_id
        |WHERE round($dotSqlDuck, 6) >= $RANGE_T""".stripMargin
 
+  /** MMR DIVERSITY RE-RANK (r8 — maximal marginal relevance,
+    * Carbonell & Goldstein 1998: the diversification pass retrieval /
+    * curation stacks run AFTER top-k so near-duplicate hits don't
+    * crowd the result list). Two-phase shape: the corpus-scale stage
+    * is the exact bounded-TopK top-8 (map-side scoring, ≤8 rows per
+    * query reach the shuffle); everything after — candidate pairwise
+    * similarities and the greedy selection — runs on CANDIDATE-sized
+    * data (≤ 8·NQUERIES rows), so the iterative windows cost nothing
+    * at 100 TB. Selection k picks argmax of 0.7·rel − 0.3·max-sim-to-
+    * selected over rounded-to-9 inputs with an id tie-break, and the
+    * oracle unrolls the same greedy loop as chained CTEs. */
+  def simMmr: Q = (s, dir) => {
+    val emb = withVec(t(s, dir, "embeddings")).cache()
+    val q = emb.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("qcos",
+        round(vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 9))
+    val cand = scored.groupBy("query_id")
+      .agg(graft.functions.TopK.topk(8)(col("qcos"), col("vec_id"), col("qcos")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e._2").as("cid"), col("e._3").as("qcos"))
+    val cvec = emb.join(broadcast(cand), col("vec_id") === col("cid"))
+      .select(col("query_id"), col("cid"), col("qcos"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      .cache()
+    val pair = cvec
+      .select(col("query_id"), col("cid").as("a"), col("cv").as("av"), col("cn").as("an"))
+      .join(cvec.select(col("query_id"), col("cid").as("b"),
+        col("cv").as("bv"), col("cn").as("bn")), Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(vec_dot(col("av"), col("bv")) / (col("an") * col("bn")), 9).as("sim"))
+      .cache()
+    val w1 = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("cid"))
+    var sel = cvec.select(col("query_id"), col("cid"), col("qcos"))
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("query_id"), col("cid"), lit(1L).as("mmr_rank"), col("qcos").as("score"))
+    var k = 2
+    while (k <= 3) {
+      val rem = cvec.select("query_id", "cid", "qcos")
+        .join(sel.select(col("query_id"), col("cid")), Seq("query_id", "cid"), "left_anti")
+      val maxSim = pair
+        .join(sel.select(col("query_id"), col("cid").as("b")), Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a")).agg(max(col("sim")).as("maxsim"))
+      val scoredK = rem
+        .join(maxSim.withColumnRenamed("a", "cid"), Seq("query_id", "cid"))
+        .select(col("query_id"), col("cid"),
+          (lit(0.7) * col("qcos") - lit(0.3) * col("maxsim")).as("mmr"))
+      val wk = Window.partitionBy("query_id").orderBy(col("mmr").desc, col("cid"))
+      sel = sel.union(scoredK
+        .withColumn("rn", row_number().over(wk)).filter(col("rn") === 1)
+        .select(col("query_id"), col("cid"), lit(k.toLong).as("mmr_rank"),
+          col("mmr").as("score")))
+      k += 1
+    }
+    sel.select(col("query_id"), col("mmr_rank"), col("cid").as("neighbor_id"),
+      round(col("score"), 6).as("score"))
+  }
+
+  val simMmrSql: String = {
+    val selK = (2 to 3).map { k =>
+      val prev = if (k == 2) "sel1" else "seln2"
+      s"""sel$k AS (
+         |  SELECT query_id, cid, $k AS mmr_rank, mmr AS score FROM (
+         |    SELECT c.query_id, c.cid,
+         |      CAST(0.7 AS DOUBLE) * c.qcos - CAST(0.3 AS DOUBLE) * MAX(p.sim) AS mmr,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY CAST(0.7 AS DOUBLE) * c.qcos - CAST(0.3 AS DOUBLE) * MAX(p.sim) DESC,
+         |          c.cid) AS rn
+         |    FROM cand c
+         |    JOIN pairsim p ON p.query_id = c.query_id AND p.a = c.cid
+         |    JOIN $prev s ON s.query_id = p.query_id AND s.cid = p.b
+         |    WHERE NOT EXISTS (SELECT 1 FROM $prev z
+         |      WHERE z.query_id = c.query_id AND z.cid = c.cid)
+         |    GROUP BY c.query_id, c.cid, c.qcos) t WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, embedding, $normSqlDuck AS nrm FROM embeddings),
+       |cand AS (
+       |  SELECT query_id, cid, qcos FROM (
+       |    SELECT qa.vec_id AS query_id, e.vec_id AS cid,
+       |      round($dotSqlDuck / (qa.nrm * e.nrm), 9) AS qcos,
+       |      row_number() OVER (PARTITION BY qa.vec_id
+       |        ORDER BY round($dotSqlDuck / (qa.nrm * e.nrm), 9) DESC, e.vec_id) AS rn
+       |    FROM (SELECT * FROM e WHERE vec_id < $NQUERIES) qa
+       |    JOIN e ON e.vec_id <> qa.vec_id) s
+       |  WHERE rn <= 8),
+       |pairsim AS (
+       |  SELECT x.query_id, x.cid AS a, y.cid AS b,
+       |    round(list_sum(list_transform(generate_series(1, $DIMS),
+       |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+       |      / (ea.nrm * eb.nrm), 9) AS sim
+       |  FROM cand x
+       |  JOIN cand y ON x.query_id = y.query_id AND x.cid <> y.cid
+       |  JOIN e ea ON ea.vec_id = x.cid
+       |  JOIN e eb ON eb.vec_id = y.cid),
+       |sel1 AS (SELECT query_id, cid, 1 AS mmr_rank, qcos AS score FROM (
+       |  SELECT query_id, cid, qcos, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY qcos DESC, cid) AS rn FROM cand) s WHERE rn = 1),
+       |${selK(0)},
+       |seln2 AS (SELECT query_id, cid FROM sel1 UNION ALL SELECT query_id, cid FROM sel2),
+       |${selK(1)}
+       |SELECT query_id, CAST(mmr_rank AS BIGINT) AS mmr_rank, cid AS neighbor_id,
+       |  round(score, 6) AS score
+       |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM sel3) f""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_range_search" -> simRangeSearch,
     "sim_recall_sweep" -> simRecallSweep,
@@ -1079,6 +1186,7 @@ object Similarity {
     "sim_pq_adc" -> simPqAdc,
     "sim_ivf_pq" -> simIvfPq,
     "sim_topk_bruteforce" -> simTopKBruteforce,
+    "sim_mmr" -> simMmr,
     "sim_from_binary" -> simFromBinary,
     "dedup_semantic" -> dedupSemantic,
     "sim_lsh_bucketed" -> simLshBucketed,
@@ -1095,6 +1203,7 @@ object Similarity {
     "sim_pq_adc" -> simPqAdcSql,
     "sim_ivf_pq" -> simIvfPqSql,
     "sim_topk_bruteforce" -> simTopKBruteforceSql,
+    "sim_mmr" -> simMmrSql,
     "sim_from_binary" -> simTopKBruteforceSql,
     "dedup_semantic" -> dedupSemanticSql,
     "sim_lsh_bucketed" -> simLshBucketedSql,

@@ -76,4 +76,30 @@ class RecallSpec extends AnyFunSuite {
     // for data regeneration while still catching a recall collapse
     assert(hits >= 20, s"IVF recovered $hits of the exact top-k pairs")
   }
+
+  test("MMR re-rank prefers the diverse candidate over an exact duplicate") {
+    import spark.implicits._
+    // query 0 = e1; three real candidates all at cos .7071:
+    //   id 10 = e1+e2, id 11 = 2*(e1+e2) (exact duplicate direction),
+    //   id 12 = e1-e2 (orthogonal to 10/11 in the non-query component)
+    // plain top-2 would be (10, 11) by the id tie-break; MMR's rank-2
+    // penalty (0.3 * sim-to-selected) zeroes out for 12 and maxes for
+    // 11, so the selection order must be 10, 12, then 11.
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = new Array[Float](64)
+      parts.foreach { case (i, x) => a(i) = x }
+      a
+    }
+    val rows = (0 until 10).map(i => (i.toLong, vec(i -> 1f), 0)) ++ Seq(
+      (10L, vec(0 -> 1f, 32 -> 1f), 0),
+      (11L, vec(0 -> 2f, 32 -> 2f), 0),
+      (12L, vec(0 -> 1f, 32 -> -1f), 0))
+    val dir = "/tmp/graft_mmr_spec"
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.simMmr(spark, dir)
+      .filter(col("query_id") === 0).orderBy("mmr_rank")
+      .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(10L, 12L, 11L), s"$got")
+  }
 }
