@@ -505,39 +505,87 @@ object Sketches {
     (1 to HLL_M).map(v => java.lang.Double.toString(
       HLL_M.toDouble * math.log(HLL_M.toDouble / v)))
 
-  def sketchHll: Q = (s, dir) => {
-    val regsOf: DataFrame => DataFrame = rows => rows
-      .select(md5(col("user_id").cast(StringType)).as("hx"))
-      .select(
-        (conv(substring(col("hx"), 1, 2), 16, 10).cast(LongType) % HLL_M).as("bucket"),
-        conv(substring(col("hx"), 3, 12), 16, 10).cast(LongType).as("w"))
-      .select(col("bucket"), when(col("w") === 0, lit(49L))
-        .otherwise(lit(49L) - length(conv(col("w").cast(StringType), 10, 2)).cast(LongType))
-        .as("rho"))
-      .groupBy("bucket").agg(max(col("rho")).as("m_j"))
-    val ev = events(s, dir).cache()
-    val regs = regsOf(ev)
-    // mergeability: the same register vector must re-derive from
-    // per-shard sub-sketches merged by MAX — computed here and pinned
-    // equal in the hashed row
-    val merged = regsOf(ev.repartition(8, col("event_type")))
-      .union(regsOf(ev.filter(col("event_type") === "click")))
-      .groupBy("bucket").agg(max(col("m_j")).as("m_j"))
-    def sOf(r: DataFrame): DataFrame = r.agg(
-      count(lit(1)).as("nb"),
-      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m_j AS INT))")).as("sp"),
-      sum(when(col("m_j") === 0, 1L).otherwise(0L)).as("zp"))
-      .select((col("sp") + (lit(HLL_M.toLong) - col("nb")) * lit(1L << 49)).as("s_sum"),
-        (col("zp") + (lit(HLL_M.toLong) - col("nb"))).as("zeros"))
+  /** md5-derived HLL registers of a (user_id, …) row set. */
+  private def hllRegsOf(rows: DataFrame): DataFrame = rows
+    .select(md5(col("user_id").cast(StringType)).as("hx"))
+    .select(
+      (conv(substring(col("hx"), 1, 2), 16, 10).cast(LongType) % HLL_M).as("bucket"),
+      conv(substring(col("hx"), 3, 12), 16, 10).cast(LongType).as("w"))
+    .select(col("bucket"), when(col("w") === 0, lit(49L))
+      .otherwise(lit(49L) - length(conv(col("w").cast(StringType), 10, 2)).cast(LongType))
+      .as("rho"))
+    .groupBy("bucket").agg(max(col("rho")).as("m_j"))
+
+  /** Exact-BIGINT power sum + zero-register count over a register set
+    * (absent buckets count as M_j = 0). */
+  private def hllSums(r: DataFrame): DataFrame = r.agg(
+    count(lit(1)).as("nb"),
+    sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m_j AS INT))")).as("sp"),
+    sum(when(col("m_j") === 0, 1L).otherwise(0L)).as("zp"))
+    .select((col("sp") + (lit(HLL_M.toLong) - col("nb")) * lit(1L << 49)).as("s_sum"),
+      (col("zp") + (lit(HLL_M.toLong) - col("nb"))).as("zeros"))
+
+  /** Finish a register set into (reg_sum, zeros, est_distinct). */
+  private def hllFinish(regs: DataFrame): DataFrame = {
     val lnCase = (1 to HLL_M).map(v =>
       s"WHEN $v THEN CAST(${hllLnTab(v - 1)} AS DOUBLE)").mkString(" ")
-    val est = sOf(regs).withColumn("raw",
+    hllSums(regs).withColumn("raw",
         expr(s"CAST(0.709 AS DOUBLE) * 4096 * $POW49 / s_sum"))
       .withColumn("est_distinct", round(expr(
         s"CASE WHEN raw <= 160.0 AND zeros > 0 THEN CASE zeros $lnCase END ELSE raw END"), 6))
-    est.crossJoin(broadcast(sOf(merged).select(col("s_sum").as("s2"))))
-      .select(col("s_sum").as("reg_sum"), col("zeros"),
-        col("est_distinct"), (col("s_sum") === col("s2")).as("merge_exact"))
+      .select(col("s_sum").as("reg_sum"), col("zeros"), col("est_distinct"))
+  }
+
+  def sketchHll: Q = (s, dir) => {
+    val ev = events(s, dir).cache()
+    // mergeability: the same register vector must re-derive from
+    // per-shard sub-sketches merged by MAX — computed here and pinned
+    // equal in the hashed row
+    val merged = hllRegsOf(ev.repartition(8, col("event_type")))
+      .union(hllRegsOf(ev.filter(col("event_type") === "click")))
+      .groupBy("bucket").agg(max(col("m_j")).as("m_j"))
+    hllFinish(hllRegsOf(ev))
+      .crossJoin(broadcast(hllSums(merged).select(col("s_sum").as("s2"))))
+      .select(col("reg_sum"), col("zeros"), col("est_distinct"),
+        (col("reg_sum") === col("s2")).as("merge_exact"))
+  }
+
+  /** Streaming twin: the register vector IS the streaming state — a
+    * plain 64-key max aggregate over the event stream, no distinct
+    * shuffle, then the identical finishing arithmetic; shares the
+    * batch key's register/estimate math so the oracle differs only by
+    * the absent merge column. */
+  def streamHll: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/events.parquet").schema
+    graft.streaming.StreamStage.withStaged(s, "hll", dir, "events.parquet") { stageDir =>
+      val regs = hllRegsOf(s.readStream.schema(sch).parquet(stageDir))
+      val q = regs.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_hll").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    hllFinish(s.table("graft_stream_hll"))
+  }
+
+  val streamHllSql: String = {
+    val lnCase = (1 to HLL_M).map(v =>
+      s"WHEN $v THEN CAST(${hllLnTab(v - 1)} AS DOUBLE)").mkString(" ")
+    s"""WITH hx AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+       |hb AS (SELECT CAST('0x' || substr(hx, 1, 2) AS BIGINT) % $HLL_M AS bucket,
+       |              CAST('0x' || substr(hx, 3, 12) AS BIGINT) AS w FROM hx),
+       |hr AS (SELECT bucket, CASE WHEN w = 0 THEN 49
+       |         ELSE 49 - length(bin(w)) END AS rho FROM hb),
+       |regs AS (SELECT bucket, MAX(rho) AS m_j FROM hr GROUP BY bucket),
+       |ag AS (SELECT COUNT(*) AS nb,
+       |  SUM(CAST(1 AS BIGINT) << CAST(49 - m_j AS INT)) AS sp,
+       |  SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS zp FROM regs),
+       |f AS (SELECT sp + ($HLL_M - nb) * (CAST(1 AS BIGINT) << 49) AS s_sum,
+       |             zp + ($HLL_M - nb) AS zeros FROM ag),
+       |r AS (SELECT s_sum, zeros,
+       |  CAST(0.709 AS DOUBLE) * 4096 * $POW49 / s_sum AS raw FROM f)
+       |SELECT CAST(s_sum AS BIGINT) AS reg_sum, CAST(zeros AS BIGINT) AS zeros,
+       |  round(CASE WHEN raw <= 160.0 AND zeros > 0
+       |    THEN CASE zeros $lnCase END ELSE raw END, 6) AS est_distinct
+       |FROM r""".stripMargin
   }
 
   val sketchHllSql: String = {
@@ -565,6 +613,7 @@ object Sketches {
 
   val queries: Map[String, Q] = Map(
     "sketch_hll" -> sketchHll,
+    "stream_hll" -> streamHll,
     "sketch_kmv_intersect" -> sketchKmvIntersect,
     "sketch_bucket_min" -> sketchBucketMin,
     "stream_kmv" -> streamKmv,
@@ -577,6 +626,7 @@ object Sketches {
     "sketch_histogram_quantile" -> sketchHistogramQuantile)
   val oracles: Map[String, String] = Map(
     "sketch_hll" -> sketchHllSql,
+    "stream_hll" -> streamHllSql,
     "sketch_kmv_intersect" -> sketchKmvIntersectSql,
     "sketch_bucket_min" -> sketchBucketMinSql,
     "stream_kmv" -> sketchBucketMinSql, // identical output to the batch build
