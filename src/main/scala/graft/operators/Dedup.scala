@@ -546,11 +546,10 @@ object Dedup {
   def dedupCdc: Q = (s, dir) => {
     t(s, dir, "documents")
       .filter(length(col("text")) >= 2)
-      .withColumn("bnds", expr(
-        """concat(array(1),
-          |  filter(sequence(2, greatest(length(text), 2)),
-          |    p -> substring(md5(substring(text, p, 8)), 1, 1) = '0'),
-          |  array(length(text) + 1))""".stripMargin))
+      // one-pass native boundary scan (reused digest, no hex
+      // rendering) — bit-identical to the SQL filter/sequence
+      // formulation the oracle replays; see CdcExpressions
+      .withColumn("bnds", graft.functions.CdcExpressions.cdc_bounds(col("text")))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(bnds) - 1), i -> named_struct(
           |  'h', md5(substring(text, element_at(bnds, i),

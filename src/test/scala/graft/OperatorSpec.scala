@@ -129,4 +129,25 @@ class OperatorSpec extends AnyFunSuite {
     val salted = graft.operators.Salted.q20SaltedAgg(spark, sf)
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
+
+  test("native CDC boundary scan equals the SQL filter/sequence formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // mixed lengths incl. the 2-char minimum and a multibyte doc (the
+    // non-ASCII fallback path must keep SQL substring CHAR semantics)
+    val docs = Seq("ab", "the quick brown fox jumps over the lazy dog " * 40,
+      "k\u00e9y v\u00e4lue str\u00f6m " * 30, "zz" * 500).toDF("text")
+      .filter(length(col("text")) >= 2)
+    val sqlB = docs.withColumn("bnds", expr(
+      """concat(array(1),
+        |  filter(sequence(2, greatest(length(text), 2)),
+        |    p -> substring(md5(substring(text, p, 8)), 1, 1) = '0'),
+        |  array(length(text) + 1))""".stripMargin))
+      .select("bnds").collect().map(_.getSeq[Int](0))
+    val natB = docs.withColumn("bnds",
+        graft.functions.CdcExpressions.cdc_bounds(col("text")))
+      .select("bnds").collect().map(_.getSeq[Int](0))
+    assert(sqlB.length == natB.length)
+    sqlB.zip(natB).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+  }
 }
