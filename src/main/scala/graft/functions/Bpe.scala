@@ -254,6 +254,15 @@ object Bpe {
   def textBpeTrain: Q = textBpeTrainK(6)
 
   private[graft] def textBpeTrainK(K: Int): Q = (s, dir) => {
+    val ms = trainMerges(s, dir, K)
+    import s.implicits._
+    ms.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** The training loop itself: K (rank, lhs, rhs, selection-count)
+    * rows, each argmax collected from a vocabulary-sized partial agg. */
+  private[graft] def trainMerges(s: SparkSession, dir: String,
+      K: Int): Seq[(Long, String, String, Long)] = {
     val words = t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
@@ -284,8 +293,64 @@ object Bpe {
       ms = ms :+ ((i + 1L, top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
       i += 1
     }
-    import s.implicits._
-    ms.toDF("merge_rank", "lhs", "rhs", "pair_count")
+    ms
+  }
+
+  /** END-TO-END tokenizer pipeline (r8): tokenize the corpus with the
+    * merge table JUST TRAINED on it — train (6 corpus-derived rules)
+    * then apply, the full `BpeTrainer` → `Tokenizer` loop in one
+    * query. The apply side IS [[textTokensBpeWith]] (same escaped
+    * splice points, same two-pass rule application); the oracle chains
+    * the training CTEs into a data-driven tokenization — the vocab's
+    * char representation folds through the six learned rules by CROSS
+    * JOIN instead of spliced literals, so DuckDB independently trains
+    * AND applies, and one drifted rule breaks every seq_hash. */
+  def textTokensBpeTrained: Q = (s, dir) =>
+    textTokensBpeWith(trainMerges(s, dir, 6)
+      .map(m => (s"${m._2} ${m._3}", m._2 + m._3)))(s, dir)
+
+  val textTokensBpeTrainedSql: String = {
+    val K = 6
+    // training CTEs (identical to textBpeTrainSql's) …
+    val train = new StringBuilder
+    (1 to K).foreach { i =>
+      train.append(
+        s"""s$i AS (SELECT f, string_split(trim(r), ' ') AS toks FROM c${i - 1}),
+           |t$i AS (SELECT f, unnest(list_transform(generate_series(1, len(toks) - 1),
+           |    j -> struct_pack(a := toks[j], b := toks[j + 1]))) AS p
+           |  FROM s$i WHERE len(toks) >= 2),
+           |m$i AS (SELECT p.a AS a, p.b AS b, SUM(f) AS cnt FROM t$i
+           |  GROUP BY p.a, p.b ORDER BY cnt DESC, a, b LIMIT 1),
+           |c$i AS (SELECT f, replace(replace(r,
+           |    ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '),
+           |    ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS r
+           |  FROM c${i - 1} CROSS JOIN m$i m),
+           |""".stripMargin)
+    }
+    // … then apply them DATA-DRIVEN to the tokenization vocabulary
+    val apply = (1 to K).map { i =>
+      s"""v$i AS (SELECT w, replace(replace(r,
+         |    ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '),
+         |    ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS r
+         |  FROM v${i - 1} CROSS JOIN m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wfreq AS (
+       |  SELECT w, COUNT(*) AS f FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) uw
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |c0 AS (SELECT f, ' ' || array_to_string(regexp_split_to_array(w, ''), ' ') || ' ' AS r
+       |       FROM wfreq),
+       |${train.toString}base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |wp AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM base),
+       |words AS (SELECT doc_id, pos, lower(ws[pos]) AS w FROM wp),
+       |v0 AS (SELECT w, ' ' || array_to_string(regexp_split_to_array(w, ''), ' ') || ' ' AS r
+       |       FROM (SELECT DISTINCT w FROM words)),
+       |$apply,
+       |vocab AS (SELECT w, string_split(trim(r), ' ') AS toks FROM v$K),
+       |j AS (SELECT doc_id, pos, toks FROM words JOIN vocab USING (w))
+       |SELECT doc_id, CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(flatten(list(toks ORDER BY pos)), ' ')) AS seq_hash
+       |FROM j GROUP BY doc_id""".stripMargin
   }
 
   val textBpeTrainSql: String = {
@@ -321,11 +386,13 @@ object Bpe {
     "text_tokencount_bpe" -> textTokencountBpe,
     "text_tokens_bpe" -> textTokensBpe,
     "text_tokens_bpe_file" -> textTokensBpeFile,
-    "text_bpe_train" -> textBpeTrain)
+    "text_bpe_train" -> textBpeTrain,
+    "text_tokens_bpe_trained" -> textTokensBpeTrained)
 
   val oracles: Map[String, String] = Map(
     "text_tokencount_bpe" -> textTokencountBpeSql,
     "text_tokens_bpe" -> textTokensBpeSql,
     "text_tokens_bpe_file" -> textTokensBpeSql,
-    "text_bpe_train" -> textBpeTrainSql)
+    "text_bpe_train" -> textBpeTrainSql,
+    "text_tokens_bpe_trained" -> textTokensBpeTrainedSql)
 }
