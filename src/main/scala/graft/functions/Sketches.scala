@@ -272,6 +272,62 @@ object Sketches {
       |      / CAST(c.cnt AS DOUBLE)) AS est_q
       |FROM sel JOIN c ON c.bin = sel.bin CROSS JOIN st""".stripMargin
 
+  /** STREAMING quantiles from a FIXED-DOMAIN mergeable histogram (r8 —
+    * the prometheus `histogram_quantile` shape: monitoring histograms
+    * DECLARE their bucket domain up front, which is exactly what makes
+    * the sketch a ONE-PASS streaming aggregate — the batch twin's
+    * data-derived [min, max] needs a first pass a stream doesn't
+    * have). 64 bins over the declared [0, 1024) (out-of-domain values
+    * clip into the edge bins), bin counts maintained as a
+    * complete-mode streaming aggregate — 64 rows of state regardless
+    * of stream length — then the same rank-interpolation estimator
+    * finishing as the batch key. */
+  def streamQuantileHistogram: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/events.parquet").schema
+    graft.streaming.StreamStage.withStaged(s, "qhist", dir, "events.parquet") { stageDir =>
+      val bins = s.readStream.schema(sch).parquet(stageDir)
+        .select(expr(
+          """CAST(greatest(least(floor(CAST(value AS DOUBLE) / CAST(16 AS DOUBLE)),
+            |  CAST(63 AS DOUBLE)), CAST(0 AS DOUBLE)) AS BIGINT)""".stripMargin).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      val q = bins.writeStream.outputMode("complete").format("memory")
+        .queryName("graft_stream_qhist").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val hist = s.table("graft_stream_qhist")
+    val st = hist.agg(sum(col("cnt")).as("n"))
+    val cum = hist.select(col("bin"), col("cnt"),
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+        .orderBy("bin").rowsBetween(Long.MinValue, 0)).as("cum"))
+    import s.implicits._
+    val qs = Seq(0.25, 0.5, 0.75, 0.95).toDF("p")
+    val sel = cum.crossJoin(broadcast(st)).crossJoin(broadcast(qs))
+      .filter(expr("CAST(cum AS DOUBLE) >= p * CAST(n AS DOUBLE)"))
+      .groupBy("p").agg(min(col("bin")).as("bin"))
+    sel.join(cum, "bin").crossJoin(broadcast(st))
+      .select(col("p"), col("bin"), col("cnt"), col("cum"),
+        expr("""CAST(16 AS DOUBLE) * (CAST(bin AS DOUBLE)
+               |  + (p * CAST(n AS DOUBLE) - (CAST(cum AS DOUBLE) - CAST(cnt AS DOUBLE)))
+               |    / CAST(cnt AS DOUBLE))""".stripMargin).as("est_q"))
+  }
+
+  val streamQuantileHistogramSql: String =
+    """WITH b AS (SELECT CAST(GREATEST(LEAST(FLOOR(CAST(value AS DOUBLE) / CAST(16 AS DOUBLE)),
+      |    CAST(63 AS DOUBLE)), CAST(0 AS DOUBLE)) AS BIGINT) AS bin,
+      |    COUNT(*) AS cnt FROM events GROUP BY 1),
+      |st AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM b),
+      |c AS (SELECT bin, cnt, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM b),
+      |q AS (SELECT UNNEST([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+      |                     CAST(0.75 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS p),
+      |sel AS (SELECT q.p, MIN(c.bin) AS bin
+      |        FROM q, c, st WHERE CAST(c.cum AS DOUBLE) >= q.p * CAST(st.n AS DOUBLE)
+      |        GROUP BY q.p)
+      |SELECT sel.p, sel.bin, c.cnt, c.cum,
+      |  CAST(16 AS DOUBLE) * (CAST(sel.bin AS DOUBLE)
+      |    + (sel.p * CAST(st.n AS DOUBLE) - (CAST(c.cum AS DOUBLE) - CAST(c.cnt AS DOUBLE)))
+      |      / CAST(c.cnt AS DOUBLE)) AS est_q
+      |FROM sel JOIN c ON c.bin = sel.bin CROSS JOIN st""".stripMargin
+
   private val CMS_D = 4
   private val CMS_W = 512
 
@@ -614,6 +670,7 @@ object Sketches {
   val queries: Map[String, Q] = Map(
     "sketch_hll" -> sketchHll,
     "stream_hll" -> streamHll,
+    "stream_quantile_histogram" -> streamQuantileHistogram,
     "sketch_kmv_intersect" -> sketchKmvIntersect,
     "sketch_bucket_min" -> sketchBucketMin,
     "stream_kmv" -> streamKmv,
@@ -627,6 +684,7 @@ object Sketches {
   val oracles: Map[String, String] = Map(
     "sketch_hll" -> sketchHllSql,
     "stream_hll" -> streamHllSql,
+    "stream_quantile_histogram" -> streamQuantileHistogramSql,
     "sketch_kmv_intersect" -> sketchKmvIntersectSql,
     "sketch_bucket_min" -> sketchBucketMinSql,
     "stream_kmv" -> sketchBucketMinSql, // identical output to the batch build
