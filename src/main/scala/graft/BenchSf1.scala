@@ -28,7 +28,13 @@ object BenchSf1 {
     "q17_events_hourly",
     // r8 late additions: the retrieval pair and the heaviest of the
     // new netCDF-4 roundtrips
-    "text_bm25_topk", "sim_hybrid_rrf", "nc4_extensible_array")
+    "text_bm25_topk", "sim_hybrid_rrf", "nc4_extensible_array",
+    // r8 final-session additions: tokenizer induction (corpus-pass +
+    // vocab-sized iterations), MMR (corpus top-k + candidate-sized
+    // greedy), HLL (pure map-side + 64-key agg), rank-N tiling, the
+    // sparse-chunk write path, and the fused CDC boundary scan
+    "text_bpe_train", "sim_mmr", "sketch_hll", "nc4_rank3",
+    "nc4_sparse_fill", "dedup_cdc")
 
   /** Key columns shifted per table: replica r adds r·stride so every
     * replica contributes DISTINCT entities. */

@@ -590,6 +590,47 @@ class Hdf5Spec extends AnyFunSuite {
     assert(exp == got, s"$exp vs $got")
   }
 
+  test("nested fractal-heap indirect blocks resolve (hand-assembled wild fixture)") {
+    // Doubling table: width 2, start 512, maxDirect 512 → row 2
+    // (size 1024) holds CHILD INDIRECT blocks; a child covering 1024
+    // has ntz(1024) − ntz(512·2) + 1 = 1 row of two 512-byte direct
+    // blocks. Object at heap offset 2660 = root row 2, col 0 child
+    // (span [2048, 3072)) → child-relative 612 → child's SECOND
+    // direct block, in-block offset 100.
+    val bb = java.nio.ByteBuffer.allocate(512).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def at(pos: Int): java.nio.ByteBuffer = { bb.position(pos); bb }
+    // FRHP @0: sig ver idLen(7) filterLen(0) flags maxManaged(4096)
+    at(0).put("FRHP".getBytes).put(0.toByte).putShort(7).putShort(0).put(0.toByte)
+      .putInt(4096)
+    // 96 bytes of huge/tiny/free-space bookkeeping left zero @14..109
+    at(110).putShort(2)            // table width
+      .putLong(512L).putLong(512L) // start / max-direct block size
+      .putShort(32)                // max heap size bits → offSize 4
+      .putShort(1)                 // starting rows
+      .putLong(150L)               // root block address → FHIB
+      .putShort(3)                 // current rows
+    // root FHIB @150: 3 rows × 2 cols; only row2 col0 allocated
+    val U = -1L // undefined address
+    at(150).put("FHIB".getBytes).put(0.toByte).putLong(0L).putInt(0)
+      .putLong(U).putLong(U).putLong(U).putLong(U) // rows 0-1 (direct, empty)
+      .putLong(220L).putLong(U)                    // row 2: child FHIB, UNDEF
+    // child FHIB @220: 1 row × 2 cols of direct blocks
+    at(220).put("FHIB".getBytes).put(0.toByte).putLong(0L).putInt(0)
+      .putLong(260L).putLong(300L)
+    // direct blocks @260 / @300 (headers only matter for realism)
+    at(260).put("FHDB".getBytes).put(0.toByte).putLong(0L).putInt(0)
+    at(300).put("FHDB".getBytes).put(0.toByte).putLong(0L).putInt(512)
+    at(300 + 100).put("NESTEDOK".getBytes)
+    val p = new Path("/tmp/graft_h5/nested_heap.bin")
+    val out = fs.create(p, true)
+    try out.write(bb.array()) finally out.close()
+    // managed heap id: flags 0, offset 2660 (4 LE bytes), length 8 (2)
+    val id = java.nio.ByteBuffer.allocate(7).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(0.toByte).putInt(2660).putShort(8).array()
+    val got = new String(Hdf5Format.heapObjectAt(fs, p, 0L, id), "ASCII")
+    assert(got == "NESTEDOK", s"resolved '$got'")
+  }
+
   test("dimension scales: DIMENSION_LIST resolves to names; phony dims hide") {
     val dir = "/tmp/graft_h5/dimscales"
     val df = spark.range(100).select(col("id").cast(DoubleType).as("time"),
