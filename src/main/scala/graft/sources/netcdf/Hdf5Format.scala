@@ -643,6 +643,15 @@ object Hdf5Format {
       if (d > vMax) vMax = d
     }
 
+    /** lazily-created reusable deflater (ended by the writer's
+      * finish(); see encodeChunk) */
+    private var _defl: Deflater = null
+    private def sharedDeflater: Deflater = {
+      if (_defl == null) _defl = new Deflater(6)
+      _defl
+    }
+    def endDeflater(): Unit = if (_defl != null) { _defl.end(); _defl = null }
+
     /** netCDF-4.9 quantization ordinal — one per STORED element (array
       * elements each advance it), driving BitGroom's shave/set
       * alternation */
@@ -695,12 +704,17 @@ object Hdf5Format {
       if (shuffle) pre = shuffleBytes(pre, kind.elemSize)
       val deflateSkipBit = 1 << ((if (fletcher) 1 else 0) + (if (shuffle) 1 else 0))
       if (deflate) {
-        val d = new Deflater(6)
+        // ONE native deflater per variable, reset per chunk: a fresh
+        // Deflater is a JNI allocation, and a small-chunk variable
+        // encodes tens of thousands of chunks — per-chunk
+        // instantiation was the sf1 smoke's 4× super-linear term on
+        // nc4_extensible_array
+        val d = sharedDeflater
+        d.reset()
         d.setInput(pre); d.finish()
         val out = new ByteArrayOutputStream(preIn.length / 2)
         val tmp = new Array[Byte](8192)
         while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
-        d.end()
         val comp = out.toByteArray
         // per-chunk codec escape: an incompressible chunk is stored
         // raw with the filter masked out (spec: filter mask bit i set
@@ -1783,7 +1797,11 @@ object Hdf5Format {
       val rootAttrMsgs: Seq[(Int, Array[Byte])] =
         rootAttrs.map { case (k, s) => MSG_ATTRIBUTE -> attributeBytes(H5Attr(k, Some(s), Array.empty)) }
 
-      if (h5ver == 0) finishV0(rootAttrMsgs) else finishV2(rootAttrMsgs)
+      val out = if (h5ver == 0) finishV0(rootAttrMsgs) else finishV2(rootAttrMsgs)
+      // vlen refs encode through the chunk pipeline inside finishV*,
+      // so the reusable deflaters are freed only once all bytes exist
+      vars.foreach(_.endDeflater())
+      out
     }
 
     private final val GCOL_MAX = 64 << 10
