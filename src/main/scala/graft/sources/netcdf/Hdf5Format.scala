@@ -214,7 +214,10 @@ object Hdf5Format {
       ctrail: Seq[Int] = Nil,
       /** DEFINED fill value (element bytes): what UNALLOCATED chunks
         * of a sparse variable read as (zeros when empty/undefined) */
-      fill: Array[Byte] = Array.emptyByteArray) {
+      fill: Array[Byte] = Array.emptyByteArray,
+      /** ZSTANDARD filter (registered id 32015, netCDF-4.9) in the
+        * terminal pipeline slot instead of deflate */
+      zstd: Boolean = false) {
     def chunkBytes: Int = (kind.rowBytes * chunkRecs).toInt
     /** CF `actual_range` zone map, when the writer recorded one. */
     def range: Option[(Double, Double)] =
@@ -590,7 +593,13 @@ object Hdf5Format {
         * are left UNALLOCATED, the library's behavior for regions
         * never written */
       val fillBytes: Array[Byte] = Array.emptyByteArray,
-      val sparse: Boolean = false) {
+      val sparse: Boolean = false,
+      /** ZSTANDARD compression level (0 = off): registered HDF5
+        * filter 32015, what netCDF-4.9's `nc_def_var_zstandard`
+        * emits — occupies the terminal pipeline slot deflate would
+        * (the two are mutually exclusive, as in the library) */
+      val zstd: Int = 0) {
+    require(zstd == 0 || !deflate, "zstd and deflate are mutually exclusive")
     /** flattened trailing width for array kinds (0 for scalars) */
     val width: Int = kind match {
       case KFloatArr(k) => k
@@ -703,7 +712,13 @@ object Hdf5Format {
       }
       if (shuffle) pre = shuffleBytes(pre, kind.elemSize)
       val deflateSkipBit = 1 << ((if (fletcher) 1 else 0) + (if (shuffle) 1 else 0))
-      if (deflate) {
+      if (zstd > 0) {
+        val comp = com.github.luben.zstd.Zstd.compress(pre, zstd)
+        // same per-chunk codec escape as deflate: incompressible
+        // chunks store raw with the filter's mask bit set
+        if (comp.length < pre.length) stored += ((comp, 0))
+        else stored += ((if ((pre eq preIn) && mustClone) pre.clone() else pre, deflateSkipBit))
+      } else if (deflate) {
         // ONE native deflater per variable, reset per chunk: a fresh
         // Deflater is a JNI allocation, and a small-chunk variable
         // encodes tens of thousands of chunks — per-chunk
@@ -970,6 +985,10 @@ object Hdf5Format {
         * the library's behavior for regions never written; readers
         * serve the fill value for the gaps */
       sparse: Boolean = false,
+      /** ZSTANDARD compression level (0 = off): emits registered
+        * filter 32015 in the terminal slot — netCDF-4.9's
+        * `nc_def_var_zstandard`; mutually exclusive with deflate */
+      zstdLevel: Int = 0,
       /** column → netCDF DIMENSION NAMES (record dim first, then the
         * trailing dims). Emits the library's dimension-scale layout:
         * one scale dataset per dim — a named data column of that name
@@ -992,12 +1011,12 @@ object Hdf5Format {
     /** compact (class 0): data inline in the object header, ≤64 KiB */
     private val compactLayout = layout == "compact"
     require(!(contiguousLayout || compactLayout) ||
-      (!deflate && !shuffle && !fletcher && !vlenStrings && !vlenSeqs && chunkCols == 0),
+      (!deflate && !shuffle && !fletcher && zstdLevel == 0 && !vlenStrings && !vlenSeqs && chunkCols == 0),
       s"$layout layout admits no filters, vlen data, or tiling (HDF5 contract)")
     require(!denseRoot || h5ver == 2, "dense root groups require the 1.8+ layout (h5ver=2)")
     require(Seq("btree1", "fixedarray", "btree2", "single", "implicit", "extarray").contains(chunkIndex),
       s"chunkIndex must be btree1, fixedarray, btree2, single, implicit, or extarray; got $chunkIndex")
-    require(chunkIndex != "implicit" || (!deflate && !shuffle && !fletcher),
+    require(chunkIndex != "implicit" || (!deflate && !shuffle && !fletcher && zstdLevel == 0),
       "implicit chunk indexes admit no filter pipeline (HDF5 contract)")
     require(chunkIndex == "btree1" || h5ver == 2,
       "fixed-array chunk indexes require the 1.8+/1.10 layout (h5ver=2)")
@@ -1134,7 +1153,7 @@ object Hdf5Format {
         bigEndian, quantize.get(f.name),
         trailDims.getOrElse(f.name, Nil).toArray,
         trailChunks.getOrElse(f.name, Nil).toArray,
-        fillBytesOf(f), sparse)
+        fillBytesOf(f), sparse, zstdLevel)
     }
 
     def writeRow(get: Int => Any): Unit = {
@@ -1174,9 +1193,9 @@ object Hdf5Format {
           fb.bytes(v.fillBytes)
           fb.result()
         })
-      if (v.deflate || v.shuffle || v.fletcher) {
+      if (v.deflate || v.shuffle || v.fletcher || v.zstd > 0) {
         val nf = (if (v.fletcher) 1 else 0) + (if (v.shuffle) 1 else 0) +
-          (if (v.deflate) 1 else 0)
+          (if (v.deflate) 1 else 0) + (if (v.zstd > 0) 1 else 0)
         val f = new Buf
         f.u8(1).u8(nf).zeros(6) // filter pipeline v1
         if (v.fletcher) {
@@ -1193,6 +1212,15 @@ object Hdf5Format {
           f.u32(0) // spec-mandated pad after an ODD client-value count,
           // unconditionally — v1 headers' 8-byte message padding used to
           // mask its absence, but v2 OHDR framing is byte-exact
+        }
+        if (v.zstd > 0) {
+          // zstandard (registered filter 32015 — netCDF-4.9's
+          // `nc_def_var_zstandard`): 8-byte NUL-padded name per the
+          // v1 framing, 1 client value = compression level (+ the
+          // odd-count pad)
+          f.u16(32015).u16(5).u16(0).u16(1)
+          f.bytes("zstd".getBytes("ASCII")).u8(0).zeros(3)
+          f.u32(v.zstd).u32(0)
         }
         msgs += MSG_FILTER -> f.result()
       }
@@ -1240,7 +1268,7 @@ object Hdf5Format {
         // filtered variant carries (stored size, filter mask) inline
         require(v.stored.size <= 1,
           s"single-chunk index needs chunkRecs >= numRecs for ${v.name}")
-        val filtered = v.deflate || v.shuffle || v.fletcher
+        val filtered = v.deflate || v.shuffle || v.fletcher || v.zstd > 0
         lay.u8(4).u8(2).u8(if (filtered) 2 else 0).u8(chunkDims.size).u8(4)
         chunkDims.foreach(lay.u32)
         lay.u8(1)
@@ -1474,7 +1502,7 @@ object Hdf5Format {
       * feeds the header's data-block pointer. */
     private def fixedArrayIndex(v: VarState, chunkAddrs: Seq[Long],
         selfAddr: Long): Array[Byte] = {
-      val filtered = v.deflate || v.shuffle || v.fletcher
+      val filtered = v.deflate || v.shuffle || v.fletcher || v.zstd > 0
       val entrySize = if (filtered) 16 else 8
       val n = v.stored.size
       val pageSize = 1 << FA_PAGE_BITS
@@ -1536,7 +1564,7 @@ object Hdf5Format {
       * of over-stuffing a single leaf past its declared capacity. */
     private def btree2Index(v: VarState, chunkAddrs: Seq[Long],
         selfAddr: Long): Array[Byte] = {
-      val filtered = v.deflate || v.shuffle || v.fletcher
+      val filtered = v.deflate || v.shuffle || v.fletcher || v.zstd > 0
       val rank = 1 + v.trailD.length // dataspace dims (record + trailing)
       val recSize = if (filtered) 8 + 4 + 4 + 8 * rank else 8 + 8 * rank
       // sparse: unallocated (null) chunks have NO record — positions
@@ -1631,7 +1659,7 @@ object Hdf5Format {
       * v2-structure checksum is a real lookup3 over the block body. */
     private def extensibleArrayIndex(v: VarState, chunkAddrs: Seq[Long],
         selfAddr: Long): Array[Byte] = {
-      val filtered = v.deflate || v.shuffle || v.fletcher
+      val filtered = v.deflate || v.shuffle || v.fletcher || v.zstd > 0
       val elemSize = if (filtered) 16 else 8 // addr + (size u32 + mask u32)
       val g = EaGeom(EA_MAX_BITS, EA_IDX_ELMTS, EA_MIN_PTRS, EA_MIN_ELMTS, eaPageBits)
       val n = v.stored.size
@@ -3178,6 +3206,7 @@ object Hdf5Format {
     var singleChunkSize = 0L
     var singleChunkMask = 0
     var deflate = false
+    var zstdF = false
     var shuffle = false
     var fletcher = false
     var fillBytes: Array[Byte] = Array.emptyByteArray
@@ -3321,14 +3350,20 @@ object Hdf5Format {
           b.skip(4 * ncd)
           if (ver == 1 && ncd % 2 == 1) b.skip(4)
           // the range reader assumes netCDF4's pipeline call order
-          // (fletcher32, shuffle, deflate) for filter-mask bit slots
+          // (fletcher32, shuffle, then the terminal compressor —
+          // deflate or zstd) for filter-mask bit slots
           if (id == 1) deflate = true
-          else if (id == 2) {
-            require(!deflate,
-              s"shuffle filter must precede deflate in the pipeline for $name")
+          else if (id == 32015) {
+            // ZSTANDARD (registered filter, netCDF-4.9's
+            // nc_def_var_zstandard) — terminal slot like deflate
+            require(!deflate, s"zstd and deflate both present for $name")
+            zstdF = true
+          } else if (id == 2) {
+            require(!deflate && !zstdF,
+              s"shuffle filter must precede the compressor in the pipeline for $name")
             shuffle = true
           } else if (id == 3) {
-            require(fi == 0 && !deflate && !shuffle,
+            require(fi == 0 && !deflate && !shuffle && !zstdF,
               s"fletcher32 filter must lead the pipeline for $name")
             fletcher = true
           } else if (id != 0)
@@ -3416,7 +3451,7 @@ object Hdf5Format {
       case other => throw new java.io.IOException(s"unsupported dataset shape $other for $name")
     }
     val _ = signed
-    val filtered = deflate || shuffle || fletcher
+    val filtered = deflate || shuffle || fletcher || zstdF
     val rowBytesOf: Long = elemSize.toLong * flatW
     /** stored bytes of ONE chunk = one tile (full-width when untiled) */
     val chunkBytesOf: Long = {
@@ -3500,7 +3535,8 @@ object Hdf5Format {
       bigEndian = bigEndian,
       tdims = if (dims.length >= 3) trailAll.toSeq else Nil,
       ctrail = if (dims.length >= 3) ctrailAll.toSeq else Nil,
-      fill = if (fillBytes.length == elemSize) fillBytes else Array.emptyByteArray))
+      fill = if (fillBytes.length == elemSize) fillBytes else Array.emptyByteArray,
+      zstd = zstdF))
   }
 
   /** File metadata: superblock (v0-v3) → root group → datasets. Only
@@ -3663,7 +3699,11 @@ object Hdf5Format {
       val stored = new Array[Byte](c.storedSize)
       in.readFully(c.addr, stored, 0, stored.length)
       var cur: Array[Byte] = stored
-      if (v.deflate && (c.filterMask & deflateSkipBit) == 0) {
+      if (v.zstd && (c.filterMask & deflateSkipBit) == 0) {
+        val dst = new Array[Byte](tileLen + extra)
+        com.github.luben.zstd.Zstd.decompress(dst, stored)
+        cur = dst
+      } else if (v.deflate && (c.filterMask & deflateSkipBit) == 0) {
         val dst = new Array[Byte](tileLen + extra)
         val inf = new Inflater()
         inf.setInput(stored)
@@ -3763,7 +3803,12 @@ object Hdf5Format {
         1 << ((if (v.fletcher) 1 else 0) + (if (v.shuffle) 1 else 0))
       val stored = new Array[Byte](c.storedSize)
       in.readFully(c.addr, stored, 0, stored.length)
-      if (v.deflate && (c.filterMask & deflateSkipBit) == 0) {
+      if (v.zstd && (c.filterMask & deflateSkipBit) == 0) {
+        val dst = if (v.shuffle || v.fletcher) workA else raw
+        com.github.luben.zstd.Zstd.decompress(dst, stored)
+        finishFilters(dst, dst.length, c.filterMask, shufBit, fletBit)
+        chunkEnd = c.startRec + slabRecs
+      } else if (v.deflate && (c.filterMask & deflateSkipBit) == 0) {
         val dst = if (v.shuffle || v.fletcher) workA else raw
         val inf = new Inflater()
         inf.setInput(stored)

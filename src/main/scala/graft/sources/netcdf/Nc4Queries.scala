@@ -809,6 +809,41 @@ object Nc4Queries {
       |  CAST(SUM(CAST(CAST(embedding[14] AS DOUBLE) AS DECIMAL(12,8))) AS DOUBLE) AS sum_e13
       |FROM embeddings""".stripMargin
 
+  /** ZSTANDARD filter (r8 — registered HDF5 filter 32015, what
+    * netCDF-4.9's `nc_def_var_zstandard` emits: the modern archive
+    * codec new wild files increasingly carry, previously a loud
+    * unsupported-filter reject): the writer emits the filter message
+    * with the 8-byte-padded "zstd" name and the level client value
+    * behind `zstd=<level>` (replacing deflate in the terminal
+    * pipeline slot, as the library does), chunks compress through
+    * zstd-jni with the same incompressible-chunk mask escape, and the
+    * range reader decodes via the shared filter-mask slot logic —
+    * shuffle and fletcher32 compose unchanged. */
+  def nc4Zstd: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5zstd")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("zstd", "3")
+      .option("shuffle", "true")
+      .option("fletcher", "true")
+      .save(out)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val nc4ZstdSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem""".stripMargin
+
   /** netCDF-4.9 QUANTIZATION (r8 — `nc_def_var_quantize`, the
     * library's lossy compression-ratio lever from Zender 2016 "Bit
     * Grooming": the data itself stores quantized BEFORE the filter
@@ -1459,6 +1494,7 @@ object Nc4Queries {
     "nc4_bigendian" -> nc4BigEndian,
     "nc4_committed_types" -> nc4CommittedTypes,
     "nc4_quantize" -> nc4Quantize,
+    "nc4_zstd" -> nc4Zstd,
     "nc4_rank3" -> nc4Rank3,
     "nc4_sparse_fill" -> nc4SparseFill,
     "nc4_dim_scales" -> nc4DimScales,
@@ -1494,6 +1530,7 @@ object Nc4Queries {
     "nc4_bigendian" -> nc4BigEndianSql,
     "nc4_committed_types" -> nc4CommittedTypesSql,
     "nc4_quantize" -> nc4QuantizeSql,
+    "nc4_zstd" -> nc4ZstdSql,
     "nc4_rank3" -> nc4Rank3Sql,
     "nc4_sparse_fill" -> nc4SparseFillSql,
     "nc4_dim_scales" -> nc4DimScalesSql,

@@ -126,8 +126,13 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
   private val chunkRecs = options.getOrElse("chunkrecs", "4096").toInt
   // deflate defaults on (the library default) — except under the
   // contiguous/compact layouts, whose HDF5 contract admits no filters
+  /** `zstd=<level>`: zstandard (registered HDF5 filter 32015,
+    * netCDF-4.9's `nc_def_var_zstandard`) replaces deflate in the
+    * terminal pipeline slot */
+  private val zstdLevel = options.getOrElse("zstd", "0").toInt
   private val deflate = options.get("deflate").map(_.toBoolean)
-    .getOrElse(options.getOrElse("layout", "chunked") == "chunked")
+    .getOrElse(zstdLevel == 0 &&
+      options.getOrElse("layout", "chunked") == "chunked")
   private val shuffle = options.get("shuffle").exists(_.toBoolean)
   private val fletcher = options.get("fletcher").exists(_.toBoolean)
   private val h5ver = options.getOrElse("h5ver", "0").toInt
@@ -244,7 +249,8 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
         layout = layout, eaPageBits = eaPageBits, vlenSeqs = vlenSeqs,
         enumTypes = enumTypes, bigEndian = bigEndian, commitTypes = commitTypes,
         quantize = quantize, trailDims = trailDims, trailChunks = trailChunks,
-        fillValues = fillValues, sparse = sparse, dimScales = dimScales)
+        fillValues = fillValues, sparse = sparse, dimScales = dimScales,
+        zstdLevel = zstdLevel)
     }
     var i = 0
     while (i < schema.size) {

@@ -753,6 +753,26 @@ class Hdf5Spec extends AnyFunSuite {
     assert(probe4 == org.apache.spark.sql.Row(39000.0, 39077.0, 39161.0), s"$probe4")
   }
 
+
+  test("zstd filter (32015) roundtrips and composes with shuffle+fletcher") {
+    val dir = "/tmp/graft_h5/zstd"
+    val df = spark.range(5000).select(col("id").as("k"),
+      (col("id") % 97 * 0.5).as("v"))
+    df.coalesce(1).write.format(SRC).mode("overwrite")
+      .option("h5ver", "2").option("zstd", "5")
+      .option("shuffle", "true").option("fletcher", "true")
+      .option("chunkrecs", "512")
+      .save(dir)
+    val f = NetCDF4Util.listFiles(fs, new Path(dir)).head
+    val meta = Hdf5Format.readMeta(fs, f)
+    // compression genuinely happened: stored bytes < raw bytes
+    val mv = meta.vars.find(_.name == "v").get
+    val storedBytes = mv.chunks.map(_.storedSize.toLong).sum
+    assert(storedBytes < 5000L * 8, s"stored $storedBytes")
+    val back = spark.read.format(SRC).load(dir)
+    assert(back.agg(sum("k"), sum("v")).head() == df.agg(sum("k"), sum("v")).head())
+  }
+
   test("netCDF-4.9 quantization: BitRound/BitGroom kernels and file roundtrip") {
     import Hdf5Format.{quantDouble, quantFloat, groomKeepBits}
     // hand-computed anchors for the published algorithms:
