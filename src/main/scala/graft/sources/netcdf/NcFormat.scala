@@ -407,7 +407,7 @@ object NcFormat {
       s"varChunkBytes for unknown columns: ${varChunkBytes.keySet -- schema.fieldNames}")
     require(varCodecs.keySet.subsetOf(schema.fieldNames.toSet),
       s"varCodecs for unknown columns: ${varCodecs.keySet -- schema.fieldNames}")
-    require(varCodecs.values.forall(Set("store", "deflate")),
+    require(varCodecs.values.forall(Set("store", "deflate", "zstd")),
       s"varCodecs values must be store|deflate: ${varCodecs.values.toSet}")
     require(compressChunks || (varChunkBytes.isEmpty && varCodecs.isEmpty),
       "per-variable chunk/codec maps require compressChunks (.ncz)")
@@ -470,6 +470,8 @@ object NcFormat {
     }.toArray
     private val varStore: Array[Boolean] =
       specs.map(v => varCodecs.get(v.name).contains("store"))
+    private val varZstd: Array[Boolean] =
+      specs.map(v => varCodecs.get(v.name).contains("zstd"))
     private val varBlockBytes: Array[java.io.ByteArrayOutputStream] =
       if (v2) Array.fill(specs.length)(new java.io.ByteArrayOutputStream(64 << 10)) else null
     private val varBlockOut: Array[DataOutputStream] =
@@ -522,7 +524,10 @@ object NcFormat {
     private def flushVarBlock(j: Int): Unit = if (varBlockRecs(j) > 0) {
       varBlockOut(j).flush()
       val raw = varBlockBytes(j).toByteArray
-      val comp = if (varStore(j)) null else deflate(raw)
+      val comp =
+        if (varStore(j)) null
+        else if (varZstd(j)) com.github.luben.zstd.Zstd.compress(raw, 3)
+        else deflate(raw)
       if (comp != null && comp.length < raw.length) {
         out.write(comp)
         varBlockIndex(j) += ((filePos, comp.length, varBlockRecs(j)))
@@ -737,7 +742,7 @@ object NcFormat {
         out.writeInt(specs.length)
         specs.indices.foreach { j =>
           out.writeLong(varRpb(j).toLong)
-          out.writeByte(if (varStore(j)) 0 else 1)
+          out.writeByte(if (varStore(j)) 0 else if (varZstd(j)) 2 else 1)
           out.writeInt(varBlockIndex(j).size)
           varBlockIndex(j).foreach { case (off, clen, nrecs) =>
             out.writeLong(off); out.writeInt(clen); out.writeInt(nrecs)
@@ -984,17 +989,23 @@ object NcFormat {
             seekTo(off)
             raf.readFully(comp)
             pos += clen
-            val inf = new java.util.zip.Inflater()
-            inf.setInput(comp)
-            var filled = 0
-            while (filled < rawLen && !inf.finished()) {
-              val k = inf.inflate(raw, filled, rawLen - filled)
-              if (k == 0 && inf.needsInput())
-                throw new EOFException(s"truncated .ncz var $vj block $b in $path")
-              filled += k
+            if (vi.codec == 2) {
+              // zstd block (codec byte 2)
+              val k = com.github.luben.zstd.Zstd.decompress(raw, comp)
+              require(k == rawLen, s"$path var $vj block $b: zstd $k of $rawLen bytes")
+            } else {
+              val inf = new java.util.zip.Inflater()
+              inf.setInput(comp)
+              var filled = 0
+              while (filled < rawLen && !inf.finished()) {
+                val k = inf.inflate(raw, filled, rawLen - filled)
+                if (k == 0 && inf.needsInput())
+                  throw new EOFException(s"truncated .ncz var $vj block $b in $path")
+                filled += k
+              }
+              inf.end()
+              require(filled == rawLen, s"$path var $vj block $b: inflated $filled of $rawLen bytes")
             }
-            inf.end()
-            require(filled == rawLen, s"$path var $vj block $b: inflated $filled of $rawLen bytes")
           }
           v2Cache(s) = raw
           v2CacheBlock(s) = b

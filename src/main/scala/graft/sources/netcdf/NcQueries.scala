@@ -336,7 +336,8 @@ object NcQueries {
         .sortWithinPartitions("l_orderkey"),
       out, compressChunks = true,
       varChunkBytes = Map("l_orderkey" -> (512 << 10), "l_quantity" -> (64 << 10)),
-      varCodecs = Map("l_orderkey" -> "deflate", "l_extendedprice" -> "store"))
+      varCodecs = Map("l_orderkey" -> "deflate", "l_extendedprice" -> "store",
+        "l_quantity" -> "zstd"))
     s.read.format(SRC).load(out)
       .filter(col("l_orderkey") >= 500L && col("l_orderkey") < 2500L)
       .agg(
