@@ -754,6 +754,50 @@ class Hdf5Spec extends AnyFunSuite {
   }
 
 
+
+  test("corrupted and truncated files fail loudly, never silently") {
+    val dir = "/tmp/graft_h5/corrupt"
+    spark.range(4000).select(col("id").as("k"), (col("id") * 1.5).as("v"))
+      .coalesce(1).write.format(SRC).mode("overwrite")
+      .option("h5ver", "2").option("fletcher", "true")
+      .option("shuffle", "true").option("chunkrecs", "1024")
+      .save(dir)
+    val f = NetCDF4Util.listFiles(fs, new Path(dir)).head
+    val good = spark.read.format(SRC).load(dir).agg(sum("v")).head().getDouble(0)
+    val bytes = {
+      val in = fs.open(f)
+      val len = fs.getFileStatus(f).getLen.toInt
+      val b = new Array[Byte](len)
+      try in.readFully(0, b) finally in.close()
+      b
+    }
+    // flip one byte inside the first stored chunk of v → the
+    // fletcher32 word (leading the pipeline, covering the raw chunk)
+    // must catch it regardless of what the inflate stage does
+    val meta = Hdf5Format.readMeta(fs, f)
+    val c = meta.vars.find(_.name == "v").get.chunks.head
+    val corrupt = bytes.clone()
+    corrupt(c.addr.toInt + c.storedSize / 2) =
+      (corrupt(c.addr.toInt + c.storedSize / 2) ^ 0x5a).toByte
+    val cDir = new Path("/tmp/graft_h5/corrupt_bad")
+    fs.mkdirs(cDir)
+    val out = fs.create(new Path(cDir, f.getName), true)
+    try out.write(corrupt) finally out.close()
+    val e1 = intercept[Exception] {
+      spark.read.format(SRC).load(cDir.toString).agg(sum("v")).head()
+    }
+    assert(e1.toString.nonEmpty)
+    assert(good == spark.read.format(SRC).load(dir).agg(sum("v")).head().getDouble(0))
+    // truncation mid-data: loud failure, not garbage rows
+    val tDir = new Path("/tmp/graft_h5/corrupt_trunc")
+    fs.mkdirs(tDir)
+    val out2 = fs.create(new Path(tDir, f.getName), true)
+    try out2.write(bytes, 0, bytes.length / 2) finally out2.close()
+    intercept[Exception] {
+      spark.read.format(SRC).load(tDir.toString).agg(sum("v")).head()
+    }
+  }
+
   test("zstd filter (32015) roundtrips and composes with shuffle+fletcher") {
     val dir = "/tmp/graft_h5/zstd"
     val df = spark.range(5000).select(col("id").as("k"),
