@@ -1069,6 +1069,41 @@ object Similarity {
        |JOIN embeddings e ON e.vec_id <> qa.vec_id
        |WHERE round($dotSqlDuck, 6) >= $RANGE_T""".stripMargin
 
+  /** FILTERED VECTOR SEARCH (r8 — the metadata-predicate + top-k
+    * composition every production vector store sells: "nearest
+    * neighbors WHERE label = X"). The filter applies BEFORE scoring —
+    * pre-filtering, exact over the reduced corpus — and PUSHES DOWN
+    * to the parquet scan, so at 100 TB the predicate prunes row
+    * groups before a single dot product runs; scoring stays map-side
+    * (broadcast queries) and ranking is the bounded TopK (≤k rows per
+    * query reach the shuffle). Post-filtering (rank then filter) is
+    * the recall trap this shape avoids: results are exact top-k OF
+    * THE FILTERED SET by construction. */
+  def simFilteredTopk: Q = (s, dir) => {
+    val emb = withVec(t(s, dir, "embeddings").filter(col("label") === 1))
+    val q = withVec(t(s, dir, "embeddings")).filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topk(5)(
+        round(col("cos"), 9), col("vec_id"), round(col("cos"), 6)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("neighbor_id"),
+        col("e._3").as("cos_sim"), (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
+  val simFilteredTopkSql: String =
+    s"""SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT qa.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    round($dotSqlDuck / (qa.nrm * e.nrm), 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY qa.vec_id
+       |      ORDER BY round($dotSqlDuck / (qa.nrm * e.nrm), 9) DESC, e.vec_id) AS rank
+       |  FROM (SELECT vec_id, embedding, $normSqlDuck AS nrm FROM embeddings WHERE vec_id < $NQUERIES) qa
+       |  JOIN (SELECT vec_id, embedding, $normSqlDuck AS nrm FROM embeddings WHERE label = 1) e
+       |    ON e.vec_id <> qa.vec_id) sub
+       |WHERE rank <= 5""".stripMargin
+
   /** MMR DIVERSITY RE-RANK (r8 — maximal marginal relevance,
     * Carbonell & Goldstein 1998: the diversification pass retrieval /
     * curation stacks run AFTER top-k so near-duplicate hits don't
@@ -1187,6 +1222,7 @@ object Similarity {
     "sim_ivf_pq" -> simIvfPq,
     "sim_topk_bruteforce" -> simTopKBruteforce,
     "sim_mmr" -> simMmr,
+    "sim_filtered_topk" -> simFilteredTopk,
     "sim_from_binary" -> simFromBinary,
     "dedup_semantic" -> dedupSemantic,
     "sim_lsh_bucketed" -> simLshBucketed,
@@ -1204,6 +1240,7 @@ object Similarity {
     "sim_ivf_pq" -> simIvfPqSql,
     "sim_topk_bruteforce" -> simTopKBruteforceSql,
     "sim_mmr" -> simMmrSql,
+    "sim_filtered_topk" -> simFilteredTopkSql,
     "sim_from_binary" -> simTopKBruteforceSql,
     "dedup_semantic" -> dedupSemanticSql,
     "sim_lsh_bucketed" -> simLshBucketedSql,
