@@ -809,6 +809,48 @@ object Nc4Queries {
       |  CAST(SUM(CAST(CAST(embedding[14] AS DOUBLE) AS DECIMAL(12,8))) AS DOUBLE) AS sum_e13
       |FROM embeddings""".stripMargin
 
+  /** GRID FROM THE netCDF-4 STORE (r8 — the classic
+    * `grid_from_source_index` twin: the grid family's chunk table
+    * derives straight from an HDF5-stored variable's record index,
+    * so grid operators run off the modern container too, not just
+    * CDF-1/2/5): same record-ordinal chunking, per-chunk value hash,
+    * and DECIMAL sums as the classic key — one query proves the
+    * nc4 scan's `record` ordinal is contiguous and ordered across
+    * the chunked+shuffled store. */
+  def gridFromNc4: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5gridsrc")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast(LongType).as("l_linenumber"),
+        col("l_quantity"))
+      .repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber")
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("shuffle", "true")
+      .save(out)
+    s.read.format(SRC).load(out)
+      .select(col("record"), col("l_quantity").as("v"))
+      .groupBy(expr("record div 512").as("chunk_idx"))
+      .agg(min(col("record")).as("origin"),
+        count(lit(1)).as("shape"),
+        md5(concat_ws(",", expr(
+          "transform(array_sort(collect_list(struct(record, v))), e -> CAST(CAST(e.v AS INT) AS STRING))")))
+          .as("values_hash"),
+        expr("CAST(SUM(CAST(v AS DECIMAL(9,2))) AS DOUBLE)").as("sum_val"))
+      .select(lit("l_quantity").as("variable"), col("chunk_idx"), col("origin"),
+        col("shape"), col("values_hash"), col("sum_val"))
+  }
+
+  val gridFromNc4Sql: String =
+    """WITH o AS (SELECT l_quantity AS v,
+      |  row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS idx
+      |  FROM lineitem)
+      |SELECT 'l_quantity' AS variable, idx // 512 AS chunk_idx,
+      |  MIN(idx) AS origin, COUNT(*) AS shape,
+      |  md5(string_agg(CAST(CAST(v AS INT) AS VARCHAR), ',' ORDER BY idx)) AS values_hash,
+      |  CAST(SUM(CAST(v AS DECIMAL(9,2))) AS DOUBLE) AS sum_val
+      |FROM o GROUP BY idx // 512""".stripMargin
+
   /** ZSTANDARD filter (r8 — registered HDF5 filter 32015, what
     * netCDF-4.9's `nc_def_var_zstandard` emits: the modern archive
     * codec new wild files increasingly carry, previously a loud
@@ -1495,6 +1537,7 @@ object Nc4Queries {
     "nc4_committed_types" -> nc4CommittedTypes,
     "nc4_quantize" -> nc4Quantize,
     "nc4_zstd" -> nc4Zstd,
+    "grid_from_nc4_index" -> gridFromNc4,
     "nc4_rank3" -> nc4Rank3,
     "nc4_sparse_fill" -> nc4SparseFill,
     "nc4_dim_scales" -> nc4DimScales,
@@ -1531,6 +1574,7 @@ object Nc4Queries {
     "nc4_committed_types" -> nc4CommittedTypesSql,
     "nc4_quantize" -> nc4QuantizeSql,
     "nc4_zstd" -> nc4ZstdSql,
+    "grid_from_nc4_index" -> gridFromNc4Sql,
     "nc4_rank3" -> nc4Rank3Sql,
     "nc4_sparse_fill" -> nc4SparseFillSql,
     "nc4_dim_scales" -> nc4DimScalesSql,
