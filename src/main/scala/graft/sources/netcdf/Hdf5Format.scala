@@ -2865,6 +2865,17 @@ object Hdf5Format {
     }
   }
 
+  /** Test hook: walk a v2 B-tree chunk index at `addr` — drives the
+    * general-depth record walk against hand-assembled fixtures (the
+    * writer splits to depth ≤ 1 only). */
+  private[graft] def btree2ChunksForTest(fs: FileSystem, path: Path, addr: Long,
+      chunkRecs: Int): Array[H5Chunk] = {
+    val in = fs.open(path)
+    try readBtree2Chunks(new R(in), addr, chunkRecs, 1, _ => 0,
+      filtered = false, 16L, "test")
+    finally in.close()
+  }
+
   /** Test hook: resolve a managed heap id against a fractal heap at
     * `fheapAddr` in `path` — exercises the full heap walk (incl.
     * NESTED indirect blocks, which the writer never emits, so the
@@ -2909,29 +2920,66 @@ object Hdf5Format {
     }
     if (depth == 0) (recSize, rootNRecs, new BB(leafBytes(btRootAddr, rootNRecs)))
     else {
-      require(depth == 1, s"v2 B-tree depth $depth unsupported (<= 1)")
-      val maxLeafRec = (nodeSize - 10) / recSize
-      val nrecW =
-        if (maxLeafRec < (1 << 8)) 1 else if (maxLeafRec < (1 << 16)) 2 else 3
-      val inSize = 6 + rootNRecs * recSize + (rootNRecs + 1) * (8 + nrecW) + 4
-      val inBytes = r.bytesAt(btRootAddr, inSize)
-      require(inBytes(0) == 'B' && inBytes(1) == 'T' && inBytes(2) == 'I' && inBytes(3) == 'N',
-        s"bad v2 B-tree internal node signature at $btRootAddr")
-      val ptrs = new BB(inBytes)
-      ptrs.skip(6 + rootNRecs * recSize) // to the child pointer block
+      // general depth: internal child pointers carry (address, child
+      // record count, and — when the child is itself internal — the
+      // child SUBTREE's total record count), each field at the
+      // minimum width for the maximum value possible at that level
+      // (the spec's variable-size encoding). Capacities derive from
+      // the declared node size exactly as the library computes them:
+      //   maxRec(0)   = (nodeSize − 10) / recSize
+      //   ptr(d)      = 8 + w(maxRec(d−1)) + (d ≥ 2 ? w(cum(d−1)) : 0)
+      //   maxRec(d)   = (nodeSize − 10 − ptr(d)) / (recSize + ptr(d))
+      //   cum(d)      = (maxRec(d) + 1)·cum(d−1) + maxRec(d)
+      def w(x: Long): Int = {
+        var n = 1
+        while (n < 8 && (1L << (8 * n)) <= x) n += 1
+        n
+      }
+      val maxRec = new Array[Long](depth + 1)
+      val cum = new Array[Long](depth + 1)
+      maxRec(0) = (nodeSize - 10).toLong / recSize
+      cum(0) = maxRec(0)
+      (1 to depth).foreach { d =>
+        val ptr = 8 + w(maxRec(d - 1)) + (if (d >= 2) w(cum(d - 1)) else 0)
+        maxRec(d) = (nodeSize - 10 - ptr).toLong / (recSize + ptr)
+        cum(d) = (maxRec(d) + 1) * cum(d - 1) + maxRec(d)
+      }
       val out = new java.io.ByteArrayOutputStream()
       var total = 0
-      (0 to rootNRecs).foreach { c =>
-        val ca = ptrs.u64()
-        var cn = 0
-        (0 until nrecW).foreach(k => cn |= (ptrs.u8() << (8 * k)))
-        out.write(leafBytes(ca, cn))
-        total += cn
-        if (c < rootNRecs) {
-          out.write(inBytes, 6 + c * recSize, recSize)
-          total += 1
+      def walk(a: Long, nrec: Int, d: Int): Unit =
+        if (d == 0) {
+          out.write(leafBytes(a, nrec))
+          total += nrec
+        } else {
+          val n1 = w(maxRec(d - 1))
+          val n2 = if (d >= 2) w(cum(d - 1)) else 0
+          val sz = 6 + nrec * recSize + (nrec + 1) * (8 + n1 + n2) + 4
+          val nb = r.bytesAt(a, sz)
+          require(nb(0) == 'B' && nb(1) == 'T' && nb(2) == 'I' && nb(3) == 'N',
+            s"bad v2 B-tree internal node signature at $a")
+          require((nb(5) & 0xff) == expectType,
+            s"v2 B-tree internal type ${nb(5)} != $expectType at $a")
+          val ptrs = new BB(nb)
+          ptrs.skip(6 + nrec * recSize) // to the child pointer block
+          val childAddrs = new Array[Long](nrec + 1)
+          val childN = new Array[Int](nrec + 1)
+          (0 to nrec).foreach { c =>
+            childAddrs(c) = ptrs.u64()
+            var cn = 0
+            (0 until n1).foreach(k => cn |= (ptrs.u8() << (8 * k)))
+            childN(c) = cn
+            (0 until n2).foreach(_ => ptrs.u8()) // subtree total (unused)
+          }
+          // key order: child0 < rec0 < child1 < rec1 < …
+          (0 to nrec).foreach { c =>
+            walk(childAddrs(c), childN(c), d - 1)
+            if (c < nrec) {
+              out.write(nb, 6 + c * recSize, recSize)
+              total += 1
+            }
+          }
         }
-      }
+      walk(btRootAddr, rootNRecs, depth)
       (recSize, total, new BB(out.toByteArray))
     }
   }

@@ -590,6 +590,46 @@ class Hdf5Spec extends AnyFunSuite {
     assert(exp == got, s"$exp vs $got")
   }
 
+
+  test("v2 B-tree depth-2 walk resolves (hand-assembled wild fixture)") {
+    // nodeSize 64, recSize 16 (type 10, rank 1) → maxRec(0)=3 (w 1),
+    // depth-1 ptr = 8+1 → maxRec(1)=1, cum(1)=7 (w 1), depth-2 ptr =
+    // 8+1+1. Tree: root(1 rec) → two depth-1 BTINs(1 rec) → leaves
+    // [2,1] and [2,3] records; in-order scaled offsets 0..10 with
+    // chunk addresses 1000+scaled.
+    val bb = java.nio.ByteBuffer.allocate(400).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def at(pos: Int): java.nio.ByteBuffer = { bb.position(pos); bb }
+    def rec(b: java.nio.ByteBuffer, scaled: Long): java.nio.ByteBuffer =
+      b.putLong(1000L + scaled).putLong(scaled)
+    // BTHD @0
+    at(0).put("BTHD".getBytes).put(0.toByte).put(10.toByte)
+      .putInt(64).putShort(16).putShort(2).putShort(0)
+      .putLong(40L).putShort(1)
+    // root BTIN @40: rec(4), children (90, n=1, tot=3), (140, n=1, tot=7)
+    rec(at(40).put("BTIN".getBytes).put(0.toByte).put(10.toByte), 4L)
+      .putLong(90L).put(1.toByte).put(3.toByte)
+      .putLong(140L).put(1.toByte).put(7.toByte)
+    // depth-1 BTIN @90: rec(2), leaf children (190, 2), (240, 1)
+    rec(at(90).put("BTIN".getBytes).put(0.toByte).put(10.toByte), 2L)
+      .putLong(190L).put(2.toByte).putLong(240L).put(1.toByte)
+    // depth-1 BTIN @140: rec(7), leaf children (270, 2), (320, 3)
+    rec(at(140).put("BTIN".getBytes).put(0.toByte).put(10.toByte), 7L)
+      .putLong(270L).put(2.toByte).putLong(320L).put(3.toByte)
+    rec(rec(at(190).put("BTLF".getBytes).put(0.toByte).put(10.toByte), 0L), 1L)
+    rec(at(240).put("BTLF".getBytes).put(0.toByte).put(10.toByte), 3L)
+    rec(rec(at(270).put("BTLF".getBytes).put(0.toByte).put(10.toByte), 5L), 6L)
+    rec(rec(rec(at(320).put("BTLF".getBytes).put(0.toByte).put(10.toByte), 8L), 9L), 10L)
+    val p = new Path("/tmp/graft_h5/btree2_d2.bin")
+    val out = fs.create(p, true)
+    try out.write(bb.array()) finally out.close()
+    val chunks = Hdf5Format.btree2ChunksForTest(fs, p, 0L, 10)
+    assert(chunks.length == 11, s"${chunks.length} chunks")
+    assert(chunks.map(_.startRec).toSeq == (0L to 10L).map(_ * 10),
+      chunks.map(_.startRec).mkString(","))
+    assert(chunks.map(_.addr).toSeq == (0L to 10L).map(1000L + _),
+      chunks.map(_.addr).mkString(","))
+  }
+
   test("nested fractal-heap indirect blocks resolve (hand-assembled wild fixture)") {
     // Doubling table: width 2, start 512, maxDirect 512 → row 2
     // (size 1024) holds CHILD INDIRECT blocks; a child covering 1024
