@@ -23,5 +23,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "vec_dot(a, b) takes two arguments")
         DotProduct(children.head, children(1))
       }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sq_dequant"),
+      new ExpressionInfo(
+        classOf[graft.functions.VectorExpressions.SqDequant].getName, "sq_dequant"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3, "sq_dequant(v, mns, mxs) takes three arguments")
+        graft.functions.VectorExpressions.SqDequant(
+          children.head, children(1), children(2))
+      }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cdc_bounds"),
+      new ExpressionInfo(classOf[graft.functions.CdcBounds].getName, "cdc_bounds"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "cdc_bounds(text) takes one argument")
+        graft.functions.CdcBounds(children.head)
+      }))
   }
 }

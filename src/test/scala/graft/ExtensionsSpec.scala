@@ -22,6 +22,13 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
         .head().getDouble(0)
       assert(r == 32.0)
+      // r8 registrations: the SQ kernel and the CDC boundary scan
+      val dq = spark.sql(
+        "SELECT sq_dequant(array(0.5D), array(0.0D), array(1.0D)) AS q")
+        .head().getSeq[Double](0)
+      assert(dq == Seq(0.0 + (128.0 + 0.5) * 1.0 / 256.0), s"$dq")
+      val cb = spark.sql("SELECT cdc_bounds('ab') AS b").head().getSeq[Int](0)
+      assert(cb.head == 1 && cb.last == 3, s"$cb")
     } finally {
       prior.foreach { s =>
         SparkSession.setDefaultSession(s)
