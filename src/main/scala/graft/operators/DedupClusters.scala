@@ -95,6 +95,39 @@ object DedupClusters {
         col("cluster_size"))
   }
 
+  /** SOFT DEDUP (r8 — DOWNWEIGHT duplicates instead of dropping:
+    * keeping one weighted copy per near-dup cluster bounds a
+    * duplicate's gradient mass while preserving corpus diversity —
+    * the alternative several production pipelines prefer to hard
+    * removal). Per-doc weight = 1/cluster_size carried as exact ppm
+    * BIGINTs (1e6 DIV size — the RRF device), so the per-source
+    * effective sizes sum order-free on both engines. Scale shape:
+    * the cluster table (bounded-LSH CC output) joins back to the
+    * corpus on doc_id — an equi-join — and everything after is one
+    * partial-agg groupBy. */
+  def pipelineSoftDedup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val clusters = dedupClusters(s, dir)
+    docs.join(clusters, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical_id")).as("n_clusters"),
+        sum(col("n_chars")).as("raw_chars"),
+        sum(col("n_chars") * expr("1000000L DIV cluster_size")).as("eff_chars_ppm"))
+  }
+
+  // lazy: refers to dedupClustersSql, declared below (object init order)
+  lazy val pipelineSoftDedupSql: String =
+    s"""WITH sd AS (
+       |${dedupClustersSql}
+       |)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT sd.canonical_id) AS n_clusters,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS raw_chars,
+       |  CAST(SUM(d.n_chars * (1000000 // sd.cluster_size)) AS BIGINT) AS eff_chars_ppm
+       |FROM sd JOIN documents d USING (doc_id)
+       |GROUP BY d.source""".stripMargin
+
   val dedupClustersSql: String = {
     // reuse the full minhash pipeline SQL as the edge CTE (a nested
     // WITH...SELECT is a valid CTE body)
@@ -154,8 +187,10 @@ object DedupClusters {
 
   val queries: Map[String, Q] = Map(
     "dedup_clusters" -> dedupClusters,
+    "pipeline_soft_dedup" -> pipelineSoftDedup,
     "dedup_knn_clusters" -> dedupKnnClusters)
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
+    "pipeline_soft_dedup" -> pipelineSoftDedupSql,
     "dedup_knn_clusters" -> dedupKnnClustersSql)
 }
