@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -21,11 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * window directly over the UTF-8 bytes; multibyte text falls back to
   * per-position character slicing for exact SQL-substring semantics.
   *
-  * Eval-only (CodegenFallback): the per-row call overhead is
-  * amortized over the document-length internal loop.
+  * `doGenCode` emits the ASCII scan as a plain Java loop inside the
+  * whole-stage-codegen body (digest held as generated-class mutable
+  * state, one per codegen instance — no ThreadLocal lookup per row);
+  * the multibyte fallback routes to ONE shared helper
+  * ([[CdcBounds.multibyteBounds]]) called by both the generated code
+  * and the interpreted eval, so the two paths cannot diverge.
   */
-case class CdcBounds(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class CdcBounds(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -47,33 +50,84 @@ case class CdcBounds(child: Expression)
     val u = input.asInstanceOf[UTF8String]
     val bytes = u.getBytes
     val nChars = u.numChars()
-    val out = new scala.collection.mutable.ArrayBuffer[Int](nChars / 12 + 3)
-    out += 1
+    val buf = new Array[Int](nChars + 2)
+    var cnt = 0
+    buf(cnt) = 1; cnt += 1
     if (bytes.length == nChars) {
       // pure-ASCII fast path: character windows ARE byte windows
       var p = 2
       while (p <= nChars) {
         md.reset()
         md.update(bytes, p - 1, math.min(8, nChars - p + 1))
-        if ((md.digest()(0) & 0xf0) == 0) out += p
+        if ((md.digest()(0) & 0xf0) == 0) { buf(cnt) = p; cnt += 1 }
         p += 1
       }
     } else {
-      val s = u.toString
-      var p = 2
-      while (p <= nChars) {
-        md.reset()
-        md.update(s.substring(p - 1, math.min(p + 7, nChars)).getBytes("UTF-8"))
-        if ((md.digest()(0) & 0xf0) == 0) out += p
-        p += 1
-      }
+      cnt = CdcBounds.multibyteBounds(u, md, buf, cnt)
     }
-    out += nChars + 1
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out.toArray)
+    buf(cnt) = nChars + 1; cnt += 1
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      java.util.Arrays.copyOf(buf, cnt))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val md = ctx.addMutableState("java.security.MessageDigest", "cdcMd",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
+              |""".stripMargin)
+    nullSafeCodeGen(ctx, ev, u => {
+      val bytes = ctx.freshName("cdcBytes")
+      val nChars = ctx.freshName("cdcChars")
+      val buf = ctx.freshName("cdcBuf")
+      val cnt = ctx.freshName("cdcCnt")
+      val p = ctx.freshName("cdcP")
+      s"""
+         |byte[] $bytes = $u.getBytes();
+         |int $nChars = $u.numChars();
+         |int[] $buf = new int[$nChars + 2];
+         |int $cnt = 0;
+         |$buf[$cnt++] = 1;
+         |if ($bytes.length == $nChars) {
+         |  for (int $p = 2; $p <= $nChars; $p++) {
+         |    $md.reset();
+         |    $md.update($bytes, $p - 1, java.lang.Math.min(8, $nChars - $p + 1));
+         |    if (($md.digest()[0] & 0xF0) == 0) $buf[$cnt++] = $p;
+         |  }
+         |} else {
+         |  $cnt = graft.functions.CdcBounds.multibyteBounds($u, $md, $buf, $cnt);
+         |}
+         |$buf[$cnt++] = $nChars + 1;
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+         |  java.util.Arrays.copyOf($buf, $cnt));
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): CdcBounds =
     copy(child = newChild)
+}
+
+object CdcBounds {
+  /** Multibyte (non-ASCII) boundary scan shared by interpreted eval and
+    * the generated code path: per position p, the window is the SQL
+    * `substring(text, p, 8)` slice, hashed as UTF-8 — exactly the HOF
+    * formulation's semantics. Appends boundary positions into `buf`
+    * starting at `cnt0`; returns the new count. Called from generated
+    * Java via the companion's static forwarder. */
+  def multibyteBounds(
+      u: UTF8String, md: java.security.MessageDigest, buf: Array[Int], cnt0: Int): Int = {
+    val s = u.toString
+    val nChars = u.numChars()
+    var cnt = cnt0
+    var p = 2
+    while (p <= nChars) {
+      md.reset()
+      md.update(s.substring(p - 1, math.min(p + 7, nChars)).getBytes("UTF-8"))
+      if ((md.digest()(0) & 0xf0) == 0) { buf(cnt) = p; cnt += 1 }
+      p += 1
+    }
+    cnt
+  }
 }
 
 object CdcExpressions {

@@ -29,11 +29,18 @@ import org.apache.spark.sql.types._
   *    recursively, keys carrying per-chunk logical offsets — which is
   *    what makes record-range pruning possible without reading data.
   *
-  * Out of scope (documented, not hidden): variable-length string
-  * datatypes, fractal-heap dense groups/attributes, B-tree v2 chunk
-  * indexes, szip/fletcher32 filters, big-endian files. The writer exists
-  * to produce honest fixtures (and is a real, if minimal, HDF5
-  * writer); the READ path is the user-facing capability.
+  * Since round 8 the read path also covers the rest of the wild-file
+  * surface: variable-length strings (global heap), vlen sequences,
+  * compound and enum datatypes, fractal-heap dense groups/attributes,
+  * all five ≥1.10 chunk indexes (single, implicit, fixed array,
+  * extensible array, v2 B-tree — including their paged forms),
+  * fletcher32, big-endian files, quantization and zstd. Out of scope
+  * (documented, loud rejects — see SURVEY §3): the szip filter (no
+  * public-domain codec on this classpath), filtered fractal heaps,
+  * and paged directly-addressed extensible-array data blocks. The
+  * writer exists to produce honest fixtures (and is a real, if
+  * minimal, HDF5 writer; it splits v2 B-trees to depth ≤ 1 only);
+  * the READ path is the user-facing capability.
   *
   * Scale posture: `readMeta` touches only superblock + object headers
   * + chunk B-trees (metadata, O(#chunks) bytes); data reads are

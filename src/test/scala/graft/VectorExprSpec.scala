@@ -35,4 +35,27 @@ class VectorExprSpec extends AnyFunSuite {
     val r = emb.select(vec_dot(lit(null).cast("array<double>"), col("v")).as("d"))
     assert(r.filter(col("d").isNotNull).isEmpty)
   }
+
+  test("CdcBounds participates in whole-stage codegen") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = docs.select(graft.functions.CdcExpressions.cdc_bounds(col("text")).as("b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("cdcbounds") && l.contains("*(")),
+      plan.take(800))
+  }
+
+  test("CdcBounds codegen matches the SQL HOF formulation bit-for-bit") {
+    // corpus rows exercise the ASCII fast path; the appended multibyte
+    // doc forces the shared character-slicing fallback through the
+    // generated-code branch too
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("text")
+      .union(spark.sql("SELECT 'café au lait — naïve résumé über alles, 2²=4' AS text"))
+    val both = docs.filter(length(col("text")) >= 2).select(
+      graft.functions.CdcExpressions.cdc_bounds(col("text")).as("native"),
+      expr("concat(array(1), filter(sequence(2, length(text)), " +
+        "p -> substring(md5(CAST(substring(text, p, 8) AS BINARY)), 1, 1) = '0'), " +
+        "array(length(text) + 1))").as("hof"))
+    assert(both.filter(expr("native <> hof")).isEmpty)
+    assert(both.count() > 0)
+  }
 }
