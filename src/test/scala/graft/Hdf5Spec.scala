@@ -59,6 +59,26 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
+  test("user ergonomics: short-name format and single-FILE load both work") {
+    // how every user first points the engine at a wild file:
+    // spark.read.format("netcdf4").load("/path/file.nc") — short name
+    // via META-INF/services, path a FILE rather than a directory
+    val dir = "/tmp/graft_h5/single"
+    Hdf5IO.write(
+      spark.range(500).select(col("id").cast(DoubleType).as("x")).coalesce(1),
+      dir, chunkRecs = 64, deflate = true)
+    val fsl = fs
+    val file = NetCDF4Util.listFiles(fsl, new Path(dir)).head
+    val back = spark.read.format("netcdf4").load(file.toString)
+    assert(back.count() == 500)
+    assert(back.agg(sum("x")).head().getDouble(0) == (0 until 500).map(_.toDouble).sum)
+    assert(back.schema.fieldNames.contains("record"))
+    // the netcdf3 short name resolves through the same ServiceLoader path
+    val cls3 = org.apache.spark.sql.execution.datasources.DataSource
+      .lookupDataSource("netcdf3", spark.sessionState.conf)
+    assert(cls3.getName == "graft.sources.netcdf.NetCDF3Source")
+  }
+
   test("record-range pushdown prunes partitions and chunk reads") {
     val dir = "/tmp/graft_h5/prune"
     Hdf5IO.write(
