@@ -9,13 +9,20 @@ import org.apache.spark.sql.functions._
   * canonical representative (the minimum doc_id reachable through
   * near-dup edges) plus the cluster size.
   *
-  * Spark side: iterative min-label propagation — per round, every
-  * node takes the min label among itself and its neighbors; converges
-  * in O(component diameter) rounds. Each round is one distributed
-  * join + groupBy; the driver only checks the per-round convergence
-  * count (the classic Pregel-style loop, no data ever collects to the
-  * driver). Near-dup components are tiny in practice, so a bounded
-  * round count with a convergence break is the 100 TB-safe shape.
+  * Spark side: alternating large-star/small-star edge contraction
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC 2014) — per round, large-star hangs every node's
+  * strictly-larger neighbors off its neighborhood minimum and
+  * small-star does the same for the smaller-or-equal side, so chains
+  * halve in height each pair of steps and the edge set converges to
+  * one star per component (center = component-minimum id) in
+  * O(log n) rounds, NOT the O(component diameter) a min-label
+  * propagation loop needs. Each operation is a groupBy + equi-join
+  * over the edge list; the driver only checks the per-round fixpoint
+  * (no data ever collects to the driver). That log-round bound is
+  * what makes the shape 100 TB-safe even when near-dup chains get
+  * long (shingled crawls at 10× data showed exactly that growth with
+  * the propagation loop).
   *
   * Oracle: DuckDB recursive CTE computing min reachable id over the
   * same edge set.
@@ -29,19 +36,47 @@ object DedupClusters {
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 64): DataFrame =
     connectedComponentsLabeled(nodes.selectExpr("id", "id AS label"), edges, maxRounds)
 
-  /** Min-label propagation from caller-supplied initial labels
-    * (id, label): each component converges to its minimum label.
-    * Callers encode their canonical-preference order into the label
-    * (e.g. [[CrossShard]] packs shard priority above doc_id), so
-    * "which duplicate wins" is a pure label ordering — the propagation
-    * loop itself never changes. */
+  /** large-star: for every node u, connect each strictly-larger
+    * neighbor v to m = min(N(u) ∪ {u}). Keeps connectivity (u's own
+    * link to its minimum re-emerges from the minimum's group) while
+    * flattening tall chains. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.selectExpr("a AS u", "b AS v")
+      .unionAll(edges.selectExpr("b AS u", "a AS v"))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** small-star: orient every edge (larger → smaller), then per node u
+    * connect each smaller neighbor v — and u itself — to
+    * m = min of u's smaller neighborhood. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+    oriented.join(mins, "u")
+      .select(col("v").as("a"), col("m").as("b"))
+      .unionAll(mins.select(col("u").as("a"), col("m").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Components with caller-supplied initial labels (id, label): each
+    * component resolves to its minimum label. Callers encode their
+    * canonical-preference order into the label (e.g. [[CrossShard]]
+    * packs shard priority above doc_id), so "which duplicate wins" is
+    * a pure label ordering — the contraction loop itself never
+    * changes: stars form over ids, then ONE groupBy resolves each
+    * star to the component's minimum label. */
   def connectedComponentsLabeled(nodesLabeled: DataFrame, edges: DataFrame,
       maxRounds: Int = 64): DataFrame = {
-    // symmetric neighbor list
-    val sym = edges.selectExpr("a AS src", "b AS dst")
-      .unionAll(edges.selectExpr("b AS src", "a AS dst"))
-      .cache()
-    // Checkpoint (eager) materializes each round's labels AND
+    // Checkpoint (eager) materializes each round's edge set AND
     // truncates the logical lineage: without it round k's plan carries
     // all k-1 prior joins, so planning cost grows per round and a
     // cache eviction at scale would recompute the whole chain. When
@@ -51,34 +86,32 @@ object DedupClusters {
     val ckpt: DataFrame => DataFrame = df =>
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
-    var labels = ckpt(nodesLabeled.select("id", "label"))
+    var e = ckpt(edges.select(col("a"), col("b")).filter(col("a") =!= col("b")).distinct())
     var round = 0
-    var converged = false
+    var converged = e.isEmpty
     while (round < maxRounds && !converged) {
-      val viaNeighbors = sym
-        .join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"),
-          lit(null).cast(labels.schema("label").dataType).as("old"))
-      // each id's PREVIOUS label rides through the same min-label
-      // aggregation (exactly one non-null `old` per id), so
-      // convergence detection is a filter over the checkpointed round
-      // result — no separate corpus-sized old-vs-new join per round
-      val next = ckpt(labels
-        .select(col("id"), col("label"), col("label").as("old"))
-        .unionAll(viaNeighbors)
-        .groupBy("id")
-        .agg(min(col("label")).as("label"), max(col("old")).as("old")))
-      val changed = next.filter(col("label") =!= col("old")).limit(1).count()
-      labels = next.select("id", "label")
-      converged = changed == 0
+      val next = ckpt(smallStar(largeStar(e)))
+      // fixpoint test: the star set is stable (multiset-subset + equal
+      // count == set equality, both over checkpointed rounds)
+      converged = next.count() == e.count() &&
+        next.exceptAll(e).limit(1).count() == 0
+      e = next
       round += 1
     }
-    // propagation needs O(component diameter) rounds; failing loudly
-    // beats silently mislabeled clusters
+    // star contraction needs O(log n) rounds; failing loudly beats
+    // silently mislabeled clusters
     require(converged,
       s"connectedComponents did not converge within $maxRounds rounds — " +
-        "a component's diameter exceeds the bound; raise maxRounds")
-    labels.withColumnRenamed("label", "canonical")
+        "raise maxRounds")
+    // fixpoint edges form stars (child, root); roots map to themselves
+    // and edge-free nodes are their own component
+    val comp = e.select(col("a").as("id"), col("b").as("root"))
+      .unionAll(e.select(col("b").as("id"), col("b").as("root")).distinct())
+    val withRoot = nodesLabeled.select("id", "label")
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("root"), col("label"))
+    val minLab = withRoot.groupBy("root").agg(min(col("label")).as("canonical"))
+    withRoot.join(minLab, "root").select("id", "canonical")
   }
 
   /** Clusters from MinHash-LSH candidate pairs with verified

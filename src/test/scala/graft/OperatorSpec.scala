@@ -45,6 +45,19 @@ class OperatorSpec extends AnyFunSuite {
     assert((8L to 10L).forall(i => cc(i) == i))
   }
 
+  test("connectedComponents contracts a 200-node chain in O(log n) rounds") {
+    import spark.implicits._
+    // a path graph is the worst case for min-label propagation
+    // (O(diameter) = 199 rounds); the large-star/small-star contraction
+    // must finish it within a log-ish bound
+    val n = 200L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = DedupClusters.connectedComponents(nodes, edges, maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to n).forall(cc(_) == 1L))
+  }
+
   test("rechunkByDim lays out 2-D tiles dim-major with correct origins") {
     import spark.implicits._
     import graft.operators.GridOps
