@@ -29,6 +29,13 @@ object BenchSf1 {
     // r8 late additions: the retrieval pair and the heaviest of the
     // new netCDF-4 roundtrips
     "text_bm25_topk", "sim_hybrid_rrf", "nc4_extensible_array",
+    // r9: the same EA write/read probe at the writer's DEFAULT chunk
+    // geometry (4096 records/chunk) — the committed demonstration
+    // that the 96-row-chunk gate entry's super-linear smoke line is
+    // the deliberately-tiny fixture geometry (per-chunk DEFLATE call
+    // overhead), not the operator: at default chunks the identical
+    // code path must scale ~linear
+    "nc4_extensible_array_defaultchunk",
     // r8 final-session additions: tokenizer induction (corpus-pass +
     // vocab-sized iterations), MMR (corpus top-k + candidate-sized
     // greedy), HLL (pure map-side + 64-key agg), rank-N tiling, the
@@ -97,9 +104,28 @@ object BenchSf1 {
     spark.sparkContext.setLogLevel("WARN")
     replicate(spark, srcDir, dstDir, 10)
 
+    // bench-only probes (not SparkEntry inventory keys): variants that
+    // isolate a fixture parameter from the operator under test
+    val extraProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "nc4_extensible_array_defaultchunk" -> ((s: SparkSession, dir: String) => {
+        val src = "graft.sources.netcdf.NetCDF4Source"
+        val out = graft.sources.netcdf.NcQueries.scratch(s, dir, "h5extarr_dflt")
+        Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+          .repartition(2)
+          .write.format(src).mode("overwrite")
+          .option("h5ver", "2")
+          .option("chunkindex", "extarray")
+          .option("shuffle", "true") // chunkrecs NOT set: writer default 4096
+          .save(out)
+        s.read.format(src).load(out)
+          .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_key"))
+      }))
+
     def time(name: String, dir: String): Double = {
+      val q = SparkEntry.queries.getOrElse(name, extraProbes(name))
       val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(name)(spark, dir).count(); true } catch {
+      val ok = try { q(spark, dir).count(); true } catch {
         case e: Throwable =>
           System.err.println(s"[sf1-smoke] $name FAILED: ${e.getMessage}"); false
       }

@@ -2551,10 +2551,23 @@ object Hdf5Format {
     * one wild file easily reaches. Elements are chunk addresses, plus
     * (size, filter mask) when the dataset is filtered; uninitialized
     * pages and UNDEF addresses are unallocated (sparse) chunks. */
+  /** Verify a v2-generation structure's trailing lookup3 checksum:
+    * `bytes[0, upto)` must hash to the LE u32 at `upto`. Corruption
+    * fails LOUDLY — a flipped bit in a chunk-index node must never
+    * silently misaddress data. */
+  private def verifyCk(bytes: Array[Byte], upto: Int, what: String, addr: Long): Unit = {
+    val stored = (bytes(upto) & 0xff) | ((bytes(upto + 1) & 0xff) << 8) |
+      ((bytes(upto + 2) & 0xff) << 16) | ((bytes(upto + 3) & 0xff) << 24)
+    val computed = lookup3(java.util.Arrays.copyOfRange(bytes, 0, upto))
+    if (stored != computed) throw new java.io.IOException(
+      f"$what checksum mismatch at $addr (stored 0x$stored%08x, computed 0x$computed%08x)")
+  }
+
   private def readFixedArrayChunks(r: R, addr: Long, chunkRecs: Int,
       nCB: Int, cornerOfTile: Long => Int,
       filtered: Boolean, rawChunkBytes: Long, name: String): Array[H5Chunk] = {
     val h = new BB(r.bytesAt(addr, 28))
+    verifyCk(h.data, 24, "fixed array header", addr)
     require(h.u8() == 'F' && h.u8() == 'A' && h.u8() == 'H' && h.u8() == 'D',
       s"bad fixed array signature at $addr for $name")
     h.skip(1) // version
@@ -2582,8 +2595,11 @@ object Hdf5Format {
     }
     val pageSize = 1L << pageBits
     if (nEntries <= pageSize) {
-      // unpaged: sig + version + client id + header address, elements
-      val db = new BB(r.bytesAt(dblkAddr, 14 + (nEntries * entrySize).toInt))
+      // unpaged: sig + version + client id + header address, elements,
+      // trailing checksum
+      val used = 14 + (nEntries * entrySize).toInt
+      val db = new BB(r.bytesAt(dblkAddr, used + 4))
+      verifyCk(db.data, used, "fixed array data block", dblkAddr)
       require(db.u8() == 'F' && db.u8() == 'A' && db.u8() == 'D' && db.u8() == 'B',
         s"bad fixed array data block signature at $dblkAddr for $name")
       db.skip(2 + 8)
@@ -2596,18 +2612,22 @@ object Hdf5Format {
       val total = 6 + 8 + bitmapBytes + 4 +
         nEntries * entrySize + npages.toLong * 4
       val db = new BB(r.bytesAt(dblkAddr, total.toInt))
+      verifyCk(db.data, 14 + bitmapBytes, "fixed array data block", dblkAddr)
       require(db.u8() == 'F' && db.u8() == 'A' && db.u8() == 'D' && db.u8() == 'B',
         s"bad fixed array data block signature at $dblkAddr for $name")
       db.skip(2 + 8)
       val bitmap = new Array[Int](bitmapBytes)
       (0 until bitmapBytes).foreach(k => bitmap(k) = db.u8())
-      db.skip(4) // FADB checksum
+      db.skip(4) // FADB checksum (verified above)
       var i = 0L
       (0 until npages).foreach { p =>
         val inPage = math.min(pageSize, nEntries - p.toLong * pageSize)
-        if ((bitmap(p / 8) & (1 << (p % 8))) != 0)
+        val pageBytes = (inPage * entrySize).toInt
+        if ((bitmap(p / 8) & (1 << (p % 8))) != 0) {
+          val pg = java.util.Arrays.copyOfRange(db.data, db.off, db.off + pageBytes + 4)
+          verifyCk(pg, pageBytes, s"fixed array page $p", dblkAddr)
           (0L until inPage).foreach { _ => elemAt(db, i); i += 1 }
-        else { db.skip((inPage * entrySize).toInt); i += inPage }
+        } else { db.skip(pageBytes); i += inPage } // uninit: bytes unchecked
         db.skip(4) // per-page checksum
       }
     }
@@ -2634,6 +2654,7 @@ object Hdf5Format {
       filtered: Boolean, rawChunkBytes: Long, nChunks: Long,
       name: String): Array[H5Chunk] = {
     val h = new BB(r.bytesAt(addr, 72))
+    verifyCk(h.data, 68, "extensible array header", addr)
     require(h.u8() == 'E' && h.u8() == 'A' && h.u8() == 'H' && h.u8() == 'D',
       s"bad extensible array signature at $addr for $name")
     h.skip(1) // version
@@ -2669,6 +2690,8 @@ object Hdf5Format {
       val ne = g.dblkNelmts(s)
       if (!g.dblkPaged(s)) {
         val db = new BB(r.bytesAt(dbAddr, g.dblkSize(s, elemSize)))
+        verifyCk(db.data, g.dblkSize(s, elemSize) - 4,
+          "extensible array data block", dbAddr)
         require(db.u8() == 'E' && db.u8() == 'A' && db.u8() == 'D' && db.u8() == 'B',
           s"bad extensible array data block signature at $dbAddr for $name")
         db.skip(2 + 8 + g.arrOffSize) // version, client, header addr, block offset
@@ -2677,20 +2700,26 @@ object Hdf5Format {
       } else {
         val npages = g.dblkNpages(s)
         val db = new BB(r.bytesAt(dbAddr, g.dblkExtent(s, elemSize)))
+        verifyCk(db.data, g.dblkPrefixSize - 4,
+          "extensible array data block prefix", dbAddr)
         require(db.u8() == 'E' && db.u8() == 'A' && db.u8() == 'D' && db.u8() == 'B',
           s"bad extensible array data block signature at $dbAddr for $name")
-        db.skip(2 + 8 + g.arrOffSize + 4) // prefix + its checksum
+        db.skip(2 + 8 + g.arrOffSize + 4) // prefix + its checksum (verified)
+        val pageBytes = g.pageNelmts * elemSize
         (0 until npages).foreach { p =>
           val base = startPos + p.toLong * g.pageNelmts
           if ((initBits(p / 8) & (1 << (p % 8))) != 0) {
+            val pg = java.util.Arrays.copyOfRange(db.data, db.off, db.off + pageBytes + 4)
+            verifyCk(pg, pageBytes, s"extensible array page $p", dbAddr)
             var i = 0
             while (i < g.pageNelmts) { elemAt(db, base + i); i += 1 }
-          } else db.skip(g.pageNelmts * elemSize)
+          } else db.skip(pageBytes) // uninit: bytes unchecked
           db.skip(4) // page checksum
         }
       }
     }
     val ib = new BB(r.bytesAt(iblkAddr, g.iblkSize(elemSize)))
+    verifyCk(ib.data, g.iblkSize(elemSize) - 4, "extensible array index block", iblkAddr)
     require(ib.u8() == 'E' && ib.u8() == 'A' && ib.u8() == 'I' && ib.u8() == 'B',
       s"bad extensible array index block signature at $iblkAddr for $name")
     ib.skip(2 + 8)
@@ -2717,6 +2746,7 @@ object Hdf5Format {
         if (sa == UNDEF) pos += g.ndblksL(s) * g.dblkNelmtsL(s)
         else {
           val sb = new BB(r.bytesAt(sa, g.sblkSize(s)))
+          verifyCk(sb.data, g.sblkSize(s) - 4, "extensible array secondary block", sa)
           require(sb.u8() == 'E' && sb.u8() == 'A' && sb.u8() == 'S' && sb.u8() == 'B',
             s"bad extensible array secondary block signature at $sa for $name")
           sb.skip(2 + 8 + g.arrOffSize)
@@ -2895,6 +2925,81 @@ object Hdf5Format {
     finally in.close()
   }
 
+  /** Parse one whole GCOL global-heap collection (spec III.E): object
+    * index → payload bytes, walking {index u16, refcount+reserved,
+    * size u64, 8-padded data} entries until the index-0 free-space
+    * pseudo-object. Static (shared by VarReader's cached vlen
+    * resolution and the reader-independent fixture specs) so a
+    * matched writer/reader padding-law bug cannot self-cancel
+    * untested. */
+  private[graft] def gcolAll(in: FSDataInputStream, addr: Long,
+      ctx: String): Map[Int, Array[Byte]] = {
+    val hdr = new Array[Byte](16)
+    in.readFully(addr, hdr, 0, 16)
+    require(hdr(0) == 'G' && hdr(1) == 'C' && hdr(2) == 'O' && hdr(3) == 'L',
+      s"bad global heap signature at $addr in $ctx")
+    val hb = new BB(hdr)
+    hb.skip(8)
+    val total = hb.u64()
+    val body = new Array[Byte]((total - 16).toInt)
+    in.readFully(addr + 16, body, 0, body.length)
+    val b = new BB(body)
+    val objs = scala.collection.mutable.HashMap.empty[Int, Array[Byte]]
+    var off = 0
+    var done = false
+    while (!done && off + 16 <= body.length) {
+      val idx = b.u16()
+      b.skip(6) // refcount + reserved
+      val size = b.u64().toInt
+      if (idx == 0) done = true // free-space pseudo-object ends the walk
+      else {
+        objs(idx) = java.util.Arrays.copyOfRange(body, off + 16, off + 16 + size)
+        val skip = pad8(size)
+        b.skip(skip)
+        off += 16 + skip
+      }
+    }
+    objs.toMap
+  }
+
+  /** Test hook: parse a GCOL collection at `addr` — drives the global
+    * heap walk against hand-assembled spec-literal fixtures. */
+  private[graft] def gcolForTest(fs: FileSystem, path: Path, addr: Long): Map[Int, Array[Byte]] = {
+    val in = fs.open(path)
+    try gcolAll(in, addr, "test") finally in.close()
+  }
+
+  /** Test hook: walk a fixed-array chunk index at `addr` — drives the
+    * FAHD/FADB parse (incl. PAGED data blocks with init bitmaps and
+    * per-page checksums) against hand-assembled fixtures. */
+  private[graft] def fixedArrayChunksForTest(fs: FileSystem, path: Path, addr: Long,
+      chunkRecs: Int, filtered: Boolean, rawChunkBytes: Long): Array[H5Chunk] = {
+    val in = fs.open(path)
+    try readFixedArrayChunks(new R(in), addr, chunkRecs, 1, _ => 0,
+      filtered, rawChunkBytes, "test")
+    finally in.close()
+  }
+
+  /** Test hook: walk an extensible-array chunk index at `addr` —
+    * drives the EAHD/EAIB/EASB/EADB parse (incl. EASB-owned PAGED
+    * data blocks) against hand-assembled fixtures. */
+  private[graft] def extArrayChunksForTest(fs: FileSystem, path: Path, addr: Long,
+      chunkRecs: Int, filtered: Boolean, rawChunkBytes: Long,
+      nChunks: Long): Array[H5Chunk] = {
+    val in = fs.open(path)
+    try readExtensibleArrayChunks(new R(in), addr, chunkRecs, 1, _ => 0,
+      filtered, rawChunkBytes, nChunks, "test")
+    finally in.close()
+  }
+
+  /** Test hook: resolve dense attributes from a hand-built Attribute
+    * Info message body against fixture heap + B-tree bytes in `path`. */
+  private[graft] def denseAttrsForTest(fs: FileSystem, path: Path,
+      body: Array[Byte]): Seq[H5Attr] = {
+    val in = fs.open(path)
+    try readDenseAttrs(new R(in), body) finally in.close()
+  }
+
   /** A v2 B-tree's records, raw and concatenated in key order:
     * (recordSize, count, BB positioned at the first record). Depth 0
     * reads the root leaf directly; depth 1 walks the BTIN internal
@@ -2906,6 +3011,7 @@ object Hdf5Format {
     * encoding. Deeper trees are rejected loudly. */
   private def btree2Records(r: R, addr: Long, expectType: Int): (Int, Int, BB) = {
     val bt = new BB(r.bytesAt(addr, 38))
+    verifyCk(bt.data, 34, "v2 B-tree header", addr)
     require(bt.u8() == 'B' && bt.u8() == 'T' && bt.u8() == 'H' && bt.u8() == 'D',
       s"bad v2 B-tree signature at $addr")
     bt.skip(1) // version
@@ -2918,12 +3024,14 @@ object Hdf5Format {
     val btRootAddr = bt.u64()
     val rootNRecs = bt.u16()
     def leafBytes(a: Long, n: Int): Array[Byte] = {
-      val leaf = r.bytesAt(a, 6 + n * recSize)
+      val used = 6 + n * recSize
+      val leaf = r.bytesAt(a, used + 4)
+      verifyCk(leaf, used, "v2 B-tree leaf", a)
       require(leaf(0) == 'B' && leaf(1) == 'T' && leaf(2) == 'L' && leaf(3) == 'F',
         s"bad v2 B-tree leaf signature at $a")
       require((leaf(5) & 0xff) == expectType,
         s"v2 B-tree leaf type ${leaf(5)} != $expectType at $a")
-      java.util.Arrays.copyOfRange(leaf, 6, 6 + n * recSize)
+      java.util.Arrays.copyOfRange(leaf, 6, used)
     }
     if (depth == 0) (recSize, rootNRecs, new BB(leafBytes(btRootAddr, rootNRecs)))
     else {
@@ -2962,6 +3070,7 @@ object Hdf5Format {
           val n2 = if (d >= 2) w(cum(d - 1)) else 0
           val sz = 6 + nrec * recSize + (nrec + 1) * (8 + n1 + n2) + 4
           val nb = r.bytesAt(a, sz)
+          verifyCk(nb, sz - 4, "v2 B-tree internal node", a)
           require(nb(0) == 'B' && nb(1) == 'T' && nb(2) == 'I' && nb(3) == 'N',
             s"bad v2 B-tree internal node signature at $a")
           require((nb(5) & 0xff) == expectType,
@@ -3945,34 +4054,7 @@ object Hdf5Format {
     private val gcols = scala.collection.mutable.HashMap.empty[Long, Map[Int, Array[Byte]]]
 
     private def gcol(addr: Long): Map[Int, Array[Byte]] =
-      gcols.getOrElseUpdate(addr, {
-        val hdr = new Array[Byte](16)
-        in.readFully(addr, hdr, 0, 16)
-        require(hdr(0) == 'G' && hdr(1) == 'C' && hdr(2) == 'O' && hdr(3) == 'L',
-          s"bad global heap signature at $addr in ${v.name}")
-        val hb = new BB(hdr)
-        hb.skip(8)
-        val total = hb.u64()
-        val body = new Array[Byte]((total - 16).toInt)
-        in.readFully(addr + 16, body, 0, body.length)
-        val b = new BB(body)
-        val objs = scala.collection.mutable.HashMap.empty[Int, Array[Byte]]
-        var off = 0
-        var done = false
-        while (!done && off + 16 <= body.length) {
-          val idx = b.u16()
-          b.skip(6) // refcount + reserved
-          val size = b.u64().toInt
-          if (idx == 0) done = true // free-space pseudo-object ends the walk
-          else {
-            objs(idx) = java.util.Arrays.copyOfRange(body, off + 16, off + 16 + size)
-            val skip = pad8(size)
-            b.skip(skip)
-            off += 16 + skip
-          }
-        }
-        objs.toMap
-      })
+      gcols.getOrElseUpdate(addr, gcolAll(in, addr, v.name))
 
     /** Compound element → member values in declaration order (fixed
       * strings arrive NUL-trimmed as byte arrays). */

@@ -639,6 +639,12 @@ class Hdf5Spec extends AnyFunSuite {
     rec(at(240).put("BTLF".getBytes).put(0.toByte).put(10.toByte), 3L)
     rec(rec(at(270).put("BTLF".getBytes).put(0.toByte).put(10.toByte), 5L), 6L)
     rec(rec(rec(at(320).put("BTLF".getBytes).put(0.toByte).put(10.toByte), 8L), 9L), 10L)
+    // every node carries its real lookup3 checksum (the reader verifies)
+    Seq((0, 34), (40, 42), (90, 40), (140, 40),
+      (190, 38), (240, 22), (270, 38), (320, 54)).foreach { case (pos, used) =>
+      at(pos + used).putInt(
+        Hdf5Format.lookup3(java.util.Arrays.copyOfRange(bb.array(), pos, pos + used)))
+    }
     val p = new Path("/tmp/graft_h5/btree2_d2.bin")
     val out = fs.create(p, true)
     try out.write(bb.array()) finally out.close()
