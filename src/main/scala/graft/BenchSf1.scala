@@ -132,22 +132,31 @@ object BenchSf1 {
       spark.sharedState.cacheManager.clearCache()
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // `full` mode (r9 verdict item 6): one scaling datapoint for the
+    // WHOLE inventory instead of the per-family smoke list — any key
+    // materially super-linear at 10× is a finding to root-cause
+    val full = args.contains("full")
+    val keys =
+      if (full) SparkEntry.queries.keys.toSeq.sorted ++ extraProbes.keys.toSeq.sorted
+      else KEYS
+    val outFile = if (full) "BENCH_sf1_full.json" else "BENCH_sf1_smoke.json"
     // warm BOTH dirs once (JIT, file listing, and the once-per-
     // (session, dir) staged artifacts — centroids, pair tables,
     // fingerprints), then one timed pass each: the ratio then
     // measures per-pass scaling, not staging-build-vs-staged-read
-    KEYS.foreach(k => time(k, srcDir))
-    KEYS.foreach(k => time(k, dstDir))
-    val small = KEYS.map(k => k -> time(k, srcDir)).toMap
-    val big = KEYS.map(k => k -> time(k, dstDir)).toMap
+    keys.foreach(k => time(k, srcDir))
+    keys.foreach(k => time(k, dstDir))
+    val small = keys.map(k => k -> time(k, srcDir)).toMap
+    val big = keys.map(k => k -> time(k, dstDir)).toMap
     def fmt(d: Double) = if (d < 0) "-1" else f"$d%.3f"
-    val rows = KEYS.map { k =>
+    val rows = keys.map { k =>
       val ratio = if (small(k) > 0 && big(k) > 0) big(k) / small(k) else -1.0
       s""""$k":{"sf01_sec":${fmt(small(k))},"x10_sec":${fmt(big(k))},"ratio":${fmt(ratio)}}"""
     }
-    val json = s"""{"metric":"sf1_smoke","input":"10x replicated $srcDir","copies":10,""" +
+    val json = s"""{"metric":"sf1_${if (full) "full" else "smoke"}",""" +
+      s""""input":"10x replicated $srcDir","copies":10,""" +
       s""""queries":{${rows.mkString(",")}}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_sf1_smoke.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"/root/repo/$outFile"),
       (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()

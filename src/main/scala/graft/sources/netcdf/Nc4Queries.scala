@@ -230,6 +230,42 @@ object Nc4Queries {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
       |FROM lineitem""".stripMargin
 
+  /** SINGLE-GROWING-FILE maintenance (r9 — the reference's
+    * `streamNumpyData` appends records to ONE netCDF-4 file; parallel
+    * Spark writers append one part file per task, the only layout N
+    * concurrent writers can have, and
+    * `NcIO.compactIfNeeded4(maxFiles=1, parts=1)` folds the parts
+    * back into ONE self-contained .nc4 with record order preserved —
+    * so a reference user's single-growing-file expectation is a
+    * maintenance POLICY on top of the parallel sink, not a format
+    * gap): two appends leave ≥ 4 part files, the hook rewrites them
+    * into exactly one (pinned by a loud file-count check), and the
+    * read-back aggregate hash-matches parquet. */
+  def nc4CompactAuto: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5compauto")
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    li.filter(col("l_orderkey") % 2 === 0).repartition(2)
+      .write.format(SRC).mode("overwrite").save(out)
+    li.filter(col("l_orderkey") % 2 === 1).repartition(2)
+      .write.format(SRC).mode("append").option("partprefix", "b").save(out)
+    NcIO.compactIfNeeded4(s, out, maxFiles = 1, parts = 1,
+      options = Map("h5ver" -> "2", "shuffle" -> "true"))
+    val outFs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val nParts = outFs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .count(_.getPath.getName.endsWith(".nc4"))
+    require(nParts == 1, s"single-file compaction left $nParts part files in $out")
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val nc4CompactAutoSql: String = nc4Dsv2WriteRoundtripSql
+
   /** Streaming netCDF-4 *sink* (`writeStream.format("netcdf4")`):
     * netcdf4 → netcdf4 streaming copy. Part files stream in
     * micro-batches through the DSv2 reader; each epoch appends
@@ -1521,6 +1557,7 @@ object Nc4Queries {
     "nc4_read_roundtrip" -> nc4ReadRoundtrip,
     "nc4_write_roundtrip" -> nc4WriteRoundtrip,
     "nc4_dsv2_write_roundtrip" -> nc4Dsv2WriteRoundtrip,
+    "nc4_compact_auto" -> nc4CompactAuto,
     "stream_nc4_sink" -> streamNc4Sink,
     "nc4_string_roundtrip" -> nc4StringRoundtrip,
     "nc4_compound" -> nc4Compound,
@@ -1558,6 +1595,7 @@ object Nc4Queries {
     "nc4_read_roundtrip" -> nc4ReadRoundtripSql,
     "nc4_write_roundtrip" -> nc4WriteRoundtripSql,
     "nc4_dsv2_write_roundtrip" -> nc4Dsv2WriteRoundtripSql,
+    "nc4_compact_auto" -> nc4CompactAutoSql,
     "stream_nc4_sink" -> streamNc4SinkSql,
     "nc4_string_roundtrip" -> nc4StringRoundtripSql,
     "nc4_compound" -> nc4CompoundSql,

@@ -160,6 +160,67 @@ object NcIO {
     if (n > maxFiles) { compactInPlace(spark, dir, parts); true } else false
   }
 
+  // ---------------------------------------------------------------
+  // netCDF-4/HDF5 twins: the reference's `streamNumpyData` appends
+  // records to ONE growing file; parallel Spark writers append one
+  // part file per task (the only layout N concurrent writers can
+  // have), and these maintenance ops close the gap — `parts = 1`
+  // rewrites a dir of appended parts into a SINGLE self-contained
+  // .nc4 file, record order preserved.
+  // ---------------------------------------------------------------
+
+  private val SRC4 = "graft.sources.netcdf.NetCDF4Source"
+
+  /** [[compact]] for netCDF-4 dirs: read through the `netcdf4` DSv2,
+    * range-partition on `record` (partition i strictly precedes
+    * i+1), write through the same DSv2 — `options` forwards writer
+    * knobs (chunkrecs, deflate, chunkindex, h5ver, ...). */
+  def compact4(spark: org.apache.spark.sql.SparkSession, srcDir: String, dstDir: String,
+      parts: Int, options: Map[String, String] = Map.empty): Unit = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format(SRC4).load(srcDir)
+    val dataCols = df.columns.filterNot(_ == "record").map(col(_)).toSeq
+    var w = df.repartitionByRange(parts, col("record"))
+      .sortWithinPartitions("record")
+      .select(dataCols: _*)
+      .write.format(SRC4).mode("overwrite")
+    options.foreach { case (k, v) => w = w.option(k, v) }
+    w.save(dstDir)
+  }
+
+  /** In-place [[compact4]] with the same park-and-swap protocol as
+    * [[compactInPlace]]. */
+  def compactInPlace4(spark: org.apache.spark.sql.SparkSession, dir: String,
+      parts: Int, options: Map[String, String] = Map.empty): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir + s".compact-${java.util.UUID.randomUUID()}")
+    compact4(spark, dir, tmp.toString, parts, options)
+    val old = new Path(dir + ".old")
+    fs.delete(old, true)
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compactInPlace4: failed to park $dir")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // roll back
+      throw new java.io.IOException(s"compactInPlace4: failed to swap in $tmp")
+    }
+    fs.delete(old, true)
+  }
+
+  /** [[compactIfNeeded]] for netCDF-4 dirs (counts .nc4/.h5/.hdf5
+    * parts). `maxFiles = 1, parts = 1` is the single-growing-file
+    * policy: appends accumulate, the hook folds them back into one
+    * self-contained netCDF-4 file. */
+  def compactIfNeeded4(spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxFiles: Int, parts: Int, options: Map[String, String] = Map.empty): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = fs.listStatus(p).map(_.getPath)
+      .count(f => f.getName.endsWith(".nc4") || f.getName.endsWith(".h5") ||
+        f.getName.endsWith(".hdf5"))
+    if (n > maxFiles) { compactInPlace4(spark, dir, parts, options); true } else false
+  }
+
   /** MFDataset-style multi-file aggregation: present several netcdf3
     * dirs as ONE dataset along a contiguous record dimension, each
     * dir's records re-based by the cumulative record counts of the

@@ -1131,6 +1131,25 @@ class Hdf5Spec extends AnyFunSuite {
     assert(back.agg(sum("x")).head().getDouble(0) == (0 until 1000).map(_.toDouble).sum)
   }
 
+  test("compact4 folds appended parts into ONE file, record order preserved") {
+    val dir = "/tmp/graft_h5/compact4"
+    // two deterministic single-part appends: records 0-99 then 100-149
+    spark.range(100).select(col("id").cast(DoubleType).as("x")).coalesce(1)
+      .write.format(SRC).mode("overwrite").save(dir)
+    spark.range(100, 150).select(col("id").cast(DoubleType).as("x")).coalesce(1)
+      .write.format(SRC).mode("append").option("partprefix", "b").save(dir)
+    assert(graft.sources.netcdf.NcIO.compactIfNeeded4(spark, dir, maxFiles = 1, parts = 1))
+    val files = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(_.endsWith(".nc4"))
+    assert(files.length == 1, files.mkString(","))
+    // the single growing file presents the identical record sequence
+    val back = spark.read.format(SRC).load(dir).orderBy("record")
+      .select("x").collect().map(_.getDouble(0))
+    assert(back.toSeq == (0 until 150).map(_.toDouble))
+    // idempotent: under the threshold, the hook is a no-op
+    assert(!graft.sources.netcdf.NcIO.compactIfNeeded4(spark, dir, maxFiles = 1, parts = 1))
+  }
+
   test("writer rejects nulls and the reserved record column") {
     val dir = "/tmp/graft_h5/dsv2_reject"
     val withNull = spark.range(10)
