@@ -963,7 +963,87 @@ object TextOps {
       |  GROUP BY doc_id, tok)
       |GROUP BY doc_id""".stripMargin
 
+  /** GOPHER-STYLE quality rule filter (r9 — the MassiveText rule set
+    * from Rae et al. 2021, the published heuristic battery most
+    * production LLM corpora start from): per document, each rule is
+    * an INTEGER-EXACT predicate (ratio thresholds as
+    * cross-multiplications, so no float division can diverge between
+    * engines) — word-count bounds [50, 100k], mean word length
+    * [3, 10] chars, symbol-to-word ratio (# + ellipsis) < 0.1,
+    * bullet-started lines < 90%, ellipsis-ended lines < 30%, words
+    * with an alphabetic char ≥ 80%, and ≥ 2 distinct stop words
+    * present. keep_doc = all rules. Pure map-side (one projection
+    * over the corpus scan — no shuffle at any scale); the per-rule
+    * bits feed the usual "which rule kills how much data" curation
+    * report downstream. */
+  def textGopherRules: Q = (s, dir) => gopherRules(t(s, dir, "documents"))
+
+  /** Rule body over any (doc_id, text) frame — split out so specs can
+    * anchor each rule on crafted documents. */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val base = docs
+      .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("wc", size(col("words")).cast(LongType))
+      .withColumn("twl", expr("aggregate(words, 0L, (a, w) -> a + length(w))"))
+      .withColumn("hashes", (length(col("text")) - length(expr("replace(text, '#', '')"))).cast(LongType))
+      .withColumn("ells", expr("CAST((length(text) - length(replace(text, '...', ''))) DIV 3 AS BIGINT)"))
+      .withColumn("nl", size(col("lines")).cast(LongType))
+      .withColumn("bul", expr("size(filter(lines, l -> l LIKE '- %' OR l LIKE '* %'))").cast(LongType))
+      .withColumn("ell_lines", expr("size(filter(lines, l -> l LIKE '%...'))").cast(LongType))
+      .withColumn("aw", expr("size(filter(words, w -> w rlike '[A-Za-z]'))").cast(LongType))
+      .withColumn("stop_hits",
+        expr(s"size(filter(array(${sqlList(gopherStops)}), sw -> array_contains(words, sw)))")
+          .cast(LongType))
+    val rWc = col("wc") >= 50L && col("wc") <= 100000L
+    val rWl = lit(3L) * col("wc") <= col("twl") && col("twl") <= lit(10L) * col("wc")
+    val rSym = lit(10L) * (col("hashes") + col("ells")) < col("wc")
+    val rBul = lit(10L) * col("bul") <= lit(9L) * col("nl")
+    val rEll = lit(10L) * col("ell_lines") <= lit(3L) * col("nl")
+    val rAlpha = lit(5L) * col("aw") >= lit(4L) * col("wc")
+    val rStop = col("stop_hits") >= 2L
+    base.select(col("doc_id"), col("wc"),
+      rWc.as("r_wordcount"), rWl.as("r_wordlen"), rSym.as("r_symbol"),
+      rBul.as("r_bullets"), rEll.as("r_ellipsis"), rAlpha.as("r_alpha"),
+      rStop.as("r_stopwords"),
+      (rWc && rWl && rSym && rBul && rEll && rAlpha && rStop).as("keep_doc"))
+  }
+
+  val textGopherRulesSql: String = {
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    s"""SELECT doc_id, wc,
+       |  wc >= 50 AND wc <= 100000 AS r_wordcount,
+       |  3 * wc <= twl AND twl <= 10 * wc AS r_wordlen,
+       |  10 * (hashes + ells) < wc AS r_symbol,
+       |  10 * bul <= 9 * nl AS r_bullets,
+       |  10 * ell_lines <= 3 * nl AS r_ellipsis,
+       |  5 * aw >= 4 * wc AS r_alpha,
+       |  stop_hits >= 2 AS r_stopwords,
+       |  (wc >= 50 AND wc <= 100000) AND (3 * wc <= twl AND twl <= 10 * wc)
+       |    AND (10 * (hashes + ells) < wc) AND (10 * bul <= 9 * nl)
+       |    AND (10 * ell_lines <= 3 * nl) AND (5 * aw >= 4 * wc)
+       |    AND (stop_hits >= 2) AS keep_doc
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(words) AS BIGINT) AS wc,
+       |    CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS BIGINT) AS twl,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
+       |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS ells,
+       |    CAST(len(lines) AS BIGINT) AS nl,
+       |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS bul,
+       |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS ell_lines,
+       |    CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS aw,
+       |    CAST(len(list_filter([${sqlList(gopherStops)}], sw -> list_contains(words, sw))) AS BIGINT) AS stop_hits
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      list_filter(string_split(text, ' '), w -> w <> '') AS words,
+       |      string_split(text, chr(10)) AS lines
+       |    FROM documents) a) b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_gopher_rules" -> textGopherRules,
     "pipeline_quality_buckets" -> pipelineQualityBuckets,
     "stream_quality_histogram" -> streamQualityHistogram,
     "pipeline_curriculum" -> pipelineCurriculum,
@@ -988,6 +1068,7 @@ object TextOps {
     "dedup_exact" -> dedupExact)
 
   val oracles: Map[String, String] = Map(
+    "text_gopher_rules" -> textGopherRulesSql,
     "pipeline_quality_buckets" -> pipelineQualityBucketsSql,
     "stream_quality_histogram" -> streamQualityHistogramSql,
     "pipeline_curriculum" -> pipelineCurriculumSql,

@@ -58,6 +58,35 @@ class OperatorSpec extends AnyFunSuite {
     assert((1L to n).forall(cc(_) == 1L))
   }
 
+  test("gopherRules anchors each rule bit on crafted documents") {
+    import spark.implicits._
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      // passes everything: 50 alphabetic words incl. 2+ stop words
+      (1L, s"the and $fifty have to of"),
+      // too short (r_wordcount fails; others hold)
+      (2L, "the and a few short words here"),
+      // symbol-heavy: ### markers push symbol ratio over 0.1
+      (3L, s"the and $fifty ${"# " * 12}"),
+      // bullet-dominated lines (every line starts '- ')
+      (4L, (1 to 10).map(i => s"- the and item $i $fifty").mkString("\n")),
+      // numeric soup: alphabetic-word ratio under 80%
+      (5L, s"the and ${(1 to 60).map(_.toString).mkString(" ")} $fifty"),
+      // no stop words at all
+      (6L, fifty)
+    ).toDF("doc_id", "text")
+    val r = graft.functions.TextOps.gopherRules(docs)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def bit(id: Long, name: String): Boolean =
+      r(id).getBoolean(r(id).fieldIndex(name))
+    assert(bit(1L, "keep_doc"))
+    assert(!bit(2L, "r_wordcount") && bit(2L, "r_stopwords") && !bit(2L, "keep_doc"))
+    assert(!bit(3L, "r_symbol") && bit(3L, "r_wordcount") && !bit(3L, "keep_doc"))
+    assert(!bit(4L, "r_bullets") && !bit(4L, "keep_doc"))
+    assert(!bit(5L, "r_alpha") && !bit(5L, "keep_doc"))
+    assert(!bit(6L, "r_stopwords") && !bit(6L, "keep_doc"))
+  }
+
   test("rechunkByDim lays out 2-D tiles dim-major with correct origins") {
     import spark.implicits._
     import graft.operators.GridOps
