@@ -1613,42 +1613,93 @@ object Hdf5Format {
         require(out.size == 38, s"BTHD size ${out.size}")
         out.result()
       }
+      // GENERAL-DEPTH builder (r9 — the writer previously split to
+      // depth ≤ 1 only): capacities mirror the reader's spec laws
+      //   maxRec(0) = (nodeSize − 10) / recSize
+      //   ptr(d)    = 8 + w(maxRec(d−1)) + (d ≥ 2 ? w(cum(d−1)) : 0)
+      //   maxRec(d) = (nodeSize − 10 − ptr(d)) / (recSize + ptr(d))
+      //   cum(d)    = (maxRec(d) + 1)·cum(d−1) + maxRec(d)
+      // so a rank-2+ variable with hundreds of thousands of chunks
+      // gets an honest depth-2+ tree instead of a loud refusal. The
+      // depth-1 output is byte-identical to the previous special case.
+      def wdt(x: Long): Int = {
+        var k = 1
+        while (k < 8 && (1L << (8 * k)) <= x) k += 1
+        k
+      }
+      val maxRecL = scala.collection.mutable.ArrayBuffer[Long](maxLeaf.toLong)
+      val cumL = scala.collection.mutable.ArrayBuffer[Long](maxLeaf.toLong)
+      def ensureDepth(d: Int): Unit = while (cumL.size <= d) {
+        val dd = cumL.size
+        val ptr = 8 + wdt(maxRecL(dd - 1)) + (if (dd >= 2) wdt(cumL(dd - 1)) else 0)
+        maxRecL += (BT2_NODE - 10 - ptr).toLong / (recSize + ptr)
+        cumL += (maxRecL(dd) + 1) * cumL(dd - 1) + maxRecL(dd)
+      }
+      var depth = 0
+      while (cumL(depth) < n) { ensureDepth(depth + 1); depth += 1 }
+      // plan the uniform-depth tree: an internal subtree over `cnt`
+      // records keeps m separators in the node and spreads the rest
+      // over m+1 children, m minimal so every child subtree fits
+      final case class Plan(d: Int, start: Int, cnt: Int, children: Seq[Plan]) {
+        val ownRecs: Int = if (d == 0) cnt else children.length - 1
+      }
+      def plan(d: Int, start: Int, cnt: Int): Plan =
+        if (d == 0) Plan(0, start, cnt, Nil)
+        else {
+          val cap = cumL(d - 1)
+          val m = math.max(1L, (cnt - cap + cap) / (cap + 1)).toInt // ceil((cnt−cap)/(cap+1))
+          val kids = m + 1
+          val inKids = cnt - m
+          val base = inKids / kids
+          val extra = inKids % kids
+          var s = start
+          val children = (0 until kids).map { c =>
+            val cc = base + (if (c < extra) 1 else 0)
+            val child = plan(d - 1, s, cc)
+            s += cc + 1 // the record after each non-final child is its separator
+            child
+          }
+          Plan(d, start, cnt, children)
+        }
+      def nodeSize(p: Plan): Int =
+        if (p.d == 0) 6 + p.ownRecs * recSize + 4
+        else {
+          val n1 = wdt(maxRecL(p.d - 1))
+          val n2 = if (p.d >= 2) wdt(cumL(p.d - 1)) else 0
+          6 + p.ownRecs * recSize + (p.children.length) * (8 + n1 + n2) + 4
+        }
+      def subtreeSize(p: Plan): Int = nodeSize(p) + p.children.map(subtreeSize).sum
+      // DFS pre-order layout: node, then each child's whole subtree
+      def emit(p: Plan, addr: Long, out: Buf): Unit =
+        if (p.d == 0) out.bytes(leaf(p.start until (p.start + p.cnt)))
+        else {
+          val n1 = wdt(maxRecL(p.d - 1))
+          val n2 = if (p.d >= 2) wdt(cumL(p.d - 1)) else 0
+          val childAddrs = p.children.scanLeft(addr + nodeSize(p)) {
+            case (a, c) => a + subtreeSize(c)
+          }
+          val in = new Buf
+          in.bytes("BTIN".getBytes("ASCII")).u8(0).u8(typ)
+          p.children.dropRight(1).foreach(c => record(in, c.start + c.cnt))
+          p.children.zipWithIndex.foreach { case (c, i) =>
+            in.u64(childAddrs(i))
+            (0 until n1).foreach(k => in.u8((c.ownRecs >> (8 * k)) & 0xff))
+            (0 until n2).foreach(k => in.u8((c.cnt >> (8 * k)) & 0xff))
+          }
+          val inBytes = in.result()
+          require(inBytes.length + 4 == nodeSize(p),
+            s"BTIN size ${inBytes.length + 4} != ${nodeSize(p)}")
+          out.bytes(inBytes).u32(lookup3(inBytes))
+          p.children.zipWithIndex.foreach { case (c, i) => emit(c, childAddrs(i), out) }
+        }
       val b = new Buf
-      if (n <= maxLeaf) {
+      if (depth == 0) {
         b.bytes(header(0, selfAddr + 38, n))
         b.bytes(leaf(0 until n))
       } else {
-        // depth-1 split: k leaves hold n-(k-1) records, the k-1
-        // separators live in the internal root between child pointers
-        val nrecW =
-          if (maxLeaf < (1 << 8)) 1 else if (maxLeaf < (1 << 16)) 2 else 3
-        val k = ((n + 1) + maxLeaf) / (maxLeaf + 1) // ceil((n+1)/(maxLeaf+1))
-        require((k - 1) * recSize + k * (8 + nrecW) + 10 <= BT2_NODE,
-          s"v2 B-tree writer depth bound: $n chunks need depth > 1 for ${v.name}")
-        val inLeaves = n - (k - 1)
-        val base = inLeaves / k
-        val extra = inLeaves % k
-        // leaf c covers counts(c) consecutive records; the record
-        // after each non-final leaf is that child's separator
-        val counts = Seq.tabulate(k)(c => base + (if (c < extra) 1 else 0))
-        val starts = counts.scanLeft(0) { case (acc, c) => acc + c + 1 }
-        val inSize = 6 + (k - 1) * recSize + k * (8 + nrecW) + 4
-        val rootAddr = selfAddr + 38
-        val leafAddrs = counts.scanLeft(rootAddr + inSize) {
-          case (acc, c) => acc + 6 + c * recSize + 4
-        }
-        b.bytes(header(1, rootAddr, k - 1))
-        val in = new Buf
-        in.bytes("BTIN".getBytes("ASCII")).u8(0).u8(typ)
-        (0 until k - 1).foreach(c => record(in, starts(c) + counts(c)))
-        (0 until k).foreach { c =>
-          in.u64(leafAddrs(c))
-          (0 until nrecW).foreach(w => in.u8((counts(c) >> (8 * w)) & 0xff))
-        }
-        val inBytes = in.result()
-        require(inBytes.length + 4 == inSize, s"BTIN size ${inBytes.length + 4} != $inSize")
-        b.bytes(inBytes).u32(lookup3(inBytes))
-        (0 until k).foreach(c => b.bytes(leaf(starts(c) until (starts(c) + counts(c)))))
+        val root = plan(depth, 0, n)
+        b.bytes(header(depth, selfAddr + 38, root.ownRecs))
+        emit(root, selfAddr + 38, b)
       }
       b.result()
     }

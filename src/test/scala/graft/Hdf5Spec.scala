@@ -611,6 +611,23 @@ class Hdf5Spec extends AnyFunSuite {
   }
 
 
+  test("writer splits v2 B-trees to depth 2 and the roundtrip holds") {
+    // unfiltered rank-1 type-10 records: maxRec(0)=127, cum(1)=10495 —
+    // 12000 single-record chunks force an honest depth-2 tree (the
+    // writer previously refused past depth 1)
+    val dir = "/tmp/graft_h5/btree2_deep"
+    spark.range(12000).select(col("id").cast(DoubleType).as("x")).coalesce(1)
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2").option("chunkindex", "btree2")
+      .option("chunkrecs", "1").save(dir)
+    val back = spark.read.format(SRC).load(dir)
+    assert(back.count() == 12000)
+    assert(back.agg(sum("x")).head().getDouble(0) == (0L until 12000L).map(_.toDouble).sum)
+    // record pushdown still prunes through the deep walk
+    val slice = back.filter(col("record") >= 11990L).select("x").collect().map(_.getDouble(0))
+    assert(slice.sorted.toSeq == (11990 until 12000).map(_.toDouble))
+  }
+
   test("v2 B-tree depth-2 walk resolves (hand-assembled wild fixture)") {
     // nodeSize 64, recSize 16 (type 10, rank 1) → maxRec(0)=3 (w 1),
     // depth-1 ptr = 8+1 → maxRec(1)=1, cum(1)=7 (w 1), depth-2 ptr =
