@@ -979,8 +979,10 @@ object TextOps {
   def textGopherRules: Q = (s, dir) => gopherRules(t(s, dir, "documents"))
 
   /** Rule body over any (doc_id, text) frame — split out so specs can
-    * anchor each rule on crafted documents. */
-  def gopherRules(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    * anchor each rule on crafted documents and the streaming twin can
+    * carry extra columns through (`passthrough`). */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame,
+      passthrough: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val base = docs
       .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
@@ -1003,11 +1005,11 @@ object TextOps {
     val rEll = lit(10L) * col("ell_lines") <= lit(3L) * col("nl")
     val rAlpha = lit(5L) * col("aw") >= lit(4L) * col("wc")
     val rStop = col("stop_hits") >= 2L
-    base.select(col("doc_id"), col("wc"),
+    base.select(passthrough.map(col) ++ Seq(col("doc_id"), col("wc"),
       rWc.as("r_wordcount"), rWl.as("r_wordlen"), rSym.as("r_symbol"),
       rBul.as("r_bullets"), rEll.as("r_ellipsis"), rAlpha.as("r_alpha"),
       rStop.as("r_stopwords"),
-      (rWc && rWl && rSym && rBul && rEll && rAlpha && rStop).as("keep_doc"))
+      (rWc && rWl && rSym && rBul && rEll && rAlpha && rStop).as("keep_doc")): _*)
   }
 
   val textGopherRulesSql: String = {

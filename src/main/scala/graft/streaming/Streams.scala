@@ -330,7 +330,50 @@ object Streams {
     s.table("graft_stream_dc")
   }
 
+  /** Streaming twin of text_gopher_rules (r9): the Gopher rule bits
+    * are a pure map-side projection, so they apply unchanged to the
+    * micro-batched corpus stream; per-doc rows land in the sink and
+    * the per-source curation report — how many docs each rule kills —
+    * aggregates them. All counts are streaming-combinable partials,
+    * so at 100 TB the report stays one row per source with no rescan;
+    * the oracle replays the identical rule battery in batch SQL. */
+  def streamGopherRules: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    StreamStage.withStaged(s, "sgr", dir, "documents.parquet") { stageDir =>
+      val bits = graft.functions.TextOps.gopherRules(
+        s.readStream.schema(sch).parquet(stageDir), passthrough = Seq("source"))
+      val q = bits.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_gopher").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def kills(c: String) = sum(when(!col(c), 1L).otherwise(0L)).as(s"killed_$c")
+    s.table("graft_stream_gopher")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep_doc"), 1L).otherwise(0L)).as("n_kept"),
+        kills("r_wordcount"), kills("r_wordlen"), kills("r_symbol"),
+        kills("r_bullets"), kills("r_ellipsis"), kills("r_alpha"),
+        kills("r_stopwords"))
+  }
+
+  val streamGopherRulesSql: String = {
+    val g = graft.functions.TextOps.textGopherRulesSql
+    def kills(c: String) =
+      s"CAST(SUM(CASE WHEN NOT g.$c THEN 1 ELSE 0 END) AS BIGINT) AS killed_$c"
+    s"""WITH g AS (
+       |$g
+       |)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN g.keep_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  ${kills("r_wordcount")}, ${kills("r_wordlen")}, ${kills("r_symbol")},
+       |  ${kills("r_bullets")}, ${kills("r_ellipsis")}, ${kills("r_alpha")},
+       |  ${kills("r_stopwords")}
+       |FROM g JOIN documents d USING (doc_id)
+       |GROUP BY d.source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_gopher_rules" -> streamGopherRules,
     "stream_dataset_card" -> streamDatasetCard,
     "stream_curation_filter" -> streamCurationFilter,
     "stream_topterms" -> streamTopTerms,
@@ -341,6 +384,7 @@ object Streams {
     "stream_interval_join" -> streamIntervalJoin)
 
   val oracles: Map[String, String] = Map(
+    "stream_gopher_rules" -> streamGopherRulesSql,
     // identical output to the batch dataset-card build
     "stream_dataset_card" -> graft.operators.DatasetCard.pipelineDatasetCardSql,
     // identical output to the batch mix-weights build
