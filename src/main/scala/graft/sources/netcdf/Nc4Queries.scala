@@ -949,17 +949,17 @@ object Nc4Queries {
       .option("quantize.q_price", "bitgroom:7")
       .option("quantize.q_disc", "bitround:16")
       .save(out)
-    val roundOk = udf((q: Double, x: Double) =>
-      q == Hdf5Format.quantDouble("bitround", 16, x, 0L))
-    val groomForm = udf((q: Double, x: Double) =>
-      if (q == Hdf5Format.quantDouble("bitgroom", 7, x, 0L)) 1
-      else if (q == Hdf5Format.quantDouble("bitgroom", 7, x, 1L)) -1
-      else 0)
+    import QuantReplay.quant
+    val roundOk = quant(col("l_discount"), "bitround", 16, 0L) === col("q_disc")
+    val groomForm =
+      when(quant(col("l_extendedprice"), "bitgroom", 7, 0L) === col("q_price"), 1)
+        .when(quant(col("l_extendedprice"), "bitgroom", 7, 1L) === col("q_price"), -1)
+        .otherwise(0)
     val agg = s.read.format(SRC).load(out).agg(
       count(lit(1)).as("n"),
-      bool_and(roundOk(col("q_disc"), col("l_discount"))).as("round_exact"),
-      bool_and(groomForm(col("q_price"), col("l_extendedprice")) =!= 0).as("groom_two_valued"),
-      (abs(sum(groomForm(col("q_price"), col("l_extendedprice")))) <= 2).as("groom_balanced"))
+      bool_and(roundOk).as("round_exact"),
+      bool_and(groomForm =!= 0).as("groom_two_valued"),
+      (abs(sum(groomForm)) <= 2).as("groom_balanced"))
     val marks = Hdf5IO.readAttrs(s, out)
       .filter(col("attr_name").startsWith("_Quantize"))
       .groupBy()
