@@ -1211,7 +1211,49 @@ object Similarity {
        |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM sel3) f""".stripMargin
   }
 
+  /** k-NN LABEL-CONSISTENCY eval (r9 — the standard embedding-quality
+    * probe over a labeled corpus: if embeddings are any good, a
+    * point's neighbors share its label): majority label among each
+    * vector's bounded k-NN graph neighbors ([[simKnnGraph]] — O(n·k)
+    * edges from banded candidates, never all-pairs), deterministic
+    * tie-break (votes DESC, label ASC), per-label accuracy counts.
+    * Cosine values only ORDER the graph (already oracle-pinned);
+    * everything aggregated here is integer-exact. Scale shape: the
+    * graph join is vec_id-keyed, votes are one partial-agg groupBy,
+    * and the per-src argmax window runs over ≤ k rows per key. */
+  def simLabelKnn: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val votes = simKnnGraph(s, dir)
+      .join(emb.toDF("dst", "nlabel"), "dst")
+      .groupBy("src", "nlabel").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("src").orderBy(col("votes").desc, col("nlabel").asc)
+    val pred = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("src").as("vec_id"), col("nlabel").as("pred_label"))
+    emb.join(pred, "vec_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred_label") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+  }
+
+  val simLabelKnnSql: String =
+    s"""WITH knn AS (
+       |$simKnnGraphSql
+       |),
+       |nb AS (SELECT k.src, e.label AS nlabel
+       |       FROM knn k JOIN embeddings e ON e.vec_id = k.dst),
+       |votes AS (SELECT src, nlabel, COUNT(*) AS votes FROM nb GROUP BY src, nlabel),
+       |pred AS (
+       |  SELECT src AS vec_id, nlabel AS pred_label FROM (
+       |    SELECT src, nlabel,
+       |      row_number() OVER (PARTITION BY src ORDER BY votes DESC, nlabel ASC) AS rn
+       |    FROM votes) v WHERE rn = 1)
+       |SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |FROM embeddings e JOIN pred p USING (vec_id)
+       |GROUP BY e.label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sim_label_knn" -> simLabelKnn,
     "sim_range_search" -> simRangeSearch,
     "sim_recall_sweep" -> simRecallSweep,
     "sim_recall_eval" -> simRecallEval,
@@ -1230,6 +1272,7 @@ object Similarity {
     "dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
+    "sim_label_knn" -> simLabelKnnSql,
     "sim_range_search" -> simRangeSearchSql,
     "sim_recall_sweep" -> simRecallSweepSql,
     "sim_recall_eval" -> simRecallEvalSql,

@@ -102,4 +102,23 @@ class RecallSpec extends AnyFunSuite {
       .select("neighbor_id").collect().map(_.getLong(0)).toSeq
     assert(got == Seq(10L, 12L, 11L), s"$got")
   }
+
+  test("sim_label_knn per-label accuracy matches an independent plain-Scala recount") {
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = Similarity.simKnnGraph(spark, sf)
+      .select("src", "dst").collect().map(r => r.getLong(0) -> r.getLong(1))
+    // independent majority vote: votes DESC, label ASC tie-break
+    val pred = edges.groupBy(_._1).map { case (src, es) =>
+      val votes = es.map(e => labels(e._2)).groupBy(identity).view.mapValues(_.size)
+      src -> votes.toSeq.minBy { case (l, v) => (-v, l) }._1
+    }
+    val expected = pred.toSeq
+      .groupBy { case (v, _) => labels(v) }
+      .map { case (l, ps) => l -> (ps.size.toLong, ps.count { case (v, p) => p == labels(v) }.toLong) }
+    val got = Similarity.simLabelKnn(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
 }
