@@ -1044,7 +1044,56 @@ object TextOps {
        |    FROM documents) a) b""".stripMargin
   }
 
+  /** Per-source PII-density report (r9 — the release-gating number a
+    * curation pipeline publishes before shipping a corpus slice:
+    * which sources leak how much, by type): per source, doc counts,
+    * docs carrying ≥1 hit, and per-type totals (email / IP / phone,
+    * the [[textRedact]] pattern set — one definition shared with the
+    * redaction operator, so the report and the scrubber can never
+    * disagree about what counts as PII). Map-side regex extraction +
+    * one partial-agg groupBy; all counts integer-exact. */
+  def pipelinePiiRate: Q = (s, dir) =>
+    piiCounts(t(s, dir, "documents"), Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("c_email") + col("c_ip") + col("c_phone") > 0, 1L).otherwise(0L))
+          .as("n_docs_with_pii"),
+        sum(col("c_email")).as("n_email"),
+        sum(col("c_ip")).as("n_ip"),
+        sum(col("c_phone")).as("n_phone"))
+
+  /** Per-doc PII hit counts over any frame with a `text` column —
+    * split out so specs can anchor each pattern on crafted strings. */
+  def piiCounts(docs: org.apache.spark.sql.DataFrame,
+      passthrough: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val cnts = piiPatterns.map { case (re, repl) =>
+      val name = repl.stripPrefix("<").stripSuffix(">").toLowerCase
+      size(expr(s"regexp_extract_all(text, '${re.replace("\\", "\\\\")}', 0)"))
+        .cast(LongType).as(s"c_$name")
+    }
+    docs.select(passthrough.map(col) ++ cnts: _*)
+  }
+
+  val pipelinePiiRateSql: String = {
+    val cnts = piiPatterns.map { case (re, repl) =>
+      val name = repl.stripPrefix("<").stripSuffix(">").toLowerCase
+      s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS c_$name"
+    }.mkString(",\n    ")
+    s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN c_email + c_ip + c_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_with_pii,
+       |  CAST(SUM(c_email) AS BIGINT) AS n_email,
+       |  CAST(SUM(c_ip) AS BIGINT) AS n_ip,
+       |  CAST(SUM(c_phone) AS BIGINT) AS n_phone
+       |FROM (
+       |  SELECT source,
+       |    $cnts
+       |  FROM documents) sub
+       |GROUP BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_pii_rate" -> pipelinePiiRate,
     "text_gopher_rules" -> textGopherRules,
     "pipeline_quality_buckets" -> pipelineQualityBuckets,
     "stream_quality_histogram" -> streamQualityHistogram,
@@ -1070,6 +1119,7 @@ object TextOps {
     "dedup_exact" -> dedupExact)
 
   val oracles: Map[String, String] = Map(
+    "pipeline_pii_rate" -> pipelinePiiRateSql,
     "text_gopher_rules" -> textGopherRulesSql,
     "pipeline_quality_buckets" -> pipelineQualityBucketsSql,
     "stream_quality_histogram" -> streamQualityHistogramSql,

@@ -87,6 +87,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(!bit(6L, "r_stopwords") && !bit(6L, "keep_doc"))
   }
 
+  test("piiCounts anchors each pattern on crafted strings") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at jo.doe+x@example.org or admin@test.io thanks"),
+      (2L, "server 10.0.0.1 and 192.168.1.254 up; call 555-123-4567"),
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val r = graft.functions.TextOps.piiCounts(docs, Seq("doc_id"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) == ((2L, 0L, 0L)), r(1L).toString) // two emails
+    assert(r(2L) == ((0L, 2L, 1L)), r(2L).toString) // two IPs, one phone
+    assert(r(3L) == ((0L, 0L, 0L)))
+  }
+
   test("rechunkByDim lays out 2-D tiles dim-major with correct origins") {
     import spark.implicits._
     import graft.operators.GridOps
