@@ -1252,7 +1252,52 @@ object Similarity {
        |FROM embeddings e JOIN pred p USING (vec_id)
        |GROUP BY e.label""".stripMargin
 
+  /** Per-CELL label purity of the coarse quantizer (r9 — the index-
+    * quality report an embedding pipeline publishes alongside recall:
+    * a cell whose members disagree on label is where ANN search and
+    * cluster-dedup quality leak): every vector assigned to its
+    * nearest staged centroid (the same DECIMAL-Lloyd assignment every
+    * IVF family member gates), per cell the size, majority label
+    * (ties → smallest label) and exact ppm purity (1e6·n_top DIV
+    * n_vecs — integer, engine-exact). Scale shape: broadcast
+    * centroids, min_by partial-agg assignment (one row per vector to
+    * the shuffle), two partial-agg groupBys — no windows over
+    * corpus-sized data. */
+  def simCentroidPurity: Q = (s, dir) => {
+    val emb = withVec(t(s, dir, "embeddings"))
+    val cells = nearestCell(emb, centroids(s, dir))
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val byLab = cells
+      .join(t(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
+      .groupBy("cell", "label").agg(count(lit(1)).as("c"))
+    byLab.groupBy("cell")
+      .agg(sum(col("c")).as("n_vecs"),
+        min_by(col("label"), struct(-col("c"), col("label"))).as("top_label"),
+        max(col("c")).as("n_top"))
+      .select(col("cell").cast(LongType).as("cell"), col("n_vecs"),
+        col("top_label"), col("n_top"),
+        expr("1000000 * n_top DIV n_vecs").as("purity_ppm"))
+  }
+
+  val simCentroidPuritySql: String =
+    s"""WITH ${ivfPrefixSql},
+       |cellsv AS (SELECT vec_id, cent_id AS cell FROM assign WHERE crn = 1),
+       |lab AS (
+       |  SELECT c.cell, e.label, COUNT(*) AS cnt
+       |  FROM cellsv c JOIN embeddings e USING (vec_id)
+       |  GROUP BY c.cell, e.label),
+       |totals AS (SELECT cell, SUM(cnt) AS n_vecs FROM lab GROUP BY cell),
+       |top AS (
+       |  SELECT cell, label AS top_label, cnt AS n_top,
+       |    row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, label ASC) AS rn
+       |  FROM lab)
+       |SELECT CAST(t.cell AS BIGINT) AS cell, CAST(tt.n_vecs AS BIGINT) AS n_vecs,
+       |  t.top_label, CAST(t.n_top AS BIGINT) AS n_top,
+       |  CAST(1000000 * t.n_top // tt.n_vecs AS BIGINT) AS purity_ppm
+       |FROM top t JOIN totals tt USING (cell) WHERE t.rn = 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sim_centroid_purity" -> simCentroidPurity,
     "sim_label_knn" -> simLabelKnn,
     "sim_range_search" -> simRangeSearch,
     "sim_recall_sweep" -> simRecallSweep,
@@ -1272,6 +1317,7 @@ object Similarity {
     "dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
+    "sim_centroid_purity" -> simCentroidPuritySql,
     "sim_label_knn" -> simLabelKnnSql,
     "sim_range_search" -> simRangeSearchSql,
     "sim_recall_sweep" -> simRecallSweepSql,

@@ -121,4 +121,22 @@ class RecallSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == expected, s"got $got expected $expected")
   }
+
+  test("sim_centroid_purity recounts from dedup_semantic's independent cell ledger") {
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // dedup_semantic publishes the same staged-centroid assignment as
+    // (vec_id, cell) — recompute purity from it in plain Scala
+    val cells = Similarity.dedupSemantic(spark, sf)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = cells.groupBy(_._2).map { case (cell, vs) =>
+      val byLab = vs.map(v => labels(v._1)).groupBy(identity).view.mapValues(_.size)
+      val (topLabel, nTop) = byLab.toSeq.minBy { case (l, c) => (-c, l) }
+      cell -> ((vs.size.toLong, topLabel, nTop.toLong, 1000000L * nTop / vs.size))
+    }
+    val got = Similarity.simCentroidPurity(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
 }
