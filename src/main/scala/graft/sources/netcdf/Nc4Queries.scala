@@ -266,6 +266,36 @@ object Nc4Queries {
 
   val nc4CompactAutoSql: String = nc4Dsv2WriteRoundtripSql
 
+  /** MFDataset-style multi-DIR aggregation over netCDF-4 (r9 — the
+    * nc3 twin is nc_multifile_union; wild corpora split along time
+    * into directories of HDF5 containers just as often): two dirs
+    * written deterministically, presented as ONE dataset with records
+    * re-based by cumulative header counts ([[NcIO.multifile4]] —
+    * metadata reads only, the union stays a pure scan union with all
+    * per-file pruning intact); a record-ordinal-weighted decimal sum
+    * pins every re-based index. */
+  def nc4MultifileUnion: Q = (s, dir) => {
+    val outA = NcQueries.scratch(s, dir, "h5mfa")
+    val outB = NcQueries.scratch(s, dir, "h5mfb")
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+        col("l_quantity"))
+    li.filter(col("l_orderkey") % 2 === 0).repartition(1)
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+      .write.format(SRC).mode("overwrite").option("shuffle", "true").save(outA)
+    li.filter(col("l_orderkey") % 2 === 1).repartition(1)
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+      .write.format(SRC).mode("overwrite").option("h5ver", "2").save(outB)
+    NcIO.multifile4(s, Seq(outA, outB))
+      .agg(count(lit(1)).as("n"),
+        max(col("record")).as("max_record"),
+        sum(col("record").cast(DecimalType(18, 0)) *
+          col("l_quantity").cast(DecimalType(9, 2)))
+          .cast(DoubleType).as("wsum"))
+  }
+
+  val nc4MultifileUnionSql: String = NcQueries.ncMultifileUnionSql
+
   /** Streaming netCDF-4 *sink* (`writeStream.format("netcdf4")`):
     * netcdf4 → netcdf4 streaming copy. Part files stream in
     * micro-batches through the DSv2 reader; each epoch appends
@@ -1558,6 +1588,7 @@ object Nc4Queries {
     "nc4_write_roundtrip" -> nc4WriteRoundtrip,
     "nc4_dsv2_write_roundtrip" -> nc4Dsv2WriteRoundtrip,
     "nc4_compact_auto" -> nc4CompactAuto,
+    "nc4_multifile_union" -> nc4MultifileUnion,
     "stream_nc4_sink" -> streamNc4Sink,
     "nc4_string_roundtrip" -> nc4StringRoundtrip,
     "nc4_compound" -> nc4Compound,
@@ -1596,6 +1627,7 @@ object Nc4Queries {
     "nc4_write_roundtrip" -> nc4WriteRoundtripSql,
     "nc4_dsv2_write_roundtrip" -> nc4Dsv2WriteRoundtripSql,
     "nc4_compact_auto" -> nc4CompactAutoSql,
+    "nc4_multifile_union" -> nc4MultifileUnionSql,
     "stream_nc4_sink" -> streamNc4SinkSql,
     "nc4_string_roundtrip" -> nc4StringRoundtripSql,
     "nc4_compound" -> nc4CompoundSql,

@@ -171,6 +171,25 @@ object NcIO {
 
   private val SRC4 = "graft.sources.netcdf.NetCDF4Source"
 
+  /** Total records in a netCDF-4/HDF5 dir — header metadata only. */
+  def recordCount4(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    NetCDF4Util.listFiles(fs, p).map(f => Hdf5Format.readMeta(fs, f).numRecs).sum
+  }
+
+  /** [[multifile]] for netCDF-4 dirs: MFDataset semantics over HDF5
+    * containers — offsets from [[recordCount4]] header reads, the
+    * union a pure scan union with all per-file pruning intact. */
+  def multifile4(spark: org.apache.spark.sql.SparkSession, dirs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val offsets = dirs.map(recordCount4(spark, _)).scanLeft(0L)(_ + _)
+    dirs.zip(offsets).map { case (d, off) =>
+      spark.read.format(SRC4).load(d)
+        .withColumn("record", col("record") + lit(off))
+    }.reduce(_.unionByName(_))
+  }
+
   /** [[compact]] for netCDF-4 dirs: read through the `netcdf4` DSv2,
     * range-partition on `record` (partition i strictly precedes
     * i+1), write through the same DSv2 — `options` forwards writer
