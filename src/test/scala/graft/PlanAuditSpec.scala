@@ -207,4 +207,25 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(p.contains("partial_"), s"$name lost partial aggregation")
     }
   }
+
+  test("gopher rule bits are a pure map-side projection — zero exchanges") {
+    val p = planOf("text_gopher_rules")
+    assert(!p.contains("Exchange"),
+      s"the rule battery should never shuffle:\n${p.take(600)}")
+  }
+
+  test("PII-density report shuffles exactly once (the source groupBy)") {
+    val p = planOf("pipeline_pii_rate")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly one exchange:\n${p.take(600)}")
+    assert(p.contains("partial_"), "per-source counts lost partial aggregation")
+  }
+
+  test("centroid purity assigns via min_by partial agg, no corpus window") {
+    val p = planOf("sim_centroid_purity")
+    assert(!p.contains("Window"),
+      s"assignment must be the min_by partial aggregate, not a window:\n${p.take(600)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "centroid join not broadcast")
+  }
 }
