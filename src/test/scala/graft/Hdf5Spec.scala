@@ -1167,6 +1167,23 @@ class Hdf5Spec extends AnyFunSuite {
     assert(!graft.sources.netcdf.NcIO.compactIfNeeded4(spark, dir, maxFiles = 1, parts = 1))
   }
 
+  test("multifile4 re-bases records across dirs from header counts only") {
+    val dirA = "/tmp/graft_h5/mf4a"
+    val dirB = "/tmp/graft_h5/mf4b"
+    spark.range(100).select(col("id").cast(DoubleType).as("x")).coalesce(1)
+      .write.format(SRC).mode("overwrite").save(dirA)
+    spark.range(100, 160).select(col("id").cast(DoubleType).as("x")).coalesce(1)
+      .write.format(SRC).mode("overwrite").option("h5ver", "2").save(dirB)
+    val u = graft.sources.netcdf.NcIO.multifile4(spark, Seq(dirA, dirB))
+    assert(u.count() == 160)
+    // dirB's records re-base to 100..159; every (record, x) pair lines up
+    val rows = u.orderBy("record").select("record", "x").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(rows.toSeq == (0 until 160).map(i => i.toLong -> i.toDouble))
+    // record pushdown still prunes through the re-based projection
+    assert(u.filter(col("record") >= 150L).count() == 10)
+  }
+
   test("writer rejects nulls and the reserved record column") {
     val dir = "/tmp/graft_h5/dsv2_reject"
     val withNull = spark.range(10)
