@@ -296,6 +296,53 @@ object Nc4Queries {
 
   val nc4MultifileUnionSql: String = NcQueries.ncMultifileUnionSql
 
+  /** CF calendar decode over the netCDF-4 container (r9 — nc3 twin is
+    * nc_time_calendar; model-output archives carry `noleap`/`360_day`
+    * axes in HDF5 files just as often): three day-count variables
+    * written with units/calendar attributes through the HDF5 attr
+    * path, decode dispatch driven by a header-only
+    * [[Hdf5IO.readAttrs]] read, per-calendar arithmetic the SHARED
+    * [[NcQueries.cfYmdExpr]] integer construction — both containers
+    * must decode pre-epoch offsets identically or the hash splits.
+    * Oracle: the nc3 gate's SQL verbatim. */
+  def nc4TimeCalendar: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5cfcal")
+    val days = floor(unix_micros(col("ts")).cast(DoubleType) / lit(8.64e10))
+      .cast(DoubleType)
+    def sa(n: String, v: String) = Hdf5Format.H5Attr(n, Some(v), Array.empty)
+    Hdf5IO.write(
+      graft.Tables.events(s, dir).select(
+        days.as("time_std"), days.as("time_noleap"), days.as("time_360")),
+      out,
+      varAttrs = Map(
+        "time_std" -> Seq(sa("units", "days since 1970-01-01"), sa("calendar", "standard")),
+        "time_noleap" -> Seq(sa("units", "days since 1970-01-01"), sa("calendar", "noleap")),
+        "time_360" -> Seq(sa("units", "days since 1970-01-01"), sa("calendar", "360_day"))))
+    val attrs = Hdf5IO.readAttrs(s, out)
+      .filter(col("attr_name").isin("units", "calendar"))
+      .select("var_name", "attr_name", "sval").distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (v, rows) =>
+        v -> rows.map(r => r.getString(1) -> r.getString(2)).toMap
+      }
+    def decode(v: String): String = NcQueries.cfYmdExpr(v, attrs(v))
+    s.read.format(SRC).load(out)
+      .selectExpr(
+        s"${decode("time_std")} as std_ymd",
+        s"${decode("time_noleap")} as noleap_ymd",
+        s"${decode("time_360")} as c360_ymd")
+      .agg(
+        count(lit(1)).as("n"),
+        min("std_ymd").as("std_min"), max("std_ymd").as("std_max"),
+        sum("std_ymd").as("std_sum"),
+        min("noleap_ymd").as("noleap_min"), max("noleap_ymd").as("noleap_max"),
+        sum("noleap_ymd").as("noleap_sum"),
+        min("c360_ymd").as("c360_min"), max("c360_ymd").as("c360_max"),
+        sum("c360_ymd").as("c360_sum"))
+  }
+
+  val nc4TimeCalendarSql: String = NcQueries.ncTimeCalendarSql
+
   /** Streaming netCDF-4 *sink* (`writeStream.format("netcdf4")`):
     * netcdf4 → netcdf4 streaming copy. Part files stream in
     * micro-batches through the DSv2 reader; each epoch appends
@@ -1589,6 +1636,7 @@ object Nc4Queries {
     "nc4_dsv2_write_roundtrip" -> nc4Dsv2WriteRoundtrip,
     "nc4_compact_auto" -> nc4CompactAuto,
     "nc4_multifile_union" -> nc4MultifileUnion,
+    "nc4_time_calendar" -> nc4TimeCalendar,
     "stream_nc4_sink" -> streamNc4Sink,
     "nc4_string_roundtrip" -> nc4StringRoundtrip,
     "nc4_compound" -> nc4Compound,
@@ -1628,6 +1676,7 @@ object Nc4Queries {
     "nc4_dsv2_write_roundtrip" -> nc4Dsv2WriteRoundtripSql,
     "nc4_compact_auto" -> nc4CompactAutoSql,
     "nc4_multifile_union" -> nc4MultifileUnionSql,
+    "nc4_time_calendar" -> nc4TimeCalendarSql,
     "stream_nc4_sink" -> streamNc4SinkSql,
     "nc4_string_roundtrip" -> nc4StringRoundtripSql,
     "nc4_compound" -> nc4CompoundSql,

@@ -821,29 +821,12 @@ object NcQueries {
     * arithmetic in DuckDB, so a single wrong month boundary breaks
     * the hash. Output is a wide digest row: per calendar, min/max/sum
     * of the decoded y*10000+m*100+d. */
-  def ncTimeCalendar: Q = (s, dir) => {
-    val out = scratch(s, dir, "cfcal")
-    val days = floor(unix_micros(col("ts")).cast(DoubleType) / lit(8.64e10))
-      .cast(DoubleType)
-    NcIO.write(
-      graft.Tables.events(s, dir).select(
-        days.as("time_std"), days.as("time_noleap"), days.as("time_360")),
-      out,
-      vatts = Map(
-        "time_std" -> Seq("units" -> "days since 1970-01-01", "calendar" -> "standard"),
-        "time_noleap" -> Seq("units" -> "days since 1970-01-01", "calendar" -> "noleap"),
-        "time_360" -> Seq("units" -> "days since 1970-01-01", "calendar" -> "360_day")))
-    // header-only metadata read: (var → units/calendar), driving the
-    // per-variable decode dispatch below
-    val attrs = NcIO.readAttrs(s, out)
-      .filter(col("attr_name").isin("units", "calendar"))
-      .select("var_name", "attr_name", "sval").distinct().collect()
-      .groupBy(_.getString(0))
-      .map { case (v, rows) =>
-        v -> rows.map(r => r.getString(1) -> r.getString(2)).toMap
-      }
-    def decodeExpr(varName: String): String = {
-      val a = attrs(varName)
+  /** CF time decode (units "days since 1970-01-01" + calendar attr)
+    * as one integer-exact yyyymmdd expression per variable — shared by
+    * the netcdf3 and netcdf4 calendar gates, so both containers
+    * dispatch the IDENTICAL per-calendar arithmetic from their own
+    * header metadata. */
+  private[netcdf] def cfYmdExpr(varName: String, a: Map[String, String]): String = {
       val units = a("units")
       require(units.startsWith("days since 1970-01-01"),
         s"unsupported CF epoch in '$units'")
@@ -874,6 +857,29 @@ object NcQueries {
         case c => throw new IllegalArgumentException(s"unsupported CF calendar: $c")
       }
     }
+
+  def ncTimeCalendar: Q = (s, dir) => {
+    val out = scratch(s, dir, "cfcal")
+    val days = floor(unix_micros(col("ts")).cast(DoubleType) / lit(8.64e10))
+      .cast(DoubleType)
+    NcIO.write(
+      graft.Tables.events(s, dir).select(
+        days.as("time_std"), days.as("time_noleap"), days.as("time_360")),
+      out,
+      vatts = Map(
+        "time_std" -> Seq("units" -> "days since 1970-01-01", "calendar" -> "standard"),
+        "time_noleap" -> Seq("units" -> "days since 1970-01-01", "calendar" -> "noleap"),
+        "time_360" -> Seq("units" -> "days since 1970-01-01", "calendar" -> "360_day")))
+    // header-only metadata read: (var → units/calendar), driving the
+    // per-variable decode dispatch below
+    val attrs = NcIO.readAttrs(s, out)
+      .filter(col("attr_name").isin("units", "calendar"))
+      .select("var_name", "attr_name", "sval").distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (v, rows) =>
+        v -> rows.map(r => r.getString(1) -> r.getString(2)).toMap
+      }
+    def decodeExpr(varName: String): String = cfYmdExpr(varName, attrs(varName))
     s.read.format(SRC).load(out)
       .selectExpr(
         s"${decodeExpr("time_std")} as std_ymd",
