@@ -22,6 +22,7 @@ object SparkEntry {
       graft.sources.netcdf.NcQueries.queries ++
       graft.sources.netcdf.Nc4Queries.queries ++
       graft.sources.netcdf.NcSel.queries ++
+      graft.sources.netcdf.Nc4Sel.queries ++
       graft.streaming.Streams.queries ++
       graft.operators.MmPipeline.queries ++
       graft.operators.Salted.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       graft.sources.netcdf.NcQueries.oracles ++
       graft.sources.netcdf.Nc4Queries.oracles ++
       graft.sources.netcdf.NcSel.oracles ++
+      graft.sources.netcdf.Nc4Sel.oracles ++
       graft.streaming.Streams.oracles ++
       graft.operators.MmPipeline.oracles ++
       graft.operators.Salted.oracles ++

@@ -402,6 +402,69 @@ object Dedup {
     jaccardSql(candCte, 4)
   }
 
+  /** Per-doc output bound for [[dedupNgramTopm]]: each document keeps
+    * its TOPM_M best-Jaccard neighbors. */
+  private[operators] val TOPM_M = 8
+
+  /** OUTPUT-BOUNDED n-gram Jaccard (r10 — the variant a
+    * duplicate-heavy real corpus must run): [[dedupNgramJaccard]]'s
+    * output is one row per verified near-dup PAIR, and on a corpus
+    * with heavy template duplication the true pair set grows
+    * QUADRATICALLY in the per-template clone count (measured at 10×:
+    * 38,937 → 4,122,480 result rows — the r9 bench's worst scale
+    * ratio was this operator reporting 106× more duplicates because
+    * there WERE 106× more). A dedup pipeline doesn't need the full
+    * clique: it needs, per document, a bounded list of its best
+    * near-duplicates to pick a canonical survivor. This variant keeps
+    * each doc's top-[[TOPM_M]] neighbors by (jaccard DESC, nbr_id
+    * ASC) via the bounded [[graft.functions.TopK]] partial aggregator
+    * — each map task emits ≤ m rows per doc to the shuffle and the
+    * OUTPUT is ≤ m·corpus rows regardless of duplication skew, while
+    * candidate generation keeps the same df-capped inverted-index
+    * bound as the exhaustive key. The exhaustive key stays registered
+    * for oracle parity; this is the 100 TB route. */
+  def dedupNgramTopm: Q = (s, dir) => {
+    val sh = cappedShingles(t(s, dir, "documents"), 4).cache()
+    val cand = sh.toDF("id_a", "sh").join(sh.toDF("id_b", "sh"), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val pairs = withJaccard(cand, sh)
+    // symmetrize so EVERY doc owns its neighbor list (canonical
+    // id_a < id_b pairs split a doc's partners across both sides)
+    val sym = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nbr_id"),
+        col("n_inter"), col("jaccard"))
+      .unionAll(pairs.select(col("id_b").as("doc_id"), col("id_a").as("nbr_id"),
+        col("n_inter"), col("jaccard")))
+    val top = graft.functions.TopK.topk(TOPM_M)
+    sym.groupBy("doc_id")
+      .agg(top(round(col("jaccard"), 9), col("nbr_id"),
+        col("n_inter").cast(DoubleType)).as("nbrs"))
+      .select(col("doc_id"), posexplode(col("nbrs")))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col._2").as("nbr_id"), col("col._3").cast(LongType).as("n_inter"),
+        col("col._1").as("jaccard"))
+  }
+
+  val dedupNgramTopmSql: String = {
+    val candCte =
+      """cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id)""".stripMargin
+    s"""WITH pairs AS (${jaccardSql(candCte, 4).replace("\n", "\n  ")}),
+       |sym AS (
+       |  SELECT id_a AS doc_id, id_b AS nbr_id, n_inter, jaccard FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS doc_id, id_a AS nbr_id, n_inter, jaccard FROM pairs),
+       |ranked AS (
+       |  SELECT doc_id, nbr_id, n_inter, round(jaccard, 9) AS jaccard,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY round(jaccard, 9) DESC, nbr_id) AS rank
+       |  FROM sym)
+       |SELECT doc_id, rank, nbr_id, n_inter, jaccard
+       |FROM ranked WHERE rank <= $TOPM_M""".stripMargin
+  }
+
   /** Directional CONTAINMENT dedup (Broder 1997's containment measure
     * — the asymmetric twin of [[dedupNgramJaccard]]): c(A→B) =
     * |A∩B| / |A| over 4-gram shingle sets. Jaccard is blind to
@@ -846,6 +909,7 @@ object Dedup {
     "dedup_sparse_features" -> dedupSparseFeatures,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_ngram_topm" -> dedupNgramTopm,
     "dedup_containment" -> dedupContainment,
     "dedup_simhash" -> dedupSimhash,
     "dedup_cdc" -> dedupCdc,
@@ -859,6 +923,7 @@ object Dedup {
     "dedup_sparse_features" -> dedupSparseFeaturesSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_ngram_topm" -> dedupNgramTopmSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_cdc" -> dedupCdcSql,

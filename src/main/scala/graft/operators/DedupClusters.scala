@@ -73,7 +73,14 @@ object DedupClusters {
     * packs shard priority above doc_id), so "which duplicate wins" is
     * a pure label ordering — the contraction loop itself never
     * changes: stars form over ids, then ONE groupBy resolves each
-    * star to the component's minimum label. */
+    * star to the component's minimum label.
+    *
+    * CONTRACT: every edge endpoint must appear in `nodesLabeled` —
+    * the output is one row per node row, so an endpoint with no node
+    * row has no label to resolve. Enforced loudly (not silently
+    * dropped): the star-extraction join is full-outer and any
+    * comp-only id raises, riding the join that already exists rather
+    * than costing an extra anti-join job. */
   def connectedComponentsLabeled(nodesLabeled: DataFrame, edges: DataFrame,
       maxRounds: Int = 64): DataFrame = {
     // Checkpoint (eager) materializes each round's edge set AND
@@ -108,8 +115,15 @@ object DedupClusters {
     val comp = e.select(col("a").as("id"), col("b").as("root"))
       .unionAll(e.select(col("b").as("id"), col("b").as("root")).distinct())
     val withRoot = nodesLabeled.select("id", "label")
-      .join(comp, Seq("id"), "left")
-      .select(col("id"), coalesce(col("root"), col("id")).as("root"), col("label"))
+      .join(comp, Seq("id"), "full")
+      .select(col("id"), coalesce(col("root"), col("id")).as("root"),
+        // a comp row with no node row = an edge endpoint absent from
+        // nodesLabeled — a contract breach that previously shrank the
+        // output silently; fail on the row, inside the existing join
+        when(col("label").isNull, raise_error(concat(
+          lit("connectedComponentsLabeled: edge endpoint absent from nodes frame: id="),
+          col("id").cast(org.apache.spark.sql.types.StringType))))
+          .otherwise(col("label")).as("label"))
     val minLab = withRoot.groupBy("root").agg(min(col("label")).as("canonical"))
     withRoot.join(minLab, "root").select("id", "canonical")
   }

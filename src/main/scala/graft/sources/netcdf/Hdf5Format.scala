@@ -3004,6 +3004,13 @@ object Hdf5Format {
       val size = b.u64().toInt
       if (idx == 0) done = true // free-space pseudo-object ends the walk
       else {
+        // trust-but-verify the per-object size: copyOfRange zero-pads
+        // past the array end, which would serve silently zero-filled
+        // vlen payloads from a truncated/corrupt heap — reject loudly
+        // like every checksum mismatch does
+        require(off + 16 + size <= body.length,
+          s"global heap object $idx overruns collection body " +
+            s"(off=$off size=$size body=${body.length}) at $addr in $ctx")
         objs(idx) = java.util.Arrays.copyOfRange(body, off + 16, off + 16 + size)
         val skip = pad8(size)
         b.skip(skip)

@@ -5,11 +5,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-/** Value-based coordinate selection over a netcdf3 dir — the xarray
-  * `sel()` sugar on top of the source's zone-map pruning. The
-  * reference addresses streamed variables by position; real users
-  * address them by coordinate VALUE ("the records near t=...") — these
-  * helpers turn value addressing into pruned scans.
+/** Value-based coordinate selection — the xarray `sel()` sugar on top
+  * of a netCDF source's zone-map pruning, generic over the container:
+  * the algorithms need only (a) a way to open the corpus dir as a
+  * DataFrame whose scan prunes on pushed value filters, and (b) the
+  * per-part-file `actual_range` zone maps from a header-only metadata
+  * pass. [[NcSel]] binds them to the classic netcdf3 source,
+  * [[Nc4Sel]] to the netCDF-4/HDF5 source — same selection semantics
+  * on both on-disk generations, which is exactly the xarray contract
+  * (`sel()` behaves identically on netcdf3 and netCDF-4 files).
   *
   * [[range]] is a plain value filter: the pushed predicate is checked
   * against each part file's `actual_range` header attribute, so files
@@ -27,32 +31,27 @@ import org.apache.spark.sql.types.DoubleType
   * header read per part file on the driver; above ~metadata scale it
   * would fan out to executors exactly like [[NcIO.readAttrs]].
   */
-object NcSel {
+private[netcdf] trait ValueSel {
 
-  private val SRC = "graft.sources.netcdf.NetCDF3Source"
+  /** Open the corpus dir through the container's pruning source. */
+  protected def open(spark: SparkSession, dir: String): DataFrame
+
+  /** Per-file (min, max) of `coordVar` from the part-file headers. */
+  protected def coordRanges(spark: SparkSession, dir: String,
+      coordVar: String): Seq[(Double, Double)]
+
+  /** Per-file zone-map range PAIRS for two coordinate variables in
+    * one metadata pass (files with either range missing are skipped —
+    * conservative: they are simply never prunable). */
+  protected def coordRangePairs(spark: SparkSession, dir: String,
+      v1: String, v2: String): Seq[((Double, Double), (Double, Double))]
 
   /** Inclusive-lo / exclusive-hi value selection on a coordinate
     * variable; pushes the filter so zone maps prune part files. */
   def range(spark: SparkSession, dir: String, coordVar: String,
       lo: Double, hi: Double): DataFrame =
-    spark.read.format(SRC).load(dir)
+    open(spark, dir)
       .filter(col(coordVar).cast(DoubleType) >= lo && col(coordVar).cast(DoubleType) < hi)
-
-  /** Per-file (min, max) of `coordVar` from the part-file headers. */
-  private def coordRanges(spark: SparkSession, dir: String,
-      coordVar: String): Seq[(Double, Double)] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(p).map(_.getPath).filter { f =>
-      val n = f.getName
-      n.endsWith(".nc") || n.endsWith(".nc.gz") || n.endsWith(".ncz")
-    }
-    parts.toSeq.flatMap { f =>
-      val meta = NcFormat.readMeta(fs, f)
-      if (meta.numRecs == 0L) None
-      else meta.vars.find(_.name == coordVar).flatMap(_.range)
-    }
-  }
 
   /** Window-bound slack: [[NcFormat.readMeta]] widens NC_INT64
     * `actual_range` endpoints one ulp OUTWARD (conservative for
@@ -64,10 +63,10 @@ object NcSel {
     * can never change a min-by/bracket result — only which records are
     * merely scanned. (Found at a clamp-edge target whose window missed
     * the corpus maximum by exactly one ulp.) */
-  private def ulpsDown(x: Double, n: Int = 3): Double = {
+  protected def ulpsDown(x: Double, n: Int = 3): Double = {
     var v = x; var i = 0; while (i < n) { v = math.nextDown(v); i += 1 }; v
   }
-  private def ulpsUp(x: Double, n: Int = 3): Double = {
+  protected def ulpsUp(x: Double, n: Int = 3): Double = {
     var v = x; var i = 0; while (i < n) { v = math.nextUp(v); i += 1 }; v
   }
 
@@ -101,7 +100,7 @@ object NcSel {
     }
     val c = col(coordVar).cast(DoubleType)
     val anyWindow = windows.map { case (_, lo, hi) => c >= lo && c < hi }.reduce(_ || _)
-    val scan = spark.read.format(SRC).load(dir).filter(anyWindow)
+    val scan = open(spark, dir).filter(anyWindow)
     val fanned = scan.select(col("*"), explode(array(windows.map { case (t, lo, hi) =>
       when(c >= lo && c < hi, lit(t)).otherwise(lit(null).cast(DoubleType))
     }: _*)).as("target"))
@@ -112,27 +111,6 @@ object NcSel {
     val ord = struct(col("dist"), c, col("record"))
     fanned.groupBy("target").agg(min_by(all, ord).as("best"))
       .select(col("target"), col("best.*"))
-  }
-
-  /** Per-file zone-map range PAIRS for two coordinate variables in
-    * one metadata pass (files with either range missing are skipped —
-    * conservative: they are simply never prunable). */
-  private def coordRangePairs(spark: SparkSession, dir: String,
-      v1: String, v2: String): Seq[((Double, Double), (Double, Double))] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(p).map(_.getPath).filter { f =>
-      val n = f.getName
-      n.endsWith(".nc") || n.endsWith(".nc.gz") || n.endsWith(".ncz")
-    }
-    parts.toSeq.flatMap { f =>
-      val meta = NcFormat.readMeta(fs, f)
-      if (meta.numRecs == 0L) None
-      else for {
-        r1 <- meta.vars.find(_.name == v1).flatMap(_.range)
-        r2 <- meta.vars.find(_.name == v2).flatMap(_.range)
-      } yield (r1, r2)
-    }
   }
 
   /** 2-D nearest selection over CURVILINEAR coordinates (xarray
@@ -175,7 +153,7 @@ object NcSel {
     val laHi = ulpsUp(windows.map(w => w._2 + w._4).max)
     val loLo = ulpsDown(windows.map(w => w._3 - w._4).min)
     val loHi = ulpsUp(windows.map(w => w._3 + w._4).max)
-    val scan = spark.read.format(SRC).load(dir)
+    val scan = open(spark, dir)
       .filter(la >= laLo && la <= laHi && lo >= loLo && lo <= loHi)
     val cols = scan.columns
     val fanned = scan.select(col("*"), explode(array(windows.map { case (i, tla, tlo, u) =>
@@ -224,7 +202,7 @@ object NcSel {
     val lo = db.map(d => ulpsDown(target - d)).getOrElse(target)
     val hi = da.map(d => ulpsUp(target + d)).getOrElse(math.nextUp(target))
     val c = col(coordVar).cast(DoubleType)
-    val scan = spark.read.format(SRC).load(dir).filter(c >= lo && c < hi)
+    val scan = open(spark, dir).filter(c >= lo && c < hi)
     val v = col(valueVar).cast(DoubleType)
     val below = min(when(c <= target, struct((lit(target) - c).as("d"), col("record"),
       c.as("c"), v.as("v")))).as("lo")
@@ -271,7 +249,7 @@ object NcSel {
     }
     val c = col(coordVar).cast(DoubleType)
     val anyWindow = windows.map { case (_, lo, hi) => c >= lo && c < hi }.reduce(_ || _)
-    val scan = spark.read.format(SRC).load(dir).filter(anyWindow)
+    val scan = open(spark, dir).filter(anyWindow)
     val v = col(valueVar).cast(DoubleType)
     val fanned = scan
       .select(c.as("c"), v.as("v"), col("record"),
@@ -294,6 +272,48 @@ object NcSel {
           .otherwise(col("lo.v") + (col("hi.v") - col("lo.v"))
             * (col("target") - col("lo.c")) / (col("hi.c") - col("lo.c")))
           .as("ival"))
+  }
+}
+
+/** [[ValueSel]] bound to the classic netcdf3 source. */
+object NcSel extends ValueSel {
+
+  private val SRC = "graft.sources.netcdf.NetCDF3Source"
+
+  protected def open(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format(SRC).load(dir)
+
+  protected def coordRanges(spark: SparkSession, dir: String,
+      coordVar: String): Seq[(Double, Double)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).map(_.getPath).filter { f =>
+      val n = f.getName
+      n.endsWith(".nc") || n.endsWith(".nc.gz") || n.endsWith(".ncz")
+    }
+    parts.toSeq.flatMap { f =>
+      val meta = NcFormat.readMeta(fs, f)
+      if (meta.numRecs == 0L) None
+      else meta.vars.find(_.name == coordVar).flatMap(_.range)
+    }
+  }
+
+  protected def coordRangePairs(spark: SparkSession, dir: String,
+      v1: String, v2: String): Seq[((Double, Double), (Double, Double))] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).map(_.getPath).filter { f =>
+      val n = f.getName
+      n.endsWith(".nc") || n.endsWith(".nc.gz") || n.endsWith(".ncz")
+    }
+    parts.toSeq.flatMap { f =>
+      val meta = NcFormat.readMeta(fs, f)
+      if (meta.numRecs == 0L) None
+      else for {
+        r1 <- meta.vars.find(_.name == v1).flatMap(_.range)
+        r2 <- meta.vars.find(_.name == v2).flatMap(_.range)
+      } yield (r1, r2)
+    }
   }
 
   /** Driver-contract query: range-bucketed sorted write (disjoint

@@ -100,6 +100,21 @@ class Hdf5FixtureSpec extends AnyFunSuite {
     assert(new String(objs(2), "ASCII") == "worlds!")
   }
 
+  test("GCOL object whose size overruns the collection body rejects loudly " +
+      "(no zero-padded vlen payloads from a truncated heap)") {
+    val bb = buf(48)
+    bb.put("GCOL".getBytes("ASCII")).put(1.toByte).put(Array[Byte](0, 0, 0))
+      .putLong(48L) // collection size incl. header → 32-byte body
+    // object 1 claims 100 bytes — far past the body end; the old walk
+    // copyOfRange'd a zero-padded payload, the hardened walk rejects
+    bb.putShort(1).putShort(1).putInt(0).putLong(100L)
+    val p = writeFile("gcol_overrun.bin", bb.array())
+    val e = intercept[IllegalArgumentException] {
+      Hdf5Format.gcolForTest(fs, p, 0L)
+    }
+    assert(e.getMessage.contains("overruns collection body"), e.getMessage)
+  }
+
   // -----------------------------------------------------------------
   // dense attributes: FRHP (root direct block) + v2 B-tree type 8 +
   // serialized v3 AND v1 attribute messages as managed heap objects

@@ -58,6 +58,72 @@ class OperatorSpec extends AnyFunSuite {
     assert((1L to n).forall(cc(_) == 1L))
   }
 
+  test("connectedComponentsLabeled rejects edge endpoints absent from the " +
+      "node frame loudly instead of shrinking the output silently") {
+    import spark.implicits._
+    val nodes = Seq((1L, 1L), (2L, 2L)).toDF("id", "label")
+    // endpoint 3 has no node row: the old left-join contract dropped it
+    // from the output; the full-join + raise_error contract fails fast
+    val edges = Seq((2L, 3L)).toDF("a", "b")
+    val e = intercept[Exception] {
+      DedupClusters.connectedComponentsLabeled(nodes, edges).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("edge endpoint absent")), e.toString)
+    // and a complete node frame still resolves normally
+    val ok = DedupClusters.connectedComponentsLabeled(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "label"),
+      Seq((2L, 3L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok == Map(1L -> 10L, 2L -> 20L, 3L -> 20L))
+  }
+
+  test("dedup_ngram_topm bounds output to m rows per doc under heavy " +
+      "duplication and agrees with the exhaustive key's top ranks") {
+    import spark.implicits._
+    val dir = "/tmp/graft_op_spec/topm"
+    // 20 clones of one template (exhaustive pairs: 190; symmetrized
+    // neighbor rows: 380 = 19 per doc) + 2 distinct docs that share a
+    // 4-gram run with each other but not with the template
+    val template = (1 to 12).map(i => s"tpl$i").mkString(" ")
+    val docs =
+      (1 to 20).map(i => (i.toLong, s"$template extra$i")) ++
+        Seq((100L, "alpha beta gamma delta epsilon"),
+          (101L, "alpha beta gamma delta zeta"))
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Dedup.dedupNgramTopm(spark, dir).cache()
+    val perDoc = out.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every template clone has 19 true neighbors but emits exactly m=8
+    (1 to 20).foreach(i => assert(perDoc(i.toLong) == 8L, s"doc $i"))
+    // the two distinct docs emit exactly their one true neighbor
+    assert(perDoc(100L) == 1L && perDoc(101L) == 1L)
+    // ranks are 1..m with jaccard non-increasing, nbr_id tiebreak asc
+    val rows = out.filter(col("doc_id") === 1L)
+      .orderBy("rank").collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 8L))
+    val jac = rows.map(_.getAs[Double]("jaccard"))
+    assert(jac.zip(jac.tail).forall { case (a, b) => a >= b })
+    // agreement with the exhaustive key: doc 1's best neighbor must be
+    // the best partner among ALL its exhaustive pairs
+    val ex = graft.operators.Dedup.dedupNgramJaccard(spark, dir)
+      .filter(col("id_a") === 1L || col("id_b") === 1L)
+      .select(when(col("id_a") === 1L, col("id_b")).otherwise(col("id_a")).as("nbr"),
+        round(col("jaccard"), 9).as("j"))
+      .collect().map(r => (r.getAs[Double]("j"), r.getAs[Long]("nbr")))
+    val bestExhaustive = ex.minBy { case (j, id) => (-j, id) }
+    assert((rows.head.getAs[Double]("jaccard"), rows.head.getAs[Long]("nbr_id"))
+      == bestExhaustive)
+    // scale shape: the rank comes from the bounded partial aggregator,
+    // not a window — no Window node, partial aggregation present
+    val plan = graft.operators.Dedup.dedupNgramTopm(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_topkaggregator") || plan.contains("partial_"), plan)
+  }
+
   test("gopherRules anchors each rule bit on crafted documents") {
     import spark.implicits._
     val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
