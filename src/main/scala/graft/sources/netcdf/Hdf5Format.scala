@@ -120,6 +120,30 @@ object Hdf5Format {
   case class KDoubleArr(k: Int) extends H5Kind(1, 8)
   case class KLongArr(k: Int) extends H5Kind(0, 8)
 
+  /** Spec names for the 12 HDF5 datatype classes — used by the
+    * dataset-kind reject so wild-file triage is self-explanatory
+    * ("opaque (class 5)" instead of a bare tuple). Classes 2
+    * (time), 4 (bitfield), 5 (opaque), 7 (reference) and 10 (array)
+    * are deliberately unsupported as DATA columns: time was never
+    * emitted by any known writer (even h5py rejects it), bitfield/
+    * opaque/reference have no netCDF mapping, and array-of-X inside
+    * a dataset duplicates what trailing dataspace dims already
+    * express — each rejects loudly with its name. */
+  private[netcdf] def classNameOf(c: Int): String = c match {
+    case 0 => "fixed-point (class 0)"
+    case 1 => "floating-point (class 1)"
+    case 2 => "time (class 2)"
+    case 3 => "string (class 3)"
+    case 4 => "bitfield (class 4)"
+    case 5 => "opaque (class 5)"
+    case 6 => "compound (class 6)"
+    case 7 => "reference (class 7)"
+    case 8 => "enum (class 8)"
+    case 9 => "variable-length (class 9)"
+    case 10 => "array (class 10)"
+    case n => s"class $n"
+  }
+
   case class H5Attr(name: String, text: Option[String], nums: Array[Double])
 
   /** One stored chunk: logical start record, file offset, stored
@@ -3670,7 +3694,9 @@ object Hdf5Format {
       case (1, 4, n) if n >= 2 => KFloatArr(flatW.toInt)
       case (1, 8, n) if n >= 2 => KDoubleArr(flatW.toInt)
       case (0, 8, n) if n >= 2 => KLongArr(flatW.toInt)
-      case other => throw new java.io.IOException(s"unsupported dataset shape $other for $name")
+      case (c, sz, rk) => throw new java.io.IOException(
+        s"unsupported dataset datatype ${classNameOf(c)} " +
+          s"(elemSize=$sz, rank=$rk) for $name")
     }
     val _ = signed
     val filtered = deflate || shuffle || fletcher || zstdF

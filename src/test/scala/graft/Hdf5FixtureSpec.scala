@@ -116,6 +116,41 @@ class Hdf5FixtureSpec extends AnyFunSuite {
   }
 
   // -----------------------------------------------------------------
+  // per-class loud rejects for the deliberately unsupported datatype
+  // classes (r9 verdict item 5): a wild file carrying time (class 2),
+  // bitfield (class 4), opaque (class 5), or array (class 10) data
+  // must fail with a message NAMING the class, so triage needs no
+  // spec lookup. Fixture: a real writer-produced file whose class-0
+  // datatype message byte is patched to the foreign class — v1 object
+  // headers (h5ver=0) carry no checksum, so the patch isolates the
+  // datatype-class dispatch and nothing else.
+  // -----------------------------------------------------------------
+
+  test("datatype classes 2/4/5/10 reject loudly, naming the class") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val w = new Hdf5Format.Hdf5Writer(
+      StructType(Seq(StructField("v", LongType))), chunkRecs = 8, deflate = false)
+    (0 until 4).foreach(i => w.writeRow(_ => i.toLong))
+    val base = w.finish()
+    // the class-0 v1 datatype message for a signed i64: header
+    // (clsVer=0x10, bits=0x08,0,0, size=8) + props (offset 0, prec 64)
+    val pat = Array[Byte](0x10, 0x08, 0, 0, 8, 0, 0, 0, 0, 0, 0x40, 0)
+    val at = base.indices.indexWhere(i => i + pat.length <= base.length &&
+      pat.indices.forall(j => base(i + j) == pat(j)))
+    assert(at > 0, "class-0 datatype message not found in writer output")
+    for ((cls, label) <- Seq(2 -> "time (class 2)", 4 -> "bitfield (class 4)",
+        5 -> "opaque (class 5)", 10 -> "array (class 10)")) {
+      val patched = base.clone()
+      patched(at) = (0x10 | cls).toByte
+      val p = writeFile(s"dtype_class_$cls.nc4", patched)
+      val e = intercept[java.io.IOException] { Hdf5Format.readMeta(fs, p) }
+      assert(e.getMessage.contains(label),
+        s"class $cls reject should name '$label': ${e.getMessage}")
+      assert(e.getMessage.contains("for v"), e.getMessage) // names the dataset too
+    }
+  }
+
+  // -----------------------------------------------------------------
   // dense attributes: FRHP (root direct block) + v2 B-tree type 8 +
   // serialized v3 AND v1 attribute messages as managed heap objects
   // -----------------------------------------------------------------
