@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Sustained-rate streaming bench (r9 verdict item 7): the per-round
+  * bench measures the stream_* keys as stage+drain ONE-SHOTS, which
+  * proves correctness of the streaming plans but not that they hold a
+  * RATE. This main feeds the three stateful shapes — complete-mode
+  * windowed aggregation, flatMapGroupsWithState sessionization, and
+  * the watermarked stream-stream interval join — a time-ordered
+  * sequence of micro-batches (the events table split into N slices by
+  * event time, one parquet file per slice, maxFilesPerTrigger=1) and
+  * records EVERY batch's trigger latency from the query's own
+  * progress telemetry. The per-batch latency distribution (p50 / p95
+  * / max) is the "runnable forever" number: a stateful operator whose
+  * state leaks or whose watermark stalls shows up as a latency RAMP
+  * across batches, which a one-shot drain can never reveal.
+  *
+  * Output: one JSON line, `{"metric":"stream_bench", ...,
+  * "shapes":{shape:{batches,p50_ms,p95_ms,max_ms,last3_over_first3,
+  * rows,rows_per_sec}}}`. `last3_over_first3` is the ramp detector —
+  * steady-state ≈ 1, state leak > 1 growing with N.
+  */
+object StreamBench {
+
+  private val NB = 16 // micro-batches (time-ordered slices of events)
+
+  private def js(v: Double): String = {
+    val s = java.text.NumberFormat.getInstance(java.util.Locale.ROOT)
+    s.asInstanceOf[java.text.DecimalFormat].applyPattern("0.###")
+    s.format(v)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.cleaner.periodicGC.interval", "60s")
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.sql.streaming.numRecentProgressUpdates", "200")
+      // push background state snapshots past the run's lifetime: the
+      // per-batch deltas are the telemetry we time; the maintenance
+      // pool otherwise races end-of-run checkpoint cleanup into log
+      // noise (and StateStore.stop() blocks minutes joining it)
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- stage: events sorted into NB time slices, one file each,
+    // written in time order so the file stream replays the timeline ----
+    val root = s"/tmp/graft_streambench_${java.util.UUID.randomUUID().toString.take(8)}"
+    val stageDir = s"$root/slices"
+    val ev = Tables.events(spark, sfDir).cache()
+    val n = ev.count()
+    val bounds = ev.stat.approxQuantile("event_id",
+      (1 until NB).map(_.toDouble / NB).toArray, 0.0)
+    // slice by event-time ORDER: event_id is assigned in ts order in the
+    // testdata, so quantiles of event_id are time boundaries; exactness
+    // does not matter (slices just need to be time-monotonic)
+    val sliceBounds = (Array(Double.NegativeInfinity) ++ bounds) :+ Double.PositiveInfinity
+    (0 until NB).foreach { i =>
+      ev.filter(col("event_id") >= sliceBounds(i) && col("event_id") < sliceBounds(i + 1))
+        .coalesce(1).write.mode("append").parquet(stageDir)
+    }
+    val schema = spark.read.parquet(stageDir).schema
+
+    def stream: DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+
+    /** Run one shape to a memory sink, harvesting per-batch trigger
+      * latencies from the query's progress telemetry. */
+    def run(name: String, outMode: String, build: DataFrame => DataFrame): (String, String) = {
+      val q = build(stream)
+        .writeStream.outputMode(outMode).format("memory").queryName(s"sb_$name")
+        .option("checkpointLocation", s"$root/ck_$name")
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      val prog = q.recentProgress.filter(_.numInputRows > 0)
+      q.stop()
+      val lat = prog.map(_.durationMs.get("triggerExecution").toLong.toDouble).sorted
+      val rows = prog.map(_.numInputRows).sum
+      def pct(p: Double) = lat(math.min(lat.length - 1, (p * lat.length).toInt))
+      // ramp detector: mean of the last 3 batch latencies over the
+      // first 3 (in arrival order, not sorted)
+      val ordered = prog.map(_.durationMs.get("triggerExecution").toLong.toDouble)
+      val ramp = if (ordered.length >= 6)
+        ordered.takeRight(3).sum / math.max(1.0, ordered.take(3).sum)
+      else 1.0
+      val total = ordered.sum / 1000.0
+      (name,
+        s""""$name":{"batches":${lat.length},"p50_ms":${js(pct(0.5))},""" +
+        s""""p95_ms":${js(pct(0.95))},"max_ms":${js(lat.last)},""" +
+        s""""last3_over_first3":${js(ramp)},"rows":$rows,""" +
+        s""""rows_per_sec":${js(rows / math.max(0.001, total))}}""")
+    }
+
+    // warmup: JIT the streaming machinery on a tiny one-shot drain
+    run("warmup", "append", df => df.select(col("user_id"), col("event_id")))
+
+    val shapes = Seq(
+      run("window_agg", "complete", df => graft.streaming.Streams.windowAgg(df)),
+      run("sessionize", "append", { df =>
+        graft.streaming.Streams.sessionize(
+          df.select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("us"), col("ts"))
+            .as[graft.streaming.Streams.Ev]).toDF()
+      }),
+      run("interval_join", "append", df => graft.streaming.Streams.intervalJoin(df)))
+
+    println(s"""{"metric":"stream_bench","unit":"ms","sf":"$sfDir",""" +
+      s""""batches":$NB,"events":$n,""" +
+      s""""shapes":{${shapes.map(_._2).mkString(",")}}}""")
+    // scrub the staging dir AFTER state-store maintenance quiesces —
+    // the maintenance pool snapshots checkpoint state asynchronously
+    // past q.stop(), so deleting first races it into log noise
+    val hconf = spark.sparkContext.hadoopConfiguration
+    spark.stop()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+}

@@ -27,6 +27,29 @@ class NcSpec extends AnyFunSuite {
     assert(back.schema("l_quantity").dataType.typeName == "double")
   }
 
+  test("user ergonomics: single-FILE load works for .nc, .nc.gz and .ncz") {
+    // the classic-container twin of Hdf5Spec's single-file pin — how a
+    // user points the engine at one wild netcdf3 file rather than a
+    // part directory; all three on-disk flavors must resolve
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = spark.range(300).select(col("id").cast("double").as("x")).coalesce(1)
+    val want = (0 until 300).map(_.toDouble).sum
+    for ((flavor, write) <- Seq[(String, String => Unit)](
+        "nc" -> (d => NcIO.write(src, d)),
+        "nc.gz" -> (d => NcIO.write(src, d, compress = true)),
+        "ncz" -> (d => NcIO.write(src, d, compressChunks = true)))) {
+      val dir = s"/tmp/graft_nc_spec/single_$flavor"
+      write(dir)
+      val file = fs.listStatus(new Path(dir)).map(_.getPath)
+        .filter(_.getName.endsWith(s".$flavor")).head
+      val back = spark.read.format("netcdf3").load(file.toString)
+      assert(back.count() == 300, flavor)
+      assert(back.agg(sum("x")).head().getDouble(0) == want, flavor)
+      assert(back.schema.fieldNames.contains("record"), flavor)
+    }
+  }
+
   test("record-range pushdown prunes and returns the exact slice") {
     val dir = "/tmp/graft_nc_spec/slice"
     NcIO.write(li.repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber"), dir)
