@@ -77,6 +77,8 @@ object Hdf5Format {
       case _: KFloatArr => ArrayType(FloatType, containsNull = false)
       case _: KDoubleArr => ArrayType(DoubleType, containsNull = false)
       case _: KLongArr => ArrayType(LongType, containsNull = false)
+      case _: KBitfield => LongType
+      case _: KOpaque => BinaryType
     }
     def rowElems: Int = this match {
       case KFloatArr(k) => k
@@ -119,16 +121,28 @@ object Hdf5Format {
   case class KFloatArr(k: Int) extends H5Kind(1, 4)
   case class KDoubleArr(k: Int) extends H5Kind(1, 8)
   case class KLongArr(k: Int) extends H5Kind(0, 8)
+  /** HDF5 bitfield (class 4) — a w-byte bag of bits with no numeric
+    * interpretation (h5py maps it to numpy uintN): reads ZERO-EXTENDED
+    * into a Spark long, so a stored 0x80 byte is 128, never -128.
+    * Instrument/quality-flag words in wild satellite products. */
+  case class KBitfield(w: Int) extends H5Kind(4, w)
+  /** HDF5 opaque (class 5) — w uninterpreted bytes per element plus
+    * the datatype's ASCII tag (netCDF-4 `createOpaqueType(size, name)`
+    * — NC_OPAQUE): reads as a Spark binary column; the tag surfaces
+    * as a synthetic `_opaque_tag` attribute, mirroring
+    * `_enum_members`. */
+  case class KOpaque(w: Int, tag: String) extends H5Kind(5, w)
 
   /** Spec names for the 12 HDF5 datatype classes — used by the
     * dataset-kind reject so wild-file triage is self-explanatory
-    * ("opaque (class 5)" instead of a bare tuple). Classes 2
-    * (time), 4 (bitfield), 5 (opaque), 7 (reference) and 10 (array)
-    * are deliberately unsupported as DATA columns: time was never
-    * emitted by any known writer (even h5py rejects it), bitfield/
-    * opaque/reference have no netCDF mapping, and array-of-X inside
-    * a dataset duplicates what trailing dataspace dims already
-    * express — each rejects loudly with its name. */
+    * ("time (class 2)" instead of a bare tuple). Since r10 the
+    * wild-file classes 4 (bitfield → zero-extended long), 5 (opaque
+    * → binary + `_opaque_tag`) and 10 (array-of-atomic → the same
+    * array column trailing dataspace dims produce) READ as data
+    * columns; classes 2 (time — never emitted by any known writer,
+    * even h5py rejects it) and 7 (reference — addresses into the
+    * same file, no relational meaning) stay deliberate loud
+    * rejects naming the class. */
   private[netcdf] def classNameOf(c: Int): String = c match {
     case 0 => "fixed-point (class 0)"
     case 1 => "floating-point (class 1)"
@@ -463,11 +477,38 @@ object Hdf5Format {
 
   private def pad8(n: Int): Int = (n + 7) & ~7
 
-  /** Datatype message body for a kind (spec IV.A.2.d). */
-  private def datatypeBytes(kind: H5Kind, be: Boolean = false): Array[Byte] = {
+  /** Datatype message body for a kind (spec IV.A.2.d). `arrayDt`
+    * wraps an array kind in a class-10 ARRAY datatype (v3) over the
+    * base atomic type instead of relying on trailing dataspace dims —
+    * what h5py emits for compound-free `dtype=(np.float32, (k,))`
+    * datasets. */
+  private def datatypeBytes(kind: H5Kind, be: Boolean = false,
+      arrayDt: Boolean = false): Array[Byte] = {
     val b = new Buf
     val obit = if (be) 1 else 0 // atomic-class byte-order flag (bit 0)
+    def array10(base: H5Kind, k: Int): Unit = {
+      // class 10 array, v3 (HDF5 1.8+): rank, one u32 per dim, then
+      // the base datatype message; total size = k * base size
+      b.u8(0x3A).u8(0).u8(0).u8(0).u32(base.elemSize * k)
+      b.u8(1).u32(k)
+      b.bytes(datatypeBytes(base))
+    }
     kind match {
+      case KFloatArr(k) if arrayDt => array10(KFloat, k)
+      case KDoubleArr(k) if arrayDt => array10(KDouble, k)
+      case KLongArr(k) if arrayDt => array10(KLong, k)
+      case KBitfield(w) =>
+        // class 4 bitfield, v1: order bit + lo/hi pad bits like
+        // fixed-point; properties = bit offset, precision
+        b.u8(0x14).u8(obit).u8(0).u8(0).u32(w)
+        b.u16(0).u16(w * 8)
+      case KOpaque(w, tag) =>
+        // class 5 opaque, v1: bit field = ASCII tag length (a
+        // multiple of 8; NUL-padded), properties = the tag
+        val tb = tag.getBytes("ASCII")
+        val padded = pad8(tb.length + 1)
+        b.u8(0x15).u8(padded & 0xff).u8((padded >> 8) & 0xff).u8(0).u32(w)
+        b.bytes(tb).zeros(padded - tb.length)
       case KLong | KInt | KShort | KLongArr(_) =>
         // class 0 fixed-point, v1; bitfield byte0 bit3 = signed
         b.u8(0x10).u8(0x08 | obit).u8(0).u8(0).u32(kind.elemSize)
@@ -629,7 +670,11 @@ object Hdf5Format {
         * filter 32015, what netCDF-4.9's `nc_def_var_zstandard`
         * emits — occupies the terminal pipeline slot deflate would
         * (the two are mutually exclusive, as in the library) */
-      val zstd: Int = 0) {
+      val zstd: Int = 0,
+      /** class-10 ARRAY datatype: the array column is a RANK-1
+        * dataspace whose element is the whole k-vector — no trailing
+        * dataspace dim, no tiling; the element size is rowBytes */
+      val arrayDt: Boolean = false) {
     require(zstd == 0 || !deflate, "zstd and deflate are mutually exclusive")
     /** flattened trailing width for array kinds (0 for scalars) */
     val width: Int = kind match {
@@ -640,14 +685,21 @@ object Hdf5Format {
     }
     require(tdims.isEmpty || tdims.product == width,
       s"trailing dims ${tdims.mkString("x")} must flatten to $width for $name")
+    require(!arrayDt || width > 0,
+      s"arraydt needs an array column, $name is scalar")
     // ---- trailing-dim chunk geometry, general over rank: the rank-2
-    // partial-width layout is the one-trailing-dim (m = 1) case ----
+    // partial-width layout is the one-trailing-dim (m = 1) case.
+    // Class-10 array datatypes have NO trailing dataspace dims: the
+    // k-vector is the element itself ----
     /** logical trailing dims (rank-2 = the single array width) */
     val trailD: Array[Int] =
-      if (tdims.nonEmpty) tdims else if (width > 0) Array(width) else Array.emptyIntArray
+      if (arrayDt) Array.emptyIntArray
+      else if (tdims.nonEmpty) tdims
+      else if (width > 0) Array(width) else Array.emptyIntArray
     /** chunk extent per trailing dim */
     val trailC: Array[Int] =
-      if (tdims.nonEmpty) { if (ctrailIn.nonEmpty) ctrailIn else tdims }
+      if (arrayDt) Array.emptyIntArray
+      else if (tdims.nonEmpty) { if (ctrailIn.nonEmpty) ctrailIn else tdims }
       else if (width > 0) Array(if (chunkCols > 0) chunkCols else width)
       else Array.emptyIntArray
     require(trailC.length == trailD.length &&
@@ -937,6 +989,24 @@ object Hdf5Format {
         case KLongArr(k) =>
           val a = v.asInstanceOf[Array[Long]]
           var i = 0; while (i < k) { bb.putLong(if (i < a.length) a(i) else 0L); i += 1 }
+        case KBitfield(w) =>
+          // the low w bytes of the long, in the variable's byte order;
+          // no range tracking (a bag of bits has no numeric zone map)
+          val x = v match { case n: Number => n.longValue(); case _ => 0L }
+          w match {
+            case 1 => bb.put((x & 0xff).toByte)
+            case 2 => bb.putShort((x & 0xffff).toShort)
+            case 4 => bb.putInt((x & 0xffffffffL).toInt)
+            case _ => bb.putLong(x)
+          }
+        case KOpaque(w, _) =>
+          val sb = v match {
+            case b: Array[Byte] => b
+            case s => s.toString.getBytes("UTF-8")
+          }
+          val n = math.min(sb.length, w)
+          bb.put(sb, 0, n)
+          var i = n; while (i < w) { bb.put(0.toByte); i += 1 }
       }
       inChunk += 1
       numRecs += 1
@@ -1028,8 +1098,36 @@ object Hdf5Format {
         * "not a netCDF variable" NAME marker and no allocated data —
         * and a DIMENSION_LIST attribute of vlen object references on
         * each data variable. */
-      dimScales: Map[String, Seq[String]] = Map.empty) {
+      dimScales: Map[String, Seq[String]] = Map.empty,
+      /** column → bitfield width in bytes (1|2|4|8): the long column
+        * writes as a class-4 BITFIELD of that width (values are the
+        * low w bytes; reads return zero-extended) */
+      bitfields: Map[String, Int] = Map.empty,
+      /** column → (width, tag) for binary columns: each value writes
+        * as a class-5 OPAQUE element of exactly `width` bytes
+        * (shorter payloads zero-pad, longer truncate); the tag is the
+        * datatype's ASCII label (netCDF `createOpaqueType` name) */
+      opaques: Map[String, (Int, String)] = Map.empty,
+      /** array columns emitted as a class-10 ARRAY datatype over a
+        * rank-1 dataspace instead of a trailing dataspace dim — the
+        * h5py `dtype=(base, (k,))` layout */
+      arrayDatatype: Set[String] = Set.empty) {
     require(h5ver == 0 || h5ver == 2, s"h5ver must be 0 or 2, got $h5ver")
+    bitfields.foreach { case (c, w) =>
+      require(Seq(1, 2, 4, 8).contains(w), s"bitfield width for $c must be 1|2|4|8, got $w")
+    }
+    opaques.foreach { case (c, (w, _)) =>
+      require(w >= 1 && w <= 65536, s"opaque width for $c must be in [1, 65536], got $w")
+    }
+    arrayDatatype.foreach { c =>
+      require(schema.fieldNames.contains(c), s"arraydt column $c not in schema")
+      require(!vlenSeqs, s"arraydt.$c excludes vlenseqs (a vlen is not a fixed array)")
+      require(!trailDims.contains(c) && chunkCols == 0,
+        s"arraydt.$c is rank-1 by construction — traildims/chunkcols do not apply")
+      require(!dimScales.contains(c),
+        s"arraydt.$c has no trailing dataspace dim for a dimension scale to name")
+      require(!bigEndian, "arraydt bases are little-endian (class-10 wraps an LE atomic)")
+    }
     require(chunkCols >= 0, s"chunkCols must be >= 0, got $chunkCols")
     require(chunkCols == 0 || chunkIndex != "single",
       "partial-width tiling produces several chunks per row block — single-chunk index excluded")
@@ -1057,6 +1155,12 @@ object Hdf5Format {
       "committed datatypes require the 1.8+ layout with compact root links")
 
     private def kindOf(f: StructField): H5Kind = f.dataType match {
+      case LongType if bitfields.contains(f.name) => KBitfield(bitfields(f.name))
+      case BinaryType =>
+        val (w, tag) = opaques.getOrElse(f.name, throw new IllegalArgumentException(
+          s"binary column ${f.name} needs opaque.${f.name}=width[:tag] " +
+            "(HDF5 opaque elements are fixed-width)"))
+        KOpaque(w, tag)
       case LongType if enumTypes.contains(f.name) => KEnum(KLong, enumTypes(f.name))
       case IntegerType if enumTypes.contains(f.name) => KEnum(KInt, enumTypes(f.name))
       case ShortType if enumTypes.contains(f.name) => KEnum(KShort, enumTypes(f.name))
@@ -1098,7 +1202,7 @@ object Hdf5Format {
 
     require(!bigEndian || schema.fields.forall(f => kindOf(f) match {
       case KLong | KInt | KShort | KDouble | KFloat |
-           KFloatArr(_) | KDoubleArr(_) | KLongArr(_) => true
+           KFloatArr(_) | KDoubleArr(_) | KLongArr(_) | KBitfield(_) => true
       case _ => false
     }), "big-endian output is numeric-only (strings/vlen/compound/enum stay LE)")
 
@@ -1184,7 +1288,8 @@ object Hdf5Format {
         bigEndian, quantize.get(f.name),
         trailDims.getOrElse(f.name, Nil).toArray,
         trailChunks.getOrElse(f.name, Nil).toArray,
-        fillBytesOf(f), sparse, zstdLevel)
+        fillBytesOf(f), sparse, zstdLevel,
+        arrayDt = arrayDatatype.contains(f.name))
     }
 
     def writeRow(get: Int => Any): Unit = {
@@ -1213,7 +1318,7 @@ object Hdf5Format {
           val sh = new Buf
           sh.u8(3).u8(2).u64(typeAddr)
           sh.result()
-        } else datatypeBytes(v.kind, bigEndian))
+        } else datatypeBytes(v.kind, bigEndian, arrayDt = v.arrayDt))
       // fill value v2: defined when the variable carries one (what
       // unallocated sparse chunks read as), else undefined
       msgs += MSG_FILL -> (
@@ -1328,7 +1433,9 @@ object Hdf5Format {
       } else {
         lay.u8(3).u8(2).u8(dims.size + 1).u64(btreeAddr) // layout v3, chunked
         chunkDims.foreach(lay.u32)
-        lay.u32(v.kind.elemSize)
+        // the element-size dim: for a class-10 array datatype the
+        // ELEMENT is the whole k-vector, so its size is rowBytes
+        lay.u32(if (v.arrayDt) v.kind.rowBytes.toInt else v.kind.elemSize)
       }
       msgs += MSG_LAYOUT -> lay.result()
       if (denseAttrs && allAttrs(v).nonEmpty) {
@@ -3445,6 +3552,8 @@ object Hdf5Format {
     var compactBytes: Array[Byte] = Array.emptyByteArray
     var vlenBase: Option[H5Kind] = None
     var enumInfo: Option[(H5Kind, Seq[(String, Long)])] = None
+    var opaqueTag = ""
+    var arrInfo: Option[(H5Kind, Int)] = None
     var bigEndian = false
     var layoutV4 = false
     var chunkIdxType = 0
@@ -3501,13 +3610,44 @@ object Hdf5Format {
         val bf1 = b.u8()
         b.skip(1)
         elemSize = b.u32().toInt
-        // bit 0 is the byte-order flag only for the atomic classes;
-        // for class 9 (variable-length) bits 0-3 are the vlen TYPE.
-        // Big-endian numerics (POWER/SPARC-written wild files) are
-        // served by order-aware accessors in the range reader.
-        if (kindCls <= 1 && (bf0 & 1) != 0) bigEndian = true
+        // bit 0 is the byte-order flag only for the atomic classes
+        // (fixed/float/bitfield); for class 9 (variable-length) bits
+        // 0-3 are the vlen TYPE. Big-endian numerics (POWER/SPARC-
+        // written wild files) are served by order-aware accessors in
+        // the range reader.
+        if ((kindCls <= 1 || kindCls == 4) && (bf0 & 1) != 0) bigEndian = true
         signed = kindCls != 0 || (bf0 & 0x08) != 0
         if (kindCls == 3) strWidth = elemSize
+        if (kindCls == 5) {
+          // opaque: the class bit field is the ASCII tag length; the
+          // NUL-padded tag is the only property
+          val tagLen = bf0 | (bf1 << 8)
+          if (tagLen > 0 && tagLen <= b.remaining) {
+            val tb = b.slice(tagLen)
+            var n = 0
+            while (n < tb.length && tb(n) != 0) n += 1
+            opaqueTag = new String(tb, 0, n, "ASCII")
+          }
+        }
+        if (kindCls == 10) {
+          // array: rank (+ v2's reserved bytes and permutation
+          // indexes), per-dim u32 sizes, then the base datatype —
+          // the element is the flattened base array, exactly what a
+          // trailing dataspace dim would express
+          val arrVer = clsVer >> 4
+          require(arrVer == 2 || arrVer == 3,
+            s"array (class 10) datatype version $arrVer unsupported for $name")
+          val rank = b.u8()
+          require(rank >= 1 && rank <= 4,
+            s"array (class 10) rank $rank out of range for $name")
+          if (arrVer == 2) b.skip(3)
+          val adims = (0 until rank).map(_ => b.u32().toInt)
+          if (arrVer == 2) b.skip(4 * rank) // permutation indexes (unused by the spec)
+          require(adims.forall(_ >= 1),
+            s"array (class 10) dims ${adims.mkString("x")} invalid for $name")
+          val base = parseMemberDt(b, s"$name (array base)")
+          arrInfo = Some((base, adims.product))
+        }
         if (kindCls == 9) {
           val vt = bf0 & 0x0f
           if (vt == 0) // SEQUENCE: ragged arrays; base datatype follows
@@ -3691,9 +3831,23 @@ object Hdf5Format {
         require(base.elemSize == sz, s"enum base size ${base.elemSize} != $sz for $name")
         KEnum(base, ms)
       case (6, sz, 1) => KCompound(compMembers, sz)
-      case (1, 4, n) if n >= 2 => KFloatArr(flatW.toInt)
-      case (1, 8, n) if n >= 2 => KDoubleArr(flatW.toInt)
-      case (0, 8, n) if n >= 2 => KLongArr(flatW.toInt)
+      case (4, w, 1) if w == 1 || w == 2 || w == 4 || w == 8 => KBitfield(w)
+      case (5, w, 1) => KOpaque(w, opaqueTag)
+      case (10, _, 1) =>
+        // class-10 array over a rank-1 dataspace: geometry below runs
+        // off the datatype's TOTAL elemSize (= k * base size) with no
+        // trailing dataspace dims, so rowBytes and chunk byte math
+        // agree with the trailing-dim route by construction
+        val (base, k) = arrInfo.getOrElse(throw new java.io.IOException(
+          s"array (class 10) datatype without parsed geometry for $name"))
+        base match {
+          case KFloat => KFloatArr(k)
+          case KDouble => KDoubleArr(k)
+          case KLong => KLongArr(k)
+          case o => throw new java.io.IOException(
+            s"unsupported array (class 10) base $o for $name " +
+              "(float/double/int64 bases only)")
+        }
       case (c, sz, rk) => throw new java.io.IOException(
         s"unsupported dataset datatype ${classNameOf(c)} " +
           s"(elemSize=$sz, rank=$rk) for $name")
@@ -3776,7 +3930,13 @@ object Hdf5Format {
     val attrsOut = attrs.toSeq ++ enumInfo.map { case (_, ms) =>
       H5Attr("_enum_members",
         Some(ms.map { case (n2, ev) => s"$n2=$ev" }.mkString(",")), Array.empty)
-    }
+    } ++ (kind match {
+      // the opaque datatype's ASCII tag, surfaced like _enum_members
+      // so metadata readers can gate on it
+      case KOpaque(_, tag) if tag.nonEmpty =>
+        Seq(H5Attr("_opaque_tag", Some(tag), Array.empty))
+      case _ => Nil
+    })
     Some(H5Var(name, kind, dims.head, math.max(1, chunkRecs), deflate,
       contiguous, chunks, attrsOut, shuffle = shuffle, fletcher = fletcher,
       chunkCols = chunkColsOf, compactData = compactBytes,
@@ -4239,6 +4399,26 @@ object Hdf5Format {
     def getLongElem(rec: Long, k: Int): Long =
       if (tiled) { val o = tileLocate(rec, k); curTileBB.getLong(o) }
       else bb.getLong(ensure(rec) + 8 * k)
+
+    /** Bitfield element, ZERO-extended (a bag of bits is unsigned by
+      * construction; a stored 0x80 byte reads as 128, never -128).
+      * Width-8 words return raw long bits. Byte order rides the
+      * variable's order-aware buffer like every atomic accessor. */
+    def getBitfield(rec: Long): Long = {
+      val off = ensure(rec)
+      v.kind.elemSize match {
+        case 1 => raw(off) & 0xffL
+        case 2 => bb.getShort(off) & 0xffffL
+        case 4 => bb.getInt(off) & 0xffffffffL
+        case _ => bb.getLong(off)
+      }
+    }
+
+    /** Opaque element: the fixed-width byte payload, verbatim. */
+    def getOpaque(rec: Long): Array[Byte] = {
+      val off = ensure(rec)
+      java.util.Arrays.copyOfRange(raw, off, off + v.kind.elemSize)
+    }
 
     def close(): Unit = in.close()
   }

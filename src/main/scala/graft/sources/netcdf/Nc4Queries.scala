@@ -922,6 +922,132 @@ object Nc4Queries {
       |  CAST(SUM(CAST(CAST(embedding[14] AS DOUBLE) AS DECIMAL(12,8))) AS DOUBLE) AS sum_e13
       |FROM embeddings""".stripMargin
 
+  /** BITFIELD (class 4) DATA COLUMNS (r10 — instrument/quality-flag
+    * words in wild satellite products; h5py's `np.uintN` mapping):
+    * a packed flags byte (4 low id bits | 3 event bits | a value
+    * threshold in bit 7) writes as a class-4 bitfield of width 1
+    * through shuffle+deflate, and the reader serves it ZERO-EXTENDED
+    * — `sum_flags` drags negative if any stored 0x80.. byte
+    * sign-extends, so unsignedness is hash-gated, not asserted. The
+    * per-bit aggregates (`n_hibit`, `sum_lo`) replay the packing in
+    * both engines bit-exactly. */
+  def nc4Bitfield: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5bitfield")
+    t(s, dir, "events")
+      .select(col("event_id"),
+        (col("user_id") % 16)
+          .bitwiseOR(shiftleft(col("event_id") % 8, 4))
+          .bitwiseOR(shiftleft(when(col("value") > 50, 1L).otherwise(0L), 7))
+          .cast(LongType).as("flags"))
+      .repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("shuffle", "true")
+      .option("bitfield.flags", "1")
+      .save(out)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_id"),
+        sum(col("flags")).as("sum_flags"),
+        sum(shiftright(col("flags"), 7).bitwiseAND(lit(1L))).as("n_hibit"),
+        sum(col("flags").bitwiseAND(lit(15L))).as("sum_lo"),
+        max(col("flags")).as("max_flags"))
+  }
+
+  val nc4BitfieldSql: String =
+    """WITH f AS (
+      |  SELECT event_id,
+      |    (user_id % 16) | ((event_id % 8) << 4) |
+      |    ((CASE WHEN value > 50 THEN 1 ELSE 0 END) << 7) AS flags
+      |  FROM events)
+      |SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(flags) AS BIGINT) AS sum_flags,
+      |  CAST(SUM((flags >> 7) & 1) AS BIGINT) AS n_hibit,
+      |  CAST(SUM(flags & 15) AS BIGINT) AS sum_lo,
+      |  CAST(MAX(flags) AS BIGINT) AS max_flags
+      |FROM f""".stripMargin
+
+  /** OPAQUE (class 5) DATA COLUMNS (r10 — netCDF-4
+    * `createOpaqueType(size, name)` / NC_OPAQUE, the fixed-width
+    * uninterpreted payload type real instrument products carry):
+    * 16-byte md5 digests of document text write as class-5 opaque
+    * elements with tag "md5", read back as a Spark binary column.
+    * The gate hashes the full payload space (distinct count +
+    * lexicographic endpoints over the hex expansion) and the
+    * datatype's tag via the synthetic `_opaque_tag` attribute —
+    * mirroring the `_enum_members` device. */
+  def nc4Opaque: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5opaque")
+    t(s, dir, "documents")
+      .select(col("doc_id"), unhex(md5(col("text"))).as("digest"))
+      .repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("shuffle", "true")
+      .option("opaque.digest", "16:md5")
+      .save(out)
+    val agg = s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("doc_id")).as("sum_doc"),
+        countDistinct(lower(hex(col("digest")))).as("n_distinct"),
+        min(lower(hex(col("digest")))).as("min_d"),
+        max(lower(hex(col("digest")))).as("max_d"))
+    val tagRow = Hdf5IO.readAttrs(s, out)
+      .filter(col("attr_name") === "_opaque_tag")
+      .select(col("sval").as("tag")).distinct()
+    agg.crossJoin(broadcast(tagRow))
+  }
+
+  val nc4OpaqueSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_doc,
+      |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+      |  MIN(md5(text)) AS min_d, MAX(md5(text)) AS max_d,
+      |  'md5' AS tag
+      |FROM documents""".stripMargin
+
+  /** ARRAY (class 10) DATATYPES (r10 — h5py's `dtype=(np.float32,
+    * (k,))` layout: the k-vector is the DATATYPE's element over a
+    * rank-1 dataspace, not a trailing dataspace dim; both layouts
+    * coexist in wild files and must read identically): the
+    * embeddings matrix writes with `arraydt` — class-10 v3 datatype
+    * wrapping an LE float base, element size 256 bytes, rank-1
+    * chunk B-tree keys — through shuffle+deflate, and the gate runs
+    * the SAME aggregates as the trailing-dim route (`nc4_rank3`),
+    * so any geometry drift between the two on-disk array layouts
+    * breaks the hash. */
+  def nc4ArrayDtype: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5arraydt")
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast(LongType).as("label"))
+      .repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("shuffle", "true")
+      .option("arraydt.embedding", "true")
+      .save(out)
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("vec_id")).as("sum_vec"),
+        sum(col("label")).as("sum_label"),
+        sum(expr(
+          "aggregate(embedding, CAST(0 AS DECIMAL(28,8)), (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) AS DECIMAL(12,8)) AS DECIMAL(28,8)))"))
+          .cast(DoubleType).as("sum_emb"),
+        sum(expr("CAST(CAST(embedding[5] AS DOUBLE) AS DECIMAL(12,8))"))
+          .cast(DoubleType).as("sum_e5"))
+  }
+
+  val nc4ArrayDtypeSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS sum_vec,
+      |  CAST(SUM(label) AS BIGINT) AS sum_label,
+      |  CAST(SUM(list_sum(list_transform(embedding,
+      |    x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,8))))) AS DOUBLE) AS sum_emb,
+      |  CAST(SUM(CAST(CAST(embedding[6] AS DOUBLE) AS DECIMAL(12,8))) AS DOUBLE) AS sum_e5
+      |FROM embeddings""".stripMargin
+
   /** GRID FROM THE netCDF-4 STORE (r8 — the classic
     * `grid_from_source_index` twin: the grid family's chunk table
     * derives straight from an HDF5-stored variable's record index,
@@ -1655,6 +1781,9 @@ object Nc4Queries {
     "nc4_zstd" -> nc4Zstd,
     "grid_from_nc4_index" -> gridFromNc4,
     "nc4_rank3" -> nc4Rank3,
+    "nc4_bitfield" -> nc4Bitfield,
+    "nc4_opaque" -> nc4Opaque,
+    "nc4_array_dtype" -> nc4ArrayDtype,
     "nc4_sparse_fill" -> nc4SparseFill,
     "nc4_dim_scales" -> nc4DimScales,
     "nc4_sel_coord" -> nc4SelCoord,
@@ -1695,6 +1824,9 @@ object Nc4Queries {
     "nc4_zstd" -> nc4ZstdSql,
     "grid_from_nc4_index" -> gridFromNc4Sql,
     "nc4_rank3" -> nc4Rank3Sql,
+    "nc4_bitfield" -> nc4BitfieldSql,
+    "nc4_opaque" -> nc4OpaqueSql,
+    "nc4_array_dtype" -> nc4ArrayDtypeSql,
     "nc4_sparse_fill" -> nc4SparseFillSql,
     "nc4_dim_scales" -> nc4DimScalesSql,
     "nc4_sel_coord" -> nc4SelCoordSql,

@@ -194,6 +194,29 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
     options.collect { case (k, spec) if k.startsWith("dimnames.") =>
       k.stripPrefix("dimnames.") -> spec.split(',').toSeq.map(_.trim)
     }
+  /** `bitfield.<col>` = width (1|2|4|8) — the long column writes as a
+    * class-4 BITFIELD of that width (low bytes; reads zero-extend) */
+  private val bitfields: Map[String, Int] =
+    options.collect { case (k, spec) if k.startsWith("bitfield.") =>
+      k.stripPrefix("bitfield.") -> spec.trim.toInt
+    }
+  /** `opaque.<col>` = "width[:tag]" — the binary column writes as a
+    * class-5 OPAQUE of fixed width with the given ASCII tag (netCDF
+    * `createOpaqueType` name; surfaced on read as `_opaque_tag`) */
+  private val opaques: Map[String, (Int, String)] =
+    options.collect { case (k, spec) if k.startsWith("opaque.") =>
+      val i = spec.indexOf(':')
+      k.stripPrefix("opaque.") -> (
+        if (i < 0) (spec.trim.toInt, "")
+        else (spec.substring(0, i).trim.toInt, spec.substring(i + 1).trim))
+    }
+  /** `arraydt.<col>` = true — the array column writes with a class-10
+    * ARRAY datatype over a rank-1 dataspace (h5py's `(base, (k,))`
+    * layout) instead of a trailing dataspace dim */
+  private val arrayDt: Set[String] =
+    options.collect { case (k, spec) if k.startsWith("arraydt.") && spec.toBoolean =>
+      k.stripPrefix("arraydt.")
+    }.toSet
 
   private val getters: Array[InternalRow => Any] =
     schema.fields.zipWithIndex.map { case (f, i) =>
@@ -204,6 +227,7 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
         case ShortType => (r: InternalRow) => r.getShort(i)
         case LongType => (r: InternalRow) => r.getLong(i)
         case StringType => (r: InternalRow) => r.getUTF8String(i).getBytes
+        case BinaryType => (r: InternalRow) => r.getBinary(i)
         case ArrayType(FloatType, _) => (r: InternalRow) => r.getArray(i).toFloatArray
         case ArrayType(DoubleType, _) => (r: InternalRow) => r.getArray(i).toDoubleArray
         case ArrayType(LongType, _) => (r: InternalRow) => r.getArray(i).toLongArray
@@ -250,7 +274,8 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
         enumTypes = enumTypes, bigEndian = bigEndian, commitTypes = commitTypes,
         quantize = quantize, trailDims = trailDims, trailChunks = trailChunks,
         fillValues = fillValues, sparse = sparse, dimScales = dimScales,
-        zstdLevel = zstdLevel)
+        zstdLevel = zstdLevel, bitfields = bitfields, opaques = opaques,
+        arrayDatatype = arrayDt)
     }
     var i = 0
     while (i < schema.size) {

@@ -387,6 +387,8 @@ class Nc4PartitionReader(part: Nc4InputPartition, required: StructType,
             val a = new Array[Any](k)
             var i = 0; while (i < k) { a(i) = r.getLongElem(rec, i); i += 1 }
             new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
+          case KBitfield(_) => r.getBitfield(rec)
+          case KOpaque(_, _) => r.getOpaque(rec)
         }
         row.update(out, v)
         slot += 1
