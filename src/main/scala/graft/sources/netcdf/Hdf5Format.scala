@@ -3635,7 +3635,7 @@ object Hdf5Format {
           // the element is the flattened base array, exactly what a
           // trailing dataspace dim would express
           val arrVer = clsVer >> 4
-          require(arrVer == 2 || arrVer == 3,
+          if (arrVer != 2 && arrVer != 3) throw new java.io.IOException(
             s"array (class 10) datatype version $arrVer unsupported for $name")
           val rank = b.u8()
           require(rank >= 1 && rank <= 4,
@@ -3848,6 +3848,11 @@ object Hdf5Format {
             s"unsupported array (class 10) base $o for $name " +
               "(float/double/int64 bases only)")
         }
+      // rank>=2 atomic datasets: trailing dataspace dims flatten to an
+      // array column (the writer's default layout for grids/embeddings)
+      case (1, 4, n) if n >= 2 => KFloatArr(flatW.toInt)
+      case (1, 8, n) if n >= 2 => KDoubleArr(flatW.toInt)
+      case (0, 8, n) if n >= 2 => KLongArr(flatW.toInt)
       case (c, sz, rk) => throw new java.io.IOException(
         s"unsupported dataset datatype ${classNameOf(c)} " +
           s"(elemSize=$sz, rank=$rk) for $name")

@@ -116,17 +116,20 @@ class Hdf5FixtureSpec extends AnyFunSuite {
   }
 
   // -----------------------------------------------------------------
-  // per-class loud rejects for the deliberately unsupported datatype
-  // classes (r9 verdict item 5): a wild file carrying time (class 2),
-  // bitfield (class 4), opaque (class 5), or array (class 10) data
-  // must fail with a message NAMING the class, so triage needs no
-  // spec lookup. Fixture: a real writer-produced file whose class-0
-  // datatype message byte is patched to the foreign class — v1 object
-  // headers (h5ver=0) carry no checksum, so the patch isolates the
+  // datatype-class dispatch on a patched class nibble (r9 verdict
+  // item 5, updated for the r10 class-4/5/10 read support): a wild
+  // file carrying time (class 2) data must fail with a message NAMING
+  // the class; bitfield (class 4) and opaque (class 5) now READ as
+  // KBitfield/KOpaque; a class-10 array whose datatype version is v1
+  // (the spec only defines v2/v3) rejects naming the bad version.
+  // Fixture: a real writer-produced file whose class-0 datatype
+  // message byte is patched to the foreign class — v1 object headers
+  // (h5ver=0) carry no checksum, so the patch isolates the
   // datatype-class dispatch and nothing else.
   // -----------------------------------------------------------------
 
-  test("datatype classes 2/4/5/10 reject loudly, naming the class") {
+  test("patched datatype classes: 2 rejects naming the class, 4/5 read " +
+      "as bitfield/opaque, 10 rejects its v1 version") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val w = new Hdf5Format.Hdf5Writer(
       StructType(Seq(StructField("v", LongType))), chunkRecs = 8, deflate = false)
@@ -138,16 +141,27 @@ class Hdf5FixtureSpec extends AnyFunSuite {
     val at = base.indices.indexWhere(i => i + pat.length <= base.length &&
       pat.indices.forall(j => base(i + j) == pat(j)))
     assert(at > 0, "class-0 datatype message not found in writer output")
-    for ((cls, label) <- Seq(2 -> "time (class 2)", 4 -> "bitfield (class 4)",
-        5 -> "opaque (class 5)", 10 -> "array (class 10)")) {
+    def patchTo(cls: Int): org.apache.hadoop.fs.Path = {
       val patched = base.clone()
       patched(at) = (0x10 | cls).toByte
-      val p = writeFile(s"dtype_class_$cls.nc4", patched)
-      val e = intercept[java.io.IOException] { Hdf5Format.readMeta(fs, p) }
-      assert(e.getMessage.contains(label),
-        s"class $cls reject should name '$label': ${e.getMessage}")
-      assert(e.getMessage.contains("for v"), e.getMessage) // names the dataset too
+      writeFile(s"dtype_class_$cls.nc4", patched)
     }
+    // class 2 (time): deliberate loud reject naming class AND dataset
+    val e2 = intercept[java.io.IOException] { Hdf5Format.readMeta(fs, patchTo(2)) }
+    assert(e2.getMessage.contains("time (class 2)"), e2.getMessage)
+    assert(e2.getMessage.contains("for v"), e2.getMessage)
+    // class 4 (bitfield): reads as a width-8 bitfield since r10
+    val m4 = Hdf5Format.readMeta(fs, patchTo(4))
+    assert(m4.vars.map(_.kind) == Seq(Hdf5Format.KBitfield(8)), m4.vars.toString)
+    // class 5 (opaque): reads as width-8 opaque; the class-0 props
+    // aren't a valid tag (claimed len 8 > 4 remaining) so tag is empty
+    val m5 = Hdf5Format.readMeta(fs, patchTo(5))
+    assert(m5.vars.map(_.kind) == Seq(Hdf5Format.KOpaque(8, "")), m5.vars.toString)
+    // class 10 (array): the patched message keeps datatype version 1,
+    // which the array class doesn't define — loud reject names it
+    val e10 = intercept[java.io.IOException] { Hdf5Format.readMeta(fs, patchTo(10)) }
+    assert(e10.getMessage.contains("array (class 10) datatype version 1"),
+      e10.getMessage)
   }
 
   // -----------------------------------------------------------------
