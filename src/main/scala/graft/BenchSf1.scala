@@ -146,8 +146,27 @@ object BenchSf1 {
     // measures per-pass scaling, not staging-build-vs-staged-read
     keys.foreach(k => time(k, srcDir))
     keys.foreach(k => time(k, dstDir))
-    val small = keys.map(k => k -> time(k, srcDir)).toMap
-    val big = keys.map(k => k -> time(k, dstDir)).toMap
+    var small = keys.map(k => k -> time(k, srcDir)).toMap
+    var big = keys.map(k => k -> time(k, dstDir)).toMap
+    // outlier watchdog (the r9/r10 grid_lag_diff lesson): a single
+    // timed sample per key means a session-wide transient — GC cliff,
+    // page-cache eviction — sticks to whichever key it straddled and
+    // reads as a scaling finding. Any key measuring super-linear
+    // (>8x) with a non-trivial absolute time gets ONE more sample per
+    // dir after the rest of the session has drained; the min is the
+    // steady state (same device as Bench.main's watchdog).
+    val suspects = keys.filter { k =>
+      small(k) > 0 && big(k) > 0 && big(k) / small(k) > 8.0 && big(k) > 1.0
+    }
+    if (suspects.nonEmpty) {
+      System.err.println(s"[sf1-watchdog] re-timing ${suspects.size} outliers: ${suspects.mkString(",")}")
+      suspects.foreach { k =>
+        val s2 = time(k, srcDir)
+        val b2 = time(k, dstDir)
+        if (s2 > 0) small += k -> math.min(small(k), s2)
+        if (b2 > 0) big += k -> math.min(big(k), b2)
+      }
+    }
     def fmt(d: Double) = if (d < 0) "-1" else f"$d%.3f"
     val rows = keys.map { k =>
       val ratio = if (small(k) > 0 && big(k) > 0) big(k) / small(k) else -1.0
