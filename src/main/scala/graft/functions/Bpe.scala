@@ -382,17 +382,59 @@ object Bpe {
     sb.toString
   }
 
+  /** DETOKENIZATION — the DECODE half of the tokenizer contract
+    * (every pipeline that tokenizes for packing must decode for
+    * inspection/eval): each distinct word tokenizes through the merge
+    * chain, the token array DECODES back by plain concatenation (BPE
+    * merges only ever glue adjacent spans, so decode(encode(w)) == w
+    * is the invariant — a merge application that drops, duplicates,
+    * or reorders one character breaks it), and documents reassemble
+    * from their decoded words in position order. The gate pins the
+    * per-doc roundtrip-ok count AND an md5 of the reassembled text
+    * against the oracle's md5 of the lowercased original — decode is
+    * exercised for real because only the DECODED strings reach the
+    * hash. Work stays vocabulary-sized like [[textTokensBpe]]: encode
+    * + decode run once per distinct word; the per-doc regroup
+    * shuffles (doc_id, pos, word)-sized rows. */
+  def textDetokenize: Q = (s, dir) => {
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .select(col("doc_id"), col("pos"), lower(col("w0")).as("w"))
+    val vocab = words.select("w").distinct()
+      .withColumn("decoded", expr(s"array_join(${sparkTokensExpr("w")}, '')"))
+    words.join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_words"),
+        sum(when(col("decoded") === col("w"), 1L).otherwise(0L)).as("n_roundtrip_ok"),
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, decoded))), x -> x.decoded)")))
+          .as("rebuilt_hash"))
+  }
+
+  /** Oracle: decode(encode(w)) == w by the merge-chain construction,
+    * so the reassembled text IS the lowercased original — the oracle
+    * recomputes nothing BPE-side and the Spark side must reproduce it
+    * through a real encode → decode → reassemble chain. */
+  val textDetokenizeSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_roundtrip_ok,
+      |  md5(lower(text)) AS rebuilt_hash
+      |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_tokencount_bpe" -> textTokencountBpe,
     "text_tokens_bpe" -> textTokensBpe,
     "text_tokens_bpe_file" -> textTokensBpeFile,
     "text_bpe_train" -> textBpeTrain,
-    "text_tokens_bpe_trained" -> textTokensBpeTrained)
+    "text_tokens_bpe_trained" -> textTokensBpeTrained,
+    "text_detokenize" -> textDetokenize)
 
   val oracles: Map[String, String] = Map(
     "text_tokencount_bpe" -> textTokencountBpeSql,
     "text_tokens_bpe" -> textTokensBpeSql,
     "text_tokens_bpe_file" -> textTokensBpeSql,
     "text_bpe_train" -> textBpeTrainSql,
-    "text_tokens_bpe_trained" -> textTokensBpeTrainedSql)
+    "text_tokens_bpe_trained" -> textTokensBpeTrainedSql,
+    "text_detokenize" -> textDetokenizeSql)
 }

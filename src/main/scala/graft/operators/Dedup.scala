@@ -381,17 +381,37 @@ object Dedup {
        |FROM cc JOIN hc ON hc.n_bands = cc.n_bands""".stripMargin
   }
 
+  /** Exact Jaccard straight from inverted-index OVERLAP MULTIPLICITY
+    * (r11 — the r10 10× hotspot closed): the df-capped self-join
+    * already emits exactly one row per (pair, shared shingle), so
+    * n_inter is ONE partial-agg count over the join output — never
+    * the old distinct-then-re-join plan whose verification fanned
+    * every candidate pair back out against both docs' full shingle
+    * lists (pairs × |doc| rows; ~600M at the 10× bench, 26-34 s).
+    * Join volume is ≤ MAX_DF · |sh| rows by the df cap — LINEAR in
+    * corpus size regardless of duplication skew; only the OUTPUT
+    * pair count reflects the data's true near-dup mass. Same values
+    * as the re-join form (both count |A∩B| over distinct capped
+    * shingles), so the oracle is unchanged. */
+  private def ngramPairs(sh: DataFrame): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.toDF("id_a", "sh").join(sh.toDF("id_b", "sh"), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnt.toDF("id_a", "n_a"), "id_a")
+      .join(cnt.toDF("id_b", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
+
   /** Word-4-gram Jaccard: candidates = pairs sharing at least one
     * df-capped 4-gram (inverted-index self-join on the shingle; the
     * df cap bounds every join bucket to <= MAX_DF members, so the
     * worst case is corpus_size·MAX_DF pairs, never O(n²)). */
   def dedupNgramJaccard: Q = (s, dir) => {
     val sh = cappedShingles(t(s, dir, "documents"), 4).cache()
-    val cand = sh.toDF("id_a", "sh").join(sh.toDF("id_b", "sh"), "sh")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    withJaccard(cand, sh)
+    ngramPairs(sh)
   }
 
   val dedupNgramJaccardSql: String = {
@@ -425,11 +445,7 @@ object Dedup {
     * for oracle parity; this is the 100 TB route. */
   def dedupNgramTopm: Q = (s, dir) => {
     val sh = cappedShingles(t(s, dir, "documents"), 4).cache()
-    val cand = sh.toDF("id_a", "sh").join(sh.toDF("id_b", "sh"), "sh")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    val pairs = withJaccard(cand, sh)
+    val pairs = ngramPairs(sh)
     // symmetrize so EVERY doc owns its neighbor list (canonical
     // id_a < id_b pairs split a doc's partners across both sides)
     val sym = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nbr_id"),

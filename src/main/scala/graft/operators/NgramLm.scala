@@ -79,6 +79,146 @@ object NgramLm {
       |FROM bi JOIN dict USING (w1, w2)
       |GROUP BY doc_id""".stripMargin
 
-  val queries: Map[String, Q] = Map("text_ngram_lm" -> textNgramLm)
-  val oracles: Map[String, String] = Map("text_ngram_lm" -> textNgramLmSql)
+  /** PERPLEXITY-STYLE LM FILTER (SURVEY.md §2C) — the CCNet/
+    * RefinedWeb curation step in its held-out, cross-engine-exact
+    * form: transition statistics train on a REFERENCE SPLIT only
+    * (source `src0`, standing in for the Wikipedia-trained KenLM a
+    * real pipeline ships), every document scores against that fixed
+    * model, and documents whose transitions are atypical of the
+    * reference distribution drop. Unseen transitions score 0 ppm
+    * (the OOV penalty that makes a held-out model a FILTER rather
+    * than a self-fulfilling score), documents too short to have a
+    * bigram drop as `short`, and the keep rule is the integer
+    * cross-multiplication `sum_q >= T * n_bigrams` (mean >= T ppm
+    * with no float division anywhere near the gate).
+    *
+    * Scale shape: the dict is reference-split-sized and joins back
+    * LEFT to map-side-extracted bigram occurrences on (w1, w2) —
+    * broadcast when the reference model is dictionary-sized, AQE
+    * otherwise; per-doc and per-source aggregations are partial.
+    * The ledger (per source: scored/kept/dropped/short + exact kept
+    * mass) mirrors pipeline_quality_filter's drop-reasons posture. */
+  private val PPL_T = 30000L // keep docs averaging >= 3% conditional ppm
+
+  def pipelinePerplexityFilter: Q = (s, dir) => {
+    val bi = bigrams(s, dir).cache() // feeds dict training AND scoring
+    val ref = bi.join(
+      t(s, dir, "documents").filter(col("source") === "src0").select("doc_id"),
+      "doc_id")
+    val c1 = ref.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val c2 = ref.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val dict = c2.join(c1, "w1")
+      .withColumn("q", expr("(1000000 * n2) div n1"))
+      .select("w1", "w2", "q")
+    val scored = bi.join(dict, Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("q"), lit(0L))).as("sum_q"))
+    t(s, dir, "documents").select("doc_id", "source")
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("short", col("n_bigrams").isNull)
+      .withColumn("keep",
+        !col("short") && col("sum_q") >= lit(PPL_T) * col("n_bigrams"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("short") && !col("keep"), 1L).otherwise(0L)).as("n_dropped_lowppl"),
+        sum(when(col("short"), 1L).otherwise(0L)).as("n_short"),
+        sum(when(col("keep"), col("sum_q")).otherwise(0L)).as("sum_q_kept"),
+        sum(when(col("keep"), col("n_bigrams")).otherwise(0L)).as("n_bigrams_kept"))
+  }
+
+  val pipelinePerplexityFilterSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w != '') AS ws
+       |  FROM documents),
+       |bi AS (
+       |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+       |        FROM base WHERE len(ws) >= 2)),
+       |ref AS (SELECT bi.* FROM bi JOIN documents d USING (doc_id)
+       |        WHERE d.source = 'src0'),
+       |c1 AS (SELECT w1, COUNT(*) AS n1 FROM ref GROUP BY w1),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM ref GROUP BY w1, w2),
+       |dict AS (SELECT w1, w2, (1000000 * n2) // n1 AS q
+       |         FROM c2 JOIN c1 USING (w1)),
+       |scored AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    SUM(COALESCE(q, 0)) AS sum_q
+       |  FROM bi LEFT JOIN dict USING (w1, w2)
+       |  GROUP BY doc_id),
+       |lab AS (
+       |  SELECT d.source, s.n_bigrams, s.sum_q,
+       |    s.n_bigrams IS NULL AS short,
+       |    s.n_bigrams IS NOT NULL AND s.sum_q >= $PPL_T * s.n_bigrams AS keep
+       |  FROM documents d LEFT JOIN scored s USING (doc_id))
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN NOT short AND NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_lowppl,
+       |  CAST(SUM(CASE WHEN short THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       |  CAST(SUM(CASE WHEN keep THEN sum_q ELSE 0 END) AS BIGINT) AS sum_q_kept,
+       |  CAST(SUM(CASE WHEN keep THEN n_bigrams ELSE 0 END) AS BIGINT) AS n_bigrams_kept
+       |FROM lab GROUP BY source""".stripMargin
+
+  /** STREAMING LM FILTER (§2D twin): the trained reference-split dict
+    * is exactly the artifact a production pipeline broadcasts to its
+    * ingest stream — here documents arrive as a micro-batched stream,
+    * bigrams extract map-side, and each scores through a
+    * STREAM-STATIC left join against the fixed dict (STATELESS by
+    * construction: no watermark, no state store — static-side lookups
+    * never buffer stream rows), with the per-doc/per-source ledger
+    * aggregated from the sink. Output and oracle shared with
+    * [[pipelinePerplexityFilter]], so the stream path must score
+    * every document identically to the batch path. */
+  def streamPerplexityFilter: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val ref = bigrams(s, dir).join(
+      docs.filter(col("source") === "src0").select("doc_id"), "doc_id")
+    val c1 = ref.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val dict = ref.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+      .join(c1, "w1")
+      .withColumn("q", expr("(1000000 * n2) div n1"))
+      .select("w1", "w2", "q")
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    graft.streaming.StreamStage.withStaged(s, "sppl", dir, "documents.parquet") { stageDir =>
+      val streamBi = s.readStream.schema(sch).parquet(stageDir)
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), ' '), w -> w != '')").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> named_struct('w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val scored = streamBi.join(dict, Seq("w1", "w2"), "left")
+        .select(col("doc_id"), coalesce(col("q"), lit(0L)).as("q_eff"))
+      val q = scored.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_ppl").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val perDoc = s.table("graft_stream_ppl")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q_eff")).as("sum_q"))
+    docs.select("doc_id", "source")
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("short", col("n_bigrams").isNull)
+      .withColumn("keep",
+        !col("short") && col("sum_q") >= lit(PPL_T) * col("n_bigrams"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("short") && !col("keep"), 1L).otherwise(0L)).as("n_dropped_lowppl"),
+        sum(when(col("short"), 1L).otherwise(0L)).as("n_short"),
+        sum(when(col("keep"), col("sum_q")).otherwise(0L)).as("sum_q_kept"),
+        sum(when(col("keep"), col("n_bigrams")).otherwise(0L)).as("n_bigrams_kept"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_ngram_lm" -> textNgramLm,
+    "pipeline_perplexity_filter" -> pipelinePerplexityFilter,
+    "stream_perplexity_filter" -> streamPerplexityFilter)
+  val oracles: Map[String, String] = Map(
+    "text_ngram_lm" -> textNgramLmSql,
+    "pipeline_perplexity_filter" -> pipelinePerplexityFilterSql,
+    "stream_perplexity_filter" -> pipelinePerplexityFilterSql)
 }

@@ -158,7 +158,11 @@ object Hdf5Format {
     case n => s"class $n"
   }
 
-  case class H5Attr(name: String, text: Option[String], nums: Array[Double])
+  case class H5Attr(name: String, text: Option[String], nums: Array[Double],
+      /** class-7 OBJECT REFERENCE attribute: nums carry raw header
+        * addresses until [[readMeta]] resolves them to dataset names
+        * (the satellite-product "coordinates"-style metadata link) */
+      isRef: Boolean = false)
 
   /** One stored chunk: logical start record, file offset, stored
     * (possibly compressed) byte count, filter mask (bit 0 set = the
@@ -618,6 +622,26 @@ object Hdf5Format {
     b.bytes(dtB).padTo8()
     b.bytes(dsB).padTo8()
     refs.foreach { case (gaddr, idx) => b.u32(1).u64(gaddr).u32(idx) }
+    b.result()
+  }
+
+  /** Plain class-7 OBJECT REFERENCE attribute: rank-1 dataspace of N
+    * raw 8-byte header addresses — the non-vlen sibling of
+    * [[dimListAttrBytes]] (satellite-product "coordinates"-style
+    * metadata links). Message length is independent of the address
+    * VALUES, so the sizing pass lays it out with zeros. */
+  private def refAttrBytes(attrName: String, addrs: Seq[Long]): Array[Byte] = {
+    val name = attrName.getBytes("UTF-8")
+    val dt = new Buf
+    dt.u8(0x17).u8(0).u8(0).u8(0).u32(8) // object reference v1
+    val dtB = dt.result()
+    val dsB = dataspaceBytes(Seq(addrs.length.toLong), withMax = false)
+    val b = new Buf
+    b.u8(1).u8(0).u16(name.length + 1).u16(dtB.length).u16(dsB.length)
+    b.bytes(name).u8(0).padTo8()
+    b.bytes(dtB).padTo8()
+    b.bytes(dsB).padTo8()
+    addrs.foreach(b.u64)
     b.result()
   }
 
@@ -1111,8 +1135,22 @@ object Hdf5Format {
       /** array columns emitted as a class-10 ARRAY datatype over a
         * rank-1 dataspace instead of a trailing dataspace dim — the
         * h5py `dtype=(base, (k,))` layout */
-      arrayDatatype: Set[String] = Set.empty) {
+      arrayDatatype: Set[String] = Set.empty,
+      /** dataset → (attribute name, referenced dataset names): emits a
+        * class-7 OBJECT REFERENCE attribute whose payload is the
+        * referenced datasets' header addresses — the
+        * "coordinates"-style dataset link wild satellite products
+        * carry in their metadata. v2-generation files only (the
+        * sizing pass needs the address-free message length). */
+      refAttrs: Map[String, (String, Seq[String])] = Map.empty) {
     require(h5ver == 0 || h5ver == 2, s"h5ver must be 0 or 2, got $h5ver")
+    require(refAttrs.isEmpty || h5ver == 2,
+      "refattr needs the v2-generation writer (h5ver=2)")
+    refAttrs.foreach { case (c, (_, targets)) =>
+      require(schema.fieldNames.contains(c), s"refattr column $c not in schema")
+      targets.foreach(tn => require(schema.fieldNames.contains(tn),
+        s"refattr target $tn of $c is not a dataset in this file"))
+    }
     bitfields.foreach { case (c, w) =>
       require(Seq(1, 2, 4, 8).contains(w), s"bitfield width for $c must be 1|2|4|8, got $w")
     }
@@ -1303,7 +1341,8 @@ object Hdf5Format {
     private def datasetMsgs(v: VarState, btreeAddr: Long,
         attrInfoAddr: Long = UNDEF,
         typeAddr: Long = UNDEF,
-        dimRefs: Seq[(Long, Int)] = Nil): Seq[(Int, Array[Byte])] = {
+        dimRefs: Seq[(Long, Int)] = Nil,
+        objRefs: Seq[(String, Seq[Long])] = Nil): Seq[(Int, Array[Byte])] = {
       val dims: Seq[Long] = v.kind match {
         case KFloatArr(_) | KDoubleArr(_) | KLongArr(_) =>
           v.numRecs +: v.trailD.toSeq.map(_.toLong)
@@ -1449,6 +1488,9 @@ object Hdf5Format {
         allAttrs(v).foreach(a => msgs += MSG_ATTRIBUTE -> attributeBytes(a))
       if (dimRefs.nonEmpty)
         msgs += MSG_ATTRIBUTE -> dimListAttrBytes(dimRefs)
+      objRefs.foreach { case (an, addrs) =>
+        msgs += MSG_ATTRIBUTE -> refAttrBytes(an, addrs)
+      }
       msgs.toSeq
     }
 
@@ -1582,8 +1624,9 @@ object Hdf5Format {
 
     private def datasetHeaderV2(v: VarState, btreeAddr: Long,
         attrInfoAddr: Long = UNDEF, typeAddr: Long = UNDEF,
-        dimRefs: Seq[(Long, Int)] = Nil): Array[Byte] =
-      objectHeaderV2(datasetMsgs(v, btreeAddr, attrInfoAddr, typeAddr, dimRefs),
+        dimRefs: Seq[(Long, Int)] = Nil,
+        objRefs: Seq[(String, Seq[Long])] = Nil): Array[Byte] =
+      objectHeaderV2(datasetMsgs(v, btreeAddr, attrInfoAddr, typeAddr, dimRefs, objRefs),
         if (typeAddr != UNDEF) Set(MSG_DATATYPE) else Set.empty)
 
     /** Chunk B-tree v1, single level-0 node (type 1): entries carry
@@ -2373,6 +2416,13 @@ object Hdf5Format {
         if (coordCols(v.name)) Nil
         else dimScales.getOrElse(v.name, Nil).map(d =>
           (dimGcolAddr, dimNames.indexOf(d) + 1))
+      /** class-7 reference attrs for one variable: target names
+        * resolve to final header addresses (zeros in the sizing pass
+        * — the message length is address-free). */
+      def objRefsFor(v: VarState, hdrAddrs: Seq[Long]): Seq[(String, Seq[Long])] =
+        refAttrs.get(v.name).toSeq.map { case (an, targets) =>
+          an -> targets.map(tn => hdrAddrs(vars.indexWhere(_.name == tn)))
+        }
       // vlen global heap ahead of the var region (see materializeVlen)
       val gcolAddr = cursor
       val gcolSeg = materializeVlen(gcolAddr)
@@ -2448,7 +2498,8 @@ object Hdf5Format {
         varHdrAddrs(i) = cursor
         cursor += datasetHeaderV2(v, 0L,
           typeAddr = typeAddrOf.getOrElse(v.kind, UNDEF),
-          dimRefs = dimRefsFor(v)).length
+          dimRefs = dimRefsFor(v),
+          objRefs = objRefsFor(v, vars.map(_ => 0L))).length
         varAttrAddrs(i) = cursor
         if (denseAttrs && allAttrs(v).nonEmpty) cursor += denseAttrGeom(v)._2
         val addrs =
@@ -2505,7 +2556,8 @@ object Hdf5Format {
       }
       vars.zipWithIndex.foreach { case (v, i) =>
         out.bytes(datasetHeaderV2(v, layoutAddr(varChunkAddrs(i), varBtreeAddrs(i)),
-          varAttrAddrs(i), typeAddrOf.getOrElse(v.kind, UNDEF), dimRefsFor(v)))
+          varAttrAddrs(i), typeAddrOf.getOrElse(v.kind, UNDEF), dimRefsFor(v),
+          objRefsFor(v, varHdrAddrs.toSeq)))
         if (denseAttrs && allAttrs(v).nonEmpty) {
           require(out.size == varAttrAddrs(i),
             s"dense attr layout drift: ${out.size} != ${varAttrAddrs(i)}")
@@ -3458,11 +3510,26 @@ object Hdf5Format {
         var i = 0
         while (i < vals.length && vb.remaining() >= 8) { vals(i) = vb.getDouble; i += 1 }
         Some(H5Attr(name, None, vals))
+      case 7 if elemSize == 8 =>
+        // OBJECT REFERENCE attribute (plain, non-vlen — the
+        // "coordinates"-style dataset link wild satellite products
+        // carry): N raw 8-byte header addresses; readMeta resolves
+        // them to dataset names (file offsets are well under 2^53)
+        val addrs = new Array[Double](n.toInt)
+        val rb = new BB(b.slice(math.min(8 * n.toInt, b.remaining)))
+        var i = 0
+        while (i < addrs.length && rb.remaining >= 8) { addrs(i) = rb.u64().toDouble; i += 1 }
+        Some(H5Attr(name, None, addrs, isRef = true))
       case _ =>
         val _ = dsFlags
         None // other attribute types: ignored, not load-bearing
     }
   }
+
+  /** Test hook: parse one serialized attribute message — drives the
+    * attribute parser (incl. the class-7 reference arm) against
+    * hand-assembled spec-literal fixtures, reader-independently. */
+  private[graft] def readAttrForTest(body: Array[Byte]): Option[H5Attr] = readAttr(body)
 
   /** Fetch one global-heap object's payload (standalone twin of the
     * VarReader's cached gcol walk — metadata-path use only). */
@@ -4006,13 +4073,22 @@ object Hdf5Format {
           a.text.exists(_.startsWith("This is a netCDF dimension"))))
         .map { v =>
           val dl = v.attrs.find(_.name == "DIMENSION_LIST")
-          dl match {
+          val v1 = dl match {
             case Some(a) if a.nums.nonEmpty =>
               val names = a.nums.toSeq.map(d => nameOfAddr.getOrElse(d.toLong, "?"))
               v.copy(attrs = v.attrs.filterNot(_.name == "DIMENSION_LIST") :+
                 H5Attr("_dims", Some(names.mkString(",")), Array.empty))
             case _ => v
           }
+          // plain class-7 reference attributes resolve the same way:
+          // addresses -> dataset names, surfaced as text under the
+          // attribute's own name
+          v1.copy(attrs = v1.attrs.map { a =>
+            if (!a.isRef) a
+            else H5Attr(a.name,
+              Some(a.nums.toSeq.map(d => nameOfAddr.getOrElse(d.toLong, "?")).mkString(",")),
+              Array.empty)
+          })
         }
       H5Meta(vars, rootAttrs)
     } finally in.close()

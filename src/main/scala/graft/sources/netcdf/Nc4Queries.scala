@@ -1007,6 +1007,45 @@ object Nc4Queries {
       |  'md5' AS tag
       |FROM documents""".stripMargin
 
+  /** OBJECT REFERENCE (class 7) ATTRIBUTES (r11 — the
+    * "coordinates"-style dataset link wild satellite products carry
+    * in their metadata: an attribute whose VALUES are references to
+    * other datasets in the same file): the writer emits a class-7
+    * attribute whose payload is the referenced datasets' header
+    * addresses (`refattr.<col>=name:target+target`), and the reader
+    * resolves the addresses back to DATASET NAMES through the same
+    * link-walk table the DIMENSION_LIST machinery uses — so the gate
+    * rides the resolved name list (a one-byte address error resolves
+    * to "?" and breaks the hash) next to the data aggregate. */
+  def nc4RefAttrs: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5refattr")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast(LongType).as("l_linenumber"),
+        col("l_quantity"))
+      .repartition(2)
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("shuffle", "true")
+      .option("refattr.l_quantity", "coordinates:l_orderkey+l_linenumber")
+      .save(out)
+    val agg = s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"))
+    val refRow = Hdf5IO.readAttrs(s, out)
+      .filter(col("var_name") === "l_quantity" && col("attr_name") === "coordinates")
+      .select(col("sval").as("coordinates")).distinct()
+    agg.crossJoin(broadcast(refRow))
+  }
+
+  val nc4RefAttrsSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  'l_orderkey,l_linenumber' AS coordinates
+      |FROM lineitem""".stripMargin
+
   /** ARRAY (class 10) DATATYPES (r10 — h5py's `dtype=(np.float32,
     * (k,))` layout: the k-vector is the DATATYPE's element over a
     * rank-1 dataspace, not a trailing dataspace dim; both layouts
@@ -1792,6 +1831,7 @@ object Nc4Queries {
     "nc4_bitfield" -> nc4Bitfield,
     "nc4_opaque" -> nc4Opaque,
     "nc4_array_dtype" -> nc4ArrayDtype,
+    "nc4_ref_attrs" -> nc4RefAttrs,
     "nc4_sparse_fill" -> nc4SparseFill,
     "nc4_dim_scales" -> nc4DimScales,
     "nc4_sel_coord" -> nc4SelCoord,
@@ -1835,6 +1875,7 @@ object Nc4Queries {
     "nc4_bitfield" -> nc4BitfieldSql,
     "nc4_opaque" -> nc4OpaqueSql,
     "nc4_array_dtype" -> nc4ArrayDtypeSql,
+    "nc4_ref_attrs" -> nc4RefAttrsSql,
     "nc4_sparse_fill" -> nc4SparseFillSql,
     "nc4_dim_scales" -> nc4DimScalesSql,
     "nc4_sel_coord" -> nc4SelCoordSql,

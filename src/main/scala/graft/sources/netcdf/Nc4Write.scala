@@ -217,6 +217,18 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
     options.collect { case (k, spec) if k.startsWith("arraydt.") && spec.toBoolean =>
       k.stripPrefix("arraydt.")
     }.toSet
+  /** `refattr.<col>` = "name:target1+target2" — emits a class-7
+    * OBJECT REFERENCE attribute `name` on dataset <col> whose
+    * payload is the referenced datasets' header addresses (resolved
+    * back to names on read) */
+  private val refAttrs: Map[String, (String, Seq[String])] =
+    options.collect { case (k, spec) if k.startsWith("refattr.") =>
+      val i = spec.indexOf(':')
+      require(i > 0, s"bad refattr spec '$spec' (want name:target[+target...])")
+      k.stripPrefix("refattr.") -> (
+        (spec.substring(0, i).trim,
+          spec.substring(i + 1).split('+').toSeq.map(_.trim).filter(_.nonEmpty)))
+    }
 
   private val getters: Array[InternalRow => Any] =
     schema.fields.zipWithIndex.map { case (f, i) =>
@@ -275,7 +287,7 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
         quantize = quantize, trailDims = trailDims, trailChunks = trailChunks,
         fillValues = fillValues, sparse = sparse, dimScales = dimScales,
         zstdLevel = zstdLevel, bitfields = bitfields, opaques = opaques,
-        arrayDatatype = arrayDt)
+        arrayDatatype = arrayDt, refAttrs = refAttrs)
     }
     var i = 0
     while (i < schema.size) {

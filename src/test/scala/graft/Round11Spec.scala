@@ -1,0 +1,122 @@
+package graft
+
+import graft.sources.netcdf.Hdf5Format
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 operators: class-7 OBJECT REFERENCE attributes (read +
+  * write + name resolution), the held-out LM curation filter and its
+  * streaming twin, and tokenizer decode. */
+class Round11Spec extends AnyFunSuite {
+  import TestSession._
+
+  private def fs = new Path("/tmp").getFileSystem(new Configuration())
+
+  private def writeFile(name: String, bytes: Array[Byte]): Path = {
+    val p = new Path(s"/tmp/graft_h5/$name")
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+    p
+  }
+
+  // -----------------------------------------------------------------
+  // class-7 reference attributes
+  // -----------------------------------------------------------------
+
+  test("hand-assembled class-7 attribute parses to raw addresses (isRef)") {
+    // v3 attribute framing (unpadded): header, name "refs\0",
+    // class-7 v1 datatype (8-byte elements), v2 rank-1 dataspace [2],
+    // payload = two LE header addresses
+    val bb = java.nio.ByteBuffer.allocate(9 + 5 + 8 + 12 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(3.toByte).put(0.toByte).putShort(5).putShort(8).putShort(12)
+      .put(0.toByte)
+      .put("refs".getBytes("ASCII")).put(0.toByte)
+      .put(0x17.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(8)
+      .put(2.toByte).put(1.toByte).put(0.toByte).put(1.toByte).putLong(2L)
+      .putLong(0x1234L).putLong(0x99L)
+    val a = Hdf5Format.readAttrForTest(bb.array()).get
+    assert(a.name == "refs" && a.isRef, a.toString)
+    assert(a.nums.toSeq == Seq(0x1234L.toDouble, 0x99L.toDouble), a.nums.toSeq)
+  }
+
+  test("refattr writer roundtrip: addresses resolve to dataset names in order") {
+    val w = new Hdf5Format.Hdf5Writer(
+      StructType(Seq(StructField("a", LongType), StructField("b", DoubleType))),
+      chunkRecs = 8, deflate = false, h5ver = 2,
+      refAttrs = Map("b" -> ("coordinates", Seq("b", "a"))))
+    (0 until 4).foreach(i => w.writeRow(c => if (c == 0) i.toLong else i * 0.5))
+    val p = writeFile("refattr_rt.nc4", w.finish())
+    val meta = Hdf5Format.readMeta(fs, p)
+    val vb = meta.vars.find(_.name == "b").get
+    val attr = vb.attrs.find(_.name == "coordinates").get
+    // order preserved exactly — a one-byte address error resolves to
+    // "?" or the wrong dataset and breaks this
+    assert(attr.text.contains("b,a"), attr.toString)
+    assert(!attr.isRef && attr.nums.isEmpty, attr.toString) // resolved, not raw
+    assert(meta.vars.find(_.name == "a").get.attrs.forall(_.name != "coordinates"))
+  }
+
+  test("refattr rejects v0-generation files and unknown targets loudly") {
+    val sch = StructType(Seq(StructField("a", LongType)))
+    val e0 = intercept[IllegalArgumentException] {
+      new Hdf5Format.Hdf5Writer(sch, chunkRecs = 8, h5ver = 0,
+        refAttrs = Map("a" -> ("r", Seq("a"))))
+    }
+    assert(e0.getMessage.contains("h5ver=2"), e0.getMessage)
+    val e1 = intercept[IllegalArgumentException] {
+      new Hdf5Format.Hdf5Writer(sch, chunkRecs = 8, h5ver = 2,
+        refAttrs = Map("a" -> ("r", Seq("missing"))))
+    }
+    assert(e1.getMessage.contains("missing"), e1.getMessage)
+  }
+
+  // -----------------------------------------------------------------
+  // held-out LM filter
+  // -----------------------------------------------------------------
+
+  test("pipeline_perplexity_filter ledger is complete and consistent at sf0.001") {
+    val rows = graft.operators.NgramLm.pipelinePerplexityFilter(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped_lowppl") +
+        r.getAs[Long]("n_short") == r.getAs[Long]("n_docs"), r.toString)
+      // summed per-doc keep rule: every kept doc satisfies
+      // sum_q >= T * n_bigrams, so the sums do too
+      assert(r.getAs[Long]("sum_q_kept") >= 30000L * r.getAs[Long]("n_bigrams_kept"),
+        r.toString)
+    }
+    // the filter must SPLIT — all-kept or all-dropped means the
+    // threshold is not in the data's range and the gate is vacuous
+    assert(rows.map(_.getAs[Long]("n_kept")).sum > 0, "nothing kept")
+    assert(rows.map(_.getAs[Long]("n_dropped_lowppl")).sum > 0, "nothing dropped")
+  }
+
+  test("stream_perplexity_filter equals the batch twin row-for-row") {
+    def key(r: org.apache.spark.sql.Row) =
+      (0 until r.length).map(r.get).mkString("|")
+    val batch = graft.operators.NgramLm.pipelinePerplexityFilter(spark, sf)
+      .collect().map(key).sorted
+    val stream = graft.operators.NgramLm.streamPerplexityFilter(spark, sf)
+      .collect().map(key).sorted
+    assert(batch.sameElements(stream), s"${batch.toSeq} vs ${stream.toSeq}")
+  }
+
+  // -----------------------------------------------------------------
+  // tokenizer decode
+  // -----------------------------------------------------------------
+
+  test("text_detokenize roundtrips every word and rebuilds the exact text") {
+    val out = graft.functions.Bpe.textDetokenize(spark, sf)
+    assert(out.filter(col("n_roundtrip_ok") =!= col("n_words")).count() == 0)
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), md5(lower(col("text"))).as("h"))
+    val joined = out.join(expected, "doc_id")
+      .filter(col("rebuilt_hash") =!= col("h"))
+    assert(joined.count() == 0, joined.take(1).mkString)
+  }
+}
