@@ -286,6 +286,85 @@ object Hdf5Format {
     n.endsWith(".nc4") || n.endsWith(".h5") || n.endsWith(".hdf5")
   }
 
+  private val H5SIG = Array[Byte](0x89.toByte, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** USER BLOCKS (spec II.A: the superblock may start at any
+    * power-of-two offset ≥ 512, with the leading bytes reserved for
+    * application data — `h5jam` produces exactly this, and every
+    * in-file address is relative to the superblock start): probe the
+    * signature at 0, then at doubling offsets, and serve the file
+    * through a BASE-SHIFTED stream so every downstream read —
+    * superblock, headers, chunk indexes, heap payloads, chunk data —
+    * resolves base-relative addresses untouched. Zero-cost for the
+    * base-0 common case (the raw stream is returned as-is). */
+  private def openShifted(fs: FileSystem, path: Path): FSDataInputStream = {
+    val raw = fs.open(path)
+    val sig = new Array[Byte](8)
+    def sigAt(off: Long): Boolean =
+      try { raw.readFully(off, sig, 0, 8); java.util.Arrays.equals(sig, H5SIG) }
+      catch { case _: java.io.IOException => false }
+    if (sigAt(0L)) return raw
+    val len = fs.getFileStatus(path).getLen
+    var off = 512L
+    while (off < len && off <= (1L << 26)) {
+      if (sigAt(off)) return new FSDataInputStream(new ShiftedInput(raw, off))
+      off <<= 1
+    }
+    raw.close()
+    throw new java.io.IOException(
+      s"$path is not an HDF5 file (no signature at 0 or any user-block offset)")
+  }
+
+  /** Base-shifting stream: positions presented to callers are
+    * superblock-relative; the shift happens at the seek/pread layer so
+    * every read path inherits it. */
+  private final class ShiftedInput(raw: FSDataInputStream, base: Long)
+      extends java.io.InputStream
+      with org.apache.hadoop.fs.Seekable
+      with org.apache.hadoop.fs.PositionedReadable {
+    override def read(): Int = raw.read()
+    override def read(b: Array[Byte], off: Int, len: Int): Int = raw.read(b, off, len)
+    override def seek(pos: Long): Unit = raw.seek(pos + base)
+    override def getPos: Long = raw.getPos - base
+    override def seekToNewSource(targetPos: Long): Boolean =
+      raw.seekToNewSource(targetPos + base)
+    override def read(position: Long, buffer: Array[Byte], offset: Int, length: Int): Int =
+      raw.read(position + base, buffer, offset, length)
+    override def readFully(position: Long, buffer: Array[Byte], offset: Int, length: Int): Unit =
+      raw.readFully(position + base, buffer, offset, length)
+    override def readFully(position: Long, buffer: Array[Byte]): Unit =
+      raw.readFully(position + base, buffer)
+    override def close(): Unit = raw.close()
+  }
+
+  /** `h5jam`-equivalent: prepend a user block of `ub` bytes (power of
+    * two ≥ 512) to a rendered HDF5 image, patching the superblock's
+    * base-address field (and the v2 checksum) to the new offset as
+    * the real tool does. Gate/fixture plumbing — the READER is the
+    * feature. */
+  private[graft] def jamUserBlock(bytes: Array[Byte], ub: Int): Array[Byte] = {
+    require(ub >= 512 && (ub & (ub - 1)) == 0, s"user block must be a power of two >= 512, got $ub")
+    val out = new Array[Byte](ub + bytes.length)
+    System.arraycopy(bytes, 0, out, ub, bytes.length)
+    val ver = bytes(8) & 0xff
+    val baseOff = ver match {
+      case 0 | 1 => ub + 24
+      case 2 | 3 => ub + 12
+      case v => throw new java.io.IOException(s"unsupported superblock version $v")
+    }
+    var i = 0
+    var b = ub.toLong
+    while (i < 8) { out(baseOff + i) = (b & 0xff).toByte; b >>= 8; i += 1 }
+    if (ver >= 2) {
+      // v2/v3 superblocks are checksummed over their first 44 bytes
+      val ck = lookup3(java.util.Arrays.copyOfRange(out, ub, ub + 44))
+      var j = 0
+      var c = ck.toLong & 0xffffffffL
+      while (j < 4) { out(ub + 44 + j) = (c & 0xff).toByte; c >>= 8; j += 1 }
+    }
+    out
+  }
+
   // ---------------------------------------------------------------
   /** Row-major strides: out(i) = Π dims(i+1..) (1 for the last dim). */
   private def suffixProducts(dims: Array[Int]): Array[Int] = {
@@ -4022,7 +4101,7 @@ object Hdf5Format {
   /** File metadata: superblock (v0-v3) → root group → datasets. Only
     * headers and chunk B-trees are read. */
   def readMeta(fs: FileSystem, path: Path): H5Meta = {
-    val in = fs.open(path)
+    val in = openShifted(fs, path)
     try {
       val r = new R(in)
       val sig = r.bytesAt(0L, 9)
@@ -4099,7 +4178,7 @@ object Hdf5Format {
     * One instance per (task, variable); chunks stream through a single
     * reusable raw buffer. */
   final class VarReader(fs: FileSystem, path: Path, v: H5Var, r0: Long, r1: Long) {
-    private val in = fs.open(path)
+    private val in = openShifted(fs, path)
     /** Contiguous layout is presented as synthetic raw "chunks" of
       * bounded slab size, so a huge unchunked variable never needs a
       * whole-variable buffer; real chunked vars use the B-tree list. */

@@ -1046,6 +1046,51 @@ object Nc4Queries {
       |  'l_orderkey,l_linenumber' AS coordinates
       |FROM lineitem""".stripMargin
 
+  /** USER BLOCKS (r11 — spec II.A: the superblock may start at any
+    * power-of-two offset ≥ 512 with application data ahead of it;
+    * `h5jam` produces exactly this and every in-file address is
+    * base-relative, so a reader pinned to offset 0 loses the whole
+    * file): three part files get MIXED treatment — jammed at 512,
+    * jammed at 1024 (base-address field + v2 superblock checksum
+    * patched like the real tool), and left untouched — and the scan
+    * must detect each file's base independently and read every
+    * record through the shifted chunk/heap/index addresses. */
+  def nc4UserBlock: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5ublock")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .repartition(3)
+      .write.format(SRC).mode("overwrite")
+      .option("h5ver", "2")
+      .option("shuffle", "true")
+      .save(out)
+    val p = new Path(out)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    NetCDF4Util.listFiles(fs, p).zipWithIndex.foreach { case (f, i) =>
+      if (i % 3 != 2) {
+        val len = fs.getFileStatus(f).getLen.toInt
+        val bytes = new Array[Byte](len)
+        val in = fs.open(f)
+        try in.readFully(0, bytes, 0, len) finally in.close()
+        val o = fs.create(f, true)
+        try o.write(Hdf5Format.jamUserBlock(bytes, if (i % 3 == 0) 512 else 1024))
+        finally o.close()
+      }
+    }
+    s.read.format(SRC).load(out)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val nc4UserBlockSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem""".stripMargin
+
   /** ARRAY (class 10) DATATYPES (r10 — h5py's `dtype=(np.float32,
     * (k,))` layout: the k-vector is the DATATYPE's element over a
     * rank-1 dataspace, not a trailing dataspace dim; both layouts
@@ -1832,6 +1877,7 @@ object Nc4Queries {
     "nc4_opaque" -> nc4Opaque,
     "nc4_array_dtype" -> nc4ArrayDtype,
     "nc4_ref_attrs" -> nc4RefAttrs,
+    "nc4_user_block" -> nc4UserBlock,
     "nc4_sparse_fill" -> nc4SparseFill,
     "nc4_dim_scales" -> nc4DimScales,
     "nc4_sel_coord" -> nc4SelCoord,
@@ -1876,6 +1922,7 @@ object Nc4Queries {
     "nc4_opaque" -> nc4OpaqueSql,
     "nc4_array_dtype" -> nc4ArrayDtypeSql,
     "nc4_ref_attrs" -> nc4RefAttrsSql,
+    "nc4_user_block" -> nc4UserBlockSql,
     "nc4_sparse_fill" -> nc4SparseFillSql,
     "nc4_dim_scales" -> nc4DimScalesSql,
     "nc4_sel_coord" -> nc4SelCoordSql,

@@ -75,6 +75,42 @@ class Round11Spec extends AnyFunSuite {
   }
 
   // -----------------------------------------------------------------
+  // user blocks
+  // -----------------------------------------------------------------
+
+  test("user-block jam: v2 and v0 files read identically through the shift") {
+    def build(h5ver: Int): Array[Byte] = {
+      val w = new Hdf5Format.Hdf5Writer(
+        StructType(Seq(StructField("a", LongType), StructField("b", DoubleType))),
+        chunkRecs = 8, deflate = true, h5ver = h5ver, shuffle = true)
+      (0 until 20).foreach(i => w.writeRow(c => if (c == 0) i.toLong else i * 1.5))
+      w.finish()
+    }
+    for ((ver, ub) <- Seq(2 -> 512, 0 -> 1024, 2 -> 4096)) {
+      val base = build(ver)
+      val p0 = writeFile(s"ublock_base_$ver$ub.nc4", base)
+      val pj = writeFile(s"ublock_jam_$ver$ub.nc4", Hdf5Format.jamUserBlock(base, ub))
+      val m0 = Hdf5Format.readMeta(fs, p0)
+      val mj = Hdf5Format.readMeta(fs, pj)
+      assert(mj.vars.map(_.name) == m0.vars.map(_.name), s"v$ver ub$ub")
+      assert(mj.numRecs == 20 && m0.numRecs == 20, s"v$ver ub$ub: ${mj.numRecs}")
+      assert(mj.vars.map(_.chunks.length) == m0.vars.map(_.chunks.length))
+    }
+  }
+
+  test("user-block probe rejects garbage and bad block sizes loudly") {
+    val garbage = writeFile("ublock_garbage.nc4", Array.fill[Byte](2048)(0x5a))
+    val e = intercept[java.io.IOException] { Hdf5Format.readMeta(fs, garbage) }
+    assert(e.getMessage.contains("not an HDF5 file"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Hdf5Format.jamUserBlock(new Array[Byte](100), 100)
+    }
+    intercept[IllegalArgumentException] {
+      Hdf5Format.jamUserBlock(new Array[Byte](100), 768)
+    }
+  }
+
+  // -----------------------------------------------------------------
   // held-out LM filter
   // -----------------------------------------------------------------
 
