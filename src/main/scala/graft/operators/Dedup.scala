@@ -920,7 +920,91 @@ object Dedup {
        |FROM cnt CROSS JOIN leak""".stripMargin
   }
 
+  /** EXACT-SUBSTRING SPAN DEDUP (the Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better" shape, scalably
+    * approximated with fixed-width windows the way production
+    * pipelines run it): every [[SPAN_W]]-word rolling window hashes,
+    * windows whose hash occurs MORE THAN ONCE in the corpus (across
+    * or within documents) are duplicated text, and each document's
+    * marked positions merge into MAXIMAL duplicated spans
+    * (gaps-and-islands: a new span starts when coverage breaks).
+    * Output per doc: span count, duplicated word mass, and an exact
+    * ppm fraction — the numbers a span-removal or doc-drop policy
+    * consumes downstream.
+    *
+    * Scale shape: window extraction is MAP-SIDE (transform over each
+    * doc's own words), the repeat test is one partial-agg count on
+    * the window hash, the join back is hash-on-digest, and the
+    * islands window is PARTITIONED BY doc_id (parallelism = corpus
+    * size, never a global sort) — everything linear in token count. */
+  private[operators] val SPAN_W = 8
+
+  def dedupSubstringSpans: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), w -> w != '')").as("ws"))
+    val win = words.filter(size(col("ws")) >= SPAN_W)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ws) - ${SPAN_W - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(ws, i, $SPAN_W))))"))
+        .as(Seq("p", "h")))
+      .select(col("doc_id"), (col("p") + 1).cast(LongType).as("pos"), col("h"))
+    val dup = win.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = win.join(dup, "h")
+      .select("doc_id", "pos")
+      .withColumn("brk",
+        when(col("pos") > lag("pos", 1).over(byDoc) + SPAN_W, 1L).otherwise(0L))
+      .withColumn("g", sum("brk").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "g")
+      .agg((max("pos") - min("pos") + SPAN_W).as("span_words"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("span_words").as("dup_words"))
+    words.select(col("doc_id"), size(col("ws")).cast(LongType).as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        expr("(1000000 * coalesce(dup_words, 0)) div greatest(n_words, 1)").as("dup_ppm"))
+  }
+
+  val dedupSubstringSpansSql: String = {
+    val cat = (0 until SPAN_W).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+    s"""WITH base AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w != '') AS ws
+       |  FROM documents),
+       |win AS (
+       |  SELECT doc_id, i AS pos, md5($cat) AS h
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - ${SPAN_W - 2})) AS i
+       |        FROM base WHERE len(ws) >= $SPAN_W)),
+       |dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) > 1),
+       |marked AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (h)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $SPAN_W
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM marked),
+       |grps AS (
+       |  SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+       |  FROM isl),
+       |spans AS (
+       |  SELECT doc_id, g, MAX(pos) - MIN(pos) + $SPAN_W AS span_words
+       |  FROM grps GROUP BY doc_id, g),
+       |per AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(span_words) AS dup_words
+       |        FROM spans GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(len(b.ws) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(p.dup_words, 0) AS BIGINT) AS dup_words,
+       |  CAST((1000000 * COALESCE(p.dup_words, 0)) // GREATEST(len(b.ws), 1) AS BIGINT) AS dup_ppm
+       |FROM base b LEFT JOIN per p USING (doc_id)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_substring_spans" -> dedupSubstringSpans,
     "pipeline_split_leakage" -> pipelineSplitLeakage,
     "dedup_sparse_features" -> dedupSparseFeatures,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -935,6 +1019,7 @@ object Dedup {
     "dedup_eval_sweep" -> dedupEvalSweep)
 
   val oracles: Map[String, String] = Map(
+    "dedup_substring_spans" -> dedupSubstringSpansSql,
     "pipeline_split_leakage" -> pipelineSplitLeakageSql,
     "dedup_sparse_features" -> dedupSparseFeaturesSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

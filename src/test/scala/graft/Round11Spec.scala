@@ -143,6 +143,27 @@ class Round11Spec extends AnyFunSuite {
   }
 
   // -----------------------------------------------------------------
+  // exact-substring span dedup
+  // -----------------------------------------------------------------
+
+  test("dedup_substring_spans: complete per-doc coverage with sane span bounds") {
+    val out = graft.operators.Dedup.dedupSubstringSpans(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.length == nDocs) // one row per doc, span-free docs included
+    out.foreach { r =>
+      val (nw, ns, dw, ppm) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("dup_words"), r.getAs[Long]("dup_ppm"))
+      assert(dw <= nw, r.toString) // spans never exceed the doc
+      // every span covers at least one full window
+      assert(ns == 0 || dw >= 8L * 1, r.toString)
+      assert(ppm == (1000000L * dw) / math.max(nw, 1L), r.toString)
+    }
+    // the corpus genuinely contains repeated 8-grams — a vacuous
+    // all-zero result means the window/hash path broke
+    assert(out.exists(_.getAs[Long]("n_spans") > 0), "no duplicated spans found")
+  }
+
+  // -----------------------------------------------------------------
   // tokenizer decode
   // -----------------------------------------------------------------
 
