@@ -1003,8 +1003,102 @@ object Dedup {
        |FROM base b LEFT JOIN per p USING (doc_id)""".stripMargin
   }
 
+  /** SPAN REMOVAL with the KEEP-FIRST policy (r11 — the half of Lee
+    * et al. 2021 that [[dedupSubstringSpans]] measures but does not
+    * decide: duplicated text is removed EVERYWHERE EXCEPT its first
+    * occurrence, so the corpus keeps exactly one copy of every
+    * repeated passage): for each duplicated window hash the
+    * occurrence with the smallest (doc_id, pos) is canonical; only
+    * NON-canonical occurrences mark text, marks merge into maximal
+    * spans per doc, and the per-source ledger reports docs touched,
+    * words removed, and the exact ppm of corpus mass dropped — the
+    * numbers the curation report carries. Canonical election is one
+    * per-hash row_number (partitioned by the digest — bounded groups
+    * by the repeat count), everything else shares the span
+    * machinery's scale shape. */
+  def pipelineSpanRemoval: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), w -> w != '')").as("ws"))
+    val win = words.filter(size(col("ws")) >= SPAN_W)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ws) - ${SPAN_W - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(ws, i, $SPAN_W))))"))
+        .as(Seq("p", "h")))
+      .select(col("doc_id"), (col("p") + 1).cast(LongType).as("pos"), col("h"))
+    val dup = win.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    val byHash = Window.partitionBy("h").orderBy("doc_id", "pos")
+    val marked = win.join(dup, "h")
+      .withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") > 1) // the first occurrence survives
+      .select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = marked
+      .withColumn("brk",
+        when(col("pos") > lag("pos", 1).over(byDoc) + SPAN_W, 1L).otherwise(0L))
+      .withColumn("g", sum("brk").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "g")
+      .agg((max("pos") - min("pos") + SPAN_W).as("span_words"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(sum("span_words").as("removed_words"))
+    t(s, dir, "documents").select("doc_id", "source")
+      .join(words.select(col("doc_id"), size(col("ws")).cast(LongType).as("n_words")), "doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_words"),
+        sum(when(col("removed_words").isNotNull, 1L).otherwise(0L)).as("n_docs_touched"),
+        sum(coalesce(col("removed_words"), lit(0L))).as("removed_words"),
+        expr("(1000000 * sum(coalesce(removed_words, 0))) div greatest(sum(n_words), 1)")
+          .as("removed_ppm"))
+  }
+
+  val pipelineSpanRemovalSql: String = {
+    val cat = (0 until SPAN_W).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+    s"""WITH base AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w != '') AS ws
+       |  FROM documents),
+       |win AS (
+       |  SELECT doc_id, i AS pos, md5($cat) AS h
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - ${SPAN_W - 2})) AS i
+       |        FROM base WHERE len(ws) >= $SPAN_W)),
+       |dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) > 1),
+       |marked AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT w.doc_id, w.pos,
+       |      row_number() OVER (PARTITION BY w.h ORDER BY w.doc_id, w.pos) AS rn
+       |    FROM win w JOIN dup USING (h))
+       |  WHERE rn > 1),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $SPAN_W
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM marked),
+       |grps AS (
+       |  SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+       |  FROM isl),
+       |spans AS (
+       |  SELECT doc_id, g, MAX(pos) - MIN(pos) + $SPAN_W AS span_words
+       |  FROM grps GROUP BY doc_id, g),
+       |per AS (SELECT doc_id, SUM(span_words) AS removed_words FROM spans GROUP BY doc_id)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(b.ws)) AS BIGINT) AS total_words,
+       |  CAST(SUM(CASE WHEN p.removed_words IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched,
+       |  CAST(SUM(COALESCE(p.removed_words, 0)) AS BIGINT) AS removed_words,
+       |  CAST((1000000 * SUM(COALESCE(p.removed_words, 0))) // GREATEST(SUM(len(b.ws)), 1) AS BIGINT) AS removed_ppm
+       |FROM documents d
+       |JOIN base b USING (doc_id)
+       |LEFT JOIN per p USING (doc_id)
+       |GROUP BY d.source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_substring_spans" -> dedupSubstringSpans,
+    "pipeline_span_removal" -> pipelineSpanRemoval,
     "pipeline_split_leakage" -> pipelineSplitLeakage,
     "dedup_sparse_features" -> dedupSparseFeatures,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -1020,6 +1114,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_substring_spans" -> dedupSubstringSpansSql,
+    "pipeline_span_removal" -> pipelineSpanRemovalSql,
     "pipeline_split_leakage" -> pipelineSplitLeakageSql,
     "dedup_sparse_features" -> dedupSparseFeaturesSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

@@ -117,6 +117,74 @@ object Similarity {
        |    ON e.vec_id <> qa.vec_id) sub
        |WHERE rank <= 5""".stripMargin
 
+  /** MATRYOSHKA two-stage retrieval (r11 — MRL-trained embeddings
+    * carry their best low-dimensional approximation in their PREFIX,
+    * so production retrieval scores the corpus on the first
+    * [[MAT_PREFIX]] dims and reranks a bounded candidate set
+    * full-width; Kusupati et al. 2022): the COARSE stage is the
+    * Matryoshka economics — a 16-dim map-side dot per corpus vector
+    * (4× less multiply-add and memory traffic than full width at
+    * this table's 64 dims; 24-48× at production 1536-3072 dims) with
+    * the bounded TopK partial aggregate keeping ≤ [[MAT_C]] rows per
+    * query to the shuffle — and the RERANK stage re-scores only the
+    * candidate-sized set exactly. Both stages deterministic
+    * (round-9 + vec_id tie-break), so the oracle replays coarse AND
+    * rerank exactly — a candidate-set drift of one vector breaks it. */
+  private val MAT_PREFIX = 16
+  private val MAT_C = 32
+
+  def simMatryoshkaTopk: Q = (s, dir) => {
+    val emb = withVec(t(s, dir, "embeddings"))
+      .withColumn("pv", expr(s"slice(v, 1, $MAT_PREFIX)"))
+      .withColumn("pn", vec_norm(col("pv")))
+    val q = emb.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("pv").as("qpv"), col("pn").as("qpn"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val cand = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("pcos", vec_dot(col("qpv"), col("pv")) / (col("qpn") * col("pn")))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topk(MAT_C)(
+        round(col("pcos"), 9), col("vec_id"), round(col("pcos"), 9)).as("cand"))
+      .select(col("query_id"), explode(expr("transform(cand, e -> e._2)")).as("vec_id"))
+    cand
+      .join(emb.select("vec_id", "v", "nrm"), "vec_id")
+      .join(broadcast(q.select("query_id", "qv", "qn")), "query_id")
+      .withColumn("cos", vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topk(5)(
+        round(col("cos"), 9), col("vec_id"), round(col("cos"), 6)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("neighbor_id"),
+        col("e._3").as("cos_sim"), (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
+  val simMatryoshkaTopkSql: String = {
+    val pdot = s"list_sum(list_transform(generate_series(1, $MAT_PREFIX), " +
+      "i -> CAST(qa.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
+    val pnorm = s"sqrt(list_sum(list_transform(generate_series(1, $MAT_PREFIX), " +
+      "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"
+    s"""WITH qa AS (SELECT vec_id, embedding, $pnorm AS pn, $normSqlDuck AS nrm
+       |            FROM embeddings WHERE vec_id < $NQUERIES),
+       |e AS (SELECT vec_id, embedding, $pnorm AS pn, $normSqlDuck AS nrm
+       |      FROM embeddings),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT qa.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY qa.vec_id
+       |        ORDER BY round($pdot / (qa.pn * e.pn), 9) DESC, e.vec_id) AS crank
+       |    FROM qa JOIN e ON e.vec_id <> qa.vec_id)
+       |  WHERE crank <= $MAT_C)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    round($dotSqlDuck / (qa.nrm * e.nrm), 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY round($dotSqlDuck / (qa.nrm * e.nrm), 9) DESC, c.neighbor_id) AS rank
+       |  FROM cand c
+       |  JOIN qa ON qa.vec_id = c.query_id
+       |  JOIN e ON e.vec_id = c.neighbor_id) sub
+       |WHERE rank <= 5""".stripMargin
+  }
+
   /** LSH-bucketed approximate top-3: queries only score vectors in
     * their own sign bucket. */
   def simLshBucketed: Q = (s, dir) => {
@@ -1308,6 +1376,7 @@ object Similarity {
     "sim_pq_adc" -> simPqAdc,
     "sim_ivf_pq" -> simIvfPq,
     "sim_topk_bruteforce" -> simTopKBruteforce,
+    "sim_matryoshka_topk" -> simMatryoshkaTopk,
     "sim_mmr" -> simMmr,
     "sim_filtered_topk" -> simFilteredTopk,
     "sim_from_binary" -> simFromBinary,
@@ -1328,6 +1397,7 @@ object Similarity {
     "sim_pq_adc" -> simPqAdcSql,
     "sim_ivf_pq" -> simIvfPqSql,
     "sim_topk_bruteforce" -> simTopKBruteforceSql,
+    "sim_matryoshka_topk" -> simMatryoshkaTopkSql,
     "sim_mmr" -> simMmrSql,
     "sim_filtered_topk" -> simFilteredTopkSql,
     "sim_from_binary" -> simTopKBruteforceSql,

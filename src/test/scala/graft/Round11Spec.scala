@@ -163,6 +163,53 @@ class Round11Spec extends AnyFunSuite {
     assert(out.exists(_.getAs[Long]("n_spans") > 0), "no duplicated spans found")
   }
 
+  test("pipeline_span_removal: keep-first removes strictly less than total dup mass") {
+    val rem = graft.operators.Dedup.pipelineSpanRemoval(spark, sf).collect()
+    val spans = graft.operators.Dedup.dedupSubstringSpans(spark, sf)
+      .agg(sum(col("dup_words"))).head().getLong(0)
+    val removed = rem.map(_.getAs[Long]("removed_words")).sum
+    // keep-first retains one occurrence per duplicated window, so the
+    // removed mass is positive but strictly below the full dup mass
+    assert(removed > 0 && removed < spans, s"removed=$removed dup=$spans")
+    rem.foreach { r =>
+      assert(r.getAs[Long]("n_docs_touched") <= r.getAs[Long]("n_docs"), r.toString)
+      assert(r.getAs[Long]("removed_words") <= r.getAs[Long]("total_words"), r.toString)
+    }
+  }
+
+  // -----------------------------------------------------------------
+  // matryoshka retrieval
+  // -----------------------------------------------------------------
+
+  test("sim_matryoshka_topk: full-width rerank over a bounded candidate set") {
+    // NOTE: the synthetic embeddings are NOT MRL-trained, so the
+    // 16-dim prefix is a weak proxy here and recall vs the exact
+    // top-5 is data-noise — the DuckDB oracle replays coarse+rerank
+    // exactly, and this spec pins the structural contract instead.
+    val matRows = graft.operators.Similarity.simMatryoshkaTopk(spark, sf).collect()
+    val exactRows = graft.operators.Similarity.simTopKBruteforce(spark, sf).collect()
+    assert(matRows.length == exactRows.length) // 10 queries x top-5 each
+    def byQ(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getAs[Long]("query_id")).map { case (q, rs) =>
+        q -> rs.sortBy(_.getAs[Long]("rank"))
+          .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim")))
+      }
+    val mat = byQ(matRows)
+    val exact = byQ(exactRows)
+    mat.foreach { case (q, nbrs) =>
+      // ranks ordered by full-width cosine, and the reranked winner
+      // can never beat the UNRESTRICTED exact winner (subset bound)
+      assert(nbrs.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)), s"q$q")
+      assert(nbrs.head._2 <= exact(q).head._2 + 1e-9, s"q$q")
+      // where the same (query, neighbor) appears in both, the scores
+      // MATCH exactly — the rerank is full-width, not a prefix proxy
+      val exactScores = exact(q).toMap
+      nbrs.foreach { case (id, c) =>
+        exactScores.get(id).foreach(e => assert(e == c, s"q$q nbr$id: $c vs $e"))
+      }
+    }
+  }
+
   // -----------------------------------------------------------------
   // tokenizer decode
   // -----------------------------------------------------------------
