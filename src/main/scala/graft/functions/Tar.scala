@@ -1,0 +1,184 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** From-spec POSIX ustar codec (SURVEY.md §2C multimodal packaging —
+  * WebDataset shards ARE tar files, so materializing real shard BYTES
+  * is the step between `mm_pack_shards`' planning and something a
+  * training loader mounts). Layout per the POSIX.1-1988 ustar format:
+  * 512-byte headers (name, octal size/mode/mtime, checksum over the
+  * header with the checksum field blanked, `ustar` magic), 512-padded
+  * payloads, two zero blocks at the end.
+  *
+  * Writer determinism: mode 0644, uid/gid 0, mtime 0 — identical
+  * input entries render identical shard bytes on every engine run,
+  * so byte lengths and member offsets are oracle-checkable
+  * arithmetic. The parser VERIFIES magic and checksum on every header
+  * and bounds every payload — a flipped header byte or truncated
+  * shard rejects loudly, never a silently wrong member table.
+  *
+  * Both directions are native Catalyst expressions whose generated
+  * code calls these (static-forwarded) methods — the per-SHARD call
+  * rides inside whole-stage codegen without a UDF. */
+object TarCodec {
+
+  private val BLOCK = 512
+
+  private def pad(n: Long): Long = ((n + BLOCK - 1) / BLOCK) * BLOCK
+
+  private def putOctal(hdr: Array[Byte], off: Int, width: Int, v: Long): Unit = {
+    // width-1 octal digits + NUL, zero-padded (the GNU/ustar norm)
+    var i = width - 2
+    var x = v
+    hdr(off + width - 1) = 0
+    while (i >= 0) { hdr(off + i) = ('0' + (x & 7).toInt).toByte; x >>= 3; i -= 1 }
+    require(x == 0, s"octal field overflow: $v in width $width")
+  }
+
+  /** Render one ustar archive from (name, data) entries. */
+  def pack(entries: ArrayData): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < entries.numElements()) {
+      val row = entries.getStruct(i, 2)
+      val nameB = row.getUTF8String(0).getBytes
+      val data = row.getBinary(1)
+      require(nameB.length > 0 && nameB.length <= 100,
+        s"tar member name length ${nameB.length} outside [1, 100]")
+      val hdr = new Array[Byte](BLOCK)
+      System.arraycopy(nameB, 0, hdr, 0, nameB.length)
+      putOctal(hdr, 100, 8, 0x1a4) // mode 0644
+      putOctal(hdr, 108, 8, 0) // uid
+      putOctal(hdr, 116, 8, 0) // gid
+      putOctal(hdr, 124, 12, data.length.toLong)
+      putOctal(hdr, 136, 12, 0) // mtime: fixed for determinism
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte) // chksum blank
+      hdr(156) = '0' // typeflag: regular file
+      System.arraycopy("ustar".getBytes("ASCII"), 0, hdr, 257, 5)
+      hdr(263) = '0'; hdr(264) = '0' // version
+      var sum = 0L
+      var j = 0
+      while (j < BLOCK) { sum += hdr(j) & 0xff; j += 1 }
+      putOctal(hdr, 148, 7, sum) // 6 digits + NUL...
+      hdr(155) = ' ' // ...+ space, the historical chksum framing
+      bos.write(hdr)
+      bos.write(data)
+      val padN = (pad(data.length.toLong) - data.length).toInt
+      var k = 0
+      while (k < padN) { bos.write(0); k += 1 }
+      i += 1
+    }
+    bos.write(new Array[Byte](2 * BLOCK)) // end-of-archive
+    bos.toByteArray
+  }
+
+  /** Parse an archive's member table: (name, payload offset, size).
+    * Verifies magic + checksum per header and payload bounds. */
+  def members(bytes: Array[Byte]): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var off = 0
+    var done = false
+    while (!done) {
+      if (off + BLOCK > bytes.length)
+        throw new java.io.IOException(s"tar truncated: header at $off past ${bytes.length}")
+      var allZero = true
+      var j = 0
+      while (allZero && j < BLOCK) { if (bytes(off + j) != 0) allZero = false; j += 1 }
+      if (allZero) done = true // end-of-archive marker
+      else {
+        if (!(bytes(off + 257) == 'u' && bytes(off + 258) == 's' &&
+            bytes(off + 259) == 't' && bytes(off + 260) == 'a' && bytes(off + 261) == 'r'))
+          throw new java.io.IOException(s"tar header at $off: bad ustar magic")
+        var sum = 0L
+        j = 0
+        while (j < BLOCK) {
+          sum += (if (j >= 148 && j < 156) ' '.toInt else bytes(off + j) & 0xff)
+          j += 1
+        }
+        val stored = parseOctal(bytes, off + 148, 8)
+        if (stored != sum)
+          throw new java.io.IOException(
+            s"tar header at $off: checksum mismatch (stored $stored, computed $sum)")
+        var nl = 0
+        while (nl < 100 && bytes(off + nl) != 0) nl += 1
+        val name = new String(bytes, off, nl, "UTF-8")
+        val size = parseOctal(bytes, off + 124, 12)
+        if (off + BLOCK + size > bytes.length)
+          throw new java.io.IOException(
+            s"tar member $name at $off: payload $size overruns archive ${bytes.length}")
+        out += InternalRow(UTF8String.fromString(name), (off + BLOCK).toLong, size)
+        off += (BLOCK + pad(size)).toInt
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  /** Octal field: leading spaces/zeros, digits, NUL/space terminator. */
+  private def parseOctal(bytes: Array[Byte], off: Int, width: Int): Long = {
+    var v = 0L
+    var i = 0
+    var seen = false
+    while (i < width) {
+      val c = bytes(off + i) & 0xff
+      if (c >= '0' && c <= '7') { v = (v << 3) | (c - '0'); seen = true }
+      else if (c != ' ' && c != 0) throw new java.io.IOException(
+        s"bad octal byte 0x${c.toHexString} in tar header field at ${off + i}")
+      i += 1
+    }
+    require(seen, s"empty octal field at $off")
+    v
+  }
+
+  private val memberType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("size", LongType, nullable = false)))
+
+  case class TarPack(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StructType(Array(
+          StructField(_, StringType, _, _), StructField(_, BinaryType, _, _))), _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case o => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"tar_pack needs array<struct<string, binary>>, got $o")
+      }
+    override def nullSafeEval(v: Any): Any =
+      TarCodec.pack(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TarCodec.pack($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class TarMembers(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(memberType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case BinaryType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case o => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"tar_members needs binary, got $o")
+      }
+    override def nullSafeEval(v: Any): Any =
+      TarCodec.members(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TarCodec.members($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def tar_pack(entries: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      TarPack(org.apache.spark.sql.GraftBridge.expression(entries)))
+  def tar_members(archive: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      TarMembers(org.apache.spark.sql.GraftBridge.expression(archive)))
+}

@@ -346,7 +346,78 @@ object MmPipeline {
       |  CAST(p.start - b.shard_base AS BIGINT) AS offset_bytes, p.nbytes
       |FROM pos p JOIN bases b ON b.source = p.source AND b.shard_id = p.shard_id""".stripMargin
 
+  /** REAL WebDataset shard BYTES (r11 — WebDataset shards ARE tar
+    * archives; `mm_pack_shards` plans the shard layout, this key
+    * MATERIALIZES it through the from-spec POSIX ustar codec
+    * [[graft.functions.TarCodec]] and then re-reads its own bytes):
+    * each doc contributes two members (`<id>.txt` payload +
+    * `<id>.src` label, the WebDataset same-key grouping), 16 docs per
+    * shard, members sorted by name; the PARSE side walks the member
+    * table (magic + checksum verified per header) and extracts every
+    * payload by (offset, size) substring — so the gate pins header
+    * fields, payload positions, AND the padding law (total archive
+    * bytes are oracle arithmetic: Σ 512 + ceil512(size) + 1024).
+    * Scale shape: one tar per shard assembled inside the shard's own
+    * group (collect_list is shard-bounded by construction — 32
+    * members), pack/parse are codegen'd expressions, no UDF, no
+    * driver funnel. */
+  def mmWebdatasetTar: Q = (s, dir) => {
+    import graft.functions.TarCodec.{tar_pack, tar_members}
+    val docs = t(s, dir, "documents")
+    val entries = docs.select(expr("doc_id div 16").as("shard"),
+        concat(lpad(col("doc_id").cast("string"), 10, "0"), lit(".txt")).as("name"),
+        col("text").cast("binary").as("data"))
+      .unionByName(docs.select(expr("doc_id div 16").as("shard"),
+        concat(lpad(col("doc_id").cast("string"), 10, "0"), lit(".src")).as("name"),
+        col("source").cast("binary").as("data")))
+    val shards = entries.groupBy("shard")
+      .agg(tar_pack(expr("array_sort(collect_list(struct(name, data)))")).as("tar"))
+    val parsed = shards
+      .select(col("shard"), length(col("tar")).as("tar_len"), col("tar"),
+        explode(tar_members(col("tar"))).as("m"))
+      .select(col("shard"), col("tar_len"),
+        col("m.name").as("name"), col("m.size").as("sz"),
+        expr("substring(tar, cast(m.offset as int) + 1, cast(m.size as int))").as("payload"))
+      .withColumn("doc_id", expr("cast(substring(name, 1, 10) as bigint)"))
+      .withColumn("ext", expr("substring(name, 12, 3)"))
+    val memberAgg = parsed
+      .join(docs.select(col("doc_id"), md5(col("text")).as("want_txt"),
+        md5(col("source")).as("want_src")), "doc_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("sz")).as("sum_member_bytes"),
+        sum(when(col("ext") === "txt" && md5(col("payload")) === col("want_txt"), 1L)
+          .otherwise(0L)).as("n_txt_match"),
+        sum(when(col("ext") === "src" && md5(col("payload")) === col("want_src"), 1L)
+          .otherwise(0L)).as("n_src_match"))
+    val shardAgg = shards.agg(count(lit(1)).as("n_shards"),
+      sum(length(col("tar"))).as("sum_tar_bytes"))
+    memberAgg.crossJoin(broadcast(shardAgg))
+      .select("n_shards", "n_members", "sum_member_bytes", "sum_tar_bytes",
+        "n_txt_match", "n_src_match")
+  }
+
+  /** Oracle: member sizes/hashes from the raw table, archive bytes as
+    * the ustar padding arithmetic — one wrong header byte, pad law, or
+    * payload offset on the Spark side breaks it. */
+  val mmWebdatasetTarSql: String =
+    """WITH m AS (
+      |  SELECT doc_id // 16 AS shard, octet_length(encode(text)) AS sz FROM documents
+      |  UNION ALL
+      |  SELECT doc_id // 16 AS shard, octet_length(encode(source)) AS sz FROM documents),
+      |per_shard AS (
+      |  SELECT shard, SUM(512 + ((sz + 511) // 512) * 512) + 1024 AS tar_bytes,
+      |    COUNT(*) AS nm, SUM(sz) AS sb
+      |  FROM m GROUP BY shard)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+      |  CAST(SUM(nm) AS BIGINT) AS n_members,
+      |  CAST(SUM(sb) AS BIGINT) AS sum_member_bytes,
+      |  CAST(SUM(tar_bytes) AS BIGINT) AS sum_tar_bytes,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_txt_match,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_src_match
+      |FROM per_shard""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mm_webdataset_tar" -> mmWebdatasetTar,
     "mm_pack_shards" -> mmPackShards,
     "mm_decode_pipeline" -> mmDecodePipeline,
     "mm_frame_sample" -> mmFrameSample,
@@ -355,6 +426,7 @@ object MmPipeline {
     "mm_resize" -> mmResize,
     "mm_dedup_features" -> mmDedupFeatures)
   val oracles: Map[String, String] = Map(
+    "mm_webdataset_tar" -> mmWebdatasetTarSql,
     "mm_pack_shards" -> mmPackShardsSql,
     "mm_decode_pipeline" -> mmDecodePipelineSql,
     "mm_frame_sample" -> mmFrameSampleSql,

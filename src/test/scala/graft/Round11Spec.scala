@@ -178,6 +178,69 @@ class Round11Spec extends AnyFunSuite {
   }
 
   // -----------------------------------------------------------------
+  // ustar codec
+  // -----------------------------------------------------------------
+
+  /** Spec-literal ustar header assembled from the POSIX.1-1988 field
+    * table — NOT via TarCodec.pack, so a matched writer/parser bug
+    * cannot self-cancel. */
+  private def ustarFixture(name: String, payload: Array[Byte]): Array[Byte] = {
+    val hdr = new Array[Byte](512)
+    name.getBytes("ASCII").copyToArray(hdr)
+    def oct(off: Int, width: Int, v: Long): Unit = {
+      val s = java.lang.Long.toOctalString(v)
+      val padded = ("0" * (width - 1 - s.length)) + s
+      padded.getBytes("ASCII").copyToArray(hdr, off)
+    }
+    oct(100, 8, 0x1a4); oct(108, 8, 0); oct(116, 8, 0)
+    oct(124, 12, payload.length.toLong); oct(136, 12, 0)
+    java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+    hdr(156) = '0'
+    "ustar".getBytes("ASCII").copyToArray(hdr, 257)
+    hdr(263) = '0'; hdr(264) = '0'
+    val sum = hdr.map(_ & 0xff).sum
+    oct(148, 7, sum.toLong)
+    hdr(154) = 0 // 6 octal digits, NUL, space — the historical framing
+    hdr(155) = ' '
+    val padN = ((payload.length + 511) / 512) * 512 - payload.length
+    hdr ++ payload ++ new Array[Byte](padN) ++ new Array[Byte](1024)
+  }
+
+  test("hand-assembled ustar fixture parses; production pack emits identical bytes") {
+    val payload = "hello tar".getBytes("ASCII")
+    val fixture = ustarFixture("0000000007.txt", payload)
+    val ms = graft.functions.TarCodec.members(fixture)
+    assert(ms.numElements() == 1)
+    val m = ms.getStruct(0, 3)
+    assert(m.getUTF8String(0).toString == "0000000007.txt")
+    assert(m.getLong(1) == 512L && m.getLong(2) == payload.length.toLong)
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(fixture, 512, 512 + payload.length), payload))
+    // the production writer must render BYTE-IDENTICAL output for the
+    // same entry — pinned against the spec-literal assembly above
+    val entries = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
+      org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString("0000000007.txt"), payload)))
+    assert(java.util.Arrays.equals(graft.functions.TarCodec.pack(entries), fixture))
+  }
+
+  test("tar parser rejects corrupt headers loudly") {
+    val fixture = ustarFixture("a.txt", "payload!".getBytes("ASCII"))
+    val badSum = fixture.clone()
+    badSum(124) = '7' // size field byte → checksum no longer matches
+    val e1 = intercept[java.io.IOException] { graft.functions.TarCodec.members(badSum) }
+    assert(e1.getMessage.contains("checksum mismatch"), e1.getMessage)
+    val badMagic = fixture.clone()
+    badMagic(257) = 'X'
+    val e2 = intercept[java.io.IOException] { graft.functions.TarCodec.members(badMagic) }
+    assert(e2.getMessage.contains("bad ustar magic"), e2.getMessage)
+    val truncated = java.util.Arrays.copyOfRange(fixture, 0, 600)
+    val e3 = intercept[java.io.IOException] { graft.functions.TarCodec.members(truncated) }
+    assert(e3.getMessage.contains("truncated") || e3.getMessage.contains("overruns"),
+      e3.getMessage)
+  }
+
+  // -----------------------------------------------------------------
   // matryoshka retrieval
   // -----------------------------------------------------------------
 
