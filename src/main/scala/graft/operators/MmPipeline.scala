@@ -416,8 +416,82 @@ object MmPipeline {
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_src_match
       |FROM per_shard""".stripMargin
 
+  /** WebDataset shards MOUNTED FROM STORAGE (r11 — the loader half of
+    * [[mmWebdatasetTar]]: a training job doesn't hold shards in a
+    * column, it lists `.tar` FILES and streams members out of each):
+    * the staged shard files write task-local through the Hadoop FS
+    * (one `.tar` per shard, no driver funnel), then the read path is
+    * Spark's own `binaryFile` source → the ustar member walk →
+    * (offset, size) payload extraction — each file parsed where its
+    * split landed, scaling with file count exactly like a real
+    * WebDataset mount. Same oracle arithmetic as the in-column key
+    * plus the file count. */
+  def mmTarReadFiles: Q = (s, dir) => {
+    import graft.functions.TarCodec.{tar_pack, tar_members}
+    val out = graft.sources.netcdf.NcQueries.scratch(s, dir, "wds_tars")
+    val docs = t(s, dir, "documents")
+    val entries = docs.select(expr("doc_id div 16").as("shard"),
+        concat(lpad(col("doc_id").cast("string"), 10, "0"), lit(".txt")).as("name"),
+        col("text").cast("binary").as("data"))
+      .unionByName(docs.select(expr("doc_id div 16").as("shard"),
+        concat(lpad(col("doc_id").cast("string"), 10, "0"), lit(".src")).as("name"),
+        col("source").cast("binary").as("data")))
+    val shards = entries.groupBy("shard")
+      .agg(tar_pack(expr("array_sort(collect_list(struct(name, data)))")).as("tar"))
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.mkdirs(p)
+    val conf = new graft.sources.netcdf.SerializableHadoopConf(
+      s.sparkContext.hadoopConfiguration)
+    shards.select(col("shard"), col("tar"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val tfs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf.value)
+        it.foreach { r =>
+          val f = new org.apache.hadoop.fs.Path(out, f"shard-${r.getLong(0)}%06d.tar")
+          val o = tfs.create(f, true)
+          try o.write(r.getAs[Array[Byte]]("tar")) finally o.close()
+        }
+      }
+    val bin = s.read.format("binaryFile").load(s"$out/*.tar")
+    val parsed = bin
+      .select(col("path"), length(col("content")).as("tar_len"), col("content"),
+        explode(tar_members(col("content"))).as("m"))
+      .select(col("path"), col("tar_len"), col("m.size").as("sz"),
+        expr("substring(content, cast(m.offset as int) + 1, cast(m.size as int))").as("payload"),
+        expr("cast(substring(m.name, 1, 10) as bigint)").as("doc_id"),
+        expr("substring(m.name, 12, 3)").as("ext"))
+    val memberAgg = parsed
+      .join(docs.select(col("doc_id"), md5(col("text")).as("want_txt")), "doc_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("sz")).as("sum_member_bytes"),
+        sum(when(col("ext") === "txt" && md5(col("payload")) === col("want_txt"), 1L)
+          .otherwise(0L)).as("n_txt_match"))
+    val fileAgg = bin.agg(count(lit(1)).as("n_files"),
+      sum(length(col("content"))).as("sum_tar_bytes"))
+    memberAgg.crossJoin(broadcast(fileAgg))
+      .select("n_files", "n_members", "sum_member_bytes", "sum_tar_bytes", "n_txt_match")
+  }
+
+  val mmTarReadFilesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id // 16 AS shard, octet_length(encode(text)) AS sz FROM documents
+      |  UNION ALL
+      |  SELECT doc_id // 16 AS shard, octet_length(encode(source)) AS sz FROM documents),
+      |per_shard AS (
+      |  SELECT shard, SUM(512 + ((sz + 511) // 512) * 512) + 1024 AS tar_bytes,
+      |    COUNT(*) AS nm, SUM(sz) AS sb
+      |  FROM m GROUP BY shard)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+      |  CAST(SUM(nm) AS BIGINT) AS n_members,
+      |  CAST(SUM(sb) AS BIGINT) AS sum_member_bytes,
+      |  CAST(SUM(tar_bytes) AS BIGINT) AS sum_tar_bytes,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_txt_match
+      |FROM per_shard""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm_webdataset_tar" -> mmWebdatasetTar,
+    "mm_tar_read_files" -> mmTarReadFiles,
     "mm_pack_shards" -> mmPackShards,
     "mm_decode_pipeline" -> mmDecodePipeline,
     "mm_frame_sample" -> mmFrameSample,
@@ -427,6 +501,7 @@ object MmPipeline {
     "mm_dedup_features" -> mmDedupFeatures)
   val oracles: Map[String, String] = Map(
     "mm_webdataset_tar" -> mmWebdatasetTarSql,
+    "mm_tar_read_files" -> mmTarReadFilesSql,
     "mm_pack_shards" -> mmPackShardsSql,
     "mm_decode_pipeline" -> mmDecodePipelineSql,
     "mm_frame_sample" -> mmFrameSampleSql,
