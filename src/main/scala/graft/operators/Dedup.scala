@@ -443,11 +443,11 @@ object Dedup {
     * candidate generation keeps the same df-capped inverted-index
     * bound as the exhaustive key. The exhaustive key stays registered
     * for oracle parity; this is the 100 TB route. */
-  def dedupNgramTopm: Q = (s, dir) => {
-    val sh = cappedShingles(t(s, dir, "documents"), 4).cache()
-    val pairs = ngramPairs(sh)
-    // symmetrize so EVERY doc owns its neighbor list (canonical
-    // id_a < id_b pairs split a doc's partners across both sides)
+  /** Shared top-m tail: symmetrize verified pairs so EVERY doc owns
+    * its neighbor list (canonical id_a < id_b pairs split a doc's
+    * partners across both sides), then the bounded TopK partial
+    * aggregate — ≤ m rows per doc per map task to the shuffle. */
+  private def topmNeighbors(pairs: DataFrame): DataFrame = {
     val sym = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nbr_id"),
         col("n_inter"), col("jaccard"))
       .unionAll(pairs.select(col("id_b").as("doc_id"), col("id_a").as("nbr_id"),
@@ -462,12 +462,9 @@ object Dedup {
         col("col._1").as("jaccard"))
   }
 
-  val dedupNgramTopmSql: String = {
-    val candCte =
-      """cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id)""".stripMargin
-    s"""WITH pairs AS (${jaccardSql(candCte, 4).replace("\n", "\n  ")}),
+  /** SQL twin of [[topmNeighbors]] over any pairs CTE body. */
+  private def topmSqlOver(pairsSql: String): String =
+    s"""WITH pairs AS (${pairsSql.replace("\n", "\n  ")}),
        |sym AS (
        |  SELECT id_a AS doc_id, id_b AS nbr_id, n_inter, jaccard FROM pairs
        |  UNION ALL
@@ -479,7 +476,34 @@ object Dedup {
        |  FROM sym)
        |SELECT doc_id, rank, nbr_id, n_inter, jaccard
        |FROM ranked WHERE rank <= $TOPM_M""".stripMargin
+
+  def dedupNgramTopm: Q = (s, dir) => {
+    val sh = cappedShingles(t(s, dir, "documents"), 4).cache()
+    topmNeighbors(ngramPairs(sh))
   }
+
+  val dedupNgramTopmSql: String = {
+    val candCte =
+      """cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id)""".stripMargin
+    topmSqlOver(jaccardSql(candCte, 4))
+  }
+
+  /** BOUNDED NEIGHBOR LISTS AT THE LSH ROUTE (r11 — the composition a
+    * 100 TB dedup actually runs: MinHash banding generates the
+    * candidate pairs (bucket-bounded, recall tuned by H × bands),
+    * exact Jaccard verifies them, and each doc keeps its top-m — so
+    * BOTH the candidate work (banding) and the output (TopK) are
+    * bounded, where `dedup_ngram_topm` bounds output over exhaustive
+    * inverted-index candidates. Same oracle chain as
+    * `dedup_minhash_lsh` with the shared top-m tail. */
+  def dedupMinhashTopm: Q = (s, dir) => {
+    val sh = cappedShingles(t(s, dir, "documents"), 3).cache()
+    topmNeighbors(withJaccard(lshCandidates(sh), sh))
+  }
+
+  val dedupMinhashTopmSql: String = topmSqlOver(jaccardSql(lshCandCteSql, 3))
 
   /** Directional CONTAINMENT dedup (Broder 1997's containment measure
     * — the asymmetric twin of [[dedupNgramJaccard]]): c(A→B) =
@@ -1102,6 +1126,7 @@ object Dedup {
     "pipeline_split_leakage" -> pipelineSplitLeakage,
     "dedup_sparse_features" -> dedupSparseFeatures,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_minhash_topm" -> dedupMinhashTopm,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_ngram_topm" -> dedupNgramTopm,
     "dedup_containment" -> dedupContainment,
@@ -1118,6 +1143,7 @@ object Dedup {
     "pipeline_split_leakage" -> pipelineSplitLeakageSql,
     "dedup_sparse_features" -> dedupSparseFeaturesSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_minhash_topm" -> dedupMinhashTopmSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_ngram_topm" -> dedupNgramTopmSql,
     "dedup_containment" -> dedupContainmentSql,

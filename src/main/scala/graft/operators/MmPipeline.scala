@@ -453,7 +453,11 @@ object MmPipeline {
           try o.write(r.getAs[Array[Byte]]("tar")) finally o.close()
         }
       }
-    val bin = s.read.format("binaryFile").load(s"$out/*.tar")
+    // pathGlobFilter instead of a glob-in-path: a glob path makes the
+    // source probe it as a streaming-sink metadata dir and log a noisy
+    // (benign) FileNotFoundException stack before falling through
+    val bin = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tar").load(out)
     val parsed = bin
       .select(col("path"), length(col("content")).as("tar_len"), col("content"),
         explode(tar_members(col("content"))).as("m"))

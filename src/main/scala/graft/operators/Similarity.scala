@@ -185,6 +185,83 @@ object Similarity {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** BINARY QUANTIZATION retrieval (r11 — the 1-bit-per-dim code
+    * every current vector store ships as its cheap first stage: sign
+    * bits pack 64 dims into two BIGINT words = 32× less memory
+    * traffic than float scoring, and the coarse rank is PURE INTEGER
+    * Hamming over codegen'd xor+bit_count, so the candidate set is
+    * exactly reproducible on any engine with no float rounding in
+    * the loop at all): coarse = per-corpus-vector Hamming distance
+    * to the broadcast query codes with the bounded TopK aggregate
+    * keeping ≤ [[BQ_C]] candidates per query (distance ASC, vec_id
+    * tie-break), rerank = exact full-width cosine on the
+    * candidate-sized set — the sim_matryoshka_topk economics with an
+    * integer-exact coarse stage. */
+  private val BQ_C = 32
+
+  private def bqCodes(df: DataFrame): DataFrame =
+    df.withColumn("code_lo",
+        (0 until 32).map(d => when(element_at(col("v"), d + 1) >= 0d,
+          lit(1L << d)).otherwise(lit(0L))).reduce(_ + _))
+      .withColumn("code_hi",
+        (32 until 64).map(d => when(element_at(col("v"), d + 1) >= 0d,
+          lit(1L << (d - 32))).otherwise(lit(0L))).reduce(_ + _))
+
+  def simBqHamming: Q = (s, dir) => {
+    val emb = bqCodes(withVec(t(s, dir, "embeddings")))
+    val q = emb.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("code_lo").as("qlo"),
+        col("code_hi").as("qhi"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("ham",
+        expr("bit_count(code_lo ^ qlo) + bit_count(code_hi ^ qhi)").cast(DoubleType))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topk(BQ_C)(
+        -col("ham"), col("vec_id"), col("ham")).as("cand"))
+      .select(col("query_id"), explode(expr("transform(cand, e -> e._2)")).as("vec_id"))
+    cand
+      .join(emb.select("vec_id", "v", "nrm"), "vec_id")
+      .join(broadcast(q.select("query_id", "qv", "qn")), "query_id")
+      .withColumn("cos", vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topk(5)(
+        round(col("cos"), 9), col("vec_id"), round(col("cos"), 6)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("neighbor_id"),
+        col("e._3").as("cos_sim"), (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
+  val simBqHammingSql: String = {
+    def codeSql(lo: Boolean): String =
+      (if (lo) 0 until 32 else 32 until 64).map { d =>
+        s"CASE WHEN CAST(embedding[${d + 1}] AS DOUBLE) >= 0 " +
+          s"THEN CAST(${1L << (if (lo) d else d - 32)} AS BIGINT) ELSE 0 END"
+      }.mkString(" + ")
+    val ham = "bit_count(xor(e.lo, qa.lo)) + bit_count(xor(e.hi, qa.hi))"
+    s"""WITH qa AS (SELECT vec_id, embedding, ${codeSql(true)} AS lo,
+       |              ${codeSql(false)} AS hi, $normSqlDuck AS nrm
+       |            FROM embeddings WHERE vec_id < $NQUERIES),
+       |e AS (SELECT vec_id, embedding, ${codeSql(true)} AS lo,
+       |        ${codeSql(false)} AS hi, $normSqlDuck AS nrm
+       |      FROM embeddings),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT qa.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY qa.vec_id
+       |        ORDER BY $ham ASC, e.vec_id) AS crank
+       |    FROM qa JOIN e ON e.vec_id <> qa.vec_id)
+       |  WHERE crank <= $BQ_C)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    round($dotSqlDuck / (qa.nrm * e.nrm), 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY round($dotSqlDuck / (qa.nrm * e.nrm), 9) DESC, c.neighbor_id) AS rank
+       |  FROM cand c
+       |  JOIN qa ON qa.vec_id = c.query_id
+       |  JOIN e ON e.vec_id = c.neighbor_id) sub
+       |WHERE rank <= 5""".stripMargin
+  }
+
   /** LSH-bucketed approximate top-3: queries only score vectors in
     * their own sign bucket. */
   def simLshBucketed: Q = (s, dir) => {
@@ -1377,6 +1454,7 @@ object Similarity {
     "sim_ivf_pq" -> simIvfPq,
     "sim_topk_bruteforce" -> simTopKBruteforce,
     "sim_matryoshka_topk" -> simMatryoshkaTopk,
+    "sim_bq_hamming" -> simBqHamming,
     "sim_mmr" -> simMmr,
     "sim_filtered_topk" -> simFilteredTopk,
     "sim_from_binary" -> simFromBinary,
@@ -1398,6 +1476,7 @@ object Similarity {
     "sim_ivf_pq" -> simIvfPqSql,
     "sim_topk_bruteforce" -> simTopKBruteforceSql,
     "sim_matryoshka_topk" -> simMatryoshkaTopkSql,
+    "sim_bq_hamming" -> simBqHammingSql,
     "sim_mmr" -> simMmrSql,
     "sim_filtered_topk" -> simFilteredTopkSql,
     "sim_from_binary" -> simTopKBruteforceSql,

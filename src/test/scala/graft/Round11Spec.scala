@@ -273,6 +273,41 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("sim_bq_hamming: integer coarse stage, full-width rerank invariants") {
+    val rows = graft.operators.Similarity.simBqHamming(spark, sf).collect()
+    val exact = graft.operators.Similarity.simTopKBruteforce(spark, sf).collect()
+    assert(rows.length == exact.length) // 10 queries x top-5
+    val exactTop = exact.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(r =>
+        r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cos_sim")).toMap }
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(ordered.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)), s"q$q")
+      rs.foreach { r => // shared neighbors score identically (full-width rerank)
+        exactTop(q).get(r.getAs[Long]("neighbor_id"))
+          .foreach(e => assert(e == r.getAs[Double]("cos_sim"), s"q$q"))
+      }
+    }
+  }
+
+  test("dedup_minhash_topm: per-doc bound holds and lists are LSH-candidate subsets") {
+    val topm = graft.operators.Dedup.dedupMinhashTopm(spark, sf).collect()
+    val byDoc = topm.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (d, rs) =>
+      assert(rs.length <= 8, s"doc $d has ${rs.length} neighbors")
+      val ordered = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("jaccard"))
+      assert(ordered.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)), s"doc $d")
+    }
+    // every (doc, nbr) edge must come from a verified LSH candidate pair
+    val lsh = graft.operators.Dedup.dedupMinhashLsh(spark, sf).collect()
+      .flatMap(r => Seq(
+        (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        (r.getAs[Long]("id_b"), r.getAs[Long]("id_a")))).toSet
+    topm.foreach { r =>
+      assert(lsh.contains((r.getAs[Long]("doc_id"), r.getAs[Long]("nbr_id"))), r.toString)
+    }
+  }
+
   // -----------------------------------------------------------------
   // tokenizer decode
   // -----------------------------------------------------------------
