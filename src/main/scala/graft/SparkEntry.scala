@@ -42,6 +42,7 @@ object SparkEntry {
       graft.operators.DatasetCard.queries ++
       graft.operators.DatasetDiff.queries ++
       graft.operators.NgramLm.queries ++
+      graft.operators.Dsir.queries ++
       graft.operators.Bm25.queries ++
       graft.operators.HybridSearch.queries
 
@@ -76,6 +77,7 @@ object SparkEntry {
       graft.operators.DatasetCard.oracles ++
       graft.operators.DatasetDiff.oracles ++
       graft.operators.NgramLm.oracles ++
+      graft.operators.Dsir.oracles ++
       graft.operators.Bm25.oracles ++
       graft.operators.HybridSearch.oracles
 }

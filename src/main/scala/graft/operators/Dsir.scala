@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (SURVEY.md §2C;
+  * Xie et al. 2023, the published hashed-n-gram data-selection
+  * method): rank a raw pool by how much each document resembles a
+  * TARGET distribution, using importance weights computed over
+  * hashed n-gram features.
+  *
+  * Cross-engine-exact form: unigram + bigram features hash into 256
+  * md5-prefix buckets (the string-bucket device of
+  * text_hash_embedding — no integer conversion, both engines agree);
+  * the target distribution trains on the reference split (source
+  * `src0`, the same held-out convention as
+  * pipeline_perplexity_filter) and the raw distribution on the whole
+  * corpus, both add-1 smoothed; each bucket's log importance ratio
+  *
+  *   λ(b) = round(1e6 · ln( ((t_b+1) · (R+256)) / ((r_b+1) · (T+256)) ))
+  *
+  * is quantized ONCE, on the 256-row dictionary, to integer
+  * micro-nats (the ppm-quantization posture of sim_hybrid_rrf's RRF
+  * — ln's sub-ulp engine differences die at the 1e-6 grid), so the
+  * per-document score Σ c(b)·λ(b) is EXACT BIGINT arithmetic with no
+  * float summation order anywhere. Selection = top-50 raw-pool
+  * documents (target split excluded — DSIR selects raw data that
+  * RESEMBLES the target, not the target itself) by (score DESC,
+  * doc_id), a deterministic set.
+  *
+  * Scale shape: feature extraction is map-side (unigrams explode the
+  * token list; bigrams are an adjacent-pair transform over each
+  * doc's own list — no positional self-join); per-(doc, bucket)
+  * counts partial-aggregate before anything joins; both
+  * distribution tables are 256 rows, so the λ dictionary is
+  * BROADCAST and scoring never shuffles the corpus on anything but
+  * the doc_id rollup; the final selection is TakeOrdered (top-k on
+  * partials), never a global sort. At 100 TB the only corpus-sized
+  * shuffle is the per-doc count rollup.
+  */
+object Dsir {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NBUCKETS = 256
+  private val TOPN = 50
+
+  /** Map-side unigram + bigram feature stream: (doc_id, source, bucket). */
+  private def featBuckets(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      expr("filter(split(lower(text), ' '), w -> w != '')").as("ws"))
+    val uni = base.select(col("doc_id"), col("source"), explode(col("ws")).as("feat"))
+    val bi = base.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("feat"))
+    uni.unionAll(bi)
+      .select(col("doc_id"), col("source"), substring(md5(col("feat")), 1, 2).as("bucket"))
+  }
+
+  /** Per-(doc, bucket) counts — the corpus-sized partial aggregate
+    * both distribution tables and the scorer roll up from. */
+  private def perDocBuckets(s: SparkSession, dir: String): DataFrame =
+    featBuckets(s, dir)
+      .groupBy("doc_id", "source", "bucket")
+      .agg(count(lit(1)).as("c"))
+
+  /** The 256-row λ dictionary in integer micro-nats. */
+  private def lambdaDict(pdb: DataFrame): DataFrame = {
+    val rawB = pdb.groupBy("bucket").agg(sum(col("c")).as("r_b"))
+    val tgtB = pdb.filter(col("source") === "src0")
+      .groupBy("bucket").agg(sum(col("c")).as("t_b"))
+    rawB.join(tgtB, Seq("bucket"), "left")
+      .crossJoin(broadcast(rawB.agg(sum(col("r_b")).as("rt"))))
+      .crossJoin(broadcast(tgtB.agg(sum(col("t_b")).as("tt"))))
+      .withColumn("lam", expr(
+        s"CAST(round(1e6 * ln((CAST(COALESCE(t_b, 0) + 1 AS DOUBLE) * (rt + $NBUCKETS)) / " +
+          s"(CAST(r_b + 1 AS DOUBLE) * (tt + $NBUCKETS)))) AS BIGINT)"))
+      .select("bucket", "lam")
+  }
+
+  def pipelineDsir: Q = (s, dir) => {
+    val pdb = perDocBuckets(s, dir).cache()
+    val scored = pdb.join(broadcast(lambdaDict(pdb)), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("lam")).as("score_unats"), sum(col("c")).as("n_feats"))
+    t(s, dir, "documents").select("doc_id", "source")
+      .filter(col("source") =!= "src0")
+      .join(scored, "doc_id")
+      .select("doc_id", "source", "n_feats", "score_unats")
+      .orderBy(col("score_unats").desc, col("doc_id"))
+      .limit(TOPN)
+  }
+
+  val pipelineDsirSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split(lower(text), ' '), w -> w != '') AS ws
+       |  FROM documents),
+       |uni AS (SELECT doc_id, source, unnest(ws) AS feat FROM base),
+       |bi AS (
+       |  SELECT doc_id, source, ws[i] || ' ' || ws[i + 1] AS feat
+       |  FROM (SELECT doc_id, source, ws, unnest(range(1, len(ws))) AS i
+       |        FROM base WHERE len(ws) >= 2)),
+       |pdb AS (
+       |  SELECT doc_id, source, substr(md5(feat), 1, 2) AS bucket, COUNT(*) AS c
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+       |  GROUP BY doc_id, source, substr(md5(feat), 1, 2)),
+       |rawb AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS r_b FROM pdb GROUP BY bucket),
+       |tgtb AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS t_b FROM pdb
+       |         WHERE source = 'src0' GROUP BY bucket),
+       |rtot AS (SELECT CAST(SUM(r_b) AS BIGINT) AS rt FROM rawb),
+       |ttot AS (SELECT CAST(SUM(t_b) AS BIGINT) AS tt FROM tgtb),
+       |lam AS (
+       |  SELECT bucket, CAST(round(1e6 * ln(
+       |      (CAST(COALESCE(t_b, 0) + 1 AS DOUBLE) * (rt + $NBUCKETS)) /
+       |      (CAST(r_b + 1 AS DOUBLE) * (tt + $NBUCKETS)))) AS BIGINT) AS lam
+       |  FROM rawb LEFT JOIN tgtb USING (bucket) CROSS JOIN rtot CROSS JOIN ttot),
+       |scored AS (
+       |  SELECT doc_id, CAST(SUM(c * lam) AS BIGINT) AS score_unats,
+       |    CAST(SUM(c) AS BIGINT) AS n_feats
+       |  FROM pdb JOIN lam USING (bucket) GROUP BY doc_id)
+       |SELECT d.doc_id, d.source, s.n_feats, s.score_unats
+       |FROM documents d JOIN scored s USING (doc_id)
+       |WHERE d.source <> 'src0'
+       |ORDER BY s.score_unats DESC, d.doc_id
+       |LIMIT $TOPN""".stripMargin
+
+  /** STREAMING DSIR (§2D twin): the 256-row λ dictionary is exactly
+    * the artifact a production pipeline trains offline and broadcasts
+    * to its ingest stream. Documents arrive micro-batched, features
+    * extract map-side, and every feature occurrence scores through a
+    * STREAM-STATIC broadcast join against the fixed dictionary —
+    * STATELESS by construction (no watermark, no state store), so the
+    * scorer runs forever on an unbounded firehose; the per-doc rollup
+    * and top-50 selection aggregate from the drained sink. Output and
+    * oracle shared verbatim with [[pipelineDsir]], so the stream path
+    * must score every document identically to the batch path. */
+  def streamDsir: Q = (s, dir) => {
+    val lam = lambdaDict(perDocBuckets(s, dir))
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    graft.streaming.StreamStage.withStaged(s, "sdsir", dir, "documents.parquet") { stageDir =>
+      val streamFeats = s.readStream.schema(sch).parquet(stageDir)
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), ' '), w -> w != '')").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "concat(ws, CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), " +
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) " +
+            "ELSE CAST(array() AS ARRAY<STRING>) END)")).as("feat"))
+        .select(col("doc_id"), substring(md5(col("feat")), 1, 2).as("bucket"))
+      val scored = streamFeats.join(broadcast(lam), "bucket")
+        .select(col("doc_id"), col("lam"))
+      val q = scored.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_dsir").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val perDoc = s.table("graft_stream_dsir")
+      .groupBy("doc_id")
+      .agg(sum(col("lam")).as("score_unats"), count(lit(1)).as("n_feats"))
+    t(s, dir, "documents").select("doc_id", "source")
+      .filter(col("source") =!= "src0")
+      .join(perDoc, "doc_id")
+      .select("doc_id", "source", "n_feats", "score_unats")
+      .orderBy(col("score_unats").desc, col("doc_id"))
+      .limit(TOPN)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "pipeline_dsir" -> pipelineDsir,
+    "stream_dsir" -> streamDsir)
+  val oracles: Map[String, String] = Map(
+    "pipeline_dsir" -> pipelineDsirSql,
+    "stream_dsir" -> pipelineDsirSql)
+}

@@ -309,6 +309,58 @@ class Round11Spec extends AnyFunSuite {
   }
 
   // -----------------------------------------------------------------
+  // DSIR importance resampling
+  // -----------------------------------------------------------------
+
+  /** Plain-Scala DSIR reference: tokenize, hash, smooth, quantize and
+    * score entirely in local collections — an anchor independent of
+    * every Spark/DuckDB code path the operator uses. */
+  private def dsirReference(): Seq[(Long, String, Long, Long)] = {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(feat: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(feat.getBytes("UTF-8"))
+      f"${d(0) & 0xff}%02x"
+    }
+    def feats(text: String): Seq[String] = {
+      val ws = text.toLowerCase.split(' ').filter(_.nonEmpty).toSeq
+      ws ++ ws.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    }
+    val perDoc = docs.map { case (id, src, text) =>
+      (id, src, feats(text).groupBy(bucket).map { case (b, fs) => b -> fs.size.toLong })
+    }
+    val rawB = perDoc.flatMap(_._3).groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+    val tgtB = perDoc.filter(_._2 == "src0").flatMap(_._3)
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+    val (rt, tt) = (rawB.values.sum, tgtB.values.sum)
+    val lam = rawB.map { case (b, r) =>
+      b -> math.round(1e6 * math.log(
+        ((tgtB.getOrElse(b, 0L) + 1).toDouble * (rt + 256)) / ((r + 1).toDouble * (tt + 256))))
+    }
+    perDoc.filter(_._2 != "src0").map { case (id, src, cs) =>
+      (id, src, cs.values.sum, cs.map { case (b, c) => c * lam(b) }.sum)
+    }.sortBy { case (id, _, _, sc) => (-sc, id) }.take(50).toSeq
+  }
+
+  test("pipeline_dsir matches an independent local reference exactly") {
+    val got = graft.operators.Dsir.pipelineDsir(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_feats"), r.getAs[Long]("score_unats"))).toSeq
+    assert(got.nonEmpty && got.forall(_._2 != "src0"))
+    assert(got == dsirReference())
+  }
+
+  test("stream_dsir scores identically to the batch path") {
+    val batch = graft.operators.Dsir.pipelineDsir(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val stream = graft.operators.Dsir.streamDsir(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(batch == stream)
+  }
+
+  // -----------------------------------------------------------------
   // tokenizer decode
   // -----------------------------------------------------------------
 
