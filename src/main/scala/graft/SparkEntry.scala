@@ -43,6 +43,7 @@ object SparkEntry {
       graft.operators.DatasetDiff.queries ++
       graft.operators.NgramLm.queries ++
       graft.operators.Dsir.queries ++
+      graft.operators.NbClassifier.queries ++
       graft.operators.Bm25.queries ++
       graft.operators.HybridSearch.queries
 
@@ -78,6 +79,7 @@ object SparkEntry {
       graft.operators.DatasetDiff.oracles ++
       graft.operators.NgramLm.oracles ++
       graft.operators.Dsir.oracles ++
+      graft.operators.NbClassifier.oracles ++
       graft.operators.Bm25.oracles ++
       graft.operators.HybridSearch.oracles
 }

@@ -60,8 +60,10 @@ object Dsir {
   }
 
   /** Per-(doc, bucket) counts — the corpus-sized partial aggregate
-    * both distribution tables and the scorer roll up from. */
-  private def perDocBuckets(s: SparkSession, dir: String): DataFrame =
+    * both distribution tables and the scorer roll up from. Shared
+    * with [[NbClassifier]], which trains discriminative weights over
+    * the same hashed feature space. */
+  private[operators] def perDocBuckets(s: SparkSession, dir: String): DataFrame =
     featBuckets(s, dir)
       .groupBy("doc_id", "source", "bucket")
       .agg(count(lit(1)).as("c"))
@@ -93,20 +95,27 @@ object Dsir {
       .limit(TOPN)
   }
 
+  /** The shared feature-extraction CTE chain (base → uni/bi → pdb):
+    * per-(doc, source, bucket) hashed n-gram counts. Reused verbatim
+    * by [[NbClassifier]]'s oracle so both engines' feature spaces are
+    * definitionally identical. */
+  private[operators] val pdbCtes: String =
+    """base AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(lower(text), ' '), w -> w != '') AS ws
+      |  FROM documents),
+      |uni AS (SELECT doc_id, source, unnest(ws) AS feat FROM base),
+      |bi AS (
+      |  SELECT doc_id, source, ws[i] || ' ' || ws[i + 1] AS feat
+      |  FROM (SELECT doc_id, source, ws, unnest(range(1, len(ws))) AS i
+      |        FROM base WHERE len(ws) >= 2)),
+      |pdb AS (
+      |  SELECT doc_id, source, substr(md5(feat), 1, 2) AS bucket, COUNT(*) AS c
+      |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+      |  GROUP BY doc_id, source, substr(md5(feat), 1, 2))""".stripMargin
+
   val pipelineDsirSql: String =
-    s"""WITH base AS (
-       |  SELECT doc_id, source,
-       |    list_filter(string_split(lower(text), ' '), w -> w != '') AS ws
-       |  FROM documents),
-       |uni AS (SELECT doc_id, source, unnest(ws) AS feat FROM base),
-       |bi AS (
-       |  SELECT doc_id, source, ws[i] || ' ' || ws[i + 1] AS feat
-       |  FROM (SELECT doc_id, source, ws, unnest(range(1, len(ws))) AS i
-       |        FROM base WHERE len(ws) >= 2)),
-       |pdb AS (
-       |  SELECT doc_id, source, substr(md5(feat), 1, 2) AS bucket, COUNT(*) AS c
-       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
-       |  GROUP BY doc_id, source, substr(md5(feat), 1, 2)),
+    s"""WITH $pdbCtes,
        |rawb AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS r_b FROM pdb GROUP BY bucket),
        |tgtb AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS t_b FROM pdb
        |         WHERE source = 'src0' GROUP BY bucket),

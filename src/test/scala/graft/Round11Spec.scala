@@ -361,6 +361,63 @@ class Round11Spec extends AnyFunSuite {
   }
 
   // -----------------------------------------------------------------
+  // Naive-Bayes quality classifier
+  // -----------------------------------------------------------------
+
+  /** Plain-Scala NB reference: train src0-vs-src1 over hashed
+    * features and score the rest entirely in local collections — an
+    * anchor independent of every Spark/DuckDB code path. */
+  private def nbReference(): Map[Long, (Long, Boolean)] = {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(feat: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(feat.getBytes("UTF-8"))
+      f"${d(0) & 0xff}%02x"
+    }
+    def feats(text: String): Seq[String] = {
+      val ws = text.toLowerCase.split(' ').filter(_.nonEmpty).toSeq
+      ws ++ ws.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    }
+    val perDoc = docs.map { case (id, src, text) =>
+      (id, src, feats(text).groupBy(bucket).map { case (b, fs) => b -> fs.size.toLong })
+    }
+    def classCounts(src: String) = perDoc.filter(_._2 == src).flatMap(_._3)
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+    val (posB, negB) = (classCounts("src0"), classCounts("src1"))
+    val (pt, nt) = (posB.values.sum, negB.values.sum)
+    def w(b: String): Long = math.round(1e6 * math.log(
+      ((posB.getOrElse(b, 0L) + 1).toDouble * (nt + 256)) /
+        ((negB.getOrElse(b, 0L) + 1).toDouble * (pt + 256))))
+    val prior = math.round(1e6 * math.log(
+      perDoc.count(_._2 == "src0").toDouble / perDoc.count(_._2 == "src1")))
+    perDoc.filter(d => d._2 != "src0" && d._2 != "src1").map { case (id, _, cs) =>
+      val sc = prior + cs.map { case (b, c) => c * w(b) }.sum
+      id -> (sc, sc > 0)
+    }.toMap
+  }
+
+  test("pipeline_nb_classifier matches an independent local reference exactly") {
+    val ref = nbReference()
+    val got = graft.operators.NbClassifier.pipelineNbClassifier(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("score_unats"), r.getAs[Boolean]("keep"))).toMap
+    assert(got.nonEmpty && got.size == ref.size)
+    assert(got == ref)
+    // the gate is only meaningful if the threshold actually splits
+    assert(got.values.exists(_._2) && got.values.exists(!_._2))
+  }
+
+  test("stream_nb_classifier scores identically to the batch path") {
+    val batch = graft.operators.NbClassifier.pipelineNbClassifier(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val stream = graft.operators.NbClassifier.streamNbClassifier(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(batch == stream)
+  }
+
+  // -----------------------------------------------------------------
   // tokenizer decode
   // -----------------------------------------------------------------
 
