@@ -44,6 +44,7 @@ object SparkEntry {
       graft.operators.NgramLm.queries ++
       graft.operators.Dsir.queries ++
       graft.operators.NbClassifier.queries ++
+      graft.operators.ZipfFit.queries ++
       graft.operators.Bm25.queries ++
       graft.operators.HybridSearch.queries
 
@@ -80,6 +81,7 @@ object SparkEntry {
       graft.operators.NgramLm.oracles ++
       graft.operators.Dsir.oracles ++
       graft.operators.NbClassifier.oracles ++
+      graft.operators.ZipfFit.oracles ++
       graft.operators.Bm25.oracles ++
       graft.operators.HybridSearch.oracles
 }

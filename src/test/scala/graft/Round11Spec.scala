@@ -418,6 +418,47 @@ class Round11Spec extends AnyFunSuite {
   }
 
   // -----------------------------------------------------------------
+  // Zipf fit
+  // -----------------------------------------------------------------
+
+  /** Plain-Scala Zipf reference: count, rank, quantize and fit in
+    * local collections — independent of Spark windows and DuckDB. */
+  private def zipfReference(): Map[String, (Long, Long, Long)] = {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    docs.groupBy(_._1).map { case (src, ds) =>
+      val freq = ds.flatMap(_._2.toLowerCase.split(' ').filter(_.nonEmpty))
+        .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+      val ranked = freq.toSeq.sortBy { case (w, f) => (-f, w) }.zipWithIndex
+        .map { case ((_, f), i) =>
+          (math.round(1e6 * math.log((i + 1).toDouble)),
+            math.round(1e6 * math.log(f.toDouble)))
+        }
+      val n = ranked.size.toLong
+      val (sx, sy) = (ranked.map(_._1).sum, ranked.map(_._2).sum)
+      val sxy = ranked.map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      val sxx = ranked.map { case (x, _) => BigInt(x) * BigInt(x) }.sum
+      val slope = math.round(1e6 * (BigInt(n) * sxy - BigInt(sx) * BigInt(sy)).toDouble /
+        (BigInt(n) * sxx - BigInt(sx) * BigInt(sx)).toDouble)
+      val intercept = math.round((sy.toDouble - slope.toDouble / 1e6 * sx.toDouble) / n)
+      src -> (n, slope, intercept)
+    }
+  }
+
+  test("text_zipf_fit matches an independent local OLS reference exactly") {
+    val ref = zipfReference()
+    val got = graft.operators.ZipfFit.textZipfFit(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_vocab"), r.getAs[Long]("slope_ppm"),
+          r.getAs[Long]("intercept_unats"))).toMap
+    assert(got.size == ref.size)
+    assert(got == ref)
+    // a Zipf-ish corpus fits with a clearly negative slope everywhere
+    assert(got.values.forall(_._2 < -100000), got.values.map(_._2).toSeq.sorted.take(3))
+  }
+
+  // -----------------------------------------------------------------
   // tokenizer decode
   // -----------------------------------------------------------------
 
