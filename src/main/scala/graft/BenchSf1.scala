@@ -57,6 +57,55 @@ object BenchSf1 {
     "nation" -> Nil,
     "region" -> Nil)
 
+  /** Headline probe list for the `x100` mode: one heavy key per
+    * family, small enough to run at 100× in minutes but covering
+    * every shuffle shape the engine claims scales (equi-join, banded
+    * LSH, graph contraction, quantized ANN, inverted-index retrieval,
+    * vocab induction, sketch agg, boundary scan, halo exchange,
+    * composite curation, HDF5 write+read, span dedup, importance
+    * resampling). */
+  private val X100_KEYS = Seq(
+    "q5_join5", "q17_events_hourly", "dedup_minhash_lsh", "dedup_clusters",
+    "sim_sq_int8", "sim_ivf_pq", "text_bm25_topk", "text_bpe_train",
+    "sketch_hll", "dedup_cdc", "grid_interpolate", "pipeline_keep_list",
+    "nc4_rank3", "dedup_substring_spans", "pipeline_dsir")
+
+  /** Wide replication for the 100× probe: one crossJoin against a
+    * replica range instead of a 100-child union (same values — keys
+    * shifted by replica·stride, replica-marked document text,
+    * perturbed embeddings — but a constant-size plan and an explicit
+    * output repartition so the staged dir has sane file counts). */
+  def replicateWide(spark: SparkSession, srcDir: String, dstDir: String,
+                    copies: Int, outParts: Int): Unit = {
+    keyCols.foreach { case (table, keys) =>
+      val base =
+        if (table == "events") Tables.events(spark, srcDir)
+        else Tables.t(spark, srcDir, table)
+      val out =
+        if (keys.isEmpty) base
+        else {
+          val strides: Map[String, Long] = keys.map { k =>
+            k -> (base.agg(max(col(k))).head().getLong(0) + 1L)
+          }.toMap
+          var df = base.crossJoin(
+            broadcast(spark.range(copies).select(col("id").as("__r"))))
+          strides.foreach { case (k, s) =>
+            df = df.withColumn(k, col(k) + col("__r") * lit(s))
+          }
+          if (table == "documents")
+            df = df.withColumn("text",
+              when(col("__r") > 0,
+                concat(col("text"), lit(" #replica"), col("__r")))
+                .otherwise(col("text")))
+          if (table == "embeddings")
+            df = df.withColumn("embedding",
+              expr("transform(embedding, (x, i) -> x + cast(pmod(hash(vec_id, i, __r), 997) as float) * 1e-6f)"))
+          df.drop("__r").repartition(outParts)
+        }
+      out.write.mode("overwrite").parquet(s"$dstDir/$table.parquet")
+    }
+  }
+
   def replicate(spark: SparkSession, srcDir: String, dstDir: String, copies: Int): Unit = {
     keyCols.foreach { case (table, keys) =>
       val base =
@@ -102,7 +151,17 @@ object BenchSf1 {
       .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    replicate(spark, srcDir, dstDir, 10)
+    // `x100` mode: the same scaling-shape probe two decades up —
+    // 100 replicas (~1.7 GB parquet from sf0.1) through the headline
+    // key list. On fixed cores a linear operator should cost ≤ ~100×
+    // its sf0.1 wall (usually far less while sf0.1 is overhead-
+    // dominated); anything materially ABOVE the 10×-implied slope is
+    // the finding.
+    val x100 = args.contains("x100")
+    val copies = if (x100) 100 else 10
+    val stageDir = if (x100) "/tmp/graft_x100_synth" else dstDir
+    if (x100) replicateWide(spark, srcDir, stageDir, copies, cpus.toInt * 2)
+    else replicate(spark, srcDir, stageDir, copies)
 
     // bench-only probes (not SparkEntry inventory keys): variants that
     // isolate a fixture parameter from the operator under test
@@ -137,17 +196,21 @@ object BenchSf1 {
     // materially super-linear at 10× is a finding to root-cause
     val full = args.contains("full")
     val keys =
-      if (full) SparkEntry.queries.keys.toSeq.sorted ++ extraProbes.keys.toSeq.sorted
+      if (x100) X100_KEYS
+      else if (full) SparkEntry.queries.keys.toSeq.sorted ++ extraProbes.keys.toSeq.sorted
       else KEYS
-    val outFile = if (full) "BENCH_sf1_full.json" else "BENCH_sf1_smoke.json"
+    val outFile =
+      if (x100) "BENCH_x100_probe.json"
+      else if (full) "BENCH_sf1_full.json"
+      else "BENCH_sf1_smoke.json"
     // warm BOTH dirs once (JIT, file listing, and the once-per-
     // (session, dir) staged artifacts — centroids, pair tables,
     // fingerprints), then one timed pass each: the ratio then
     // measures per-pass scaling, not staging-build-vs-staged-read
     keys.foreach(k => time(k, srcDir))
-    keys.foreach(k => time(k, dstDir))
+    keys.foreach(k => time(k, stageDir))
     var small = keys.map(k => k -> time(k, srcDir)).toMap
-    var big = keys.map(k => k -> time(k, dstDir)).toMap
+    var big = keys.map(k => k -> time(k, stageDir)).toMap
     // outlier watchdog (the r9/r10 grid_lag_diff lesson): a single
     // timed sample per key means a session-wide transient — GC cliff,
     // page-cache eviction — sticks to whichever key it straddled and
@@ -155,25 +218,31 @@ object BenchSf1 {
     // (>8x) with a non-trivial absolute time gets ONE more sample per
     // dir after the rest of the session has drained; the min is the
     // steady state (same device as Bench.main's watchdog).
+    // super-linear threshold scales with the replica count (8× at
+    // 10 copies, 80× at 100)
+    val superLin = copies * 0.8
     val suspects = keys.filter { k =>
-      small(k) > 0 && big(k) > 0 && big(k) / small(k) > 8.0 && big(k) > 1.0
+      small(k) > 0 && big(k) > 0 && big(k) / small(k) > superLin && big(k) > 1.0
     }
     if (suspects.nonEmpty) {
       System.err.println(s"[sf1-watchdog] re-timing ${suspects.size} outliers: ${suspects.mkString(",")}")
       suspects.foreach { k =>
         val s2 = time(k, srcDir)
-        val b2 = time(k, dstDir)
+        val b2 = time(k, stageDir)
         if (s2 > 0) small += k -> math.min(small(k), s2)
         if (b2 > 0) big += k -> math.min(big(k), b2)
       }
     }
     def fmt(d: Double) = if (d < 0) "-1" else f"$d%.3f"
+    val bigField = if (x100) "x100_sec" else "x10_sec"
     val rows = keys.map { k =>
       val ratio = if (small(k) > 0 && big(k) > 0) big(k) / small(k) else -1.0
-      s""""$k":{"sf01_sec":${fmt(small(k))},"x10_sec":${fmt(big(k))},"ratio":${fmt(ratio)}}"""
+      s""""$k":{"sf01_sec":${fmt(small(k))},"$bigField":${fmt(big(k))},"ratio":${fmt(ratio)}}"""
     }
-    val json = s"""{"metric":"sf1_${if (full) "full" else "smoke"}",""" +
-      s""""input":"10x replicated $srcDir","copies":10,""" +
+    val metric =
+      if (x100) "x100_probe" else s"sf1_${if (full) "full" else "smoke"}"
+    val json = s"""{"metric":"$metric",""" +
+      s""""input":"${copies}x replicated $srcDir","copies":$copies,""" +
       s""""queries":{${rows.mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(s"/root/repo/$outFile"),
       (json + "\n").getBytes("UTF-8"))

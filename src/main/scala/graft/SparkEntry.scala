@@ -45,6 +45,8 @@ object SparkEntry {
       graft.operators.Dsir.queries ++
       graft.operators.NbClassifier.queries ++
       graft.operators.ZipfFit.queries ++
+      graft.operators.CanonicalQuality.queries ++
+      graft.operators.Decontaminate.queries ++
       graft.operators.Bm25.queries ++
       graft.operators.HybridSearch.queries
 
@@ -82,6 +84,8 @@ object SparkEntry {
       graft.operators.Dsir.oracles ++
       graft.operators.NbClassifier.oracles ++
       graft.operators.ZipfFit.oracles ++
+      graft.operators.CanonicalQuality.oracles ++
+      graft.operators.Decontaminate.oracles ++
       graft.operators.Bm25.oracles ++
       graft.operators.HybridSearch.oracles
 }

@@ -32,7 +32,7 @@ object Contamination {
   private val BENCH_TH = "08" // md5 prefix < '08' → 8/256 ≈ 3% benchmark slice
   private val FLAG_AT = 0.5 // flag docs with >= 50% contaminated shingles
 
-  private def isBench = // deterministic benchmark membership
+  private[operators] def isBench = // deterministic benchmark membership
     substring(md5(concat(lit(SALT), col("doc_id").cast(StringType))), 1, 2) < BENCH_TH
 
   /** (doc_id, n_sh, n_hit, contamination, flagged) for every

@@ -459,6 +459,52 @@ class Round11Spec extends AnyFunSuite {
   }
 
   // -----------------------------------------------------------------
+  // quality-aware canonical election + decontamination ledger
+  // -----------------------------------------------------------------
+
+  test("dedup_canonical_quality elects argmax(quality, min id) per cluster") {
+    val clusters = graft.operators.DedupClusters.dedupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val quality = graft.functions.TextOps.textQuality(spark, sf)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // independent local election over the same inputs
+    val ref = clusters.groupBy(_._2).map { case (cid, members) =>
+      val best = members.map(_._1).minBy(id => (-quality(id), id))
+      cid -> (best, members.length.toLong, quality(best))
+    }
+    val got = graft.operators.CanonicalQuality.dedupCanonicalQuality(spark, sf)
+      .collect().map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("best_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Double]("best_quality"))).toMap
+    assert(got == ref)
+    // the corpus has at least one cluster where quality flips the election
+    val gotRows = graft.operators.CanonicalQuality.dedupCanonicalQuality(spark, sf)
+      .collect()
+    assert(gotRows.exists(_.getAs[Boolean]("differs_from_minid")) ||
+      gotRows.forall(r => r.getAs[Long]("cluster_size") == 1L))
+  }
+
+  test("pipeline_decontaminate ledger is conservation-exact per source") {
+    val led = graft.operators.Decontaminate.pipelineDecontaminate(spark, sf).collect()
+    assert(led.nonEmpty)
+    led.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("n_dropped") + r.getAs[Long]("n_kept"), r.toString)
+      val ppm = r.getAs[Long]("dropped_ppm")
+      assert(ppm >= 0 && ppm <= 1000000, r.toString)
+    }
+    // total doc count must equal the non-benchmark corpus exactly
+    val nonBench = spark.read.parquet(s"$sf/documents.parquet").collect().count { r =>
+      val id = r.getAs[Long]("doc_id")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-bench-v1:$id".getBytes("UTF-8"))
+      f"${md(0) & 0xff}%02x" >= "08"
+    }
+    assert(led.map(_.getAs[Long]("n_docs")).sum == nonBench.toLong)
+  }
+
+  // -----------------------------------------------------------------
   // tokenizer decode
   // -----------------------------------------------------------------
 
