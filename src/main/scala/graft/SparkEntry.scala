@@ -47,6 +47,8 @@ object SparkEntry {
       graft.operators.ZipfFit.queries ++
       graft.operators.CanonicalQuality.queries ++
       graft.operators.Decontaminate.queries ++
+      graft.operators.CcnetBuckets.queries ++
+      graft.operators.Fertility.queries ++
       graft.operators.Bm25.queries ++
       graft.operators.HybridSearch.queries
 
@@ -86,6 +88,8 @@ object SparkEntry {
       graft.operators.ZipfFit.oracles ++
       graft.operators.CanonicalQuality.oracles ++
       graft.operators.Decontaminate.oracles ++
+      graft.operators.CcnetBuckets.oracles ++
+      graft.operators.Fertility.oracles ++
       graft.operators.Bm25.oracles ++
       graft.operators.HybridSearch.oracles
 }

@@ -100,7 +100,10 @@ object NgramLm {
     * mass) mirrors pipeline_quality_filter's drop-reasons posture. */
   private val PPL_T = 30000L // keep docs averaging >= 3% conditional ppm
 
-  def pipelinePerplexityFilter: Q = (s, dir) => {
+  /** Per-doc held-out scores (doc_id, n_bigrams, sum_q) against the
+    * src0-trained dict — the scoring pass shared by the filter and
+    * [[CcnetBuckets]]. */
+  private[graft] def heldOutScores(s: SparkSession, dir: String): DataFrame = {
     val bi = bigrams(s, dir).cache() // feeds dict training AND scoring
     val ref = bi.join(
       t(s, dir, "documents").filter(col("source") === "src0").select("doc_id"),
@@ -110,10 +113,37 @@ object NgramLm {
     val dict = c2.join(c1, "w1")
       .withColumn("q", expr("(1000000 * n2) div n1"))
       .select("w1", "w2", "q")
-    val scored = bi.join(dict, Seq("w1", "w2"), "left")
+    bi.join(dict, Seq("w1", "w2"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(coalesce(col("q"), lit(0L))).as("sum_q"))
+  }
+
+  /** The scoring CTE chain behind [[heldOutScores]] (base → bi → ref
+    * → c1/c2 → dict → scored), shared with [[CcnetBuckets]]'s
+    * oracle. */
+  private[operators] val heldOutScoreCtes: String =
+    """base AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w != '') AS ws
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+      |        FROM base WHERE len(ws) >= 2)),
+      |ref AS (SELECT bi.* FROM bi JOIN documents d USING (doc_id)
+      |        WHERE d.source = 'src0'),
+      |c1 AS (SELECT w1, COUNT(*) AS n1 FROM ref GROUP BY w1),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM ref GROUP BY w1, w2),
+      |dict AS (SELECT w1, w2, (1000000 * n2) // n1 AS q
+      |         FROM c2 JOIN c1 USING (w1)),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    SUM(COALESCE(q, 0)) AS sum_q
+      |  FROM bi LEFT JOIN dict USING (w1, w2)
+      |  GROUP BY doc_id)""".stripMargin
+
+  def pipelinePerplexityFilter: Q = (s, dir) => {
+    val scored = heldOutScores(s, dir)
     t(s, dir, "documents").select("doc_id", "source")
       .join(scored, Seq("doc_id"), "left")
       .withColumn("short", col("n_bigrams").isNull)
@@ -129,24 +159,7 @@ object NgramLm {
   }
 
   val pipelinePerplexityFilterSql: String =
-    s"""WITH base AS (
-       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w != '') AS ws
-       |  FROM documents),
-       |bi AS (
-       |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
-       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
-       |        FROM base WHERE len(ws) >= 2)),
-       |ref AS (SELECT bi.* FROM bi JOIN documents d USING (doc_id)
-       |        WHERE d.source = 'src0'),
-       |c1 AS (SELECT w1, COUNT(*) AS n1 FROM ref GROUP BY w1),
-       |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM ref GROUP BY w1, w2),
-       |dict AS (SELECT w1, w2, (1000000 * n2) // n1 AS q
-       |         FROM c2 JOIN c1 USING (w1)),
-       |scored AS (
-       |  SELECT doc_id, COUNT(*) AS n_bigrams,
-       |    SUM(COALESCE(q, 0)) AS sum_q
-       |  FROM bi LEFT JOIN dict USING (w1, w2)
-       |  GROUP BY doc_id),
+    s"""WITH $heldOutScoreCtes,
        |lab AS (
        |  SELECT d.source, s.n_bigrams, s.sum_q,
        |    s.n_bigrams IS NULL AS short,

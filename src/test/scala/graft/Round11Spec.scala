@@ -505,6 +505,62 @@ class Round11Spec extends AnyFunSuite {
   }
 
   // -----------------------------------------------------------------
+  // CCNet buckets + tokenizer fertility
+  // -----------------------------------------------------------------
+
+  test("pipeline_ccnet_buckets splits each lang into thirds by score histogram") {
+    // independent local bucketing from the already-anchored per-doc scores
+    val scored = graft.operators.NgramLm.heldOutScores(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(d => scored.contains(d._1))
+    val ref = docs.groupBy(_._2).flatMap { case (lang, ds) =>
+      val keyed = ds.map { case (id, _, nc) =>
+        val (nb, sq) = scored(id); (id, nc, 1000000L * sq / nb)
+      }
+      val n = keyed.length.toLong
+      val hist = keyed.groupBy(_._3).map { case (k, xs) => k -> xs.length.toLong }
+      val desc = hist.toSeq.sortBy(-_._1)
+      val cumBefore = desc.scanLeft(0L)(_ + _._2).dropRight(1)
+      val bucketOf = desc.zip(cumBefore).map { case ((k, _), cb) =>
+        k -> (if (cb * 3 < n) "head" else if (cb * 3 < 2 * n) "middle" else "tail")
+      }.toMap
+      keyed.groupBy(d => bucketOf(d._3)).map { case (b, xs) =>
+        (lang, b) -> (xs.length.toLong, xs.map(_._2).sum)
+      }
+    }
+    val got = graft.operators.CcnetBuckets.pipelineCcnetBuckets(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("bucket")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"))).toMap
+    assert(got == ref)
+    // every lang present has a head bucket, and bucket doc counts are
+    // near-thirds (within one key-group of n/3 by construction)
+    val langs = got.keys.map(_._1).toSet
+    assert(langs.forall(l => got.contains((l, "head"))))
+  }
+
+  test("text_bpe_fertility is the exact ppm ratio of anchored token counts") {
+    val counts = graft.functions.Bpe.docTokenCounts(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_ws"), r.getAs[Long]("n_tokens"))).toMap
+    val langOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ref = counts.toSeq.groupBy(c => langOf(c._1)).map { case (lang, xs) =>
+      val ws = xs.map(_._2._1).sum; val bpe = xs.map(_._2._2).sum
+      lang -> (xs.size.toLong, ws, bpe, 1000000L * bpe / ws)
+    }
+    val got = graft.operators.Fertility.textBpeFertility(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_ws_tokens"),
+          r.getAs[Long]("n_bpe_tokens"), r.getAs[Long]("fertility_ppm"))).toMap
+    assert(got == ref)
+    // BPE always emits at least one token per word → fertility >= 1e6
+    assert(got.values.forall(_._4 >= 1000000L))
+  }
+
+  // -----------------------------------------------------------------
   // tokenizer decode
   // -----------------------------------------------------------------
 
