@@ -49,6 +49,8 @@ object SparkEntry {
       graft.operators.Decontaminate.queries ++
       graft.operators.CcnetBuckets.queries ++
       graft.operators.Fertility.queries ++
+      graft.operators.LangidEval.queries ++
+      graft.operators.StreamBpe.queries ++
       graft.operators.Bm25.queries ++
       graft.operators.HybridSearch.queries
 
@@ -90,6 +92,8 @@ object SparkEntry {
       graft.operators.Decontaminate.oracles ++
       graft.operators.CcnetBuckets.oracles ++
       graft.operators.Fertility.oracles ++
+      graft.operators.LangidEval.oracles ++
+      graft.operators.StreamBpe.oracles ++
       graft.operators.Bm25.oracles ++
       graft.operators.HybridSearch.oracles
 }

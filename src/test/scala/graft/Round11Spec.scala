@@ -561,6 +561,35 @@ class Round11Spec extends AnyFunSuite {
   }
 
   // -----------------------------------------------------------------
+  // langid confusion + streaming tokenizer counts
+  // -----------------------------------------------------------------
+
+  test("text_langid_confusion cross-tabulates exactly and rows sum to 1e6-ish ppm") {
+    val preds = graft.functions.TextOps.textLangId(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("pred_lang")))
+    val ref = preds.groupBy(identity).map { case (cell, xs) =>
+      cell -> xs.length.toLong
+    }
+    val got = graft.operators.LangidEval.textLangidConfusion(spark, sf).collect()
+    assert(got.map(r => (r.getAs[String]("lang"), r.getAs[String]("pred_lang")) ->
+      r.getAs[Long]("n_docs")).toMap == ref)
+    // per-lang row ppm sums to 1e6 within the integer-floor slack
+    got.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val s = rows.map(_.getAs[Long]("row_ppm")).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length, s"$lang: $s")
+    }
+    assert(got.exists(_.getAs[Boolean]("correct")))
+  }
+
+  test("stream_tokencount_bpe equals the batch tokenizer counts row-for-row") {
+    val batch = graft.functions.Bpe.textTokencountBpe(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val stream = graft.operators.StreamBpe.streamTokencountBpe(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(batch == stream && batch.nonEmpty)
+  }
+
+  // -----------------------------------------------------------------
   // tokenizer decode
   // -----------------------------------------------------------------
 
