@@ -221,6 +221,59 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "per-source counts lost partial aggregation")
   }
 
+  test("DSIR scores via a broadcast dictionary and bounded top-k selection") {
+    val p = planOf("pipeline_dsir")
+    assert(p.contains("BroadcastHashJoin"), "256-row λ dict join not broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 selection plans a global sort")
+    assert(p.contains("partial_"), "per-doc rollup lost partial aggregation")
+  }
+
+  test("NB classifier scores via broadcast weights; prior is a broadcast scalar") {
+    val p = planOf("pipeline_nb_classifier")
+    assert(p.contains("BroadcastHashJoin"), "weight dict join not broadcast")
+    assert(p.contains("partial_"), "per-doc rollup lost partial aggregation")
+    assert(!p.contains("CartesianProduct"), "prior attach went cartesian")
+  }
+
+  test("CCNet bucketing never range-shuffles the corpus") {
+    // cutoffs come from the per-(lang,key) histogram; the corpus is
+    // assigned by equi-join — an ntile() formulation would plan a
+    // rangepartitioning exchange over every row
+    val p = planOf("pipeline_ccnet_buckets")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      "bucketing plans a corpus-wide range sort")
+    assert(p.contains("partial_"), "ledger lost partial aggregation")
+  }
+
+  test("Zipf fit sorts vocabulary partitions only, never the corpus globally") {
+    val p = planOf("text_zipf_fit")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      "ranking plans a global range sort")
+    assert(p.contains("partial_"), "moment sums lost partial aggregation")
+  }
+
+  test("canonical election is a max(struct) partial agg, not a window") {
+    val p = planOf("dedup_canonical_quality")
+    assert(!p.contains("Window"),
+      s"election must be the max(struct) partial aggregate:\n${p.take(600)}")
+    assert(p.contains("partial_"), "election lost map-side combine")
+  }
+
+  test("decontamination ledger joins the broadcast flagged list") {
+    val p = planOf("pipeline_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "flagged-doc join not broadcast")
+    assert(p.contains("partial_"), "ledger lost partial aggregation")
+  }
+
+  test("fertility and langid confusion stay partial-agg'd with broadcast sides") {
+    Seq("text_bpe_fertility", "text_langid_confusion").foreach { name =>
+      val p = planOf(name)
+      assert(p.contains("partial_"), s"$name lost partial aggregation")
+      assert(p.contains("BroadcastHashJoin"), s"$name dictionary join not broadcast")
+    }
+  }
+
   test("centroid purity assigns via min_by partial agg, no corpus window") {
     val p = planOf("sim_centroid_purity")
     assert(!p.contains("Window"),
