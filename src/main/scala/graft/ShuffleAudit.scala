@@ -1,0 +1,89 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Shuffle-volume audit (SURVEY.md §4): the quantitative form of the
+  * bounded-shuffle claims. For each headline key, runs the query once
+  * at sf0.1 and once on the 10× replicated dir and records the actual
+  * bytes moved — input read, shuffle write — from stage task metrics.
+  *
+  * The claim under test: shuffle volume grows AT MOST linearly with
+  * input (ratio ≤ ~10 at 10× data), because every pair-generating
+  * operator is bucket/band/key-bounded and every dictionary join is
+  * broadcast. A super-linear shuffle ratio is the smoking gun of an
+  * all-pairs or re-fan-out shape that wall-clock benches can hide
+  * behind parallelism — this audit sees the bytes themselves.
+  *
+  * Writes SHUFFLE_AUDIT.json. Run AFTER a warm pass (the once-per-
+  * session staged artifacts build during warm), matching the bench
+  * convention: the measured pass is the steady-state per-query cost.
+  */
+object ShuffleAudit {
+
+  private val KEYS = Seq(
+    "q5_join5", "q17_events_hourly", "dedup_minhash_lsh", "dedup_clusters",
+    "sim_sq_int8", "sim_ivf_pq", "text_bm25_topk", "text_bpe_train",
+    "sketch_hll", "dedup_cdc", "grid_interpolate", "pipeline_keep_list",
+    "dedup_substring_spans", "pipeline_dsir", "pipeline_nb_classifier",
+    "dedup_ngram_topm", "pipeline_ccnet_buckets")
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val bigDir = "/tmp/graft_sf1_synth"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$bigDir/documents.parquet").exists())
+      BenchSf1.replicate(spark, srcDir, bigDir, 10)
+
+    val shufW = new AtomicLong(0)
+    val inB = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          inB.addAndGet(m.inputMetrics.bytesRead)
+        }
+      }
+    })
+
+    def measure(name: String, dir: String): (Long, Long) = {
+      spark.sharedState.cacheManager.clearCache()
+      shufW.set(0); inB.set(0)
+      SparkEntry.queries(name)(spark, dir).count()
+      // listener events are posted asynchronously; drain before reading
+      org.apache.spark.GraftListenerBusAccess.drain(spark.sparkContext)
+      (inB.get(), shufW.get())
+    }
+
+    // warm: build staged artifacts + JIT so the measured pass is the
+    // steady-state per-query cost (bench convention)
+    KEYS.foreach(k => measure(k, srcDir))
+    KEYS.foreach(k => measure(k, bigDir))
+    val rows = KEYS.map { k =>
+      val (in1, sh1) = measure(k, srcDir)
+      val (in10, sh10) = measure(k, bigDir)
+      val shr = if (sh1 > 0) sh10.toDouble / sh1 else -1.0
+      val inr = if (in1 > 0) in10.toDouble / in1 else -1.0
+      f""""$k":{"sf01_input_b":$in1,"sf01_shuffle_b":$sh1,""" +
+        f""""x10_input_b":$in10,"x10_shuffle_b":$sh10,""" +
+        f""""input_ratio":$inr%.2f,"shuffle_ratio":$shr%.2f}"""
+    }
+    val json = s"""{"metric":"shuffle_audit","input":"10x replicated $srcDir",""" +
+      s""""queries":{${rows.mkString(",")}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/SHUFFLE_AUDIT.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

@@ -50,6 +50,7 @@ object SparkEntry {
       graft.operators.CcnetBuckets.queries ++
       graft.operators.Fertility.queries ++
       graft.operators.LangidEval.queries ++
+      graft.operators.CharEntropy.queries ++
       graft.operators.StreamBpe.queries ++
       graft.operators.Bm25.queries ++
       graft.operators.HybridSearch.queries
@@ -93,6 +94,7 @@ object SparkEntry {
       graft.operators.CcnetBuckets.oracles ++
       graft.operators.Fertility.oracles ++
       graft.operators.LangidEval.oracles ++
+      graft.operators.CharEntropy.oracles ++
       graft.operators.StreamBpe.oracles ++
       graft.operators.Bm25.oracles ++
       graft.operators.HybridSearch.oracles

@@ -590,6 +590,31 @@ class Round11Spec extends AnyFunSuite {
   }
 
   // -----------------------------------------------------------------
+  // char entropy
+  // -----------------------------------------------------------------
+
+  test("text_char_entropy matches an independent local Shannon reference") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ref = docs.map { case (id, text) =>
+      val cs = text.toSeq.groupBy(identity).map { case (_, xs) => xs.length.toLong }
+      val n = cs.sum
+      def lam(k: Long) = math.round(1e6 * math.log(k.toDouble))
+      val sum = cs.map(c => c * lam(c)).sum
+      id -> (n, cs.size.toLong, (n * lam(n) - sum) / n)
+    }.toMap
+    val got = graft.operators.CharEntropy.textCharEntropy(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars_counted"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("entropy_unats"))).toMap
+    assert(got == ref)
+    // natural-ish text: entropy strictly positive, bounded by ln(n_distinct)
+    assert(got.values.forall { case (_, d, h) =>
+      h > 0 && h <= math.round(1e6 * math.log(d.toDouble)) })
+  }
+
+  // -----------------------------------------------------------------
   // tokenizer decode
   // -----------------------------------------------------------------
 
