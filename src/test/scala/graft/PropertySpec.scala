@@ -1,0 +1,141 @@
+package graft
+
+import graft.functions.TarCodec
+import graft.sources.netcdf.Hdf5Format
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based codec tests (scalacheck): the deterministic matrix
+  * sweeps (Hdf5MatrixSpec) pin every FEATURE COMPOSITION; these
+  * properties pin the VALUE SPACE — randomized shapes, sizes, and
+  * payloads through the same write→read paths, so a bug that only
+  * bites at an unanticipated size/content combination (odd chunk
+  * tails, zero-length payloads, name-length edges) still has a
+  * chance to surface. Failures print the shrunk counterexample. */
+class PropertySpec extends AnyFunSuite {
+
+  private def fs = new Path("/tmp").getFileSystem(new Configuration())
+
+  private def run(prop: Prop, min: Int = 30): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(min), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // -----------------------------------------------------------------
+  // ustar codec
+  // -----------------------------------------------------------------
+
+  private val genEntry: Gen[(String, Array[Byte])] = for {
+    nameLen <- Gen.choose(1, 100)
+    name <- Gen.listOfN(nameLen, Gen.alphaNumChar).map(_.mkString)
+    size <- Gen.frequency(3 -> Gen.choose(0, 40), 2 -> Gen.choose(41, 600),
+      1 -> Gen.const(512), 1 -> Gen.const(511), 1 -> Gen.const(513))
+    data <- Gen.containerOfN[Array, Byte](size, Gen.choose(Byte.MinValue, Byte.MaxValue))
+  } yield (name, data)
+
+  test("tar pack→members roundtrips names, sizes and payload bytes (property)") {
+    run(Prop.forAll(Gen.nonEmptyListOf(genEntry).map(_.take(20))) { entries =>
+      val arr = new GenericArrayData(entries.map { case (n, b) =>
+        InternalRow(UTF8String.fromString(n), b)
+      }.toArray[Any])
+      val bytes = TarCodec.pack(arr)
+      val ms = TarCodec.members(bytes)
+      (0 until ms.numElements()).forall { i =>
+        val m = ms.getStruct(i, 3)
+        val (n, b) = entries(i)
+        val off = m.getLong(1).toInt
+        val sz = m.getLong(2).toInt
+        m.getUTF8String(0).toString == n && sz == b.length &&
+          java.util.Arrays.equals(
+            java.util.Arrays.copyOfRange(bytes, off, off + sz), b)
+      } && ms.numElements() == entries.length &&
+        // archive size law: Σ (512 + ceil512(size)) + 1024
+        bytes.length == entries.map { case (_, b) =>
+          512 + ((b.length + 511) / 512) * 512
+        }.sum + 1024
+    })
+  }
+
+  test("tar member walk rejects a corrupted header loudly (property)") {
+    run(Prop.forAll(Gen.nonEmptyListOf(genEntry).map(_.take(6)),
+      Gen.choose(0, 99)) { (entries, pos) =>
+      val arr = new GenericArrayData(entries.map { case (n, b) =>
+        InternalRow(UTF8String.fromString(n), b)
+      }.toArray[Any])
+      val bytes = TarCodec.pack(arr)
+      val mut = bytes.clone()
+      mut(pos) = (mut(pos) ^ 0x55).toByte // flip bits inside header byte `pos`
+      try { TarCodec.members(mut); false } // corrupted name/mode/size must not pass
+      catch { case _: java.io.IOException | _: IllegalArgumentException => true }
+      // name-byte flips change the checksum; every header field is summed
+    }, min = 40)
+  }
+
+  // -----------------------------------------------------------------
+  // HDF5 codec
+  // -----------------------------------------------------------------
+
+  private case class H5Case(dtype: String, index: String, stack: String,
+      n: Int, chunkRecs: Int, values: List[Any])
+
+  private val genH5: Gen[H5Case] = for {
+    dtype <- Gen.oneOf("long", "double", "string")
+    index <- Gen.oneOf("btree1", "single", "implicit", "fixedarray",
+      "extarray", "btree2")
+    stack <- if (index == "implicit") Gen.const("none")
+      else Gen.oneOf("none", "deflate", "shuffle+deflate", "fletcher+shuffle+zstd")
+    n <- Gen.choose(1, 120)
+    cr0 <- Gen.choose(1, 32)
+    values <- Gen.listOfN(n, dtype match {
+      case "long" => Gen.choose(Long.MinValue, Long.MaxValue)
+      case "double" => Gen.choose(-1e6, 1e6)
+      case _ => Gen.choose(1, 12).flatMap(l =>
+        Gen.listOfN(l, Gen.alphaNumChar).map(_.mkString))
+    })
+  } yield H5Case(dtype, index, stack,
+    n, if (index == "single") math.max(n, 1) else cr0, values.map(_.asInstanceOf[Any]))
+
+  test("HDF5 write→readMeta→VarReader roundtrips random shapes exactly (property)") {
+    var fileNo = 0
+    run(Prop.forAll(genH5) { c =>
+      fileNo += 1
+      val schema = StructType(Seq(StructField("v", c.dtype match {
+        case "long" => LongType
+        case "double" => DoubleType
+        case _ => StringType
+      })))
+      val w = new Hdf5Format.Hdf5Writer(schema,
+        chunkRecs = c.chunkRecs,
+        deflate = c.stack.contains("deflate"),
+        stringWidth = 12,
+        h5ver = if (c.index == "btree1") 0 else 2,
+        shuffle = c.stack.contains("shuffle"),
+        fletcher = c.stack.contains("fletcher"),
+        chunkIndex = c.index,
+        zstdLevel = if (c.stack.contains("zstd")) 3 else 0)
+      c.values.foreach(v => w.writeRow(_ => v))
+      val p = new Path(s"/tmp/graft_h5prop/case_${fileNo % 8}.nc4")
+      val out = fs.create(p, true)
+      try out.write(w.finish()) finally out.close()
+      val meta = Hdf5Format.readMeta(fs, p)
+      val v = meta.vars.find(_.name == "v").get
+      val r = new Hdf5Format.VarReader(fs, p, v, 0L, c.n.toLong)
+      try {
+        v.numRecs == c.n.toLong && c.values.zipWithIndex.forall { case (e, i) =>
+          c.dtype match {
+            case "long" => r.getLong(i) == e.asInstanceOf[Long]
+            case "double" => r.getDouble(i) == e.asInstanceOf[Double]
+            case _ => new String(r.getString(i), "UTF-8") == e.asInstanceOf[String]
+          }
+        }
+      } finally r.close()
+    }, min = 25)
+  }
+}
