@@ -833,7 +833,35 @@ object NcFormat {
         case Left(v1) => v1
         case Right(v2) => ncz2 = v2; null
       }
-    } else null
+    } else {
+      // loud-reject posture: a block-compressed file misnamed `.nc`
+      // would otherwise decode deflate streams as record bytes —
+      // silent garbage. One 4-byte tail read per reader open (plain
+      // seekable inputs only; gzip streams are forward-only and their
+      // .gz name IS the codec contract).
+      raf match {
+        case s: FSDataInputStream =>
+          val len = fs.getFileStatus(path).getLen
+          if (len >= 12) {
+            s.seek(len - 12)
+            val tail = new Array[Byte](12)
+            s.readFully(tail)
+            val bb = java.nio.ByteBuffer.wrap(tail)
+            val footerStart = bb.getLong
+            val magic = bb.getInt
+            // magic alone could collide with record data (2^-32); a
+            // colliding file would also need a valid footer pointer
+            if ((magic == NCZ_MAGIC || magic == NCZ2_MAGIC) &&
+                footerStart >= 0 && footerStart <= len - 12)
+              throw new java.io.IOException(
+                s"$path: block-compressed (.ncz) footer magic in a file not named .ncz — " +
+                  "rename it or read it through the .ncz path")
+            s.seek(0L)
+          }
+        case _ =>
+      }
+      null
+    }
 
     /** (var, offsetWithinRecord) for requested vars, in request order. */
     private val slots: Seq[(NcVarMeta, Long)] = {

@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.TarCodec
+import graft.sources.netcdf.NcFormat
 import graft.sources.netcdf.Hdf5Format
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -76,6 +77,85 @@ class PropertySpec extends AnyFunSuite {
       catch { case _: java.io.IOException | _: IllegalArgumentException => true }
       // name-byte flips change the checksum; every header field is summed
     }, min = 40)
+  }
+
+  // -----------------------------------------------------------------
+  // classic NetCDF (CDF-2/CDF-5 + .ncz) codec
+  // -----------------------------------------------------------------
+
+  private case class NcCase(types: List[DataType], n: Int,
+      chunkBytes: Int, ncz: Boolean, rows: List[List[Any]])
+
+  private val genNc: Gen[NcCase] = for {
+    ncols <- Gen.choose(1, 3)
+    types <- Gen.listOfN(ncols, Gen.oneOf[DataType](
+      DoubleType, FloatType, IntegerType, LongType, ShortType))
+    n <- Gen.choose(1, 300)
+    chunkBytes <- Gen.oneOf(64, 256, 4096)
+    ncz <- Gen.oneOf(true, false)
+    rows <- Gen.listOfN(n, Gen.sequence[List[Any], Any](types.map {
+      case DoubleType => Gen.choose(-1e9, 1e9).map(_.asInstanceOf[Any])
+      case FloatType => Gen.choose(-1e6f, 1e6f).map(_.asInstanceOf[Any])
+      case IntegerType => Gen.choose(Int.MinValue, Int.MaxValue).map(_.asInstanceOf[Any])
+      case LongType => Gen.choose(Long.MinValue, Long.MaxValue).map(_.asInstanceOf[Any])
+      case _ => Gen.choose(Short.MinValue, Short.MaxValue).map(_.asInstanceOf[Any])
+    }))
+  } yield NcCase(types, n, chunkBytes, ncz, rows)
+
+  test("NetCDF write→readMeta→RangeReader roundtrips random shapes exactly (property)") {
+    new java.io.File("/tmp/graft_nc_prop").mkdirs()
+    var fileNo = 0
+    run(Prop.forAll(genNc) { c =>
+      fileNo += 1
+      val schema = StructType(c.types.zipWithIndex.map { case (t, i) =>
+        StructField(s"c$i", t)
+      })
+      val ext = if (c.ncz) "ncz" else "nc" // .ncz name IS the codec contract
+      val path = s"/tmp/graft_nc_prop/case_${fileNo % 8}.$ext"
+      val w = new NcFormat.Writer(path, schema,
+        chunkBytes = c.chunkBytes, compressChunks = c.ncz)
+      c.rows.foreach(r => w.writeRow(i => r(i)))
+      w.close()
+      if (c.ncz) {
+        // misnamed block-compressed file must reject loudly, never
+        // decode deflate streams as record bytes
+        val misnamed = s"/tmp/graft_nc_prop/misnamed_${fileNo % 8}.nc"
+        java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+          java.nio.file.Paths.get(misnamed),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val mp = new Path(misnamed)
+        val mm = NcFormat.readMeta(fs, mp)
+        val loud =
+          try { new NcFormat.RangeReader(fs, mp, mm, 0L, c.n.toLong,
+            schema.fieldNames.toSeq); false }
+          catch { case _: java.io.IOException => true }
+        if (!loud) throw new AssertionError("misnamed .ncz read did not reject")
+      }
+      val p = new Path(path)
+      val meta = NcFormat.readMeta(fs, p)
+      // CDF-5 exactly when a 64-bit int column is present
+      val versionOk =
+        meta.version == (if (c.types.contains(LongType)) 5 else 2)
+      val r = new NcFormat.RangeReader(fs, p, meta, 0L, c.n.toLong,
+        schema.fieldNames.toSeq)
+      try {
+        var rec = 0
+        var ok = versionOk && meta.numRecs == c.n.toLong
+        while (ok && r.hasNext) {
+          val k = r.loadChunk()
+          var i = 0
+          while (ok && i < k) {
+            var s = 0
+            while (ok && s < c.types.length) {
+              ok = r.getValue(s, i) == c.rows(rec)(s)
+              s += 1
+            }
+            i += 1; rec += 1
+          }
+        }
+        ok && rec == c.n
+      } finally r.close()
+    }, min = 25)
   }
 
   // -----------------------------------------------------------------
