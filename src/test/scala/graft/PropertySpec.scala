@@ -80,6 +80,42 @@ class PropertySpec extends AnyFunSuite {
   }
 
   // -----------------------------------------------------------------
+  // bounded TopK aggregator (the ANN ranking primitive)
+  // -----------------------------------------------------------------
+
+  private val genTopK: Gen[(Int, List[(Double, Long, Double)], List[Int])] = for {
+    k <- Gen.choose(1, 8)
+    n <- Gen.choose(0, 120)
+    // sort keys from a SMALL pool force ties → the id tiebreak is live;
+    // occasional NaN exercises the rank-first contract
+    keys <- Gen.listOfN(n, Gen.frequency(
+      5 -> Gen.choose(0, 6).map(_.toDouble / 2),
+      2 -> Gen.choose(-1e9, 1e9),
+      1 -> Gen.const(Double.NaN)))
+    splits <- Gen.listOfN(n, Gen.choose(0, 4)) // partition assignment per row
+  } yield (k,
+    keys.zipWithIndex.map { case (s, i) => (s, i.toLong, s * 2) },
+    splits)
+
+  test("TopK aggregator == local sort-take under any partitioning (property)") {
+    def rankKey(s: Double) = if (s.isNaN) Double.PositiveInfinity else s
+    val ord = Ordering.by[(Double, Long, Double), (Double, Long)] {
+      case (s, id, _) => (-rankKey(s), id)
+    }
+    run(Prop.forAll(genTopK) { case (k, entries, splits) =>
+      val agg = new graft.functions.TopK.TopKAggregator(k)
+      // partial aggregation: reduce per partition, then merge partials
+      // in the (arbitrary) partition order — the distributed shape
+      val partials = entries.zip(splits).groupBy(_._2).values
+        .map(_.map(_._1).foldLeft(agg.zero)(agg.reduce))
+      val merged = partials.foldLeft(agg.zero)(agg.merge)
+      val got = agg.finish(merged)
+      val want = entries.sorted(ord).take(k)
+      got == want
+    }, min = 60)
+  }
+
+  // -----------------------------------------------------------------
   // classic NetCDF (CDF-2/CDF-5 + .ncz) codec
   // -----------------------------------------------------------------
 
