@@ -27,7 +27,8 @@ object ShuffleAudit {
     "sim_sq_int8", "sim_ivf_pq", "text_bm25_topk", "text_bpe_train",
     "sketch_hll", "dedup_cdc", "grid_interpolate", "pipeline_keep_list",
     "dedup_substring_spans", "pipeline_dsir", "pipeline_nb_classifier",
-    "dedup_ngram_topm", "pipeline_ccnet_buckets")
+    "dedup_ngram_topm", "pipeline_ccnet_buckets", "pipeline_span_removal",
+    "grid_convolve", "dedup_minhash_topm")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

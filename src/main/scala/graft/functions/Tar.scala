@@ -13,8 +13,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * is the step between `mm_pack_shards`' planning and something a
   * training loader mounts). Layout per the POSIX.1-1988 ustar format:
   * 512-byte headers (name, octal size/mode/mtime, checksum over the
-  * header with the checksum field blanked, `ustar` magic), 512-padded
-  * payloads, two zero blocks at the end.
+  * header with the checksum field blanked, `ustar` magic, and the
+  * 155-byte prefix field for member paths of 101-255 bytes split at a
+  * '/' boundary), 512-padded payloads, two zero blocks at the end.
   *
   * Writer determinism: mode 0644, uid/gid 0, mtime 0 — identical
   * input entries render identical shard bytes on every engine run,
@@ -49,10 +50,26 @@ object TarCodec {
       val row = entries.getStruct(i, 2)
       val nameB = row.getUTF8String(0).getBytes
       val data = row.getBinary(1)
-      require(nameB.length > 0 && nameB.length <= 100,
-        s"tar member name length ${nameB.length} outside [1, 100]")
+      require(nameB.length > 0 && nameB.length <= 255,
+        s"tar member name length ${nameB.length} outside [1, 255]")
       val hdr = new Array[Byte](BLOCK)
-      System.arraycopy(nameB, 0, hdr, 0, nameB.length)
+      if (nameB.length <= 100) {
+        System.arraycopy(nameB, 0, hdr, 0, nameB.length)
+      } else {
+        // POSIX ustar prefix split: full path = prefix + '/' + name,
+        // prefix <= 155 bytes (header offset 345), name <= 100 bytes.
+        // The split must land on a '/'; the leftmost valid one keeps
+        // the name part longest and is deterministic. Real WebDataset
+        // member keys (URL-derived ids) exceed 100 chars routinely.
+        var cut = -1
+        var j = math.max(nameB.length - 101, 1)
+        val hi = math.min(155, nameB.length - 2)
+        while (cut < 0 && j <= hi) { if (nameB(j) == '/') cut = j; j += 1 }
+        require(cut > 0, s"tar member name of ${nameB.length} bytes has no '/' " +
+          "split into prefix(<=155) + name(<=100)")
+        System.arraycopy(nameB, cut + 1, hdr, 0, nameB.length - cut - 1)
+        System.arraycopy(nameB, 0, hdr, 345, cut)
+      }
       putOctal(hdr, 100, 8, 0x1a4) // mode 0644
       putOctal(hdr, 108, 8, 0) // uid
       putOctal(hdr, 116, 8, 0) // gid
@@ -107,7 +124,14 @@ object TarCodec {
             s"tar header at $off: checksum mismatch (stored $stored, computed $sum)")
         var nl = 0
         while (nl < 100 && bytes(off + nl) != 0) nl += 1
-        val name = new String(bytes, off, nl, "UTF-8")
+        // POSIX prefix field (offset 345, 155 bytes): when non-empty,
+        // the member's full path is prefix + '/' + name
+        var pl = 0
+        while (pl < 155 && bytes(off + 345 + pl) != 0) pl += 1
+        val name =
+          if (pl == 0) new String(bytes, off, nl, "UTF-8")
+          else new String(bytes, off + 345, pl, "UTF-8") + "/" +
+            new String(bytes, off, nl, "UTF-8")
         val size = parseOctal(bytes, off + 124, 12)
         if (off + BLOCK + size > bytes.length)
           throw new java.io.IOException(
@@ -119,15 +143,28 @@ object TarCodec {
     new GenericArrayData(out.toArray[Any])
   }
 
-  /** Octal field: leading spaces/zeros, digits, NUL/space terminator. */
+  /** Octal field: leading spaces/zeros, digits, then a NUL/space
+    * terminator; bytes after the terminator must be NUL or space
+    * (padding). A digit after the terminator (e.g. "123\0 45") is a
+    * malformed field and rejects loudly instead of silently parsing
+    * 0o12345 the way a scan-all-digits loop would. */
   private def parseOctal(bytes: Array[Byte], off: Int, width: Int): Long = {
     var v = 0L
     var i = 0
     var seen = false
+    var terminated = false
     while (i < width) {
       val c = bytes(off + i) & 0xff
-      if (c >= '0' && c <= '7') { v = (v << 3) | (c - '0'); seen = true }
-      else if (c != ' ' && c != 0) throw new java.io.IOException(
+      if (c >= '0' && c <= '7') {
+        if (terminated) throw new java.io.IOException(
+          s"octal digit after field terminator in tar header at ${off + i}")
+        v = (v << 3) | (c - '0'); seen = true
+      } else if (c == ' ' || c == 0) {
+        if (seen) terminated = true
+        else if (c == 0) throw new java.io.IOException(
+          s"NUL before any digit in tar header octal field at ${off + i}")
+        // leading space before digits: legal padding, skip
+      } else throw new java.io.IOException(
         s"bad octal byte 0x${c.toHexString} in tar header field at ${off + i}")
       i += 1
     }

@@ -1036,10 +1036,13 @@ object Dedup {
     * NON-canonical occurrences mark text, marks merge into maximal
     * spans per doc, and the per-source ledger reports docs touched,
     * words removed, and the exact ppm of corpus mass dropped — the
-    * numbers the curation report carries. Canonical election is one
-    * per-hash row_number (partitioned by the digest — bounded groups
-    * by the repeat count), everything else shares the span
-    * machinery's scale shape. */
+    * numbers the curation report carries. Canonical election is a
+    * `min(struct(doc_id, pos))` PARTIAL AGGREGATE per hash (the
+    * [[CanonicalQuality]] device) — combiner-friendly, so a
+    * boilerplate span repeated 10^8 times reduces map-side instead of
+    * sorting its whole occurrence list in one reducer the way a
+    * per-hash row_number window would. Everything else shares the
+    * span machinery's scale shape. */
   def pipelineSpanRemoval: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val words = t(s, dir, "documents")
@@ -1051,12 +1054,17 @@ object Dedup {
           s"i -> md5(concat_ws(' ', slice(ws, i, $SPAN_W))))"))
         .as(Seq("p", "h")))
       .select(col("doc_id"), (col("p") + 1).cast(LongType).as("pos"), col("h"))
-    val dup = win.groupBy("h").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select("h")
-    val byHash = Window.partitionBy("h").orderBy("doc_id", "pos")
-    val marked = win.join(dup, "h")
-      .withColumn("rn", row_number().over(byHash))
-      .filter(col("rn") > 1) // the first occurrence survives
+    // dup detection and canonical election fused into ONE partial agg:
+    // min(struct(doc_id, pos)) is lexicographic, matching the
+    // keep-first (doc_id, pos) order, and combines map-side
+    val canon = win.groupBy("h")
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("c") > 1)
+      .select(col("h"),
+        col("first.doc_id").as("c_doc"), col("first.pos").as("c_pos"))
+    val marked = win.join(canon, "h") // the first occurrence survives
+      .filter(col("doc_id") =!= col("c_doc") || col("pos") =!= col("c_pos"))
       .select("doc_id", "pos")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val spans = marked

@@ -360,15 +360,26 @@ object MmPipeline {
     * Scale shape: one tar per shard assembled inside the shard's own
     * group (collect_list is shard-bounded by construction — 32
     * members), pack/parse are codegen'd expressions, no UDF, no
-    * driver funnel. */
+    * driver funnel. The `.src` members carry a 117-char directory key
+    * (the URL-derived-id shape of real WebDataset corpora), so every
+    * shard routes >100-char paths through the ustar prefix field in
+    * BOTH directions. Payload extraction substrings with int offsets
+    * — a 2 GiB per-shard bound (shards here are 32 members; real
+    * WebDataset shards target ~1 GB, inside the bound by design). */
+  private[graft] val LongDir = "wds-prefix/" + ("x" * 106)
+
   def mmWebdatasetTar: Q = (s, dir) => {
     import graft.functions.TarCodec.{tar_pack, tar_members}
     val docs = t(s, dir, "documents")
+    // format_string, not lpad: lpad TRUNCATES ids beyond 10 digits to
+    // a colliding member name; %010d widens instead, and the parse
+    // side splits on '/' and '.' rather than fixed offsets
     val entries = docs.select(expr("doc_id div 16").as("shard"),
-        concat(lpad(col("doc_id").cast("string"), 10, "0"), lit(".txt")).as("name"),
+        concat(format_string("%010d", col("doc_id")), lit(".txt")).as("name"),
         col("text").cast("binary").as("data"))
       .unionByName(docs.select(expr("doc_id div 16").as("shard"),
-        concat(lpad(col("doc_id").cast("string"), 10, "0"), lit(".src")).as("name"),
+        concat(lit(LongDir + "/"), format_string("%010d", col("doc_id")),
+          lit(".src")).as("name"),
         col("source").cast("binary").as("data")))
     val shards = entries.groupBy("shard")
       .agg(tar_pack(expr("array_sort(collect_list(struct(name, data)))")).as("tar"))
@@ -378,8 +389,9 @@ object MmPipeline {
       .select(col("shard"), col("tar_len"),
         col("m.name").as("name"), col("m.size").as("sz"),
         expr("substring(tar, cast(m.offset as int) + 1, cast(m.size as int))").as("payload"))
-      .withColumn("doc_id", expr("cast(substring(name, 1, 10) as bigint)"))
-      .withColumn("ext", expr("substring(name, 12, 3)"))
+      .withColumn("base", expr("element_at(split(name, '/'), -1)"))
+      .withColumn("doc_id", expr("cast(element_at(split(base, '\\\\.'), 1) as bigint)"))
+      .withColumn("ext", expr("element_at(split(base, '\\\\.'), 2)"))
     val memberAgg = parsed
       .join(docs.select(col("doc_id"), md5(col("text")).as("want_txt"),
         md5(col("source")).as("want_src")), "doc_id")
@@ -431,10 +443,11 @@ object MmPipeline {
     val out = graft.sources.netcdf.NcQueries.scratch(s, dir, "wds_tars")
     val docs = t(s, dir, "documents")
     val entries = docs.select(expr("doc_id div 16").as("shard"),
-        concat(lpad(col("doc_id").cast("string"), 10, "0"), lit(".txt")).as("name"),
+        concat(format_string("%010d", col("doc_id")), lit(".txt")).as("name"),
         col("text").cast("binary").as("data"))
       .unionByName(docs.select(expr("doc_id div 16").as("shard"),
-        concat(lpad(col("doc_id").cast("string"), 10, "0"), lit(".src")).as("name"),
+        concat(lit(LongDir + "/"), format_string("%010d", col("doc_id")),
+          lit(".src")).as("name"),
         col("source").cast("binary").as("data")))
     val shards = entries.groupBy("shard")
       .agg(tar_pack(expr("array_sort(collect_list(struct(name, data)))")).as("tar"))
@@ -463,8 +476,9 @@ object MmPipeline {
         explode(tar_members(col("content"))).as("m"))
       .select(col("path"), col("tar_len"), col("m.size").as("sz"),
         expr("substring(content, cast(m.offset as int) + 1, cast(m.size as int))").as("payload"),
-        expr("cast(substring(m.name, 1, 10) as bigint)").as("doc_id"),
-        expr("substring(m.name, 12, 3)").as("ext"))
+        expr("element_at(split(m.name, '/'), -1)").as("base"))
+      .withColumn("doc_id", expr("cast(element_at(split(base, '\\\\.'), 1) as bigint)"))
+      .withColumn("ext", expr("element_at(split(base, '\\\\.'), 2)"))
     val memberAgg = parsed
       .join(docs.select(col("doc_id"), md5(col("text")).as("want_txt")), "doc_id")
       .agg(count(lit(1)).as("n_members"),

@@ -274,6 +274,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("span-removal keep-first election is a min(struct) partial agg, not a per-hash window") {
+    // a row_number over PARTITION BY h sorts every occurrence of a
+    // boilerplate span (10^6-10^8 repeats in real crawls) in one
+    // reducer; the min(struct(doc_id,pos)) election combines map-side.
+    // The only windows left must be the per-doc islands merge.
+    val p = planOf("pipeline_span_removal")
+    assert(!p.contains("row_number"),
+      s"keep-first election regressed to a per-hash row_number window:\n${p.take(600)}")
+    assert(p.contains("partial_"), "election lost map-side combine")
+  }
+
   test("centroid purity assigns via min_by partial agg, no corpus window") {
     val p = planOf("sim_centroid_purity")
     assert(!p.contains("Window"),

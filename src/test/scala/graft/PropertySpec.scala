@@ -79,6 +79,59 @@ class PropertySpec extends AnyFunSuite {
     }, min = 40)
   }
 
+  // names of 101-255 bytes exercise the POSIX prefix split: a
+  // directory prefix joined with a basename — the join '/' always
+  // lands inside the legal prefix(155)/name(100) windows, and random
+  // extra '/' inside the prefix lets the writer pick a different
+  // (equally legal) cut without breaking the roundtrip
+  private val genPrefixEntry: Gen[(String, Array[Byte])] = for {
+    preLen <- Gen.choose(20, 150)
+    pre <- Gen.listOfN(preLen,
+      Gen.frequency(9 -> Gen.alphaNumChar, 1 -> Gen.const('/'))).map(_.mkString)
+    baseLen <- Gen.choose(math.max(1, 100 - preLen), math.min(100, 254 - preLen))
+    base <- Gen.listOfN(baseLen, Gen.alphaNumChar).map(_.mkString)
+    size <- Gen.choose(0, 80)
+    data <- Gen.containerOfN[Array, Byte](size, Gen.choose(Byte.MinValue, Byte.MaxValue))
+  } yield (s"$pre/$base", data)
+
+  test("tar prefix split roundtrips 101-255 byte member paths (property)") {
+    run(Prop.forAll(Gen.nonEmptyListOf(genPrefixEntry).map(_.take(8))) { entries =>
+      val arr = new GenericArrayData(entries.map { case (n, b) =>
+        InternalRow(UTF8String.fromString(n), b)
+      }.toArray[Any])
+      val bytes = TarCodec.pack(arr)
+      val ms = TarCodec.members(bytes)
+      ms.numElements() == entries.length &&
+        (0 until ms.numElements()).forall { i =>
+          val m = ms.getStruct(i, 3)
+          val (n, b) = entries(i)
+          val hdrOff = m.getLong(1).toInt - 512
+          val usedPrefix = n.length > 100
+          m.getUTF8String(0).toString == n && m.getLong(2) == b.length &&
+            // long names MUST land in the prefix field (byte 345 set),
+            // short names must leave it all-zero
+            (bytes(hdrOff + 345) != 0) == usedPrefix
+        }
+    })
+  }
+
+  test("tar pack rejects unsplittable and oversized names loudly (property)") {
+    def packOne(name: String): Unit = TarCodec.pack(new GenericArrayData(
+      Array[Any](InternalRow(UTF8String.fromString(name), Array[Byte](1)))))
+    run(Prop.forAll(Gen.choose(101, 255)) { n =>
+      // no '/' anywhere: there is no legal prefix/name cut
+      try { packOne("q" * n); false }
+      catch { case e: IllegalArgumentException => e.getMessage.contains("no '/'") }
+    }, min = 10)
+    run(Prop.forAll(Gen.choose(256, 400)) { n =>
+      try { packOne(("a" * 150) + "/" + ("b" * (n - 151))); false }
+      catch { case e: IllegalArgumentException => e.getMessage.contains("outside [1, 255]") }
+    }, min = 10)
+    // a '/' only outside the legal window also rejects: the sole cut
+    // at index 1 would leave a 150-byte name part
+    intercept[IllegalArgumentException] { packOne("a/" + ("b" * 150)) }
+  }
+
   // -----------------------------------------------------------------
   // bounded TopK aggregator (the ANN ranking primitive)
   // -----------------------------------------------------------------

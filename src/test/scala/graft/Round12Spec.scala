@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 hardening: the POSIX ustar prefix field (member paths of
+  * 101-255 bytes — real WebDataset keys exceed 100 chars routinely),
+  * terminator-correct octal field parsing, and the de-skewed
+  * span-removal election. */
+class Round12Spec extends AnyFunSuite {
+  import TestSession._
+
+  // -----------------------------------------------------------------
+  // ustar prefix field
+  // -----------------------------------------------------------------
+
+  private val PRE = "wds/" + ("p" * 106) // 110 bytes, '/' at index 3
+  private val BASE = "0000000042.src" // 14 bytes
+  private val FULL = s"$PRE/$BASE" // 125 bytes: needs the prefix field
+
+  /** Spec-literal ustar header WITH the prefix field populated —
+    * assembled from the POSIX.1-1988 field table, NOT via
+    * TarCodec.pack, so a matched writer/parser bug cannot
+    * self-cancel. Split point: the '/' at index 110 (the only cut
+    * the writer's leftmost-in-window rule can pick for this path,
+    * since the window starts at 125-101=24 and the '/' at 3 is
+    * outside it). */
+  private def prefixFixture(payload: Array[Byte]): Array[Byte] = {
+    val hdr = new Array[Byte](512)
+    BASE.getBytes("ASCII").copyToArray(hdr) // name field: basename only
+    PRE.getBytes("ASCII").copyToArray(hdr, 345) // prefix field
+    def oct(off: Int, width: Int, v: Long): Unit = {
+      val s = java.lang.Long.toOctalString(v)
+      (("0" * (width - 1 - s.length)) + s).getBytes("ASCII").copyToArray(hdr, off)
+    }
+    oct(100, 8, 0x1a4); oct(108, 8, 0); oct(116, 8, 0)
+    oct(124, 12, payload.length.toLong); oct(136, 12, 0)
+    java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+    hdr(156) = '0'
+    "ustar".getBytes("ASCII").copyToArray(hdr, 257)
+    hdr(263) = '0'; hdr(264) = '0'
+    val sum = hdr.map(_ & 0xff).sum
+    oct(148, 7, sum.toLong)
+    hdr(154) = 0; hdr(155) = ' '
+    val padN = ((payload.length + 511) / 512) * 512 - payload.length
+    hdr ++ payload ++ new Array[Byte](padN) ++ new Array[Byte](1024)
+  }
+
+  test("hand-assembled prefix fixture parses to the full path; pack is byte-identical") {
+    val payload = "prefix payload".getBytes("ASCII")
+    val fixture = prefixFixture(payload)
+    val ms = graft.functions.TarCodec.members(fixture)
+    assert(ms.numElements() == 1)
+    val m = ms.getStruct(0, 3)
+    assert(m.getUTF8String(0).toString == FULL, m.getUTF8String(0).toString)
+    assert(m.getLong(1) == 512L && m.getLong(2) == payload.length.toLong)
+    val entries = new GenericArrayData(Array[Any](
+      InternalRow(UTF8String.fromString(FULL), payload)))
+    assert(java.util.Arrays.equals(graft.functions.TarCodec.pack(entries), fixture),
+      "production pack diverges from the spec-literal prefix assembly")
+  }
+
+  test("octal field with digits after the terminator rejects loudly") {
+    // size field "123\0 45\0..." — a scan-all-digits parser reads
+    // 0o12345 and walks the archive at the wrong stride; the
+    // terminator-correct parser rejects the malformed field instead
+    val payload = "x".getBytes("ASCII")
+    val fixture = prefixFixture(payload)
+    val bad = fixture.clone()
+    java.util.Arrays.fill(bad, 124, 136, 0.toByte)
+    "123".getBytes("ASCII").copyToArray(bad, 124)
+    bad(127) = 0; bad(128) = ' '
+    "45".getBytes("ASCII").copyToArray(bad, 129)
+    // re-blank + recompute the checksum so ONLY the size field is bad
+    java.util.Arrays.fill(bad, 148, 156, ' '.toByte)
+    val sum = bad.slice(0, 512).map(_ & 0xff).sum
+    val s = java.lang.Long.toOctalString(sum.toLong)
+    (("0" * (6 - s.length)) + s).getBytes("ASCII").copyToArray(bad, 148)
+    bad(154) = 0; bad(155) = ' '
+    val e = intercept[java.io.IOException] { graft.functions.TarCodec.members(bad) }
+    assert(e.getMessage.contains("after field terminator"), e.getMessage)
+  }
+
+  test("webdataset gates route >100-char member paths through the prefix field") {
+    // the .src members carry a 117-char directory key; if the packer
+    // or parser mishandled the prefix field the member table (and the
+    // md5 payload matches the gate pins) would break
+    assert(graft.operators.MmPipeline.LongDir.length > 100 - 15)
+    val row = SparkEntry.queries("mm_webdataset_tar")(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_src_match") == row.getAs[Long]("n_txt_match"))
+    assert(row.getAs[Long]("n_src_match") > 0)
+  }
+
+  // -----------------------------------------------------------------
+  // span-removal election (de-skewed r12)
+  // -----------------------------------------------------------------
+
+  test("span removal keep-first election: min-struct agg elects the same occurrence") {
+    // hand-checkable corpus: the 8-word span "a b c d e f g h"
+    // appears in docs 1 (pos 1), 2 (pos 1) and 3 (pos 3) — keep-first
+    // retains doc 1 and removes the mass from docs 2 and 3 only
+    import spark.implicits._
+    val span = "a b c d e f g h"
+    val docs = Seq(
+      (1L, "s1", span),
+      (2L, "s1", span),
+      (3L, "s1", s"x y $span"),
+      (4L, "s2", "u v w p q r s t") // unique: untouched
+    ).toDF("doc_id", "source", "text")
+    docs.createOrReplaceTempView("documents")
+    val tmp = "/tmp/graft_r12_span"
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("pipeline_span_removal")(spark, tmp)
+      .orderBy("source").collect()
+    val s1 = out(0)
+    assert(s1.getAs[Long]("n_docs") == 3)
+    assert(s1.getAs[Long]("n_docs_touched") == 2, out.mkString("; "))
+    // doc2 loses its whole 8 words; doc3 loses the 8-word tail span
+    assert(s1.getAs[Long]("removed_words") == 16, out.mkString("; "))
+    val s2 = out(1)
+    assert(s2.getAs[Long]("n_docs_touched") == 0 && s2.getAs[Long]("removed_words") == 0)
+  }
+}
