@@ -185,13 +185,18 @@ object NgramLm {
     * every document identically to the batch path. */
   def streamPerplexityFilter: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val ref = bigrams(s, dir).join(
-      docs.filter(col("source") === "src0").select("doc_id"), "doc_id")
-    val c1 = ref.groupBy("w1").agg(count(lit(1)).as("n1"))
-    val dict = ref.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
-      .join(c1, "w1")
-      .withColumn("q", expr("(1000000 * n2) div n1"))
-      .select("w1", "w2", "q")
+    // held-out LM dict staged once per (session, dir) — the offline
+    // artifact a production stream broadcasts, not a per-query train;
+    // integer q values parquet-roundtrip exactly
+    val dict = Staged.table(s, dir, "ppl_dict", coalesce = false) {
+      val ref = bigrams(s, dir).join(
+        docs.filter(col("source") === "src0").select("doc_id"), "doc_id")
+      val c1 = ref.groupBy("w1").agg(count(lit(1)).as("n1"))
+      ref.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+        .join(c1, "w1")
+        .withColumn("q", expr("(1000000 * n2) div n1"))
+        .select("w1", "w2", "q")
+    }
     val sch = s.read.parquet(s"$dir/documents.parquet").schema
     graft.streaming.StreamStage.withStaged(s, "sppl", dir, "documents.parquet") { stageDir =>
       val streamBi = s.readStream.schema(sch).parquet(stageDir)
