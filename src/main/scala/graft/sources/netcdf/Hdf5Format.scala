@@ -312,7 +312,9 @@ object Hdf5Format {
     }
     raw.close()
     throw new java.io.IOException(
-      s"$path is not an HDF5 file (no signature at 0 or any user-block offset)")
+      s"$path is not an HDF5 file (no signature at 0 or any power-of-two " +
+        "user-block offset probed up to the 64 MiB cap; a spec-legal file " +
+        "jammed with a larger user block needs the probe cap raised)")
   }
 
   /** Base-shifting stream: positions presented to callers are
@@ -348,7 +350,10 @@ object Hdf5Format {
     System.arraycopy(bytes, 0, out, ub, bytes.length)
     val ver = bytes(8) & 0xff
     val baseOff = ver match {
-      case 0 | 1 => ub + 24
+      case 0 => ub + 24
+      // v1 inserts indexed-storage K + reserved (4 bytes) before the
+      // consistency flags, pushing the base-address field to 28
+      case 1 => ub + 28
       case 2 | 3 => ub + 12
       case v => throw new java.io.IOException(s"unsupported superblock version $v")
     }

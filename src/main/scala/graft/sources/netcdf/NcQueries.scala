@@ -35,9 +35,15 @@ object NcQueries {
     * operator IS the write path (roundtrips, filter stacks, compact)
     * keep per-invocation writes. Keyed by the scratch path, which
     * already embeds applicationId + sf dir. */
-  private val stagedWrites = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private[netcdf] def stageOnce(out: String)(write: => Unit): Unit =
-    if (!stagedWrites.contains(out)) { write; stagedWrites.add(out); () }
+  private val stagedWrites = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private[netcdf] def stageOnce(out: String)(write: => Unit): Unit = {
+    // computeIfAbsent serializes concurrent first-touches on the same
+    // key: exactly one caller runs the write, later callers block
+    // until it finishes — no double overwrite, no reader racing a
+    // half-replaced file (the non-atomic contains/add hazard)
+    stagedWrites.computeIfAbsent(out, _ => { write; java.lang.Boolean.TRUE })
+    ()
+  }
 
   /** Write 4 lineitem variables to chunked NetCDF part files (4-way
     * parallel), read them back through the DSv2, aggregate. */

@@ -252,6 +252,71 @@ class Hdf5MatrixSpec extends AnyFunSuite {
     }
   }
 
+  // ---- grid: user block × chunk index (both superblock
+  // generations) — jamUserBlock base-shifts EVERY file address, so
+  // each chunk-index walk (v1 B-tree, single, implicit, fixed array,
+  // extensible array, v2 B-tree) must resolve through the shifted
+  // stream end-to-end: readMeta AND per-record VarReader reads ----
+  {
+    var no = 0
+    for (idx <- INDEXES; ub <- Seq(512, 4096)) {
+      no += 1
+      val n = no
+      val ver = if (idx == "btree1") 0 else 2 // each index's native generation
+      test(s"matrix userblock×index: $idx/v$ver/ub$ub roundtrips through the shift") {
+        val w = new Hdf5Format.Hdf5Writer(
+          StructType(Seq(StructField("v", LongType))),
+          chunkRecs = if (idx == "single") 64 else 8,
+          deflate = false, h5ver = ver, chunkIndex = idx)
+        (0 until N).foreach(i => w.writeRow(_ => i * 31L + n))
+        val jam = Hdf5Format.jamUserBlock(w.finish(), ub)
+        val p = new Path(s"/tmp/graft_h5matrix/ubidx_$n.nc4")
+        val out = fs.create(p, true)
+        try out.write(jam) finally out.close()
+        val meta = Hdf5Format.readMeta(fs, p)
+        val v = meta.vars.find(_.name == "v")
+          .getOrElse(fail(s"$idx/ub$ub: variable missing under the user block"))
+        assert(v.numRecs == N.toLong, s"$idx/ub$ub: numRecs ${v.numRecs}")
+        val r = new Hdf5Format.VarReader(fs, p, v, 0L, N.toLong)
+        try (0 until N).foreach(i =>
+          assert(r.getLong(i) == i * 31L + n, s"$idx/ub$ub rec $i"))
+        finally r.close()
+      }
+    }
+  }
+
+  // ---- grid: reference attributes × attribute storage × user block
+  // — class-7 refs resolve addresses to dataset names, and dense
+  // (fractal-heap) attribute storage relocates where the attribute
+  // LIVES; composed with a user block the resolution must survive
+  // the base shift too ----
+  {
+    var no = 0
+    for (dense <- Seq(false, true); ub <- Seq(0, 512)) {
+      no += 1
+      val n = no
+      test(s"matrix refattr×storage: dense=$dense/ub$ub resolves to names in order") {
+        val w = new Hdf5Format.Hdf5Writer(
+          StructType(Seq(StructField("a", LongType), StructField("b", DoubleType))),
+          chunkRecs = 8, deflate = false, h5ver = 2, denseAttrs = dense,
+          refAttrs = Map("b" -> ("coordinates", Seq("b", "a"))))
+        (0 until 12).foreach(i => w.writeRow(c => if (c == 0) i.toLong else i * 0.25))
+        val bytes = w.finish()
+        val img = if (ub == 0) bytes else Hdf5Format.jamUserBlock(bytes, ub)
+        val p = new Path(s"/tmp/graft_h5matrix/refattr_$n.nc4")
+        val out = fs.create(p, true)
+        try out.write(img) finally out.close()
+        val meta = Hdf5Format.readMeta(fs, p)
+        val vb = meta.vars.find(_.name == "b").get
+        val attr = vb.attrs.find(_.name == "coordinates")
+          .getOrElse(fail(s"dense=$dense/ub$ub: coordinates attribute missing"))
+        assert(attr.text.contains("b,a"), s"dense=$dense/ub$ub: ${attr.toString}")
+        assert(!attr.isRef && attr.nums.isEmpty, attr.toString) // resolved, not raw
+        assert(meta.vars.find(_.name == "a").get.attrs.forall(_.name != "coordinates"))
+      }
+    }
+  }
+
   // ---- reject pins: the layout/filter contract holds under
   // composition, with messages naming the violated law ----
   test("matrix rejects: filters outside chunked storage") {

@@ -94,6 +94,27 @@ class Round12Spec extends AnyFunSuite {
   }
 
   // -----------------------------------------------------------------
+  // user-block jam: v1 superblock field offset
+  // -----------------------------------------------------------------
+
+  test("jamUserBlock patches the v1 base-address field at offset 28, not 24") {
+    // v1 superblocks insert indexed-storage K + reserved (4 bytes)
+    // before the consistency flags, so the base address sits at 28;
+    // patching 24 (the v0 offset) would corrupt the K field
+    val img = new Array[Byte](64)
+    Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').copyToArray(img)
+    img(8) = 1 // superblock version 1
+    img(24) = 0x7f; img(25) = 0x7e; img(26) = 0x7d; img(27) = 0x7c // sentinels
+    val out = graft.sources.netcdf.Hdf5Format.jamUserBlock(img, 512)
+    // little-endian 512 written at ub+28
+    assert(out(512 + 28) == 0 && out(512 + 29) == 2)
+    (30 until 36).foreach(i => assert(out(512 + i) == 0, s"byte $i"))
+    // the v1-only K/reserved bytes right before it stay untouched
+    assert(out(512 + 24) == 0x7f && out(512 + 25) == 0x7e &&
+      out(512 + 26) == 0x7d && out(512 + 27) == 0x7c)
+  }
+
+  // -----------------------------------------------------------------
   // span-removal election (de-skewed r12)
   // -----------------------------------------------------------------
 
