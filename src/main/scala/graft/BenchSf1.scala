@@ -135,7 +135,76 @@ object BenchSf1 {
     }
   }
 
+  /** Fresh-JVM single-key re-time (r12 — the committed-artifact fix
+    * for the r11 grid_convolve finding): an outlier measured late in
+    * a 271-key session sits under that session's accumulated cache
+    * pressure, and an IN-SESSION second sample inherits it (r11's
+    * watchdog re-read grid_convolve at 16.2× while a fresh process
+    * read 3.9×). The watchdog therefore re-times suspects in a fresh
+    * JVM: same binary, same dirs, own warm pass — the steady state a
+    * user actually sees running the key. */
+  private def retimeMain(a: Array[String]): Unit = {
+    val key = a(0)
+    val dirs = a.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val secs = dirs.map { d =>
+      try SparkEntry.queries(key)(spark, d).count() // warm: staging + JIT
+      catch { case _: Throwable => }
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(key)(spark, d).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }
+    println(s"""RETIME {"key":"$key","secs":[${secs.map(s => f"$s%.3f").mkString(",")}]}""")
+    spark.stop()
+  }
+
+  /** Fork the retime in a child JVM (same classpath + the JDK17
+    * add-opens set Spark needs outside spark-submit). Returns the
+    * per-dir seconds, or None if the fork fails — caller falls back
+    * to the in-session sample. */
+  private def freshJvmRetime(key: String, dirs: Seq[String]): Option[Seq[Double]] = {
+    try {
+      val javaBin = new java.io.File(
+        new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx32g",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.BenchSf1", "retime", key) ++ dirs
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+      p.waitFor()
+      out.find(_.startsWith("RETIME ")).map { line =>
+        val arr = line.substring(line.indexOf('[') + 1, line.indexOf(']'))
+        arr.split(',').toSeq.map(_.trim.toDouble)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[sf1-watchdog] fresh-JVM retime failed for $key: ${e.getMessage}")
+      None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.nonEmpty && args(0) == "retime") { retimeMain(args.drop(1)); return }
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dstDir = "/tmp/graft_sf1_synth"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -225,12 +294,21 @@ object BenchSf1 {
       small(k) > 0 && big(k) > 0 && big(k) / small(k) > superLin && big(k) > 1.0
     }
     if (suspects.nonEmpty) {
-      System.err.println(s"[sf1-watchdog] re-timing ${suspects.size} outliers: ${suspects.mkString(",")}")
+      System.err.println(s"[sf1-watchdog] re-timing ${suspects.size} outliers in fresh JVMs: ${suspects.mkString(",")}")
       suspects.foreach { k =>
-        val s2 = time(k, srcDir)
-        val b2 = time(k, stageDir)
-        if (s2 > 0) small += k -> math.min(small(k), s2)
-        if (b2 > 0) big += k -> math.min(big(k), b2)
+        // fresh JVM first (escapes THIS session's accumulated cache
+        // pressure — the r11 grid_convolve 16.2×-in-bench vs
+        // 3.9×-isolated gap); in-session second sample as fallback
+        freshJvmRetime(k, Seq(srcDir, stageDir)) match {
+          case Some(Seq(s2, b2)) =>
+            if (s2 > 0) small += k -> math.min(small(k), s2)
+            if (b2 > 0) big += k -> math.min(big(k), b2)
+          case _ =>
+            val s2 = time(k, srcDir)
+            val b2 = time(k, stageDir)
+            if (s2 > 0) small += k -> math.min(small(k), s2)
+            if (b2 > 0) big += k -> math.min(big(k), b2)
+        }
       }
     }
     def fmt(d: Double) = if (d < 0) "-1" else f"$d%.3f"
