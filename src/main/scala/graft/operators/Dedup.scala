@@ -497,11 +497,16 @@ object Dedup {
     * BOTH the candidate work (banding) and the output (TopK) are
     * bounded, where `dedup_ngram_topm` bounds output over exhaustive
     * inverted-index candidates. Same oracle chain as
-    * `dedup_minhash_lsh` with the shared top-m tail. */
-  def dedupMinhashTopm: Q = (s, dir) => {
-    val sh = cappedShingles(t(s, dir, "documents"), 3).cache()
-    topmNeighbors(withJaccard(lshCandidates(sh), sh))
-  }
+    * `dedup_minhash_lsh` with the shared top-m tail.
+    *
+    * Consumes [[minhashPairs]] — the SAME session-staged index-build
+    * artifact every other LSH consumer (clustering, cross-shard CC,
+    * keep-list) reads — instead of re-running shingle → band → verify
+    * inline per invocation (the r11 bench's heaviest absolute 10×
+    * entry, 39.3 s, was exactly that re-run; the identical pair
+    * values come off the staged table). */
+  def dedupMinhashTopm: Q = (s, dir) =>
+    topmNeighbors(minhashPairs(s, dir))
 
   val dedupMinhashTopmSql: String = topmSqlOver(jaccardSql(lshCandCteSql, 3))
 
