@@ -106,6 +106,88 @@ object BenchSf1 {
     }
   }
 
+  /** ORGANIC growth (r12 verdict item 5): copies× data by ADDING NEW
+    * ENTITIES drawn from the base tables' own generating process —
+    * fresh word sequences over the observed 31-word vocabulary with
+    * the observed 10-100 word length law, fresh deterministic
+    * embedding points — instead of stride-shifted clones. Replicas
+    * make every doc ~copies near-dups, so near-dup EDGE SETS and
+    * per-term df grow super-linearly BY DATA PROPERTY; organic growth
+    * adds new entities the way a real corpus grows, so the audit can
+    * pin whether super-linear shuffle readings were the data or the
+    * engine. documents + embeddings grow organically (the audit's
+    * super-linear rows are all document-shaped); relational tables
+    * keep stride replication (their audit rows were already linear).
+    *
+    * Vocabulary must grow WITH the corpus (Heaps' law): drawing new
+    * docs from the base's fixed 31-word vocabulary keeps the shingle
+    * domain constant, so co-shingle pair counts grow ~quadratically
+    * by construction — the first organic-audit attempt measured
+    * exactly that (ngram_topm 35× shuffle). Each growth segment
+    * therefore suffixes its words with its segment id — new segments
+    * bring new entities/terms, the way fresh crawl segments add new
+    * pages rather than restatements of old ones. */
+  def organicGrow(spark: SparkSession, srcDir: String, dstDir: String, copies: Int): Unit = {
+    import org.apache.spark.sql.types.LongType
+    keyCols.foreach { case (table, keys) =>
+      val base =
+        if (table == "events") Tables.events(spark, srcDir)
+        else Tables.t(spark, srcDir, table)
+      val out = table match {
+        case "documents" =>
+          val vocab = base.select(explode(split(col("text"), " ")).as("w"))
+            .filter(col("w") =!= "").distinct().orderBy("w")
+            .collect().map(_.getString(0))
+          val langs = base.select("lang").distinct().orderBy("lang")
+            .collect().map(_.getString(0))
+          val sources = base.select("source").distinct().orderBy("source")
+            .collect().map(_.getString(0))
+          val n0 = base.count()
+          val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+          def lit_(a: Array[String]) = a.map(w => s"'$w'").mkString("array(", ", ", ")")
+          spark.range(n0 * (copies - 1))
+            .withColumn("doc_id", col("id") + lit(maxId + 1))
+            .withColumn("seg", expr(s"cast(1 + id div $n0 as string)"))
+            .withColumn("text", expr(
+              s"array_join(transform(sequence(1, 10 + pmod(hash(id), 91)), " +
+                s"i -> concat(element_at(${lit_(vocab)}, pmod(hash(id, i), ${vocab.length}) + 1), seg)), ' ')"))
+            .withColumn("lang", expr(
+              s"element_at(${lit_(langs)}, pmod(hash(id, 7), ${langs.length}) + 1)"))
+            .withColumn("source", expr(
+              s"element_at(${lit_(sources)}, pmod(hash(id, 11), ${sources.length}) + 1)"))
+            .withColumn("n_chars", length(col("text")).cast(LongType))
+            .select(base.columns.map(col): _*)
+            .unionByName(base)
+        case "embeddings" =>
+          val n0 = base.count()
+          val maxId = base.agg(max(col("vec_id"))).head().getLong(0)
+          val dims = base.select(size(col("embedding"))).head().getInt(0)
+          val nLabels = base.select(countDistinct(col("label"))).head().getLong(0)
+          spark.range(n0 * (copies - 1))
+            .withColumn("vec_id", col("id") + lit(maxId + 1))
+            .withColumn("embedding", expr(
+              s"transform(sequence(0, ${dims - 1}), " +
+                "i -> cast((pmod(hash(id, i), 2000001) - 1000000) / 1000000.0 as float))"))
+            .withColumn("label", expr(s"cast(pmod(hash(id, 13), $nLabels) as int)"))
+            .select(base.columns.map(col): _*)
+            .unionByName(base)
+        case _ if keys.isEmpty => base
+        case _ =>
+          val strides: Map[String, Long] = keys.map { k =>
+            k -> (base.agg(max(col(k))).head().getLong(0) + 1L)
+          }.toMap
+          (0 until copies).map { r =>
+            var df = base
+            strides.foreach { case (k, s) =>
+              df = df.withColumn(k, col(k) + lit(r.toLong * s))
+            }
+            df
+          }.reduce(_ unionByName _)
+      }
+      out.write.mode("overwrite").parquet(s"$dstDir/$table.parquet")
+    }
+  }
+
   def replicate(spark: SparkSession, srcDir: String, dstDir: String, copies: Int): Unit = {
     keyCols.foreach { case (table, keys) =>
       val base =

@@ -30,9 +30,20 @@ object ShuffleAudit {
     "dedup_ngram_topm", "pipeline_ccnet_buckets", "pipeline_span_removal",
     "grid_convolve", "dedup_minhash_topm")
 
+  /** `organic` mode: the rows the replica audit flags super-linear —
+    * near-dup edge sets and posting lists, which clone-dense replicas
+    * inflate BY DATA PROPERTY — re-measured on organically-grown 10×
+    * data (new entities from the base generating process). ~Linear
+    * readings here pin that the engine adds no super-linear shuffle
+    * of its own; grid keys ride along as the halo-exchange control. */
+  private val ORGANIC_KEYS = Seq(
+    "dedup_clusters", "dedup_ngram_topm", "text_bm25_topk",
+    "dedup_minhash_lsh", "grid_convolve", "grid_interpolate")
+
   def main(args: Array[String]): Unit = {
+    val organic = args.contains("organic")
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val bigDir = "/tmp/graft_sf1_synth"
+    val bigDir = if (organic) "/tmp/graft_organic_synth" else "/tmp/graft_sf1_synth"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,8 +54,10 @@ object ShuffleAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!new java.io.File(s"$bigDir/documents.parquet").exists())
-      BenchSf1.replicate(spark, srcDir, bigDir, 10)
+    if (!new java.io.File(s"$bigDir/documents.parquet").exists()) {
+      if (organic) BenchSf1.organicGrow(spark, srcDir, bigDir, 10)
+      else BenchSf1.replicate(spark, srcDir, bigDir, 10)
+    }
 
     val shufW = new AtomicLong(0)
     val inB = new AtomicLong(0)
@@ -69,9 +82,10 @@ object ShuffleAudit {
 
     // warm: build staged artifacts + JIT so the measured pass is the
     // steady-state per-query cost (bench convention)
-    KEYS.foreach(k => measure(k, srcDir))
-    KEYS.foreach(k => measure(k, bigDir))
-    val rows = KEYS.map { k =>
+    val auditKeys = if (organic) ORGANIC_KEYS else KEYS
+    auditKeys.foreach(k => measure(k, srcDir))
+    auditKeys.foreach(k => measure(k, bigDir))
+    val rows = auditKeys.map { k =>
       val (in1, sh1) = measure(k, srcDir)
       val (in10, sh10) = measure(k, bigDir)
       val shr = if (sh1 > 0) sh10.toDouble / sh1 else -1.0
@@ -80,9 +94,11 @@ object ShuffleAudit {
         f""""x10_input_b":$in10,"x10_shuffle_b":$sh10,""" +
         f""""input_ratio":$inr%.2f,"shuffle_ratio":$shr%.2f}"""
     }
-    val json = s"""{"metric":"shuffle_audit","input":"10x replicated $srcDir",""" +
+    val mode = if (organic) "organic" else "replicated"
+    val json = s"""{"metric":"shuffle_audit","input":"10x $mode $srcDir",""" +
       s""""queries":{${rows.mkString(",")}}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/SHUFFLE_AUDIT.json"),
+    val outFile = if (organic) "SHUFFLE_AUDIT_ORGANIC.json" else "SHUFFLE_AUDIT.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"/root/repo/$outFile"),
       (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()
