@@ -53,7 +53,8 @@ object SparkEntry {
       graft.operators.CharEntropy.queries ++
       graft.operators.StreamBpe.queries ++
       graft.operators.Bm25.queries ++
-      graft.operators.HybridSearch.queries
+      graft.operators.HybridSearch.queries ++
+      graft.operators.Novelty.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -97,5 +98,6 @@ object SparkEntry {
       graft.operators.CharEntropy.oracles ++
       graft.operators.StreamBpe.oracles ++
       graft.operators.Bm25.oracles ++
-      graft.operators.HybridSearch.oracles
+      graft.operators.HybridSearch.oracles ++
+      graft.operators.Novelty.oracles
 }

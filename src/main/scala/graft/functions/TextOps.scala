@@ -89,8 +89,11 @@ object TextOps {
     "es" -> Seq("el", "los", "las", "una", "por", "como"),
     "zh" -> Seq("de5", "shi4", "le5"))
 
-  def textLangId: Q = (s, dir) => {
-    val base = markers.foldLeft(t(s, dir, "documents")) { case (df, (lg, ws)) =>
+  /** The langid transform as a pure per-row map (shared by the batch
+    * key and its r12 streaming twin — marker counting, argmax and the
+    * tie order are all row-local expressions). */
+  private[graft] def langIdOf(docs: DataFrame): DataFrame = {
+    val base = markers.foldLeft(docs) { case (df, (lg, ws)) =>
       df.withColumn(s"c_$lg",
         expr(s"size(filter(split(text, ' '), w -> w IN (${sqlList(ws)})))").cast(LongType))
     }
@@ -101,6 +104,8 @@ object TextOps {
     // foldRight keeps 'en' as the outermost WHEN → ties prefer en,de,fr,es,zh
     base.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
   }
+
+  def textLangId: Q = (s, dir) => langIdOf(t(s, dir, "documents"))
 
   val textLangIdSql: String = {
     val counts = markers.map { case (lg, ws) =>
@@ -351,19 +356,23 @@ object TextOps {
     "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b" -> "<PHONE>")
   private val termPattern = "\\b(customer|order)\\b" // stand-in sensitive-term denylist
 
-  def textRedact: Q = (s, dir) => {
+  /** The scrub transform as a pure per-row map (shared by the batch
+    * key and its r12 streaming twin). */
+  private[graft] def redactOf(docs: DataFrame): DataFrame = {
     val redacted = (piiPatterns :+ (termPattern -> "<TERM>"))
       .foldLeft(col("text")) { case (c, (re, repl)) => regexp_replace(c, re, repl) }
     val nPii = piiPatterns.map { case (re, _) =>
       size(expr(s"regexp_extract_all(text, '${re.replace("\\", "\\\\")}', 0)")).cast(LongType)
     }.reduce(_ + _)
-    t(s, dir, "documents").select(
+    docs.select(
       col("doc_id"),
       redacted.as("clean_text"),
       nPii.as("n_pii"),
       size(expr(s"regexp_extract_all(text, '${termPattern.replace("\\", "\\\\")}', 0)"))
         .cast(LongType).as("n_terms"))
   }
+
+  def textRedact: Q = (s, dir) => redactOf(t(s, dir, "documents"))
 
   val textRedactSql: String = {
     val redacted = (piiPatterns :+ (termPattern -> "<TERM>"))

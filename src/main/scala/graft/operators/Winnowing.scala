@@ -29,8 +29,11 @@ object Winnowing {
   private val K = 3 // words per gram
   private val W = 4 // grams per winnow window
 
-  def textWinnowFingerprint: Q = (s, dir) =>
-    t(s, dir, "documents")
+  /** The fingerprint extraction as a pure per-row map (shared by the
+    * batch key and its r12 streaming twin — the whole winnow runs
+    * inside the row's own gram arrays). */
+  private[graft] def winnowOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= K)
       .withColumn("ng", (size(col("ws")) - (K - 1)).cast(LongType))
@@ -44,6 +47,8 @@ object Winnowing {
       .select(col("doc_id"), col("ng").as("n_grams"),
         size(col("fps")).cast(LongType).as("n_fps"),
         md5(concat_ws(",", col("fps"))).as("fp_digest"))
+
+  def textWinnowFingerprint: Q = (s, dir) => winnowOf(t(s, dir, "documents"))
 
   val textWinnowFingerprintSql: String = {
     val gram = (0 until K).map(j => s"ws[i + $j]").mkString(" || ' ' || ")

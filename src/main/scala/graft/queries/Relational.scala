@@ -688,7 +688,41 @@ object Relational {
       |        FROM events GROUP BY 1, 2)) sub
       |WHERE rn = 1""".stripMargin
 
+  /** EXACT MEDIAN WITHOUT BUFFERING (r12): a per-group exact
+    * percentile at 100 TB cannot sort the group or buffer its values
+    * the way `percentile()` does — but quantities live on a BOUNDED
+    * VALUE DOMAIN (≤ 50 distinct values), so the production device is
+    * a value-HISTOGRAM partial aggregate + an integer cumulative walk
+    * over the ≤50-row histogram (the ccnet_buckets machinery as a
+    * relational operator). Interpolates exactly like quantile_cont:
+    * zero-indexed positions lo = (n−1) div 2 and hi = n div 2, median
+    * = (value_at(lo) + value_at(hi)) / 2 — exact IEEE halves on this
+    * domain, so the DuckDB `median()` oracle gates it bit-for-bit.
+    * The only corpus-sized shuffle is the histogram partial agg; the
+    * cumulative window runs over ≤50-row partitions. */
+  def q38Median: Q = (s, dir) => {
+    val hist = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+    val byFlag = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    val cum = hist
+      .withColumn("cum", sum("c").over(
+        byFlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy("l_returnflag")))
+    cum.groupBy("l_returnflag")
+      .agg(max(col("n")).as("n_rows"),
+        ((min(when(col("cum") > expr("(n - 1) div 2"), col("l_quantity"))) +
+          min(when(col("cum") > expr("n div 2"), col("l_quantity")))) / 2)
+          .as("median_qty"))
+  }
+
+  val q38Sql: String =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  median(l_quantity) AS median_qty
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q38_median" -> q38Median,
     "q37_mode" -> q37Mode,
     "q33_retention" -> q33Retention,
     "q32_funnel" -> q32Funnel,
@@ -721,6 +755,7 @@ object Relational {
     "q31_null_safe_join" -> q31NullSafeJoin)
 
   val oracles: Map[String, String] = Map(
+    "q38_median" -> q38Sql,
     "q37_mode" -> q37Sql,
     "q33_retention" -> q33Sql,
     "q32_funnel" -> q32Sql,

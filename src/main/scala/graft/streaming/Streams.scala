@@ -372,7 +372,91 @@ object Streams {
        |GROUP BY d.source""".stripMargin
   }
 
+  // ---------------------------------------------- stateless map twins
+  // (r12): four scrub/score/fingerprint passes whose per-doc transform
+  // is a pure row-local map — on a stream they run in APPEND mode with
+  // ZERO state (no watermark, no state store), the shape that lets a
+  // 100 TB ingest scrub/score documents at wire speed forever. Each
+  // shares its transform function AND its oracle verbatim with the
+  // batch key, so the stream path must produce every row identically.
+
+  /** Streaming PII scrub twin of text_redact. */
+  def streamRedact: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    StreamStage.withStaged(s, "srd", dir, "documents.parquet") { stageDir =>
+      val out = graft.functions.TextOps.redactOf(
+        s.readStream.schema(sch).parquet(stageDir))
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_rdt").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table("graft_stream_rdt")
+  }
+
+  /** Streaming language-ID twin of text_langid. */
+  def streamLangid: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    StreamStage.withStaged(s, "slid", dir, "documents.parquet") { stageDir =>
+      val out = graft.functions.TextOps.langIdOf(
+        s.readStream.schema(sch).parquet(stageDir))
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_lid").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table("graft_stream_lid")
+  }
+
+  /** Streaming winnowing twin of text_winnow_fingerprint: the whole
+    * fingerprint selection runs inside each row's own gram arrays. */
+  def streamWinnowFingerprint: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    StreamStage.withStaged(s, "swfp", dir, "documents.parquet") { stageDir =>
+      val out = graft.operators.Winnowing.winnowOf(
+        s.readStream.schema(sch).parquet(stageDir))
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_wfp").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table("graft_stream_wfp")
+  }
+
+  /** Streaming feature-hash embedding twin of text_hash_embedding:
+    * the batch key's two-groupBy shape would need per-doc state on a
+    * stream, so the WHOLE sparse-vector build (distinct buckets,
+    * per-bucket counts, L2, fingerprint) fuses into one map-side
+    * expression chain over each doc's own token array — stateless
+    * append, and the fixed-width embedding of an unbounded firehose
+    * costs map work only. Output matches the batch key bit-for-bit
+    * (same bucket sort, same count rendering in the fingerprint). */
+  def streamHashEmbedding: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    StreamStage.withStaged(s, "she", dir, "documents.parquet") { stageDir =>
+      val out = s.readStream.schema(sch).parquet(stageDir)
+        .withColumn("bs", expr(
+          "transform(filter(split(lower(text), ' '), w -> w != ''), w -> substring(md5(w), 1, 2))"))
+        .filter(size(col("bs")) > 0) // batch emits no row for token-free docs
+        .withColumn("db", expr("array_sort(array_distinct(bs))"))
+        .withColumn("cnts", expr(
+          "transform(db, b -> cast(size(filter(bs, x -> x = b)) as bigint))"))
+        .select(col("doc_id"),
+          size(col("db")).cast(LongType).as("nnz"),
+          expr("aggregate(cnts, cast(0 as bigint), (acc, c) -> acc + c * c)").as("sum_sq"),
+          expr("sqrt(cast(aggregate(cnts, cast(0 as bigint), (acc, c) -> acc + c * c) as double))")
+            .as("l2"),
+          md5(expr("concat_ws(',', zip_with(db, cnts, (b, c) -> concat(b, ':', c)))"))
+            .as("vec_fp"))
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_she").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table("graft_stream_she")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_redact" -> streamRedact,
+    "stream_langid" -> streamLangid,
+    "stream_winnow_fingerprint" -> streamWinnowFingerprint,
+    "stream_hash_embedding" -> streamHashEmbedding,
     "stream_gopher_rules" -> streamGopherRules,
     "stream_dataset_card" -> streamDatasetCard,
     "stream_curation_filter" -> streamCurationFilter,
@@ -384,6 +468,11 @@ object Streams {
     "stream_interval_join" -> streamIntervalJoin)
 
   val oracles: Map[String, String] = Map(
+    // identical output to the batch scrub/score/fingerprint passes
+    "stream_redact" -> graft.functions.TextOps.textRedactSql,
+    "stream_langid" -> graft.functions.TextOps.textLangIdSql,
+    "stream_winnow_fingerprint" -> graft.operators.Winnowing.textWinnowFingerprintSql,
+    "stream_hash_embedding" -> graft.functions.TextOps.textHashEmbeddingSql,
     "stream_gopher_rules" -> streamGopherRulesSql,
     // identical output to the batch dataset-card build
     "stream_dataset_card" -> graft.operators.DatasetCard.pipelineDatasetCardSql,

@@ -285,6 +285,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "election lost map-side combine")
   }
 
+  test("novelty df pass and median histogram keep map-side partial aggregation") {
+    Seq("text_novelty", "text_unigram_entropy", "q38_median").foreach { name =>
+      val p = planOf(name)
+      assert(p.contains("partial_"), s"$name lost partial aggregation")
+    }
+    // the median's cumulative window walks the <=50-row value
+    // histogram behind a hash exchange — never a range shuffle of the
+    // corpus rows, and the histogram partial-aggregates before it
+    val pm = planOf("q38_median")
+    assert(!pm.toLowerCase.contains("rangepartitioning"),
+      "median plans a corpus range shuffle")
+    assert(pm.contains("partial_count"),
+      "histogram rows reach the window un-aggregated")
+  }
+
   test("centroid purity assigns via min_by partial agg, no corpus window") {
     val p = planOf("sim_centroid_purity")
     assert(!p.contains("Window"),

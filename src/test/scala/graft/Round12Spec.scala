@@ -118,6 +118,70 @@ class Round12Spec extends AnyFunSuite {
   // span-removal election (de-skewed r12)
   // -----------------------------------------------------------------
 
+  // -----------------------------------------------------------------
+  // r12 operators: novelty, unigram entropy, histogram median
+  // -----------------------------------------------------------------
+
+  test("text_novelty: df=1 grams are novel, repeats are not, short docs are zero") {
+    import spark.implicits._
+    val nine = "a b c d e f g h i" // 9 words → 2 distinct 8-grams
+    val docs = Seq(
+      (1L, "s1", nine), // shares both 8-grams with doc 2 → novelty 0
+      (2L, "s1", nine),
+      (3L, "s1", "p q r s t u v w x"), // both 8-grams unique → ppm 1e6
+      (4L, "s2", "x y") // too short: 0 grams
+    ).toDF("doc_id", "source", "text")
+    val tmp = "/tmp/graft_r12_nov"
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("text_novelty")(spark, tmp)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_grams")).toSeq == Seq(2L, 2L, 2L, 0L))
+    assert(out.map(_.getAs[Long]("novelty_ppm")).toSeq == Seq(0L, 0L, 1000000L, 0L))
+  }
+
+  test("text_unigram_entropy: hand-computed micro-nats on a uniform 2-word source") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "a a b"), (2L, "s1", "b")
+    ).toDF("doc_id", "source", "text")
+    val tmp = "/tmp/graft_r12_ent"
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("text_unigram_entropy")(spark, tmp).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // N=4, c_a=c_b=2: H = ln4 − ln2 = ln2 → 693147 micro-nats exactly
+    assert(r.getAs[Long]("n_tokens") == 4 && r.getAs[Long]("vocab") == 2)
+    assert(r.getAs[Long]("entropy_unats") == 693147L, r.toString)
+  }
+
+  test("q38_median histogram device equals the buffering percentile formulation") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q38_median")(spark, sf)
+      .orderBy("l_returnflag").collect()
+    val want = graft.Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), expr("percentile(l_quantity, 0.5d)").as("m"))
+      .orderBy("l_returnflag").collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getAs[Double]("median_qty") == w.getAs[Double]("m"),
+        s"${g.getString(0)}: ${g.getAs[Double]("median_qty")} != ${w.getAs[Double]("m")}")
+      assert(g.getAs[Long]("n_rows") == w.getAs[Long]("n_rows"))
+    }
+  }
+
+  test("stateless stream twins reproduce their batch keys row-for-row") {
+    for ((st, ba) <- Seq(
+      "stream_redact" -> "text_redact",
+      "stream_langid" -> "text_langid",
+      "stream_winnow_fingerprint" -> "text_winnow_fingerprint",
+      "stream_hash_embedding" -> "text_hash_embedding")) {
+      val s0 = SparkEntry.queries(st)(spark, sf).collect().map(_.toString).sorted
+      val b0 = SparkEntry.queries(ba)(spark, sf).collect().map(_.toString).sorted
+      assert(s0.toSeq == b0.toSeq, s"$st diverges from $ba")
+    }
+  }
+
   test("span removal keep-first election: min-struct agg elects the same occurrence") {
     // hand-checkable corpus: the 8-word span "a b c d e f g h"
     // appears in docs 1 (pos 1), 2 (pos 1) and 3 (pos 3) — keep-first
