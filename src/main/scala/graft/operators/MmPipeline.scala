@@ -428,6 +428,58 @@ object MmPipeline {
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_src_match
       |FROM per_shard""".stripMargin
 
+  /** WebDataset LOADER INDEX (r12 — the random-access manifest a
+    * training loader builds once per shard set so workers can seek
+    * straight to a sample without walking headers): every member's
+    * (shard, full path, payload offset, size) row, parsed from the
+    * REAL shard bytes by the ustar member walk. The oracle recomputes
+    * every offset from first principles — name-ordered cumulative
+    * `512 + ceil512(size)` sums per shard, + 512 for the member's own
+    * header — so ONE wrong pad, header length, or member order
+    * anywhere in the codec breaks a row, member-by-member (the
+    * aggregate gates of `mm_webdataset_tar` can't see which).
+    * Scale: one tar per shard parsed inside its own group; the
+    * manifest is corpus-row-sized and never funnels. */
+  def mmWdsIndex: Q = (s, dir) => {
+    import graft.functions.TarCodec.{tar_pack, tar_members}
+    val docs = t(s, dir, "documents")
+    val entries = docs.select(expr("doc_id div 16").as("shard"),
+        concat(format_string("%010d", col("doc_id")), lit(".txt")).as("name"),
+        col("text").cast("binary").as("data"))
+      .unionByName(docs.select(expr("doc_id div 16").as("shard"),
+        concat(lit(LongDir + "/"), format_string("%010d", col("doc_id")),
+          lit(".src")).as("name"),
+        col("source").cast("binary").as("data")))
+    entries.groupBy("shard")
+      .agg(tar_pack(expr("array_sort(collect_list(struct(name, data)))")).as("tar"))
+      .select(col("shard"), explode(tar_members(col("tar"))).as("m"))
+      .select(col("shard"), col("m.name").as("name"),
+        col("m.offset").as("offset_bytes"), col("m.size").as("member_bytes"))
+  }
+
+  /** Oracle: pure ustar layout arithmetic — members sort by name
+    * within their shard, each occupies 512 + ceil512(size) bytes, and
+    * a member's payload starts 512 past the cumulative sum of its
+    * predecessors. */
+  val mmWdsIndexSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id // 16 AS shard,
+       |    lpad(CAST(doc_id AS VARCHAR), 10, '0') || '.txt' AS name,
+       |    octet_length(encode(text)) AS sz
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id // 16 AS shard,
+       |    '$LongDir/' || lpad(CAST(doc_id AS VARCHAR), 10, '0') || '.src' AS name,
+       |    octet_length(encode(source)) AS sz
+       |  FROM documents)
+       |SELECT shard, name,
+       |  CAST(COALESCE(SUM(512 + ((sz + 511) // 512) * 512) OVER (
+       |    PARTITION BY shard ORDER BY name
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 512 AS BIGINT)
+       |    AS offset_bytes,
+       |  CAST(sz AS BIGINT) AS member_bytes
+       |FROM m""".stripMargin
+
   /** WebDataset shards MOUNTED FROM STORAGE (r11 — the loader half of
     * [[mmWebdatasetTar]]: a training job doesn't hold shards in a
     * column, it lists `.tar` FILES and streams members out of each):
@@ -510,6 +562,7 @@ object MmPipeline {
   val queries: Map[String, Q] = Map(
     "mm_webdataset_tar" -> mmWebdatasetTar,
     "mm_tar_read_files" -> mmTarReadFiles,
+    "mm_wds_index" -> mmWdsIndex,
     "mm_pack_shards" -> mmPackShards,
     "mm_decode_pipeline" -> mmDecodePipeline,
     "mm_frame_sample" -> mmFrameSample,
@@ -520,6 +573,7 @@ object MmPipeline {
   val oracles: Map[String, String] = Map(
     "mm_webdataset_tar" -> mmWebdatasetTarSql,
     "mm_tar_read_files" -> mmTarReadFilesSql,
+    "mm_wds_index" -> mmWdsIndexSql,
     "mm_pack_shards" -> mmPackShardsSql,
     "mm_decode_pipeline" -> mmDecodePipelineSql,
     "mm_frame_sample" -> mmFrameSampleSql,

@@ -108,10 +108,45 @@ object Novelty {
       |    AS entropy_unats
       |FROM agg""".stripMargin
 
+  /** STREAMING novelty (§2D twin): the corpus df table is the
+    * index-build artifact — staged once per (session, dir) like the
+    * LSH pair table — and each arriving doc's distinct 8-grams score
+    * through a STREAM-STATIC equi-join against it (STATELESS: no
+    * watermark, no state store); the per-doc rollup and ledger join
+    * run batch-side from the drained sink, the [[Dsir]] twin shape.
+    * Output and oracle shared verbatim with [[textNovelty]]. */
+  def streamNovelty: Q = (s, dir) => {
+    val dfTab = Staged.table(s, dir, "nov_df", coalesce = false) {
+      Dedup.shingles(t(s, dir, "documents"), N)
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+    }
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    graft.streaming.StreamStage.withStaged(s, "snov", dir, "documents.parquet") { stageDir =>
+      val streamSh = Dedup.shingles(s.readStream.schema(sch).parquet(stageDir), N)
+      val scored = streamSh.join(dfTab, "sh").select(col("doc_id"), col("df"))
+      val q = scored.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_nov").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val per = s.table("graft_stream_nov")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+    t(s, dir, "documents").select("doc_id", "source")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr("(1000000 * coalesce(n_novel, 0)) div greatest(coalesce(n_grams, 0), 1)")
+          .as("novelty_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "text_novelty" -> textNovelty,
-    "text_unigram_entropy" -> textUnigramEntropy)
+    "text_unigram_entropy" -> textUnigramEntropy,
+    "stream_novelty" -> streamNovelty)
   val oracles: Map[String, String] = Map(
     "text_novelty" -> textNoveltySql,
-    "text_unigram_entropy" -> textUnigramEntropySql)
+    "text_unigram_entropy" -> textUnigramEntropySql,
+    "stream_novelty" -> textNoveltySql)
 }

@@ -557,6 +557,58 @@ object Similarity {
        |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, d.vec_id IS NULL AS kept
        |FROM cellsv c LEFT JOIN dropped d ON d.vec_id = c.vec_id""".stripMargin
 
+  /** PROTOTYPE PRUNING (Sorscher et al. 2022, "Beyond neural scaling
+    * laws" — with abundant data, prune the most PROTOTYPICAL examples
+    * and keep the hard ones; the pruning half of D4, whose dedup half
+    * is [[dedupSemantic]]): every vector's prototypicality is its
+    * cosine to its assigned cluster centroid (the same staged
+    * DECIMAL-Lloyd quantizer the IVF family gates), and within each
+    * cell the TOP QUARTER by (round(cos,9) DESC, vec_id) is pruned.
+    * Output is the per-vector curation ledger (cell, prototypicality,
+    * in-cell rank, cell size, keep flag).
+    *
+    * Scale shape: assignment is the broadcast-centroids `min_by`
+    * partial aggregate (one row per vector to the shuffle, the score
+    * riding in the struct); the only window partitions by CELL —
+    * bounded at corpus/NCENTS members, and NCENTS grows with the
+    * corpus exactly as in the IVF keys — so no global sort and no
+    * unbounded partition anywhere. */
+  def pipelineProtoPrune: Q = (s, dir) => {
+    val emb = withVec(t(s, dir, "embeddings"))
+    val cents = centroids(s, dir)
+    val assigned = scoredCells(emb, cents)
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cent_id"), col("ccos")),
+        struct(-round(col("ccos"), 9), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("cell"),
+        round(col("best.ccos"), 9).as("pcos"))
+    val byCell = Window.partitionBy("cell")
+    assigned
+      .withColumn("proto_rank",
+        row_number().over(byCell.orderBy(col("pcos").desc, col("vec_id"))).cast(LongType))
+      .withColumn("n_cell", count(lit(1)).over(byCell).cast(LongType))
+      .select(col("vec_id"), col("cell"), round(col("pcos"), 6).as("proto_cos"),
+        col("proto_rank"), col("n_cell"),
+        (col("proto_rank") > expr("n_cell div 4")).as("keep"))
+  }
+
+  val pipelineProtoPruneSql: String =
+    s"""WITH ${ivfPrefixSql},
+       |cellsp AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM assign WHERE crn = 1),
+       |pc AS (
+       |  SELECT c.vec_id, c.cell,
+       |    round(list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(c.embedding[i] AS DOUBLE) * ct.cv[i])) / (c.nrm * ct.cn), 9) AS pcos
+       |  FROM cellsp c JOIN c$KMEANS_ITERS ct ON ct.cent_id = c.cell),
+       |rk AS (
+       |  SELECT vec_id, cell, pcos,
+       |    row_number() OVER (PARTITION BY cell ORDER BY pcos DESC, vec_id) AS proto_rank,
+       |    COUNT(*) OVER (PARTITION BY cell) AS n_cell
+       |  FROM pc)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, round(pcos, 6) AS proto_cos,
+       |  CAST(proto_rank AS BIGINT) AS proto_rank, CAST(n_cell AS BIGINT) AS n_cell,
+       |  proto_rank > n_cell // 4 AS keep
+       |FROM rk""".stripMargin
+
   private val PQ_M = 4 // subspaces
   private val PQ_SUB = DIMS / PQ_M // dims per subspace
   private val PQ_CODES = 16 // codebook entries per subspace
@@ -1459,6 +1511,7 @@ object Similarity {
     "sim_filtered_topk" -> simFilteredTopk,
     "sim_from_binary" -> simFromBinary,
     "dedup_semantic" -> dedupSemantic,
+    "pipeline_proto_prune" -> pipelineProtoPrune,
     "sim_lsh_bucketed" -> simLshBucketed,
     "sim_ivf" -> simIvf,
     "dedup_embedding" -> dedupEmbedding)
@@ -1481,6 +1534,7 @@ object Similarity {
     "sim_filtered_topk" -> simFilteredTopkSql,
     "sim_from_binary" -> simTopKBruteforceSql,
     "dedup_semantic" -> dedupSemanticSql,
+    "pipeline_proto_prune" -> pipelineProtoPruneSql,
     "sim_lsh_bucketed" -> simLshBucketedSql,
     "sim_ivf" -> simIvfSql,
     "dedup_embedding" -> dedupEmbeddingSql)

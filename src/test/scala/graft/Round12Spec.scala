@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
@@ -168,6 +169,58 @@ class Round12Spec extends AnyFunSuite {
         s"${g.getString(0)}: ${g.getAs[Double]("median_qty")} != ${w.getAs[Double]("m")}")
       assert(g.getAs[Long]("n_rows") == w.getAs[Long]("n_rows"))
     }
+  }
+
+  test("proto pruning: top quarter per cell pruned, ranks dense, prototypes first") {
+    val rows = SparkEntry.queries("pipeline_proto_prune")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCell = rows.groupBy(_.getAs[Long]("cell"))
+    byCell.foreach { case (cell, rs) =>
+      val n = rs.head.getAs[Long]("n_cell")
+      assert(rs.length == n, s"cell $cell: n_cell $n != ${rs.length}")
+      assert(rs.map(_.getAs[Long]("proto_rank")).sorted.toSeq == (1L to n), s"cell $cell ranks")
+      // exactly floor(n/4) pruned, and they are the TOP-ranked (most prototypical)
+      val pruned = rs.filter(!_.getAs[Boolean]("keep"))
+      assert(pruned.length == n / 4, s"cell $cell prunes ${pruned.length} != ${n / 4}")
+      assert(pruned.forall(_.getAs[Long]("proto_rank") <= n / 4), s"cell $cell pruned ranks")
+      // prototypicality is non-increasing in rank
+      val sorted = rs.sortBy(_.getAs[Long]("proto_rank"))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getAs[Double]("proto_cos") >= b.getAs[Double]("proto_cos"), s"cell $cell order")
+      }
+    }
+  }
+
+  test("wds loader index: parsed offsets equal first-principles layout arithmetic") {
+    // independent replay in Scala (not the oracle's SQL, not the codec):
+    // name-sorted members, 512-byte headers, 512-padded payloads
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("source")).collect()
+    val want = docs.flatMap { r =>
+      val id = r.getLong(0)
+      Seq((id / 16, f"$id%010d.txt", r.getString(1).getBytes("UTF-8").length.toLong),
+        (id / 16, s"${graft.operators.MmPipeline.LongDir}/" + f"$id%010d.src",
+          r.getString(2).getBytes("UTF-8").length.toLong))
+    }.groupBy(_._1).toSeq.flatMap { case (shard, ms) =>
+      var off = 0L
+      ms.sortBy(_._2).toSeq.map { case (_, name, sz) =>
+        val o = off + 512
+        off += 512 + ((sz + 511) / 512) * 512
+        (shard, name) -> (o, sz)
+      }
+    }.toMap
+    val got = SparkEntry.queries("mm_wds_index")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[String]("name")) ->
+        (r.getAs[Long]("offset_bytes"), r.getAs[Long]("member_bytes"))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (k, v) => assert(got(k) == v, s"$k: ${got(k)} != $v") }
+  }
+
+  test("stream_novelty reproduces text_novelty row-for-row") {
+    val s0 = SparkEntry.queries("stream_novelty")(spark, sf).collect().map(_.toString).sorted
+    val b0 = SparkEntry.queries("text_novelty")(spark, sf).collect().map(_.toString).sorted
+    assert(s0.toSeq == b0.toSeq)
   }
 
   test("stateless stream twins reproduce their batch keys row-for-row") {
