@@ -54,7 +54,8 @@ object SparkEntry {
       graft.operators.StreamBpe.queries ++
       graft.operators.Bm25.queries ++
       graft.operators.HybridSearch.queries ++
-      graft.operators.Novelty.queries
+      graft.operators.Novelty.queries ++
+      graft.operators.QualityEnsemble.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -99,5 +100,6 @@ object SparkEntry {
       graft.operators.StreamBpe.oracles ++
       graft.operators.Bm25.oracles ++
       graft.operators.HybridSearch.oracles ++
-      graft.operators.Novelty.oracles
+      graft.operators.Novelty.oracles ++
+      graft.operators.QualityEnsemble.oracles
 }

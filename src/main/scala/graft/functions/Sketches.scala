@@ -592,6 +592,72 @@ object Sketches {
       .select(col("s_sum").as("reg_sum"), col("zeros"), col("est_distinct"))
   }
 
+  /** GROUPED HLL + UNION MERGE (r12 — the dataset-card "distinct
+    * users per segment AND overall" question answered in ONE pass,
+    * the way a sharded 100 TB ingest actually does it): one register
+    * vector per event_type (a (type, 64-bucket) partial-agg max),
+    * finished per type, plus a `__union__` row whose registers are
+    * the bucketwise MAX across the per-type sketches — the HLL union
+    * law, so the overall cardinality costs a 64·types-row merge
+    * instead of a second corpus pass. Register sums are exact BIGINT;
+    * the small-range branch reads the shared literal table. */
+  def sketchHllGroups: Q = (s, dir) => {
+    val lnCase = (1 to HLL_M).map(v =>
+      s"WHEN $v THEN CAST(${hllLnTab(v - 1)} AS DOUBLE)").mkString(" ")
+    def finishGrouped(regs: DataFrame): DataFrame =
+      regs.groupBy("event_type")
+        .agg(count(lit(1)).as("nb"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m_j AS INT))")).as("sp"),
+          sum(when(col("m_j") === 0, 1L).otherwise(0L)).as("zp"))
+        .select(col("event_type"),
+          (col("sp") + (lit(HLL_M.toLong) - col("nb")) * lit(1L << 49)).as("s_sum"),
+          (col("zp") + (lit(HLL_M.toLong) - col("nb"))).as("zeros"))
+        .withColumn("raw", expr(s"CAST(0.709 AS DOUBLE) * 4096 * $POW49 / s_sum"))
+        .withColumn("est_distinct", round(expr(
+          s"CASE WHEN raw <= 160.0 AND zeros > 0 THEN CASE zeros $lnCase END ELSE raw END"), 6))
+        .select(col("event_type"), col("s_sum").as("reg_sum"), col("zeros"),
+          col("est_distinct"))
+    val grouped = events(s, dir)
+      .select(col("event_type"), md5(col("user_id").cast(StringType)).as("hx"))
+      .select(col("event_type"),
+        (conv(substring(col("hx"), 1, 2), 16, 10).cast(LongType) % HLL_M).as("bucket"),
+        conv(substring(col("hx"), 3, 12), 16, 10).cast(LongType).as("w"))
+      .select(col("event_type"), col("bucket"), when(col("w") === 0, lit(49L))
+        .otherwise(lit(49L) - length(conv(col("w").cast(StringType), 10, 2)).cast(LongType))
+        .as("rho"))
+      .groupBy("event_type", "bucket").agg(max(col("rho")).as("m_j"))
+      .cache() // per-type finish + the union merge
+    finishGrouped(grouped).unionByName(finishGrouped(
+      grouped.groupBy("bucket").agg(max(col("m_j")).as("m_j"))
+        .withColumn("event_type", lit("__union__"))))
+  }
+
+  val sketchHllGroupsSql: String = {
+    val lnCase = (1 to HLL_M).map(v =>
+      s"WHEN $v THEN CAST(${hllLnTab(v - 1)} AS DOUBLE)").mkString(" ")
+    s"""WITH hx AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+       |hb AS (SELECT event_type, CAST('0x' || substr(hx, 1, 2) AS BIGINT) % $HLL_M AS bucket,
+       |              CAST('0x' || substr(hx, 3, 12) AS BIGINT) AS w FROM hx),
+       |hr AS (SELECT event_type, bucket, CASE WHEN w = 0 THEN 49
+       |         ELSE 49 - length(bin(w)) END AS rho FROM hb),
+       |regs AS (SELECT event_type, bucket, MAX(rho) AS m_j FROM hr GROUP BY 1, 2),
+       |allregs AS (
+       |  SELECT event_type, bucket, m_j FROM regs
+       |  UNION ALL
+       |  SELECT '__union__' AS event_type, bucket, MAX(m_j) AS m_j FROM regs GROUP BY bucket),
+       |ag AS (SELECT event_type, COUNT(*) AS nb,
+       |  SUM(CAST(1 AS BIGINT) << CAST(49 - m_j AS INT)) AS sp,
+       |  SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS zp FROM allregs GROUP BY event_type),
+       |f AS (SELECT event_type, sp + ($HLL_M - nb) * (CAST(1 AS BIGINT) << 49) AS s_sum,
+       |             zp + ($HLL_M - nb) AS zeros FROM ag),
+       |r AS (SELECT event_type, s_sum, zeros,
+       |  CAST(0.709 AS DOUBLE) * 4096 * $POW49 / s_sum AS raw FROM f)
+       |SELECT event_type, CAST(s_sum AS BIGINT) AS reg_sum, CAST(zeros AS BIGINT) AS zeros,
+       |  round(CASE WHEN raw <= 160.0 AND zeros > 0
+       |    THEN CASE zeros $lnCase END ELSE raw END, 6) AS est_distinct
+       |FROM r""".stripMargin
+  }
+
   def sketchHll: Q = (s, dir) => {
     val ev = events(s, dir).cache()
     // mergeability: the same register vector must re-derive from
@@ -669,6 +735,7 @@ object Sketches {
 
   val queries: Map[String, Q] = Map(
     "sketch_hll" -> sketchHll,
+    "sketch_hll_groups" -> sketchHllGroups,
     "stream_hll" -> streamHll,
     "stream_quantile_histogram" -> streamQuantileHistogram,
     "sketch_kmv_intersect" -> sketchKmvIntersect,
@@ -683,6 +750,7 @@ object Sketches {
     "sketch_histogram_quantile" -> sketchHistogramQuantile)
   val oracles: Map[String, String] = Map(
     "sketch_hll" -> sketchHllSql,
+    "sketch_hll_groups" -> sketchHllGroupsSql,
     "stream_hll" -> streamHllSql,
     "stream_quantile_histogram" -> streamQuantileHistogramSql,
     "sketch_kmv_intersect" -> sketchKmvIntersectSql,

@@ -58,8 +58,40 @@ object CharEntropy {
       |    AS entropy_unats
       |FROM agg""".stripMargin
 
+  /** STREAMING twin (r12): the batch key's per-(doc,char) groupBy
+    * would need per-doc state on a stream, so the whole entropy
+    * computation FUSES into one map-side expression chain over each
+    * row's own char array (distinct chars, per-char counts, the same
+    * micro-nat quantization) — STATELESS append mode, zero state
+    * store. Output and oracle shared verbatim with the batch key. */
+  def streamCharEntropy: Q = (s, dir) => {
+    import org.apache.spark.sql.types.LongType
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    graft.streaming.StreamStage.withStaged(s, "sce", dir, "documents.parquet") { stageDir =>
+      val out = s.readStream.schema(sch).parquet(stageDir)
+        .withColumn("cs", expr("filter(split(text, ''), ch -> ch != '')"))
+        .filter(size(col("cs")) > 0) // batch emits no row for char-free docs
+        .withColumn("dc", expr("array_distinct(cs)"))
+        .withColumn("cnts", expr(
+          "transform(dc, d -> cast(size(filter(cs, x -> x = d)) as bigint))"))
+        .select(col("doc_id"),
+          size(col("cs")).cast(LongType).as("n_chars_counted"),
+          size(col("dc")).cast(LongType).as("n_distinct"),
+          expr("(cast(size(cs) as bigint) * CAST(round(1e6 * ln(CAST(size(cs) AS DOUBLE))) AS BIGINT)" +
+            " - aggregate(cnts, cast(0 as bigint)," +
+            " (acc, c) -> acc + c * CAST(round(1e6 * ln(CAST(c AS DOUBLE))) AS BIGINT)))" +
+            " DIV cast(size(cs) as bigint)").as("entropy_unats"))
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_ce").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table("graft_stream_ce")
+  }
+
   val queries: Map[String, Q] = Map(
-    "text_char_entropy" -> textCharEntropy)
+    "text_char_entropy" -> textCharEntropy,
+    "stream_char_entropy" -> streamCharEntropy)
   val oracles: Map[String, String] = Map(
-    "text_char_entropy" -> textCharEntropySql)
+    "text_char_entropy" -> textCharEntropySql,
+    "stream_char_entropy" -> textCharEntropySql)
 }

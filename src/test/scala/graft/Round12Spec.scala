@@ -217,6 +217,36 @@ class Round12Spec extends AnyFunSuite {
     want.foreach { case (k, v) => assert(got(k) == v, s"$k: ${got(k)} != $v") }
   }
 
+  test("hll groups: union registers dominate per-type, estimates are finite") {
+    val rows = SparkEntry.queries("sketch_hll_groups")(spark, sf).collect()
+    val union = rows.filter(_.getString(0) == "__union__")
+    assert(union.length == 1)
+    val types = rows.filter(_.getString(0) != "__union__")
+    assert(types.nonEmpty)
+    // union registers are the bucketwise max → its power sum (of
+    // 2^(49-m_j)) is <= every per-type power sum, and its estimate is
+    // >= the largest per-type estimate
+    assert(types.forall(_.getAs[Long]("reg_sum") >= union.head.getAs[Long]("reg_sum")))
+    assert(union.head.getAs[Double]("est_distinct") >=
+      types.map(_.getAs[Double]("est_distinct")).max)
+  }
+
+  test("quality ensemble: first-failing-rule attribution sums exactly") {
+    val rows = SparkEntry.queries("pipeline_quality_ensemble")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("n_kept") + r.getAs[Long]("killed_length") +
+        r.getAs[Long]("killed_entropy") + r.getAs[Long]("killed_novelty")
+      assert(total == r.getAs[Long]("n_docs"), r.toString)
+    }
+  }
+
+  test("stream_char_entropy reproduces text_char_entropy row-for-row") {
+    val s0 = SparkEntry.queries("stream_char_entropy")(spark, sf).collect().map(_.toString).sorted
+    val b0 = SparkEntry.queries("text_char_entropy")(spark, sf).collect().map(_.toString).sorted
+    assert(s0.toSeq == b0.toSeq)
+  }
+
   test("stream_novelty reproduces text_novelty row-for-row") {
     val s0 = SparkEntry.queries("stream_novelty")(spark, sf).collect().map(_.toString).sorted
     val b0 = SparkEntry.queries("text_novelty")(spark, sf).collect().map(_.toString).sorted
