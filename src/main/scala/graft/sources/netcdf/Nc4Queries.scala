@@ -1842,7 +1842,55 @@ object Nc4Queries {
       |  MIN(idx) AS min_rec, MAX(idx) AS max_rec
       |FROM o WHERE idx >= 1000 AND idx < 9000 AND idx % 4 = 0""".stripMargin
 
+  /** kerchunk-style CHUNK MANIFEST (r12 — the cloud-native NetCDF
+    * pattern: scan the container's chunk index ONCE into a queryable
+    * manifest, then let object-store readers seek chunks without ever
+    * re-walking HDF5 metadata; this is what the public kerchunk
+    * tooling builds for zarr-over-HDF5). One row per (variable,
+    * chunk): ordinal, starting record, record count, payload flag —
+    * derived entirely from the header walk (a metadata-sized read, no
+    * data pages touched). The oracle recomputes the whole manifest
+    * from first principles: ceil(N/96) chunks per variable, chunk k
+    * covers records [96k, min(96(k+1), N)) — so a chunk-index walk
+    * that drops, duplicates, or mis-spans ANY chunk breaks a specific
+    * row. Ingest is staged once per session (read-side gate
+    * convention); the manifest itself is chunk-count-sized. */
+  def nc4ChunkManifest: Q = (s, dir) => {
+    val out = NcQueries.scratch(s, dir, "h5manifest")
+    NcQueries.stageOnce(out) {
+      Hdf5IO.write(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+          .repartition(1),
+        out, chunkRecs = 96, deflate = true, h5ver = 2, chunkIndex = "btree2")
+    }
+    val p = new Path(out)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val rows = NetCDF4Util.listFiles(fs, p).flatMap { f =>
+      val meta = Hdf5Format.readMeta(fs, f)
+      meta.vars.flatMap { v =>
+        val sorted = v.chunks.sortBy(_.startRec)
+        sorted.zipWithIndex.map { case (c, i) =>
+          val next = if (i + 1 < sorted.length) sorted(i + 1).startRec else v.numRecs
+          (v.name, i.toLong, c.startRec, next - c.startRec, c.storedSize > 0)
+        }
+      }
+    }
+    import s.implicits._
+    rows.toSeq.toDF("var_name", "chunk_idx", "start_rec", "n_recs", "has_payload")
+  }
+
+  val nc4ChunkManifestSql: String =
+    """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+      |idx AS (SELECT unnest(range(0, (n + 95) // 96)) AS chunk_idx, n FROM n),
+      |vars AS (SELECT 'l_orderkey' AS var_name UNION ALL SELECT 'l_quantity')
+      |SELECT v.var_name, CAST(i.chunk_idx AS BIGINT) AS chunk_idx,
+      |  CAST(i.chunk_idx * 96 AS BIGINT) AS start_rec,
+      |  CAST(LEAST(96, i.n - i.chunk_idx * 96) AS BIGINT) AS n_recs,
+      |  TRUE AS has_payload
+      |FROM vars v CROSS JOIN idx i""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "nc4_chunk_manifest" -> nc4ChunkManifest,
     "nc4_fletcher_roundtrip" -> nc4FletcherRoundtrip,
     "nc4_shuffle_roundtrip" -> nc4ShuffleRoundtrip,
     "nc4_isel_stride" -> nc4IselStride,
@@ -1888,6 +1936,7 @@ object Nc4Queries {
     "nc4_stream_ingest" -> nc4StreamIngest,
     "nc4_groups" -> nc4Groups)
   val oracles: Map[String, String] = Map(
+    "nc4_chunk_manifest" -> nc4ChunkManifestSql,
     "nc4_fletcher_roundtrip" -> nc4FletcherRoundtripSql,
     "nc4_shuffle_roundtrip" -> nc4ShuffleRoundtripSql,
     "nc4_isel_stride" -> nc4IselStrideSql,

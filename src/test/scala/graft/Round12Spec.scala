@@ -217,6 +217,22 @@ class Round12Spec extends AnyFunSuite {
     want.foreach { case (k, v) => assert(got(k) == v, s"$k: ${got(k)} != $v") }
   }
 
+  test("chunk manifest: dense ordinals, gap-free spans, full record coverage") {
+    val rows = SparkEntry.queries("nc4_chunk_manifest")(spark, sf).collect()
+    val n = graft.Tables.t(spark, sf, "lineitem").count()
+    rows.groupBy(_.getString(0)).foreach { case (v, cs) =>
+      assert(cs.map(_.getAs[Long]("n_recs")).sum == n, s"$v coverage")
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_idx"))
+      assert(sorted.map(_.getAs[Long]("chunk_idx")).toSeq == (0L until cs.length), s"$v ordinals")
+      // spans tile the record space without gap or overlap
+      sorted.foldLeft(0L) { (expect, r) =>
+        assert(r.getAs[Long]("start_rec") == expect, s"$v gap at $expect")
+        expect + r.getAs[Long]("n_recs")
+      }
+      assert(cs.forall(_.getAs[Boolean]("has_payload")))
+    }
+  }
+
   test("hll groups: union registers dominate per-type, estimates are finite") {
     val rows = SparkEntry.queries("sketch_hll_groups")(spark, sf).collect()
     val union = rows.filter(_.getString(0) == "__union__")
