@@ -1093,6 +1093,90 @@ object Dedup {
           .as("removed_ppm"))
   }
 
+  /** SPAN REMOVAL APPLIED (r12 — the edit itself, closing the Lee et
+    * al. 2021 loop: `dedup_substring_spans` measures, `pipeline_span_
+    * removal` decides, this key PRODUCES the cleaned corpus): every
+    * non-canonical duplicated window marks its 8 word positions,
+    * marked positions drop, and each doc's surviving words — in
+    * original order — render to a content fingerprint (md5 over the
+    * joined kept words), so the gate pins the EDITED TEXT itself, not
+    * just its mass. Same min-struct canonical election as the ledger
+    * key; coverage explode is a constant 8× of marked occurrences;
+    * the anti-join is keyed on (doc, position); the per-doc rebuild
+    * collects only that doc's own kept words (bounded by doc length). */
+  def pipelineSpanApply: Q = (s, dir) => {
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), w -> w != '')").as("ws"))
+    val win = words.filter(size(col("ws")) >= SPAN_W)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ws) - ${SPAN_W - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(ws, i, $SPAN_W))))"))
+        .as(Seq("p", "h")))
+      .select(col("doc_id"), (col("p") + 1).cast(LongType).as("pos"), col("h"))
+    val canon = win.groupBy("h")
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("c") > 1)
+      .select(col("h"),
+        col("first.doc_id").as("c_doc"), col("first.pos").as("c_pos"))
+    val marked = win.join(canon, "h")
+      .filter(col("doc_id") =!= col("c_doc") || col("pos") =!= col("c_pos"))
+      .select("doc_id", "pos")
+    val covered = marked
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${SPAN_W - 1})")).as("p"))
+      .distinct()
+    val wordPos = words
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("p"), col("w"))
+    val perDoc = wordPos.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(p, w))), x -> x.w)"))).as("clean_fp"))
+    words.select(col("doc_id"), size(col("ws")).cast(LongType).as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
+  }
+
+  val pipelineSpanApplySql: String = {
+    val cat = (0 until SPAN_W).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+    s"""WITH base AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w != '') AS ws
+       |  FROM documents),
+       |win AS (
+       |  SELECT doc_id, i AS pos, md5($cat) AS h
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - ${SPAN_W - 2})) AS i
+       |        FROM base WHERE len(ws) >= $SPAN_W)),
+       |marked AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT w.doc_id, w.pos,
+       |      row_number() OVER (PARTITION BY w.h ORDER BY w.doc_id, w.pos) AS rn,
+       |      COUNT(*) OVER (PARTITION BY w.h) AS c
+       |    FROM win w)
+       |  WHERE c > 1 AND rn > 1),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p
+       |  FROM (SELECT doc_id, unnest(range(pos, pos + $SPAN_W)) AS p FROM marked)),
+       |wp AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS p, ws[i] AS w
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM base)),
+       |kept AS (
+       |  SELECT wp.doc_id, wp.p, wp.w
+       |  FROM wp LEFT JOIN cov ON cov.doc_id = wp.doc_id AND cov.p = wp.p
+       |  WHERE cov.p IS NULL),
+       |per AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    md5(string_agg(w, ' ' ORDER BY p)) AS clean_fp
+       |  FROM kept GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(len(b.ws) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(p.n_kept, 0) AS BIGINT) AS n_kept,
+       |  COALESCE(p.clean_fp, md5('')) AS clean_fp
+       |FROM base b LEFT JOIN per p USING (doc_id)""".stripMargin
+  }
+
   val pipelineSpanRemovalSql: String = {
     val cat = (0 until SPAN_W).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
     s"""WITH base AS (
@@ -1136,6 +1220,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "dedup_substring_spans" -> dedupSubstringSpans,
     "pipeline_span_removal" -> pipelineSpanRemoval,
+    "pipeline_span_apply" -> pipelineSpanApply,
     "pipeline_split_leakage" -> pipelineSplitLeakage,
     "dedup_sparse_features" -> dedupSparseFeatures,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -1153,6 +1238,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_substring_spans" -> dedupSubstringSpansSql,
     "pipeline_span_removal" -> pipelineSpanRemovalSql,
+    "pipeline_span_apply" -> pipelineSpanApplySql,
     "pipeline_split_leakage" -> pipelineSplitLeakageSql,
     "dedup_sparse_features" -> dedupSparseFeaturesSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

@@ -700,10 +700,10 @@ object Relational {
     * domain, so the DuckDB `median()` oracle gates it bit-for-bit.
     * The only corpus-sized shuffle is the histogram partial agg; the
     * cumulative window runs over ≤50-row partitions. */
-  def q38Median: Q = (s, dir) => {
-    val hist = t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"), col("l_quantity"))
-      .agg(count(lit(1)).as("c"))
+  /** The cumulative walk over a (l_returnflag, l_quantity, c value
+    * histogram — split out so the streaming twin (whose state IS the
+    * histogram) shares the interpolation verbatim. */
+  private[graft] def medianFromHist(hist: DataFrame): DataFrame = {
     val byFlag = Window.partitionBy("l_returnflag").orderBy("l_quantity")
     val cum = hist
       .withColumn("cum", sum("c").over(
@@ -715,6 +715,11 @@ object Relational {
           min(when(col("cum") > expr("n div 2"), col("l_quantity")))) / 2)
           .as("median_qty"))
   }
+
+  def q38Median: Q = (s, dir) =>
+    medianFromHist(t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c")))
 
   val q38Sql: String =
     """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,

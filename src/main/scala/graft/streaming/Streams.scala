@@ -452,7 +452,56 @@ object Streams {
     s.table("graft_stream_she")
   }
 
+  /** STREAMING EXACT MEDIAN (r12): exact percentiles on an unbounded
+    * stream are impossible with buffered values but FREE over a
+    * bounded value domain — the running state is the (flag, quantity)
+    * histogram itself, ≤ 50·flags rows for ANY stream length,
+    * maintained as a complete-mode count aggregate. The interpolation
+    * walk (shared verbatim with `q38_median`) runs batch-side on the
+    * drained histogram; output and oracle identical to the batch key. */
+  def streamMedian: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/lineitem.parquet").schema
+    StreamStage.withStaged(s, "smed", dir, "lineitem.parquet") { stageDir =>
+      val hist = s.readStream.schema(sch).parquet(stageDir)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+      val q = hist.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_med").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    graft.queries.Relational.medianFromHist(s.table("graft_stream_med"))
+  }
+
+  /** STREAMING corpus unigram entropy (r12): running state = the
+    * per-(source, word) count table — vocabulary-sized, sub-linear in
+    * corpus length (the stream_topterms bound argument) — maintained
+    * as a complete-mode aggregate; the micro-nat entropy rollup runs
+    * batch-side on the drained vocabulary. Output and oracle shared
+    * verbatim with `text_unigram_entropy`. */
+  def streamUnigramEntropy: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    StreamStage.withStaged(s, "suent", dir, "documents.parquet") { stageDir =>
+      val counts = s.readStream.schema(sch).parquet(stageDir)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val q = counts.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_uent").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table("graft_stream_uent")
+      .groupBy("source")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("vocab"),
+        sum(col("c") * expr("CAST(round(1e6 * ln(CAST(c AS DOUBLE))) AS BIGINT)"))
+          .as("sum_clnc"))
+      .select(col("source"), col("n").as("n_tokens"), col("vocab"),
+        expr("(n * CAST(round(1e6 * ln(CAST(n AS DOUBLE))) AS BIGINT) - sum_clnc) DIV n")
+          .as("entropy_unats"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_median" -> streamMedian,
+    "stream_unigram_entropy" -> streamUnigramEntropy,
     "stream_redact" -> streamRedact,
     "stream_langid" -> streamLangid,
     "stream_winnow_fingerprint" -> streamWinnowFingerprint,
@@ -468,6 +517,8 @@ object Streams {
     "stream_interval_join" -> streamIntervalJoin)
 
   val oracles: Map[String, String] = Map(
+    "stream_median" -> graft.queries.Relational.q38Sql,
+    "stream_unigram_entropy" -> graft.operators.Novelty.textUnigramEntropySql,
     // identical output to the batch scrub/score/fingerprint passes
     "stream_redact" -> graft.functions.TextOps.textRedactSql,
     "stream_langid" -> graft.functions.TextOps.textLangIdSql,

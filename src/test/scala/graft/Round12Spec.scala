@@ -281,6 +281,37 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("span apply: doc 1 survives whole, clones lose exactly their repeated words") {
+    import spark.implicits._
+    val span = "a b c d e f g h"
+    val docs = Seq(
+      (1L, "s1", span), // canonical: survives whole
+      (2L, "s1", span), // loses all 8 words
+      (3L, "s1", s"x y $span"), // loses the 8-word tail, keeps "x y"
+      (4L, "s2", "u v w p q r s t") // unique: untouched
+    ).toDF("doc_id", "source", "text")
+    val tmp = "/tmp/graft_r12_apply"
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("pipeline_span_apply")(spark, tmp)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_kept")).toSeq == Seq(8L, 0L, 2L, 8L), out.mkString("; "))
+    def fp(ws: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(ws.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(out(0).getAs[String]("clean_fp") == fp(span))
+    assert(out(1).getAs[String]("clean_fp") == fp(""))
+    assert(out(2).getAs[String]("clean_fp") == fp("x y"))
+    assert(out(3).getAs[String]("clean_fp") == fp("u v w p q r s t"))
+  }
+
+  test("streaming median and unigram entropy match their batch twins") {
+    for ((st, ba) <- Seq("stream_median" -> "q38_median",
+      "stream_unigram_entropy" -> "text_unigram_entropy")) {
+      val s0 = SparkEntry.queries(st)(spark, sf).collect().map(_.toString).sorted
+      val b0 = SparkEntry.queries(ba)(spark, sf).collect().map(_.toString).sorted
+      assert(s0.toSeq == b0.toSeq, s"$st diverges from $ba")
+    }
+  }
+
   test("span removal keep-first election: min-struct agg elects the same occurrence") {
     // hand-checkable corpus: the 8-word span "a b c d e f g h"
     // appears in docs 1 (pos 1), 2 (pos 1) and 3 (pos 3) — keep-first
