@@ -68,7 +68,11 @@ object BenchSf1 {
     "q5_join5", "q17_events_hourly", "dedup_minhash_lsh", "dedup_clusters",
     "sim_sq_int8", "sim_ivf_pq", "text_bm25_topk", "text_bpe_train",
     "sketch_hll", "dedup_cdc", "grid_interpolate", "pipeline_keep_list",
-    "nc4_rank3", "dedup_substring_spans", "pipeline_dsir")
+    "nc4_rank3", "dedup_substring_spans", "pipeline_dsir",
+    // r12: the two r11 in-bench wall-time outliers — the 100× probe
+    // and the byte-level audit are exactly the evidence that should
+    // exonerate (or convict) the halo exchange
+    "grid_convolve")
 
   /** Wide replication for the 100× probe: one crossJoin against a
     * replica range instead of a 100-child union (same values — keys
