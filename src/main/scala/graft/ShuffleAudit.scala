@@ -38,7 +38,10 @@ object ShuffleAudit {
     * of its own; grid keys ride along as the halo-exchange control. */
   private val ORGANIC_KEYS = Seq(
     "dedup_clusters", "dedup_ngram_topm", "text_bm25_topk",
-    "dedup_minhash_lsh", "grid_convolve", "grid_interpolate")
+    "dedup_minhash_lsh", "grid_convolve", "grid_interpolate",
+    // pair-table consumers: their replica-audit shuffle ratios track
+    // the staged pair table's clone-density growth, not engine work
+    "dedup_minhash_topm", "pipeline_keep_list")
 
   def main(args: Array[String]): Unit = {
     val organic = args.contains("organic")
