@@ -480,6 +480,63 @@ object MmPipeline {
        |  CAST(sz AS BIGINT) AS member_bytes
        |FROM m""".stripMargin
 
+  /** STREAMING loader index (r12 — the incremental form of
+    * [[mmWdsIndex]]: as a packing job lands `.tar` shards in object
+    * storage, the loader manifest extends itself instead of
+    * re-scanning the shard set): Spark's `binaryFile` source consumed
+    * as a FILE STREAM, each arriving shard walked by the ustar member
+    * parser where its split lands — a pure per-file map, STATELESS
+    * append mode — emitting the same (shard, path, offset, size) rows.
+    * Shard ids recover from the file name. Output and oracle shared
+    * verbatim with the batch manifest, so the incremental index must
+    * equal the full rebuild row-for-row. */
+  def streamWdsIndex: Q = (s, dir) => {
+    import graft.functions.TarCodec.{tar_pack, tar_members}
+    val out = graft.sources.netcdf.NcQueries.scratch(s, dir, "wds_tars_stream")
+    graft.sources.netcdf.NcQueries.stageOnce(out) {
+      val docs = t(s, dir, "documents")
+      val entries = docs.select(expr("doc_id div 16").as("shard"),
+          concat(format_string("%010d", col("doc_id")), lit(".txt")).as("name"),
+          col("text").cast("binary").as("data"))
+        .unionByName(docs.select(expr("doc_id div 16").as("shard"),
+          concat(lit(LongDir + "/"), format_string("%010d", col("doc_id")),
+            lit(".src")).as("name"),
+          col("source").cast("binary").as("data")))
+      val shards = entries.groupBy("shard")
+        .agg(tar_pack(expr("array_sort(collect_list(struct(name, data)))")).as("tar"))
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      fs.mkdirs(p)
+      val conf = new graft.sources.netcdf.SerializableHadoopConf(
+        s.sparkContext.hadoopConfiguration)
+      shards.select(col("shard"), col("tar"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val tfs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf.value)
+          it.foreach { r =>
+            val f = new org.apache.hadoop.fs.Path(out, f"shard-${r.getLong(0)}%06d.tar")
+            val o = tfs.create(f, true)
+            try o.write(r.getAs[Array[Byte]]("tar")) finally o.close()
+          }
+        }
+    }
+    // file streams need an explicit schema; binaryFile's is fixed —
+    // take it from a static read of the same mount
+    val binSchema = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tar").load(out).schema
+    val stream = s.readStream.format("binaryFile").schema(binSchema)
+      .option("pathGlobFilter", "*.tar").load(out)
+      .select(expr("cast(regexp_extract(path, 'shard-(\\\\d+)\\\\.tar', 1) as bigint)")
+        .as("shard"),
+        explode(tar_members(col("content"))).as("m"))
+      .select(col("shard"), col("m.name").as("name"),
+        col("m.offset").as("offset_bytes"), col("m.size").as("member_bytes"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_wds").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_wds")
+  }
+
   /** WebDataset shards MOUNTED FROM STORAGE (r11 — the loader half of
     * [[mmWebdatasetTar]]: a training job doesn't hold shards in a
     * column, it lists `.tar` FILES and streams members out of each):
@@ -563,6 +620,7 @@ object MmPipeline {
     "mm_webdataset_tar" -> mmWebdatasetTar,
     "mm_tar_read_files" -> mmTarReadFiles,
     "mm_wds_index" -> mmWdsIndex,
+    "stream_wds_index" -> streamWdsIndex,
     "mm_pack_shards" -> mmPackShards,
     "mm_decode_pipeline" -> mmDecodePipeline,
     "mm_frame_sample" -> mmFrameSample,
@@ -574,6 +632,7 @@ object MmPipeline {
     "mm_webdataset_tar" -> mmWebdatasetTarSql,
     "mm_tar_read_files" -> mmTarReadFilesSql,
     "mm_wds_index" -> mmWdsIndexSql,
+    "stream_wds_index" -> mmWdsIndexSql,
     "mm_pack_shards" -> mmPackShardsSql,
     "mm_decode_pipeline" -> mmDecodePipelineSql,
     "mm_frame_sample" -> mmFrameSampleSql,

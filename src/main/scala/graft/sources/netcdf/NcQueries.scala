@@ -36,7 +36,7 @@ object NcQueries {
     * keep per-invocation writes. Keyed by the scratch path, which
     * already embeds applicationId + sf dir. */
   private val stagedWrites = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private[netcdf] def stageOnce(out: String)(write: => Unit): Unit = {
+  private[graft] def stageOnce(out: String)(write: => Unit): Unit = {
     // computeIfAbsent serializes concurrent first-touches on the same
     // key: exactly one caller runs the write, later callers block
     // until it finishes — no double overwrite, no reader racing a

@@ -303,6 +303,12 @@ class Round12Spec extends AnyFunSuite {
     assert(out(3).getAs[String]("clean_fp") == fp("u v w p q r s t"))
   }
 
+  test("stream_wds_index equals the batch loader manifest row-for-row") {
+    val s0 = SparkEntry.queries("stream_wds_index")(spark, sf).collect().map(_.toString).sorted
+    val b0 = SparkEntry.queries("mm_wds_index")(spark, sf).collect().map(_.toString).sorted
+    assert(s0.toSeq == b0.toSeq)
+  }
+
   test("streaming median and unigram entropy match their batch twins") {
     for ((st, ba) <- Seq("stream_median" -> "q38_median",
       "stream_unigram_entropy" -> "text_unigram_entropy")) {
