@@ -28,7 +28,10 @@ object ShuffleAudit {
     "sketch_hll", "dedup_cdc", "grid_interpolate", "pipeline_keep_list",
     "dedup_substring_spans", "pipeline_dsir", "pipeline_nb_classifier",
     "dedup_ngram_topm", "pipeline_ccnet_buckets", "pipeline_span_removal",
-    "grid_convolve", "dedup_minhash_topm")
+    "grid_convolve", "dedup_minhash_topm",
+    // r12 session-2: the JS drift's one-corpus-pass + vocab-join claim
+    // and the zonal-stats chunk-aligned join — both must read ~linear
+    "text_js_drift", "grid_zonal_stats")
 
   /** `organic` mode: the rows the replica audit flags super-linear —
     * near-dup edge sets and posting lists, which clone-dense replicas

@@ -55,7 +55,11 @@ object SparkEntry {
       graft.operators.Bm25.queries ++
       graft.operators.HybridSearch.queries ++
       graft.operators.Novelty.queries ++
-      graft.operators.QualityEnsemble.queries
+      graft.operators.QualityEnsemble.queries ++
+      graft.operators.Drift.queries ++
+      graft.operators.EditDist.queries ++
+      graft.operators.BloomFpr.queries ++
+      graft.operators.Attrition.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -101,5 +105,9 @@ object SparkEntry {
       graft.operators.Bm25.oracles ++
       graft.operators.HybridSearch.oracles ++
       graft.operators.Novelty.oracles ++
-      graft.operators.QualityEnsemble.oracles
+      graft.operators.QualityEnsemble.oracles ++
+      graft.operators.Drift.oracles ++
+      graft.operators.EditDist.oracles ++
+      graft.operators.BloomFpr.oracles ++
+      graft.operators.Attrition.oracles
 }

@@ -27,9 +27,11 @@ object TextOps {
   private[graft] val stoplist = Seq("the", "a", "of", "and", "in", "to", "is", "on")
   private[graft] def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
-  /** Normalized text: lowercase, trimmed, whitespace collapsed. */
-  private val normExpr = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
-  private val normSqlDuck = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  /** Normalized text: lowercase, trimmed, whitespace collapsed.
+    * graft-visible so stage-composing operators (the attrition
+    * funnel) share the exact canonical form dedup_exact elects by. */
+  private[graft] val normExpr = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+  private[graft] val normSqlDuck = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   /** Whitespace + BPE-ish regex token counting. */
   def textTokenCount: Q = (s, dir) => {

@@ -856,7 +856,42 @@ object GridOps {
       |FROM t JOIN ext ON ext.variable = t.variable
       |GROUP BY t.variable""".stripMargin
 
+  /** ZONAL STATISTICS (r12 — the raster-analytics staple: aggregate a
+    * value grid by the CLASSES of a second, spatially-aligned grid —
+    * "mean temperature per land-cover class"): the zone grid here is
+    * the quantity variable bucketed to 8 classes, the value grid is
+    * extendedprice, and alignment is the chunk-keyed equi-join +
+    * zip_with device grid_elementwise established (both grids chunk
+    * the SAME index domain at the same size, so the join is
+    * co-partitioned by construction — no range shuffle, no fan-out).
+    * After the map-side zip/explode, the rollup partial-aggregates to
+    * ≤ 8 rows: per-zone count, cent-exact min/max, and a
+    * DECIMAL-exact sum — order-free, bit-identical cross-engine. */
+  def gridZonalStats: Q = (s, dir) => {
+    val zones = qtyGrid(s, dir)
+      .select(col("chunk_idx"), expr("transform(values, v -> CAST(v AS INT) % 8)").as("zs"))
+    val vals = tableToGrid(liOrdered(s, dir), orderCols,
+      col("l_extendedprice"), "l_extendedprice", CHUNK)
+      .select(col("chunk_idx"), col("values").as("vs"))
+    zones.join(vals, Seq("chunk_idx"))
+      .select(explode(expr("zip_with(zs, vs, (z, v) -> struct(z AS zone, v AS v))")).as("p"))
+      .select(col("p.zone").as("zone"), col("p.v").as("v"))
+      .groupBy("zone")
+      .agg(count(lit(1)).as("n"),
+        min(expr("CAST(CAST(v AS DECIMAL(9,2)) * 100 AS BIGINT)")).as("vmin_cents"),
+        max(expr("CAST(CAST(v AS DECIMAL(9,2)) * 100 AS BIGINT)")).as("vmax_cents"),
+        sum(expr("CAST(v AS DECIMAL(9,2))")).cast(DoubleType).as("vsum"))
+  }
+
+  val gridZonalStatsSql: String =
+    """SELECT CAST(l_quantity AS INT) % 8 AS zone, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(CAST(MIN(l_extendedprice) AS DECIMAL(9,2)) * 100 AS BIGINT) AS vmin_cents,
+      |  CAST(CAST(MAX(l_extendedprice) AS DECIMAL(9,2)) * 100 AS BIGINT) AS vmax_cents,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS vsum
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "grid_zonal_stats" -> gridZonalStats,
     "grid_convolve" -> gridConvolve,
     "grid_detrend" -> gridDetrend,
     "grid_argminmax" -> gridArgminmax,
@@ -880,6 +915,7 @@ object GridOps {
     "grid_stats" -> gridStats)
 
   val oracles: Map[String, String] = Map(
+    "grid_zonal_stats" -> gridZonalStatsSql,
     "grid_convolve" -> gridConvolveSql,
     "grid_detrend" -> gridDetrendSql,
     "grid_argminmax" -> gridArgminmaxSql,

@@ -13,21 +13,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * concurrent sessions never share (or clobber) artifacts. */
 object Staged {
 
-  private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val done = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** `coalesce=true` for metadata-sized artifacts (centroid tables,
     * codebooks — one tidy file); false for corpus-row-sized ones
-    * (signature tables) that should keep their natural partitioning. */
+    * (signature tables) that should keep their natural partitioning.
+    * computeIfAbsent serializes concurrent first-touches on the same
+    * key (the stageOnce device): exactly one caller runs the build,
+    * later callers block until the parquet is fully written — no
+    * double overwrite, no reader racing a half-replaced artifact. */
   def table(s: SparkSession, dir: String, tag: String, coalesce: Boolean = true)(
       build: => DataFrame): DataFrame = {
     val out = graft.sources.netcdf.NcQueries.scratch(s, dir, tag)
-    if (!done.contains(out)) {
+    done.computeIfAbsent(out, _ => {
       val df = build
       (if (coalesce) df.coalesce(1) else df)
         .write.mode("overwrite").parquet(out)
-      done.add(out)
-      ()
-    }
+      java.lang.Boolean.TRUE
+    })
     s.read.parquet(out)
   }
 }

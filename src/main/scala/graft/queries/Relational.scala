@@ -726,7 +726,51 @@ object Relational {
       |  median(l_quantity) AS median_qty
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** PARALLEL DECILE ASSIGNMENT (r12 — the customer-segmentation
+    * staple: "which spend decile is this account in?"): per-customer
+    * DECIMAL-exact spend from one orders partial agg, then ntile(10)
+    * windowed PER NATION — the partition key is what makes this a
+    * 100 TB plan: a global ORDER BY spend would sort the whole
+    * customer table in one task, while per-nation windows sort
+    * |customers|/25 each in parallel (and any higher-cardinality
+    * residency key slots in the same shape). Ties break on the
+    * deterministic (spend DESC, custkey) total order, and the output
+    * rolls up to the 25×10 segment grid — n_cust per cell differs by
+    * at most 1 per nation, the ntile law the spec pins. */
+  def q39Ntile: Q = (s, dir) => {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(12,2))")).as("spend"))
+    val byNation = Window.partitionBy("c_nationkey")
+      .orderBy(col("spend").desc, col("c_custkey"))
+    t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(spend, "c_custkey")
+      .withColumn("decile", ntile(10).over(byNation))
+      .groupBy("c_nationkey", "decile")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("spend")).cast("double").as("spend_sum"),
+        min(col("spend")).cast("double").as("spend_min"),
+        max(col("spend")).cast("double").as("spend_max"))
+  }
+
+  val q39Sql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+      |  FROM orders GROUP BY 1),
+      |d AS (
+      |  SELECT c.c_nationkey, c.c_custkey, s.spend,
+      |    ntile(10) OVER (PARTITION BY c.c_nationkey
+      |      ORDER BY s.spend DESC, c.c_custkey) AS decile
+      |  FROM spend s JOIN customer c USING (c_custkey))
+      |SELECT c_nationkey, decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |  CAST(SUM(spend) AS DOUBLE) AS spend_sum,
+      |  CAST(MIN(spend) AS DOUBLE) AS spend_min,
+      |  CAST(MAX(spend) AS DOUBLE) AS spend_max
+      |FROM d GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q39_ntile" -> q39Ntile,
     "q38_median" -> q38Median,
     "q37_mode" -> q37Mode,
     "q33_retention" -> q33Retention,
@@ -760,6 +804,7 @@ object Relational {
     "q31_null_safe_join" -> q31NullSafeJoin)
 
   val oracles: Map[String, String] = Map(
+    "q39_ntile" -> q39Sql,
     "q38_median" -> q38Sql,
     "q37_mode" -> q37Sql,
     "q33_retention" -> q33Sql,
