@@ -59,7 +59,8 @@ object SparkEntry {
       graft.operators.Drift.queries ++
       graft.operators.EditDist.queries ++
       graft.operators.BloomFpr.queries ++
-      graft.operators.Attrition.queries
+      graft.operators.Attrition.queries ++
+      graft.operators.CorpusStats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -109,5 +110,6 @@ object SparkEntry {
       graft.operators.Drift.oracles ++
       graft.operators.EditDist.oracles ++
       graft.operators.BloomFpr.oracles ++
-      graft.operators.Attrition.oracles
+      graft.operators.Attrition.oracles ++
+      graft.operators.CorpusStats.oracles
 }

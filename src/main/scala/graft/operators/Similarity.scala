@@ -1493,7 +1493,114 @@ object Similarity {
        |  CAST(1000000 * t.n_top // tt.n_vecs AS BIGINT) AS purity_ppm
        |FROM top t JOIN totals tt USING (cell) WHERE t.rn = 1""".stripMargin
 
+  /** CENTROID DRIFT (r12b — the index-MAINTENANCE instrument: an IVF
+    * deployment ingests new vectors against a frozen quantizer and
+    * must know when to retrain; the standard trigger is the centroid
+    * shift one more Lloyd round would apply): assigns the corpus to
+    * the SESSION-STAGED quantizer (the same broadcast min_by partial
+    * agg every IVF consumer uses), recomputes per-cell DECIMAL-exact
+    * means, and reports per cell the squared L2 drift between the
+    * staged centroid and its one-round update, plus the cell's
+    * population. Drift sums run dim-ordered in both engines (Spark
+    * `aggregate` over zip_with vs DuckDB list_sum of list_transform —
+    * identical IEEE order), so the rounded values gate bit-for-bit.
+    * Scale shape: one corpus assignment pass (broadcast centroids),
+    * one (cell, dim) partial agg — NCENTS·DIMS rows out — and a
+    * NCENTS-row join; nothing corpus-sized shuffles twice. */
+  def simCentroidShift: Q = (s, dir) => {
+    val cents = centroids(s, dir)
+    val nxt = nearestCell(withVec(t(s, dir, "embeddings")), cents)
+      .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cent_id", "pos")
+      .agg((sum(col("x").cast(DecimalType(27, 12))).cast(DoubleType) / count(lit(1))).as("m"),
+        count(lit(1)).as("nv"))
+      .groupBy("cent_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("nxt_cv"),
+        max(col("nv")).as("n_vecs"))
+    nxt.join(cents.select(col("cent_id"), col("cv")), "cent_id")
+      .select(col("cent_id").cast(LongType).as("cent_id"), col("n_vecs"),
+        round(expr(
+          "aggregate(zip_with(nxt_cv, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"),
+          9).as("drift_sq"))
+  }
+
+  val simCentroidShiftSql: String =
+    s"""WITH ${ivfPrefixSql},
+       |nm AS (
+       |  SELECT cent_id, pos,
+       |    CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE)
+       |      / COUNT(*) AS m,
+       |    CAST(COUNT(*) AS BIGINT) AS nv
+       |  FROM (SELECT cent_id, embedding FROM assign WHERE crn = 1)
+       |    CROSS JOIN generate_series(1, $DIMS) t(pos)
+       |  GROUP BY cent_id, pos),
+       |nxt AS (
+       |  SELECT cent_id, list(m ORDER BY pos) AS nxt_cv, MAX(nv) AS n_vecs
+       |  FROM nm GROUP BY cent_id)
+       |SELECT CAST(n.cent_id AS BIGINT) AS cent_id, n.n_vecs,
+       |  round(list_sum(list_transform(generate_series(1, $DIMS),
+       |    i -> (n.nxt_cv[i] - c.cv[i]) * (n.nxt_cv[i] - c.cv[i]))), 9) AS drift_sq
+       |FROM nxt n JOIN c$KMEANS_ITERS c USING (cent_id)""".stripMargin
+
+  /** SEMANTIC-DEDUP THRESHOLD SWEEP (r12b — the SemDeDup tuning curve:
+    * Abbas et al. 2023 sweep the cosine cut and read off how much of
+    * the corpus a given aggressiveness removes; this is that table
+    * from ONE bounded k-NN graph instead of nine): undirected unique
+    * edges from the banded [[simKnnGraph]], each threshold keeps
+    * edges by an EXACT integer compare (cos quantized to 1e-6 once —
+    * a float `>= 0.3` would hinge on the unrepresentable literal),
+    * and per threshold the report is kept-pair count, distinct
+    * covered vectors, and covered fraction in ppm. The 9-row
+    * threshold table cross-joins the edge set — a bounded ×9 fan-out
+    * of an O(n·k) table, never of the corpus. */
+  def simDedupSweep: Q = (s, dir) => {
+    val und = simKnnGraph(s, dir)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("cos_sim"))
+      .groupBy("a", "b")
+      .agg(expr("CAST(round(MAX(cos_sim) * 1e6) AS BIGINT)").as("cs6"))
+    val taus = s.range(1, 10).select((col("id") * 100000L).as("tau_ppm"))
+    val kept = und.crossJoin(broadcast(taus)).filter(col("cs6") >= col("tau_ppm"))
+    val pairs = kept.groupBy("tau_ppm").agg(count(lit(1)).as("n_pairs"))
+    val cov = kept.select(col("tau_ppm"), explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("tau_ppm").agg(countDistinct(col("v")).as("n_docs"))
+    taus.join(pairs, Seq("tau_ppm"), "left").join(cov, Seq("tau_ppm"), "left")
+      .crossJoin(broadcast(t(s, dir, "embeddings").agg(count(lit(1)).as("n_total"))))
+      .select(col("tau_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        expr("(1000000 * coalesce(n_docs, 0)) DIV n_total").as("dup_frac_ppm"))
+  }
+
+  val simDedupSweepSql: String =
+    s"""WITH knn AS (
+       |$simKnnGraphSql
+       |),
+       |und AS (
+       |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+       |    CAST(round(MAX(cos_sim) * 1e6) AS BIGINT) AS cs6
+       |  FROM knn GROUP BY 1, 2),
+       |taus AS (SELECT CAST(i * 100000 AS BIGINT) AS tau_ppm
+       |         FROM generate_series(1, 9) t(i)),
+       |kept AS (SELECT taus.tau_ppm, und.a, und.b
+       |         FROM und CROSS JOIN taus WHERE und.cs6 >= taus.tau_ppm),
+       |pairs AS (SELECT tau_ppm, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |          FROM kept GROUP BY tau_ppm),
+       |cov AS (
+       |  SELECT tau_ppm, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_docs
+       |  FROM (SELECT tau_ppm, unnest([a, b]) AS v FROM kept)
+       |  GROUP BY tau_ppm),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM embeddings)
+       |SELECT taus.tau_ppm,
+       |  CAST(COALESCE(pairs.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE(cov.n_docs, 0) AS BIGINT) AS n_docs,
+       |  (1000000 * COALESCE(cov.n_docs, 0)) // nt.n_total AS dup_frac_ppm
+       |FROM taus LEFT JOIN pairs USING (tau_ppm) LEFT JOIN cov USING (tau_ppm)
+       |CROSS JOIN nt""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sim_centroid_shift" -> simCentroidShift,
+    "sim_dedup_sweep" -> simDedupSweep,
     "sim_centroid_purity" -> simCentroidPurity,
     "sim_label_knn" -> simLabelKnn,
     "sim_range_search" -> simRangeSearch,
@@ -1517,6 +1624,8 @@ object Similarity {
     "dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
+    "sim_centroid_shift" -> simCentroidShiftSql,
+    "sim_dedup_sweep" -> simDedupSweepSql,
     "sim_centroid_purity" -> simCentroidPuritySql,
     "sim_label_knn" -> simLabelKnnSql,
     "sim_range_search" -> simRangeSearchSql,

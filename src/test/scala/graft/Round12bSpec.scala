@@ -162,6 +162,69 @@ class Round12bSpec extends AnyFunSuite {
     assert(total == Tables.t(spark, sf, "documents").count())
   }
 
+  // -----------------------------------------------------------------
+  // sim_centroid_shift
+  // -----------------------------------------------------------------
+
+  test("sim_centroid_shift: drift non-negative, populations cover corpus") {
+    val rows = operators.Similarity.simCentroidShift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("drift_sq") >= 0.0)
+      assert(r.getAs[Long]("n_vecs") > 0L)
+    }
+    val covered = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(covered == Tables.t(spark, sf, "embeddings").count())
+  }
+
+  // -----------------------------------------------------------------
+  // sim_dedup_sweep
+  // -----------------------------------------------------------------
+
+  test("sim_dedup_sweep: kept pairs and coverage are monotone in the cut") {
+    val rows = operators.Similarity.simDedupSweep(spark, sf)
+      .orderBy("tau_ppm").collect()
+    assert(rows.length == 9)
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Long]("n_pairs") >= hi.getAs[Long]("n_pairs"))
+        assert(lo.getAs[Long]("n_docs") >= hi.getAs[Long]("n_docs"))
+      case _ =>
+    }
+  }
+
+  // -----------------------------------------------------------------
+  // text_hapax_ratio / pipeline_length_histogram
+  // -----------------------------------------------------------------
+
+  test("text_hapax_ratio: hapaxes bounded by vocabulary") {
+    val rows = operators.CorpusStats.textHapaxRatio(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("vocab")
+      val h = r.getAs[Long]("n_hapax")
+      assert(h >= 0L && h <= v)
+      assert(r.getAs[Long]("hapax_ppm") == 1000000L * h / v)
+    }
+  }
+
+  test("pipeline_length_histogram: buckets are exact binary magnitudes") {
+    val hist = operators.CorpusStats.pipelineLengthHistogram(spark, sf)
+    assert(hist.agg(sum("n_docs")).head().getLong(0) ==
+      Tables.t(spark, sf, "documents").count())
+    // every bucket b must satisfy 2^b <= any contained n < 2^(b+1):
+    // recompute doc lengths directly and check the bucket arithmetic
+    val direct = Tables.t(spark, sf, "documents")
+      .select(expr("CAST(size(filter(split(lower(text), ' '), w -> w != '')) AS BIGINT)").as("n"))
+      .filter(col("n") > 0)
+      .select(col("n"), expr("CAST(length(bin(n)) - 1 AS INT)").as("bucket"))
+      .collect()
+    direct.foreach { r =>
+      val n = r.getAs[Long]("n"); val b = r.getAs[Int]("bucket")
+      assert((1L << b) <= n && n < (1L << (b + 1)), s"n=$n bucket=$b")
+    }
+  }
+
   test("pipeline_dedup_attrition: exact-stage kills match dedup_exact") {
     val kills = operators.Attrition.pipelineDedupAttrition(spark, sf)
       .agg(sum("kill_exact")).head().getLong(0)
