@@ -472,6 +472,32 @@ object Streams {
     graft.queries.Relational.medianFromHist(s.table("graft_stream_med"))
   }
 
+  /** STREAMING length-distribution maintenance (r12b — the ingest
+    * monitor for `pipeline_length_histogram`: a packing stage sizes
+    * its bins from the length distribution, and an ingest stream
+    * keeps that distribution CURRENT instead of re-scanning): the
+    * running state IS the (source, log2-bucket) histogram — bounded
+    * at sources × 64 rows for ANY stream length — maintained as a
+    * complete-mode aggregate over the same bit-exact
+    * length(bin(n))−1 bucket arithmetic; output and oracle shared
+    * verbatim with the batch key. */
+  def streamLengthHistogram: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    StreamStage.withStaged(s, "slhist", dir, "documents.parquet") { stageDir =>
+      val hist = s.readStream.schema(sch).parquet(stageDir)
+        .select(col("source"),
+          expr("CAST(size(filter(split(lower(text), ' '), w -> w != '')) AS BIGINT)").as("n"))
+        .withColumn("bucket",
+          expr("CASE WHEN n = 0 THEN -1 ELSE CAST(length(bin(n)) - 1 AS INT) END"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+      val q = hist.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_lhist").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table("graft_stream_lhist")
+  }
+
   /** STREAMING corpus unigram entropy (r12): running state = the
     * per-(source, word) count table — vocabulary-sized, sub-linear in
     * corpus length (the stream_topterms bound argument) — maintained
@@ -501,6 +527,7 @@ object Streams {
 
   val queries: Map[String, Q] = Map(
     "stream_median" -> streamMedian,
+    "stream_length_histogram" -> streamLengthHistogram,
     "stream_unigram_entropy" -> streamUnigramEntropy,
     "stream_redact" -> streamRedact,
     "stream_langid" -> streamLangid,
@@ -518,6 +545,7 @@ object Streams {
 
   val oracles: Map[String, String] = Map(
     "stream_median" -> graft.queries.Relational.q38Sql,
+    "stream_length_histogram" -> graft.operators.CorpusStats.pipelineLengthHistogramSql,
     "stream_unigram_entropy" -> graft.operators.Novelty.textUnigramEntropySql,
     // identical output to the batch scrub/score/fingerprint passes
     "stream_redact" -> graft.functions.TextOps.textRedactSql,
