@@ -307,4 +307,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       "centroid join not broadcast")
   }
+
+  test("JS drift broadcasts its totals and keeps partial aggregation") {
+    // the (source, word) count pass must partial-agg map-side, the
+    // vocab-sized totals and metadata-sized masses must broadcast —
+    // a sort-merge join here would shuffle the corpus twice
+    val p = planOf("text_js_drift")
+    assert(p.contains("partial_"), "word-count pass lost partial aggregation")
+    assert(p.contains("BroadcastHashJoin"), "totals/mass joins not broadcast")
+    assert(!p.contains("Window"), "drift must not plan any window")
+  }
+
+  test("attrition funnel elects canonicals with partial aggs, no windows") {
+    val p = planOf("pipeline_dedup_attrition")
+    assert(!p.contains("Window"),
+      s"stage elections must be min() partial aggs, not windows:\n${p.take(600)}")
+    assert(p.contains("partial_min"), "canonical election lost partial agg")
+  }
+
+  test("zonal stats joins chunk-aligned grids and aggregates partially") {
+    val p = planOf("grid_zonal_stats")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      "zonal alignment must reuse the chunk key, not a range shuffle")
+    assert(p.contains("partial_"), "zone rollup lost partial aggregation")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ntile windows partition by nation, never globally") {
+    val p = planOf("q39_ntile")
+    assert(!p.contains("SinglePartition"),
+      s"decile window plans a global single-partition sort:\n${p.take(600)}")
+    assert(p.contains("c_nationkey"), "window lost its nation partitioning")
+  }
+
+  test("bloom FPR keeps the bit array broadcast-joined") {
+    // the position set is m-bounded (<=65536 rows) — the probe-side
+    // membership check must be a broadcast, never a shuffle of probes
+    val p = planOf("sketch_bloom_fpr")
+    assert(p.contains("BroadcastHashJoin"), "bit-array join not broadcast")
+  }
 }
