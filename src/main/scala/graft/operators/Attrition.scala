@@ -40,6 +40,7 @@ object Attrition {
     val st1 = fp.join(keepExact, "fp")
       .select(col("doc_id"), col("source"),
         (col("doc_id") =!= col("keep_id")).as("killed_exact"))
+      .cache() // feeds both the per-source rollup and the survivor branch
     val surv = st1.filter(!col("killed_exact"))
       .join(DedupClusters.dedupClusters(s, dir).select("doc_id", "canonical_id"), "doc_id")
     val clusterKeep = surv.groupBy("canonical_id").agg(min(col("doc_id")).as("ck"))

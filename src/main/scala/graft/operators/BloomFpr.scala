@@ -63,11 +63,14 @@ object BloomFpr {
     val docs = t(s, dir, "documents")
     val build = docs.filter(col("doc_id") % 2 === 0)
       .select(md5(col("text")).as("fp")).distinct()
-    val bits = positions(build).select("pos").distinct() // the bit array, ≤ M rows
+      .cache() // feeds the bit array, the anti-join, and its own count
+    val bits = positions(build).select("pos").distinct()
+      .cache() // the bit array (≤ M rows): probe join + fill count
     // true negatives only: probe fps absent from the build split
     val probe = docs.filter(col("doc_id") % 2 === 1)
       .select(md5(col("text")).as("fp")).distinct()
       .join(build, Seq("fp"), "left_anti")
+      .cache() // feeds the hit scan and its own count
     val hits = positions(probe)
       .join(broadcast(bits), Seq("pos"), "left_semi")
       .groupBy("fp").agg(count(lit(1)).as("set_k"))

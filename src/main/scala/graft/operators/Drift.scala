@@ -41,10 +41,14 @@ object Drift {
   private val QLN2 = 693147L // round(1e6 · ln 2)
 
   def textJsDrift: Q = (s, dir) => {
+    // the vocab-sized count table feeds FOUR plan branches (totals,
+    // masses, grand total, and the term join) — cache it or the
+    // corpus explode recomputes once per branch
     val c1 = t(s, dir, "documents")
       .select(col("source"),
         explode(expr("filter(split(lower(text), ' '), w -> w != '')")).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c1"))
+      .cache()
     val tot = c1.groupBy("w").agg(sum(col("c1")).as("tw"))
     val n1 = c1.groupBy("source").agg(sum(col("c1")).as("n1"))
     val nt = c1.agg(sum(col("c1")).as("ntot"))

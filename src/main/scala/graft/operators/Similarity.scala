@@ -1559,6 +1559,7 @@ object Similarity {
         greatest(col("src"), col("dst")).as("b"), col("cos_sim"))
       .groupBy("a", "b")
       .agg(expr("CAST(round(MAX(cos_sim) * 1e6) AS BIGINT)").as("cs6"))
+      .cache() // the banded k-NN graph feeds both the pair and coverage branches
     val taus = s.range(1, 10).select((col("id") * 100000L).as("tau_ppm"))
     val kept = und.crossJoin(broadcast(taus)).filter(col("cs6") >= col("tau_ppm"))
     val pairs = kept.groupBy("tau_ppm").agg(count(lit(1)).as("n_pairs"))
