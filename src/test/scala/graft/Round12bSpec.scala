@@ -25,27 +25,48 @@ class Round12bSpec extends AnyFunSuite {
     }
   }
 
-  test("text_js_drift: identical distributions give ~zero divergence") {
-    // two sources with the SAME word multiset → P = Q → JSD = 0
-    val docs = Seq((1L, "a b c a", "s1"), (2L, "a b c a", "s2"))
-      .toDF("doc_id", "text", "source")
-    docs.createOrReplaceTempView("__jsd_same")
-    // reuse the operator body via a temp swap: drift reads `documents`
-    // through Tables.t, so exercise the formula directly instead
-    val c1 = docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .groupBy("source", "w").agg(count(lit(1)).as("c1"))
-    assert(c1.count() == 6) // 3 words × 2 sources
-    // closed form: c1 = c2 and N1 = N2 for every word → p = q = m
-    // → every quantized term is exactly qln2 + qln(x) − qln(2x) ≈ 0
+  /** Stage a tiny documents.parquet in a temp dir so the operator
+    * itself (not a re-derivation of its formula) runs on a corpus
+    * with a KNOWN closed-form answer. */
+  private def stagedCorpus(tag: String, docs: Seq[(Long, String, String)]): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_jsd_$tag"
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
   }
 
-  test("text_js_drift: a disjoint-vocabulary source reads ~ln 2") {
-    // P and Q share no words → JSD = ln 2 exactly
-    val drift = operators.Drift.textJsDrift(spark, sf)
-    // the real corpus shares vocabulary across sources, so all rows
-    // must be STRICTLY below ln2
-    drift.collect().foreach { r =>
-      assert(r.getAs[Long]("jsd_unats") < 693147L)
+  test("text_js_drift: identical distributions give exactly zero divergence") {
+    // two sources with the SAME word multiset → P = Q = M → JSD = 0,
+    // and the quantization is exact here: every term is
+    // qln2 + qln(x) − qln(2x), whose micro-nat rounding errors cancel
+    // to at most 1 unat per side
+    val dir = stagedCorpus("same", Seq(
+      (1L, "a b c a", "s1"), (2L, "a b c a", "s2")))
+    operators.Drift.textJsDrift(spark, dir).collect().foreach { r =>
+      assert(math.abs(r.getAs[Long]("jsd_unats")) <= 1L,
+        s"identical distributions must read ~0: $r")
+    }
+  }
+
+  test("text_js_drift: disjoint vocabularies read exactly ln 2") {
+    // P and Q share no words → every present word has c2 = 0 (term
+    // ln2 per unit mass) and every absent word rides the closed-form
+    // ln2 mass → JSD = ln 2 to quantization
+    val dir = stagedCorpus("disj", Seq(
+      (1L, "a b c a", "s1"), (2L, "x y z w", "s2")))
+    val rows = operators.Drift.textJsDrift(spark, dir).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Long]("jsd_unats") - 693147L) <= 1L,
+        s"disjoint distributions must read ln2: $r")
+    }
+  }
+
+  test("text_js_drift: real corpus rows sit strictly inside (0, ln 2)") {
+    operators.Drift.textJsDrift(spark, sf).collect().foreach { r =>
+      val jsd = r.getAs[Long]("jsd_unats")
+      assert(jsd > 0L && jsd < 693147L)
     }
   }
 
