@@ -72,7 +72,11 @@ object BenchSf1 {
     // r12: the two r11 in-bench wall-time outliers — the 100× probe
     // and the byte-level audit are exactly the evidence that should
     // exonerate (or convict) the halo exchange
-    "grid_convolve")
+    "grid_convolve",
+    // r12b: the corpus-vs-rest divergence — its shuffle is vocab-
+    // bounded (3.05× bytes at 10× input), so the 100× wall should
+    // stay far sublinear too
+    "text_js_drift")
 
   /** Wide replication for the 100× probe: one crossJoin against a
     * replica range instead of a 100-child union (same values — keys
