@@ -563,16 +563,34 @@ object Similarity {
     * is [[dedupSemantic]]): every vector's prototypicality is its
     * cosine to its assigned cluster centroid (the same staged
     * DECIMAL-Lloyd quantizer the IVF family gates), and within each
-    * cell the TOP QUARTER by (round(cos,9) DESC, vec_id) is pruned.
+    * cell the TOP QUARTER by (round(cos,6) DESC, vec_id) is pruned.
     * Output is the per-vector curation ledger (cell, prototypicality,
-    * in-cell rank, cell size, keep flag).
+    * cell size, keep flag).
     *
-    * Scale shape: assignment is the broadcast-centroids `min_by`
-    * partial aggregate (one row per vector to the shuffle, the score
-    * riding in the struct); the only window partitions by CELL —
-    * bounded at corpus/NCENTS members, and NCENTS grows with the
-    * corpus exactly as in the IVF keys — so no global sort and no
-    * unbounded partition anywhere. */
+    * Scale shape (r13 — the r12 verdict's #1 plan fix): the top-quarter
+    * cut is a per-cell QUANTILE, so it computes from a per-cell VALUE
+    * HISTOGRAM of the 6-digit-rounded cosine (the `q38_median` device)
+    * — never a `row_number` sort of a whole cell. At fixed NCENTS a
+    * cell grows linearly with the corpus, so the r12 per-cell window
+    * meant one reducer sorting a ~TB partition at 100 TB; the histogram
+    * is bounded at 2·10⁶+1 rows per cell (every possible 6-digit cosine
+    * in [-1,1]) NO MATTER how big the cell gets. Pipeline:
+    *   1. assignment — broadcast-centroids `min_by` partial aggregate
+    *      (one row per vector to the shuffle);
+    *   2. histogram — groupBy(cell, p6) partial-agg count;
+    *   3. cut row — cumulative walk over the BOUNDED per-cell histogram
+    *      finds the one value where the k = n div 4 threshold falls,
+    *      and how many of that value's ties are pruned; one row per
+    *      cell, broadcast back;
+    *   4. classify — map-side: p6 above the cut ⇒ pruned, below ⇒
+    *      kept; ONLY the rows exactly AT the cut value need a vec_id
+    *      rank, and that window partitions over the tie set at a single
+    *      6-digit cosine within one cell — ties there mean bit-near-
+    *      identical vectors, which upstream exact/semantic dedup keeps
+    *      rare, so the partition is degeneracy-bounded, not corpus-
+    *      bounded.
+    * Keep rule (both engines): rank by (round(pcos,6) DESC, vec_id),
+    * prune rank ≤ n_cell div 4. */
   def pipelineProtoPrune: Q = (s, dir) => {
     val emb = withVec(t(s, dir, "embeddings"))
     val cents = centroids(s, dir)
@@ -581,15 +599,35 @@ object Similarity {
       .agg(min_by(struct(col("cent_id"), col("ccos")),
         struct(-round(col("ccos"), 9), col("cent_id"))).as("best"))
       .select(col("vec_id"), col("best.cent_id").as("cell"),
-        round(col("best.ccos"), 9).as("pcos"))
-    val byCell = Window.partitionBy("cell")
-    assigned
-      .withColumn("proto_rank",
-        row_number().over(byCell.orderBy(col("pcos").desc, col("vec_id"))).cast(LongType))
-      .withColumn("n_cell", count(lit(1)).over(byCell).cast(LongType))
-      .select(col("vec_id"), col("cell"), round(col("pcos"), 6).as("proto_cos"),
-        col("proto_rank"), col("n_cell"),
-        (col("proto_rank") > expr("n_cell div 4")).as("keep"))
+        round(round(col("best.ccos"), 9), 6).as("p6"))
+      .cache() // feeds the histogram AND the final classify pass
+    val hist = assigned.groupBy("cell", "p6").agg(count(lit(1)).as("c"))
+    val byCellDesc = Window.partitionBy("cell").orderBy(col("p6").desc)
+    // the unique histogram row where rank k = n div 4 falls (absent
+    // when k = 0): rows strictly above it are all pruned, rows below
+    // all kept, and prune_at_cut of its ties (by vec_id asc) prune
+    val cut = hist
+      .withColumn("cum", sum("c").over(
+        byCellDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_cell", sum("c").over(Window.partitionBy("cell")))
+      .withColumn("k", expr("n_cell div 4"))
+      .filter(col("cum") - col("c") < col("k") && col("k") <= col("cum"))
+      .select(col("cell"), col("p6").as("cut_p6"),
+        (col("k") - (col("cum") - col("c"))).as("prune_at_cut"))
+    val cellN = hist.groupBy("cell").agg(sum("c").cast(LongType).as("n_cell"))
+    val joined = assigned
+      .join(broadcast(cellN), "cell")
+      .join(broadcast(cut), Seq("cell"), "left")
+    val offCut = joined.filter(col("cut_p6").isNull || col("p6") =!= col("cut_p6"))
+      .withColumn("keep", col("cut_p6").isNull || col("p6") < col("cut_p6"))
+    val atCut = joined.filter(col("cut_p6").isNotNull && col("p6") === col("cut_p6"))
+      .withColumn("tie_rn", row_number().over(
+        Window.partitionBy("cell").orderBy("vec_id")))
+      .withColumn("keep", col("tie_rn") > col("prune_at_cut"))
+      .drop("tie_rn")
+    offCut.unionByName(atCut)
+      .select(col("vec_id"), col("cell"), col("p6").as("proto_cos"),
+        col("n_cell"), col("keep"))
   }
 
   val pipelineProtoPruneSql: String =
@@ -597,15 +635,15 @@ object Similarity {
        |cellsp AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM assign WHERE crn = 1),
        |pc AS (
        |  SELECT c.vec_id, c.cell,
-       |    round(list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(c.embedding[i] AS DOUBLE) * ct.cv[i])) / (c.nrm * ct.cn), 9) AS pcos
+       |    round(round(list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(c.embedding[i] AS DOUBLE) * ct.cv[i])) / (c.nrm * ct.cn), 9), 6) AS p6
        |  FROM cellsp c JOIN c$KMEANS_ITERS ct ON ct.cent_id = c.cell),
        |rk AS (
-       |  SELECT vec_id, cell, pcos,
-       |    row_number() OVER (PARTITION BY cell ORDER BY pcos DESC, vec_id) AS proto_rank,
+       |  SELECT vec_id, cell, p6,
+       |    row_number() OVER (PARTITION BY cell ORDER BY p6 DESC, vec_id) AS proto_rank,
        |    COUNT(*) OVER (PARTITION BY cell) AS n_cell
        |  FROM pc)
-       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, round(pcos, 6) AS proto_cos,
-       |  CAST(proto_rank AS BIGINT) AS proto_rank, CAST(n_cell AS BIGINT) AS n_cell,
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, p6 AS proto_cos,
+       |  CAST(n_cell AS BIGINT) AS n_cell,
        |  proto_rank > n_cell // 4 AS keep
        |FROM rk""".stripMargin
 

@@ -340,6 +340,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("c_nationkey"), "window lost its nation partitioning")
   }
 
+  test("proto-prune windows only over histograms or cut-value ties, never a raw cell") {
+    // r13 (r12 verdict #1): the top-quarter cut must come from the
+    // per-cell value histogram of round(pcos,6) — a window whose input
+    // is the UNAGGREGATED assignment would sort corpus/NCENTS rows in
+    // one reducer at 100 TB. Every Window's subtree must therefore
+    // contain either the (cell, p6) histogram partial aggregate or the
+    // cut-equality tie filter (whose partition is tie-bounded).
+    // collect on sparkPlan: executedPlan is an opaque AdaptiveSparkPlanExec
+    val qe = SparkEntry.queries("pipeline_proto_prune")(spark, sf).queryExecution
+    val windows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the histogram walk + tie windows")
+    windows.foreach { w =>
+      val sub = w.child.toString
+      assert(sub.contains("partial_count") || sub.contains("cut_p6"),
+        s"window input is neither a histogram nor the tie set:\n${sub.take(600)}")
+    }
+    assert(qe.executedPlan.toString.contains("BroadcastHashJoin"),
+      "per-cell cut/size tables must broadcast back to the corpus")
+  }
+
   test("bloom FPR keeps the bit array broadcast-joined") {
     // the position set is m-bounded (<=65536 rows) — the probe-side
     // membership check must be a broadcast, never a shuffle of probes

@@ -171,23 +171,21 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
-  test("proto pruning: top quarter per cell pruned, ranks dense, prototypes first") {
+  test("proto pruning: top quarter per cell pruned under the (cos desc, vec_id) order") {
+    // r13: the histogram-threshold rewrite dropped proto_rank from the
+    // ledger, so the keep law is re-derived here from first principles:
+    // sorting each cell by (proto_cos DESC, vec_id) must put exactly
+    // the first floor(n/4) rows in the pruned set.
     val rows = SparkEntry.queries("pipeline_proto_prune")(spark, sf).collect()
     assert(rows.nonEmpty)
     val byCell = rows.groupBy(_.getAs[Long]("cell"))
     byCell.foreach { case (cell, rs) =>
       val n = rs.head.getAs[Long]("n_cell")
       assert(rs.length == n, s"cell $cell: n_cell $n != ${rs.length}")
-      assert(rs.map(_.getAs[Long]("proto_rank")).sorted.toSeq == (1L to n), s"cell $cell ranks")
-      // exactly floor(n/4) pruned, and they are the TOP-ranked (most prototypical)
-      val pruned = rs.filter(!_.getAs[Boolean]("keep"))
-      assert(pruned.length == n / 4, s"cell $cell prunes ${pruned.length} != ${n / 4}")
-      assert(pruned.forall(_.getAs[Long]("proto_rank") <= n / 4), s"cell $cell pruned ranks")
-      // prototypicality is non-increasing in rank
-      val sorted = rs.sortBy(_.getAs[Long]("proto_rank"))
-      sorted.sliding(2).foreach { case Array(a, b) =>
-        assert(a.getAs[Double]("proto_cos") >= b.getAs[Double]("proto_cos"), s"cell $cell order")
-      }
+      val sorted = rs.sortBy(r => (-r.getAs[Double]("proto_cos"), r.getAs[Long]("vec_id")))
+      val (top, rest) = sorted.splitAt((n / 4).toInt)
+      assert(top.forall(!_.getAs[Boolean]("keep")), s"cell $cell: a top-quarter row kept")
+      assert(rest.forall(_.getAs[Boolean]("keep")), s"cell $cell: a below-cut row pruned")
     }
   }
 
