@@ -105,12 +105,16 @@ object BloomFpr {
        |    // GREATEST((SELECT COUNT(*) FROM probe), 1) AS fpr_ppm,
        |  (1000000 * (SELECT COUNT(*) FROM bits)) // $M AS fill_ppm""".stripMargin
 
-  def streamBloomDedup: Q = (s, dir) => {
-    // offline artifacts: historical fingerprints + their Bloom sketch
-    val hist = Staged.table(s, dir, "bloom_hist") {
+  // offline artifacts: historical fingerprints + their Bloom sketch
+  private def stagedHist(s: SparkSession, dir: String): DataFrame =
+    Staged.table(s, dir, "bloom_hist") {
       t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
         .select(md5(col("text")).as("fp")).distinct()
     }
+  Staged.register("bloom_hist")((s, dir) => { stagedHist(s, dir); () })
+
+  def streamBloomDedup: Q = (s, dir) => {
+    val hist = stagedHist(s, dir)
     val bloom = BloomKeep.buildBloom(hist, "fp", estimatedItems = 1000000L)
     val sch = s.read.parquet(s"$dir/documents.parquet").schema
     StreamStage.withStaged(s, "sbld", dir, "documents.parquet") { stageDir =>

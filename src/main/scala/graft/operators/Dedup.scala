@@ -112,6 +112,7 @@ object Dedup {
     * call per (session, dir) runs the full shingle → band → verify
     * pipeline and stages the (small) pair table to parquet; every
     * consumer — including the pair query itself — reads that. */
+  Staged.register("lsh_pairs")((s, dir) => { minhashPairs(s, dir); () })
   private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Staged.table(s, dir, "lsh_pairs") {
       // the shingle set feeds 4 plan branches (signatures, both sides
@@ -126,6 +127,7 @@ object Dedup {
     * maintains at ingest. Computed once per (session, dir); the
     * incremental batch/stream twins band the staged index instead of
     * re-hashing the whole corpus per query. */
+  Staged.register("mh_sigs")((s, dir) => { minhashSigs(s, dir); () })
   private[operators] def minhashSigs(s: SparkSession, dir: String): DataFrame =
     Staged.table(s, dir, "mh_sigs", coalesce = false) {
       val sigAggs = (0 until H).map(i =>
@@ -260,6 +262,7 @@ object Dedup {
   /** Session-staged exhaustive ground truth (r8): the J ≥ 0.4 truth
     * pair set both banding evaluators probe — an evaluation dataset a
     * real pipeline computes once, not per metric refresh. */
+  Staged.register("truth_pairs")((s, dir) => { truthPairsStaged(s, dir); () })
   private def truthPairsStaged(s: SparkSession, dir: String): DataFrame =
     Staged.table(s, dir, "truth_pairs") {
       truthPairs(cappedShingles(t(s, dir, "documents"), 3).cache())

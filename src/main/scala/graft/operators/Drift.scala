@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   *   p/m = 2·c1·N2 / (c1·N2 + c2·N1)      (p = c1/N1, q = c2/N2,
   *   q/m = 2·c2·N1 / (c1·N2 + c2·N1)       m = (p+q)/2)
   *
-  * so ln(p/m) = ln2 + ln(c1·N2) − ln(c1·N2 + c2·N1), each ln
-  * quantized per row to integer micro-nats (round(1e6·ln k) of a
-  * BIGINT k — the house 1e-6-grid posture), term sums carried as
+  * so ln(p/m) = ln2 + ln(c1·N2) − ln(c1·N2 + c2·N1), each term
+  * quantized per row to integer micro-nats AFTER the count multiply
+  * (round(1e6·c·ln k) — a libm last-ulp flip costs ≤1 unat per row
+  * instead of c unats), term sums carried as
   * DECIMAL(38,0) (a raw double Σ would lose low bits past 2^53), and
   * only the final N1/N2 normalization runs in (exactly-converted)
   * doubles. Words ABSENT from the source (p = 0) contribute exactly
@@ -58,14 +59,21 @@ object Drift {
       .select(col("source"), col("c1"), (col("tw") - col("c1")).as("c2"),
         col("n1"), (col("ntot") - col("n1")).as("n2"))
       .filter(col("n2") > 0) // drift vs an empty rest is undefined
+    // r13 (r12 ADVICE): quantize AFTER the c1/c2 multiply — round(1e6·
+    // c·ln(…)) instead of c·round(1e6·ln(…)) — so a last-ulp libm
+    // difference at a .5 boundary flips at most 1 unat PER ROW instead
+    // of c unats (the count used to amplify the flip). Residual
+    // cross-engine risk is the double's own ulp once 1e6·c·ln(…)
+    // exceeds 2^53 — astronomically-counted terms, the same regime
+    // where the c·n products themselves need widening.
     val terms = j.select(col("source"), col("n1"), col("n2"), col("c2"),
-      expr(s"""c1 * ($QLN2
-              |  + CAST(round(1e6 * ln(CAST(c1 * n2 AS DOUBLE))) AS BIGINT)
-              |  - CAST(round(1e6 * ln(CAST(c1 * n2 + c2 * n1 AS DOUBLE))) AS BIGINT))"""
+      expr(s"""$QLN2 * c1
+              |  + CAST(round(1e6 * c1 * ln(CAST(c1 * n2 AS DOUBLE))) AS BIGINT)
+              |  - CAST(round(1e6 * c1 * ln(CAST(c1 * n2 + c2 * n1 AS DOUBLE))) AS BIGINT)"""
         .stripMargin).as("at"),
-      expr(s"""CASE WHEN c2 > 0 THEN c2 * ($QLN2
-              |  + CAST(round(1e6 * ln(CAST(c2 * n1 AS DOUBLE))) AS BIGINT)
-              |  - CAST(round(1e6 * ln(CAST(c1 * n2 + c2 * n1 AS DOUBLE))) AS BIGINT))
+      expr(s"""CASE WHEN c2 > 0 THEN $QLN2 * c2
+              |  + CAST(round(1e6 * c2 * ln(CAST(c2 * n1 AS DOUBLE))) AS BIGINT)
+              |  - CAST(round(1e6 * c2 * ln(CAST(c1 * n2 + c2 * n1 AS DOUBLE))) AS BIGINT)
               |ELSE 0 END""".stripMargin).as("bt"))
     terms.groupBy("source", "n1", "n2")
       .agg(count(lit(1)).as("vocab"),
@@ -95,12 +103,12 @@ object Drift {
        |  WHERE nt.ntot - n1.n1 > 0),
        |terms AS (
        |  SELECT source, n1, n2, c2,
-       |    c1 * ($QLN2
-       |      + CAST(round(1e6 * ln(CAST(c1 * n2 AS DOUBLE))) AS BIGINT)
-       |      - CAST(round(1e6 * ln(CAST(c1 * n2 + c2 * n1 AS DOUBLE))) AS BIGINT)) AS at,
-       |    CASE WHEN c2 > 0 THEN c2 * ($QLN2
-       |      + CAST(round(1e6 * ln(CAST(c2 * n1 AS DOUBLE))) AS BIGINT)
-       |      - CAST(round(1e6 * ln(CAST(c1 * n2 + c2 * n1 AS DOUBLE))) AS BIGINT))
+       |    $QLN2 * c1
+       |      + CAST(round(1e6 * c1 * ln(CAST(c1 * n2 AS DOUBLE))) AS BIGINT)
+       |      - CAST(round(1e6 * c1 * ln(CAST(c1 * n2 + c2 * n1 AS DOUBLE))) AS BIGINT) AS at,
+       |    CASE WHEN c2 > 0 THEN $QLN2 * c2
+       |      + CAST(round(1e6 * c2 * ln(CAST(c2 * n1 AS DOUBLE))) AS BIGINT)
+       |      - CAST(round(1e6 * c2 * ln(CAST(c1 * n2 + c2 * n1 AS DOUBLE))) AS BIGINT)
        |    ELSE 0 END AS bt
        |  FROM j),
        |agg AS (

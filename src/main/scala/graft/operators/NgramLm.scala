@@ -183,12 +183,12 @@ object NgramLm {
     * aggregated from the sink. Output and oracle shared with
     * [[pipelinePerplexityFilter]], so the stream path must score
     * every document identically to the batch path. */
-  def streamPerplexityFilter: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
-    // held-out LM dict staged once per (session, dir) — the offline
-    // artifact a production stream broadcasts, not a per-query train;
-    // integer q values parquet-roundtrip exactly
-    val dict = Staged.table(s, dir, "ppl_dict", coalesce = false) {
+  // held-out LM dict staged once per (session, dir) — the offline
+  // artifact a production stream broadcasts, not a per-query train;
+  // integer q values parquet-roundtrip exactly
+  private def stagedPplDict(s: SparkSession, dir: String): DataFrame =
+    Staged.table(s, dir, "ppl_dict", coalesce = false) {
+      val docs = t(s, dir, "documents")
       val ref = bigrams(s, dir).join(
         docs.filter(col("source") === "src0").select("doc_id"), "doc_id")
       val c1 = ref.groupBy("w1").agg(count(lit(1)).as("n1"))
@@ -197,6 +197,11 @@ object NgramLm {
         .withColumn("q", expr("(1000000 * n2) div n1"))
         .select("w1", "w2", "q")
     }
+  Staged.register("ppl_dict")((s, dir) => { stagedPplDict(s, dir); () })
+
+  def streamPerplexityFilter: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val dict = stagedPplDict(s, dir)
     val sch = s.read.parquet(s"$dir/documents.parquet").schema
     graft.streaming.StreamStage.withStaged(s, "sppl", dir, "documents.parquet") { stageDir =>
       val streamBi = s.readStream.schema(sch).parquet(stageDir)

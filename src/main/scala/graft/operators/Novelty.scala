@@ -115,11 +115,15 @@ object Novelty {
     * watermark, no state store); the per-doc rollup and ledger join
     * run batch-side from the drained sink, the [[Dsir]] twin shape.
     * Output and oracle shared verbatim with [[textNovelty]]. */
-  def streamNovelty: Q = (s, dir) => {
-    val dfTab = Staged.table(s, dir, "nov_df", coalesce = false) {
+  private def stagedDfTab(s: SparkSession, dir: String): DataFrame =
+    Staged.table(s, dir, "nov_df", coalesce = false) {
       Dedup.shingles(t(s, dir, "documents"), N)
         .groupBy("sh").agg(count(lit(1)).as("df"))
     }
+  Staged.register("nov_df")((s, dir) => { stagedDfTab(s, dir); () })
+
+  def streamNovelty: Q = (s, dir) => {
+    val dfTab = stagedDfTab(s, dir)
     val sch = s.read.parquet(s"$dir/documents.parquet").schema
     graft.streaming.StreamStage.withStaged(s, "snov", dir, "documents.parquet") { stageDir =>
       val streamSh = Dedup.shingles(s.readStream.schema(sch).parquet(stageDir), N)

@@ -432,6 +432,7 @@ object Similarity {
       build: => DataFrame): DataFrame =
     Staged.table(s, dir, tag)(build)
 
+  Staged.register("ivf_cents")((s, dir) => { centroids(s, dir); () })
   /** The shared trained IVF coarse quantizer for `dir`. */
   private def centroids(s: SparkSession, dir: String): DataFrame =
     stagedTable(s, dir, "ivf_cents") {

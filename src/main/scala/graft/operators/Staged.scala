@@ -1,5 +1,6 @@
 package graft.operators
 
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-staged derived-table device (r6 grid source index, r8
@@ -13,24 +14,73 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * concurrent sessions never share (or clobber) artifacts. */
 object Staged {
 
-  private val done = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  /** Per-key build gate. r13 (r12 ADVICE): the build used to run
+    * INSIDE ConcurrentHashMap.computeIfAbsent, which holds the bin
+    * lock for the whole Spark job — unrelated keys hashing to the same
+    * bin blocked for minutes, and a staged build that transitively
+    * touched another staged table would have violated the CHM contract
+    * (recursive update). Now the map mutation is a lock-free
+    * putIfAbsent of a latch: exactly one caller wins and builds OUTSIDE
+    * any map lock, later callers await the latch, and nested
+    * Staged.table calls from inside a build are safe (different key →
+    * its own latch; same key → caller already holds the build slot and
+    * would deadlock ONLY on true self-recursion, which is a bug
+    * upstream regardless). A failed build removes its latch so the
+    * next caller retries instead of reading a half-written artifact. */
+  private val done = new ConcurrentHashMap[String, CountDownLatch]()
+
+  /** Artifact builders by tag, for [[prestage]]: operators register
+    * the same build they run on first touch, so a bench harness can
+    * charge index-build cost to its own line item instead of whichever
+    * query happens to touch the artifact first. Registration happens
+    * in operator object initializers (forced by SparkEntry.queries). */
+  private val registry =
+    new ConcurrentHashMap[String, (SparkSession, String) => Unit]()
+
+  def register(tag: String)(touch: (SparkSession, String) => Unit): Unit =
+    registry.putIfAbsent(tag, touch)
+
+  /** Build every registered artifact for `dir` (idempotent — a warm
+    * artifact costs one parquet-footer read). Returns (tag, seconds)
+    * in tag order, so the caller can report staging honestly. */
+  def prestage(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    import scala.jdk.CollectionConverters._
+    registry.asScala.toSeq.sortBy(_._1).map { case (tag, touch) =>
+      val t0 = System.nanoTime()
+      touch(s, dir)
+      tag -> (System.nanoTime() - t0) / 1e9
+    }
+  }
 
   /** `coalesce=true` for metadata-sized artifacts (centroid tables,
     * codebooks — one tidy file); false for corpus-row-sized ones
-    * (signature tables) that should keep their natural partitioning.
-    * computeIfAbsent serializes concurrent first-touches on the same
-    * key (the stageOnce device): exactly one caller runs the build,
-    * later callers block until the parquet is fully written — no
-    * double overwrite, no reader racing a half-replaced artifact. */
+    * (signature tables) that should keep their natural partitioning. */
   def table(s: SparkSession, dir: String, tag: String, coalesce: Boolean = true)(
       build: => DataFrame): DataFrame = {
     val out = graft.sources.netcdf.NcQueries.scratch(s, dir, tag)
-    done.computeIfAbsent(out, _ => {
+    ensure(out) {
       val df = build
       (if (coalesce) df.coalesce(1) else df)
         .write.mode("overwrite").parquet(out)
-      java.lang.Boolean.TRUE
-    })
+    }
     s.read.parquet(out)
+  }
+
+  @annotation.tailrec
+  private def ensure(key: String)(build: => Unit): Unit = {
+    val latch = new CountDownLatch(1)
+    val prev = done.putIfAbsent(key, latch)
+    if (prev == null) {
+      var ok = false
+      try { build; ok = true }
+      finally {
+        if (!ok) done.remove(key, latch)
+        latch.countDown()
+      }
+    } else {
+      prev.await()
+      // the builder we waited on failed and removed itself: retry
+      if (!done.containsKey(key)) ensure(key)(build)
+    }
   }
 }

@@ -703,12 +703,28 @@ object Relational {
   /** The cumulative walk over a (l_returnflag, l_quantity, c value
     * histogram — split out so the streaming twin (whose state IS the
     * histogram) shares the interpolation verbatim. */
+  /** Bounded-domain guard (r13 — r12 verdict #5): the histogram device
+    * is exact BECAUSE the value domain is small; on a continuous column
+    * the "histogram" silently becomes corpus-sized (and the streaming
+    * twin's complete-mode state unbounded). The guard rejects LOUDLY,
+    * in-plan, the moment any group's histogram exceeds this many
+    * distinct values — the same loud-reject discipline as the ncz
+    * misnamed-file and vlen-sequence paths. Continuous columns must
+    * quantize (round/bucket) as a documented pre-step. */
+  private[graft] val MEDIAN_DOMAIN_MAX = 4096
+
   private[graft] def medianFromHist(hist: DataFrame): DataFrame = {
     val byFlag = Window.partitionBy("l_returnflag").orderBy("l_quantity")
     val cum = hist
       .withColumn("cum", sum("c").over(
         byFlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", sum("c").over(Window.partitionBy("l_returnflag")))
+      .withColumn("n_vals", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      .filter(expr(s"assert_true(n_vals <= $MEDIAN_DOMAIN_MAX, " +
+        s"'histogram-median requires a bounded value domain: a group has " +
+        s"more than $MEDIAN_DOMAIN_MAX distinct values — quantize the " +
+        s"column first') IS NULL"))
+      .drop("n_vals")
     cum.groupBy("l_returnflag")
       .agg(max(col("n")).as("n_rows"),
         ((min(when(col("cum") > expr("(n - 1) div 2"), col("l_quantity"))) +
@@ -727,8 +743,10 @@ object Relational {
       |FROM lineitem GROUP BY 1""".stripMargin
 
   /** PARALLEL DECILE ASSIGNMENT (r12 — the customer-segmentation
-    * staple: "which spend decile is this account in?"): per-customer
-    * DECIMAL-exact spend from one orders partial agg, then ntile(10)
+    * staple: "which spend decile is this account in?"): EVERY account
+    * is ranked — customers with no orders enter at spend 0 via a left
+    * join (r13) — with per-customer DECIMAL-exact spend from one
+    * orders partial agg, then ntile(10)
     * windowed PER NATION — the partition key is what makes this a
     * 100 TB plan: a global ORDER BY spend would sort the whole
     * customer table in one task, while per-nation windows sort
@@ -743,8 +761,12 @@ object Relational {
       .agg(sum(expr("CAST(o_totalprice AS DECIMAL(12,2))")).as("spend"))
     val byNation = Window.partitionBy("c_nationkey")
       .orderBy(col("spend").desc, col("c_custkey"))
+    // LEFT join + COALESCE(spend, 0) (r12 ADVICE): every account is
+    // ranked — the ~1/3 of customers with no orders belong in the
+    // bottom deciles at spend 0, not outside the segmentation
     t(s, dir, "customer").select("c_custkey", "c_nationkey")
-      .join(spend, "c_custkey")
+      .join(spend, Seq("c_custkey"), "left")
+      .withColumn("spend", coalesce(col("spend"), lit(BigDecimal(0)).cast("decimal(22,2)")))
       .withColumn("decile", ntile(10).over(byNation))
       .groupBy("c_nationkey", "decile")
       .agg(count(lit(1)).as("n_cust"),
@@ -759,10 +781,11 @@ object Relational {
       |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
       |  FROM orders GROUP BY 1),
       |d AS (
-      |  SELECT c.c_nationkey, c.c_custkey, s.spend,
+      |  SELECT c.c_nationkey, c.c_custkey,
+      |    COALESCE(s.spend, 0) AS spend,
       |    ntile(10) OVER (PARTITION BY c.c_nationkey
-      |      ORDER BY s.spend DESC, c.c_custkey) AS decile
-      |  FROM spend s JOIN customer c USING (c_custkey))
+      |      ORDER BY COALESCE(s.spend, 0) DESC, c.c_custkey) AS decile
+      |  FROM customer c LEFT JOIN spend s USING (c_custkey))
       |SELECT c_nationkey, decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
       |  CAST(SUM(spend) AS DOUBLE) AS spend_sum,
       |  CAST(MIN(spend) AS DOUBLE) AS spend_min,

@@ -14,6 +14,15 @@ import org.apache.spark.sql.SparkSession
   * across sessions. */
 private[graft] object StreamStage {
 
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** A fresh per-call scratch dir for a foreachBatch parquet sink:
+    * repeated calls (bench samples) must each append into their OWN
+    * sink or batches from call N would double-count in call N+1. */
+  def freshSink(s: SparkSession, dir: String, tag: String): String =
+    graft.sources.netcdf.NcQueries.scratch(
+      s, dir, tag + "_" + sinkSeq.incrementAndGet())
+
   /** Stage `dir/fileName` into a scratch dir, run `drain(stageDir)`
     * (which must BLOCK until the stream is done with the files —
     * processAllAvailable + stop), then delete the scratch dir. */
