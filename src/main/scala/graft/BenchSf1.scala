@@ -76,7 +76,13 @@ object BenchSf1 {
     // r12b: the corpus-vs-rest divergence — its shuffle is vocab-
     // bounded (3.05× bytes at 10× input), so the 100× wall should
     // stay far sublinear too
-    "text_js_drift")
+    "text_js_drift",
+    // r13 (r12 verdict #7): every family with a super-constant 10x
+    // ratio gets a 100x point — the worst 10x entry (incremental
+    // arrival dedup), the chunk-aligned zonal join, the per-nation
+    // window, the chunk-index walk, and one stream-drain key
+    "dedup_incremental", "grid_zonal_stats", "q39_ntile",
+    "nc4_extensible_array", "stream_dedup_incremental")
 
   /** Wide replication for the 100× probe: one crossJoin against a
     * replica range instead of a 100-child union (same values — keys

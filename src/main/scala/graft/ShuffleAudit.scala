@@ -31,7 +31,11 @@ object ShuffleAudit {
     "grid_convolve", "dedup_minhash_topm",
     // r12 session-2: the JS drift's one-corpus-pass + vocab-join claim
     // and the zonal-stats chunk-aligned join — both must read ~linear
-    "text_js_drift", "grid_zonal_stats")
+    "text_js_drift", "grid_zonal_stats",
+    // r13: the de-windowed proto-prune must move ~linear bytes (r12
+    // verdict #1 'done' criterion), and the worst 10x wall entry gets
+    // its byte-level reading (r12 verdict #3)
+    "pipeline_proto_prune", "dedup_incremental", "dedup_editdist_full")
 
   /** `organic` mode: the rows the replica audit flags super-linear —
     * near-dup edge sets and posting lists, which clone-dense replicas
@@ -44,7 +48,10 @@ object ShuffleAudit {
     "dedup_minhash_lsh", "grid_convolve", "grid_interpolate",
     // pair-table consumers: their replica-audit shuffle ratios track
     // the staged pair table's clone-density growth, not engine work
-    "dedup_minhash_topm", "pipeline_keep_list")
+    "dedup_minhash_topm", "pipeline_keep_list",
+    // r13 (r12 verdict #3): the worst 10x wall entry — organic growth
+    // decides whether 7.04x was clone density or the engine
+    "dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val organic = args.contains("organic")

@@ -96,11 +96,25 @@ object TarCodec {
   }
 
   /** Parse an archive's member table: (name, payload offset, size).
-    * Verifies magic + checksum per header and payload bounds. */
+    * Verifies magic + checksum per header and payload bounds.
+    *
+    * r13 (r12 verdict #8 — wild archives): READS the two long-name
+    * encodings real tools emit past ustar's 255-byte/split limits —
+    *  - GNU type-'L' ("././@LongLink"): the payload is the NEXT
+    *    member's full path, NUL-terminated;
+    *  - PAX type-'x' extended headers: "len key=value\n" records whose
+    *    `path` key overrides the next member's name (other keys are
+    *    metadata we don't surface and safely skip).
+    * A PAX GLOBAL header (type 'g') carrying `path` stays a LOUD
+    * reject — a global name override is ambiguous for a member table.
+    * The WRITER still refuses unsplittable >ustar paths loudly:
+    * accepting wild inputs is compatibility, emitting them is a format
+    * decision this codec doesn't silently make. */
   def members(bytes: Array[Byte]): ArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     var off = 0
     var done = false
+    var pendingName: String = null // from a preceding 'L' or PAX 'x' header
     while (!done) {
       if (off + BLOCK > bytes.length)
         throw new java.io.IOException(s"tar truncated: header at $off past ${bytes.length}")
@@ -122,25 +136,69 @@ object TarCodec {
         if (stored != sum)
           throw new java.io.IOException(
             s"tar header at $off: checksum mismatch (stored $stored, computed $sum)")
-        var nl = 0
-        while (nl < 100 && bytes(off + nl) != 0) nl += 1
-        // POSIX prefix field (offset 345, 155 bytes): when non-empty,
-        // the member's full path is prefix + '/' + name
-        var pl = 0
-        while (pl < 155 && bytes(off + 345 + pl) != 0) pl += 1
-        val name =
-          if (pl == 0) new String(bytes, off, nl, "UTF-8")
-          else new String(bytes, off + 345, pl, "UTF-8") + "/" +
-            new String(bytes, off, nl, "UTF-8")
         val size = parseOctal(bytes, off + 124, 12)
         if (off + BLOCK + size > bytes.length)
           throw new java.io.IOException(
-            s"tar member $name at $off: payload $size overruns archive ${bytes.length}")
-        out += InternalRow(UTF8String.fromString(name), (off + BLOCK).toLong, size)
+            s"tar header at $off: payload $size overruns archive ${bytes.length}")
+        val typeflag = bytes(off + 156).toChar
+        typeflag match {
+          case 'L' => // GNU long name: payload names the NEXT member
+            var end = size.toInt
+            while (end > 0 && bytes(off + BLOCK + end - 1) == 0) end -= 1
+            pendingName = new String(bytes, off + BLOCK, end, "UTF-8")
+          case 'x' | 'g' =>
+            val path = paxPath(bytes, off + BLOCK, size.toInt)
+            if (typeflag == 'g' && path != null)
+              throw new java.io.IOException(
+                s"tar PAX global header at $off carries a path override — unsupported")
+            if (typeflag == 'x' && path != null) pendingName = path
+          case _ =>
+            var nl = 0
+            while (nl < 100 && bytes(off + nl) != 0) nl += 1
+            // POSIX prefix field (offset 345, 155 bytes): when
+            // non-empty, the full path is prefix + '/' + name — unless
+            // a long-name record already named this member (PAX rule:
+            // the extended header wins over the ustar fields)
+            var pl = 0
+            while (pl < 155 && bytes(off + 345 + pl) != 0) pl += 1
+            val name =
+              if (pendingName != null) pendingName
+              else if (pl == 0) new String(bytes, off, nl, "UTF-8")
+              else new String(bytes, off + 345, pl, "UTF-8") + "/" +
+                new String(bytes, off, nl, "UTF-8")
+            pendingName = null
+            out += InternalRow(UTF8String.fromString(name), (off + BLOCK).toLong, size)
+        }
         off += (BLOCK + pad(size)).toInt
       }
     }
     new GenericArrayData(out.toArray[Any])
+  }
+
+  /** The `path` record of a PAX extended-header payload, or null.
+    * Records are "<len> <key>=<value>\n" with len counting the WHOLE
+    * record (len digits, space, key, '=', value, newline); a malformed
+    * length or framing rejects loudly. */
+  private def paxPath(bytes: Array[Byte], start: Int, size: Int): String = {
+    var p = start
+    val end = start + size
+    var path: String = null
+    while (p < end) {
+      var q = p
+      var len = 0
+      while (q < end && bytes(q) >= '0' && bytes(q) <= '9') {
+        len = len * 10 + (bytes(q) - '0'); q += 1
+      }
+      if (q == p || q >= end || bytes(q) != ' ' || len <= 0 || p + len > end ||
+          bytes(p + len - 1) != '\n')
+        throw new java.io.IOException(s"malformed PAX record at $p")
+      val rec = new String(bytes, q + 1, p + len - 1 - (q + 1), "UTF-8")
+      val eq = rec.indexOf('=')
+      if (eq < 0) throw new java.io.IOException(s"PAX record without '=' at $p")
+      if (rec.substring(0, eq) == "path") path = rec.substring(eq + 1)
+      p += len
+    }
+    path
   }
 
   /** Octal field: leading spaces/zeros, digits, then a NUL/space
