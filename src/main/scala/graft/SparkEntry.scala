@@ -60,7 +60,10 @@ object SparkEntry {
       graft.operators.EditDist.queries ++
       graft.operators.BloomFpr.queries ++
       graft.operators.Attrition.queries ++
-      graft.operators.CorpusStats.queries
+      graft.operators.CorpusStats.queries ++
+      graft.operators.Moments.queries ++
+      graft.operators.Chunker.queries ++
+      graft.operators.TfIdf.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -111,5 +114,8 @@ object SparkEntry {
       graft.operators.EditDist.oracles ++
       graft.operators.BloomFpr.oracles ++
       graft.operators.Attrition.oracles ++
-      graft.operators.CorpusStats.oracles
+      graft.operators.CorpusStats.oracles ++
+      graft.operators.Moments.oracles ++
+      graft.operators.Chunker.oracles ++
+      graft.operators.TfIdf.oracles
 }

@@ -541,6 +541,71 @@ object Sketches {
        |  exact_intersect
        |FROM uk CROSS JOIN nb CROSS JOIN ex""".stripMargin
 
+  /** KMV set-DIFFERENCE estimation (the A-NOT-B operation of the
+    * theta-sketch family, same Beyer et al. foundation as
+    * [[sketchKmvIntersect]]): |A∖B| ≈ ρ·|A∪B| where ρ is the fraction
+    * of the union's k minima that lie in A's sketch but not B's —
+    * the audience-exclusion question ("clicked but never viewed")
+    * answered from two k-hash sketches alone, no rescan of either
+    * side. Selection is integer order statistics over md5 hashes —
+    * bit-identical cross-engine; the exact answer rides along for the
+    * oracle's accuracy check. */
+  def sketchKmvDiff: Q = (s, dir) => {
+    val ev = events(s, dir)
+    def userHashes(typ: String) = ev.filter(col("event_type") === typ)
+      .select(conv(substring(md5(col("user_id").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType).as("h"))
+      .distinct()
+    val a = userHashes("click").orderBy("h").limit(K).cache()
+    val b = userHashes("view").orderBy("h").limit(K).cache()
+    val u = a.unionByName(b).distinct().orderBy("h").limit(K).cache()
+    val uk = u.agg(count(lit(1)).as("k"), max(col("h")).as("hk"))
+    val aNotB = u.join(a, Seq("h"), "left_semi").join(b, Seq("h"), "left_anti")
+      .agg(count(lit(1)).as("n_a_not_b"))
+    val exact = ev.filter(col("event_type").isin("click", "view"))
+      .select("user_id", "event_type").distinct()
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("ca"),
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("cb"))
+      .filter(col("ca") === 1 && col("cb") === 0)
+      .agg(count(lit(1)).as("exact_diff"))
+    uk.crossJoin(aNotB).crossJoin(exact)
+      .select(col("k"), col("n_a_not_b"),
+        round(col("n_a_not_b") / col("k"), 6).as("rho_est"),
+        round((col("k") - 1).cast(DoubleType) * expr(SPACE) / col("hk").cast(DoubleType)
+          * (col("n_a_not_b") / col("k")), 3).as("est_diff"),
+        col("exact_diff"))
+  }
+
+  val sketchKmvDiffSql: String =
+    s"""WITH a AS (
+       |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM events WHERE event_type = 'click' ORDER BY h LIMIT $K),
+       |b AS (
+       |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM events WHERE event_type = 'view' ORDER BY h LIMIT $K),
+       |u AS (
+       |  SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) t
+       |  ORDER BY h LIMIT $K),
+       |uk AS (SELECT COUNT(*) AS k, MAX(h) AS hk FROM u),
+       |nab AS (
+       |  SELECT COUNT(*) AS n_a_not_b FROM u
+       |  WHERE h IN (SELECT h FROM a) AND h NOT IN (SELECT h FROM b)),
+       |ex AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_diff FROM (
+       |    SELECT user_id FROM (
+       |      SELECT DISTINCT user_id, event_type FROM events
+       |      WHERE event_type IN ('click', 'view')) t
+       |    GROUP BY user_id
+       |    HAVING MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1
+       |       AND MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 0))
+       |SELECT k, n_a_not_b,
+       |  round(n_a_not_b / k, 6) AS rho_est,
+       |  round(CAST(k - 1 AS DOUBLE) * $SPACE / CAST(hk AS DOUBLE)
+       |    * (n_a_not_b / k), 3) AS est_diff,
+       |  exact_diff
+       |FROM uk CROSS JOIN nab CROSS JOIN ex""".stripMargin
+
   // ── HyperLogLog (Flajolet et al. 2007) — THE standard cardinality
   // sketch, here in a fully DETERMINISTIC cross-engine construction
   // (the built-in approx_count_distinct HLLs diverge by
@@ -746,6 +811,7 @@ object Sketches {
     "stream_heavy_hitters" -> streamHeavyHitters,
     "sketch_kmv_distinct" -> sketchKmvDistinct,
     "sketch_kmv_merge" -> sketchKmvMerge,
+    "sketch_kmv_diff" -> sketchKmvDiff,
     "sketch_quantile" -> sketchQuantile,
     "sketch_histogram_quantile" -> sketchHistogramQuantile)
   val oracles: Map[String, String] = Map(
@@ -762,6 +828,7 @@ object Sketches {
 
     "sketch_kmv_distinct" -> sketchKmvDistinctSql,
     "sketch_kmv_merge" -> sketchKmvMergeSql,
+    "sketch_kmv_diff" -> sketchKmvDiffSql,
     "sketch_quantile" -> sketchQuantileSql,
     "sketch_histogram_quantile" -> sketchHistogramQuantileSql)
 }

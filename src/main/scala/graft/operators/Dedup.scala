@@ -147,6 +147,49 @@ object Dedup {
 
   def dedupMinhashLsh: Q = (s, dir) => minhashPairs(s, dir)
 
+  /** NEAR-DUP DEGREE HISTOGRAM (r13 — the dedup-monitoring number: how
+    * many near-dup partners does a typical document have?): per-doc
+    * degree over the staged LSH pair table, rolled into a (degree →
+    * n_docs) histogram with the zero-degree mass included (documents in
+    * no pair at all — the healthy majority). A fattening high-degree
+    * tail is the canary for template storms and crawl loops, and the
+    * histogram is what sizes a clustering pass before running it.
+    *
+    * Scale shape: pair endpoints union + per-doc partial-agg count
+    * (pair-table-sized, bounded by banding); the histogram rollup
+    * partial-aggregates onto ≤degree-domain keys; zero-degree mass is
+    * corpus_count − distinct_paired, computed from two 1-row
+    * aggregates — the corpus itself is never joined. */
+  def dedupDegreeHist: Q = (s, dir) => {
+    val pairs = minhashPairs(s, dir).select("id_a", "id_b")
+    val deg = pairs.select(col("id_a").as("doc_id"))
+      .unionAll(pairs.select(col("id_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_docs"))
+    val nPaired = deg.agg(count(lit(1)).as("n_paired"))
+    val nAll = t(s, dir, "documents").agg(count(lit(1)).as("n_all"))
+    hist.unionByName(
+      nAll.crossJoin(nPaired)
+        .select(lit(0L).as("degree"), (col("n_all") - col("n_paired")).as("n_docs")))
+  }
+
+  // lazy: dedupMinhashLshSql initializes later in this object body
+  lazy val dedupDegreeHistSql: String =
+    s"""WITH pairs AS (
+       |$dedupMinhashLshSql
+       |),
+       |deg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+       |    SELECT id_a AS doc_id FROM pairs
+       |    UNION ALL SELECT id_b AS doc_id FROM pairs)
+       |  GROUP BY doc_id),
+       |hist AS (SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs FROM deg GROUP BY degree),
+       |zero AS (
+       |  SELECT CAST(0 AS BIGINT) AS degree,
+       |    (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM deg) AS n_docs)
+       |SELECT degree, n_docs FROM hist
+       |UNION ALL SELECT degree, CAST(n_docs AS BIGINT) FROM zero""".stripMargin
+
   /** Attach verified Jaccard over shingle sets to candidate pairs.
     * Intersections are computed candidates-only (cand ⋈ shingles ⋈
     * shingles on equal shingle), never all-pairs. */
@@ -1227,6 +1270,7 @@ object Dedup {
     "pipeline_split_leakage" -> pipelineSplitLeakage,
     "dedup_sparse_features" -> dedupSparseFeatures,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_degree_hist" -> dedupDegreeHist,
     "dedup_minhash_topm" -> dedupMinhashTopm,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_ngram_topm" -> dedupNgramTopm,
@@ -1245,6 +1289,7 @@ object Dedup {
     "pipeline_split_leakage" -> pipelineSplitLeakageSql,
     "dedup_sparse_features" -> dedupSparseFeaturesSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_degree_hist" -> dedupDegreeHistSql,
     "dedup_minhash_topm" -> dedupMinhashTopmSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_ngram_topm" -> dedupNgramTopmSql,
