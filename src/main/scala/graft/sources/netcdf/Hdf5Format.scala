@@ -3903,7 +3903,13 @@ object Hdf5Format {
             require(fi == 0 && !deflate && !shuffle && !zstdF,
               s"fletcher32 filter must lead the pipeline for $name")
             fletcher = true
-          } else if (id != 0)
+          } else if (id == 4)
+            // named so the user knows to transcode: older NASA
+            // products carry szip, and no public-domain codec exists
+            // on this classpath (SURVEY §2 non-goals)
+            throw new java.io.IOException(
+              s"unsupported HDF5 filter: szip (id 4) for $name — transcode to deflate/zstd")
+          else if (id != 0)
             throw new java.io.IOException(s"unsupported HDF5 filter id $id")
         }
       case (MSG_ATTRIBUTE, body) =>
