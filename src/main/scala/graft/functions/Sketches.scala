@@ -723,6 +723,96 @@ object Sketches {
        |FROM r""".stripMargin
   }
 
+  /** HLL INTERSECTION by inclusion–exclusion (r13 — the audience-
+    * overlap question answered from REGISTER VECTORS alone: |A∩B| ≈
+    * est(A) + est(B) − est(A∪B), where the union sketch is the
+    * bucketwise MAX of the two register vectors — the HLL union law,
+    * so the whole estimate costs 3×64 register rows of math, no
+    * rescan): the KMV twin ([[sketchKmvIntersect]]) ships k hashes,
+    * this ships 64 registers — the trade every sketch library
+    * documents (HLL unions exactly, KMV intersects more accurately).
+    * All register sums exact BIGINT; the small-range branch reads the
+    * shared literal table; exact intersection rides along. */
+  def sketchHllIntersect: Q = (s, dir) => {
+    val lnCase = (1 to HLL_M).map(v =>
+      s"WHEN $v THEN CAST(${hllLnTab(v - 1)} AS DOUBLE)").mkString(" ")
+    val ev = events(s, dir).filter(col("event_type").isin("click", "view"))
+    val regs = ev
+      .select(col("event_type"), md5(col("user_id").cast(StringType)).as("hx"))
+      .select(col("event_type"),
+        (conv(substring(col("hx"), 1, 2), 16, 10).cast(LongType) % HLL_M).as("bucket"),
+        conv(substring(col("hx"), 3, 12), 16, 10).cast(LongType).as("w"))
+      .select(col("event_type"), col("bucket"), when(col("w") === 0, lit(49L))
+        .otherwise(lit(49L) - length(conv(col("w").cast(StringType), 10, 2)).cast(LongType))
+        .as("rho"))
+      .groupBy("event_type", "bucket").agg(max(col("rho")).as("m_j"))
+      .cache() // two per-set finishes + the union merge
+    val all = regs.unionByName(
+      regs.groupBy("bucket").agg(max(col("m_j")).as("m_j"))
+        .withColumn("event_type", lit("__union__")))
+    val ests = all.groupBy("event_type")
+      .agg(count(lit(1)).as("nb"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m_j AS INT))")).as("sp"),
+        sum(when(col("m_j") === 0, 1L).otherwise(0L)).as("zp"))
+      .select(col("event_type"),
+        (col("sp") + (lit(HLL_M.toLong) - col("nb")) * lit(1L << 49)).as("s_sum"),
+        (col("zp") + (lit(HLL_M.toLong) - col("nb"))).as("zeros"))
+      .withColumn("raw", expr(s"CAST(0.709 AS DOUBLE) * 4096 * $POW49 / s_sum"))
+      .withColumn("est", round(expr(
+        s"CASE WHEN raw <= 160.0 AND zeros > 0 THEN CASE zeros $lnCase END ELSE raw END"), 6))
+    val exact = ev
+      .select("user_id", "event_type").distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === 2)
+      .agg(count(lit(1)).as("exact_intersect"))
+    ests.agg(
+      max(when(col("event_type") === "click", col("est"))).as("est_a"),
+      max(when(col("event_type") === "view", col("est"))).as("est_b"),
+      max(when(col("event_type") === "__union__", col("est"))).as("est_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 6).as("est_intersect"))
+      .crossJoin(exact)
+  }
+
+  val sketchHllIntersectSql: String = {
+    val lnCase = (1 to HLL_M).map(v =>
+      s"WHEN $v THEN CAST(${hllLnTab(v - 1)} AS DOUBLE)").mkString(" ")
+    s"""WITH ev AS (SELECT user_id, event_type FROM events
+       |            WHERE event_type IN ('click', 'view')),
+       |hx AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM ev),
+       |hb AS (SELECT event_type, CAST('0x' || substr(hx, 1, 2) AS BIGINT) % $HLL_M AS bucket,
+       |              CAST('0x' || substr(hx, 3, 12) AS BIGINT) AS w FROM hx),
+       |hr AS (SELECT event_type, bucket, CASE WHEN w = 0 THEN 49
+       |         ELSE 49 - length(bin(w)) END AS rho FROM hb),
+       |regs AS (SELECT event_type, bucket, MAX(rho) AS m_j FROM hr GROUP BY 1, 2),
+       |allregs AS (
+       |  SELECT event_type, bucket, m_j FROM regs
+       |  UNION ALL
+       |  SELECT '__union__' AS event_type, bucket, MAX(m_j) AS m_j FROM regs GROUP BY bucket),
+       |ag AS (SELECT event_type, COUNT(*) AS nb,
+       |  SUM(CAST(1 AS BIGINT) << CAST(49 - m_j AS INT)) AS sp,
+       |  SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS zp FROM allregs GROUP BY event_type),
+       |f AS (SELECT event_type, sp + ($HLL_M - nb) * (CAST(1 AS BIGINT) << 49) AS s_sum,
+       |             zp + ($HLL_M - nb) AS zeros FROM ag),
+       |r AS (SELECT event_type, s_sum, zeros,
+       |  CAST(0.709 AS DOUBLE) * 4096 * $POW49 / s_sum AS raw FROM f),
+       |e2 AS (SELECT event_type,
+       |  round(CASE WHEN raw <= 160.0 AND zeros > 0
+       |    THEN CASE zeros $lnCase END ELSE raw END, 6) AS est FROM r),
+       |p AS (SELECT
+       |  MAX(CASE WHEN event_type = 'click' THEN est END) AS est_a,
+       |  MAX(CASE WHEN event_type = 'view' THEN est END) AS est_b,
+       |  MAX(CASE WHEN event_type = '__union__' THEN est END) AS est_union
+       |  FROM e2),
+       |ex AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersect FROM (
+       |    SELECT user_id FROM (SELECT DISTINCT user_id, event_type FROM ev) t
+       |    GROUP BY user_id HAVING COUNT(*) = 2))
+       |SELECT est_a, est_b, est_union,
+       |  round(est_a + est_b - est_union, 6) AS est_intersect, exact_intersect
+       |FROM p CROSS JOIN ex""".stripMargin
+  }
+
   def sketchHll: Q = (s, dir) => {
     val ev = events(s, dir).cache()
     // mergeability: the same register vector must re-derive from
@@ -812,6 +902,7 @@ object Sketches {
     "sketch_kmv_distinct" -> sketchKmvDistinct,
     "sketch_kmv_merge" -> sketchKmvMerge,
     "sketch_kmv_diff" -> sketchKmvDiff,
+    "sketch_hll_intersect" -> sketchHllIntersect,
     "sketch_quantile" -> sketchQuantile,
     "sketch_histogram_quantile" -> sketchHistogramQuantile)
   val oracles: Map[String, String] = Map(
@@ -829,6 +920,7 @@ object Sketches {
     "sketch_kmv_distinct" -> sketchKmvDistinctSql,
     "sketch_kmv_merge" -> sketchKmvMergeSql,
     "sketch_kmv_diff" -> sketchKmvDiffSql,
+    "sketch_hll_intersect" -> sketchHllIntersectSql,
     "sketch_quantile" -> sketchQuantileSql,
     "sketch_histogram_quantile" -> sketchHistogramQuantileSql)
 }

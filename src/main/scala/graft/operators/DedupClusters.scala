@@ -163,6 +163,55 @@ object DedupClusters {
         sum(col("n_chars") * expr("1000000L DIV cluster_size")).as("eff_chars_ppm"))
   }
 
+  /** DROP-EXPLANATION LEDGER (r13 — the dedup-debuggability table a
+    * curation reviewer reads: for every document a clustering pass
+    * dropped, WHICH canonical displaced it and HOW similar the nearest
+    * evidence edge was): non-canonical cluster members joined to their
+    * direct near-dup edges — per doc the partner count, the strongest
+    * edge's Jaccard, and that best partner under the deterministic
+    * (jaccard DESC, partner ASC) order (a min_by over a total-order
+    * struct — partial agg, no window). Everything is pair-table-sized;
+    * the corpus never re-joins. */
+  def dedupExplain: Q = (s, dir) => {
+    val clusters = dedupClusters(s, dir)
+    val pairs = Dedup.dedupMinhashLsh(s, dir)
+    val sym = pairs.select(col("id_a").as("doc_id"), col("id_b").as("partner"), col("jaccard"))
+      .unionAll(pairs.select(col("id_b").as("doc_id"), col("id_a").as("partner"), col("jaccard")))
+    val best = sym.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_partners"),
+        max(round(col("jaccard"), 6)).as("best_jaccard"),
+        min_by(col("partner"),
+          struct((-round(col("jaccard"), 9)).as("nj"), col("partner"))).as("best_partner"))
+    clusters.filter(col("doc_id") =!= col("canonical_id"))
+      .join(best, "doc_id")
+      .select("doc_id", "canonical_id", "cluster_size",
+        "n_partners", "best_partner", "best_jaccard")
+  }
+
+  lazy val dedupExplainSql: String =
+    s"""WITH cl AS (
+       |${dedupClustersSql}
+       |),
+       |p AS (
+       |${Dedup.dedupMinhashLshSql}
+       |),
+       |sym AS (
+       |  SELECT id_a AS doc_id, id_b AS partner, jaccard FROM p
+       |  UNION ALL SELECT id_b, id_a, jaccard FROM p),
+       |best AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners,
+       |    MAX(round(jaccard, 6)) AS best_jaccard
+       |  FROM sym GROUP BY doc_id),
+       |bp AS (
+       |  SELECT doc_id, partner AS best_partner FROM (
+       |    SELECT doc_id, partner, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY round(jaccard, 9) DESC, partner) AS rn
+       |    FROM sym) WHERE rn = 1)
+       |SELECT cl.doc_id, cl.canonical_id, cl.cluster_size,
+       |  best.n_partners, bp.best_partner, best.best_jaccard
+       |FROM cl JOIN best USING (doc_id) JOIN bp USING (doc_id)
+       |WHERE cl.doc_id <> cl.canonical_id""".stripMargin
+
   // lazy: refers to dedupClustersSql, declared below (object init order)
   lazy val pipelineSoftDedupSql: String =
     s"""WITH sd AS (
@@ -234,10 +283,12 @@ object DedupClusters {
 
   val queries: Map[String, Q] = Map(
     "dedup_clusters" -> dedupClusters,
+    "dedup_explain" -> dedupExplain,
     "pipeline_soft_dedup" -> pipelineSoftDedup,
     "dedup_knn_clusters" -> dedupKnnClusters)
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_explain" -> dedupExplainSql,
     "pipeline_soft_dedup" -> pipelineSoftDedupSql,
     "dedup_knn_clusters" -> dedupKnnClustersSql)
 }

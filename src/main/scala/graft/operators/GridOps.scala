@@ -895,7 +895,42 @@ object GridOps {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS vsum
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** MULTI-RESOLUTION PYRAMID (r13 — the raster tile-pyramid build:
+    * every zoom level's downsampled grid materialized in ONE pass, the
+    * way map/earth-data servers pre-render overviews): levels 2/4/8/16
+    * explode map-side per element (4 rows per cell — constant fan-out,
+    * no joins), block means per (level, idx div level) via one
+    * partial-agg groupBy with DECIMAL-exact cent sums, plus per-block
+    * min/max. At 100 TB the pyramid costs one scan + one bounded
+    * shuffle (Σ n/level block rows), not one pass per level. */
+  def gridPyramid: Q = (s, dir) => {
+    gridToTable(qtyGrid(s, dir))
+      .withColumn("vc", expr("CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT)"))
+      .select(col("idx"), col("vc"),
+        explode(expr("array(2, 4, 8, 16)")).as("level"))
+      .groupBy(col("level"), expr("idx div level").as("blk"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("vc")).cast(DoubleType) / (count(lit(1)) * lit(100.0)), 6)
+          .as("blk_mean"),
+        min(col("vc")).as("blk_min_cents"),
+        max(col("vc")).as("blk_max_cents"))
+      .select(col("level").cast(LongType).as("level"), col("blk"),
+        col("n"), col("blk_mean"), col("blk_min_cents"), col("blk_max_cents"))
+  }
+
+  val gridPyramidSql: String =
+    s"""WITH $orderedCte,
+       |tb AS (SELECT idx, CAST(CAST(v AS DECIMAL(9,2)) * 100 AS BIGINT) AS vc FROM o),
+       |lv AS (SELECT idx, vc, unnest([2, 4, 8, 16]) AS level FROM tb)
+       |SELECT CAST(level AS BIGINT) AS level, idx // level AS blk,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  round(CAST(SUM(vc) AS DOUBLE) / (COUNT(*) * 100.0), 6) AS blk_mean,
+       |  CAST(MIN(vc) AS BIGINT) AS blk_min_cents,
+       |  CAST(MAX(vc) AS BIGINT) AS blk_max_cents
+       |FROM lv GROUP BY level, idx // level""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "grid_pyramid" -> gridPyramid,
     "grid_zonal_stats" -> gridZonalStats,
     "grid_convolve" -> gridConvolve,
     "grid_detrend" -> gridDetrend,
@@ -920,6 +955,7 @@ object GridOps {
     "grid_stats" -> gridStats)
 
   val oracles: Map[String, String] = Map(
+    "grid_pyramid" -> gridPyramidSql,
     "grid_zonal_stats" -> gridZonalStatsSql,
     "grid_convolve" -> gridConvolveSql,
     "grid_detrend" -> gridDetrendSql,

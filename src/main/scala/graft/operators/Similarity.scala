@@ -262,6 +262,115 @@ object Similarity {
        |WHERE rank <= 5""".stripMargin
   }
 
+  private val CAS_C1 = 32 // stage-1 (1-bit hamming) candidates per query
+  private val CAS_C2 = 8 // stage-2 (int8 approx-dot) survivors per query
+
+  /** THREE-STAGE ANN CASCADE (r13 — the production retrieval shape:
+    * each stage reads less precision over more vectors and hands a
+    * shrinking candidate set to a costlier scorer):
+    *   1. 1-bit binary-quantization hamming scan (8 bytes/vector, the
+    *      [[simBqHamming]] coarse device) → top-[[CAS_C1]];
+    *   2. int8 scalar-quantized approximate dot (the [[simSqInt8]]
+    *      dequant kernel against the staged per-dim stats) over ONLY
+    *      those candidates → top-[[CAS_C2]];
+    *   3. exact full-precision cosine re-rank → top-3.
+    * Bandwidth economics at 100 TB: stage 1 touches 64 bits/vector
+    * corpus-wide, stage 2 touches CAS_C1 vectors/query, stage 3
+    * CAS_C2 — full-precision floats are read for a constant number of
+    * rows per query no matter the corpus. Every stage ranks through
+    * the bounded TopK partial aggregator on rounded keys with vec_id
+    * tie-breaks (total order), so the DuckDB oracle replays all three
+    * stages bit-for-bit. */
+  def simAnnCascade: Q = (s, dir) => {
+    val emb = withVec(t(s, dir, "embeddings")).cache() // codes + dq + exact
+    val codes = bqCodes(emb)
+    val q = codes.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("code_lo").as("qlo"),
+        col("code_hi").as("qhi"), col("v").as("qv"), col("nrm").as("qn"))
+    val st1 = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("ham",
+        expr("bit_count(code_lo ^ qlo) + bit_count(code_hi ^ qhi)").cast(DoubleType))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topk(CAS_C1)(
+        -col("ham"), col("vec_id"), col("ham")).as("cand"))
+      .select(col("query_id"), explode(expr("transform(cand, e -> e._2)")).as("vec_id"))
+    val stats = stagedSqStats(s, dir)
+    val st2 = st1
+      .join(emb.select("vec_id", "v"), "vec_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorExpressions.sq_dequant(
+          col("v"), col("mns"), col("mxs")).as("dq"))
+      .join(broadcast(q.select("query_id", "qv")), "query_id")
+      .withColumn("approx", vec_dot(col("qv"), col("dq")))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topk(CAS_C2)(
+        round(col("approx"), 9), col("vec_id"), round(col("approx"), 6)).as("cand"))
+      .select(col("query_id"), explode(expr("transform(cand, e -> e._2)")).as("vec_id"))
+    st2
+      .join(emb.select("vec_id", "v", "nrm"), "vec_id")
+      .join(broadcast(q.select("query_id", "qv", "qn")), "query_id")
+      .withColumn("cos", vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topk(3)(
+        round(col("cos"), 9), col("vec_id"), round(col("cos"), 6)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("neighbor_id"),
+        col("e._3").as("cos_sim"), (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
+  val simAnnCascadeSql: String = {
+    def codeSql(lo: Boolean): String =
+      (if (lo) 0 until 32 else 32 until 64).map { d =>
+        s"CASE WHEN CAST(embedding[${d + 1}] AS DOUBLE) >= 0 " +
+          s"THEN CAST(${1L << (if (lo) d else d - 32)} AS BIGINT) ELSE 0 END"
+      }.mkString(" + ")
+    val ham = "bit_count(xor(e.lo, qa.lo)) + bit_count(xor(e.hi, qa.hi))"
+    val exactDot =
+      s"list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(qa.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))"
+    s"""WITH qa AS (SELECT vec_id, embedding, ${codeSql(true)} AS lo,
+       |              ${codeSql(false)} AS hi, $normSqlDuck AS nrm
+       |            FROM embeddings WHERE vec_id < $NQUERIES),
+       |e AS (SELECT vec_id, embedding, ${codeSql(true)} AS lo,
+       |        ${codeSql(false)} AS hi, $normSqlDuck AS nrm
+       |      FROM embeddings),
+       |c1 AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT qa.vec_id AS query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY qa.vec_id
+       |        ORDER BY $ham ASC, e.vec_id) AS crank
+       |    FROM qa JOIN e ON e.vec_id <> qa.vec_id)
+       |  WHERE crank <= $CAS_C1),
+       |stats AS (
+       |  SELECT pos, MIN(CAST(embedding[pos] AS DOUBLE)) AS mn, MAX(CAST(embedding[pos] AS DOUBLE)) AS mx
+       |  FROM e CROSS JOIN generate_series(1, $DIMS) t(pos) GROUP BY pos),
+       |st AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM stats),
+       |dq AS (
+       |  SELECT c1.query_id, c1.vec_id, list_transform(generate_series(1, $DIMS), i ->
+       |    mns[i] + (CASE WHEN mxs[i] > mns[i]
+       |      THEN least(floor((CAST(x.embedding[i] AS DOUBLE) - mns[i]) / (mxs[i] - mns[i]) * 256.0), 255.0)
+       |      ELSE 0.0 END + 0.5) * (mxs[i] - mns[i]) / 256.0) AS dq
+       |  FROM c1 JOIN e x ON x.vec_id = c1.vec_id CROSS JOIN st),
+       |c2 AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT d.query_id, d.vec_id,
+       |      row_number() OVER (PARTITION BY d.query_id
+       |        ORDER BY round(list_sum(list_transform(generate_series(1, $DIMS), i -> CAST(qa.embedding[i] AS DOUBLE) * d.dq[i])), 9) DESC,
+       |          d.vec_id) AS arn
+       |    FROM dq d JOIN qa ON qa.vec_id = d.query_id)
+       |  WHERE arn <= $CAS_C2),
+       |scored AS (
+       |  SELECT c2.query_id, c2.vec_id AS neighbor_id,
+       |    round($exactDot / (qa.nrm * x.nrm), 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY c2.query_id
+       |      ORDER BY round($exactDot / (qa.nrm * x.nrm), 9) DESC, c2.vec_id) AS rank
+       |  FROM c2
+       |  JOIN qa ON qa.vec_id = c2.query_id
+       |  JOIN e x ON x.vec_id = c2.vec_id)
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+       |FROM scored WHERE rank <= 3""".stripMargin
+  }
+
   /** LSH-bucketed approximate top-3: queries only score vectors in
     * their own sign bucket. */
   def simLshBucketed: Q = (s, dir) => {
@@ -1023,11 +1132,12 @@ object Similarity {
     * quantize, dequantize, and scoring are all map-side; candidate
     * selection is the bounded TopK aggregate. floor-based bucketing
     * (not round) keeps the arithmetic identical across engines. */
-  def simSqInt8: Q = (s, dir) => {
-    val emb = withVec(t(s, dir, "embeddings")).cache() // scan + re-rank
-    // per-dim min/max stats are an index-build artifact like the IVF
-    // quantizers — trained once per session, not per query
-    val statsRow = stagedTable(s, dir, "sq_stats") {
+  // per-dim min/max stats are an index-build artifact like the IVF
+  // quantizers — trained once per session, not per query (shared by
+  // simSqInt8 and the r13 three-stage cascade; registered for the
+  // bench prestage pass)
+  private def stagedSqStats(s: SparkSession, dir: String): DataFrame =
+    stagedTable(s, dir, "sq_stats") {
       withVec(t(s, dir, "embeddings"))
         .select(posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
@@ -1035,6 +1145,11 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(pos, mn))), p -> p.mn)").as("mns"),
           expr("transform(array_sort(collect_list(struct(pos, mx))), p -> p.mx)").as("mxs"))
     }
+  Staged.register("sq_stats")((s, dir) => { stagedSqStats(s, dir); () })
+
+  def simSqInt8: Q = (s, dir) => {
+    val emb = withVec(t(s, dir, "embeddings")).cache() // scan + re-rank
+    val statsRow = stagedSqStats(s, dir)
     // encode+dequantize in ONE fused codegen loop per row (the
     // [[graft.functions.VectorExpressions.SqDequant]] kernel) — the
     // interpreted higher-order-transform formulation spent the whole
@@ -1654,6 +1769,7 @@ object Similarity {
     "sim_topk_bruteforce" -> simTopKBruteforce,
     "sim_matryoshka_topk" -> simMatryoshkaTopk,
     "sim_bq_hamming" -> simBqHamming,
+    "sim_ann_cascade" -> simAnnCascade,
     "sim_mmr" -> simMmr,
     "sim_filtered_topk" -> simFilteredTopk,
     "sim_from_binary" -> simFromBinary,
@@ -1679,6 +1795,7 @@ object Similarity {
     "sim_topk_bruteforce" -> simTopKBruteforceSql,
     "sim_matryoshka_topk" -> simMatryoshkaTopkSql,
     "sim_bq_hamming" -> simBqHammingSql,
+    "sim_ann_cascade" -> simAnnCascadeSql,
     "sim_mmr" -> simMmrSql,
     "sim_filtered_topk" -> simFilteredTopkSql,
     "sim_from_binary" -> simTopKBruteforceSql,
