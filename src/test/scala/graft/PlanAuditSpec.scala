@@ -362,6 +362,41 @@ class PlanAuditSpec extends AnyFunSuite {
       "per-cell cut/size tables must broadcast back to the corpus")
   }
 
+  test("ANN cascade ranks all three stages via bounded TopK partial aggregates") {
+    val p = planOf("sim_ann_cascade")
+    val topks = "partial_topkaggregator".r.findAllIn(p).size
+    assert(topks >= 3, s"expected 3 bounded TopK stages, found $topks")
+    assert(p.contains("BroadcastHashJoin"), "query/stats sides not broadcast")
+    assert(!p.contains("row_number"), "a cascade stage regressed to a window rank")
+  }
+
+  test("chunker plans zero exchanges — entirely map-side") {
+    val p = planOf("pipeline_chunk_overlap")
+    assert(!p.contains("Exchange"),
+      s"chunking must not shuffle:\n${p.take(600)}")
+  }
+
+  test("tfidf top-k has no window; per-doc selection is a bounded collect") {
+    val p = planOf("text_tfidf_topk")
+    assert(!p.contains("Window"),
+      "per-doc top-k regressed to a corpus window partition")
+    assert(p.contains("partial_"), "tf/df passes lost partial aggregation")
+  }
+
+  test("degree histogram and explain ledger never window") {
+    Seq("dedup_degree_hist", "dedup_explain").foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("Window"), s"$name plans a window")
+      assert(p.contains("partial_"), s"$name lost partial aggregation")
+    }
+  }
+
+  test("moment sketch partial-aggregates its power sums map-side") {
+    val p = planOf("sketch_moments")
+    assert(p.contains("partial_"), "power sums reach the shuffle un-aggregated")
+    assert(!p.contains("Window"))
+  }
+
   test("bloom FPR keeps the bit array broadcast-joined") {
     // the position set is m-bounded (<=65536 rows) — the probe-side
     // membership check must be a broadcast, never a shuffle of probes

@@ -171,6 +171,93 @@ class Round13Spec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("split"), e.getMessage)
   }
 
+  // ---- batch-2 laws --------------------------------------------------
+
+  test("ANN cascade emits dense top-3 per query with descending cosine") {
+    val rows = SparkEntry.queries("sim_ann_cascade")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L), s"query $q ranks")
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(byRank.sliding(2).forall { case Array(a, b) => a >= b }, s"query $q order")
+    }
+  }
+
+  test("moment sketch agrees with Spark's own skewness/kurtosis aggregates") {
+    val got = SparkEntry.queries("sketch_moments")(spark, sf)
+      .orderBy("lang").collect()
+    val want = Tables.t(spark, sf, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), avg(col("n_chars")).as("mean"),
+        var_pop(col("n_chars")).as("v"),
+        skewness(col("n_chars")).as("sk"), kurtosis(col("n_chars")).as("ku"))
+      .orderBy("lang").collect()
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getAs[Long]("n_docs") == w.getAs[Long]("n"))
+      def close(a: Double, b: Double, tol: Double) = math.abs(a - b) <= tol * math.max(1.0, math.abs(b))
+      assert(close(g.getAs[Double]("mean_len"), w.getAs[Double]("mean"), 1e-6))
+      assert(close(g.getAs[Double]("var_len"), w.getAs[Double]("v"), 1e-6))
+      assert(close(g.getAs[Double]("skew"), w.getAs[Double]("sk"), 1e-4))
+      assert(close(g.getAs[Double]("kurt_excess"), w.getAs[Double]("ku"), 1e-4))
+    }
+  }
+
+  test("grid pyramid conserves element counts at every level") {
+    val rows = SparkEntry.queries("grid_pyramid")(spark, sf).collect()
+    val total = Tables.t(spark, sf, "lineitem").count()
+    rows.groupBy(_.getAs[Long]("level")).foreach { case (lvl, rs) =>
+      assert(rs.map(_.getAs[Long]("n")).sum == total, s"level $lvl loses elements")
+      val expectBlocks = (total + lvl - 1) / lvl
+      assert(rs.length == expectBlocks, s"level $lvl block count")
+    }
+  }
+
+  test("chunker covers every token; adjacent chunks overlap by exactly 16") {
+    val docs = Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id", "size(filter(split(text, ' '), w -> w != '')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SparkEntry.queries("pipeline_chunk_overlap")(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (d, rs) =>
+      val n = docs(d)
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_id"))
+      // coverage: first starts at 1, last ends at n, steps are the stride
+      assert(sorted.head.getAs[Long]("start_tok") == 1L)
+      val last = sorted.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("n_tokens") - 1 == n.toLong,
+        s"doc $d: last chunk does not reach token $n")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_tok") - a.getAs[Long]("start_tok") == 48L)
+          // overlap = a_end − b_start + 1 = 64 − 48 = 16 for full windows
+          assert(a.getAs[Long]("n_tokens") == 64L, s"doc $d: non-final chunk short")
+        case _ =>
+      }
+    }
+  }
+
+  test("HLL intersection estimate lands in a sane band around the exact overlap") {
+    val r = SparkEntry.queries("sketch_hll_intersect")(spark, sf).collect().head
+    val exact = r.getAs[Long]("exact_intersect")
+    assert(r.getAs[Double]("est_a") > 0 && r.getAs[Double]("est_b") > 0)
+    assert(r.getAs[Double]("est_union") >=
+      math.max(r.getAs[Double]("est_a"), r.getAs[Double]("est_b")) * 0.7)
+    if (exact > 50)
+      assert(math.abs(r.getAs[Double]("est_intersect") - exact) <= 0.8 * exact,
+        s"est ${r.getAs[Double]("est_intersect")} vs exact $exact")
+  }
+
+  test("dedup explain: every dropped doc is explained, none self-explains") {
+    val rows = SparkEntry.queries("dedup_explain")(spark, sf).collect()
+    val dropped = SparkEntry.queries("dedup_clusters")(spark, sf)
+      .filter(col("doc_id") =!= col("canonical_id")).count()
+    assert(rows.length.toLong == dropped, "explain ledger row count != dropped docs")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") != r.getAs[Long]("best_partner"))
+      assert(r.getAs[Long]("n_partners") >= 1L)
+      assert(r.getAs[Double]("best_jaccard") >= 0.4 - 1e-9) // LSH verify bar
+    }
+  }
+
   // ---- q39 all-accounts decile ranking ------------------------------
 
   test("ntile segmentation ranks EVERY customer, zero-spend in the bottom") {
