@@ -107,6 +107,40 @@ object StreamBench {
     // warmup: JIT the streaming machinery on a tiny one-shot drain
     run("warmup", "append", df => df.select(col("user_id"), col("event_id")))
 
+    /** The r13 foreachBatch scorer shape (stream_dsir /
+      * stream_nb_classifier / stream_tfidf_topk): per-batch partial
+      * aggregation landing in a distributed parquet sink — the
+      * de-funneled drain. Stateless between batches; the sustained
+      * question is whether the per-batch agg+write holds a rate. */
+    def runFb(name: String): (String, String) = {
+      val sink = s"$root/fb_$name"
+      val q = stream
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy("user_id")
+            .agg(count(lit(1)).as("c"), sum(col("value")).as("s"))
+            .write.mode("append").parquet(sink)
+        }
+        .option("checkpointLocation", s"$root/ck_$name")
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      val prog = q.recentProgress.filter(_.numInputRows > 0)
+      q.stop()
+      val lat = prog.map(_.durationMs.get("triggerExecution").toLong.toDouble).sorted
+      val rows = prog.map(_.numInputRows).sum
+      def pct(p: Double) = lat(math.min(lat.length - 1, (p * lat.length).toInt))
+      val ordered = prog.map(_.durationMs.get("triggerExecution").toLong.toDouble)
+      val ramp = if (ordered.length >= 6)
+        ordered.takeRight(3).sum / math.max(1.0, ordered.take(3).sum)
+      else 1.0
+      val total = ordered.sum / 1000.0
+      (name,
+        s""""$name":{"batches":${lat.length},"p50_ms":${js(pct(0.5))},""" +
+        s""""p95_ms":${js(pct(0.95))},"max_ms":${js(lat.last)},""" +
+        s""""last3_over_first3":${js(ramp)},"rows":$rows,""" +
+        s""""rows_per_sec":${js(rows / math.max(0.001, total))}}""")
+    }
+
     val shapes = Seq(
       run("window_agg", "complete", df => graft.streaming.Streams.windowAgg(df)),
       run("sessionize", "append", { df =>
@@ -115,7 +149,8 @@ object StreamBench {
             expr("unix_micros(ts)").as("us"), col("ts"))
             .as[graft.streaming.Streams.Ev]).toDF()
       }),
-      run("interval_join", "append", df => graft.streaming.Streams.intervalJoin(df)))
+      run("interval_join", "append", df => graft.streaming.Streams.intervalJoin(df)),
+      runFb("fb_scorer"))
 
     println(s"""{"metric":"stream_bench","unit":"ms","sf":"$sfDir",""" +
       s""""batches":$NB,"events":$n,""" +
