@@ -25,16 +25,33 @@ private[graft] object StreamStage {
 
   /** Stage `dir/fileName` into a scratch dir, run `drain(stageDir)`
     * (which must BLOCK until the stream is done with the files —
-    * processAllAvailable + stop), then delete the scratch dir. */
+    * processAllAvailable + stop), then delete the scratch dir.
+    *
+    * A directory-style input (a Spark-written `.parquet` DIRECTORY of
+    * part files — the synthesized 10×/100× bench dirs) FLATTENS: its
+    * data files copy directly into the scratch root, because the file
+    * stream source does not recurse into non-partition subdirectories
+    * — staging the directory one level down made the source list ZERO
+    * files, and the memory-sink drains of r8–r12 timed an EMPTY
+    * stream at 10× without any error (found in r13 when the
+    * loud parquet sinks hit PATH_NOT_FOUND instead). */
   def withStaged[T](s: SparkSession, tag: String, dir: String, fileName: String)
       (drain: String => T): T = {
     val stageDir = s"${System.getProperty("java.io.tmpdir")}/graft_stage/" +
       s"${s.sparkContext.applicationId}/$tag/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
     val hconf = s.sparkContext.hadoopConfiguration
-    val dst = new Path(stageDir, fileName)
-    val fs = dst.getFileSystem(hconf)
+    val src = new Path(s"$dir/$fileName")
+    val fs = src.getFileSystem(hconf)
     fs.mkdirs(new Path(stageDir))
-    FileUtil.copy(fs, new Path(s"$dir/$fileName"), fs, dst, false, true, hconf)
+    if (fs.getFileStatus(src).isDirectory) {
+      fs.listStatus(src).filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        .foreach { st =>
+          FileUtil.copy(fs, st.getPath, fs,
+            new Path(stageDir, st.getPath.getName), false, true, hconf)
+        }
+    } else {
+      FileUtil.copy(fs, src, fs, new Path(stageDir, fileName), false, true, hconf)
+    }
     try drain(stageDir)
     finally fs.delete(new Path(stageDir), true)
   }

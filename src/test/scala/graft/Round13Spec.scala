@@ -258,6 +258,26 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("file-stream staging flattens directory-style inputs (the 10x-shape corpus)") {
+    // the synthesized 10x/100x bench dirs hold documents.parquet as a
+    // DIRECTORY of part files; the file stream source does not recurse
+    // into non-partition subdirectories, so r8-r12's staging listed
+    // ZERO files there and the memory-sink drains timed an empty
+    // stream without any error. The flatten fix stages the part files
+    // into the scratch root; this pins stream == batch on exactly that
+    // input shape.
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dirstage"
+    Tables.t(spark, sf, "documents")
+      .repartition(3).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def rows(key: String) = SparkEntry.queries(key)(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[String]("chunk"))).sorted.toSeq
+    val batch = rows("pipeline_chunk_overlap")
+    assert(batch.nonEmpty)
+    assert(rows("stream_chunk_docs") == batch,
+      "streamed chunks diverge from batch on a directory-style corpus")
+  }
+
   // ---- q39 all-accounts decile ranking ------------------------------
 
   test("ntile segmentation ranks EVERY customer, zero-spend in the bottom") {
