@@ -51,7 +51,10 @@ object ShuffleAudit {
     "dedup_minhash_topm", "pipeline_keep_list",
     // r13 (r12 verdict #3): the worst 10x wall entry — organic growth
     // decides whether 7.04x was clone density or the engine
-    "dedup_incremental")
+    "dedup_incremental",
+    // r13: the escalation verifier tops the honest 10x table (7.9x on
+    // replicas — pair-table size is clone-density-driven by design)
+    "dedup_editdist_full")
 
   def main(args: Array[String]): Unit = {
     val organic = args.contains("organic")
