@@ -35,7 +35,10 @@ object ShuffleAudit {
     // r13: the de-windowed proto-prune must move ~linear bytes (r12
     // verdict #1 'done' criterion), and the worst 10x wall entry gets
     // its byte-level reading (r12 verdict #3)
-    "pipeline_proto_prune", "dedup_incremental", "dedup_editdist_full")
+    "pipeline_proto_prune", "dedup_incremental", "dedup_editdist_full",
+    // r14 (r13 verdict #6): the r13 10x-table top entry, now single-
+    // corpus-scan via the staged tf table
+    "text_tfidf_topk")
 
   /** `organic` mode: the rows the replica audit flags super-linear —
     * near-dup edge sets and posting lists, which clone-dense replicas
@@ -54,7 +57,10 @@ object ShuffleAudit {
     "dedup_incremental",
     // r13: the escalation verifier tops the honest 10x table (7.9x on
     // replicas — pair-table size is clone-density-driven by design)
-    "dedup_editdist_full")
+    "dedup_editdist_full",
+    // r14 (r13 verdict #6): tfidf's replica ratio tracks df growth in
+    // clone-dense data; organic growth measures the engine's own rate
+    "text_tfidf_topk")
 
   def main(args: Array[String]): Unit = {
     val organic = args.contains("organic")
@@ -68,6 +74,15 @@ object ShuffleAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // r14 (r13 verdict #1): pin BOTH audit legs to the same join
+      // strategy family. Size-triggered auto-broadcast flips made the
+      // small-leg denominator incomparable (r13's dedup_incremental
+      // organic row read 32x only because AQE broadcast a corpus-sized
+      // side at sf0.1 — legal there, impossible at corpus scale).
+      // Explicit broadcast() hints — the engine's DELIBERATE bounded-
+      // dict broadcasts — are unaffected by these thresholds.
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (!new java.io.File(s"$bigDir/documents.parquet").exists()) {
@@ -106,9 +121,16 @@ object ShuffleAudit {
       val (in10, sh10) = measure(k, bigDir)
       val shr = if (sh1 > 0) sh10.toDouble / sh1 else -1.0
       val inr = if (in1 > 0) in10.toDouble / in1 else -1.0
+      // per-input byte RATES (r14, r13 verdict #1): the self-defending
+      // columns — a row is linear iff the two rates match, regardless
+      // of what the raw ratio reads on a tiny denominator
+      val rate1 = if (in1 > 0) sh1.toDouble / in1 else -1.0
+      val rate10 = if (in10 > 0) sh10.toDouble / in10 else -1.0
       f""""$k":{"sf01_input_b":$in1,"sf01_shuffle_b":$sh1,""" +
         f""""x10_input_b":$in10,"x10_shuffle_b":$sh10,""" +
-        f""""input_ratio":$inr%.2f,"shuffle_ratio":$shr%.2f}"""
+        f""""input_ratio":$inr%.2f,"shuffle_ratio":$shr%.2f,""" +
+        f""""sf01_shuffle_b_per_input_b":$rate1%.4f,""" +
+        f""""x10_shuffle_b_per_input_b":$rate10%.4f}"""
     }
     val mode = if (organic) "organic" else "replicated"
     val json = s"""{"metric":"shuffle_audit","input":"10x $mode $srcDir",""" +

@@ -63,7 +63,8 @@ object SparkEntry {
       graft.operators.CorpusStats.queries ++
       graft.operators.Moments.queries ++
       graft.operators.Chunker.queries ++
-      graft.operators.TfIdf.queries
+      graft.operators.TfIdf.queries ++
+      graft.operators.UniText.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -117,5 +118,6 @@ object SparkEntry {
       graft.operators.CorpusStats.oracles ++
       graft.operators.Moments.oracles ++
       graft.operators.Chunker.oracles ++
-      graft.operators.TfIdf.oracles
+      graft.operators.TfIdf.oracles ++
+      graft.operators.UniText.oracles
 }

@@ -87,6 +87,12 @@ object StreamBench {
       q.processAllAvailable()
       val prog = q.recentProgress.filter(_.numInputRows > 0)
       q.stop()
+      // r14 (r13 ADVICE): a drain that reports NO input-bearing
+      // progress entries (overwritten ring buffer, empty staging dir)
+      // must mark the shape failed, not die indexing an empty latency
+      // array — the bench's failed-query discipline.
+      if (prog.isEmpty)
+        return (name, s""""$name":{"error":"no input-bearing progress entries"}""")
       val lat = prog.map(_.durationMs.get("triggerExecution").toLong.toDouble).sorted
       val rows = prog.map(_.numInputRows).sum
       def pct(p: Double) = lat(math.min(lat.length - 1, (p * lat.length).toInt))
@@ -126,6 +132,12 @@ object StreamBench {
       q.processAllAvailable()
       val prog = q.recentProgress.filter(_.numInputRows > 0)
       q.stop()
+      // r14 (r13 ADVICE): a drain that reports NO input-bearing
+      // progress entries (overwritten ring buffer, empty staging dir)
+      // must mark the shape failed, not die indexing an empty latency
+      // array — the bench's failed-query discipline.
+      if (prog.isEmpty)
+        return (name, s""""$name":{"error":"no input-bearing progress entries"}""")
       val lat = prog.map(_.durationMs.get("triggerExecution").toLong.toDouble).sorted
       val rows = prog.map(_.numInputRows).sum
       def pct(p: Double) = lat(math.min(lat.length - 1, (p * lat.length).toInt))

@@ -42,7 +42,49 @@ object TarCodec {
     require(x == 0, s"octal field overflow: $v in width $width")
   }
 
-  /** Render one ustar archive from (name, data) entries. */
+  /** One 512-byte header + 512-padded payload. `nameField` fills the
+    * 100-byte name slot; `prefix` (may be empty) the 155-byte POSIX
+    * prefix slot at 345. */
+  private def writeMember(bos: java.io.ByteArrayOutputStream, nameField: Array[Byte],
+      prefix: Array[Byte], typeflag: Byte, data: Array[Byte]): Unit = {
+    val hdr = new Array[Byte](BLOCK)
+    System.arraycopy(nameField, 0, hdr, 0, nameField.length)
+    System.arraycopy(prefix, 0, hdr, 345, prefix.length)
+    putOctal(hdr, 100, 8, 0x1a4) // mode 0644
+    putOctal(hdr, 108, 8, 0) // uid
+    putOctal(hdr, 116, 8, 0) // gid
+    putOctal(hdr, 124, 12, data.length.toLong)
+    putOctal(hdr, 136, 12, 0) // mtime: fixed for determinism
+    java.util.Arrays.fill(hdr, 148, 156, ' '.toByte) // chksum blank
+    hdr(156) = typeflag
+    System.arraycopy("ustar".getBytes("ASCII"), 0, hdr, 257, 5)
+    hdr(263) = '0'; hdr(264) = '0' // version
+    var sum = 0L
+    var j = 0
+    while (j < BLOCK) { sum += hdr(j) & 0xff; j += 1 }
+    putOctal(hdr, 148, 7, sum) // 6 digits + NUL...
+    hdr(155) = ' ' // ...+ space, the historical chksum framing
+    bos.write(hdr)
+    bos.write(data)
+    val padN = (pad(data.length.toLong) - data.length).toInt
+    var k = 0
+    while (k < padN) { bos.write(0); k += 1 }
+  }
+
+  private val emptyPrefix = new Array[Byte](0)
+  private val longLinkName = "././@LongLink".getBytes("ASCII")
+
+  /** Render one ustar archive from (name, data) entries.
+    *
+    * Name encoding ladder, most-portable first (r14, r13 verdict #8):
+    * <= 100 bytes inline; 101-255 bytes with a '/' on the legal
+    * boundary via the POSIX prefix split (pure ustar, reads anywhere);
+    * otherwise a GNU type-'L' "././@LongLink" member carries the full
+    * NUL-terminated path and the real header gets the first 100 bytes
+    * — the encoding GNU/BSD tar and every WebDataset loader read, so
+    * re-sharding wild archives with deep key paths roundtrips instead
+    * of rejecting. Determinism holds: the ladder depends only on the
+    * name bytes. */
   def pack(entries: ArrayData): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     var i = 0
@@ -50,11 +92,9 @@ object TarCodec {
       val row = entries.getStruct(i, 2)
       val nameB = row.getUTF8String(0).getBytes
       val data = row.getBinary(1)
-      require(nameB.length > 0 && nameB.length <= 255,
-        s"tar member name length ${nameB.length} outside [1, 255]")
-      val hdr = new Array[Byte](BLOCK)
+      require(nameB.length > 0, "empty tar member name")
       if (nameB.length <= 100) {
-        System.arraycopy(nameB, 0, hdr, 0, nameB.length)
+        writeMember(bos, nameB, emptyPrefix, '0', data)
       } else {
         // POSIX ustar prefix split: full path = prefix + '/' + name,
         // prefix <= 155 bytes (header offset 345), name <= 100 bytes.
@@ -62,33 +102,21 @@ object TarCodec {
         // the name part longest and is deterministic. Real WebDataset
         // member keys (URL-derived ids) exceed 100 chars routinely.
         var cut = -1
-        var j = math.max(nameB.length - 101, 1)
-        val hi = math.min(155, nameB.length - 2)
-        while (cut < 0 && j <= hi) { if (nameB(j) == '/') cut = j; j += 1 }
-        require(cut > 0, s"tar member name of ${nameB.length} bytes has no '/' " +
-          "split into prefix(<=155) + name(<=100)")
-        System.arraycopy(nameB, cut + 1, hdr, 0, nameB.length - cut - 1)
-        System.arraycopy(nameB, 0, hdr, 345, cut)
+        if (nameB.length <= 255) {
+          var j = math.max(nameB.length - 101, 1)
+          val hi = math.min(155, nameB.length - 2)
+          while (cut < 0 && j <= hi) { if (nameB(j) == '/') cut = j; j += 1 }
+        }
+        if (cut > 0) {
+          writeMember(bos, java.util.Arrays.copyOfRange(nameB, cut + 1, nameB.length),
+            java.util.Arrays.copyOfRange(nameB, 0, cut), '0', data)
+        } else {
+          // no legal ustar split: GNU long-name escape
+          writeMember(bos, longLinkName, emptyPrefix, 'L',
+            java.util.Arrays.copyOf(nameB, nameB.length + 1)) // + trailing NUL
+          writeMember(bos, java.util.Arrays.copyOf(nameB, 100), emptyPrefix, '0', data)
+        }
       }
-      putOctal(hdr, 100, 8, 0x1a4) // mode 0644
-      putOctal(hdr, 108, 8, 0) // uid
-      putOctal(hdr, 116, 8, 0) // gid
-      putOctal(hdr, 124, 12, data.length.toLong)
-      putOctal(hdr, 136, 12, 0) // mtime: fixed for determinism
-      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte) // chksum blank
-      hdr(156) = '0' // typeflag: regular file
-      System.arraycopy("ustar".getBytes("ASCII"), 0, hdr, 257, 5)
-      hdr(263) = '0'; hdr(264) = '0' // version
-      var sum = 0L
-      var j = 0
-      while (j < BLOCK) { sum += hdr(j) & 0xff; j += 1 }
-      putOctal(hdr, 148, 7, sum) // 6 digits + NUL...
-      hdr(155) = ' ' // ...+ space, the historical chksum framing
-      bos.write(hdr)
-      bos.write(data)
-      val padN = (pad(data.length.toLong) - data.length).toInt
-      var k = 0
-      while (k < padN) { bos.write(0); k += 1 }
       i += 1
     }
     bos.write(new Array[Byte](2 * BLOCK)) // end-of-archive
@@ -102,14 +130,15 @@ object TarCodec {
     * encodings real tools emit past ustar's 255-byte/split limits —
     *  - GNU type-'L' ("././@LongLink"): the payload is the NEXT
     *    member's full path, NUL-terminated;
+    *  - GNU type-'K': the next member's long LINK TARGET — consumed,
+    *    not a data member (r14; link targets aren't surfaced);
     *  - PAX type-'x' extended headers: "len key=value\n" records whose
     *    `path` key overrides the next member's name (other keys are
     *    metadata we don't surface and safely skip).
     * A PAX GLOBAL header (type 'g') carrying `path` stays a LOUD
     * reject — a global name override is ambiguous for a member table.
-    * The WRITER still refuses unsplittable >ustar paths loudly:
-    * accepting wild inputs is compatibility, emitting them is a format
-    * decision this codec doesn't silently make. */
+    * The WRITER emits type-'L' for beyond-ustar paths (r14) so
+    * re-sharding wild archives roundtrips; it never emits PAX. */
   def members(bytes: Array[Byte]): ArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     var off = 0
@@ -146,6 +175,14 @@ object TarCodec {
             var end = size.toInt
             while (end > 0 && bytes(off + BLOCK + end - 1) == 0) end -= 1
             pendingName = new String(bytes, off + BLOCK, end, "UTF-8")
+          case 'K' =>
+            // GNU long LINKNAME: payload is the next member's link
+            // target. The member table doesn't surface link targets,
+            // so the record is consumed (never emitted as a bogus
+            // "././@LongLink" data member) and the next header parses
+            // normally. r14 (r13 ADVICE): previously fell into the
+            // default branch — a silent misparse.
+            ()
           case 'x' | 'g' =>
             val path = paxPath(bytes, off + BLOCK, size.toInt)
             if (typeflag == 'g' && path != null)

@@ -27,7 +27,7 @@ object Chunker {
   private val W = 64 // tokens per chunk
   private val S = 48 // stride (W - S = 16 tokens of overlap)
 
-  private def chunks(docs: DataFrame): DataFrame =
+  private[graft] def chunks(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), expr("filter(split(text, ' '), w -> w != '')").as("ws"))
       .withColumn("n", size(col("ws")))

@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * per group, five integers, mergeable by addition across shards,
   * partial-aggregating map-side like any sum. The moments finish on
   * the group-count-sized result. Cross-engine exactness: every power
-  * is computed on BIGINT lengths and summed in DECIMAL(38,0) /
-  * HUGEINT (order-free), and the double-precision finishing runs the
+  * is WIDENED BEFORE the first multiply (the first factor is cast to
+  * DECIMAL(38,0) / HUGEINT, so x^2..x^4 never pass through 64-bit —
+  * a BIGINT x^3 would silently wrap past n_chars ≈ 2.1M under
+  * non-ANSI Spark while DuckDB raised, diverging the engines) and
+  * summed in DECIMAL(38,0) / HUGEINT (order-free), and the
+  * double-precision finishing runs the
   * IDENTICAL expression text in both engines (one exact
   * integer→double cast per sum, then the same IEEE arithmetic), so
   * the rounded outputs gate bit-for-bit.
@@ -60,9 +64,9 @@ object Moments {
       .groupBy("lang")
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(x AS DECIMAL(38,0))")).as("s1"),
-        sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("s2"),
-        sum(expr("CAST(x * x * x AS DECIMAL(38,0))")).as("s3"),
-        sum(expr("CAST(x * x * x * x AS DECIMAL(38,0))")).as("s4"))
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("s2"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x * x")).as("s3"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x * x * x")).as("s4"))
 
   def sketchMoments: Q = (s, dir) => finish(sums(t(s, dir, "documents")))
 
@@ -83,9 +87,9 @@ object Moments {
     s"""WITH sums AS (
        |  SELECT lang, COUNT(*) AS n,
        |    SUM(CAST(n_chars AS HUGEINT)) AS s1,
-       |    SUM(CAST(n_chars * n_chars AS HUGEINT)) AS s2,
-       |    SUM(CAST(n_chars * n_chars * n_chars AS HUGEINT)) AS s3,
-       |    SUM(CAST(n_chars * n_chars * n_chars * n_chars AS HUGEINT)) AS s4
+       |    SUM(CAST(n_chars AS HUGEINT) * n_chars) AS s2,
+       |    SUM(CAST(n_chars AS HUGEINT) * n_chars * n_chars) AS s3,
+       |    SUM(CAST(n_chars AS HUGEINT) * n_chars * n_chars * n_chars) AS s4
        |  FROM documents GROUP BY lang),
        |d AS (
        |  SELECT lang, CAST(n AS BIGINT) AS n_docs, CAST(n AS DOUBLE) AS n,

@@ -78,9 +78,24 @@ object Staged {
         latch.countDown()
       }
     } else {
-      prev.await()
-      // the builder we waited on failed and removed itself: retry
-      if (!done.containsKey(key)) ensure(key)(build)
+      // r14 (r13 ADVICE): after awaiting, a bare containsKey check
+      // raced — if the awaited builder FAILED and a third caller had
+      // already installed a NEW in-flight latch, containsKey was true
+      // and we returned while the artifact was still half-written.
+      // Follow the latch chain instead: only a latch that is BOTH
+      // open AND still the map's resident entry proves a successful
+      // build survived.
+      var cur = prev
+      var settled = false
+      while (!settled) {
+        cur.await()
+        done.get(key) match {
+          case null => settled = true // failed + not yet retried: we retry
+          case same if same eq cur => return // our awaited build succeeded
+          case next => cur = next // a retry is in flight: await it too
+        }
+      }
+      ensure(key)(build)
     }
   }
 }

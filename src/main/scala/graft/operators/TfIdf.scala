@@ -25,19 +25,29 @@ object TfIdf {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val TOPK = 5
+  private[operators] val TOPK = 5
 
   private def tf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(expr("filter(split(lower(text), ' '), w -> w != '')")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
 
+  /** The (doc, term, tf) table — staged ONCE per corpus (r14, r13
+    * verdict #2: scoring and the idf dict each re-tokenized the
+    * corpus, two full scans+aggregations where one serves both).
+    * Corpus-row-sized, so it keeps its natural partitioning. */
+  private def stagedTf(s: SparkSession, dir: String): DataFrame =
+    Staged.table(s, dir, "tfidf_tf", coalesce = false)(tf(t(s, dir, "documents")))
+  Staged.register("tfidf_tf")((s, dir) => { stagedTf(s, dir); () })
+
   /** The vocab-sized idf dictionary in integer micro-nats — an
-    * index-build artifact for the stream twin (staged + registered). */
+    * index-build artifact for the stream twin (staged + registered),
+    * derived from the staged tf table (no second tokenize pass). */
   private def idfDict(s: SparkSession, dir: String): DataFrame = {
-    val tfs = tf(t(s, dir, "documents"))
+    // n_docs reads parquet row-group counts only (column-pruned
+    // count-star), not a second tokenize of the corpus
     val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
-    tfs.groupBy("w").agg(count(lit(1)).as("df"))
+    stagedTf(s, dir).groupBy("w").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
       .select(col("w"), expr(
         "CAST(round(1e6 * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))) AS BIGINT)")
@@ -47,8 +57,9 @@ object TfIdf {
     Staged.table(s, dir, "tfidf_idf", coalesce = false)(idfDict(s, dir))
   Staged.register("tfidf_idf")((s, dir) => { stagedIdf(s, dir); () })
 
-  /** Per-doc top-[[TOPK]]: doc-vocab-bounded collect + sort. */
-  private def topTerms(scored: DataFrame): DataFrame =
+  /** Per-doc top-[[TOPK]]: doc-vocab-bounded collect + sort. Shared
+    * with the unicode-tokenizer twin ([[UniText]], r14). */
+  private[operators] def topTerms(scored: DataFrame): DataFrame =
     scored
       .select(col("doc_id"), struct(
         (-col("tf") * col("idf_unats")).as("neg"), col("w"),
@@ -61,7 +72,7 @@ object TfIdf {
         (col("pos") + 1).cast("long").as("rank"))
 
   def textTfidfTopk: Q = (s, dir) =>
-    topTerms(tf(t(s, dir, "documents")).join(idfDict(s, dir), "w"))
+    topTerms(stagedTf(s, dir).join(stagedIdf(s, dir), "w"))
 
   def streamTfidfTopk: Q = (s, dir) => {
     val dict = stagedIdf(s, dir)

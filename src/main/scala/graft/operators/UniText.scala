@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.Tables._
+import graft.functions.Tokenize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unicode-tokenizer-mode keys (SURVEY.md §2C, r14 — r13 verdict
+  * punch #4): the opt-in `_uni` twins of the text family, running
+  * [[graft.functions.Tokenize]]'s shared whitespace+punctuation+CJK
+  * regex instead of the house `split(lower(text), ' ')`. Every key
+  * unions the [[Tokenize.FIXTURE]] (tabs, newlines, vertical tab,
+  * form feed, ASCII + CJK punctuation, Han/hiragana/katakana/hangul)
+  * into the corpus IN BOTH ENGINES, so the oracle gate exercises
+  * non-space separators the synthetic corpus never contains.
+  *
+  * Scale shape is unchanged from the ASCII twins: tokenization is a
+  * map-side projection (regexp_extract_all rides whole-stage codegen,
+  * no UDF); the fixture union is a LocalRelation (zero scan cost);
+  * the tfidf twin stages its tf table once ([[TfIdf]]'s r14 posture)
+  * and derives the idf dict from it — one corpus tokenize per
+  * artifact build, none per query. */
+object UniText {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (doc_id, w) exploded unicode tokens over the unioned corpus. */
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    Tokenize.unionedDocs(s, dir)
+      .select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("w"))
+
+  private val duckToks =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(${Tokenize.duckTokens("text")}) AS w
+       |  FROM udocs)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // text_tokens_unicode: per-doc token accounting — total tokens,
+  // distinct types, CJK single-char tokens. Entirely map-side (array
+  // functions on the token array, no explode, no shuffle): the
+  // tokenizer-health probe a multilingual ingest runs per shard.
+  // -------------------------------------------------------------------
+
+  def textTokensUnicode: Q = (s, dir) =>
+    Tokenize.unionedDocs(s, dir)
+      .select(col("doc_id"), Tokenize.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tok"),
+        size(array_distinct(col("tk"))).cast("long").as("n_types"),
+        expr(s"CAST(size(filter(tk, t -> t rlike '${Tokenize.CJK_ONE}')) AS BIGINT)")
+          .as("n_cjk"))
+
+  val textTokensUnicodeSql: String =
+    s"""WITH ${Tokenize.udocsCte},
+       |tk AS (SELECT doc_id, ${Tokenize.duckTokens("text")} AS tk FROM udocs)
+       |SELECT doc_id,
+       |  CAST(len(tk) AS BIGINT) AS n_tok,
+       |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_types,
+       |  CAST(len(list_filter(tk, t -> regexp_matches(t, '${Tokenize.CJK_ONE}'))) AS BIGINT) AS n_cjk
+       |FROM tk""".stripMargin
+
+  // -------------------------------------------------------------------
+  // text_topterms_uni: corpus top-20 by document frequency under the
+  // unicode tokenizer — the [[graft.functions.TextOps]] top-terms twin
+  // (per-doc distinct explode → vocab-bounded partial agg → ordered
+  // limit, TakeOrderedAndProject; the corpus never sorts globally).
+  // -------------------------------------------------------------------
+
+  def textTopTermsUni: Q = (s, dir) =>
+    Tokenize.unionedDocs(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(Tokenize.tokens(col("text")))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("word"))
+      .limit(20)
+
+  val textTopTermsUniSql: String =
+    s"""WITH ${Tokenize.udocsCte}
+       |SELECT word, COUNT(*) AS df FROM (
+       |  SELECT DISTINCT doc_id, unnest(${Tokenize.duckTokens("text")}) AS word
+       |  FROM udocs)
+       |GROUP BY word
+       |ORDER BY df DESC, word
+       |LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
+  // text_tfidf_topk_uni: per-doc top-5 tf·idf under the unicode
+  // tokenizer — [[TfIdf]]'s exact machinery (integer micro-nat idf,
+  // doc-vocab-bounded top-k) over the unioned corpus, with its own
+  // staged tf/idf artifacts (one tokenize pass per corpus, r14).
+  // -------------------------------------------------------------------
+
+  private def stagedTfUni(s: SparkSession, dir: String): DataFrame =
+    Staged.table(s, dir, "tfidf_uni_tf", coalesce = false)(
+      toks(s, dir).groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
+  Staged.register("tfidf_uni_tf")((s, dir) => { stagedTfUni(s, dir); () })
+
+  private def stagedIdfUni(s: SparkSession, dir: String): DataFrame =
+    Staged.table(s, dir, "tfidf_uni_idf", coalesce = false) {
+      val n = Tokenize.unionedDocs(s, dir).agg(count(lit(1)).as("n_docs"))
+      stagedTfUni(s, dir).groupBy("w").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .select(col("w"), expr(
+          "CAST(round(1e6 * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))) AS BIGINT)")
+          .as("idf_unats"))
+    }
+  Staged.register("tfidf_uni_idf")((s, dir) => { stagedIdfUni(s, dir); () })
+
+  def textTfidfTopkUni: Q = (s, dir) =>
+    TfIdf.topTerms(stagedTfUni(s, dir).join(stagedIdfUni(s, dir), "w"))
+
+  val textTfidfTopkUniSql: String =
+    s"""WITH ${Tokenize.udocsCte},
+       |$duckToks,
+       |tf AS (
+       |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY doc_id, w),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM udocs),
+       |idf AS (
+       |  SELECT w, CAST(round(1e6 * ln(CAST(n_docs AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS idf_unats
+       |  FROM tf CROSS JOIN nd GROUP BY w, n_docs),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.w, tf.tf, tf.tf * idf.idf_unats AS score_unats,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf * idf.idf_unats DESC, tf.w) AS rank
+       |  FROM tf JOIN idf USING (w))
+       |SELECT doc_id, w AS term, score_unats, tf, CAST(rank AS BIGINT) AS rank
+       |FROM scored WHERE rank <= ${TfIdf.TOPK}""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "text_tokens_unicode" -> textTokensUnicode,
+    "text_topterms_uni" -> textTopTermsUni,
+    "text_tfidf_topk_uni" -> textTfidfTopkUni)
+  val oracles: Map[String, String] = Map(
+    "text_tokens_unicode" -> textTokensUnicodeSql,
+    "text_topterms_uni" -> textTopTermsUniSql,
+    "text_tfidf_topk_uni" -> textTfidfTopkUniSql)
+}

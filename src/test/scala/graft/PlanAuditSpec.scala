@@ -383,6 +383,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "tf/df passes lost partial aggregation")
   }
 
+  test("tfidf scores from the staged tf artifact — no corpus re-tokenize (r14)") {
+    // r13 verdict #2: scoring and the idf dict each tokenized the
+    // corpus (two full scans+aggs). The per-query plan must now read
+    // ONLY the staged artifacts; the one corpus tokenize happens at
+    // artifact build (staging_sec's line item), never per query.
+    val p = planOf("text_tfidf_topk")
+    assert(!p.contains("documents.parquet"), "tfidf re-scans the corpus per query")
+    assert(p.contains("tfidf_tf"), "tf must come from the staged artifact")
+    assert(p.contains("tfidf_idf"), "idf must come from the staged artifact")
+  }
+
+  test("unicode token accounting is map-side only (r14)") {
+    val p = planOf("text_tokens_unicode")
+    assert(!p.contains("Exchange"),
+      s"per-doc token stats must not shuffle:\n${p.take(600)}")
+    assert(!p.contains("Generate"), "array stats must not explode tokens")
+  }
+
   test("degree histogram and explain ledger never window") {
     Seq("dedup_degree_hist", "dedup_explain").foreach { name =>
       val p = planOf(name)

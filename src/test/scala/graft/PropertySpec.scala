@@ -115,21 +115,32 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("tar pack rejects unsplittable and oversized names loudly (property)") {
-    def packOne(name: String): Unit = TarCodec.pack(new GenericArrayData(
+  test("tar pack escapes beyond-ustar names via GNU 'L' and roundtrips (property)") {
+    // r14 (r13 verdict #8): names with no legal prefix/name cut — or
+    // longer than ustar's 255 bytes outright — now emit a GNU
+    // type-'L' long-name member instead of rejecting, and the member
+    // walk reads the full path back. The 'L' escape costs exactly
+    // 512 + ceil512(len+1) extra bytes, which the size law pins.
+    def packOne(name: String): Array[Byte] = TarCodec.pack(new GenericArrayData(
       Array[Any](InternalRow(UTF8String.fromString(name), Array[Byte](1)))))
+    def roundtrips(name: String): Boolean = {
+      val bytes = packOne(name)
+      val ms = TarCodec.members(bytes)
+      val escapeLen = 512 + ((name.length + 1 + 511) / 512) * 512
+      ms.numElements() == 1 &&
+        ms.getStruct(0, 3).getUTF8String(0).toString == name &&
+        bytes(156) == 'L'.toByte && // first member is the escape
+        bytes.length == escapeLen + 512 + 512 + 1024
+    }
     run(Prop.forAll(Gen.choose(101, 255)) { n =>
-      // no '/' anywhere: there is no legal prefix/name cut
-      try { packOne("q" * n); false }
-      catch { case e: IllegalArgumentException => e.getMessage.contains("no '/'") }
+      roundtrips("q" * n) // no '/' anywhere: no legal ustar cut
     }, min = 10)
     run(Prop.forAll(Gen.choose(256, 400)) { n =>
-      try { packOne(("a" * 150) + "/" + ("b" * (n - 151))); false }
-      catch { case e: IllegalArgumentException => e.getMessage.contains("outside [1, 255]") }
+      roundtrips(("a" * 150) + "/" + ("b" * (n - 151))) // > 255 bytes total
     }, min = 10)
-    // a '/' only outside the legal window also rejects: the sole cut
-    // at index 1 would leave a 150-byte name part
-    intercept[IllegalArgumentException] { packOne("a/" + ("b" * 150)) }
+    // a '/' only outside the legal window also takes the escape: the
+    // sole cut at index 1 would leave a 150-byte name part
+    assert(roundtrips("a/" + ("b" * 150)))
   }
 
   // -----------------------------------------------------------------

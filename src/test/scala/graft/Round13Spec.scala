@@ -160,15 +160,34 @@ class Round13Spec extends AnyFunSuite {
     assert(e.getMessage.contains("global"), e.getMessage)
   }
 
-  test("writer still rejects unsplittable long paths loudly") {
+  test("writer emits GNU 'L' for unsplittable long paths and roundtrips (r14)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
+    val data = "x".getBytes("ASCII")
     val entries = new GenericArrayData(Array[Any](
-      InternalRow(UTF8String.fromString(LONG), "x".getBytes("ASCII"))))
-    val e = intercept[Exception] { graft.functions.TarCodec.pack(entries) }
-    assert(e.getMessage.toLowerCase.contains("prefix") ||
-      e.getMessage.toLowerCase.contains("split"), e.getMessage)
+      InternalRow(UTF8String.fromString(LONG), data)))
+    val bytes = graft.functions.TarCodec.pack(entries)
+    // wire shape: first member is the GNU long-name escape
+    assert(new String(bytes, 0, 13, "ASCII") == "././@LongLink")
+    assert(bytes(156) == 'L'.toByte)
+    val ms = graft.functions.TarCodec.members(bytes)
+    assert(ms.numElements() == 1)
+    val m = ms.getStruct(0, 3)
+    assert(m.getUTF8String(0).toString == LONG, m.getUTF8String(0).toString)
+    assert(m.getLong(2) == data.length.toLong)
+  }
+
+  test("reader consumes GNU type-'K' long-linkname records, never as a member") {
+    val target = ("t" * 150) + "/link-target"
+    val data = "sym payload".getBytes("ASCII")
+    val fixture = tarBlock("././@LongLink", 'K', (target + "\u0000").getBytes("ASCII")) ++
+      tarBlock("member.bin", '0', data) ++ eof
+    val ms = graft.functions.TarCodec.members(fixture)
+    assert(ms.numElements() == 1)
+    val m = ms.getStruct(0, 3)
+    assert(m.getUTF8String(0).toString == "member.bin")
+    assert(m.getLong(2) == data.length.toLong)
   }
 
   // ---- batch-2 laws --------------------------------------------------
