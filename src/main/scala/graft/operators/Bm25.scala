@@ -55,8 +55,14 @@ object Bm25 {
     * the [[N_QUERIES]] probe documents — shared by the top-k gate and
     * the hybrid-fusion operator, so "lexical branch of hybrid" is
     * provably the same plan as the standalone retrieval. */
-  private[operators] def scoredLex(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(s, dir).cache() // feeds tf, df, lengths, and query terms
+  private[operators] def scoredLex(s: SparkSession, dir: String): DataFrame =
+    scoredLexFrom(tokens(s, dir))
+
+  /** [[scoredLex]] over an arbitrary (doc_id, w) token table (r14 —
+    * the unicode tokenizer twin passes its own tokenization; every
+    * shape downstream of the token table is shared). */
+  private[operators] def scoredLexFrom(toks0: DataFrame): DataFrame = {
+    val toks = toks0.cache() // feeds tf, df, lengths, and query terms
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val stats = dl.groupBy().agg(count(lit(1)).as("n_docs"),
         sum(col("len")).as("t_tokens"))
@@ -97,10 +103,15 @@ object Bm25 {
 
   /** The DuckDB CTE chain ending in `scored(qid, doc_id, score)` —
     * shared verbatim by the top-k oracle and the hybrid oracle. */
-  private[operators] val scoredLexCtes: String =
+  private[operators] val scoredLexCtes: String = scoredLexCtesFrom(
     s"""toks AS (
        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), w -> w != '')) AS w
-       |  FROM documents),
+       |  FROM documents)""".stripMargin)
+
+  /** [[scoredLexCtes]] over an arbitrary `toks(doc_id, w)` CTE (r14 —
+    * the unicode twin's tokenization; the scoring chain is shared). */
+  private[operators] def scoredLexCtesFrom(toksCte: String): String =
+    s"""$toksCte,
        |dl AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
        |stats AS (
        |  SELECT COUNT(*) AS n_docs,

@@ -46,11 +46,14 @@ object Dedup {
 
   /** (doc_id, sh): distinct word n-gram shingles per document, raw
     * (no df cap — feeds [[cappedShingles]]; [[Contamination]] reuses
-    * it for benchmark-overlap shingling). */
-  private[operators] def shingles(docs: DataFrame, n: Int): DataFrame = {
+    * it for benchmark-overlap shingling). `ws` overrides the token
+    * array (r14 — the unicode tokenizer twin passes
+    * [[graft.functions.Tokenize.tokens]]). */
+  private[operators] def shingles(docs: DataFrame, n: Int,
+      ws: Column = split(col("text"), " ")): DataFrame = {
     val concatExpr = (1 to n).map(j => s"element_at(ws, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")")
     docs
-      .withColumn("ws", split(col("text"), " "))
+      .withColumn("ws", ws)
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), explode(expr(
         s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), i -> $concatExpr))")).as("sh"))
@@ -61,8 +64,9 @@ object Dedup {
     * task emits one (sh, cnt) row, so a skewed stop-phrase never
     * concentrates rows in one task) and removed with a broadcast
     * left-anti join — no shuffle of the big side. */
-  private def cappedShingles(docs: DataFrame, n: Int): DataFrame = {
-    val sh = shingles(docs, n).cache() // feeds the hot list + the join
+  private[operators] def cappedShingles(docs: DataFrame, n: Int,
+      ws: Column = split(col("text"), " ")): DataFrame = {
+    val sh = shingles(docs, n, ws).cache() // feeds the hot list + the join
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > MAX_DF).select("sh")
     // re-select: USING-joins move the join column first, and callers
@@ -70,18 +74,22 @@ object Dedup {
     sh.join(broadcast(hot), Seq("sh"), "left_anti").select("doc_id", "sh")
   }
 
-  /** DuckDB twin of [[cappedShingles]]. */
-  private def shinglesSql(n: Int): String = {
+  /** DuckDB twin of [[cappedShingles]]. `wsExpr`/`from` override the
+    * token-array expression and source table (r14 — the unicode
+    * tokenizer twin shingles `udocs` with the shared regex). */
+  private[operators] def shinglesSqlFrom(n: Int, wsExpr: String, from: String): String = {
     val concatExpr = (1 to n).map(j => s"ws[i + ${j - 1}]").mkString(" || ' ' || ")
     s"""SELECT doc_id, sh FROM (
        |  SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM (
        |    SELECT DISTINCT doc_id, sh FROM (
        |      SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - ${n - 1}),
        |        i -> $concatExpr)) AS sh
-       |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |      FROM (SELECT doc_id, $wsExpr AS ws FROM $from)
        |      WHERE len(ws) >= $n)))
        |WHERE df <= $MAX_DF""".stripMargin
   }
+  private def shinglesSql(n: Int): String =
+    shinglesSqlFrom(n, "string_split(text, ' ')", "documents")
 
   /** MinHash-LSH candidate pairs over a (cached) shingle base — the
     * shared banding device of [[dedupMinhashLsh]] and [[dedupEval]]:
@@ -207,7 +215,12 @@ object Dedup {
   }
 
   private def jaccardSql(candCte: String, shingleN: Int): String =
-    s"""WITH sh AS (${shinglesSql(shingleN)}),
+    jaccardSqlOver(candCte, s"sh AS (${shinglesSql(shingleN)})")
+
+  /** [[jaccardSql]] over an arbitrary `sh` CTE chain (r14 — the
+    * unicode shingle twin prepends its own udocs + sh CTEs). */
+  private[operators] def jaccardSqlOver(candCte: String, shCtes: String): String =
+    s"""WITH $shCtes,
        |$candCte,
        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (
@@ -439,7 +452,7 @@ object Dedup {
     * pair count reflects the data's true near-dup mass. Same values
     * as the re-join form (both count |A∩B| over distinct capped
     * shingles), so the oracle is unchanged. */
-  private def ngramPairs(sh: DataFrame): DataFrame = {
+  private[operators] def ngramPairs(sh: DataFrame): DataFrame = {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.toDF("id_a", "sh").join(sh.toDF("id_b", "sh"), "sh")
       .filter(col("id_a") < col("id_b"))

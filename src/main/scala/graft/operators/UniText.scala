@@ -128,12 +128,103 @@ object UniText {
        |SELECT doc_id, w AS term, score_unats, tf, CAST(rank AS BIGINT) AS rank
        |FROM scored WHERE rank <= ${TfIdf.TOPK}""".stripMargin
 
+  // -------------------------------------------------------------------
+  // text_bm25_topk_uni: BM25 top-k retrieval under the unicode
+  // tokenizer — [[Bm25]]'s centi-quantized integer scoring chain
+  // (broadcast query terms = inverted-index access, partial-agg
+  // stats, bounded per-qid candidate sets) over the unioned corpus;
+  // only the token table differs.
+  // -------------------------------------------------------------------
+
+  def textBm25TopkUni: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val rw = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    Bm25.scoredLexFrom(toks(s, dir))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  val textBm25TopkUniSql: String =
+    s"""WITH ${Tokenize.udocsCte},
+       |${Bm25.scoredLexCtesFrom(duckToks)}
+       |SELECT qid, doc_id, CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
+       |FROM (
+       |  SELECT qid, doc_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
+
+  // -------------------------------------------------------------------
+  // dedup_ngram_jaccard_uni: word-4-gram Jaccard near-dup pairs under
+  // the unicode tokenizer — [[Dedup]]'s df-capped inverted-index
+  // candidate generation (every join bucket ≤ 64 members, never
+  // O(n²)) with shingles built from unicode tokens.
+  // -------------------------------------------------------------------
+
+  def dedupNgramJaccardUni: Q = (s, dir) => {
+    val sh = Dedup.cappedShingles(
+      Tokenize.unionedDocs(s, dir), 4, Tokenize.tokens(col("text"))).cache()
+    Dedup.ngramPairs(sh)
+  }
+
+  val dedupNgramJaccardUniSql: String = {
+    val candCte =
+      """cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id)""".stripMargin
+    Dedup.jaccardSqlOver(candCte,
+      s"""${Tokenize.udocsCte},
+         |sh AS (${Dedup.shinglesSqlFrom(4, Tokenize.duckTokens("text"), "udocs")})""".stripMargin)
+  }
+
+  // -------------------------------------------------------------------
+  // stream_tokens_unicode: the streaming twin of the accounting key —
+  // stateless map-side projection per micro-batch into a distributed
+  // parquet sink. The fixture docs are staged as one extra stream
+  // file (full document schema, dummy metadata columns), so the
+  // drained stream carries exactly the udocs union the oracle scores.
+  // -------------------------------------------------------------------
+
+  def streamTokensUnicode: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    val sink = graft.streaming.StreamStage.freshSink(s, dir, "sutok_sink")
+    graft.streaming.StreamStage.withStaged(s, "sutok", dir, "documents.parquet") { stageDir =>
+      import s.implicits._
+      Tokenize.FIXTURE.toDF("doc_id", "text")
+        .withColumn("lang", lit("fx")).withColumn("source", lit("fx"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select(sch.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+        .coalesce(1).write.mode("append").parquet(stageDir)
+      val stream = s.readStream.schema(sch).parquet(stageDir)
+      val out = stream
+        .select(col("doc_id"), Tokenize.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tok"),
+          size(array_distinct(col("tk"))).cast("long").as("n_types"),
+          expr(s"CAST(size(filter(tk, t -> t rlike '${Tokenize.CJK_ONE}')) AS BIGINT)")
+            .as("n_cjk"))
+      val q = out.writeStream.outputMode("append")
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", graft.streaming.StreamStage.freshSink(s, dir, "sutok_ckpt"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.read.parquet(sink)
+  }
+
   val queries: Map[String, Q] = Map(
     "text_tokens_unicode" -> textTokensUnicode,
     "text_topterms_uni" -> textTopTermsUni,
-    "text_tfidf_topk_uni" -> textTfidfTopkUni)
+    "text_tfidf_topk_uni" -> textTfidfTopkUni,
+    "text_bm25_topk_uni" -> textBm25TopkUni,
+    "dedup_ngram_jaccard_uni" -> dedupNgramJaccardUni,
+    "stream_tokens_unicode" -> streamTokensUnicode)
   val oracles: Map[String, String] = Map(
     "text_tokens_unicode" -> textTokensUnicodeSql,
     "text_topterms_uni" -> textTopTermsUniSql,
-    "text_tfidf_topk_uni" -> textTfidfTopkUniSql)
+    "text_tfidf_topk_uni" -> textTfidfTopkUniSql,
+    "text_bm25_topk_uni" -> textBm25TopkUniSql,
+    "dedup_ngram_jaccard_uni" -> dedupNgramJaccardUniSql,
+    "stream_tokens_unicode" -> textTokensUnicodeSql)
 }
