@@ -82,7 +82,13 @@ object BenchSf1 {
     // arrival dedup), the chunk-aligned zonal join, the per-nation
     // window, the chunk-index walk, and one stream-drain key
     "dedup_incremental", "grid_zonal_stats", "q39_ntile",
-    "nc4_extensible_array", "stream_dedup_incremental")
+    "nc4_extensible_array", "stream_dedup_incremental",
+    // r14 (r13 verdict #7): the r13 additions — the 10x-table top
+    // entry (tfidf, now single-scan), the coarsen pyramid, the
+    // three-stage ANN cascade, the zero-exchange chunker, and the
+    // five-integer moment sketch
+    "text_tfidf_topk", "grid_pyramid", "sim_ann_cascade",
+    "pipeline_chunk_overlap", "sketch_moments")
 
   /** Wide replication for the 100× probe: one crossJoin against a
     * replica range instead of a 100-child union (same values — keys
