@@ -138,6 +138,59 @@ class Round14Spec extends AnyFunSuite {
     assert(dups == 0, s"$dups duplicated (doc_id, chunk_id) chunks after resume")
   }
 
+  test("stateful stream (sessionize) kill/resume equals an uninterrupted drain") {
+    // the STATE-STORE recovery law, complementing the stateless file-
+    // sink test above: a flatMapGroupsWithState drain killed mid-
+    // stream and resumed from its checkpoint must emit exactly the
+    // sessions an uninterrupted drain emits (state restored, no epoch
+    // double-emitted, no session lost)
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_r14_staterec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"), col("ts"))
+    // 8 time-ordered slices (event_id is assigned in ts order in the
+    // testdata) → 8 one-file micro-batches, watermark advancing per batch
+    val bounds = ev.stat.approxQuantile("event_id",
+      (1 until 8).map(_.toDouble / 8).toArray, 0.0)
+    val sb = (Array(Double.NegativeInfinity) ++ bounds) :+ Double.PositiveInfinity
+    (0 until 8).foreach { i =>
+      ev.filter(col("event_id") >= sb(i) && col("event_id") < sb(i + 1))
+        .coalesce(1).write.mode("append").parquet(s"$root/stage")
+    }
+    val sch = spark.read.parquet(s"$root/stage").schema
+    def drain(name: String, kill: Boolean): Unit = {
+      def start() = graft.streaming.Streams.sessionize(
+          spark.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+            .parquet(s"$root/stage").as[graft.streaming.Streams.Ev])
+        .toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$root/sink_$name")
+        .option("checkpointLocation", s"$root/ck_$name")
+        .trigger(Trigger.AvailableNow()).start()
+      val q = start()
+      if (kill) {
+        var spins = 0
+        while (q.recentProgress.count(_.numInputRows > 0) < 2 && spins < 600) {
+          Thread.sleep(100); spins += 1
+        }
+        q.stop() // mid-drain kill: state store holds open sessions
+        val q2 = start()
+        q2.processAllAvailable(); q2.stop()
+      } else { q.processAllAvailable(); q.stop() }
+    }
+    drain("a", kill = false)
+    drain("b", kill = true)
+    val a = spark.read.parquet(s"$root/sink_a")
+    val b = spark.read.parquet(s"$root/sink_b")
+    assert(a.count() > 0, "uninterrupted drain emitted no closed sessions")
+    assert(b.count() == a.count(),
+      s"resumed drain emitted ${b.count()} sessions vs ${a.count()} uninterrupted")
+    assert(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
+      "resumed session set differs from the uninterrupted drain")
+  }
+
   // ---- staged-build failure/retry latch chain (r13 ADVICE) -----------
 
   test("staged builds: waiters survive a failed build and in-flight retry") {
