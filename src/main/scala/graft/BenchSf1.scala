@@ -366,10 +366,16 @@ object BenchSf1 {
     // WHOLE inventory instead of the per-family smoke list — any key
     // materially super-linear at 10× is a finding to root-cause
     val full = args.contains("full")
-    val keys =
+    // `only=<k1,k2>`: restrict the key list (incremental probe run —
+    // rows for keys NOT in the list are carried over from the
+    // existing artifact below, so adding a probe key doesn't force
+    // re-running the whole list)
+    val only = args.find(_.startsWith("only=")).map(_.drop(5).split(',').toSet)
+    val keys0 =
       if (x100) X100_KEYS
       else if (full) SparkEntry.queries.keys.toSeq.sorted ++ extraProbes.keys.toSeq.sorted
       else KEYS
+    val keys = only.fold(keys0)(o => keys0.filter(o.contains))
     val outFile =
       if (x100) "BENCH_x100_probe.json"
       else if (full) "BENCH_sf1_full.json"
@@ -421,11 +427,20 @@ object BenchSf1 {
     }
     val metric =
       if (x100) "x100_probe" else s"sf1_${if (full) "full" else "smoke"}"
+    // carry over existing rows for keys outside this (restricted) run
+    val outPath = java.nio.file.Paths.get(s"/root/repo/$outFile")
+    val carried: Seq[String] =
+      if (only.isDefined && java.nio.file.Files.exists(outPath)) {
+        val prev = new String(java.nio.file.Files.readAllBytes(outPath), "UTF-8")
+        keys0.filterNot(only.get.contains).flatMap { k =>
+          val re = ("\"" + java.util.regex.Pattern.quote(k) + "\":\\{[^}]*\\}").r
+          re.findFirstIn(prev)
+        }
+      } else Nil
     val json = s"""{"metric":"$metric",""" +
       s""""input":"${copies}x replicated $srcDir","copies":$copies,""" +
-      s""""queries":{${rows.mkString(",")}}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"/root/repo/$outFile"),
-      (json + "\n").getBytes("UTF-8"))
+      s""""queries":{${(carried ++ rows).mkString(",")}}}"""
+    java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()
   }
