@@ -81,7 +81,23 @@ object Tokenize {
     -1L -> "Tab\tseparated\ttokens,and;punctuation!marks?plus(parens)[brackets]{braces}",
     -2L -> "line\nbreaks\r\nand\u000Bvertical\ftabs end-of-line hyphen-split",
     -3L -> "中文文本没有空格。English words mixed 中文 tokens",
-    -4L -> "ひらがなとカタカナ 가나다 mixed scripts")
+    -4L -> "ひらがなとカタカナ 가나다 mixed scripts",
+    // r15 (r14 verdict #3) — the remaining java.regex-vs-RE2
+    // divergence islands: java.regex walks UTF-16 with surrogate-pair
+    // logic while RE2 walks UTF-8 codepoints, so a class-membership
+    // bug would split an astral codepoint in one engine only.
+    // RTL: Arabic + Hebrew letters are run characters (non-sep,
+    // non-CJK); the regex sees logical order — no bidi reordering
+    -5L -> "نص عربي rtl mixed עברית וטקסט direction",
+    // combining marks ride inside runs unnormalized: cafe+U+0301 and
+    // precomposed café are DISTINCT tokens in both engines
+    // (neither normalizes), which this row pins
+    -6L -> "café combining résumé naïve precomposed café",
+    // non-BMP emoji: one codepoint each (surrogate PAIR in java.regex,
+    // one UTF-8 codepoint in RE2) — runs must not split mid-pair; ZWJ
+    // (U+200D) is a run character so the family sequence stays whole
+    -7L -> ("emoji 👍 split 🚀🔥 runs " +
+      "👨‍👩‍👧 zwj family"))
 
   /** documents ∪ fixture, Spark side: (doc_id, text) only — the
     * fixture rows are planner literals (LocalRelation), so the union

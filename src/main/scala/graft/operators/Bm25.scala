@@ -42,7 +42,15 @@ object Bm25 {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private[operators] val N_QUERIES = 8
+  /** Probe-query predicate: `doc_id < N_QUERIES`. Over the base corpus
+    * (non-negative ids) that is corpus docs 0..7. Over the unicode
+    * twin's UNIONED corpus the fixture docs carry NEGATIVE ids, so the
+    * same predicate makes every fixture doc an ADDITIONAL probe — that
+    * is deliberate (r15, r14 ADVICE): the fixture docs are exactly the
+    * non-ASCII query surface the `_uni` key exists to score, and the
+    * oracle shares the predicate verbatim. Round15Spec pins the probe
+    * count at N_QUERIES + Tokenize.FIXTURE.size for the uni twin. */
+  private[graft] val N_QUERIES = 8
   private val TERMS_PER_QUERY = 10
   private val TOP_K = 5
 

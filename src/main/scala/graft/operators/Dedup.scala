@@ -95,7 +95,7 @@ object Dedup {
     * shared banding device of [[dedupMinhashLsh]] and [[dedupEval]]:
     * sig_i = min over shingles of the first 16 hex chars of
     * md5("i:" ++ shingle); band hash = md5(sig_2b ++ sig_2b+1). */
-  private def lshCandidates(sh: DataFrame): DataFrame = {
+  private[operators] def lshCandidates(sh: DataFrame): DataFrame = {
     val sigAggs = (0 until H).map(i =>
       min(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 16)).as(s"h$i"))
     val sigs = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
@@ -201,7 +201,7 @@ object Dedup {
   /** Attach verified Jaccard over shingle sets to candidate pairs.
     * Intersections are computed candidates-only (cand ⋈ shingles ⋈
     * shingles on equal shingle), never all-pairs. */
-  private def withJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+  private[operators] def withJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(sh.toDF("id_a", "sh"), "id_a")
@@ -237,7 +237,7 @@ object Dedup {
 
   /** The sig/bands/cand CTE chain (expects a `sh` CTE in scope) —
     * shared by [[dedupMinhashLshSql]] and [[dedupEvalSql]]. */
-  private val lshCandCteSql: String = {
+  private[operators] val lshCandCteSql: String = {
     val sigCols = (0 until H)
       .map(i => s"min(substr(md5('$i:' || sh), 1, 16)) AS h$i").mkString(", ")
     val bandSelects = (0 until BANDS)
@@ -632,29 +632,33 @@ object Dedup {
     * the round-1 scheme → 555k under this one, 27×; the survivors are
     * dominated by genuine near-dup clusters, which no banding can
     * shrink). Pairs are kept when hamming distance <= 3. */
-  def dedupSimhash: Q = (s, dir) => {
-    // the 64-bit fingerprint table is an index-build artifact (one
-    // giant 64-dimension codegen plan — THE cold-JIT heavy of every
-    // bench session): staged once per (session, dir), banded cheaply
-    // thereafter
-    val fps = Staged.table(s, dir, "simhash_fps", coalesce = false) {
-      val base = t(s, dir, "documents")
-        .withColumn("ws", split(col("text"), " "))
-        .withColumn("n", size(col("ws")).cast(LongType))
-        // hash each word once (two md5s → 64 hex digits); the 64
-        // per-dimension counts then only inspect the precomputed hashes
-        .withColumn("hs", expr("transform(ws, w -> concat(md5(w), md5(concat('x:', w))))"))
-      val withCnt = (0 until SIMHASH_DIMS).foldLeft(base) { (df, d) =>
-        df.withColumn(s"cnt$d",
-          expr(s"size(filter(hs, h -> substring(h, ${d + 1}, 1) >= '8'))").cast(LongType))
-      }
-      // bitwise OR, not +: bit 63 is the sign bit and 1L << 63 is
-      // negative, so an arithmetic sum would overflow
-      val fp = (0 until SIMHASH_DIMS).map(d =>
-        when(col(s"cnt$d") * 2 > col("n"), lit(1L << d)).otherwise(lit(0L)))
-        .reduce(_ bitwiseOR _)
-      withCnt.select(col("doc_id"), fp.as("fp"))
+  /** The per-doc 64-bit SimHash fingerprint plan over an arbitrary
+    * (doc_id, text) source and token array (r15 — the unicode twin
+    * passes [[graft.functions.Tokenize.tokens]]; every shape
+    * downstream of the word array is shared). */
+  private[operators] def simhashFps(docs: DataFrame,
+      ws: Column = split(col("text"), " ")): DataFrame = {
+    val base = docs
+      .withColumn("ws", ws)
+      .withColumn("n", size(col("ws")).cast(LongType))
+      // hash each word once (two md5s → 64 hex digits); the 64
+      // per-dimension counts then only inspect the precomputed hashes
+      .withColumn("hs", expr("transform(ws, w -> concat(md5(w), md5(concat('x:', w))))"))
+    val withCnt = (0 until SIMHASH_DIMS).foldLeft(base) { (df, d) =>
+      df.withColumn(s"cnt$d",
+        expr(s"size(filter(hs, h -> substring(h, ${d + 1}, 1) >= '8'))").cast(LongType))
     }
+    // bitwise OR, not +: bit 63 is the sign bit and 1L << 63 is
+    // negative, so an arithmetic sum would overflow
+    val fp = (0 until SIMHASH_DIMS).map(d =>
+      when(col(s"cnt$d") * 2 > col("n"), lit(1L << d)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    withCnt.select(col("doc_id"), fp.as("fp"))
+  }
+
+  /** Banded hamming-≤3 pair selection over a fingerprint table —
+    * shared by the ASCII key and the unicode twin. */
+  private[operators] def simhashPairsOf(fps: DataFrame): DataFrame = {
     val bandCols = (0 until SIMHASH_BANDS).map(b =>
       struct(lit(b).as("band"), (shiftright(col("fp"), 16 * b).bitwiseAND(lit(BAND_MASK))).as("bv")))
     val bands = fps
@@ -671,7 +675,21 @@ object Dedup {
       .distinct() // band buckets can be dense, hamming survivors are few
   }
 
-  val dedupSimhashSql: String = {
+  def dedupSimhash: Q = (s, dir) => {
+    // the 64-bit fingerprint table is an index-build artifact (one
+    // giant 64-dimension codegen plan — THE cold-JIT heavy of every
+    // bench session): staged once per (session, dir), banded cheaply
+    // thereafter
+    val fps = Staged.table(s, dir, "simhash_fps", coalesce = false)(
+      simhashFps(t(s, dir, "documents")))
+    simhashPairsOf(fps)
+  }
+
+  /** The SimHash pair SQL over an arbitrary docs relation and token
+    * expression (r15 — the unicode twin scores `udocs` with the shared
+    * regex; the 64-dimension chain is rendered once here). */
+  private[operators] def dedupSimhashSqlFrom(wsExpr: String, from: String,
+      withPrefix: String): String = {
     val cnts = (0 until SIMHASH_DIMS).map(d =>
       s"CAST(len(list_filter(hs, h -> substr(h, ${d + 1}, 1) >= '8')) AS BIGINT) AS cnt$d")
       .mkString(",\n    ")
@@ -680,11 +698,11 @@ object Dedup {
     val bandSelects = (0 until SIMHASH_BANDS)
       .map(b => s"SELECT doc_id, fp, $b AS band, (fp >> ${16 * b}) & $BAND_MASK AS bv FROM fps")
       .mkString("\n  UNION ALL ")
-    s"""WITH base AS (
+    s"""WITH ${withPrefix}base AS (
        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
        |    $cnts
        |  FROM (SELECT doc_id, ws, list_transform(ws, w -> md5(w) || md5('x:' || w)) AS hs
-       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+       |        FROM (SELECT doc_id, $wsExpr AS ws FROM $from))),
        |fps AS (SELECT doc_id, $fpExpr AS fp FROM base),
        |bands AS (
        |  $bandSelects)
@@ -694,6 +712,9 @@ object Dedup {
        |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
   }
+
+  val dedupSimhashSql: String =
+    dedupSimhashSqlFrom("string_split(text, ' ')", "documents", "")
 
   /** Content-defined chunking dedup (the rsync/LBFS device, md5-gear):
     * a position p starts a new chunk when md5 of the 8-char window at p

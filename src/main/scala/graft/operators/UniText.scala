@@ -163,8 +163,12 @@ object UniText {
   // -------------------------------------------------------------------
 
   def dedupNgramJaccardUni: Q = (s, dir) => {
+    // no outer .cache() (r15, r14 ADVICE): cappedShingles already
+    // caches the raw shingle base internally; a second cache on the
+    // capped result only accumulated storage pressure across a full
+    // bench session (the anti-join it saves is broadcast-cheap)
     val sh = Dedup.cappedShingles(
-      Tokenize.unionedDocs(s, dir), 4, Tokenize.tokens(col("text"))).cache()
+      Tokenize.unionedDocs(s, dir), 4, Tokenize.tokens(col("text")))
     Dedup.ngramPairs(sh)
   }
 
@@ -177,6 +181,66 @@ object UniText {
       s"""${Tokenize.udocsCte},
          |sh AS (${Dedup.shinglesSqlFrom(4, Tokenize.duckTokens("text"), "udocs")})""".stripMargin)
   }
+
+  // -------------------------------------------------------------------
+  // The near-dup FINGERPRINT family under the unicode tokenizer (r15,
+  // r14 verdict #1 — the highest-value residual): on a CJK-dense
+  // crawl, space-split fingerprints see whole sentences as single
+  // "words", so near-dup RECALL degrades exactly where the corpus is
+  // non-ASCII. Each key is its ASCII twin's EXACT machinery — df-cap,
+  // banding, bounded self-joins all shared via the ws= hook — with
+  // only the token array swapped; plan shapes are pinned identical in
+  // PlanAuditSpec/Round15Spec.
+  // -------------------------------------------------------------------
+
+  /** Session-staged unicode LSH pair table — the same index-build
+    * artifact discipline as the ASCII `lsh_pairs`. */
+  private def minhashPairsUni(s: SparkSession, dir: String): DataFrame =
+    Staged.table(s, dir, "lsh_pairs_uni") {
+      val sh = Dedup.cappedShingles(
+        Tokenize.unionedDocs(s, dir), 3, Tokenize.tokens(col("text"))).cache()
+      Dedup.withJaccard(Dedup.lshCandidates(sh), sh)
+    }
+  Staged.register("lsh_pairs_uni")((s, dir) => { minhashPairsUni(s, dir); () })
+
+  def dedupMinhashLshUni: Q = (s, dir) => minhashPairsUni(s, dir)
+
+  val dedupMinhashLshUniSql: String = Dedup.jaccardSqlOver(
+    Dedup.lshCandCteSql,
+    s"""${Tokenize.udocsCte},
+       |sh AS (${Dedup.shinglesSqlFrom(3, Tokenize.duckTokens("text"), "udocs")})""".stripMargin)
+
+  /** Unicode SimHash near-dup pairs: the staged 64-bit fingerprint
+    * index over the unioned corpus, banded with the shared device. */
+  def dedupSimhashUni: Q = (s, dir) => {
+    val fps = Staged.table(s, dir, "simhash_fps_uni", coalesce = false)(
+      Dedup.simhashFps(Tokenize.unionedDocs(s, dir), Tokenize.tokens(col("text"))))
+    Dedup.simhashPairsOf(fps)
+  }
+  Staged.register("simhash_fps_uni")((s, dir) => {
+    Staged.table(s, dir, "simhash_fps_uni", coalesce = false)(
+      Dedup.simhashFps(Tokenize.unionedDocs(s, dir), Tokenize.tokens(col("text"))))
+    ()
+  })
+
+  val dedupSimhashUniSql: String = Dedup.dedupSimhashSqlFrom(
+    Tokenize.duckTokens("text"), "udocs", s"${Tokenize.udocsCte},\n")
+
+  /** Unicode winnowing fingerprints — entirely map-side like the
+    * ASCII twin (per-row gram arrays, no explode). */
+  def textWinnowFingerprintUni: Q = (s, dir) =>
+    Winnowing.winnowOf(Tokenize.unionedDocs(s, dir), Tokenize.tokens(col("text")))
+
+  val textWinnowFingerprintUniSql: String = Winnowing.textWinnowFingerprintSqlFrom(
+    Tokenize.duckTokens("text"), "udocs", s"${Tokenize.udocsCte},\n")
+
+  /** Unicode winnow candidate pairs — df-capped keyed self-join on
+    * selected fingerprints, the ASCII twin's exact shape. */
+  def dedupWinnowPairsUni: Q = (s, dir) =>
+    Winnowing.winnowPairsOf(Tokenize.unionedDocs(s, dir), Tokenize.tokens(col("text")))
+
+  val dedupWinnowPairsUniSql: String = Winnowing.dedupWinnowPairsSqlFrom(
+    Tokenize.duckTokens("text"), "udocs", s"${Tokenize.udocsCte},\n")
 
   // -------------------------------------------------------------------
   // stream_tokens_unicode: the streaming twin of the accounting key —
@@ -219,6 +283,10 @@ object UniText {
     "text_tfidf_topk_uni" -> textTfidfTopkUni,
     "text_bm25_topk_uni" -> textBm25TopkUni,
     "dedup_ngram_jaccard_uni" -> dedupNgramJaccardUni,
+    "dedup_minhash_lsh_uni" -> dedupMinhashLshUni,
+    "dedup_simhash_uni" -> dedupSimhashUni,
+    "text_winnow_fingerprint_uni" -> textWinnowFingerprintUni,
+    "dedup_winnow_pairs_uni" -> dedupWinnowPairsUni,
     "stream_tokens_unicode" -> streamTokensUnicode)
   val oracles: Map[String, String] = Map(
     "text_tokens_unicode" -> textTokensUnicodeSql,
@@ -226,5 +294,9 @@ object UniText {
     "text_tfidf_topk_uni" -> textTfidfTopkUniSql,
     "text_bm25_topk_uni" -> textBm25TopkUniSql,
     "dedup_ngram_jaccard_uni" -> dedupNgramJaccardUniSql,
+    "dedup_minhash_lsh_uni" -> dedupMinhashLshUniSql,
+    "dedup_simhash_uni" -> dedupSimhashUniSql,
+    "text_winnow_fingerprint_uni" -> textWinnowFingerprintUniSql,
+    "dedup_winnow_pairs_uni" -> dedupWinnowPairsUniSql,
     "stream_tokens_unicode" -> textTokensUnicodeSql)
 }

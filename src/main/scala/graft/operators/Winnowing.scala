@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -30,11 +30,13 @@ object Winnowing {
   private val W = 4 // grams per winnow window
 
   /** The fingerprint extraction as a pure per-row map (shared by the
-    * batch key and its r12 streaming twin — the whole winnow runs
-    * inside the row's own gram arrays). */
-  private[graft] def winnowOf(docs: DataFrame): DataFrame =
+    * batch key, its r12 streaming twin, and the r15 unicode twin —
+    * the whole winnow runs inside the row's own gram arrays; `ws`
+    * overrides the token array). */
+  private[graft] def winnowOf(docs: DataFrame,
+      ws: Column = split(col("text"), " ")): DataFrame =
     docs
-      .withColumn("ws", split(col("text"), " "))
+      .withColumn("ws", ws)
       .filter(size(col("ws")) >= K)
       .withColumn("ng", (size(col("ws")) - (K - 1)).cast(LongType))
       .withColumn("hs", expr(
@@ -50,13 +52,17 @@ object Winnowing {
 
   def textWinnowFingerprint: Q = (s, dir) => winnowOf(t(s, dir, "documents"))
 
-  val textWinnowFingerprintSql: String = {
+  /** The fingerprint SQL over an arbitrary docs relation and token
+    * expression (r15 — the unicode twin winnows `udocs` with the
+    * shared regex; the gram/window chain is rendered once here). */
+  private[operators] def textWinnowFingerprintSqlFrom(wsExpr: String,
+      from: String, withPrefix: String): String = {
     val gram = (0 until K).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
-    s"""WITH g AS (
+    s"""WITH ${withPrefix}g AS (
        |  SELECT doc_id, CAST(len(ws) - ${K - 1} AS BIGINT) AS ng,
        |    list_transform(generate_series(1, len(ws) - ${K - 1}),
        |      i -> md5($gram)) AS hs
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |  FROM (SELECT doc_id, $wsExpr AS ws FROM $from)
        |  WHERE len(ws) >= $K),
        |w AS (
        |  SELECT doc_id, ng,
@@ -68,6 +74,9 @@ object Winnowing {
        |  md5(array_to_string(fps, ',')) AS fp_digest
        |FROM w""".stripMargin
   }
+
+  val textWinnowFingerprintSql: String =
+    textWinnowFingerprintSqlFrom("string_split(text, ' ')", "documents", "")
 
   /** Winnowing fingerprints appearing in more than MAX_DF documents
     * are boilerplate (stop-phrases), not copy signal — and an
@@ -88,9 +97,13 @@ object Winnowing {
     * explode only the selected ~2/(W+1) density, df-cap with a
     * broadcast anti-join, then ONE keyed self-join on fingerprint with
     * per-bucket membership ≤ MAX_DF — never all-pairs. */
-  def dedupWinnowPairs: Q = (s, dir) => {
-    val fps = t(s, dir, "documents")
-      .withColumn("ws", split(col("text"), " "))
+  /** The pair pipeline over an arbitrary docs relation and token
+    * array (r15 — shared with the unicode twin; df cap and the keyed
+    * fingerprint self-join are identical). */
+  private[operators] def winnowPairsOf(docs: DataFrame,
+      ws: Column = split(col("text"), " ")): DataFrame = {
+    val fps = docs
+      .withColumn("ws", ws)
       .filter(size(col("ws")) >= K)
       .withColumn("hs", expr(
         s"""transform(sequence(1, size(ws) - ${K - 1}),
@@ -110,13 +123,18 @@ object Winnowing {
       .filter(col("n_shared") >= MIN_SHARED)
   }
 
-  val dedupWinnowPairsSql: String = {
+  def dedupWinnowPairs: Q = (s, dir) => winnowPairsOf(t(s, dir, "documents"))
+
+  /** The pair SQL over an arbitrary docs relation and token
+    * expression (r15 — shared with the unicode twin). */
+  private[operators] def dedupWinnowPairsSqlFrom(wsExpr: String,
+      from: String, withPrefix: String): String = {
     val gram = (0 until K).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
-    s"""WITH g AS (
+    s"""WITH ${withPrefix}g AS (
        |  SELECT doc_id, len(ws) - ${K - 1} AS ng,
        |    list_transform(generate_series(1, len(ws) - ${K - 1}),
        |      i -> md5($gram)) AS hs
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |  FROM (SELECT doc_id, $wsExpr AS ws FROM $from)
        |  WHERE len(ws) >= $K),
        |fps AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -133,6 +151,9 @@ object Winnowing {
        |GROUP BY 1, 2
        |HAVING COUNT(*) >= $MIN_SHARED""".stripMargin
   }
+
+  val dedupWinnowPairsSql: String =
+    dedupWinnowPairsSqlFrom("string_split(text, ' ')", "documents", "")
 
   val queries: Map[String, Q] = Map(
     "text_winnow_fingerprint" -> textWinnowFingerprint,
