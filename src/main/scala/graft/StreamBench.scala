@@ -120,13 +120,14 @@ object StreamBench {
       * question is whether the per-batch agg+write holds a rate. */
     def runFb(name: String): (String, String) = {
       val sink = s"$root/fb_$name"
+      // same idempotent overwrite-by-batchId writer as the production
+      // scorer drains (r15) — the bench must time the shipped shape
       val q = stream
         .writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.groupBy("user_id")
+        .foreachBatch(graft.streaming.StreamStage.idempotentBatchWriter(sink) {
+          batch => batch.groupBy("user_id")
             .agg(count(lit(1)).as("c"), sum(col("value")).as("s"))
-            .write.mode("append").parquet(sink)
-        }
+        })
         .option("checkpointLocation", s"$root/ck_$name")
         .trigger(Trigger.AvailableNow()).start()
       q.processAllAvailable()

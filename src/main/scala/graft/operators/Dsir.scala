@@ -176,12 +176,13 @@ object Dsir {
         .select(col("doc_id"), substring(md5(col("feat")), 1, 2).as("bucket"))
       val scored = streamFeats.join(broadcast(lam), "bucket")
         .select(col("doc_id"), col("lam"))
+      // overwrite-by-batchId (r15, r14 verdict #2): a replayed batch
+      // after a crash-between-write-and-commit must not double-count
       val q = scored.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.groupBy("doc_id")
+        .foreachBatch(graft.streaming.StreamStage.idempotentBatchWriter(sink) {
+          batch => batch.groupBy("doc_id")
             .agg(sum(col("lam")).as("s"), count(lit(1)).as("c"))
-            .write.mode("append").parquet(sink)
-        }.start()
+        }).start()
       try q.processAllAvailable() finally q.stop()
     }
     val perDoc = s.read.parquet(sink)

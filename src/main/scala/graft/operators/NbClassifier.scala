@@ -158,12 +158,13 @@ object NbClassifier {
           substring(md5(col("feat")), 1, 2).as("bucket"))
       val scored = streamFeats.join(broadcast(w), "bucket")
         .select(col("doc_id"), col("source"), col("w"))
+      // overwrite-by-batchId (r15, r14 verdict #2): a replayed batch
+      // after a crash-between-write-and-commit must not double-count
       val q = scored.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.groupBy("doc_id", "source")
+        .foreachBatch(graft.streaming.StreamStage.idempotentBatchWriter(sink) {
+          batch => batch.groupBy("doc_id", "source")
             .agg(sum(col("w")).as("s"), count(lit(1)).as("c"))
-            .write.mode("append").parquet(sink)
-        }.start()
+        }).start()
       try q.processAllAvailable() finally q.stop()
     }
     s.read.parquet(sink)

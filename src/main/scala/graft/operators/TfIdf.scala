@@ -80,16 +80,19 @@ object TfIdf {
     val sink = graft.streaming.StreamStage.freshSink(s, dir, "stfidf_sink")
     graft.streaming.StreamStage.withStaged(s, "stfidf", dir, "documents.parquet") { stageDir =>
       val stream = s.readStream.schema(sch).parquet(stageDir)
+      // a document arrives whole in one batch row, so per-batch
+      // tf + top-k is exactly the batch-twin computation;
+      // overwrite-by-batchId (r15, r14 verdict #2): a replayed batch
+      // after a crash-between-write-and-commit must not re-append
+      // its documents' rows
       val q = stream.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          // a document arrives whole in one batch row, so per-batch
-          // tf + top-k is exactly the batch-twin computation
-          topTerms(tf(batch).join(broadcast(dict), "w"))
-            .write.mode("append").parquet(sink)
-        }.start()
+        .foreachBatch(graft.streaming.StreamStage.idempotentBatchWriter(sink) {
+          batch => topTerms(tf(batch).join(broadcast(dict), "w"))
+        }).start()
       try q.processAllAvailable() finally q.stop()
     }
     s.read.parquet(sink)
+      .select("doc_id", "term", "score_unats", "tf", "rank")
   }
 
   val textTfidfTopkSql: String =

@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileUtil, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 
 /** File-stream staging for the streaming twins: Spark's file source
   * needs a DIRECTORY, so the input parquet file is copied into a
@@ -22,6 +23,30 @@ private[graft] object StreamStage {
   def freshSink(s: SparkSession, dir: String, tag: String): String =
     graft.sources.netcdf.NcQueries.scratch(
       s, dir, tag + "_" + sinkSeq.incrementAndGet())
+
+  /** Idempotent foreachBatch parquet writer (r15, r14 verdict #2):
+    * foreachBatch is AT-LEAST-ONCE — a crash between the sink write
+    * and the checkpoint's offset commit replays the batch on restart,
+    * and a plain `mode("append")` sink then double-counts the partial
+    * aggregates. The standard remedy is overwrite-by-batchId: each
+    * batch's rows land in their own `batch_id=<id>` partition with
+    * DYNAMIC partition overwrite, so a replayed batch (same id by the
+    * recovery contract) REPLACES its own partition instead of
+    * appending a second copy — exactly-once at the sink without a
+    * transactional store. Round15Spec pins this with a deterministic
+    * crash-after-write-before-commit replay, including the
+    * append-mode counterfactual.
+    *
+    * `f` is the per-batch transform (partial aggregation); readers of
+    * the sink must ignore/drop the `batch_id` partition column. */
+  def idempotentBatchWriter(sink: String)(f: DataFrame => DataFrame): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      f(batch)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(sink)
 
   /** Stage `dir/fileName` into a scratch dir, run `drain(stageDir)`
     * (which must BLOCK until the stream is done with the files —
