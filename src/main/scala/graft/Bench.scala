@@ -65,6 +65,22 @@ object Bench {
     * #2 — staging must stay visible somewhere honest). */
   private[graft] var stagingSec: Double = 0.0
 
+  /** /proc/loadavg (1m, 5m, 15m) as a JSON array — the ambient-host
+    * context the artifact needs to defend itself (r15, r14 verdict
+    * #5: the r14 1.35x uniform session smear was explained only in
+    * SURVEY prose; the bench JSON should say what the host was doing
+    * while the timings were taken). [-1,-1,-1] where unreadable. */
+  private def loadAvg(): String =
+    try {
+      val p = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ")
+      s"[${p(0)},${p(1)},${p(2)}]"
+    } catch { case _: Throwable => "[-1,-1,-1]" }
+
+  /** Captured when the timed loop starts; header emits it next to the
+    * end-of-run reading. */
+  private var loadAvgStart: String = "[-1,-1,-1]"
+
   private def header(results: Map[String, Double], sfDir: String): String = {
     val good = results.values.filter(_ >= 0)
     val total = if (good.nonEmpty) good.sum else 0.0
@@ -76,7 +92,9 @@ object Bench {
       else "\"n_err\":" + errs.size + ",\"errors\":" +
         errs.take(12).map("\"" + _ + "\"").mkString("[", ",", "]") + ","
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},""" +
-      s""""staging_sec":${fmt(stagingSec)},"sf":"$sfDir",$errPart"queries":{"""
+      s""""staging_sec":${fmt(stagingSec)},"sf":"$sfDir",""" +
+      s""""load_avg_start":$loadAvgStart,"load_avg_end":${loadAvg()},""" +
+      s"$errPart\"queries\":{"
   }
 
   private[graft] def emitLine(results: Map[String, Double], sfDir: String): String = {
@@ -162,6 +180,7 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       if (ok) t else Double.NaN
     }
+    loadAvgStart = loadAvg()
     // best-of-2 per query: one timing sample is dominated by JIT tails
     // and host noise in a 135-plan session; the min is the steady state
     var results: Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>

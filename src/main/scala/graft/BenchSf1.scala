@@ -419,27 +419,68 @@ object BenchSf1 {
         }
       }
     }
-    def fmt(d: Double) = if (d < 0) "-1" else f"$d%.3f"
     val bigField = if (x100) "x100_sec" else "x10_sec"
-    val rows = keys.map { k =>
-      val ratio = if (small(k) > 0 && big(k) > 0) big(k) / small(k) else -1.0
-      s""""$k":{"sf01_sec":${fmt(small(k))},"$bigField":${fmt(big(k))},"ratio":${fmt(ratio)}}"""
-    }
     val metric =
       if (x100) "x100_probe" else s"sf1_${if (full) "full" else "smoke"}"
-    // carry over existing rows for keys outside this (restricted) run
     val outPath = java.nio.file.Paths.get(s"/root/repo/$outFile")
-    val carried: Seq[String] =
-      if (only.isDefined && java.nio.file.Files.exists(outPath)) {
-        val prev = new String(java.nio.file.Files.readAllBytes(outPath), "UTF-8")
-        keys0.filterNot(only.get.contains).flatMap { k =>
-          val re = ("\"" + java.util.regex.Pattern.quote(k) + "\":\\{[^}]*\\}").r
-          re.findFirstIn(prev)
+    // r15 (r14 verdict #4 + ADVICE): the only= carry-over merges
+    // through a real JSON parser instead of a per-row regex — nested
+    // row objects can't break it, unknown top-level fields
+    // (watchdog_note &c.) survive a re-run, carried rows are tagged
+    // "carried":true so the artifact says which rows came from a
+    // previous session, and only= keys outside the mode's inventory
+    // warn instead of vanishing silently.
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    only.foreach { o =>
+      val unknown = o -- keys0.toSet
+      if (unknown.nonEmpty)
+        System.err.println("[sf1-smoke] only= keys not in this mode's inventory " +
+          s"(ignored): ${unknown.toSeq.sorted.mkString(",")}")
+    }
+    val prev: Option[ObjectNode] =
+      if (only.isDefined && java.nio.file.Files.exists(outPath))
+        try Some(mapper.readTree(java.nio.file.Files.readAllBytes(outPath)).asInstanceOf[ObjectNode])
+        catch { case e: Throwable =>
+          System.err.println(s"[sf1-smoke] prior artifact unparseable, carrying nothing: ${e.getMessage}")
+          None
         }
-      } else Nil
-    val json = s"""{"metric":"$metric",""" +
-      s""""input":"${copies}x replicated $srcDir","copies":$copies,""" +
-      s""""queries":{${(carried ++ rows).mkString(",")}}}"""
+      else None
+    val out = mapper.createObjectNode()
+    // prior unknown top-level fields first, so this run's own fields win
+    prev.foreach { p =>
+      p.fieldNames().forEachRemaining { f =>
+        if (!Set("metric", "input", "copies", "queries").contains(f))
+          out.set[ObjectNode](f, p.get(f))
+      }
+    }
+    out.put("metric", metric)
+    out.put("input", s"${copies}x replicated $srcDir")
+    out.put("copies", copies)
+    def num(row: ObjectNode, field: String, d: Double): Unit =
+      if (d < 0) { row.put(field, -1); () }
+      else { row.put(field,
+        java.math.BigDecimal.valueOf(d).setScale(3, java.math.RoundingMode.HALF_UP)); () }
+    val ranSet = keys.toSet
+    val qs = mapper.createObjectNode()
+    keys0.foreach { k =>
+      if (ranSet.contains(k)) {
+        val row = mapper.createObjectNode()
+        num(row, "sf01_sec", small(k))
+        num(row, bigField, big(k))
+        num(row, "ratio", if (small(k) > 0 && big(k) > 0) big(k) / small(k) else -1.0)
+        qs.set[ObjectNode](k, row)
+      } else prev.foreach { p =>
+        val r = p.path("queries").get(k)
+        if (r != null && r.isObject) {
+          val row = r.deepCopy[ObjectNode]()
+          row.put("carried", true)
+          qs.set[ObjectNode](k, row)
+        }
+      }
+    }
+    out.set[ObjectNode]("queries", qs)
+    val json = mapper.writeValueAsString(out)
     java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()

@@ -114,7 +114,15 @@ object TarCodec {
           // no legal ustar split: GNU long-name escape
           writeMember(bos, longLinkName, emptyPrefix, 'L',
             java.util.Arrays.copyOf(nameB, nameB.length + 1)) // + trailing NUL
-          writeMember(bos, java.util.Arrays.copyOf(nameB, 100), emptyPrefix, '0', data)
+          // fallback name for pure-ustar readers that ignore the 'L'
+          // record (r15, r14 ADVICE): truncate at the last UTF-8
+          // boundary <= 99 bytes so the field never cuts mid-sequence
+          // (raw 100-byte truncation rendered full-width mojibake),
+          // and leave byte `cut` zero — the NUL terminator — matching
+          // GNU tar's friendlier degradation for non-GNU readers
+          var cut = 99
+          while (cut > 0 && (nameB(cut) & 0xC0) == 0x80) cut -= 1
+          writeMember(bos, java.util.Arrays.copyOf(nameB, cut), emptyPrefix, '0', data)
         }
       }
       i += 1

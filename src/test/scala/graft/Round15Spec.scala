@@ -145,6 +145,32 @@ class Round15Spec extends AnyFunSuite {
       "append-mode replay did not double-count — the test no longer exercises the gap")
   }
 
+  // ---- tar GNU-'L' fallback name degradation (r14 ADVICE) ------------
+
+  test("tar GNU-'L' fallback name truncates at a UTF-8 boundary and NUL-terminates") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val name = "é" * 150 // 300 UTF-8 bytes, no '/': takes the 'L' escape
+    val bytes = graft.functions.TarCodec.pack(new GenericArrayData(
+      Array[Any](InternalRow(UTF8String.fromString(name), Array[Byte](1)))))
+    // member 0 = the 'L' escape (512 header + 301-byte payload padded
+    // to 512); the REAL header follows at 1024. A pure-ustar reader
+    // that ignores 'L' records sees only this header's name field.
+    val hdr = 1024
+    var nl = 0
+    while (nl < 100 && bytes(hdr + nl) != 0) nl += 1
+    assert(nl < 100, "fallback name not NUL-terminated inside the field")
+    // byte 99 would split the 50th é mid-sequence; the boundary rule
+    // stops at 98 — 49 complete 2-byte chars
+    assert(nl == 98, s"expected 98 fallback-name bytes, got $nl")
+    assert(new String(bytes, hdr, nl, "UTF-8") == "é" * 49)
+    // GNU-aware readers still get the FULL name via the 'L' record
+    val ms = graft.functions.TarCodec.members(bytes)
+    assert(ms.numElements() == 1 &&
+      ms.getStruct(0, 3).getUTF8String(0).toString == name)
+  }
+
   // ---- bm25 unicode probe-set contract (r14 ADVICE) ------------------
 
   test("text_bm25_topk_uni probes corpus ids 0..7 plus every fixture doc") {
