@@ -62,10 +62,21 @@ object ShuffleAudit {
     // clone-dense data; organic growth measures the engine's own rate
     "text_tfidf_topk")
 
+  /** `x100` mode (r15, r14 verdict #6): shuffle-byte rates TWO decades
+    * up for the two largest 100×-probe walls — the keys whose
+    * wall-clock sublinearity the byte-level audit should confirm (or
+    * convict) at the scale the probe actually ran. Same self-defending
+    * rate columns; the big leg is the 100× wide-replicated dir. */
+  private val X100_AUDIT_KEYS = Seq("grid_pyramid", "sim_ann_cascade")
+
   def main(args: Array[String]): Unit = {
     val organic = args.contains("organic")
+    val x100 = args.contains("x100")
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val bigDir = if (organic) "/tmp/graft_organic_synth" else "/tmp/graft_sf1_synth"
+    val bigDir =
+      if (x100) "/tmp/graft_x100_synth"
+      else if (organic) "/tmp/graft_organic_synth"
+      else "/tmp/graft_sf1_synth"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -83,10 +94,21 @@ object ShuffleAudit {
       // dict broadcasts — are unaffected by these thresholds.
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // r15 (r14 verdict #6 root-cause): parquet-hadoop 1.16 defaults
+      // vectored IO ON, and its range reads are served off the task
+      // thread — the per-thread FS statistics behind bytesRead then
+      // see only the footer reads (ScanBytesProbe measured 0.2-0.7%
+      // of disk bytes counted with it on, 100.1% with it off). The
+      // input-byte DENOMINATOR of every rate column needs the real
+      // bytes, so the audit session scans without vectored IO. This
+      // is measurement fidelity only — the engine under bench/verify
+      // keeps the (faster) default.
+      .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (!new java.io.File(s"$bigDir/documents.parquet").exists()) {
-      if (organic) BenchSf1.organicGrow(spark, srcDir, bigDir, 10)
+      if (x100) BenchSf1.replicateWide(spark, srcDir, bigDir, 100, cpus.toInt * 2)
+      else if (organic) BenchSf1.organicGrow(spark, srcDir, bigDir, 10)
       else BenchSf1.replicate(spark, srcDir, bigDir, 10)
     }
 
@@ -113,7 +135,9 @@ object ShuffleAudit {
 
     // warm: build staged artifacts + JIT so the measured pass is the
     // steady-state per-query cost (bench convention)
-    val auditKeys = if (organic) ORGANIC_KEYS else KEYS
+    val auditKeys =
+      if (x100) X100_AUDIT_KEYS else if (organic) ORGANIC_KEYS else KEYS
+    val bigField = if (x100) "x100" else "x10"
     auditKeys.foreach(k => measure(k, srcDir))
     auditKeys.foreach(k => measure(k, bigDir))
     val rows = auditKeys.map { k =>
@@ -127,15 +151,18 @@ object ShuffleAudit {
       val rate1 = if (in1 > 0) sh1.toDouble / in1 else -1.0
       val rate10 = if (in10 > 0) sh10.toDouble / in10 else -1.0
       f""""$k":{"sf01_input_b":$in1,"sf01_shuffle_b":$sh1,""" +
-        f""""x10_input_b":$in10,"x10_shuffle_b":$sh10,""" +
+        f""""${bigField}_input_b":$in10,"${bigField}_shuffle_b":$sh10,""" +
         f""""input_ratio":$inr%.2f,"shuffle_ratio":$shr%.2f,""" +
         f""""sf01_shuffle_b_per_input_b":$rate1%.4f,""" +
-        f""""x10_shuffle_b_per_input_b":$rate10%.4f}"""
+        f""""${bigField}_shuffle_b_per_input_b":$rate10%.4f}"""
     }
-    val mode = if (organic) "organic" else "replicated"
-    val json = s"""{"metric":"shuffle_audit","input":"10x $mode $srcDir",""" +
+    val mode =
+      if (x100) "100x wide-replicated" else if (organic) "10x organic" else "10x replicated"
+    val json = s"""{"metric":"shuffle_audit","input":"$mode $srcDir",""" +
       s""""queries":{${rows.mkString(",")}}}"""
-    val outFile = if (organic) "SHUFFLE_AUDIT_ORGANIC.json" else "SHUFFLE_AUDIT.json"
+    val outFile =
+      if (x100) "SHUFFLE_AUDIT_X100.json"
+      else if (organic) "SHUFFLE_AUDIT_ORGANIC.json" else "SHUFFLE_AUDIT.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(s"/root/repo/$outFile"),
       (json + "\n").getBytes("UTF-8"))
     println(json)

@@ -64,7 +64,8 @@ object SparkEntry {
       graft.operators.Moments.queries ++
       graft.operators.Chunker.queries ++
       graft.operators.TfIdf.queries ++
-      graft.operators.UniText.queries
+      graft.operators.UniText.queries ++
+      graft.operators.SourceQuota.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -119,5 +120,6 @@ object SparkEntry {
       graft.operators.Moments.oracles ++
       graft.operators.Chunker.oracles ++
       graft.operators.TfIdf.oracles ++
-      graft.operators.UniText.oracles
+      graft.operators.UniText.oracles ++
+      graft.operators.SourceQuota.oracles
 }

@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.Tables._
+import graft.functions.TextOps.{sqlList, stoplist}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Per-source document QUOTA and corpus-balance ledger (SURVEY.md
+  * §2C) — the domain-cap curation step: no single source (domain,
+  * crawl host, shard provider) may contribute more than K documents,
+  * and when a source exceeds its cap the BEST K by quality survive.
+  * Published web-scale pipelines apply exactly this shape to stop a
+  * handful of mega-domains from dominating the training mix (the
+  * C4/RefinedWeb per-domain cap posture).
+  *
+  * Cross-engine-exact and SCALE-SAFE selection: top-K-per-source is
+  * NOT a per-source sort. The composite quality score quantizes to an
+  * integer ppm key (`qk`, pure BIGINT arithmetic — every term a
+  * floor-divided rational of row integers, so both engines agree
+  * bit-for-bit), the per-(source, qk) HISTOGRAM gets
+  * counts-from-above via a window over the histogram — never over
+  * docs — and whole key groups classify map-side against the cap
+  * (cb ≥ K → drop all, cb+c ≤ K → keep all). Only the ONE key group
+  * straddling the cap ranks, by doc_id, over a window bounded by that
+  * group's tie count. The ledger carries `kept_docid_sum`, so the
+  * oracle gates the selected SET, not just its size.
+  *
+  * The streaming twin maintains the (source, qk) histogram as a
+  * complete-mode aggregation (state = one row per live key, bounded
+  * by the ppm key domain — metadata-sized next to a 100 TB corpus)
+  * and runs the identical cut math on the drained totals: a streaming
+  * ingest can enforce/refresh its domain caps incrementally without
+  * rescanning the corpus.
+  */
+object SourceQuota {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-source document cap. 20 sources × 25 docs at the sf0.01
+    * oracle gate, so the cap genuinely bites on every source. */
+  private val QUOTA = 15L
+
+  /** `text_quality`'s composite score on the exact 1e6 (ppm) integer
+    * grid: 0.4·min(n_words/50, 1) + 0.3·stop_ratio
+    * + 0.3·min(avg_word_len/8, 1), each term floor-quantized
+    * independently so the key is pure BIGINT on both engines. Spark
+    * `DIV` and DuckDB `//` agree on the nonnegative operands here. */
+  private val qkExpr =
+    "8000 * least(n_words, 50) + (300000 * n_stop) DIV n_words" +
+      " + least((300000 * (length(text) - n_words + 1)) DIV (8 * n_words), 300000)"
+
+  private[graft] def scored(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("n_words", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("n_stop",
+        expr(s"size(filter(split(text, ' '), w -> w IN (${sqlList(stoplist)})))")
+          .cast(LongType))
+      .withColumn("qk", expr(qkExpr))
+      .select("doc_id", "source", "n_chars", "qk")
+
+  /** (source, qk) histogram → per-key-group keep count against the
+    * cap: c (keep whole group), 0 (drop whole group), or the straddle
+    * remainder K − cb for the single tie group per source. */
+  private def keepPlan(hist: DataFrame): DataFrame = {
+    val wcum = Window.partitionBy("source").orderBy(col("qk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cb", coalesce(sum(col("c")).over(wcum), lit(0L)))
+      .withColumn("keep_m",
+        when(col("cb") >= QUOTA, lit(0L))
+          .when(col("cb") + col("c") <= QUOTA, col("c"))
+          .otherwise(lit(QUOTA) - col("cb")))
+      .select("source", "qk", "c", "keep_m")
+  }
+
+  def pipelineSourceQuota: Q = (s, dir) => {
+    val docs = scored(s, dir)
+    val plan = keepPlan(docs.groupBy("source", "qk").agg(count(lit(1)).as("c")))
+    val joined = docs.join(plan, Seq("source", "qk"))
+    // whole-group classification is map-side after the plan join; only
+    // the straddling tie group ranks (window input pre-filtered to it)
+    val full = joined.filter(col("keep_m") === col("c")).withColumn("kept", lit(true))
+    val none = joined.filter(col("keep_m") === 0L).withColumn("kept", lit(false))
+    val tie = joined.filter(col("keep_m") > 0L && col("keep_m") < col("c"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("source", "qk").orderBy(col("doc_id"))))
+      .withColumn("kept", col("rn") <= col("keep_m"))
+      .drop("rn")
+    full.unionByName(none).unionByName(tie)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+        min(when(col("kept"), col("qk"))).as("cut_qk"),
+        sum(when(col("kept"), col("doc_id"))).as("kept_docid_sum"),
+        sum(when(col("kept"), col("n_chars"))).as("kept_chars"))
+  }
+
+  private val scoredCte =
+    s"""d AS (
+       |  SELECT doc_id, source, n_chars,
+       |    8000 * least(n_words, 50) + (300000 * n_stop) // n_words
+       |      + least((300000 * (length(text) - n_words + 1)) // (8 * n_words), 300000)
+       |      AS qk
+       |  FROM (
+       |    SELECT doc_id, source, n_chars, text,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |      CAST(len(list_filter(string_split(text, ' '),
+       |        w -> w IN (${sqlList(stoplist)}))) AS BIGINT) AS n_stop
+       |    FROM documents)),
+       |hist AS (SELECT source, qk, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+       |k AS (
+       |  SELECT source, qk, c,
+       |    CASE WHEN cb >= $QUOTA THEN 0
+       |         WHEN cb + c <= $QUOTA THEN c
+       |         ELSE $QUOTA - cb END AS keep_m
+       |  FROM (
+       |    SELECT source, qk, c,
+       |      COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY qk DESC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |    FROM hist))""".stripMargin
+
+  val pipelineSourceQuotaSql: String =
+    s"""WITH $scoredCte,
+       |r AS (
+       |  SELECT d.doc_id, d.source, d.n_chars, d.qk, k.c, k.keep_m,
+       |    row_number() OVER (PARTITION BY d.source, d.qk ORDER BY d.doc_id) AS rn
+       |  FROM d JOIN k USING (source, qk)),
+       |f AS (SELECT *, keep_m = c OR (keep_m > 0 AND rn <= keep_m) AS kept FROM r)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       |  CAST(MIN(CASE WHEN kept THEN qk END) AS BIGINT) AS cut_qk,
+       |  CAST(SUM(CASE WHEN kept THEN doc_id END) AS BIGINT) AS kept_docid_sum,
+       |  CAST(SUM(CASE WHEN kept THEN n_chars END) AS BIGINT) AS kept_chars
+       |FROM f GROUP BY source""".stripMargin
+
+  /** STREAMING quota twin: the (source, qk) histogram accumulates as
+    * a complete-mode streaming aggregation over a file stream of the
+    * corpus, then the identical [[keepPlan]] cut runs batch-side on
+    * the drained totals. The ledger is everything the histogram alone
+    * determines (counts + cut key); doc-level set proof is the batch
+    * key's job — a histogram cannot name the tie group's members. */
+  def streamSourceQuota: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    graft.streaming.StreamStage.withStaged(s, "ssq", dir, "documents.parquet") { stageDir =>
+      val hist = s.readStream.schema(sch).parquet(stageDir)
+        .withColumn("n_words", size(split(col("text"), " ")).cast(LongType))
+        .withColumn("n_stop",
+          expr(s"size(filter(split(text, ' '), w -> w IN (${sqlList(stoplist)})))")
+            .cast(LongType))
+        .withColumn("qk", expr(qkExpr))
+        .groupBy("source", "qk")
+        .agg(count(lit(1)).as("c"))
+      val q = hist.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_sq").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    keepPlan(s.table("graft_stream_sq"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("keep_m")).as("n_kept"),
+        sum(col("c") - col("keep_m")).as("n_dropped"),
+        min(when(col("keep_m") > 0L, col("qk"))).as("cut_qk"))
+  }
+
+  val streamSourceQuotaSql: String =
+    s"""WITH $scoredCte
+       |SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+       |  CAST(SUM(keep_m) AS BIGINT) AS n_kept,
+       |  CAST(SUM(c - keep_m) AS BIGINT) AS n_dropped,
+       |  CAST(MIN(CASE WHEN keep_m > 0 THEN qk END) AS BIGINT) AS cut_qk
+       |FROM k GROUP BY source""".stripMargin
+
+  /** CORPUS-BALANCE ledger — per language: how many sources feed it
+    * and how evenly (source-share Shannon entropy, the number a
+    * dataset card reports beside the mix table; a lang fed 99% by one
+    * domain is a diversity risk no per-doc quality score sees).
+    * Entropy in integer micro-nats via the established device
+    * (round(1e6·ln k) of integer k per row, then pure BIGINT:
+    * H = (N·λ(N) − Σ n_s·λ(n_s)) DIV N); top_share_ppm is an integer
+    * floor-division. Two partial-agg passes, nothing joins or sorts. */
+  def pipelineSourceEntropy: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("ns"))
+      .groupBy("lang")
+      .agg(sum(col("ns")).as("n_docs"), count(lit(1)).as("n_sources"),
+        sum(col("ns") * expr("CAST(round(1e6 * ln(CAST(ns AS DOUBLE))) AS BIGINT)"))
+          .as("sum_nlnn"),
+        max(col("ns")).as("max_ns"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        expr("(n_docs * CAST(round(1e6 * ln(CAST(n_docs AS DOUBLE))) AS BIGINT)" +
+          " - sum_nlnn) DIV n_docs").as("entropy_unats"),
+        expr("(1000000 * max_ns) DIV n_docs").as("top_share_ppm"))
+  }
+
+  val pipelineSourceEntropySql: String =
+    """WITH counts AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS ns
+      |  FROM documents GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT lang, CAST(SUM(ns) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(*) AS BIGINT) AS n_sources,
+      |    CAST(SUM(ns * CAST(round(1e6 * ln(CAST(ns AS DOUBLE))) AS BIGINT)) AS BIGINT)
+      |      AS sum_nlnn,
+      |    CAST(MAX(ns) AS BIGINT) AS max_ns
+      |  FROM counts GROUP BY lang)
+      |SELECT lang, n_docs, n_sources,
+      |  (n_docs * CAST(round(1e6 * ln(CAST(n_docs AS DOUBLE))) AS BIGINT) - sum_nlnn)
+      |    // n_docs AS entropy_unats,
+      |  (1000000 * max_ns) // n_docs AS top_share_ppm
+      |FROM agg""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "pipeline_source_quota" -> pipelineSourceQuota,
+    "stream_source_quota" -> streamSourceQuota,
+    "pipeline_source_entropy" -> pipelineSourceEntropy)
+  val oracles: Map[String, String] = Map(
+    "pipeline_source_quota" -> pipelineSourceQuotaSql,
+    "stream_source_quota" -> streamSourceQuotaSql,
+    "pipeline_source_entropy" -> pipelineSourceEntropySql)
+}

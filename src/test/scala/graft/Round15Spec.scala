@@ -9,7 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * parity with their ASCII twins, the bm25 unicode probe-set
   * contract, and foreachBatch scorer-sink idempotence under a
   * crash-between-write-and-commit replay — each pinned independently
-  * of the DuckDB oracle gate. */
+  * of the DuckDB oracle gate. Plus the r15 additions: the per-source
+  * quota's histogram-cut selection against a brute-force top-K, the
+  * streaming quota's drained-histogram parity, and the balance
+  * ledger's exact micro-nat arithmetic. */
 class Round15Spec extends AnyFunSuite {
   import TestSession._
 
@@ -183,5 +186,61 @@ class Round15Spec extends AnyFunSuite {
     assert(qids.subsetOf(want), s"unexpected probe qids: ${qids -- want}")
     assert(want.count(_ < 0) == graft.functions.Tokenize.FIXTURE.size,
       "fixture contract drifted")
+  }
+
+  // ---- per-source quota + balance ledger (r15 additions) -------------
+
+  test("pipeline_source_quota: histogram-cut selection == brute-force top-15 per source") {
+    import org.apache.spark.sql.expressions.Window
+    val ledger = SparkEntry.queries("pipeline_source_quota")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // the cap law: kept == min(15, n_docs), kept + dropped == n_docs
+    ledger.values.foreach { r =>
+      assert(r.getLong(2) == math.min(15L, r.getLong(1)), r.toString)
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1), r.toString)
+    }
+    // brute force (test-only shape): rank ALL docs per source by
+    // (qk desc, doc_id asc) and keep rn <= 15 — the selected SET, and
+    // therefore kept_docid_sum and cut_qk, must match exactly
+    val w = Window.partitionBy("source").orderBy(col("qk").desc, col("doc_id"))
+    val brute = graft.operators.SourceQuota.scored(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 15)
+      .groupBy("source").agg(sum(col("doc_id")).as("docsum"), min(col("qk")).as("cut"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(brute.keySet == ledger.keySet)
+    brute.foreach { case (src, (docsum, cut)) =>
+      assert(ledger(src).getLong(4) == cut, s"$src cut_qk")
+      assert(ledger(src).getLong(5) == docsum, s"$src kept_docid_sum")
+    }
+  }
+
+  test("stream_source_quota ledger == batch quota ledger on the histogram columns") {
+    val batch = SparkEntry.queries("pipeline_source_quota")(spark, sf)
+      .select("source", "n_docs", "n_kept", "n_dropped", "cut_qk")
+    val stream = SparkEntry.queries("stream_source_quota")(spark, sf)
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty,
+      "drained-histogram cut differs from the batch cut")
+  }
+
+  test("pipeline_source_entropy replays exact BigInt micro-nat arithmetic") {
+    val got = SparkEntry.queries("pipeline_source_entropy")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val counts = graft.Tables.t(spark, sf, "documents")
+      .groupBy("lang", "source").count()
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
+    def lam(k: Long): BigInt = BigInt(math.round(1e6 * math.log(k.toDouble)))
+    counts.foreach { case (lang, ns) =>
+      val n = ns.sum
+      val h = (BigInt(n) * lam(n) - ns.map(c => BigInt(c) * lam(c)).sum) / BigInt(n)
+      val top = BigInt(1000000) * BigInt(ns.max) / BigInt(n)
+      val (gn, gs, ge, gt) = got(lang)
+      assert((gn, gs) == (n, ns.size.toLong), lang)
+      assert(BigInt(ge) == h, s"$lang entropy: got $ge want $h")
+      assert(BigInt(gt) == top, s"$lang top share: got $gt want $top")
+      // uniform upper bound: H <= ln(n_sources) on the same grid
+      assert(ge <= math.round(1e6 * math.log(ns.size.toDouble)), lang)
+    }
   }
 }
