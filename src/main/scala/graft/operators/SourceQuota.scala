@@ -27,6 +27,12 @@ import org.apache.spark.sql.types.LongType
   * group's tie count. The ledger carries `kept_docid_sum`, so the
   * oracle gates the selected SET, not just its size.
   *
+  * The corpus shuffles ONCE — into a histogram that carries per-key
+  * doc_id/char sums, so whole key groups contribute to the ledger
+  * from histogram rows alone; doc rows are touched a second time only
+  * for the ≤1-per-source tie groups, through a broadcast join that
+  * prunes that pass map-side.
+  *
   * The streaming twin maintains the (source, qk) histogram as a
   * complete-mode aggregation (state = one row per live key, bounded
   * by the ppm key domain — metadata-sized next to a 100 TB corpus)
@@ -77,25 +83,37 @@ object SourceQuota {
 
   def pipelineSourceQuota: Q = (s, dir) => {
     val docs = scored(s, dir)
-    val plan = keepPlan(docs.groupBy("source", "qk").agg(count(lit(1)).as("c")))
-    val joined = docs.join(plan, Seq("source", "qk"))
-    // whole-group classification is map-side after the plan join; only
-    // the straddling tie group ranks (window input pre-filtered to it)
-    val full = joined.filter(col("keep_m") === col("c")).withColumn("kept", lit(true))
-    val none = joined.filter(col("keep_m") === 0L).withColumn("kept", lit(false))
-    val tie = joined.filter(col("keep_m") > 0L && col("keep_m") < col("c"))
+    // the histogram carries per-(source, qk) doc_id/char sums, so
+    // WHOLE key groups contribute to the ledger from histogram rows
+    // alone — the corpus shuffles ONCE, into the histogram
+    val plan = docs.groupBy("source", "qk")
+      .agg(count(lit(1)).as("c"), sum(col("doc_id")).as("sd"),
+        sum(col("n_chars")).as("sch"))
+      .transform(h => keepPlan(h).drop("c").join(h, Seq("source", "qk")))
+    val base = plan.groupBy("source")
+      .agg(sum(col("c")).as("n_docs"), sum(col("keep_m")).as("n_kept"),
+        sum(col("c") - col("keep_m")).as("n_dropped"),
+        min(when(col("keep_m") > 0L, col("qk"))).as("cut_qk"),
+        sum(when(col("keep_m") === col("c"), col("sd"))).as("full_sd"),
+        sum(when(col("keep_m") === col("c"), col("sch"))).as("full_sch"))
+    // only the straddling tie group (≤1 per source) needs doc rows: a
+    // broadcast semi-style join prunes the second pass map-side, and
+    // the ranking window's partition is bounded by that group's ties
+    val tieKeys = plan.filter(col("keep_m") > 0L && col("keep_m") < col("c"))
+      .select("source", "qk", "keep_m")
+    val tie = docs.join(broadcast(tieKeys), Seq("source", "qk"))
       .withColumn("rn",
         row_number().over(Window.partitionBy("source", "qk").orderBy(col("doc_id"))))
-      .withColumn("kept", col("rn") <= col("keep_m"))
-      .drop("rn")
-    full.unionByName(none).unionByName(tie)
+      .filter(col("rn") <= col("keep_m"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
-        min(when(col("kept"), col("qk"))).as("cut_qk"),
-        sum(when(col("kept"), col("doc_id"))).as("kept_docid_sum"),
-        sum(when(col("kept"), col("n_chars"))).as("kept_chars"))
+      .agg(sum(col("doc_id")).as("tie_sd"), sum(col("n_chars")).as("tie_sch"))
+    base.join(tie, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_kept"), col("n_dropped"),
+        col("cut_qk"),
+        (coalesce(col("full_sd"), lit(0L)) + coalesce(col("tie_sd"), lit(0L)))
+          .as("kept_docid_sum"),
+        (coalesce(col("full_sch"), lit(0L)) + coalesce(col("tie_sch"), lit(0L)))
+          .as("kept_chars"))
   }
 
   private val scoredCte =
