@@ -77,6 +77,9 @@ object BenchSf1 {
     // bounded (3.05× bytes at 10× input), so the 100× wall should
     // stay far sublinear too
     "text_js_drift",
+    // r15: the domain-cap histogram-cut shape — one corpus shuffle
+    // into a sum-carrying histogram + a broadcast-pruned tie pass
+    "pipeline_source_quota",
     // r13 (r12 verdict #7): every family with a super-constant 10x
     // ratio gets a 100x point — the worst 10x entry (incremental
     // arrival dedup), the chunk-aligned zonal join, the per-nation

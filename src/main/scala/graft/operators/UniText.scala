@@ -242,6 +242,42 @@ object UniText {
   val dedupWinnowPairsUniSql: String = Winnowing.dedupWinnowPairsSqlFrom(
     Tokenize.duckTokens("text"), "udocs", s"${Tokenize.udocsCte},\n")
 
+  /** Unicode GRAPH dedup (r15 — closing the layer above pair
+    * generation): min-label connected components over the unicode LSH
+    * pair table (verified Jaccard ≥ 0.2 edges, the ASCII
+    * `dedup_clusters` bar), so the full dedup chain — tokenize →
+    * shingle → band → verify → cluster — runs under the unicode
+    * tokenizer end-to-end. Same checkpointed star-contraction loop,
+    * same staged `lsh_pairs_uni` edge artifact; nodes are the
+    * fixture-unioned corpus (every edge endpoint present by
+    * construction). */
+  def dedupClustersUni: Q = (s, dir) => {
+    val nodes = Tokenize.unionedDocs(s, dir).select(col("doc_id").as("id"))
+    val edges = minhashPairsUni(s, dir)
+      .filter(col("jaccard") >= 0.2)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val cc = DedupClusters.connectedComponents(nodes, edges)
+    val sizes = cc.groupBy("canonical").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "canonical")
+      .select(col("id").as("doc_id"), col("canonical").as("canonical_id"),
+        col("cluster_size"))
+  }
+
+  val dedupClustersUniSql: String =
+    s"""WITH RECURSIVE ${Tokenize.udocsCte},
+       |pairs AS ($dedupMinhashLshUniSql),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.2),
+       |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+       |reach(v, r) AS (
+       |  SELECT doc_id, doc_id FROM udocs
+       |  UNION
+       |  SELECT sym.b, reach.r FROM sym JOIN reach ON reach.v = sym.a),
+       |cc AS (SELECT v AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY v),
+       |sizes AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM cc GROUP BY canonical_id)
+       |SELECT cc.doc_id, cc.canonical_id, sizes.cluster_size
+       |FROM cc JOIN sizes USING (canonical_id)""".stripMargin
+
   // -------------------------------------------------------------------
   // stream_tokens_unicode: the streaming twin of the accounting key —
   // stateless map-side projection per micro-batch into a distributed
@@ -287,6 +323,7 @@ object UniText {
     "dedup_simhash_uni" -> dedupSimhashUni,
     "text_winnow_fingerprint_uni" -> textWinnowFingerprintUni,
     "dedup_winnow_pairs_uni" -> dedupWinnowPairsUni,
+    "dedup_clusters_uni" -> dedupClustersUni,
     "stream_tokens_unicode" -> streamTokensUnicode)
   val oracles: Map[String, String] = Map(
     "text_tokens_unicode" -> textTokensUnicodeSql,
@@ -298,5 +335,6 @@ object UniText {
     "dedup_simhash_uni" -> dedupSimhashUniSql,
     "text_winnow_fingerprint_uni" -> textWinnowFingerprintUniSql,
     "dedup_winnow_pairs_uni" -> dedupWinnowPairsUniSql,
+    "dedup_clusters_uni" -> dedupClustersUniSql,
     "stream_tokens_unicode" -> textTokensUnicodeSql)
 }
