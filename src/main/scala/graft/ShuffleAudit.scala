@@ -38,7 +38,10 @@ object ShuffleAudit {
     "pipeline_proto_prune", "dedup_incremental", "dedup_editdist_full",
     // r14 (r13 verdict #6): the r13 10x-table top entry, now single-
     // corpus-scan via the staged tf table
-    "text_tfidf_topk")
+    "text_tfidf_topk",
+    // r15: the domain-cap histogram-cut — one corpus shuffle into a
+    // sum-carrying histogram, broadcast-pruned tie pass
+    "pipeline_source_quota")
 
   /** `organic` mode: the rows the replica audit flags super-linear —
     * near-dup edge sets and posting lists, which clone-dense replicas

@@ -421,4 +421,20 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = planOf("sketch_bloom_fpr")
     assert(p.contains("BroadcastHashJoin"), "bit-array join not broadcast")
   }
+
+  test("source quota: one corpus histogram, broadcast tie pass, tie-bounded window (r15)") {
+    val p = planOf("pipeline_source_quota")
+    // the tie-group doc pass must be the deliberate broadcast — a
+    // shuffled corpus-vs-tie-keys join would re-shuffle the corpus
+    assert(p.contains("BroadcastHashJoin"), "tie-key join not broadcast")
+    // three windows, all KEYED (the histogram counts-from-above twice
+    // — it feeds base and tieKeys — plus the tie rank): none may
+    // funnel through a single partition, which is what a global
+    // window or an unkeyed sort would plan
+    assert("Window".r.findAllIn(p).size <= 3, s"unexpected extra windows")
+    assert(!p.contains("SinglePartition"), "a window funnels through one partition")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the histogram aggregation partial-aggregates map-side
+    assert(p.contains("partial_"), "histogram lost partial aggregation")
+  }
 }
