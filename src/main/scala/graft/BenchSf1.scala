@@ -91,7 +91,11 @@ object BenchSf1 {
     // three-stage ANN cascade, the zero-exchange chunker, and the
     // five-integer moment sketch
     "text_tfidf_topk", "grid_pyramid", "sim_ann_cascade",
-    "pipeline_chunk_overlap", "sketch_moments")
+    "pipeline_chunk_overlap", "sketch_moments",
+    // r15b: the vocabulary-growth curve — its one corpus-sized
+    // shuffle is the exploded-gram min(doc_id) agg, everything after
+    // is a 10-row histogram; the 100× wall should stay far sublinear
+    "text_heaps_fit")
 
   /** Wide replication for the 100× probe: one crossJoin against a
     * replica range instead of a 100-child union (same values — keys

@@ -41,7 +41,14 @@ object ShuffleAudit {
     "text_tfidf_topk",
     // r15: the domain-cap histogram-cut — one corpus shuffle into a
     // sum-carrying histogram, broadcast-pruned tie pass
-    "pipeline_source_quota")
+    "pipeline_source_quota",
+    // r15b: the vocabulary-growth curve — the exploded-gram
+    // min(doc_id) agg is its only corpus-sized shuffle; the 10-row
+    // histogram tail must add nothing
+    "text_heaps_fit",
+    // r15b: the held-out reliability ledger — DSIR's feature-extract
+    // shuffle shape on the two training sources, then broadcast-only
+    "pipeline_nb_calibration")
 
   /** `organic` mode: the rows the replica audit flags super-linear —
     * near-dup edge sets and posting lists, which clone-dense replicas

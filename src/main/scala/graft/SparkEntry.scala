@@ -65,7 +65,9 @@ object SparkEntry {
       graft.operators.Chunker.queries ++
       graft.operators.TfIdf.queries ++
       graft.operators.UniText.queries ++
-      graft.operators.SourceQuota.queries
+      graft.operators.SourceQuota.queries ++
+      graft.operators.NbCalibration.queries ++
+      graft.operators.HeapsFit.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -121,5 +123,7 @@ object SparkEntry {
       graft.operators.Chunker.oracles ++
       graft.operators.TfIdf.oracles ++
       graft.operators.UniText.oracles ++
-      graft.operators.SourceQuota.oracles
+      graft.operators.SourceQuota.oracles ++
+      graft.operators.NbCalibration.oracles ++
+      graft.operators.HeapsFit.oracles
 }

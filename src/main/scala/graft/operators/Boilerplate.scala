@@ -18,8 +18,8 @@ object Boilerplate {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val SEG = 8
-  private val DF_MIN = 2
+  private[operators] val SEG = 8
+  private[operators] val DF_MIN = 2
 
   /** Per-doc boilerplate scrub ledger: segment count, kept count, and
     * an order-sensitive md5 of the residual (kept segments joined in
@@ -35,9 +35,13 @@ object Boilerplate {
     * swap the broadcast join for the Bloom pre-prune of
     * [[BloomKeep]] — the semantics are the same anti-membership
     * test. */
-  def textSegmentDedup: Q = (s, dir) => {
-    val segs = t(s, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
+  /** The scrub over a (doc_id, toks) table — the tokenizer is the
+    * caller's: the house ASCII split here, [[graft.functions.Tokenize]]
+    * for the `_uni` twin (which threads through this body VERBATIM, so
+    * the two modes cannot drift in segmentation, df counting, or the
+    * residual-hash reconstruction). */
+  private[graft] def scrubToks(segsIn: DataFrame): DataFrame = {
+    val segs = segsIn
       .select(col("doc_id"), posexplode(
         expr(s"transform(sequence(0, (size(toks) - 1) div $SEG), " +
           s"i -> concat_ws(' ', slice(toks, i * $SEG + 1, $SEG)))"))
@@ -56,6 +60,9 @@ object Boilerplate {
           "array_sort(collect_list(struct(seg, seg_text, keep))), " +
           "x -> x.keep), x -> x.seg_text))")).as("residual_hash"))
   }
+
+  def textSegmentDedup: Q = (s, dir) => scrubToks(
+    t(s, dir, "documents").withColumn("toks", split(col("text"), " ")))
 
   val textSegmentDedupSql: String =
     s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

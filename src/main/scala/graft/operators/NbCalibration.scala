@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Held-out RELIABILITY ledger for the NB quality classifier
+  * (SURVEY.md §2C, r15b): before a curation pipeline trusts
+  * [[NbClassifier]]'s keep/drop gate on 100 TB, it measures the
+  * classifier against data it did not train on — the published
+  * pipelines report exactly this before applying a fastText/LR
+  * filter. The split is deterministic, engine-free, and UNCORRELATED
+  * with the data layout (the synthetic corpus assigns sources
+  * round-robin, so doc_id PARITY is perfectly confounded with the
+  * class label — an md5 split bit, the house RNG-free sampler device,
+  * is the honest coin): documents of the two training sources with
+  * split bit 0 train the model, bit-1 documents score as the held-out
+  * set (label = curated source), and the ledger is the reliability
+  * diagram over ten
+  * equal-width score bands: per band — population, true positives by
+  * label, positive rate in ppm, predicted-positive and
+  * correctly-predicted counts at the production threshold (0). A
+  * well-separated model shows pos_ppm monotone in the band index;
+  * accuracy/precision/recall at the gate threshold aggregate from the
+  * band rows.
+  *
+  * Scale shape: training is [[NbClassifier.model]]'s one aggregation
+  * pass over the even half; scoring is the same broadcast-dict
+  * partial-agg chain; banding is MAP-SIDE arithmetic against a
+  * broadcast 1-row (lo, hi) bound — no window, no sort, no ntile
+  * (equal-WIDTH bins need only the extremes, where equal-POPULATION
+  * deciles would need a global sort). Cross-engine exactness: scores
+  * are exact BIGINT micro-nats (the classifier's own device), the
+  * band index is pure nonnegative integer arithmetic
+  * ((score−lo)·10 DIV span, where Spark's truncating DIV and DuckDB's
+  * flooring // agree), and pos_ppm is an integer floor division.
+  */
+object NbCalibration {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val BANDS = 10
+
+  /** The held-out coin: bit 0 trains, bit 1 evaluates. Spark and
+    * DuckDB texts of the SAME hash (the SamplePlan device). */
+  private val splitBit =
+    "CAST(conv(substring(md5(concat('cal:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2"
+  private[operators] val splitBitDuck =
+    "CAST('0x' || substr(md5('cal:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 2"
+
+  def pipelineNbCalibration: Q = (s, dir) => {
+    val pdb = Dsir.perDocBuckets(s, dir)
+      .filter(col("source").isin(NbClassifier.POS, NbClassifier.NEG))
+      .cache() // train pass + eval pass
+    val (w, prior) = NbClassifier.model(s, pdb.filter(expr(splitBit) === 0))
+    val scored = pdb.filter(expr(splitBit) === 1)
+      .join(broadcast(w), "bucket")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("c") * col("w")).as("llr"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"),
+        (col("llr") + col("prior")).as("score_unats"),
+        (col("source") === NbClassifier.POS).as("pos"))
+    val bounds = scored.agg(
+      min(col("score_unats")).as("lo"),
+      (max(col("score_unats")) - min(col("score_unats")) + 1L).as("span"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("band",
+        expr(s"(($BANDS * (score_unats - lo)) DIV span) + 1"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("score_unats") > 0L, 1L).otherwise(0L)).as("n_predpos"),
+        sum(when(col("pos") && col("score_unats") > 0L, 1L).otherwise(0L)).as("n_tp"),
+        min(col("score_unats")).as("min_score"),
+        max(col("score_unats")).as("max_score"))
+      .select(col("band"), col("n"), col("n_pos"),
+        expr("(1000000 * n_pos) DIV n").as("pos_ppm"),
+        col("n_predpos"), col("n_tp"), col("min_score"), col("max_score"))
+  }
+
+  val pipelineNbCalibrationSql: String = {
+    val P = NbClassifier.POS
+    val N = NbClassifier.NEG
+    val B = NbClassifier.NBUCKETS
+    s"""WITH ${Dsir.pdbCtes},
+       |tv AS (SELECT * FROM pdb WHERE source IN ('$P', '$N')),
+       |tr AS (SELECT * FROM tv WHERE $splitBitDuck = 0),
+       |ev AS (SELECT * FROM tv WHERE $splitBitDuck = 1),
+       |posb AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS p_b FROM tr
+       |         WHERE source = '$P' GROUP BY bucket),
+       |negb AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS n_b FROM tr
+       |         WHERE source = '$N' GROUP BY bucket),
+       |ptot AS (SELECT CAST(SUM(p_b) AS BIGINT) AS pt FROM posb),
+       |ntot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS nt FROM negb),
+       |dom AS (SELECT printf('%02x', i) AS bucket FROM range($B) t(i)),
+       |w AS (
+       |  SELECT dom.bucket,
+       |    CAST(round(1e6 * ln(
+       |      (CAST(COALESCE(p_b, 0) + 1 AS DOUBLE) * (nt + $B)) /
+       |      (CAST(COALESCE(n_b, 0) + 1 AS DOUBLE) * (pt + $B)))) AS BIGINT) AS w
+       |  FROM dom LEFT JOIN posb ON posb.bucket = dom.bucket
+       |  LEFT JOIN negb ON negb.bucket = dom.bucket
+       |  CROSS JOIN ptot CROSS JOIN ntot),
+       |prior AS (
+       |  SELECT CAST(round(1e6 * ln(
+       |      CAST(COUNT(DISTINCT CASE WHEN source = '$P' THEN doc_id END) AS DOUBLE) /
+       |      CAST(COUNT(DISTINCT CASE WHEN source = '$N' THEN doc_id END) AS DOUBLE)))
+       |    AS BIGINT) AS prior
+       |  FROM tr),
+       |scored0 AS (
+       |  SELECT doc_id, source = '$P' AS pos,
+       |    CAST(SUM(c * w) AS BIGINT) AS llr
+       |  FROM ev JOIN w USING (bucket)
+       |  GROUP BY doc_id, source),
+       |scored AS (
+       |  SELECT doc_id, pos, llr + prior AS score_unats
+       |  FROM scored0 CROSS JOIN prior),
+       |bounds AS (
+       |  SELECT CAST(MIN(score_unats) AS BIGINT) AS lo,
+       |    CAST(MAX(score_unats) - MIN(score_unats) + 1 AS BIGINT) AS span
+       |  FROM scored),
+       |banded AS (
+       |  SELECT (($BANDS * (score_unats - lo)) // span) + 1 AS band,
+       |    pos, score_unats
+       |  FROM scored CROSS JOIN bounds)
+       |SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  (1000000 * CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*)
+       |    AS pos_ppm,
+       |  CAST(SUM(CASE WHEN score_unats > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_predpos,
+       |  CAST(SUM(CASE WHEN pos AND score_unats > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+       |  CAST(MIN(score_unats) AS BIGINT) AS min_score,
+       |  CAST(MAX(score_unats) AS BIGINT) AS max_score
+       |FROM banded GROUP BY band""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "pipeline_nb_calibration" -> pipelineNbCalibration)
+  val oracles: Map[String, String] = Map(
+    "pipeline_nb_calibration" -> pipelineNbCalibrationSql)
+}

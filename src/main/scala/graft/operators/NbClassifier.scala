@@ -39,16 +39,16 @@ object NbClassifier {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val NBUCKETS = 256
-  private val POS = "src0"
-  private val NEG = "src1"
+  private[operators] val NBUCKETS = 256
+  private[operators] val POS = "src0"
+  private[operators] val NEG = "src1"
 
   /** 256-row weight dictionary + the 1-row quantized prior. The dict
     * enumerates the FULL bucket domain (not just buckets seen in
     * training): under add-1 smoothing an unseen feature still carries
     * the nonzero weight ln((N+256)/(P+256)) — dropping it would bias
     * every out-of-vocabulary occurrence toward the larger class. */
-  private def model(s: SparkSession, pdb: DataFrame): (DataFrame, DataFrame) = {
+  private[operators] def model(s: SparkSession, pdb: DataFrame): (DataFrame, DataFrame) = {
     val domain = s.range(NBUCKETS)
       .select(format_string("%02x", col("id")).as("bucket"))
     val posB = pdb.filter(col("source") === POS)

@@ -200,9 +200,12 @@ object SourceQuota {
     * (round(1e6·ln k) of integer k per row, then pure BIGINT:
     * H = (N·λ(N) − Σ n_s·λ(n_s)) DIV N); top_share_ppm is an integer
     * floor-division. Two partial-agg passes, nothing joins or sorts. */
-  def pipelineSourceEntropy: Q = (s, dir) => {
-    t(s, dir, "documents")
-      .groupBy("lang", "source").agg(count(lit(1)).as("ns"))
+  /** Entropy finisher over a (lang, source, ns) count histogram —
+    * shared VERBATIM by the batch key and the streaming twin, so the
+    * two cannot drift: H = (N·λ(N) − Σ n_s·λ(n_s)) DIV N in integer
+    * micro-nats, top share in ppm. */
+  private def entropyOf(hist: DataFrame): DataFrame =
+    hist
       .groupBy("lang")
       .agg(sum(col("ns")).as("n_docs"), count(lit(1)).as("n_sources"),
         sum(col("ns") * expr("CAST(round(1e6 * ln(CAST(ns AS DOUBLE))) AS BIGINT)"))
@@ -212,6 +215,28 @@ object SourceQuota {
         expr("(n_docs * CAST(round(1e6 * ln(CAST(n_docs AS DOUBLE))) AS BIGINT)" +
           " - sum_nlnn) DIV n_docs").as("entropy_unats"),
         expr("(1000000 * max_ns) DIV n_docs").as("top_share_ppm"))
+
+  def pipelineSourceEntropy: Q = (s, dir) =>
+    entropyOf(t(s, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("ns")))
+
+  /** STREAMING balance twin (§2D): the (lang, source) count histogram
+    * accumulates as a complete-mode streaming aggregation — state is
+    * one row per live (lang, source) pair, bounded by the source
+    * vocabulary (metadata-sized next to a 100 TB ingest) — then the
+    * batch key's IDENTICAL [[entropyOf]] finisher runs on the drained
+    * totals: a streaming ingest refreshes its dataset-card diversity
+    * numbers incrementally without rescanning the corpus. */
+  def streamSourceEntropy: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    graft.streaming.StreamStage.withStaged(s, "sse", dir, "documents.parquet") { stageDir =>
+      val hist = s.readStream.schema(sch).parquet(stageDir)
+        .groupBy("lang", "source").agg(count(lit(1)).as("ns"))
+      val q = hist.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_se").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    entropyOf(s.table("graft_stream_se"))
   }
 
   val pipelineSourceEntropySql: String =
@@ -234,9 +259,11 @@ object SourceQuota {
   val queries: Map[String, Q] = Map(
     "pipeline_source_quota" -> pipelineSourceQuota,
     "stream_source_quota" -> streamSourceQuota,
-    "pipeline_source_entropy" -> pipelineSourceEntropy)
+    "pipeline_source_entropy" -> pipelineSourceEntropy,
+    "stream_source_entropy" -> streamSourceEntropy)
   val oracles: Map[String, String] = Map(
     "pipeline_source_quota" -> pipelineSourceQuotaSql,
     "stream_source_quota" -> streamSourceQuotaSql,
-    "pipeline_source_entropy" -> pipelineSourceEntropySql)
+    "pipeline_source_entropy" -> pipelineSourceEntropySql,
+    "stream_source_entropy" -> pipelineSourceEntropySql)
 }

@@ -279,6 +279,50 @@ object UniText {
        |FROM cc JOIN sizes USING (canonical_id)""".stripMargin
 
   // -------------------------------------------------------------------
+  // text_segment_dedup_uni (r15b): segment-level BOILERPLATE removal
+  // under the unicode tokenizer — the remaining space-split family
+  // after the fingerprint keys. On a CJK crawl the ASCII mode sees a
+  // whole unspaced sentence as ONE token, so 8-"token" segments span
+  // pages and shared boilerplate (nav menus, cookie banners in any
+  // script) never repeats exactly; character-level CJK tokens restore
+  // the segment granularity the scrub needs. Rides
+  // [[Boilerplate.scrubToks]] VERBATIM (segmentation, df count,
+  // broadcast scrub join, residual md5) — only the token array
+  // differs. One guard both engines share: a doc whose text is ALL
+  // separators has a zero-length token array (the ASCII split never
+  // produces one), and the two engines' integer divisions disagree at
+  // -1 (Spark div truncates, DuckDB // floors), so zero-token docs are
+  // excluded EXPLICITLY in both rather than left to divergent
+  // degenerate-segment behavior.
+  // -------------------------------------------------------------------
+
+  def textSegmentDedupUni: Q = (s, dir) => Boilerplate.scrubToks(
+    Tokenize.unionedDocs(s, dir)
+      .withColumn("toks", Tokenize.tokens(col("text")))
+      .filter(size(col("toks")) >= 1))
+
+  val textSegmentDedupUniSql: String =
+    s"""WITH ${Tokenize.udocsCte},
+       |base AS (SELECT doc_id, ${Tokenize.duckTokens("text")} AS toks FROM udocs),
+       |nz AS (SELECT * FROM base WHERE len(toks) >= 1),
+       |sg AS (SELECT doc_id, toks,
+       |         unnest(range(0, CAST((len(toks) - 1) // ${Boilerplate.SEG} AS BIGINT) + 1)) AS seg
+       |       FROM nz),
+       |st AS (SELECT doc_id, seg,
+       |         array_to_string(list_slice(toks, seg * ${Boilerplate.SEG} + 1,
+       |           seg * ${Boilerplate.SEG} + ${Boilerplate.SEG}), ' ') AS seg_text
+       |       FROM sg),
+       |dfc AS (SELECT md5(seg_text) AS h, COUNT(DISTINCT doc_id) AS df
+       |        FROM st GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= ${Boilerplate.DF_MIN}),
+       |mk AS (SELECT st.doc_id, st.seg, st.seg_text, dfc.df IS NULL AS keep
+       |       FROM st LEFT JOIN dfc ON dfc.h = md5(st.seg_text))
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  md5(coalesce(string_agg(CASE WHEN keep THEN seg_text END, ' ' ORDER BY seg), ''))
+       |    AS residual_hash
+       |FROM mk GROUP BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // stream_tokens_unicode: the streaming twin of the accounting key —
   // stateless map-side projection per micro-batch into a distributed
   // parquet sink. The fixture docs are staged as one extra stream
@@ -324,6 +368,7 @@ object UniText {
     "text_winnow_fingerprint_uni" -> textWinnowFingerprintUni,
     "dedup_winnow_pairs_uni" -> dedupWinnowPairsUni,
     "dedup_clusters_uni" -> dedupClustersUni,
+    "text_segment_dedup_uni" -> textSegmentDedupUni,
     "stream_tokens_unicode" -> streamTokensUnicode)
   val oracles: Map[String, String] = Map(
     "text_tokens_unicode" -> textTokensUnicodeSql,
@@ -336,5 +381,6 @@ object UniText {
     "text_winnow_fingerprint_uni" -> textWinnowFingerprintUniSql,
     "dedup_winnow_pairs_uni" -> dedupWinnowPairsUniSql,
     "dedup_clusters_uni" -> dedupClustersUniSql,
+    "text_segment_dedup_uni" -> textSegmentDedupUniSql,
     "stream_tokens_unicode" -> textTokensUnicodeSql)
 }
