@@ -77,7 +77,12 @@ object ShuffleAudit {
     * wall-clock sublinearity the byte-level audit should confirm (or
     * convict) at the scale the probe actually ran. Same self-defending
     * rate columns; the big leg is the 100× wide-replicated dir. */
-  private val X100_AUDIT_KEYS = Seq("grid_pyramid", "sim_ann_cascade")
+  private val X100_AUDIT_KEYS = Seq("grid_pyramid", "sim_ann_cascade",
+    // r15b: the new worst 100×-probe wall (30.2× for 100× data) — the
+    // byte leg decides whether that is the gram inventory growing
+    // with the data (replica-marked text mints new grams) or the
+    // engine adding super-linear shuffle of its own
+    "text_heaps_fit")
 
   def main(args: Array[String]): Unit = {
     val organic = args.contains("organic")

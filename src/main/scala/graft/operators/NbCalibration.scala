@@ -52,6 +52,9 @@ object NbCalibration {
       .filter(col("source").isin(NbClassifier.POS, NbClassifier.NEG))
       .cache() // train pass + eval pass
     val (w, prior) = NbClassifier.model(s, pdb.filter(expr(splitBit) === 0))
+    // the held-out score table CACHES (eval-split-sized — two sources'
+    // bit-1 docs, never the corpus): the bounds aggregate and the
+    // banding pass would otherwise each re-run the train + score chain
     val scored = pdb.filter(expr(splitBit) === 1)
       .join(broadcast(w), "bucket")
       .groupBy("doc_id", "source")
@@ -60,6 +63,7 @@ object NbCalibration {
       .select(col("doc_id"),
         (col("llr") + col("prior")).as("score_unats"),
         (col("source") === NbClassifier.POS).as("pos"))
+      .cache()
     val bounds = scored.agg(
       min(col("score_unats")).as("lo"),
       (max(col("score_unats")) - min(col("score_unats")) + 1L).as("span"))
