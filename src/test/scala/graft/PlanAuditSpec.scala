@@ -437,4 +437,50 @@ class PlanAuditSpec extends AnyFunSuite {
     // the histogram aggregation partial-aggregates map-side
     assert(p.contains("partial_"), "histogram lost partial aggregation")
   }
+
+  test("heaps fit: broadcast-only joins, windows only over the 10-row grid (r15b)") {
+    val p = planOf("text_heaps_fit")
+    // every join is either a keyed broadcast (grid assembly) or a
+    // deliberate 1-row broadcast cross (bounds, fit) — a SortMergeJoin
+    // or ShuffledHashJoin here would mean a corpus-sized side got
+    // shuffled for what the operator promises are metadata joins
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "heaps fit shuffled a join side")
+    assert(!p.contains("CartesianProduct"))
+    // the cumulative windows (output branch + fit branch) read the
+    // CACHED 10-row grid — corpus passes must not sit above a window
+    assert("Window".r.findAllIn(p).size <= 2, "unexpected extra windows")
+    assert(p.contains("InMemoryTableScan"),
+      "the 10-row grid lost its cache — both branches re-run the corpus passes")
+    // doc/inventory aggregations partial-aggregate map-side
+    assert(p.contains("partial_"), "histogram lost partial aggregation")
+  }
+
+  test("nb calibration: windowless equal-width banding, broadcast model (r15b)") {
+    val p = planOf("pipeline_nb_calibration")
+    // equal-width bands need only the (lo, span) extremes: banding is
+    // map-side arithmetic against a 1-row broadcast — a window (the
+    // ntile shape) or any sort here would globally sort the eval set
+    assert(!p.contains("Window"), "banding regressed to a sorted window")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "model/score joins must be broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "weight-dict join not broadcast")
+    assert(p.contains("partial_"), "scoring lost partial aggregation")
+  }
+
+  test("unicode segment scrub plans the same shape as the ASCII twin (r15b)") {
+    // normalize cache state first: a warm segs cache from an earlier
+    // test collapses the subtree into InMemoryTableScan and the shape
+    // comparison would count different exchanges per run order
+    spark.sharedState.cacheManager.clearCache()
+    def shape(k: String): Map[String, Int] = {
+      val p = planOf(k)
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+        "ShuffledHashJoin", "BroadcastHashJoin", "Exchange", "Window")
+        .map(op => op -> op.r.findAllIn(p).size).toMap
+    }
+    val (a, u) = (shape("text_segment_dedup"), shape("text_segment_dedup_uni"))
+    assert(u == a, s"uni scrub shape $u != ascii shape $a")
+  }
 }

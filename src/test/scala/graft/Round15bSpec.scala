@@ -81,6 +81,33 @@ class Round15bSpec extends AnyFunSuite {
         s"band ${a.getLong(0)} max must precede band ${b.getLong(0)} min")
   }
 
+  test("counterfactual: a doc_id-parity split would train on ZERO negatives") {
+    // the reason pipeline_nb_calibration splits by md5 hash bit: the
+    // synthetic corpus assigns sources round-robin, so doc_id parity
+    // is perfectly confounded with the class label — an even/odd
+    // split puts ALL of src0 in one half and ALL of src1 in the
+    // other, and the "train" half has no negative class at all
+    // (prior = ln(dp/0)). This pins the data property that makes the
+    // parity split degenerate, so a future "simplification" back to
+    // doc_id % 2 fails loudly here instead of silently in the prior.
+    val parity = Tables.t(spark, sf, "documents")
+      .filter(col("source").isin("src0", "src1"))
+      .groupBy("source")
+      .agg(sum((col("doc_id") % 2).cast("long")).as("odd"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(parity("src0")._1 == 0L, "src0 is all-even in this corpus")
+    assert(parity("src1")._1 == parity("src1")._2, "src1 is all-odd in this corpus")
+    // and the hash split genuinely mixes: both classes present in
+    // both halves
+    val mixed = Tables.t(spark, sf, "documents")
+      .filter(col("source").isin("src0", "src1"))
+      .groupBy(col("source"),
+        expr("CAST(conv(substring(md5(concat('cal:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2"))
+      .count()
+    assert(mixed.count() == 4, "md5 split must populate all four (source, bit) cells")
+  }
+
   // ---- text_heaps_fit ---------------------------------------------------
 
   test("heaps curve is monotone, hits exact corpus totals, and fits in (0,1)") {
