@@ -70,7 +70,11 @@ object ShuffleAudit {
     "dedup_editdist_full",
     // r14 (r13 verdict #6): tfidf's replica ratio tracks df growth in
     // clone-dense data; organic growth measures the engine's own rate
-    "text_tfidf_topk")
+    "text_tfidf_topk",
+    // r15b: the unicode scrub's 5.4× replica wall is the same df-
+    // growth class (replica-marked text multiplies the shared-segment
+    // set); the organic row measures the engine's own rate
+    "text_segment_dedup_uni")
 
   /** `x100` mode (r15, r14 verdict #6): shuffle-byte rates TWO decades
     * up for the two largest 100×-probe walls — the keys whose
