@@ -64,11 +64,20 @@ object Boilerplate {
   def textSegmentDedup: Q = (s, dir) => scrubToks(
     t(s, dir, "documents").withColumn("toks", split(col("text"), " ")))
 
-  val textSegmentDedupSql: String =
-    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** DuckDB twin of [[scrubToks]], parameterized the same way the
+    * Spark side is (the `dedupSimhashSqlFrom` convention): `preCtes`
+    * prepends fixture CTEs, `toksExpr`/`from` swap the tokenizer and
+    * source, `nonEmptyGuard` adds the zero-token exclusion the
+    * unicode twin needs — ONE body, so a scrub-semantics change
+    * cannot drift between the ASCII and `_uni` oracles. */
+  private[operators] def scrubSql(preCtes: String, toksExpr: String,
+      from: String, nonEmptyGuard: Boolean): String = {
+    val nz = if (nonEmptyGuard) ",\nnz AS (SELECT * FROM base WHERE len(toks) >= 1)" else ""
+    val src = if (nonEmptyGuard) "nz" else "base"
+    s"""WITH ${preCtes}base AS (SELECT doc_id, $toksExpr AS toks FROM $from)$nz,
        |sg AS (SELECT doc_id, toks,
        |         unnest(range(0, CAST((len(toks) - 1) // $SEG AS BIGINT) + 1)) AS seg
-       |       FROM base),
+       |       FROM $src),
        |st AS (SELECT doc_id, seg,
        |         array_to_string(list_slice(toks, seg * $SEG + 1, seg * $SEG + $SEG), ' ') AS seg_text
        |       FROM sg),
@@ -81,6 +90,10 @@ object Boilerplate {
        |  md5(coalesce(string_agg(CASE WHEN keep THEN seg_text END, ' ' ORDER BY seg), ''))
        |    AS residual_hash
        |FROM mk GROUP BY doc_id""".stripMargin
+  }
+
+  val textSegmentDedupSql: String =
+    scrubSql("", "string_split(text, ' ')", "documents", nonEmptyGuard = false)
 
   /** The Bloom-fallback form of [[textSegmentDedup]] — for when the
     * boilerplate vocabulary outgrows a broadcast (at 100 TB a crawl's

@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 /** VOCABULARY-GROWTH curve + Heaps'-law fit (SURVEY.md §2C, r15b) —
   * the companion diagnostic to [[ZipfFit]]: as a corpus grows, its
   * distinct-type inventory should follow V ≈ α·Nᵝ (Heaps/Herdan,
-  * β ≈ 0.4–0.8 for natural text). A β near 1 means the inventory
+  * β ≈ 0.4–0.8 for natural-language word vocabularies — corpus- and
+  * tokenizer-dependent; SURVEY.md §2 quotes the same range for this
+  * key's alarm contract). A β near 1 means the inventory
   * never saturates — the classic symptom of serial numbers, hashes,
   * or boilerplate IDs flooding the stream; β near 0 means the corpus
   * is massively repetitive. Dataset cards report the curve; ingest

@@ -85,32 +85,11 @@ object NbCalibration {
   val pipelineNbCalibrationSql: String = {
     val P = NbClassifier.POS
     val N = NbClassifier.NEG
-    val B = NbClassifier.NBUCKETS
     s"""WITH ${Dsir.pdbCtes},
        |tv AS (SELECT * FROM pdb WHERE source IN ('$P', '$N')),
        |tr AS (SELECT * FROM tv WHERE $splitBitDuck = 0),
        |ev AS (SELECT * FROM tv WHERE $splitBitDuck = 1),
-       |posb AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS p_b FROM tr
-       |         WHERE source = '$P' GROUP BY bucket),
-       |negb AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS n_b FROM tr
-       |         WHERE source = '$N' GROUP BY bucket),
-       |ptot AS (SELECT CAST(SUM(p_b) AS BIGINT) AS pt FROM posb),
-       |ntot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS nt FROM negb),
-       |dom AS (SELECT printf('%02x', i) AS bucket FROM range($B) t(i)),
-       |w AS (
-       |  SELECT dom.bucket,
-       |    CAST(round(1e6 * ln(
-       |      (CAST(COALESCE(p_b, 0) + 1 AS DOUBLE) * (nt + $B)) /
-       |      (CAST(COALESCE(n_b, 0) + 1 AS DOUBLE) * (pt + $B)))) AS BIGINT) AS w
-       |  FROM dom LEFT JOIN posb ON posb.bucket = dom.bucket
-       |  LEFT JOIN negb ON negb.bucket = dom.bucket
-       |  CROSS JOIN ptot CROSS JOIN ntot),
-       |prior AS (
-       |  SELECT CAST(round(1e6 * ln(
-       |      CAST(COUNT(DISTINCT CASE WHEN source = '$P' THEN doc_id END) AS DOUBLE) /
-       |      CAST(COUNT(DISTINCT CASE WHEN source = '$N' THEN doc_id END) AS DOUBLE)))
-       |    AS BIGINT) AS prior
-       |  FROM tr),
+       |${NbClassifier.modelCtes("tr")},
        |scored0 AS (
        |  SELECT doc_id, source = '$P' AS pos,
        |    CAST(SUM(c * w) AS BIGINT) AS llr

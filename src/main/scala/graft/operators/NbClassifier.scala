@@ -85,11 +85,16 @@ object NbClassifier {
         (col("llr_unats") + col("prior") > 0).as("keep"))
   }
 
-  val pipelineNbClassifierSql: String =
-    s"""WITH ${Dsir.pdbCtes},
-       |posb AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS p_b FROM pdb
+  /** The model's DuckDB CTEs (weight dict `w` + 1-row `prior`),
+    * parameterized by the training source table — shared VERBATIM by
+    * this oracle and `pipeline_nb_calibration`'s (which trains on the
+    * md5-split half), the SQL-side mirror of both Scala paths sharing
+    * [[model]]: a smoothing/prior change cannot drift between the two
+    * oracles. */
+  private[operators] def modelCtes(trainSrc: String): String =
+    s"""posb AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS p_b FROM $trainSrc
        |         WHERE source = '$POS' GROUP BY bucket),
-       |negb AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS n_b FROM pdb
+       |negb AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS n_b FROM $trainSrc
        |         WHERE source = '$NEG' GROUP BY bucket),
        |ptot AS (SELECT CAST(SUM(p_b) AS BIGINT) AS pt FROM posb),
        |ntot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS nt FROM negb),
@@ -107,7 +112,11 @@ object NbClassifier {
        |      CAST(COUNT(DISTINCT CASE WHEN source = '$POS' THEN doc_id END) AS DOUBLE) /
        |      CAST(COUNT(DISTINCT CASE WHEN source = '$NEG' THEN doc_id END) AS DOUBLE)))
        |    AS BIGINT) AS prior
-       |  FROM pdb),
+       |  FROM $trainSrc)""".stripMargin
+
+  val pipelineNbClassifierSql: String =
+    s"""WITH ${Dsir.pdbCtes},
+       |${modelCtes("pdb")},
        |scored AS (
        |  SELECT doc_id, source, CAST(SUM(c * w) AS BIGINT) AS llr_unats,
        |    CAST(SUM(c) AS BIGINT) AS n_feats

@@ -301,26 +301,9 @@ object UniText {
       .withColumn("toks", Tokenize.tokens(col("text")))
       .filter(size(col("toks")) >= 1))
 
-  val textSegmentDedupUniSql: String =
-    s"""WITH ${Tokenize.udocsCte},
-       |base AS (SELECT doc_id, ${Tokenize.duckTokens("text")} AS toks FROM udocs),
-       |nz AS (SELECT * FROM base WHERE len(toks) >= 1),
-       |sg AS (SELECT doc_id, toks,
-       |         unnest(range(0, CAST((len(toks) - 1) // ${Boilerplate.SEG} AS BIGINT) + 1)) AS seg
-       |       FROM nz),
-       |st AS (SELECT doc_id, seg,
-       |         array_to_string(list_slice(toks, seg * ${Boilerplate.SEG} + 1,
-       |           seg * ${Boilerplate.SEG} + ${Boilerplate.SEG}), ' ') AS seg_text
-       |       FROM sg),
-       |dfc AS (SELECT md5(seg_text) AS h, COUNT(DISTINCT doc_id) AS df
-       |        FROM st GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= ${Boilerplate.DF_MIN}),
-       |mk AS (SELECT st.doc_id, st.seg, st.seg_text, dfc.df IS NULL AS keep
-       |       FROM st LEFT JOIN dfc ON dfc.h = md5(st.seg_text))
-       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
-       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       |  md5(coalesce(string_agg(CASE WHEN keep THEN seg_text END, ' ' ORDER BY seg), ''))
-       |    AS residual_hash
-       |FROM mk GROUP BY doc_id""".stripMargin
+  val textSegmentDedupUniSql: String = Boilerplate.scrubSql(
+    s"${Tokenize.udocsCte},\n", Tokenize.duckTokens("text"), "udocs",
+    nonEmptyGuard = true)
 
   // -------------------------------------------------------------------
   // stream_tokens_unicode: the streaming twin of the accounting key —
