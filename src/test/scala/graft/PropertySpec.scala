@@ -318,4 +318,57 @@ class PropertySpec extends AnyFunSuite {
       } finally r.close()
     }, min = 25)
   }
+
+  // -----------------------------------------------------------------
+  // r15b integer devices: equal-width bucketing + Heaps moment sums
+  // -----------------------------------------------------------------
+
+  test("equal-width bucket index partitions [lo, hi] into 1..K, monotone (r15b)") {
+    // the shared formula of text_heaps_fit's checkpoints and
+    // pipeline_nb_calibration's score bands:
+    // k(v) = ((K·(v−lo)) DIV span) + 1, span = hi−lo+1. Spark DIV
+    // truncates and DuckDB // floors, but every operand is
+    // nonnegative by construction, where the two agree — pinned here
+    // by replaying the arithmetic in BigInt (floor == trunc for ≥0).
+    val K = 10L
+    val genRange = for {
+      lo <- Gen.choose(-1000000L, 1000000L)
+      w <- Gen.choose(0L, 5000000L)
+      v <- Gen.choose(0L, w)
+    } yield (lo, lo + w, lo + v)
+    run(Prop.forAll(genRange) { case (lo, hi, v) =>
+      val span = hi - lo + 1
+      val k = (K * (v - lo)) / span + 1 // Long division, trunc
+      val kBig = (BigInt(K) * (BigInt(v) - lo) / span + 1).toLong // floor
+      k == kBig && k >= 1 && k <= K &&
+        // monotone: the next value's bucket never decreases
+        (v >= hi || (K * (v + 1 - lo)) / span + 1 >= k)
+    }, min = 200)
+  }
+
+  test("heaps moment sums stay inside Long at two decades past 100 TB (r15b)") {
+    // betaExpr computes kn·sxy − sx·sy and kn·sxx − sx² in BIGINT.
+    // The scaladoc claims no overflow for λ values up to ln(1e14
+    // grams)·1e6 ≈ 3.3e7 over K = 10 points: replay the exact
+    // arithmetic in BigInt next to Long and require equality — a
+    // silent 64-bit wrap (the sketch_moments r14 bug class) fails
+    // loudly here.
+    val genPts = Gen.listOfN(10, for {
+      x <- Gen.choose(0L, 33000000L)
+      y <- Gen.choose(0L, 33000000L)
+    } yield (x, y))
+    run(Prop.forAll(genPts) { pts =>
+      val kn = pts.size.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map { case (x, y) => x * y }.sum
+      val sxx = pts.map { case (x, _) => x * x }.sum
+      val numL = kn * sxy - sx * sy
+      val denL = kn * sxx - sx * sx
+      val numB = BigInt(kn) * pts.map { case (x, y) => BigInt(x) * y }.sum -
+        BigInt(sx) * sy
+      val denB = BigInt(kn) * pts.map { case (x, _) => BigInt(x) * x }.sum -
+        BigInt(sx) * sx
+      BigInt(numL) == numB && BigInt(denL) == denB
+    }, min = 200)
+  }
 }
