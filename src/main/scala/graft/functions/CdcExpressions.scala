@@ -113,16 +113,38 @@ object CdcBounds {
     * `substring(text, p, 8)` slice, hashed as UTF-8 — exactly the HOF
     * formulation's semantics. Appends boundary positions into `buf`
     * starting at `cnt0`; returns the new count. Called from generated
-    * Java via the companion's static forwarder. */
+    * Java via the companion's static forwarder.
+    *
+    * Positions count Unicode CODEPOINTS (r16): SQL `substring` in both
+    * engines treats one astral codepoint — a 4-byte emoji — as ONE
+    * character, but `java.lang.String` indexes UTF-16 code units,
+    * where the same emoji is a surrogate PAIR. The earlier
+    * String.substring form was correct for BMP-only multibyte text
+    * (CJK, accents, RTL — one UTF-16 unit each) but would have split
+    * windows mid-emoji once the `_uni` fixture reached this operator.
+    * The scan now windows over a once-built codepoint→byte-offset
+    * table — one O(n) pass, hashing UTF-8 byte slices directly. */
   def multibyteBounds(
       u: UTF8String, md: java.security.MessageDigest, buf: Array[Int], cnt0: Int): Int = {
-    val s = u.toString
+    val bytes = u.getBytes
     val nChars = u.numChars()
+    // byte offset where codepoint i starts; offs(nChars) = total bytes
+    val offs = new Array[Int](nChars + 1)
+    var i = 0
+    var b = 0
+    while (i < nChars) {
+      offs(i) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      i += 1
+    }
+    offs(nChars) = bytes.length
     var cnt = cnt0
     var p = 2
     while (p <= nChars) {
+      val start = offs(p - 1)
+      val end = offs(math.min(p + 7, nChars))
       md.reset()
-      md.update(s.substring(p - 1, math.min(p + 7, nChars)).getBytes("UTF-8"))
+      md.update(bytes, start, end - start)
       if ((md.digest()(0) & 0xf0) == 0) { buf(cnt) = p; cnt += 1 }
       p += 1
     }

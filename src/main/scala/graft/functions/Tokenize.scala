@@ -97,7 +97,19 @@ object Tokenize {
     // one UTF-8 codepoint in RE2) — runs must not split mid-pair; ZWJ
     // (U+200D) is a run character so the family sequence stays whole
     -7L -> ("emoji 👍 split 🚀🔥 runs " +
-      "👨‍👩‍👧 zwj family"))
+      "👨‍👩‍👧 zwj family"),
+    // r16 (r15 verdict #1) — a DELIBERATE CJK near-dup pair: two docs
+    // sharing a long unspaced boilerplate passage, differing only in
+    // their tails. Without it every fixture doc is unique, so the
+    // unicode dedup twins' oracles gate only the NEGATIVE side (no
+    // false pairs); these two make the gates exercise a true CJK
+    // positive end-to-end — repeated multibyte CDC chunks, a banded
+    // LSH/simhash pair, shared 8-token boilerplate segments, a
+    // 2-doc cluster — exactly the recall the `_uni` mode exists for.
+    -8L -> ("お知らせ 本サイトの利用規約とプライバシーポリシーは全ページ共通の定型文として" +
+      "表示されます。この文章は繰り返し使われる案内文です。記事八の固有内容。"),
+    -9L -> ("お知らせ 本サイトの利用規約とプライバシーポリシーは全ページ共通の定型文として" +
+      "表示されます。この文章は繰り返し使われる案内文です。記事九の結びの言葉。"))
 
   /** documents ∪ fixture, Spark side: (doc_id, text) only — the
     * fixture rows are planner literals (LocalRelation), so the union

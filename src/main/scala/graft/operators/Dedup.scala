@@ -506,7 +506,7 @@ object Dedup {
     * its neighbor list (canonical id_a < id_b pairs split a doc's
     * partners across both sides), then the bounded TopK partial
     * aggregate — ≤ m rows per doc per map task to the shuffle. */
-  private def topmNeighbors(pairs: DataFrame): DataFrame = {
+  private[operators] def topmNeighbors(pairs: DataFrame): DataFrame = {
     val sym = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nbr_id"),
         col("n_inter"), col("jaccard"))
       .unionAll(pairs.select(col("id_b").as("doc_id"), col("id_a").as("nbr_id"),
@@ -522,7 +522,7 @@ object Dedup {
   }
 
   /** SQL twin of [[topmNeighbors]] over any pairs CTE body. */
-  private def topmSqlOver(pairsSql: String): String =
+  private[operators] def topmSqlOver(pairsSql: String): String =
     s"""WITH pairs AS (${pairsSql.replace("\n", "\n  ")}),
        |sym AS (
        |  SELECT id_a AS doc_id, id_b AS nbr_id, n_inter, jaccard FROM pairs
@@ -581,8 +581,10 @@ object Dedup {
     * sizes broadcast back, and a pair is flagged when EITHER direction
     * reaches 0.5. `jaccard_blind` marks the pairs symmetric Jaccard
     * (< 0.5) would have missed — the operator's reason to exist. */
-  def dedupContainment: Q = (s, dir) => {
-    val sh = cappedShingles(t(s, dir, "documents"), 4).cache()
+  /** The containment math over a (cached) df-capped shingle base —
+    * shared by the ASCII key and the unicode twin (r16, r15 verdict
+    * #1: same `ws=` hook discipline as the fingerprint family). */
+  private[operators] def containmentOf(sh: DataFrame): DataFrame = {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.toDF("id_a", "sh").join(sh.toDF("id_b", "sh"), "sh")
       .filter(col("id_a") < col("id_b"))
@@ -601,8 +603,13 @@ object Dedup {
         (col("jac") < 0.5).as("jaccard_blind"))
   }
 
-  val dedupContainmentSql: String =
-    s"""WITH sh AS (${shinglesSql(4)}),
+  def dedupContainment: Q = (s, dir) =>
+    containmentOf(cappedShingles(t(s, dir, "documents"), 4).cache())
+
+  /** [[dedupContainmentSql]] over an arbitrary `sh` CTE chain (r16 —
+    * the unicode twin prepends its udocs + unicode-shingle CTEs). */
+  private[operators] def dedupContainmentSqlOver(shCtes: String): String =
+    s"""WITH $shCtes,
        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
@@ -617,6 +624,9 @@ object Dedup {
        |JOIN cnt ca ON ca.doc_id = i.id_a
        |JOIN cnt cb ON cb.doc_id = i.id_b
        |WHERE greatest(i.n_inter / ca.n_sh, i.n_inter / cb.n_sh) >= 0.5""".stripMargin
+
+  val dedupContainmentSql: String =
+    dedupContainmentSqlOver(s"sh AS (${shinglesSql(4)})")
 
   private val SIMHASH_DIMS = 64
   private val SIMHASH_BANDS = 4
@@ -731,8 +741,17 @@ object Dedup {
     * uses a rolling gear hash for O(1) per position instead of md5's
     * O(w); md5 keeps the operator oracle-replayable, the shapes are
     * identical.) */
-  def dedupCdc: Q = (s, dir) => {
-    t(s, dir, "documents")
+  /** The CDC chunk-repeat ledger over an arbitrary (doc_id, text)
+    * relation (r16 — the unicode twin runs the fixture-unioned corpus;
+    * chunking itself is CHARACTER-level and tokenizer-free, so the
+    * twin's job is proving codepoint-indexing parity on CJK / RTL /
+    * astral content, not swapping a tokenizer). Both engines index
+    * substrings by Unicode CODEPOINT (Spark's UTF8String and DuckDB's
+    * substr both count one astral emoji as one character) and md5 the
+    * UTF-8 bytes, so boundaries and chunk hashes agree byte-for-byte
+    * on non-ASCII text. */
+  private[operators] def cdcOf(docs: DataFrame): DataFrame = {
+    docs
       .filter(length(col("text")) >= 2)
       // one-pass native boundary scan (reused digest, no hex
       // rendering) — bit-identical to the SQL filter/sequence
@@ -750,9 +769,13 @@ object Dedup {
       .filter(col("n_occ") > 1)
   }
 
-  val dedupCdcSql: String =
-    """WITH base AS (
-      |  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 2),
+  def dedupCdc: Q = (s, dir) => cdcOf(t(s, dir, "documents"))
+
+  /** [[dedupCdcSql]] over an arbitrary docs relation (r16 — the
+    * unicode twin scores `udocs` with a fixture-CTE prefix). */
+  private[operators] def dedupCdcSqlFrom(from: String, withPrefix: String): String =
+    s"""WITH ${withPrefix}base AS (
+      |  SELECT doc_id, text, length(text) AS n FROM $from WHERE length(text) >= 2),
       |b AS (
       |  SELECT doc_id, text,
       |    list_concat(list_concat([1],
@@ -769,6 +792,8 @@ object Dedup {
       |  COUNT(DISTINCT doc_id) AS n_docs,
       |  CAST(SUM(c.len) AS BIGINT) AS dup_chars
       |FROM ch GROUP BY c.h HAVING COUNT(*) > 1""".stripMargin
+
+  val dedupCdcSql: String = dedupCdcSqlFrom("documents", "")
 
   /** Incremental (index-vs-batch) near-dup detection — the ingest
     * scenario: an ARRIVING shard (sources src0/src1) is checked
@@ -1048,11 +1073,14 @@ object Dedup {
     * size, never a global sort) — everything linear in token count. */
   private[operators] val SPAN_W = 8
 
-  def dedupSubstringSpans: Q = (s, dir) => {
+  /** The span machinery over an arbitrary (doc_id, ws) token-array
+    * relation (r16 — the unicode twin passes
+    * [[graft.functions.Tokenize.tokens]] arrays over the
+    * fixture-unioned corpus; window hashing, the repeat test, and the
+    * gaps-and-islands merge are shared VERBATIM, so the two modes
+    * cannot drift). */
+  private[operators] def substringSpansOf(words: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = t(s, dir, "documents")
-      .select(col("doc_id"),
-        expr("filter(split(lower(text), ' '), w -> w != '')").as("ws"))
     val win = words.filter(size(col("ws")) >= SPAN_W)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(ws) - ${SPAN_W - 1}), " +
@@ -1080,11 +1108,20 @@ object Dedup {
         expr("(1000000 * coalesce(dup_words, 0)) div greatest(n_words, 1)").as("dup_ppm"))
   }
 
-  val dedupSubstringSpansSql: String = {
+  def dedupSubstringSpans: Q = (s, dir) => substringSpansOf(
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), w -> w != '')").as("ws")))
+
+  /** [[dedupSubstringSpansSql]] over an arbitrary token expression and
+    * docs relation (r16 — the unicode twin splices the shared regex
+    * over `udocs`). */
+  private[operators] def dedupSubstringSpansSqlFrom(wsExpr: String,
+      from: String, withPrefix: String): String = {
     val cat = (0 until SPAN_W).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
-    s"""WITH base AS (
-       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w != '') AS ws
-       |  FROM documents),
+    s"""WITH ${withPrefix}base AS (
+       |  SELECT doc_id, $wsExpr AS ws
+       |  FROM $from),
        |win AS (
        |  SELECT doc_id, i AS pos, md5($cat) AS h
        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - ${SPAN_W - 2})) AS i
@@ -1111,6 +1148,9 @@ object Dedup {
        |  CAST((1000000 * COALESCE(p.dup_words, 0)) // GREATEST(len(b.ws), 1) AS BIGINT) AS dup_ppm
        |FROM base b LEFT JOIN per p USING (doc_id)""".stripMargin
   }
+
+  val dedupSubstringSpansSql: String = dedupSubstringSpansSqlFrom(
+    "list_filter(string_split(lower(text), ' '), w -> w != '')", "documents", "")
 
   /** SPAN REMOVAL with the KEEP-FIRST policy (r11 — the half of Lee
     * et al. 2021 that [[dedupSubstringSpans]] measures but does not

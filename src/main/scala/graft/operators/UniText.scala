@@ -172,15 +172,74 @@ object UniText {
     Dedup.ngramPairs(sh)
   }
 
-  val dedupNgramJaccardUniSql: String = {
-    val candCte =
-      """cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id)""".stripMargin
-    Dedup.jaccardSqlOver(candCte,
-      s"""${Tokenize.udocsCte},
-         |sh AS (${Dedup.shinglesSqlFrom(4, Tokenize.duckTokens("text"), "udocs")})""".stripMargin)
-  }
+  /** The unicode 4-gram shingle CTE chain (udocs + df-capped sh) —
+    * shared by the jaccard / containment / top-m uni oracles. */
+  private val uniSh4Ctes =
+    s"""${Tokenize.udocsCte},
+       |sh AS (${Dedup.shinglesSqlFrom(4, Tokenize.duckTokens("text"), "udocs")})""".stripMargin
+
+  private val invIndexCandCte =
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id)""".stripMargin
+
+  val dedupNgramJaccardUniSql: String =
+    Dedup.jaccardSqlOver(invIndexCandCte, uniSh4Ctes)
+
+  // -------------------------------------------------------------------
+  // The span / CDC / containment / top-m families under the unicode
+  // tokenizer (r16 — r15 verdict #1, the last tokenizer-dependent
+  // residual): on a CJK-dense crawl the ASCII split sees a whole
+  // unspaced sentence as ONE "word", so 8-word substring-dedup windows
+  // span pages, containment shingles never match, and top-m neighbor
+  // lists go empty exactly where duplication is densest. Each key is
+  // its ASCII twin's EXACT machinery via the shared `ws=` hook —
+  // only the token array differs; plan shapes pinned in Round16Spec.
+  // -------------------------------------------------------------------
+
+  /** Unicode exact-substring span dedup: [[Dedup.substringSpansOf]]
+    * VERBATIM over [[Tokenize.tokens]] arrays of the fixture-unioned
+    * corpus (window hashing, repeat test, gaps-and-islands merge all
+    * shared). Zero-token docs need no guard here: the per-doc ledger
+    * divides by `greatest(n_words, 1)` in both engines. */
+  def dedupSubstringSpansUni: Q = (s, dir) => Dedup.substringSpansOf(
+    Tokenize.unionedDocs(s, dir)
+      .select(col("doc_id"), Tokenize.tokens(col("text")).as("ws")))
+
+  val dedupSubstringSpansUniSql: String = Dedup.dedupSubstringSpansSqlFrom(
+    Tokenize.duckTokens("text"), "udocs", s"${Tokenize.udocsCte},\n")
+
+  /** Unicode CDC chunk dedup: [[Dedup.cdcOf]] over the fixture-unioned
+    * corpus. CDC is CHARACTER-level and tokenizer-free, so there is no
+    * token array to swap — this twin's value is pinning the
+    * codepoint-indexing parity (CJK, RTL, combining marks, astral
+    * emoji — one codepoint = one substring position in both engines)
+    * that the ASCII corpus never exercises, through the native
+    * [[graft.functions.CdcExpressions]] boundary scan's multibyte
+    * path. */
+  def dedupCdcUni: Q = (s, dir) => Dedup.cdcOf(Tokenize.unionedDocs(s, dir))
+
+  val dedupCdcUniSql: String =
+    Dedup.dedupCdcSqlFrom("udocs", s"${Tokenize.udocsCte},\n")
+
+  /** Unicode directional containment: [[Dedup.containmentOf]] over
+    * df-capped unicode 4-gram shingles (shared `cappedShingles(ws=…)`;
+    * no outer cache — the r15 ADVICE posture: cappedShingles caches
+    * the raw base internally, the anti-join is broadcast-cheap). */
+  def dedupContainmentUni: Q = (s, dir) => Dedup.containmentOf(
+    Dedup.cappedShingles(Tokenize.unionedDocs(s, dir), 4, Tokenize.tokens(col("text"))))
+
+  val dedupContainmentUniSql: String = Dedup.dedupContainmentSqlOver(uniSh4Ctes)
+
+  /** Unicode output-bounded top-m neighbor lists: the shared
+    * [[Dedup.topmNeighbors]] bounded-TopK tail over the unicode
+    * inverted-index pair set — ≤ m rows per doc regardless of CJK
+    * clone density. */
+  def dedupNgramTopmUni: Q = (s, dir) => Dedup.topmNeighbors(Dedup.ngramPairs(
+    Dedup.cappedShingles(Tokenize.unionedDocs(s, dir), 4, Tokenize.tokens(col("text")))))
+
+  val dedupNgramTopmUniSql: String =
+    Dedup.topmSqlOver(Dedup.jaccardSqlOver(invIndexCandCte, uniSh4Ctes))
 
   // -------------------------------------------------------------------
   // The near-dup FINGERPRINT family under the unicode tokenizer (r15,
@@ -346,6 +405,10 @@ object UniText {
     "text_tfidf_topk_uni" -> textTfidfTopkUni,
     "text_bm25_topk_uni" -> textBm25TopkUni,
     "dedup_ngram_jaccard_uni" -> dedupNgramJaccardUni,
+    "dedup_substring_spans_uni" -> dedupSubstringSpansUni,
+    "dedup_cdc_uni" -> dedupCdcUni,
+    "dedup_containment_uni" -> dedupContainmentUni,
+    "dedup_ngram_topm_uni" -> dedupNgramTopmUni,
     "dedup_minhash_lsh_uni" -> dedupMinhashLshUni,
     "dedup_simhash_uni" -> dedupSimhashUni,
     "text_winnow_fingerprint_uni" -> textWinnowFingerprintUni,
@@ -359,6 +422,10 @@ object UniText {
     "text_tfidf_topk_uni" -> textTfidfTopkUniSql,
     "text_bm25_topk_uni" -> textBm25TopkUniSql,
     "dedup_ngram_jaccard_uni" -> dedupNgramJaccardUniSql,
+    "dedup_substring_spans_uni" -> dedupSubstringSpansUniSql,
+    "dedup_cdc_uni" -> dedupCdcUniSql,
+    "dedup_containment_uni" -> dedupContainmentUniSql,
+    "dedup_ngram_topm_uni" -> dedupNgramTopmUniSql,
     "dedup_minhash_lsh_uni" -> dedupMinhashLshUniSql,
     "dedup_simhash_uni" -> dedupSimhashUniSql,
     "text_winnow_fingerprint_uni" -> textWinnowFingerprintUniSql,

@@ -68,12 +68,15 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
-  test("unicode minhash pairs: fixture CJK doc pairs with nothing (no false bands)") {
+  test("unicode minhash pairs: fixture docs pair ONLY at the deliberate CJK near-dup") {
     // fixture docs are tiny and unlike the corpus; the banded candidate
-    // set must not produce fixture-corpus pairs with jaccard >= 0.4
+    // set must not produce fixture-corpus pairs with jaccard >= 0.4 —
+    // and it MUST find the r16 deliberate CJK near-dup (-9, -8), the
+    // fixture's one true positive (recall, not just no-false-bands)
     val pairs = SparkEntry.queries("dedup_minhash_lsh_uni")(spark, sf)
       .filter((col("id_a") < 0 || col("id_b") < 0) && col("jaccard") >= 0.4)
-    assert(pairs.count() == 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((-9L, -8L)), s"fixture pairs: $pairs")
   }
 
   // ---- foreachBatch scorer recovery (r14 verdict #2) -----------------
