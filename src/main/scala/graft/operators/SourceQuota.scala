@@ -57,14 +57,21 @@ object SourceQuota {
     "8000 * least(n_words, 50) + (300000 * n_stop) DIV n_words" +
       " + least((300000 * (length(text) - n_words + 1)) DIV (8 * n_words), 300000)"
 
-  private[graft] def scored(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  /** The map-side scoring projection over any documents relation —
+    * shared by the batch key and BOTH stream twins (r16), so the
+    * quality key the cut is computed on and the key the enforcement
+    * pass classifies docs with are one expression chain. */
+  private def scoreCols(docs: DataFrame): DataFrame =
+    docs
       .withColumn("n_words", size(split(col("text"), " ")).cast(LongType))
       .withColumn("n_stop",
         expr(s"size(filter(split(text, ' '), w -> w IN (${sqlList(stoplist)})))")
           .cast(LongType))
       .withColumn("qk", expr(qkExpr))
       .select("doc_id", "source", "n_chars", "qk")
+
+  private[graft] def scored(s: SparkSession, dir: String): DataFrame =
+    scoreCols(t(s, dir, "documents"))
 
   /** (source, qk) histogram → per-key-group keep count against the
     * cap: c (keep whole group), 0 (drop whole group), or the straddle
@@ -164,12 +171,7 @@ object SourceQuota {
   def streamSourceQuota: Q = (s, dir) => {
     val sch = s.read.parquet(s"$dir/documents.parquet").schema
     graft.streaming.StreamStage.withStaged(s, "ssq", dir, "documents.parquet") { stageDir =>
-      val hist = s.readStream.schema(sch).parquet(stageDir)
-        .withColumn("n_words", size(split(col("text"), " ")).cast(LongType))
-        .withColumn("n_stop",
-          expr(s"size(filter(split(text, ' '), w -> w IN (${sqlList(stoplist)})))")
-            .cast(LongType))
-        .withColumn("qk", expr(qkExpr))
+      val hist = scoreCols(s.readStream.schema(sch).parquet(stageDir))
         .groupBy("source", "qk")
         .agg(count(lit(1)).as("c"))
       val q = hist.writeStream.outputMode("complete")
@@ -191,6 +193,70 @@ object SourceQuota {
        |  CAST(SUM(c - keep_m) AS BIGINT) AS n_dropped,
        |  CAST(MIN(CASE WHEN keep_m > 0 THEN qk END) AS BIGINT) AS cut_qk
        |FROM k GROUP BY source""".stripMargin
+
+  /** STREAMING quota with DOC-LEVEL enforcement (r16 — r15 verdict #2,
+    * closing the gap the histogram twin names: a histogram cannot name
+    * the tie group's kept MEMBERS, but a streaming curation pipeline
+    * enforcing caps inline needs the per-doc keep/drop decision). Two
+    * passes over the doc stream, both scale-safe:
+    *
+    *  1. the histogram drain (state = one row per live (source, qk)
+    *     key — metadata-sized, [[streamSourceQuota]]'s exact shape);
+    *  2. a STATELESS enforcement pass: docs score map-side with the
+    *     shared [[scoreCols]] chain and inner-join a BROADCAST of the
+    *     drained cut (only keys with keep_m > 0 — the kept-or-tie
+    *     sliver of the key domain), landing candidate keeps in a
+    *     distributed parquet sink. At 100 TB this is the shape that
+    *     runs at ingest: the cut is corpus metadata refreshed by pass
+    *     1; enforcement costs one broadcast probe per arriving doc.
+    *
+    * Whole key groups (keep_m = c) are kept outright from the sink;
+    * only the ≤1-per-source straddling tie group ranks by doc_id, over
+    * a window bounded by that group's tie count — the batch key's
+    * exact tie discipline. Output is the kept SET itself (doc_id,
+    * source, qk), row-for-row hash-gated against the batch oracle —
+    * stronger than the ledger's kept_docid_sum. */
+  def streamSourceQuotaDocs: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    val sink = graft.streaming.StreamStage.freshSink(s, dir, "ssqd_sink")
+    graft.streaming.StreamStage.withStaged(s, "ssqd", dir, "documents.parquet") { stageDir =>
+      val hist = scoreCols(s.readStream.schema(sch).parquet(stageDir))
+        .groupBy("source", "qk")
+        .agg(count(lit(1)).as("c"))
+      val q1 = hist.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_sqd").start()
+      try q1.processAllAvailable() finally q1.stop()
+      val cut = keepPlan(s.table("graft_stream_sqd"))
+        .filter(col("keep_m") > 0L)
+      val kept = scoreCols(s.readStream.schema(sch).parquet(stageDir))
+        .join(broadcast(cut), Seq("source", "qk")) // stream-static, stateless
+        .select("doc_id", "source", "qk", "c", "keep_m")
+      val q2 = kept.writeStream.outputMode("append")
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation",
+          graft.streaming.StreamStage.freshSink(s, dir, "ssqd_ckpt"))
+        .start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    val out = s.read.parquet(sink)
+    val full = out.filter(col("keep_m") === col("c"))
+      .select("doc_id", "source", "qk")
+    val tie = out.filter(col("keep_m") < col("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source", "qk").orderBy(col("doc_id"))))
+      .filter(col("rn") <= col("keep_m"))
+      .select("doc_id", "source", "qk")
+    full.unionByName(tie)
+  }
+
+  val streamSourceQuotaDocsSql: String =
+    s"""WITH $scoredCte,
+       |r AS (
+       |  SELECT d.doc_id, d.source, d.qk, k.c, k.keep_m,
+       |    row_number() OVER (PARTITION BY d.source, d.qk ORDER BY d.doc_id) AS rn
+       |  FROM d JOIN k USING (source, qk))
+       |SELECT doc_id, source, qk
+       |FROM r WHERE keep_m = c OR (keep_m > 0 AND rn <= keep_m)""".stripMargin
 
   /** CORPUS-BALANCE ledger — per language: how many sources feed it
     * and how evenly (source-share Shannon entropy, the number a
@@ -259,11 +325,13 @@ object SourceQuota {
   val queries: Map[String, Q] = Map(
     "pipeline_source_quota" -> pipelineSourceQuota,
     "stream_source_quota" -> streamSourceQuota,
+    "stream_source_quota_docs" -> streamSourceQuotaDocs,
     "pipeline_source_entropy" -> pipelineSourceEntropy,
     "stream_source_entropy" -> streamSourceEntropy)
   val oracles: Map[String, String] = Map(
     "pipeline_source_quota" -> pipelineSourceQuotaSql,
     "stream_source_quota" -> streamSourceQuotaSql,
+    "stream_source_quota_docs" -> streamSourceQuotaDocsSql,
     "pipeline_source_entropy" -> pipelineSourceEntropySql,
     "stream_source_entropy" -> pipelineSourceEntropySql)
 }
