@@ -21,6 +21,18 @@ object Boilerplate {
   private[operators] val SEG = 8
   private[operators] val DF_MIN = 2
 
+  /** Zero-token-doc guard as ONE spliced predicate (r16 — r15 verdict
+    * #7): a doc whose text is all separators has an empty token array
+    * under the unicode tokenizer (impossible under the ASCII split),
+    * and the two engines' integer divisions disagree at the −1
+    * degenerate segment index (Spark `div` truncates, DuckDB `//`
+    * floors) — so the `_uni` scrub excludes zero-token docs EXPLICITLY
+    * in both engines. The predicate text lives here once; only the
+    * engine's array-length function name is a parameter (`size` /
+    * `len`), so the threshold and comparison cannot drift between the
+    * Spark filter and the DuckDB oracle. */
+  private[operators] def nonEmptyPred(lenFn: String): String = s"$lenFn(toks) >= 1"
+
   /** Per-doc boilerplate scrub ledger: segment count, kept count, and
     * an order-sensitive md5 of the residual (kept segments joined in
     * document order) — the gate checks the exact reconstructed text,
@@ -72,7 +84,7 @@ object Boilerplate {
     * cannot drift between the ASCII and `_uni` oracles. */
   private[operators] def scrubSql(preCtes: String, toksExpr: String,
       from: String, nonEmptyGuard: Boolean): String = {
-    val nz = if (nonEmptyGuard) ",\nnz AS (SELECT * FROM base WHERE len(toks) >= 1)" else ""
+    val nz = if (nonEmptyGuard) s",\nnz AS (SELECT * FROM base WHERE ${nonEmptyPred("len")})" else ""
     val src = if (nonEmptyGuard) "nz" else "base"
     s"""WITH ${preCtes}base AS (SELECT doc_id, $toksExpr AS toks FROM $from)$nz,
        |sg AS (SELECT doc_id, toks,

@@ -36,6 +36,21 @@ import org.apache.spark.sql.functions._
   * map-side, and the cumulative sums run over the 10-row histogram
   * (a window over ten rows, never over the corpus).
   *
+  * CHECKPOINT-PLACEMENT assumption (r16, r15 ADVICE #2): the ten
+  * slices are equal-width cuts of doc_id VALUE space, not row-count
+  * prefixes — exact and cheap when ids are ~dense/contiguous (this
+  * corpus; any ingest that assigns sequential ids), but on a corpus
+  * with sparse or clustered ids (post-dedup keep-lists, sharded id
+  * ranges with gaps) the ten prefixes carry uneven gram mass and the
+  * fit points bunch toward the populated ranges. The curve and β stay
+  * CORRECT (each checkpoint is still a genuine prefix of the doc_id
+  * order — the x values just stop being evenly spaced in log-N); a
+  * deployment on sparse ids should derive the K cut points from
+  * cumulative doc counts instead (the [[SourceQuota]] histogram-cut
+  * device: bucket ids into a fine histogram, one window over the
+  * histogram picks ~equal-population boundaries) — same two corpus
+  * passes, one extra metadata-sized window.
+  *
   * The fit is least squares of λ(V) on λ(N_grams) over the ten
   * cumulative points, in integer micro-nats (the established
   * round(1e6·ln n) device): all four moment sums are exact BIGINT

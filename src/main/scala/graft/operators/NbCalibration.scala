@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   * diagram over ten
   * equal-width score bands: per band — population, true positives by
   * label, positive rate in ppm, predicted-positive and
-  * correctly-predicted counts at the production threshold (0). A
+  * correctly-predicted counts at the production threshold (0). All
+  * ten bands are ALWAYS present (r16, r15 ADVICE #4): empty bands
+  * appear as explicit zero rows via a 1..10 grid left-join — the
+  * HeapsFit grid device — so a consumer plotting the diagram or
+  * diffing band counts across runs never infers gaps; min/max_score
+  * stay NULL for an unpopulated band. A
   * well-separated model shows pos_ppm monotone in the band index;
   * accuracy/precision/recall at the gate threshold aggregate from the
   * band rows.
@@ -67,7 +72,7 @@ object NbCalibration {
     val bounds = scored.agg(
       min(col("score_unats")).as("lo"),
       (max(col("score_unats")) - min(col("score_unats")) + 1L).as("span"))
-    scored.crossJoin(broadcast(bounds))
+    val banded = scored.crossJoin(broadcast(bounds))
       .withColumn("band",
         expr(s"(($BANDS * (score_unats - lo)) DIV span) + 1"))
       .groupBy("band")
@@ -77,9 +82,29 @@ object NbCalibration {
         sum(when(col("pos") && col("score_unats") > 0L, 1L).otherwise(0L)).as("n_tp"),
         min(col("score_unats")).as("min_score"),
         max(col("score_unats")).as("max_score"))
-      .select(col("band"), col("n"), col("n_pos"),
-        expr("(1000000 * n_pos) DIV n").as("pos_ppm"),
-        col("n_predpos"), col("n_tp"), col("min_score"), col("max_score"))
+    // the 1..BANDS grid left-join (r16, r15 ADVICE #4 — the HeapsFit
+    // grid device): EMPTY score bands appear as explicit zero rows, so
+    // a reliability-diagram consumer never has to infer gaps and the
+    // band count is a constant across runs; min/max_score stay NULL
+    // for an unpopulated band (there is no score to report)
+    val out = s.range(1, BANDS + 1).select(col("id").as("band"))
+      .join(broadcast(banded), Seq("band"), "left")
+      .select(col("band"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        expr("(1000000 * coalesce(n_pos, 0)) DIV greatest(coalesce(n, 0), 1)")
+          .as("pos_ppm"),
+        coalesce(col("n_predpos"), lit(0L)).as("n_predpos"),
+        coalesce(col("n_tp"), lit(0L)).as("n_tp"),
+        col("min_score"), col("max_score"))
+      .cache()
+    // materialize the ≤BANDS-row ledger NOW so the two corpus-scale
+    // caches release executor memory immediately (r15 ADVICE #3) —
+    // uncached they would pin storage for the rest of a bench session
+    out.count()
+    pdb.unpersist()
+    scored.unpersist()
+    out
   }
 
   val pipelineNbCalibrationSql: String = {
@@ -105,16 +130,21 @@ object NbCalibration {
        |banded AS (
        |  SELECT (($BANDS * (score_unats - lo)) // span) + 1 AS band,
        |    pos, score_unats
-       |  FROM scored CROSS JOIN bounds)
-       |SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
-       |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-       |  (1000000 * CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*)
-       |    AS pos_ppm,
-       |  CAST(SUM(CASE WHEN score_unats > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_predpos,
-       |  CAST(SUM(CASE WHEN pos AND score_unats > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
-       |  CAST(MIN(score_unats) AS BIGINT) AS min_score,
-       |  CAST(MAX(score_unats) AS BIGINT) AS max_score
-       |FROM banded GROUP BY band""".stripMargin
+       |  FROM scored CROSS JOIN bounds),
+       |agg AS (
+       |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(SUM(CASE WHEN score_unats > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_predpos,
+       |    CAST(SUM(CASE WHEN pos AND score_unats > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+       |    CAST(MIN(score_unats) AS BIGINT) AS min_score,
+       |    CAST(MAX(score_unats) AS BIGINT) AS max_score
+       |  FROM banded GROUP BY band),
+       |grid AS (SELECT CAST(i AS BIGINT) AS band FROM range(1, ${BANDS + 1}) t(i))
+       |SELECT g.band, COALESCE(a.n, 0) AS n, COALESCE(a.n_pos, 0) AS n_pos,
+       |  (1000000 * COALESCE(a.n_pos, 0)) // GREATEST(COALESCE(a.n, 0), 1) AS pos_ppm,
+       |  COALESCE(a.n_predpos, 0) AS n_predpos, COALESCE(a.n_tp, 0) AS n_tp,
+       |  a.min_score, a.max_score
+       |FROM grid g LEFT JOIN agg a ON a.band = g.band""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(

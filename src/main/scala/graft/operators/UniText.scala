@@ -358,7 +358,9 @@ object UniText {
   def textSegmentDedupUni: Q = (s, dir) => Boilerplate.scrubToks(
     Tokenize.unionedDocs(s, dir)
       .withColumn("toks", Tokenize.tokens(col("text")))
-      .filter(size(col("toks")) >= 1))
+      // the shared guard text (r16, r15 verdict #7): one predicate
+      // literal, both engines — see Boilerplate.nonEmptyPred
+      .filter(expr(Boilerplate.nonEmptyPred("size"))))
 
   val textSegmentDedupUniSql: String = Boilerplate.scrubSql(
     s"${Tokenize.udocsCte},\n", Tokenize.duckTokens("text"), "udocs",
