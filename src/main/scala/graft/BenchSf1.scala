@@ -476,12 +476,17 @@ object BenchSf1 {
         num(row, "sf01_sec", small(k))
         num(row, bigField, big(k))
         num(row, "ratio", if (small(k) > 0 && big(k) > 0) big(k) / small(k) else -1.0)
+        // r16 (r15 verdict #6): bench-only probe rows self-describe, so
+        // a reader diffing bench keys against the SURVEY §2 inventory
+        // sees the extra row explained in the artifact itself
+        if (extraProbes.contains(k)) row.put("probe", true)
         qs.set[ObjectNode](k, row)
       } else prev.foreach { p =>
         val r = p.path("queries").get(k)
         if (r != null && r.isObject) {
           val row = r.deepCopy[ObjectNode]()
           row.put("carried", true)
+          if (extraProbes.contains(k)) row.put("probe", true)
           qs.set[ObjectNode](k, row)
         }
       }

@@ -77,16 +77,12 @@ object StreamBench {
     def stream: DataFrame = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stageDir)
 
-    /** Run one shape to a memory sink, harvesting per-batch trigger
-      * latencies from the query's progress telemetry. */
-    def run(name: String, outMode: String, build: DataFrame => DataFrame): (String, String) = {
-      val q = build(stream)
-        .writeStream.outputMode(outMode).format("memory").queryName(s"sb_$name")
-        .option("checkpointLocation", s"$root/ck_$name")
-        .trigger(Trigger.AvailableNow()).start()
-      q.processAllAvailable()
-      val prog = q.recentProgress.filter(_.numInputRows > 0)
-      q.stop()
+    /** Harvest per-batch trigger latencies from a finished query's
+      * progress telemetry into the shape's JSON row — shared by the
+      * memory-sink and foreachBatch runners (r16: one body, three
+      * callers). */
+    def harvest(name: String,
+        prog: Array[org.apache.spark.sql.streaming.StreamingQueryProgress]): (String, String) = {
       // r14 (r13 ADVICE): a drain that reports NO input-bearing
       // progress entries (overwritten ring buffer, empty staging dir)
       // must mark the shape failed, not die indexing an empty latency
@@ -110,6 +106,18 @@ object StreamBench {
         s""""rows_per_sec":${js(rows / math.max(0.001, total))}}""")
     }
 
+    /** Run one shape to a memory sink. */
+    def run(name: String, outMode: String, build: DataFrame => DataFrame): (String, String) = {
+      val q = build(stream)
+        .writeStream.outputMode(outMode).format("memory").queryName(s"sb_$name")
+        .option("checkpointLocation", s"$root/ck_$name")
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      val prog = q.recentProgress.filter(_.numInputRows > 0)
+      q.stop()
+      harvest(name, prog)
+    }
+
     // warmup: JIT the streaming machinery on a tiny one-shot drain
     run("warmup", "append", df => df.select(col("user_id"), col("event_id")))
 
@@ -118,40 +126,34 @@ object StreamBench {
       * aggregation landing in a distributed parquet sink — the
       * de-funneled drain. Stateless between batches; the sustained
       * question is whether the per-batch agg+write holds a rate. */
-    def runFb(name: String): (String, String) = {
+    /** The foreachBatch scorer shape (stream_dsir /
+      * stream_nb_classifier / stream_tfidf_topk): per-batch partial
+      * aggregation landing in a distributed parquet sink.
+      * `exactlyOnce = true` is the SHIPPED shape — the idempotent
+      * overwrite-by-batchId writer (r15); `false` is the plain-append
+      * COUNTERFACTUAL (r16, r15 verdict #3): same agg, same sink
+      * layout minus the partition column, measured in the same session
+      * so the idempotence overhead is attributable inside the artifact
+      * instead of confounded with ambient wobble across rounds. The
+      * append shape is NOT safe to ship (a crash-replay double-counts,
+      * pinned in Round15Spec) — it exists here purely as the cost
+      * baseline. */
+    def runFb(name: String, exactlyOnce: Boolean): (String, String) = {
       val sink = s"$root/fb_$name"
-      // same idempotent overwrite-by-batchId writer as the production
-      // scorer drains (r15) — the bench must time the shipped shape
+      val agg = (batch: DataFrame) => batch.groupBy("user_id")
+        .agg(count(lit(1)).as("c"), sum(col("value")).as("s"))
+      val writer: (DataFrame, Long) => Unit =
+        if (exactlyOnce) graft.streaming.StreamStage.idempotentBatchWriter(sink)(agg)
+        else (batch, _) => agg(batch).write.mode("append").parquet(sink)
       val q = stream
         .writeStream.outputMode("append")
-        .foreachBatch(graft.streaming.StreamStage.idempotentBatchWriter(sink) {
-          batch => batch.groupBy("user_id")
-            .agg(count(lit(1)).as("c"), sum(col("value")).as("s"))
-        })
+        .foreachBatch(writer)
         .option("checkpointLocation", s"$root/ck_$name")
         .trigger(Trigger.AvailableNow()).start()
       q.processAllAvailable()
       val prog = q.recentProgress.filter(_.numInputRows > 0)
       q.stop()
-      // r14 (r13 ADVICE): a drain that reports NO input-bearing
-      // progress entries (overwritten ring buffer, empty staging dir)
-      // must mark the shape failed, not die indexing an empty latency
-      // array — the bench's failed-query discipline.
-      if (prog.isEmpty)
-        return (name, s""""$name":{"error":"no input-bearing progress entries"}""")
-      val lat = prog.map(_.durationMs.get("triggerExecution").toLong.toDouble).sorted
-      val rows = prog.map(_.numInputRows).sum
-      def pct(p: Double) = lat(math.min(lat.length - 1, (p * lat.length).toInt))
-      val ordered = prog.map(_.durationMs.get("triggerExecution").toLong.toDouble)
-      val ramp = if (ordered.length >= 6)
-        ordered.takeRight(3).sum / math.max(1.0, ordered.take(3).sum)
-      else 1.0
-      val total = ordered.sum / 1000.0
-      (name,
-        s""""$name":{"batches":${lat.length},"p50_ms":${js(pct(0.5))},""" +
-        s""""p95_ms":${js(pct(0.95))},"max_ms":${js(lat.last)},""" +
-        s""""last3_over_first3":${js(ramp)},"rows":$rows,""" +
-        s""""rows_per_sec":${js(rows / math.max(0.001, total))}}""")
+      harvest(name, prog)
     }
 
     val shapes = Seq(
@@ -163,7 +165,8 @@ object StreamBench {
             .as[graft.streaming.Streams.Ev]).toDF()
       }),
       run("interval_join", "append", df => graft.streaming.Streams.intervalJoin(df)),
-      runFb("fb_scorer"))
+      runFb("fb_scorer", exactlyOnce = true),
+      runFb("fb_scorer_append_counterfactual", exactlyOnce = false))
 
     println(s"""{"metric":"stream_bench","unit":"ms","sf":"$sfDir",""" +
       s""""batches":$NB,"events":$n,""" +
