@@ -95,7 +95,12 @@ object BenchSf1 {
     // r15b: the vocabulary-growth curve — its one corpus-sized
     // shuffle is the exploded-gram min(doc_id) agg, everything after
     // is a 10-row histogram; the 100× wall should stay far sublinear
-    "text_heaps_fit")
+    "text_heaps_fit",
+    // r16 (r15 verdict #5): the two heaviest r15 additions get their
+    // 100× points — the unicode scrub (10× ratio 5.37, df-growth
+    // class, organically exonerated at 10×) and the unicode winnow
+    // pair join (2.44, df-capped selected-fingerprint index)
+    "text_segment_dedup_uni", "dedup_winnow_pairs_uni")
 
   /** Wide replication for the 100× probe: one crossJoin against a
     * replica range instead of a 100-child union (same values — keys

@@ -74,7 +74,12 @@ object ShuffleAudit {
     // r15b: the unicode scrub's 5.4× replica wall is the same df-
     // growth class (replica-marked text multiplies the shared-segment
     // set); the organic row measures the engine's own rate
-    "text_segment_dedup_uni")
+    "text_segment_dedup_uni",
+    // r16 (r15 verdict #4): the two r15b diagnostics had replicated-leg
+    // rows only — organic legs pin that their corpus-pass shuffle rates
+    // hold on organically-grown data too (the replica-vs-organic
+    // distinction is exactly what exonerated text_segment_dedup_uni)
+    "pipeline_nb_calibration", "text_heaps_fit")
 
   /** `x100` mode (r15, r14 verdict #6): shuffle-byte rates TWO decades
     * up for the two largest 100×-probe walls — the keys whose

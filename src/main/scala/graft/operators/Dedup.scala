@@ -750,7 +750,7 @@ object Dedup {
     * substr both count one astral emoji as one character) and md5 the
     * UTF-8 bytes, so boundaries and chunk hashes agree byte-for-byte
     * on non-ASCII text. */
-  private[operators] def cdcOf(docs: DataFrame): DataFrame = {
+  private[graft] def cdcOf(docs: DataFrame): DataFrame = {
     docs
       .filter(length(col("text")) >= 2)
       // one-pass native boundary scan (reused digest, no hex

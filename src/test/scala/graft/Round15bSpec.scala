@@ -66,7 +66,13 @@ class Round15bSpec extends AnyFunSuite {
       .count()
     assert(bands.map(_.getLong(1)).sum == expect,
       s"band populations must sum to the held-out count $expect")
-    for (r <- bands) {
+    // r16 contract: the grid always carries bands 1..10; empty bands
+    // are explicit zero rows with NULL score ranges (Round16Spec pins
+    // the zero-fill itself; here the per-band accounting laws apply to
+    // the POPULATED rows)
+    assert(bands.map(_.getLong(0)).toSeq == (1L to 10L), "band grid must be 1..10")
+    val populated = bands.filter(_.getLong(1) > 0L)
+    for (r <- populated) {
       val (band, n, nPos, posPpm) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       val (nPredpos, nTp) = (r.getLong(4), r.getLong(5))
       assert(band >= 1 && band <= 10, s"band $band out of range")
@@ -75,8 +81,8 @@ class Round15bSpec extends AnyFunSuite {
       assert(posPpm == 1000000L * nPos / n)
       assert(r.getLong(6) <= r.getLong(7), "min_score <= max_score")
     }
-    // equal-width bands: score ranges are disjoint and ordered
-    for (Array(a, b) <- bands.sliding(2) if bands.length >= 2)
+    // equal-width bands: populated score ranges are disjoint and ordered
+    for (Array(a, b) <- populated.sliding(2) if populated.length >= 2)
       assert(a.getLong(7) < b.getLong(6),
         s"band ${a.getLong(0)} max must precede band ${b.getLong(0)} min")
   }

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 laws: the span/CDC/containment/top-m unicode twins' plan
+  * parity with their ASCII twins, the CDC boundary scan's
+  * codepoint-indexing parity on astral text (the latent
+  * UTF-16-vs-codepoint bug the `_uni` fixture exposed), the deliberate
+  * CJK near-dup fixture pair's recall through the span/containment/CDC
+  * machinery, the doc-level streaming quota's kept-set parity with the
+  * batch cut, and the calibration ledger's always-ten-bands grid —
+  * each pinned independently of the DuckDB oracle gate. */
+class Round16Spec extends AnyFunSuite {
+  import TestSession._
+
+  // ---- CDC boundary scan: codepoint parity on astral text ------------
+
+  test("cdc_bounds equals the HOF SQL formulation on multibyte + astral text") {
+    import spark.implicits._
+    // the HOF formulation IS the oracle's semantics (SQL substring =
+    // codepoint windows); the native expression must match it on every
+    // script class — ASCII fast path, BMP CJK, RTL, combining marks,
+    // and the astral emoji rows where java.lang.String indexing (the
+    // pre-r16 multibyte path) would split surrogate pairs
+    val texts = graft.functions.Tokenize.FIXTURE.map(_._2) ++ Seq(
+      "plain ascii control text with several words",
+      "😀😀😀 astral run 🚀 then 中文 mixed ascii tail 😀😀",
+      "中文文本没有空格中文文本没有空格中文文本没有空格")
+    val df = texts.toDF("text").filter(length(col("text")) >= 2)
+    val hof = expr("concat(array(1), " +
+      "filter(sequence(2, length(text)), p -> substring(md5(substring(text, p, 8)), 1, 1) = '0'), " +
+      "array(length(text) + 1))")
+    val rows = df.select(
+      graft.functions.CdcExpressions.cdc_bounds(col("text")).as("native"),
+      hof.as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+        s"native ${r.getSeq[Int](0)} != hof ${r.getSeq[Int](1)}")
+    }
+  }
+
+  // ---- the new unicode twins: plan parity with the ASCII twins -------
+
+  /** The Round15Spec shape signature, with the cache cleared first (the
+    * r15b PlanAuditSpec lesson: a warm cache collapses subtrees into
+    * InMemoryTableScan and exchange counts go run-order-dependent). */
+  private def shape(name: String): Map[String, Int] = {
+    spark.sharedState.cacheManager.clearCache()
+    val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+      "ShuffledHashJoin", "BroadcastHashJoin", "Exchange", "Window")
+      .map(op => op -> op.r.findAllIn(p).size).toMap
+  }
+
+  // spans and CDC have no cache asymmetry between the twins — pin the
+  // full shape signature equal
+  for ((ascii, uni) <- Seq(
+      "dedup_substring_spans" -> "dedup_substring_spans_uni",
+      "dedup_cdc" -> "dedup_cdc_uni")) {
+    test(s"$uni plans the same shape as $ascii") {
+      val (a, u) = (shape(ascii), shape(uni))
+      assert(u("CartesianProduct") == 0 && u("BroadcastNestedLoopJoin") == 0,
+        s"$uni has an unkeyed join: $u")
+      assert(u == a, s"$uni shape $u != $ascii shape $a")
+    }
+  }
+
+  // containment/top-m: the ASCII twins cache the capped shingle base
+  // (3 consumers) while the uni twins ride cappedShingles' internal
+  // cache only (the r15 ADVICE posture), so raw exchange counts
+  // legitimately differ — pin the scale INVARIANTS instead: no
+  // cartesian, no broadcast-nested-loop, and the same window count
+  // (the top-m tail's one bounded window; containment's zero)
+  for ((ascii, uni) <- Seq(
+      "dedup_containment" -> "dedup_containment_uni",
+      "dedup_ngram_topm" -> "dedup_ngram_topm_uni")) {
+    test(s"$uni keeps $ascii's scale invariants (keyed joins only, same windows)") {
+      val (a, u) = (shape(ascii), shape(uni))
+      assert(u("CartesianProduct") == 0 && u("BroadcastNestedLoopJoin") == 0,
+        s"$uni has an unkeyed join: $u")
+      assert(u("Window") == a("Window"), s"$uni windows ${u("Window")} != ${a("Window")}")
+    }
+  }
+
+  // ---- the deliberate CJK near-dup pair's recall ----------------------
+
+  test("fixture pair (-8,-9): containment catches it near 0.9 both ways") {
+    val got = SparkEntry.queries("dedup_containment_uni")(spark, sf)
+      .filter(col("id_a") === -9L && col("id_b") === -8L).collect()
+    assert(got.length == 1, "the deliberate CJK pair must survive the df-capped index")
+    assert(got(0).getAs[Double]("cont_ab") >= 0.8 && got(0).getAs[Double]("cont_ba") >= 0.8)
+  }
+
+  test("fixture pair (-8,-9): the shared CJK passage marks duplicated spans in BOTH docs") {
+    val got = SparkEntry.queries("dedup_substring_spans_uni")(spark, sf)
+      .filter(col("doc_id").isin(-8L, -9L))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("dup_words")).toMap
+    assert(got(-8L) > 0 && got(-9L) > 0,
+      s"shared unspaced boilerplate must mark spans in both docs: $got")
+  }
+
+  test("CDC finds repeated multibyte chunks across the fixture pair") {
+    import spark.implicits._
+    // fixture-only corpus: the shared passage must yield at least one
+    // chunk present in BOTH docs (n_docs = 2) — the multibyte boundary
+    // path producing genuinely matching chunk hashes across documents
+    val fx = graft.functions.Tokenize.FIXTURE.toDF("doc_id", "text")
+    val rep = graft.operators.Dedup.cdcOf(fx).filter(col("n_docs") >= 2)
+    assert(rep.count() > 0, "no cross-doc repeated chunk from the shared CJK passage")
+  }
+
+  // ---- doc-level streaming quota: kept set == batch cut ---------------
+
+  test("stream_source_quota_docs kept set reconciles with the batch ledger exactly") {
+    val kept = SparkEntry.queries("stream_source_quota_docs")(spark, sf)
+      .groupBy("source")
+      .agg(count(lit(1)).as("k_n"), sum(col("doc_id")).as("k_sd"))
+    val batch = SparkEntry.queries("pipeline_source_quota")(spark, sf)
+      .select(col("source"), col("n_kept"), col("kept_docid_sum"))
+    val joined = batch.join(kept, Seq("source"), "left").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_kept") == r.getAs[Long]("k_n"),
+        s"${r.getAs[String]("source")}: kept count drifted")
+      assert(r.getAs[Long]("kept_docid_sum") == r.getAs[Long]("k_sd"),
+        s"${r.getAs[String]("source")}: kept SET drifted (docid sum)")
+    }
+  }
+
+  // ---- calibration ledger: always ten bands ---------------------------
+
+  test("pipeline_nb_calibration always emits bands 1..10, zero-filled when empty") {
+    val rows = SparkEntry.queries("pipeline_nb_calibration")(spark, sf).collect()
+    assert(rows.length == 10, s"expected 10 band rows, got ${rows.length}")
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (1L to 10L), "band grid incomplete")
+    rows.filter(_.getAs[Long]("n") == 0L).foreach { r =>
+      assert(r.getAs[Long]("n_pos") == 0L && r.getAs[Long]("n_predpos") == 0L
+        && r.getAs[Long]("n_tp") == 0L && r.getAs[Long]("pos_ppm") == 0L,
+        s"empty band ${r.getLong(0)} not zero-filled: $r")
+      assert(r.isNullAt(r.fieldIndex("min_score")) && r.isNullAt(r.fieldIndex("max_score")),
+        s"empty band ${r.getLong(0)} must carry NULL score range")
+    }
+  }
+}
