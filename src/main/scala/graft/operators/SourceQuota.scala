@@ -258,6 +258,85 @@ object SourceQuota {
        |SELECT doc_id, source, qk
        |FROM r WHERE keep_m = c OR (keep_m > 0 AND rn <= keep_m)""".stripMargin
 
+  /** Per-source CHARACTER budget. ~25 docs × ~300 chars per source at
+    * the sf0.01 oracle gate, so a 4000-char budget genuinely cuts
+    * mid-source everywhere. */
+  private val CHAR_BUDGET = 4000L
+
+  /** Per-source CHARACTER-BUDGET quota (r16) — the token-mass twin of
+    * [[pipelineSourceQuota]]: real pipelines cap a domain's share of
+    * the training mix by TOKEN MASS, not document count (a domain of
+    * ten book-length documents outweighs a thousand tweets), so the
+    * cut is the maximal quality-ordered PREFIX whose cumulative
+    * n_chars fits the budget — order (qk DESC, doc_id ASC), strictly
+    * prefix semantics (the first doc that would overflow ends the
+    * prefix; no knapsack back-fill, so the kept set is reproducible
+    * and order-independent of arrival).
+    *
+    * Scale shape: the SAME one-corpus-shuffle histogram-cut device —
+    * the (source, qk) histogram carries per-key char/doc_id sums,
+    * chars-from-above cumulate over HISTOGRAM rows, whole key groups
+    * classify map-side against the budget (cb ≥ B → drop all,
+    * cb + sch ≤ B → keep all), and only the ≤1-per-source straddling
+    * group touches doc rows again, through a broadcast join carrying
+    * that group's REMAINING budget, with a cumulative-char window
+    * bounded by the group's tie count. Ledger carries kept_docid_sum
+    * and kept_chars, so the oracle gates the selected SET and its
+    * exact mass. */
+  def pipelineSourceQuotaChars: Q = (s, dir) => {
+    val docs = scored(s, dir)
+    val hist = docs.groupBy("source", "qk")
+      .agg(count(lit(1)).as("c"), sum(col("n_chars")).as("sch"),
+        sum(col("doc_id")).as("sd"))
+    val wcum = Window.partitionBy("source").orderBy(col("qk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val plan = hist
+      .withColumn("cb", coalesce(sum(col("sch")).over(wcum), lit(0L)))
+      .cache() // metadata-sized: base ledger + tie-key extraction
+    val base = plan.groupBy("source")
+      .agg(sum(col("c")).as("n_docs"), sum(col("sch")).as("total_chars"),
+        sum(when(col("cb") + col("sch") <= CHAR_BUDGET, col("c"))).as("full_n"),
+        sum(when(col("cb") + col("sch") <= CHAR_BUDGET, col("sch"))).as("full_sch"),
+        sum(when(col("cb") + col("sch") <= CHAR_BUDGET, col("sd"))).as("full_sd"),
+        min(when(col("cb") + col("sch") <= CHAR_BUDGET, col("qk"))).as("full_cut_qk"))
+    val tieKeys = plan
+      .filter(col("cb") < CHAR_BUDGET && col("cb") + col("sch") > CHAR_BUDGET)
+      .select(col("source"), col("qk"), (lit(CHAR_BUDGET) - col("cb")).as("rem"))
+    val wtie = Window.partitionBy("source", "qk").orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tie = docs.join(broadcast(tieKeys), Seq("source", "qk"))
+      .withColumn("cum", sum(col("n_chars")).over(wtie))
+      .filter(col("cum") <= col("rem"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("tie_n"), sum(col("n_chars")).as("tie_sch"),
+        sum(col("doc_id")).as("tie_sd"), min(col("qk")).as("tie_qk"))
+    base.join(tie, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        (coalesce(col("full_n"), lit(0L)) + coalesce(col("tie_n"), lit(0L)))
+          .as("n_kept"),
+        (coalesce(col("full_sch"), lit(0L)) + coalesce(col("tie_sch"), lit(0L)))
+          .as("kept_chars"),
+        (coalesce(col("full_sd"), lit(0L)) + coalesce(col("tie_sd"), lit(0L)))
+          .as("kept_docid_sum"),
+        least(coalesce(col("full_cut_qk"), col("tie_qk")),
+          coalesce(col("tie_qk"), col("full_cut_qk"))).as("cut_qk"))
+  }
+
+  val pipelineSourceQuotaCharsSql: String =
+    s"""WITH $scoredCte,
+       |o AS (
+       |  SELECT doc_id, source, n_chars, qk,
+       |    SUM(n_chars) OVER (PARTITION BY source ORDER BY qk DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(SUM(CASE WHEN cum <= $CHAR_BUDGET THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(COALESCE(SUM(CASE WHEN cum <= $CHAR_BUDGET THEN n_chars END), 0) AS BIGINT) AS kept_chars,
+       |  CAST(COALESCE(SUM(CASE WHEN cum <= $CHAR_BUDGET THEN doc_id END), 0) AS BIGINT) AS kept_docid_sum,
+       |  CAST(MIN(CASE WHEN cum <= $CHAR_BUDGET THEN qk END) AS BIGINT) AS cut_qk
+       |FROM o GROUP BY source""".stripMargin
+
   /** CORPUS-BALANCE ledger — per language: how many sources feed it
     * and how evenly (source-share Shannon entropy, the number a
     * dataset card reports beside the mix table; a lang fed 99% by one
@@ -326,12 +405,14 @@ object SourceQuota {
     "pipeline_source_quota" -> pipelineSourceQuota,
     "stream_source_quota" -> streamSourceQuota,
     "stream_source_quota_docs" -> streamSourceQuotaDocs,
+    "pipeline_source_quota_chars" -> pipelineSourceQuotaChars,
     "pipeline_source_entropy" -> pipelineSourceEntropy,
     "stream_source_entropy" -> streamSourceEntropy)
   val oracles: Map[String, String] = Map(
     "pipeline_source_quota" -> pipelineSourceQuotaSql,
     "stream_source_quota" -> streamSourceQuotaSql,
     "stream_source_quota_docs" -> streamSourceQuotaDocsSql,
+    "pipeline_source_quota_chars" -> pipelineSourceQuotaCharsSql,
     "pipeline_source_entropy" -> pipelineSourceEntropySql,
     "stream_source_entropy" -> pipelineSourceEntropySql)
 }
