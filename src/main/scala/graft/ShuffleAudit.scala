@@ -48,7 +48,13 @@ object ShuffleAudit {
     "text_heaps_fit",
     // r15b: the held-out reliability ledger — DSIR's feature-extract
     // shuffle shape on the two training sources, then broadcast-only
-    "pipeline_nb_calibration")
+    "pipeline_nb_calibration",
+    // r16: the A-ES top-K claims ZERO corpus shuffle (per-partition
+    // bounded heap — the audit row should read ~no shuffle bytes at
+    // either leg), and the semantic-decon ledger claims broadcast
+    // probes + slim-row per-doc max (shuffle = one row per embedded
+    // doc, rate flat in corpus bytes)
+    "pipeline_sample_weighted", "pipeline_decontaminate_semantic")
 
   /** `organic` mode: the rows the replica audit flags super-linear —
     * near-dup edge sets and posting lists, which clone-dense replicas

@@ -66,8 +66,99 @@ object Decontaminate {
        |  1000000 * (total_chars - kept_chars) // total_chars AS dropped_ppm
        |FROM led""".stripMargin
 
+  private val SEM_TH = 0.3 // same near-dup bar as dedup_embedding
+  private val DIMS = 64
+
+  /** SEMANTIC decontamination ledger — the embedding-space twin of
+    * [[pipelineDecontaminate]]. N-gram overlap misses paraphrased
+    * benchmark leakage (reworded eval questions share no 5-gram with
+    * the original); the standard second line of defense scores every
+    * corpus document against the benchmark set by embedding cosine
+    * and drops docs whose MAX similarity to any probe crosses the
+    * near-dup bar (0.3 — the same threshold `dedup_embedding`
+    * establishes for this embedding space). Probe set = the bench
+    * slice's embeddings (vec_id rides the same salted-md5 membership
+    * as doc_id — one predicate, both tables); coverage is the
+    * EMBEDDED slice (inner join doc_id = vec_id): a doc with no
+    * embedding cannot be semantically tested and is out of scope by
+    * construction (at sf0.1 embeddings cover 2 000 of 5 000 docs —
+    * the ledger says so via its n_docs column).
+    *
+    * Scale shape: the probe side is an eval suite — MBs against a TB
+    * corpus — so it BROADCASTS; scoring is map-side (codegen'd
+    * [[graft.functions.VectorExpressions.vec_dot]] per (doc, probe)
+    * pair, no corpus payload shuffle); the per-doc max is a
+    * partial-agg'd groupBy(vec_id) moving one slim row per doc; the
+    * doc join prunes documents to (doc_id, source, n_chars); the
+    * ledger is one partial-agg'd groupBy(source). Flag decisions
+    * compare round(cos, 6) — quantized BEFORE the threshold, so both
+    * engines flag the identical set. */
+  def pipelineDecontaminateSemantic: Q = (s, dir) => {
+    import graft.functions.VectorExpressions._
+    val isBenchVec =
+      substring(md5(concat(lit("graft-bench-v1:"), col("vec_id").cast(org.apache.spark.sql.types.StringType))), 1, 2) < "08"
+    val emb = t(s, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", vec_norm(col("v")))
+    val probes = emb.filter(isBenchVec)
+      .select(col("v").as("pv"), col("nrm").as("pn"))
+    val maxCos = emb.filter(!isBenchVec)
+      .select(col("vec_id").as("doc_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(probes))
+      .groupBy("doc_id")
+      .agg(max(round(vec_dot(col("v"), col("pv")) / (col("nrm") * col("pn")), 6))
+        .as("max_cos"))
+    t(s, dir, "documents")
+      .filter(!Contamination.isBench)
+      .select("doc_id", "source", "n_chars")
+      .join(maxCos, "doc_id")
+      .withColumn("dropme", col("max_cos") >= SEM_TH)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("dropme"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(!col("dropme"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("dropme"), col("n_chars")).otherwise(0L)).as("kept_chars"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("source"), col("n_docs"), col("n_dropped"), col("n_kept"),
+        col("kept_chars"),
+        expr("1000000L * (total_chars - kept_chars) DIV total_chars")
+          .as("dropped_ppm"))
+  }
+
+  val pipelineDecontaminateSemanticSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    substr(md5('graft-bench-v1:' || CAST(vec_id AS VARCHAR)), 1, 2) < '08' AS is_bench,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |mc AS (
+       |  SELECT c.vec_id AS doc_id,
+       |    MAX(round(list_sum(list_transform(generate_series(1, $DIMS),
+       |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |      / (c.nrm * b.nrm), 6)) AS max_cos
+       |  FROM e c JOIN e b ON b.is_bench AND NOT c.is_bench
+       |  GROUP BY c.vec_id),
+       |led AS (
+       |  SELECT d.source, d.n_chars, mc.max_cos >= $SEM_TH AS dropme
+       |  FROM documents d
+       |  JOIN mc ON mc.doc_id = d.doc_id
+       |  WHERE NOT (substr(md5('graft-bench-v1:' || CAST(d.doc_id AS VARCHAR)), 1, 2) < '08')),
+       |agg AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN dropme THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |    CAST(SUM(CASE WHEN NOT dropme THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(SUM(CASE WHEN NOT dropme THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+       |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |  FROM led GROUP BY source)
+       |SELECT source, n_docs, n_dropped, n_kept, kept_chars,
+       |  1000000 * (total_chars - kept_chars) // total_chars AS dropped_ppm
+       |FROM agg""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "pipeline_decontaminate" -> pipelineDecontaminate)
+    "pipeline_decontaminate" -> pipelineDecontaminate,
+    "pipeline_decontaminate_semantic" -> pipelineDecontaminateSemantic)
   val oracles: Map[String, String] = Map(
-    "pipeline_decontaminate" -> pipelineDecontaminateSql)
+    "pipeline_decontaminate" -> pipelineDecontaminateSql,
+    "pipeline_decontaminate_semantic" -> pipelineDecontaminateSemanticSql)
 }

@@ -418,11 +418,112 @@ object SamplePlan {
        |SELECT CAST(-1 AS BIGINT) AS pos_key, source, CAST(COUNT(*) AS BIGINT) AS doc_id
        |FROM pk GROUP BY source""".stripMargin
 
+  private val AES_K = 100
+
+  /** Fixed-size weighted sample without replacement — Efraimidis–
+    * Spirakis A-ES (Inf. Proc. Letters 97(5), 2006): each doc gets
+    * key u^(1/w) for uniform u and weight w, and the K largest keys
+    * are EXACTLY a weighted sample without replacement. Every
+    * existing sampler here is RATE-based (md5-threshold → binomial
+    * size); release pipelines also need the dual — "exactly K docs,
+    * longer docs proportionally more likely" (human-eval draws,
+    * seed-corpus picks, dashboard panels). Equivalent ordering:
+    * maximize ln(u)/w, i.e. minimize −ln(u)/w, so the decision
+    * arithmetic follows the house µnat device — u = (h60+1)/2⁶⁰ from
+    * the first 15 md5 hex chars (RNG-free, the same salted-hash
+    * uniform as every sampler in this file), lnq = round(1e6·ln u)
+    * quantized ONCE, then cost = (−lnq)·10⁶ DIV w in pure BIGINT
+    * (w = n_chars: char mass IS the weight). Both engines rank the
+    * identical integer, ties broken by doc_id; the kept SET itself is
+    * the gated output, row-for-row.
+    *
+    * Scale shape: one map-side projection (hash, ln, integer div —
+    * all codegen'd) and a TakeOrderedAndProject: each partition keeps
+    * its local top-K (bounded heap, no sort, no window, no shuffle of
+    * corpus payload) and the driver merges 32·K slim rows. At 100 TB
+    * this is the textbook distributed-top-K — the ONLY corpus-wide
+    * movement is K rows per partition. */
+  /** The A-ES decision arithmetic, shared verbatim by the batch key
+    * and the streaming reservoir twin (one projection — the two
+    * cannot drift). Input needs (doc_id, n_chars > 0). */
+  private def aesCost(df: DataFrame): DataFrame =
+    df.withColumn("h60",
+        expr("CAST(conv(substring(md5(concat('aes:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("lnq",
+        expr("CAST(round(1e6 * ln(CAST(h60 + 1 AS DOUBLE) / 1152921504606846976.0)) AS BIGINT)"))
+      .withColumn("aes_cost", expr("((-lnq) * 1000000) div n_chars"))
+
+  def pipelineSampleWeighted: Q = (s, dir) => {
+    aesCost(t(s, dir, "documents")
+      .filter(col("n_chars") > 0L)
+      .select(col("doc_id"), col("source"), col("n_chars")))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("aes_cost"))
+      .orderBy(col("aes_cost").asc, col("doc_id").asc)
+      .limit(AES_K)
+  }
+
+  /** STREAMING A-ES reservoir — the fixed-size weighted sample
+    * maintained INLINE over an arriving doc stream, the posture
+    * Efraimidis–Spirakis designed the algorithm for: because the
+    * selection is "K smallest cost keys" and the cost is a pure
+    * per-doc projection, the running sample is a K-bounded priority
+    * buffer, NOT corpus state. Here that buffer is the house
+    * [[graft.functions.TopK]] aggregate under a complete-mode global
+    * agg: each micro-batch folds its docs into the ≤2K-entry partial
+    * buffer map-side, merge keeps the best K — state is K rows
+    * forever, regardless of how much stream has passed (contrast a
+    * window/rank formulation, whose state would be every doc seen).
+    * Drain, then hydrate the K winners' source labels with a
+    * broadcast join against the documents table (K rows vs corpus —
+    * the K side broadcasts; at 100 TB hydration is a K-row probe).
+    * Cost rides the TopK sort key negated (≤4.2e13 — exact in
+    * double), so stream == batch == oracle on the identical integer.
+    * Gate: the SAME oracle SQL as [[pipelineSampleWeighted]] — the
+    * streaming path must reproduce the batch kept SET row-for-row. */
+  def streamSampleWeighted: Q = (s, dir) => {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    graft.streaming.StreamStage.withStaged(s, "ssw", dir, "documents.parquet") { stageDir =>
+      val costed = aesCost(
+        s.readStream.schema(sch).parquet(stageDir)
+          .filter(col("n_chars") > 0L)
+          .select(col("doc_id"), col("n_chars")))
+      val agg = costed.groupBy().agg(
+        graft.functions.TopK.topk(AES_K)(
+          -col("aes_cost").cast(DoubleType), col("doc_id"),
+          col("n_chars").cast(DoubleType)).as("top"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_ssw").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val kept = s.table("graft_stream_ssw")
+      .select(explode(col("top")).as("e"))
+      .select(col("e._2").as("doc_id"),
+        col("e._3").cast(LongType).as("n_chars"),
+        (-col("e._1")).cast(LongType).as("aes_cost"))
+    broadcast(kept)
+      .join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("aes_cost"))
+  }
+
+  val pipelineSampleWeightedSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(round(1e6 * ln(CAST(CAST('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1 AS DOUBLE)
+       |      / 1152921504606846976.0)) AS BIGINT) AS lnq
+       |  FROM documents WHERE n_chars > 0)
+       |SELECT doc_id, source, n_chars, ((-lnq) * 1000000) // n_chars AS aes_cost
+       |FROM h
+       |ORDER BY aes_cost ASC, doc_id ASC
+       |LIMIT $AES_K""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pipeline_resume" -> pipelineResume,
     "pipeline_epoch_reshuffle" -> pipelineEpochReshuffle,
     "pipeline_partition_quality" -> pipelinePartitionQuality,
     "pipeline_sample_plan" -> pipelineSamplePlan,
+    "pipeline_sample_weighted" -> pipelineSampleWeighted,
+    "stream_sample_weighted" -> streamSampleWeighted,
     "pipeline_token_budget" -> pipelineTokenBudget,
     "pipeline_train_order" -> pipelineTrainOrder,
     "pipeline_train_order_weighted" -> pipelineTrainOrderWeighted)
@@ -431,6 +532,8 @@ object SamplePlan {
     "pipeline_epoch_reshuffle" -> pipelineEpochReshuffleSql,
     "pipeline_partition_quality" -> pipelinePartitionQualitySql,
     "pipeline_sample_plan" -> pipelineSamplePlanSql,
+    "pipeline_sample_weighted" -> pipelineSampleWeightedSql,
+    "stream_sample_weighted" -> pipelineSampleWeightedSql,
     "pipeline_token_budget" -> pipelineTokenBudgetSql,
     "pipeline_train_order" -> pipelineTrainOrderSql,
     "pipeline_train_order_weighted" -> pipelineTrainOrderWeightedSql)

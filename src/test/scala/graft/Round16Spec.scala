@@ -128,6 +128,86 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
+  // ---- A-ES weighted sampler: exact replay + scale shape --------------
+
+  test("pipeline_sample_weighted equals a local BigInt replay of the A-ES formula") {
+    import java.security.MessageDigest
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("n_chars"))))
+      .filter(_._2 > 0L)
+    val replay = docs.map { case (id, w) =>
+      val hex = MessageDigest.getInstance("MD5").digest(s"aes:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h60 = java.lang.Long.parseLong(hex, 16)
+      val lnq = Math.round(1e6 * Math.log((h60 + 1).toDouble / 1152921504606846976.0))
+      val cost = (BigInt(-lnq) * 1000000 / w).toLong // positive ÷ positive: BigInt / == DIV
+      (id, cost)
+    }.sortBy(t => (t._2, t._1)).take(100)
+    val got = SparkEntry.queries("pipeline_sample_weighted")(spark, sf)
+      .select("doc_id", "aes_cost").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == math.min(100, docs.length))
+    assert(got.toSeq == replay.toSeq, "engine kept set != local A-ES replay")
+  }
+
+  test("pipeline_sample_weighted favors char mass and plans as bounded top-K") {
+    val kept = SparkEntry.queries("pipeline_sample_weighted")(spark, sf)
+    // weighted-without-replacement must tilt the sample toward heavy
+    // docs: kept mean char mass strictly above the corpus mean
+    val keptMean = kept.agg(avg(col("n_chars"))).head().getDouble(0)
+    val corpusMean = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("n_chars") > 0L).agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(keptMean > corpusMean,
+      s"A-ES sample mean $keptMean not above corpus mean $corpusMean")
+    // scale shape: per-partition bounded heap, zero corpus shuffle
+    spark.sharedState.cacheManager.clearCache()
+    val p = kept.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected bounded top-K, got:\n$p")
+    assert("Exchange".r.findAllIn(p).isEmpty, s"unexpected shuffle in top-K plan:\n$p")
+  }
+
+  test("stream_sample_weighted reproduces the batch A-ES kept set row-for-row") {
+    val batch = SparkEntry.queries("pipeline_sample_weighted")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val stream = SparkEntry.queries("stream_sample_weighted")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(stream.toSeq == batch.toSeq,
+      "streaming reservoir drifted from the batch top-K")
+  }
+
+  // ---- semantic decontamination: HOF parity + ledger accounting -------
+
+  test("pipeline_decontaminate_semantic matches an independent HOF recomputation") {
+    val isBench = (c: String) =>
+      s"substring(md5(concat('graft-bench-v1:', CAST($c AS STRING))), 1, 2) < '08'"
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("is_bench", expr(isBench("vec_id")))
+    val probeRows = e.filter(col("is_bench")).select(col("v"), col("nrm")).collect()
+    val corpus = e.filter(!col("is_bench"))
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+    val flagged = corpus.filter { r =>
+      val v = r.getSeq[Double](1); val n = r.getDouble(2)
+      probeRows.exists { p =>
+        val pv = p.getSeq[Double](0); val pn = p.getDouble(1)
+        val dot = v.indices.map(i => v(i) * pv(i)).sum
+        BigDecimal(dot / (n * pn)).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= BigDecimal("0.3")
+      }
+    }.map(_.getLong(0)).toSet
+    val led = SparkEntry.queries("pipeline_decontaminate_semantic")(spark, sf).collect()
+    assert(led.nonEmpty)
+    led.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == r.getAs[Long]("n_dropped") + r.getAs[Long]("n_kept"),
+        s"ledger row does not partition: $r")
+    }
+    assert(led.map(_.getAs[Long]("n_dropped")).sum == flagged.size.toLong,
+      "engine dropped count != independent HOF recomputation")
+  }
+
   // ---- calibration ledger: always ten bands ---------------------------
 
   test("pipeline_nb_calibration always emits bands 1..10, zero-filled when empty") {
