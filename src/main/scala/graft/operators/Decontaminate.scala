@@ -69,6 +69,63 @@ object Decontaminate {
   private val SEM_TH = 0.3 // same near-dup bar as dedup_embedding
   private val DIMS = 64
 
+  /** Per-doc max cosine against the broadcast bench probes — the
+    * shared corpus-scoring pass behind both the semantic MEASUREMENT
+    * key and the semantic drop LEDGER (one body, the two cannot
+    * drift). Output: (doc_id, max_cos) for every non-bench embedded
+    * doc, max over round(cos, 6)-quantized scores. */
+  private def maxCosVsBench(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions._
+    val isBenchVec =
+      substring(md5(concat(lit("graft-bench-v1:"), col("vec_id").cast(org.apache.spark.sql.types.StringType))), 1, 2) < "08"
+    val emb = t(s, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", vec_norm(col("v")))
+    val probes = emb.filter(isBenchVec)
+      .select(col("v").as("pv"), col("nrm").as("pn"))
+    emb.filter(!isBenchVec)
+      .select(col("vec_id").as("doc_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(probes))
+      .groupBy("doc_id")
+      .agg(max(round(vec_dot(col("v"), col("pv")) / (col("nrm") * col("pn")), 6))
+        .as("max_cos"))
+  }
+
+  /** Semantic contamination MEASUREMENT — the embedding-space twin of
+    * `pipeline_contamination`'s per-doc report (measurement and
+    * execution are separate keys in the n-gram family; the semantic
+    * family gets the same split): every non-bench embedded doc with
+    * its max cosine against any benchmark probe and the flag at the
+    * 0.3 near-dup bar. The release-review surface: sort by max_cos,
+    * eyeball the borderline band, THEN run the drop ledger. Same
+    * broadcast-probes / map-side-scoring / slim-row-max shape as the
+    * ledger — this IS the ledger's scoring pass, surfaced. */
+  def pipelineContaminationSemantic: Q = (s, dir) =>
+    maxCosVsBench(s, dir)
+      .select(col("doc_id"), col("max_cos"),
+        (col("max_cos") >= SEM_TH).as("flagged"))
+
+  /** The `e` + `mc` CTE pair (probe norms, per-doc max cosine) —
+    * ONE text spliced into both semantic oracle twins, mirroring the
+    * shared [[maxCosVsBench]] body on the Spark side. */
+  private val semMcCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding,
+       |    substr(md5('graft-bench-v1:' || CAST(vec_id AS VARCHAR)), 1, 2) < '08' AS is_bench,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |mc AS (
+       |  SELECT c.vec_id AS doc_id,
+       |    MAX(round(list_sum(list_transform(generate_series(1, $DIMS),
+       |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |      / (c.nrm * b.nrm), 6)) AS max_cos
+       |  FROM e c JOIN e b ON b.is_bench AND NOT c.is_bench
+       |  GROUP BY c.vec_id)""".stripMargin
+
+  val pipelineContaminationSemanticSql: String =
+    s"""WITH $semMcCtes
+       |SELECT doc_id, max_cos, max_cos >= $SEM_TH AS flagged FROM mc""".stripMargin
+
   /** SEMANTIC decontamination ledger — the embedding-space twin of
     * [[pipelineDecontaminate]]. N-gram overlap misses paraphrased
     * benchmark leakage (reworded eval questions share no 5-gram with
@@ -94,20 +151,7 @@ object Decontaminate {
     * compare round(cos, 6) — quantized BEFORE the threshold, so both
     * engines flag the identical set. */
   def pipelineDecontaminateSemantic: Q = (s, dir) => {
-    import graft.functions.VectorExpressions._
-    val isBenchVec =
-      substring(md5(concat(lit("graft-bench-v1:"), col("vec_id").cast(org.apache.spark.sql.types.StringType))), 1, 2) < "08"
-    val emb = t(s, dir, "embeddings")
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", vec_norm(col("v")))
-    val probes = emb.filter(isBenchVec)
-      .select(col("v").as("pv"), col("nrm").as("pn"))
-    val maxCos = emb.filter(!isBenchVec)
-      .select(col("vec_id").as("doc_id"), col("v"), col("nrm"))
-      .crossJoin(broadcast(probes))
-      .groupBy("doc_id")
-      .agg(max(round(vec_dot(col("v"), col("pv")) / (col("nrm") * col("pn")), 6))
-        .as("max_cos"))
+    val maxCos = maxCosVsBench(s, dir)
     t(s, dir, "documents")
       .filter(!Contamination.isBench)
       .select("doc_id", "source", "n_chars")
@@ -127,18 +171,7 @@ object Decontaminate {
   }
 
   val pipelineDecontaminateSemanticSql: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding,
-       |    substr(md5('graft-bench-v1:' || CAST(vec_id AS VARCHAR)), 1, 2) < '08' AS is_bench,
-       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-       |  FROM embeddings),
-       |mc AS (
-       |  SELECT c.vec_id AS doc_id,
-       |    MAX(round(list_sum(list_transform(generate_series(1, $DIMS),
-       |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-       |      / (c.nrm * b.nrm), 6)) AS max_cos
-       |  FROM e c JOIN e b ON b.is_bench AND NOT c.is_bench
-       |  GROUP BY c.vec_id),
+    s"""WITH $semMcCtes,
        |led AS (
        |  SELECT d.source, d.n_chars, mc.max_cos >= $SEM_TH AS dropme
        |  FROM documents d
@@ -157,8 +190,10 @@ object Decontaminate {
 
   val queries: Map[String, Q] = Map(
     "pipeline_decontaminate" -> pipelineDecontaminate,
+    "pipeline_contamination_semantic" -> pipelineContaminationSemantic,
     "pipeline_decontaminate_semantic" -> pipelineDecontaminateSemantic)
   val oracles: Map[String, String] = Map(
     "pipeline_decontaminate" -> pipelineDecontaminateSql,
+    "pipeline_contamination_semantic" -> pipelineContaminationSemanticSql,
     "pipeline_decontaminate_semantic" -> pipelineDecontaminateSemanticSql)
 }

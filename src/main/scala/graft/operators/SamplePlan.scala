@@ -462,6 +462,54 @@ object SamplePlan {
       .limit(AES_K)
   }
 
+  private val AES_K_SRC = 10
+
+  /** STRATIFIED fixed-size weighted sample — exactly [[AES_K_SRC]]
+    * docs PER SOURCE, each source's draw weighted by char mass (the
+    * per-domain dual of [[pipelineSampleWeighted]]'s global draw:
+    * "10 representative docs from every domain" is the human-eval
+    * and dataset-card panel every release cuts). A-ES applies
+    * per-stratum unchanged — the K smallest costs WITHIN each source
+    * are an exact weighted sample without replacement of that source.
+    *
+    * Scale shape: where the global key uses TakeOrderedAndProject,
+    * the grouped version uses the house [[graft.functions.TopK]]
+    * bounded aggregate under groupBy(source): each task folds its
+    * docs into a ≤2K-entry buffer PER SOURCE map-side, so the shuffle
+    * carries at most K rows per (task, source) — corpus-size-
+    * independent — where a row_number window would shuffle EVERY doc
+    * to its source's partition before ranking. Cost rides the sort
+    * key negated (≤4.2e13 — exact in double); the kept set gates
+    * row-for-row against the window-formulated oracle. */
+  def pipelineSampleWeightedStratified: Q = (s, dir) => {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    aesCost(t(s, dir, "documents")
+      .filter(col("n_chars") > 0L)
+      .select(col("doc_id"), col("source"), col("n_chars")))
+      .groupBy("source")
+      .agg(graft.functions.TopK.topk(AES_K_SRC)(
+        -col("aes_cost").cast(DoubleType), col("doc_id"),
+        col("n_chars").cast(DoubleType)).as("top"))
+      .select(col("source"), explode(col("top")).as("e"))
+      .select(col("e._2").as("doc_id"), col("source"),
+        col("e._3").cast(LongType).as("n_chars"),
+        (-col("e._1")).cast(LongType).as("aes_cost"))
+  }
+
+  val pipelineSampleWeightedStratifiedSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(round(1e6 * ln(CAST(CAST('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1 AS DOUBLE)
+       |      / 1152921504606846976.0)) AS BIGINT) AS lnq
+       |  FROM documents WHERE n_chars > 0),
+       |c AS (
+       |  SELECT doc_id, source, n_chars, ((-lnq) * 1000000) // n_chars AS aes_cost,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ((-lnq) * 1000000) // n_chars ASC, doc_id ASC) AS rn
+       |  FROM h)
+       |SELECT doc_id, source, n_chars, aes_cost
+       |FROM c WHERE rn <= $AES_K_SRC""".stripMargin
+
   /** STREAMING A-ES reservoir — the fixed-size weighted sample
     * maintained INLINE over an arriving doc stream, the posture
     * Efraimidis–Spirakis designed the algorithm for: because the
@@ -523,6 +571,7 @@ object SamplePlan {
     "pipeline_partition_quality" -> pipelinePartitionQuality,
     "pipeline_sample_plan" -> pipelineSamplePlan,
     "pipeline_sample_weighted" -> pipelineSampleWeighted,
+    "pipeline_sample_weighted_stratified" -> pipelineSampleWeightedStratified,
     "stream_sample_weighted" -> streamSampleWeighted,
     "pipeline_token_budget" -> pipelineTokenBudget,
     "pipeline_train_order" -> pipelineTrainOrder,
@@ -533,6 +582,7 @@ object SamplePlan {
     "pipeline_partition_quality" -> pipelinePartitionQualitySql,
     "pipeline_sample_plan" -> pipelineSamplePlanSql,
     "pipeline_sample_weighted" -> pipelineSampleWeightedSql,
+    "pipeline_sample_weighted_stratified" -> pipelineSampleWeightedStratifiedSql,
     "stream_sample_weighted" -> pipelineSampleWeightedSql,
     "pipeline_token_budget" -> pipelineTokenBudgetSql,
     "pipeline_train_order" -> pipelineTrainOrderSql,

@@ -177,6 +177,43 @@ class Round16Spec extends AnyFunSuite {
       "streaming reservoir drifted from the batch top-K")
   }
 
+  test("pipeline_sample_weighted_stratified: exactly K per source, grouped TopK == window oracle semantics") {
+    val got = SparkEntry.queries("pipeline_sample_weighted_stratified")(spark, sf)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("aes_cost")))
+    val perSource = got.groupBy(_._1)
+    val nSources = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("n_chars") > 0L).select("source").distinct().count()
+    assert(perSource.size.toLong == nSources, "every source must contribute a stratum")
+    perSource.foreach { case (src, rows) =>
+      assert(rows.length <= 10, s"$src: stratum over K")
+    }
+    // within each stratum the kept set must be that source's K
+    // smallest costs — replay the oracle's window formulation
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("aes_cost").asc, col("doc_id").asc)
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("n_chars") > 0L)
+      .withColumn("h60", expr("CAST(conv(substring(md5(concat('aes:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("lnq", expr("CAST(round(1e6 * ln(CAST(h60 + 1 AS DOUBLE) / 1152921504606846976.0)) AS BIGINT)"))
+      .withColumn("aes_cost", expr("((-lnq) * 1000000) div n_chars"))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= 10)
+      .select("source", "doc_id", "aes_cost")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == all.sortBy(t => (t._1, t._2)).toSeq,
+      "grouped bounded TopK drifted from the window formulation")
+  }
+
+  test("pipeline_contamination_semantic partitions consistently with the drop ledger") {
+    val report = SparkEntry.queries("pipeline_contamination_semantic")(spark, sf)
+    val nFlagged = report.filter(col("flagged")).count()
+    val led = SparkEntry.queries("pipeline_decontaminate_semantic")(spark, sf)
+      .agg(sum(col("n_dropped"))).head().getLong(0)
+    assert(nFlagged == led,
+      s"measurement flags $nFlagged but the ledger drops $led — shared pass drifted")
+    assert(report.filter(col("max_cos").isNull).count() == 0)
+  }
+
   // ---- semantic decontamination: HOF parity + ledger accounting -------
 
   test("pipeline_decontaminate_semantic matches an independent HOF recomputation") {
