@@ -188,12 +188,73 @@ object Decontaminate {
        |  1000000 * (total_chars - kept_chars) // total_chars AS dropped_ppm
        |FROM agg""".stripMargin
 
+  /** STREAMING semantic decontamination — the inline-enforcement
+    * posture: embeddings arrive as a stream and every doc is scored
+    * AS IT PASSES, with the drop ledger accumulating behind it. The
+    * per-doc max over probes is computed MAP-SIDE on the stream via
+    * HOFs over a broadcast 1-row probe ARRAY (collect_list of probe
+    * structs — order-free because per-probe cosines are round(·, 6)-
+    * quantized BEFORE the max, so the fold is a set max): per-doc
+    * state is ZERO — the stream never keys on doc_id (a
+    * groupBy(doc_id).max formulation would hold corpus-sized state,
+    * the posture the streaming-Heaps rejection names). The inner dot
+    * is the same ascending sequential fold as the batch twin's
+    * vec_dot kernel (zip_with + aggregate), so stream == batch on
+    * the identical doubles. Source labels ride a STATELESS
+    * stream-static inner join against documents; the only streaming
+    * state is the complete-mode per-source ledger (≤ n_sources
+    * rows). Gate: the SAME oracle SQL as the batch ledger. */
+  def streamDecontaminateSemantic: Q = (s, dir) => {
+    import graft.functions.VectorExpressions._
+    val isBenchVec =
+      substring(md5(concat(lit("graft-bench-v1:"), col("vec_id").cast(org.apache.spark.sql.types.StringType))), 1, 2) < "08"
+    val probesArr = t(s, dir, "embeddings")
+      .filter(isBenchVec)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", vec_norm(col("v")))
+      .agg(collect_list(struct(col("v").as("pv"), col("nrm").as("pn"))).as("ps"))
+    val docsSide = t(s, dir, "documents")
+      .filter(!Contamination.isBench)
+      .select(col("doc_id").as("vec_id"), col("source"), col("n_chars"))
+    val sch = s.read.parquet(s"$dir/embeddings.parquet").schema
+    graft.streaming.StreamStage.withStaged(s, "sdsem", dir, "embeddings.parquet") { stageDir =>
+      val led = s.readStream.schema(sch).parquet(stageDir)
+        .filter(!isBenchVec)
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("nrm", vec_norm(col("v")))
+        .crossJoin(broadcast(probesArr))
+        .withColumn("max_cos", expr(
+          "aggregate(ps, CAST(-2.0 AS DOUBLE), (acc, p) -> greatest(acc, " +
+            "round(aggregate(zip_with(v, p.pv, (x, y) -> x * y), 0D, (a, e) -> a + e)" +
+            " / (nrm * p.pn), 6)))"))
+        .withColumn("dropme", col("max_cos") >= SEM_TH)
+        .join(docsSide, Seq("vec_id")) // stream-static, stateless
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("dropme"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(!col("dropme"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("dropme"), col("n_chars")).otherwise(0L)).as("kept_chars"),
+          sum(col("n_chars")).as("total_chars"))
+      val q = led.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_sdsem").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table("graft_stream_sdsem")
+      .select(col("source"), col("n_docs"), col("n_dropped"), col("n_kept"),
+        col("kept_chars"),
+        expr("1000000L * (total_chars - kept_chars) DIV total_chars")
+          .as("dropped_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_decontaminate" -> pipelineDecontaminate,
     "pipeline_contamination_semantic" -> pipelineContaminationSemantic,
-    "pipeline_decontaminate_semantic" -> pipelineDecontaminateSemantic)
+    "pipeline_decontaminate_semantic" -> pipelineDecontaminateSemantic,
+    "stream_decontaminate_semantic" -> streamDecontaminateSemantic)
   val oracles: Map[String, String] = Map(
     "pipeline_decontaminate" -> pipelineDecontaminateSql,
     "pipeline_contamination_semantic" -> pipelineContaminationSemanticSql,
-    "pipeline_decontaminate_semantic" -> pipelineDecontaminateSemanticSql)
+    "pipeline_decontaminate_semantic" -> pipelineDecontaminateSemanticSql,
+    "stream_decontaminate_semantic" -> pipelineDecontaminateSemanticSql)
 }

@@ -204,6 +204,15 @@ class Round16Spec extends AnyFunSuite {
       "grouped bounded TopK drifted from the window formulation")
   }
 
+  test("stream_decontaminate_semantic reproduces the batch ledger row-for-row") {
+    val batch = SparkEntry.queries("pipeline_decontaminate_semantic")(spark, sf)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val stream = SparkEntry.queries("stream_decontaminate_semantic")(spark, sf)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(batch.nonEmpty)
+    assert(stream.toSeq == batch.toSeq, "streaming ledger drifted from batch")
+  }
+
   test("pipeline_contamination_semantic partitions consistently with the drop ledger") {
     val report = SparkEntry.queries("pipeline_contamination_semantic")(spark, sf)
     val nFlagged = report.filter(col("flagged")).count()
