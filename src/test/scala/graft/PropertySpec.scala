@@ -371,4 +371,29 @@ class PropertySpec extends AnyFunSuite {
       BigInt(numL) == numB && BigInt(denL) == denB
     }, min = 200)
   }
+
+  test("A-ES cost arithmetic stays inside Long over the full hash/weight space (r16)") {
+    // pipeline_sample_weighted computes cost = (−lnq)·10⁶ DIV w with
+    // lnq = round(1e6·ln u), u = (h60+1)/2⁶⁰. Claim replayed exactly:
+    // over the FULL h60 range (so u down to 2⁻⁶⁰, −lnq up to
+    // ~4.16e7) and any weight ≥ 1, the scaled numerator (−lnq)·10⁶
+    // ≤ ~4.16e13 never wraps, both factors are nonnegative (trunc ==
+    // floor, Spark DIV == DuckDB //), and cost is monotone
+    // NON-INCREASING in the weight — heavier docs never rank worse
+    // for the same hash draw.
+    val genHW = for {
+      h60 <- Gen.oneOf(Gen.choose(0L, (1L << 60) - 1), Gen.oneOf(0L, 1L, (1L << 60) - 1))
+      w <- Gen.oneOf(Gen.choose(1L, 10000000L), Gen.oneOf(1L, 2L, Long.MaxValue / 1000000))
+    } yield (h60, w)
+    run(Prop.forAll(genHW) { case (h60, w) =>
+      val lnq = Math.round(1e6 * Math.log((h60 + 1).toDouble / 1152921504606846976.0))
+      val num = -lnq * 1000000L
+      val cost = num / w // Long division, trunc
+      val costB = (BigInt(-lnq) * 1000000 / w).toLong // floor (both ≥ 0)
+      lnq <= 0L && BigInt(num) == BigInt(-lnq) * 1000000 &&
+        cost == costB && cost >= 0L &&
+        // weight monotonicity at the integer level
+        num / (w + 1) <= cost
+    }, min = 200)
+  }
 }
