@@ -204,7 +204,14 @@ object Decontaminate {
     * stream-static inner join against documents; the only streaming
     * state is the complete-mode per-source ledger (≤ n_sources
     * rows). Gate: the SAME oracle SQL as the batch ledger. */
-  def streamDecontaminateSemantic: Q = (s, dir) => {
+  /** The map-side streaming scorer behind BOTH semantic stream twins
+    * (one chain — ledger and kept-set enforcement cannot drift):
+    * embeddings arrive on the stream, score against the broadcast
+    * 1-row probe array via HOFs (zip_with + aggregate dot — the batch
+    * twin's ascending fold; per-probe cosines round(·, 6)-quantized
+    * BEFORE the max so collect_list order is irrelevant), and join
+    * source/n_chars stream-static. Per-doc state ZERO. */
+  private def semScoredStream(s: SparkSession, dir: String, stageDir: String): DataFrame = {
     import graft.functions.VectorExpressions._
     val isBenchVec =
       substring(md5(concat(lit("graft-bench-v1:"), col("vec_id").cast(org.apache.spark.sql.types.StringType))), 1, 2) < "08"
@@ -217,18 +224,22 @@ object Decontaminate {
       .filter(!Contamination.isBench)
       .select(col("doc_id").as("vec_id"), col("source"), col("n_chars"))
     val sch = s.read.parquet(s"$dir/embeddings.parquet").schema
+    s.readStream.schema(sch).parquet(stageDir)
+      .filter(!isBenchVec)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", vec_norm(col("v")))
+      .crossJoin(broadcast(probesArr))
+      .withColumn("max_cos", expr(
+        "aggregate(ps, CAST(-2.0 AS DOUBLE), (acc, p) -> greatest(acc, " +
+          "round(aggregate(zip_with(v, p.pv, (x, y) -> x * y), 0D, (a, e) -> a + e)" +
+          " / (nrm * p.pn), 6)))"))
+      .withColumn("dropme", col("max_cos") >= SEM_TH)
+      .join(docsSide, Seq("vec_id")) // stream-static, stateless
+  }
+
+  def streamDecontaminateSemantic: Q = (s, dir) => {
     graft.streaming.StreamStage.withStaged(s, "sdsem", dir, "embeddings.parquet") { stageDir =>
-      val led = s.readStream.schema(sch).parquet(stageDir)
-        .filter(!isBenchVec)
-        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        .withColumn("nrm", vec_norm(col("v")))
-        .crossJoin(broadcast(probesArr))
-        .withColumn("max_cos", expr(
-          "aggregate(ps, CAST(-2.0 AS DOUBLE), (acc, p) -> greatest(acc, " +
-            "round(aggregate(zip_with(v, p.pv, (x, y) -> x * y), 0D, (a, e) -> a + e)" +
-            " / (nrm * p.pn), 6)))"))
-        .withColumn("dropme", col("max_cos") >= SEM_TH)
-        .join(docsSide, Seq("vec_id")) // stream-static, stateless
+      val led = semScoredStream(s, dir, stageDir)
         .groupBy("source")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -247,14 +258,53 @@ object Decontaminate {
           .as("dropped_ppm"))
   }
 
+  /** STREAMING semantic enforcement, KEPT-SET output (r16 — the
+    * ledger twin proves the accounting; this twin proves the
+    * per-doc keep/drop DECISION, the half an inline filter actually
+    * executes): the same [[semScoredStream]] chain, then a pure
+    * FILTER (max_cos below the bar) landing survivors in a
+    * distributed parquet sink — append mode, NO aggregation, so the
+    * whole pipeline is STATELESS end to end (zero streaming state of
+    * any kind — the purest enforcement shape in the repo: score,
+    * decide, write, forget). Output is the kept SET (doc_id, source),
+    * hash-gated row-for-row against the batch-formulated oracle. At
+    * ingest scale this is the filter that runs in front of the
+    * training-set writer: one broadcast probe-array scoring pass per
+    * arriving doc, no drain barrier, no checkpointed aggregates. */
+  def streamDecontaminateSemanticDocs: Q = (s, dir) => {
+    val sink = graft.streaming.StreamStage.freshSink(s, dir, "sdsd_sink")
+    graft.streaming.StreamStage.withStaged(s, "sdsd", dir, "embeddings.parquet") { stageDir =>
+      val kept = semScoredStream(s, dir, stageDir)
+        .filter(!col("dropme"))
+        .select(col("vec_id").as("doc_id"), col("source"))
+      val q = kept.writeStream.outputMode("append")
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation",
+          graft.streaming.StreamStage.freshSink(s, dir, "sdsd_ckpt"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.read.parquet(sink).select("doc_id", "source")
+  }
+
+  val streamDecontaminateSemanticDocsSql: String =
+    s"""WITH $semMcCtes
+       |SELECT d.doc_id, d.source
+       |FROM documents d
+       |JOIN mc ON mc.doc_id = d.doc_id
+       |WHERE NOT (substr(md5('graft-bench-v1:' || CAST(d.doc_id AS VARCHAR)), 1, 2) < '08')
+       |  AND mc.max_cos < $SEM_TH""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pipeline_decontaminate" -> pipelineDecontaminate,
     "pipeline_contamination_semantic" -> pipelineContaminationSemantic,
     "pipeline_decontaminate_semantic" -> pipelineDecontaminateSemantic,
-    "stream_decontaminate_semantic" -> streamDecontaminateSemantic)
+    "stream_decontaminate_semantic" -> streamDecontaminateSemantic,
+    "stream_decontaminate_semantic_docs" -> streamDecontaminateSemanticDocs)
   val oracles: Map[String, String] = Map(
     "pipeline_decontaminate" -> pipelineDecontaminateSql,
     "pipeline_contamination_semantic" -> pipelineContaminationSemanticSql,
     "pipeline_decontaminate_semantic" -> pipelineDecontaminateSemanticSql,
-    "stream_decontaminate_semantic" -> pipelineDecontaminateSemanticSql)
+    "stream_decontaminate_semantic" -> pipelineDecontaminateSemanticSql,
+    "stream_decontaminate_semantic_docs" -> streamDecontaminateSemanticDocsSql)
 }

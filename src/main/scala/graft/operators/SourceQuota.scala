@@ -337,6 +337,73 @@ object SourceQuota {
        |  CAST(MIN(CASE WHEN cum <= $CHAR_BUDGET THEN qk END) AS BIGINT) AS cut_qk
        |FROM o GROUP BY source""".stripMargin
 
+  /** STREAMING char-budget quota with DOC-LEVEL enforcement (r16 —
+    * the char-budget member of the enforcement matrix, composing the
+    * two delivered devices exactly as [[streamSourceQuotaDocs]]
+    * composes the doc-count ones): pass 1 drains the (source, qk)
+    * histogram WITH char mass (state = one row per live key,
+    * metadata-sized); the drained rows classify against the budget
+    * batch-side (chars-from-above over HISTOGRAM rows — never over
+    * docs), producing a cut of keep-whole keys plus the
+    * ≤1-per-source straddling key carrying its REMAINING budget;
+    * pass 2 is a STATELESS enforcement stream — docs score map-side
+    * with the shared [[scoreCols]] chain, inner-join the BROADCAST
+    * cut, and land in a distributed parquet sink. Whole key groups
+    * keep outright; the straddling group ranks by doc_id under a
+    * tie-bounded cumulative-char window against its remainder —
+    * strict prefix semantics, the batch key's exact discipline.
+    * Output is the kept SET itself (doc_id, source, qk), hash-gated
+    * row-for-row against the quality-ordered-prefix oracle. At
+    * ingest scale: the cut is corpus metadata refreshed by pass 1;
+    * enforcement costs one broadcast probe per arriving doc. */
+  def streamSourceQuotaChars: Q = (s, dir) => {
+    val sch0 = s.read.parquet(s"$dir/documents.parquet").schema
+    val sink = graft.streaming.StreamStage.freshSink(s, dir, "ssqc_sink")
+    graft.streaming.StreamStage.withStaged(s, "ssqc", dir, "documents.parquet") { stageDir =>
+      val hist = scoreCols(s.readStream.schema(sch0).parquet(stageDir))
+        .groupBy("source", "qk")
+        .agg(count(lit(1)).as("c"), sum(col("n_chars")).as("sch"))
+      val q1 = hist.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_sqc").start()
+      try q1.processAllAvailable() finally q1.stop()
+      val wcum = Window.partitionBy("source").orderBy(col("qk").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cut = s.table("graft_stream_sqc")
+        .withColumn("cb", coalesce(sum(col("sch")).over(wcum), lit(0L)))
+        .filter(col("cb") < CHAR_BUDGET) // keep-whole and straddling keys only
+        .select(col("source"), col("qk"),
+          (col("cb") + col("sch") <= CHAR_BUDGET).as("whole"),
+          (lit(CHAR_BUDGET) - col("cb")).as("rem"))
+      val kept = scoreCols(s.readStream.schema(sch0).parquet(stageDir))
+        .join(broadcast(cut), Seq("source", "qk")) // stream-static, stateless
+        .select("doc_id", "source", "qk", "n_chars", "whole", "rem")
+      val q2 = kept.writeStream.outputMode("append")
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation",
+          graft.streaming.StreamStage.freshSink(s, dir, "ssqc_ckpt"))
+        .start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    val out = s.read.parquet(sink)
+    val full = out.filter(col("whole")).select("doc_id", "source", "qk")
+    val wtie = Window.partitionBy("source", "qk").orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tie = out.filter(!col("whole"))
+      .withColumn("cum", sum(col("n_chars")).over(wtie))
+      .filter(col("cum") <= col("rem"))
+      .select("doc_id", "source", "qk")
+    full.unionByName(tie)
+  }
+
+  val streamSourceQuotaCharsSql: String =
+    s"""WITH $scoredCte,
+       |o AS (
+       |  SELECT doc_id, source, qk,
+       |    SUM(n_chars) OVER (PARTITION BY source ORDER BY qk DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d)
+       |SELECT doc_id, source, qk FROM o WHERE cum <= $CHAR_BUDGET""".stripMargin
+
   /** CORPUS-BALANCE ledger — per language: how many sources feed it
     * and how evenly (source-share Shannon entropy, the number a
     * dataset card reports beside the mix table; a lang fed 99% by one
@@ -406,6 +473,7 @@ object SourceQuota {
     "stream_source_quota" -> streamSourceQuota,
     "stream_source_quota_docs" -> streamSourceQuotaDocs,
     "pipeline_source_quota_chars" -> pipelineSourceQuotaChars,
+    "stream_source_quota_chars" -> streamSourceQuotaChars,
     "pipeline_source_entropy" -> pipelineSourceEntropy,
     "stream_source_entropy" -> streamSourceEntropy)
   val oracles: Map[String, String] = Map(
@@ -413,6 +481,7 @@ object SourceQuota {
     "stream_source_quota" -> streamSourceQuotaSql,
     "stream_source_quota_docs" -> streamSourceQuotaDocsSql,
     "pipeline_source_quota_chars" -> pipelineSourceQuotaCharsSql,
+    "stream_source_quota_chars" -> streamSourceQuotaCharsSql,
     "pipeline_source_entropy" -> pipelineSourceEntropySql,
     "stream_source_entropy" -> pipelineSourceEntropySql)
 }

@@ -204,6 +204,42 @@ class Round16Spec extends AnyFunSuite {
       "grouped bounded TopK drifted from the window formulation")
   }
 
+  test("stream_source_quota_chars kept set reconciles with the batch chars ledger exactly") {
+    val kept = SparkEntry.queries("stream_source_quota_chars")(spark, sf)
+      .join(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "n_chars"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("k_n"), sum(col("doc_id")).as("k_sd"),
+        sum(col("n_chars")).as("k_sch"))
+    val batch = SparkEntry.queries("pipeline_source_quota_chars")(spark, sf)
+      .select(col("source"), col("n_kept"), col("kept_docid_sum"), col("kept_chars"))
+    val joined = batch.join(kept, Seq("source"), "left").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val nk = r.getAs[Long]("n_kept")
+      if (nk == 0L) assert(r.isNullAt(r.fieldIndex("k_n")), s"${r.getAs[String]("source")}: stream kept docs where batch kept none")
+      else {
+        assert(nk == r.getAs[Long]("k_n"), s"${r.getAs[String]("source")}: kept count drifted")
+        assert(r.getAs[Long]("kept_docid_sum") == r.getAs[Long]("k_sd"),
+          s"${r.getAs[String]("source")}: kept SET drifted (docid sum)")
+        assert(r.getAs[Long]("kept_chars") == r.getAs[Long]("k_sch"),
+          s"${r.getAs[String]("source")}: kept MASS drifted")
+      }
+    }
+  }
+
+  test("stream_decontaminate_semantic_docs kept set == ledger accounting") {
+    val kept = SparkEntry.queries("stream_decontaminate_semantic_docs")(spark, sf)
+      .groupBy("source").agg(count(lit(1)).as("k_n"))
+    val led = SparkEntry.queries("pipeline_decontaminate_semantic")(spark, sf)
+      .select(col("source"), col("n_kept"))
+    val joined = led.join(kept, Seq("source"), "left").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_kept") == (if (r.isNullAt(r.fieldIndex("k_n"))) 0L else r.getAs[Long]("k_n")),
+        s"${r.getAs[String]("source")}: stream kept set != ledger n_kept")
+    }
+  }
+
   test("stream_decontaminate_semantic reproduces the batch ledger row-for-row") {
     val batch = SparkEntry.queries("pipeline_decontaminate_semantic")(spark, sf)
       .collect().map(_.toSeq).sortBy(_.head.toString)
