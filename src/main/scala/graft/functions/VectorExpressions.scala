@@ -262,6 +262,70 @@ object VectorExpressions {
       FloatsToBinary(org.apache.spark.sql.GraftBridge.expression(arr)))
 
   /** Column API: dot product of two array<double> columns. */
+  /** Σ (a(i) − b(i))², sequential ascending order — the codegen'd twin
+    * of `aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D,
+    * (acc, z) -> acc + z)` (r16 optimization round, guide §4): the HOF
+    * form materialized a fresh difference-square array per row pair
+    * through interpreted lambda dispatch, and the PQ scorers evaluate
+    * it once per (vector, subspace, code). Per element both forms
+    * compute (x−y)·(x−y) then add, ascending from 0.0 — bit-identical
+    * doubles. */
+  case class SqL2Dist(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_sqdist requires array<double> inputs, got ${left.dataType} / ${right.dataType}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0d
+      var i = 0
+      while (i < n) {
+        val d = x.getDouble(i) - y.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = $a.getDouble($i) - $b.getDouble($i);
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SqL2Dist =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def vec_sqdist(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      SqL2Dist(org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
   def vec_dot(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
       DotProduct(org.apache.spark.sql.GraftBridge.expression(a),

@@ -72,8 +72,13 @@ object CharEntropy {
         .withColumn("cs", expr("filter(split(text, ''), ch -> ch != '')"))
         .filter(size(col("cs")) > 0) // batch emits no row for char-free docs
         .withColumn("dc", expr("array_distinct(cs)"))
-        .withColumn("cnts", expr(
-          "transform(dc, d -> cast(size(filter(cs, x -> x = d)) as bigint))"))
+        // r16 optimization: counts_in is the O(n+k) hash-count twin of
+        // `transform(dc, d -> cast(size(filter(cs, x -> x = d)) as
+        // bigint))` — the HOF form re-scanned the full char array per
+        // distinct char (quadratic per doc) through interpreted lambda
+        // dispatch; result equivalence is pinned in Round16OptSpec
+        .withColumn("cnts",
+          graft.functions.CountsIn.counts_in(col("cs"), col("dc")))
         .select(col("doc_id"),
           size(col("cs")).cast(LongType).as("n_chars_counted"),
           size(col("dc")).cast(LongType).as("n_distinct"),

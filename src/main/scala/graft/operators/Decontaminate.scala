@@ -229,10 +229,18 @@ object Decontaminate {
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", vec_norm(col("v")))
       .crossJoin(broadcast(probesArr))
-      .withColumn("max_cos", expr(
-        "aggregate(ps, CAST(-2.0 AS DOUBLE), (acc, p) -> greatest(acc, " +
-          "round(aggregate(zip_with(v, p.pv, (x, y) -> x * y), 0D, (a, e) -> a + e)" +
-          " / (nrm * p.pn), 6)))"))
+      // r16 optimization (guide §4): the inner dot is the codegen'd
+      // vec_dot kernel instead of `aggregate(zip_with(v, p.pv,
+      // (x, y) -> x * y), 0D, (a, e) -> a + e)` — the HOF form
+      // materialized a fresh 64-element product array per (doc, probe)
+      // pair through interpreted lambda dispatch. vec_dot is the SAME
+      // ascending left-to-right fold from 0.0 (VectorExpressions
+      // scaladoc), so per-probe cosines are bit-identical; the outer
+      // per-probe max stays a HOF (once per probe, not per element).
+      .withColumn("max_cos",
+        aggregate(col("ps"), lit(-2.0), (acc, p) => greatest(acc,
+          round(graft.functions.VectorExpressions.vec_dot(col("v"), p.getField("pv")) /
+            (col("nrm") * p.getField("pn")), 6))))
       .withColumn("dropme", col("max_cos") >= SEM_TH)
       .join(docsSide, Seq("vec_id")) // stream-static, stateless
   }

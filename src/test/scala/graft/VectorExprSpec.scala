@@ -58,4 +58,46 @@ class VectorExprSpec extends AnyFunSuite {
     assert(both.filter(expr("native <> hof")).isEmpty)
     assert(both.count() > 0)
   }
+
+  // ------------------------------------------------------------------
+  // r16 optimization round: SqL2Dist + CountsIn replace interpreted
+  // HOF chains in the PQ scorers and the stateless streaming twins —
+  // these pins are the bit-for-bit equivalence evidence
+  // ------------------------------------------------------------------
+
+  test("SqL2Dist matches the zip_with/aggregate HOF fold bit-for-bit") {
+    import graft.functions.VectorExpressions.vec_sqdist
+    // pair distinct rows so left != right exercises real differences
+    val a = emb.select(col("vec_id").as("ia"), col("v").as("va")).filter(col("ia") < 64)
+    val b = emb.select(col("vec_id").as("ib"), col("v").as("vb")).filter(col("ib") < 64)
+    val both = a.crossJoin(b).select(
+      vec_sqdist(col("va"), col("vb")).as("native"),
+      expr("aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), 0D, (acc, z) -> acc + z)")
+        .as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).isEmpty)
+    assert(both.count() > 0)
+  }
+
+  test("SqL2Dist participates in whole-stage codegen") {
+    import graft.functions.VectorExpressions.vec_sqdist
+    val plan = emb.select(vec_sqdist(col("v"), col("v")).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("sql2dist") && l.contains("*(")),
+      plan.take(800))
+  }
+
+  test("CountsIn matches the transform/filter HOF formulation, incl. null keys") {
+    import graft.functions.CountsIn.counts_in
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("text")
+      .union(spark.sql("SELECT 'ぁあ中中中 mixed 中 runs ぁ' AS text"))
+      .withColumn("cs", expr("filter(split(lower(text), ''), ch -> ch != '')"))
+      .withColumn("dc", expr("array_distinct(cs)"))
+      // a null key probes the null-key-counts-zero branch both ways
+      .withColumn("dcn", expr("concat(dc, array(CAST(NULL AS STRING)))"))
+    val both = docs.select(
+      counts_in(col("cs"), col("dcn")).as("native"),
+      expr("transform(dcn, d -> cast(size(filter(cs, x -> x = d)) as bigint))").as("hof"))
+    assert(both.filter(expr("native <> hof")).isEmpty)
+    assert(both.count() > 0)
+  }
 }
