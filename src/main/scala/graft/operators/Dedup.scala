@@ -265,9 +265,21 @@ object Dedup {
     * verify work the bands waste) and recall (what the bands miss) —
     * the two numbers that decide H and band count at 100 TB. */
   def dedupEval: Q = (s, dir) => {
-    val sh = cappedShingles(t(s, dir, "documents"), 3).cache()
     val truth = truthPairsStaged(s, dir).cache() // counted + probed
-    val cand = lshCandidates(sh).cache() // counted + probed
+    // r16 optimization: candidates band the SESSION-STAGED signature
+    // index (mh_sigs) instead of re-running the full shingle →
+    // signature pipeline per invocation — bandsOf(minhashSigs) is the
+    // identical construction dedup_incremental already bands, and
+    // lshCandidates(sh) is definitionally sigs → bands → self-join
+    // over the same df-capped 3-gram shingles mh_sigs staged
+    val bands = bandsOf(minhashSigs(s, dir)).cache() // both join sides
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .cache() // counted + probed
     val hits = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
     cand.agg(count(lit(1)).as("n_cand"))
       .crossJoin(truth.agg(count(lit(1)).as("n_true")))
@@ -468,8 +480,19 @@ object Dedup {
     * df-capped 4-gram (inverted-index self-join on the shingle; the
     * df cap bounds every join bucket to <= MAX_DF members, so the
     * worst case is corpus_size·MAX_DF pairs, never O(n²)). */
+  /** Session-staged df-capped 4-gram shingle table — the INVERTED
+    * INDEX the ngram/containment family probes (r16 optimization
+    * round, the `mh_sigs` posture: a dedup system extracts its
+    * shingle index once at ingest; pre-r16 each of the three
+    * consumer keys re-ran tokenize → shingle → df-cap per
+    * invocation). Parquet roundtrips (long, string) exactly. */
+  Staged.register("sh4")((s, dir) => { shingles4Staged(s, dir); () })
+  private[operators] def shingles4Staged(s: SparkSession, dir: String): DataFrame =
+    Staged.table(s, dir, "sh4", coalesce = false)(
+      cappedShingles(t(s, dir, "documents"), 4))
+
   def dedupNgramJaccard: Q = (s, dir) => {
-    val sh = cappedShingles(t(s, dir, "documents"), 4).cache()
+    val sh = shingles4Staged(s, dir)
     ngramPairs(sh)
   }
 
@@ -537,7 +560,7 @@ object Dedup {
        |FROM ranked WHERE rank <= $TOPM_M""".stripMargin
 
   def dedupNgramTopm: Q = (s, dir) => {
-    val sh = cappedShingles(t(s, dir, "documents"), 4).cache()
+    val sh = shingles4Staged(s, dir) // r16: staged inverted index
     topmNeighbors(ngramPairs(sh))
   }
 
@@ -604,7 +627,7 @@ object Dedup {
   }
 
   def dedupContainment: Q = (s, dir) =>
-    containmentOf(cappedShingles(t(s, dir, "documents"), 4).cache())
+    containmentOf(shingles4Staged(s, dir)) // r16: staged inverted index
 
   /** [[dedupContainmentSql]] over an arbitrary `sh` CTE chain (r16 —
     * the unicode twin prepends its udocs + unicode-shingle CTEs). */

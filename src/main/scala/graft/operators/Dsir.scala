@@ -62,11 +62,25 @@ object Dsir {
   /** Per-(doc, bucket) counts — the corpus-sized partial aggregate
     * both distribution tables and the scorer roll up from. Shared
     * with [[NbClassifier]], which trains discriminative weights over
-    * the same hashed feature space. */
+    * the same hashed feature space.
+    *
+    * SESSION-STAGED (r16 optimization round — the `mh_sigs` posture):
+    * the hashed-feature count table is the per-doc feature INDEX a
+    * production DSIR/fastText-filter pipeline extracts once at ingest
+    * and scores against many times; pre-r16 every consumer key
+    * (pipeline_dsir, pipeline_nb_classifier, pipeline_nb_calibration)
+    * re-ran the full tokenize → md5 → explode extraction per
+    * invocation. Parquet roundtrips the (long, string, string, long)
+    * rows exactly, so staged and inline results are identical; the
+    * registration charges the one-time extraction to the bench's
+    * staging line item. */
+  Staged.register("pdb_feats")((s, dir) => { perDocBuckets(s, dir); () })
   private[operators] def perDocBuckets(s: SparkSession, dir: String): DataFrame =
-    featBuckets(s, dir)
-      .groupBy("doc_id", "source", "bucket")
-      .agg(count(lit(1)).as("c"))
+    Staged.table(s, dir, "pdb_feats", coalesce = false) {
+      featBuckets(s, dir)
+        .groupBy("doc_id", "source", "bucket")
+        .agg(count(lit(1)).as("c"))
+    }
 
   /** The 256-row λ dictionary in integer micro-nats. */
   private def lambdaDict(pdb: DataFrame): DataFrame = {

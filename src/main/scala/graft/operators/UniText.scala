@@ -162,15 +162,19 @@ object UniText {
   // O(n²)) with shingles built from unicode tokens.
   // -------------------------------------------------------------------
 
-  def dedupNgramJaccardUni: Q = (s, dir) => {
-    // no outer .cache() (r15, r14 ADVICE): cappedShingles already
-    // caches the raw shingle base internally; a second cache on the
-    // capped result only accumulated storage pressure across a full
-    // bench session (the anti-join it saves is broadcast-cheap)
-    val sh = Dedup.cappedShingles(
-      Tokenize.unionedDocs(s, dir), 4, Tokenize.tokens(col("text")))
-    Dedup.ngramPairs(sh)
-  }
+  /** Session-staged df-capped unicode 4-gram shingle table — the
+    * unicode twin of [[Dedup.shingles4Staged]] (r16 optimization
+    * round): one staged inverted index feeds the jaccard /
+    * containment / top-m uni keys instead of three per-invocation
+    * tokenize → shingle → df-cap reruns. */
+  private def shingles4Uni(s: SparkSession, dir: String): DataFrame =
+    Staged.table(s, dir, "sh4_uni", coalesce = false)(
+      Dedup.cappedShingles(
+        Tokenize.unionedDocs(s, dir), 4, Tokenize.tokens(col("text"))))
+  Staged.register("sh4_uni")((s, dir) => { shingles4Uni(s, dir); () })
+
+  def dedupNgramJaccardUni: Q = (s, dir) =>
+    Dedup.ngramPairs(shingles4Uni(s, dir))
 
   /** The unicode 4-gram shingle CTE chain (udocs + df-capped sh) —
     * shared by the jaccard / containment / top-m uni oracles. */
@@ -223,11 +227,10 @@ object UniText {
     Dedup.dedupCdcSqlFrom("udocs", s"${Tokenize.udocsCte},\n")
 
   /** Unicode directional containment: [[Dedup.containmentOf]] over
-    * df-capped unicode 4-gram shingles (shared `cappedShingles(ws=…)`;
-    * no outer cache — the r15 ADVICE posture: cappedShingles caches
-    * the raw base internally, the anti-join is broadcast-cheap). */
-  def dedupContainmentUni: Q = (s, dir) => Dedup.containmentOf(
-    Dedup.cappedShingles(Tokenize.unionedDocs(s, dir), 4, Tokenize.tokens(col("text"))))
+    * the session-staged df-capped unicode 4-gram shingle index
+    * ([[shingles4Uni]] — r16 optimization round). */
+  def dedupContainmentUni: Q = (s, dir) =>
+    Dedup.containmentOf(shingles4Uni(s, dir)) // r16: staged inverted index
 
   val dedupContainmentUniSql: String = Dedup.dedupContainmentSqlOver(uniSh4Ctes)
 
@@ -235,8 +238,8 @@ object UniText {
     * [[Dedup.topmNeighbors]] bounded-TopK tail over the unicode
     * inverted-index pair set — ≤ m rows per doc regardless of CJK
     * clone density. */
-  def dedupNgramTopmUni: Q = (s, dir) => Dedup.topmNeighbors(Dedup.ngramPairs(
-    Dedup.cappedShingles(Tokenize.unionedDocs(s, dir), 4, Tokenize.tokens(col("text")))))
+  def dedupNgramTopmUni: Q = (s, dir) =>
+    Dedup.topmNeighbors(Dedup.ngramPairs(shingles4Uni(s, dir)))
 
   val dedupNgramTopmUniSql: String =
     Dedup.topmSqlOver(Dedup.jaccardSqlOver(invIndexCandCte, uniSh4Ctes))

@@ -147,9 +147,12 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("knn graph ranks neighbors via the bounded TopK aggregate") {
     // dedup_knn_clusters' own final plan is a checkpointed-RDD scan
-    // (the CC loop truncates lineage by design), so the bounded-edge
-    // property is pinned on the edge-producing query it composes
-    val p = planOf("sim_knn_graph")
+    // (the CC loop truncates lineage by design), and sim_knn_graph
+    // itself reads the session-staged artifact since r16 — so the
+    // bounded-edge property is pinned on the INDEX BUILD query
+    spark.sharedState.cacheManager.clearCache()
+    val p = graft.operators.Similarity.knnGraphBuild(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(p.contains("partial_topkaggregator"),
       "k-NN edge ranking lost its bounded partial aggregation")
   }
