@@ -74,6 +74,28 @@ object Dedup {
     sh.join(broadcast(hot), Seq("sh"), "left_anti").select("doc_id", "sh")
   }
 
+  /** Session-staged df-capped 3-gram shingle table (r16 optimization
+    * round — the inverted index every minhash/incremental consumer
+    * probes; the same posture as the staged 4-gram `sh4`). The staged
+    * index builders (lsh_pairs, mh_sigs, truth_pairs) read it too, so
+    * prestage extracts the corpus shingles ONCE instead of once per
+    * artifact. */
+  Staged.register("sh3")((s, dir) => { shingles3Staged(s, dir); () })
+  private[operators] def shingles3Staged(s: SparkSession, dir: String): DataFrame =
+    Staged.table(s, dir, "sh3", coalesce = false)(
+      cappedShingles(t(s, dir, "documents"), 3))
+
+  /** Session-staged df-cap HOT LIST (metadata-sized): the broadcast
+    * corpus artifact the streaming incremental twin ships to its
+    * map-side df-cap — staged beside [[shingles3Staged]] so the
+    * stream key stops re-scanning the raw corpus shingles per call. */
+  Staged.register("sh3_hot")((s, dir) => { hotShingles3Staged(s, dir); () })
+  private[operators] def hotShingles3Staged(s: SparkSession, dir: String): DataFrame =
+    Staged.table(s, dir, "sh3_hot") {
+      shingles(t(s, dir, "documents"), 3).groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > MAX_DF).select("sh")
+    }
+
   /** DuckDB twin of [[cappedShingles]]. `wsExpr`/`from` override the
     * token-array expression and source table (r14 — the unicode
     * tokenizer twin shingles `udocs` with the shared regex). */
@@ -125,8 +147,10 @@ object Dedup {
     Staged.table(s, dir, "lsh_pairs") {
       // the shingle set feeds 4 plan branches (signatures, both sides
       // of the candidate join via bands, and the Jaccard intersection);
-      // Spark recomputes each branch, so cache the md5-heavy base
-      val sh = cappedShingles(t(s, dir, "documents"), 3).cache()
+      // r16: the branches read the staged sh3 index (one extraction
+      // per session, shared with mh_sigs/truth_pairs) instead of a
+      // per-artifact cached re-extraction
+      val sh = shingles3Staged(s, dir)
       withJaccard(lshCandidates(sh), sh)
     }
 
@@ -140,7 +164,7 @@ object Dedup {
     Staged.table(s, dir, "mh_sigs", coalesce = false) {
       val sigAggs = (0 until H).map(i =>
         min(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 16)).as(s"h$i"))
-      cappedShingles(t(s, dir, "documents"), 3)
+      shingles3Staged(s, dir) // r16: shared staged extraction
         .groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     }
 
@@ -333,7 +357,7 @@ object Dedup {
   Staged.register("truth_pairs")((s, dir) => { truthPairsStaged(s, dir); () })
   private def truthPairsStaged(s: SparkSession, dir: String): DataFrame =
     Staged.table(s, dir, "truth_pairs") {
-      truthPairs(cappedShingles(t(s, dir, "documents"), 3).cache())
+      truthPairs(shingles3Staged(s, dir)) // r16: shared staged extraction
     }
 
   private def truthPairs(sh: DataFrame): DataFrame = {
@@ -366,7 +390,7 @@ object Dedup {
     * by construction (candidate sets are nested) — pinned in
     * Round5Spec. */
   def dedupEvalSweep: Q = (s, dir) => {
-    val sh = cappedShingles(t(s, dir, "documents"), 3).cache()
+    val sh = shingles3Staged(s, dir) // r16: staged inverted index
     val sigAggs = (0 until 2 * SWEEP_MAXB).map(i =>
       min(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 16)).as(s"h$i"))
     val sigs = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
@@ -830,7 +854,7 @@ object Dedup {
     * struct-max — a partial aggregate, not a window. */
   def dedupIncremental: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val sh = cappedShingles(docs, 3).cache()
+    val sh = shingles3Staged(s, dir) // r16: staged inverted index
     // band the session-staged signature INDEX (what the incremental
     // system maintains at ingest) instead of re-hashing the corpus
     val bands = bandsOf(minhashSigs(s, dir))
@@ -893,9 +917,8 @@ object Dedup {
     * ones byte for byte. */
   def streamDedupIncremental: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val sh = cappedShingles(docs, 3).cache()
-    val hotList = shingles(docs, 3).groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > MAX_DF).select("sh")
+    val sh = shingles3Staged(s, dir) // r16: staged inverted index
+    val hotList = hotShingles3Staged(s, dir) // r16: staged corpus artifact
     val sch = s.read.parquet(s"$dir/documents.parquet").schema
     val sigAggs = (0 until H).map(i =>
       min(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 16)).as(s"h$i"))
