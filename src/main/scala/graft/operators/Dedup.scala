@@ -966,20 +966,30 @@ object Dedup {
     * vectors: Σmin / Σmax with Σmax = tot_a + tot_b − Σmin, so only
     * SHARED buckets ever join (per-doc totals ride along broadcast)
     * and everything is BIGINT until the one final division. */
+  /** Session-staged hashed-BIGRAM count vectors — the 65,536-bucket
+    * feature index [[dedupSparseFeatures]] probes (r16 optimization
+    * round, the `pdb_feats`/`mh_sigs` posture: extracted once at
+    * ingest, not per query). Parquet roundtrips (long, string, long)
+    * exactly. */
+  Staged.register("sparse_feats")((s, dir) => { sparseFeatsStaged(s, dir); () })
+  private def sparseFeatsStaged(s: SparkSession, dir: String): DataFrame =
+    Staged.table(s, dir, "sparse_feats", coalesce = false) {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), ' '), w -> w != '')").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+          .as("g"))
+        .withColumn("bucket", substring(md5(col("g")), 1, 4))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+    }
+
   def dedupSparseFeatures: Q = (s, dir) => {
     val MAXDF = 64
     val MIN_SHARED = 16
     val TH = 0.4
-    val feats = t(s, dir, "documents")
-      .select(col("doc_id"),
-        expr("filter(split(lower(text), ' '), w -> w != '')").as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
-        .as("g"))
-      .withColumn("bucket", substring(md5(col("g")), 1, 4))
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
-      .cache()
+    val feats = sparseFeatsStaged(s, dir) // r16: staged feature index
     val totals = feats.groupBy("doc_id").agg(sum(col("cnt")).as("tot"))
     val hot = feats.groupBy("bucket").agg(count(lit(1)).as("bdf"))
       .filter(col("bdf") > MAXDF).select("bucket")
