@@ -123,17 +123,35 @@ object GridOps {
     * sort at query time — the verdicts' one standing perf soft spot. */
   private val stagedIdx = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def indexedQty(s: SparkSession, dir: String): DataFrame = {
-    val out = graft.sources.netcdf.NcQueries.scratch(s, dir, "qty_indexed")
+  private def indexedQty(s: SparkSession, dir: String): DataFrame =
+    indexedVar(s, dir, "qty_indexed", col("l_quantity"))
+
+  /** r16 optimization round: the SAME r6 source-index staging for the
+    * l_extendedprice variable — pre-r16 five grid keys
+    * (grid_chunk_iter, grid_stats, grid_elementwise, grid_argminmax,
+    * grid_zonal_stats) re-paid the fallback range sort + zipWithIndex
+    * count job on every invocation for their price grid, exactly the
+    * "re-paid the range sort at query time" soft spot r6 closed for
+    * the quantity grid. Both indexes register with [[Staged]] so the
+    * bench charges layout to its staging line. */
+  private def indexedPrice(s: SparkSession, dir: String): DataFrame =
+    indexedVar(s, dir, "price_indexed", col("l_extendedprice"))
+
+  Staged.register("qty_indexed")((s, dir) => { indexedQty(s, dir); () })
+  Staged.register("price_indexed")((s, dir) => { indexedPrice(s, dir); () })
+
+  private def indexedVar(s: SparkSession, dir: String, tag: String,
+      v: Column): DataFrame = {
+    val out = graft.sources.netcdf.NcQueries.scratch(s, dir, tag)
     if (!stagedIdx.contains(out)) {
       import s.implicits._
       val sorted = liOrdered(s, dir)
-        .select(orderCols :+ col("l_quantity").cast(DoubleType).as("v"): _*)
+        .select(orderCols :+ v.cast(DoubleType).as("v"): _*)
         .orderBy(orderCols: _*)
         .select("v")
       sorted.as[Double].rdd
         .zipWithIndex()
-        .map { case (v, idx) => (idx, v) }
+        .map { case (vv, idx) => (idx, vv) }
         .toDF("idx", "v")
         .write.mode("overwrite").parquet(out)
       stagedIdx.add(out)
@@ -141,6 +159,12 @@ object GridOps {
     }
     s.read.parquet(out)
   }
+
+  /** Sort-free price grid over the staged source index (chunk size
+    * selectable — the staged (idx, v) table is chunk-agnostic). */
+  private def priceGrid(s: SparkSession, dir: String, chunkSize: Int = CHUNK): DataFrame =
+    tableToGrid(indexedPrice(s, dir), Nil, col("v"), "l_extendedprice", chunkSize,
+      indexCol = Some(col("idx")))
 
   private def qtyGrid(s: SparkSession, dir: String): DataFrame =
     tableToGrid(indexedQty(s, dir), Nil, col("v"), "l_quantity", CHUNK,
@@ -174,7 +198,7 @@ object GridOps {
     * (`yieldNumpyData(single_entity=False)`): one row per chunk with
     * cent-exact content hash. */
   def gridChunkIter: Q = (s, dir) => {
-    tableToGrid(liOrdered(s, dir), orderCols, col("l_extendedprice"), "l_extendedprice", 256)
+    priceGrid(s, dir, 256) // r16: staged source index, sort-free
       .select(col("variable"), col("chunk_idx"), col("origin"), col("shape"),
         md5(concat_ws(",",
           expr("transform(values, x -> CAST(CAST(round(x * 100) AS BIGINT) AS STRING))")))
@@ -209,7 +233,7 @@ object GridOps {
   /** Distributed per-variable stats over two chunked variables. */
   def gridStats: Q = (s, dir) => {
     val g1 = qtyGrid(s, dir)
-    val g2 = tableToGrid(liOrdered(s, dir), orderCols, col("l_extendedprice"), "l_extendedprice", CHUNK)
+    val g2 = priceGrid(s, dir) // r16: staged source index, sort-free
     stats(g1.unionAll(g2))
   }
 
@@ -545,8 +569,7 @@ object GridOps {
     * gated value. */
   def gridElementwise: Q = (s, dir) => {
     val a = qtyGrid(s, dir)
-    val b = tableToGrid(liOrdered(s, dir), orderCols,
-      col("l_extendedprice"), "l_extendedprice", CHUNK)
+    val b = priceGrid(s, dir) // r16: staged source index, sort-free
     a.select(col("chunk_idx"), col("origin"), col("shape"), col("values").as("va"))
       .join(b.select(col("chunk_idx"), col("values").as("vb")), Seq("chunk_idx"))
       .withColumn("prod", expr(
@@ -823,8 +846,7 @@ object GridOps {
     * global sort, never a window. */
   def gridArgminmax: Q = (s, dir) => {
     val g1 = qtyGrid(s, dir)
-    val g2 = tableToGrid(liOrdered(s, dir), orderCols,
-      col("l_extendedprice"), "l_extendedprice", CHUNK)
+    val g2 = priceGrid(s, dir) // r16: staged source index, sort-free
     gridToTable(g1.unionAll(g2))
       .withColumn("vc", expr("CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT)"))
       .groupBy("variable")
@@ -875,8 +897,7 @@ object GridOps {
     // law engine-independent for any future non-integral zone grid.
     val zones = qtyGrid(s, dir)
       .select(col("chunk_idx"), expr("transform(values, v -> CAST(floor(v) AS INT) % 8)").as("zs"))
-    val vals = tableToGrid(liOrdered(s, dir), orderCols,
-      col("l_extendedprice"), "l_extendedprice", CHUNK)
+    val vals = priceGrid(s, dir) // r16: staged source index, sort-free
       .select(col("chunk_idx"), col("values").as("vs"))
     zones.join(vals, Seq("chunk_idx"))
       .select(explode(expr("zip_with(zs, vs, (z, v) -> struct(z AS zone, v AS v))")).as("p"))
