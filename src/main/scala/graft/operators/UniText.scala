@@ -299,7 +299,7 @@ object UniText {
   /** Unicode winnow candidate pairs — df-capped keyed self-join on
     * selected fingerprints, the ASCII twin's exact shape. */
   def dedupWinnowPairsUni: Q = (s, dir) =>
-    Winnowing.winnowPairsOf(Tokenize.unionedDocs(s, dir), Tokenize.tokens(col("text")))
+    Winnowing.dedupWinnowPairsUniStaged(s, dir) // r16: staged fp index
 
   val dedupWinnowPairsUniSql: String = Winnowing.dedupWinnowPairsSqlFrom(
     Tokenize.duckTokens("text"), "udocs", s"${Tokenize.udocsCte},\n")

@@ -101,8 +101,14 @@ object Winnowing {
     * array (r15 — shared with the unicode twin; df cap and the keyed
     * fingerprint self-join are identical). */
   private[operators] def winnowPairsOf(docs: DataFrame,
-      ws: Column = split(col("text"), " ")): DataFrame = {
-    val fps = docs
+      ws: Column = split(col("text"), " ")): DataFrame =
+    winnowPairsFrom(winnowFpsOf(docs, ws))
+
+  /** The (doc_id, fp) selected-fingerprint table — the MOSS-style
+    * fingerprint INDEX the pair join probes (split out in r16 so the
+    * gated keys can stage it per session, the `sh3`/`sh4` posture). */
+  private def winnowFpsOf(docs: DataFrame, ws: Column): DataFrame =
+    docs
       .withColumn("ws", ws)
       .filter(size(col("ws")) >= K)
       .withColumn("hs", expr(
@@ -112,7 +118,9 @@ object Winnowing {
         s"""array_distinct(transform(
            |  sequence(1, greatest(size(hs) - ${W - 1}, 1)),
            |  i -> array_min(slice(hs, i, $W))))""".stripMargin)).as("fp"))
-      .cache() // df pass + both self-join sides
+
+  /** df-cap + keyed self-join over a fingerprint table. */
+  private def winnowPairsFrom(fps: DataFrame): DataFrame = {
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > MAX_DF).select("fp")
     val capped = fps.join(broadcast(hot), Seq("fp"), "left_anti")
@@ -123,7 +131,26 @@ object Winnowing {
       .filter(col("n_shared") >= MIN_SHARED)
   }
 
-  def dedupWinnowPairs: Q = (s, dir) => winnowPairsOf(t(s, dir, "documents"))
+  /** Session-staged ASCII fingerprint index (r16 optimization round). */
+  Staged.register("winnow_fps")((s, dir) => { winnowFpsStaged(s, dir); () })
+  private def winnowFpsStaged(s: SparkSession, dir: String): DataFrame =
+    Staged.table(s, dir, "winnow_fps", coalesce = false)(
+      winnowFpsOf(t(s, dir, "documents"), split(col("text"), " ")))
+
+  /** Session-staged unicode fingerprint index (r16 — the uni twin,
+    * symmetric so the pinned plan shapes stay identical). */
+  Staged.register("winnow_fps_uni")((s, dir) => { winnowFpsUniStaged(s, dir); () })
+  private[operators] def winnowFpsUniStaged(s: SparkSession, dir: String): DataFrame =
+    Staged.table(s, dir, "winnow_fps_uni", coalesce = false)(
+      winnowFpsOf(graft.functions.Tokenize.unionedDocs(s, dir),
+        graft.functions.Tokenize.tokens(col("text"))))
+
+  def dedupWinnowPairs: Q = (s, dir) => winnowPairsFrom(winnowFpsStaged(s, dir))
+
+  /** Unicode pair key over the staged uni fingerprint index (called
+    * from [[UniText]]). */
+  private[operators] def dedupWinnowPairsUniStaged(s: SparkSession, dir: String): DataFrame =
+    winnowPairsFrom(winnowFpsUniStaged(s, dir))
 
   /** The pair SQL over an arbitrary docs relation and token
     * expression (r15 — shared with the unicode twin). */

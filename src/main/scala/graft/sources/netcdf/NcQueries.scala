@@ -279,12 +279,13 @@ object NcQueries {
     * parquet, proving the pruned read returns exactly the right rows. */
   def ncSortedSkip: Q = (s, dir) => {
     val out = scratch(s, dir, "sorted_skip")
-    NcIO.write(
+    // r16 optimization: read gate (zone-map skip) — layout staged once
+    stageOnce(out)(NcIO.write(
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
         .repartitionByRange(8, col("l_orderkey"))
         .sortWithinPartitions("l_orderkey"),
-      out)
+      out))
     s.read.format(SRC).load(out)
       .filter(col("l_orderkey") >= 1000L && col("l_orderkey") < 2000L)
       .agg(

@@ -324,16 +324,29 @@ object NcSel extends ValueSel {
     * The oracle replays each selection as an ORDER BY abs-distance
     * LIMIT 1 over the globally sorted rows. All three targets resolve
     * in ONE pruned scan via [[nearestAll]]. */
-  def ncSelCoord: (SparkSession, String) => DataFrame = (s, dir) => {
+  /** Session-staged range-bucketed sorted fixture shared by all four
+    * sel gates (r16 optimization round — the stageOnce read-side
+    * convention: these gates test PRUNED SELECTION over a sorted
+    * layout, so the layout is paid once per (session, sf dir);
+    * pre-r16 each key re-sorted and re-wrote an identical copy under
+    * its own name on every invocation). */
+  private def sortedSelFixture(s: SparkSession, dir: String): String = {
     import graft.Tables.t
-    val out = NcQueries.scratch(s, dir, "sel_coord")
-    NcIO.write(
-      t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber").cast(org.apache.spark.sql.types.LongType)
-          .as("l_linenumber"), col("l_quantity"))
-        .repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
-        .sortWithinPartitions("l_orderkey", "l_linenumber"),
-      out)
+    val out = NcQueries.scratch(s, dir, "sel_sorted")
+    NcQueries.stageOnce(out) {
+      NcIO.write(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber").cast(org.apache.spark.sql.types.LongType)
+            .as("l_linenumber"), col("l_quantity"))
+          .repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
+          .sortWithinPartitions("l_orderkey", "l_linenumber"),
+        out)
+    }
+    out
+  }
+
+  def ncSelCoord: (SparkSession, String) => DataFrame = (s, dir) => {
+    val out = sortedSelFixture(s, dir)
     nearestAll(s, out, "l_orderkey", Seq(1234.0, 1500.5, 1.0e9))
       .select(col("target"), col("record"), col("l_orderkey"), col("l_quantity"),
         col("dist"))
@@ -356,15 +369,7 @@ object NcSel extends ValueSel {
     * scan via [[interpAll]]. The oracle replays each bracket as two
     * LATERAL ORDER-BY-LIMIT-1 lookups. */
   def ncSelInterp: (SparkSession, String) => DataFrame = (s, dir) => {
-    import graft.Tables.t
-    val out = NcQueries.scratch(s, dir, "sel_interp")
-    NcIO.write(
-      t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber").cast(org.apache.spark.sql.types.LongType)
-          .as("l_linenumber"), col("l_quantity"))
-        .repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
-        .sortWithinPartitions("l_orderkey", "l_linenumber"),
-      out)
+    val out = sortedSelFixture(s, dir)
     interpAll(s, out, "l_orderkey", "l_quantity", Seq(-5.0, 1234.0, 1500.5, 1.0e9))
   }
 
@@ -395,15 +400,7 @@ object NcSel extends ValueSel {
     * and the two conditional-MIN partial aggregates ship one scalar
     * struct pair per (partition, target). */
   def ncSelInterpMulti: (SparkSession, String) => DataFrame = (s, dir) => {
-    import graft.Tables.t
-    val out = NcQueries.scratch(s, dir, "sel_interp_multi")
-    NcIO.write(
-      t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber").cast(org.apache.spark.sql.types.LongType)
-          .as("l_linenumber"), col("l_quantity"))
-        .repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
-        .sortWithinPartitions("l_orderkey", "l_linenumber"),
-      out)
+    val out = sortedSelFixture(s, dir)
     interpAll(s, out, "l_orderkey", "l_quantity",
       Seq(-100.0, 3.0, 32.25, 451.0, 999.5, 1234.75, 4000.0, 2.0e9))
   }
@@ -438,15 +435,7 @@ object NcSel extends ValueSel {
     * each selection as ORDER BY dist², record LIMIT 1 over the
     * regenerated grid. */
   def ncSelCoord2d: (SparkSession, String) => DataFrame = (s, dir) => {
-    import graft.Tables.t
-    val sortedOut = NcQueries.scratch(s, dir, "coord2d_sorted")
-    NcIO.write(
-      t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber").cast(org.apache.spark.sql.types.LongType)
-          .as("l_linenumber"), col("l_quantity"))
-        .repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
-        .sortWithinPartitions("l_orderkey", "l_linenumber"),
-      sortedOut)
+    val sortedOut = sortedSelFixture(s, dir)
     val cells = s.read.format(SRC).load(sortedOut).select(
       col("record").as("cell"),
       expr("record div 300").as("y"),
@@ -457,9 +446,11 @@ object NcSel extends ValueSel {
         .as("lon"),
       col("l_quantity").as("val"))
     val gridOut = NcQueries.scratch(s, dir, "coord2d_grid")
-    NcIO.write(
-      cells.repartitionByRange(8, col("cell")).sortWithinPartitions("cell").drop("cell"),
-      gridOut)
+    NcQueries.stageOnce(gridOut) {
+      NcIO.write(
+        cells.repartitionByRange(8, col("cell")).sortWithinPartitions("cell").drop("cell"),
+        gridOut)
+    }
     nearest2d(s, gridOut, "lat", "lon",
       Seq((57.3, 123.45), (0.0, 0.0), (1.0e9, -5.0)))
   }
