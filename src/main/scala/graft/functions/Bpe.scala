@@ -305,9 +305,23 @@ object Bpe {
     * char representation folds through the six learned rules by CROSS
     * JOIN instead of spliced literals, so DuckDB independently trains
     * AND applies, and one drifted rule breaks every seq_hash. */
+  /** Session-staged trained merge table (r16 optimization round — the
+    * stok_vocab posture: the trained tokenizer is the offline artifact
+    * a pipeline ships; text_bpe_train keeps training inline because
+    * training IS its operator). The 6-row collect is a bounded
+    * metadata fetch, same class as the NetCDF header reads. */
+  graft.operators.Staged.register("bpe_merges")((s, dir) => { stagedMerges(s, dir); () })
+  private def stagedMerges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Staged.table(s, dir, "bpe_merges") {
+      import s.implicits._
+      trainMerges(s, dir, 6).toDF("merge_rank", "lhs", "rhs", "pair_count")
+    }
+
   def textTokensBpeTrained: Q = (s, dir) =>
-    textTokensBpeWith(trainMerges(s, dir, 6)
-      .map(m => (s"${m._2} ${m._3}", m._2 + m._3)))(s, dir)
+    textTokensBpeWith(
+      stagedMerges(s, dir).orderBy("merge_rank").collect().toSeq
+        .map(r => (s"${r.getString(1)} ${r.getString(2)}",
+          r.getString(1) + r.getString(2))))(s, dir)
 
   val textTokensBpeTrainedSql: String = {
     val K = 6
