@@ -310,9 +310,9 @@ object Bpe {
     * a pipeline ships; text_bpe_train keeps training inline because
     * training IS its operator). The 6-row collect is a bounded
     * metadata fetch, same class as the NetCDF header reads. */
-  graft.operators.Staged.register("bpe_merges")((s, dir) => { stagedMerges(s, dir); () })
+  graft.operators.Staged.register("bpe_trained_merges")((s, dir) => { stagedMerges(s, dir); () })
   private def stagedMerges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    graft.operators.Staged.table(s, dir, "bpe_merges") {
+    graft.operators.Staged.table(s, dir, "bpe_trained_merges") {
       import s.implicits._
       trainMerges(s, dir, 6).toDF("merge_rank", "lhs", "rhs", "pair_count")
     }
