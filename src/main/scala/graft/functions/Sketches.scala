@@ -78,9 +78,8 @@ object Sketches {
         .select(conv(substring(md5(col("user_id").cast(StringType)), 1, 15), 16, 10)
           .cast(LongType).as("h"))
         .groupBy((col("h") % NB).as("bucket")).agg(min(col("h")).as("mn"))
-      val q = bm.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_kmv").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "kmv")(bm.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_kmv"))
     }
     val est = s.table("graft_stream_kmv")
       .agg(count(lit(1)).as("n_buckets"),
@@ -290,9 +289,8 @@ object Sketches {
           """CAST(greatest(least(floor(CAST(value AS DOUBLE) / CAST(16 AS DOUBLE)),
             |  CAST(63 AS DOUBLE)), CAST(0 AS DOUBLE)) AS BIGINT)""".stripMargin).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("cnt"))
-      val q = bins.writeStream.outputMode("complete").format("memory")
-        .queryName("graft_stream_qhist").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "qhist")(bins.writeStream.outputMode("complete").format("memory")
+        .queryName("graft_stream_qhist"))
     }
     val hist = s.table("graft_stream_qhist")
     val st = hist.agg(sum(col("cnt")).as("n"))
@@ -401,9 +399,8 @@ object Sketches {
         .select(explode(split(col("text"), " ")).as("tok"))
         .select(posexplode(buckets).as(Seq("d", "bucket")))
         .groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
-      val q = sketchStream.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_cms").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "cms")(sketchStream.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_cms"))
     }
     val sketch = s.table("graft_stream_cms")
     val toks = t(s, dir, "documents")
@@ -439,9 +436,8 @@ object Sketches {
         .select(col("user_id").cast(StringType).as("u"))
         .select(posexplode(buckets(col("u"))).as(Seq("d", "bucket")))
         .groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
-      val q = sketchStream.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_hh").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "hh")(sketchStream.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_hh"))
     }
     val sketch = s.table("graft_stream_hh")
     val ev = t(s, dir, "events").select(col("user_id").cast(StringType).as("u"))
@@ -836,9 +832,8 @@ object Sketches {
     val sch = s.read.parquet(s"$dir/events.parquet").schema
     graft.streaming.StreamStage.withStaged(s, "hll", dir, "events.parquet") { stageDir =>
       val regs = hllRegsOf(s.readStream.schema(sch).parquet(stageDir))
-      val q = regs.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_hll").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "hll")(regs.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_hll"))
     }
     hllFinish(s.table("graft_stream_hll"))
   }

@@ -694,9 +694,8 @@ object TextOps {
           "CAST(least(CAST(floor(score * CAST(64 AS DOUBLE)) AS DOUBLE), CAST(63 AS DOUBLE)) AS BIGINT)")
           .as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("cnt"))
-      val q = hist.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_qh").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "qh")(hist.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_qh"))
     }
     val s2 = s
     import s2.implicits._

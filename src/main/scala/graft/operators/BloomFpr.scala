@@ -127,10 +127,9 @@ object BloomFpr {
           col("fp") === col("hist_fp"), "left_outer")
         .filter(col("hist_fp").isNull)
         .drop("hist_fp")
-      val q = definitelyNew.union(verified)
+      graft.streaming.StreamStage.drain(s, "bld")(definitelyNew.union(verified)
         .writeStream.outputMode("append")
-        .format("memory").queryName("graft_stream_bld").start()
-      try q.processAllAvailable() finally q.stop()
+        .format("memory").queryName("graft_stream_bld"))
     }
     s.table("graft_stream_bld")
   }

@@ -86,9 +86,8 @@ object CharEntropy {
             " - aggregate(cnts, cast(0 as bigint)," +
             " (acc, c) -> acc + c * CAST(round(1e6 * ln(CAST(c AS DOUBLE))) AS BIGINT)))" +
             " DIV cast(size(cs) as bigint)").as("entropy_unats"))
-      val q = out.writeStream.outputMode("append")
-        .format("memory").queryName("graft_stream_ce").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "ce")(out.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_ce"))
     }
     s.table("graft_stream_ce")
   }

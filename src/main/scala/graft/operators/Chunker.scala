@@ -49,13 +49,10 @@ object Chunker {
   def streamChunkDocs: Q = (s, dir) => {
     val sch = s.read.parquet(s"$dir/documents.parquet").schema
     val sink = graft.streaming.StreamStage.freshSink(s, dir, "schunk_sink")
-    val ckpt = graft.streaming.StreamStage.freshSink(s, dir, "schunk_ckpt")
     graft.streaming.StreamStage.withStaged(s, "schunk", dir, "documents.parquet") { stageDir =>
       val out = chunks(s.readStream.schema(sch).parquet(stageDir))
-      val q = out.writeStream.outputMode("append")
-        .format("parquet").option("path", sink)
-        .option("checkpointLocation", ckpt).start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "d")(out.writeStream.outputMode("append")
+        .format("parquet").option("path", sink))
     }
     s.read.parquet(sink)
   }

@@ -93,9 +93,8 @@ object Contamination {
         .join(broadcast(benchSh.withColumn("hit", lit(1L))), Seq("sh"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_sh"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_ct").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "ct")(agg.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_ct"))
     }
     s.table("graft_stream_ct")
       .filter(col("n_hit") > 0)

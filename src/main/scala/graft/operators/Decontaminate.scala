@@ -255,9 +255,8 @@ object Decontaminate {
           sum(when(!col("dropme"), 1L).otherwise(0L)).as("n_kept"),
           sum(when(!col("dropme"), col("n_chars")).otherwise(0L)).as("kept_chars"),
           sum(col("n_chars")).as("total_chars"))
-      val q = led.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_sdsem").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "sdsem")(led.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_sdsem"))
     }
     s.table("graft_stream_sdsem")
       .select(col("source"), col("n_docs"), col("n_dropped"), col("n_kept"),
@@ -285,12 +284,8 @@ object Decontaminate {
       val kept = semScoredStream(s, dir, stageDir)
         .filter(!col("dropme"))
         .select(col("vec_id").as("doc_id"), col("source"))
-      val q = kept.writeStream.outputMode("append")
-        .format("parquet").option("path", sink)
-        .option("checkpointLocation",
-          graft.streaming.StreamStage.freshSink(s, dir, "sdsd_ckpt"))
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "d")(kept.writeStream.outputMode("append")
+        .format("parquet").option("path", sink))
     }
     s.read.parquet(sink).select("doc_id", "source")
   }

@@ -928,9 +928,8 @@ object Dedup {
       val shStream = shingles(arriving, 3)
         .join(broadcast(hotList), Seq("sh"), "left_anti")
       val sigs = shStream.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-      val q = sigs.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_sdi").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "sdi")(sigs.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_sdi"))
     }
     val bandsNew = bandsOf(s.table("graft_stream_sdi"))
     val newIds = docs.filter(col("source").isin("src0", "src1")).select("doc_id")

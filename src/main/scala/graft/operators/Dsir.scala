@@ -192,12 +192,11 @@ object Dsir {
         .select(col("doc_id"), col("lam"))
       // overwrite-by-batchId (r15, r14 verdict #2): a replayed batch
       // after a crash-between-write-and-commit must not double-count
-      val q = scored.writeStream.outputMode("append")
+      graft.streaming.StreamStage.drain(s, "d")(scored.writeStream.outputMode("append")
         .foreachBatch(graft.streaming.StreamStage.idempotentBatchWriter(sink) {
           batch => batch.groupBy("doc_id")
             .agg(sum(col("lam")).as("s"), count(lit(1)).as("c"))
-        }).start()
-      try q.processAllAvailable() finally q.stop()
+        }))
     }
     val perDoc = s.read.parquet(sink)
       .groupBy("doc_id")

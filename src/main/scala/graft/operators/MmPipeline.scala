@@ -215,10 +215,9 @@ object MmPipeline {
         .select(col("doc_id"), col("text").cast("binary").as("payload"),
           lit("video/stub").as("mime"))
         .as[MmInput]
-      val q = sceneDetect(input, 256, 8.0).toDF()
+      graft.streaming.StreamStage.drain(s, "ssd")(sceneDetect(input, 256, 8.0).toDF()
         .writeStream.outputMode("append")
-        .format("memory").queryName("graft_stream_ssd").start()
-      try q.processAllAvailable() finally q.stop()
+        .format("memory").queryName("graft_stream_ssd"))
     }
     s.table("graft_stream_ssd")
   }
@@ -549,9 +548,8 @@ object MmPipeline {
         explode(tar_members(col("content"))).as("m"))
       .select(col("shard"), col("m.name").as("name"),
         col("m.offset").as("offset_bytes"), col("m.size").as("member_bytes"))
-    val q = stream.writeStream.outputMode("append")
-      .format("memory").queryName("graft_stream_wds").start()
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.StreamStage.drain(s, "wds")(stream.writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_wds"))
     s.table("graft_stream_wds")
   }
 

@@ -76,9 +76,8 @@ object Moments {
     val sch = s.read.parquet(s"$dir/documents.parquet").schema
     graft.streaming.StreamStage.withStaged(s, "smom", dir, "documents.parquet") { stageDir =>
       val sk = sums(s.readStream.schema(sch).parquet(stageDir))
-      val q = sk.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_moments").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "moments")(sk.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_moments"))
     }
     finish(s.table("graft_stream_moments"))
   }

@@ -169,12 +169,11 @@ object NbClassifier {
         .select(col("doc_id"), col("source"), col("w"))
       // overwrite-by-batchId (r15, r14 verdict #2): a replayed batch
       // after a crash-between-write-and-commit must not double-count
-      val q = scored.writeStream.outputMode("append")
+      graft.streaming.StreamStage.drain(s, "d")(scored.writeStream.outputMode("append")
         .foreachBatch(graft.streaming.StreamStage.idempotentBatchWriter(sink) {
           batch => batch.groupBy("doc_id", "source")
             .agg(sum(col("w")).as("s"), count(lit(1)).as("c"))
-        }).start()
-      try q.processAllAvailable() finally q.stop()
+        }))
     }
     s.read.parquet(sink)
       .groupBy("doc_id", "source")

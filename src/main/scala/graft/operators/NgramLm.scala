@@ -215,9 +215,8 @@ object NgramLm {
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       val scored = streamBi.join(dict, Seq("w1", "w2"), "left")
         .select(col("doc_id"), coalesce(col("q"), lit(0L)).as("q_eff"))
-      val q = scored.writeStream.outputMode("append")
-        .format("memory").queryName("graft_stream_ppl").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "ppl")(scored.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_ppl"))
     }
     val perDoc = s.table("graft_stream_ppl")
       .groupBy("doc_id")

@@ -128,9 +128,8 @@ object Novelty {
     graft.streaming.StreamStage.withStaged(s, "snov", dir, "documents.parquet") { stageDir =>
       val streamSh = Dedup.shingles(s.readStream.schema(sch).parquet(stageDir), N)
       val scored = streamSh.join(dfTab, "sh").select(col("doc_id"), col("df"))
-      val q = scored.writeStream.outputMode("append")
-        .format("memory").queryName("graft_stream_nov").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "nov")(scored.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_nov"))
     }
     val per = s.table("graft_stream_nov")
       .groupBy("doc_id")

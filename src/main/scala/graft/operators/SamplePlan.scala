@@ -540,9 +540,8 @@ object SamplePlan {
         graft.functions.TopK.topk(AES_K)(
           -col("aes_cost").cast(DoubleType), col("doc_id"),
           col("n_chars").cast(DoubleType)).as("top"))
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_ssw").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "ssw")(agg.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_ssw"))
     }
     val kept = s.table("graft_stream_ssw")
       .select(explode(col("top")).as("e"))

@@ -174,9 +174,8 @@ object SourceQuota {
       val hist = scoreCols(s.readStream.schema(sch).parquet(stageDir))
         .groupBy("source", "qk")
         .agg(count(lit(1)).as("c"))
-      val q = hist.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_sq").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "sq")(hist.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_sq"))
     }
     keepPlan(s.table("graft_stream_sq"))
       .groupBy("source")
@@ -223,20 +222,15 @@ object SourceQuota {
       val hist = scoreCols(s.readStream.schema(sch).parquet(stageDir))
         .groupBy("source", "qk")
         .agg(count(lit(1)).as("c"))
-      val q1 = hist.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_sqd").start()
-      try q1.processAllAvailable() finally q1.stop()
+      graft.streaming.StreamStage.drain(s, "sqd")(hist.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_sqd"))
       val cut = keepPlan(s.table("graft_stream_sqd"))
         .filter(col("keep_m") > 0L)
       val kept = scoreCols(s.readStream.schema(sch).parquet(stageDir))
         .join(broadcast(cut), Seq("source", "qk")) // stream-static, stateless
         .select("doc_id", "source", "qk", "c", "keep_m")
-      val q2 = kept.writeStream.outputMode("append")
-        .format("parquet").option("path", sink)
-        .option("checkpointLocation",
-          graft.streaming.StreamStage.freshSink(s, dir, "ssqd_ckpt"))
-        .start()
-      try q2.processAllAvailable() finally q2.stop()
+      graft.streaming.StreamStage.drain(s, "sq_enforce")(kept.writeStream.outputMode("append")
+        .format("parquet").option("path", sink))
     }
     val out = s.read.parquet(sink)
     val full = out.filter(col("keep_m") === col("c"))
@@ -363,9 +357,8 @@ object SourceQuota {
       val hist = scoreCols(s.readStream.schema(sch0).parquet(stageDir))
         .groupBy("source", "qk")
         .agg(count(lit(1)).as("c"), sum(col("n_chars")).as("sch"))
-      val q1 = hist.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_sqc").start()
-      try q1.processAllAvailable() finally q1.stop()
+      graft.streaming.StreamStage.drain(s, "sqc")(hist.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_sqc"))
       val wcum = Window.partitionBy("source").orderBy(col("qk").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
       val cut = s.table("graft_stream_sqc")
@@ -377,12 +370,8 @@ object SourceQuota {
       val kept = scoreCols(s.readStream.schema(sch0).parquet(stageDir))
         .join(broadcast(cut), Seq("source", "qk")) // stream-static, stateless
         .select("doc_id", "source", "qk", "n_chars", "whole", "rem")
-      val q2 = kept.writeStream.outputMode("append")
-        .format("parquet").option("path", sink)
-        .option("checkpointLocation",
-          graft.streaming.StreamStage.freshSink(s, dir, "ssqc_ckpt"))
-        .start()
-      try q2.processAllAvailable() finally q2.stop()
+      graft.streaming.StreamStage.drain(s, "sq_enforce")(kept.writeStream.outputMode("append")
+        .format("parquet").option("path", sink))
     }
     val out = s.read.parquet(sink)
     val full = out.filter(col("whole")).select("doc_id", "source", "qk")
@@ -444,9 +433,8 @@ object SourceQuota {
     graft.streaming.StreamStage.withStaged(s, "sse", dir, "documents.parquet") { stageDir =>
       val hist = s.readStream.schema(sch).parquet(stageDir)
         .groupBy("lang", "source").agg(count(lit(1)).as("ns"))
-      val q = hist.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_se").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "se")(hist.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_se"))
     }
     entropyOf(s.table("graft_stream_se"))
   }

@@ -47,9 +47,8 @@ object StreamBpe {
         .select(col("doc_id"), lower(col("w0")).as("w"))
       val resolved = words.join(broadcast(vocab), "w")
         .select(col("doc_id"), col("n_bpe"))
-      val q = resolved.writeStream.outputMode("append")
-        .format("memory").queryName("graft_stream_tok").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "tok")(resolved.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_tok"))
     }
     s.table("graft_stream_tok")
       .groupBy("doc_id")

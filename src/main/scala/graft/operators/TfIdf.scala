@@ -85,11 +85,10 @@ object TfIdf {
       // overwrite-by-batchId (r15, r14 verdict #2): a replayed batch
       // after a crash-between-write-and-commit must not re-append
       // its documents' rows
-      val q = stream.writeStream.outputMode("append")
+      graft.streaming.StreamStage.drain(s, "d")(stream.writeStream.outputMode("append")
         .foreachBatch(graft.streaming.StreamStage.idempotentBatchWriter(sink) {
           batch => topTerms(tf(batch).join(broadcast(dict), "w"))
-        }).start()
-      try q.processAllAvailable() finally q.stop()
+        }))
     }
     s.read.parquet(sink)
       .select("doc_id", "term", "score_unats", "tf", "rank")

@@ -395,11 +395,8 @@ object UniText {
           size(array_distinct(col("tk"))).cast("long").as("n_types"),
           expr(s"CAST(size(filter(tk, t -> t rlike '${Tokenize.CJK_ONE}')) AS BIGINT)")
             .as("n_cjk"))
-      val q = out.writeStream.outputMode("append")
-        .format("parquet").option("path", sink)
-        .option("checkpointLocation", graft.streaming.StreamStage.freshSink(s, dir, "sutok_ckpt"))
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "d")(out.writeStream.outputMode("append")
+        .format("parquet").option("path", sink))
     }
     s.read.parquet(sink)
   }

@@ -358,13 +358,11 @@ object Nc4Queries {
         .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
         .repartition(3),
       src)
-    val q = s.readStream.format(SRC).load(src)
+    graft.streaming.StreamStage.drain(s, "nc4sink", stableCkpt = ckpt)(
+      s.readStream.format(SRC).load(src)
       .drop("record") // virtual read column; `record` is reserved on write
       .writeStream.format(SRC)
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      .option("path", out))
     s.read.format(SRC).load(out)
       .agg(
         count(lit(1)).as("n"),
@@ -1644,9 +1642,8 @@ object Nc4Queries {
       count(lit(1)).as("n"),
       sum(col("l_orderkey")).as("sum_key"),
       dsum(col("l_quantity")).as("sum_qty"))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName("graft_stream_nc4_ingest").start()
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.StreamStage.drain(s, "nc4_ingest")(agg.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_nc4_ingest"))
     s.table("graft_stream_nc4_ingest")
   }
 

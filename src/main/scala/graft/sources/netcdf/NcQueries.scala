@@ -446,13 +446,11 @@ object NcQueries {
         .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
         .repartition(3),
       src)
-    val q = s.readStream.format(SRC).load(src)
+    graft.streaming.StreamStage.drain(s, "ncsink", stableCkpt = ckpt)(
+      s.readStream.format(SRC).load(src)
       .drop("record") // virtual read column; `record` is reserved on write
       .writeStream.format(SRC)
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      .option("path", out))
     s.read.format(SRC).load(out)
       .agg(
         count(lit(1)).as("n"),
@@ -484,15 +482,13 @@ object NcQueries {
         .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
         .repartition(3),
       src)
-    val q = s.readStream.format(SRC)
+    graft.streaming.StreamStage.drain(s, "nccompact", stableCkpt = ckpt)(
+      s.readStream.format(SRC)
       .option("maxfilespertrigger", "1")
       .load(src)
       .drop("record")
       .writeStream.format(SRC)
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      .option("path", out))
     // 3 rate-limited epochs leave >= 3 files at any sf (each epoch
     // appends >= 1 part), so a threshold of 2 trips the hook on the
     // first run; re-runs in the same session (bench best-of-2, plan
@@ -536,9 +532,8 @@ object NcQueries {
       count(lit(1)).as("n"),
       sum(col("l_orderkey")).as("sum_key"),
       dsum(col("l_quantity")).as("sum_qty"))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName("graft_stream_nc_ingest").start()
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.StreamStage.drain(s, "nc_ingest")(agg.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_nc_ingest"))
     s.table("graft_stream_nc_ingest")
   }
 

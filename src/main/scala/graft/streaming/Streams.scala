@@ -212,9 +212,8 @@ object Streams {
         .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("ntok"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_mw").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "mw")(agg.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_mw"))
     }
     val tok = s.table("graft_stream_mw")
     val tot = tok.agg(sum(col("n_tokens")).as("tot"))
@@ -242,9 +241,8 @@ object Streams {
       val agg = s.readStream.schema(sch).parquet(stageDir)
         .select(explode(split(col("text"), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_tt").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "tt")(agg.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_tt"))
     }
     s.table("graft_stream_tt")
       .orderBy(col("n").desc, col("tok").asc).limit(20)
@@ -278,9 +276,8 @@ object Streams {
         s.readStream.schema(sch).parquet(stageDir))
         .filter(col("score") >= 0.5)
         .select(col("doc_id"), col("source"), col("n_words"))
-      val q = kept.writeStream.outputMode("append")
-        .format("memory").queryName("graft_stream_cf").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "cf")(kept.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_cf"))
     }
     s.table("graft_stream_cf")
       .groupBy("source")
@@ -323,9 +320,8 @@ object Streams {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"),
           sum(floor(col("score") * 1e6).cast(LongType)).as("quality_micro_sum"))
-      val q = card.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_dc").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "dc")(card.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_dc"))
     }
     s.table("graft_stream_dc")
   }
@@ -342,9 +338,8 @@ object Streams {
     StreamStage.withStaged(s, "sgr", dir, "documents.parquet") { stageDir =>
       val bits = graft.functions.TextOps.gopherRules(
         s.readStream.schema(sch).parquet(stageDir), passthrough = Seq("source"))
-      val q = bits.writeStream.outputMode("append")
-        .format("memory").queryName("graft_stream_gopher").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "gopher")(bits.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_gopher"))
     }
     def kills(c: String) = sum(when(!col(c), 1L).otherwise(0L)).as(s"killed_$c")
     s.table("graft_stream_gopher")
@@ -386,9 +381,8 @@ object Streams {
     StreamStage.withStaged(s, "srd", dir, "documents.parquet") { stageDir =>
       val out = graft.functions.TextOps.redactOf(
         s.readStream.schema(sch).parquet(stageDir))
-      val q = out.writeStream.outputMode("append")
-        .format("memory").queryName("graft_stream_rdt").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "rdt")(out.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_rdt"))
     }
     s.table("graft_stream_rdt")
   }
@@ -399,9 +393,8 @@ object Streams {
     StreamStage.withStaged(s, "slid", dir, "documents.parquet") { stageDir =>
       val out = graft.functions.TextOps.langIdOf(
         s.readStream.schema(sch).parquet(stageDir))
-      val q = out.writeStream.outputMode("append")
-        .format("memory").queryName("graft_stream_lid").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "lid")(out.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_lid"))
     }
     s.table("graft_stream_lid")
   }
@@ -413,9 +406,8 @@ object Streams {
     StreamStage.withStaged(s, "swfp", dir, "documents.parquet") { stageDir =>
       val out = graft.operators.Winnowing.winnowOf(
         s.readStream.schema(sch).parquet(stageDir))
-      val q = out.writeStream.outputMode("append")
-        .format("memory").queryName("graft_stream_wfp").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "wfp")(out.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_wfp"))
     }
     s.table("graft_stream_wfp")
   }
@@ -447,9 +439,8 @@ object Streams {
             .as("l2"),
           md5(expr("concat_ws(',', zip_with(db, cnts, (b, c) -> concat(b, ':', c)))"))
             .as("vec_fp"))
-      val q = out.writeStream.outputMode("append")
-        .format("memory").queryName("graft_stream_she").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "she")(out.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_she"))
     }
     s.table("graft_stream_she")
   }
@@ -467,9 +458,8 @@ object Streams {
       val hist = s.readStream.schema(sch).parquet(stageDir)
         .groupBy(col("l_returnflag"), col("l_quantity"))
         .agg(count(lit(1)).as("c"))
-      val q = hist.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_med").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "med")(hist.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_med"))
     }
     graft.queries.Relational.medianFromHist(s.table("graft_stream_med"))
   }
@@ -493,9 +483,8 @@ object Streams {
           expr("CASE WHEN n = 0 THEN -1 ELSE CAST(length(bin(n)) - 1 AS INT) END"))
         .groupBy("source", "bucket")
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
-      val q = hist.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_lhist").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "lhist")(hist.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_lhist"))
     }
     s.table("graft_stream_lhist")
   }
@@ -513,9 +502,8 @@ object Streams {
         .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
         .filter(col("w") =!= "")
         .groupBy("source", "w").agg(count(lit(1)).as("c"))
-      val q = counts.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_uent").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamStage.drain(s, "uent")(counts.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_uent"))
     }
     s.table("graft_stream_uent")
       .groupBy("source")
