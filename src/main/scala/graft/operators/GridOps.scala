@@ -121,8 +121,6 @@ object GridOps {
     * rangepartitioning, no zipWithIndex count job; pinned in
     * PlanAuditSpec). Before r6 every halo operator re-paid the range
     * sort at query time — the verdicts' one standing perf soft spot. */
-  private val stagedIdx = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   private def indexedQty(s: SparkSession, dir: String): DataFrame =
     indexedVar(s, dir, "qty_indexed", col("l_quantity"))
 
@@ -143,7 +141,11 @@ object GridOps {
   private def indexedVar(s: SparkSession, dir: String, tag: String,
       v: Column): DataFrame = {
     val out = graft.sources.netcdf.NcQueries.scratch(s, dir, tag)
-    if (!stagedIdx.contains(out)) {
+    // r17 (r16 ADVICE): the write is serialized through stageOnce —
+    // the former non-atomic contains/add pair let two concurrent
+    // first-touches both run the zipWithIndex write to the same path,
+    // a live hazard now that prestage builds artifacts concurrently.
+    graft.sources.netcdf.NcQueries.stageOnce(out) {
       import s.implicits._
       val sorted = liOrdered(s, dir)
         .select(orderCols :+ v.cast(DoubleType).as("v"): _*)
@@ -154,8 +156,6 @@ object GridOps {
         .map { case (vv, idx) => (idx, vv) }
         .toDF("idx", "v")
         .write.mode("overwrite").parquet(out)
-      stagedIdx.add(out)
-      ()
     }
     s.read.parquet(out)
   }

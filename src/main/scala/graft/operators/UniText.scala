@@ -29,6 +29,23 @@ object UniText {
     Tokenize.unionedDocs(s, dir)
       .select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("w"))
 
+  /** Session-staged unicode TOKEN table (r17 optimization round, r16
+    * VERDICT item 3 "build them from one shared tokenized scan"):
+    * during prestage, the five unicode index builders (sh4_uni,
+    * lsh_pairs_uni, simhash_fps_uni, winnow_fps_uni, tfidf_uni_tf)
+    * each re-ran the regexp tokenizer over the fixture-unioned
+    * corpus; they now all derive from this ONE tokenize pass.
+    * String arrays parquet-roundtrip exactly, so every downstream
+    * shingle/fingerprint/signature is bit-identical to the inline
+    * form (the oracle gates every consumer either way). TIMED uni
+    * keys keep their inline tokenize — this artifact only feeds
+    * other STAGED builders, so no query's timed body changes. */
+  private[operators] def unionedToks(s: SparkSession, dir: String): DataFrame =
+    Staged.table(s, dir, "utoks", coalesce = false)(
+      Tokenize.unionedDocs(s, dir)
+        .select(col("doc_id"), Tokenize.tokens(col("text")).as("toks")))
+  Staged.register("utoks")((s, dir) => { unionedToks(s, dir); () })
+
   private val duckToks =
     s"""toks AS (
        |  SELECT doc_id, unnest(${Tokenize.duckTokens("text")}) AS w
@@ -93,7 +110,9 @@ object UniText {
 
   private def stagedTfUni(s: SparkSession, dir: String): DataFrame =
     Staged.table(s, dir, "tfidf_uni_tf", coalesce = false)(
-      toks(s, dir).groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
+      unionedToks(s, dir) // r17: shared staged tokenize
+        .select(col("doc_id"), explode(col("toks")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
   Staged.register("tfidf_uni_tf")((s, dir) => { stagedTfUni(s, dir); () })
 
   private def stagedIdfUni(s: SparkSession, dir: String): DataFrame =
@@ -169,8 +188,7 @@ object UniText {
     * tokenize → shingle → df-cap reruns. */
   private def shingles4Uni(s: SparkSession, dir: String): DataFrame =
     Staged.table(s, dir, "sh4_uni", coalesce = false)(
-      Dedup.cappedShingles(
-        Tokenize.unionedDocs(s, dir), 4, Tokenize.tokens(col("text"))))
+      Dedup.cappedShingles(unionedToks(s, dir), 4, col("toks")))
   Staged.register("sh4_uni")((s, dir) => { shingles4Uni(s, dir); () })
 
   def dedupNgramJaccardUni: Q = (s, dir) =>
@@ -259,8 +277,7 @@ object UniText {
     * artifact discipline as the ASCII `lsh_pairs`. */
   private def minhashPairsUni(s: SparkSession, dir: String): DataFrame =
     Staged.table(s, dir, "lsh_pairs_uni") {
-      val sh = Dedup.cappedShingles(
-        Tokenize.unionedDocs(s, dir), 3, Tokenize.tokens(col("text"))).cache()
+      val sh = Dedup.cappedShingles(unionedToks(s, dir), 3, col("toks")).cache()
       Dedup.withJaccard(Dedup.lshCandidates(sh), sh)
     }
   Staged.register("lsh_pairs_uni")((s, dir) => { minhashPairsUni(s, dir); () })
@@ -276,12 +293,12 @@ object UniText {
     * index over the unioned corpus, banded with the shared device. */
   def dedupSimhashUni: Q = (s, dir) => {
     val fps = Staged.table(s, dir, "simhash_fps_uni", coalesce = false)(
-      Dedup.simhashFps(Tokenize.unionedDocs(s, dir), Tokenize.tokens(col("text"))))
+      Dedup.simhashFps(unionedToks(s, dir), col("toks")))
     Dedup.simhashPairsOf(fps)
   }
   Staged.register("simhash_fps_uni")((s, dir) => {
     Staged.table(s, dir, "simhash_fps_uni", coalesce = false)(
-      Dedup.simhashFps(Tokenize.unionedDocs(s, dir), Tokenize.tokens(col("text"))))
+      Dedup.simhashFps(unionedToks(s, dir), col("toks")))
     ()
   })
 

@@ -142,8 +142,7 @@ object Winnowing {
   Staged.register("winnow_fps_uni")((s, dir) => { winnowFpsUniStaged(s, dir); () })
   private[operators] def winnowFpsUniStaged(s: SparkSession, dir: String): DataFrame =
     Staged.table(s, dir, "winnow_fps_uni", coalesce = false)(
-      winnowFpsOf(graft.functions.Tokenize.unionedDocs(s, dir),
-        graft.functions.Tokenize.tokens(col("text"))))
+      winnowFpsOf(UniText.unionedToks(s, dir), col("toks"))) // r17: shared staged tokenize
 
   def dedupWinnowPairs: Q = (s, dir) => winnowPairsFrom(winnowFpsStaged(s, dir))
 
