@@ -41,4 +41,21 @@ class BenchSpec extends AnyFunSuite {
     val line = Bench.emitLine(fakeResults(5), "sfX")
     assert(!line.contains("errors"))
   }
+
+  test("watchdog: 3x threshold on a quiet session, 1.5x when it started loaded") {
+    val baseline = Map("a" -> 1.0, "b" -> 1.0, "c" -> 0.2, "d" -> 1.0)
+    // a: 2x over baseline; b: 4x; c: 4x but under the 1s absolute floor;
+    // d: flat; e: no baseline recorded
+    val results = Map("a" -> 2.0, "b" -> 4.0, "c" -> 0.8, "d" -> 1.05, "e" -> 9.0)
+    assert(Bench.suspects(results, baseline, load1 = 1.0) == Seq("b"))
+    assert(Bench.suspects(results, baseline, load1 = 3.5) == Seq("a", "b"))
+    // unreadable loadavg (-1) stays on the quiet-session rule
+    assert(Bench.suspects(results, baseline, load1 = -1.0) == Seq("b"))
+  }
+
+  test("loadAvg1 parses the 1-minute element and tolerates garbage") {
+    assert(Bench.loadAvg1("[2.15,3.09,3.08]") == 2.15)
+    assert(Bench.loadAvg1("[-1,-1,-1]") == -1.0)
+    assert(Bench.loadAvg1("garbage") == -1.0)
+  }
 }
