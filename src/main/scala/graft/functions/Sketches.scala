@@ -43,8 +43,7 @@ object Sketches {
   def sketchBucketMin: Q = (s, dir) => {
     val ev = events(s, dir)
     val h = ev.select(
-      conv(substring(md5(col("user_id").cast(StringType)), 1, 15), 16, 10)
-        .cast(LongType).as("h"))
+      graft.functions.HashExpressions.md5_head(col("user_id").cast(StringType), 15).as("h"))
     val bm = h.groupBy((col("h") % NB).as("bucket")).agg(min(col("h")).as("mn"))
     val est = bm.agg(count(lit(1)).as("n_buckets"),
       sum(expr(s"${SPACE_L}L DIV (mn + 1) - 1")).as("est_distinct"))
@@ -75,8 +74,7 @@ object Sketches {
     val sch = s.read.parquet(s"$dir/events.parquet").schema
     graft.streaming.StreamStage.withStaged(s, "kmv", dir, "events.parquet") { stageDir =>
       val bm = s.readStream.schema(sch).parquet(stageDir)
-        .select(conv(substring(md5(col("user_id").cast(StringType)), 1, 15), 16, 10)
-          .cast(LongType).as("h"))
+        .select(graft.functions.HashExpressions.md5_head(col("user_id").cast(StringType), 15).as("h"))
         .groupBy((col("h") % NB).as("bucket")).agg(min(col("h")).as("mn"))
       graft.streaming.StreamStage.drain(s, "kmv")(bm.writeStream.outputMode("complete")
         .format("memory").queryName("graft_stream_kmv"))
@@ -91,8 +89,7 @@ object Sketches {
 
   def sketchKmvDistinct: Q = (s, dir) => {
     val hashes = t(s, dir, "lineitem")
-      .select(conv(substring(md5(col("l_orderkey").cast(StringType)), 1, 15), 16, 10)
-        .cast(LongType).as("h"))
+      .select(graft.functions.HashExpressions.md5_head(col("l_orderkey").cast(StringType), 15).as("h"))
       .distinct()
     val topk = hashes.orderBy("h").limit(K)
     val sk = topk.agg(max(col("h")).as("hk"), count(lit(1)).as("k"))
@@ -161,7 +158,7 @@ object Sketches {
   def sketchKmvMerge: Q = (s, dir) => {
     val hd = t(s, dir, "documents")
       .select(col("source"),
-        conv(substring(md5(col("text")), 1, 15), 16, 10).cast(LongType).as("h"))
+        graft.functions.HashExpressions.md5_head(col("text"), 15).as("h"))
       .distinct()
       .cache() // feeds the sketch and both exact-count branches
     val mins = hd.groupBy("source")
@@ -347,8 +344,7 @@ object Sketches {
     * the sketch itself is broadcast to the probe join. */
   def sketchCms: Q = (s, dir) => {
     def buckets = array((0 until CMS_D).map(d =>
-      conv(substring(md5(concat(lit(s"$d:"), col("tok"))), 1, 8), 16, 10)
-        .cast(LongType) % CMS_W): _*)
+      graft.functions.HashExpressions.md5_head(concat(lit(s"$d:"), col("tok")), 8) % CMS_W): _*)
     val toks = t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("tok")).cache() // sketch + probes
     val sketch = toks.select(posexplode(buckets).as(Seq("d", "bucket")))
@@ -389,8 +385,7 @@ object Sketches {
     * own incremental execution). */
   def streamCms: Q = (s, dir) => {
     def buckets = array((0 until CMS_D).map(d =>
-      conv(substring(md5(concat(lit(s"$d:"), col("tok"))), 1, 8), 16, 10)
-        .cast(LongType) % CMS_W): _*)
+      graft.functions.HashExpressions.md5_head(concat(lit(s"$d:"), col("tok")), 8) % CMS_W): _*)
     // the file-stream source requires a DIRECTORY: stage the corpus
     // file into a scratch dir for the drain, deleted right after
     val sch = s.read.parquet(s"$dir/documents.parquet").schema
@@ -428,8 +423,7 @@ object Sketches {
     * integer-only: CMS cells and counts replay exactly in DuckDB. */
   def streamHeavyHitters: Q = (s, dir) => {
     def buckets(c: org.apache.spark.sql.Column) = array((0 until CMS_D).map(d =>
-      conv(substring(md5(concat(lit(s"$d:"), c)), 1, 8), 16, 10)
-        .cast(LongType) % CMS_W): _*)
+      graft.functions.HashExpressions.md5_head(concat(lit(s"$d:"), c), 8) % CMS_W): _*)
     val sch = s.read.parquet(s"$dir/events.parquet").schema
     graft.streaming.StreamStage.withStaged(s, "hh", dir, "events.parquet") { stageDir =>
       val sketchStream = s.readStream.schema(sch).parquet(stageDir)
@@ -488,8 +482,7 @@ object Sketches {
   def sketchKmvIntersect: Q = (s, dir) => {
     val ev = events(s, dir)
     def userHashes(typ: String) = ev.filter(col("event_type") === typ)
-      .select(conv(substring(md5(col("user_id").cast(StringType)), 1, 15), 16, 10)
-        .cast(LongType).as("h"))
+      .select(graft.functions.HashExpressions.md5_head(col("user_id").cast(StringType), 15).as("h"))
       .distinct()
     val a = userHashes("click").orderBy("h").limit(K).cache()
     val b = userHashes("view").orderBy("h").limit(K).cache()
@@ -549,8 +542,7 @@ object Sketches {
   def sketchKmvDiff: Q = (s, dir) => {
     val ev = events(s, dir)
     def userHashes(typ: String) = ev.filter(col("event_type") === typ)
-      .select(conv(substring(md5(col("user_id").cast(StringType)), 1, 15), 16, 10)
-        .cast(LongType).as("h"))
+      .select(graft.functions.HashExpressions.md5_head(col("user_id").cast(StringType), 15).as("h"))
       .distinct()
     val a = userHashes("click").orderBy("h").limit(K).cache()
     val b = userHashes("view").orderBy("h").limit(K).cache()

@@ -49,7 +49,7 @@ object BloomFpr {
     * — independent uniform draws, exact in both engines. */
   private def positions(keys: DataFrame): DataFrame = {
     val posCols = (0 until K).map(j =>
-      expr(s"CAST(conv(substring(md5(concat('$j:', fp)), 1, 5), 16, 10) AS BIGINT) % $M"))
+      graft.functions.HashExpressions.md5_head(concat(lit(s"$j:"), col("fp")), 5) % M)
     keys.select(col("fp"), explode(array(posCols: _*)).as("pos"))
   }
 

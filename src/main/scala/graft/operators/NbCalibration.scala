@@ -47,8 +47,8 @@ object NbCalibration {
 
   /** The held-out coin: bit 0 trains, bit 1 evaluates. Spark and
     * DuckDB texts of the SAME hash (the SamplePlan device). */
-  private val splitBit =
-    "CAST(conv(substring(md5(concat('cal:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2"
+  private def splitBit: org.apache.spark.sql.Column =
+    graft.functions.HashExpressions.md5_head(concat(lit("cal:"), col("doc_id").cast("string")), 8) % 2
   private[operators] val splitBitDuck =
     "CAST('0x' || substr(md5('cal:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 2"
 
@@ -56,11 +56,11 @@ object NbCalibration {
     val pdb = Dsir.perDocBuckets(s, dir)
       .filter(col("source").isin(NbClassifier.POS, NbClassifier.NEG))
       .cache() // train pass + eval pass
-    val (w, prior) = NbClassifier.model(s, pdb.filter(expr(splitBit) === 0))
+    val (w, prior) = NbClassifier.model(s, pdb.filter(splitBit === 0))
     // the held-out score table CACHES (eval-split-sized — two sources'
     // bit-1 docs, never the corpus): the bounds aggregate and the
     // banding pass would otherwise each re-run the train + score chain
-    val scored = pdb.filter(expr(splitBit) === 1)
+    val scored = pdb.filter(splitBit === 1)
       .join(broadcast(w), "bucket")
       .groupBy("doc_id", "source")
       .agg(sum(col("c") * col("w")).as("llr"))

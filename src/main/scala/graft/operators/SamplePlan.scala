@@ -89,7 +89,7 @@ object SamplePlan {
       .select(col("source"), expr("sqf div (den div 1000000)").as("wq"))
     assigned.join(broadcast(wq), "source")
       .withColumn("h32",
-        expr("CAST(conv(substring(md5(concat('sp:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+        graft.functions.HashExpressions.md5_head(concat(lit("sp:"), col("doc_id").cast("string")), 8))
       .withColumn("selected", expr("h32 * 10000000 < wq * bucket * 4294967296"))
       .groupBy("source", "bucket")
       .agg(count(lit(1)).as("n_docs"), max(col("wq")).as("wq"),
@@ -448,7 +448,7 @@ object SamplePlan {
     * cannot drift). Input needs (doc_id, n_chars > 0). */
   private def aesCost(df: DataFrame): DataFrame =
     df.withColumn("h60",
-        expr("CAST(conv(substring(md5(concat('aes:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+        graft.functions.HashExpressions.md5_head(concat(lit("aes:"), col("doc_id").cast("string")), 15))
       .withColumn("lnq",
         expr("CAST(round(1e6 * ln(CAST(h60 + 1 AS DOUBLE) / 1152921504606846976.0)) AS BIGINT)"))
       .withColumn("aes_cost", expr("((-lnq) * 1000000) div n_chars"))

@@ -86,6 +86,34 @@ class VectorExprSpec extends AnyFunSuite {
       plan.take(800))
   }
 
+  test("Md5Head matches the conv(substring(md5)) chain bit-for-bit") {
+    import graft.functions.HashExpressions.md5_head
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text"))
+      .unionAll(Seq("", "a", "\u8868\u793a\u3055\u308c\u307e\u3059", "x y z").toDF("text"))
+    Seq(1, 5, 8, 15).foreach { n =>
+      val both = docs.select(
+        md5_head(col("text"), n).as("native"),
+        expr(s"CAST(conv(substring(md5(text), 1, $n), 16, 10) AS BIGINT)").as("chain"))
+      assert(both.filter(col("native") =!= col("chain")).isEmpty, s"width $n")
+      assert(both.count() > 0)
+    }
+    // null propagation matches the chain
+    val nulls = Seq[Option[String]](None).toDF("text")
+      .select(md5_head(col("text"), 8).as("native"))
+    assert(nulls.filter(col("native").isNotNull).isEmpty)
+  }
+
+  test("Md5Head participates in whole-stage codegen") {
+    import graft.functions.HashExpressions.md5_head
+    val plan = spark.read.parquet(s"$sf/documents.parquet")
+      .select(md5_head(col("text"), 8).as("h"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("md5head") && l.contains("*(")),
+      plan.take(800))
+  }
+
   test("CountsIn matches the transform/filter HOF formulation, incl. null keys") {
     import graft.functions.CountsIn.counts_in
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("text")
