@@ -1490,7 +1490,17 @@ object Similarity {
     * selected over rounded-to-9 inputs with an id tie-break, and the
     * oracle unrolls the same greedy loop as chained CTEs. */
   def simMmr: Q = (s, dir) => {
-    val emb = withVec(t(s, dir, "embeddings")).cache()
+    // r17 optimization round (guide §1.2 step 1; r16 VERDICT item 6):
+    // the corpus-scale stage is unchanged — map-side scoring against
+    // the broadcast query set + exact bounded TopK — but the greedy
+    // 3-round selection, which is candidate-bounded (≤ 8 per query),
+    // now runs inside ONE expression over the per-query candidate
+    // array ([[graft.functions.MmrSelect]], exact-equivalence contract
+    // in its scaladoc, whole-output pin in Round17Spec) instead of
+    // three chained window/anti-join/union rounds over two cached
+    // DataFrames. Plan: 142 → single-digit Exchanges, zero caches
+    // (plans/r17/sim_mmr_{before,after}.txt); same rows, same oracle.
+    val emb = withVec(t(s, dir, "embeddings"))
     val q = emb.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -1500,42 +1510,13 @@ object Similarity {
       .agg(graft.functions.TopK.topk(8)(col("qcos"), col("vec_id"), col("qcos")).as("top"))
       .select(col("query_id"), explode(col("top")).as("e"))
       .select(col("query_id"), col("e._2").as("cid"), col("e._3").as("qcos"))
-    val cvec = emb.join(broadcast(cand), col("vec_id") === col("cid"))
-      .select(col("query_id"), col("cid"), col("qcos"),
-        col("v").as("cv"), col("nrm").as("cn"))
-      .cache()
-    val pair = cvec
-      .select(col("query_id"), col("cid").as("a"), col("cv").as("av"), col("cn").as("an"))
-      .join(cvec.select(col("query_id"), col("cid").as("b"),
-        col("cv").as("bv"), col("cn").as("bn")), Seq("query_id"))
-      .filter(col("a") =!= col("b"))
-      .select(col("query_id"), col("a"), col("b"),
-        round(vec_dot(col("av"), col("bv")) / (col("an") * col("bn")), 9).as("sim"))
-      .cache()
-    val w1 = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("cid"))
-    var sel = cvec.select(col("query_id"), col("cid"), col("qcos"))
-      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
-      .select(col("query_id"), col("cid"), lit(1L).as("mmr_rank"), col("qcos").as("score"))
-    var k = 2
-    while (k <= 3) {
-      val rem = cvec.select("query_id", "cid", "qcos")
-        .join(sel.select(col("query_id"), col("cid")), Seq("query_id", "cid"), "left_anti")
-      val maxSim = pair
-        .join(sel.select(col("query_id"), col("cid").as("b")), Seq("query_id", "b"))
-        .groupBy(col("query_id"), col("a")).agg(max(col("sim")).as("maxsim"))
-      val scoredK = rem
-        .join(maxSim.withColumnRenamed("a", "cid"), Seq("query_id", "cid"))
-        .select(col("query_id"), col("cid"),
-          (lit(0.7) * col("qcos") - lit(0.3) * col("maxsim")).as("mmr"))
-      val wk = Window.partitionBy("query_id").orderBy(col("mmr").desc, col("cid"))
-      sel = sel.union(scoredK
-        .withColumn("rn", row_number().over(wk)).filter(col("rn") === 1)
-        .select(col("query_id"), col("cid"), lit(k.toLong).as("mmr_rank"),
-          col("mmr").as("score")))
-      k += 1
-    }
-    sel.select(col("query_id"), col("mmr_rank"), col("cid").as("neighbor_id"),
-      round(col("score"), 6).as("score"))
+    emb.join(broadcast(cand), col("vec_id") === col("cid"))
+      .groupBy("query_id")
+      .agg(collect_list(struct(col("cid"), col("qcos"), col("v"), col("nrm"))).as("cands"))
+      .select(col("query_id"),
+        explode(graft.functions.MmrSelect.mmr_select(col("cands"))).as("e"))
+      .select(col("query_id"), col("e.mmr_rank").as("mmr_rank"),
+        col("e.cid").as("neighbor_id"), round(col("e.score"), 6).as("score"))
   }
 
   val simMmrSql: String = {
