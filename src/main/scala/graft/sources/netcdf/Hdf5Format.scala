@@ -1121,6 +1121,44 @@ object Hdf5Format {
       if (inChunk == chunkRecs) flushChunk()
     }
 
+    // ---- typed fast-path puts (r17 optimization round, guide §4
+    // applied to the JVM writer: the DSv2 write path called
+    // putValue(Any) per CELL, boxing every scalar through Number and
+    // re-dispatching the kind match per value; these put the primitive
+    // straight into the chunk buffer — identical bytes, identical
+    // range tracking/quantization, shared row epilogue). Only the
+    // plain scalar/array kinds get a fast path; enums, bitfields,
+    // strings, vlens, compounds, opaques keep the general putValue.
+    private def endValue(): Unit = {
+      inChunk += 1
+      numRecs += 1
+      if (inChunk == chunkRecs) flushChunk()
+    }
+    def putLongV(x: Long): Unit = { track(x.toDouble); bb.putLong(x); endValue() }
+    def putIntV(x: Int): Unit = { track(x.toDouble); bb.putInt(x); endValue() }
+    def putShortV(x: Short): Unit = { track(x.toDouble); bb.putShort(x); endValue() }
+    def putDoubleV(x: Double): Unit = {
+      val q = qD(x); track(q); bb.putDouble(q); endValue()
+    }
+    def putFloatV(x: Float): Unit = {
+      val q = qF(x); track(q.toDouble); bb.putFloat(q); endValue()
+    }
+    def putFloatArrV(a: Array[Float]): Unit = {
+      val k = width
+      var i = 0; while (i < k) { bb.putFloat(qF(if (i < a.length) a(i) else 0f)); i += 1 }
+      endValue()
+    }
+    def putDoubleArrV(a: Array[Double]): Unit = {
+      val k = width
+      var i = 0; while (i < k) { bb.putDouble(qD(if (i < a.length) a(i) else 0.0)); i += 1 }
+      endValue()
+    }
+    def putLongArrV(a: Array[Long]): Unit = {
+      val k = width
+      var i = 0; while (i < k) { bb.putLong(if (i < a.length) a(i) else 0L); i += 1 }
+      endValue()
+    }
+
     /** Push materialized global-heap references through the normal
       * chunk pipeline (fletcher/shuffle/deflate apply to the 16-byte
       * refs exactly as to fixed elements). */
@@ -1418,6 +1456,31 @@ object Hdf5Format {
       var i = 0
       while (i < vars.length) { vars(i).putValue(get(i)); i += 1 }
     }
+
+    /** Kind-resolved fast-path tag per column (r17): the DSv2 writer
+      * binds one typed put per column instead of boxing every cell
+      * through putValue(Any). 0 = general path (strings, vlens,
+      * enums, bitfields, compounds, opaques). */
+    def fastTag(i: Int): Int = vars(i).kind match {
+      case KLong => 1
+      case KInt => 2
+      case KShort => 3
+      case KDouble => 4
+      case KFloat => 5
+      case KFloatArr(_) => 6
+      case KDoubleArr(_) => 7
+      case KLongArr(_) => 8
+      case _ => 0
+    }
+    def putLongAt(i: Int, x: Long): Unit = vars(i).putLongV(x)
+    def putIntAt(i: Int, x: Int): Unit = vars(i).putIntV(x)
+    def putShortAt(i: Int, x: Short): Unit = vars(i).putShortV(x)
+    def putDoubleAt(i: Int, x: Double): Unit = vars(i).putDoubleV(x)
+    def putFloatAt(i: Int, x: Float): Unit = vars(i).putFloatV(x)
+    def putFloatArrAt(i: Int, a: Array[Float]): Unit = vars(i).putFloatArrV(a)
+    def putDoubleArrAt(i: Int, a: Array[Double]): Unit = vars(i).putDoubleArrV(a)
+    def putLongArrAt(i: Int, a: Array[Long]): Unit = vars(i).putLongArrV(a)
+    def putAnyAt(i: Int, v: Any): Unit = vars(i).putValue(v)
 
     /** The dataset's message set — shared by the v1 and v2 header
       * framings; sizes are address-independent, so the same builder

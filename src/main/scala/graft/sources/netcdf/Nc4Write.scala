@@ -271,6 +271,31 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
 
   private var w: Hdf5Format.Hdf5Writer = null
   private var nRecs = 0L
+  /** Per-column typed writers, bound once against the writer's
+    * RESOLVED kinds (r17, guide §4: the hot loop used to box every
+    * scalar cell through an Any getter + putValue's kind match; a
+    * Spark LongType column can be KLong OR an enum/bitfield, so the
+    * binding keys on the writer's kind tag, with the general boxed
+    * path as the fallback for the exotic kinds). */
+  private var colWriters: Array[InternalRow => Unit] = null
+
+  private def bindColWriters(): Array[InternalRow => Unit] =
+    schema.fields.indices.map { i =>
+      (w.fastTag(i), schema.fields(i).dataType) match {
+        case (1, LongType) => (r: InternalRow) => w.putLongAt(i, r.getLong(i))
+        case (2, IntegerType) => (r: InternalRow) => w.putIntAt(i, r.getInt(i))
+        case (3, ShortType) => (r: InternalRow) => w.putShortAt(i, r.getShort(i))
+        case (4, DoubleType) => (r: InternalRow) => w.putDoubleAt(i, r.getDouble(i))
+        case (5, FloatType) => (r: InternalRow) => w.putFloatAt(i, r.getFloat(i))
+        case (6, ArrayType(FloatType, _)) =>
+          (r: InternalRow) => w.putFloatArrAt(i, r.getArray(i).toFloatArray)
+        case (7, ArrayType(DoubleType, _)) =>
+          (r: InternalRow) => w.putDoubleArrAt(i, r.getArray(i).toDoubleArray)
+        case (8, ArrayType(LongType, _)) =>
+          (r: InternalRow) => w.putLongArrAt(i, r.getArray(i).toLongArray)
+        case _ => (r: InternalRow) => w.putAnyAt(i, getters(i)(r))
+      }
+    }.toArray
 
   override def write(record: InternalRow): Unit = {
     if (w == null) {
@@ -289,13 +314,15 @@ private[netcdf] class Nc4DataWriter(schema: StructType, dir: String, baseName: S
         zstdLevel = zstdLevel, bitfields = bitfields, opaques = opaques,
         arrayDatatype = arrayDt, refAttrs = refAttrs)
     }
+    if (colWriters == null) colWriters = bindColWriters()
     var i = 0
     while (i < schema.size) {
       if (record.isNullAt(i)) throw new IllegalArgumentException(
         s"null in column ${schema.fields(i).name}: fill or filter nulls before writing")
       i += 1
     }
-    w.writeRow(i => getters(i)(record))
+    i = 0
+    while (i < colWriters.length) { colWriters(i)(record); i += 1 }
     nRecs += 1
   }
 
