@@ -196,8 +196,8 @@ object Bpe {
     words.join(vocab, "w")
       .groupBy("doc_id")
       .agg(sum(size(col("toks"))).cast(LongType).as("n_tokens"),
-        md5(concat_ws(" ", flatten(expr(
-          "transform(array_sort(collect_list(struct(pos, toks))), x -> x.toks)"))))
+        md5(concat_ws(" ", flatten(graft.functions.NgramExpressions.sorted_vals(
+          collect_list(struct(col("pos"), col("toks")))))))
           .as("seq_hash"))
   }
 
@@ -283,9 +283,9 @@ object Bpe {
         .select(col("f"),
           split(trim(segCol(ms.map(m => (m._2, m._3)))), " ").as("toks"))
         .filter(size(col("toks")) >= 2)
-      val top = toks.select(col("f"), explode(expr(
-          "transform(sequence(1, size(toks) - 1), j -> struct(element_at(toks, j) AS a, element_at(toks, j + 1) AS b))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      val top = toks.select(col("f"),
+          explode(graft.functions.NgramExpressions.word_bigram_structs(col("toks"))).as("p"))
+        .groupBy(col("p.w1").as("a"), col("p.w2").as("b"))
         .agg(sum(col("f")).as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
@@ -420,8 +420,8 @@ object Bpe {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast(LongType).as("n_words"),
         sum(when(col("decoded") === col("w"), 1L).otherwise(0L)).as("n_roundtrip_ok"),
-        md5(concat_ws(" ", expr(
-          "transform(array_sort(collect_list(struct(pos, decoded))), x -> x.decoded)")))
+        md5(concat_ws(" ", graft.functions.NgramExpressions.sorted_vals(
+          collect_list(struct(col("pos"), col("decoded"))))))
           .as("rebuilt_hash"))
   }
 

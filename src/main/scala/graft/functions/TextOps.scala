@@ -56,7 +56,7 @@ object TextOps {
     t(s, dir, "documents")
       .withColumn("n_words", size(split(col("text"), " ")).cast(LongType))
       .withColumn("n_stop",
-        expr(s"size(filter(split(text, ' '), w -> w IN (${sqlList(stoplist)})))")
+        graft.functions.NgramExpressions.count_tokens_in(col("text"), stoplist)
           .cast(LongType))
       .select(
         col("doc_id"),
@@ -97,7 +97,7 @@ object TextOps {
   private[graft] def langIdOf(docs: DataFrame): DataFrame = {
     val base = markers.foldLeft(docs) { case (df, (lg, ws)) =>
       df.withColumn(s"c_$lg",
-        expr(s"size(filter(split(text, ' '), w -> w IN (${sqlList(ws)})))").cast(LongType))
+        graft.functions.NgramExpressions.count_tokens_in(col("text"), ws).cast(LongType))
     }
     val best = markers.map { case (lg, _) => col(s"c_$lg") }.reduce(greatest(_, _))
     val pred = markers.foldRight(lit("und")) { case ((lg, _), acc) =>
@@ -134,8 +134,7 @@ object TextOps {
         col("doc_id"),
         md5(col("norm")).as("fp_md5"),
         when(size(col("ws")) >= 3,
-          array_min(expr(
-            "transform(sequence(1, size(ws) - 2), i -> md5(concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2))))")))
+          array_min(graft.functions.NgramExpressions.array_md5(graft.functions.NgramExpressions.word_ngrams(col("ws"), 3))))
           .otherwise(md5(col("norm"))).as("fp_shingle_min"))
   }
 
@@ -557,9 +556,8 @@ object TextOps {
       .groupBy("source", "bin_id")
       .agg(count(lit(1)).as("n_segments"),
         sum(col("slice_len")).as("fill"),
-        md5(concat_ws(",", expr(
-          "transform(array_sort(collect_list(struct(bin_offset, slice_len))), " +
-            "x -> concat(CAST(x.bin_offset AS STRING), ':', CAST(x.slice_len AS STRING)))")))
+        md5(concat_ws(",", graft.functions.NgramExpressions.sorted_vals(collect_list(struct(col("bin_offset"),
+            expr("concat(CAST(bin_offset AS STRING), ':', CAST(slice_len AS STRING))"))))))
           .as("mask_md5"))
       .select(col("source"), col("bin_id"), col("n_segments"), col("fill"),
         (lit(B) - col("fill")).as("n_pad"), col("mask_md5"))
@@ -593,8 +591,7 @@ object TextOps {
     t(s, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
-      .withColumn("grams", expr(
-        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
+      .withColumn("grams", graft.functions.NgramExpressions.word_ngrams(col("ws"), 3))
       .select(col("doc_id"),
         size(col("grams")).cast(LongType).as("n_grams"),
         size(array_distinct(col("grams"))).cast(LongType).as("n_distinct"),
@@ -631,7 +628,7 @@ object TextOps {
     df
       .withColumn("n_words", size(split(col("text"), " ")).cast(LongType))
       .withColumn("n_stop",
-        expr(s"size(filter(split(text, ' '), w -> w IN (${sqlList(stoplist)})))")
+        graft.functions.NgramExpressions.count_tokens_in(col("text"), stoplist)
           .cast(LongType))
       .withColumn("score",
         least(col("n_words") / 50.0, lit(1.0)) * 0.4
@@ -847,15 +844,15 @@ object TextOps {
   def textHashEmbedding: Q = (s, dir) => {
     t(s, dir, "documents")
       .select(col("doc_id"),
-        explode(expr("filter(split(lower(text), ' '), w -> w != '')")).as("w"))
+        explode(graft.functions.NgramExpressions.lower_tokens(col("text"))).as("w"))
       .withColumn("bucket", substring(md5(col("w")), 1, 2))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("nnz"),
         sum(col("cnt") * col("cnt")).as("sum_sq"),
         sqrt(sum(col("cnt") * col("cnt")).cast(DoubleType)).as("l2"),
-        md5(concat_ws(",", expr(
-          "transform(array_sort(collect_list(struct(bucket, cnt))), x -> concat(x.bucket, ':', x.cnt))")))
+        md5(concat_ws(",", graft.functions.NgramExpressions.sorted_vals(collect_list(struct(col("bucket"),
+            expr("concat(bucket, ':', cnt)"))))))
           .as("vec_fp"))
   }
 
@@ -995,7 +992,7 @@ object TextOps {
       passthrough: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val base = docs
-      .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
+      .withColumn("words", graft.functions.NgramExpressions.space_tokens(col("text")))
       .withColumn("lines", split(col("text"), "\n"))
       .withColumn("wc", size(col("words")).cast(LongType))
       .withColumn("twl", expr("aggregate(words, 0L, (a, w) -> a + length(w))"))

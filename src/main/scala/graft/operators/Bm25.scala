@@ -57,7 +57,7 @@ object Bm25 {
   private def tokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
-        explode(expr("filter(split(lower(text), ' '), w -> w != '')")).as("w"))
+        explode(graft.functions.NgramExpressions.lower_tokens(col("text"))).as("w"))
 
   /** The centi-quantized BM25 score table (qid, doc_id, score) for
     * the [[N_QUERIES]] probe documents — shared by the top-k gate and

@@ -55,8 +55,7 @@ object Boilerplate {
   private[graft] def scrubToks(segsIn: DataFrame): DataFrame = {
     val segs = segsIn
       .select(col("doc_id"), posexplode(
-        expr(s"transform(sequence(0, (size(toks) - 1) div $SEG), " +
-          s"i -> concat_ws(' ', slice(toks, i * $SEG + 1, $SEG)))"))
+        graft.functions.NgramExpressions.space_segments(col("toks"), SEG))
         .as(Seq("seg", "seg_text")))
       .withColumn("seg_hash", md5(col("seg_text")))
       .cache() // df pass + scrub pass
@@ -68,9 +67,11 @@ object Boilerplate {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_segments"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        md5(expr("concat_ws(' ', transform(filter(" +
-          "array_sort(collect_list(struct(seg, seg_text, keep))), " +
-          "x -> x.keep), x -> x.seg_text))")).as("residual_hash"))
+        md5(concat_ws(" ", graft.functions.NgramExpressions.sorted_vals(collect_list(
+          // collect_list skips nulls, so `when(keep, ...)` collects
+          // exactly the kept segments the filter-after-sort selected;
+          // seg is distinct per doc, so key-sort == struct-sort
+          when(col("keep"), struct(col("seg"), col("seg_text"))))))).as("residual_hash"))
   }
 
   def textSegmentDedup: Q = (s, dir) => scrubToks(
@@ -118,14 +119,16 @@ object Boilerplate {
     * is bit-identical to [[textSegmentDedup]] (same oracle; pinned in
     * Round5Spec with the might_contain plan check). */
   def textSegmentDedupBloom: Q = (s, dir) => {
+    // r17: NOT cached — with the segmentation kernel the re-derive is
+    // a cheap map-side scan, while caching the corpus-sized exploded
+    // segment table paid a memory-columnar write + three reads (and
+    // could never be the 100 TB posture anyway)
     val segs = t(s, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), posexplode(
-        expr(s"transform(sequence(0, (size(toks) - 1) div $SEG), " +
-          s"i -> concat_ws(' ', slice(toks, i * $SEG + 1, $SEG)))"))
+        graft.functions.NgramExpressions.space_segments(col("toks"), SEG))
         .as(Seq("seg", "seg_text")))
       .withColumn("seg_hash", md5(col("seg_text")))
-      .cache() // df pass + both scrub branches
     val boiler = segs.groupBy("seg_hash")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= DF_MIN)
@@ -141,9 +144,11 @@ object Boilerplate {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_segments"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        md5(expr("concat_ws(' ', transform(filter(" +
-          "array_sort(collect_list(struct(seg, seg_text, keep))), " +
-          "x -> x.keep), x -> x.seg_text))")).as("residual_hash"))
+        md5(concat_ws(" ", graft.functions.NgramExpressions.sorted_vals(collect_list(
+          // collect_list skips nulls, so `when(keep, ...)` collects
+          // exactly the kept segments the filter-after-sort selected;
+          // seg is distinct per doc, so key-sort == struct-sort
+          when(col("keep"), struct(col("seg"), col("seg_text"))))))).as("residual_hash"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -29,7 +29,7 @@ object Chunker {
 
   private[graft] def chunks(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), expr("filter(split(text, ' '), w -> w != '')").as("ws"))
+      .select(col("doc_id"), graft.functions.NgramExpressions.space_tokens(col("text")).as("ws"))
       .withColumn("n", size(col("ws")))
       .filter(col("n") > 0)
       .select(col("doc_id"), col("n"), col("ws"),

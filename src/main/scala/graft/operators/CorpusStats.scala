@@ -34,7 +34,7 @@ object CorpusStats {
   def textHapaxRatio: Q = (s, dir) => {
     t(s, dir, "documents")
       .select(col("source"),
-        explode(expr("filter(split(lower(text), ' '), w -> w != '')")).as("w"))
+        explode(graft.functions.NgramExpressions.lower_tokens(col("text"))).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c"))
       .groupBy("source")
       .agg(count(lit(1)).as("vocab"),
@@ -61,7 +61,7 @@ object CorpusStats {
   def pipelineLengthHistogram: Q = (s, dir) => {
     t(s, dir, "documents")
       .select(col("source"),
-        expr("CAST(size(filter(split(lower(text), ' '), w -> w != '')) AS BIGINT)").as("n"))
+        size(graft.functions.NgramExpressions.lower_tokens(col("text"))).cast("long").as("n"))
       .withColumn("bucket",
         expr("CASE WHEN n = 0 THEN -1 ELSE CAST(length(bin(n)) - 1 AS INT) END"))
       .groupBy("source", "bucket")

@@ -79,7 +79,7 @@ object Decontaminate {
     val isBenchVec =
       substring(md5(concat(lit("graft-bench-v1:"), col("vec_id").cast(org.apache.spark.sql.types.StringType))), 1, 2) < "08"
     val emb = t(s, dir, "embeddings")
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("nrm", vec_norm(col("v")))
     val probes = emb.filter(isBenchVec)
       .select(col("v").as("pv"), col("nrm").as("pn"))
@@ -217,7 +217,7 @@ object Decontaminate {
       substring(md5(concat(lit("graft-bench-v1:"), col("vec_id").cast(org.apache.spark.sql.types.StringType))), 1, 2) < "08"
     val probesArr = t(s, dir, "embeddings")
       .filter(isBenchVec)
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("nrm", vec_norm(col("v")))
       .agg(collect_list(struct(col("v").as("pv"), col("nrm").as("pn"))).as("ps"))
     val docsSide = t(s, dir, "documents")
@@ -226,7 +226,7 @@ object Decontaminate {
     val sch = s.read.parquet(s"$dir/embeddings.parquet").schema
     s.readStream.schema(sch).parquet(stageDir)
       .filter(!isBenchVec)
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("nrm", vec_norm(col("v")))
       .crossJoin(broadcast(probesArr))
       // r16 optimization (guide §4): the inner dot is the codegen'd

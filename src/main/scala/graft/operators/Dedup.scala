@@ -50,14 +50,12 @@ object Dedup {
     * array (r14 — the unicode tokenizer twin passes
     * [[graft.functions.Tokenize.tokens]]). */
   private[operators] def shingles(docs: DataFrame, n: Int,
-      ws: Column = split(col("text"), " ")): DataFrame = {
-    val concatExpr = (1 to n).map(j => s"element_at(ws, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")")
+      ws: Column = split(col("text"), " ")): DataFrame =
     docs
       .withColumn("ws", ws)
       .filter(size(col("ws")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), i -> $concatExpr))")).as("sh"))
-  }
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.NgramExpressions.word_ngrams(col("ws"), n))).as("sh"))
 
   /** [[shingles]] minus shingles with document frequency > [[MAX_DF]].
     * The hot list is computed with a partial-agg groupBy (each map
@@ -694,24 +692,14 @@ object Dedup {
     * passes [[graft.functions.Tokenize.tokens]]; every shape
     * downstream of the word array is shared). */
   private[operators] def simhashFps(docs: DataFrame,
-      ws: Column = split(col("text"), " ")): DataFrame = {
-    val base = docs
+      ws: Column = split(col("text"), " ")): DataFrame =
+    // r17 (guide §4): one-pass codegen kernel replacing the 64
+    // interpreted per-dimension filter passes over a per-word hash
+    // array (bit-equivalence with that chain pinned in VectorExprSpec)
+    docs
       .withColumn("ws", ws)
-      .withColumn("n", size(col("ws")).cast(LongType))
-      // hash each word once (two md5s → 64 hex digits); the 64
-      // per-dimension counts then only inspect the precomputed hashes
-      .withColumn("hs", expr("transform(ws, w -> concat(md5(w), md5(concat('x:', w))))"))
-    val withCnt = (0 until SIMHASH_DIMS).foldLeft(base) { (df, d) =>
-      df.withColumn(s"cnt$d",
-        expr(s"size(filter(hs, h -> substring(h, ${d + 1}, 1) >= '8'))").cast(LongType))
-    }
-    // bitwise OR, not +: bit 63 is the sign bit and 1L << 63 is
-    // negative, so an arithmetic sum would overflow
-    val fp = (0 until SIMHASH_DIMS).map(d =>
-      when(col(s"cnt$d") * 2 > col("n"), lit(1L << d)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    withCnt.select(col("doc_id"), fp.as("fp"))
-  }
+      .select(col("doc_id"),
+        graft.functions.NgramExpressions.simhash64(col("ws")).as("fp"))
 
   /** Banded hamming-≤3 pair selection over a fingerprint table —
     * shared by the ASCII key and the unicode twin. */
@@ -975,11 +963,10 @@ object Dedup {
     Staged.table(s, dir, "sparse_feats", coalesce = false) {
       t(s, dir, "documents")
         .select(col("doc_id"),
-          expr("filter(split(lower(text), ' '), w -> w != '')").as("ws"))
+          graft.functions.NgramExpressions.lower_tokens(col("text")).as("ws"))
         .filter(size(col("ws")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
-          .as("g"))
+        .select(col("doc_id"),
+          explode(graft.functions.NgramExpressions.word_ngrams(col("ws"), 2)).as("g"))
         .withColumn("bucket", substring(md5(col("g")), 1, 4))
         .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
     }
@@ -1137,9 +1124,8 @@ object Dedup {
   private[operators] def substringSpansOf(words: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = words.filter(size(col("ws")) >= SPAN_W)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(ws) - ${SPAN_W - 1}), " +
-          s"i -> md5(concat_ws(' ', slice(ws, i, $SPAN_W))))"))
+      .select(col("doc_id"), posexplode(graft.functions.NgramExpressions.array_md5(
+        graft.functions.NgramExpressions.word_ngrams(col("ws"), SPAN_W)))
         .as(Seq("p", "h")))
       .select(col("doc_id"), (col("p") + 1).cast(LongType).as("pos"), col("h"))
     val dup = win.groupBy("h").agg(count(lit(1)).as("c"))
@@ -1166,7 +1152,7 @@ object Dedup {
   def dedupSubstringSpans: Q = (s, dir) => substringSpansOf(
     t(s, dir, "documents")
       .select(col("doc_id"),
-        expr("filter(split(lower(text), ' '), w -> w != '')").as("ws")))
+        graft.functions.NgramExpressions.lower_tokens(col("text")).as("ws")))
 
   /** [[dedupSubstringSpansSql]] over an arbitrary token expression and
     * docs relation (r16 — the unicode twin splices the shared regex
@@ -1227,11 +1213,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val words = t(s, dir, "documents")
       .select(col("doc_id"),
-        expr("filter(split(lower(text), ' '), w -> w != '')").as("ws"))
+        graft.functions.NgramExpressions.lower_tokens(col("text")).as("ws"))
     val win = words.filter(size(col("ws")) >= SPAN_W)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(ws) - ${SPAN_W - 1}), " +
-          s"i -> md5(concat_ws(' ', slice(ws, i, $SPAN_W))))"))
+      .select(col("doc_id"), posexplode(graft.functions.NgramExpressions.array_md5(
+        graft.functions.NgramExpressions.word_ngrams(col("ws"), SPAN_W)))
         .as(Seq("p", "h")))
       .select(col("doc_id"), (col("p") + 1).cast(LongType).as("pos"), col("h"))
     // dup detection and canonical election fused into ONE partial agg:
@@ -1282,11 +1267,10 @@ object Dedup {
   def pipelineSpanApply: Q = (s, dir) => {
     val words = t(s, dir, "documents")
       .select(col("doc_id"),
-        expr("filter(split(lower(text), ' '), w -> w != '')").as("ws"))
+        graft.functions.NgramExpressions.lower_tokens(col("text")).as("ws"))
     val win = words.filter(size(col("ws")) >= SPAN_W)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(ws) - ${SPAN_W - 1}), " +
-          s"i -> md5(concat_ws(' ', slice(ws, i, $SPAN_W))))"))
+      .select(col("doc_id"), posexplode(graft.functions.NgramExpressions.array_md5(
+        graft.functions.NgramExpressions.word_ngrams(col("ws"), SPAN_W)))
         .as(Seq("p", "h")))
       .select(col("doc_id"), (col("p") + 1).cast(LongType).as("pos"), col("h"))
     val canon = win.groupBy("h")
@@ -1307,8 +1291,8 @@ object Dedup {
     val perDoc = wordPos.join(covered, Seq("doc_id", "p"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
-        md5(concat_ws(" ", expr(
-          "transform(array_sort(collect_list(struct(p, w))), x -> x.w)"))).as("clean_fp"))
+        md5(concat_ws(" ", graft.functions.NgramExpressions.sorted_vals(
+          collect_list(struct(col("p"), col("w")))))).as("clean_fp"))
     words.select(col("doc_id"), size(col("ws")).cast(LongType).as("n_words"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),

@@ -47,7 +47,7 @@ object Drift {
     // corpus explode recomputes once per branch
     val c1 = t(s, dir, "documents")
       .select(col("source"),
-        explode(expr("filter(split(lower(text), ' '), w -> w != '')")).as("w"))
+        explode(graft.functions.NgramExpressions.lower_tokens(col("text"))).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c1"))
       .cache()
     val tot = c1.groupBy("w").agg(sum(col("c1")).as("tw"))

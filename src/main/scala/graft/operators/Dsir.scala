@@ -49,12 +49,11 @@ object Dsir {
   /** Map-side unigram + bigram feature stream: (doc_id, source, bucket). */
   private def featBuckets(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents").select(col("doc_id"), col("source"),
-      expr("filter(split(lower(text), ' '), w -> w != '')").as("ws"))
+      graft.functions.NgramExpressions.lower_tokens(col("text")).as("ws"))
     val uni = base.select(col("doc_id"), col("source"), explode(col("ws")).as("feat"))
     val bi = base.filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), col("source"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("feat"))
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.NgramExpressions.word_ngrams(col("ws"), 2)).as("feat"))
     uni.unionAll(bi)
       .select(col("doc_id"), col("source"), substring(md5(col("feat")), 1, 2).as("bucket"))
   }
@@ -182,11 +181,9 @@ object Dsir {
     graft.streaming.StreamStage.withStaged(s, "sdsir", dir, "documents.parquet") { stageDir =>
       val streamFeats = s.readStream.schema(sch).parquet(stageDir)
         .select(col("doc_id"),
-          expr("filter(split(lower(text), ' '), w -> w != '')").as("ws"))
-        .select(col("doc_id"), explode(expr(
-          "concat(ws, CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), " +
-            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) " +
-            "ELSE CAST(array() AS ARRAY<STRING>) END)")).as("feat"))
+          graft.functions.NgramExpressions.lower_tokens(col("text")).as("ws"))
+        .select(col("doc_id"), explode(
+          concat(col("ws"), graft.functions.NgramExpressions.word_ngrams(col("ws"), 2))).as("feat"))
         .select(col("doc_id"), substring(md5(col("feat")), 1, 2).as("bucket"))
       val scored = streamFeats.join(broadcast(lam), "bucket")
         .select(col("doc_id"), col("lam"))

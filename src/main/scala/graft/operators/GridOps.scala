@@ -71,7 +71,7 @@ object GridOps {
       chunkSize: Int): DataFrame = {
     df.select(indexCol.cast(LongType).as("idx"), valueCol.cast(DoubleType).as("v"))
       .groupBy(expr(s"idx div $chunkSize").as("chunk_idx"))
-      .agg(expr("transform(array_sort(collect_list(struct(idx, v))), s -> s.v)").as("values"),
+      .agg(graft.functions.NgramExpressions.sorted_vals(collect_list(struct(col("idx"), col("v")))).as("values"),
         min(col("idx")).as("origin"))
       .select(lit(varName).as("variable"), col("chunk_idx"), col("origin"),
         size(col("values")).cast(LongType).as("shape"), col("values"))
@@ -472,7 +472,7 @@ object GridOps {
     * ordinal from the closed form (pos - dim0)·nrecs + (rec - rec0). */
   def gridRechunkDim: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), expr("transform(embedding, e -> CAST(e AS DOUBLE))").as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     rechunkByDim(emb, col("vec_id"), col("v"), "embedding", 256, 16)
       .select(col("rec_chunk"), col("dim_chunk"), col("rec_origin"), col("dim_origin"),
         col("shape_rec"), col("shape_dim"), posexplode(col("values")).as(Seq("lp", "x")))
@@ -537,7 +537,7 @@ object GridOps {
   def gridCoarsen2d: Q = (s, dir) => {
     t(s, dir, "embeddings")
       .select(col("vec_id"), posexplode(
-        expr("transform(embedding, e -> CAST(e AS DOUBLE))")).as(Seq("pos", "x")))
+        col("embedding").cast("array<double>")).as(Seq("pos", "x")))
       .withColumn("rec_blk", expr("vec_id div 50"))
       .withColumn("dim_blk", expr("pos div 8"))
       .groupBy("rec_blk", "dim_blk")

@@ -75,16 +75,12 @@ object HeapsFit {
 
   /** Per-doc 3-gram token array (ALL occurrences, uncapped — Heaps
     * counts tokens, unlike the distinct df-capped dedup shingles). */
-  private val gramsExpr = {
-    val cat = (0 until GRAM).map(j => s"element_at(ws, i + $j)").mkString("concat_ws(' ', ", ", ", ")")
-    s"CASE WHEN size(ws) >= $GRAM THEN transform(sequence(1, size(ws) - ${GRAM - 1}), i -> $cat) " +
-      "ELSE CAST(array() AS ARRAY<STRING>) END"
-  }
+  private def gramsCol = graft.functions.NgramExpressions.word_ngrams(col("ws"), GRAM)
 
   def textHeapsFit: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"),
-        expr("filter(split(lower(text), ' '), w -> w != '')").as("ws"))
+        graft.functions.NgramExpressions.lower_tokens(col("text")).as("ws"))
     val bounds = docs.agg(min(col("doc_id")).as("lo"),
       (max(col("doc_id")) - min(col("doc_id")) + 1L).as("span"))
     // doc pass: the per-doc gram COUNT is pure arithmetic on the token
@@ -96,7 +92,7 @@ object HeapsFit {
       .agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("nt"))
     // inventory pass: gram strings build exactly ONCE, for the
     // first-occurrence agg — the operator's only corpus-sized shuffle
-    val vhist = docs.select(col("doc_id"), explode(expr(gramsExpr)).as("g"))
+    val vhist = docs.select(col("doc_id"), explode(gramsCol).as("g"))
       .groupBy("g").agg(min(col("doc_id")).as("fd"))
       .crossJoin(broadcast(bounds))
       .select(expr(s"(($K * (fd - lo)) DIV span) + 1").as("k"))

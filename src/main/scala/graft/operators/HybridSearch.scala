@@ -51,7 +51,7 @@ object HybridSearch {
       .select(col("qid"), col("doc_id"), col("lex_rank"))
     // vector branch: brute-force cosine top-BRANCH_K for the same probes
     val emb = t(s, dir, "embeddings")
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("nrm", vec_norm(col("v")))
     val probes = emb.filter(col("vec_id") < Bm25.N_QUERIES)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))

@@ -158,11 +158,9 @@ object NbClassifier {
       val streamFeats = s.readStream.schema(sch).parquet(stageDir)
         .filter(!col("source").isin(POS, NEG))
         .select(col("doc_id"), col("source"),
-          expr("filter(split(lower(text), ' '), w -> w != '')").as("ws"))
-        .select(col("doc_id"), col("source"), explode(expr(
-          "concat(ws, CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), " +
-            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) " +
-            "ELSE CAST(array() AS ARRAY<STRING>) END)")).as("feat"))
+          graft.functions.NgramExpressions.lower_tokens(col("text")).as("ws"))
+        .select(col("doc_id"), col("source"), explode(
+          concat(col("ws"), graft.functions.NgramExpressions.word_ngrams(col("ws"), 2))).as("feat"))
         .select(col("doc_id"), col("source"),
           substring(md5(col("feat")), 1, 2).as("bucket"))
       val scored = streamFeats.join(broadcast(w), "bucket")

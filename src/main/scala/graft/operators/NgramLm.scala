@@ -37,12 +37,10 @@ object NgramLm {
   private def bigrams(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
-        expr("filter(split(lower(text), ' '), w -> w != '')").as("ws"))
+        graft.functions.NgramExpressions.lower_tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> named_struct('w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))"))
-        .as("b"))
+      .select(col("doc_id"),
+        explode(graft.functions.NgramExpressions.word_bigram_structs(col("ws"))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
 
   /** Per-doc transition-typicality: n_bigrams, Σq (BIGINT-exact), and
@@ -214,12 +212,10 @@ object NgramLm {
     graft.streaming.StreamStage.withStaged(s, "sppl", dir, "documents.parquet") { stageDir =>
       val streamBi = s.readStream.schema(sch).parquet(stageDir)
         .select(col("doc_id"),
-          expr("filter(split(lower(text), ' '), w -> w != '')").as("ws"))
+          graft.functions.NgramExpressions.lower_tokens(col("text")).as("ws"))
         .filter(size(col("ws")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ws) - 1), " +
-            "i -> named_struct('w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))"))
-          .as("b"))
+        .select(col("doc_id"),
+          explode(graft.functions.NgramExpressions.word_bigram_structs(col("ws"))).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       val scored = streamBi.join(broadcast(dict), Seq("w1", "w2"), "left")
         .select(col("doc_id"), coalesce(col("q"), lit(0L)).as("q_eff"))

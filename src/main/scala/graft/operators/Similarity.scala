@@ -34,7 +34,7 @@ object Similarity {
   /** embedding as array<double> plus its L2 norm (codegen'd kernel —
     * same sequential fold as the HOF/oracle formulation). */
   private def withVec(df: DataFrame): DataFrame =
-    df.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    df.withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("nrm", vec_norm(col("v")))
 
   /** 8-bit sign-signature bucket over the first 8 dimensions. */
@@ -104,7 +104,7 @@ object Similarity {
       t(s, dir, "embeddings")
         .select(col("vec_id"),
           graft.functions.VectorExpressions.vec_pack(
-            expr("transform(embedding, x -> cast(x as float))")).as("emb_bin"))
+            col("embedding").cast("array<float>")).as("emb_bin"))
         .write.mode("overwrite").parquet(out)
     }
     topkBruteforceOver(
@@ -526,7 +526,7 @@ object Similarity {
         .groupBy("cent_id", "pos")
         .agg((sum(col("x").cast(DecimalType(27, 12))).cast(DoubleType) / count(lit(1))).as("m"))
         .groupBy("cent_id")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("cv"))
+        .agg(graft.functions.NgramExpressions.sorted_vals(collect_list(struct(col("pos"), col("m")))).as("cv"))
         .withColumn("cn", vec_norm(col("cv")))
     }
     cents
@@ -823,7 +823,7 @@ object Similarity {
         .groupBy("m", "code", "p")
         .agg((sum(col("x").cast(DecimalType(27, 12))).cast(DoubleType) / count(lit(1))).as("mv"))
         .groupBy("m", "code")
-        .agg(expr("transform(array_sort(collect_list(struct(p, mv))), q -> q.mv)").as("bv"))
+        .agg(graft.functions.NgramExpressions.sorted_vals(collect_list(struct(col("p"), col("mv")))).as("bv"))
     }
     // encode: all PQ_M argmins in ONE partial-agg pass over the corpus
     // (min of a (dist, code) struct is the lexicographic argmin)
@@ -997,7 +997,7 @@ object Similarity {
         .groupBy("m", "code", "p")
         .agg((sum(col("x").cast(DecimalType(27, 12))).cast(DoubleType) / count(lit(1))).as("mv"))
         .groupBy("m", "code")
-        .agg(expr("transform(array_sort(collect_list(struct(p, mv))), q -> q.mv)").as("bv"))
+        .agg(graft.functions.NgramExpressions.sorted_vals(collect_list(struct(col("p"), col("mv")))).as("bv"))
     }
     // encode: all PQ_M residual argmins in one partial-agg pass,
     // carrying the cell id and norm for the ADC stage
@@ -1154,8 +1154,8 @@ object Similarity {
         .select(posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
         .groupBy()
-        .agg(expr("transform(array_sort(collect_list(struct(pos, mn))), p -> p.mn)").as("mns"),
-          expr("transform(array_sort(collect_list(struct(pos, mx))), p -> p.mx)").as("mxs"))
+        .agg(graft.functions.NgramExpressions.sorted_vals(collect_list(struct(col("pos"), col("mn")))).as("mns"),
+          graft.functions.NgramExpressions.sorted_vals(collect_list(struct(col("pos"), col("mx")))).as("mxs"))
     }
   Staged.register("sq_stats")((s, dir) => { stagedSqStats(s, dir); () })
 
@@ -1673,7 +1673,7 @@ object Similarity {
       .agg((sum(col("x").cast(DecimalType(27, 12))).cast(DoubleType) / count(lit(1))).as("m"),
         count(lit(1)).as("nv"))
       .groupBy("cent_id")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("nxt_cv"),
+      .agg(graft.functions.NgramExpressions.sorted_vals(collect_list(struct(col("pos"), col("m")))).as("nxt_cv"),
         max(col("nv")).as("n_vecs"))
     nxt.join(cents.select(col("cent_id"), col("cv")), "cent_id")
       .select(col("cent_id").cast(LongType).as("cent_id"), col("n_vecs"),

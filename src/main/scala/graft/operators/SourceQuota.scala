@@ -65,7 +65,7 @@ object SourceQuota {
     docs
       .withColumn("n_words", size(split(col("text"), " ")).cast(LongType))
       .withColumn("n_stop",
-        expr(s"size(filter(split(text, ' '), w -> w IN (${sqlList(stoplist)})))")
+        graft.functions.NgramExpressions.count_tokens_in(col("text"), stoplist)
           .cast(LongType))
       .withColumn("qk", expr(qkExpr))
       .select("doc_id", "source", "n_chars", "qk")

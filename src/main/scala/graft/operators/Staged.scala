@@ -61,8 +61,18 @@ object Staged {
   def prestage(s: SparkSession, dir: String): Seq[(String, Double)] = {
     import scala.jdk.CollectionConverters._
     val tags = registry.asScala.toSeq.sortBy(_._1)
-    val threads = math.max(2, math.min(8,
-      Runtime.getRuntime.availableProcessors() / 4))
+    // r17 StageProbe sweep at sf0.1/local[32] AFTER the builder
+    // kernels landed: 2 threads → 32.5 s, 4 → 20.5, 6 → 18.2,
+    // 8 → 17.4 — overlap pays once no single builder is CPU-dense
+    // enough to be starved. (Before the simhash64 kernel, ONE
+    // interpreted 64-HOF builder under an 8-deep pool stretched
+    // 6.95 s → 70 s and the wall BEAT sequential staging — fix the
+    // expensive builder first, then overlap; guide §2.6 with its own
+    // warning applied.) Env override for deployments whose builders
+    // saturate the cluster differently.
+    val threads = sys.env.get("SPARK_GRAFT_STAGE_THREADS").map(_.toInt)
+      .getOrElse(math.max(2, math.min(8,
+        Runtime.getRuntime.availableProcessors() / 4)))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     try {
       val futures = tags.map { case (tag, touch) =>

@@ -29,7 +29,7 @@ object TfIdf {
 
   private def tf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      explode(expr("filter(split(lower(text), ' '), w -> w != '')")).as("w"))
+      explode(graft.functions.NgramExpressions.lower_tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
 
   /** The (doc, term, tf) table — staged ONCE per corpus (r14, r13

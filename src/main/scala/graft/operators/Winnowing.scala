@@ -39,13 +39,9 @@ object Winnowing {
       .withColumn("ws", ws)
       .filter(size(col("ws")) >= K)
       .withColumn("ng", (size(col("ws")) - (K - 1)).cast(LongType))
-      .withColumn("hs", expr(
-        s"""transform(sequence(1, size(ws) - ${K - 1}),
-           |  i -> md5(concat_ws(' ', slice(ws, i, $K))))""".stripMargin))
-      .withColumn("fps", expr(
-        s"""array_sort(array_distinct(transform(
-           |  sequence(1, greatest(size(hs) - ${W - 1}, 1)),
-           |  i -> array_min(slice(hs, i, $W)))))""".stripMargin))
+      .withColumn("hs", graft.functions.NgramExpressions.array_md5(graft.functions.NgramExpressions.word_ngrams(col("ws"), K)))
+      .withColumn("fps", array_sort(array_distinct(
+        graft.functions.NgramExpressions.winnow_mins(col("hs"), W))))
       .select(col("doc_id"), col("ng").as("n_grams"),
         size(col("fps")).cast(LongType).as("n_fps"),
         md5(concat_ws(",", col("fps"))).as("fp_digest"))
@@ -111,13 +107,9 @@ object Winnowing {
     docs
       .withColumn("ws", ws)
       .filter(size(col("ws")) >= K)
-      .withColumn("hs", expr(
-        s"""transform(sequence(1, size(ws) - ${K - 1}),
-           |  i -> md5(concat_ws(' ', slice(ws, i, $K))))""".stripMargin))
-      .select(col("doc_id"), explode(expr(
-        s"""array_distinct(transform(
-           |  sequence(1, greatest(size(hs) - ${W - 1}, 1)),
-           |  i -> array_min(slice(hs, i, $W))))""".stripMargin)).as("fp"))
+      .withColumn("hs", graft.functions.NgramExpressions.array_md5(graft.functions.NgramExpressions.word_ngrams(col("ws"), K)))
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.NgramExpressions.winnow_mins(col("hs"), W))).as("fp"))
 
   /** df-cap + keyed self-join over a fingerprint table. */
   private def winnowPairsFrom(fps: DataFrame): DataFrame = {

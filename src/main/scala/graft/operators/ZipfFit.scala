@@ -39,7 +39,7 @@ object ZipfFit {
   def textZipfFit: Q = (s, dir) => {
     val wf = t(s, dir, "documents")
       .select(col("source"),
-        explode(expr("filter(split(lower(text), ' '), w -> w != '')")).as("word"))
+        explode(graft.functions.NgramExpressions.lower_tokens(col("text"))).as("word"))
       .groupBy("source", "word").agg(count(lit(1)).as("f"))
     val ranked = wf
       .withColumn("rank", row_number().over(

@@ -1158,8 +1158,8 @@ object Nc4Queries {
       .groupBy(expr("record div 512").as("chunk_idx"))
       .agg(min(col("record")).as("origin"),
         count(lit(1)).as("shape"),
-        md5(concat_ws(",", expr(
-          "transform(array_sort(collect_list(struct(record, v))), e -> CAST(CAST(e.v AS INT) AS STRING))")))
+        md5(concat_ws(",", graft.functions.NgramExpressions.sorted_vals(collect_list(struct(col("record"),
+            expr("CAST(CAST(v AS INT) AS STRING)"))))))
           .as("values_hash"),
         expr("CAST(SUM(CAST(v AS DECIMAL(9,2))) AS DOUBLE)").as("sum_val"))
       .select(lit("l_quantity").as("variable"), col("chunk_idx"), col("origin"),

@@ -424,8 +424,7 @@ object Streams {
     val sch = s.read.parquet(s"$dir/documents.parquet").schema
     StreamStage.withStaged(s, "she", dir, "documents.parquet") { stageDir =>
       val out = s.readStream.schema(sch).parquet(stageDir)
-        .withColumn("bs", expr(
-          "transform(filter(split(lower(text), ' '), w -> w != ''), w -> substring(md5(w), 1, 2))"))
+        .withColumn("bs", graft.functions.NgramExpressions.array_md5_prefix(graft.functions.NgramExpressions.lower_tokens(col("text")), 2))
         .filter(size(col("bs")) > 0) // batch emits no row for token-free docs
         .withColumn("db", expr("array_sort(array_distinct(bs))"))
         // r16 optimization: hash-count expression instead of the
@@ -478,7 +477,7 @@ object Streams {
     StreamStage.withStaged(s, "slhist", dir, "documents.parquet") { stageDir =>
       val hist = s.readStream.schema(sch).parquet(stageDir)
         .select(col("source"),
-          expr("CAST(size(filter(split(lower(text), ' '), w -> w != '')) AS BIGINT)").as("n"))
+          size(graft.functions.NgramExpressions.lower_tokens(col("text"))).cast("long").as("n"))
         .withColumn("bucket",
           expr("CASE WHEN n = 0 THEN -1 ELSE CAST(length(bin(n)) - 1 AS INT) END"))
         .groupBy("source", "bucket")

@@ -114,6 +114,210 @@ class VectorExprSpec extends AnyFunSuite {
       plan.take(800))
   }
 
+  test("WordNgrams matches the transform/sequence/concat_ws chain across widths") {
+    import spark.implicits._
+    import graft.functions.NgramExpressions.word_ngrams
+    // real corpus + adversarial rows: empty-string tokens (double
+    // spaces), unicode, single token, exact-boundary sizes, and a
+    // null token (concat_ws skips nulls, no separator)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("text")
+      .unionAll(Seq("a  b   c", "一 二 三 四", "solo", "x y", "p q r s t u v w x").toDF("text"))
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("wsn", expr("concat(slice(ws, 1, 3), array(CAST(NULL AS STRING)), slice(ws, 4, 100))"))
+    Seq(2, 3, 4, 8).foreach { n =>
+      val cat = (1 to n).map(j => s"element_at(a, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")")
+      Seq("ws", "wsn").foreach { cn =>
+        val guarded = docs.filter(size(col(cn)) >= n).withColumn("a", col(cn))
+        val both = guarded.select(
+          word_ngrams(col("a"), n).as("native"),
+          expr(s"transform(sequence(1, size(a) - ${n - 1}), i -> $cat)").as("hof"))
+        assert(both.filter(expr("native <> hof")).isEmpty, s"n=$n col=$cn")
+        assert(both.count() > 0, s"n=$n col=$cn")
+        // below the guard the kernel returns an EMPTY array (the CASE
+        // WHEN ... ELSE array() END some call sites spell out)
+        val under = docs.filter(size(col(cn)) < n)
+          .select(word_ngrams(col(cn), n).as("native"))
+        assert(under.filter(size(col("native")) =!= 0).isEmpty, s"n=$n col=$cn under-guard")
+      }
+    }
+    val nulls = Seq[Option[Seq[String]]](None).toDF("ws")
+      .select(word_ngrams(col("ws"), 2).as("native"))
+    assert(nulls.filter(col("native").isNotNull).isEmpty)
+  }
+
+  test("SpaceSegments matches the transform/slice chain incl. the size-0 degenerate") {
+    import spark.implicits._
+    import graft.functions.NgramExpressions.space_segments
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("text")
+      .unionAll(Seq("a  b   c", "一 二 三 四 五 六 七 八 九", "solo",
+        "t1 t2 t3 t4 t5 t6 t7 t8", "u1 u2 u3 u4 u5 u6 u7 u8 u9").toDF("text"))
+      .withColumn("toks", split(col("text"), " "))
+      // the unicode twin can produce a ZERO-LENGTH token array; splice
+      // one in to pin the -1 div seg = 0 degenerate (one empty segment)
+      .withColumn("toks", expr("CASE WHEN text = 'solo' THEN CAST(array() AS ARRAY<STRING>) ELSE toks END"))
+    Seq(3, 8).foreach { seg =>
+      val both = docs.select(
+        space_segments(col("toks"), seg).as("native"),
+        expr(s"transform(sequence(0, (size(toks) - 1) div $seg), " +
+          s"i -> concat_ws(' ', slice(toks, i * $seg + 1, $seg)))").as("hof"))
+      assert(both.filter(expr("native <> hof")).isEmpty, s"seg=$seg")
+      assert(both.count() > 0)
+    }
+    val nulls = Seq[Option[Seq[String]]](None).toDF("toks")
+      .select(space_segments(col("toks"), 8).as("native"))
+    assert(nulls.filter(col("native").isNotNull).isEmpty)
+  }
+
+  test("ArrayMd5 matches transform(a, x -> md5(x)) incl. null elements") {
+    import spark.implicits._
+    import graft.functions.NgramExpressions.array_md5
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("text")
+      .unionAll(Seq("一 二 三", "", "a  b").toDF("text"))
+      .withColumn("a", expr("concat(split(text, ' '), array(CAST(NULL AS STRING)))"))
+    val both = docs.select(
+      array_md5(col("a")).as("native"),
+      expr("transform(a, x -> md5(x))").as("hof"))
+    // <> is null-ambiguous on arrays with null elements; compare via
+    // to_json under ONE field name
+    assert(both.filter(
+      expr("to_json(struct(native AS a)) <> to_json(struct(hof AS a))")).isEmpty)
+    assert(both.count() > 0)
+  }
+
+  test("WordNgrams and SpaceSegments participate in whole-stage codegen") {
+    import graft.functions.NgramExpressions.{space_segments, word_ngrams}
+    val plan = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("ws", split(col("text"), " "))
+      .select(word_ngrams(col("ws"), 3).as("g"), space_segments(col("ws"), 8).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("wordngrams") && l.contains("*(")),
+      plan.take(800))
+    assert(plan.linesIterator.exists(l => l.contains("spacesegments") && l.contains("*(")),
+      plan.take(800))
+  }
+
+  test("WinnowMins matches the sliding array_min/slice chain incl. short docs") {
+    import spark.implicits._
+    import graft.functions.NgramExpressions.{array_md5, winnow_mins, word_ngrams}
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("text")
+      .unionAll(Seq("a b c d e", "一 二 三 四 五 六 七", "t1 t2 t3 t4").toDF("text"))
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 4)
+      .withColumn("hs", array_md5(word_ngrams(col("ws"), 4)))
+    Seq(2, 5).foreach { w =>
+      val both = docs.select(
+        winnow_mins(col("hs"), w).as("native"),
+        expr(s"transform(sequence(1, greatest(size(hs) - ${w - 1}, 1)), " +
+          s"i -> array_min(slice(hs, i, $w)))").as("hof"))
+      assert(both.filter(expr("native <> hof")).isEmpty, s"w=$w")
+      assert(both.count() > 0)
+    }
+  }
+
+  test("WordBigramStructs matches the named_struct chain") {
+    import spark.implicits._
+    import graft.functions.NgramExpressions.word_bigram_structs
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("text")
+      .unionAll(Seq("a  b   c", "一 二", "x y").toDF("text"))
+      .withColumn("ws", expr("filter(split(lower(text), ' '), w -> w != '')"))
+      .filter(size(col("ws")) >= 2)
+    val both = docs.select(
+      word_bigram_structs(col("ws")).as("native"),
+      expr("transform(sequence(1, size(ws) - 1), " +
+        "i -> named_struct('w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))").as("hof"))
+    assert(both.filter(expr("native <> hof")).isEmpty)
+    assert(both.count() > 0)
+  }
+
+  test("LowerTokens/SpaceTokens match the filter/split chains") {
+    import spark.implicits._
+    import graft.functions.NgramExpressions.{lower_tokens, space_tokens}
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("text")
+      .unionAll(Seq("", " ", "  a  B   c ", "МИКС Κείμενο İstanbul ẞ", "一 二　三", "tab\tkeeps").toDF("text"))
+    val both = docs.select(
+      lower_tokens(col("text")).as("nl"),
+      expr("filter(split(lower(text), ' '), w -> w != '')").as("hl"),
+      space_tokens(col("text")).as("ns"),
+      expr("filter(split(text, ' '), w -> w != '')").as("hs"))
+    assert(both.filter(expr("nl <> hl OR ns <> hs")).isEmpty)
+    assert(both.count() > 0)
+    val nulls = Seq[Option[String]](None).toDF("text")
+      .select(lower_tokens(col("text")).as("n"), space_tokens(col("text")).as("s"))
+    assert(nulls.filter(col("n").isNotNull || col("s").isNotNull).isEmpty)
+  }
+
+  test("CountTokensIn matches the size/filter/IN chain incl. empty tokens") {
+    import spark.implicits._
+    import graft.functions.NgramExpressions.count_tokens_in
+    val stop = Seq("the", "of", "and", "一")
+    val inList = stop.map(w => s"'$w'").mkString(", ")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("text")
+      .unionAll(Seq("", "the the  of", "一 二 the", "no stops here").toDF("text"))
+    val both = docs.select(
+      count_tokens_in(col("text"), stop).as("native"),
+      expr(s"size(filter(split(text, ' '), w -> w IN ($inList)))").as("chain"))
+    assert(both.filter(col("native") =!= col("chain")).isEmpty)
+    assert(both.count() > 0)
+  }
+
+  test("ArrayMd5Prefix matches the transform/substring(md5) chain") {
+    import spark.implicits._
+    import graft.functions.NgramExpressions.{array_md5_prefix, lower_tokens}
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("text")
+      .unionAll(Seq("一 二 三", "a  b").toDF("text"))
+      .withColumn("ws", lower_tokens(col("text")))
+    val both = docs.select(
+      array_md5_prefix(col("ws"), 2).as("native"),
+      expr("transform(ws, w -> substring(md5(w), 1, 2))").as("hof"))
+    assert(both.filter(expr("native <> hof")).isEmpty)
+    assert(both.count() > 0)
+  }
+
+  test("Simhash64 matches the 64-dim HOF filter chain bit-for-bit") {
+    import spark.implicits._
+    import graft.functions.NgramExpressions.simhash64
+    val DIMS = 64
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("text")
+      .unionAll(Seq("", "solo", "a  b   c", "一 二 三 四 五", "x: edge x:").toDF("text"))
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("hs", expr("transform(ws, w -> concat(md5(w), md5(concat('x:', w))))"))
+    val withCnt = (0 until DIMS).foldLeft(docs) { (df, d) =>
+      df.withColumn(s"cnt$d",
+        expr(s"size(filter(hs, h -> substring(h, ${d + 1}, 1) >= '8'))").cast("long"))
+    }
+    val hofFp = (0 until DIMS).map(d =>
+      when(col(s"cnt$d") * 2 > col("n"), lit(1L << d)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val both = withCnt.select(simhash64(col("ws")).as("native"), hofFp.as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).isEmpty)
+    assert(both.count() > 0)
+  }
+
+  test("SortedVals matches transform(array_sort(...)) on distinct integral keys") {
+    import spark.implicits._
+    import graft.functions.NgramExpressions.sorted_vals
+    // int keys / double values (the posexplode reassembly shape)
+    val r1 = spark.range(200).toDF("id")
+      .withColumn("g", (col("id") % 7).cast("int"))
+      .withColumn("pos", (col("id") / 7).cast("int"))
+      .withColumn("m", (col("id") * 1.5 - 40.0))
+      .groupBy("g")
+      .agg(sorted_vals(collect_list(struct(col("pos"), col("m")))).as("native"),
+        expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("hof"))
+    assert(r1.filter(expr("native <> hof")).isEmpty)
+    assert(r1.count() > 0)
+    // long keys / string values
+    val r2 = spark.range(100).toDF("id")
+      .withColumn("g", (col("id") % 5).cast("int"))
+      .withColumn("pos", col("id") * 3)
+      .withColumn("w", concat(lit("w"), col("id")))
+      .groupBy("g")
+      .agg(sorted_vals(collect_list(struct(col("pos"), col("w")))).as("native"),
+        expr("transform(array_sort(collect_list(struct(pos, w))), p -> p.w)").as("hof"))
+    assert(r2.filter(expr("native <> hof")).isEmpty)
+  }
+
   test("CountsIn matches the transform/filter HOF formulation, incl. null keys") {
     import graft.functions.CountsIn.counts_in
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("text")
