@@ -329,72 +329,84 @@ class Nc4PartitionReader(part: Nc4InputPartition, required: StructType,
   }.toArray
 
   private var rec = part.localStart
-  private val row =
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.size)
-
-  override def next(): Boolean = {
-    if (rec >= part.localEnd) return false
-    var out = 0
-    var slot = 0
-    required.fields.foreach { f =>
-      if (f.name == "record") {
-        row.update(out, part.fileOffset + rec)
+  // r17 (guide §4 applied to the reader, mirroring the §G write side):
+  // a SpecificInternalRow gives primitive slots, and each column's
+  // filler is bound ONCE against its resolved kind — the old loop
+  // re-matched the kind and boxed every scalar cell of every row
+  private val row = new org.apache.spark.sql.catalyst.expressions.SpecificInternalRow(
+    required.fields.map(_.dataType).toIndexedSeq)
+  private val fillers: Array[Long => Unit] = {
+    var slotC = -1
+    required.fields.zipWithIndex.map { case (f, out) =>
+      if (f.name == "record") { (rc: Long) =>
+        row.setLong(out, part.fileOffset + rc)
       } else {
         import Hdf5Format._
+        slotC += 1
+        val slot = slotC
         val r = readers(slot)
-        val v: Any = kinds(slot) match {
-          case KLong => r.getLong(rec)
-          case KInt => r.getInt(rec)
-          case KShort => r.getShort(rec)
-          case KDouble => r.getDouble(rec)
-          case KFloat => r.getFloat(rec)
-          case _: KString =>
-            org.apache.spark.unsafe.types.UTF8String.fromBytes(r.getString(rec))
-          case KVlenStr =>
-            org.apache.spark.unsafe.types.UTF8String.fromBytes(r.getVlenString(rec))
-          case KVlenSeq(base) =>
+        kinds(slot) match {
+          case KLong => (rc: Long) => row.setLong(out, r.getLong(rc))
+          case KInt => (rc: Long) => row.setInt(out, r.getInt(rc))
+          case KShort => (rc: Long) => row.setShort(out, r.getShort(rc))
+          case KDouble => (rc: Long) => row.setDouble(out, r.getDouble(rc))
+          case KFloat => (rc: Long) => row.setFloat(out, r.getFloat(rc))
+          case _: KString => (rc: Long) => row.update(out,
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(r.getString(rc)))
+          case KVlenStr => (rc: Long) => row.update(out,
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(r.getVlenString(rc)))
+          case KVlenSeq(base) => (rc: Long) => row.update(out,
             new org.apache.spark.sql.catalyst.util.GenericArrayData(
-              r.getVlenSeq(rec, base))
+              r.getVlenSeq(rc, base)))
           case KEnum(base, _) => base match {
-            case KLong => r.getLong(rec)
-            case KInt => r.getInt(rec)
-            case KShort => r.getShort(rec)
+            case KLong => (rc: Long) => row.setLong(out, r.getLong(rc))
+            case KInt => (rc: Long) => row.setInt(out, r.getInt(rc))
+            case KShort => (rc: Long) => row.setShort(out, r.getShort(rc))
             case o => throw new java.io.IOException(s"unsupported enum base $o")
           }
           case KCompound(_, _) =>
-            val vals = r.getCompound(rec)
             val proj = structProj(slot)
-            val a = new Array[Any](proj.length)
-            var i = 0
-            while (i < proj.length) {
-              a(i) = vals(proj(i)) match {
-                case b: Array[Byte] =>
-                  org.apache.spark.unsafe.types.UTF8String.fromBytes(b)
-                case x => x
+            (rc: Long) => {
+              val vals = r.getCompound(rc)
+              val a = new Array[Any](proj.length)
+              var i = 0
+              while (i < proj.length) {
+                a(i) = vals(proj(i)) match {
+                  case b: Array[Byte] =>
+                    org.apache.spark.unsafe.types.UTF8String.fromBytes(b)
+                  case x => x
+                }
+                i += 1
               }
-              i += 1
+              row.update(out,
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(a))
             }
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(a)
-          case KFloatArr(k) =>
+          case KFloatArr(k) => (rc: Long) => {
             val a = new Array[Any](k)
-            var i = 0; while (i < k) { a(i) = r.getFloatElem(rec, i); i += 1 }
-            new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
-          case KDoubleArr(k) =>
+            var i = 0; while (i < k) { a(i) = r.getFloatElem(rc, i); i += 1 }
+            row.update(out, new org.apache.spark.sql.catalyst.util.GenericArrayData(a))
+          }
+          case KDoubleArr(k) => (rc: Long) => {
             val a = new Array[Any](k)
-            var i = 0; while (i < k) { a(i) = r.getDoubleElem(rec, i); i += 1 }
-            new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
-          case KLongArr(k) =>
+            var i = 0; while (i < k) { a(i) = r.getDoubleElem(rc, i); i += 1 }
+            row.update(out, new org.apache.spark.sql.catalyst.util.GenericArrayData(a))
+          }
+          case KLongArr(k) => (rc: Long) => {
             val a = new Array[Any](k)
-            var i = 0; while (i < k) { a(i) = r.getLongElem(rec, i); i += 1 }
-            new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
-          case KBitfield(_) => r.getBitfield(rec)
-          case KOpaque(_, _) => r.getOpaque(rec)
+            var i = 0; while (i < k) { a(i) = r.getLongElem(rc, i); i += 1 }
+            row.update(out, new org.apache.spark.sql.catalyst.util.GenericArrayData(a))
+          }
+          case KBitfield(_) => (rc: Long) => row.update(out, r.getBitfield(rc))
+          case KOpaque(_, _) => (rc: Long) => row.update(out, r.getOpaque(rc))
         }
-        row.update(out, v)
-        slot += 1
       }
-      out += 1
-    }
+    }.toArray
+  }
+
+  override def next(): Boolean = {
+    if (rec >= part.localEnd) return false
+    var i = 0
+    while (i < fillers.length) { fillers(i)(rec); i += 1 }
     rec += 1
     true
   }
